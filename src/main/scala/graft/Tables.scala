@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over the driver testdata (TESTDATA.md).
+  *
+  * Mirrors the reference's table resolution (surrealdb: catalog/table.rs:45-66,
+  * exec/operators/scan/table.rs:39 `TableScan`): a table name resolves to a
+  * scan source. Here a scan is `spark.read.parquet`, so Catalyst owns
+  * predicate pushdown, column pruning and partition pruning natively — the
+  * reference implements these by hand (`needed_fields`, `scan_predicate`,
+  * exec/planner/select.rs:80-115); we get them from the declarative plan.
+  *
+  * Scale note (100 TB): nothing here collects to the driver. Each table is a
+  * distributed parquet scan; small dimensions (region/nation) are flagged so
+  * join builders can `broadcast()` them.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Dimensions small enough to broadcast at any scale factor (region=5,
+    * nation=25 rows — fixed-size dims in the TPC-H-ish schema). */
+  val broadcastable: Set[String] = Set("region", "nation")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
+      // read it as a long (ns since epoch) — convert with nsToTimestamp below.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Convert an ns-since-epoch long (see events.ts) to a microsecond
+    * TimestampType column. */
+  def nsToTimestamp(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.timestamp_micros((c / 1000L).cast("long"))
+
+  def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = apply(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = apply(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = apply(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = apply(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = apply(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = apply(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Graph traversal as joins.
+  *
+  * In the reference, edges are rows in relation tables with `in`/`out`
+  * record-id fields (surrealdb: catalog/table.rs:151-156) and a hop
+  * `->edge->target` is `GraphEdgeScan` (exec/operators/scan/graph.rs:64) — an
+  * id-equijoin from a batch of source ids into the edge table. That is
+  * exactly a distributed hash join, so the Spark lowering is `edges.join`:
+  * shuffle on the id, AQE/broadcast when one side is small, and Catalyst
+  * plans a semi join when only target ids are needed
+  * (`GraphScanOutput::TargetId`, scan/graph.rs:30-36).
+  *
+  * On the TPC-H-ish testdata the natural edge tables are
+  * `orders (customer -> order)` and `lineitem (order -> part/supplier)`.
+  *
+  * Bounded recursion `@{1..n}` (exec/operators/recursion.rs:81) is a
+  * driver-side loop over frontier DataFrames — each hop is one distributed
+  * join; the loop only controls depth, never touches row data.
+  */
+object GraphOps {
+
+  /** One `->edge->` hop: from a set of source ids through an edge table.
+    * `outCols` picks what survives (TargetId vs FullEdge output modes). */
+  def hop(src: DataFrame, edges: DataFrame, srcKey: Column, edgeIn: Column,
+          outCols: Seq[Column]): DataFrame =
+    src.join(edges, srcKey === edgeIn).select(outCols: _*)
+
+  /** Bounded recursive traversal: frontier-join loop with depth counter.
+    * Returns (start, node, depth) for depth in 1..maxDepth. Each iteration is
+    * one shuffle join on `src`; at 100 TB you'd checkpoint the frontier every
+    * few hops to truncate lineage. */
+  def recurse(start: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
+    // start: (start, node); edges: (src, dst)
+    var frontier = start
+    var acc: DataFrame = null
+    for (depth <- 1 to maxDepth) {
+      val f = frontier.alias("f")
+      val e = edges.alias("e")
+      frontier = f.join(e, col("f.node") === col("e.src"))
+        .select(col("f.start").as("start"), col("e.dst").as("node"))
+      val labeled = frontier.withColumn("depth", lit(depth.toLong))
+      acc = if (acc == null) labeled else acc.unionByName(labeled)
+    }
+    acc
+  }
+
+  /** 1-hop: BUILDING-segment customers `->placed->order`, ids only
+    * (semi-join shape — Catalyst prunes the customer payload columns). */
+  val graphOneHop = Q("graph_one_hop",
+    """SELECT o.o_orderkey FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       ORDER BY o.o_orderkey""") {
+    (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+      hop(c, o, c("c_custkey"), o("o_custkey"), Seq(o("o_orderkey")))
+        .orderBy("o_orderkey")
+  }
+
+  /** 2-hop: AUTOMOBILE customers `->order->lineitem->part` — distinct part
+    * ids reached. Two shuffle joins; the filter is pushed below both. */
+  val graphTwoHop = Q("graph_two_hop",
+    """SELECT DISTINCT l.l_partkey FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'AUTOMOBILE'
+       ORDER BY l_partkey""") {
+    (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "AUTOMOBILE")
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val firstHop = hop(c, o, c("c_custkey"), o("o_custkey"), Seq(o("o_orderkey")))
+      firstHop.join(l, firstHop("o_orderkey") === l("l_orderkey"))
+        .select(l("l_partkey")).distinct()
+        .orderBy("l_partkey")
+  }
+
+  /** `ReferenceScan` (exec/operators/scan/reference.rs:48): reverse lookup
+    * `<~lineitem` — which rows reference these parts. Join direction swapped;
+    * same equi-join machinery. */
+  val referenceScan = Q("reference_scan",
+    """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey FROM part p
+       JOIN lineitem l ON l.l_partkey = p.p_partkey
+       WHERE p.p_size = 50
+       ORDER BY p_partkey, l_orderkey, l_linenumber""") {
+    (s, d) =>
+      val p = Tables.part(s, d).filter(col("p_size") === 50)
+      val l = Tables.lineitem(s, d)
+      p.join(l, l("l_partkey") === p("p_partkey"))
+        .select(l("l_orderkey"), l("l_linenumber"), p("p_partkey"))
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** `Recursion` (exec/operators/recursion.rs:81): bounded traversal
+    * `@{1..3}` over a next-order chain (each customer's orders by date form a
+    * linked list — the time-series idiom of SURVEY §1.1). Oracle is a
+    * recursive CTE. */
+  val recursionChain = Q("recursion_chain",
+    """WITH RECURSIVE seq AS (
+         SELECT o_custkey, o_orderkey,
+                lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS nxt,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       edges AS (SELECT o_orderkey AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL),
+       starts AS (SELECT o_orderkey AS start FROM seq WHERE rn = 1),
+       walk AS (
+         SELECT start, start AS node, CAST(0 AS BIGINT) AS depth FROM starts
+         UNION ALL
+         SELECT w.start, e.dst, w.depth + 1 FROM walk w
+         JOIN edges e ON w.node = e.src WHERE w.depth < 3)
+       SELECT start, node, depth FROM walk WHERE depth >= 1
+       ORDER BY start, depth, node""") {
+    (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val seq = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val edges = seq.filter(col("nxt").isNotNull)
+        .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+      val starts = seq.filter(col("rn") === 1)
+        .select(col("o_orderkey").as("start"), col("o_orderkey").as("node"))
+      recurse(starts, edges, maxDepth = 3)
+        .select(col("start"), col("node"), col("depth"))
+        .orderBy("start", "depth", "node")
+  }
+
+  val all: Seq[Q] = Seq(graphOneHop, graphTwoHop, referenceScan, recursionChain)
+}

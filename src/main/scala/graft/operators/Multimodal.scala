@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Multimodal column plumbing: opaque `binary` payloads + typed metadata.
+  *
+  * The pattern for image/audio/video at 100 TB: the payload is a binary
+  * column (or a `file::` pointer — reference: types/src/value/file.rs), the
+  * pipeline extracts metadata/features per batch, and decode runs inside
+  * `mapPartitions` so one task amortizes codec setup over its whole
+  * partition. The decode itself is STUBBED here (no image/audio libs in this
+  * container — see [[decodeStub]]); everything around it — schema, encoder,
+  * partition shape, deterministic feature output — is real and tested.
+  *
+  * The testdata has no binary tables, so document text bytes stand in as the
+  * opaque payload. */
+object Multimodal {
+
+  /** Typed record for the feature-extraction output. */
+  final case class MediaFeature(
+      doc_id: Long, n_bytes: Long, format: String, feature: Array[Double])
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic fake:
+    * "format" from a magic-byte sniff, "feature" from byte statistics. A real
+    * deployment replaces only this function (same signature: bytes in,
+    * features out); the Spark plumbing around it is unchanged. */
+  def decodeStub(bytes: Array[Byte]): (String, Array[Double]) = {
+    val format =
+      if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+      else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+      else "raw"
+    // fake 4-dim feature: byte count, mean byte, min, max — deterministic
+    val n = bytes.length.toDouble
+    val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
+    val mn = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xFF).toDouble).min
+    val mx = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xFF).toDouble).max
+    (format, Array(n, mean, mn, mx))
+  }
+
+  /** Batch feature extraction over a binary column: mapPartitions so a real
+    * decoder initializes once per partition, not once per row. */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // (real impl: initialize codec here, once per partition)
+        it.map { case (id, bytes) =>
+          val (fmt, feat) = decodeStub(bytes)
+          MediaFeature(id, bytes.length.toLong, fmt, feat)
+        }
+      }
+  }
+
+  /** Metadata pass over the binary payload — pure column expressions (byte
+    * length, content digest, base64 head), oracle-checked. */
+  val multimodalMeta = Q("multimodal_meta",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              md5(text) AS digest,
+              substring(to_base64(encode(text)), 1, 16) AS b64_head
+       FROM documents ORDER BY doc_id""") {
+    (s, d) =>
+      val payload = col("text").cast("binary")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(col("text")).cast("bigint").as("n_bytes"),
+        md5(payload).as("digest"),
+        substring(base64(payload), 1, 16).as("b64_head"))
+        .orderBy("doc_id")
+  }
+
+  /** Feature-extraction pipeline through the mapPartitions stub decoder;
+    * rows-only (the stub has no SQL equivalent). */
+  val multimodalFeatures = Q.rowsOnly("multimodal_features") { (s, d) =>
+    val payloads = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    extractFeatures(s, payloads)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        round(element_at(col("feature"), 2), 4).as("mean_byte"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)
+}

