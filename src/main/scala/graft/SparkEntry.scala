@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Exact, ScalarQueries}
+import graft.functions.{Exact, MiscQueries, ScalarQueries, VectorQueries}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,6 +17,7 @@ object SparkEntry {
 
   private val registry: Seq[Q] =
     Relational.all ++ GraphOps.all ++ ScalarQueries.all ++
+      VectorQueries.all ++ MiscQueries.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ FullText.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
