@@ -18,6 +18,7 @@ object SparkEntry {
   private val registry: Seq[Q] =
     Relational.all ++ GraphOps.all ++ ScalarQueries.all ++
       VectorQueries.all ++ MiscQueries.all ++
+      Mutations.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ FullText.all ++ Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
