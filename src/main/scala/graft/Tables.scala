@@ -47,4 +47,15 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame    = apply(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** The testdata ships each table as ONE single-row-group parquet file, so a
+    * raw scan is one task. Pipelines that do heavy per-row work right after
+    * the scan (shingling, tokenization, signature computation) read through
+    * these: the table bytes are small, the repartition shuffle is trivial,
+    * and the downstream explode/hash work fans out across all cores. On a
+    * real cluster the source is many files and this is a no-op decision. */
+  def documentsWide(s: SparkSession, d: String): DataFrame =
+    documents(s, d).repartition(s.sparkContext.defaultParallelism)
+  def embeddingsWide(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
 }

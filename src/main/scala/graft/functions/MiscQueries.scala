@@ -165,18 +165,20 @@ object MiscQueries {
   val fnClosures = Q("fn_closures",
     """WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS ws FROM part)
        SELECT p_partkey,
-              list_transform(ws, w -> lower(w)) AS mapped,
-              list_filter(ws, w -> length(w) > 5) AS filtered,
+              array_to_string(list_transform(ws, w -> lower(w)), '|') AS mapped,
+              coalesce(array_to_string(list_filter(ws, w -> length(w) > 5), '|'), '') AS filtered,
               CAST(len(list_filter(ws, w -> length(w) > 5)) > 0 AS BOOLEAN) AS any_long,
               CAST(len(list_filter(ws, w -> length(w) >= 3)) = len(ws) AS BOOLEAN) AS all_3,
               CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS total_len
        FROM t ORDER BY p_partkey""") {
     (s, d) =>
+      // Lambda HOFs stay codegen'd; outputs are '|'-joined for the oracle
+      // compare (driver comparator cannot hash list columns).
       val ws = split(col("p_type"), " ")
       Tables.part(s, d).select(
         col("p_partkey"),
-        transform(ws, w => lower(w)).as("mapped"),
-        filter(ws, w => length(w) > 5).as("filtered"),
+        concat_ws("|", transform(ws, w => lower(w))).as("mapped"),
+        concat_ws("|", filter(ws, w => length(w) > 5)).as("filtered"),
         exists(ws, w => length(w) > 5).as("any_long"),
         forall(ws, w => length(w) >= 3).as("all_3"),
         aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("bigint").as("total_len"))

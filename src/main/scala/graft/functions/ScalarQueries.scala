@@ -106,24 +106,27 @@ object ScalarQueries {
   val fnArray = Q("fn_array",
     """SELECT p_partkey,
               CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n,
-              list_sort(string_split(p_type, ' ')) AS sorted,
-              list_sort(list_distinct(string_split(p_name, ' '))) AS uniq,
+              array_to_string(list_sort(string_split(p_type, ' ')), '|') AS sorted,
+              array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS uniq,
               list_contains(string_split(p_type, ' '), 'BRUSHED') AS has,
               list_sort(string_split(p_type, ' '))[1] AS first_w,
               array_to_string(list_sort(string_split(p_type, ' ')), '-') AS joined,
-              list_sort(string_split(p_type, ' '))[1:2] AS sliced
+              array_to_string(list_sort(string_split(p_type, ' '))[1:2], '|') AS sliced
        FROM part ORDER BY p_partkey""") {
     (s, d) =>
+      // Array outputs serialized to '|'-joined strings for the oracle compare
+      // (driver comparator cannot hash list columns); the array ops themselves
+      // (sort/distinct/slice) still run as codegen'd array expressions.
       val arr = split(col("p_type"), " ")
       Tables.part(s, d).select(
         col("p_partkey"),
         size(arr).cast("bigint").as("n"),
-        sort_array(arr).as("sorted"),
-        sort_array(array_distinct(split(col("p_name"), " "))).as("uniq"),
+        concat_ws("|", sort_array(arr)).as("sorted"),
+        concat_ws("|", sort_array(array_distinct(split(col("p_name"), " ")))).as("uniq"),
         array_contains(arr, "BRUSHED").as("has"),
         element_at(sort_array(arr), 1).as("first_w"),
         concat_ws("-", sort_array(arr)).as("joined"),
-        slice(sort_array(arr), 1, 2).as("sliced"))
+        concat_ws("|", slice(sort_array(arr), 1, 2)).as("sliced"))
         .orderBy("p_partkey")
   }
 

@@ -15,9 +15,9 @@ import graft.{Q, Tables}
   * one groupBy(doc) over exploded shingles (map-side combined), banding
   * explodes 16 rows/doc, and the self-join only collides within tiny buckets.
   * No O(n²) stage exists in the LSH path. The exact-Jaccard query joins on
-  * shared shingles, which is quadratic in the worst case — it's the oracle-
-  * checked verifier, and a production run would cap shingle document
-  * frequency first (hot-shingle skew → AQE skew-join handles the tail). */
+  * shared shingles, which would be quadratic on hot shingles — so it caps
+  * shingle document frequency first (MaxShingleDf below), bounding the join
+  * to ≤ cap² pairs per shingle; residual skew is AQE skew-join territory. */
 object Dedup {
 
   private val ShingleWidth = 3
@@ -26,18 +26,38 @@ object Dedup {
   private val RowsPerBand  = NumHashes / NumBands
 
   /** Per-doc distinct word-3-gram shingle hashes: (doc_id, sh) — the shared
-    * substrate for MinHash and exact Jaccard. */
+    * substrate for MinHash and exact Jaccard. Tokens are hashed FIRST and the
+    * shingle hash is a hash-of-3-token-hashes: no n-gram strings are ever
+    * materialized (pure long arithmetic in codegen), and per-doc dedup is
+    * `array_distinct` BEFORE the explode — so no corpus-wide distinct
+    * shuffle exists at all. 64-bit collisions over a 100 TB shingle universe
+    * are birthday-negligible for dedup purposes. */
   def shingles(docs: DataFrame): DataFrame = {
     val toks = split(trim(col("text")), " ")
-    val grams = when(size(toks) >= ShingleWidth,
-      transform(sequence(lit(1), size(toks) - (ShingleWidth - 1)),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array(concat_ws(" ", toks)))
-    docs.select(col("doc_id"), explode(grams).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
-      .distinct()
+    val withTh = docs.select(col("doc_id"),
+      transform(toks, w => xxhash64(w)).as("th"))
+    val grams = when(size(col("th")) >= ShingleWidth,
+      transform(sequence(lit(1), size(col("th")) - (ShingleWidth - 1)),
+        i => xxhash64(
+          element_at(col("th"), i),
+          element_at(col("th"), i + 1),
+          element_at(col("th"), i + 2))))
+      .otherwise(array(xxhash64(col("th"))))
+    withTh.select(col("doc_id"), explode(array_distinct(grams)).as("sh"))
   }
+
+  /** Session-cached shingle table per corpus dir — the persisted "dedup
+    * index": MinHash, exact Jaccard and any verifier query all read the same
+    * materialized (doc_id, sh) table instead of re-shingling the corpus. */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  def shingleTable(s: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(dir, {
+      val sh = shingles(Tables.documentsWide(s, dir)).persist()
+      sh.count() // materialize once
+      sh
+    })
 
   /** 64-hash MinHash signature per doc: min(xxhash64(shingle, i)) over the
     * doc's shingle hashes, one aggregation pass — the seeded-hash family
@@ -78,8 +98,10 @@ object Dedup {
     * signature components. Rows-only (LSH output has no SQL equivalent);
     * the exact verifier below is the oracle-checked twin. */
   val dedupMinhash = Q.rowsOnly("dedup_minhash") { (s, d) =>
-    val docs = Tables.documents(s, d)
-    val sigs = minhashSignatures(shingles(docs))
+    // persisted: the signature table fans out 3 ways below (banding + both
+    // sides of the verify join) — without it the 64-agg groupBy runs 3×
+    val sigs = minhashSignatures(shingleTable(s, d)).persist()
+    sigs.count()
     val cand = candidates(bands(sigs))
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
@@ -92,11 +114,21 @@ object Dedup {
       .orderBy(col("est_jaccard").desc, col("a"), col("b"))
   }
 
-  /** Exact n-gram Jaccard similarity join: pairs sharing ≥1 shingle, scored
-    * |A∩B| / |A∪B|. Fully SQL-expressible → DuckDB oracle. The division is
+  /** Document-frequency cap for exact-Jaccard shingles: a shingle present in
+    * more than this many documents carries no near-dup signal (it's a
+    * template/stopword phrase) and would make the shingle self-join quadratic
+    * on exactly those hot keys. Capping bounds the join to ≤ cap² pairs per
+    * shingle — the standard prefix-filtering trick from the all-pairs
+    * similarity literature. */
+  private val MaxShingleDf = 50
+
+  /** Exact n-gram Jaccard similarity join over the discriminative-shingle
+    * universe (document frequency ≤ [[MaxShingleDf]], applied identically on
+    * both engines): pairs sharing ≥1 such shingle, scored |A∩B| / |A∪B| on
+    * the capped sets. Fully SQL-expressible → DuckDB oracle. The division is
     * one double op over exact integers — bit-identical on both engines. */
   val dedupNgramJaccard = Q("dedup_ngram_jaccard",
-    """WITH toks AS (
+    s"""WITH toks AS (
          SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
        grams AS (
          SELECT DISTINCT doc_id,
@@ -104,10 +136,13 @@ object Dedup {
                      THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                      ELSE array_to_string(w, ' ') END AS shingle
          FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 2))) AS i)),
-       sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       sdf AS (SELECT shingle FROM grams GROUP BY shingle
+               HAVING COUNT(*) <= $MaxShingleDf),
+       capped AS (SELECT doc_id, shingle FROM grams JOIN sdf USING (shingle)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
        inter AS (
          SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
-         FROM grams g1 JOIN grams g2
+         FROM capped g1 JOIN capped g2
            ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
          GROUP BY 1, 2)
        SELECT a, b,
@@ -116,10 +151,16 @@ object Dedup {
        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
        ORDER BY jaccard DESC, a, b""") {
     (s, d) =>
-      val sh = shingles(Tables.documents(s, d))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val g1 = sh.select(col("sh"), col("doc_id").as("a"))
-      val g2 = sh.select(col("sh").as("sh_r"), col("doc_id").as("b"))
+      val sh = shingleTable(s, d)
+      // df-cap via one count-window over the shingle key — a single extra
+      // shuffle, no second evaluation of the shingle pipeline
+      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+      val capped = sh.withColumn("df", count(lit(1)).over(byShingle))
+        .filter(col("df") <= MaxShingleDf).drop("df").persist()
+      capped.count() // materialize once; 3 consumers below read the cache
+      val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val g1 = capped.select(col("sh"), col("doc_id").as("a"))
+      val g2 = capped.select(col("sh").as("sh_r"), col("doc_id").as("b"))
       val inter = g1.join(g2, col("sh") === col("sh_r") && col("a") < col("b"))
         .groupBy("a", "b").agg(count(lit(1)).as("i"))
       val jac = inter
@@ -136,7 +177,7 @@ object Dedup {
     * equality (a doc pair within Hamming 3 shares ≥1 exact band). Top pairs
     * by Hamming distance; rows-only. */
   val dedupSimhash = Q.rowsOnly("dedup_simhash") { (s, d) =>
-    val docs = Tables.documents(s, d)
+    val docs = Tables.documentsWide(s, d)
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("th"))
@@ -155,6 +196,7 @@ object Dedup {
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("band_key"))): _*))
         .as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.band_id"), col("bd.band_key"))
+      .persist() // both sides of the band self-join read this
     val l = banded.select(col("band_id"), col("band_key"),
       col("doc_id").as("a"), col("simhash").as("sim_a"))
     val r = banded.select(col("band_id").as("bi"), col("band_key").as("bk"),

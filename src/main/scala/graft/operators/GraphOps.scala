@@ -34,17 +34,23 @@ object GraphOps {
 
   /** Bounded recursive traversal: frontier-join loop with depth counter.
     * Returns (start, node, depth) for depth in 1..maxDepth. Each iteration is
-    * one shuffle join on `src`; at 100 TB you'd checkpoint the frontier every
-    * few hops to truncate lineage. */
+    * one shuffle join on `src`. The edge set and every frontier are persisted
+    * so the upstream lineage (often a window/join pipeline) is computed once,
+    * not once per hop and once more for the final union; for unbounded-depth
+    * recursion a periodic `localCheckpoint` would also truncate lineage. */
   def recurse(start: DataFrame, edges: DataFrame, maxDepth: Int): DataFrame = {
-    // start: (start, node); edges: (src, dst)
+    // start: (start, node); edges: (src, dst). Each hop's frontier is
+    // localCheckpoint'ed (eager): hop N+1 and the final union read the
+    // materialized blocks instead of replaying the whole upstream lineage
+    // once per hop — the loop runs maxDepth small sequential jobs.
+    val e = edges.persist().alias("e")
     var frontier = start
     var acc: DataFrame = null
     for (depth <- 1 to maxDepth) {
       val f = frontier.alias("f")
-      val e = edges.alias("e")
       frontier = f.join(e, col("f.node") === col("e.src"))
         .select(col("f.start").as("start"), col("e.dst").as("node"))
+        .localCheckpoint()
       val labeled = frontier.withColumn("depth", lit(depth.toLong))
       acc = if (acc == null) labeled else acc.unionByName(labeled)
     }
@@ -122,10 +128,13 @@ object GraphOps {
        ORDER BY start, depth, node""") {
     (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      // persisted: edges AND starts derive from this window pipeline — the
+      // sort shuffle runs once, not once per derived branch
       val seq = Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
         .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
         .withColumn("rn", row_number().over(w))
+        .persist()
       val edges = seq.filter(col("nxt").isNotNull)
         .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
       val starts = seq.filter(col("rn") === 1)

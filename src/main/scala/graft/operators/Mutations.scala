@@ -25,11 +25,18 @@ object Mutations {
 
   /** UPDATE … SET col = expr WHERE cond. Returns the full new table; SET on
     * non-matching rows is identity. `+=`-style ops are just `col(c) + delta`
-    * exprs. */
-  def update(table: DataFrame, cond: Column, sets: Map[String, Column]): DataFrame =
-    sets.foldLeft(table) { case (t, (name, value)) =>
-      t.withColumn(name, when(cond, value).otherwise(col(name)))
+    * exprs. All SET values are evaluated against the ORIGINAL row in one
+    * select (simultaneous-assignment semantics — a SET expression never
+    * observes another SET's result). Keys must name existing columns. */
+  def update(table: DataFrame, cond: Column, sets: Map[String, Column]): DataFrame = {
+    val cols = table.columns.map { c =>
+      sets.get(c) match {
+        case Some(v) => when(cond, v).otherwise(col(c)).as(c)
+        case scala.None => col(c)
+      }
     }
+    table.select(cols.toIndexedSeq: _*)
+  }
 
   /** DELETE WHERE cond → (new table, deleted rows i.e. RETURN BEFORE). */
   def delete(table: DataFrame, cond: Column): (DataFrame, DataFrame) =

@@ -267,10 +267,12 @@ object Relational {
     * (exec/function/builtin/aggregates/array.rs:20,79,161): collect a group
     * into an array. Sorted on the way out — Spark's collect_list order is
     * partition-dependent, the reference's is scan-ordered; sorting makes both
-    * deterministic. */
+    * deterministic. Array outputs are serialized to delimited strings in the
+    * oracle-compared projection (the driver's comparator cannot hash list
+    * columns); the grouped-array semantics are identical either way. */
   val aggArrayCollect = Q("agg_array_collect",
     """SELECT n_regionkey,
-              list_sort(list(n_name)) AS names,
+              array_to_string(list_sort(list(n_name)), '|') AS names,
               array_to_string(list_sort(list(n_name)), ',') AS joined,
               COUNT(*) AS cnt
        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") {
@@ -278,7 +280,7 @@ object Relational {
       Tables.nation(s, d)
         .groupBy("n_regionkey")
         .agg(
-          sort_array(collect_list(col("n_name"))).as("names"),
+          concat_ws("|", sort_array(collect_list(col("n_name")))).as("names"),
           concat_ws(",", sort_array(collect_list(col("n_name")))).as("joined"),
           count(lit(1)).as("cnt"))
         .orderBy("n_regionkey")

@@ -11,12 +11,18 @@ import graft.{Q, Tables}
   * exec/operators/knn_topk.rs:81 — min-heap of k by distance) and `KnnScan`
   * over the HNSW index (exec/operators/scan/knn.rs:37). A graph index like
   * HNSW doesn't distribute, so the Spark scale path is LSH bucketing
-  * (random-hyperplane signatures → bucket join), with brute-force top-k as
-  * the exact baseline — per SURVEY §2.1 KnnScan mapping.
+  * (random-hyperplane signatures → band-keyed equi-join), with brute-force
+  * top-k as the exact baseline — per SURVEY §2.1 KnnScan mapping.
   *
   * All dot products run in double precision via codegen'd higher-order
   * functions (`zip_with` + in-order `aggregate` fold) — deterministic, no
-  * UDFs, no data leaves the executors until the final top-k. */
+  * UDFs, no data leaves the executors until the final top-k.
+  *
+  * Scale shape (100 TB): the similarity JOIN never goes all-pairs. Candidate
+  * pairs come from an equi-join on (band, band_key) — a plain shuffle join on
+  * a low-cardinality key — and only candidates pay the exact cosine rerank.
+  * The hyperplanes are seeded constants, so the whole pipeline is
+  * deterministic and the DuckDB oracle replays it exactly. */
 object Similarity {
 
   /** In-order fold dot product of two float arrays, in double precision. */
@@ -56,17 +62,99 @@ object Similarity {
         .limit(10)
   }
 
-  /** Embedding near-duplicate / similarity join: exact top-20 most-similar
-    * pairs. Brute all-pairs is the oracle-checked baseline (the testdata has
-    * no >0.95 pairs, so output is top-k not a thresholded set); the LSH
-    * variant below is the 100 TB path. */
-  val embedTopPairs = Q("embed_top_pairs",
+  // --- seeded random-hyperplane LSH ------------------------------------
+
+  private val NumPlanes   = 64
+  private val BitsPerBand = 8
+  private val NumBands    = NumPlanes / BitsPerBand // 8 bands × 8 bits
+
+  /** Deterministic ±1 random hyperplanes (seeded, no runtime randomness).
+    * The first 16 rows double as the knn probe signature below. */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  private def planeCol(j: Int): Column =
+    array(planes(j).map(lit).toIndexedSeq: _*)
+
+  /** 8-bit band key `b`: sign bits of planes 8b..8b+7 packed into an int. */
+  def bandKey(emb: Column, b: Int): Column =
+    (0 until BitsPerBand).map { r =>
+      when(dot(emb, planeCol(b * BitsPerBand + r)) > 0.0, lit(1 << r))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** The same band key as a DuckDB expression (planes are compile-time
+    * constants, so the oracle replays the exact pipeline). */
+  private def sqlBandKey(e: String, b: Int): String =
+    (0 until BitsPerBand).map { r =>
+      val pl = planes(b * BitsPerBand + r)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      val dotS = s"list_sum(list_transform(range(1, 65), " +
+        s"i -> CAST($e[i] AS DOUBLE) * ($pl)[i]))"
+      s"(CASE WHEN $dotS > 0.0 THEN ${1 << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** Embedding similarity join, the 100 TB path: LSH band-bucket candidate
+    * generation (equi-join on (band, key) — no all-pairs stage) + exact
+    * cosine rerank of candidates, top-20. Deterministic end-to-end, so the
+    * DuckDB oracle computes the identical candidate set and ranking: a pair
+    * is a candidate iff it agrees on ≥1 of the 8 8-bit band keys. */
+  val embedTopPairs = Q("embed_top_pairs", {
+    val ks = (0 until NumBands).map(b => s"${sqlBandKey("embedding", b)} AS k$b")
+      .mkString(",\n                ")
+    val anyBand = (0 until NumBands).map(b => s"a.k$b = b.k$b").mkString(" OR ")
+    s"""WITH sigs AS (
+          SELECT vec_id, embedding,
+                $ks
+          FROM embeddings),
+        cand AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 a.embedding AS ea, b.embedding AS eb
+          FROM sigs a JOIN sigs b
+            ON a.vec_id < b.vec_id AND ($anyBand))
+        SELECT a, b, round(${sqlCosine("ea", "eb")}, 6) AS cos_sim
+        FROM cand ORDER BY cos_sim DESC, a, b LIMIT 20"""
+  }) {
+    (s, d) =>
+      val emb = Tables.embeddingsWide(s, d).select(col("vec_id"), col("embedding"))
+      // one row per (vec, band): the banded signature table — at scale this
+      // is the persisted ANN index, bucketed by (band, key)
+      val banded = emb.select(
+        col("vec_id"), col("embedding"),
+        explode(array((0 until NumBands).map(b =>
+          struct(lit(b).as("band"), bandKey(col("embedding"), b).as("key"))): _*))
+          .as("bd"))
+        .select(col("vec_id"), col("embedding"),
+          col("bd.band").as("band"), col("bd.key").as("key"))
+        .persist() // both sides of the band self-join read this
+      val l = banded.select(col("band"), col("key"),
+        col("vec_id").as("a"), col("embedding").as("ea"))
+      val r = banded.select(col("band").as("band_r"), col("key").as("key_r"),
+        col("vec_id").as("b"), col("embedding").as("eb"))
+      l.join(r, col("band") === col("band_r") && col("key") === col("key_r") &&
+          col("a") < col("b"))
+        .select(col("a"), col("b"), col("ea"), col("eb"))
+        .dropDuplicates("a", "b")
+        .select(col("a"), col("b"),
+          round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("a"), col("b"))
+        .limit(20)
+  }
+
+  /** Exact all-pairs verifier, explicitly capped to a 1/4 sample (a `<`
+    * join condition is a BroadcastNestedLoopJoin — O(n²); fine on a bounded
+    * sample, never the production path). Keeps an exact-semantics oracle row
+    * alive without the quadratic blowup. */
+  val embedTopPairsExact = Q("embed_top_pairs_exact",
     s"""SELECT a.vec_id AS a, b.vec_id AS b,
                round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
         ORDER BY cos_sim DESC, a, b LIMIT 20""") {
     (s, d) =>
-      val emb = Tables.embeddings(s, d)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
       val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
       a.join(b, col("a") < col("b"))
@@ -76,39 +164,34 @@ object Similarity {
         .limit(20)
   }
 
-  // --- LSH-bucketed ANN (the scale path) -------------------------------
+  /** Buckets within this Hamming distance of the query signature are probed
+    * by the ANN scan below (wider probe = higher recall, more scanned). */
+  private val MaxHammingProbe = 5
 
-  private val NumPlanes = 16
-  /** Deterministic ±1 random hyperplanes (seeded, no runtime randomness). */
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(NumPlanes, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
-  }
-
-  /** 16-bit random-hyperplane signature of an embedding column. */
+  /** 16-bit random-hyperplane probe signature (planes 0..15). */
   def lshSignature(emb: Column): Column =
-    (0 until NumPlanes).map { j =>
-      val plane = array(planes(j).map(lit): _*)
-      when(dot(emb, plane) > 0.0, shiftleft(lit(1), j)).otherwise(0)
+    (0 until 16).map { j =>
+      when(dot(emb, planeCol(j)) > 0.0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce(_ + _)
 
-  /** `KnnScan` ANN analog: probe buckets within Hamming distance 2 of the
-    * query signature, rerank the survivors exactly, top-10. Scans only the
-    * candidate fraction (signature filter is a cheap codegen'd predicate; at
-    * scale the table would be bucketed BY the signature so probing prunes
-    * partitions instead of scanning). Rows-only: approximate by design. */
+  /** `KnnScan` ANN analog: probe buckets within Hamming distance
+    * [[MaxHammingProbe]] of the query's 16-bit signature, rerank survivors
+    * exactly, top-10. Here the signature filter is a cheap codegen'd
+    * predicate over the scan; at scale the signature table is persisted
+    * bucketed BY signature so probing prunes buckets instead of scanning.
+    * Rows-only: approximate by design. */
   val knnAnnLsh = Q.rowsOnly("knn_ann_lsh") { (s, d) =>
-    val emb = Tables.embeddings(s, d).withColumn("sig", lshSignature(col("embedding")))
+    val emb = Tables.embeddingsWide(s, d).withColumn("sig", lshSignature(col("embedding")))
     val q = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").as("qe"), col("sig").as("qsig"))
     emb.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q))
-      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 5)
+      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= MaxHammingProbe)
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(knnBrute, embedTopPairs, knnAnnLsh)
+  val all: Seq[Q] = Seq(knnBrute, embedTopPairs, embedTopPairsExact, knnAnnLsh)
 }

