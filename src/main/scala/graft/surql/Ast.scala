@@ -1,0 +1,167 @@
+package graft.surql.ast
+
+import graft.surql.V
+
+/** Typed AST for the SurrealQL surface we execute — shaped after the
+  * reference's `expr` tree (surrealdb: core/src/expr/, sql/ast.rs:39) but
+  * only as deep as the analytics engine needs. */
+sealed trait Expr
+
+// ---- literals --------------------------------------------------------
+final case class Lit(v: V) extends Expr
+final case class ArrLit(items: Seq[Expr]) extends Expr
+final case class ObjLit(fields: Seq[(String, Expr)]) extends Expr
+/** Record id literal `person:1`, `person:foo`, `person:[1,'x']`; the key may
+  * also be a range (`person:1..5`) for id-range scans. */
+final case class RidLit(table: String, key: Expr) extends Expr
+/** `|start..end|` mock / `|person:1000|` is out of scope; ranges are
+  * first-class: `1..5`, `1>..=5`, `..5`. Bounds carry inclusivity. */
+final case class RangeLit(lo: Option[(Expr, Boolean)], hi: Option[(Expr, Boolean)]) extends Expr
+
+// ---- idioms ----------------------------------------------------------
+/** Idiom path (expr/idiom/mod.rs:61, part.rs:21-38): a start plus parts. */
+final case class Idiom(parts: Seq[Part]) extends Expr
+
+sealed trait Part
+final case class PStart(e: Expr) extends Part          // leading subexpr (param, subquery, literal)
+final case class PField(name: String) extends Part     // .field  (or bare leading ident)
+case object PAll extends Part                          // [*] / .*
+case object PFlatten extends Part                      // … / ...
+case object PLast extends Part                         // [$]
+final case class PIndex(e: Expr) extends Part          // [expr]
+final case class PWhere(e: Expr) extends Part          // [WHERE cond] / [? cond]
+final case class PMethod(name: String, args: Seq[Expr]) extends Part // .method(args)
+final case class PDestructure(fields: Seq[(String, Option[Seq[Part]])]) extends Part // .{a, b: c.d}
+case object POptional extends Part                     // ?
+/** Graph hop `->edge->`/`<-edge<-`/`<->edge<->`; `what` lists edge tables. */
+final case class PGraph(dir: String, what: Seq[String], cond: Option[Expr]) extends Part
+/** Bounded recursion `@{n..m}` — evaluated by the executor loop. */
+final case class PRecurse(min: Option[Long], max: Option[Long], inner: Seq[Part]) extends Part
+
+// ---- operators -------------------------------------------------------
+final case class Binary(op: String, l: Expr, r: Expr) extends Expr
+final case class Prefix(op: String, e: Expr) extends Expr
+final case class Cast(kind: Kind, e: Expr) extends Expr
+final case class FnCall(name: String, args: Seq[Expr]) extends Expr
+final case class Closure(params: Seq[(String, Option[Kind])], body: Expr) extends Expr
+final case class Param(name: String) extends Expr
+/** Parenthesized subquery or statement-expression: `(SELECT …)`, `(RETURN x)`. */
+final case class Subquery(stmt: Statement) extends Expr
+/** Block `{ stmt; stmt; … }` — evaluates to its last RETURN/value. */
+final case class BlockExpr(stmts: Seq[Statement]) extends Expr
+final case class IfExpr(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Expr
+/** Table reference in FROM position. */
+final case class TableRef(name: String) extends Expr
+final case class Constant(name: String) extends Expr    // math::PI, time::EPOCH …
+
+// ---- kinds (casts / DEFINE FIELD types) ------------------------------
+sealed trait Kind
+object Kind {
+  case object KAny extends Kind
+  case object KNone extends Kind
+  case object KNull extends Kind
+  case object KBool extends Kind
+  case object KInt extends Kind
+  case object KFloat extends Kind
+  case object KDecimal extends Kind
+  case object KNumber extends Kind
+  case object KString extends Kind
+  case object KDuration extends Kind
+  case object KDatetime extends Kind
+  case object KUuid extends Kind
+  case object KBytes extends Kind
+  case object KObject extends Kind
+  case object KRegex extends Kind
+  case object KRange extends Kind
+  final case class KArray(inner: Option[Kind], max: Option[Long]) extends Kind
+  final case class KSet(inner: Option[Kind], max: Option[Long]) extends Kind
+  final case class KRecord(tables: Seq[String]) extends Kind
+  final case class KGeometry(kinds: Seq[String]) extends Kind
+  final case class KEither(kinds: Seq[Kind]) extends Kind
+  final case class KOption(inner: Kind) extends Kind
+  final case class KLiteral(v: V) extends Kind
+  final case class KTable(names: Seq[String]) extends Kind
+  final case class KLiteralArr(items: Seq[Kind]) extends Kind
+  final case class KLiteralObj(fields: Seq[(String, Kind)]) extends Kind
+  case object KFunction extends Kind
+  case object KFile extends Kind
+}
+
+// ---- statements ------------------------------------------------------
+sealed trait Statement
+
+final case class ExprStmt(e: Expr) extends Statement
+final case class LetStmt(name: String, kind: Option[Kind], what: Expr) extends Statement
+final case class ReturnStmt(e: Expr) extends Statement
+final case class IfStmt(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) extends Statement
+final case class ForStmt(param: String, iterable: Expr, block: BlockExpr) extends Statement
+final case class ThrowStmt(e: Expr) extends Statement
+case object BreakStmt extends Statement
+case object ContinueStmt extends Statement
+final case class UseStmt(ns: Option[String], db: Option[String]) extends Statement
+case object BeginStmt extends Statement
+case object CommitStmt extends Statement
+case object CancelStmt extends Statement
+/** DEFINE/REMOVE/INFO/OPTION — parsed loosely, mostly metadata no-ops for
+  * the analytics engine (schema pipeline consumes DEFINE FIELD/TABLE). */
+final case class DefineStmt(what: String, name: String, clauses: Map[String, Expr],
+    raw: String) extends Statement
+final case class RemoveStmt(what: String, name: String) extends Statement
+final case class InfoStmt(level: String) extends Statement
+final case class OptionStmt(name: String, value: Boolean) extends Statement
+
+// SELECT (expr/statements/select.rs; planner exec/planner/select.rs:1213)
+final case class Field(expr: Expr, alias: Option[String], isAll: Boolean = false)
+final case class OrderKey(expr: Expr, desc: Boolean, collate: Boolean, numeric: Boolean)
+final case class SelectStmt(
+    fields: Seq[Field],
+    value: Boolean,                 // SELECT VALUE expr
+    omit: Seq[String],
+    only: Boolean,
+    what: Seq[Expr],
+    where: Option[Expr],
+    split: Seq[String],
+    groupBy: Option[Seq[Expr]],     // Some(Nil) = GROUP ALL
+    order: Seq[OrderKey],
+    orderRand: Boolean,
+    limit: Option[Expr],
+    start: Option[Expr],
+    fetch: Seq[String],
+    version: Option[Expr],
+    timeout: Option[Expr],
+    explain: Boolean) extends Statement
+
+// Mutations (expr/statements/{create,insert,update,upsert,delete,relate}.rs)
+sealed trait Data
+final case class SetData(sets: Seq[(Idiom, String, Expr)]) extends Data // op: = += -= etc.
+final case class UnsetData(fields: Seq[Idiom]) extends Data
+final case class ContentData(e: Expr) extends Data
+final case class MergeData(e: Expr) extends Data
+final case class ReplaceData(e: Expr) extends Data
+final case class PatchData(e: Expr) extends Data
+
+sealed trait Output
+object Output {
+  case object ONone extends Output
+  case object ONull extends Output
+  case object ODiff extends Output
+  case object OBefore extends Output
+  case object OAfter extends Output
+  final case class OFields(fields: Seq[Field]) extends Output
+}
+
+final case class CreateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
+    output: Option[Output]) extends Statement
+final case class InsertStmt(ignore: Boolean, into: Option[Expr], values: Expr,
+    onDuplicate: Option[Seq[(Idiom, String, Expr)]], relation: Boolean) extends Statement
+final case class UpdateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
+    where: Option[Expr], output: Option[Output]) extends Statement
+final case class UpsertStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
+    where: Option[Expr], output: Option[Output]) extends Statement
+final case class DeleteStmt(only: Boolean, what: Seq[Expr], where: Option[Expr],
+    output: Option[Output]) extends Statement
+final case class RelateStmt(only: Boolean, from: Expr, edge: Expr, to: Expr,
+    data: Option[Data], output: Option[Output]) extends Statement
+
+/** A parsed query: the statement list. */
+final case class Ast(stmts: Seq[Statement])

@@ -1,0 +1,302 @@
+package graft.surql
+
+import graft.surql.ast.Kind
+import graft.surql.ast.Kind._
+import scala.collection.immutable.TreeMap
+
+/** Cast (`<kind> expr`) and coercion semantics — mirrors the reference's
+  * conversion rules (surrealdb: core/src/val/value/cast + types Kind).
+  * Cast failures use the canonical message
+  * "Could not cast into `<kind>` using input `<value>`". */
+object Coerce {
+
+  def kindName(k: Kind): String = k match {
+    case KAny => "any"
+    case KNone => "none"
+    case KNull => "null"
+    case KBool => "bool"
+    case KInt => "int"
+    case KFloat => "float"
+    case KDecimal => "decimal"
+    case KNumber => "number"
+    case KString => "string"
+    case KDuration => "duration"
+    case KDatetime => "datetime"
+    case KUuid => "uuid"
+    case KBytes => "bytes"
+    case KObject => "object"
+    case KRegex => "regex"
+    case KRange => "range"
+    case KFunction => "function"
+    case KFile => "file"
+    case KArray(_, _) => "array"
+    case KSet(_, _) => "array"
+    case KRecord(ts) => if (ts.isEmpty) "record" else s"record<${ts.mkString(" | ")}>"
+    case KGeometry(_) => "geometry"
+    case KEither(ks) => ks.map(kindName).mkString(" | ")
+    case KOption(inner) => kindName(inner)
+    case KLiteral(v) => v.render
+    case KLiteralArr(items) => items.map(kindName).mkString("[", ", ", "]")
+    case KLiteralObj(fields) =>
+      if (fields.isEmpty) "{  }"
+      else fields.map { case (k, kk) => s"$k: ${kindName(kk)}" }.mkString("{ ", ", ", " }")
+    case KTable(names) => if (names.isEmpty) "table" else s"table<${names.mkString("|")}>"
+  }
+
+  private def err(k: Kind, v: V): Nothing =
+    throw SqlError(s"Could not cast into `${kindName(k)}` using input `${v.render}`")
+
+  def cast(k: Kind, v: V): V = k match {
+    case KAny => v
+    case KOption(inner) => if (v == VNone || v == VNull) v else cast(inner, v)
+    case KEither(ks) =>
+      ks.view.flatMap(ki => try Some(cast(ki, v)) catch { case _: SqlError => scala.None })
+        .headOption.getOrElse(err(k, v))
+    case KBool => v match {
+      case b: VBool => b
+      case VStr("true") => VBool(true)
+      case VStr("false") => VBool(false)
+      case _ => err(k, v)
+    }
+    case KInt => v match {
+      case i: VInt => i
+      case VFloat(d) =>
+        if (d.isNaN || d.isInfinity || d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble) err(k, v)
+        else if (d == Math.rint(d)) VInt(d.toLong)
+        else VInt(d.toLong)
+      case VDec(d) => try VInt(d.toLongExact) catch { case _: ArithmeticException =>
+        if (d.isWhole) err(k, v) else VInt(d.toLong) }
+      case VStr(s) => try VInt(java.lang.Long.parseLong(s.trim)) catch {
+        case _: NumberFormatException =>
+          try {
+            val d = BigDecimal(s.trim)
+            if (d.isWhole) VInt(d.toLongExact) else err(k, v)
+          } catch { case _: Exception => err(k, v) }
+      }
+      case VBool(b) => VInt(if (b) 1 else 0)
+      case VDt(t) => VInt(t.getEpochSecond)
+      case _ => err(k, v)
+    }
+    case KFloat => v match {
+      case f: VFloat => f
+      case VInt(i) => VFloat(i.toDouble)
+      case VDec(d) => VFloat(d.toDouble)
+      case VStr(s) => try VFloat(s.trim.toDouble) catch { case _: NumberFormatException => err(k, v) }
+      case VBool(b) => VFloat(if (b) 1.0 else 0.0)
+      case _ => err(k, v)
+    }
+    case KDecimal => v match {
+      case d: VDec => d
+      case VInt(i) => VDec(BigDecimal(i))
+      case VFloat(d) =>
+        if (d.isNaN || d.isInfinity) err(k, v)
+        else VDec(BigDecimal(Render.floatDigits(d)))
+      case VStr(s) => try VDec(BigDecimal(s.trim)) catch { case _: NumberFormatException => err(k, v) }
+      case VBool(b) => VDec(BigDecimal(if (b) 1 else 0))
+      case _ => err(k, v)
+    }
+    case KNumber => v match {
+      case n: VNum => n
+      case VStr(s) => parseNumberString(s).getOrElse(err(k, v))
+      case VBool(b) => VInt(if (b) 1 else 0)
+      case _ => err(k, v)
+    }
+    case KString => v match {
+      case s: VStr => s
+      case _: VBytes => err(k, v)
+      case VNone => VStr("NONE")
+      case VNull => VStr("NULL")
+      case other => VStr(other.renderRaw)
+    }
+    case KLiteralArr(kinds) => v match {
+      case VArr(items) if items.length == kinds.length =>
+        try VArr(kinds.zip(items).map { case (ik, iv) => cast(ik, iv) }.toVector)
+        catch { case _: SqlError => err(k, v) }
+      case _ => err(k, v)
+    }
+    case KLiteralObj(fields) => v match {
+      case VObj(fs) if fs.keySet == fields.map(_._1).toSet =>
+        try VObj(scala.collection.immutable.TreeMap(
+          fields.map { case (key, ik) => key -> cast(ik, fs(key)) }: _*))
+        catch { case _: SqlError => err(k, v) }
+      case _ => err(k, v)
+    }
+    case KDuration => v match {
+      case d: VDur => d
+      case VStr(s) =>
+        val p = new Parser(s)
+        try {
+          p.ws()
+          val e = p.expr(); p.ws()
+          if (!p.eof) err(k, v)
+          Eval.evalConst(e) match { case d: VDur => d; case _ => err(k, v) }
+        } catch { case _: Exception => err(k, v) }
+      case _ => err(k, v)
+    }
+    case KDatetime => v match {
+      case d: VDt => d
+      case VStr(s) => try {
+        new Parser("").parseDatetime(s)
+      } catch { case _: Exception => err(k, v) }
+      case _ => err(k, v)
+    }
+    case KUuid => v match {
+      case u: VUuid => u
+      case VStr(s) => try VUuid(java.util.UUID.fromString(s)) catch { case _: Exception => err(k, v) }
+      case _ => err(k, v)
+    }
+    case KBytes => v match {
+      case b: VBytes => b
+      case VStr(s) => VBytes(s.getBytes("UTF-8").toVector)
+      case _ => err(k, v)
+    }
+    case KObject => v match {
+      case o: VObj => o
+      case g: VGeom => V.obj("type" -> VStr(g.kind), "coordinates" -> g.coords)
+      case _ => err(k, v)
+    }
+    case KRegex => v match {
+      case r: VRegex => r
+      case VStr(s) => VRegex(s)
+      case _ => err(k, v)
+    }
+    case KRange => v match {
+      case r: VRng => r
+      case _ => err(k, v)
+    }
+    case KArray(inner, max) => v match {
+      case VArr(items) =>
+        max.filter(_ != items.length).foreach { m =>
+          throw SqlError(s"Expected `array<${inner.map(kindName).getOrElse("any")},$m>`" +
+            s" but found a collection of length `${items.length}`") }
+        VArr(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
+      case VSet(items) =>
+        max.filter(_ != items.length).foreach { m =>
+          throw SqlError(s"Expected `array<${inner.map(kindName).getOrElse("any")},$m>`" +
+            s" but found a collection of length `${items.length}`") }
+        VArr(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
+      case r: VRng => rangeToArray(r).getOrElse(err(k, v))
+      case _ => err(k, v)
+    }
+    case KSet(inner, _) => v match {
+      case VSet(items) => V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
+      case VArr(items) => V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
+      case r: VRng => rangeToArray(r).map(a => V.set(a.items)).getOrElse(err(k, v))
+      case _ => err(k, v)
+    }
+    case KRecord(tables) => v match {
+      case r: VRid if tables.isEmpty || tables.contains(r.table) => r
+      case VStr(s) =>
+        try {
+          val p = new Parser(s)
+          p.ws()
+          val e = p.expr(); p.ws()
+          if (!p.eof) err(k, v)
+          Eval.evalConst(e) match {
+            case r: VRid if tables.isEmpty || tables.contains(r.table) => r
+            case _ => err(k, v)
+          }
+        } catch { case _: SqlError | _: ParseError => err(k, v) }
+      case _ => err(k, v)
+    }
+    case KGeometry(_) => v match {
+      case g: VGeom => g
+      case VArr(Vector(x: VNum, y: VNum)) =>
+        VGeom("Point", VArr(Vector(VFloat(x.toDouble), VFloat(y.toDouble))))
+      case VObj(fs) =>
+        (fs.get("type"), fs.get("coordinates")) match {
+          case (Some(VStr(t)), Some(c)) => VGeom(t, c)
+          case _ => err(k, v)
+        }
+      case _ => err(k, v)
+    }
+    case KLiteral(lit) => if (V.looseEq(lit, v)) v else err(k, v)
+    case KNone => if (v == VNone) v else err(k, v)
+    case KNull => if (v == VNull) v else err(k, v)
+    case KFunction => v match { case c: VClosure => c; case _ => err(k, v) }
+    case KFile => err(k, v)
+    case KTable(names) => v match {
+      case t: VTable if names.isEmpty || names.contains(t.name) => t
+      case VStr(s) if names.isEmpty || names.contains(s) => VTable(s)
+      case _ => err(k, v)
+    }
+  }
+
+  def parseNumberString(s: String): Option[VNum] = {
+    val t = s.trim
+    try Some(VInt(java.lang.Long.parseLong(t)))
+    catch { case _: NumberFormatException =>
+      if (t.endsWith("dec")) try Some(VDec(BigDecimal(t.dropRight(3)))) catch { case _: Exception => scala.None }
+      else if (t.endsWith("f")) try Some(VFloat(t.dropRight(1).toDouble)) catch { case _: Exception => scala.None }
+      else try Some(VFloat(t.toDouble)) catch { case _: Exception => scala.None }
+    }
+  }
+
+  def rangeToArray(r: VRng): Option[VArr] = (r.lo, r.hi) match {
+    case (Some((VInt(lo), loIncl)), Some((VInt(hi), hiIncl))) =>
+      val start = if (loIncl) lo else lo + 1
+      val end = if (hiIncl) hi else hi - 1
+      if (end - start > 10000000L) scala.None
+      else Some(VArr((start to end).map(VInt(_)).toVector))
+    case _ => scala.None
+  }
+
+  def dedup(items: Vector[V]): Vector[V] = {
+    val seen = scala.collection.mutable.LinkedHashSet[V]()
+    items.foreach { it => if (!seen.exists(V.looseEq(_, it))) seen += it }
+    seen.toVector
+  }
+
+  /** Implicit coercion for typed LET / field pipelines — stricter than cast:
+    * only lossless conversions (int→float/decimal widening, etc.). Error
+    * format: "Expected a <kind> but found <value>". */
+  def coerce(k: Kind, v: V): V = k match {
+    case KAny => v
+    case KOption(inner) => if (v == VNone || v == VNull) v else coerce(inner, v)
+    case KEither(ks) =>
+      ks.view.flatMap(ki => try Some(coerce(ki, v)) catch { case _: SqlError => scala.None })
+        .headOption.getOrElse(coerceErr(k, v))
+    case KBool => v match { case b: VBool => b; case _ => coerceErr(k, v) }
+    case KInt => v match {
+      case i: VInt => i
+      case VFloat(d) if d == Math.rint(d) && !d.isInfinity => VInt(d.toLong)
+      case VDec(d) if d.isWhole => VInt(d.toLong)
+      case _ => coerceErr(k, v)
+    }
+    case KFloat => v match {
+      case f: VFloat => f
+      case VInt(i) => VFloat(i.toDouble)
+      case VDec(d) => VFloat(d.toDouble)
+      case _ => coerceErr(k, v)
+    }
+    case KDecimal => v match {
+      case d: VDec => d
+      case VInt(i) => VDec(BigDecimal(i))
+      case VFloat(d) if !d.isNaN && !d.isInfinity => VDec(BigDecimal(Render.floatDigits(d)))
+      case _ => coerceErr(k, v)
+    }
+    case KNumber => v match { case n: VNum => n; case _ => coerceErr(k, v) }
+    case KString => v match { case s: VStr => s; case _ => coerceErr(k, v) }
+    case KArray(inner, _) => v match {
+      case VArr(items) => VArr(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
+      case _ => coerceErr(k, v)
+    }
+    case KSet(inner, _) => v match {
+      case VArr(items) => VArr(dedup(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items)))
+      case _ => coerceErr(k, v)
+    }
+    case KObject => v match { case o: VObj => o; case _ => coerceErr(k, v) }
+    case KDuration => v match { case d: VDur => d; case _ => coerceErr(k, v) }
+    case KDatetime => v match { case d: VDt => d; case _ => coerceErr(k, v) }
+    case KUuid => v match { case u: VUuid => u; case _ => coerceErr(k, v) }
+    case KRecord(tables) => v match {
+      case r: VRid if tables.isEmpty || tables.contains(r.table) => r
+      case _ => coerceErr(k, v)
+    }
+    case KLiteral(lit) => if (V.looseEq(lit, v)) v else coerceErr(k, v)
+    case _ => cast(k, v)
+  }
+
+  private def coerceErr(k: Kind, v: V): Nothing =
+    throw SqlError(s"Expected a ${kindName(k)} but found ${v.render}")
+}

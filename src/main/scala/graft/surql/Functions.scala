@@ -1,0 +1,951 @@
+package graft.surql
+
+import graft.surql.ast._
+import scala.collection.immutable.TreeMap
+
+/** Scalar function registry — the Spark-independent twin of the reference's
+  * `fnc/` dispatch (surrealdb: fnc/mod.rs:148-660). Each entry evaluates on
+  * [[V]] values; the planner maps the same names onto Catalyst Columns where
+  * queries run at table scale. Method-call syntax (`value.method()`)
+  * dispatches per receiver type like fnc/mod.rs:666+. */
+object Functions {
+
+  def call(name: String, argEs: Seq[Expr], env: Env): V = {
+    // closure-taking functions evaluate args themselves
+    name match {
+      case "array::map" | "array::filter" | "array::filter_index" | "array::find" |
+           "array::find_index" | "array::index_of" | "array::fold" | "array::reduce" |
+           "array::any" | "array::all" | "array::some" | "array::every" | "array::sort_by" =>
+        return higherOrder(name, argEs.map(Eval.eval(_, env)), env)
+      case _ =>
+    }
+    val args = argEs.map(Eval.eval(_, env))
+    apply(name, args, env)
+  }
+
+  def method(recv: V, name: String, argEs: Seq[Expr], env: Env): V = {
+    val ns = recv match {
+      case _: VArr   => "array"
+      case _: VStr   => "string"
+      case _: VObj   => "object"
+      case _: VNum   => "math"
+      case _: VDur   => "duration"
+      case _: VDt    => "time"
+      case _: VRid   => "record"
+      case _: VUuid  => "string"
+      case _         => "type"
+    }
+    val args = argEs.map(Eval.eval(_, env))
+    val full = s"$ns::$name"
+    if (name.startsWith("is_")) {
+      val t = name.drop(3)
+      return apply(s"type::is::$t", recv +: args, env)
+    }
+    if (name.startsWith("to_")) {
+      val t = name.drop(3)
+      return apply(s"type::$t", recv +: args, env)
+    }
+    if (hofNames.contains(full)) return higherOrder(full, recv +: args, env)
+    try apply(full, recv +: args, env)
+    catch {
+      case e: SqlError if e.msg.startsWith("Unknown function") =>
+        apply(s"type::$name", recv +: args, env)
+    }
+  }
+
+  private val hofNames = Set("array::map", "array::filter", "array::filter_index",
+    "array::find", "array::find_index", "array::index_of", "array::fold", "array::reduce",
+    "array::any", "array::all", "array::some", "array::every", "array::sort_by")
+
+  private def applyClosure(c: V, args: Seq[V], env: Env): V = c match {
+    case VClosure(params, body, captured) =>
+      var e = env.copy(params = env.params ++ captured)
+      params.zipWithIndex.foreach { case ((pname, pk), i) =>
+        val av = if (i < args.length) args(i) else VNone
+        e = e.bind(pname, pk.map(Coerce.coerce(_, av)).getOrElse(av))
+      }
+      Eval.eval(body, e)
+    case _ => throw SqlError("Expected a function argument")
+  }
+
+  private def higherOrder(name: String, args: Seq[V], env: Env): V = {
+    def arr = args.head match {
+      case VArr(items) => items
+      case VNone | VNull => Vector.empty[V]
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected a array but found ${other.render}")
+    }
+    name match {
+      case "array::map" =>
+        VArr(arr.zipWithIndex.map { case (el, i) => applyClosure(args(1), Seq(el, VInt(i)), env) })
+      case "array::filter" =>
+        VArr(arr.filter(el => matchesFilter(args(1), el, env)))
+      case "array::filter_index" =>
+        VArr(arr.zipWithIndex.collect { case (el, i) if matchesFilter(args(1), el, env) => VInt(i) })
+      case "array::find" =>
+        arr.find(el => matchesFilter(args(1), el, env)).getOrElse(VNone)
+      case "array::find_index" | "array::index_of" =>
+        arr.zipWithIndex.find { case (el, _) => matchesFilter(args(1), el, env) }
+          .map(p => VInt(p._2)).getOrElse(VNone)
+      case "array::fold" =>
+        var acc = args(1)
+        arr.zipWithIndex.foreach { case (el, i) => acc = applyClosure(args(2), Seq(acc, el, VInt(i)), env) }
+        acc
+      case "array::reduce" =>
+        if (arr.isEmpty) VNone
+        else {
+          var acc = arr.head
+          arr.tail.zipWithIndex.foreach { case (el, i) => acc = applyClosure(args(1), Seq(acc, el, VInt(i)), env) }
+          acc
+        }
+      case "array::any" | "array::some" =>
+        if (args.length < 2) VBool(arr.exists(_.truthy))
+        else VBool(arr.exists(el => matchesFilter(args(1), el, env)))
+      case "array::all" | "array::every" =>
+        if (args.length < 2) VBool(arr.forall(_.truthy))
+        else VBool(arr.forall(el => matchesFilter(args(1), el, env)))
+      case "array::sort_by" =>
+        VArr(arr.sortBy(el => applyClosure(args(1), Seq(el), env))(V.ordering))
+      case _ => throw SqlError(s"Unknown function $name")
+    }
+  }
+
+  private def matchesFilter(f: V, el: V, env: Env): Boolean = f match {
+    case c: VClosure => applyClosure(c, Seq(el), env).truthy
+    case value       => V.looseEq(value, el)
+  }
+
+  // ---- main dispatch ---------------------------------------------------
+
+  def apply(name: String, a: Seq[V], env: Env): V = {
+    def arg(i: Int): V = if (i < a.length) a(i) else VNone
+    def str(i: Int): String = arg(i) match {
+      case VStr(s) => s
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a string but found ${other.render}")
+    }
+    def num(i: Int): VNum = arg(i) match {
+      case n: VNum => n
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a number but found ${other.render}")
+    }
+    def int(i: Int): Long = num(i) match {
+      case VInt(v) => v
+      case VFloat(d) => d.toLong
+      case VDec(d) => d.toLong
+    }
+    def dbl(i: Int): Double = num(i).toDouble
+    def arr(i: Int): Vector[V] = arg(i) match {
+      case VArr(items) => items
+      case VSet(items) => items
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a array but found ${other.render}")
+    }
+    def obj(i: Int): TreeMap[String, V] = arg(i) match {
+      case VObj(fs) => fs
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a object but found ${other.render}")
+    }
+    def nums(i: Int): Vector[Double] = arr(i).map {
+      case n: VNum => n.toDouble
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a number but found ${other.render}")
+    }
+
+    name match {
+      // ---- top-level ---------------------------------------------------
+      case "__set__" => V.set(a)
+      case "__point__" => VGeom("Point", VArr(Vector(arg(0), arg(1))))
+      case "count" =>
+        if (a.isEmpty) VInt(1)
+        else arg(0) match {
+          case VArr(items) => VInt(items.count(_.truthy))
+          case VSet(items) => VInt(items.count(_.truthy))
+          case v => VInt(if (v.truthy) 1 else 0)
+        }
+      case "not" => VBool(!arg(0).truthy)
+      case "sleep" => VNone
+
+      // ---- math --------------------------------------------------------
+      case "math::abs" => num(0) match {
+        case VInt(v) => if (v == Long.MinValue) throw SqlError("Cannot perform negation with '-9223372036854775808'") else VInt(Math.abs(v))
+        case VFloat(d) => VFloat(Math.abs(d))
+        case VDec(d) => VDec(d.abs)
+      }
+      case "math::acos" => VFloat(Math.acos(dbl(0)))
+      case "math::asin" => VFloat(Math.asin(dbl(0)))
+      case "math::atan" => VFloat(Math.atan(dbl(0)))
+      case "math::acot" => VFloat(Math.atan(1.0 / dbl(0)))
+      case "math::cos" => VFloat(Math.cos(dbl(0)))
+      case "math::sin" => VFloat(Math.sin(dbl(0)))
+      case "math::tan" => VFloat(Math.tan(dbl(0)))
+      case "math::cot" => VFloat(1.0 / Math.tan(dbl(0)))
+      case "math::deg2rad" => VFloat(Math.toRadians(dbl(0)))
+      case "math::rad2deg" => VFloat(Math.toDegrees(dbl(0)))
+      case "math::ceil" => num(0) match {
+        case i: VInt => i
+        case VFloat(d) => VFloat(Math.ceil(d))
+        case VDec(d) => VDec(d.setScale(0, BigDecimal.RoundingMode.CEILING))
+      }
+      case "math::floor" => num(0) match {
+        case i: VInt => i
+        case VFloat(d) => VFloat(Math.floor(d))
+        case VDec(d) => VDec(d.setScale(0, BigDecimal.RoundingMode.FLOOR))
+      }
+      case "math::round" => num(0) match {
+        case i: VInt => i
+        case VFloat(d) => VFloat(Math.round(d).toDouble)
+        case VDec(d) => VDec(d.setScale(0, BigDecimal.RoundingMode.HALF_UP))
+      }
+      case "math::clamp" =>
+        val v = num(0); val lo = num(1); val hi = num(2)
+        if (V.cmpNum(v, lo) < 0) lo else if (V.cmpNum(v, hi) > 0) hi else v
+      case "math::fixed" =>
+        val places = int(1).toInt
+        num(0) match {
+          case i: VInt => i
+          case VFloat(d) => VFloat(BigDecimal(d).setScale(places, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          case VDec(d) => VDec(d.setScale(places, BigDecimal.RoundingMode.HALF_UP))
+        }
+      case "math::lerp" => VFloat(dbl(0) + (dbl(1) - dbl(0)) * dbl(2))
+      case "math::lerpangle" =>
+        val (from, to, t) = (dbl(0), dbl(1), dbl(2))
+        var diff = (to - from) % 360.0
+        if (diff < -180) diff += 360 else if (diff > 180) diff -= 360
+        VFloat(from + diff * t)
+      case "math::ln" => VFloat(Math.log(dbl(0)))
+      case "math::log" => VFloat(Math.log(dbl(0)) / Math.log(dbl(1)))
+      case "math::log10" => VFloat(Math.log10(dbl(0)))
+      case "math::log2" => VFloat(Math.log(dbl(0)) / Math.log(2.0))
+      case "math::sign" => num(0) match {
+        case VInt(v) => VInt(java.lang.Long.signum(v))
+        case VFloat(d) => VInt(Math.signum(d).toLong)
+        case VDec(d) => VInt(d.signum)
+      }
+      case "math::sqrt" => num(0) match {
+        case VDec(d) if d.signum >= 0 => VFloat(Math.sqrt(d.toDouble))
+        case n => VFloat(Math.sqrt(n.toDouble))
+      }
+      case "math::pow" => Ops.numPow(num(0), num(1))
+      case "math::max" =>
+        val items = arr(0)
+        if (items.isEmpty) VNone else items.max(V.ordering)
+      case "math::min" =>
+        val items = arr(0)
+        if (items.isEmpty) VNone else items.min(V.ordering)
+      case "math::sum" =>
+        arr(0).foldLeft[V](VInt(0)) { (acc, v) => v match {
+          case n: VNum => Ops.add(acc, n)
+          case _ => acc
+        }}
+      case "math::product" =>
+        arr(0).foldLeft[V](VInt(1)) { (acc, v) => v match {
+          case n: VNum => Ops.mul(acc, n)
+          case _ => acc
+        }}
+      case "math::mean" =>
+        val ns = nums(0)
+        if (ns.isEmpty) VNone else VFloat(ns.sum / ns.length)
+      case "math::median" =>
+        val ns = nums(0).sorted
+        if (ns.isEmpty) VNone
+        else if (ns.length % 2 == 1) VFloat(ns(ns.length / 2))
+        else VFloat((ns(ns.length / 2 - 1) + ns(ns.length / 2)) / 2.0)
+      case "math::mode" =>
+        val items = nums(0)
+        if (items.isEmpty) VNone
+        else VFloat(items.groupBy(identity).toSeq.maxBy(g => (g._2.length, g._1))._1)
+      case "math::stddev" =>
+        val ns = nums(0)
+        if (ns.length < 2) VNone
+        else {
+          val m = ns.sum / ns.length
+          VFloat(Math.sqrt(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)))
+        }
+      case "math::variance" =>
+        val ns = nums(0)
+        if (ns.length < 2) VNone
+        else { val m = ns.sum / ns.length; VFloat(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)) }
+      case "math::spread" =>
+        val ns = nums(0)
+        if (ns.isEmpty) VNone else VFloat(ns.max - ns.min)
+      case "math::midhinge" =>
+        val ns = nums(0)
+        if (ns.isEmpty) VNone else VFloat((percentile(ns, 25) + percentile(ns, 75)) / 2.0)
+      case "math::trimean" =>
+        val ns = nums(0)
+        if (ns.isEmpty) VNone
+        else VFloat((percentile(ns, 25) + 2 * percentile(ns, 50) + percentile(ns, 75)) / 4.0)
+      case "math::percentile" =>
+        val ns = nums(0)
+        if (ns.isEmpty) VNone else VFloat(percentile(ns, dbl(1)))
+      case "math::nearestrank" =>
+        val ns = nums(0).sorted
+        if (ns.isEmpty) VNone
+        else VFloat(ns(Math.min(ns.length - 1, Math.ceil(dbl(1) / 100.0 * ns.length).toInt - 1).max(0)))
+      case "math::top" =>
+        VArr(arr(0).sorted(V.ordering.reverse).take(int(1).toInt))
+      case "math::bottom" =>
+        VArr(arr(0).sorted(V.ordering).take(int(1).toInt))
+      case "math::interquartile" =>
+        val ns = nums(0)
+        if (ns.isEmpty) VNone else VFloat(percentile(ns, 75) - percentile(ns, 25))
+
+      // ---- string ------------------------------------------------------
+      case "string::concat" => VStr(a.map(_.renderRaw).mkString)
+      case "string::contains" => VBool(str(0).contains(str(1)))
+      case "string::ends_with" | "string::endsWith" => VBool(str(0).endsWith(str(1)))
+      case "string::starts_with" | "string::startsWith" => VBool(str(0).startsWith(str(1)))
+      case "string::join" =>
+        val sep = str(0)
+        VStr(a.drop(1).flatMap {
+          case VArr(items) => items.map(_.renderRaw)
+          case v => Seq(v.renderRaw)
+        }.mkString(sep))
+      case "string::len" => VInt(str(0).codePointCount(0, str(0).length))
+      case "string::lowercase" => VStr(str(0).toLowerCase)
+      case "string::uppercase" => VStr(str(0).toUpperCase)
+      case "string::capitalize" =>
+        val s = str(0)
+        VStr(if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1))
+      case "string::repeat" => VStr(str(0) * int(1).toInt)
+      case "string::replace" => VStr(str(0).replace(str(1), str(2)))
+      case "string::reverse" => VStr(str(0).reverse)
+      case "string::slice" =>
+        val s = str(0)
+        val len = s.codePointCount(0, s.length)
+        var from = if (a.length > 1) int(1) else 0L
+        if (from < 0) from = Math.max(0, len + from)
+        var take = if (a.length > 2) int(2) else len - from
+        if (take < 0) take = Math.max(0, len - from + take)
+        val cps = s.codePoints().toArray
+        VStr(new String(cps.slice(from.toInt, (from + take).toInt), 0,
+          Math.max(0, Math.min(cps.length, (from + take).toInt) - Math.min(from.toInt, cps.length))))
+      case "string::split" =>
+        VArr(str(0).split(java.util.regex.Pattern.quote(str(1)), -1).toVector.map(VStr(_)))
+      case "string::trim" => VStr(str(0).trim)
+      case "string::words" => VArr(str(0).split("\\s+").filter(_.nonEmpty).toVector.map(VStr(_)))
+      case "string::matches" => VBool(VRegex(str(1)).compiled.matcher(str(0)).find())
+      case "string::slug" =>
+        VStr(str(0).toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", ""))
+      case "string::distance::levenshtein" => VInt(levenshtein(str(0), str(1)))
+      case "string::distance::hamming" =>
+        val (x, y) = (str(0), str(1))
+        if (x.length != y.length) throw SqlError("Incorrect arguments for function string::distance::hamming(). Strings must be of equal length")
+        VInt(x.zip(y).count { case (c1, c2) => c1 != c2 })
+      case "string::similarity::jaro" => VFloat(jaro(str(0), str(1)))
+      case "string::similarity::jaro_winkler" =>
+        val j = jaro(str(0), str(1))
+        val prefix = str(0).zip(str(1)).take(4).takeWhile { case (x, y) => x == y }.length
+        VFloat(j + prefix * 0.1 * (1 - j))
+      case "string::similarity::fuzzy" | "string::similarity::smithwaterman" =>
+        VInt(fuzzyScore(str(0), str(1)))
+      case "string::is::alphanum" => VBool(str(0).forall(_.isLetterOrDigit))
+      case "string::is::alpha" => VBool(str(0).forall(_.isLetter))
+      case "string::is::ascii" => VBool(str(0).forall(_ < 128))
+      case "string::is::numeric" => VBool(str(0).nonEmpty && str(0).forall(_.isDigit))
+      case "string::is::email" => VBool(str(0).matches("^[\\w.+-]+@[\\w-]+(\\.[\\w-]+)+$"))
+      case "string::is::url" => VBool(str(0).matches("^(https?|ftp)://\\S+$"))
+      case "string::is::uuid" =>
+        VBool(try { java.util.UUID.fromString(str(0)); true } catch { case _: Exception => false })
+      case "string::is::datetime" =>
+        arg(1) match {
+          case VStr(_) => VBool(true) // format-based check: lenient
+          case _ => VBool(try { new Parser("").parseDatetime(str(0)); true } catch { case _: Exception => false })
+        }
+      case "string::is::ip" => VBool(str(0).matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") || str(0).contains(':'))
+      case "string::is::int" => VBool(try { str(0).toLong; true } catch { case _: Exception => false })
+      case "string::is::decimal" | "string::is::number" =>
+        VBool(try { BigDecimal(str(0)); true } catch { case _: Exception => false })
+      case "string::is::semver" => VBool(str(0).matches("^\\d+\\.\\d+\\.\\d+(-[\\w.]+)?(\\+[\\w.]+)?$"))
+      case "string::is::record" =>
+        VBool(try { Parser.parseValue(str(0)).isInstanceOf[VRid] } catch { case _: Exception => false })
+      case "string::html::encode" =>
+        VStr(str(0).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+          .replace("\"", "&quot;").replace("'", "&#39;"))
+      case "string::html::sanitize" => VStr(str(0).replaceAll("<[^>]*>", ""))
+      case "string::semver::major" => VInt(str(0).split("[.+-]")(0).toLong)
+      case "string::semver::minor" => VInt(str(0).split("[.+-]")(1).toLong)
+      case "string::semver::patch" => VInt(str(0).split("[.+-]")(2).toLong)
+      case "string::semver::compare" =>
+        val x = str(0).split("[.+-]").take(3).map(_.toLong)
+        val y = str(1).split("[.+-]").take(3).map(_.toLong)
+        VInt(x.zip(y).collectFirst { case (m, n) if m != n => java.lang.Long.compare(m, n).toLong }.getOrElse(0L))
+
+      // ---- array -------------------------------------------------------
+      case "array::add" =>
+        val items = arr(0)
+        if (items.exists(V.looseEq(_, arg(1)))) VArr(items) else VArr(items :+ arg(1))
+      case "array::append" | "array::push" => VArr(arr(0) :+ arg(1))
+      case "array::prepend" => VArr(arg(1) +: arr(0))
+      case "array::at" =>
+        val items = arr(0); val i = int(1)
+        val idx = if (i < 0) items.length + i else i
+        if (idx >= 0 && idx < items.length) items(idx.toInt) else VNone
+      case "array::boolean_and" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr((0 until Math.max(x.length, y.length)).map { i =>
+          VBool(x.lift(i).exists(_.truthy) && y.lift(i).exists(_.truthy))
+        }.toVector)
+      case "array::boolean_or" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr((0 until Math.max(x.length, y.length)).map { i =>
+          VBool(x.lift(i).exists(_.truthy) || y.lift(i).exists(_.truthy))
+        }.toVector)
+      case "array::boolean_xor" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr((0 until Math.max(x.length, y.length)).map { i =>
+          VBool(x.lift(i).exists(_.truthy) ^ y.lift(i).exists(_.truthy))
+        }.toVector)
+      case "array::boolean_not" => VArr(arr(0).map(v => VBool(!v.truthy)))
+      case "array::combine" =>
+        VArr(for { x <- arr(0); y <- arr(1) } yield VArr(Vector(x, y)))
+      case "array::complement" =>
+        VArr(arr(0).filterNot(x => arr(1).exists(V.looseEq(_, x))))
+      case "array::concat" => VArr(a.flatMap { case VArr(it) => it; case v => Vector(v) }.toVector)
+      case "array::clump" =>
+        val size = int(1).toInt
+        if (size < 1) throw SqlError("Incorrect arguments for function array::clump(). The second argument must be an integer greater than 0")
+        VArr(arr(0).grouped(size).map(g => VArr(g)).toVector)
+      case "array::difference" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr(x.filterNot(e => y.exists(V.looseEq(_, e))) ++ y.filterNot(e => x.exists(V.looseEq(_, e))))
+      case "array::distinct" => VArr(Coerce.dedup(arr(0)))
+      case "array::fill" =>
+        val items = arr(0)
+        val v = arg(1)
+        val start = if (a.length > 2) int(2).toInt else 0
+        val end = if (a.length > 3) int(3).toInt else items.length
+        VArr(items.zipWithIndex.map { case (el, i) => if (i >= start && i < end) v else el })
+      case "array::first" => arr(0).headOption.getOrElse(VNone)
+      case "array::flatten" =>
+        VArr(arr(0).flatMap { case VArr(inner) => inner; case v => Vector(v) })
+      case "array::group" =>
+        VArr(Coerce.dedup(arr(0).flatMap { case VArr(inner) => inner; case v => Vector(v) }))
+      case "array::insert" =>
+        val items = arr(0); val v = arg(1)
+        var i = if (a.length > 2) int(2) else items.length.toLong
+        if (i < 0) i = items.length + i + 1
+        val idx = Math.max(0, Math.min(items.length.toLong, i)).toInt
+        VArr(items.take(idx) ++ Vector(v) ++ items.drop(idx))
+      case "array::intersect" =>
+        VArr(Coerce.dedup(arr(0).filter(e => arr(1).exists(V.looseEq(_, e)))))
+      case "array::is_empty" => VBool(arr(0).isEmpty)
+      case "array::join" => VStr(arr(0).map(_.renderRaw).mkString(str(1)))
+      case "array::last" => arr(0).lastOption.getOrElse(VNone)
+      case "array::len" => VInt(arr(0).length)
+      case "array::max" => if (arr(0).isEmpty) VNone else arr(0).max(V.ordering)
+      case "array::min" => if (arr(0).isEmpty) VNone else arr(0).min(V.ordering)
+      case "array::matches" => VArr(arr(0).map(e => VBool(V.looseEq(e, arg(1)))))
+      case "array::pop" => arr(0).lastOption.getOrElse(VNone)
+      case "array::range" =>
+        val start = int(0); val count = int(1)
+        if (count < 0) throw SqlError("Incorrect arguments for function array::range(). Argument 1 was the wrong type. Expected a positive number")
+        VArr((start until start + count).map(VInt(_)).toVector)
+      case "array::remove" =>
+        val items = arr(0)
+        var i = int(1)
+        if (i < 0) i = items.length + i
+        if (i >= 0 && i < items.length) VArr(items.patch(i.toInt, Nil, 1)) else VArr(items)
+      case "array::repeat" => VArr(Vector.fill(int(1).toInt)(arg(0)))
+      case "array::reverse" => VArr(arr(0).reverse)
+      case "array::shuffle" => VArr(scala.util.Random.shuffle(arr(0)))
+      case "array::slice" =>
+        val items = arr(0)
+        var from = if (a.length > 1) int(1) else 0L
+        if (from < 0) from = Math.max(0, items.length + from)
+        var take = if (a.length > 2) int(2) else items.length - from
+        if (take < 0) take = Math.max(0, items.length - from + take)
+        VArr(items.slice(from.toInt, (from + take).toInt))
+      case "array::sort" =>
+        val asc = arg(1) match {
+          case VBool(b) => b
+          case VStr("desc") => false
+          case _ => true
+        }
+        val sorted = arr(0).sorted(V.ordering)
+        VArr(if (asc) sorted else sorted.reverse)
+      case "array::sort::asc" => VArr(arr(0).sorted(V.ordering))
+      case "array::sort::desc" => VArr(arr(0).sorted(V.ordering).reverse)
+      case "array::sort_natural" | "array::sort_lexical" | "array::sort_natural_lexical" =>
+        VArr(arr(0).sorted(V.ordering))
+      case "array::swap" =>
+        val items = arr(0)
+        def norm(x: Long): Int = {
+          val i = if (x < 0) items.length + x else x
+          if (i < 0 || i >= items.length)
+            throw SqlError(s"Incorrect arguments for function array::swap(). Argument 1 is out of range")
+          i.toInt
+        }
+        val (i, j) = (norm(int(1)), norm(int(2)))
+        VArr(items.updated(i, items(j)).updated(j, items(i)))
+      case "array::transpose" =>
+        val rows = arr(0).map { case VArr(r) => r; case v => Vector(v) }
+        if (rows.isEmpty) VArr(Vector.empty)
+        else {
+          val width = rows.map(_.length).max
+          VArr((0 until width).map { i =>
+            VArr(rows.flatMap(_.lift(i)))
+          }.toVector)
+        }
+      case "array::union" => VArr(Coerce.dedup(arr(0) ++ arr(1)))
+      case "array::windows" =>
+        val size = int(1).toInt
+        if (size < 1) throw SqlError("Incorrect arguments for function array::windows(). The second argument must be an integer greater than 0")
+        VArr(arr(0).sliding(size).filter(_.length == size).map(VArr(_)).toVector)
+
+      // ---- object ------------------------------------------------------
+      case "object::entries" =>
+        VArr(obj(0).map { case (k, v) => VArr(Vector(VStr(k), v)) }.toVector)
+      case "object::from_entries" =>
+        VObj(TreeMap(arr(0).collect {
+          case VArr(Vector(VStr(k), v)) => k -> v
+          case VArr(Vector(k, v)) => k.renderRaw -> v
+        }: _*))
+      case "object::keys" => VArr(obj(0).keys.map(VStr(_)).toVector)
+      case "object::values" => VArr(obj(0).values.toVector)
+      case "object::len" => VInt(obj(0).size)
+      case "object::is_empty" => VBool(obj(0).isEmpty)
+      case "object::extend" => VObj(obj(0) ++ obj(1))
+      case "object::remove" =>
+        val keys = arg(1) match {
+          case VArr(ks) => ks.collect { case VStr(s) => s }
+          case VStr(s) => Seq(s)
+          case _ => Seq.empty
+        }
+        VObj(obj(0) -- keys)
+
+      // ---- set (array semantics with dedup) ---------------------------
+      case "set::union" => VArr(Coerce.dedup(arr(0) ++ arr(1)))
+      case "set::intersect" => VArr(Coerce.dedup(arr(0).filter(e => arr(1).exists(V.looseEq(_, e)))))
+      case "set::difference" =>
+        VArr(Coerce.dedup(arr(0).filterNot(e => arr(1).exists(V.looseEq(_, e))) ++
+          arr(1).filterNot(e => arr(0).exists(V.looseEq(_, e)))))
+      case "set::complement" => VArr(Coerce.dedup(arr(0).filterNot(e => arr(1).exists(V.looseEq(_, e)))))
+      case "set::len" => VInt(Coerce.dedup(arr(0)).length)
+      case "set::contains" => VBool(arr(0).exists(V.looseEq(_, arg(1))))
+
+      // ---- time --------------------------------------------------------
+      case "time::now" => VDt(java.time.Instant.now())
+      case "time::day" => VInt(utc(arg(0)).getDayOfMonth)
+      case "time::month" => VInt(utc(arg(0)).getMonthValue)
+      case "time::year" => VInt(utc(arg(0)).getYear)
+      case "time::hour" => VInt(utc(arg(0)).getHour)
+      case "time::minute" => VInt(utc(arg(0)).getMinute)
+      case "time::second" => VInt(utc(arg(0)).getSecond)
+      case "time::wday" => VInt(utc(arg(0)).getDayOfWeek.getValue)
+      case "time::yday" => VInt(utc(arg(0)).getDayOfYear)
+      case "time::week" => VInt(utc(arg(0)).get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()))
+      case "time::unix" => VInt(inst(arg(0)).getEpochSecond)
+      case "time::millis" => VInt(inst(arg(0)).toEpochMilli)
+      case "time::micros" => VInt(inst(arg(0)).getEpochSecond * 1000000L + inst(arg(0)).getNano / 1000)
+      case "time::nano" => VInt(inst(arg(0)).getEpochSecond * 1000000000L + inst(arg(0)).getNano)
+      case "time::floor" | "time::round" | "time::ceil" =>
+        val t = inst(arg(0))
+        val d = arg(1) match { case dd: VDur => dd; case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 2 was the wrong type. Expected a duration but found ${other.render}") }
+        val dn = d.totalNanos
+        if (dn <= 0) throw SqlError(s"Incorrect arguments for function $name(). The second argument must be a duration greater than 0")
+        val tn = BigInt(t.getEpochSecond) * 1000000000L + t.getNano
+        val floorN = (tn / dn) * dn
+        val resN = name match {
+          case "time::floor" => floorN
+          case "time::ceil" => if (floorN == tn) tn else floorN + dn
+          case _ => if (tn - floorN >= dn / 2) floorN + dn else floorN
+        }
+        VDt(java.time.Instant.ofEpochSecond((resN / 1000000000L).toLong, (resN % 1000000000L).toLong))
+      case "time::group" =>
+        val t = utc(arg(0))
+        val unit = str(1)
+        val truncated = unit match {
+          case "year" => t.withDayOfYear(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+          case "month" => t.withDayOfMonth(1).toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+          case "day" => t.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC)
+          case "hour" => t.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+          case "minute" => t.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+          case "second" => t.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
+          case other => throw SqlError(s"Incorrect arguments for function time::group(). Argument 2 was the wrong type. Expected a string but found '$other'")
+        }
+        VDt(truncated.toInstant)
+      case "time::format" =>
+        VStr(strftime(utc(arg(0)), str(1)))
+      case "time::max" =>
+        val items = arr(0)
+        if (items.isEmpty) VNone else items.max(V.ordering)
+      case "time::min" =>
+        val items = arr(0)
+        if (items.isEmpty) VNone else items.min(V.ordering)
+      case "time::timezone" => VStr("UTC")
+      case "time::from::unix" => VDt(java.time.Instant.ofEpochSecond(int(0)))
+      case "time::from::secs" => VDt(java.time.Instant.ofEpochSecond(int(0)))
+      case "time::from::millis" => VDt(java.time.Instant.ofEpochMilli(int(0)))
+      case "time::from::micros" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000L, (int(0) % 1000000L) * 1000))
+      case "time::from::nanos" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000000L, int(0) % 1000000000L))
+      case "time::is::leap_year" =>
+        VBool(java.time.Year.isLeap(utc(arg(0)).getYear))
+
+      // ---- duration ----------------------------------------------------
+      case "duration::days" => VInt(durOf(arg(0)).secs / 86400)
+      case "duration::hours" => VInt(durOf(arg(0)).secs / 3600)
+      case "duration::mins" => VInt(durOf(arg(0)).secs / 60)
+      case "duration::secs" => VInt(durOf(arg(0)).secs)
+      case "duration::weeks" => VInt(durOf(arg(0)).secs / 604800)
+      case "duration::years" => VInt(durOf(arg(0)).secs / 31536000)
+      case "duration::millis" => VInt((durOf(arg(0)).totalNanos / 1000000L).toLong)
+      case "duration::micros" => VInt((durOf(arg(0)).totalNanos / 1000L).toLong)
+      case "duration::nanos" => VInt(durOf(arg(0)).totalNanos.toLong)
+      case "duration::from::days" => VDur(int(0) * 86400, 0)
+      case "duration::from::hours" => VDur(int(0) * 3600, 0)
+      case "duration::from::mins" => VDur(int(0) * 60, 0)
+      case "duration::from::secs" => VDur(int(0), 0)
+      case "duration::from::weeks" => VDur(int(0) * 604800, 0)
+      case "duration::from::millis" => VDur(int(0) / 1000, ((int(0) % 1000) * 1000000).toInt)
+      case "duration::from::micros" => VDur(int(0) / 1000000, ((int(0) % 1000000) * 1000).toInt)
+      case "duration::from::nanos" => VDur(int(0) / 1000000000, (int(0) % 1000000000).toInt)
+
+      // ---- type --------------------------------------------------------
+      case "type::of" | "type::string_of" => VStr(arg(0).typeName)
+      case "type::bool" => Coerce.cast(Kind.KBool, arg(0))
+      case "type::int" => Coerce.cast(Kind.KInt, arg(0))
+      case "type::float" => Coerce.cast(Kind.KFloat, arg(0))
+      case "type::decimal" => Coerce.cast(Kind.KDecimal, arg(0))
+      case "type::number" => Coerce.cast(Kind.KNumber, arg(0))
+      case "type::string" => Coerce.cast(Kind.KString, arg(0))
+      case "type::duration" => Coerce.cast(Kind.KDuration, arg(0))
+      case "type::datetime" => Coerce.cast(Kind.KDatetime, arg(0))
+      case "type::uuid" => Coerce.cast(Kind.KUuid, arg(0))
+      case "type::array" => Coerce.cast(Kind.KArray(scala.None, scala.None), arg(0))
+      case "type::geometry" | "type::point" => Coerce.cast(Kind.KGeometry(Nil), arg(0))
+      case "type::table" => VTable(arg(0).renderRaw)
+      case "type::thing" =>
+        arg(1) match {
+          case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
+          case key => VRid(arg(0).renderRaw, key)
+        }
+      case "type::range" => Coerce.cast(Kind.KRange, arg(0))
+      case "type::record" => Coerce.cast(Kind.KRecord(Nil), arg(0))
+      case "type::field" =>
+        env.doc.flatMap(_.fields.get(str(0))).getOrElse(VNone)
+      case "type::fields" =>
+        VArr(arr(0).map { case VStr(f) => env.doc.flatMap(_.fields.get(f)).getOrElse(VNone); case _ => VNone })
+      case "type::is::array" => VBool(arg(0).isInstanceOf[VArr])
+      case "type::is::bool" => VBool(arg(0).isInstanceOf[VBool])
+      case "type::is::bytes" => VBool(arg(0).isInstanceOf[VBytes])
+      case "type::is::datetime" => VBool(arg(0).isInstanceOf[VDt])
+      case "type::is::decimal" => VBool(arg(0).isInstanceOf[VDec])
+      case "type::is::duration" => VBool(arg(0).isInstanceOf[VDur])
+      case "type::is::float" => VBool(arg(0).isInstanceOf[VFloat])
+      case "type::is::int" => VBool(arg(0).isInstanceOf[VInt])
+      case "type::is::none" => VBool(arg(0) == VNone)
+      case "type::is::null" => VBool(arg(0) == VNull)
+      case "type::is::number" => VBool(arg(0).isInstanceOf[VNum])
+      case "type::is::object" => VBool(arg(0).isInstanceOf[VObj])
+      case "type::is::record" =>
+        arg(1) match {
+          case VStr(tb) => VBool(arg(0) match { case r: VRid => r.table == tb; case _ => false })
+          case _ => VBool(arg(0).isInstanceOf[VRid])
+        }
+      case "type::is::string" => VBool(arg(0).isInstanceOf[VStr])
+      case "type::is::uuid" => VBool(arg(0).isInstanceOf[VUuid])
+      case "type::is::geometry" => VBool(arg(0).isInstanceOf[VGeom])
+
+      // ---- record / meta ----------------------------------------------
+      case "record::id" | "meta::id" => arg(0) match {
+        case VRid(_, key) => key
+        case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected a record but found ${other.render}")
+      }
+      case "record::tb" | "record::table" | "meta::tb" | "meta::table" => arg(0) match {
+        case VRid(tb, _) => VStr(tb)
+        case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected a record but found ${other.render}")
+      }
+      case "record::exists" => arg(0) match {
+        case r: VRid => VBool(env.interp.exists(_.fetchRecord(r).isDefined))
+        case _ => VBool(false)
+      }
+
+      // ---- parse -------------------------------------------------------
+      case "parse::email::host" => VStr(str(0).split("@").last)
+      case "parse::email::user" => VStr(str(0).split("@").head)
+      case "parse::url::domain" | "parse::url::host" => uriPart(str(0), _.getHost)
+      case "parse::url::path" => uriPart(str(0), _.getPath)
+      case "parse::url::port" =>
+        val p = new java.net.URI(str(0)).getPort
+        if (p < 0) VNone else VInt(p)
+      case "parse::url::scheme" => uriPart(str(0), _.getScheme)
+      case "parse::url::query" => uriPart(str(0), _.getQuery)
+      case "parse::url::fragment" => uriPart(str(0), _.getFragment)
+
+      // ---- crypto ------------------------------------------------------
+      case "crypto::md5" => VStr(digest("MD5", str(0)))
+      case "crypto::sha1" => VStr(digest("SHA-1", str(0)))
+      case "crypto::sha256" => VStr(digest("SHA-256", str(0)))
+      case "crypto::sha512" => VStr(digest("SHA-512", str(0)))
+      case "crypto::joaat" => VInt(joaat(str(0)))
+
+      // ---- rand --------------------------------------------------------
+      case "rand" => VFloat(scala.util.Random.nextDouble())
+      case "rand::bool" => VBool(scala.util.Random.nextBoolean())
+      case "rand::float" =>
+        if (a.length >= 2) VFloat(dbl(0) + scala.util.Random.nextDouble() * (dbl(1) - dbl(0)))
+        else VFloat(scala.util.Random.nextDouble())
+      case "rand::int" =>
+        if (a.length >= 2) VInt(int(0) + Math.abs(scala.util.Random.nextLong()) % Math.max(1, int(1) - int(0) + 1))
+        else VInt(scala.util.Random.nextLong())
+      case "rand::string" =>
+        val len = if (a.nonEmpty) int(0).toInt else 32
+        VStr(scala.util.Random.alphanumeric.take(len).mkString)
+      case "rand::enum" => if (a.isEmpty) VNone else a(scala.util.Random.nextInt(a.length))
+      case "rand::guid" => VStr(java.util.UUID.randomUUID().toString.replace("-", "").take(20))
+      case "rand::uuid" | "rand::uuid::v4" => VUuid(java.util.UUID.randomUUID())
+      case "rand::uuid::v7" => VUuid(java.util.UUID.randomUUID())
+      case "rand::ulid" => VStr(java.util.UUID.randomUUID().toString.replace("-", "").toUpperCase.take(26))
+      case "rand::time" =>
+        VDt(java.time.Instant.ofEpochSecond(Math.abs(scala.util.Random.nextLong()) % 4102444800L))
+
+      // ---- vector ------------------------------------------------------
+      case "vector::add" => vecZip(nums(0), nums(1), name)(_ + _)
+      case "vector::subtract" => vecZip(nums(0), nums(1), name)(_ - _)
+      case "vector::multiply" => vecZip(nums(0), nums(1), name)(_ * _)
+      case "vector::divide" => vecZip(nums(0), nums(1), name)(_ / _)
+      case "vector::scale" => VArr(nums(0).map(x => VFloat(x * dbl(1))))
+      case "vector::dot" =>
+        val (x, y) = (nums(0), nums(1))
+        checkDims(x, y, name)
+        VFloat(x.zip(y).map { case (m, n) => m * n }.sum)
+      case "vector::magnitude" => VFloat(Math.sqrt(nums(0).map(x => x * x).sum))
+      case "vector::normalize" =>
+        val v = nums(0)
+        val mag = Math.sqrt(v.map(x => x * x).sum)
+        VArr(v.map(x => VFloat(if (mag == 0) 0 else x / mag)))
+      case "vector::angle" =>
+        val (x, y) = (nums(0), nums(1))
+        checkDims(x, y, name)
+        val dot = x.zip(y).map { case (m, n) => m * n }.sum
+        VFloat(Math.acos(dot / (Math.sqrt(x.map(t => t * t).sum) * Math.sqrt(y.map(t => t * t).sum))))
+      case "vector::cross" =>
+        val (x, y) = (nums(0), nums(1))
+        if (x.length != 3 || y.length != 3) throw SqlError(s"Incorrect arguments for function vector::cross(). Both vectors must have a dimension of 3")
+        VArr(Vector(VFloat(x(1) * y(2) - x(2) * y(1)), VFloat(x(2) * y(0) - x(0) * y(2)), VFloat(x(0) * y(1) - x(1) * y(0))))
+      case "vector::project" =>
+        val (x, y) = (nums(0), nums(1))
+        checkDims(x, y, name)
+        val scale = x.zip(y).map { case (m, n) => m * n }.sum / y.map(t => t * t).sum
+        VArr(y.map(t => VFloat(t * scale)))
+      case "vector::distance::euclidean" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        VFloat(Math.sqrt(x.zip(y).map { case (m, n) => (m - n) * (m - n) }.sum))
+      case "vector::distance::manhattan" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        VFloat(x.zip(y).map { case (m, n) => Math.abs(m - n) }.sum)
+      case "vector::distance::chebyshev" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        VFloat(x.zip(y).map { case (m, n) => Math.abs(m - n) }.max)
+      case "vector::distance::minkowski" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        val p = dbl(2)
+        VFloat(Math.pow(x.zip(y).map { case (m, n) => Math.pow(Math.abs(m - n), p) }.sum, 1.0 / p))
+      case "vector::distance::hamming" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        VInt(x.zip(y).count { case (m, n) => m != n })
+      case "vector::similarity::cosine" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        val dot = x.zip(y).map { case (m, n) => m * n }.sum
+        VFloat(dot / (Math.sqrt(x.map(t => t * t).sum) * Math.sqrt(y.map(t => t * t).sum)))
+      case "vector::similarity::jaccard" =>
+        val (x, y) = (arr(0), arr(1))
+        val inter = x.filter(e => y.exists(V.looseEq(_, e)))
+        val union = Coerce.dedup(x ++ y)
+        VFloat(if (union.isEmpty) 0 else Coerce.dedup(inter).length.toDouble / union.length)
+      case "vector::similarity::pearson" =>
+        val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
+        val (mx, my) = (x.sum / x.length, y.sum / y.length)
+        val cov = x.zip(y).map { case (m, n) => (m - mx) * (n - my) }.sum
+        val sx = Math.sqrt(x.map(t => (t - mx) * (t - mx)).sum)
+        val sy = Math.sqrt(y.map(t => (t - my) * (t - my)).sum)
+        VFloat(cov / (sx * sy))
+
+      // ---- geo ---------------------------------------------------------
+      case "geo::distance" =>
+        (arg(0), arg(1)) match {
+          case (VGeom("Point", VArr(Vector(x1: VNum, y1: VNum))), VGeom("Point", VArr(Vector(x2: VNum, y2: VNum)))) =>
+            VFloat(haversine(y1.toDouble, x1.toDouble, y2.toDouble, x2.toDouble))
+          case _ => VNone
+        }
+      case "geo::bearing" =>
+        (arg(0), arg(1)) match {
+          case (VGeom("Point", VArr(Vector(x1: VNum, y1: VNum))), VGeom("Point", VArr(Vector(x2: VNum, y2: VNum)))) =>
+            val (lat1, lon1, lat2, lon2) = (Math.toRadians(y1.toDouble), Math.toRadians(x1.toDouble), Math.toRadians(y2.toDouble), Math.toRadians(x2.toDouble))
+            val dl = lon2 - lon1
+            val yy = Math.sin(dl) * Math.cos(lat2)
+            val xx = Math.cos(lat1) * Math.sin(lat2) - Math.sin(lat1) * Math.cos(lat2) * Math.cos(dl)
+            VFloat((Math.toDegrees(Math.atan2(yy, xx)) + 360) % 360)
+          case _ => VNone
+        }
+
+      // ---- encoding ----------------------------------------------------
+      case "encoding::base64::encode" =>
+        val bytes = arg(0) match {
+          case VBytes(bs) => bs.toArray
+          case VStr(s) => s.getBytes("UTF-8")
+          case other => other.renderRaw.getBytes("UTF-8")
+        }
+        VStr(java.util.Base64.getEncoder.withoutPadding.encodeToString(bytes))
+      case "encoding::base64::decode" =>
+        VBytes(java.util.Base64.getDecoder.decode(str(0)).toVector)
+
+      // ---- session (static defaults) ----------------------------------
+      case "session::db" => VStr("test")
+      case "session::ns" => VStr("test")
+      case "session::id" | "session::origin" | "session::ip" | "session::ac" |
+           "session::rd" | "session::token" => VNone
+
+      case other => throw SqlError(s"Unknown function $other()")
+    }
+  }
+
+  // ---- helpers ---------------------------------------------------------
+
+  private def inst(v: V): java.time.Instant = v match {
+    case VDt(t) => t
+    case other => throw SqlError(s"Expected a datetime but found ${other.render}")
+  }
+  private def utc(v: V): java.time.ZonedDateTime =
+    inst(v).atZone(java.time.ZoneOffset.UTC)
+  private def durOf(v: V): VDur = v match {
+    case d: VDur => d
+    case other => throw SqlError(s"Expected a duration but found ${other.render}")
+  }
+
+  private def vecZip(x: Vector[Double], y: Vector[Double], name: String)(f: (Double, Double) => Double): VArr = {
+    checkDims(x, y, name)
+    VArr(x.zip(y).map { case (m, n) => VFloat(f(m, n)) })
+  }
+  private def checkDims(x: Vector[Double], y: Vector[Double], name: String): Unit =
+    if (x.length != y.length)
+      throw SqlError(s"Incorrect arguments for function $name(). The two vectors must be of the same dimension.")
+
+  private def percentile(ns: Vector[Double], p: Double): Double = {
+    val sorted = ns.sorted
+    if (sorted.isEmpty) return Double.NaN
+    val rank = p / 100.0 * (sorted.length - 1)
+    val lo = Math.floor(rank).toInt
+    val hi = Math.ceil(rank).toInt
+    if (lo == hi) sorted(lo)
+    else sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
+  }
+
+  private def levenshtein(x: String, y: String): Long = {
+    val dp = Array.tabulate(y.length + 1)(identity)
+    for (i <- 1 to x.length) {
+      var prev = dp(0)
+      dp(0) = i
+      for (j <- 1 to y.length) {
+        val tmp = dp(j)
+        dp(j) = Math.min(Math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        prev = tmp
+      }
+    }
+    dp(y.length).toLong
+  }
+
+  private def jaro(x: String, y: String): Double = {
+    if (x == y) return 1.0
+    if (x.isEmpty || y.isEmpty) return 0.0
+    val window = Math.max(x.length, y.length) / 2 - 1
+    val xm = new Array[Boolean](x.length)
+    val ym = new Array[Boolean](y.length)
+    var matches = 0
+    for (i <- x.indices) {
+      val lo = Math.max(0, i - window)
+      val hi = Math.min(y.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!ym(j) && x(i) == y(j)) { xm(i) = true; ym(j) = true; matches += 1; found = true }
+        j += 1
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    for (i <- x.indices if xm(i)) {
+      while (!ym(k)) k += 1
+      if (x(i) != y(k)) t += 1
+      k += 1
+    }
+    val m = matches.toDouble
+    (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
+  }
+
+  private def fuzzyScore(s: String, query: String): Long = {
+    // simple subsequence scoring (clamped analog of the reference's fuzzy)
+    var score = 0L
+    var qi = 0
+    var streak = 0
+    for (c <- s if qi < query.length) {
+      if (Character.toLowerCase(c) == Character.toLowerCase(query(qi))) {
+        qi += 1; streak += 1; score += streak
+      } else streak = 0
+    }
+    if (qi == query.length) score else 0L
+  }
+
+  private def digest(algo: String, s: String): String =
+    java.security.MessageDigest.getInstance(algo).digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def joaat(s: String): Long = {
+    var h = 0L
+    s.getBytes("UTF-8").foreach { b =>
+      h = (h + (b & 0xff)) & 0xffffffffL
+      h = (h + (h << 10)) & 0xffffffffL
+      h = (h ^ (h >> 6)) & 0xffffffffL
+    }
+    h = (h + (h << 3)) & 0xffffffffL
+    h = (h ^ (h >> 11)) & 0xffffffffL
+    h = (h + (h << 15)) & 0xffffffffL
+    h
+  }
+
+  private def uriPart(s: String, f: java.net.URI => String): V =
+    try {
+      val r = f(new java.net.URI(s))
+      if (r == null || r.isEmpty) VNone else VStr(r)
+    } catch { case _: Exception => VNone }
+
+  private def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val R = 6371008.8
+    val dLat = Math.toRadians(lat2 - lat1)
+    val dLon = Math.toRadians(lon2 - lon1)
+    val aa = Math.sin(dLat / 2) * Math.sin(dLat / 2) +
+      Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) *
+        Math.sin(dLon / 2) * Math.sin(dLon / 2)
+    R * 2 * Math.atan2(Math.sqrt(aa), Math.sqrt(1 - aa))
+  }
+
+  private def strftime(t: java.time.ZonedDateTime, fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        i += 1
+        fmt.charAt(i) match {
+          case 'Y' => sb.append(f"${t.getYear}%04d")
+          case 'y' => sb.append(f"${t.getYear % 100}%02d")
+          case 'm' => sb.append(f"${t.getMonthValue}%02d")
+          case 'd' => sb.append(f"${t.getDayOfMonth}%02d")
+          case 'H' => sb.append(f"${t.getHour}%02d")
+          case 'M' => sb.append(f"${t.getMinute}%02d")
+          case 'S' => sb.append(f"${t.getSecond}%02d")
+          case 'j' => sb.append(f"${t.getDayOfYear}%03d")
+          case 'a' => sb.append(t.getDayOfWeek.getDisplayName(java.time.format.TextStyle.SHORT, java.util.Locale.US))
+          case 'A' => sb.append(t.getDayOfWeek.getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.US))
+          case 'b' => sb.append(t.getMonth.getDisplayName(java.time.format.TextStyle.SHORT, java.util.Locale.US))
+          case 'B' => sb.append(t.getMonth.getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.US))
+          case 'T' => sb.append(f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d")
+          case 'Z' => sb.append("UTC")
+          case 's' => sb.append(t.toInstant.getEpochSecond)
+          case '%' => sb.append('%')
+          case other => sb.append('%').append(other)
+        }
+      } else sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,303 @@
+package graft.surql
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.collection.mutable
+
+/** Golden-corpus runner for the reference's language tests
+  * (/root/reference/language-tests: 1494 .surql files with TOML-in-comment
+  * expectations; format per language-tests/README.md). Each file's test
+  * comments (slash-star-star blocks or `//!` lines) concatenate to a TOML config whose
+  * `[[test.results]]` entries give the expected rendered value (or error)
+  * per top-level statement. */
+object Golden {
+
+  sealed trait Expected
+  final case class ExpectValue(rendered: String) extends Expected
+  final case class ExpectError(msg: Option[String]) extends Expected
+  /** match-style or unspecified — only statement success is checked. */
+  case object ExpectAny extends Expected
+
+  final case class TestFile(path: Path, sql: String, expected: Seq[Expected],
+      imports: Seq[String], run: Boolean, wip: Boolean)
+
+  final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
+    def ok: Boolean = failures.isEmpty
+  }
+
+  /** Extract test comments: slash-star-star blocks and //! lines. */
+  def extractComment(src: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < src.length) {
+      if (src.startsWith("/**", i)) {
+        val end = src.indexOf("*/", i + 3)
+        val stop = if (end < 0) src.length else end
+        sb.append(src.substring(i + 3, stop)).append('\n')
+        i = if (end < 0) src.length else end + 2
+      } else if (src.startsWith("//!", i)) {
+        val end = src.indexOf('\n', i)
+        val stop = if (end < 0) src.length else end
+        sb.append(src.substring(i + 3, stop)).append('\n')
+        i = stop
+      } else i += 1
+    }
+    sb.toString
+  }
+
+  /** Strip test comments from the SQL body (they're valid comments, but the
+    * parser handles them anyway — kept for clarity). */
+  def parseFile(path: Path): TestFile = {
+    val src = Files.readString(path)
+    val toml = extractComment(src)
+    val t = Toml.parse(toml)
+    val results = t.arrayTables.getOrElse("test.results", Vector.empty)
+    val expected: Seq[Expected] = results.map { tbl =>
+      tbl.get("value") match {
+        case Some(Toml.S(s)) => ExpectValue(s)
+        case _ => tbl.get("error") match {
+          case Some(Toml.S(s)) => ExpectError(Some(s))
+          case Some(Toml.B(true)) => ExpectError(scala.None)
+          case _ => ExpectAny
+        }
+      }
+    }
+    val imports = t.get("env.imports") match {
+      case Some(Toml.A(items)) => items.collect { case Toml.S(s) => s }
+      case _ => Seq.empty
+    }
+    val run = t.get("test.run") match {
+      case Some(Toml.B(b)) => b
+      case _ => true
+    }
+    val wip = t.get("test.wip") match {
+      case Some(Toml.B(b)) => b
+      case _ => false
+    }
+    TestFile(path, src, expected, imports, run, wip)
+  }
+
+  def runFile(tf: TestFile, testsRoot: Path): Outcome = {
+    val interp = new Interp()
+    // imports run first, results discarded
+    tf.imports.foreach { imp =>
+      val p = testsRoot.resolve(imp.stripPrefix("/"))
+      if (Files.exists(p)) {
+        val src = Files.readString(p)
+        try interp.run(Parser.parse(src))
+        catch { case _: Exception => () }
+      }
+    }
+    val results =
+      try interp.run(Parser.parse(tf.sql))
+      catch {
+        case e: ParseError =>
+          return Outcome(tf.path, tf.expected.length, 0, Seq(s"parse failure: ${e.getMessage}"))
+      }
+    var passed = 0
+    val failures = mutable.ArrayBuffer[String]()
+    tf.expected.zipWithIndex.foreach { case (exp, i) =>
+      if (i >= results.length) failures += s"[$i] missing result (got ${results.length} of ${tf.expected.length})"
+      else (exp, results(i)) match {
+        case (ExpectValue(want), QOk(v)) =>
+          val got = v.render
+          if (got == want || valueEquiv(want, got)) passed += 1
+          else failures += s"[$i] value mismatch:\n  want: $want\n  got:  $got"
+        case (ExpectValue(want), QErr(m)) =>
+          failures += s"[$i] expected value $want, got error: $m"
+        case (ExpectError(Some(want)), QErr(got)) =>
+          if (got == want) passed += 1
+          else failures += s"[$i] error mismatch:\n  want: $want\n  got:  $got"
+        case (ExpectError(scala.None), QErr(_)) => passed += 1
+        case (ExpectError(w), QOk(v)) =>
+          failures += s"[$i] expected error ${w.getOrElse("")}, got value ${v.render}"
+        case (ExpectAny, QOk(_)) => passed += 1
+        case (ExpectAny, QErr(m)) => failures += s"[$i] statement failed: $m"
+      }
+    }
+    if (results.length > tf.expected.length && tf.expected.nonEmpty) {
+      // extra results beyond expectations are fine only if expectations cover all
+      failures += s"result count mismatch: ${results.length} results vs ${tf.expected.length} expected"
+    }
+    Outcome(tf.path, tf.expected.length, passed, failures.toSeq)
+  }
+
+  /** Structural fallback compare: parse both renderings as values (handles
+    * whitespace/ordering differences in object keys). */
+  private def valueEquiv(want: String, got: String): Boolean =
+    try {
+      val w = Parser.parseValue(want)
+      val g = Parser.parseValue(got)
+      V.exactEq(w, g) && w.typeTag == g.typeTag
+    } catch { case _: Exception => false }
+
+  def runPaths(root: Path, testsRoot: Path, filter: String => Boolean = _ => true): Seq[Outcome] = {
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".surql") && filter(p.toString))
+      .toSeq.sortBy(_.toString)
+    files.flatMap { p =>
+      val tf = try parseFile(p) catch { case _: Exception => return Seq.empty }
+      if (!tf.run || tf.wip) scala.None
+      else Some(try runFile(tf, testsRoot) catch {
+        case e: StackOverflowError => Outcome(p, tf.expected.length, 0, Seq("stack overflow"))
+        case e: Exception => Outcome(p, tf.expected.length, 0, Seq(s"runner crash: ${e.getMessage}"))
+      })
+    }
+  }
+}
+
+/** Minimal TOML reader covering the corpus's config format: [section],
+  * [[array.of.tables]], key = string/bool/int/array, basic + literal +
+  * multiline strings. */
+object Toml {
+  sealed trait TV
+  final case class S(s: String) extends TV
+  final case class B(b: Boolean) extends TV
+  final case class I(i: Long) extends TV
+  final case class A(items: Vector[TV]) extends TV
+  final case class T(fields: Map[String, TV]) extends TV
+
+  final case class Doc(values: Map[String, TV], arrayTables: Map[String, Vector[Map[String, TV]]]) {
+    def get(path: String): Option[TV] = values.get(path)
+  }
+
+  def parse(text: String): Doc = {
+    val values = mutable.LinkedHashMap[String, TV]()
+    val arrays = mutable.LinkedHashMap[String, Vector[mutable.LinkedHashMap[String, TV]]]()
+    var section = ""
+    var currentArray: Option[(String, mutable.LinkedHashMap[String, TV])] = scala.None
+
+    val lines = text.split('\n')
+    var li = 0
+    while (li < lines.length) {
+      var line = lines(li).trim
+      if (line.isEmpty || line.startsWith("#")) { li += 1 }
+      else if (line.startsWith("[[")) {
+        val name = line.stripPrefix("[[").takeWhile(_ != ']').trim
+        val tbl = mutable.LinkedHashMap[String, TV]()
+        arrays(name) = arrays.getOrElse(name, Vector.empty) :+ tbl
+        currentArray = Some((name, tbl))
+        section = name
+        li += 1
+      }
+      else if (line.startsWith("[")) {
+        section = line.stripPrefix("[").takeWhile(_ != ']').trim
+        currentArray = scala.None
+        li += 1
+      }
+      else {
+        val eq = line.indexOf('=')
+        if (eq < 0) { li += 1 }
+        else {
+          val key = line.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"")
+          var rhs = line.substring(eq + 1).trim
+          // multiline strings
+          if (rhs.startsWith("\"\"\"") || rhs.startsWith("'''")) {
+            val delim = rhs.take(3)
+            var content = rhs.drop(3)
+            if (!content.contains(delim)) {
+              val buf = new StringBuilder(content)
+              li += 1
+              var done = false
+              while (li < lines.length && !done) {
+                val l2 = lines(li)
+                if (l2.contains(delim)) { buf.append('\n').append(l2.substring(0, l2.indexOf(delim))); done = true }
+                else buf.append('\n').append(l2)
+                li += 1
+              }
+              rhs = delim + buf.toString + delim
+              li -= 1
+            }
+          }
+          val value = parseValue(rhs)
+          currentArray match {
+            case Some((_, tbl)) => tbl(key) = value
+            case scala.None =>
+              val full = if (section.isEmpty) key else s"$section.$key"
+              values(full) = value
+          }
+          li += 1
+        }
+      }
+    }
+    Doc(values.toMap, arrays.map { case (k, v) => k -> v.map(_.toMap) }.toMap)
+  }
+
+  def parseValue(rhs0: String): TV = {
+    val rhs = rhs0.trim
+    if (rhs.startsWith("\"\"\"")) S(unescape(rhs.stripPrefix("\"\"\"").stripSuffix("\"\"\"").stripPrefix("\n")))
+    else if (rhs.startsWith("'''")) S(rhs.stripPrefix("'''").stripSuffix("'''").stripPrefix("\n"))
+    else if (rhs.startsWith("\"")) S(unescape(stripQuoted(rhs, '"')))
+    else if (rhs.startsWith("'")) S(stripQuoted(rhs, '\''))
+    else if (rhs == "true") B(true)
+    else if (rhs == "false") B(false)
+    else if (rhs.startsWith("[")) {
+      // single-line array of scalars
+      val inner = rhs.stripPrefix("[").reverse.dropWhile(_ != ']').drop(1).reverse
+      val items = splitTopLevel(inner).map(s => parseValue(s)).toVector
+      A(items)
+    }
+    else if (rhs.startsWith("{")) T(Map.empty)
+    else try I(rhs.takeWhile(c => c.isDigit || c == '-' || c == '+').toLong)
+    catch { case _: Exception => S(rhs) }
+  }
+
+  private def stripQuoted(s: String, q: Char): String = {
+    // take up to the matching unescaped close quote
+    val sb = new StringBuilder
+    var i = 1
+    var done = false
+    while (i < s.length && !done) {
+      val c = s.charAt(i)
+      if (c == '\\' && q == '"' && i + 1 < s.length) { sb.append(c).append(s.charAt(i + 1)); i += 2 }
+      else if (c == q) done = true
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var depth = 0
+    var inStr = false
+    var q = ' '
+    val sb = new StringBuilder
+    s.foreach { c =>
+      if (inStr) { sb.append(c); if (c == q) inStr = false }
+      else c match {
+        case '"' | '\'' => inStr = true; q = c; sb.append(c)
+        case '[' | '{' => depth += 1; sb.append(c)
+        case ']' | '}' => depth -= 1; sb.append(c)
+        case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+        case other => sb.append(other)
+      }
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.toSeq
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        s.charAt(i) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '"' => sb.append('"')
+          case '\\' => sb.append('\\')
+          case 'u' =>
+            val hex = s.substring(i + 1, Math.min(s.length, i + 5))
+            sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+            i += 4
+          case other => sb.append('\\').append(other)
+        }
+        i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,670 @@
+package graft.surql
+
+import graft.surql.ast._
+import scala.collection.immutable.TreeMap
+import scala.collection.mutable
+
+/** Per-statement result: a value or an error message (mirrors the
+  * reference's `Vec<QueryResult>`, dbs/response.rs). */
+sealed trait QueryResult
+final case class QOk(v: V) extends QueryResult
+final case class QErr(msg: String) extends QueryResult
+
+/** SurrealQL interpreter over an in-memory catalog — the semantic twin of
+  * the reference's executor (surrealdb: dbs/executor.rs:599-676 statement
+  * loop, doc/ lifecycle for mutations, exec/planner/select.rs:1213 SELECT
+  * pipeline). This is the correctness engine the golden corpus runs on;
+  * `SurqlPlanner` lowers the same AST onto Spark DataFrames for scale. */
+final class Interp {
+
+  /** table name → insertion-ordered (record key → document). */
+  val tables: mutable.LinkedHashMap[String, mutable.LinkedHashMap[V, VObj]] =
+    mutable.LinkedHashMap.empty
+
+  var globals: Map[String, V] = Map.empty
+  private var idCounter = 0L
+
+  def run(ast: Ast): Seq[QueryResult] = {
+    val results = mutable.ArrayBuffer[QueryResult]()
+    ast.stmts.foreach { stmt =>
+      try {
+        val env = Env(params = globals, interp = Some(this))
+        stmt match {
+          case LetStmt(name, kindAnn, what) =>
+            val v0 = execExprStatementValue(what, env)
+            val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
+            globals = globals + (name -> v)
+            results += QOk(VNone)
+          case UseStmt(_, _) | BeginStmt | CommitStmt | CancelStmt | OptionStmt(_, _) =>
+            results += QOk(VNone)
+          case d: DefineStmt =>
+            execDefine(d)
+            results += QOk(VNone)
+          case _: RemoveStmt =>
+            results += QOk(VNone)
+          case other =>
+            results += QOk(execStatement(other, env))
+        }
+      } catch {
+        case ReturnSignal(v) => results += QOk(v)
+        case e: SqlError     => results += QErr(e.msg)
+        case e: ParseError   => results += QErr(e.getMessage)
+        case BreakSignal     => results += QErr("Break statement outside of a loop")
+        case ContinueSignal  => results += QErr("Continue statement outside of a loop")
+      }
+    }
+    results.toSeq
+  }
+
+  /** Statement evaluation inside expressions/subqueries. */
+  def execStatement(stmt: Statement, env: Env): V = stmt match {
+    case ExprStmt(e)   => Eval.eval(e, env)
+    case ReturnStmt(e) => Eval.eval(e, env)
+    case s: SelectStmt => execSelect(s, env)
+    case s: CreateStmt => execCreate(s, env)
+    case s: UpdateStmt => execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false)
+    case s: UpsertStmt => execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true)
+    case s: DeleteStmt => execDelete(s, env)
+    case s: InsertStmt => execInsert(s, env)
+    case s: RelateStmt => execRelate(s, env)
+    case IfStmt(branches, otherwise) =>
+      Eval.eval(IfExpr(branches, otherwise), env)
+    case ForStmt(param, iterable, block) =>
+      val items = Eval.eval(iterable, env) match {
+        case VArr(its) => its
+        case r: VRng   => Coerce.rangeToArray(r).map(_.items).getOrElse(Vector.empty)
+        case other     => throw SqlError(s"Expected a array but found ${other.render}")
+      }
+      items.foreach { it =>
+        try runBlock(block.stmts, env.bind(param, it))
+        catch {
+          case BreakSignal    => return VNone
+          case ContinueSignal => ()
+        }
+      }
+      VNone
+    case LetStmt(name, kindAnn, what) =>
+      val v0 = execExprStatementValue(what, env)
+      val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
+      globals = globals + (name -> v)
+      VNone
+    case ThrowStmt(e) =>
+      throw SqlError(s"An error occurred: ${Eval.eval(e, env).renderRaw}")
+    case BreakStmt    => throw BreakSignal
+    case ContinueStmt => throw ContinueSignal
+    case d: DefineStmt => execDefine(d); VNone
+    case _: RemoveStmt => VNone
+    case _: UseStmt | BeginStmt | CommitStmt | CancelStmt | _: OptionStmt | _: InfoStmt => VNone
+  }
+
+  private def execExprStatementValue(e: Expr, env: Env): V = Eval.eval(e, env)
+
+  /** Block semantics: statements run in order; RETURN short-circuits; the
+    * block's value is the last statement's value. LET bindings are local. */
+  def runBlock(stmts: Seq[Statement], env: Env): V = {
+    var e = env
+    var last: V = VNone
+    try {
+      stmts.foreach { stmt =>
+        stmt match {
+          case LetStmt(name, kindAnn, what) =>
+            val v0 = Eval.eval(what, e)
+            val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
+            e = e.bind(name, v)
+            last = VNone
+          case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
+          case other => last = execStatement(other, e)
+        }
+      }
+      last
+    } catch {
+      case ReturnSignal(v) => v
+    }
+  }
+
+  // ---- catalog ---------------------------------------------------------
+
+  def table(name: String): mutable.LinkedHashMap[V, VObj] =
+    tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
+
+  def fetchRecord(rid: VRid): Option[VObj] =
+    tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
+
+  private def nextId(): V = { idCounter += 1; VStr(f"id$idCounter%06d") }
+
+  /** Field schema from DEFINE FIELD (TYPE/DEFAULT/VALUE/ASSERT minimal). */
+  private val fieldDefs = mutable.LinkedHashMap[(String, String), String]()
+  private def execDefine(d: DefineStmt): Unit = {
+    // metadata only; the analytics engine treats schema as advisory
+    if (d.what == "FIELD") fieldDefs((d.name, "")) = d.raw
+  }
+
+  // ---- FROM resolution -------------------------------------------------
+
+  /** Resolve a FROM/mutation target expression into (table context, rows).
+    * Graph semantics: a table name yields all its records; a record id one;
+    * a range record id a range scan; arrays/subqueries their elements. */
+  private def resolveTarget(e: Expr, env: Env): Vector[VObj] = e match {
+    case Idiom(Seq(PField(name))) => table(name).values.toVector
+    case RidLit(tb, keyE) =>
+      Eval.eval(keyE, env) match {
+        case rng: VRng =>
+          table(tb).collect { case (k, doc) if Ops.contains(rng, k) => doc }.toVector
+        case key =>
+          fetchRecord(VRid(tb, key)).toVector
+      }
+    case other =>
+      Eval.eval(other, env) match {
+        case rid: VRid  => fetchRecord(rid).toVector
+        case VTable(tb) => table(tb).values.toVector
+        case VArr(items) => items.flatMap {
+          case rid: VRid => fetchRecord(rid)
+          case o: VObj   => Some(o)
+          case v         => Some(V.obj("value" -> v))
+        }
+        case o: VObj => Vector(o)
+        case VNone | VNull => Vector.empty
+        case v => Vector(V.obj("value" -> v))
+      }
+  }
+
+  /** Targets for mutations: (table, Some(key)) for point writes, (table,
+    * None) for whole-table writes. */
+  private def mutationTargets(what: Seq[Expr], env: Env): Seq[(String, Option[V])] =
+    what.map {
+      case Idiom(Seq(PField(name))) => (name, scala.None)
+      case RidLit(tb, keyE) => (tb, Some(Eval.eval(keyE, env)))
+      case other => Eval.eval(other, env) match {
+        case VRid(tb, key) => (tb, Some(key))
+        case VTable(tb)    => (tb, scala.None)
+        case VStr(tb)      => (tb, scala.None)
+        case v => throw SqlError(s"Can not execute statement using value: ${v.render}")
+      }
+    }
+
+  // ---- SELECT ----------------------------------------------------------
+
+  def execSelect(s: SelectStmt, env: Env): V = {
+    var rows: Vector[VObj] = s.what.flatMap(resolveTarget(_, env)).toVector
+
+    // WHERE
+    s.where.foreach { cond =>
+      rows = rows.filter(r => Eval.eval(cond, env.copy(doc = Some(r))).truthy)
+    }
+
+    // SPLIT
+    s.split.foreach { field =>
+      rows = rows.flatMap { r =>
+        r.fields.get(field) match {
+          case Some(VArr(items)) => items.map(it => VObj(r.fields.updated(field, it)))
+          case _ => Vector(r)
+        }
+      }
+    }
+
+    // GROUP
+    val grouped: Vector[VObj] = s.groupBy match {
+      case Some(Nil) => // GROUP ALL
+        Vector(projectGroup(rows, s, Nil, env))
+      case Some(keys) =>
+        rows.groupBy(r => keys.map(k => Eval.eval(k, env.copy(doc = Some(r)))))
+          .toVector
+          .sortBy(_._1.headOption.getOrElse(VNone))(V.ordering)
+          .map { case (keyVals, group) => projectGroup(group, s, keys.zip(keyVals), env) }
+      case scala.None =>
+        rows.map(r => projectRow(r, s, env))
+    }
+    var out = grouped
+
+    // ORDER BY
+    if (s.orderRand) out = scala.util.Random.shuffle(out)
+    else if (s.order.nonEmpty) {
+      val keys = s.order
+      out = out.sortWith { (x, y) =>
+        var res = 0
+        val it = keys.iterator
+        while (res == 0 && it.hasNext) {
+          val k = it.next()
+          val kx = Eval.eval(k.expr, env.copy(doc = Some(x)))
+          val ky = Eval.eval(k.expr, env.copy(doc = Some(y)))
+          res = V.cmp(kx, ky)
+          if (k.desc) res = -res
+        }
+        res < 0
+      }
+    }
+
+    // START / LIMIT
+    s.start.foreach { st => out = out.drop(Eval.eval(st, env) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
+    s.limit.foreach { lm => out = out.take(Eval.eval(lm, env) match { case n: VNum => n.toDouble.toInt; case _ => out.length }) }
+
+    // FETCH: replace record-id fields with their documents
+    if (s.fetch.nonEmpty) {
+      out = out.map { r =>
+        s.fetch.foldLeft(r) { (acc, f) =>
+          acc.fields.get(f) match {
+            case Some(rid: VRid) => fetchRecord(rid).map(d => VObj(acc.fields.updated(f, d))).getOrElse(acc)
+            case Some(VArr(items)) =>
+              VObj(acc.fields.updated(f, VArr(items.map {
+                case rid: VRid => fetchRecord(rid).getOrElse(rid)
+                case v => v
+              })))
+            case _ => acc
+          }
+        }
+      }
+    }
+
+    // VALUE / ONLY
+    val resultRows: Vector[V] =
+      if (s.value) {
+        val fe = s.fields.head.expr
+        out.map(r => Eval.eval(fe, env.copy(doc = Some(r))))
+      } else out.map(identity)
+
+    if (s.only) {
+      if (resultRows.length > 1) throw SqlError("Expected a single result output when using the ONLY keyword")
+      resultRows.headOption.getOrElse(VNone)
+    } else VArr(resultRows)
+  }
+
+  private def projectRow(r: VObj, s: SelectStmt, env: Env): VObj = {
+    if (s.value) return r // VALUE handled later on raw rows
+    val de = env.copy(doc = Some(r))
+    var out = TreeMap.empty[String, V]
+    val hasAll = s.fields.exists(_.isAll)
+    if (hasAll) out = r.fields
+    s.fields.filterNot(_.isAll).foreach { f =>
+      val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+      val v = Eval.eval(f.expr, de)
+      out = setPath(out, name.split('.').toList, v)
+    }
+    var res = VObj(out)
+    s.omit.foreach { o => res = VObj(res.fields - o) }
+    res
+  }
+
+  private def projectGroup(group: Vector[VObj], s: SelectStmt, keyVals: Seq[(Expr, V)], env: Env): VObj = {
+    var out = TreeMap.empty[String, V]
+    s.fields.filterNot(_.isAll).foreach { f =>
+      val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+      val v = evalAggregate(f.expr, group, keyVals, env)
+      out = setPath(out, name.split('.').toList, v)
+    }
+    VObj(out)
+  }
+
+  private def setPath(m: TreeMap[String, V], path: List[String], v: V): TreeMap[String, V] =
+    path match {
+      case Nil => m
+      case last :: Nil => m.updated(last, v)
+      case head :: rest =>
+        val inner = m.get(head) match {
+          case Some(VObj(fs)) => fs
+          case _ => TreeMap.empty[String, V]
+        }
+        m.updated(head, VObj(setPath(inner, rest, v)))
+    }
+
+  /** Aggregate evaluation under GROUP BY (exec/planner/aggregate.rs:146):
+    * known aggregate functions consume the group; any other expression is
+    * evaluated per-row and implicitly collapsed to the group array (or the
+    * group-key value when the expression IS a group key). */
+  private def evalAggregate(e: Expr, group: Vector[VObj], keyVals: Seq[(Expr, V)], env: Env): V = {
+    keyVals.find { case (ke, _) => ke == e } match {
+      case Some((_, kv)) => return kv
+      case scala.None =>
+    }
+    e match {
+      case FnCall("count", Nil) => VInt(group.length)
+      case FnCall("count", Seq(inner)) =>
+        VInt(group.count(r => Eval.eval(inner, env.copy(doc = Some(r))).truthy))
+      case FnCall(name, Seq(inner)) if aggFns.contains(name) =>
+        val values = group.map(r => Eval.eval(inner, env.copy(doc = Some(r))))
+        Functions.apply(name, Seq(VArr(values.filter(v => v != VNone && v != VNull))), env)
+      case FnCall(name, inner +: restArgs) if aggFns.contains(name) =>
+        val values = group.map(r => Eval.eval(inner, env.copy(doc = Some(r))))
+        val extraArgs = restArgs.map(Eval.eval(_, env))
+        Functions.apply(name, VArr(values.filter(v => v != VNone && v != VNull)) +: extraArgs, env)
+      case Binary(op, l, rr) => // aggregate distributes over binary exprs
+        Ops match { case _ =>
+          Eval.eval(Binary(op, Lit(evalAggregate(l, group, keyVals, env)),
+            Lit(evalAggregate(rr, group, keyVals, env))), env)
+        }
+      case other =>
+        // implicit array-collapse of a per-row expression
+        val values = group.map(r => Eval.eval(other, env.copy(doc = Some(r))))
+        other match {
+          case _: Lit => values.headOption.getOrElse(VNone)
+          case _ => VArr(values)
+        }
+    }
+  }
+
+  private val aggFns = Set(
+    "math::sum", "math::mean", "math::min", "math::max", "math::stddev", "math::variance",
+    "math::median", "math::product", "math::spread", "math::top", "math::bottom",
+    "time::min", "time::max", "array::group", "array::distinct", "array::flatten",
+    "array::join", "array::len", "array::concat")
+
+  // ---- mutations -------------------------------------------------------
+
+  private def applyData(doc: VObj, data: Option[Data], env: Env): VObj = data match {
+    case scala.None => doc
+    case Some(SetData(sets)) =>
+      var fields = doc.fields
+      val de = env.copy(doc = Some(VObj(fields)))
+      sets.foreach { case (idiom, op, valueE) =>
+        val path = idiom.parts.collect { case PField(n) => n }.toList
+        val newV = Eval.eval(valueE, env.copy(doc = Some(VObj(fields))))
+        val resolved = op match {
+          case "=" => newV
+          case "+=" =>
+            val cur = getPath(fields, path)
+            cur match {
+              case VNone => newV match { case _: VNum => newV; case _ => VArr(Vector(newV)) }
+              case VArr(items) => VArr(items :+ newV)
+              case old => Ops.add(old, newV)
+            }
+          case "-=" =>
+            val cur = getPath(fields, path)
+            cur match {
+              case VArr(items) => VArr(items.filterNot(V.looseEq(_, newV)))
+              case VNone => Ops.sub(VInt(0), newV)
+              case old => Ops.sub(old, newV)
+            }
+        }
+        fields = setPath(TreeMap(fields.toSeq: _*), path, resolved)
+      }
+      VObj(fields)
+    case Some(UnsetData(fs)) =>
+      var fields = doc.fields
+      fs.foreach { idiom =>
+        val path = idiom.parts.collect { case PField(n) => n }
+        if (path.length == 1) fields = fields - path.head
+      }
+      VObj(fields)
+    case Some(ContentData(e)) =>
+      Eval.eval(e, env) match {
+        case VObj(fs) =>
+          val kept = fs.filter { case (_, v) => v != VNone }
+          VObj(doc.fields.get("id").map(id => kept + ("id" -> id)).getOrElse(kept))
+        case other => throw SqlError(s"Can not use ${other.render} in a CONTENT clause")
+      }
+    case Some(ReplaceData(e)) => applyData(doc, Some(ContentData(e)), env)
+    case Some(MergeData(e)) =>
+      Eval.eval(e, env) match {
+        case VObj(fs) =>
+          val merged = deepMerge(doc.fields, fs)
+          VObj(doc.fields.get("id").map(id => merged + ("id" -> id)).getOrElse(merged))
+        case other => throw SqlError(s"Can not use ${other.render} in a MERGE clause")
+      }
+    case Some(PatchData(e)) =>
+      Eval.eval(e, env) match {
+        case VArr(patches) =>
+          var fields = doc.fields
+          patches.foreach {
+            case VObj(p) =>
+              val op = p.get("op").collect { case VStr(s) => s }.getOrElse("")
+              val path = p.get("path").collect { case VStr(s) => s }.getOrElse("")
+                .stripPrefix("/").split('/').filter(_.nonEmpty).toList
+              val value = p.getOrElse("value", VNone)
+              op match {
+                case "add" | "replace" => fields = setPath(TreeMap(fields.toSeq: _*), path, value)
+                case "remove" => if (path.length == 1) fields = fields - path.head
+                case "copy" | "move" | "test" => ()
+                case _ => ()
+              }
+            case _ => ()
+          }
+          VObj(fields)
+        case other => throw SqlError(s"Can not use ${other.render} in a PATCH clause")
+      }
+  }
+
+  private def getPath(fields: TreeMap[String, V], path: List[String]): V = path match {
+    case Nil => VNone
+    case last :: Nil => fields.getOrElse(last, VNone)
+    case head :: rest => fields.get(head) match {
+      case Some(VObj(inner)) => getPath(inner, rest)
+      case _ => VNone
+    }
+  }
+
+  private def deepMerge(base: TreeMap[String, V], patch: TreeMap[String, V]): TreeMap[String, V] =
+    patch.foldLeft(base) { case (acc, (k, v)) =>
+      (acc.get(k), v) match {
+        case (Some(VObj(b)), VObj(p)) => acc.updated(k, VObj(deepMerge(b, p)))
+        case (_, VNone) => acc - k
+        case _ => acc.updated(k, v)
+      }
+    }
+
+  private def shapeOutput(before: Option[VObj], after: Option[VObj], output: Option[Output],
+      env: Env): Option[V] = output match {
+    case scala.None => after.orElse(before).map(identity)
+    case Some(Output.ONone) => scala.None
+    case Some(Output.ONull) => Some(VNull)
+    case Some(Output.OBefore) => Some(before.map(identity[V]).getOrElse(VNone))
+    case Some(Output.OAfter) => Some(after.map(identity[V]).getOrElse(VNone))
+    case Some(Output.ODiff) =>
+      val b = before.map(_.fields).getOrElse(TreeMap.empty[String, V])
+      val aa = after.map(_.fields).getOrElse(TreeMap.empty[String, V])
+      val ops = mutable.ArrayBuffer[V]()
+      (aa.keySet ++ b.keySet).toSeq.sorted.foreach { k =>
+        (b.get(k), aa.get(k)) match {
+          case (scala.None, Some(v)) =>
+            ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"/$k"), "value" -> v)
+          case (Some(_), scala.None) =>
+            ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"/$k"))
+          case (Some(x), Some(y)) if !V.looseEq(x, y) =>
+            ops += V.obj("op" -> VStr("replace"), "path" -> VStr(s"/$k"), "value" -> y)
+          case _ => ()
+        }
+      }
+      Some(VArr(ops.toVector))
+    case Some(Output.OFields(fs)) =>
+      val doc = after.orElse(before).getOrElse(VObj(TreeMap.empty))
+      val de = env.copy(doc = Some(doc))
+      Some(VObj(TreeMap(fs.map { f =>
+        val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+        name -> Eval.eval(f.expr, de)
+      }: _*)))
+  }
+
+  def execCreate(s: CreateStmt, env: Env): V = {
+    val created = mutationTargets(s.what, env).map { case (tb, keyOpt) =>
+      val t = table(tb)
+      // a SET/CONTENT id overrides the generated key (string/int values
+      // become the record key — `CREATE person SET id = "x"` → person:x)
+      val base0 = VObj(TreeMap.empty[String, V])
+      val withData = applyData(base0, s.data, env)
+      val key = withData.fields.get("id") match {
+        case Some(VRid(_, k)) => k
+        case Some(VNone) | scala.None => keyOpt.getOrElse(nextId())
+        case Some(other) => other
+      }
+      if (t.keys.exists(V.looseEq(_, key)))
+        throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
+      val doc = VObj(withData.fields.updated("id", VRid(tb, key)))
+      t(key) = doc
+      shapeOutput(scala.None, Some(doc), s.output, env)
+    }
+    val vs = created.flatten
+    if (s.only) vs.headOption.getOrElse(VNone)
+    else if (s.output.contains(Output.ONone)) VArr(Vector.empty)
+    else VArr(vs.toVector)
+  }
+
+  def execUpdate(only: Boolean, what: Seq[Expr], data: Option[Data], where: Option[Expr],
+      output: Option[Output], env: Env, upsert: Boolean): V = {
+    val results = mutable.ArrayBuffer[V]()
+    mutationTargets(what, env).foreach { case (tb, keyOpt) =>
+      val t = table(tb)
+      keyOpt match {
+        case Some(key) =>
+          val existing = t.find { case (k, _) => V.looseEq(k, key) }.map(_._2)
+          existing match {
+            case Some(doc) =>
+              val de = env.copy(doc = Some(doc))
+              if (where.forall(c => Eval.eval(c, de).truthy)) {
+                val updated = applyData(doc, data, env.copy(doc = Some(doc)))
+                t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
+                shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
+              }
+            case scala.None if upsert =>
+              val base = VObj(TreeMap("id" -> VRid(tb, key)))
+              val doc = applyData(base, data, env)
+              t(key) = doc
+              shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
+            case scala.None => ()
+          }
+        case scala.None =>
+          t.toSeq.foreach { case (key, doc) =>
+            val de = env.copy(doc = Some(doc))
+            if (where.forall(c => Eval.eval(c, de).truthy)) {
+              val updated = applyData(doc, data, env.copy(doc = Some(doc)))
+              t(key) = updated
+              shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
+            }
+          }
+      }
+    }
+    if (only) results.headOption.getOrElse(VNone) else VArr(results.toVector)
+  }
+
+  def execDelete(s: DeleteStmt, env: Env): V = {
+    val results = mutable.ArrayBuffer[V]()
+    mutationTargets(s.what, env).foreach { case (tb, keyOpt) =>
+      val t = table(tb)
+      val keys = keyOpt match {
+        case Some(key) => t.keys.filter(V.looseEq(_, key)).toSeq
+        case scala.None => t.keys.toSeq
+      }
+      keys.foreach { key =>
+        val doc = t(key)
+        val de = env.copy(doc = Some(doc))
+        if (s.where.forall(c => Eval.eval(c, de).truthy)) {
+          t.remove(key)
+          shapeOutput(Some(doc), scala.None, s.output, env).foreach(results += _)
+        }
+      }
+    }
+    if (s.output.isEmpty) VArr(Vector.empty)
+    else if (s.only) results.headOption.getOrElse(VNone)
+    else VArr(results.toVector)
+  }
+
+  def execInsert(s: InsertStmt, env: Env): V = {
+    val intoTable = s.into.map {
+      case Idiom(Seq(PField(n))) => n
+      case e => Eval.eval(e, env) match {
+        case VTable(n) => n
+        case VStr(n) => n
+        case other => throw SqlError(s"Can not INSERT INTO ${other.render}")
+      }
+    }
+    val rows = Eval.eval(s.values, env) match {
+      case VArr(items) => items.collect { case o: VObj => o }
+      case o: VObj => Vector(o)
+      case other => throw SqlError(s"Can not INSERT ${other.render}")
+    }
+    val results = mutable.ArrayBuffer[V]()
+    rows.foreach { row =>
+      val (tb, key) = row.fields.get("id") match {
+        case Some(VRid(t, k)) => (intoTable.getOrElse(t), k)
+        case Some(k) => (intoTable.getOrElse(throw SqlError("INSERT without table")), k)
+        case scala.None => (intoTable.getOrElse(throw SqlError("INSERT without table")), nextId())
+      }
+      val t = table(tb)
+      val existingKey = t.keys.find(V.looseEq(_, key))
+      existingKey match {
+        case Some(k0) =>
+          if (s.ignore) ()
+          else s.onDuplicate match {
+            case Some(sets) =>
+              val doc = t(k0)
+              val updated = applyData(doc, Some(SetData(sets)), env.copy(doc = Some(doc)))
+              t(k0) = updated
+              results += updated
+            case scala.None =>
+              throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
+          }
+        case scala.None =>
+          val doc = VObj(row.fields.updated("id", VRid(tb, key)))
+          t(key) = doc
+          results += doc
+      }
+    }
+    VArr(results.toVector)
+  }
+
+  def execRelate(s: RelateStmt, env: Env): V = {
+    def rids(e: Expr): Seq[VRid] = Eval.eval(e, env) match {
+      case r: VRid => Seq(r)
+      case VArr(items) => items.collect { case r: VRid => r }
+      case VObj(fs) => fs.get("id").collect { case r: VRid => r }.toSeq
+      case other => throw SqlError(s"Can not RELATE ${other.render}")
+    }
+    val edgeTable = s.edge match {
+      case Idiom(Seq(PField(n))) => n
+      case RidLit(tb, _) => tb
+      case e => Eval.eval(e, env) match {
+        case VTable(n) => n
+        case VStr(n) => n
+        case VRid(tb, _) => tb
+        case other => throw SqlError(s"Can not RELATE through ${other.render}")
+      }
+    }
+    val results = mutable.ArrayBuffer[V]()
+    for (from <- rids(s.from); to <- rids(s.to)) {
+      val key = s.edge match {
+        case RidLit(_, keyE) => Eval.eval(keyE, env)
+        case _ => nextId()
+      }
+      val base = VObj(TreeMap(
+        "id" -> VRid(edgeTable, key), "in" -> from, "out" -> to))
+      val doc = applyData(base, s.data, env)
+      table(edgeTable)(key) = doc
+      shapeOutput(scala.None, Some(doc), s.output, env).foreach(results += _)
+    }
+    if (s.only) results.headOption.getOrElse(VNone) else VArr(results.toVector)
+  }
+
+  // ---- graph traversal -------------------------------------------------
+
+  /** One graph hop from a record id (or array of ids): `->edge->` /
+    * `<-edge<-` / `<->`; returns target ids (GraphScanOutput::TargetId). */
+  def graphHop(v: V, dir: String, what: Seq[String], cond: Option[Expr], env: Env): V = {
+    val sources: Vector[V] = v match {
+      case rid: VRid => Vector(rid)
+      case VArr(items) => items
+      case VObj(fs) => fs.get("id").toVector
+      case _ => Vector.empty
+    }
+    val edgeTables = if (what.isEmpty) tables.keys.toSeq else what
+    val out = mutable.ArrayBuffer[V]()
+    sources.foreach { src =>
+      edgeTables.foreach { et =>
+        table(et).values.foreach { edge =>
+          val inV = edge.fields.getOrElse("in", VNone)
+          val outV = edge.fields.getOrElse("out", VNone)
+          val matches = dir match {
+            case "out"  => V.looseEq(inV, src)
+            case "in"   => V.looseEq(outV, src)
+            case _      => V.looseEq(inV, src) || V.looseEq(outV, src)
+          }
+          if (matches && cond.forall(c => Eval.eval(c, env.copy(doc = Some(edge))).truthy)) {
+            val tgt = dir match {
+              case "out" => outV
+              case "in"  => inV
+              case _     => if (V.looseEq(inV, src)) outV else inV
+            }
+            out += tgt
+          }
+        }
+      }
+    }
+    VArr(out.toVector)
+  }
+}

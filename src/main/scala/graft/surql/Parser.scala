@@ -1,0 +1,1282 @@
+package graft.surql
+
+import graft.surql.ast._
+import scala.collection.mutable.ArrayBuffer
+
+final case class ParseError(msg: String, pos: Int) extends Exception(s"Parse error: $msg @ $pos")
+
+/** Hand-rolled scannerless recursive-descent parser for the SurrealQL
+  * surface — structured after the reference's `syn/parser/` (surrealdb:
+  * syn/mod.rs:103-111, expression Pratt levels sql/operator.rs:535-549,
+  * statement parsing syn/parser/stmt/). Scannerless because SurrealQL lexing
+  * is context-dependent (record ids, durations, regex, casts). */
+object Parser {
+  def parse(text: String): Ast = new Parser(text).parseAst()
+  def parseExpr(text: String): Expr = {
+    val p = new Parser(text)
+    val e = p.expr()
+    p.ws(); p.expectEof()
+    e
+  }
+  /** Parse a rendered value literal (used by the golden runner to compare
+    * structurally rather than textually where needed). */
+  def parseValue(text: String): V = {
+    val p = new Parser(text)
+    p.ws()
+    val e = p.expr()
+    Eval.evalConst(e)
+  }
+}
+
+final class Parser(val src: String) {
+  var pos = 0
+
+  // ---- low-level ------------------------------------------------------
+
+  def eof: Boolean = pos >= src.length
+  def peekc: Char = if (eof) '\u0000' else src.charAt(pos)
+  def peekAt(off: Int): Char = if (pos + off >= src.length) '\u0000' else src.charAt(pos + off)
+  def fail(msg: String): Nothing = throw ParseError(msg, pos)
+  def expectEof(): Unit = if (!eof) fail(s"unexpected trailing input: '${src.substring(pos, Math.min(src.length, pos + 20))}'")
+
+  def ws(): Unit = {
+    var moving = true
+    while (moving) {
+      moving = false
+      while (!eof && Character.isWhitespace(peekc)) { pos += 1; moving = true }
+      if (!eof) {
+        if (peekc == '/' && peekAt(1) == '/') { skipLine(); moving = true }
+        else if (peekc == '-' && peekAt(1) == '-') { skipLine(); moving = true }
+        else if (peekc == '#') { skipLine(); moving = true }
+        else if (peekc == '/' && peekAt(1) == '*') {
+          pos += 2
+          while (!eof && !(peekc == '*' && peekAt(1) == '/')) pos += 1
+          if (!eof) pos += 2
+          moving = true
+        }
+      }
+    }
+  }
+  private def skipLine(): Unit = { while (!eof && peekc != '\n') pos += 1 }
+
+  def isIdentStart(c: Char): Boolean = c.isLetter || c == '_'
+  def isIdentChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+
+  /** Case-insensitive keyword match (consumes + surrounding ws before). */
+  def kw(word: String): Boolean = {
+    ws()
+    val end = pos + word.length
+    if (end > src.length) return false
+    var i = 0
+    while (i < word.length) {
+      if (Character.toUpperCase(src.charAt(pos + i)) != word.charAt(i)) return false
+      i += 1
+    }
+    if (end < src.length && isIdentChar(src.charAt(end))) return false
+    pos = end
+    true
+  }
+  def peekKw(word: String): Boolean = { val p0 = pos; val r = kw(word); pos = p0; r }
+  def expectKw(word: String): Unit = if (!kw(word)) fail(s"expected $word")
+
+  def sym(s: String): Boolean = {
+    ws()
+    if (src.startsWith(s, pos)) { pos += s.length; true } else false
+  }
+  def peekSym(s: String): Boolean = { ws(); src.startsWith(s, pos) }
+  def expectSym(s: String): Unit = if (!sym(s)) fail(s"expected '$s'")
+
+  def rawIdent(): String = {
+    ws()
+    if (eof) fail("expected identifier")
+    if (peekc == '`') {
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && peekc != '`') {
+        if (peekc == '\\' && peekAt(1) == '`') { sb.append('`'); pos += 2 }
+        else { sb.append(peekc); pos += 1 }
+      }
+      if (eof) fail("unterminated backtick ident")
+      pos += 1
+      sb.toString
+    } else if (peekc == '⟨') { // ⟨ ... ⟩
+      pos += 1
+      val sb = new StringBuilder
+      while (!eof && peekc != '⟩') { sb.append(peekc); pos += 1 }
+      if (eof) fail("unterminated angle ident")
+      pos += 1
+      sb.toString
+    } else if (isIdentStart(peekc)) {
+      val start = pos
+      while (!eof && isIdentChar(peekc)) pos += 1
+      src.substring(start, pos)
+    } else fail(s"expected identifier, found '$peekc'")
+  }
+
+  def tryIdent(): Option[String] = {
+    ws()
+    if (!eof && (isIdentStart(peekc) || peekc == '`' || peekc == '⟨')) Some(rawIdent())
+    else scala.None
+  }
+
+  // ---- statements -----------------------------------------------------
+
+  def parseAst(): Ast = {
+    val stmts = ArrayBuffer[Statement]()
+    ws()
+    while (!eof) {
+      if (sym(";")) { /* empty statement */ }
+      else {
+        stmts += statement()
+        ws()
+        if (!eof && !sym(";")) {
+          ws()
+          if (!eof) fail(s"expected ';' between statements near '${src.substring(pos, Math.min(src.length, pos + 25))}'")
+        }
+      }
+      ws()
+    }
+    Ast(stmts.toSeq)
+  }
+
+  def statement(): Statement = {
+    ws()
+    if (kw("SELECT")) selectStmt()
+    else if (kw("LET")) letStmt()
+    else if (kw("RETURN")) ReturnStmt(expr())
+    else if (peekKw("IF")) { kw("IF"); ifStmt() }
+    else if (kw("FOR")) forStmt()
+    else if (kw("CREATE")) createStmt()
+    else if (kw("UPDATE")) UpdateStmt.tupled(updLike())
+    else if (kw("UPSERT")) UpsertStmt.tupled(updLike())
+    else if (kw("DELETE")) deleteStmt()
+    else if (kw("INSERT")) insertStmt()
+    else if (kw("RELATE")) relateStmt()
+    else if (kw("THROW")) ThrowStmt(expr())
+    else if (kw("BREAK")) BreakStmt
+    else if (kw("CONTINUE")) ContinueStmt
+    else if (kw("BEGIN")) { kw("TRANSACTION"); BeginStmt }
+    else if (kw("COMMIT")) { kw("TRANSACTION"); CommitStmt }
+    else if (kw("CANCEL")) { kw("TRANSACTION"); CancelStmt }
+    else if (kw("USE")) useStmt()
+    else if (kw("DEFINE")) defineStmt()
+    else if (kw("REMOVE")) removeStmt()
+    else if (kw("INFO")) { val lvl = new StringBuilder; while (!eof && peekc != ';') { lvl.append(peekc); pos += 1 }; InfoStmt(lvl.toString.trim) }
+    else if (kw("OPTION")) {
+      val name = rawIdent()
+      val v = if (sym("=")) { if (kw("TRUE")) true else { kw("FALSE"); false } } else true
+      OptionStmt(name, v)
+    }
+    else ExprStmt(expr())
+  }
+
+  private def letStmt(): Statement = {
+    expectSym("$")
+    val name = rawIdent()
+    val kindAnn = if (sym(":")) Some(kind()) else scala.None
+    expectSym("=")
+    LetStmt(name, kindAnn, expr())
+  }
+
+  /** IF — both `IF c { } ELSE { }` and `IF c THEN x ELSE y END` forms.
+    * (The IF keyword has already been consumed.) */
+  private def ifStmt(): IfStmt = {
+    val e = ifExprBody()
+    IfStmt(e.branches, e.otherwise)
+  }
+
+  def ifExprBody(): IfExpr = {
+    val branches = ArrayBuffer[(Expr, Expr)]()
+    var otherwise: Option[Expr] = scala.None
+    var thenForm = false
+    var continueLoop = true
+    val cond0 = expr()
+    if (kw("THEN")) { thenForm = true; branches += ((cond0, expr())) }
+    else { branches += ((cond0, blockExpr())) }
+    while (continueLoop) {
+      if (kw("ELSE")) {
+        if (kw("IF")) {
+          val c = expr()
+          if (thenForm) { expectKw("THEN"); branches += ((c, expr())) }
+          else branches += ((c, blockExpr()))
+        } else {
+          otherwise = Some(if (thenForm) expr() else blockExpr())
+          continueLoop = false
+        }
+      } else continueLoop = false
+    }
+    if (thenForm) kw("END")
+    IfExpr(branches.toSeq, otherwise)
+  }
+
+  private def forStmt(): Statement = {
+    expectSym("$")
+    val name = rawIdent()
+    expectKw("IN")
+    val iter = expr()
+    val body = blockExpr() match {
+      case b: BlockExpr => b
+      case other        => BlockExpr(Seq(ExprStmt(other)))
+    }
+    ForStmt(name, iter, body)
+  }
+
+  def blockExpr(): Expr = {
+    ws()
+    if (peekc != '{') fail("expected block")
+    pos += 1
+    val stmts = ArrayBuffer[Statement]()
+    ws()
+    while (!eof && peekc != '}') {
+      if (!sym(";")) { stmts += statement(); ws(); sym(";") }
+      ws()
+    }
+    expectSym("}")
+    BlockExpr(stmts.toSeq)
+  }
+
+  private def useStmt(): Statement = {
+    var ns: Option[String] = scala.None
+    var db: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("NS") || kw("NAMESPACE")) ns = Some(rawIdent())
+      else if (kw("DB") || kw("DATABASE")) db = Some(rawIdent())
+      else go = false
+    }
+    UseStmt(ns, db)
+  }
+
+  private def defineStmt(): Statement = {
+    val start = pos
+    val what = rawIdent().toUpperCase
+    kw("IF"); kw("NOT"); kw("EXISTS"); kw("OVERWRITE")
+    val name = if (peekSym("$")) { sym("$"); "$" + rawIdent() } else tryIdent().getOrElse("")
+    // consume the remainder of the statement (balanced braces/parens)
+    val sb = new StringBuilder
+    var depth = 0
+    while (!eof && !(depth == 0 && peekc == ';')) {
+      val c = peekc
+      if (c == '{' || c == '(' || c == '[') depth += 1
+      if (c == '}' || c == ')' || c == ']') depth -= 1
+      if (c == '\'' || c == '"') { // skip strings
+        val q = c; sb.append(c); pos += 1
+        while (!eof && peekc != q) { if (peekc == '\\') { sb.append(peekc); pos += 1 }; sb.append(peekc); pos += 1 }
+      }
+      sb.append(peekc); pos += 1
+    }
+    DefineStmt(what, name, Map.empty, src.substring(start, pos))
+  }
+
+  private def removeStmt(): Statement = {
+    val what = rawIdent().toUpperCase
+    kw("IF"); kw("EXISTS")
+    val name = if (peekSym("$")) { sym("$"); "$" + rawIdent() } else tryIdent().getOrElse("")
+    // consume qualifiers (ON TABLE x etc.)
+    while (!eof && peekc != ';') pos += 1
+    RemoveStmt(what, name)
+  }
+
+  // ---- SELECT ---------------------------------------------------------
+
+  private def selectStmt(): SelectStmt = {
+    var value = false
+    val fields = ArrayBuffer[Field]()
+    if (kw("VALUE")) {
+      value = true
+      val e = expr()
+      val alias = if (kw("AS")) Some(rawIdent()) else scala.None
+      fields += Field(e, alias)
+    } else {
+      var go = true
+      while (go) {
+        ws()
+        if (peekc == '*' && !isIdentChar(peekAt(1))) { pos += 1; fields += Field(Idiom(Seq(PAll)), scala.None, isAll = true) }
+        else {
+          val e = expr()
+          val alias = if (kw("AS")) Some(idiomName()) else scala.None
+          fields += Field(e, alias)
+        }
+        go = sym(",")
+      }
+    }
+    val omit = ArrayBuffer[String]()
+    if (kw("OMIT")) {
+      var go = true
+      while (go) { omit += idiomName(); go = sym(",") }
+    }
+    expectKw("FROM")
+    val only = kw("ONLY")
+    val what = ArrayBuffer[Expr]()
+    var goW = true
+    while (goW) { what += expr(); goW = sym(",") }
+    val where = if (kw("WHERE")) Some(expr()) else scala.None
+    val split = ArrayBuffer[String]()
+    if (kw("SPLIT")) { kw("ON"); var g = true; while (g) { split += idiomName(); g = sym(",") } }
+    var groupBy: Option[Seq[Expr]] = scala.None
+    if (kw("GROUP")) {
+      if (kw("ALL")) groupBy = Some(Nil)
+      else { kw("BY"); val gs = ArrayBuffer[Expr](); var g = true; while (g) { gs += expr(); g = sym(",") }; groupBy = Some(gs.toSeq) }
+    }
+    val order = ArrayBuffer[OrderKey]()
+    var orderRand = false
+    if (kw("ORDER")) {
+      kw("BY")
+      if (kw("RAND")) { sym("("); sym(")"); orderRand = true }
+      else {
+        var g = true
+        while (g) {
+          val e = expr()
+          val collate = kw("COLLATE")
+          val numeric = kw("NUMERIC")
+          val desc = if (kw("DESC")) true else { kw("ASC"); false }
+          order += OrderKey(e, desc, collate, numeric)
+          g = sym(",")
+        }
+      }
+    }
+    val limit = if (kw("LIMIT")) { kw("BY"); Some(expr()) } else scala.None
+    val start = if (kw("START")) { kw("AT"); Some(expr()) } else scala.None
+    val fetch = ArrayBuffer[String]()
+    if (kw("FETCH")) { var g = true; while (g) { fetch += idiomName(); g = sym(",") } }
+    val version = if (kw("VERSION")) Some(expr()) else scala.None
+    val timeout = if (kw("TIMEOUT")) Some(expr()) else scala.None
+    kw("PARALLEL")
+    kw("TEMPFILES")
+    val explain = kw("EXPLAIN")
+    if (explain) kw("FULL")
+    SelectStmt(fields.toSeq, value, omit.toSeq, only, what.toSeq, where, split.toSeq,
+      groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain)
+  }
+
+  /** A dotted idiom name used in OMIT/SPLIT/FETCH/AS positions. */
+  private def idiomName(): String = {
+    val sb = new StringBuilder(rawIdent())
+    while (peekSym(".")) { sym("."); sb.append('.').append(rawIdent()) }
+    sb.toString
+  }
+
+  // ---- mutations ------------------------------------------------------
+
+  private def targets(): Seq[Expr] = {
+    val what = ArrayBuffer[Expr]()
+    var go = true
+    while (go) { what += expr(); go = sym(",") }
+    what.toSeq
+  }
+
+  private def dataClause(): Option[Data] = {
+    if (kw("SET")) {
+      val sets = ArrayBuffer[(Idiom, String, Expr)]()
+      var go = true
+      while (go) {
+        val target = idiomForSet()
+        val op =
+          if (sym("+=")) "+=" else if (sym("-=")) "-=" else { expectSym("="); "=" }
+        sets += ((target, op, expr()))
+        go = sym(",")
+      }
+      Some(SetData(sets.toSeq))
+    }
+    else if (kw("UNSET")) {
+      val fs = ArrayBuffer[Idiom]()
+      var go = true
+      while (go) { fs += idiomForSet(); go = sym(",") }
+      Some(UnsetData(fs.toSeq))
+    }
+    else if (kw("CONTENT")) Some(ContentData(expr()))
+    else if (kw("MERGE")) Some(MergeData(expr()))
+    else if (kw("REPLACE")) Some(ReplaceData(expr()))
+    else if (kw("PATCH")) Some(PatchData(expr()))
+    else scala.None
+  }
+
+  private def idiomForSet(): Idiom = {
+    val parts = ArrayBuffer[Part](PField(rawIdent()))
+    var go = true
+    while (go) {
+      if (sym(".")) parts += PField(rawIdent())
+      else if (peekSym("[")) { sym("["); val e = expr(); expectSym("]"); parts += PIndex(e) }
+      else go = false
+    }
+    Idiom(parts.toSeq)
+  }
+
+  private def output(): Option[Output] = {
+    if (kw("RETURN")) {
+      if (kw("NONE")) Some(Output.ONone)
+      else if (kw("NULL")) Some(Output.ONull)
+      else if (kw("DIFF")) Some(Output.ODiff)
+      else if (kw("BEFORE")) Some(Output.OBefore)
+      else if (kw("AFTER")) Some(Output.OAfter)
+      else {
+        val fs = ArrayBuffer[Field]()
+        var go = true
+        while (go) {
+          val e = expr()
+          val alias = if (kw("AS")) Some(idiomName()) else scala.None
+          fs += Field(e, alias)
+          go = sym(",")
+        }
+        Some(Output.OFields(fs.toSeq))
+      }
+    } else scala.None
+  }
+
+  private def createStmt(): Statement = {
+    val only = kw("ONLY")
+    val what = targets()
+    val data = dataClause()
+    val out = output()
+    kw("TIMEOUT"); kw("PARALLEL")
+    CreateStmt(only, what, data, out)
+  }
+
+  private def updLike(): (Boolean, Seq[Expr], Option[Data], Option[Expr], Option[Output]) = {
+    val only = kw("ONLY")
+    val what = targets()
+    val data = dataClause()
+    val where = if (kw("WHERE")) Some(expr()) else scala.None
+    val out = output()
+    kw("TIMEOUT"); kw("PARALLEL")
+    (only, what, data, where, out)
+  }
+
+  private def deleteStmt(): Statement = {
+    kw("FROM")
+    val only = kw("ONLY")
+    val what = targets()
+    val where = if (kw("WHERE")) Some(expr()) else scala.None
+    val out = output()
+    kw("TIMEOUT"); kw("PARALLEL")
+    DeleteStmt(only, what, where, out)
+  }
+
+  private def insertStmt(): Statement = {
+    val relation = kw("RELATION")
+    val ignore = kw("IGNORE")
+    val into = if (kw("INTO")) Some(expr()) else scala.None
+    val values: Expr =
+      if (peekSym("(")) {
+        // (col, col) VALUES (v, v), (v, v)
+        expectSym("(")
+        val cols = ArrayBuffer[String]()
+        var g = true
+        while (g) { cols += idiomName(); g = sym(",") }
+        expectSym(")")
+        expectKw("VALUES")
+        val rows = ArrayBuffer[Expr]()
+        var gr = true
+        while (gr) {
+          expectSym("(")
+          val vals = ArrayBuffer[Expr]()
+          var gv = true
+          while (gv) { vals += expr(); gv = sym(",") }
+          expectSym(")")
+          rows += ObjLit(cols.toSeq.zip(vals.toSeq))
+          gr = sym(",")
+        }
+        ArrLit(rows.toSeq)
+      } else expr()
+    val onDup = if (kw("ON")) {
+      expectKw("DUPLICATE"); expectKw("KEY"); expectKw("UPDATE")
+      val sets = ArrayBuffer[(Idiom, String, Expr)]()
+      var g = true
+      while (g) {
+        val t = idiomForSet()
+        val op = if (sym("+=")) "+=" else if (sym("-=")) "-=" else { expectSym("="); "=" }
+        sets += ((t, op, expr()))
+        g = sym(",")
+      }
+      Some(sets.toSeq)
+    } else scala.None
+    val out = output()
+    InsertStmt(ignore, into, values, onDup, relation)
+  }
+
+  private def relateStmt(): Statement = {
+    val only = kw("ONLY")
+    val from = exprAtLevel(BpRelation + 1)
+    expectSym("->")
+    val edge = exprAtLevel(BpRelation + 1)
+    expectSym("->")
+    val to = exprAtLevel(BpRelation + 1)
+    val data = dataClause()
+    val out = output()
+    RelateStmt(only, from, edge, to, data, out)
+  }
+
+  // ---- expressions (Pratt; sql/operator.rs:535 BindingPower) ----------
+
+  final val BpNullish = 1
+  final val BpOr = 2
+  final val BpAnd = 3
+  final val BpEquality = 4
+  final val BpRelation = 5
+  final val BpRange = 6
+  final val BpAddSub = 7
+  final val BpMulDiv = 8
+  final val BpPower = 9
+  final val BpPrefix = 10
+
+  def expr(): Expr = exprAtLevel(1)
+
+  def exprAtLevel(minBp: Int): Expr = {
+    var lhs = prefix()
+    var go = true
+    while (go) {
+      ws()
+      infixOp(minBp) match {
+        case Some((op, bp)) =>
+          if (op == "..") {
+            // range: rhs optional (`1..`), '=' inclusive (`..=5`)
+            val hiIncl = sym("=")
+            val hi = if (startsExpr()) Some((exprAtLevel(bp + 1), hiIncl)) else scala.None
+            lhs = RangeLit(Some((lhs, true)), hi)
+          } else if (op == ">..") {
+            val hiIncl = sym("=")
+            val hi = if (startsExpr()) Some((exprAtLevel(bp + 1), hiIncl)) else scala.None
+            lhs = RangeLit(Some((lhs, false)), hi)
+          } else {
+            val rhs = exprAtLevel(bp + 1)
+            lhs = Binary(op, lhs, rhs)
+          }
+        case scala.None => go = false
+      }
+    }
+    lhs
+  }
+
+  /** Returns (canonical op, binding power) and consumes the operator. */
+  private def infixOp(minBp: Int): Option[(String, Int)] = {
+    ws()
+    def take(tok: String, op: String, bp: Int): Option[(String, Int)] =
+      if (bp < minBp) scala.None
+      else if (sym(tok)) Some((op, bp)) else scala.None
+    val save = pos
+
+    // multi-char first
+    if (peekSym("**")) return take("**", "**", BpPower)
+    if (peekSym("??")) return take("??", "??", BpNullish)
+    if (peekSym("?:")) return take("?:", "?:", BpNullish)
+    if (peekSym("||")) return take("||", "||", BpOr)
+    if (peekSym("&&")) return take("&&", "&&", BpAnd)
+    if (peekSym("==")) return take("==", "==", BpEquality)
+    if (peekSym("!=")) return take("!=", "!=", BpEquality)
+    if (peekSym("*=")) return take("*=", "*=", BpEquality)
+    if (peekSym("?=")) return take("?=", "?=", BpEquality)
+    if (peekSym("<=")) return take("<=", "<=", BpRelation)
+    if (peekSym(">=")) return take(">=", ">=", BpRelation)
+    if (peekSym(">..")) return take(">..", ">..", BpRange)
+    if (peekSym("..")) return take("..", "..", BpRange)
+    if (peekSym("<")) {
+      // not a comparison if followed by - ~ -> .. (graph/cast territory)
+      val n = peekAt(1)
+      if (n == '-' || n == '~' || n == '|') return scala.None
+      return take("<", "<", BpRelation)
+    }
+    if (peekSym(">")) {
+      val n = peekAt(1)
+      if (n == '.' && peekAt(2) == '.') return scala.None // handled by >.. above
+      return take(">", ">", BpRelation)
+    }
+    if (peekSym("+=") || peekSym("-=")) return scala.None
+    if (peekSym("+")) return take("+", "+", BpAddSub)
+    if (peekSym("->")) return scala.None
+    if (peekSym("-")) return take("-", "-", BpAddSub)
+    if (peekSym("×")) return take("×", "*", BpMulDiv)
+    if (peekSym("÷")) return take("÷", "/", BpMulDiv)
+    if (peekSym("*")) return take("*", "*", BpMulDiv)
+    if (peekSym("/")) return take("/", "/", BpMulDiv)
+    if (peekSym("%")) return take("%", "%", BpMulDiv)
+    if (peekSym("=")) return take("=", "=", BpEquality)
+    if (peekSym("∋")) return take("∋", "CONTAINS", BpRelation)
+    if (peekSym("∌")) return take("∌", "CONTAINSNOT", BpRelation)
+    if (peekSym("∈")) return take("∈", "INSIDE", BpRelation)
+    if (peekSym("∉")) return take("∉", "NOTINSIDE", BpRelation)
+    if (peekSym("⊇")) return take("⊇", "CONTAINSALL", BpRelation)
+    if (peekSym("⊃")) return take("⊃", "CONTAINSANY", BpRelation)
+    if (peekSym("⊅")) return take("⊅", "CONTAINSNONE", BpRelation)
+    if (peekSym("⊆")) return take("⊆", "ALLINSIDE", BpRelation)
+    if (peekSym("⊂")) return take("⊂", "ANYINSIDE", BpRelation)
+    if (peekSym("⊄")) return take("⊄", "NONEINSIDE", BpRelation)
+    if (peekSym("@@")) return take("@@", "MATCHES", BpEquality)
+    if (peekSym("@")) return take("@", "MATCHES", BpEquality)
+
+    // keyword operators
+    if (BpOr >= minBp && kw("OR")) return Some(("||", BpOr))
+    if (BpAnd >= minBp && kw("AND")) return Some(("&&", BpAnd))
+    if (BpEquality >= minBp && kw("IS")) {
+      if (kw("NOT")) return Some(("!=", BpEquality))
+      return Some(("=", BpEquality))
+    }
+    if (BpRelation >= minBp) {
+      if (kw("CONTAINSALL")) return Some(("CONTAINSALL", BpRelation))
+      if (kw("CONTAINSANY")) return Some(("CONTAINSANY", BpRelation))
+      if (kw("CONTAINSNONE")) return Some(("CONTAINSNONE", BpRelation))
+      if (kw("CONTAINSNOT")) return Some(("CONTAINSNOT", BpRelation))
+      if (kw("CONTAINS")) return Some(("CONTAINS", BpRelation))
+      if (kw("ALLINSIDE")) return Some(("ALLINSIDE", BpRelation))
+      if (kw("ANYINSIDE")) return Some(("ANYINSIDE", BpRelation))
+      if (kw("NONEINSIDE")) return Some(("NONEINSIDE", BpRelation))
+      if (kw("NOTINSIDE")) return Some(("NOTINSIDE", BpRelation))
+      if (kw("INSIDE")) return Some(("INSIDE", BpRelation))
+      if (kw("OUTSIDE")) return Some(("OUTSIDE", BpRelation))
+      if (kw("INTERSECTS")) return Some(("INTERSECTS", BpRelation))
+      if (kw("NOT")) {
+        if (kw("IN")) return Some(("NOTINSIDE", BpRelation))
+        pos = save; return scala.None
+      }
+      if (kw("IN")) return Some(("INSIDE", BpRelation))
+    }
+    pos = save
+    scala.None
+  }
+
+  /** Does the upcoming input start an expression? (for open-ended ranges) */
+  private def startsExpr(): Boolean = {
+    ws()
+    if (eof) return false
+    val c = peekc
+    c.isDigit || isIdentStart(c) || c == '$' || c == '\'' || c == '"' || c == '(' ||
+      c == '[' || c == '{' || c == '-' || c == '+' || c == '!' || c == '`' || c == '⟨'
+  }
+
+  // ---- prefix / primary ----------------------------------------------
+
+  private def prefix(): Expr = {
+    ws()
+    if (eof) fail("unexpected end of input")
+    val c = peekc
+    if (c == '!') { pos += 1; Prefix("!", exprAtLevel(BpPrefix)) }
+    else if (c == '-' && !src.startsWith("->", pos)) { pos += 1; Prefix("-", exprAtLevel(BpPrefix)) }
+    else if (c == '+' && !src.startsWith("+=", pos)) { pos += 1; Prefix("+", exprAtLevel(BpPrefix)) }
+    else if (src.startsWith("..", pos)) {
+      pos += 2
+      val incl = sym("=")
+      val hi = if (startsExpr()) Some((exprAtLevel(BpRange + 1), incl)) else scala.None
+      RangeLit(scala.None, hi)
+    }
+    else if (c == '<' && peekAt(1) != '-' && peekAt(1) != '~') castOrFuture()
+    else primaryWithIdiom()
+  }
+
+  private def castOrFuture(): Expr = {
+    expectSym("<")
+    val k = kind()
+    expectSym(">")
+    Cast(k, exprAtLevel(BpRange))
+  }
+
+  def kind(): Kind = {
+    import Kind._
+    def one(): Kind = {
+      ws()
+      if (peekc == '\'' || peekc == '"') return KLiteral(VStr(stringLit()._1))
+      if (peekc.isDigit || peekc == '-') {
+        val e = prefix()
+        return KLiteral(Eval.evalConst(e))
+      }
+      if (peekc == '[') {
+        // literal array kind: element-wise kinds, e.g. <[123, "abc"]>
+        pos += 1
+        val items = ArrayBuffer[Kind]()
+        ws()
+        if (peekc != ']') { var g = true; while (g) { items += kindUnion(); g = sym(",") } }
+        expectSym("]")
+        return KLiteralArr(items.toSeq)
+      }
+      if (peekc == '{') {
+        // literal object kind: per-key kinds, e.g. <{ a: 1d | 2d }>
+        pos += 1
+        val fields = ArrayBuffer[(String, Kind)]()
+        ws()
+        if (peekc != '}') {
+          var g = true
+          while (g) {
+            val key = if (peekc == '\'' || peekc == '"') stringLit()._1 else rawIdent()
+            expectSym(":")
+            fields += ((key, kindUnion()))
+            g = sym(",")
+          }
+        }
+        expectSym("}")
+        return KLiteralObj(fields.toSeq)
+      }
+      val name = rawIdent().toLowerCase
+      name match {
+        case "any" => KAny
+        case "none" => KNone
+        case "null" => KNull
+        case "bool" => KBool
+        case "int" => KInt
+        case "float" => KFloat
+        case "decimal" => KDecimal
+        case "number" => KNumber
+        case "string" => KString
+        case "duration" => KDuration
+        case "datetime" => KDatetime
+        case "uuid" => KUuid
+        case "bytes" => KBytes
+        case "object" => KObject
+        case "regex" => KRegex
+        case "range" => KRange
+        case "function" => KFunction
+        case "file" => KFile
+        case "array" | "set" =>
+          var inner: Option[Kind] = scala.None
+          var max: Option[Long] = scala.None
+          if (sym("<")) {
+            inner = Some(kindUnion())
+            if (sym(",")) { max = Some(intLit()) }
+            expectSym(">")
+          }
+          if (name == "array") KArray(inner, max) else KSet(inner, max)
+        case "record" =>
+          val tables = ArrayBuffer[String]()
+          if (sym("<")) {
+            var g = true
+            while (g) { tables += rawIdent(); g = sym("|") }
+            expectSym(">")
+          }
+          KRecord(tables.toSeq)
+        case "geometry" =>
+          val kinds = ArrayBuffer[String]()
+          if (sym("<")) {
+            var g = true
+            while (g) { kinds += rawIdent(); g = sym("|") }
+            expectSym(">")
+          }
+          KGeometry(kinds.toSeq)
+        case "option" =>
+          expectSym("<"); val in = kindUnion(); expectSym(">")
+          KOption(in)
+        case "true" => KLiteral(VBool(true))
+        case "false" => KLiteral(VBool(false))
+        case "table" =>
+          if (sym("<")) {
+            val names = ArrayBuffer[String]()
+            var g = true
+            while (g) { names += rawIdent(); g = sym("|") }
+            expectSym(">")
+            KTable(names.toSeq)
+          } else KTable(Nil)
+        case "point" | "line" | "polygon" | "multipoint" | "multiline" | "multipolygon" | "collection" =>
+          KGeometry(Seq(name))
+        case other => KTable(Seq(other))
+      }
+    }
+    kindUnionFrom(one())
+  }
+
+  private def kindUnion(): Kind = kindUnionFrom(kind())
+
+  private def kindUnionFrom(first: Kind): Kind = {
+    if (!peekSym("|")) return first
+    val parts = ArrayBuffer[Kind](first)
+    while ({ ws(); peekc == '|' && peekAt(1) != '|' }) { pos += 1; parts += kind() }
+    if (parts.size == 1) first else Kind.KEither(parts.toSeq)
+  }
+
+  private def intLit(): Long = {
+    ws()
+    val start = pos
+    while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+    src.substring(start, pos).replace("_", "").toLong
+  }
+
+  /** Primary expression plus any idiom continuation (paths, methods,
+    * indexes, graph hops). */
+  private def primaryWithIdiom(): Expr = {
+    val prime = primary()
+    idiomContinuation(prime)
+  }
+
+  private def idiomContinuation(prime: Expr): Expr = {
+    val parts = ArrayBuffer[Part]()
+    var go = true
+    while (go) {
+      // NOTE: no ws() before '.'/'[' — idiom parts bind tightly, but SurrealQL
+      // tolerates whitespace; accept it.
+      if (peekSym("...") || peekSym("…")) { if (!sym("...")) sym("…"); parts += PFlatten }
+      else if (peekSym(".") && !peekSym("..")) {
+        sym(".")
+        ws()
+        if (peekc == '*') { pos += 1; parts += PAll }
+        else if (peekc == '{') {
+          pos += 1
+          val fs = ArrayBuffer[(String, Option[Seq[Part]])]()
+          var g = true
+          while (g) {
+            ws()
+            if (peekc == '}') g = false
+            else {
+              val n = rawIdent()
+              if (sym(":")) {
+                // aliased sub-path destructure
+                val sub = ArrayBuffer[Part](PField(rawIdent()))
+                while (peekSym(".")) { sym("."); sub += PField(rawIdent()) }
+                fs += ((n, Some(sub.toSeq)))
+              } else fs += ((n, scala.None))
+              g = sym(",")
+            }
+          }
+          expectSym("}")
+          parts += PDestructure(fs.toSeq)
+        }
+        else {
+          val name = rawIdent()
+          ws()
+          if (peekc == '(') {
+            pos += 1
+            val args = ArrayBuffer[Expr]()
+            ws()
+            if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+            expectSym(")")
+            parts += PMethod(name, args.toSeq)
+          } else parts += PField(name)
+        }
+      }
+      else if (peekSym("[")) {
+        sym("[")
+        ws()
+        if (peekc == '*') { pos += 1; expectSym("]"); parts += PAll }
+        else if (peekc == '$' && peekAt(1) == ']') { pos += 2; parts += PLast }
+        else if (kw("WHERE")) { val e = expr(); expectSym("]"); parts += PWhere(e) }
+        else if (peekc == '?') { pos += 1; val e = expr(); expectSym("]"); parts += PWhere(e) }
+        else { val e = expr(); expectSym("]"); parts += PIndex(e) }
+      }
+      else if (peekSym("->") ) { sym("->"); parts += graphPart("out") }
+      else if (peekSym("<->")) { sym("<->"); parts += graphPart("both") }
+      else if (peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
+      else if (peekSym("?") && !peekSym("??") && !peekSym("?:") && !peekSym("?=")) {
+        sym("?"); parts += POptional
+      }
+      else if (peekSym("@") && !peekSym("@@")) {
+        // @{n..m} recursion or @ doc ref
+        sym("@")
+        if (peekSym("{")) {
+          sym("{")
+          val mn = if (peekc.isDigit) Some(intLit()) else scala.None
+          val hasRange = sym("..")
+          val mx = if (peekc.isDigit) Some(intLit()) else scala.None
+          expectSym("}")
+          val inner = ArrayBuffer[Part]()
+          parts += PRecurse(mn, if (hasRange) mx else mn, inner.toSeq)
+        }
+      }
+      else go = false
+    }
+    if (parts.isEmpty) prime
+    else prime match {
+      case Idiom(ps) => Idiom(ps ++ parts)
+      case other     => Idiom(PStart(other) +: parts.toSeq)
+    }
+  }
+
+  private def graphPart(dir: String): Part = {
+    ws()
+    val what = ArrayBuffer[String]()
+    var cond: Option[Expr] = scala.None
+    if (peekc == '(') {
+      pos += 1
+      ws()
+      if (peekc == '?') pos += 1 // ->(?) wildcard
+      else {
+        var g = true
+        while (g) { what += rawIdent(); g = sym(",") }
+      }
+      if (kw("WHERE")) cond = Some(expr())
+      if (kw("AS")) rawIdent()
+      expectSym(")")
+    } else if (peekc == '?') { pos += 1 }
+    else what += rawIdent()
+    PGraph(dir, what.toSeq, cond)
+  }
+
+  private def primary(): Expr = {
+    ws()
+    val c = peekc
+    if (c == '(') {
+      pos += 1
+      ws()
+      val inner: Expr =
+        if (peekKw("SELECT") || peekKw("CREATE") || peekKw("UPDATE") || peekKw("UPSERT") ||
+            peekKw("DELETE") || peekKw("RELATE") || peekKw("INSERT") || peekKw("DEFINE") ||
+            peekKw("LET") || peekKw("RETURN") || peekKw("IF") || peekKw("FOR") || peekKw("REMOVE")) {
+          Subquery(statement())
+        } else {
+          val first = expr()
+          if (peekSym(",")) {
+            // point literal (x, y) — geo tuple syntax
+            sym(",")
+            val second = expr()
+            FnCall("__point__", Seq(first, second))
+          } else first
+        }
+      expectSym(")")
+      inner
+    }
+    else if (c == '[') {
+      pos += 1
+      val items = ArrayBuffer[Expr]()
+      ws()
+      if (peekc != ']') {
+        var g = true
+        while (g) { items += expr(); g = sym(","); ws(); if (peekc == ']') g = false }
+      }
+      expectSym("]")
+      ArrLit(items.toSeq)
+    }
+    else if (c == '{') objectOrBlock()
+    else if (c == '$') { pos += 1; Param(rawIdent()) }
+    else if (c == '|') closure()
+    else if (c == '/') regexLit()
+    else if (c == '\'' || c == '"') {
+      val (s, _) = stringLit()
+      Lit(VStr(s))
+    }
+    else if (c.isDigit) numberLike()
+    else if (isIdentStart(c) || c == '`' || c == '⟨') identLike()
+    else fail(s"unexpected character '$c'")
+  }
+
+  private def objectOrBlock(): Expr = {
+    // lookahead after '{': '}' → empty object; ',' → empty set; a key
+    // (ident/string/number) followed by ':' → object; else try set literal
+    // `{a, b}` / `{v,}`, falling back to a block.
+    val save = pos
+    pos += 1
+    ws()
+    if (peekc == '}') { pos += 1; return ObjLit(Nil) }
+    if (peekc == ',') { pos += 1; ws(); expectSym("}"); return FnCall("__set__", Nil) }
+    val isObject = {
+      val s2 = pos
+      val r = try {
+        if (peekc == '\'' || peekc == '"') { stringLit(); ws(); peekc == ':' && peekAt(1) != ':' }
+        else if (isIdentStart(peekc) || peekc == '`' || peekc == '⟨') { rawIdent(); ws(); peekc == ':' && peekAt(1) != ':' }
+        else if (peekc.isDigit) { while (peekc.isDigit) pos += 1; ws(); peekc == ':' && peekAt(1) != ':' }
+        else false
+      } catch { case _: ParseError => false }
+      pos = s2
+      r
+    }
+    if (isObject) {
+      val fields = ArrayBuffer[(String, Expr)]()
+      var g = true
+      while (g) {
+        ws()
+        if (peekc == '}') g = false
+        else {
+          val key =
+            if (peekc == '\'' || peekc == '"') stringLit()._1
+            else if (peekc.isDigit) { val s0 = pos; while (peekc.isDigit) pos += 1; src.substring(s0, pos) }
+            else rawIdent()
+          expectSym(":")
+          fields += ((key, expr()))
+          g = sym(",")
+        }
+      }
+      expectSym("}")
+      ObjLit(fields.toSeq)
+    } else {
+      // try set literal: expr (',' expr?)* '}' with ≥1 comma
+      val setAttempt: Option[Expr] = try {
+        val items = ArrayBuffer[Expr](expr())
+        if (peekSym(",")) {
+          var g = true
+          while (g) {
+            if (!sym(",")) g = false
+            else { ws(); if (peekc == '}') g = false else items += expr() }
+          }
+          ws()
+          if (peekc == '}') { pos += 1; Some(FnCall("__set__", items.toSeq)) }
+          else scala.None
+        } else scala.None
+      } catch { case _: ParseError => scala.None }
+      setAttempt match {
+        case Some(e) => e
+        case scala.None =>
+          pos = save
+          blockExpr()
+      }
+    }
+  }
+
+  private def closure(): Expr = {
+    expectSym("|")
+    val params = ArrayBuffer[(String, Option[Kind])]()
+    ws()
+    if (peekc != '|') {
+      var g = true
+      while (g) {
+        expectSym("$")
+        val n = rawIdent()
+        val k = if (sym(":")) Some(kind()) else scala.None
+        params += ((n, k))
+        g = sym(",")
+      }
+    }
+    expectSym("|")
+    ws()
+    val body = if (sym("->")) { kind(); blockExpr() } else if (peekc == '{') blockExpr() else expr()
+    Closure(params.toSeq, body)
+  }
+
+  private def regexLit(): Expr = {
+    expectSym("/")
+    val sb = new StringBuilder
+    while (!eof && peekc != '/') {
+      if (peekc == '\\') { sb.append(peekc); pos += 1; if (!eof) { sb.append(peekc); pos += 1 } }
+      else { sb.append(peekc); pos += 1 }
+    }
+    expectSym("/")
+    Lit(VRegex(sb.toString))
+  }
+
+  /** String literal; returns (content, quoteChar). */
+  def stringLit(): (String, Char) = {
+    ws()
+    val q = peekc
+    if (q != '\'' && q != '"') fail("expected string")
+    pos += 1
+    val sb = new StringBuilder
+    while (!eof && peekc != q) {
+      if (peekc == '\\') {
+        pos += 1
+        val e = peekc
+        pos += 1
+        e match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '0' => sb.append('\u0000')
+          case 'f' => sb.append('\u000C')
+          case 'b' => sb.append('\u0008')
+          case '\\' => sb.append('\\')
+          case '\'' => sb.append('\'')
+          case '"' => sb.append('"')
+          case '/' => sb.append('/')
+          case 'u' =>
+            if (peekc == '{') {
+              pos += 1
+              val st = pos
+              while (!eof && peekc != '}') pos += 1
+              val hex = src.substring(st, pos)
+              pos += 1
+              sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+            } else {
+              val hex = src.substring(pos, pos + 4)
+              pos += 4
+              sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+            }
+          case other => sb.append(other)
+        }
+      } else { sb.append(peekc); pos += 1 }
+    }
+    if (eof) fail("unterminated string")
+    pos += 1
+    (sb.toString, q)
+  }
+
+  // number, duration, or float/decimal
+  private def numberLike(): Expr = {
+    val start = pos
+    while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+    // duration? (but `3dec` is a decimal literal, not 3d + "ec")
+    if (!eof && isDurUnitStart() && !src.startsWith("dec", pos)) return durationLit(start)
+    var isFloat = false
+    if (!eof && peekc == '.' && peekAt(1).isDigit) {
+      isFloat = true
+      pos += 1
+      while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+    }
+    if (!eof && (peekc == 'e' || peekc == 'E') &&
+        (peekAt(1).isDigit || ((peekAt(1) == '+' || peekAt(1) == '-') && peekAt(2).isDigit))) {
+      isFloat = true
+      pos += 1
+      if (peekc == '+' || peekc == '-') pos += 1
+      while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+    }
+    val digits = src.substring(start, pos).replace("_", "")
+    // suffixes — `dec` must be checked before duration units ('d' collides)
+    if (src.startsWith("dec", pos) && !isIdentChar(peekAt(3))) {
+      pos += 3
+      return Lit(VDec(BigDecimal(new java.math.BigDecimal(digits))))
+    }
+    if (!eof && (peekc == 'f' || peekc == 'F') && !isIdentChar(peekAt(1))) {
+      pos += 1
+      return Lit(VFloat(digits.toDouble))
+    }
+    if (!eof && isDurUnitStart()) return durationLit(start)
+    if (isFloat) Lit(VFloat(digits.toDouble))
+    else {
+      try Lit(VInt(digits.toLong))
+      catch { case _: NumberFormatException => fail(s"integer literal too large: $digits") }
+    }
+  }
+
+  private def isDurUnitStart(): Boolean = {
+    val c = peekc
+    c == 'y' || c == 'w' || c == 'd' || c == 'h' || c == 'm' || c == 's' || c == 'n' || c == 'u' || c == 'µ'
+  }
+
+  private def durationLit(startPos: Int): Expr = {
+    pos = startPos
+    var secs = BigInt(0)
+    var nanos = BigInt(0)
+    var go = true
+    while (go) {
+      ws()
+      if (!eof && peekc.isDigit) {
+        val s0 = pos
+        while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+        val n = BigInt(src.substring(s0, pos).replace("_", ""))
+        if (src.startsWith("ms", pos)) { pos += 2; nanos += n * 1000000L }
+        else if (src.startsWith("us", pos)) { pos += 2; nanos += n * 1000L }
+        else if (src.startsWith("µs", pos)) { pos += 2; nanos += n * 1000L }
+        else if (src.startsWith("ns", pos)) { pos += 2; nanos += n }
+        else if (peekc == 'y') { pos += 1; secs += n * 31536000L }
+        else if (peekc == 'w') { pos += 1; secs += n * 604800L }
+        else if (peekc == 'd') { pos += 1; secs += n * 86400L }
+        else if (peekc == 'h') { pos += 1; secs += n * 3600L }
+        else if (peekc == 'm') { pos += 1; secs += n * 60L }
+        else if (peekc == 's') { pos += 1; secs += n }
+        else fail("invalid duration unit")
+      } else go = false
+      if (go) { // continue only if another digit immediately follows
+        if (eof || !peekc.isDigit) go = false
+      }
+    }
+    secs += nanos / 1000000000L
+    nanos = nanos % 1000000000L
+    if (secs > Long.MaxValue) fail("duration overflow")
+    Lit(VDur(secs.toLong, nanos.toInt))
+  }
+
+  private def identLike(): Expr = {
+    val save = pos
+    val name = rawIdent()
+    val lower = name.toLowerCase
+    // keyword literals
+    lower match {
+      case "true"  => return Lit(VBool(true))
+      case "false" => return Lit(VBool(false))
+      case "null"  => return Lit(VNull)
+      case "none"  => return Lit(VNone)
+      case "if"    => return ifExprBody()
+      case _ =>
+    }
+    // prefixed strings: d'..' u'..' s'..' r'..' b'..'
+    if (name.length == 1 && (peekc == '\'' || peekc == '"')) {
+      lower match {
+        case "d" => val (s, _) = stringLit(); return Lit(parseDatetime(s))
+        case "u" => val (s, _) = stringLit(); return Lit(VUuid(java.util.UUID.fromString(s)))
+        case "s" => val (s, _) = stringLit(); return Lit(VStr(s))
+        case "b" => val (s, _) = stringLit(); return Lit(VBytes(hexToBytes(s)))
+        case "r" =>
+          val (s, _) = stringLit()
+          val sub = new Parser(s)
+          val e = sub.expr()
+          return e
+        case _ =>
+      }
+    }
+    // function path: ns::name(...) or constant ns::NAME
+    if (src.startsWith("::", pos)) {
+      val path = new StringBuilder(name)
+      while (src.startsWith("::", pos)) {
+        pos += 2
+        // allow trailing wildcard-free segments
+        path.append("::").append(rawIdent())
+      }
+      ws()
+      if (peekc == '(') {
+        pos += 1
+        val args = ArrayBuffer[Expr]()
+        ws()
+        if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+        expectSym(")")
+        return FnCall(path.toString.toLowerCase, args.toSeq)
+      }
+      return Constant(path.toString)
+    }
+    // plain function call: count(...), rand(), not(...)
+    if (peekc == '(' && isPlainFn(lower)) {
+      pos += 1
+      val args = ArrayBuffer[Expr]()
+      ws()
+      if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+      expectSym(")")
+      return FnCall(lower, args.toSeq)
+    }
+    // record id: ident ':' key with no whitespace
+    if (peekc == ':' && peekAt(1) != ':') {
+      pos += 1
+      return recordIdTail(name)
+    }
+    // bare field idiom
+    Idiom(Seq(PField(name)))
+  }
+
+  private def isPlainFn(name: String): Boolean =
+    name == "count" || name == "rand" || name == "not" || name == "sleep" || name == "fn"
+
+  private def recordIdTail(table: String): Expr = {
+    ws()
+    val keyExpr: Expr = {
+      val c = peekc
+      if (c == '\'' || c == '"') Lit(VStr(stringLit()._1))
+      else if (c == '`' || c == '⟨') Lit(VStr(rawIdent()))
+      else if (c == '[') { primary() }
+      else if (c == '{') { primary() }
+      else if (c == '$') { pos += 1; Param(rawIdent()) }
+      else if (c.isDigit || c == '-' || c == '+') {
+        val neg = c == '-'
+        if (c == '-' || c == '+') pos += 1
+        val s0 = pos
+        while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+        val ds = src.substring(s0, pos).replace("_", "")
+        // a purely numeric key is an int key; else it's a string ident key
+        if (!eof && isIdentChar(peekc)) {
+          val s1 = pos
+          while (!eof && isIdentChar(peekc)) pos += 1
+          Lit(VStr((if (neg) "-" else "") + ds + src.substring(s1, pos)))
+        } else {
+          val big = BigInt(ds)
+          val signed = if (neg) -big else big
+          if (signed >= BigInt(Long.MinValue) && signed <= BigInt(Long.MaxValue))
+            Lit(VInt(signed.toLong))
+          else Lit(VStr((if (neg) "-" else "") + ds))
+        }
+      }
+      else if (isIdentStart(c)) Lit(VStr(rawIdent()))
+      else fail(s"invalid record id key start '$c'")
+    }
+    // id range: person:1..5
+    if (peekSym("..") || peekSym(">..")) {
+      val exclLo = sym(">..")
+      if (!exclLo) sym("..")
+      val incl = sym("=")
+      val hi = if (startsExpr()) Some((exprAtLevel(BpRange + 1), incl)) else scala.None
+      return RidLit(table, RangeLit(Some((keyExpr, !exclLo)), hi))
+    }
+    RidLit(table, keyExpr)
+  }
+
+  def parseDatetime(s: String): V = {
+    val t = try {
+      if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      else java.time.OffsetDateTime.parse(s).toInstant
+    } catch {
+      case _: Exception => throw SqlError(s"Expected a datetime but cannot convert '$s' into a datetime")
+    }
+    VDt(t)
+  }
+
+  private def hexToBytes(s: String): Vector[Byte] = {
+    val clean = s.trim
+    if (clean.length % 2 != 0) throw SqlError(s"invalid bytes literal")
+    clean.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toVector
+  }
+}
