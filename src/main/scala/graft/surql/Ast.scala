@@ -107,6 +107,8 @@ case object CancelStmt extends Statement
 final case class DefineStmt(what: String, name: String, clauses: Map[String, Expr],
     raw: String) extends Statement
 final case class RemoveStmt(what: String, name: String) extends Statement
+final case class DefineFunctionStmt(name: String, params: Seq[(String, Option[Kind])],
+    body: Expr) extends Statement
 final case class InfoStmt(level: String) extends Statement
 final case class OptionStmt(name: String, value: Boolean) extends Statement
 

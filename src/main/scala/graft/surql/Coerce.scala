@@ -103,7 +103,7 @@ object Coerce {
     }
     case KString => v match {
       case s: VStr => s
-      case _: VBytes => err(k, v)
+      case VBytes(bs) => VStr(new String(bs.toArray, "UTF-8"))
       case VNone => VStr("NONE")
       case VNull => VStr("NULL")
       case other => VStr(other.renderRaw)

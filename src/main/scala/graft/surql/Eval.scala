@@ -69,11 +69,17 @@ object Eval {
           in.runBlock(stmts, env.copy(interp = Some(in)))
       }
     case Subquery(stmt) =>
-      env.interp match {
-        case Some(in) => in.execStatement(stmt, env)
+      // inside a subquery the outer document becomes $parent
+      // (exec/physical_expr/subquery.rs; language/param/select_parent)
+      val subEnv = env.doc match {
+        case Some(d) => env.copy(params = env.params + ("parent" -> d))
+        case scala.None => env
+      }
+      subEnv.interp match {
+        case Some(in) => in.execStatement(stmt, subEnv)
         case scala.None =>
           val in = new Interp()
-          in.execStatement(stmt, env.copy(interp = Some(in)))
+          in.execStatement(stmt, subEnv.copy(interp = Some(in)))
       }
   }
 
@@ -254,6 +260,9 @@ object Eval {
           walk(VArr(filtered), rest, env)
         case _ => walk(VNone, rest, env)
       }
+      case PMethod("__call__", args) =>
+        val result = Functions.callClosure(v, args.map(eval(_, env)), env)
+        walk(result, rest, env)
       case PMethod(name, args) =>
         val result = Functions.method(v, name, args, env)
         walk(result, rest, env)
@@ -320,7 +329,7 @@ object Eval {
         arrow + what.mkString(", ")
     }.mkString(".").replace(".->", "->").replace(".<-", "<-")
     case Lit(v)        => v.render
-    case Param(n)      => "$" + n
+    case Param(n)      => n
     case FnCall(n, _)  => n
     case Constant(n)   => n
     case Binary(_, _, _) | Prefix(_, _) | Cast(_, _) => "expr"

@@ -64,9 +64,17 @@ object Functions {
         val av = if (i < args.length) args(i) else VNone
         e = e.bind(pname, pk.map(Coerce.coerce(_, av)).getOrElse(av))
       }
-      Eval.eval(body, e)
+      try Eval.eval(body, e)
+      catch {
+        // a closure is a control-flow boundary: break/continue cannot escape
+        case BreakSignal | ContinueSignal =>
+          throw SqlError("Invalid control flow statement, break or continue statement found outside of loop.")
+      }
     case _ => throw SqlError("Expected a function argument")
   }
+
+  /** Public closure application (IIFE `(|| …)()`, `$fn(args)`). */
+  def callClosure(c: V, args: Seq[V], env: Env): V = applyClosure(c, args, env)
 
   private def higherOrder(name: String, args: Seq[V], env: Env): V = {
     def arr = args.head match {
@@ -574,6 +582,20 @@ object Functions {
       case "time::from::millis" => VDt(java.time.Instant.ofEpochMilli(int(0)))
       case "time::from::micros" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000L, (int(0) % 1000000L) * 1000))
       case "time::from::nanos" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000000L, int(0) % 1000000000L))
+      case "time::set_year" =>
+        VDt(utc(arg(0)).withYear(int(1).toInt).toInstant)
+      case "time::set_month" =>
+        VDt(utc(arg(0)).withMonth(int(1).toInt).toInstant)
+      case "time::set_day" =>
+        VDt(utc(arg(0)).withDayOfMonth(int(1).toInt).toInstant)
+      case "time::set_hour" =>
+        VDt(utc(arg(0)).withHour(int(1).toInt).toInstant)
+      case "time::set_minute" =>
+        VDt(utc(arg(0)).withMinute(int(1).toInt).toInstant)
+      case "time::set_second" =>
+        VDt(utc(arg(0)).withSecond(int(1).toInt).toInstant)
+      case "time::set_nanosecond" =>
+        VDt(utc(arg(0)).withNano(int(1).toInt).toInstant)
       case "time::is::leap_year" =>
         VBool(java.time.Year.isLeap(utc(arg(0)).getYear))
 
@@ -599,6 +621,7 @@ object Functions {
       // ---- type --------------------------------------------------------
       case "type::of" | "type::string_of" => VStr(arg(0).typeName)
       case "type::bool" => Coerce.cast(Kind.KBool, arg(0))
+      case "type::bytes" => Coerce.cast(Kind.KBytes, arg(0))
       case "type::int" => Coerce.cast(Kind.KInt, arg(0))
       case "type::float" => Coerce.cast(Kind.KFloat, arg(0))
       case "type::decimal" => Coerce.cast(Kind.KDecimal, arg(0))
@@ -610,6 +633,11 @@ object Functions {
       case "type::array" => Coerce.cast(Kind.KArray(scala.None, scala.None), arg(0))
       case "type::geometry" | "type::point" => Coerce.cast(Kind.KGeometry(Nil), arg(0))
       case "type::table" => VTable(arg(0).renderRaw)
+      case "type::record" =>
+        arg(1) match {
+          case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
+          case key => VRid(arg(0).renderRaw, key)
+        }
       case "type::thing" =>
         arg(1) match {
           case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
@@ -792,6 +820,30 @@ object Functions {
       case "session::id" | "session::origin" | "session::ip" | "session::ac" |
            "session::rd" | "session::token" => VNone
 
+      case "__fetch__" =>
+        // RETURN … FETCH paths: replace record ids at the named paths
+        val paths = a.drop(1).collect { case VStr(p) => p }
+        def fetch(v: V): V = v match {
+          case rid: VRid => env.interp.flatMap(_.fetchRecord(rid)).getOrElse(rid)
+          case VArr(items) => VArr(items.map(fetch))
+          case other => other
+        }
+        def applyPath(v: V, path: List[String]): V = (v, path) match {
+          case (_, Nil) => fetch(v)
+          case (VObj(fs), head :: rest) =>
+            fs.get(head) match {
+              case Some(inner) => VObj(fs.updated(head, applyPath(inner, rest)))
+              case scala.None => v
+            }
+          case (VArr(items), _) => VArr(items.map(applyPath(_, path)))
+          case _ => v
+        }
+        paths.foldLeft(arg(0)) { (acc, pth) => applyPath(acc, pth.split('.').toList) }
+      case custom if custom.startsWith("fn::") =>
+        env.interp.flatMap(_.customFns.get(custom.stripPrefix("fn::"))) match {
+          case Some(cl) => applyClosure(cl, a, env)
+          case scala.None => throw SqlError(s"Unknown function $custom()")
+        }
       case other => throw SqlError(s"Unknown function $other()")
     }
   }

@@ -22,6 +22,8 @@ final class Interp {
     mutable.LinkedHashMap.empty
 
   var globals: Map[String, V] = Map.empty
+  /** DEFINE FUNCTION registry: name (sans fn::) → closure. */
+  val customFns: mutable.LinkedHashMap[String, VClosure] = mutable.LinkedHashMap.empty
   private var idCounter = 0L
 
   def run(ast: Ast): Seq[QueryResult] = {
@@ -31,6 +33,8 @@ final class Interp {
         val env = Env(params = globals, interp = Some(this))
         stmt match {
           case LetStmt(name, kindAnn, what) =>
+            if (protectedParams.contains(name))
+              throw SqlError(s"'$name' is a protected variable and cannot be set")
             val v0 = execExprStatementValue(what, env)
             val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
             globals = globals + (name -> v)
@@ -39,6 +43,9 @@ final class Interp {
             results += QOk(VNone)
           case d: DefineStmt =>
             execDefine(d)
+            results += QOk(VNone)
+          case DefineFunctionStmt(fname, params, body) =>
+            customFns(fname) = VClosure(params, body, Map.empty)
             results += QOk(VNone)
           case _: RemoveStmt =>
             results += QOk(VNone)
@@ -49,8 +56,8 @@ final class Interp {
         case ReturnSignal(v) => results += QOk(v)
         case e: SqlError     => results += QErr(e.msg)
         case e: ParseError   => results += QErr(e.getMessage)
-        case BreakSignal     => results += QErr("Break statement outside of a loop")
-        case ContinueSignal  => results += QErr("Continue statement outside of a loop")
+        case BreakSignal | ContinueSignal =>
+          results += QErr("Invalid control flow statement, break or continue statement found outside of loop.")
       }
     }
     results.toSeq
@@ -76,7 +83,7 @@ final class Interp {
         case other     => throw SqlError(s"Expected a array but found ${other.render}")
       }
       items.foreach { it =>
-        try runBlock(block.stmts, env.bind(param, it))
+        try runLoopBody(block.stmts, env.bind(param, it))
         catch {
           case BreakSignal    => return VNone
           case ContinueSignal => ()
@@ -84,6 +91,8 @@ final class Interp {
       }
       VNone
     case LetStmt(name, kindAnn, what) =>
+      if (protectedParams.contains(name))
+        throw SqlError(s"'$name' is a protected variable and cannot be set")
       val v0 = execExprStatementValue(what, env)
       val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
       globals = globals + (name -> v)
@@ -93,11 +102,26 @@ final class Interp {
     case BreakStmt    => throw BreakSignal
     case ContinueStmt => throw ContinueSignal
     case d: DefineStmt => execDefine(d); VNone
+    case DefineFunctionStmt(fname, params, body) =>
+      customFns(fname) = VClosure(params, body, Map.empty); VNone
     case _: RemoveStmt => VNone
     case _: UseStmt | BeginStmt | CommitStmt | CancelStmt | _: OptionStmt | _: InfoStmt => VNone
   }
 
   private def execExprStatementValue(e: Expr, env: Env): V = Eval.eval(e, env)
+
+  /** Loop-body execution: like a block but RETURN/BREAK/CONTINUE signals
+    * propagate to the enclosing loop/block. */
+  def runLoopBody(stmts: Seq[Statement], env: Env): Unit = {
+    var e = env
+    stmts.foreach {
+      case LetStmt(name, kindAnn, what) =>
+        val v0 = Eval.eval(what, e)
+        e = e.bind(name, kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0))
+      case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
+      case other => execStatement(other, e)
+    }
+  }
 
   /** Block semantics: statements run in order; RETURN short-circuits; the
     * block's value is the last statement's value. LET bindings are local. */
@@ -135,17 +159,24 @@ final class Interp {
   /** Field schema from DEFINE FIELD (TYPE/DEFAULT/VALUE/ASSERT minimal). */
   private val fieldDefs = mutable.LinkedHashMap[(String, String), String]()
   private def execDefine(d: DefineStmt): Unit = {
-    // metadata only; the analytics engine treats schema as advisory
     if (d.what == "FIELD") fieldDefs((d.name, "")) = d.raw
+    if (d.what == "PARAM") d.clauses.get("value").foreach { e =>
+      globals = globals + (d.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
+    }
   }
+
+  /** Parameters the user cannot LET (reference PROTECTED_PARAM_NAMES). */
+  private val protectedParams = Set("auth", "access", "token", "session")
 
   // ---- FROM resolution -------------------------------------------------
 
   /** Resolve a FROM/mutation target expression into (table context, rows).
     * Graph semantics: a table name yields all its records; a record id one;
     * a range record id a range scan; arrays/subqueries their elements. */
-  private def resolveTarget(e: Expr, env: Env): Vector[VObj] = e match {
-    case Idiom(Seq(PField(name))) => table(name).values.toVector
+  private def resolveTarget(e: Expr, env: Env): Vector[V] = e match {
+    case Idiom(Seq(PField(name))) =>
+      tables.getOrElse(name,
+        throw SqlError(s"The table '$name' does not exist")).values.toVector
     case RidLit(tb, keyE) =>
       Eval.eval(keyE, env) match {
         case rng: VRng =>
@@ -155,16 +186,16 @@ final class Interp {
       }
     case other =>
       Eval.eval(other, env) match {
-        case rid: VRid  => fetchRecord(rid).toVector
-        case VTable(tb) => table(tb).values.toVector
-        case VArr(items) => items.flatMap {
-          case rid: VRid => fetchRecord(rid)
-          case o: VObj   => Some(o)
-          case v         => Some(V.obj("value" -> v))
+        case rid: VRid  => fetchRecord(rid).map(identity[V]).toVector
+        case VTable(tb) =>
+          tables.getOrElse(tb,
+            throw SqlError(s"The table '$tb' does not exist")).values.toVector
+        case VArr(items) => items.map {
+          case rid: VRid => fetchRecord(rid).getOrElse(rid)
+          case v         => v
         }
-        case o: VObj => Vector(o)
         case VNone | VNull => Vector.empty
-        case v => Vector(V.obj("value" -> v))
+        case v => Vector(v)
       }
   }
 
@@ -184,30 +215,39 @@ final class Interp {
 
   // ---- SELECT ----------------------------------------------------------
 
+  /** Evaluation env for a row: objects become the current document; scalar
+    * rows expose themselves as $this only. */
+  private def rowEnv(env: Env, row: V): Env = row match {
+    case o: VObj => env.copy(doc = Some(o))
+    case v       => env.copy(doc = scala.None, params = env.params + ("this" -> v))
+  }
+
   def execSelect(s: SelectStmt, env: Env): V = {
-    var rows: Vector[VObj] = s.what.flatMap(resolveTarget(_, env)).toVector
+    var rows: Vector[V] = s.what.flatMap(resolveTarget(_, env)).toVector
 
     // WHERE
     s.where.foreach { cond =>
-      rows = rows.filter(r => Eval.eval(cond, env.copy(doc = Some(r))).truthy)
+      rows = rows.filter(r => Eval.eval(cond, rowEnv(env, r)).truthy)
     }
 
     // SPLIT
     s.split.foreach { field =>
-      rows = rows.flatMap { r =>
-        r.fields.get(field) match {
-          case Some(VArr(items)) => items.map(it => VObj(r.fields.updated(field, it)))
-          case _ => Vector(r)
-        }
+      rows = rows.flatMap {
+        case r: VObj =>
+          r.fields.get(field) match {
+            case Some(VArr(items)) => items.map(it => VObj(r.fields.updated(field, it)))
+            case _ => Vector(r)
+          }
+        case v => Vector(v)
       }
     }
 
     // GROUP
-    val grouped: Vector[VObj] = s.groupBy match {
+    val grouped: Vector[V] = s.groupBy match {
       case Some(Nil) => // GROUP ALL
         Vector(projectGroup(rows, s, Nil, env))
       case Some(keys) =>
-        rows.groupBy(r => keys.map(k => Eval.eval(k, env.copy(doc = Some(r)))))
+        rows.groupBy(r => keys.map(k => Eval.eval(k, rowEnv(env, r))))
           .toVector
           .sortBy(_._1.headOption.getOrElse(VNone))(V.ordering)
           .map { case (keyVals, group) => projectGroup(group, s, keys.zip(keyVals), env) }
@@ -225,8 +265,8 @@ final class Interp {
         val it = keys.iterator
         while (res == 0 && it.hasNext) {
           val k = it.next()
-          val kx = Eval.eval(k.expr, env.copy(doc = Some(x)))
-          val ky = Eval.eval(k.expr, env.copy(doc = Some(y)))
+          val kx = Eval.eval(k.expr, rowEnv(env, x))
+          val ky = Eval.eval(k.expr, rowEnv(env, y))
           res = V.cmp(kx, ky)
           if (k.desc) res = -res
         }
@@ -240,18 +280,20 @@ final class Interp {
 
     // FETCH: replace record-id fields with their documents
     if (s.fetch.nonEmpty) {
-      out = out.map { r =>
-        s.fetch.foldLeft(r) { (acc, f) =>
-          acc.fields.get(f) match {
-            case Some(rid: VRid) => fetchRecord(rid).map(d => VObj(acc.fields.updated(f, d))).getOrElse(acc)
-            case Some(VArr(items)) =>
-              VObj(acc.fields.updated(f, VArr(items.map {
-                case rid: VRid => fetchRecord(rid).getOrElse(rid)
-                case v => v
-              })))
-            case _ => acc
+      out = out.map {
+        case r: VObj =>
+          s.fetch.foldLeft(r) { (acc, f) =>
+            acc.fields.get(f) match {
+              case Some(rid: VRid) => fetchRecord(rid).map(d => VObj(acc.fields.updated(f, d))).getOrElse(acc)
+              case Some(VArr(items)) =>
+                VObj(acc.fields.updated(f, VArr(items.map {
+                  case rid: VRid => fetchRecord(rid).getOrElse(rid)
+                  case v => v
+                })))
+              case _ => acc
+            }
           }
-        }
+        case v => v
       }
     }
 
@@ -259,8 +301,8 @@ final class Interp {
     val resultRows: Vector[V] =
       if (s.value) {
         val fe = s.fields.head.expr
-        out.map(r => Eval.eval(fe, env.copy(doc = Some(r))))
-      } else out.map(identity)
+        out.map(r => Eval.eval(fe, rowEnv(env, r)))
+      } else out
 
     if (s.only) {
       if (resultRows.length > 1) throw SqlError("Expected a single result output when using the ONLY keyword")
@@ -268,23 +310,36 @@ final class Interp {
     } else VArr(resultRows)
   }
 
-  private def projectRow(r: VObj, s: SelectStmt, env: Env): VObj = {
+  private def projectRow(r: V, s: SelectStmt, env: Env): V = {
     if (s.value) return r // VALUE handled later on raw rows
-    val de = env.copy(doc = Some(r))
-    var out = TreeMap.empty[String, V]
+    val de = rowEnv(env, r)
     val hasAll = s.fields.exists(_.isAll)
-    if (hasAll) out = r.fields
-    s.fields.filterNot(_.isAll).foreach { f =>
-      val name = f.alias.getOrElse(Eval.fieldName(f.expr))
-      val v = Eval.eval(f.expr, de)
-      out = setPath(out, name.split('.').toList, v)
+    // scalar rows: `SELECT *` passes the value through untouched
+    r match {
+      case obj: VObj =>
+        var out = if (hasAll) obj.fields else TreeMap.empty[String, V]
+        s.fields.filterNot(_.isAll).foreach { f =>
+          val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+          val v = Eval.eval(f.expr, de)
+          out = setPath(out, name.split('.').toList, v)
+        }
+        var res = VObj(out)
+        s.omit.foreach { o => res = VObj(res.fields - o) }
+        res
+      case scalar =>
+        if (s.fields.forall(_.isAll)) scalar
+        else {
+          var out = TreeMap.empty[String, V]
+          s.fields.filterNot(_.isAll).foreach { f =>
+            val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+            out = setPath(out, name.split('.').toList, Eval.eval(f.expr, de))
+          }
+          VObj(out)
+        }
     }
-    var res = VObj(out)
-    s.omit.foreach { o => res = VObj(res.fields - o) }
-    res
   }
 
-  private def projectGroup(group: Vector[VObj], s: SelectStmt, keyVals: Seq[(Expr, V)], env: Env): VObj = {
+  private def projectGroup(group: Vector[V], s: SelectStmt, keyVals: Seq[(Expr, V)], env: Env): V = {
     var out = TreeMap.empty[String, V]
     s.fields.filterNot(_.isAll).foreach { f =>
       val name = f.alias.getOrElse(Eval.fieldName(f.expr))
@@ -310,7 +365,7 @@ final class Interp {
     * known aggregate functions consume the group; any other expression is
     * evaluated per-row and implicitly collapsed to the group array (or the
     * group-key value when the expression IS a group key). */
-  private def evalAggregate(e: Expr, group: Vector[VObj], keyVals: Seq[(Expr, V)], env: Env): V = {
+  private def evalAggregate(e: Expr, group: Vector[V], keyVals: Seq[(Expr, V)], env: Env): V = {
     keyVals.find { case (ke, _) => ke == e } match {
       case Some((_, kv)) => return kv
       case scala.None =>
@@ -318,12 +373,12 @@ final class Interp {
     e match {
       case FnCall("count", Nil) => VInt(group.length)
       case FnCall("count", Seq(inner)) =>
-        VInt(group.count(r => Eval.eval(inner, env.copy(doc = Some(r))).truthy))
+        VInt(group.count(r => Eval.eval(inner, rowEnv(env, r)).truthy))
       case FnCall(name, Seq(inner)) if aggFns.contains(name) =>
-        val values = group.map(r => Eval.eval(inner, env.copy(doc = Some(r))))
+        val values = group.map(r => Eval.eval(inner, rowEnv(env, r)))
         Functions.apply(name, Seq(VArr(values.filter(v => v != VNone && v != VNull))), env)
       case FnCall(name, inner +: restArgs) if aggFns.contains(name) =>
-        val values = group.map(r => Eval.eval(inner, env.copy(doc = Some(r))))
+        val values = group.map(r => Eval.eval(inner, rowEnv(env, r)))
         val extraArgs = restArgs.map(Eval.eval(_, env))
         Functions.apply(name, VArr(values.filter(v => v != VNone && v != VNull)) +: extraArgs, env)
       case Binary(op, l, rr) => // aggregate distributes over binary exprs
@@ -333,7 +388,7 @@ final class Interp {
         }
       case other =>
         // implicit array-collapse of a per-row expression
-        val values = group.map(r => Eval.eval(other, env.copy(doc = Some(r))))
+        val values = group.map(r => Eval.eval(other, rowEnv(env, r)))
         other match {
           case _: Lit => values.headOption.getOrElse(VNone)
           case _ => VArr(values)

@@ -98,7 +98,7 @@ object Ops {
     case (d: VDur, VDt(t))    => VDt(plusDur(t, d, neg = false, a, b))
     case (x: VDur, y: VDur)   =>
       val total = x.totalNanos + y.totalNanos
-      durFromNanos(total, "addition", a, b)
+      durFromNanosOr(total, s"""Failed to compute: "${a.renderRaw} + ${b.renderRaw}", as the operation results in an arithmetic overflow.""")
     case (VArr(x), VArr(y))   => VArr(x ++ y)
     case (VArr(x), VSet(y))   => VArr(x ++ y)
     case (VSet(x), VSet(y))   => V.set(x ++ y)
@@ -115,7 +115,9 @@ object Ops {
       durFromNanos(nanos, "subtraction", a, b)
     case (x: VDur, y: VDur)   =>
       val total = x.totalNanos - y.totalNanos
-      durFromNanos(total, "subtraction", a, b)
+      if (total < 0)
+        throw SqlError(s"""Failed to compute: "${a.renderRaw} - ${b.renderRaw}", as the operation results in a negative value.""")
+      durFromNanosOr(total, s"""Failed to compute: "${a.renderRaw} - ${b.renderRaw}", as the operation results in an arithmetic overflow.""")
     case (VArr(x), VArr(y))   => VArr(x.filterNot(e => y.exists(V.looseEq(_, e))))
     case _ => err("subtraction", a, b)
   }
@@ -126,8 +128,15 @@ object Ops {
       else t.plusSeconds(d.secs).plusNanos(d.nanos.toLong)
     } catch { case _: Exception => err(if (neg) "subtraction" else "addition", a, b) }
 
+  private val MaxDurNanos = (BigInt(2).pow(64) - 1) * 1000000000L + 999999999L
+
   def durFromNanos(nanos: BigInt, op: String, a: V, b: V): VDur = {
-    if (nanos < 0 || nanos > BigInt(Long.MaxValue) * 1000000000L) err(op, a, b)
+    if (nanos < 0 || nanos > MaxDurNanos) err(op, a, b)
+    VDur((nanos / 1000000000L).toLong, (nanos % 1000000000L).toInt)
+  }
+
+  def durFromNanosOr(nanos: BigInt, msg: String): VDur = {
+    if (nanos < 0 || nanos > MaxDurNanos) throw SqlError(msg)
     VDur((nanos / 1000000000L).toLong, (nanos % 1000000000L).toInt)
   }
 
@@ -171,16 +180,16 @@ object Ops {
 
   def pow(a: V, b: V): V = (a, b) match {
     case (x: VNum, y: VNum) => numPow(x, y)
-    case _ => err("power", a, b)
+    case _ => throw SqlError(s"Cannot raise the value '${a.renderRaw}' with '${b.renderRaw}'")
   }
 
   def neg(a: V): V = a match {
     case VInt(i) =>
-      if (i == Long.MinValue) throw SqlError(s"Cannot perform negation with '$i'")
+      if (i == Long.MinValue) throw SqlError(s"Cannot negate the value '$i'")
       VInt(-i)
     case VFloat(d) => VFloat(-d)
     case VDec(d)   => VDec(-d)
-    case _ => throw SqlError(s"Cannot perform negation with '${a.renderRaw}'")
+    case _ => throw SqlError(s"Cannot negate the value '${a.renderRaw}'")
   }
 
   // ---- comparisons / logic --------------------------------------------

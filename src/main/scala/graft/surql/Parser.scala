@@ -143,7 +143,16 @@ final class Parser(val src: String) {
     ws()
     if (kw("SELECT")) selectStmt()
     else if (kw("LET")) letStmt()
-    else if (kw("RETURN")) ReturnStmt(expr())
+    else if (kw("RETURN")) {
+      val e = exprOrStatement()
+      // RETURN ... FETCH path — fetch record links in the result
+      if (kw("FETCH")) {
+        val fs = ArrayBuffer[Expr](e)
+        var g = true
+        while (g) { fs += Lit(VStr(idiomName())); g = sym(",") }
+        ReturnStmt(FnCall("__fetch__", fs.toSeq))
+      } else ReturnStmt(e)
+    }
     else if (peekKw("IF")) { kw("IF"); ifStmt() }
     else if (kw("FOR")) forStmt()
     else if (kw("CREATE")) createStmt()
@@ -175,7 +184,15 @@ final class Parser(val src: String) {
     val name = rawIdent()
     val kindAnn = if (sym(":")) Some(kind()) else scala.None
     expectSym("=")
-    LetStmt(name, kindAnn, expr())
+    LetStmt(name, kindAnn, exprOrStatement())
+  }
+
+  /** RETURN / LET accept a bare statement (RETURN SELECT …). */
+  private def exprOrStatement(): Expr = {
+    if (peekKw("SELECT") || peekKw("CREATE") || peekKw("UPDATE") || peekKw("UPSERT") ||
+        peekKw("DELETE") || peekKw("RELATE") || peekKw("INSERT") || peekKw("DEFINE") ||
+        peekKw("REMOVE") || peekKw("INFO")) Subquery(statement())
+    else expr()
   }
 
   /** IF — both `IF c { } ELSE { }` and `IF c THEN x ELSE y END` forms.
@@ -251,7 +268,37 @@ final class Parser(val src: String) {
     val start = pos
     val what = rawIdent().toUpperCase
     kw("IF"); kw("NOT"); kw("EXISTS"); kw("OVERWRITE")
-    val name = if (peekSym("$")) { sym("$"); "$" + rawIdent() } else tryIdent().getOrElse("")
+    val name = if (peekSym("$")) { sym("$"); rawIdent() }
+      else if (what == "FUNCTION") ""
+      else tryIdent().getOrElse("")
+    if (what == "FUNCTION") {
+      val nb = new StringBuilder(rawIdent())
+      while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+      expectSym("(")
+      val params = ArrayBuffer[(String, Option[Kind])]()
+      ws()
+      if (peekc != ')') {
+        var g = true
+        while (g) {
+          expectSym("$"); val n = rawIdent()
+          val k = if (sym(":")) Some(kind()) else scala.None
+          params += ((n, k)); g = sym(",")
+        }
+      }
+      expectSym(")")
+      ws()
+      if (sym("->")) kind() // optional return kind
+      val body = blockExpr()
+      while (!eof && peekc != ';') pos += 1 // PERMISSIONS/COMMENT tail
+      return DefineFunctionStmt(nb.toString, params.toSeq, body)
+    }
+    if (what == "PARAM") {
+      expectKw("VALUE")
+      val v = expr()
+      kw("PERMISSIONS"); kw("FULL"); kw("NONE")
+      val raw = src.substring(start, pos)
+      return DefineStmt(what, name, Map("value" -> v), raw)
+    }
     // consume the remainder of the statement (balanced braces/parens)
     val sb = new StringBuilder
     var depth = 0
@@ -665,7 +712,16 @@ final class Parser(val src: String) {
     expectSym("<")
     val k = kind()
     expectSym(">")
-    Cast(k, exprAtLevel(BpRange))
+    var operand = exprAtLevel(BpPrefix)
+    // `<array> 1..5` casts the RANGE; ranges glue into the cast operand
+    if (peekSym(">..") || (peekSym("..") && !peekSym("..."))) {
+      val exclLo = sym(">..")
+      if (!exclLo) sym("..")
+      val incl = sym("=")
+      val hi = if (startsExpr()) Some((exprAtLevel(BpRange + 1), incl)) else scala.None
+      operand = RangeLit(Some((operand, !exclLo)), hi)
+    }
+    Cast(k, operand)
   }
 
   def kind(): Kind = {
@@ -846,6 +902,15 @@ final class Parser(val src: String) {
         else if (peekc == '?') { pos += 1; val e = expr(); expectSym("]"); parts += PWhere(e) }
         else { val e = expr(); expectSym("]"); parts += PIndex(e) }
       }
+      else if (peekSym("(") && (prime.isInstanceOf[Closure] || parts.nonEmpty ||
+               prime.isInstanceOf[Subquery] || prime.isInstanceOf[Param])) {
+        sym("(")
+        val args = ArrayBuffer[Expr]()
+        ws()
+        if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+        expectSym(")")
+        parts += PMethod("__call__", args.toSeq)
+      }
       else if (peekSym("->") ) { sym("->"); parts += graphPart("out") }
       else if (peekSym("<->")) { sym("<->"); parts += graphPart("both") }
       else if (peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
@@ -903,7 +968,8 @@ final class Parser(val src: String) {
       val inner: Expr =
         if (peekKw("SELECT") || peekKw("CREATE") || peekKw("UPDATE") || peekKw("UPSERT") ||
             peekKw("DELETE") || peekKw("RELATE") || peekKw("INSERT") || peekKw("DEFINE") ||
-            peekKw("LET") || peekKw("RETURN") || peekKw("IF") || peekKw("FOR") || peekKw("REMOVE")) {
+            peekKw("LET") || peekKw("RETURN") || peekKw("IF") || peekKw("FOR") ||
+            peekKw("REMOVE") || peekKw("INFO")) {
           Subquery(statement())
         } else {
           val first = expr()
@@ -1150,7 +1216,7 @@ final class Parser(val src: String) {
     }
     secs += nanos / 1000000000L
     nanos = nanos % 1000000000L
-    if (secs > Long.MaxValue) fail("duration overflow")
+    if (secs > BigInt(2).pow(64) - 1) fail("duration overflow")
     Lit(VDur(secs.toLong, nanos.toInt))
   }
 
@@ -1179,6 +1245,11 @@ final class Parser(val src: String) {
           val sub = new Parser(s)
           val e = sub.expr()
           return e
+        case "f" =>
+          val (s, _) = stringLit()
+          val idx = s.indexOf(":/")
+          if (idx >= 0) return Lit(VFile(s.substring(0, idx), s.substring(idx + 2)))
+          return Lit(VFile("", s))
         case _ =>
       }
     }

@@ -172,7 +172,8 @@ object Render {
 
   def writeDuration(f: StringBuilder, secsIn: Long, nanosIn: Int): Unit = {
     if (secsIn == 0 && nanosIn == 0) { f.append("0ns"); return }
-    var secs = secsIn
+    // secs is u64 (unsigned) — decompose via BigInt
+    var secs = BigInt(java.lang.Long.toUnsignedString(secsIn))
     val year = secs / SecsPerYear; secs %= SecsPerYear
     val week = secs / SecsPerWeek; secs %= SecsPerWeek
     val days = secs / 86400; secs %= 86400

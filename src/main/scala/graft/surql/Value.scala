@@ -79,7 +79,7 @@ sealed abstract class V {
     case VSet(s)    => s.nonEmpty
     case VObj(o)    => o.nonEmpty
     case VBytes(b)  => b.nonEmpty
-    case VDur(s, n) => s > 0 || n > 0
+    case VDur(s, n) => s != 0 || n > 0
     case _: VUuid | _: VRid | _: VGeom | _: VDt => true
     case _          => false
   }
@@ -122,9 +122,11 @@ final case class VFloat(d: Double) extends VNum
 final case class VDec(d: BigDecimal) extends VNum
 
 final case class VStr(s: String) extends V
-/** Duration: non-negative (secs, nanos) like std::time::Duration. */
+/** Duration: (secs, nanos) like std::time::Duration — secs is a u64 carried
+  * in a Long with UNSIGNED semantics (max ≈ 5.8e11 years). */
 final case class VDur(secs: Long, nanos: Int) extends V {
-  def totalNanos: BigInt = BigInt(secs) * 1000000000L + nanos
+  def secsU: BigInt = BigInt(java.lang.Long.toUnsignedString(secs))
+  def totalNanos: BigInt = secsU * 1000000000L + nanos
 }
 final case class VDt(t: Instant) extends V
 final case class VUuid(u: java.util.UUID) extends V
