@@ -76,11 +76,25 @@ object Functions {
   /** Public closure application (IIFE `(|| …)()`, `$fn(args)`). */
   def callClosure(c: V, args: Seq[V], env: Env): V = applyClosure(c, args, env)
 
+  private val hofArity: Map[String, (Int, Int)] = Map(
+    "array::map" -> (2, 2), "array::filter" -> (2, 2), "array::filter_index" -> (2, 2),
+    "array::find" -> (2, 2), "array::find_index" -> (2, 2), "array::index_of" -> (2, 2),
+    "array::fold" -> (3, 3), "array::reduce" -> (2, 2),
+    "array::any" -> (1, 2), "array::all" -> (1, 2),
+    "array::some" -> (2, 2), "array::every" -> (2, 2), "array::sort_by" -> (2, 2))
+
   private def higherOrder(name: String, args: Seq[V], env: Env): V = {
+    hofArity.get(name).foreach { case (lo, hi) =>
+      if (args.length < lo || args.length > hi) {
+        val msg = if (hi == lo) { if (hi == 1) "Expected 1 argument" else s"Expected $hi arguments" }
+          else s"Expected $lo to $hi arguments"
+        throw SqlError(s"Incorrect arguments for function $name(). $msg")
+      }
+    }
     def arr = args.head match {
       case VArr(items) => items
-      case VNone | VNull => Vector.empty[V]
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected a array but found ${other.render}")
+      case VSet(items) => items
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `array` but found `${other.render}`")
     }
     name match {
       case "array::map" =>
@@ -124,34 +138,119 @@ object Functions {
 
   // ---- main dispatch ---------------------------------------------------
 
+  /** Arity table: name → (min, max); max = -1 is unbounded. Mirrors the
+    * reference's FromArgs arity checks (fnc/args.rs:150-225). */
+  private val arity: Map[String, (Int, Int)] = Map(
+    "count" -> (0, 1), "not" -> (1, 1), "sleep" -> (1, 1),
+    "array::add" -> (2, 2), "array::append" -> (2, 2), "array::push" -> (2, 2),
+    "array::prepend" -> (2, 2), "array::at" -> (2, 2),
+    "array::boolean_and" -> (2, 2), "array::boolean_or" -> (2, 2),
+    "array::boolean_xor" -> (2, 2), "array::boolean_not" -> (1, 1),
+    "array::logical_and" -> (2, 2), "array::logical_or" -> (2, 2),
+    "array::logical_xor" -> (2, 2),
+    "array::combine" -> (2, 2), "array::complement" -> (2, 2),
+    "array::clump" -> (2, 2), "array::difference" -> (2, 2),
+    "array::distinct" -> (1, 1), "array::fill" -> (2, 4),
+    "array::first" -> (1, 1), "array::flatten" -> (1, 1),
+    "array::group" -> (1, 1), "array::insert" -> (2, 3),
+    "array::intersect" -> (2, 2), "array::is_empty" -> (1, 1),
+    "array::join" -> (2, 2), "array::last" -> (1, 1), "array::len" -> (1, 1),
+    "array::max" -> (1, 1), "array::min" -> (1, 1), "array::matches" -> (2, 2),
+    "array::pop" -> (1, 1), "array::range" -> (2, 2), "array::remove" -> (2, 2),
+    "array::repeat" -> (2, 2), "array::reverse" -> (1, 1),
+    "array::sequence" -> (1, 2), "array::shuffle" -> (1, 1),
+    "array::slice" -> (1, 3), "array::sort" -> (1, 2),
+    "array::sort::asc" -> (1, 1), "array::sort::desc" -> (1, 1),
+    "array::sort_natural" -> (1, 1), "array::sort_lexical" -> (1, 1),
+    "array::sort_natural_lexical" -> (1, 1),
+    "array::swap" -> (3, 3), "array::transpose" -> (1, 1),
+    "array::union" -> (2, 2), "array::windows" -> (2, 2),
+    "bytes::len" -> (1, 1),
+    "object::entries" -> (1, 1), "object::from_entries" -> (1, 1),
+    "object::keys" -> (1, 1), "object::values" -> (1, 1), "object::len" -> (1, 1),
+    "object::is_empty" -> (1, 1), "object::extend" -> (2, 2), "object::remove" -> (2, 2),
+    "string::concat" -> (0, -1), "string::contains" -> (2, 2),
+    "string::ends_with" -> (2, 2), "string::starts_with" -> (2, 2),
+    "string::join" -> (1, -1), "string::len" -> (1, 1),
+    "string::lowercase" -> (1, 1), "string::uppercase" -> (1, 1),
+    "string::capitalize" -> (1, 1), "string::repeat" -> (2, 2),
+    "string::replace" -> (3, 3), "string::reverse" -> (1, 1),
+    "string::slice" -> (1, 3), "string::split" -> (2, 2),
+    "string::trim" -> (1, 1), "string::words" -> (1, 1),
+    "string::matches" -> (2, 2), "string::slug" -> (1, 1),
+    "math::abs" -> (1, 1), "math::ceil" -> (1, 1), "math::floor" -> (1, 1),
+    "math::round" -> (1, 1), "math::sqrt" -> (1, 1), "math::pow" -> (2, 2),
+    "math::clamp" -> (3, 3), "math::fixed" -> (2, 2), "math::lerp" -> (3, 3),
+    "math::max" -> (1, 1), "math::min" -> (1, 1), "math::sum" -> (1, 1),
+    "math::product" -> (1, 1), "math::mean" -> (1, 1), "math::median" -> (1, 1),
+    "math::mode" -> (1, 1), "math::stddev" -> (1, 1), "math::variance" -> (1, 1),
+    "math::spread" -> (1, 1), "math::top" -> (2, 2), "math::bottom" -> (2, 2),
+    "math::percentile" -> (2, 2), "math::nearestrank" -> (2, 2),
+    "duration::days" -> (1, 1), "duration::hours" -> (1, 1), "duration::mins" -> (1, 1),
+    "duration::secs" -> (1, 1), "duration::weeks" -> (1, 1), "duration::years" -> (1, 1),
+    "duration::millis" -> (1, 1), "duration::micros" -> (1, 1), "duration::nanos" -> (1, 1),
+    "time::day" -> (1, 1), "time::month" -> (1, 1), "time::year" -> (1, 1),
+    "time::hour" -> (1, 1), "time::minute" -> (1, 1), "time::second" -> (1, 1),
+    "time::unix" -> (1, 1), "time::floor" -> (2, 2), "time::ceil" -> (2, 2),
+    "time::round" -> (2, 2), "time::group" -> (2, 2), "time::format" -> (2, 2),
+    "type::of" -> (1, 1), "type::string" -> (1, 1), "type::int" -> (1, 1),
+    "type::float" -> (1, 1), "type::decimal" -> (1, 1), "type::number" -> (1, 1),
+    "type::bool" -> (1, 1), "type::bytes" -> (1, 1),
+    "record::id" -> (1, 1), "record::tb" -> (1, 1), "record::table" -> (1, 1),
+    "vector::add" -> (2, 2), "vector::subtract" -> (2, 2), "vector::multiply" -> (2, 2),
+    "vector::divide" -> (2, 2), "vector::dot" -> (2, 2), "vector::magnitude" -> (1, 1),
+    "vector::normalize" -> (1, 1), "vector::angle" -> (2, 2), "vector::cross" -> (2, 2),
+    "vector::project" -> (2, 2), "vector::scale" -> (2, 2))
+
+  private def checkArity(name: String, n: Int): Unit =
+    arity.get(name).foreach { case (lo, hi) =>
+      if (n < lo || (hi >= 0 && n > hi)) {
+        val msg =
+          if (hi == lo) {
+            if (hi == 0) "Expected no arguments"
+            else if (hi == 1) "Expected 1 argument"
+            else s"Expected $hi arguments"
+          } else if (hi < 0) {
+            if (lo == 0) "Expected zero or more arguments"
+            else s"Expected $lo or more arguments"
+          } else s"Expected $lo to $hi arguments"
+        throw SqlError(s"Incorrect arguments for function $name(). $msg")
+      }
+    }
+
   def apply(name: String, a: Seq[V], env: Env): V = {
+    checkArity(name, a.length)
     def arg(i: Int): V = if (i < a.length) a(i) else VNone
+    def typeErr(i: Int, expected: String, found: V): Nothing =
+      throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. " +
+        s"Expected `$expected` but found `${found.render}`")
     def str(i: Int): String = arg(i) match {
       case VStr(s) => s
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a string but found ${other.render}")
+      case other => typeErr(i, "string", other)
     }
     def num(i: Int): VNum = arg(i) match {
       case n: VNum => n
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a number but found ${other.render}")
+      case other => typeErr(i, "number", other)
     }
-    def int(i: Int): Long = num(i) match {
+    def int(i: Int): Long = arg(i) match {
       case VInt(v) => v
-      case VFloat(d) => d.toLong
-      case VDec(d) => d.toLong
+      case VFloat(d) if d == Math.rint(d) && !d.isInfinity => d.toLong
+      case VDec(d) if d.isWhole => d.toLong
+      case other => typeErr(i, "int", other)
     }
     def dbl(i: Int): Double = num(i).toDouble
     def arr(i: Int): Vector[V] = arg(i) match {
       case VArr(items) => items
       case VSet(items) => items
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a array but found ${other.render}")
+      case other => typeErr(i, "array", other)
     }
     def obj(i: Int): TreeMap[String, V] = arg(i) match {
       case VObj(fs) => fs
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a object but found ${other.render}")
+      case other => typeErr(i, "object", other)
     }
     def nums(i: Int): Vector[Double] = arr(i).map {
       case n: VNum => n.toDouble
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. Expected a number but found ${other.render}")
+      case other => typeErr(i, "array<number>", other)
     }
 
     name match {
@@ -404,7 +503,8 @@ object Functions {
         VArr(for { x <- arr(0); y <- arr(1) } yield VArr(Vector(x, y)))
       case "array::complement" =>
         VArr(arr(0).filterNot(x => arr(1).exists(V.looseEq(_, x))))
-      case "array::concat" => VArr(a.flatMap { case VArr(it) => it; case v => Vector(v) }.toVector)
+      case "array::concat" =>
+        VArr(a.indices.flatMap(i => arr(i)).toVector)
       case "array::clump" =>
         val size = int(1).toInt
         if (size < 1) throw SqlError("Incorrect arguments for function array::clump(). The second argument must be an integer greater than 0")
@@ -416,8 +516,9 @@ object Functions {
       case "array::fill" =>
         val items = arr(0)
         val v = arg(1)
-        val start = if (a.length > 2) int(2).toInt else 0
-        val end = if (a.length > 3) int(3).toInt else items.length
+        def norm(x: Long): Long = if (x < 0) items.length + x else x
+        val start = Math.max(0L, if (a.length > 2) norm(int(2)) else 0L)
+        val end = Math.min(items.length.toLong, if (a.length > 3) norm(int(3)) else items.length.toLong)
         VArr(items.zipWithIndex.map { case (el, i) => if (i >= start && i < end) v else el })
       case "array::first" => arr(0).headOption.getOrElse(VNone)
       case "array::flatten" =>
@@ -442,8 +543,46 @@ object Functions {
       case "array::pop" => arr(0).lastOption.getOrElse(VNone)
       case "array::range" =>
         val start = int(0); val count = int(1)
-        if (count < 0) throw SqlError("Incorrect arguments for function array::range(). Argument 1 was the wrong type. Expected a positive number")
-        VArr((start until start + count).map(VInt(_)).toVector)
+        if (count <= 0) VArr(Vector.empty)
+        else if (count > 131072)
+          throw SqlError("Incorrect arguments for function array::range(). Output must not exceed 1048576 bytes.")
+        else VArr((start until start + count).map(VInt(_)).toVector)
+      case "array::sequence" =>
+        val (start, count) = if (a.length >= 2) (int(0), int(1)) else (0L, int(0))
+        if (count <= 0) VArr(Vector.empty)
+        else if (count > 131072)
+          throw SqlError("Incorrect arguments for function array::sequence(). Output must not exceed 1048576 bytes.")
+        else VArr((start until start + count).map(VInt(_)).toVector)
+      case "array::logical_and" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr((0 until Math.max(x.length, y.length)).map { i =>
+          (x.lift(i), y.lift(i)) match {
+            case (Some(m), Some(n)) => if (!m.truthy) m else n
+            case (Some(m), scala.None) => if (!m.truthy) m else VNull
+            case (scala.None, Some(n)) => if (!n.truthy) n else VNull
+            case _ => VNull
+          }
+        }.toVector)
+      case "array::logical_or" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr((0 until Math.max(x.length, y.length)).map { i =>
+          (x.lift(i), y.lift(i)) match {
+            case (Some(m), Some(n)) => if (m.truthy) m else n
+            case (Some(m), scala.None) => if (m.truthy) m else VNull
+            case (scala.None, Some(n)) => if (n.truthy) n else VNull
+            case _ => VNull
+          }
+        }.toVector)
+      case "array::logical_xor" =>
+        val (x, y) = (arr(0), arr(1))
+        VArr((0 until Math.max(x.length, y.length)).map { i =>
+          (x.lift(i).getOrElse(VNull), y.lift(i).getOrElse(VNull)) match {
+            case (m, n) if m.truthy && n.truthy => VBool(false)
+            case (m, _) if m.truthy => m
+            case (_, n) if n.truthy => n
+            case (m, _) => m
+          }
+        }.toVector)
       case "array::remove" =>
         val items = arr(0)
         var i = int(1)
@@ -469,17 +608,22 @@ object Functions {
         VArr(if (asc) sorted else sorted.reverse)
       case "array::sort::asc" => VArr(arr(0).sorted(V.ordering))
       case "array::sort::desc" => VArr(arr(0).sorted(V.ordering).reverse)
-      case "array::sort_natural" | "array::sort_lexical" | "array::sort_natural_lexical" =>
-        VArr(arr(0).sorted(V.ordering))
+      case "array::sort_natural" =>
+        VArr(arr(0).sortWith((x, y) => naturalCmp(x.renderRaw, y.renderRaw) < 0))
+      case "array::sort_lexical" =>
+        VArr(arr(0).sortWith((x, y) =>
+          java.text.Collator.getInstance(java.util.Locale.ROOT).compare(x.renderRaw, y.renderRaw) < 0))
+      case "array::sort_natural_lexical" =>
+        VArr(arr(0).sortWith((x, y) => naturalLexicalCmp(x.renderRaw, y.renderRaw) < 0))
       case "array::swap" =>
         val items = arr(0)
-        def norm(x: Long): Int = {
+        def norm(argIdx: Int, x: Long): Int = {
           val i = if (x < 0) items.length + x else x
           if (i < 0 || i >= items.length)
-            throw SqlError(s"Incorrect arguments for function array::swap(). Argument 1 is out of range")
+            throw SqlError(s"Incorrect arguments for function array::swap(). Argument $argIdx is out of range. Expected a number between -${items.length} and ${items.length}")
           i.toInt
         }
-        val (i, j) = (norm(int(1)), norm(int(2)))
+        val (i, j) = (norm(1, int(1)), norm(2, int(2)))
         VArr(items.updated(i, items(j)).updated(j, items(i)))
       case "array::transpose" =>
         val rows = arr(0).map { case VArr(r) => r; case v => Vector(v) }
@@ -487,7 +631,7 @@ object Functions {
         else {
           val width = rows.map(_.length).max
           VArr((0 until width).map { i =>
-            VArr(rows.flatMap(_.lift(i)))
+            VArr(rows.map(_.lift(i).getOrElse(VNone)))
           }.toVector)
         }
       case "array::union" => VArr(Coerce.dedup(arr(0) ++ arr(1)))
@@ -497,6 +641,10 @@ object Functions {
         VArr(arr(0).sliding(size).filter(_.length == size).map(VArr(_)).toVector)
 
       // ---- object ------------------------------------------------------
+      case "bytes::len" => arg(0) match {
+        case VBytes(bs) => VInt(bs.length)
+        case other => typeErr(0, "bytes", other)
+      }
       case "object::entries" =>
         VArr(obj(0).map { case (k, v) => VArr(Vector(VStr(k), v)) }.toVector)
       case "object::from_entries" =>
@@ -600,23 +748,29 @@ object Functions {
         VBool(java.time.Year.isLeap(utc(arg(0)).getYear))
 
       // ---- duration ----------------------------------------------------
-      case "duration::days" => VInt(durOf(arg(0)).secs / 86400)
-      case "duration::hours" => VInt(durOf(arg(0)).secs / 3600)
-      case "duration::mins" => VInt(durOf(arg(0)).secs / 60)
-      case "duration::secs" => VInt(durOf(arg(0)).secs)
-      case "duration::weeks" => VInt(durOf(arg(0)).secs / 604800)
-      case "duration::years" => VInt(durOf(arg(0)).secs / 31536000)
+      case "duration::days" => VInt((durOf(arg(0)).secsU / 86400).toLong)
+      case "duration::hours" => VInt((durOf(arg(0)).secsU / 3600).toLong)
+      case "duration::mins" => VInt((durOf(arg(0)).secsU / 60).toLong)
+      case "duration::secs" => VInt(durOf(arg(0)).secsU.toLong)
+      case "duration::weeks" => VInt((durOf(arg(0)).secsU / 604800).toLong)
+      case "duration::years" => VInt((durOf(arg(0)).secsU / 31536000).toLong)
       case "duration::millis" => VInt((durOf(arg(0)).totalNanos / 1000000L).toLong)
       case "duration::micros" => VInt((durOf(arg(0)).totalNanos / 1000L).toLong)
       case "duration::nanos" => VInt(durOf(arg(0)).totalNanos.toLong)
-      case "duration::from::days" => VDur(int(0) * 86400, 0)
-      case "duration::from::hours" => VDur(int(0) * 3600, 0)
-      case "duration::from::mins" => VDur(int(0) * 60, 0)
-      case "duration::from::secs" => VDur(int(0), 0)
-      case "duration::from::weeks" => VDur(int(0) * 604800, 0)
-      case "duration::from::millis" => VDur(int(0) / 1000, ((int(0) % 1000) * 1000000).toInt)
-      case "duration::from::micros" => VDur(int(0) / 1000000, ((int(0) % 1000000) * 1000).toInt)
-      case "duration::from::nanos" => VDur(int(0) / 1000000000, (int(0) % 1000000000).toInt)
+      case "duration::from::days" | "duration::from_days" => durMul(int(0), 86400, name)
+      case "duration::from::hours" | "duration::from_hours" => durMul(int(0), 3600, name)
+      case "duration::from::mins" | "duration::from_mins" => durMul(int(0), 60, name)
+      case "duration::from::secs" | "duration::from_secs" => durMul(int(0), 1, name)
+      case "duration::from::weeks" | "duration::from_weeks" => durMul(int(0), 604800, name)
+      case "duration::from::millis" | "duration::from_millis" =>
+        if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
+        VDur(int(0) / 1000, ((int(0) % 1000) * 1000000).toInt)
+      case "duration::from::micros" | "duration::from_micros" =>
+        if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
+        VDur(int(0) / 1000000, ((int(0) % 1000000) * 1000).toInt)
+      case "duration::from::nanos" | "duration::from_nanos" =>
+        if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
+        VDur(int(0) / 1000000000, (int(0) % 1000000000).toInt)
 
       // ---- type --------------------------------------------------------
       case "type::of" | "type::string_of" => VStr(arg(0).typeName)
@@ -799,7 +953,8 @@ object Functions {
             val dl = lon2 - lon1
             val yy = Math.sin(dl) * Math.cos(lat2)
             val xx = Math.cos(lat1) * Math.sin(lat2) - Math.sin(lat1) * Math.cos(lat2) * Math.cos(dl)
-            VFloat((Math.toDegrees(Math.atan2(yy, xx)) + 360) % 360)
+            val brg = (Math.toDegrees(Math.atan2(yy, xx)) + 360) % 360
+            VFloat(if (brg > 180.0) brg - 360.0 else brg)
           case _ => VNone
         }
 
@@ -810,7 +965,11 @@ object Functions {
           case VStr(s) => s.getBytes("UTF-8")
           case other => other.renderRaw.getBytes("UTF-8")
         }
-        VStr(java.util.Base64.getEncoder.withoutPadding.encodeToString(bytes))
+        VStr(java.util.Base64.getEncoder.encodeToString(bytes))
+      case "encoding::json::encode" | "json::encode" =>
+        VStr(Json.encode(arg(0)))
+      case "encoding::json::decode" | "json::decode" =>
+        Json.decode(str(0))
       case "encoding::base64::decode" =>
         VBytes(java.util.Base64.getDecoder.decode(str(0)).toVector)
 
@@ -859,6 +1018,13 @@ object Functions {
   private def durOf(v: V): VDur = v match {
     case d: VDur => d
     case other => throw SqlError(s"Expected a duration but found ${other.render}")
+  }
+
+  private def durMul(n: Long, unitSecs: Long, name: String): VDur = {
+    if (n < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
+    try VDur(Math.multiplyExact(n, unitSecs), 0)
+    catch { case _: ArithmeticException =>
+      throw SqlError(s"Incorrect arguments for function $name(). The resulting duration exceeds the maximum allowed value") }
   }
 
   private def vecZip(x: Vector[Double], y: Vector[Double], name: String)(f: (Double, Double) => Double): VArr = {
@@ -967,6 +1133,47 @@ object Functions {
       Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) *
         Math.sin(dLon / 2) * Math.sin(dLon / 2)
     R * 2 * Math.atan2(Math.sqrt(aa), Math.sqrt(1 - aa))
+  }
+
+  /** Natural sort: digit runs compare numerically ("2" < "11"). */
+  def naturalCmp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.charAt(i); val cb = b.charAt(j)
+      if (ca.isDigit && cb.isDigit) {
+        val si = i; val sj = j
+        while (i < a.length && a.charAt(i).isDigit) i += 1
+        while (j < b.length && b.charAt(j).isDigit) j += 1
+        val na = BigInt(a.substring(si, i)); val nb = BigInt(b.substring(sj, j))
+        val c = na.compare(nb)
+        if (c != 0) return c
+      } else {
+        val c = ca.compareTo(cb)
+        if (c != 0) return c
+        i += 1; j += 1
+      }
+    }
+    (a.length - i).compareTo(b.length - j)
+  }
+
+  def naturalLexicalCmp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    val coll = java.text.Collator.getInstance(java.util.Locale.ROOT)
+    while (i < a.length && j < b.length) {
+      val ca = a.charAt(i); val cb = b.charAt(j)
+      if (ca.isDigit && cb.isDigit) {
+        val si = i; val sj = j
+        while (i < a.length && a.charAt(i).isDigit) i += 1
+        while (j < b.length && b.charAt(j).isDigit) j += 1
+        val c = BigInt(a.substring(si, i)).compare(BigInt(b.substring(sj, j)))
+        if (c != 0) return c
+      } else {
+        val c = coll.compare(ca.toString, cb.toString)
+        if (c != 0) return c
+        i += 1; j += 1
+      }
+    }
+    (a.length - i).compareTo(b.length - j)
   }
 
   private def strftime(t: java.time.ZonedDateTime, fmt: String): String = {

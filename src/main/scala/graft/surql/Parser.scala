@@ -1085,7 +1085,9 @@ final class Parser(val src: String) {
     }
     expectSym("|")
     ws()
-    val body = if (sym("->")) { kind(); blockExpr() } else if (peekc == '{') blockExpr() else expr()
+    val body = if (sym("->")) { kind(); blockExpr() }
+      else if (peekc == '{') objectOrBlock()
+      else expr()
     Closure(params.toSeq, body)
   }
 

@@ -36,8 +36,8 @@ sealed abstract class V {
     case _: VTable    => 13
     case _: VRid      => 14
     case _: VFile     => 15
-    case _: VRng      => 16
-    case _: VRegex    => 17
+    case _: VRegex    => 16
+    case _: VRng      => 17
     case _: VClosure  => 18
   }
 
