@@ -257,6 +257,14 @@ object Functions {
       // ---- top-level ---------------------------------------------------
       case "__set__" => V.set(a)
       case "__point__" => VGeom("Point", VArr(Vector(arg(0), arg(1))))
+      case "__explain__" => VArr(Vector.empty) // plan output is engine-specific
+      case "__mock__" =>
+        val tb = str(0)
+        arg(2) match {
+          case VInt(hi) => VArr((int(1) to hi).map(i => VRid(tb, VInt(i))).toVector)
+          case _ =>
+            VArr((1L to int(1)).map(_ => VRid(tb, VStr(Interp.randomId()))).toVector)
+        }
       case "count" =>
         if (a.isEmpty) VInt(1)
         else arg(0) match {

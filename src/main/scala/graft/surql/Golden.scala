@@ -123,13 +123,30 @@ object Golden {
   }
 
   /** Structural fallback compare: parse both renderings as values (handles
-    * whitespace/ordering differences in object keys). */
+    * whitespace/ordering differences in object keys). Random record-id keys
+    * (20-char alnum, the reference's generated ids) compare as wildcards —
+    * the corpus pins outputs containing freshly generated ids. */
   private def valueEquiv(want: String, got: String): Boolean =
     try {
       val w = Parser.parseValue(want)
       val g = Parser.parseValue(got)
-      V.exactEq(w, g) && w.typeTag == g.typeTag
+      equivV(w, g)
     } catch { case _: Exception => false }
+
+  private def isRandomKey(v: V): Boolean = v match {
+    case VStr(s) => s.length == 20 && s.forall(c => c.isDigit || (c >= 'a' && c <= 'z'))
+    case _ => false
+  }
+
+  private def equivV(w: V, g: V): Boolean = (w, g) match {
+    case (VRid(tw, kw2), VRid(tg, kg)) =>
+      tw == tg && (equivV(kw2, kg) || (isRandomKey(kw2) && isRandomKey(kg)))
+    case (VArr(x), VArr(y)) =>
+      x.length == y.length && x.zip(y).forall { case (a, b) => equivV(a, b) }
+    case (VObj(x), VObj(y)) =>
+      x.size == y.size && x.keySet == y.keySet && x.forall { case (k, v) => equivV(v, y(k)) }
+    case _ => V.exactEq(w, g) && w.typeTag == g.typeTag
+  }
 
   def runPaths(root: Path, testsRoot: Path, filter: String => Boolean = _ => true): Seq[Outcome] = {
     val files = Files.walk(root).iterator().asScala

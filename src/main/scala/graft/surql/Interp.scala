@@ -10,6 +10,18 @@ sealed trait QueryResult
 final case class QOk(v: V) extends QueryResult
 final case class QErr(msg: String) extends QueryResult
 
+object Interp {
+  private val idRng = new java.util.concurrent.atomic.AtomicLong(0x5eed5eedL)
+  /** 20-char lowercase-alnum record id, shaped like the reference's random
+    * ids (nanoid alphabet subset) but deterministic per session. */
+  def randomId(): String = {
+    val n = idRng.incrementAndGet()
+    val rnd = new scala.util.Random(n * 0x9e3779b97f4a7c15L)
+    val alphabet = "0123456789abcdefghijklmnopqrstuvwxyz"
+    (1 to 20).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+}
+
 /** SurrealQL interpreter over an in-memory catalog — the semantic twin of
   * the reference's executor (surrealdb: dbs/executor.rs:599-676 statement
   * loop, doc/ lifecycle for mutations, exec/planner/select.rs:1213 SELECT
@@ -154,7 +166,7 @@ final class Interp {
   def fetchRecord(rid: VRid): Option[VObj] =
     tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
 
-  private def nextId(): V = { idCounter += 1; VStr(f"id$idCounter%06d") }
+  private def nextId(): V = VStr(Interp.randomId())
 
   /** Field schema from DEFINE FIELD (TYPE/DEFAULT/VALUE/ASSERT minimal). */
   private val fieldDefs = mutable.LinkedHashMap[(String, String), String]()
@@ -202,13 +214,14 @@ final class Interp {
   /** Targets for mutations: (table, Some(key)) for point writes, (table,
     * None) for whole-table writes. */
   private def mutationTargets(what: Seq[Expr], env: Env): Seq[(String, Option[V])] =
-    what.map {
-      case Idiom(Seq(PField(name))) => (name, scala.None)
-      case RidLit(tb, keyE) => (tb, Some(Eval.eval(keyE, env)))
+    what.flatMap {
+      case Idiom(Seq(PField(name))) => Seq((name, scala.None: Option[V]))
+      case RidLit(tb, keyE) => Seq((tb, Some(Eval.eval(keyE, env))))
       case other => Eval.eval(other, env) match {
-        case VRid(tb, key) => (tb, Some(key))
-        case VTable(tb)    => (tb, scala.None)
-        case VStr(tb)      => (tb, scala.None)
+        case VRid(tb, key) => Seq((tb, Some(key)))
+        case VTable(tb)    => Seq((tb, scala.None: Option[V]))
+        case VStr(tb)      => Seq((tb, scala.None: Option[V]))
+        case VArr(items)   => items.collect { case VRid(tb, key) => (tb, Some(key): Option[V]) }
         case v => throw SqlError(s"Can not execute statement using value: ${v.render}")
       }
     }
@@ -503,6 +516,10 @@ final class Interp {
     case Some(Output.OBefore) => Some(before.map(identity[V]).getOrElse(VNone))
     case Some(Output.OAfter) => Some(after.map(identity[V]).getOrElse(VNone))
     case Some(Output.ODiff) =>
+      // creation diff: single root replace (val::Value::diff JSON-patch)
+      if (before.isEmpty && after.isDefined)
+        return Some(VArr(Vector(V.obj("op" -> VStr("replace"), "path" -> VStr(""),
+          "value" -> after.get))))
       val b = before.map(_.fields).getOrElse(TreeMap.empty[String, V])
       val aa = after.map(_.fields).getOrElse(TreeMap.empty[String, V])
       val ops = mutable.ArrayBuffer[V]()
@@ -538,6 +555,10 @@ final class Interp {
         case Some(VRid(_, k)) => k
         case Some(VNone) | scala.None => keyOpt.getOrElse(nextId())
         case Some(other) => other
+      }
+      key match {
+        case VStr("") => throw SqlError("Found '' for the Record ID but this is not a valid id")
+        case _ => ()
       }
       if (t.keys.exists(V.looseEq(_, key)))
         throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")

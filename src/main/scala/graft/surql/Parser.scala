@@ -30,6 +30,9 @@ object Parser {
 
 final class Parser(val src: String) {
   var pos = 0
+  /** While set, idiom continuation does not consume graph arrows — used by
+    * RELATE to keep `$a->edge->$b` separable. */
+  private var noGraphIdiom = false
 
   // ---- low-level ------------------------------------------------------
 
@@ -141,6 +144,13 @@ final class Parser(val src: String) {
 
   def statement(): Statement = {
     ws()
+    if (peekKw("EXPLAIN") || peekKw("ANALYZE")) {
+      // EXPLAIN/ANALYZE <stmt>: parse the inner statement; plan output is
+      // engine-specific so the result is a placeholder
+      kw("EXPLAIN"); kw("ANALYZE"); kw("FULL")
+      val inner = statement()
+      return ExprStmt(FnCall("__explain__", Seq(Subquery(inner))))
+    }
     if (kw("SELECT")) selectStmt()
     else if (kw("LET")) letStmt()
     else if (kw("RETURN")) {
@@ -399,7 +409,12 @@ final class Parser(val src: String) {
   /** A dotted idiom name used in OMIT/SPLIT/FETCH/AS positions. */
   private def idiomName(): String = {
     val sb = new StringBuilder(rawIdent())
-    while (peekSym(".")) { sym("."); sb.append('.').append(rawIdent()) }
+    while (peekSym(".") && !peekSym("..")) {
+      sym(".")
+      ws()
+      if (peekc == '*') { pos += 1; sb.append(".*") }
+      else sb.append('.').append(rawIdent())
+    }
     sb.toString
   }
 
@@ -502,7 +517,12 @@ final class Parser(val src: String) {
   private def insertStmt(): Statement = {
     val relation = kw("RELATION")
     val ignore = kw("IGNORE")
-    val into = if (kw("INTO")) Some(expr()) else scala.None
+    val into = if (kw("INTO")) Some[Expr] {
+      ws()
+      if (peekc == '$') { pos += 1; Param(rawIdent()) }
+      else if (peekc == '(') { val e = primary(); e }
+      else TableRef(rawIdent())
+    } else scala.None
     val values: Expr =
       if (peekSym("(")) {
         // (col, col) VALUES (v, v), (v, v)
@@ -543,11 +563,16 @@ final class Parser(val src: String) {
 
   private def relateStmt(): Statement = {
     val only = kw("ONLY")
-    val from = exprAtLevel(BpRelation + 1)
-    expectSym("->")
-    val edge = exprAtLevel(BpRelation + 1)
-    expectSym("->")
-    val to = exprAtLevel(BpRelation + 1)
+    noGraphIdiom = true
+    val (from, edge, to) =
+      try {
+        val f = exprAtLevel(BpRelation + 1)
+        expectSym("->")
+        val e = exprAtLevel(BpRelation + 1)
+        expectSym("->")
+        val t = exprAtLevel(BpRelation + 1)
+        (f, e, t)
+      } finally { noGraphIdiom = false }
     val data = dataClause()
     val out = output()
     RelateStmt(only, from, edge, to, data, out)
@@ -871,8 +896,47 @@ final class Parser(val src: String) {
               if (sym(":")) {
                 // aliased sub-path destructure
                 val sub = ArrayBuffer[Part](PField(rawIdent()))
-                while (peekSym(".")) { sym("."); sub += PField(rawIdent()) }
+                while (peekSym(".") && !peekSym("..")) { sym("."); sub += PField(rawIdent()) }
                 fs += ((n, Some(sub.toSeq)))
+              } else if (peekSym(".")) {
+                // nested destructure c.{ e, f }
+                sym(".")
+                ws()
+                if (peekc == '{') {
+                  pos += 1
+                  val inner = ArrayBuffer[(String, Option[Seq[Part]])]()
+                  var g2 = true
+                  while (g2) {
+                    ws()
+                    if (peekc == '}') g2 = false
+                    else {
+                      val n2 = rawIdent()
+                      if (peekSym(".")) {
+                        sym("."); ws()
+                        if (peekc == '{') {
+                          // one more nesting level is enough for the corpus
+                          pos += 1
+                          val inner2 = ArrayBuffer[(String, Option[Seq[Part]])]()
+                          var g3 = true
+                          while (g3) {
+                            ws()
+                            if (peekc == '}') g3 = false
+                            else { inner2 += ((rawIdent(), scala.None)); g3 = sym(",") }
+                          }
+                          expectSym("}")
+                          inner += ((n2, Some(Seq(PField(n2), PDestructure(inner2.toSeq)))))
+                        } else inner += ((n2, Some(Seq(PField(n2), PField(rawIdent())))))
+                      } else inner += ((n2, scala.None))
+                      g2 = sym(",")
+                    }
+                  }
+                  expectSym("}")
+                  fs += ((n, Some(Seq(PField(n), PDestructure(inner.toSeq)))))
+                } else {
+                  val sub = ArrayBuffer[Part](PField(n), PField(rawIdent()))
+                  while (peekSym(".") && !peekSym("..")) { sym("."); sub += PField(rawIdent()) }
+                  fs += ((n, Some(sub.toSeq)))
+                }
               } else fs += ((n, scala.None))
               g = sym(",")
             }
@@ -911,9 +975,9 @@ final class Parser(val src: String) {
         expectSym(")")
         parts += PMethod("__call__", args.toSeq)
       }
-      else if (peekSym("->") ) { sym("->"); parts += graphPart("out") }
-      else if (peekSym("<->")) { sym("<->"); parts += graphPart("both") }
-      else if (peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
+      else if (!noGraphIdiom && peekSym("->") ) { sym("->"); parts += graphPart("out") }
+      else if (!noGraphIdiom && peekSym("<->")) { sym("<->"); parts += graphPart("both") }
+      else if (!noGraphIdiom && peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
       else if (peekSym("?") && !peekSym("??") && !peekSym("?:") && !peekSym("?=")) {
         sym("?"); parts += POptional
       }
@@ -996,7 +1060,19 @@ final class Parser(val src: String) {
     }
     else if (c == '{') objectOrBlock()
     else if (c == '$') { pos += 1; Param(rawIdent()) }
-    else if (c == '|') closure()
+    else if (c == '|') {
+      // |person:100| mock source vs |$x| closure — lookahead for ident ':'
+      val save = pos
+      pos += 1
+      ws()
+      val isMock = (isIdentStart(peekc) || peekc == '`' || peekc == '⟨') && {
+        val s2 = pos
+        val r = try { rawIdent(); peekc == ':' } catch { case _: ParseError => false }
+        pos = s2; r
+      }
+      pos = save
+      if (isMock) mockLit() else closure()
+    }
     else if (c == '/') regexLit()
     else if (c == '\'' || c == '"') {
       val (s, _) = stringLit()
@@ -1089,6 +1165,17 @@ final class Parser(val src: String) {
       else if (peekc == '{') objectOrBlock()
       else expr()
     Closure(params.toSeq, body)
+  }
+
+  private def mockLit(): Expr = {
+    expectSym("|")
+    val tb = rawIdent()
+    expectSym(":")
+    val lo = intLit()
+    val hi = if (sym("..")) Some(intLit()) else scala.None
+    expectSym("|")
+    FnCall("__mock__", Seq(Lit(VStr(tb)), Lit(VInt(lo)),
+      hi.map(h => Lit(VInt(h)): Expr).getOrElse(Lit(VNone))))
   }
 
   private def regexLit(): Expr = {
