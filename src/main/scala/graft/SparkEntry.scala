@@ -15,11 +15,19 @@ import graft.operators._
   * kept order-independent. */
 object SparkEntry {
 
-  private val registry: Seq[Q] =
+  private val handBuilt: Seq[Q] =
     Relational.all ++ GraphOps.all ++ ScalarQueries.all ++
       VectorQueries.all ++ MiscQueries.all ++
       Mutations.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ FullText.all ++ Multimodal.all
+
+  /** 21 entries run as REAL SurrealQL text through the parser + SparkPlanner
+    * (graft.surql) — they override the hand-built closures of the same name,
+    * so the driver's oracle gate verifies parse → plan → execute. */
+  private val registry: Seq[Q] = {
+    val planned = SurqlQueries.all.map(_.name).toSet
+    handBuilt.filterNot(q => planned.contains(q.name)) ++ SurqlQueries.all
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: scan → filter → groupBy agg → sort. */

@@ -696,6 +696,7 @@ final class Parser(val src: String) {
       if (kw("OUTSIDE")) return Some(("OUTSIDE", BpRelation))
       if (kw("INTERSECTS")) return Some(("INTERSECTS", BpRelation))
       if (kw("NOT")) {
+        if (kw("INSIDE")) return Some(("NOTINSIDE", BpRelation))
         if (kw("IN")) return Some(("NOTINSIDE", BpRelation))
         pos = save; return scala.None
       }
