@@ -26,7 +26,8 @@ object SparkEntry {
     * so the driver's oracle gate verifies parse → plan → execute. */
   private val registry: Seq[Q] = {
     val planned = SurqlQueries.all.map(_.name).toSet
-    handBuilt.filterNot(q => planned.contains(q.name)) ++ SurqlQueries.all
+    handBuilt.filterNot(q => planned.contains(q.name)) ++ SurqlQueries.all ++
+      GoldenQueries.all
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.surql._
+
+/** Engine unit coverage: parser round-trips, value semantics, and the golden
+  * corpus manifest (every pinned file must stay fully green). */
+class SurqlSpec extends AnyFunSuite {
+
+  private def run1(sql: String): QueryResult =
+    new Interp().run(Parser.parse(sql)).last
+
+  private def value(sql: String): String = run1(sql) match {
+    case QOk(v)  => v.render
+    case QErr(m) => fail(s"unexpected error: $m")
+  }
+  private def error(sql: String): String = run1(sql) match {
+    case QErr(m) => m
+    case QOk(v)  => fail(s"expected error, got ${v.render}")
+  }
+
+  test("arithmetic follows reference semantics (checked ints, float promotion)") {
+    assert(value("1 + 2 * 3") == "7")
+    assert(value("8 % 3") == "2")
+    assert(value("8.0 % 3") == "2f")
+    assert(value("8 % 3dec") == "2dec")
+    assert(value("1 / 0") == "NaN")
+    assert(error("3 % 0") == "Cannot perform remainder with '3' and '0'")
+    assert(value("2 ** 10") == "1024")
+    assert(error("9223372036854775807 + 1").startsWith("Cannot perform addition"))
+  }
+
+  test("total value ordering across types") {
+    assert(value("[1..2, /a/, a:b, {  }, [], 1d, 1, true, NULL, NONE].sort()") ==
+      "[NONE, NULL, true, 1, 1d, [], {  }, a:b, /a/, 1..2]")
+  }
+
+  test("casts + literal kinds") {
+    assert(value("<int> '42'") == "42")
+    assert(value("<array> 1..5") == "[1, 2, 3, 4]")
+    assert(value("<string> 1dec") == "'1'")
+    assert(error("<object> 1dec") == "Could not cast into `object` using input `1dec`")
+  }
+
+  test("control flow: FOR/BREAK/RETURN, closures as boundaries") {
+    assert(value("{ LET $t = 0; FOR $i IN [1,2,3,4] { IF $i == 3 { BREAK } }; RETURN 'done' }") == "'done'")
+    assert(value("(|$x| $x + 1)(41)") == "42")
+  }
+
+  test("SELECT pipeline over in-memory records") {
+    val sql =
+      """CREATE p:1 SET v = 3; CREATE p:2 SET v = 1; CREATE p:3 SET v = 2;
+         SELECT v FROM p ORDER BY v DESC LIMIT 2;"""
+    val results = new Interp().run(Parser.parse(sql))
+    assert(results.last == QOk(Parser.parseValue("[{ v: 3 }, { v: 2 }]")))
+  }
+
+  test("golden manifest stays fully green") {
+    val root = java.nio.file.Paths.get("/root/reference/language-tests/tests")
+    val in = getClass.getResourceAsStream("/golden_manifest.txt")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    val failures = lines.flatMap { line =>
+      val Array(path, _) = line.split('\t')
+      val p = root.resolve(path)
+      val o = Golden.runFile(Golden.parseFile(p), root)
+      if (o.ok) scala.None else Some(s"$path: ${o.failures.headOption.getOrElse("")}")
+    }
+    assert(failures.isEmpty, s"${failures.length} regressed files:\n${failures.take(5).mkString("\n")}")
+  }
+
+  test("SurrealQL→Spark planner produces the same rows as the interpreter shape") {
+    val spark = TestSpark.session
+    val df = SparkPlanner.query(spark, "/root/testdata/sf0.001",
+      "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 110 ORDER BY o_orderkey")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.map(_.getLong(0)).toSeq.sorted == rows.map(_.getLong(0)).toSeq)
+  }
+}
