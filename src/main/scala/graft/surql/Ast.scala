@@ -109,6 +109,11 @@ final case class DefineStmt(what: String, name: String, clauses: Map[String, Exp
 final case class RemoveStmt(what: String, name: String) extends Statement
 final case class DefineFunctionStmt(name: String, params: Seq[(String, Option[Kind])],
     body: Expr) extends Statement
+final case class DefineFieldStmt(field: String, table: String, kind: Option[Kind],
+    flexible: Boolean, value: Option[Expr], default: Option[Expr], defaultAlways: Boolean,
+    assert: Option[Expr], assertRaw: String, readonly: Boolean) extends Statement
+final case class DefineIndexStmt(name: String, table: String, fields: Seq[String],
+    unique: Boolean) extends Statement
 final case class InfoStmt(level: String) extends Statement
 final case class OptionStmt(name: String, value: Boolean) extends Statement
 
@@ -155,7 +160,8 @@ object Output {
 final case class CreateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
     output: Option[Output]) extends Statement
 final case class InsertStmt(ignore: Boolean, into: Option[Expr], values: Expr,
-    onDuplicate: Option[Seq[(Idiom, String, Expr)]], relation: Boolean) extends Statement
+    onDuplicate: Option[Seq[(Idiom, String, Expr)]], relation: Boolean,
+    output: Option[Output]) extends Statement
 final case class UpdateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
     where: Option[Expr], output: Option[Output]) extends Statement
 final case class UpsertStmt(only: Boolean, what: Seq[Expr], data: Option[Data],

@@ -298,5 +298,5 @@ object Coerce {
   }
 
   private def coerceErr(k: Kind, v: V): Nothing =
-    throw SqlError(s"Expected a ${kindName(k)} but found ${v.render}")
+    throw SqlError(s"Expected `${kindName(k)}` but found `${v.render}`")
 }

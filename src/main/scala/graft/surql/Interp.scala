@@ -36,6 +36,12 @@ final class Interp {
   var globals: Map[String, V] = Map.empty
   /** DEFINE FUNCTION registry: name (sans fn::) → closure. */
   val customFns: mutable.LinkedHashMap[String, VClosure] = mutable.LinkedHashMap.empty
+  /** DEFINE FIELD registry per table, in definition order. */
+  val fieldPipeline: mutable.LinkedHashMap[String, Vector[DefineFieldStmt]] =
+    mutable.LinkedHashMap.empty
+  /** DEFINE INDEX UNIQUE registry per table: (index name, fields). */
+  val uniqueIndexes: mutable.LinkedHashMap[String, Vector[(String, Seq[String])]] =
+    mutable.LinkedHashMap.empty
   private var idCounter = 0L
 
   def run(ast: Ast): Seq[QueryResult] = {
@@ -58,6 +64,16 @@ final class Interp {
             results += QOk(VNone)
           case DefineFunctionStmt(fname, params, body) =>
             customFns(fname) = VClosure(params, body, Map.empty)
+            results += QOk(VNone)
+          case f: DefineFieldStmt =>
+            fieldPipeline(f.table) =
+              fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
+            table(f.table) // schema definition brings the table into existence
+            results += QOk(VNone)
+          case ix: DefineIndexStmt =>
+            if (ix.unique)
+              uniqueIndexes(ix.table) = uniqueIndexes.getOrElse(ix.table, Vector.empty) :+ ((ix.name, ix.fields))
+            table(ix.table)
             results += QOk(VNone)
           case _: RemoveStmt =>
             results += QOk(VNone)
@@ -116,6 +132,14 @@ final class Interp {
     case d: DefineStmt => execDefine(d); VNone
     case DefineFunctionStmt(fname, params, body) =>
       customFns(fname) = VClosure(params, body, Map.empty); VNone
+    case f: DefineFieldStmt =>
+      fieldPipeline(f.table) =
+        fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
+      table(f.table); VNone
+    case ix: DefineIndexStmt =>
+      if (ix.unique)
+        uniqueIndexes(ix.table) = uniqueIndexes.getOrElse(ix.table, Vector.empty) :+ ((ix.name, ix.fields))
+      table(ix.table); VNone
     case _: RemoveStmt => VNone
     case _: UseStmt | BeginStmt | CommitStmt | CancelStmt | _: OptionStmt | _: InfoStmt => VNone
   }
@@ -171,6 +195,7 @@ final class Interp {
   /** Field schema from DEFINE FIELD (TYPE/DEFAULT/VALUE/ASSERT minimal). */
   private val fieldDefs = mutable.LinkedHashMap[(String, String), String]()
   private def execDefine(d: DefineStmt): Unit = {
+    if (d.what == "TABLE" && d.name.nonEmpty) table(d.name)
     if (d.what == "FIELD") fieldDefs((d.name, "")) = d.raw
     if (d.what == "PARAM") d.clauses.get("value").foreach { e =>
       globals = globals + (d.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
@@ -180,15 +205,120 @@ final class Interp {
   /** Parameters the user cannot LET (reference PROTECTED_PARAM_NAMES). */
   private val protectedParams = Set("auth", "access", "token", "session")
 
+  /** DEFINE FIELD pipeline (doc/field.rs: DEFAULT → VALUE → TYPE coerce →
+    * ASSERT → READONLY) applied to a document before it is stored. */
+  def applyFieldPipeline(tb: String, rid: VRid, doc: VObj, before: Option[VObj],
+      isCreate: Boolean, env: Env): VObj = {
+    val defs = fieldPipeline.getOrElse(tb, Vector.empty)
+    var fields = doc.fields
+    defs.foreach { fd =>
+      val path = fd.field.split('.').toList
+      def transform(cur: V, segs: List[String], beforeV: V): V = segs match {
+        case Nil =>
+          var v = cur
+          val input = cur
+          if ((v == VNone || v == VNull) && fd.default.isDefined && (isCreate || fd.defaultAlways))
+            v = Eval.eval(fd.default.get, env.bind("this", VObj(fields)))
+          fd.value.foreach { ve =>
+            v = Eval.eval(ve, env.copy(doc = Some(VObj(fields)))
+              .bind("input", input).bind("value", v).bind("before", beforeV)
+              .bind("after", v))
+          }
+          fd.kind.foreach { k =>
+            if (!(v == VNone && fd.field != "id")) {
+              v = try Coerce.coerce(k, v)
+              catch {
+                case e: SqlError =>
+                  throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
+              }
+            }
+          }
+          fd.assert.foreach { ae =>
+            val ok = Eval.eval(ae, env.copy(doc = Some(VObj(fields))).bind("value", v)).truthy
+            if (!ok)
+              throw SqlError(s"Found ${v.render} for field `${fd.field}`, with record `${Render.sql(rid)}`, but field must conform to: ${fd.assertRaw}")
+          }
+          if (fd.readonly && !isCreate && before.isDefined) {
+            val old = beforeV
+            if (!V.looseEq(old, v))
+              throw SqlError(s"Found changed value for field `${fd.field}`, with record `${Render.sql(rid)}`, but field is readonly")
+          }
+          v
+        case "*" :: rest => cur match {
+          case VArr(items) =>
+            val beforeItems = beforeV match { case VArr(bi) => bi; case _ => Vector.empty }
+            VArr(items.zipWithIndex.map { case (el, i) =>
+              transform(el, rest, beforeItems.lift(i).getOrElse(VNone)) })
+          case other => other
+        }
+        case seg :: rest => cur match {
+          case VObj(fs) =>
+            val sub = fs.getOrElse(seg, VNone)
+            val beforeSub = beforeV match { case VObj(bf) => bf.getOrElse(seg, VNone); case _ => VNone }
+            val newSub = transform(sub, rest, beforeSub)
+            if (newSub == VNone && !fs.contains(seg)) VObj(fs)
+            else VObj(fs.updated(seg, newSub))
+          case VNone if rest.isEmpty => VNone
+          case other => other
+        }
+      }
+      val beforeRoot = before.map(identity[V]).getOrElse(VNone)
+      val result = transform(VObj(fields), path, beforeRoot) match {
+        case VObj(fs) => fs
+        case _ => fields
+      }
+      fields = result
+    }
+    VObj(fields)
+  }
+
+  /** Unique-index enforcement: error if another record holds the same key
+    * values (catalog/schema/index.rs; err "Database index … already
+    * contains"). */
+  def checkUniqueIndexes(tb: String, rid: VRid, doc: VObj): Unit = {
+    uniqueIndexes.getOrElse(tb, Vector.empty).foreach { case (idxName, idxFields) =>
+      val vals = idxFields.map(f => docFieldPath(doc, f))
+      if (vals.exists(v => v != VNone && v != VNull)) {
+        findUniqueConflict(tb, rid, idxFields, vals).foreach { other =>
+          val shown = if (vals.length == 1) vals.head.render
+            else VArr(vals.toVector).render
+          throw SqlError(s"Database index `$idxName` already contains $shown, with record `${Render.sql(other)}`")
+        }
+      }
+    }
+  }
+
+  /** Find a DIFFERENT record with the same unique-index values. */
+  def findUniqueConflict(tb: String, rid: VRid, idxFields: Seq[String], vals: Seq[V]): Option[VRid] =
+    table(tb).collectFirst {
+      case (k, other) if !V.looseEq(k, rid.key) &&
+          idxFields.zip(vals).forall { case (f, v) => V.looseEq(docFieldPath(other, f), v) } =>
+        other.fields.get("id") match {
+          case Some(r: VRid) => r
+          case _ => VRid(tb, k)
+        }
+    }
+
+  def docFieldPath(doc: VObj, path: String): V =
+    path.split('.').toList.foldLeft[V](doc) {
+      case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
+      case (VArr(items), "*") => VArr(items)
+      case _ => VNone
+    }
+
   // ---- FROM resolution -------------------------------------------------
 
   /** Resolve a FROM/mutation target expression into (table context, rows).
     * Graph semantics: a table name yields all its records; a record id one;
     * a range record id a range scan; arrays/subqueries their elements. */
+  /** Records of a table in key order — the reference scans the KV range in
+    * key order (exec/operators/scan/table.rs). */
+  private def tableRows(name: String): Vector[VObj] =
+    tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
+      .toVector.sortBy(_._1)(V.ordering).map(_._2)
+
   private def resolveTarget(e: Expr, env: Env): Vector[V] = e match {
-    case Idiom(Seq(PField(name))) =>
-      tables.getOrElse(name,
-        throw SqlError(s"The table '$name' does not exist")).values.toVector
+    case Idiom(Seq(PField(name))) => tableRows(name)
     case RidLit(tb, keyE) =>
       Eval.eval(keyE, env) match {
         case rng: VRng =>
@@ -200,8 +330,8 @@ final class Interp {
       Eval.eval(other, env) match {
         case rid: VRid  => fetchRecord(rid).map(identity[V]).toVector
         case VTable(tb) =>
-          tables.getOrElse(tb,
-            throw SqlError(s"The table '$tb' does not exist")).values.toVector
+          tables.get(tb).map(_ => tableRows(tb))
+            .getOrElse(throw SqlError(s"The table '$tb' does not exist"))
         case VArr(items) => items.map {
           case rid: VRid => fetchRecord(rid).getOrElse(rid)
           case v         => v
@@ -259,10 +389,24 @@ final class Interp {
     val grouped: Vector[V] = s.groupBy match {
       case Some(Nil) => // GROUP ALL
         Vector(projectGroup(rows, s, Nil, env))
-      case Some(keys) =>
+      case Some(keys0) =>
+        // GROUP BY may reference SELECT aliases (GROUP BY country, year where
+        // year = time::year(time) AS year) — resolve aliases to their exprs
+        val aliasMap: Map[String, Expr] = s.fields.flatMap { f =>
+          f.alias.map(a => a -> f.expr)
+        }.toMap
+        val keys = keys0.map {
+          case Idiom(Seq(PField(n))) if aliasMap.contains(n) => aliasMap(n)
+          case k => k
+        }
+        implicit val seqOrd: Ordering[Seq[V]] = (a: Seq[V], b: Seq[V]) => {
+          var i = 0; var c = 0
+          while (c == 0 && i < Math.min(a.length, b.length)) { c = V.cmp(a(i), b(i)); i += 1 }
+          if (c != 0) c else a.length - b.length
+        }
         rows.groupBy(r => keys.map(k => Eval.eval(k, rowEnv(env, r))))
           .toVector
-          .sortBy(_._1.headOption.getOrElse(VNone))(V.ordering)
+          .sortBy(_._1)(seqOrd)
           .map { case (keyVals, group) => projectGroup(group, s, keys.zip(keyVals), env) }
       case scala.None =>
         rows.map(r => projectRow(r, s, env))
@@ -457,7 +601,7 @@ final class Interp {
         case VObj(fs) =>
           val kept = fs.filter { case (_, v) => v != VNone }
           VObj(doc.fields.get("id").map(id => kept + ("id" -> id)).getOrElse(kept))
-        case other => throw SqlError(s"Can not use ${other.render} in a CONTENT clause")
+        case other => throw SqlError(s"Cannot use ${other.render} in a CONTENT clause")
       }
     case Some(ReplaceData(e)) => applyData(doc, Some(ContentData(e)), env)
     case Some(MergeData(e)) =>
@@ -465,7 +609,7 @@ final class Interp {
         case VObj(fs) =>
           val merged = deepMerge(doc.fields, fs)
           VObj(doc.fields.get("id").map(id => merged + ("id" -> id)).getOrElse(merged))
-        case other => throw SqlError(s"Can not use ${other.render} in a MERGE clause")
+        case other => throw SqlError(s"Cannot use ${other.render} in a MERGE clause")
       }
     case Some(PatchData(e)) =>
       Eval.eval(e, env) match {
@@ -486,7 +630,7 @@ final class Interp {
             case _ => ()
           }
           VObj(fields)
-        case other => throw SqlError(s"Can not use ${other.render} in a PATCH clause")
+        case other => throw SqlError(s"Cannot use ${other.render} in a PATCH clause")
       }
   }
 
@@ -562,7 +706,10 @@ final class Interp {
       }
       if (t.keys.exists(V.looseEq(_, key)))
         throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
-      val doc = VObj(withData.fields.updated("id", VRid(tb, key)))
+      val rid = VRid(tb, key)
+      val doc0 = VObj(withData.fields.updated("id", rid))
+      val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
+      checkUniqueIndexes(tb, rid, doc)
       t(key) = doc
       shapeOutput(scala.None, Some(doc), s.output, env)
     }
@@ -584,13 +731,22 @@ final class Interp {
             case Some(doc) =>
               val de = env.copy(doc = Some(doc))
               if (where.forall(c => Eval.eval(c, de).truthy)) {
-                val updated = applyData(doc, data, env.copy(doc = Some(doc)))
+                val rid = doc.fields.get("id") match {
+                  case Some(r: VRid) => r
+                  case _ => VRid(tb, key)
+                }
+                val updated0 = applyData(doc, data, env.copy(doc = Some(doc)))
+                val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
+                checkUniqueIndexes(tb, rid, updated)
                 t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
                 shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
               }
             case scala.None if upsert =>
-              val base = VObj(TreeMap("id" -> VRid(tb, key)))
-              val doc = applyData(base, data, env)
+              val rid = VRid(tb, key)
+              val base = VObj(TreeMap("id" -> (rid: V)))
+              val doc0 = applyData(base, data, env)
+              val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
+              checkUniqueIndexes(tb, rid, doc)
               t(key) = doc
               shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
             case scala.None => ()
@@ -599,7 +755,13 @@ final class Interp {
           t.toSeq.foreach { case (key, doc) =>
             val de = env.copy(doc = Some(doc))
             if (where.forall(c => Eval.eval(c, de).truthy)) {
-              val updated = applyData(doc, data, env.copy(doc = Some(doc)))
+              val rid = doc.fields.get("id") match {
+                case Some(r: VRid) => r
+                case _ => VRid(tb, key)
+              }
+              val updated0 = applyData(doc, data, env.copy(doc = Some(doc)))
+              val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
+              checkUniqueIndexes(tb, rid, updated)
               t(key) = updated
               shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
             }
@@ -653,23 +815,37 @@ final class Interp {
         case scala.None => (intoTable.getOrElse(throw SqlError("INSERT without table")), nextId())
       }
       val t = table(tb)
-      val existingKey = t.keys.find(V.looseEq(_, key))
-      existingKey match {
+      // duplicate = same record id OR a unique-index collision
+      val rid = VRid(tb, key)
+      val idxConflict = uniqueIndexes.getOrElse(tb, Vector.empty).view.flatMap {
+        case (_, idxFields) =>
+          val vals = idxFields.map(f => docFieldPath(VObj(row.fields), f))
+          if (vals.forall(v => v == VNone || v == VNull)) scala.None
+          else findUniqueConflict(tb, rid, idxFields, vals).map(r => r.key)
+      }.headOption
+      val existingKey = t.keys.find(V.looseEq(_, key)).orElse(idxConflict)
+      val produced: Option[V] = existingKey match {
         case Some(k0) =>
-          if (s.ignore) ()
+          if (s.ignore) scala.None
           else s.onDuplicate match {
             case Some(sets) =>
-              val doc = t(k0)
+              val doc = t(t.keys.find(V.looseEq(_, k0)).get)
               val updated = applyData(doc, Some(SetData(sets)), env.copy(doc = Some(doc)))
-              t(k0) = updated
-              results += updated
+              t(t.keys.find(V.looseEq(_, k0)).get) = updated
+              Some(updated)
             case scala.None =>
               throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
           }
         case scala.None =>
-          val doc = VObj(row.fields.updated("id", VRid(tb, key)))
+          val doc0 = VObj(row.fields.updated("id", rid))
+          val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
+          checkUniqueIndexes(tb, rid, doc)
           t(key) = doc
-          results += doc
+          Some(doc)
+      }
+      produced.foreach { doc =>
+        shapeOutput(scala.None, Some(doc.asInstanceOf[VObj]), s.output, env)
+          .foreach(results += _)
       }
     }
     VArr(results.toVector)

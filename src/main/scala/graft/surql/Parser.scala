@@ -302,6 +302,64 @@ final class Parser(val src: String) {
       while (!eof && peekc != ';') pos += 1 // PERMISSIONS/COMMENT tail
       return DefineFunctionStmt(nb.toString, params.toSeq, body)
     }
+    if (what == "FIELD") {
+      val fn = new StringBuilder(name)
+      var goFn = true
+      while (goFn) {
+        if (peekSym("[")) { sym("["); ws(); if (peekc == '*') pos += 1; expectSym("]"); fn.append(".*") }
+        else if (peekSym(".") && !peekSym("..")) {
+          sym(".")
+          ws()
+          if (peekc == '*') { pos += 1; fn.append(".*") }
+          else fn.append('.').append(rawIdent())
+        } else goFn = false
+      }
+      val fieldName = fn.toString
+      expectKw("ON"); kw("TABLE")
+      val tbl = rawIdent()
+      var kindAnn: Option[Kind] = scala.None
+      var flexible = false
+      var valueE: Option[Expr] = scala.None
+      var defaultE: Option[Expr] = scala.None
+      var defaultAlways = false
+      var assertE: Option[Expr] = scala.None
+      var assertRaw = ""
+      var readonly = false
+      var go = true
+      while (go) {
+        if (kw("FLEXIBLE")) { flexible = true; if (kw("TYPE")) kindAnn = Some(kind()) }
+        else if (kw("TYPE")) kindAnn = Some(kind())
+        else if (kw("VALUE")) valueE = Some(expr())
+        else if (kw("COMPUTED")) valueE = Some(expr())
+        else if (kw("DEFAULT")) { defaultAlways = kw("ALWAYS"); defaultE = Some(expr()) }
+        else if (kw("ASSERT")) { val p0 = pos; assertE = Some(expr()); assertRaw = src.substring(p0, pos).trim }
+        else if (kw("READONLY")) readonly = true
+        else if (kw("PERMISSIONS")) { while (!eof && peekc != ';' && !peekKw("COMMENT")) pos += 1 }
+        else if (kw("COMMENT")) stringLit()
+        else go = false
+      }
+      return DefineFieldStmt(fieldName, tbl, kindAnn, flexible, valueE, defaultE,
+        defaultAlways, assertE, assertRaw, readonly)
+    }
+    if (what == "INDEX") {
+      val idxName = name
+      kw("IF"); kw("NOT"); kw("EXISTS")
+      expectKw("ON"); kw("TABLE")
+      val tbl = rawIdent()
+      val fields = ArrayBuffer[String]()
+      if (kw("FIELDS") || kw("COLUMNS")) {
+        var g = true
+        while (g) { fields += idiomName(); g = sym(",") }
+      }
+      var unique = false
+      var go = true
+      while (go) {
+        if (kw("UNIQUE")) unique = true
+        else if (!eof && peekc != ';') pos += 1
+        else go = false
+      }
+      return DefineIndexStmt(idxName, tbl, fields.toSeq, unique)
+    }
     if (what == "PARAM") {
       expectKw("VALUE")
       val v = expr()
@@ -558,7 +616,7 @@ final class Parser(val src: String) {
       Some(sets.toSeq)
     } else scala.None
     val out = output()
-    InsertStmt(ignore, into, values, onDup, relation)
+    InsertStmt(ignore, into, values, onDup, relation, out)
   }
 
   private def relateStmt(): Statement = {
