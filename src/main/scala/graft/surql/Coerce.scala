@@ -34,12 +34,12 @@ object Coerce {
     case KRecord(ts) => if (ts.isEmpty) "record" else s"record<${ts.mkString(" | ")}>"
     case KGeometry(_) => "geometry"
     case KEither(ks) => ks.map(kindName).mkString(" | ")
-    case KOption(inner) => kindName(inner)
+    case KOption(inner) => s"none | ${kindName(inner)}"
     case KLiteral(v) => v.render
     case KLiteralArr(items) => items.map(kindName).mkString("[", ", ", "]")
     case KLiteralObj(fields) =>
       if (fields.isEmpty) "{  }"
-      else fields.map { case (k, kk) => s"$k: ${kindName(kk)}" }.mkString("{ ", ", ", " }")
+      else fields.sortBy(_._1).map { case (k, kk) => s"$k: ${kindName(kk)}" }.mkString("{ ", ", ", " }")
     case KTable(names) => if (names.isEmpty) "table" else s"table<${names.mkString("|")}>"
   }
 
@@ -279,6 +279,7 @@ object Coerce {
     case KString => v match { case s: VStr => s; case _ => coerceErr(k, v) }
     case KArray(inner, _) => v match {
       case VArr(items) => VArr(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
+      case VSet(items) => VArr(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
       case _ => coerceErr(k, v)
     }
     case KSet(inner, _) => v match {
@@ -294,6 +295,29 @@ object Coerce {
       case _ => coerceErr(k, v)
     }
     case KLiteral(lit) => if (V.looseEq(lit, v)) v else coerceErr(k, v)
+    case KLiteralObj(fields) => v match {
+      case VObj(fs) if fs.keySet == fields.map(_._1).toSet =>
+        try VObj(TreeMap(fields.map { case (key, ik) => key -> coerce(ik, fs(key)) }: _*))
+        catch { case _: SqlError => coerceErr(k, v) }
+      case VObj(fs) =>
+        // allow missing keys covered by option kinds
+        val names = fields.map(_._1).toSet
+        val optional = fields.collect { case (n, KOption(_)) => n }.toSet
+        val missing = names -- fs.keySet
+        if (fs.keySet.subsetOf(names) && missing.subsetOf(optional))
+          try VObj(TreeMap(fields.flatMap { case (key, ik) =>
+            fs.get(key).map(key -> coerce(ik, _))
+          }: _*))
+          catch { case _: SqlError => coerceErr(k, v) }
+        else coerceErr(k, v)
+      case _ => coerceErr(k, v)
+    }
+    case KLiteralArr(kinds) => v match {
+      case VArr(items) if items.length == kinds.length =>
+        try VArr(kinds.zip(items).map { case (ik, iv) => coerce(ik, iv) }.toVector)
+        catch { case _: SqlError => coerceErr(k, v) }
+      case _ => coerceErr(k, v)
+    }
     case _ => cast(k, v)
   }
 

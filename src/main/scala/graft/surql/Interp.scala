@@ -225,12 +225,10 @@ final class Interp {
               .bind("after", v))
           }
           fd.kind.foreach { k =>
-            if (!(v == VNone && fd.field != "id")) {
-              v = try Coerce.coerce(k, v)
-              catch {
-                case e: SqlError =>
-                  throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
-              }
+            v = try Coerce.coerce(k, v)
+            catch {
+              case e: SqlError =>
+                throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
             }
           }
           fd.assert.foreach { ae =>
@@ -571,6 +569,13 @@ final class Interp {
         val newV = Eval.eval(valueE, env.copy(doc = Some(VObj(fields))))
         val resolved = op match {
           case "=" => newV
+          case "+?=" =>
+            getPath(fields, path) match {
+              case VArr(items) =>
+                if (items.exists(V.looseEq(_, newV))) VArr(items) else VArr(items :+ newV)
+              case VNone => VArr(Vector(newV))
+              case old => old
+            }
           case "+=" =>
             val cur = getPath(fields, path)
             cur match {
@@ -586,7 +591,9 @@ final class Interp {
               case old => Ops.sub(old, newV)
             }
         }
-        fields = setPath(TreeMap(fields.toSeq: _*), path, resolved)
+        // SET field = NONE removes the field (None = absence)
+        if (resolved == VNone && path.length == 1) fields = fields - path.head
+        else fields = setPath(TreeMap(fields.toSeq: _*), path, resolved)
       }
       VObj(fields)
     case Some(UnsetData(fs)) =>
@@ -696,9 +703,15 @@ final class Interp {
       val base0 = VObj(TreeMap.empty[String, V])
       val withData = applyData(base0, s.data, env)
       val key = withData.fields.get("id") match {
-        case Some(VRid(_, k)) => k
+        case Some(VRid(_, k)) =>
+          keyOpt.filterNot(V.looseEq(_, k)).foreach { _ =>
+            throw SqlError(s"Found '${k.renderRaw}' for the `id` field, but a specific record has been specified") }
+          k
         case Some(VNone) | scala.None => keyOpt.getOrElse(nextId())
-        case Some(other) => other
+        case Some(other) =>
+          keyOpt.filterNot(V.looseEq(_, other)).foreach { _ =>
+            throw SqlError(s"Found '${other.renderRaw}' for the `id` field, but a specific record has been specified") }
+          other
       }
       key match {
         case VStr("") => throw SqlError("Found '' for the Record ID but this is not a valid id")
@@ -752,9 +765,11 @@ final class Interp {
             case scala.None => ()
           }
         case scala.None =>
+          var touched = 0
           t.toSeq.foreach { case (key, doc) =>
             val de = env.copy(doc = Some(doc))
             if (where.forall(c => Eval.eval(c, de).truthy)) {
+              touched += 1
               val rid = doc.fields.get("id") match {
                 case Some(r: VRid) => r
                 case _ => VRid(tb, key)
@@ -765,6 +780,17 @@ final class Interp {
               t(key) = updated
               shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
             }
+          }
+          if (upsert && touched == 0) {
+            // UPSERT on a table with no matching rows creates one record
+            val key = nextId()
+            val rid = VRid(tb, key)
+            val base = VObj(TreeMap("id" -> (rid: V)))
+            val doc0 = applyData(base, data, env)
+            val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
+            checkUniqueIndexes(tb, rid, doc)
+            t(key) = doc
+            shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
           }
       }
     }
