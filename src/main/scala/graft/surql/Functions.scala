@@ -37,19 +37,13 @@ object Functions {
     }
     val args = argEs.map(Eval.eval(_, env))
     val full = s"$ns::$name"
-    if (name.startsWith("is_")) {
-      val t = name.drop(3)
-      return apply(s"type::is::$t", recv +: args, env)
-    }
-    if (name.startsWith("to_")) {
-      val t = name.drop(3)
-      return apply(s"type::$t", recv +: args, env)
-    }
     if (hofNames.contains(full)) return higherOrder(full, recv +: args, env)
     try apply(full, recv +: args, env)
     catch {
       case e: SqlError if e.msg.startsWith("Unknown function") =>
-        apply(s"type::$name", recv +: args, env)
+        if (name.startsWith("is_")) apply(s"type::is::${name.drop(3)}", recv +: args, env)
+        else if (name.startsWith("to_")) apply(s"type::${name.drop(3)}", recv +: args, env)
+        else apply(s"type::$name", recv +: args, env)
     }
   }
 
@@ -277,7 +271,10 @@ object Functions {
 
       // ---- math --------------------------------------------------------
       case "math::abs" => num(0) match {
-        case VInt(v) => if (v == Long.MinValue) throw SqlError("Cannot perform negation with '-9223372036854775808'") else VInt(Math.abs(v))
+        case VInt(v) =>
+          if (v == Long.MinValue)
+            throw SqlError("Failed to compute: \"math::abs(-9223372036854775808)\", as the operation results in an arithmetic overflow.")
+          VInt(Math.abs(v))
         case VFloat(d) => VFloat(Math.abs(d))
         case VDec(d) => VDec(d.abs)
       }
@@ -354,10 +351,10 @@ object Functions {
         }}
       case "math::mean" =>
         val ns = nums(0)
-        if (ns.isEmpty) VNone else VFloat(ns.sum / ns.length)
+        if (ns.isEmpty) VFloat(Double.NaN) else VFloat(ns.sum / ns.length)
       case "math::median" =>
         val ns = nums(0).sorted
-        if (ns.isEmpty) VNone
+        if (ns.isEmpty) VFloat(Double.NaN)
         else if (ns.length % 2 == 1) VFloat(ns(ns.length / 2))
         else VFloat((ns(ns.length / 2 - 1) + ns(ns.length / 2)) / 2.0)
       case "math::mode" =>
@@ -377,7 +374,7 @@ object Functions {
         else { val m = ns.sum / ns.length; VFloat(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)) }
       case "math::spread" =>
         val ns = nums(0)
-        if (ns.isEmpty) VNone else VFloat(ns.max - ns.min)
+        if (ns.isEmpty) VFloat(Double.NaN) else VFloat(ns.max - ns.min)
       case "math::midhinge" =>
         val ns = nums(0)
         if (ns.isEmpty) VNone else VFloat((percentile(ns, 25) + percentile(ns, 75)) / 2.0)
@@ -387,15 +384,19 @@ object Functions {
         else VFloat((percentile(ns, 25) + 2 * percentile(ns, 50) + percentile(ns, 75)) / 4.0)
       case "math::percentile" =>
         val ns = nums(0)
-        if (ns.isEmpty) VNone else VFloat(percentile(ns, dbl(1)))
+        val p0 = dbl(1)
+        if (ns.isEmpty || p0 < 0.0 || p0 > 100.0) VFloat(Double.NaN)
+        else VFloat(percentile(ns, p0))
       case "math::nearestrank" =>
         val ns = nums(0).sorted
         if (ns.isEmpty) VNone
         else VFloat(ns(Math.min(ns.length - 1, Math.ceil(dbl(1) / 100.0 * ns.length).toInt - 1).max(0)))
       case "math::top" =>
-        VArr(arr(0).sorted(V.ordering.reverse).take(int(1).toInt))
+        if (int(1) <= 0) throw SqlError("Incorrect arguments for function math::top(). The second argument must be an integer greater than 0.")
+        heapSelect(nums2(arr(0), name), int(1).toInt, smallestOut = true)
       case "math::bottom" =>
-        VArr(arr(0).sorted(V.ordering).take(int(1).toInt))
+        if (int(1) <= 0) throw SqlError("Incorrect arguments for function math::bottom(). The second argument must be an integer greater than 0.")
+        heapSelect(nums2(arr(0), name), int(1).toInt, smallestOut = false)
       case "math::interquartile" =>
         val ns = nums(0)
         if (ns.isEmpty) VNone else VFloat(percentile(ns, 75) - percentile(ns, 25))
@@ -483,8 +484,14 @@ object Functions {
 
       // ---- array -------------------------------------------------------
       case "array::add" =>
-        val items = arr(0)
-        if (items.exists(V.looseEq(_, arg(1)))) VArr(items) else VArr(items :+ arg(1))
+        val toAdd = arg(1) match {
+          case VArr(vs) => vs
+          case VSet(vs) => vs
+          case v => Vector(v)
+        }
+        VArr(toAdd.foldLeft(arr(0)) { (acc, v) =>
+          if (acc.exists(V.looseEq(_, v))) acc else acc :+ v
+        })
       case "array::append" | "array::push" => VArr(arr(0) :+ arg(1))
       case "array::prepend" => VArr(arg(1) +: arr(0))
       case "array::at" =>
@@ -765,11 +772,11 @@ object Functions {
       case "duration::millis" => VInt((durOf(arg(0)).totalNanos / 1000000L).toLong)
       case "duration::micros" => VInt((durOf(arg(0)).totalNanos / 1000L).toLong)
       case "duration::nanos" => VInt(durOf(arg(0)).totalNanos.toLong)
-      case "duration::from::days" | "duration::from_days" => durMul(int(0), 86400, name)
-      case "duration::from::hours" | "duration::from_hours" => durMul(int(0), 3600, name)
-      case "duration::from::mins" | "duration::from_mins" => durMul(int(0), 60, name)
-      case "duration::from::secs" | "duration::from_secs" => durMul(int(0), 1, name)
-      case "duration::from::weeks" | "duration::from_weeks" => durMul(int(0), 604800, name)
+      case "duration::from::days" | "duration::from_days" => durMul(arg(0), 86400, name)
+      case "duration::from::hours" | "duration::from_hours" => durMul(arg(0), 3600, name)
+      case "duration::from::mins" | "duration::from_mins" => durMul(arg(0), 60, name)
+      case "duration::from::secs" | "duration::from_secs" => durMul(arg(0), 1, name)
+      case "duration::from::weeks" | "duration::from_weeks" => durMul(arg(0), 604800, name)
       case "duration::from::millis" | "duration::from_millis" =>
         if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
         VDur(int(0) / 1000, ((int(0) % 1000) * 1000000).toInt)
@@ -954,6 +961,23 @@ object Functions {
             VFloat(haversine(y1.toDouble, x1.toDouble, y2.toDouble, x2.toDouble))
           case _ => VNone
         }
+      case "geo::is_valid" =>
+        arg(0) match {
+          case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) =>
+            VBool(y.toDouble >= -90 && y.toDouble <= 90 && x.toDouble >= -180 && x.toDouble <= 180)
+          case _: VGeom => VBool(true)
+          case other => typeErr(0, "geometry", other)
+        }
+      case "geo::hash::encode" =>
+        arg(0) match {
+          case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) =>
+            val len = if (a.length > 1) int(1).toInt else 12
+            VStr(geohashEncode(y.toDouble, x.toDouble, len))
+          case other => typeErr(0, "geometry", other)
+        }
+      case "geo::hash::decode" =>
+        val (lat, lon) = geohashDecode(str(0))
+        VGeom("Point", VArr(Vector(VFloat(lon), VFloat(lat))))
       case "geo::bearing" =>
         (arg(0), arg(1)) match {
           case (VGeom("Point", VArr(Vector(x1: VNum, y1: VNum))), VGeom("Point", VArr(Vector(x2: VNum, y2: VNum)))) =>
@@ -1028,11 +1052,69 @@ object Functions {
     case other => throw SqlError(s"Expected a duration but found ${other.render}")
   }
 
-  private def durMul(n: Long, unitSecs: Long, name: String): VDur = {
-    if (n < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
-    try VDur(Math.multiplyExact(n, unitSecs), 0)
-    catch { case _: ArithmeticException =>
-      throw SqlError(s"Incorrect arguments for function $name(). The resulting duration exceeds the maximum allowed value") }
+  private def durMul(v: V, unitSecs: Long, name: String): VDur = {
+    def overflow(): Nothing =
+      throw SqlError(s"""Failed to compute: "$name(${v.renderRaw})", as the operation results in an arithmetic overflow.""")
+    val n: BigInt = v match {
+      case VInt(i) => BigInt(i)
+      case VDec(d) if d.isWhole => d.toBigInt
+      case VFloat(d) if d == Math.rint(d) => BigInt(d.toLong)
+      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `int` but found `${other.render}`")
+    }
+    if (n < 0) overflow()
+    val secs = n * unitSecs
+    if (secs > BigInt(2).pow(64) - 1) overflow()
+    VDur(secs.toLong, 0)
+  }
+
+  /** Numbers-only array for math::top/bottom. */
+  private def nums2(items: Vector[V], name: String): Vector[VNum] = items.map {
+    case n: VNum => n
+    case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `array<number>` but found `${other.render}`")
+  }
+
+  /** Rust BinaryHeap-faithful k-selection: replicates push/pop sift order so
+    * the output order matches the reference's heap.into_vec(). */
+  private def heapSelect(items: Vector[VNum], k: Int, smallestOut: Boolean): VArr = {
+    // comparator: max-heap over (Reverse for top → min at root)
+    val buf = scala.collection.mutable.ArrayBuffer[VNum]()
+    def less(a: VNum, b: VNum): Boolean = {
+      val c = V.cmpNum(a, b)
+      if (smallestOut) c > 0 else c < 0 // Reverse() flips for top
+    }
+    def siftUp(start: Int): Unit = {
+      var pos = start
+      while (pos > 0) {
+        val parent = (pos - 1) / 2
+        if (less(buf(pos), buf(parent))) return
+        val t = buf(pos); buf(pos) = buf(parent); buf(parent) = t
+        pos = parent
+      }
+    }
+    def siftDown(start: Int): Unit = {
+      var pos = start
+      var go = true
+      while (go) {
+        var child = 2 * pos + 1
+        if (child >= buf.length) go = false
+        else {
+          if (child + 1 < buf.length && less(buf(child), buf(child + 1))) child += 1
+          if (less(buf(pos), buf(child))) {
+            val t = buf(pos); buf(pos) = buf(child); buf(child) = t
+            pos = child
+          } else go = false
+        }
+      }
+    }
+    items.zipWithIndex.foreach { case (v, i) =>
+      buf += v
+      siftUp(buf.length - 1)
+      if (i >= k) { // pop root
+        val last = buf.remove(buf.length - 1)
+        if (buf.nonEmpty) { buf(0) = last; siftDown(0) }
+      }
+    }
+    VArr(buf.toVector)
   }
 
   private def vecZip(x: Vector[Double], y: Vector[Double], name: String)(f: (Double, Double) => Double): VArr = {
@@ -1132,6 +1214,42 @@ object Functions {
       val r = f(new java.net.URI(s))
       if (r == null || r.isEmpty) VNone else VStr(r)
     } catch { case _: Exception => VNone }
+
+  private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  private def geohashEncode(lat: Double, lon: Double, len: Int): String = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    val sb = new StringBuilder
+    var bit = 0; var ch = 0; var even = true
+    while (sb.length < len) {
+      if (even) {
+        val mid = (lonLo + lonHi) / 2
+        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
+      } else {
+        val mid = (latLo + latHi) / 2
+        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
+      }
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(GeohashBase32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  private def geohashDecode(hash: String): (Double, Double) = {
+    var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
+    var even = true
+    hash.foreach { c =>
+      val cd = GeohashBase32.indexOf(c.toLower)
+      (4 to 0 by -1).foreach { i =>
+        val bit = (cd >> i) & 1
+        if (even) { val mid = (lonLo + lonHi) / 2; if (bit == 1) lonLo = mid else lonHi = mid }
+        else { val mid = (latLo + latHi) / 2; if (bit == 1) latLo = mid else latHi = mid }
+        even = !even
+      }
+    }
+    ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
+  }
 
   private def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val R = 6371008.8

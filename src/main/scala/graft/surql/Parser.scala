@@ -780,7 +780,39 @@ final class Parser(val src: String) {
     if (eof) fail("unexpected end of input")
     val c = peekc
     if (c == '!') { pos += 1; Prefix("!", exprAtLevel(BpPrefix)) }
-    else if (c == '-' && !src.startsWith("->", pos)) { pos += 1; Prefix("-", exprAtLevel(BpPrefix)) }
+    else if (c == '-' && !src.startsWith("->", pos)) {
+      // fold a negative numeric literal so -9223372036854775808 parses as
+      // i64::MIN (the positive literal alone would overflow)
+      val save = pos
+      pos += 1
+      ws()
+      if (!eof && peekc.isDigit) {
+        val numStart = pos
+        try {
+          numberLike() match {
+            case Lit(VInt(i)) =>
+              val txt = src.substring(numStart, pos)
+              if (!txt.contains('.') && !txt.toLowerCase.contains('e')) return idiomContinuation(Lit(VInt(-i)))
+              pos = save; pos += 1
+              Prefix("-", exprAtLevel(BpPrefix))
+            case _ =>
+              pos = save; pos += 1
+              Prefix("-", exprAtLevel(BpPrefix))
+          }
+        } catch {
+          case e: ParseError =>
+            // digits may overflow Long only for i64::MIN
+            pos = numStart
+            val s0 = pos
+            while (!eof && (peekc.isDigit || peekc == '_')) pos += 1
+            val digits = src.substring(s0, pos).replace("_", "")
+            if (!eof && isIdentChar(peekc)) throw e
+            val big = -BigInt(digits)
+            if (big >= BigInt(Long.MinValue)) idiomContinuation(Lit(VInt(big.toLong)))
+            else throw e
+        }
+      } else Prefix("-", exprAtLevel(BpPrefix))
+    }
     else if (c == '+' && !src.startsWith("+=", pos)) { pos += 1; Prefix("+", exprAtLevel(BpPrefix)) }
     else if (src.startsWith("..", pos)) {
       pos += 2

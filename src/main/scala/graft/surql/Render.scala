@@ -63,8 +63,8 @@ object Render {
     case VRegex(p)    => f.append('/').append(p).append('/')
     case _: VClosure  => f.append("function")
     case VGeom("Point", VArr(Vector(x, y))) =>
-      // points display as a coordinate tuple: (1f, 2f)
-      f.append('('); write(f, toF(x)); f.append(", "); write(f, toF(y)); f.append(')')
+      // points display as a coordinate tuple, coords as stored: (1f, 2f)
+      f.append('('); write(f, x); f.append(", "); write(f, y); f.append(')')
     case VGeom(kind, coords) =>
       // other geometries: GeoJSON-shaped object rendering
       write(f, V.obj("type" -> VStr(kind), "coordinates" -> coords))
