@@ -33,10 +33,40 @@ final case class PWhere(e: Expr) extends Part          // [WHERE cond] / [? cond
 final case class PMethod(name: String, args: Seq[Expr]) extends Part // .method(args)
 final case class PDestructure(fields: Seq[(String, Option[Seq[Part]])]) extends Part // .{a, b: c.d}
 case object POptional extends Part                     // ?
-/** Graph hop `->edge->`/`<-edge<-`/`<->edge<->`; `what` lists edge tables. */
-final case class PGraph(dir: String, what: Seq[String], cond: Option[Expr]) extends Part
-/** Bounded recursion `@{n..m}` — evaluated by the executor loop. */
-final case class PRecurse(min: Option[Long], max: Option[Long], inner: Seq[Part]) extends Part
+/** One lookup subject: edge/reference table, optionally restricted to an id
+  * (`->edge:1`) or id-range (`->edge:1..5`) (sql/lookup.rs LookupSubject). */
+final case class LookupSubject(table: String, key: Option[Expr])
+
+/** Graph hop `->edge->`/`<-edge<-`/`<->`/`<~` — a full Lookup
+  * (expr/lookup.rs:20): optional SELECT-projection, WHERE, GROUP, ORDER,
+  * LIMIT/START and alias all evaluate against the matched edge records. */
+final case class PGraph(dir: String, what: Seq[LookupSubject],
+    cond: Option[Expr] = scala.None,
+    alias: Option[String] = scala.None,
+    fields: Option[Seq[Field]] = scala.None,
+    value: Boolean = false,
+    only: Boolean = false,
+    split: Seq[String] = Nil,
+    groupBy: Option[Seq[Expr]] = scala.None,
+    order: Seq[OrderKey] = Nil,
+    limit: Option[Expr] = scala.None,
+    start: Option[Expr] = scala.None) extends Part
+/** Current document `@` start (reference Part::Doc, syn/parser/prime.rs:48). */
+case object PDoc extends Part
+/** RepeatRecurse `.@` marker inside a recursion nest (part.rs RepeatRecurse). */
+case object PRepeatRecurse extends Part
+
+/** Recursion collection strategy (reference RecurseInstruction, expr/part.rs:505-520). */
+sealed trait RecurseInstr
+case object RDefault extends RecurseInstr
+final case class RPath(inclusive: Boolean) extends RecurseInstr
+final case class RCollect(inclusive: Boolean) extends RecurseInstr
+final case class RShortest(target: Expr, inclusive: Boolean) extends RecurseInstr
+
+/** Bounded recursion `.{n}` / `.{min..max}` (+instruction), optionally with a
+  * parenthesized nest idiom carrying `.@` markers (expr/part.rs:462-520). */
+final case class PRecurse(min: Option[Long], max: Option[Long], fixed: Boolean,
+    nest: Option[Seq[Part]], instr: RecurseInstr) extends Part
 
 // ---- operators -------------------------------------------------------
 final case class Binary(op: String, l: Expr, r: Expr) extends Expr

@@ -8,11 +8,14 @@ final case class ReturnSignal(v: V) extends Exception
 case object BreakSignal extends Exception
 case object ContinueSignal extends Exception
 
-/** Evaluation environment: parameter bindings + the current document. */
+/** Evaluation environment: parameter bindings + the current document.
+  * `repeat` carries the active RepeatRecurse (`.@`) expansion callback
+  * during recursion-nest evaluation (exec/operators/recursion/repeat.rs). */
 final case class Env(
     params: Map[String, V] = Map.empty,
     doc: Option[VObj] = scala.None,
-    interp: Option[Interp] = scala.None) {
+    interp: Option[Interp] = scala.None,
+    repeat: Option[V => V] = scala.None) {
   def bind(name: String, v: V): Env = copy(params = params + (name -> v))
 }
 
@@ -184,7 +187,8 @@ object Eval {
           case Some(d) => (d.fields.getOrElse(name, VNone), parts.tail)
           case scala.None => (VNone, parts.tail)
         }
-      case PGraph(_, _, _) =>
+      case PDoc => (env.doc.getOrElse(VNone), parts.tail)
+      case _: PGraph =>
         env.doc match {
           case Some(d) => (d.fields.getOrElse("id", VNone), parts)
           case scala.None => (VNone, parts)
@@ -267,42 +271,251 @@ object Eval {
         val result = Functions.method(v, name, args, env)
         walk(result, rest, env)
       case PDestructure(fields) => v match {
-        case VObj(fs) =>
+        case obj: VObj =>
+          val denv = env.copy(doc = Some(obj))
           val out = fields.map {
-            case (n, scala.None)      => n -> fs.getOrElse(n, VNone)
-            case (n, Some(sub)) => n -> walk(v, sub, env)
+            case (n, scala.None) => n -> obj.fields.getOrElse(n, VNone)
+            case (n, Some(sub))  => n -> walk(v, sub, denv)
           }
           walk(VObj(TreeMap(out: _*)), rest, env)
         case VArr(its) => VArr(its.map(el => walk(el, parts, env)))
+        case rid: VRid =>
+          env.interp.flatMap(_.fetchRecord(rid)) match {
+            case Some(doc)  => walk(doc, parts, env)
+            case scala.None => walk(VNone, rest, env)
+          }
         case _ => walk(VNone, rest, env)
       }
-      case PGraph(dir, what, cond) =>
+      case g: PGraph =>
         env.interp match {
-          case Some(in) => walk(in.graphHop(v, dir, what, cond, env), rest, env)
+          case Some(in) => walk(in.graphHop(v, g, env), rest, env)
           case scala.None => walk(VNone, rest, env)
         }
-      case PRecurse(mn, mx, _) =>
-        // bounded recursion over the remaining path applied repeatedly
-        val minD = mn.getOrElse(1L)
-        val maxD = mx.orElse(mn).getOrElse(1L)
-        var frontier: V = v
-        var depth = 0L
-        while (depth < maxD && frontier != VNone) {
-          val next = walk(frontier, rest, env)
-          val isEmpty = next match {
-            case VNone | VNull => true
-            case VArr(its) if its.isEmpty => true
-            case _ => false
-          }
-          if (isEmpty) {
-            return if (depth >= minD) frontier else VNone
-          }
-          frontier = next
-          depth += 1
+      case PDoc => walk(env.doc.getOrElse(v), rest, env)
+      case PRepeatRecurse =>
+        env.repeat match {
+          case Some(handler) => walk(handler(v), rest, env)
+          case scala.None => throw SqlError(
+            "Tried to use a `@` repeat recurse symbol in a position where it is not supported")
         }
-        frontier
+      case PRecurse(mn, mx, _, nest, instr) =>
+        val minD = mn.getOrElse(1L)
+        if (minD < 1)
+          throw SqlError(s"Found $minD for bound but expected at least 1.")
+        mx.foreach { m =>
+          if (m > RecursionLimit)
+            throw SqlError(s"Found $m for bound but expected $RecursionLimit at most.")
+        }
+        val userMax = mx.isDefined
+        val maxD = mx.getOrElse(RecursionLimit)
+        val body = nest.getOrElse(rest)
+        val after = if (nest.isDefined) rest else Nil
+        val result =
+          if (containsRepeat(body)) {
+            if (instr != RDefault)
+              throw SqlError("Cannot construct a recursion plan when an instruction is provided")
+            recurseRepeat(v, body, minD, maxD, userMax, env)
+          } else instr match {
+            case RDefault          => recurseDefault(v, body, minD, maxD, userMax, env)
+            case RCollect(incl)    => recurseCollect(v, body, minD, maxD, incl, env)
+            case RPath(incl)       => recursePath(v, body, minD, maxD, incl, env)
+            case RShortest(te, incl) =>
+              recurseShortest(v, eval(te, env), body, minD, maxD, incl, env)
+          }
+        walk(result, after, env)
       case PStart(e) => walk(eval(e, env), rest, env)
     }
+  }
+
+  // ---- recursion strategies (exec/operators/recursion/) ----------------
+
+  private val RecursionLimit = 256L
+
+  private case object EliminatedSignal extends Exception
+
+  /** expr/idiom/recursion.rs:42 — None/Null/empty-or-all-null arrays end a branch. */
+  private def isFinalV(v: V): Boolean = v match {
+    case VNone | VNull => true
+    case VArr(its)     => its.isEmpty || its.forall(x => x == VNone || x == VNull)
+    case _             => false
+  }
+
+  private def getFinalV(v: V): V = v match {
+    case VArr(_) => VArr(Vector.empty)
+    case VNull   => VNull
+    case _       => VNone
+  }
+
+  /** Drop dead ends from an array result and flatten one nesting level
+    * (expr/idiom/recursion.rs:59). */
+  private def cleanIteration(v: V): V = v match {
+    case VArr(its) =>
+      val kept = its.filterNot(isFinalV)
+      VArr(kept.flatMap { case VArr(inner) => inner; case x => Vector(x) })
+    case other => other
+  }
+
+  /** Recursion targets must be record ids (recursion/common.rs:23). */
+  private def isRecursionTarget(v: V): Boolean = v match {
+    case _: VRid   => true
+    case VArr(its) => its.exists(isRecursionTarget)
+    case _         => false
+  }
+
+  private def badTarget(v: V): Nothing = throw SqlError(
+    s"Expected a record ID during recursive graph traversal, but found `${v.render}`")
+
+  private def containsRepeat(parts: Seq[Part]): Boolean = parts.exists {
+    case PRepeatRecurse   => true
+    case PDestructure(fs) => fs.exists(_._2.exists(containsRepeat))
+    case _                => false
+  }
+
+  /** Default strategy: follow path, return the value at the final depth
+    * (recursion/default.rs). */
+  private def recurseDefault(start: V, body: Seq[Part], minD: Long, maxD: Long,
+      userMax: Boolean, env: Env): V = {
+    var current = start
+    var depth = 0L
+    while (depth < maxD) {
+      val next = cleanIteration(walk(current, body, env))
+      depth += 1
+      if (isFinalV(next) || next == current) {
+        return if (depth > minD) current else getFinalV(next)
+      }
+      if (!isRecursionTarget(next)) badTarget(next)
+      current = next
+    }
+    if (!userMax && depth >= RecursionLimit)
+      throw SqlError(s"Exceeded the idiom recursion limit of $RecursionLimit.")
+    if (depth >= minD) current else VNone
+  }
+
+  /** Collect strategy: BFS gathering unique nodes (recursion/collect.rs). */
+  private def recurseCollect(start: V, body: Seq[Part], minD: Long, maxD: Long,
+      inclusive: Boolean, env: Env): V = {
+    val collected = scala.collection.mutable.ArrayBuffer[V]()
+    val seen = scala.collection.mutable.HashSet[V]()
+    var frontier = Vector(start)
+    if (inclusive) { collected += start; seen += start }
+    var depth = 0L
+    while (depth < maxD && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer[V]()
+      frontier.foreach { value =>
+        val vals = walk(value, body, env) match {
+          case VArr(its)     => its
+          case VNone | VNull => Vector.empty[V]
+          case other         => Vector(other)
+        }
+        vals.foreach { x =>
+          if (!isFinalV(x)) {
+            if (!isRecursionTarget(x)) badTarget(x)
+            if (seen.add(x)) {
+              if (depth + 1 >= minD) collected += x
+              next += x
+            }
+          }
+        }
+      }
+      frontier = next.toVector
+      depth += 1
+    }
+    VArr(collected.toVector)
+  }
+
+  /** Path strategy: all root-to-leaf paths as arrays (recursion/path.rs). */
+  private def recursePath(start: V, body: Seq[Part], minD: Long, maxD: Long,
+      inclusive: Boolean, env: Env): V = {
+    val completed = scala.collection.mutable.ArrayBuffer[V]()
+    var active: Vector[Vector[V]] = Vector(if (inclusive) Vector(start) else Vector.empty)
+    var depth = 0L
+    while (depth < maxD && active.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer[Vector[V]]()
+      active.foreach { cur =>
+        val tip = cur.lastOption.getOrElse(start)
+        walk(tip, body, env) match {
+          case VNone | VNull =>
+            if (depth >= minD && cur.nonEmpty) completed += VArr(cur)
+          case res =>
+            val vals = res match { case VArr(its) => its; case other => Vector(other) }
+            val targets = vals.filterNot(isFinalV)
+            targets.foreach(x => if (!isRecursionTarget(x)) badTarget(x))
+            if (targets.isEmpty) {
+              if (depth >= minD && cur.nonEmpty) completed += VArr(cur)
+            } else targets.foreach(t => next += (cur :+ t))
+        }
+      }
+      active = next.toVector
+      depth += 1
+    }
+    active.foreach(p => if (p.nonEmpty && depth >= minD) completed += VArr(p))
+    VArr(completed.toVector)
+  }
+
+  /** Shortest strategy: BFS shortest path to a target (recursion/shortest.rs). */
+  private def recurseShortest(start: V, target: V, body: Seq[Part], minD: Long,
+      maxD: Long, inclusive: Boolean, env: Env): V = {
+    val seen = scala.collection.mutable.HashSet[V](start)
+    var queue: Vector[(V, Vector[V])] =
+      Vector((start, if (inclusive) Vector(start) else Vector.empty))
+    var depth = 0L
+    while (depth < maxD && queue.nonEmpty) {
+      val nextQ = scala.collection.mutable.ArrayBuffer[(V, Vector[V])]()
+      for ((current, curPath) <- queue) {
+        val vals = walk(current, body, env) match {
+          case VArr(its)     => its
+          case VNone | VNull => Vector.empty[V]
+          case other         => Vector(other)
+        }
+        for (x <- vals) {
+          if (!isFinalV(x)) {
+            if (!isRecursionTarget(x)) badTarget(x)
+            if (depth + 1 >= minD && x == target) return VArr(curPath :+ x)
+            if (seen.add(x)) nextQ += ((x, curPath :+ x))
+          }
+        }
+      }
+      queue = nextQ.toVector
+      depth += 1
+    }
+    val remaining = queue.collect { case (_, p) if p.nonEmpty => VArr(p) }
+    if (remaining.isEmpty) VNone else VArr(remaining)
+  }
+
+  /** RepeatRecurse (`.@`) strategy: build nested trees by re-applying the
+    * body at each `@` marker (recursion/repeat.rs — implemented with direct
+    * recursion; depth is bounded by maxD ≤ 256 so the stack is safe). */
+  private def recurseRepeat(start: V, body: Seq[Part], minD: Long, maxD: Long,
+      userMax: Boolean, env: Env): V = {
+    def go(value: V, depth: Long): V = {
+      val handler: V => V = { input =>
+        val vals = input match {
+          case VArr(its)     => its
+          case VNone | VNull => Vector.empty[V]
+          case o             => Vector(o)
+        }
+        val clean = vals.filterNot(isFinalV)
+        clean.foreach(t => if (!isRecursionTarget(t)) badTarget(t))
+        if (clean.isEmpty) {
+          if (depth + 1 < minD) throw EliminatedSignal
+          getFinalV(input)
+        } else if (depth + 1 >= maxD) {
+          if (!userMax && depth + 1 >= RecursionLimit)
+            throw SqlError(s"Exceeded the idiom recursion limit of $RecursionLimit.")
+          VArr(clean)
+        } else {
+          val expanded = clean.flatMap { t =>
+            try Some(go(t, depth + 1))
+            catch { case EliminatedSignal => scala.None }
+          }
+          if (expanded.isEmpty && depth + 1 < minD) throw EliminatedSignal
+          VArr(expanded)
+        }
+      }
+      walk(value, body, env.copy(repeat = Some(handler)))
+    }
+    try go(start, 0)
+    catch { case EliminatedSignal => VNone }
   }
 
   private def sliceRange(its: Vector[V], r: VRng): VArr = {
@@ -324,9 +537,9 @@ object Eval {
       case PField(n)  => n
       case PAll       => "*"
       case PMethod(n, _) => n
-      case PGraph(dir, what, _) =>
-        val arrow = dir match { case "out" => "->"; case "in" => "<-"; case _ => "<->" }
-        arrow + what.mkString(", ")
+      case g: PGraph =>
+        val arrow = g.dir match { case "out" => "->"; case "in" => "<-"; case "ref" => "<~"; case _ => "<->" }
+        g.alias.getOrElse(arrow + g.what.map(_.table).mkString(", "))
     }.mkString(".").replace(".->", "->").replace(".<-", "<-")
     case Lit(v)        => v.render
     case Param(n)      => n

@@ -148,6 +148,10 @@ object Golden {
     case _ => V.exactEq(w, g) && w.typeTag == g.typeTag
   }
 
+  /** Per-file wall-clock budget — a pathological query (e.g. unbounded
+    * recursion over a cyclic graph) must not stall the whole corpus run. */
+  val FileTimeoutMs: Long = 15000
+
   def runPaths(root: Path, testsRoot: Path, filter: String => Boolean = _ => true): Seq[Outcome] = {
     val files = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".surql") && filter(p.toString))
@@ -155,10 +159,26 @@ object Golden {
     files.flatMap { p =>
       val tf = try parseFile(p) catch { case _: Exception => return Seq.empty }
       if (!tf.run || tf.wip) scala.None
-      else Some(try runFile(tf, testsRoot) catch {
-        case e: StackOverflowError => Outcome(p, tf.expected.length, 0, Seq("stack overflow"))
-        case e: Exception => Outcome(p, tf.expected.length, 0, Seq(s"runner crash: ${e.getMessage}"))
+      else Some(runFileWithTimeout(tf, testsRoot))
+    }
+  }
+
+  def runFileWithTimeout(tf: TestFile, testsRoot: Path): Outcome = {
+    val task = new java.util.concurrent.FutureTask[Outcome](() =>
+      try runFile(tf, testsRoot) catch {
+        case _: StackOverflowError => Outcome(tf.path, tf.expected.length, 0, Seq("stack overflow"))
+        case e: Exception => Outcome(tf.path, tf.expected.length, 0, Seq(s"runner crash: ${e.getMessage}"))
       })
+    val th = new Thread(task, s"golden-${tf.path.getFileName}")
+    th.setDaemon(true)
+    th.start()
+    try task.get(FileTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch {
+      case _: java.util.concurrent.TimeoutException =>
+        task.cancel(true)
+        Outcome(tf.path, tf.expected.length, 0, Seq("timeout"))
+      case e: java.util.concurrent.ExecutionException =>
+        Outcome(tf.path, tf.expected.length, 0, Seq(s"runner crash: ${e.getCause}"))
     }
   }
 }

@@ -911,38 +911,91 @@ final class Interp {
 
   // ---- graph traversal -------------------------------------------------
 
-  /** One graph hop from a record id (or array of ids): `->edge->` /
-    * `<-edge<-` / `<->`; returns target ids (GraphScanOutput::TargetId). */
-  def graphHop(v: V, dir: String, what: Seq[String], cond: Option[Expr], env: Env): V = {
-    val sources: Vector[V] = v match {
-      case rid: VRid => Vector(rid)
+  /** One lookup hop (exec/operators/scan/graph.rs, key layout
+    * key/graph/mod.rs + doc/edges.rs:60-69). The KV stores per-record
+    * adjacency entries (record, dir, foreign-table, foreign-key):
+    *  - a node has (node, OUT, edgeTb, edgeId) per outgoing edge and
+    *    (node, IN, edgeTb, edgeId) per incoming edge — so `->knows` from a
+    *    node yields knows-EDGE ids;
+    *  - an edge record has (edge, OUT, out.table, out) and (edge, IN,
+    *    in.table, in) — so `->person` from a knows-edge yields its target.
+    * Scan order mirrors the KV key order: dir (In before Out), then
+    * foreign table, then insertion (ULID-time) order. Rich lookups
+    * (SELECT-projection / WHERE / ORDER / GROUP / LIMIT) evaluate as a
+    * synthesized SELECT over the matched candidates. */
+  def graphHop(v: V, g: PGraph, env: Env): V = {
+    val sources: Vector[VRid] = (v match {
+      case rid: VRid   => Vector[V](rid)
       case VArr(items) => items
-      case VObj(fs) => fs.get("id").toVector
-      case _ => Vector.empty
+      case o: VObj     => Vector[V](o)
+      case _           => Vector.empty[V]
+    }).flatMap {
+      case r: VRid  => Vector(r)
+      case VObj(fs) => fs.get("id").collect { case r: VRid => r }.toVector
+      case _        => Vector.empty
     }
-    val edgeTables = if (what.isEmpty) tables.keys.toSeq else what
-    val out = mutable.ArrayBuffer[V]()
+    val dirs = if (g.dir == "both") Seq("in", "out") else Seq(g.dir)
+    def keyMatch(k: V, filt: Option[Expr]): Boolean = filt match {
+      case scala.None => true
+      case Some(fe) => Eval.eval(fe, env) match {
+        case rng: VRng => Ops.contains(rng, k)
+        case x         => V.looseEq(x, k)
+      }
+    }
+    val candidates = mutable.ArrayBuffer[V]()
     sources.foreach { src =>
-      edgeTables.foreach { et =>
-        table(et).values.foreach { edge =>
-          val inV = edge.fields.getOrElse("in", VNone)
-          val outV = edge.fields.getOrElse("out", VNone)
-          val matches = dir match {
-            case "out"  => V.looseEq(inV, src)
-            case "in"   => V.looseEq(outV, src)
-            case _      => V.looseEq(inV, src) || V.looseEq(outV, src)
-          }
-          if (matches && cond.forall(c => Eval.eval(c, env.copy(doc = Some(edge))).truthy)) {
-            val tgt = dir match {
-              case "out" => outV
-              case "in"  => inV
-              case _     => if (V.looseEq(inV, src)) outV else inV
+      val rec = fetchRecord(src)
+      val isEdge = rec.exists(r => r.fields.get("in").exists(_.isInstanceOf[VRid]) &&
+        r.fields.get("out").exists(_.isInstanceOf[VRid]))
+      dirs.foreach { d =>
+        val subjects: Seq[LookupSubject] =
+          if (g.what.nonEmpty) g.what
+          else tables.keys.toVector.sorted.map(t => LookupSubject(t, scala.None))
+        subjects.foreach { sub =>
+          // edge-record pointer entry (edge, dir, target.table, target)
+          if (isEdge) {
+            rec.get.fields.getOrElse(if (d == "out") "out" else "in", VNone) match {
+              case t: VRid if t.table == sub.table && keyMatch(t.key, sub.key) =>
+                candidates += t
+              case _ => ()
             }
-            out += tgt
           }
+          // node adjacency: edges in sub.table anchored at src, in KV key
+          // order (sorted by edge id key, scan/graph.rs range scan)
+          val matched = mutable.ArrayBuffer[VRid]()
+          tables.get(sub.table).foreach(_.values.foreach { edge =>
+            val hasInOut = edge.fields.get("in").exists(_.isInstanceOf[VRid]) &&
+              edge.fields.get("out").exists(_.isInstanceOf[VRid])
+            if (hasInOut) {
+              val anchor = edge.fields.getOrElse(if (d == "out") "in" else "out", VNone)
+              if (V.looseEq(anchor, src)) {
+                edge.fields.get("id") match {
+                  case Some(e: VRid) if keyMatch(e.key, sub.key) => matched += e
+                  case _ => ()
+                }
+              }
+            }
+          })
+          candidates ++= matched.sortBy(_.key)(V.ordering)
         }
       }
     }
-    VArr(out.toVector)
+    val plain = g.cond.isEmpty && g.fields.isEmpty && g.order.isEmpty &&
+      g.groupBy.isEmpty && g.limit.isEmpty && g.start.isEmpty && g.split.isEmpty && !g.only
+    if (plain) return VArr(candidates.toVector)
+    // rich lookup: SELECT over the candidates; the outer doc becomes $parent
+    val subEnv = env.doc match {
+      case Some(d)    => env.bind("parent", d)
+      case scala.None => env
+    }
+    val sel = SelectStmt(
+      fields = g.fields.getOrElse(Seq(Field(Idiom(Seq(PField("id"))), scala.None))),
+      value = g.value || g.fields.isEmpty,
+      omit = Nil, only = g.only,
+      what = Seq(Lit(VArr(candidates.toVector))),
+      where = g.cond, split = g.split, groupBy = g.groupBy, order = g.order,
+      orderRand = false, limit = g.limit, start = g.start, fetch = Nil,
+      version = scala.None, timeout = scala.None, explain = false)
+    execSelect(sel, subEnv)
   }
 }

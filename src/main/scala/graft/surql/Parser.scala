@@ -394,7 +394,8 @@ final class Parser(val src: String) {
 
   // ---- SELECT ---------------------------------------------------------
 
-  private def selectStmt(): SelectStmt = {
+  /** SELECT field list (after SELECT, before FROM): returns (fields, isValue). */
+  private def fieldsClause(): (Seq[Field], Boolean) = {
     var value = false
     val fields = ArrayBuffer[Field]()
     if (kw("VALUE")) {
@@ -415,6 +416,12 @@ final class Parser(val src: String) {
         go = sym(",")
       }
     }
+    (fields.toSeq, value)
+  }
+
+  private def selectStmt(): SelectStmt = {
+    val (fields0, value) = fieldsClause()
+    val fields = ArrayBuffer[Field](fields0: _*)
     val omit = ArrayBuffer[String]()
     if (kw("OMIT")) {
       var go = true
@@ -975,66 +982,9 @@ final class Parser(val src: String) {
         sym(".")
         ws()
         if (peekc == '*') { pos += 1; parts += PAll }
-        else if (peekc == '{') {
-          pos += 1
-          val fs = ArrayBuffer[(String, Option[Seq[Part]])]()
-          var g = true
-          while (g) {
-            ws()
-            if (peekc == '}') g = false
-            else {
-              val n = rawIdent()
-              if (sym(":")) {
-                // aliased sub-path destructure
-                val sub = ArrayBuffer[Part](PField(rawIdent()))
-                while (peekSym(".") && !peekSym("..")) { sym("."); sub += PField(rawIdent()) }
-                fs += ((n, Some(sub.toSeq)))
-              } else if (peekSym(".")) {
-                // nested destructure c.{ e, f }
-                sym(".")
-                ws()
-                if (peekc == '{') {
-                  pos += 1
-                  val inner = ArrayBuffer[(String, Option[Seq[Part]])]()
-                  var g2 = true
-                  while (g2) {
-                    ws()
-                    if (peekc == '}') g2 = false
-                    else {
-                      val n2 = rawIdent()
-                      if (peekSym(".")) {
-                        sym("."); ws()
-                        if (peekc == '{') {
-                          // one more nesting level is enough for the corpus
-                          pos += 1
-                          val inner2 = ArrayBuffer[(String, Option[Seq[Part]])]()
-                          var g3 = true
-                          while (g3) {
-                            ws()
-                            if (peekc == '}') g3 = false
-                            else { inner2 += ((rawIdent(), scala.None)); g3 = sym(",") }
-                          }
-                          expectSym("}")
-                          inner += ((n2, Some(Seq(PField(n2), PDestructure(inner2.toSeq)))))
-                        } else inner += ((n2, Some(Seq(PField(n2), PField(rawIdent())))))
-                      } else inner += ((n2, scala.None))
-                      g2 = sym(",")
-                    }
-                  }
-                  expectSym("}")
-                  fs += ((n, Some(Seq(PField(n), PDestructure(inner.toSeq)))))
-                } else {
-                  val sub = ArrayBuffer[Part](PField(n), PField(rawIdent()))
-                  while (peekSym(".") && !peekSym("..")) { sym("."); sub += PField(rawIdent()) }
-                  fs += ((n, Some(sub.toSeq)))
-                }
-              } else fs += ((n, scala.None))
-              g = sym(",")
-            }
-          }
-          expectSym("}")
-          parts += PDestructure(fs.toSeq)
-        }
+        else if (peekc == '@') { pos += 1; parts += PRepeatRecurse }
+        else if (peekc == '?') { pos += 1; parts += POptional }
+        else if (peekc == '{') { pos += 1; parts += curlyPart() }
         else {
           val name = rawIdent()
           ws()
@@ -1072,19 +1022,6 @@ final class Parser(val src: String) {
       else if (peekSym("?") && !peekSym("??") && !peekSym("?:") && !peekSym("?=")) {
         sym("?"); parts += POptional
       }
-      else if (peekSym("@") && !peekSym("@@")) {
-        // @{n..m} recursion or @ doc ref
-        sym("@")
-        if (peekSym("{")) {
-          sym("{")
-          val mn = if (peekc.isDigit) Some(intLit()) else scala.None
-          val hasRange = sym("..")
-          val mx = if (peekc.isDigit) Some(intLit()) else scala.None
-          expectSym("}")
-          val inner = ArrayBuffer[Part]()
-          parts += PRecurse(mn, if (hasRange) mx else mn, inner.toSeq)
-        }
-      }
       else go = false
     }
     if (parts.isEmpty) prime
@@ -1094,24 +1031,213 @@ final class Parser(val src: String) {
     }
   }
 
+  /** After `.{` — recursion spec (digits / `..`) or destructure
+    * (syn/parser/idiom.rs:297 parse_curly_part). */
+  private def curlyPart(): Part = {
+    ws()
+    if (peekc.isDigit || src.startsWith("..", pos)) recursePart()
+    else destructurePart()
+  }
+
+  /** `.{n}` / `.{min..max}` with optional `+path/+collect/+shortest=<t>`
+    * instruction (+inclusive), then an optional `( nest )` idiom
+    * (syn/parser/idiom.rs:351-473). The leading `.{` is consumed. */
+  private def recursePart(): Part = {
+    ws()
+    val mn = if (peekc.isDigit) Some(intLit()) else scala.None
+    val hasRange = sym("..")
+    ws()
+    val mx =
+      if (hasRange && peekc.isDigit) Some(intLit())
+      else if (hasRange) scala.None
+      else mn
+    var instr: RecurseInstr = RDefault
+    ws()
+    while (peekc == '+') {
+      pos += 1
+      rawIdent().toLowerCase match {
+        case "inclusive" =>
+          instr = instr match {
+            case RPath(_)        => RPath(true)
+            case RCollect(_)     => RCollect(true)
+            case RShortest(t, _) => RShortest(t, true)
+            case RDefault        => RDefault
+          }
+        case "path"    => instr = RPath(false)
+        case "collect" => instr = RCollect(false)
+        case "shortest" =>
+          expectSym("=")
+          ws()
+          val target: Expr =
+            if (peekc == '$') { pos += 1; Param(rawIdent()) }
+            else { val tb = rawIdent(); expectSym(":"); recordIdTail(tb) }
+          instr = RShortest(target, false)
+        case other => fail(s"unexpected recursion instruction $other")
+      }
+      ws()
+    }
+    expectSym("}")
+    val nest: Option[Seq[Part]] =
+      if (peekSym("(")) {
+        sym("(")
+        val np = ArrayBuffer[Part]()
+        remainingIdiomParts(np)
+        expectSym(")")
+        Some(np.toSeq)
+      } else scala.None
+    PRecurse(mn, mx, fixed = !hasRange, nest, instr)
+  }
+
+  /** Remaining-idiom parts (no leading primary): `.x`, `[..]`, `->edge->`,
+    * `...` — used for recursion nests (syn parse_remaining_idiom with an
+    * empty start). */
+  private def remainingIdiomParts(parts: ArrayBuffer[Part]): Unit = {
+    var go = true
+    while (go) {
+      if (peekSym("...") || peekSym("…")) { if (!sym("...")) sym("…"); parts += PFlatten }
+      else if (peekSym(".") && !peekSym("..")) {
+        sym(".")
+        ws()
+        if (peekc == '*') { pos += 1; parts += PAll }
+        else if (peekc == '@') { pos += 1; parts += PRepeatRecurse }
+        else if (peekc == '?') { pos += 1; parts += POptional }
+        else if (peekc == '{') { pos += 1; parts += curlyPart() }
+        else {
+          val name = rawIdent()
+          ws()
+          if (peekc == '(') {
+            pos += 1
+            val args = ArrayBuffer[Expr]()
+            ws()
+            if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+            expectSym(")")
+            parts += PMethod(name, args.toSeq)
+          } else parts += PField(name)
+        }
+      }
+      else if (peekSym("[")) {
+        sym("[")
+        ws()
+        if (peekc == '*') { pos += 1; expectSym("]"); parts += PAll }
+        else if (peekc == '$' && peekAt(1) == ']') { pos += 2; parts += PLast }
+        else if (kw("WHERE")) { val e = expr(); expectSym("]"); parts += PWhere(e) }
+        else if (peekc == '?') { pos += 1; val e = expr(); expectSym("]"); parts += PWhere(e) }
+        else { val e = expr(); expectSym("]"); parts += PIndex(e) }
+      }
+      else if (!noGraphIdiom && peekSym("->") ) { sym("->"); parts += graphPart("out") }
+      else if (!noGraphIdiom && peekSym("<->")) { sym("<->"); parts += graphPart("both") }
+      else if (!noGraphIdiom && peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
+      else go = false
+    }
+  }
+
+  /** Destructure `.{ a, b.*, c: <expr>, d.{…} }` — the leading `.{` is
+    * consumed (syn/parser/idiom.rs:304 parse_destructure_part). */
+  private def destructurePart(): Part = {
+    val fs = ArrayBuffer[(String, Option[Seq[Part]])]()
+    var g = true
+    while (g) {
+      ws()
+      if (peekc == '}') g = false
+      else {
+        val n = rawIdent()
+        ws()
+        if (peekc == ':' && peekAt(1) != ':') {
+          pos += 1
+          val sub: Seq[Part] = expr() match {
+            case Idiom(ps) => ps
+            case other     => Seq(PStart(other))
+          }
+          fs += ((n, Some(sub)))
+        } else if (peekSym(".") && !peekSym("..")) {
+          sym(".")
+          ws()
+          if (peekc == '*') { pos += 1; fs += ((n, Some(Seq(PField(n), PAll)))) }
+          else if (peekc == '{') {
+            pos += 1
+            curlyPart() match {
+              case d: PDestructure => fs += ((n, Some(Seq(PField(n), d))))
+              case r: PRecurse     => fs += ((n, Some(Seq(PField(n), r))))
+              case other           => fail(s"expected a `*` or a destructuring")
+            }
+          } else fail("expected a `*` or a destructuring")
+        } else fs += ((n, scala.None))
+        g = sym(",")
+      }
+    }
+    expectSym("}")
+    PDestructure(fs.toSeq)
+  }
+
+  /** One lookup subject: `edge`, `edge:1`, `edge:1..5`. */
+  private def lookupSubject(): LookupSubject = {
+    val t = rawIdent()
+    if (peekc == ':' && peekAt(1) != ':') {
+      pos += 1
+      recordIdTail(t) match {
+        case RidLit(tb, k) => LookupSubject(tb, Some(k))
+        case _             => LookupSubject(t, scala.None)
+      }
+    } else LookupSubject(t, scala.None)
+  }
+
+  /** Full Lookup grammar (syn/parser/idiom.rs:652 parse_lookup): `->edge`,
+    * `->?`, `->(subjects… WHERE … LIMIT … AS …)`,
+    * `->(SELECT fields FROM [ONLY] subjects … ORDER … GROUP …)`. */
   private def graphPart(dir: String): Part = {
     ws()
-    val what = ArrayBuffer[String]()
-    var cond: Option[Expr] = scala.None
+    val what = ArrayBuffer[LookupSubject]()
     if (peekc == '(') {
       pos += 1
       ws()
-      if (peekc == '?') pos += 1 // ->(?) wildcard
-      else {
-        var g = true
-        while (g) { what += rawIdent(); g = sym(",") }
+      var fieldsOpt: Option[Seq[Field]] = scala.None
+      var value = false
+      var only = false
+      if (kw("SELECT")) {
+        val (fs, v) = fieldsClause()
+        fieldsOpt = Some(fs); value = v
+        expectKw("FROM")
+        only = kw("ONLY")
       }
-      if (kw("WHERE")) cond = Some(expr())
-      if (kw("AS")) rawIdent()
+      ws()
+      if (peekc == '?') pos += 1
+      else { var g = true; while (g) { what += lookupSubject(); g = sym(",") } }
+      val cond = if (kw("WHERE")) Some(expr()) else scala.None
+      val split = ArrayBuffer[String]()
+      if (kw("SPLIT")) { kw("ON"); var g = true; while (g) { split += idiomName(); g = sym(",") } }
+      var groupBy: Option[Seq[Expr]] = scala.None
+      if (kw("GROUP")) {
+        if (kw("ALL")) groupBy = Some(Nil)
+        else { kw("BY"); val gs = ArrayBuffer[Expr](); var g = true; while (g) { gs += expr(); g = sym(",") }; groupBy = Some(gs.toSeq) }
+      }
+      val order = ArrayBuffer[OrderKey]()
+      if (kw("ORDER")) {
+        kw("BY")
+        var g = true
+        while (g) {
+          val e = expr()
+          val collate = kw("COLLATE")
+          val numeric = kw("NUMERIC")
+          val desc = if (kw("DESC")) true else { kw("ASC"); false }
+          order += OrderKey(e, desc, collate, numeric)
+          g = sym(",")
+        }
+      }
+      var limit: Option[Expr] = scala.None
+      var start: Option[Expr] = scala.None
+      if (peekKw("START")) {
+        start = { kw("START"); kw("AT"); Some(expr()) }
+        if (kw("LIMIT")) { kw("BY"); limit = Some(expr()) }
+      } else {
+        if (kw("LIMIT")) { kw("BY"); limit = Some(expr()) }
+        if (kw("START")) { kw("AT"); start = Some(expr()) }
+      }
+      val alias = if (kw("AS")) Some(idiomName()) else scala.None
       expectSym(")")
-    } else if (peekc == '?') { pos += 1 }
-    else what += rawIdent()
-    PGraph(dir, what.toSeq, cond)
+      PGraph(dir, what.toSeq, cond, alias, fieldsOpt, value, only,
+        split.toSeq, groupBy, order.toSeq, limit, start)
+    } else if (peekc == '?') { pos += 1; PGraph(dir, Nil) }
+    else { what += lookupSubject(); PGraph(dir, what.toSeq) }
   }
 
   private def primary(): Expr = {
@@ -1150,6 +1276,14 @@ final class Parser(val src: String) {
       ArrLit(items.toSeq)
     }
     else if (c == '{') objectOrBlock()
+    else if (c == '@') {
+      // current-document idiom start (prime.rs:48); `@{..}` attaches a
+      // curly part with no dot
+      pos += 1
+      ws()
+      if (peekc == '{') { pos += 1; Idiom(Seq(PDoc, curlyPart())) }
+      else Idiom(Seq(PDoc))
+    }
     else if (c == '$') { pos += 1; Param(rawIdent()) }
     else if (c == '|') {
       // |person:100| mock source vs |$x| closure — lookahead for ident ':'
@@ -1171,6 +1305,14 @@ final class Parser(val src: String) {
     }
     else if (c.isDigit) numberLike()
     else if (isIdentStart(c) || c == '`' || c == '⟨') identLike()
+    else if (src.startsWith("->", pos) || src.startsWith("<-", pos) ||
+             src.startsWith("<->", pos) || src.startsWith("<~", pos)) {
+      // leading graph/reference hop — idiom rooted at the current document
+      val parts = ArrayBuffer[Part]()
+      remainingIdiomParts(parts)
+      if (parts.isEmpty) fail(s"unexpected character '$c'")
+      Idiom(parts.toSeq)
+    }
     else fail(s"unexpected character '$c'")
   }
 
