@@ -50,7 +50,10 @@ final case class PGraph(dir: String, what: Seq[LookupSubject],
     groupBy: Option[Seq[Expr]] = scala.None,
     order: Seq[OrderKey] = Nil,
     limit: Option[Expr] = scala.None,
-    start: Option[Expr] = scala.None) extends Part
+    start: Option[Expr] = scala.None,
+    /** Source text of a parenthesized lookup — unaliased projections are
+      * named by their written form (`"->(SELECT … FROM works_on …)"`). */
+    raw: Option[String] = scala.None) extends Part
 /** Current document `@` start (reference Part::Doc, syn/parser/prime.rs:48). */
 case object PDoc extends Part
 /** RepeatRecurse `.@` marker inside a recursion nest (part.rs RepeatRecurse). */
@@ -132,19 +135,38 @@ final case class UseStmt(ns: Option[String], db: Option[String]) extends Stateme
 case object BeginStmt extends Statement
 case object CommitStmt extends Statement
 case object CancelStmt extends Statement
-/** DEFINE/REMOVE/INFO/OPTION — parsed loosely, mostly metadata no-ops for
-  * the analytics engine (schema pipeline consumes DEFINE FIELD/TABLE). */
+/** DEFINE/REMOVE/INFO/OPTION. DefineStmt remains the loose fallback for
+  * kinds without dedicated semantics (ACCESS/BUCKET/CONFIG/API/…). */
 final case class DefineStmt(what: String, name: String, clauses: Map[String, Expr],
     raw: String) extends Statement
-final case class RemoveStmt(what: String, name: String) extends Statement
+/** mode: "" (error if exists) | "ifnotexists" | "overwrite"
+  * (sql/statements/define DefineKind). */
+final case class DefineTableStmt(d: graft.surql.Defs.TableDef, mode: String) extends Statement
+final case class DefineEventStmt(d: graft.surql.Defs.EventDef, mode: String) extends Statement
+final case class DefineUserStmt(d: graft.surql.Defs.UserDef, mode: String) extends Statement
+final case class DefineSequenceStmt(d: graft.surql.Defs.SequenceDef, mode: String) extends Statement
+/** NAMESPACE/DATABASE/ANALYZER/PARAM and other raw-rendered kinds. */
+final case class DefineRawStmt(what: String, name: String, rendered: String,
+    mode: String, value: Option[Expr] = scala.None) extends Statement
+final case class RemoveStmt(what: String, name: String, onTable: Option[String] = scala.None,
+    ifExists: Boolean = false) extends Statement
+final case class AlterTableStmt(name: String, ifExists: Boolean,
+    drop: Option[Boolean], full: Option[Boolean], ttype: Option[(String, Seq[String], Seq[String], Boolean)],
+    perms: Option[Seq[(String, String)]], comment: Option[Option[String]],
+    changefeed: Option[Option[String]]) extends Statement
 final case class DefineFunctionStmt(name: String, params: Seq[(String, Option[Kind])],
-    body: Expr) extends Statement
+    body: Expr, paramsRaw: String = "", bodyRaw: String = "",
+    mode: String = "") extends Statement
 final case class DefineFieldStmt(field: String, table: String, kind: Option[Kind],
     flexible: Boolean, value: Option[Expr], default: Option[Expr], defaultAlways: Boolean,
-    assert: Option[Expr], assertRaw: String, readonly: Boolean) extends Statement
+    assert: Option[Expr], assertRaw: String, readonly: Boolean,
+    meta: Option[graft.surql.Defs.FieldDef] = scala.None, mode: String = "",
+    computed: Option[Expr] = scala.None) extends Statement
 final case class DefineIndexStmt(name: String, table: String, fields: Seq[String],
-    unique: Boolean) extends Statement
-final case class InfoStmt(level: String) extends Statement
+    unique: Boolean, meta: Option[graft.surql.Defs.IndexDef] = scala.None,
+    mode: String = "") extends Statement
+final case class InfoStmt(level: String, target: String = "",
+    structure: Boolean = false) extends Statement
 final case class OptionStmt(name: String, value: Boolean) extends Statement
 
 // SELECT (expr/statements/select.rs; planner exec/planner/select.rs:1213)

@@ -1,0 +1,161 @@
+package graft.surql
+
+/** Typed catalog-definition records with canonical `to_sql` renders —
+  * the INFO FOR ROOT/NS/DB/TABLE statements output these canonical strings
+  * (reference: catalog/table.rs:126, catalog/schema/field.rs:147,
+  * sql/statements/define/{table,field}.rs fmt_sql). Clause order matters:
+  * the golden corpus compares the rendered text byte-for-byte. */
+object Defs {
+
+  def escIdent(s: String): String =
+    if (s.nonEmpty && (s.head.isLetter || s.head == '_') &&
+        s.forall(c => c.isLetterOrDigit || c == '_')) s
+    else "`" + s + "`"
+
+  /** Group actions with equal permission values into FOR clauses
+    * (sql/permission.rs): all-NONE → NONE, all-FULL → FULL, else
+    * `FOR select FULL, FOR create, update NONE`-style groups in first-
+    * appearance order. */
+  def renderPerms(actions: Seq[(String, String)]): String =
+    if (actions.forall(_._2 == "NONE")) "PERMISSIONS NONE"
+    else if (actions.forall(_._2 == "FULL")) "PERMISSIONS FULL"
+    else {
+      val groups = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
+      actions.foreach { case (a, v) => groups.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer()) += a }
+      "PERMISSIONS " + groups.map { case (v, as) => s"FOR ${as.mkString(", ")} $v" }.mkString(", ")
+    }
+
+  val tablePermsDefault: Seq[(String, String)] =
+    Seq("select" -> "NONE", "create" -> "NONE", "update" -> "NONE", "delete" -> "NONE")
+  val fieldPermsDefault: Seq[(String, String)] =
+    Seq("select" -> "FULL", "create" -> "FULL", "update" -> "FULL")
+
+  final case class TableDef(
+      name: String,
+      drop: Boolean = false,
+      full: Boolean = false,
+      ttype: String = "ANY",
+      relIn: Seq[String] = Nil,
+      relOut: Seq[String] = Nil,
+      enforced: Boolean = false,
+      view: Option[String] = scala.None,          // raw `SELECT …` text
+      viewStmt: Option[ast.SelectStmt] = scala.None,
+      changefeed: Option[String] = scala.None,
+      perms: Seq[(String, String)] = tablePermsDefault,
+      comment: Option[String] = scala.None) {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE TABLE ").append(escIdent(name)).append(" TYPE ")
+      ttype match {
+        case "RELATION" =>
+          sb.append("RELATION")
+          if (relIn.nonEmpty) sb.append(" IN ").append(relIn.map(escIdent).mkString(" | "))
+          if (relOut.nonEmpty) sb.append(" OUT ").append(relOut.map(escIdent).mkString(" | "))
+          if (enforced) sb.append(" ENFORCED")
+        case t => sb.append(t)
+      }
+      if (drop) sb.append(" DROP")
+      sb.append(if (full) " SCHEMAFULL" else " SCHEMALESS")
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      view.foreach(v => sb.append(" AS ").append(v))
+      changefeed.foreach(c => sb.append(" CHANGEFEED ").append(c))
+      sb.append(" ").append(renderPerms(perms))
+      sb.toString
+    }
+  }
+
+  final case class FieldDef(
+      name: String,
+      table: String,
+      flexible: Boolean = false,
+      kindRaw: Option[String] = scala.None,
+      defaultRaw: Option[String] = scala.None,
+      defaultAlways: Boolean = false,
+      readonly: Boolean = false,
+      valueRaw: Option[String] = scala.None,
+      assertRaw: Option[String] = scala.None,
+      computedRaw: Option[String] = scala.None,
+      referenceRaw: Option[String] = scala.None,
+      comment: Option[String] = scala.None,
+      perms: Seq[(String, String)] = fieldPermsDefault) {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE FIELD ").append(name)
+        .append(" ON ").append(escIdent(table))
+      kindRaw.foreach { k =>
+        sb.append(" TYPE ").append(k)
+        if (flexible) sb.append(" FLEXIBLE")
+      }
+      defaultRaw.foreach { d =>
+        sb.append(if (defaultAlways) " DEFAULT ALWAYS " else " DEFAULT ").append(d)
+      }
+      if (readonly) sb.append(" READONLY")
+      valueRaw.foreach(v => sb.append(" VALUE ").append(v))
+      assertRaw.foreach(a => sb.append(" ASSERT ").append(a))
+      computedRaw.foreach(c => sb.append(" COMPUTED ").append(c))
+      referenceRaw.foreach(r => sb.append(" REFERENCE ").append(r))
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.append(" ").append(renderPerms(perms))
+      sb.toString
+    }
+  }
+
+  final case class IndexDef(
+      name: String,
+      table: String,
+      fields: Seq[String] = Nil,
+      tail: String = "",                           // "UNIQUE" | "FULLTEXT …" | "HNSW …" | "COUNT" | ""
+      comment: Option[String] = scala.None) {
+    def unique: Boolean = tail.startsWith("UNIQUE")
+    def render: String = {
+      val sb = new StringBuilder("DEFINE INDEX ").append(escIdent(name))
+        .append(" ON ").append(escIdent(table))
+      if (fields.nonEmpty) sb.append(" FIELDS ").append(fields.mkString(", "))
+      if (tail.nonEmpty) sb.append(" ").append(tail)
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.toString
+    }
+  }
+
+  final case class EventDef(
+      name: String,
+      table: String,
+      whenRaw: String,
+      thenRaw: String,
+      whenE: Option[ast.Expr],
+      thenE: Seq[ast.Expr],
+      comment: Option[String] = scala.None) {
+    def render: String = {
+      val thenTxt = if (thenRaw.startsWith("(") || thenRaw.startsWith("{")) thenRaw else s"($thenRaw)"
+      s"DEFINE EVENT ${escIdent(name)} ON ${escIdent(table)} WHEN $whenRaw THEN $thenTxt"
+    }
+  }
+
+  final case class UserDef(
+      name: String,
+      level: String,                                // ROOT | NAMESPACE | DATABASE
+      passhash: String,
+      roles: Seq[String] = Seq("VIEWER"),
+      durToken: String = "1h",
+      durSession: String = "NONE",
+      comment: Option[String] = scala.None) {
+    def render: String =
+      s"DEFINE USER ${escIdent(name)} ON $level PASSHASH '$passhash' ROLES ${roles.mkString(", ")} " +
+        s"DURATION FOR TOKEN $durToken, FOR SESSION $durSession"
+  }
+
+  final case class SequenceDef(
+      name: String,
+      batch: Long = 1000,
+      start: Long = 0,
+      timeout: Option[String] = scala.None) {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE SEQUENCE ").append(escIdent(name))
+        .append(" BATCH ").append(batch).append(" START ").append(start)
+      timeout.foreach(t => sb.append(" TIMEOUT ").append(t))
+      sb.toString
+    }
+  }
+
+  /** Raw-render definitions (analyzers, accesses, params, functions,
+    * namespaces, databases) — canonical text assembled at parse time. */
+  final case class RawDef(name: String, rendered: String)
+}

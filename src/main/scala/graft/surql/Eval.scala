@@ -87,9 +87,9 @@ object Eval {
   }
 
   private def builtinParam(name: String, env: Env): Option[V] = name match {
-    case "this"   => env.doc
-    case "parent" => env.params.get("parent")
-    case _        => scala.None
+    case "this" | "self" => env.doc
+    case "parent"        => env.params.get("parent")
+    case _               => scala.None
   }
 
   def constant(name: String): V = name.toLowerCase match {
@@ -223,7 +223,8 @@ object Eval {
       }
       case PAll => v match {
         case VArr(its) => VArr(its.map(el => walk(el, rest, env)))
-        case VObj(fs)  => walk(VArr(fs.values.toVector), rest, env)
+        // `.*` on an object yields the object itself (record.* = full doc)
+        case obj: VObj => walk(obj, rest, env)
         case rid: VRid =>
           env.interp.flatMap(_.fetchRecord(rid)) match {
             case Some(doc) => walk(doc, parts, env)
@@ -257,9 +258,20 @@ object Eval {
         }
       case PWhere(cond) => v match {
         case VArr(its) =>
-          val filtered = its.filter {
-            case o: VObj => eval(cond, env.copy(doc = Some(o))).truthy
-            case el      => eval(cond, env.copy(doc = scala.None, params = env.params + ("this" -> el))).truthy
+          // `$parent` inside an idiom filter is the nearest enclosing
+          // document (exec/parts/filter.rs; parent_in_where golden)
+          val parentV = env.doc.map(identity[V]).orElse(env.params.get("this"))
+          val baseEnv = parentV.map(p => env.bind("parent", p)).getOrElse(env)
+          val filtered = its.filter { el =>
+            // record-id elements filter against their fetched document
+            val target = el match {
+              case rid: VRid => env.interp.flatMap(_.fetchRecord(rid)).map(identity[V]).getOrElse(rid)
+              case x         => x
+            }
+            target match {
+              case o: VObj => eval(cond, baseEnv.copy(doc = Some(o))).truthy
+              case x => eval(cond, baseEnv.copy(doc = scala.None, params = baseEnv.params + ("this" -> x))).truthy
+            }
           }
           walk(VArr(filtered), rest, env)
         case _ => walk(VNone, rest, env)
@@ -539,7 +551,10 @@ object Eval {
       case PMethod(n, _) => n
       case g: PGraph =>
         val arrow = g.dir match { case "out" => "->"; case "in" => "<-"; case "ref" => "<~"; case _ => "<->" }
-        g.alias.getOrElse(arrow + g.what.map(_.table).mkString(", "))
+        // the reference names unaliased lookups by their to_sql render,
+        // which normalizes double-quoted strings to single quotes
+        g.alias.getOrElse(arrow + g.raw.map(_.replace('"', '\''))
+          .getOrElse(g.what.map(_.table).mkString(", ")))
     }.mkString(".").replace(".->", "->").replace(".<-", "<-")
     case Lit(v)        => v.render
     case Param(n)      => n

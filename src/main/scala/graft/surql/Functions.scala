@@ -335,10 +335,12 @@ object Functions {
       case "math::pow" => Ops.numPow(num(0), num(1))
       case "math::max" =>
         val items = arr(0)
-        if (items.isEmpty) VNone else items.max(V.ordering)
+        // empty input yields -inf (fnc/math.rs:124-128)
+        if (items.isEmpty) VFloat(Double.NegativeInfinity) else items.max(V.ordering)
       case "math::min" =>
         val items = arr(0)
-        if (items.isEmpty) VNone else items.min(V.ordering)
+        // empty input yields +inf (fnc/math.rs:147-151)
+        if (items.isEmpty) VFloat(Double.PositiveInfinity) else items.min(V.ordering)
       case "math::sum" =>
         arr(0).foldLeft[V](VInt(0)) { (acc, v) => v match {
           case n: VNum => Ops.add(acc, n)
@@ -673,10 +675,14 @@ object Functions {
       case "object::is_empty" => VBool(obj(0).isEmpty)
       case "object::extend" => VObj(obj(0) ++ obj(1))
       case "object::remove" =>
+        def keyOf(v: V): String = v match {
+          case VStr(s) => s
+          case other => throw SqlError(
+            s"Incorrect arguments for function object::remove(). '${other.renderRaw}' cannot be used as a key. Please use a string instead.")
+        }
         val keys = arg(1) match {
-          case VArr(ks) => ks.collect { case VStr(s) => s }
-          case VStr(s) => Seq(s)
-          case _ => Seq.empty
+          case VArr(ks) => ks.map(keyOf)
+          case other    => Seq(keyOf(other))
         }
         VObj(obj(0) -- keys)
 

@@ -12,10 +12,19 @@ import scala.collection.mutable
   * per top-level statement. */
 object Golden {
 
+  /** Rough-equality config per expectation (language-tests/src/tests/cmp.rs:12):
+    * true = compare strictly; false = skip that aspect. */
+  final case class RoughCfg(ridKeys: Boolean, uuid: Boolean, datetime: Boolean,
+      float: Boolean, decimal: Boolean)
+  object RoughCfg { val strict: RoughCfg = RoughCfg(true, true, true, false, false) }
+
   sealed trait Expected
-  final case class ExpectValue(rendered: String) extends Expected
+  final case class ExpectValue(rendered: String, cfg: RoughCfg = RoughCfg.strict) extends Expected
   final case class ExpectError(msg: Option[String]) extends Expected
-  /** match-style or unspecified — only statement success is checked. */
+  /** `match = "<expr>"`: evaluate with $result (or $error) bound; must be true.
+    * ty: Some(true)=error-only, Some(false)=value-only, None=either. */
+  final case class ExpectMatch(expr: String, ty: Option[Boolean]) extends Expected
+  /** unspecified — only statement success is checked. */
   case object ExpectAny extends Expected
 
   final case class TestFile(path: Path, sql: String, expected: Seq[Expected],
@@ -53,12 +62,30 @@ object Golden {
     val t = Toml.parse(toml)
     val results = t.arrayTables.getOrElse("test.results", Vector.empty)
     val expected: Seq[Expected] = results.map { tbl =>
-      tbl.get("value") match {
-        case Some(Toml.S(s)) => ExpectValue(s)
-        case _ => tbl.get("error") match {
-          case Some(Toml.S(s)) => ExpectError(Some(s))
-          case Some(Toml.B(true)) => ExpectError(scala.None)
-          case _ => ExpectAny
+      def flag(name: String): Boolean = tbl.get(name) match {
+        case Some(Toml.B(b)) => b
+        case _ => false
+      }
+      tbl.get("match") match {
+        case Some(Toml.S(m)) =>
+          val ty = tbl.get("error") match {
+            case Some(Toml.B(b)) => Some(b)
+            case _ => scala.None
+          }
+          ExpectMatch(m, ty)
+        case _ => tbl.get("value") match {
+          case Some(Toml.S(s)) =>
+            ExpectValue(s, RoughCfg(
+              ridKeys = !flag("skip-record-id-key"),
+              uuid = !flag("skip-uuid"),
+              datetime = !flag("skip-datetime"),
+              float = flag("float-roughly-eq"),
+              decimal = flag("decimal-roughly-eq")))
+          case _ => tbl.get("error") match {
+            case Some(Toml.S(s)) => ExpectError(Some(s))
+            case Some(Toml.B(true)) => ExpectError(scala.None)
+            case _ => ExpectAny
+          }
         }
       }
     }
@@ -99,11 +126,11 @@ object Golden {
     tf.expected.zipWithIndex.foreach { case (exp, i) =>
       if (i >= results.length) failures += s"[$i] missing result (got ${results.length} of ${tf.expected.length})"
       else (exp, results(i)) match {
-        case (ExpectValue(want), QOk(v)) =>
+        case (ExpectValue(want, cfg), QOk(v)) =>
           val got = v.render
-          if (got == want || valueEquiv(want, got)) passed += 1
+          if ((cfg == RoughCfg.strict && got == want) || valueEquiv(want, got, cfg)) passed += 1
           else failures += s"[$i] value mismatch:\n  want: $want\n  got:  $got"
-        case (ExpectValue(want), QErr(m)) =>
+        case (ExpectValue(want, _), QErr(m)) =>
           failures += s"[$i] expected value $want, got error: $m"
         case (ExpectError(Some(want)), QErr(got)) =>
           if (got == want) passed += 1
@@ -111,6 +138,11 @@ object Golden {
         case (ExpectError(scala.None), QErr(_)) => passed += 1
         case (ExpectError(w), QOk(v)) =>
           failures += s"[$i] expected error ${w.getOrElse("")}, got value ${v.render}"
+        case (m: ExpectMatch, r) =>
+          runMatcher(m, r) match {
+            case scala.None => passed += 1
+            case Some(f)    => failures += s"[$i] $f"
+          }
         case (ExpectAny, QOk(_)) => passed += 1
         case (ExpectAny, QErr(m)) => failures += s"[$i] statement failed: $m"
       }
@@ -123,29 +155,83 @@ object Golden {
   }
 
   /** Structural fallback compare: parse both renderings as values (handles
-    * whitespace/ordering differences in object keys). Random record-id keys
-    * (20-char alnum, the reference's generated ids) compare as wildcards —
-    * the corpus pins outputs containing freshly generated ids. */
-  private def valueEquiv(want: String, got: String): Boolean =
+    * whitespace/ordering differences in object keys). Generated record ids
+    * match in two tightly-scoped ways: the corpus placeholder key `x`
+    * (`knows:x`) matches any generated-looking key, and a pinned 20-char
+    * random key matches a generated key CONSISTENTLY — the same expected
+    * key must map to the same actual key throughout one comparison. */
+  private def valueEquiv(want: String, got: String, cfg: RoughCfg): Boolean =
     try {
       val w = Parser.parseValue(want)
       val g = Parser.parseValue(got)
-      equivV(w, g)
+      equivV(w, g, mutable.HashMap.empty[String, String], cfg)
     } catch { case _: Exception => false }
 
-  private def isRandomKey(v: V): Boolean = v match {
-    case VStr(s) => s.length == 20 && s.forall(c => c.isDigit || (c >= 'a' && c <= 'z'))
-    case _ => false
-  }
+  private def isRandomKeyStr(s: String): Boolean =
+    s.length == 20 && s.forall(c => c.isDigit || (c >= 'a' && c <= 'z'))
 
-  private def equivV(w: V, g: V): Boolean = (w, g) match {
-    case (VRid(tw, kw2), VRid(tg, kg)) =>
-      tw == tg && (equivV(kw2, kg) || (isRandomKey(kw2) && isRandomKey(kg)))
-    case (VArr(x), VArr(y)) =>
-      x.length == y.length && x.zip(y).forall { case (a, b) => equivV(a, b) }
-    case (VObj(x), VObj(y)) =>
-      x.size == y.size && x.keySet == y.keySet && x.forall { case (k, v) => equivV(v, y(k)) }
-    case _ => V.exactEq(w, g) && w.typeTag == g.typeTag
+  private def generatedKeyMatch(want: V, got: V, ids: mutable.HashMap[String, String]): Boolean =
+    (want, got) match {
+      case (VStr("x"), VStr(gk)) => isRandomKeyStr(gk)
+      case (VStr(wk), VStr(gk)) if isRandomKeyStr(wk) && isRandomKeyStr(gk) =>
+        ids.getOrElseUpdate(wk, gk) == gk
+      case _ => false
+    }
+
+  /** Record-id keys under skip-record-id-key: same key TYPE matches
+    * (cmp.rs RecordIdKey non-strict arm); arrays/objects recurse. */
+  private def ridKeyLoose(w: V, g: V, ids: mutable.HashMap[String, String], cfg: RoughCfg): Boolean =
+    (w, g) match {
+      case (_: VStr, _: VStr) => true
+      case (_: VInt, _: VInt) => true
+      case (_: VUuid, _: VUuid) => true
+      case (VArr(x), VArr(y)) =>
+        x.length == y.length && x.zip(y).forall { case (a, b) => equivV(a, b, ids, cfg) }
+      case (VObj(x), VObj(y)) =>
+        x.size == y.size && x.keySet == y.keySet && x.forall { case (k, v) => equivV(v, y(k), ids, cfg) }
+      case _ => false
+    }
+
+  private def equivV(w: V, g: V, ids: mutable.HashMap[String, String], cfg: RoughCfg): Boolean =
+    (w, g) match {
+      case (VRid(tw, kw2), VRid(tg, kg)) =>
+        tw == tg && {
+          if (cfg.ridKeys) equivV(kw2, kg, ids, cfg) || generatedKeyMatch(kw2, kg, ids)
+          else ridKeyLoose(kw2, kg, ids, cfg)
+        }
+      case (_: VDt, _: VDt) if !cfg.datetime => true
+      case (_: VUuid, _: VUuid) if !cfg.uuid => true
+      case (VFloat(a), VFloat(b)) if cfg.float => Math.abs(a - b) < 1e-15 || a == b
+      case (VDec(a), VDec(b)) if cfg.decimal => (a - b).abs < BigDecimal("1e-15")
+      case (VArr(x), VArr(y)) =>
+        x.length == y.length && x.zip(y).forall { case (a, b) => equivV(a, b, ids, cfg) }
+      case (VObj(x), VObj(y)) =>
+        x.size == y.size && x.keySet == y.keySet && x.forall { case (k, v) => equivV(v, y(k), ids, cfg) }
+      case _ => V.exactEq(w, g) && w.typeTag == g.typeTag
+    }
+
+  /** Evaluate a `match` expression with $result / $error bound
+    * (language-tests/src/tests/report/mod.rs:678). Returns a failure
+    * message, or None on success. */
+  private def runMatcher(m: ExpectMatch, r: QueryResult): Option[String] = {
+    (m.ty, r) match {
+      case (Some(true), QOk(v))  => return Some(s"expected error for matcher, got value ${v.render}")
+      case (Some(false), QErr(e)) => return Some(s"expected value for matcher, got error: $e")
+      case _ => ()
+    }
+    val params: Map[String, V] = r match {
+      case QOk(v)  => Map("result" -> v)
+      case QErr(e) => Map("error" -> VStr(e))
+    }
+    try {
+      val expr = Parser.parseExpr(m.expr)
+      val in = new Interp()
+      Eval.eval(expr, Env(params = params, interp = Some(in))) match {
+        case VBool(true)  => scala.None
+        case VBool(false) => Some(s"matcher returned false: ${m.expr}")
+        case other        => Some(s"matcher returned non-boolean ${other.render}")
+      }
+    } catch { case e: Exception => Some(s"matcher error: ${e.getMessage}") }
   }
 
   /** Per-file wall-clock budget — a pathological query (e.g. unbounded

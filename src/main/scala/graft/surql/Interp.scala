@@ -44,6 +44,26 @@ final class Interp {
     mutable.LinkedHashMap.empty
   private var idCounter = 0L
 
+  // ---- schema catalog (INFO / REMOVE / ALTER surface) ------------------
+  var curNs = "test"
+  var curDb = "test"
+  val namespaces = mutable.LinkedHashMap[String, String]()
+  val databases = mutable.LinkedHashMap[String, String]()
+  val rootUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
+  val nsUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
+  val dbUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
+  val analyzers = mutable.LinkedHashMap[String, String]()
+  val paramDefs = mutable.LinkedHashMap[String, String]()
+  val functionDefs = mutable.LinkedHashMap[String, String]()
+  val tableDefs = mutable.LinkedHashMap[String, Defs.TableDef]()
+  val fieldDefs2 = mutable.LinkedHashMap[(String, String), Defs.FieldDef]()
+  val indexDefs = mutable.LinkedHashMap[(String, String), Defs.IndexDef]()
+  val eventDefs = mutable.LinkedHashMap[(String, String), Defs.EventDef]()
+  val sequences = mutable.LinkedHashMap[String, Defs.SequenceDef]()
+  val accesses = mutable.LinkedHashMap[(String, String), String]()
+  /** DEFINE CONFIG API/GRAPHQL — structured payloads for INFO. */
+  val configs = mutable.LinkedHashMap[String, V]()
+
   def run(ast: Ast): Seq[QueryResult] = {
     val results = mutable.ArrayBuffer[QueryResult]()
     ast.stmts.foreach { stmt =>
@@ -56,26 +76,6 @@ final class Interp {
             val v0 = execExprStatementValue(what, env)
             val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
             globals = globals + (name -> v)
-            results += QOk(VNone)
-          case UseStmt(_, _) | BeginStmt | CommitStmt | CancelStmt | OptionStmt(_, _) =>
-            results += QOk(VNone)
-          case d: DefineStmt =>
-            execDefine(d)
-            results += QOk(VNone)
-          case DefineFunctionStmt(fname, params, body) =>
-            customFns(fname) = VClosure(params, body, Map.empty)
-            results += QOk(VNone)
-          case f: DefineFieldStmt =>
-            fieldPipeline(f.table) =
-              fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
-            table(f.table) // schema definition brings the table into existence
-            results += QOk(VNone)
-          case ix: DefineIndexStmt =>
-            if (ix.unique)
-              uniqueIndexes(ix.table) = uniqueIndexes.getOrElse(ix.table, Vector.empty) :+ ((ix.name, ix.fields))
-            table(ix.table)
-            results += QOk(VNone)
-          case _: RemoveStmt =>
             results += QOk(VNone)
           case other =>
             results += QOk(execStatement(other, env))
@@ -130,18 +130,466 @@ final class Interp {
     case BreakStmt    => throw BreakSignal
     case ContinueStmt => throw ContinueSignal
     case d: DefineStmt => execDefine(d); VNone
-    case DefineFunctionStmt(fname, params, body) =>
-      customFns(fname) = VClosure(params, body, Map.empty); VNone
-    case f: DefineFieldStmt =>
-      fieldPipeline(f.table) =
-        fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
-      table(f.table); VNone
-    case ix: DefineIndexStmt =>
+    case s: DefineFunctionStmt => execDefineFunction(s); VNone
+    case f: DefineFieldStmt => execDefineField(f); VNone
+    case ix: DefineIndexStmt => execDefineIndex(ix); VNone
+    case s: DefineTableStmt => execDefineTable(s); VNone
+    case s: DefineEventStmt => execDefineEvent(s); VNone
+    case s: DefineUserStmt => execDefineUser(s); VNone
+    case s: DefineSequenceStmt => execDefineSequence(s); VNone
+    case s: DefineRawStmt => execDefineRaw(s, env); VNone
+    case s: RemoveStmt => execRemove(s); VNone
+    case s: AlterTableStmt => execAlterTable(s); VNone
+    case s: InfoStmt => execInfo(s)
+    case u: UseStmt =>
+      u.ns.foreach(curNs = _)
+      u.db.foreach(curDb = _)
+      VNone
+    case BeginStmt | CommitStmt | CancelStmt | _: OptionStmt => VNone
+  }
+
+  // ---- DDL (DEFINE / REMOVE / ALTER / INFO) ----------------------------
+
+  /** `mode`: "" errors on duplicates, "ifnotexists" no-ops, "overwrite"
+    * replaces (sql/statements/define DefineKind; remove.rs errors). */
+  private def ddlGate(exists: Boolean, mode: String, already: => String): Boolean = {
+    if (exists) {
+      mode match {
+        case ""            => throw SqlError(already)
+        case "ifnotexists" => false
+        case "overwrite"   => true
+      }
+    } else true
+  }
+
+  private def execDefineFunction(s: DefineFunctionStmt): Unit = {
+    val key = s.name.stripPrefix("fn::")
+    val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
+    if (ddlGate(functionDefs.contains(full), s.mode, s"The function '$full' already exists")) {
+      customFns(key) = VClosure(s.params, s.body, Map.empty)
+      functionDefs(full) = s"DEFINE FUNCTION $full${s.paramsRaw} ${s.bodyRaw} PERMISSIONS FULL"
+    }
+  }
+
+  private def execDefineField(f: DefineFieldStmt): Unit = {
+    val key = (f.table, f.field)
+    if (f.computed.isDefined) {
+      // COMPUTED restrictions (catalog/schema/field.rs + define/field.rs)
+      if (f.field == "id") throw SqlError("Cannot use the `COMPUTED` keyword on the `id` field.")
+      if (f.value.isDefined) throw SqlError("Cannot use the `VALUE` keyword with `COMPUTED`.")
+      if (f.assert.isDefined) throw SqlError("Cannot use the `ASSERT` keyword with `COMPUTED`.")
+      if (f.default.isDefined) throw SqlError("Cannot use the `DEFAULT` keyword with `COMPUTED`.")
+      if (f.meta.exists(_.referenceRaw.isDefined)) throw SqlError("Cannot use the `REFERENCE` keyword with `COMPUTED`.")
+      if (f.readonly) throw SqlError("Cannot use the `READONLY` keyword with `COMPUTED`.")
+      if (f.field.contains('.'))
+        throw SqlError(s"Cannot define field `${f.field}` as `COMPUTED` fields must be top-level.")
+      fieldPipeline.getOrElse(f.table, Vector.empty)
+        .find(d => d.field.startsWith(f.field + ".")).foreach { nested =>
+          throw SqlError(s"Cannot define field `${f.field}` as `COMPUTED` since a nested field `${nested.field}` already exists.")
+        }
+      indexDefs.collect { case ((t, _), d) if t == f.table => d }
+        .find(_.fields.exists(ff => ff == f.field || ff.startsWith(f.field + ".") || ff.startsWith(f.field + "[")))
+        .foreach { idx =>
+          throw SqlError(s"Computed fields cannot be indexed. Index: '${idx.name}' - Field: '${f.field}'")
+        }
+    }
+    if (f.field.contains('.')) {
+      val parent = f.field.takeWhile(_ != '.')
+      if (fieldPipeline.getOrElse(f.table, Vector.empty).exists(d => d.field == parent && d.computed.isDefined))
+        throw SqlError(s"Cannot define nested field `${f.field}` as parent field `$parent` is a `COMPUTED` field.")
+    }
+    if (f.flexible && !tableDefs.get(f.table).exists(_.full))
+      throw SqlError("An error occurred: FLEXIBLE can only be used in SCHEMAFULL tables")
+    if (ddlGate(fieldDefs2.contains(key), f.mode, s"The field '${f.field}' already exists")) {
+      val next = fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
+      checkComputedCycles(next)
+      fieldPipeline(f.table) = next
+      f.meta.foreach(fieldDefs2(key) = _)
+      table(f.table) // schema definition brings the table into existence
+    }
+  }
+
+  /** Field names referenced by a computed expression — bare idioms and
+    * `$this.x` / `$this['x']` accesses (doc compute-phase dependency graph). */
+  private def exprFieldDeps(e: Expr): Set[String] = {
+    val out = mutable.HashSet[String]()
+    def goParts(ps: Seq[Part]): Unit = {
+      ps match {
+        case PField(n) +: _ => out += n
+        case PStart(Param("this" | "self")) +: PField(n) +: _ => out += n
+        case PStart(Param("this" | "self")) +: PIndex(Lit(VStr(n))) +: _ => out += n
+        case _ => ()
+      }
+      ps.foreach {
+        case PStart(inner)   => go(inner)
+        case PIndex(inner)   => go(inner)
+        case PWhere(inner)   => go(inner)
+        case PMethod(_, as)  => as.foreach(go)
+        case PDestructure(fs) => fs.foreach(_._2.foreach(goParts))
+        case g: PGraph       => g.cond.foreach(go)
+        case PRecurse(_, _, _, nest, _) => nest.foreach(goParts)
+        case _ => ()
+      }
+    }
+    def go(e: Expr): Unit = e match {
+      case Idiom(ps)        => goParts(ps)
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, x)     => go(x)
+      case Cast(_, x)       => go(x)
+      case FnCall(_, as)    => as.foreach(go)
+      case ArrLit(xs)       => xs.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case RidLit(_, k)     => go(k)
+      case RangeLit(lo, hi) => lo.foreach(b => go(b._1)); hi.foreach(b => go(b._1))
+      case Closure(_, b)    => go(b)
+      case IfExpr(bs, o)    => bs.foreach { case (c, v) => go(c); go(v) }; o.foreach(go)
+      case Subquery(_) | BlockExpr(_) => ()
+      case _ => ()
+    }
+    go(e)
+    out.toSet
+  }
+
+  /** Detect cycles among computed fields of one table at DEFINE time
+    * (error contract: "Cyclic dependency detected among computed fields:
+    * a -> b -> a"). */
+  private def checkComputedCycles(defs: Vector[DefineFieldStmt]): Unit = {
+    val computed = defs.flatMap(d => d.computed.map(c => d.field -> exprFieldDeps(c))).toMap
+    if (computed.isEmpty) return
+    val visiting = mutable.LinkedHashSet[String]()
+    val done = mutable.HashSet[String]()
+    def dfs(n: String): Unit = {
+      if (done(n) || !computed.contains(n)) return
+      if (visiting(n)) {
+        val path = visiting.toVector.dropWhile(_ != n) :+ n
+        throw SqlError(s"Cyclic dependency detected among computed fields: ${path.mkString(" -> ")}")
+      }
+      visiting += n
+      computed(n).toSeq.sorted.foreach(dfs)
+      visiting -= n
+      done += n
+    }
+    computed.keys.toSeq.sorted.foreach(dfs)
+  }
+
+  /** Topologically-ordered computed-field definitions for a table. */
+  private def computedOrder(tb: String): Vector[DefineFieldStmt] = {
+    val defs = fieldPipeline.getOrElse(tb, Vector.empty).filter(_.computed.isDefined)
+    if (defs.isEmpty) return defs
+    val byName = defs.map(d => d.field -> d).toMap
+    val seen = mutable.LinkedHashSet[String]()
+    def visit(n: String): Unit = byName.get(n).foreach { d =>
+      if (!seen(n)) {
+        exprFieldDeps(d.computed.get).toSeq.sorted.foreach(dep => if (dep != n) visit(dep))
+        seen += n
+      }
+    }
+    defs.foreach(d => visit(d.field))
+    seen.toVector.flatMap(byName.get)
+  }
+
+  private def execDefineIndex(ix: DefineIndexStmt): Unit = {
+    val key = (ix.table, ix.name)
+    // computed fields cannot be indexed (either definition order)
+    fieldPipeline.getOrElse(ix.table, Vector.empty).filter(_.computed.isDefined).foreach { cf =>
+      if (ix.fields.exists(ff => ff == cf.field || ff.startsWith(cf.field + ".") || ff.startsWith(cf.field + "[")))
+        throw SqlError(s"Computed fields cannot be indexed. Index: '${ix.name}' - Field: '${cf.field}'")
+    }
+    if (ddlGate(indexDefs.contains(key), ix.mode, s"The index '${ix.name}' already exists")) {
       if (ix.unique)
-        uniqueIndexes(ix.table) = uniqueIndexes.getOrElse(ix.table, Vector.empty) :+ ((ix.name, ix.fields))
-      table(ix.table); VNone
-    case _: RemoveStmt => VNone
-    case _: UseStmt | BeginStmt | CommitStmt | CancelStmt | _: OptionStmt | _: InfoStmt => VNone
+        uniqueIndexes(ix.table) =
+          uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
+      ix.meta.foreach(indexDefs(key) = _)
+      table(ix.table)
+    }
+  }
+
+  private def execDefineTable(s: DefineTableStmt): Unit = {
+    val name = s.d.name
+    if (ddlGate(tableDefs.contains(name), s.mode, s"The table '$name' already exists")) {
+      tableDefs(name) = s.d
+      tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
+      if (s.mode == "overwrite") () // keep data on overwrite
+    }
+  }
+
+  private def execDefineEvent(s: DefineEventStmt): Unit = {
+    val key = (s.d.table, s.d.name)
+    if (ddlGate(eventDefs.contains(key), s.mode, s"The event '${s.d.name}' already exists")) {
+      eventDefs(key) = s.d
+      table(s.d.table)
+    }
+  }
+
+  private def execDefineUser(s: DefineUserStmt): Unit = {
+    val reg = s.d.level match {
+      case "ROOT"      => rootUsers
+      case "NAMESPACE" => nsUsers
+      case _           => dbUsers
+    }
+    val levelName = s.d.level match {
+      case "ROOT" => "root"; case "NAMESPACE" => "namespace"; case _ => "database"
+    }
+    if (ddlGate(reg.contains(s.d.name), s.mode, s"The $levelName user '${s.d.name}' already exists"))
+      reg(s.d.name) = s.d
+  }
+
+  private def execDefineSequence(s: DefineSequenceStmt): Unit =
+    if (ddlGate(sequences.contains(s.d.name), s.mode, s"The sequence '${s.d.name}' already exists"))
+      sequences(s.d.name) = s.d
+
+  private def execDefineRaw(s: DefineRawStmt, env: Env): Unit = s.what match {
+    case "NAMESPACE" =>
+      if (ddlGate(namespaces.contains(s.name), s.mode, s"The namespace '${s.name}' already exists"))
+        namespaces(s.name) = s.rendered
+    case "DATABASE" =>
+      if (ddlGate(databases.contains(s.name), s.mode, s"The database '${s.name}' already exists"))
+        databases(s.name) = s.rendered
+    case "ANALYZER" =>
+      if (ddlGate(analyzers.contains(s.name), s.mode, s"The analyzer '${s.name}' already exists"))
+        analyzers(s.name) = s.rendered
+    case "PARAM" =>
+      if (ddlGate(paramDefs.contains(s.name), s.mode, s"The param '$$${s.name}' already exists")) {
+        paramDefs(s.name) = s.rendered
+        s.value.foreach { e =>
+          globals = globals + (s.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
+        }
+      }
+    case "CONFIG" =>
+      if (ddlGate(configs.contains(s.name), s.mode, s"The config for ${s.name} already exists")) {
+        configs(s.name) = s.name match {
+          case "api"     => V.obj("permissions" -> VBool(true))
+          case "graphql" => V.obj("functions" -> VStr("AUTO"), "tables" -> VStr("AUTO"))
+          case _         => V.obj()
+        }
+      }
+    case w if w.startsWith("ACCESS:") =>
+      val level = w.stripPrefix("ACCESS:")
+      val already = level match {
+        case "DATABASE" => s"The access method '${s.name}' already exists in the database '$curDb'"
+        case "NAMESPACE" => s"The access method '${s.name}' already exists in the namespace '$curNs'"
+        case _ => s"The access method '${s.name}' already exists"
+      }
+      if (ddlGate(accesses.contains((level, s.name)), s.mode, already))
+        accesses((level, s.name)) = s.rendered
+    case _ => () // BUCKET/API/MODULE/MODEL … — registered loosely via execDefine
+  }
+
+  private def execRemove(s: RemoveStmt): Unit = {
+    def gone(exists: Boolean, missing: => String)(drop: => Unit): Unit =
+      if (exists) drop
+      else if (!s.ifExists) throw SqlError(missing)
+    s.what match {
+      case "TABLE" =>
+        gone(tableDefs.contains(s.name) || tables.contains(s.name), s"The table '${s.name}' does not exist") {
+          tables.remove(s.name); tableDefs.remove(s.name)
+          fieldPipeline.remove(s.name); uniqueIndexes.remove(s.name)
+          fieldDefs2.keys.filter(_._1 == s.name).toSeq.foreach(fieldDefs2.remove)
+          indexDefs.keys.filter(_._1 == s.name).toSeq.foreach(indexDefs.remove)
+          eventDefs.keys.filter(_._1 == s.name).toSeq.foreach(eventDefs.remove)
+        }
+      case "FIELD" =>
+        val tb = s.onTable.getOrElse("")
+        gone(fieldDefs2.contains((tb, s.name)), s"The field '${s.name}' does not exist") {
+          fieldDefs2.remove((tb, s.name))
+          fieldPipeline(tb) = fieldPipeline.getOrElse(tb, Vector.empty).filterNot(_.field == s.name)
+        }
+      case "INDEX" =>
+        val tb = s.onTable.getOrElse("")
+        gone(indexDefs.contains((tb, s.name)), s"The index '${s.name}' does not exist") {
+          indexDefs.remove((tb, s.name))
+          uniqueIndexes(tb) = uniqueIndexes.getOrElse(tb, Vector.empty).filterNot(_._1 == s.name)
+        }
+      case "EVENT" =>
+        val tb = s.onTable.getOrElse("")
+        gone(eventDefs.contains((tb, s.name)), s"The event '${s.name}' does not exist") {
+          eventDefs.remove((tb, s.name))
+        }
+      case "PARAM" =>
+        gone(paramDefs.contains(s.name), s"The param '$$${s.name}' does not exist") {
+          paramDefs.remove(s.name)
+          globals = globals - s.name
+        }
+      case "FUNCTION" =>
+        val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
+        gone(functionDefs.contains(full), s"The function '$full' does not exist") {
+          functionDefs.remove(full)
+          customFns.remove(full.stripPrefix("fn::"))
+        }
+      case "NAMESPACE" | "NS" =>
+        gone(namespaces.contains(s.name), s"The namespace '${s.name}' does not exist") {
+          namespaces.remove(s.name)
+        }
+      case "DATABASE" | "DB" =>
+        gone(databases.contains(s.name), s"The database '${s.name}' does not exist") {
+          databases.remove(s.name)
+        }
+      case "ANALYZER" =>
+        gone(analyzers.contains(s.name), s"The analyzer '${s.name}' does not exist") {
+          analyzers.remove(s.name)
+        }
+      case "USER" =>
+        val (reg, levelName) = s.onTable match {
+          case Some("ROOT")      => (rootUsers, "root")
+          case Some("NAMESPACE") => (nsUsers, "namespace")
+          case Some("DATABASE")  => (dbUsers, "database")
+          case _                 => (rootUsers, "root")
+        }
+        gone(reg.contains(s.name), s"The $levelName user '${s.name}' does not exist") {
+          reg.remove(s.name)
+        }
+      case "SEQUENCE" =>
+        gone(sequences.contains(s.name), s"The sequence '${s.name}' does not exist") {
+          sequences.remove(s.name)
+        }
+      case "ACCESS" =>
+        val level = s.onTable.getOrElse("DATABASE")
+        val missing = level match {
+          case "NAMESPACE" => s"The access method '${s.name}' does not exist in the namespace '$curNs'"
+          case "ROOT"      => s"The access method '${s.name}' does not exist"
+          case _           => s"The access method '${s.name}' does not exist in the database '$curDb'"
+        }
+        gone(accesses.contains((level, s.name)), missing) {
+          accesses.remove((level, s.name))
+        }
+      case "CONFIG" =>
+        val key = s.name.toLowerCase
+        gone(configs.contains(key), s"The config for $key does not exist") {
+          configs.remove(key)
+        }
+      case _ => ()
+    }
+  }
+
+  private def execAlterTable(s: AlterTableStmt): Unit = {
+    if (s.name.isEmpty) return
+    tableDefs.get(s.name) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The table '${s.name}' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.drop.foreach(x => d = d.copy(drop = x))
+        s.full.foreach(x => d = d.copy(full = x))
+        s.ttype.foreach { case (t, rin, rout, enf) =>
+          d = d.copy(ttype = t, relIn = rin, relOut = rout, enforced = enf)
+        }
+        s.perms.foreach(p => d = d.copy(perms = p))
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.changefeed.foreach(c => d = d.copy(changefeed = c))
+        tableDefs(s.name) = d
+    }
+  }
+
+  private def emptyObj: V = VObj(TreeMap.empty)
+
+  private def strMap(entries: Iterable[(String, String)]): V =
+    VObj(TreeMap(entries.map { case (k, v) => k -> (VStr(v): V) }.toSeq: _*))
+
+  private def permStructure(p: String): V = p match {
+    case "FULL" => VBool(true)
+    case "NONE" => VBool(false)
+    case w      => VStr(w.stripPrefix("WHERE "))
+  }
+
+  private def fieldStructure(d: Defs.FieldDef): V = {
+    var m = TreeMap[String, V](
+      "name" -> VStr(d.name), "table" -> VStr(d.table), "readonly" -> VBool(d.readonly),
+      "permissions" -> VObj(TreeMap(d.perms.map { case (a, p) => a -> permStructure(p) }: _*)))
+    d.kindRaw.foreach { k =>
+      m += "kind" -> VStr(k.takeWhile(c => c != '<').trim match {
+        case kk if k.contains('<') => k // keep full generic form
+        case kk => kk
+      })
+    }
+    d.defaultRaw.foreach { x =>
+      m += "default" -> VStr(x)
+      m += "default_always" -> VBool(d.defaultAlways)
+    }
+    d.valueRaw.foreach(x => m += "value" -> VStr(x))
+    d.assertRaw.foreach(x => m += "assert" -> VStr(x))
+    VObj(m)
+  }
+
+  private def indexStructure(d: Defs.IndexDef): V =
+    VObj(TreeMap(
+      "cols" -> VArr(d.fields.map(f => VStr(f): V).toVector),
+      "index" -> VStr(if (d.tail.isEmpty) "" else d.tail),
+      "name" -> VStr(d.name),
+      "table" -> VStr(d.table)))
+
+  private def sequenceStructure(d: Defs.SequenceDef): V =
+    VObj(TreeMap(
+      "batch" -> VStr(d.batch.toString),
+      "name" -> VStr(d.name),
+      "start" -> VStr(d.start.toString),
+      "timeout" -> d.timeout.map(t =>
+        try Parser.parseValue(t) catch { case _: Exception => VStr(t): V }).getOrElse(VNone)))
+
+  def execInfo(s: InfoStmt): V = s.level match {
+    case "DB" if s.structure =>
+      VObj(TreeMap(
+        "accesses" -> VArr(Vector.empty),
+        "analyzers" -> VArr(Vector.empty),
+        "apis" -> VArr(Vector.empty),
+        "buckets" -> VArr(Vector.empty),
+        "configs" -> VArr(configs.map { case (n, v) => VObj(TreeMap(n -> v)): V }.toVector),
+        "functions" -> VArr(Vector.empty),
+        "models" -> VArr(Vector.empty),
+        "modules" -> VArr(Vector.empty),
+        "params" -> VArr(Vector.empty),
+        "sequences" -> VArr(sequences.values.map(sequenceStructure).toVector),
+        "tables" -> VArr(Vector.empty),
+        "users" -> VArr(Vector.empty)))
+    case "TABLE" if s.structure =>
+      val tb = s.target
+      VObj(TreeMap(
+        "events" -> VArr(Vector.empty),
+        "fields" -> VArr(fieldDefs2.collect { case ((t, _), d) if t == tb => fieldStructure(d) }.toVector),
+        "indexes" -> VArr(indexDefs.collect { case ((t, _), d) if t == tb => indexStructure(d) }.toVector),
+        "lives" -> VArr(Vector.empty),
+        "tables" -> VArr(Vector.empty)))
+    case "ROOT" =>
+      VObj(TreeMap(
+        "accesses" -> strMap(accesses.collect { case (("ROOT", n), r) => n -> r }),
+        "config" -> emptyObj,
+        "defaults" -> emptyObj,
+        "namespaces" -> strMap(namespaces),
+        "nodes" -> emptyObj,
+        "system" -> emptyObj,
+        "users" -> strMap(rootUsers.map { case (n, u) => n -> u.render })))
+    case "NS" =>
+      VObj(TreeMap(
+        "accesses" -> strMap(accesses.collect { case (("NAMESPACE", n), r) => n -> r }),
+        "databases" -> strMap(databases),
+        "users" -> strMap(nsUsers.map { case (n, u) => n -> u.render })))
+    case "DB" =>
+      VObj(TreeMap(
+        "accesses" -> strMap(accesses.collect { case (("DATABASE", n), r) => n -> r }),
+        "analyzers" -> strMap(analyzers),
+        "apis" -> emptyObj,
+        "buckets" -> emptyObj,
+        "configs" -> emptyObj,
+        "functions" -> strMap(functionDefs.map { case (n, r) => n.stripPrefix("fn::") -> r }),
+        "models" -> emptyObj,
+        "modules" -> emptyObj,
+        "params" -> strMap(paramDefs),
+        "sequences" -> strMap(sequences.map { case (n, d) => n -> d.render }),
+        "tables" -> strMap(tableDefs.map { case (n, d) => n -> d.render }),
+        "users" -> strMap(dbUsers.map { case (n, u) => n -> u.render })))
+    case "TABLE" =>
+      val tb = s.target
+      VObj(TreeMap(
+        "events" -> strMap(eventDefs.collect { case ((t, n), d) if t == tb => n -> d.render }),
+        "fields" -> strMap(fieldDefs2.collect { case ((t, n), d) if t == tb => n -> d.render }.toSeq.sortBy(_._1)),
+        "indexes" -> strMap(indexDefs.collect { case ((t, n), d) if t == tb => n -> d.render }),
+        "lives" -> emptyObj,
+        "tables" -> emptyObj))
+    case "USER" =>
+      rootUsers.get(s.target).orElse(nsUsers.get(s.target)).orElse(dbUsers.get(s.target)) match {
+        case Some(u) => VStr(u.render)
+        case scala.None => throw SqlError(s"The root user '${s.target}' does not exist")
+      }
+    case _ => VNone
   }
 
   private def execExprStatementValue(e: Expr, env: Env): V = Eval.eval(e, env)
@@ -209,7 +657,7 @@ final class Interp {
     * ASSERT → READONLY) applied to a document before it is stored. */
   def applyFieldPipeline(tb: String, rid: VRid, doc: VObj, before: Option[VObj],
       isCreate: Boolean, env: Env): VObj = {
-    val defs = fieldPipeline.getOrElse(tb, Vector.empty)
+    val defs = fieldPipeline.getOrElse(tb, Vector.empty).filter(_.computed.isEmpty)
     var fields = doc.fields
     defs.foreach { fd =>
       val path = fd.field.split('.').toList
@@ -218,7 +666,7 @@ final class Interp {
           var v = cur
           val input = cur
           if ((v == VNone || v == VNull) && fd.default.isDefined && (isCreate || fd.defaultAlways))
-            v = Eval.eval(fd.default.get, env.bind("this", VObj(fields)))
+            v = Eval.eval(fd.default.get, env.copy(doc = Some(VObj(fields))))
           fd.value.foreach { ve =>
             v = Eval.eval(ve, env.copy(doc = Some(VObj(fields)))
               .bind("input", input).bind("value", v).bind("before", beforeV)
@@ -266,6 +714,73 @@ final class Interp {
         case _ => fields
       }
       fields = result
+    }
+    // SCHEMAFULL enforcement (doc/field.rs): every stored field path must be
+    // declared, or sit beneath a FLEXIBLE field; id/in/out are implicit
+    if (tableDefs.get(tb).exists(_.full)) {
+      val defsAll = fieldPipeline.getOrElse(tb, Vector.empty)
+      val declared = defsAll.map(_.field).toSet
+      val flex = defsAll.filter(_.flexible).map(_.field).toSet
+      def flexCovered(p: String): Boolean = {
+        val segs = p.split('.')
+        (1 to segs.length).exists(i => flex(segs.take(i).mkString(".")))
+      }
+      def kindOf(p: String): Option[Kind] = defsAll.find(_.field == p).flatMap(_.kind)
+      // kinds that admit arbitrary nested content (any / literal kinds);
+      // plain `object` stays strict — its keys must be declared
+      def coversAny(k: Kind): Boolean = k match {
+        case Kind.KAny | _: Kind.KLiteralObj | _: Kind.KLiteralArr | _: Kind.KLiteral => true
+        case Kind.KOption(i) => coversAny(i)
+        case Kind.KEither(ks) => ks.exists(coversAny)
+        case _ => false
+      }
+      def elemCovered(k: Kind): Boolean = k match {
+        case Kind.KArray(inner, _) => inner.forall(coversAny)
+        case Kind.KSet(inner, _)   => inner.forall(coversAny)
+        case Kind.KOption(i)       => elemCovered(i)
+        case Kind.KEither(ks)      => ks.exists(elemCovered)
+        case _ => false
+      }
+      def check(v: V, path: String): Unit = {
+        if (path.nonEmpty && kindOf(path).exists(coversAny)) return
+        v match {
+          case VObj(fs) => fs.foreach { case (k, sub) =>
+            val p = if (path.isEmpty) k else s"$path.$k"
+            if (path.isEmpty && (k == "id" || k == "in" || k == "out")) ()
+            else if (flexCovered(p)) ()
+            // a path is implicitly declared when it prefixes a declared field
+            // (`obj_limited.a` declared ⇒ `obj_limited` storable)
+            else if (!declared(p) && !declared.exists(d => d.startsWith(p + ".") || d.startsWith(p + "[")))
+              throw SqlError(s"Found field '$p', but no such field exists for table '$tb'")
+            else check(sub, p)
+          }
+          case VArr(items) =>
+            val p = if (path.isEmpty) "*" else s"$path.*"
+            if (!kindOf(path).exists(elemCovered))
+              items.foreach {
+                case o: VObj => check(o, p)
+                case a: VArr => check(a, p)
+                case _ => ()
+              }
+          case _ => ()
+        }
+      }
+      check(VObj(fields), "")
+    }
+    // compute phase (doc/mod.rs lifecycle: …field → compute → store): computed
+    // fields are evaluated against the stored document in dependency order
+    computedOrder(tb).foreach { fd =>
+      val v0 = Eval.eval(fd.computed.get, env.copy(doc = Some(VObj(fields))))
+      val v = fd.kind match {
+        case Some(k) =>
+          try Coerce.coerce(k, v0)
+          catch {
+            case e: SqlError =>
+              throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
+          }
+        case scala.None => v0
+      }
+      fields = fields.updated(fd.field, v)
     }
     VObj(fields)
   }
@@ -984,7 +1499,7 @@ final class Interp {
       g.groupBy.isEmpty && g.limit.isEmpty && g.start.isEmpty && g.split.isEmpty && !g.only
     if (plain) return VArr(candidates.toVector)
     // rich lookup: SELECT over the candidates; the outer doc becomes $parent
-    val subEnv = env.doc match {
+    val subEnv = env.doc.map(identity[V]).orElse(env.params.get("this")) match {
       case Some(d)    => env.bind("parent", d)
       case scala.None => env
     }

@@ -180,7 +180,8 @@ final class Parser(val src: String) {
     else if (kw("USE")) useStmt()
     else if (kw("DEFINE")) defineStmt()
     else if (kw("REMOVE")) removeStmt()
-    else if (kw("INFO")) { val lvl = new StringBuilder; while (!eof && peekc != ';') { lvl.append(peekc); pos += 1 }; InfoStmt(lvl.toString.trim) }
+    else if (kw("ALTER")) alterStmt()
+    else if (kw("INFO")) infoStmt()
     else if (kw("OPTION")) {
       val name = rawIdent()
       val v = if (sym("=")) { if (kw("TRUE")) true else { kw("FALSE"); false } } else true
@@ -262,6 +263,27 @@ final class Parser(val src: String) {
     BlockExpr(stmts.toSeq)
   }
 
+  private def infoStmt(): Statement = {
+    expectKw("FOR")
+    val s =
+      if (kw("ROOT") || kw("KV")) InfoStmt("ROOT")
+      else if (kw("NAMESPACE") || kw("NS")) InfoStmt("NS")
+      else if (kw("DATABASE") || kw("DB")) InfoStmt("DB")
+      else if (kw("TABLE")) InfoStmt("TABLE", rawIdent())
+      else if (kw("USER")) {
+        val u = rawIdent()
+        if (kw("ON")) { kw("ROOT"); kw("NAMESPACE"); kw("NS"); kw("DATABASE"); kw("DB") }
+        InfoStmt("USER", u)
+      }
+      else if (kw("INDEX")) {
+        val i = rawIdent(); expectKw("ON"); kw("TABLE")
+        InfoStmt("INDEX", i + ":" + rawIdent())
+      }
+      else fail("expected INFO target")
+    val structure = kw("STRUCTURE")
+    s.copy(structure = structure)
+  }
+
   private def useStmt(): Statement = {
     var ns: Option[String] = scala.None
     var db: Option[String] = scala.None
@@ -274,16 +296,109 @@ final class Parser(val src: String) {
     UseStmt(ns, db)
   }
 
+  private val permActionSet = Set("select", "create", "update", "delete")
+
+  /** PERMISSIONS clause (sql/permission.rs): NONE | FULL | FOR-groups. */
+  private def permsClauses(defaults: Seq[(String, String)]): Seq[(String, String)] = {
+    if (kw("NONE")) return defaults.map { case (a, _) => a -> "NONE" }
+    if (kw("FULL")) return defaults.map { case (a, _) => a -> "FULL" }
+    val m = scala.collection.mutable.LinkedHashMap[String, String](defaults: _*)
+    while (kw("FOR")) {
+      val as = ArrayBuffer[String]()
+      var g = true
+      while (g) {
+        as += rawIdent().toLowerCase
+        val save = pos
+        if (sym(",")) {
+          val save2 = pos
+          tryIdent() match {
+            case Some(id) if permActionSet(id.toLowerCase) => pos = save2
+            case _ => pos = save; g = false
+          }
+        } else g = false
+      }
+      val v =
+        if (kw("NONE")) "NONE"
+        else if (kw("FULL")) "FULL"
+        else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim }
+      as.foreach(a => if (m.contains(a)) m(a) = v)
+      sym(",")
+    }
+    defaults.map { case (a, _) => a -> m(a) }
+  }
+
+  /** Canonical float literal text — the reference's to_sql renders float
+    * literals with an `f` suffix (`123.456f`). */
+  private def floatRaw(e: Expr, raw: String): String = e match {
+    case Lit(VFloat(f)) if !raw.toLowerCase.endsWith("f") && !f.isNaN && !f.isInfinite &&
+        raw.forall(c => c.isDigit || c == '.' || c == '-' || c == '+') => raw + "f"
+    case _ => raw
+  }
+
+  /** Capture an expression's source text alongside its parse. */
+  private def exprWithRaw(): (Expr, String) = {
+    ws()
+    val p0 = pos
+    val e = expr()
+    (e, src.substring(p0, pos).trim)
+  }
+
+  /** Deterministic argon2id-shaped passhash for DEFINE USER — the corpus
+    * matches it against an argon2id regex; real hashing is out of scope. */
+  private def fakePasshash(seed: String): String = {
+    val b64 = java.util.Base64.getEncoder.withoutPadding()
+      .encodeToString(java.security.MessageDigest.getInstance("SHA-256")
+        .digest(seed.getBytes("UTF-8"))).replace('+', 'A').replace('/', 'B')
+    s"$$argon2id$$v=19$$m=19456,t=2,p=1$$${b64.take(22)}$$${b64.take(43)}"
+  }
+
   private def defineStmt(): Statement = {
     val start = pos
     val what = rawIdent().toUpperCase
-    kw("IF"); kw("NOT"); kw("EXISTS"); kw("OVERWRITE")
+    val mode =
+      if (kw("OVERWRITE")) "overwrite"
+      else if (kw("IF")) { expectKw("NOT"); expectKw("EXISTS"); "ifnotexists" }
+      else ""
+    if (what == "TABLE") return defineTableStmt(mode)
+    if (what == "EVENT") return defineEventStmt(mode)
+    if (what == "USER") return defineUserStmt(mode)
+    if (what == "NAMESPACE" || what == "NS") return defineNamespaceLike("NAMESPACE", mode)
+    if (what == "DATABASE" || what == "DB") return defineNamespaceLike("DATABASE", mode)
+    if (what == "ANALYZER") return defineAnalyzerStmt(mode)
+    if (what == "SEQUENCE") return defineSequenceStmt(mode)
+    if (what == "CONFIG") {
+      val which = rawIdent().toLowerCase
+      while (!eof && peekc != ';') pos += 1 // clause tail (PERMISSIONS / AUTO / …)
+      return DefineRawStmt("CONFIG", which, "", mode)
+    }
+    if (what == "ACCESS") {
+      val name = rawIdent()
+      expectKw("ON")
+      val level =
+        if (kw("ROOT")) "ROOT"
+        else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
+        else { kw("DATABASE"); kw("DB"); "DATABASE" }
+      val p0 = pos
+      var depth = 0
+      while (!eof && !(depth == 0 && peekc == ';')) {
+        val c = peekc
+        if (c == '{' || c == '(' || c == '[') depth += 1
+        if (c == '}' || c == ')' || c == ']') depth -= 1
+        if (c == '\'' || c == '"') { val q = c; pos += 1; while (!eof && peekc != q) { if (peekc == '\\') pos += 1; pos += 1 } }
+        pos += 1
+      }
+      val tail = src.substring(p0, pos).trim.replaceAll("\\s+", " ")
+      val rendered = s"DEFINE ACCESS ${Defs.escIdent(name)} ON ${level.toLowerCase.capitalize} " + tail
+      return DefineRawStmt("ACCESS:" + level, name, rendered, mode)
+    }
     val name = if (peekSym("$")) { sym("$"); rawIdent() }
       else if (what == "FUNCTION") ""
       else tryIdent().getOrElse("")
     if (what == "FUNCTION") {
       val nb = new StringBuilder(rawIdent())
       while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+      ws()
+      val pr0 = pos
       expectSym("(")
       val params = ArrayBuffer[(String, Option[Kind])]()
       ws()
@@ -296,11 +411,15 @@ final class Parser(val src: String) {
         }
       }
       expectSym(")")
+      val paramsRaw = src.substring(pr0, pos)
       ws()
       if (sym("->")) kind() // optional return kind
+      ws()
+      val b0 = pos
       val body = blockExpr()
+      val bodyRaw = src.substring(b0, pos)
       while (!eof && peekc != ';') pos += 1 // PERMISSIONS/COMMENT tail
-      return DefineFunctionStmt(nb.toString, params.toSeq, body)
+      return DefineFunctionStmt(nb.toString, params.toSeq, body, paramsRaw, bodyRaw, mode)
     }
     if (what == "FIELD") {
       val fn = new StringBuilder(name)
@@ -318,32 +437,58 @@ final class Parser(val src: String) {
       expectKw("ON"); kw("TABLE")
       val tbl = rawIdent()
       var kindAnn: Option[Kind] = scala.None
+      var kindRaw: Option[String] = scala.None
       var flexible = false
       var valueE: Option[Expr] = scala.None
+      var valueRaw: Option[String] = scala.None
+      var computedE: Option[Expr] = scala.None
+      var computedRaw: Option[String] = scala.None
       var defaultE: Option[Expr] = scala.None
+      var defaultRaw: Option[String] = scala.None
       var defaultAlways = false
       var assertE: Option[Expr] = scala.None
       var assertRaw = ""
       var readonly = false
+      var referenceRaw: Option[String] = scala.None
+      var comment: Option[String] = scala.None
+      var perms = Defs.fieldPermsDefault
       var go = true
       while (go) {
-        if (kw("FLEXIBLE")) { flexible = true; if (kw("TYPE")) kindAnn = Some(kind()) }
-        else if (kw("TYPE")) kindAnn = Some(kind())
-        else if (kw("VALUE")) valueE = Some(expr())
-        else if (kw("COMPUTED")) valueE = Some(expr())
-        else if (kw("DEFAULT")) { defaultAlways = kw("ALWAYS"); defaultE = Some(expr()) }
+        if (kw("FLEXIBLE")) {
+          flexible = true
+          if (kw("TYPE")) { ws(); val p0 = pos; kindAnn = Some(kind()); kindRaw = Some(src.substring(p0, pos).trim) }
+        }
+        else if (kw("TYPE")) {
+          ws(); val p0 = pos; kindAnn = Some(kind()); kindRaw = Some(src.substring(p0, pos).trim)
+          if (kw("FLEXIBLE")) flexible = true
+        }
+        else if (kw("VALUE")) { val (e, r) = exprWithRaw(); valueE = Some(e); valueRaw = Some(floatRaw(e, r)) }
+        else if (kw("COMPUTED")) { val (e, r) = exprWithRaw(); computedE = Some(e); computedRaw = Some(floatRaw(e, r)) }
+        else if (kw("DEFAULT")) {
+          defaultAlways = kw("ALWAYS")
+          val (e, r) = exprWithRaw(); defaultE = Some(e); defaultRaw = Some(floatRaw(e, r))
+        }
         else if (kw("ASSERT")) { val p0 = pos; assertE = Some(expr()); assertRaw = src.substring(p0, pos).trim }
         else if (kw("READONLY")) readonly = true
-        else if (kw("PERMISSIONS")) { while (!eof && peekc != ';' && !peekKw("COMMENT")) pos += 1 }
-        else if (kw("COMMENT")) stringLit()
+        else if (kw("REFERENCE")) {
+          val p0 = pos
+          while (!eof && peekc != ';' && !peekKw("PERMISSIONS") && !peekKw("COMMENT") &&
+            !peekKw("TYPE") && !peekKw("VALUE") && !peekKw("DEFAULT") && !peekKw("ASSERT") &&
+            !peekKw("READONLY") && !peekKw("COMPUTED") && !peekKw("FLEXIBLE")) pos += 1
+          referenceRaw = Some(src.substring(p0, pos).trim)
+        }
+        else if (kw("PERMISSIONS")) perms = permsClauses(Defs.fieldPermsDefault)
+        else if (kw("COMMENT")) comment = Some(stringLit()._1)
         else go = false
       }
+      val meta = Defs.FieldDef(fieldName, tbl, flexible, kindRaw, defaultRaw, defaultAlways,
+        readonly, valueRaw, Some(assertRaw).filter(_.nonEmpty), computedRaw, referenceRaw,
+        comment, perms)
       return DefineFieldStmt(fieldName, tbl, kindAnn, flexible, valueE, defaultE,
-        defaultAlways, assertE, assertRaw, readonly)
+        defaultAlways, assertE, assertRaw, readonly, Some(meta), mode, computedE)
     }
     if (what == "INDEX") {
       val idxName = name
-      kw("IF"); kw("NOT"); kw("EXISTS")
       expectKw("ON"); kw("TABLE")
       val tbl = rawIdent()
       val fields = ArrayBuffer[String]()
@@ -351,21 +496,30 @@ final class Parser(val src: String) {
         var g = true
         while (g) { fields += idiomName(); g = sym(",") }
       }
-      var unique = false
-      var go = true
-      while (go) {
-        if (kw("UNIQUE")) unique = true
-        else if (!eof && peekc != ';') pos += 1
-        else go = false
+      ws()
+      val t0 = pos
+      var depth = 0
+      while (!eof && !(depth == 0 && peekc == ';')) {
+        val c = peekc
+        if (c == '{' || c == '(' || c == '[') depth += 1
+        if (c == '}' || c == ')' || c == ']') depth -= 1
+        pos += 1
       }
-      return DefineIndexStmt(idxName, tbl, fields.toSeq, unique)
+      val tail = src.substring(t0, pos).trim.replaceAll("\\s+", " ")
+      val unique = tail.toUpperCase.startsWith("UNIQUE")
+      val meta = Defs.IndexDef(idxName, tbl, fields.toSeq, tail)
+      return DefineIndexStmt(idxName, tbl, fields.toSeq, unique, Some(meta), mode)
     }
     if (what == "PARAM") {
       expectKw("VALUE")
-      val v = expr()
-      kw("PERMISSIONS"); kw("FULL"); kw("NONE")
-      val raw = src.substring(start, pos)
-      return DefineStmt(what, name, Map("value" -> v), raw)
+      val (v, raw) = exprWithRaw()
+      var permTxt = "FULL"
+      if (kw("PERMISSIONS")) {
+        if (kw("NONE")) permTxt = "NONE" else { kw("FULL"); permTxt = "FULL" }
+      }
+      if (kw("COMMENT")) stringLit()
+      val rendered = s"DEFINE PARAM $$$name VALUE $raw PERMISSIONS $permTxt"
+      return DefineRawStmt("PARAM", name, rendered, mode, Some(v))
     }
     // consume the remainder of the statement (balanced braces/parens)
     val sb = new StringBuilder
@@ -383,13 +537,240 @@ final class Parser(val src: String) {
     DefineStmt(what, name, Map.empty, src.substring(start, pos))
   }
 
+  private def defineTableStmt(mode: String): Statement = {
+    val name = rawIdent()
+    var d = Defs.TableDef(name)
+    var go = true
+    while (go) {
+      if (kw("DROP")) d = d.copy(drop = true)
+      else if (kw("SCHEMALESS")) d = d.copy(full = false)
+      else if (kw("SCHEMAFULL") || kw("SCHEMAFULL".toLowerCase)) d = d.copy(full = true)
+      else if (kw("TYPE")) {
+        if (kw("ANY")) d = d.copy(ttype = "ANY")
+        else if (kw("NORMAL")) d = d.copy(ttype = "NORMAL")
+        else if (kw("RELATION")) {
+          d = d.copy(ttype = "RELATION")
+          var g2 = true
+          while (g2) {
+            if (kw("IN") || kw("FROM")) {
+              val ts = ArrayBuffer[String]()
+              var g = true
+              while (g) { ts += rawIdent(); g = sym("|") }
+              d = d.copy(relIn = ts.toSeq)
+            } else if (kw("OUT") || kw("TO")) {
+              val ts = ArrayBuffer[String]()
+              var g = true
+              while (g) { ts += rawIdent(); g = sym("|") }
+              d = d.copy(relOut = ts.toSeq)
+            } else if (kw("ENFORCED")) d = d.copy(enforced = true)
+            else g2 = false
+          }
+        }
+      }
+      else if (peekKw("AS")) {
+        kw("AS")
+        ws()
+        sym("(")
+        ws()
+        val p0 = pos
+        expectKw("SELECT")
+        val sel = selectStmt()
+        val raw = src.substring(p0, pos).trim
+        sym(")")
+        d = d.copy(view = Some(raw), viewStmt = Some(sel))
+      }
+      else if (kw("CHANGEFEED")) {
+        val p0 = pos
+        expr()
+        if (kw("INCLUDE")) kw("ORIGINAL")
+        d = d.copy(changefeed = Some(src.substring(p0, pos).trim))
+      }
+      else if (kw("PERMISSIONS")) d = d.copy(perms = permsClauses(Defs.tablePermsDefault))
+      else if (kw("COMMENT")) d = d.copy(comment = Some(stringLit()._1))
+      else go = false
+    }
+    DefineTableStmt(d, mode)
+  }
+
+  private def defineEventStmt(mode: String): Statement = {
+    val name = rawIdent()
+    expectKw("ON"); kw("TABLE")
+    val tbl = rawIdent()
+    var whenRaw = "true"
+    var whenE: Option[Expr] = scala.None
+    if (kw("WHEN")) { val (e, r) = exprWithRaw(); whenE = Some(e); whenRaw = r }
+    expectKw("THEN")
+    ws()
+    val t0 = pos
+    val thenEs = ArrayBuffer[Expr]()
+    thenEs += (if (peekc == '{') blockExpr() else exprOrStatement())
+    while (sym(",")) thenEs += (if ({ ws(); peekc == '{' }) blockExpr() else exprOrStatement())
+    val thenRaw = src.substring(t0, pos).trim
+    if (kw("COMMENT")) stringLit()
+    DefineEventStmt(Defs.EventDef(name, tbl, whenRaw, thenRaw, whenE, thenEs.toSeq), mode)
+  }
+
+  private def defineUserStmt(mode: String): Statement = {
+    val name = rawIdent()
+    expectKw("ON")
+    val level =
+      if (kw("ROOT")) "ROOT"
+      else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
+      else { kw("DATABASE"); kw("DB"); "DATABASE" }
+    var hash = fakePasshash(name)
+    var roles = Seq("VIEWER")
+    var durToken = "1h"
+    var durSession = "NONE"
+    var go = true
+    while (go) {
+      if (kw("PASSWORD")) { hash = fakePasshash(stringLit()._1) }
+      else if (kw("PASSHASH")) { hash = stringLit()._1 }
+      else if (kw("ROLES")) {
+        val rs = ArrayBuffer[String]()
+        var g = true
+        while (g) { rs += rawIdent().toUpperCase; g = sym(",") }
+        roles = rs.toSeq
+      }
+      else if (kw("DURATION")) {
+        var g2 = true
+        while (g2) {
+          if (kw("FOR")) {
+            if (kw("TOKEN")) { val (_, r) = exprWithRaw(); durToken = r }
+            else if (kw("SESSION")) {
+              if (kw("NONE")) durSession = "NONE" else { val (_, r) = exprWithRaw(); durSession = r }
+            }
+            if (!sym(",")) g2 = false
+          } else g2 = false
+        }
+      }
+      else if (kw("COMMENT")) stringLit()
+      else go = false
+    }
+    DefineUserStmt(Defs.UserDef(name, level, hash, roles, durToken, durSession), mode)
+  }
+
+  private def defineNamespaceLike(what: String, mode: String): Statement = {
+    val name = rawIdent()
+    var comment: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("COMMENT")) comment = Some(stringLit()._1)
+      else if (kw("CHANGEFEED")) { expr(); if (kw("INCLUDE")) kw("ORIGINAL") }
+      else go = false
+    }
+    val rendered = s"DEFINE $what ${Defs.escIdent(name)}" +
+      comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
+    DefineRawStmt(what, name, rendered, mode)
+  }
+
+  private def defineAnalyzerStmt(mode: String): Statement = {
+    val name = rawIdent()
+    val p0 = pos
+    var depth = 0
+    while (!eof && !(depth == 0 && peekc == ';')) {
+      val c = peekc
+      if (c == '{' || c == '(' || c == '[') depth += 1
+      if (c == '}' || c == ')' || c == ']') depth -= 1
+      pos += 1
+    }
+    val tail = src.substring(p0, pos).trim.replaceAll("\\s+", " ")
+    val rendered = s"DEFINE ANALYZER ${Defs.escIdent(name)}" + (if (tail.nonEmpty) s" $tail" else "")
+    DefineRawStmt("ANALYZER", name, rendered, mode)
+  }
+
+  private def defineSequenceStmt(mode: String): Statement = {
+    val name = rawIdent()
+    var d = Defs.SequenceDef(name)
+    var go = true
+    while (go) {
+      if (kw("BATCH")) d = d.copy(batch = Eval.evalConst(expr()) match { case VInt(n) => n; case _ => 1000 })
+      else if (kw("START")) d = d.copy(start = Eval.evalConst(expr()) match { case VInt(n) => n; case _ => 0 })
+      else if (kw("TIMEOUT")) { val (_, r) = exprWithRaw(); d = d.copy(timeout = Some(r)) }
+      else go = false
+    }
+    DefineSequenceStmt(d, mode)
+  }
+
   private def removeStmt(): Statement = {
     val what = rawIdent().toUpperCase
-    kw("IF"); kw("EXISTS")
-    val name = if (peekSym("$")) { sym("$"); "$" + rawIdent() } else tryIdent().getOrElse("")
-    // consume qualifiers (ON TABLE x etc.)
+    val ifExists = if (kw("IF")) { expectKw("EXISTS"); true } else false
+    val name = if (peekSym("$")) { sym("$"); rawIdent() }
+      else {
+        val nb = new StringBuilder(tryIdent().getOrElse(""))
+        while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+        nb.toString
+      }
+    var onTable: Option[String] = scala.None
+    if (kw("ON")) {
+      if (kw("ROOT")) onTable = Some("ROOT")
+      else if (kw("NAMESPACE") || kw("NS")) onTable = Some("NAMESPACE")
+      else if (kw("DATABASE") || kw("DB")) onTable = Some("DATABASE")
+      else { kw("TABLE"); onTable = tryIdent() }
+    }
     while (!eof && peekc != ';') pos += 1
-    RemoveStmt(what, name)
+    RemoveStmt(what, name, onTable, ifExists)
+  }
+
+  private def alterStmt(): Statement = {
+    val what = rawIdent().toUpperCase
+    if (what != "TABLE") {
+      // only ALTER TABLE exists in the reference grammar (alter.rs)
+      while (!eof && peekc != ';') pos += 1
+      return AlterTableStmt("", ifExists = true, scala.None, scala.None, scala.None,
+        scala.None, scala.None, scala.None)
+    }
+    val ifExists = if (kw("IF")) { expectKw("EXISTS"); true } else false
+    val name = rawIdent()
+    var drop: Option[Boolean] = scala.None
+    var full: Option[Boolean] = scala.None
+    var ttype: Option[(String, Seq[String], Seq[String], Boolean)] = scala.None
+    var perms: Option[Seq[(String, String)]] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var changefeed: Option[Option[String]] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) {
+        if (kw("FALSE")) drop = Some(false) else { kw("TRUE"); drop = Some(true) }
+      }
+      else if (kw("SCHEMALESS")) full = Some(false)
+      else if (kw("SCHEMAFULL")) full = Some(true)
+      else if (kw("TYPE")) {
+        if (kw("ANY")) ttype = Some(("ANY", Nil, Nil, false))
+        else if (kw("NORMAL")) ttype = Some(("NORMAL", Nil, Nil, false))
+        else if (kw("RELATION")) {
+          var relIn = Seq.empty[String]
+          var relOut = Seq.empty[String]
+          var enforced = false
+          var g2 = true
+          while (g2) {
+            if (kw("IN") || kw("FROM")) {
+              val ts = ArrayBuffer[String]()
+              var g = true
+              while (g) { ts += rawIdent(); g = sym("|") }
+              relIn = ts.toSeq
+            } else if (kw("OUT") || kw("TO")) {
+              val ts = ArrayBuffer[String]()
+              var g = true
+              while (g) { ts += rawIdent(); g = sym("|") }
+              relOut = ts.toSeq
+            } else if (kw("ENFORCED")) enforced = true
+            else g2 = false
+          }
+          ttype = Some(("RELATION", relIn, relOut, enforced))
+        }
+      }
+      else if (kw("PERMISSIONS")) perms = Some(permsClauses(Defs.tablePermsDefault))
+      else if (kw("COMMENT")) {
+        if (kw("NONE")) comment = Some(scala.None)
+        else comment = Some(Some(stringLit()._1))
+      }
+      else if (kw("CHANGEFEED")) {
+        if (kw("NONE")) changefeed = Some(scala.None)
+        else { val (_, r) = exprWithRaw(); if (kw("INCLUDE")) kw("ORIGINAL"); changefeed = Some(Some(r)) }
+      }
+      else go = false
+    }
+    AlterTableStmt(name, ifExists, drop, full, ttype, perms, comment, changefeed)
   }
 
   // ---- SELECT ---------------------------------------------------------
@@ -1188,6 +1569,7 @@ final class Parser(val src: String) {
     ws()
     val what = ArrayBuffer[LookupSubject]()
     if (peekc == '(') {
+      val rawStart = pos
       pos += 1
       ws()
       var fieldsOpt: Option[Seq[Field]] = scala.None
@@ -1235,7 +1617,8 @@ final class Parser(val src: String) {
       val alias = if (kw("AS")) Some(idiomName()) else scala.None
       expectSym(")")
       PGraph(dir, what.toSeq, cond, alias, fieldsOpt, value, only,
-        split.toSeq, groupBy, order.toSeq, limit, start)
+        split.toSeq, groupBy, order.toSeq, limit, start,
+        raw = Some(src.substring(rawStart, pos)))
     } else if (peekc == '?') { pos += 1; PGraph(dir, Nil) }
     else { what += lookupSubject(); PGraph(dir, what.toSeq) }
   }
@@ -1617,6 +2000,13 @@ final class Parser(val src: String) {
 
   private def recordIdTail(table: String): Expr = {
     ws()
+    // open-from-below id range: `edge:..`, `edge:..=5`
+    if (src.startsWith("..", pos) && !src.startsWith("...", pos)) {
+      pos += 2
+      val incl = sym("=")
+      val hi = if (startsExpr()) Some((exprAtLevel(BpRange + 1), incl)) else scala.None
+      return RidLit(table, RangeLit(scala.None, hi))
+    }
     val keyExpr: Expr = {
       val c = peekc
       if (c == '\'' || c == '"') Lit(VStr(stringLit()._1))
