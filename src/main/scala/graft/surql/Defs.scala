@@ -115,6 +115,17 @@ object Defs {
     }
   }
 
+  /** Canonical expression-text normalization: collapse whitespace, tighten
+    * parens, backtick reserved-word idents (the reference re-renders from
+    * its AST; we normalize the captured source instead). */
+  def normRaw(s: String): String = {
+    var t = s.replaceAll("\\s+", " ").trim
+    t = t.replace("( ", "(").replace(" )", ")")
+    t = t.replaceAll("(?<![\\w$.:`])value(\\s*=[^=])", "`value`$1")
+    t = t.replace("{ }", "{  }").replace("{}", "{  }")
+    t
+  }
+
   final case class EventDef(
       name: String,
       table: String,
@@ -122,10 +133,24 @@ object Defs {
       thenRaw: String,
       whenE: Option[ast.Expr],
       thenE: Seq[ast.Expr],
+      async: Boolean = false,
+      retry: Option[Long] = scala.None,
+      maxDepth: Option[Long] = scala.None,
       comment: Option[String] = scala.None) {
     def render: String = {
-      val thenTxt = if (thenRaw.startsWith("(") || thenRaw.startsWith("{")) thenRaw else s"($thenRaw)"
-      s"DEFINE EVENT ${escIdent(name)} ON ${escIdent(table)} WHEN $whenRaw THEN $thenTxt"
+      val thenN = normRaw(thenRaw)
+      val thenTxt = if (thenN.startsWith("(") || thenN.startsWith("{")) thenN else s"($thenN)"
+      val sb = new StringBuilder("DEFINE EVENT ").append(escIdent(name))
+        .append(" ON ").append(escIdent(table))
+      if (async) {
+        // ASYNC defaults render explicitly (RETRY 1 MAXDEPTH 3)
+        sb.append(" ASYNC")
+        sb.append(" RETRY ").append(retry.getOrElse(1L))
+        sb.append(" MAXDEPTH ").append(maxDepth.getOrElse(3L))
+      }
+      sb.append(" WHEN ").append(normRaw(whenRaw)).append(" THEN ").append(thenTxt)
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.toString
     }
   }
 

@@ -28,7 +28,8 @@ object Golden {
   case object ExpectAny extends Expected
 
   final case class TestFile(path: Path, sql: String, expected: Seq[Expected],
-      imports: Seq[String], run: Boolean, wip: Boolean)
+      imports: Seq[String], run: Boolean, wip: Boolean,
+      expectParseError: Boolean = false)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -101,10 +102,21 @@ object Golden {
       case Some(Toml.B(b)) => b
       case _ => false
     }
-    TestFile(path, src, expected, imports, run, wip)
+    val parseErr = t.get("test.results.parsing-error") match {
+      case Some(Toml.S(_)) | Some(Toml.B(true)) => true
+      case _ => false
+    }
+    TestFile(path, src, expected, imports, run, wip, parseErr)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
+    if (tf.expectParseError) {
+      // the file must be REJECTED by the parser (exact diagnostics differ)
+      return try {
+        Parser.parse(tf.sql)
+        Outcome(tf.path, 1, 0, Seq("expected a parse error but the file parsed"))
+      } catch { case _: ParseError => Outcome(tf.path, 1, 1, Nil) }
+    }
     val interp = new Interp()
     // imports run first, results discarded
     tf.imports.foreach { imp =>

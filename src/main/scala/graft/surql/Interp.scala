@@ -309,7 +309,23 @@ final class Interp {
     if (ddlGate(tableDefs.contains(name), s.mode, s"The table '$name' already exists")) {
       tableDefs(name) = s.d
       tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
-      if (s.mode == "overwrite") () // keep data on overwrite
+      // RELATION IN/OUT clauses register in/out field definitions
+      // (catalog/table.rs Relation → record<…> fields)
+      if (s.d.ttype == "RELATION") {
+        def rel(fieldName: String, targets: Seq[String]): Unit = if (targets.nonEmpty) {
+          val kindRaw = s"record<${targets.mkString(" | ")}>"
+          val kind = Kind.KRecord(targets)
+          val meta = Defs.FieldDef(fieldName, name, kindRaw = Some(kindRaw))
+          val stmt = DefineFieldStmt(fieldName, name, Some(kind), flexible = false,
+            scala.None, scala.None, defaultAlways = false, scala.None, "", readonly = false,
+            Some(meta))
+          fieldPipeline(name) =
+            fieldPipeline.getOrElse(name, Vector.empty).filterNot(_.field == fieldName) :+ stmt
+          fieldDefs2((name, fieldName)) = meta
+        }
+        rel("in", s.d.relIn)
+        rel("out", s.d.relOut)
+      }
     }
   }
 
@@ -382,6 +398,14 @@ final class Interp {
     s.what match {
       case "TABLE" =>
         gone(tableDefs.contains(s.name) || tables.contains(s.name), s"The table '${s.name}' does not exist") {
+          val dependents = tableDefs.values.filter(d =>
+            d.viewStmt.exists(_.what.exists {
+              case Idiom(Seq(PField(n))) => n == s.name
+              case _ => false
+            })).map(_.name).toSeq
+          if (dependents.nonEmpty)
+            throw SqlError(s"Invalid query: Cannot delete table `${s.name}` on which a view is defined, " +
+              s"table(s) `${dependents.mkString("`, `")}` are defined as a view on this table.")
           tables.remove(s.name); tableDefs.remove(s.name)
           fieldPipeline.remove(s.name); uniqueIndexes.remove(s.name)
           fieldDefs2.keys.filter(_._1 == s.name).toSeq.foreach(fieldDefs2.remove)
@@ -825,10 +849,46 @@ final class Interp {
     * Graph semantics: a table name yields all its records; a record id one;
     * a range record id a range scan; arrays/subqueries their elements. */
   /** Records of a table in key order — the reference scans the KV range in
-    * key order (exec/operators/scan/table.rs). */
-  private def tableRows(name: String): Vector[VObj] =
-    tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
-      .toVector.sortBy(_._1)(V.ordering).map(_._2)
+    * key order (exec/operators/scan/table.rs). View tables ("foreign
+    * tables", doc/table.rs) recompute their SELECT on read: batch-exact
+    * semantics without incremental state. */
+  private var viewDepth = 0
+  private def tableRows(name: String): Vector[VObj] = {
+    tableDefs.get(name).flatMap(_.viewStmt) match {
+      case Some(sel) =>
+        if (viewDepth > 8) throw SqlError("Reached excessive computation depth due to functions, subqueries, or futures")
+        viewDepth += 1
+        try viewRows(name, sel)
+        finally viewDepth -= 1
+      case scala.None =>
+        tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
+          .toVector.sortBy(_._1)(V.ordering).map(_._2)
+    }
+  }
+
+  /** Materialize a view's rows: grouped views key records by the array of
+    * group values (`view:[]` for GROUP ALL), ungrouped views inherit the
+    * source record's key. */
+  private def viewRows(name: String, sel: SelectStmt): Vector[VObj] = {
+    val env = Env(params = globals, interp = Some(this))
+    val rows = selectWithGroupKeys(sel, env)
+    rows.zipWithIndex.flatMap { case ((row, keyOpt), i) =>
+      val key: V = keyOpt match {
+        case Some(ks) => VArr(ks.toVector)
+        case scala.None => row match {
+          case VObj(fs) => fs.get("id") match {
+            case Some(VRid(_, k)) => k
+            case _ => VInt(i.toLong)
+          }
+          case _ => VInt(i.toLong)
+        }
+      }
+      row match {
+        case VObj(fs) => Some(VObj(fs.updated("id", VRid(name, key))))
+        case _ => scala.None
+      }
+    }
+  }
 
   private def resolveTarget(e: Expr, env: Env): Vector[V] = e match {
     case Idiom(Seq(PField(name))) => tableRows(name)
@@ -879,6 +939,16 @@ final class Interp {
   }
 
   def execSelect(s: SelectStmt, env: Env): V = {
+    val resultRows = selectWithGroupKeys(s, env).map(_._1)
+    if (s.only) {
+      if (resultRows.length > 1) throw SqlError("Expected a single result output when using the ONLY keyword")
+      resultRows.headOption.getOrElse(VNone)
+    } else VArr(resultRows)
+  }
+
+  /** Full SELECT pipeline; each output row is paired with its GROUP-key
+    * values when grouped (views derive record ids from them). */
+  def selectWithGroupKeys(s: SelectStmt, env: Env): Vector[(V, Option[Seq[V]])] = {
     var rows: Vector[V] = s.what.flatMap(resolveTarget(_, env)).toVector
 
     // WHERE
@@ -899,9 +969,9 @@ final class Interp {
     }
 
     // GROUP
-    val grouped: Vector[V] = s.groupBy match {
+    val grouped: Vector[(V, Option[Seq[V]])] = s.groupBy match {
       case Some(Nil) => // GROUP ALL
-        Vector(projectGroup(rows, s, Nil, env))
+        Vector((projectGroup(rows, s, Nil, env), Some(Nil)))
       case Some(keys0) =>
         // GROUP BY may reference SELECT aliases (GROUP BY country, year where
         // year = time::year(time) AS year) — resolve aliases to their exprs
@@ -920,9 +990,11 @@ final class Interp {
         rows.groupBy(r => keys.map(k => Eval.eval(k, rowEnv(env, r))))
           .toVector
           .sortBy(_._1)(seqOrd)
-          .map { case (keyVals, group) => projectGroup(group, s, keys.zip(keyVals), env) }
+          .map { case (keyVals, group) =>
+            (projectGroup(group, s, keys.zip(keyVals), env), Some(keyVals): Option[Seq[V]])
+          }
       case scala.None =>
-        rows.map(r => projectRow(r, s, env))
+        rows.map(r => (projectRow(r, s, env), scala.None: Option[Seq[V]]))
     }
     var out = grouped
 
@@ -935,8 +1007,8 @@ final class Interp {
         val it = keys.iterator
         while (res == 0 && it.hasNext) {
           val k = it.next()
-          val kx = Eval.eval(k.expr, rowEnv(env, x))
-          val ky = Eval.eval(k.expr, rowEnv(env, y))
+          val kx = Eval.eval(k.expr, rowEnv(env, x._1))
+          val ky = Eval.eval(k.expr, rowEnv(env, y._1))
           res = V.cmp(kx, ky)
           if (k.desc) res = -res
         }
@@ -951,8 +1023,8 @@ final class Interp {
     // FETCH: replace record-id fields with their documents
     if (s.fetch.nonEmpty) {
       out = out.map {
-        case r: VObj =>
-          s.fetch.foldLeft(r) { (acc, f) =>
+        case (r: VObj, k) =>
+          (s.fetch.foldLeft(r) { (acc, f) =>
             acc.fields.get(f) match {
               case Some(rid: VRid) => fetchRecord(rid).map(d => VObj(acc.fields.updated(f, d))).getOrElse(acc)
               case Some(VArr(items)) =>
@@ -962,22 +1034,16 @@ final class Interp {
                 })))
               case _ => acc
             }
-          }
-        case v => v
+          }, k)
+        case other => other
       }
     }
 
-    // VALUE / ONLY
-    val resultRows: Vector[V] =
-      if (s.value) {
-        val fe = s.fields.head.expr
-        out.map(r => Eval.eval(fe, rowEnv(env, r)))
-      } else out
-
-    if (s.only) {
-      if (resultRows.length > 1) throw SqlError("Expected a single result output when using the ONLY keyword")
-      resultRows.headOption.getOrElse(VNone)
-    } else VArr(resultRows)
+    // VALUE
+    if (s.value) {
+      val fe = s.fields.head.expr
+      out.map { case (r, k) => (Eval.eval(fe, rowEnv(env, r)), k) }
+    } else out
   }
 
   private def projectRow(r: V, s: SelectStmt, env: Env): V = {
@@ -1210,6 +1276,58 @@ final class Interp {
       }: _*)))
   }
 
+  /** Fire DEFINE EVENT triggers after a stored write (doc/event.rs): each
+    * event's WHEN evaluates with $event/$before/$after/$value bound; truthy
+    * WHEN runs the THEN statements (which may mutate further). */
+  private var eventDepth = 0
+  def fireEvents(tb: String, before: Option[VObj], after: Option[VObj], env: Env,
+      input: Option[VObj] = scala.None): Unit = {
+    maintainViews(tb)
+    val evs = eventDefs.collect { case ((t, _), d) if t == tb => d }
+    if (evs.isEmpty) return
+    if (eventDepth > 20)
+      throw SqlError("Reached excessive computation depth due to functions, subqueries, or futures")
+    eventDepth += 1
+    try {
+      val action = (before, after) match {
+        case (scala.None, Some(_)) => "CREATE"
+        case (Some(_), scala.None) => "DELETE"
+        case _                     => "UPDATE"
+      }
+      evs.foreach { ev =>
+        // bare field refs see the mutated record (cursor doc), which is also
+        // $parent; $this is NOT bound; $input is the pre-pipeline doc
+        // (doc/event.rs)
+        val e2 = env.copy(doc = after.orElse(before))
+          .bind("event", VStr(action))
+          .bind("before", before.map(identity[V]).getOrElse(VNone))
+          .bind("after", after.map(identity[V]).getOrElse(VNone))
+          .bind("value", after.orElse(before).map(identity[V]).getOrElse(VNone))
+          .bind("parent", after.orElse(before).map(identity[V]).getOrElse(VNone))
+          .bind("input", input.map(identity[V]).getOrElse(VNone))
+          .bind("this", VNone) // $this is not bound inside event THEN bodies
+        if (ev.whenE.forall(w => Eval.eval(w, e2).truthy)) {
+          try ev.thenE.foreach(te => Eval.eval(te, e2))
+          catch {
+            case e: SqlError =>
+              throw SqlError(s"Error while processing event ${ev.name}: ${e.msg}")
+          }
+        }
+      }
+    } finally eventDepth -= 1
+  }
+
+  /** Recompute views that read `tb` so view-maintenance errors surface at
+    * write time (doc/table.rs applies view deltas per write). */
+  private def maintainViews(tb: String): Unit =
+    tableDefs.values.toSeq.foreach { d =>
+      val readsTb = d.viewStmt.exists(_.what.exists {
+        case Idiom(Seq(PField(n))) => n == tb
+        case _ => false
+      })
+      if (readsTb) { tableRows(d.name); () }
+    }
+
   def execCreate(s: CreateStmt, env: Env): V = {
     val created = mutationTargets(s.what, env).map { case (tb, keyOpt) =>
       val t = table(tb)
@@ -1235,10 +1353,16 @@ final class Interp {
       if (t.keys.exists(V.looseEq(_, key)))
         throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
       val rid = VRid(tb, key)
+      // a RELATION table only stores edges (in/out record links)
+      if (tableDefs.get(tb).exists(_.ttype == "RELATION") &&
+          !(withData.fields.get("in").exists(_.isInstanceOf[VRid]) &&
+            withData.fields.get("out").exists(_.isInstanceOf[VRid])))
+        throw SqlError(s"Found record: `${Render.sql(rid)}` which is not a relation, but expected a RELATION")
       val doc0 = VObj(withData.fields.updated("id", rid))
       val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
       checkUniqueIndexes(tb, rid, doc)
       t(key) = doc
+      fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
       shapeOutput(scala.None, Some(doc), s.output, env)
     }
     val vs = created.flatten
@@ -1267,6 +1391,7 @@ final class Interp {
                 val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
                 checkUniqueIndexes(tb, rid, updated)
                 t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
+                fireEvents(tb, Some(doc), Some(updated), env, Some(updated0))
                 shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
               }
             case scala.None if upsert =>
@@ -1276,6 +1401,7 @@ final class Interp {
               val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
               checkUniqueIndexes(tb, rid, doc)
               t(key) = doc
+              fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
               shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
             case scala.None => ()
           }
@@ -1293,6 +1419,7 @@ final class Interp {
               val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
               checkUniqueIndexes(tb, rid, updated)
               t(key) = updated
+              fireEvents(tb, Some(doc), Some(updated), env, Some(updated0))
               shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
             }
           }
@@ -1305,6 +1432,7 @@ final class Interp {
             val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
             checkUniqueIndexes(tb, rid, doc)
             t(key) = doc
+            fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
             shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
           }
       }
@@ -1325,6 +1453,7 @@ final class Interp {
         val de = env.copy(doc = Some(doc))
         if (s.where.forall(c => Eval.eval(c, de).truthy)) {
           t.remove(key)
+          fireEvents(tb, Some(doc), scala.None, env)
           shapeOutput(Some(doc), scala.None, s.output, env).foreach(results += _)
         }
       }
@@ -1373,6 +1502,7 @@ final class Interp {
               val doc = t(t.keys.find(V.looseEq(_, k0)).get)
               val updated = applyData(doc, Some(SetData(sets)), env.copy(doc = Some(doc)))
               t(t.keys.find(V.looseEq(_, k0)).get) = updated
+              fireEvents(tb, Some(doc), Some(updated), env)
               Some(updated)
             case scala.None =>
               throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
@@ -1382,6 +1512,7 @@ final class Interp {
           val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
           checkUniqueIndexes(tb, rid, doc)
           t(key) = doc
+          fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
           Some(doc)
       }
       produced.foreach { doc =>
@@ -1409,16 +1540,22 @@ final class Interp {
         case other => throw SqlError(s"Can not RELATE through ${other.render}")
       }
     }
+    // RELATE may only target relation-capable tables (TYPE ANY or RELATION)
+    if (tableDefs.get(edgeTable).exists(_.ttype == "NORMAL"))
+      throw SqlError(s"Found table: `$edgeTable` which is not a relation table, but expected a RELATION")
     val results = mutable.ArrayBuffer[V]()
     for (from <- rids(s.from); to <- rids(s.to)) {
       val key = s.edge match {
         case RidLit(_, keyE) => Eval.eval(keyE, env)
         case _ => nextId()
       }
+      val rid = VRid(edgeTable, key)
       val base = VObj(TreeMap(
-        "id" -> VRid(edgeTable, key), "in" -> from, "out" -> to))
-      val doc = applyData(base, s.data, env)
+        "id" -> (rid: V), "in" -> from, "out" -> to))
+      val doc0 = applyData(base, s.data, env)
+      val doc = applyFieldPipeline(edgeTable, rid, doc0, scala.None, isCreate = true, env)
       table(edgeTable)(key) = doc
+      fireEvents(edgeTable, scala.None, Some(doc), env)
       shapeOutput(scala.None, Some(doc), s.output, env).foreach(results += _)
     }
     if (s.only) results.headOption.getOrElse(VNone) else VArr(results.toVector)

@@ -544,7 +544,7 @@ final class Parser(val src: String) {
     while (go) {
       if (kw("DROP")) d = d.copy(drop = true)
       else if (kw("SCHEMALESS")) d = d.copy(full = false)
-      else if (kw("SCHEMAFULL") || kw("SCHEMAFULL".toLowerCase)) d = d.copy(full = true)
+      else if (kw("SCHEMAFULL") || kw("SCHEMAFUL")) d = d.copy(full = true)
       else if (kw("TYPE")) {
         if (kw("ANY")) d = d.copy(ttype = "ANY")
         else if (kw("NORMAL")) d = d.copy(ttype = "NORMAL")
@@ -575,7 +575,8 @@ final class Parser(val src: String) {
         val p0 = pos
         expectKw("SELECT")
         val sel = selectStmt()
-        val raw = src.substring(p0, pos).trim
+        // canonical view text: normalize whitespace + uppercase the AS keyword
+        val raw = src.substring(p0, pos).trim.replaceAll("\\s+", " ").replaceAll("\\bas\\b", "AS")
         sym(")")
         d = d.copy(view = Some(raw), viewStmt = Some(sel))
       }
@@ -596,6 +597,19 @@ final class Parser(val src: String) {
     val name = rawIdent()
     expectKw("ON"); kw("TABLE")
     val tbl = rawIdent()
+    val async = kw("ASYNC")
+    var retry: Option[Long] = scala.None
+    var maxDepth: Option[Long] = scala.None
+    var go2 = true
+    while (go2) {
+      if (peekKw("RETRY")) {
+        if (!async) fail("RETRY must be set after ASYNC")
+        kw("RETRY"); retry = Some(intLit())
+      } else if (peekKw("MAXDEPTH")) {
+        if (!async) fail("MAXDEPTH must be set after ASYNC")
+        kw("MAXDEPTH"); maxDepth = Some(intLit())
+      } else go2 = false
+    }
     var whenRaw = "true"
     var whenE: Option[Expr] = scala.None
     if (kw("WHEN")) { val (e, r) = exprWithRaw(); whenE = Some(e); whenRaw = r }
@@ -606,8 +620,9 @@ final class Parser(val src: String) {
     thenEs += (if (peekc == '{') blockExpr() else exprOrStatement())
     while (sym(",")) thenEs += (if ({ ws(); peekc == '{' }) blockExpr() else exprOrStatement())
     val thenRaw = src.substring(t0, pos).trim
-    if (kw("COMMENT")) stringLit()
-    DefineEventStmt(Defs.EventDef(name, tbl, whenRaw, thenRaw, whenE, thenEs.toSeq), mode)
+    val comment = if (kw("COMMENT")) Some(stringLit()._1) else scala.None
+    DefineEventStmt(Defs.EventDef(name, tbl, whenRaw, thenRaw, whenE, thenEs.toSeq,
+      async, retry, maxDepth, comment), mode)
   }
 
   private def defineUserStmt(mode: String): Statement = {
@@ -656,6 +671,7 @@ final class Parser(val src: String) {
     while (go) {
       if (kw("COMMENT")) comment = Some(stringLit()._1)
       else if (kw("CHANGEFEED")) { expr(); if (kw("INCLUDE")) kw("ORIGINAL") }
+      else if (kw("STRICT")) ()
       else go = false
     }
     val rendered = s"DEFINE $what ${Defs.escIdent(name)}" +
