@@ -147,7 +147,8 @@ final case class DefineUserStmt(d: graft.surql.Defs.UserDef, mode: String) exten
 final case class DefineSequenceStmt(d: graft.surql.Defs.SequenceDef, mode: String) extends Statement
 /** NAMESPACE/DATABASE/ANALYZER/PARAM and other raw-rendered kinds. */
 final case class DefineRawStmt(what: String, name: String, rendered: String,
-    mode: String, value: Option[Expr] = scala.None) extends Statement
+    mode: String, value: Option[Expr] = scala.None,
+    comment: Option[String] = scala.None) extends Statement
 final case class RemoveStmt(what: String, name: String, onTable: Option[String] = scala.None,
     ifExists: Boolean = false) extends Statement
 final case class AlterTableStmt(name: String, ifExists: Boolean,
@@ -156,7 +157,7 @@ final case class AlterTableStmt(name: String, ifExists: Boolean,
     changefeed: Option[Option[String]]) extends Statement
 final case class DefineFunctionStmt(name: String, params: Seq[(String, Option[Kind])],
     body: Expr, paramsRaw: String = "", bodyRaw: String = "",
-    mode: String = "") extends Statement
+    mode: String = "", comment: Option[String] = scala.None) extends Statement
 final case class DefineFieldStmt(field: String, table: String, kind: Option[Kind],
     flexible: Boolean, value: Option[Expr], default: Option[Expr], defaultAlways: Boolean,
     assert: Option[Expr], assertRaw: String, readonly: Boolean,

@@ -29,7 +29,8 @@ object Golden {
 
   final case class TestFile(path: Path, sql: String, expected: Seq[Expected],
       imports: Seq[String], run: Boolean, wip: Boolean,
-      expectParseError: Boolean = false)
+      expectParseError: Boolean = false,
+      envNamespace: Boolean = true, envDatabase: Boolean = true)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -106,7 +107,12 @@ object Golden {
       case Some(Toml.S(_)) | Some(Toml.B(true)) => true
       case _ => false
     }
-    TestFile(path, src, expected, imports, run, wip, parseErr)
+    def envFlag(name: String): Boolean = t.get(name) match {
+      case Some(Toml.B(b)) => b
+      case _ => true
+    }
+    TestFile(path, src, expected, imports, run, wip, parseErr,
+      envFlag("env.namespace"), envFlag("env.database"))
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -118,6 +124,10 @@ object Golden {
       } catch { case _: ParseError => Outcome(tf.path, 1, 1, Nil) }
     }
     val interp = new Interp()
+    // session env: the runner provisions namespace/database `test` unless
+    // the [env] config disables them (language-tests provisioner)
+    if (tf.envNamespace) interp.namespaces("test") = "DEFINE NAMESPACE test"
+    if (tf.envDatabase) interp.databases("test") = "DEFINE DATABASE test"
     // imports run first, results discarded
     tf.imports.foreach { imp =>
       val p = testsRoot.resolve(imp.stripPrefix("/"))

@@ -130,15 +130,20 @@ final class Interp {
     case BreakStmt    => throw BreakSignal
     case ContinueStmt => throw ContinueSignal
     case d: DefineStmt => execDefine(d); VNone
-    case s: DefineFunctionStmt => execDefineFunction(s); VNone
-    case f: DefineFieldStmt => execDefineField(f); VNone
-    case ix: DefineIndexStmt => execDefineIndex(ix); VNone
-    case s: DefineTableStmt => execDefineTable(s); VNone
-    case s: DefineEventStmt => execDefineEvent(s); VNone
-    case s: DefineUserStmt => execDefineUser(s); VNone
-    case s: DefineSequenceStmt => execDefineSequence(s); VNone
-    case s: DefineRawStmt => execDefineRaw(s, env); VNone
-    case s: RemoveStmt => execRemove(s); VNone
+    case s: DefineFunctionStmt => execDefineFunction(s.copy(comment = s.comment.map(rn(_, env)))); VNone
+    case f: DefineFieldStmt => execDefineField(resolveFieldNames(f, env)); VNone
+    case ix: DefineIndexStmt => execDefineIndex(ix.copy(name = rn(ix.name, env),
+      table = rn(ix.table, env), meta = ix.meta.map(m => m.copy(name = rn(m.name, env), table = rn(m.table, env))))); VNone
+    case s: DefineTableStmt => execDefineTable(s.copy(d = s.d.copy(name = rn(s.d.name, env),
+      comment = s.d.comment.map(rn(_, env))))); VNone
+    case s: DefineEventStmt => execDefineEvent(s.copy(d = s.d.copy(name = rn(s.d.name, env),
+      table = rn(s.d.table, env), comment = s.d.comment.map(rn(_, env))))); VNone
+    case s: DefineUserStmt => execDefineUser(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
+    case s: DefineSequenceStmt => execDefineSequence(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
+    case s: DefineRawStmt => execDefineRaw(s.copy(name = rn(s.name, env),
+      comment = s.comment.map(rn(_, env))), env); VNone
+    case s: RemoveStmt => execRemove(s.copy(name = rn(s.name, env),
+      onTable = s.onTable.map(rn(_, env)))); VNone
     case s: AlterTableStmt => execAlterTable(s); VNone
     case s: InfoStmt => execInfo(s)
     case u: UseStmt =>
@@ -149,6 +154,21 @@ final class Interp {
   }
 
   // ---- DDL (DEFINE / REMOVE / ALTER / INFO) ----------------------------
+
+  /** Resolve a `$param` reference in a definition-name position. */
+  private def rn(n: String, env: Env): String =
+    if (n.startsWith("$"))
+      Eval.eval(Param(n.substring(1)), env) match {
+        case VStr(s)   => s
+        case VTable(s) => s
+        case other     => other.renderRaw
+      }
+    else n
+
+  private def resolveFieldNames(f: DefineFieldStmt, env: Env): DefineFieldStmt =
+    f.copy(field = rn(f.field, env), table = rn(f.table, env),
+      meta = f.meta.map(m => m.copy(name = rn(m.name, env), table = rn(m.table, env),
+        comment = m.comment.map(rn(_, env)))))
 
   /** `mode`: "" errors on duplicates, "ifnotexists" no-ops, "overwrite"
     * replaces (sql/statements/define DefineKind; remove.rs errors). */
@@ -167,7 +187,9 @@ final class Interp {
     val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
     if (ddlGate(functionDefs.contains(full), s.mode, s"The function '$full' already exists")) {
       customFns(key) = VClosure(s.params, s.body, Map.empty)
-      functionDefs(full) = s"DEFINE FUNCTION $full${s.paramsRaw} ${s.bodyRaw} PERMISSIONS FULL"
+      val body = Defs.normRaw(s.bodyRaw).replace("; }", " }")
+      val commentTxt = s.comment.map(c => s"COMMENT ${Render.sql(VStr(c))} ").getOrElse("")
+      functionDefs(full) = s"DEFINE FUNCTION $full${s.paramsRaw} $body ${commentTxt}PERMISSIONS FULL"
     }
   }
 
@@ -357,16 +379,25 @@ final class Interp {
   private def execDefineRaw(s: DefineRawStmt, env: Env): Unit = s.what match {
     case "NAMESPACE" =>
       if (ddlGate(namespaces.contains(s.name), s.mode, s"The namespace '${s.name}' already exists"))
-        namespaces(s.name) = s.rendered
+        namespaces(s.name) = s"DEFINE NAMESPACE ${Defs.escIdent(s.name)}" +
+          s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
     case "DATABASE" =>
       if (ddlGate(databases.contains(s.name), s.mode, s"The database '${s.name}' already exists"))
-        databases(s.name) = s.rendered
+        databases(s.name) = s"DEFINE DATABASE ${Defs.escIdent(s.name)}" +
+          s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
     case "ANALYZER" =>
       if (ddlGate(analyzers.contains(s.name), s.mode, s"The analyzer '${s.name}' already exists"))
-        analyzers(s.name) = s.rendered
+        analyzers(s.name) = s"DEFINE ANALYZER ${Defs.escIdent(s.name)}" +
+          (if (s.rendered.nonEmpty) s" ${s.rendered}" else "") +
+          s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
     case "PARAM" =>
       if (ddlGate(paramDefs.contains(s.name), s.mode, s"The param '$$${s.name}' already exists")) {
-        paramDefs(s.name) = s.rendered
+        val (vp, permTxt) = s.rendered.lastIndexOf('|') match {
+          case i if i >= 0 => (s.rendered.substring(0, i), s.rendered.substring(i + 1))
+          case _ => (s.rendered, "FULL")
+        }
+        val commentTxt = s.comment.map(c => s" COMMENT ${Render.sql(VStr(c))}").getOrElse("")
+        paramDefs(s.name) = s"$vp$commentTxt PERMISSIONS $permTxt"
         s.value.foreach { e =>
           globals = globals + (s.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
         }

@@ -269,15 +269,15 @@ final class Parser(val src: String) {
       if (kw("ROOT") || kw("KV")) InfoStmt("ROOT")
       else if (kw("NAMESPACE") || kw("NS")) InfoStmt("NS")
       else if (kw("DATABASE") || kw("DB")) InfoStmt("DB")
-      else if (kw("TABLE")) InfoStmt("TABLE", rawIdent())
+      else if (kw("TABLE")) InfoStmt("TABLE", defName())
       else if (kw("USER")) {
-        val u = rawIdent()
+        val u = defName()
         if (kw("ON")) { kw("ROOT"); kw("NAMESPACE"); kw("NS"); kw("DATABASE"); kw("DB") }
         InfoStmt("USER", u)
       }
       else if (kw("INDEX")) {
-        val i = rawIdent(); expectKw("ON"); kw("TABLE")
-        InfoStmt("INDEX", i + ":" + rawIdent())
+        val i = defName(); expectKw("ON"); kw("TABLE")
+        InfoStmt("INDEX", i + ":" + defName())
       }
       else fail("expected INFO target")
     val structure = kw("STRUCTURE")
@@ -335,6 +335,19 @@ final class Parser(val src: String) {
     case _ => raw
   }
 
+  /** A definition name position: a plain ident or a `$param` reference
+    * resolved at execution time (parameterized DDL). */
+  private def defName(): String = {
+    ws()
+    if (peekc == '$') { pos += 1; "$" + rawIdent() } else rawIdent()
+  }
+
+  /** A COMMENT value: string literal or `$param` reference. */
+  private def commentStr(): String = {
+    ws()
+    if (peekc == '$') { pos += 1; "$" + rawIdent() } else stringLit()._1
+  }
+
   /** Capture an expression's source text alongside its parse. */
   private def exprWithRaw(): (Expr, String) = {
     ws()
@@ -372,7 +385,7 @@ final class Parser(val src: String) {
       return DefineRawStmt("CONFIG", which, "", mode)
     }
     if (what == "ACCESS") {
-      val name = rawIdent()
+      val name = defName()
       expectKw("ON")
       val level =
         if (kw("ROOT")) "ROOT"
@@ -391,7 +404,7 @@ final class Parser(val src: String) {
       val rendered = s"DEFINE ACCESS ${Defs.escIdent(name)} ON ${level.toLowerCase.capitalize} " + tail
       return DefineRawStmt("ACCESS:" + level, name, rendered, mode)
     }
-    val name = if (peekSym("$")) { sym("$"); rawIdent() }
+    val name = if (peekSym("$")) { sym("$"); if (what == "PARAM") rawIdent() else "$" + rawIdent() }
       else if (what == "FUNCTION") ""
       else tryIdent().getOrElse("")
     if (what == "FUNCTION") {
@@ -418,11 +431,19 @@ final class Parser(val src: String) {
       val b0 = pos
       val body = blockExpr()
       val bodyRaw = src.substring(b0, pos)
-      while (!eof && peekc != ';') pos += 1 // PERMISSIONS/COMMENT tail
-      return DefineFunctionStmt(nb.toString, params.toSeq, body, paramsRaw, bodyRaw, mode)
+      var fnComment: Option[String] = scala.None
+      var goT = true
+      while (goT) {
+        if (kw("COMMENT")) fnComment = Some(commentStr())
+        else if (kw("PERMISSIONS")) { kw("FULL"); kw("NONE") }
+        else goT = false
+      }
+      ws()
+      while (!eof && peekc != ';') pos += 1
+      return DefineFunctionStmt(nb.toString, params.toSeq, body, paramsRaw, bodyRaw, mode, fnComment)
     }
     if (what == "FIELD") {
-      val fn = new StringBuilder(name)
+      val fn = new StringBuilder(name)  // name may be a $param reference
       var goFn = true
       while (goFn) {
         if (peekSym("[")) { sym("["); ws(); if (peekc == '*') pos += 1; expectSym("]"); fn.append(".*") }
@@ -435,7 +456,7 @@ final class Parser(val src: String) {
       }
       val fieldName = fn.toString
       expectKw("ON"); kw("TABLE")
-      val tbl = rawIdent()
+      val tbl = defName()
       var kindAnn: Option[Kind] = scala.None
       var kindRaw: Option[String] = scala.None
       var flexible = false
@@ -478,7 +499,7 @@ final class Parser(val src: String) {
           referenceRaw = Some(src.substring(p0, pos).trim)
         }
         else if (kw("PERMISSIONS")) perms = permsClauses(Defs.fieldPermsDefault)
-        else if (kw("COMMENT")) comment = Some(stringLit()._1)
+        else if (kw("COMMENT")) comment = Some(commentStr())
         else go = false
       }
       val meta = Defs.FieldDef(fieldName, tbl, flexible, kindRaw, defaultRaw, defaultAlways,
@@ -490,7 +511,7 @@ final class Parser(val src: String) {
     if (what == "INDEX") {
       val idxName = name
       expectKw("ON"); kw("TABLE")
-      val tbl = rawIdent()
+      val tbl = defName()
       val fields = ArrayBuffer[String]()
       if (kw("FIELDS") || kw("COLUMNS")) {
         var g = true
@@ -517,9 +538,9 @@ final class Parser(val src: String) {
       if (kw("PERMISSIONS")) {
         if (kw("NONE")) permTxt = "NONE" else { kw("FULL"); permTxt = "FULL" }
       }
-      if (kw("COMMENT")) stringLit()
-      val rendered = s"DEFINE PARAM $$$name VALUE $raw PERMISSIONS $permTxt"
-      return DefineRawStmt("PARAM", name, rendered, mode, Some(v))
+      val pComment = if (kw("COMMENT")) Some(commentStr()) else scala.None
+      val rendered = s"DEFINE PARAM $$$name VALUE $raw|$permTxt"
+      return DefineRawStmt("PARAM", name, rendered, mode, Some(v), pComment)
     }
     // consume the remainder of the statement (balanced braces/parens)
     val sb = new StringBuilder
@@ -538,7 +559,7 @@ final class Parser(val src: String) {
   }
 
   private def defineTableStmt(mode: String): Statement = {
-    val name = rawIdent()
+    val name = defName()
     var d = Defs.TableDef(name)
     var go = true
     while (go) {
@@ -587,16 +608,16 @@ final class Parser(val src: String) {
         d = d.copy(changefeed = Some(src.substring(p0, pos).trim))
       }
       else if (kw("PERMISSIONS")) d = d.copy(perms = permsClauses(Defs.tablePermsDefault))
-      else if (kw("COMMENT")) d = d.copy(comment = Some(stringLit()._1))
+      else if (kw("COMMENT")) d = d.copy(comment = Some(commentStr()))
       else go = false
     }
     DefineTableStmt(d, mode)
   }
 
   private def defineEventStmt(mode: String): Statement = {
-    val name = rawIdent()
+    val name = defName()
     expectKw("ON"); kw("TABLE")
-    val tbl = rawIdent()
+    val tbl = defName()
     val async = kw("ASYNC")
     var retry: Option[Long] = scala.None
     var maxDepth: Option[Long] = scala.None
@@ -620,13 +641,13 @@ final class Parser(val src: String) {
     thenEs += (if (peekc == '{') blockExpr() else exprOrStatement())
     while (sym(",")) thenEs += (if ({ ws(); peekc == '{' }) blockExpr() else exprOrStatement())
     val thenRaw = src.substring(t0, pos).trim
-    val comment = if (kw("COMMENT")) Some(stringLit()._1) else scala.None
+    val comment = if (kw("COMMENT")) Some(commentStr()) else scala.None
     DefineEventStmt(Defs.EventDef(name, tbl, whenRaw, thenRaw, whenE, thenEs.toSeq,
       async, retry, maxDepth, comment), mode)
   }
 
   private def defineUserStmt(mode: String): Statement = {
-    val name = rawIdent()
+    val name = defName()
     expectKw("ON")
     val level =
       if (kw("ROOT")) "ROOT"
@@ -658,44 +679,42 @@ final class Parser(val src: String) {
           } else g2 = false
         }
       }
-      else if (kw("COMMENT")) stringLit()
+      else if (kw("COMMENT")) commentStr()
       else go = false
     }
     DefineUserStmt(Defs.UserDef(name, level, hash, roles, durToken, durSession), mode)
   }
 
   private def defineNamespaceLike(what: String, mode: String): Statement = {
-    val name = rawIdent()
+    val name = defName()
     var comment: Option[String] = scala.None
     var go = true
     while (go) {
-      if (kw("COMMENT")) comment = Some(stringLit()._1)
+      if (kw("COMMENT")) comment = Some(commentStr())
       else if (kw("CHANGEFEED")) { expr(); if (kw("INCLUDE")) kw("ORIGINAL") }
       else if (kw("STRICT")) ()
       else go = false
     }
-    val rendered = s"DEFINE $what ${Defs.escIdent(name)}" +
-      comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
-    DefineRawStmt(what, name, rendered, mode)
+    DefineRawStmt(what, name, "", mode, scala.None, comment)
   }
 
   private def defineAnalyzerStmt(mode: String): Statement = {
-    val name = rawIdent()
+    val name = defName()
     val p0 = pos
     var depth = 0
-    while (!eof && !(depth == 0 && peekc == ';')) {
+    while (!eof && !(depth == 0 && (peekc == ';' || peekKw("COMMENT")))) {
       val c = peekc
       if (c == '{' || c == '(' || c == '[') depth += 1
       if (c == '}' || c == ')' || c == ']') depth -= 1
       pos += 1
     }
     val tail = src.substring(p0, pos).trim.replaceAll("\\s+", " ")
-    val rendered = s"DEFINE ANALYZER ${Defs.escIdent(name)}" + (if (tail.nonEmpty) s" $tail" else "")
-    DefineRawStmt("ANALYZER", name, rendered, mode)
+    val comment = if (kw("COMMENT")) Some(commentStr()) else scala.None
+    DefineRawStmt("ANALYZER", name, tail, mode, scala.None, comment)
   }
 
   private def defineSequenceStmt(mode: String): Statement = {
-    val name = rawIdent()
+    val name = defName()
     var d = Defs.SequenceDef(name)
     var go = true
     while (go) {
@@ -710,7 +729,10 @@ final class Parser(val src: String) {
   private def removeStmt(): Statement = {
     val what = rawIdent().toUpperCase
     val ifExists = if (kw("IF")) { expectKw("EXISTS"); true } else false
-    val name = if (peekSym("$")) { sym("$"); rawIdent() }
+    val name = if (peekSym("$")) {
+        sym("$")
+        if (what == "PARAM") rawIdent() else "$" + rawIdent()
+      }
       else {
         val nb = new StringBuilder(tryIdent().getOrElse(""))
         while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
@@ -721,7 +743,7 @@ final class Parser(val src: String) {
       if (kw("ROOT")) onTable = Some("ROOT")
       else if (kw("NAMESPACE") || kw("NS")) onTable = Some("NAMESPACE")
       else if (kw("DATABASE") || kw("DB")) onTable = Some("DATABASE")
-      else { kw("TABLE"); onTable = tryIdent() }
+      else { kw("TABLE"); ws(); onTable = if (peekc == '$' || isIdentStart(peekc) || peekc == '`' || peekc == '\u27e8') Some(defName()) else scala.None }
     }
     while (!eof && peekc != ';') pos += 1
     RemoveStmt(what, name, onTable, ifExists)
