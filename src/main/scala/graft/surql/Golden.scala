@@ -434,6 +434,10 @@ object Toml {
           case 'r' => sb.append('\r')
           case '"' => sb.append('"')
           case '\\' => sb.append('\\')
+          case '\n' =>
+            // TOML line-ending backslash: skip the newline and leading
+            // whitespace of the next line
+            while (i + 1 < s.length && Character.isWhitespace(s.charAt(i + 1))) i += 1
           case 'u' =>
             val hex = s.substring(i + 1, Math.min(s.length, i + 5))
             sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))

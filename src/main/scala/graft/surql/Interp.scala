@@ -1038,8 +1038,10 @@ final class Interp {
         val it = keys.iterator
         while (res == 0 && it.hasNext) {
           val k = it.next()
-          val kx = Eval.eval(k.expr, rowEnv(env, x._1))
-          val ky = Eval.eval(k.expr, rowEnv(env, y._1))
+          // sort keys do not dereference record links — FETCH runs after
+          // ORDER BY (select/fetch/order_by golden), so link paths are NONE
+          val kx = Eval.eval(k.expr, rowEnv(env, x._1).copy(interp = scala.None))
+          val ky = Eval.eval(k.expr, rowEnv(env, y._1).copy(interp = scala.None))
           res = V.cmp(kx, ky)
           if (k.desc) res = -res
         }
@@ -1051,22 +1053,10 @@ final class Interp {
     s.start.foreach { st => out = out.drop(Eval.eval(st, env) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
     s.limit.foreach { lm => out = out.take(Eval.eval(lm, env) match { case n: VNum => n.toDouble.toInt; case _ => out.length }) }
 
-    // FETCH: replace record-id fields with their documents
+    // FETCH: dereference record links at (possibly nested) paths
     if (s.fetch.nonEmpty) {
-      out = out.map {
-        case (r: VObj, k) =>
-          (s.fetch.foldLeft(r) { (acc, f) =>
-            acc.fields.get(f) match {
-              case Some(rid: VRid) => fetchRecord(rid).map(d => VObj(acc.fields.updated(f, d))).getOrElse(acc)
-              case Some(VArr(items)) =>
-                VObj(acc.fields.updated(f, VArr(items.map {
-                  case rid: VRid => fetchRecord(rid).getOrElse(rid)
-                  case v => v
-                })))
-              case _ => acc
-            }
-          }, k)
-        case other => other
+      out = out.map { case (r, k) =>
+        (s.fetch.foldLeft(r)((acc, f) => applyFetch(acc, f.split('.').toList)), k)
       }
     }
 
@@ -1091,7 +1081,7 @@ final class Interp {
           out = setPath(out, name.split('.').toList, v)
         }
         var res = VObj(out)
-        s.omit.foreach { o => res = VObj(res.fields - o) }
+        s.omit.foreach { o => res = removeDocPath(res, o.split('.').toList) }
         res
       case scalar =>
         if (s.fields.forall(_.isAll)) scalar
@@ -1114,6 +1104,45 @@ final class Interp {
       out = setPath(out, name.split('.').toList, v)
     }
     VObj(out)
+  }
+
+  /** FETCH dereference along a dotted path (exec/operators/fetch.rs:27):
+    * record ids at the path's end are replaced by their documents;
+    * intermediate links are fetched to descend; arrays fan out. */
+  def applyFetch(v: V, path: List[String]): V = path match {
+    case Nil => v match {
+      case rid: VRid   => fetchRecord(rid).map(identity[V]).getOrElse(rid)
+      case VArr(items) => VArr(items.map(applyFetch(_, Nil)))
+      case other       => other
+    }
+    case seg :: rest => v match {
+      case VObj(fs) => fs.get(seg) match {
+        case Some(sub)  => VObj(fs.updated(seg, applyFetch(sub, rest)))
+        case scala.None => v
+      }
+      case VArr(items) => VArr(items.map(applyFetch(_, path)))
+      case rid: VRid => fetchRecord(rid) match {
+        case Some(doc)  => applyFetch(doc, path)
+        case scala.None => rid
+      }
+      case other => other
+    }
+  }
+
+  /** Remove a dotted path from a document (OMIT; `*` fans over arrays). */
+  private def removeDocPath(doc: VObj, path: List[String]): VObj = {
+    def rm(v: V, segs: List[String]): V = (v, segs) match {
+      case (VObj(fs), last :: Nil) => VObj(fs - last)
+      case (VObj(fs), "*" :: rest) => VObj(fs.map { case (k, sub) => k -> rm(sub, rest) })
+      case (VObj(fs), seg :: rest) =>
+        fs.get(seg) match {
+          case Some(sub) => VObj(fs.updated(seg, rm(sub, rest)))
+          case scala.None => VObj(fs)
+        }
+      case (VArr(items), _) => VArr(items.map(el => rm(el, segs)))
+      case _ => v
+    }
+    rm(doc, path) match { case o: VObj => o; case _ => doc }
   }
 
   private def setPath(m: TreeMap[String, V], path: List[String], v: V): TreeMap[String, V] =

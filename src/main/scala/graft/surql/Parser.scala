@@ -202,7 +202,8 @@ final class Parser(val src: String) {
   private def exprOrStatement(): Expr = {
     if (peekKw("SELECT") || peekKw("CREATE") || peekKw("UPDATE") || peekKw("UPSERT") ||
         peekKw("DELETE") || peekKw("RELATE") || peekKw("INSERT") || peekKw("DEFINE") ||
-        peekKw("REMOVE") || peekKw("INFO")) Subquery(statement())
+        peekKw("REMOVE") || peekKw("INFO") || peekKw("EXPLAIN") || peekKw("ANALYZE") ||
+        peekKw("THROW")) Subquery(statement())
     else expr()
   }
 
@@ -844,13 +845,18 @@ final class Parser(val src: String) {
     val omit = ArrayBuffer[String]()
     if (kw("OMIT")) {
       var go = true
-      while (go) { omit += idiomName(); go = sym(",") }
+      while (go) { omit ++= omitNames(); go = sym(",") }
     }
     expectKw("FROM")
     val only = kw("ONLY")
     val what = ArrayBuffer[Expr]()
     var goW = true
     while (goW) { what += expr(); goW = sym(",") }
+    // WITH INDEX i[, j] / WITH NOINDEX — planner hints, accepted and ignored
+    if (kw("WITH")) {
+      if (kw("NOINDEX")) ()
+      else if (kw("INDEX")) { var g = true; while (g) { rawIdent(); g = sym(",") } }
+    }
     val where = if (kw("WHERE")) Some(expr()) else scala.None
     val split = ArrayBuffer[String]()
     if (kw("SPLIT")) { kw("ON"); var g = true; while (g) { split += idiomName(); g = sym(",") } }
@@ -876,8 +882,15 @@ final class Parser(val src: String) {
         }
       }
     }
-    val limit = if (kw("LIMIT")) { kw("BY"); Some(expr()) } else scala.None
-    val start = if (kw("START")) { kw("AT"); Some(expr()) } else scala.None
+    var limit: Option[Expr] = scala.None
+    var start: Option[Expr] = scala.None
+    if (peekKw("START")) {
+      kw("START"); kw("AT"); start = Some(expr())
+      if (kw("LIMIT")) { kw("BY"); limit = Some(expr()) }
+    } else {
+      if (kw("LIMIT")) { kw("BY"); limit = Some(expr()) }
+      if (kw("START")) { kw("AT"); start = Some(expr()) }
+    }
     val fetch = ArrayBuffer[String]()
     if (kw("FETCH")) { var g = true; while (g) { fetch += idiomName(); g = sym(",") } }
     val version = if (kw("VERSION")) Some(expr()) else scala.None
@@ -888,6 +901,37 @@ final class Parser(val src: String) {
     if (explain) kw("FULL")
     SelectStmt(fields.toSeq, value, omit.toSeq, only, what.toSeq, where, split.toSeq,
       groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain)
+  }
+
+  /** OMIT entry: dotted idiom, optionally fanning out over a destructure
+    * suffix (`obj.c.{d, f}` → obj.c.d, obj.c.f). */
+  private def omitNames(): Seq[String] = {
+    val base = new StringBuilder(rawIdent())
+    var go = true
+    while (go) {
+      if (peekSym(".") && !peekSym("..")) {
+        val save = pos
+        sym(".")
+        ws()
+        if (peekc == '{') {
+          pos += 1
+          val out = ArrayBuffer[String]()
+          var g = true
+          while (g) {
+            ws()
+            if (peekc == '}') g = false
+            else {
+              out ++= omitNames().map(n => base.toString + "." + n)
+              g = sym(",")
+            }
+          }
+          expectSym("}")
+          return out.toSeq
+        } else if (peekc == '*') { pos += 1; base.append(".*") }
+        else base.append('.').append(rawIdent())
+      } else go = false
+    }
+    Seq(base.toString)
   }
 
   /** A dotted idiom name used in OMIT/SPLIT/FETCH/AS positions. */
@@ -1671,7 +1715,7 @@ final class Parser(val src: String) {
         if (peekKw("SELECT") || peekKw("CREATE") || peekKw("UPDATE") || peekKw("UPSERT") ||
             peekKw("DELETE") || peekKw("RELATE") || peekKw("INSERT") || peekKw("DEFINE") ||
             peekKw("LET") || peekKw("RETURN") || peekKw("IF") || peekKw("FOR") ||
-            peekKw("REMOVE") || peekKw("INFO")) {
+            peekKw("REMOVE") || peekKw("INFO") || peekKw("EXPLAIN") || peekKw("ANALYZE")) {
           Subquery(statement())
         } else {
           val first = expr()
