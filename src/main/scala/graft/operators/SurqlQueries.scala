@@ -22,14 +22,16 @@ object SurqlQueries {
     "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey")(
     "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey")
 
+  // record-id point lookup (`orders:1` → RecordIdScan → pushed key predicate)
   val pointLookup = sq("point_lookup",
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1")(
-    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey = 1")
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders:1")
 
+  // record-id range scan (`orders:100..200`)
   val rangeScan = sq("range_scan",
     """SELECT o_orderkey, o_totalprice FROM orders
        WHERE o_orderkey >= 100 AND o_orderkey < 200 ORDER BY o_orderkey""")(
-    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200 ORDER BY o_orderkey")
+    "SELECT o_orderkey, o_totalprice FROM orders:100..200 ORDER BY o_orderkey")
 
   val countAll = sq("count_all",
     "SELECT COUNT(*) AS cnt FROM lineitem")(
@@ -198,11 +200,157 @@ object SurqlQueries {
               time::unix(o_orderdate) AS unix_s
        FROM orders ORDER BY o_orderkey""")
 
+  // ---- join-shaped operators via record links (GraphEdgeScan / Fetch /
+  // ReferenceScan lowerings — link derefs plan as equi-joins, broadcast for
+  // dimension tables) --------------------------------------------------------
+
+  /** 1-hop graph traversal: orders of BUILDING-segment customers. The link
+    * deref `o_custkey.c_mktsegment` lowers to a broadcast equi-join. */
+  val graphOneHop = sq("graph_one_hop",
+    """SELECT o.o_orderkey FROM orders o
+       JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment = 'BUILDING'
+       ORDER BY o.o_orderkey""")(
+    """SELECT o_orderkey FROM orders
+       WHERE o_custkey.c_mktsegment = 'BUILDING' ORDER BY o_orderkey""")
+
+  /** 2-hop traversal: parts reached from AUTOMOBILE customers — a two-level
+    * link chain (lineitem → orders → customer), two joins + distinct. */
+  val graphTwoHop = sq("graph_two_hop",
+    """SELECT DISTINCT l.l_partkey FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'AUTOMOBILE'
+       ORDER BY l_partkey""")(
+    """SELECT l_partkey FROM lineitem
+       WHERE l_orderkey.o_custkey.c_mktsegment = 'AUTOMOBILE'
+       GROUP BY l_partkey ORDER BY l_partkey""")
+
+  /** ReferenceScan: rows referencing parts of size 50 (reverse lookup via
+    * the l_partkey link). */
+  val referenceScan = sq("reference_scan",
+    """SELECT l.l_orderkey, l.l_linenumber, p.p_partkey FROM part p
+       JOIN lineitem l ON l.l_partkey = p.p_partkey
+       WHERE p.p_size = 50
+       ORDER BY p_partkey, l_orderkey, l_linenumber""")(
+    """SELECT l_orderkey, l_linenumber, l_partkey AS p_partkey FROM lineitem
+       WHERE l_partkey.p_size = 50
+       ORDER BY p_partkey, l_orderkey, l_linenumber""")
+
+  /** Fetch: dereference the customer link into projected fields — left outer
+    * join + field embed, broadcast on the dimension side. */
+  val fetchJoin = sq("fetch_join",
+    """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY o.o_orderkey""")(
+    """SELECT o_orderkey, o_totalprice,
+              o_custkey.c_name AS c_name, o_custkey.c_mktsegment AS c_mktsegment
+       FROM orders ORDER BY o_orderkey""")
+
+  /** Union: multi-source FROM is a bag concat of subquery sources. */
+  val unionFrom = sq("union_from",
+    """SELECT c_name AS name, 'customer' AS src FROM customer
+       UNION ALL
+       SELECT s_name AS name, 'supplier' AS src FROM supplier
+       ORDER BY src, name""")(
+    """SELECT name, src FROM
+         (SELECT c_name AS name, 'customer' AS src FROM customer),
+         (SELECT s_name AS name, 'supplier' AS src FROM supplier)
+       ORDER BY src, name""")
+
+  // ---- scalar function surfaces as parsed SurrealQL ----------------------
+
+  val fnString = sq("fn_string",
+    """SELECT p_partkey,
+              lower(p_name) AS lo, upper(p_brand) AS up,
+              CAST(length(p_name) AS BIGINT) AS len,
+              substring(p_type, 1, 5) AS head,
+              replace(p_type, ' ', '_') AS repl,
+              trim(p_name) AS trimmed,
+              reverse(p_brand) AS rev,
+              p_brand || '/' || p_type AS joined,
+              CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS lev,
+              starts_with(p_type, 'STANDARD') AS sw
+       FROM part ORDER BY p_partkey""")(
+    """SELECT p_partkey,
+              string::lowercase(p_name) AS lo, string::uppercase(p_brand) AS up,
+              string::len(p_name) AS len,
+              string::slice(p_type, 0, 5) AS head,
+              string::replace(p_type, ' ', '_') AS repl,
+              string::trim(p_name) AS trimmed,
+              string::reverse(p_brand) AS rev,
+              string::concat(p_brand, '/', p_type) AS joined,
+              string::distance::levenshtein(p_brand, 'Brand#13') AS lev,
+              string::starts_with(p_type, 'STANDARD') AS sw
+       FROM part ORDER BY p_partkey""")
+
+  val fnArray = sq("fn_array",
+    """SELECT p_partkey,
+              CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n,
+              array_to_string(list_sort(string_split(p_type, ' ')), '|') AS sorted,
+              array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '|') AS uniq,
+              list_contains(string_split(p_type, ' '), 'BRUSHED') AS has,
+              list_sort(string_split(p_type, ' '))[1] AS first_w,
+              array_to_string(list_sort(string_split(p_type, ' ')), '-') AS joined,
+              array_to_string(list_sort(string_split(p_type, ' '))[1:2], '|') AS sliced
+       FROM part ORDER BY p_partkey""")(
+    """SELECT p_partkey,
+              array::len(string::split(p_type, ' ')) AS n,
+              array::join(array::sort(string::split(p_type, ' ')), '|') AS sorted,
+              array::join(array::sort(array::distinct(string::split(p_name, ' '))), '|') AS uniq,
+              array::contains(string::split(p_type, ' '), 'BRUSHED') AS has,
+              array::at(array::sort(string::split(p_type, ' ')), 0) AS first_w,
+              array::join(array::sort(string::split(p_type, ' ')), '-') AS joined,
+              array::join(array::slice(array::sort(string::split(p_type, ' ')), 0, 2), '|') AS sliced
+       FROM part ORDER BY p_partkey""")
+
+  val fnCast = sq("fn_cast",
+    """SELECT c_custkey,
+              CAST(substring(c_name, 10, 9) AS BIGINT) AS parsed,
+              CAST(c_custkey AS VARCHAR) AS as_str,
+              CAST(c_acctbal AS VARCHAR) IS NOT NULL AS ok,
+              CAST(floor(c_acctbal) AS BIGINT) AS fl
+       FROM customer ORDER BY c_custkey""")(
+    """SELECT c_custkey,
+              <int>string::slice(c_name, 9, 9) AS parsed,
+              <string>c_custkey AS as_str,
+              <string>c_acctbal != NONE AS ok,
+              math::floor(c_acctbal) AS fl
+       FROM customer ORDER BY c_custkey""")
+
+  val fnAggStats = sq("fn_agg_stats",
+    s"""SELECT l_returnflag,
+               ${Exact.sqlStddev("l_quantity")} AS sd,
+               ${Exact.sqlVarSamp("l_quantity")} AS vr,
+               median(l_quantity) AS med,
+               ${Exact.sqlAvg("l_quantity")} AS mean,
+               MIN(l_quantity) AS mn, MAX(l_quantity) AS mx
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")(
+    """SELECT l_returnflag,
+              math::stddev(l_quantity) AS sd,
+              math::variance(l_quantity) AS vr,
+              math::median(l_quantity) AS med,
+              math::mean(l_quantity) AS mean,
+              math::min(l_quantity) AS mn, math::max(l_quantity) AS mx
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
+  val fnCrypto = sq("fn_crypto",
+    """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+              substring(md5(source), 1, 4) AS src_bucket
+       FROM documents ORDER BY doc_id""")(
+    """SELECT doc_id,
+              crypto::md5(text) AS h_md5,
+              crypto::sha256(text) AS h_sha256,
+              string::slice(crypto::md5(source), 0, 4) AS src_bucket
+       FROM documents ORDER BY doc_id""")
+
   /** Names the planner path overrides — the hand-built closures with these
     * names are replaced in SparkEntry's registry. */
   val all: Seq[Q] = Seq(
     tableScan, pointLookup, rangeScan, countAll, exprScalar, filterWhere,
     projectExpr, projectValue, unionOrFilter, splitExplode, sortMulti, topK,
     limitStart, onlyOne, aggGroup, aggGlobal, distinctScan, subqueryIn,
-    subqueryNotIn, fnMath, fnTime)
+    subqueryNotIn, fnMath, fnTime,
+    graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
+    fnString, fnArray, fnCast, fnAggStats, fnCrypto)
 }

@@ -20,11 +20,46 @@ import graft.surql.ast._
   * membership lowers to semi/anti joins (decorrelated, one shuffle — the
   * reference re-executes per row, exec/physical_expr/subquery.rs).
   *
+  * Record links (SurrealQL's join surface, SURVEY §2.6): the catalog below
+  * declares which columns are record links (`DEFINE FIELD … TYPE record<t>`
+  * analog) and link-dereference idioms (`o_custkey.c_mktsegment`) lower to
+  * equi-joins — broadcast for dimension tables, shuffle otherwise. Record-id
+  * FROM targets (`orders:1`, `orders:100..200`) lower to key predicates the
+  * parquet scan consumes (RecordIdScan, exec/operators/scan/record_id.rs:45).
+  *
   * Numeric semantics in this path are ANSI-mode Spark (the table engine),
   * not the scalar interpreter's checked SurrealQL arithmetic; float
   * aggregates route through [[Exact]] decimal so distributed order never
   * changes a hash-compared result. */
 object SparkPlanner {
+
+  /** Record-link topology of the testdata catalog — the Spark rendering of
+    * `DEFINE FIELD <col> ON <table> TYPE record<target>` (catalog/schema/
+    * field.rs). (table, column) → (targetTable, targetKey). */
+  val links: Map[(String, String), (String, String)] = Map(
+    ("orders", "o_custkey")    -> ("customer", "c_custkey"),
+    ("lineitem", "l_orderkey") -> ("orders", "o_orderkey"),
+    ("lineitem", "l_partkey")  -> ("part", "p_partkey"),
+    ("lineitem", "l_suppkey")  -> ("supplier", "s_suppkey"),
+    ("customer", "c_nationkey") -> ("nation", "n_nationkey"),
+    ("supplier", "s_nationkey") -> ("nation", "n_nationkey"),
+    ("nation", "n_regionkey")  -> ("region", "r_regionkey"))
+
+  /** Record-id key column per table (`table:key` scans). */
+  val recordKey: Map[String, String] = Map(
+    "customer" -> "c_custkey", "orders" -> "o_orderkey", "part" -> "p_partkey",
+    "supplier" -> "s_suppkey", "nation" -> "n_nationkey", "region" -> "r_regionkey",
+    "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** Tables small enough to broadcast in link joins at any scale factor —
+    * dimensions in the TPC-H sense. Fact-side links fall back to shuffle
+    * joins that AQE may still convert. */
+  private val broadcastDims = Set("region", "nation", "supplier", "customer", "part")
+
+  /** Planning context: source table (for link resolution), its schema, and
+    * derived columns produced by link-deref joins. */
+  final case class Ctx(spark: SparkSession, dir: String, table: String,
+      schema: StructType, linkCols: Map[List[String], String])
 
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
@@ -33,26 +68,82 @@ object SparkPlanner {
       case Seq(ReturnStmt(ObjLit(fields))) =>
         // RETURN { … }: one-row plan (SourceExpr/ExprPlan analog)
         val dummy = spark.range(1)
-        dummy.select(fields.map { case (name, e) =>
-          toCol(e, new StructType(), spark, dir).as(name) }: _*)
+        val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
+        dummy.select(fields.map { case (name, e) => toCol(e, ctx).as(name) }: _*)
       case other => throw SqlError(s"SparkPlanner: unsupported statement shape $other")
     }
   }
 
-  def planSelect(spark: SparkSession, dir: String, s: SelectStmt): DataFrame = {
-    // ---- source ------------------------------------------------------
-    val only = s.only
-    val src: DataFrame = s.what match {
-      case Seq(Idiom(Seq(PField(name)))) => Tables(spark, dir, name)
-      case Seq(TableRef(name))           => Tables(spark, dir, name)
-      case other => throw SqlError(s"SparkPlanner: unsupported FROM $other")
-    }
-    val schema = src.schema
-    def c(e: Expr): Column = toCol(e, schema, spark, dir)
+  /** One FROM source → (DataFrame, source table name if concrete). */
+  private def planSource(spark: SparkSession, dir: String, e: Expr): (DataFrame, String) = e match {
+    case Idiom(Seq(PField(name))) => (Tables(spark, dir, name), name)
+    case TableRef(name)           => (Tables(spark, dir, name), name)
+    case RidLit(table, keyE) =>
+      // RecordIdScan: point lookup / id-range — a key predicate the parquet
+      // scan consumes (partition/row-group pruning at scale)
+      val key = recordKey.getOrElse(table,
+        throw SqlError(s"SparkPlanner: no record key for table $table"))
+      val df = Tables(spark, dir, table)
+      Eval.evalConst(keyE) match {
+        case VRng(lo, hi) =>
+          var out = df
+          lo.foreach { case (v, incl) =>
+            val c = ridKeyLit(v)
+            out = out.filter(if (incl) col(key) >= c else col(key) > c)
+          }
+          hi.foreach { case (v, incl) =>
+            val c = ridKeyLit(v)
+            out = out.filter(if (incl) col(key) <= c else col(key) < c)
+          }
+          (out, table)
+        case v => (df.filter(col(key) === ridKeyLit(v)), table)
+      }
+    case Subquery(sub: SelectStmt) => (planSelect(spark, dir, sub), "")
+    case other => throw SqlError(s"SparkPlanner: unsupported FROM $other")
+  }
 
-    // ---- filter ------------------------------------------------------
-    var df = src
-    s.where.foreach {
+  private def ridKeyLit(v: V): Column = v match {
+    case VInt(i)   => lit(i)
+    case VStr(s)   => lit(s)
+    case VFloat(d) => lit(d)
+    case other     => lit(other.renderRaw)
+  }
+
+  def planSelect(spark: SparkSession, dir: String, s: SelectStmt): DataFrame = {
+    // ---- source(s): multi-source FROM is a bag concat (Union op) ---------
+    val sources = s.what.map(planSource(spark, dir, _))
+    val (src0, table) =
+      if (sources.length == 1) sources.head
+      else (sources.map(_._1).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)),
+        "")
+    val schema = src0.schema
+
+    // ---- link dereference pre-pass --------------------------------------
+    // Collect `fk.field`/`fk.fk2.field` idioms anywhere in the statement and
+    // plan one equi-join per distinct path (Fetch/GraphEdgeScan lowering).
+    val pathExprs: Seq[Expr] = s.fields.map(_.expr) ++ s.where.toSeq ++
+      s.order.map(_.expr) ++ s.groupBy.toSeq.flatten
+    val paths: Seq[List[String]] =
+      if (table.isEmpty) Nil
+      else pathExprs.flatMap(collectLinkPaths(_, table)).distinct
+    var df = src0
+    var linkCols = Map.empty[List[String], String]
+    paths.foreach { path =>
+      val derived = "__" + path.mkString("_")
+      val (lookup, keyName, targetTable) = linkLookup(spark, dir, table, path, derived)
+      val side = if (broadcastDims(targetTable)) broadcast(lookup) else lookup
+      df = df.join(side, col(path.head) === col(keyName), "left").drop(keyName)
+      linkCols += (path -> derived)
+    }
+    val ctx = Ctx(spark, dir, table, schema, linkCols)
+    def c(e: Expr): Column = toCol(e, ctx)
+
+    // ---- filter: split conjuncts, decorrelate INSIDE-subqueries ----------
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case Binary("&&", l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    s.where.toSeq.flatMap(conjuncts).foreach {
       case Binary(op @ ("INSIDE" | "NOTINSIDE"), l, Subquery(sub: SelectStmt)) =>
         // membership against a subquery → semi/anti join (decorrelated)
         val subDf = planSelect(spark, dir, sub)
@@ -62,15 +153,14 @@ object SparkPlanner {
       case cond => df = df.filter(c(cond))
     }
 
-    // ---- split -------------------------------------------------------
+    // ---- split -----------------------------------------------------------
     // SPLIT ON an array-valued projected field: project first, then explode
     val splitFields = s.split.toSet
 
-    // ---- aggregate / project -----------------------------------------
+    // ---- aggregate / project ---------------------------------------------
     val out: DataFrame = s.groupBy match {
       case Some(Nil) =>
-        df.agg(aggCol(s.fields.head, schema, spark, dir),
-          s.fields.tail.map(aggCol(_, schema, spark, dir)): _*)
+        df.agg(aggCol(s.fields.head, ctx), s.fields.tail.map(aggCol(_, ctx)): _*)
       case Some(keys) =>
         val keyCols = keys.map(c)
         val (aggFields, keyFields) = s.fields.partition(f => isAggregate(f.expr))
@@ -79,8 +169,7 @@ object SparkPlanner {
           df.select(keyFields.map(f => c(f.expr).as(fieldAlias(f))): _*).distinct()
         } else {
           df.groupBy(keyCols: _*)
-            .agg(aggCol(aggFields.head, schema, spark, dir),
-              aggFields.tail.map(aggCol(_, schema, spark, dir)): _*)
+            .agg(aggCol(aggFields.head, ctx), aggFields.tail.map(aggCol(_, ctx)): _*)
         }
       case scala.None =>
         val cols = s.fields.map { f =>
@@ -95,13 +184,27 @@ object SparkPlanner {
     }
     df = out
 
-    // ---- order / start / limit --------------------------------------
+    // ---- fetch: embed the linked record as a struct (Fetch op) -----------
+    s.fetch.foreach { f =>
+      if (table.nonEmpty && links.contains((table, f)) && df.columns.contains(f)) {
+        val (tt, tk) = links((table, f))
+        val target = Tables(spark, dir, tt)
+        val fetched = target.select(col(tk).as("__fetch_key"),
+          struct(target.columns.map(col): _*).as("__fetch_doc"))
+        val side = if (broadcastDims(tt)) broadcast(fetched) else fetched
+        df = df.join(side, col(f) === col("__fetch_key"), "left")
+          .withColumn(f, col("__fetch_doc"))
+          .drop("__fetch_key", "__fetch_doc")
+      }
+    }
+
+    // ---- order / start / limit ------------------------------------------
     if (s.order.nonEmpty) {
       val keys = s.order.map { k =>
         val kc = k.expr match {
           // order keys may reference output aliases
           case Idiom(Seq(PField(n))) if df.columns.contains(n) => col(n)
-          case e => toCol(e, schema, spark, dir)
+          case e => toCol(e, ctx)
         }
         if (k.desc) kc.desc else kc.asc
       }
@@ -110,13 +213,70 @@ object SparkPlanner {
     s.start.foreach { e => df = df.offset(Eval.evalConst(e) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
     s.limit.foreach { e => df = df.limit(Eval.evalConst(e) match { case n: VNum => n.toDouble.toInt; case _ => Int.MaxValue }) }
 
-    if (only) {
+    if (s.only) {
       // UnwrapExactlyOne (exec/operators/unwrap_exactly_one.rs:30): guard on
-      // an already-pruned point lookup — O(1) rows reach the driver
-      val n = df.limit(2).count()
+      // an already-pruned point lookup. Persist so the guard's single job and
+      // the downstream consumer share the computed rows.
+      df = df.persist()
+      val n = df.take(2).length
       require(n == 1, s"FROM ONLY expects exactly 1 row, got $n")
     }
     df
+  }
+
+  // ---- link resolution ---------------------------------------------------
+
+  /** `fk.field` chains rooted at link columns of `table`. */
+  private def collectLinkPaths(e: Expr, table: String): Seq[List[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+    def validChain(tbl: String, names: List[String]): Boolean = names match {
+      case fk :: _ :: Nil => links.contains((tbl, fk))
+      case fk :: rest     => links.get((tbl, fk)).exists { case (t, _) => validChain(t, rest) }
+      case _              => false
+    }
+    def go(x: Expr): Unit = x match {
+      case Idiom(parts) if parts.forall(_.isInstanceOf[PField]) =>
+        val names = parts.collect { case PField(n) => n }.toList
+        if (names.length >= 2 && validChain(table, names)) out += names
+      case Idiom(parts) => parts.foreach {
+        case PStart(inner) => go(inner)
+        case PIndex(inner) => go(inner)
+        case PWhere(inner) => go(inner)
+        case _ => ()
+      }
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, inner) => go(inner)
+      case Cast(_, inner)   => go(inner)
+      case FnCall(_, args)  => args.foreach(go)
+      case ArrLit(items)    => items.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case IfExpr(bs, o)    => bs.foreach { case (cc, v) => go(cc); go(v) }; o.foreach(go)
+      case _ => ()
+    }
+    go(e)
+    out.toSeq
+  }
+
+  /** Build the lookup side for one link path: a DataFrame with (joinKey,
+    * derived) columns, joined on the parent's fk column. Multi-segment paths
+    * chain joins through intermediate link tables. */
+  private def linkLookup(spark: SparkSession, dir: String, tbl: String,
+      path: List[String], derived: String): (DataFrame, String, String) = path match {
+    case fk :: f :: Nil =>
+      val (tt, tk) = links((tbl, fk))
+      val keyName = derived + "_k"
+      (Tables(spark, dir, tt).select(col(tk).as(keyName), col(f).as(derived)), keyName, tt)
+    case fk :: rest =>
+      val (tt, tk) = links((tbl, fk))
+      val (inner, innerKey, innerTbl) = linkLookup(spark, dir, tt, rest, derived)
+      val keyName = derived + "_k" + rest.length
+      val innerSide = if (broadcastDims(innerTbl)) broadcast(inner) else inner
+      val mid = Tables(spark, dir, tt)
+        .select(col(tk).as(keyName), col(rest.head))
+        .join(innerSide, col(rest.head) === col(innerKey), "left")
+        .select(col(keyName), col(derived))
+      (mid, keyName, tt)
+    case _ => throw SqlError(s"SparkPlanner: invalid link path $path")
   }
 
   private def fieldAlias(f: Field): String =
@@ -130,30 +290,54 @@ object SparkPlanner {
   }
 
   private val aggFns = Set("math::sum", "math::mean", "math::min", "math::max",
-    "math::stddev", "time::min", "time::max", "count")
+    "math::stddev", "math::variance", "math::median", "time::min", "time::max", "count")
 
   /** Aggregate output column (map-side partial + exact decimal routing for
     * float sums/means — see [[Exact]]). */
-  private def aggCol(f: Field, schema: StructType, spark: SparkSession, dir: String): Column = {
+  private def aggCol(f: Field, ctx: Ctx): Column = {
     val name = fieldAlias(f)
-    aggExpr(f.expr, schema, spark, dir).as(name)
+    aggExpr(f.expr, ctx).as(name)
   }
 
-  private def aggExpr(e: Expr, schema: StructType, spark: SparkSession, dir: String): Column = e match {
+  private def aggExpr(e: Expr, ctx: Ctx): Column = e match {
     case FnCall("count", Nil) => count(lit(1))
     case FnCall("count", Seq(inner)) =>
-      sum(when(toCol(inner, schema, spark, dir), 1L).otherwise(0L)).cast("bigint")
+      sum(when(toCol(inner, ctx), 1L).otherwise(0L)).cast("bigint")
     case FnCall("math::sum", Seq(inner)) =>
-      val ic = toCol(inner, schema, spark, dir)
-      if (isDoubleTyped(inner, schema)) Exact.dsum(ic) else sum(ic)
+      val ic = toCol(inner, ctx)
+      if (isDoubleTyped(inner, ctx.schema)) Exact.dsum(ic) else sum(ic)
     case FnCall("math::mean", Seq(inner)) =>
-      val ic = toCol(inner, schema, spark, dir)
-      if (isDoubleTyped(inner, schema)) Exact.davg(ic) else avg(ic)
-    case FnCall("math::min", Seq(inner)) => min(toCol(inner, schema, spark, dir))
-    case FnCall("math::max", Seq(inner)) => max(toCol(inner, schema, spark, dir))
-    case FnCall("time::min", Seq(inner)) => min(toCol(inner, schema, spark, dir)).cast("date")
-    case FnCall("time::max", Seq(inner)) => max(toCol(inner, schema, spark, dir)).cast("date")
-    case other => toCol(other, schema, spark, dir)
+      val ic = toCol(inner, ctx)
+      if (isDoubleTyped(inner, ctx.schema)) Exact.davg(ic) else avg(ic)
+    case FnCall("math::stddev", Seq(inner)) =>
+      val ic = toCol(inner, ctx)
+      if (isDoubleTyped(inner, ctx.schema)) Exact.dstddev(ic) else stddev_samp(ic)
+    case FnCall("math::variance", Seq(inner)) =>
+      val ic = toCol(inner, ctx)
+      if (isDoubleTyped(inner, ctx.schema)) Exact.dvarSamp(ic) else var_samp(ic)
+    case FnCall("math::median", Seq(inner)) => median(toCol(inner, ctx))
+    case FnCall("math::min", Seq(inner)) => min(toCol(inner, ctx))
+    case FnCall("math::max", Seq(inner)) => max(toCol(inner, ctx))
+    case FnCall("time::min", Seq(inner)) => min(toCol(inner, ctx)).cast("date")
+    case FnCall("time::max", Seq(inner)) => max(toCol(inner, ctx)).cast("date")
+    case FnCall("array::group", Seq(inner)) =>
+      array_sort(array_distinct(flatten(collect_list(toCol(inner, ctx)))))
+    case FnCall("array::distinct", Seq(inner)) =>
+      array_sort(array_distinct(collect_list(toCol(inner, ctx))))
+    case FnCall("array::join", Seq(inner, sep)) =>
+      concat_ws(sep match { case Lit(VStr(x)) => x; case _ => "," },
+        array_sort(collect_list(toCol(inner, ctx))))
+    case Binary(op, l, r) if isAggregate(e) =>
+      val lc = if (isAggregate(l)) aggExpr(l, ctx) else toCol(l, ctx)
+      val rc = if (isAggregate(r)) aggExpr(r, ctx) else toCol(r, ctx)
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case other => throw SqlError(s"SparkPlanner: unsupported aggregate op $other")
+      }
+    case other => toCol(other, ctx)
   }
 
   /** Static type sniffing against the scan schema — enough to decide float
@@ -177,8 +361,9 @@ object SparkPlanner {
   private def isDoubleTyped(e: Expr, schema: StructType): Boolean =
     typeOf(e, schema).contains(DoubleType)
 
-  def toCol(e: Expr, schema: StructType, spark: SparkSession, dir: String): Column = {
-    def c(x: Expr): Column = toCol(x, schema, spark, dir)
+  def toCol(e: Expr, ctx: Ctx): Column = {
+    def c(x: Expr): Column = toCol(x, ctx)
+    val schema = ctx.schema
     e match {
       case Lit(VInt(i))    => lit(i)
       case Lit(VFloat(d))  => lit(d)
@@ -186,8 +371,15 @@ object SparkPlanner {
       case Lit(VBool(b))   => lit(b)
       case Lit(VDec(d))    => lit(d.toDouble)
       case Lit(VNone) | Lit(VNull) => lit(null)
+      case Idiom(parts) if parts.forall(_.isInstanceOf[PField]) &&
+          ctx.linkCols.contains(parts.collect { case PField(n) => n }.toList) =>
+        col(ctx.linkCols(parts.collect { case PField(n) => n }.toList))
       case Idiom(Seq(PField(n))) => col(n)
       case Idiom(Seq(PField(a), PField(b))) => col(s"$a.$b")
+      case Idiom(Seq(PField(a), PIndex(ie))) =>
+        element_at(col(a), (Eval.evalConst(ie) match {
+          case VInt(i) => i.toInt; case _ => 0
+        }) + 1)
       case Prefix("-", inner) => -c(inner)
       case Prefix("!", inner) => !c(inner)
       case Binary(op, l, r) => op match {
@@ -199,9 +391,15 @@ object SparkPlanner {
         case "*"  => c(l) * c(r)
         case "/"  => c(l) / c(r)
         case "%"  => c(l) % c(r)
-        case "="  => c(l) === c(r)
+        case "=" => r match {
+          case Lit(VNone) | Lit(VNull) => c(l).isNull
+          case _ => c(l) === c(r)
+        }
         case "==" => c(l) === c(r)
-        case "!=" => c(l) =!= c(r)
+        case "!=" => r match {
+          case Lit(VNone) | Lit(VNull) => c(l).isNotNull
+          case _ => c(l) =!= c(r)
+        }
         case "<"  => c(l) < c(r)
         case "<=" => c(l) <= c(r)
         case ">"  => c(l) > c(r)
@@ -217,7 +415,7 @@ object SparkPlanner {
         case "CONTAINS" => array_contains(c(l), c(r))
         case other => throw SqlError(s"SparkPlanner: unsupported operator $other")
       }
-      case FnCall(name, args) => fnCol(name, args, schema, spark, dir)
+      case FnCall(name, args) => fnCol(name, args, ctx)
       case Cast(k, inner) => k match {
         case Kind.KInt     => c(inner).cast("bigint")
         case Kind.KFloat   => c(inner).cast("double")
@@ -235,16 +433,15 @@ object SparkPlanner {
 
   /** Scalar function name → Column mapping — builtins only, codegen-friendly
     * (SURVEY §2.4: functions, not UDFs). */
-  private def fnCol(name: String, raw: Seq[Expr], schema: StructType,
-      spark: SparkSession, dir: String): Column = {
-    lazy val cs: IndexedSeq[Column] = raw.map(toCol(_, schema, spark, dir)).toIndexedSeq
+  private def fnCol(name: String, raw: Seq[Expr], ctx: Ctx): Column = {
+    lazy val cs: IndexedSeq[Column] = raw.map(toCol(_, ctx)).toIndexedSeq
     name match {
     case "string::lowercase" => lower(cs(0))
     case "string::uppercase" => upper(cs(0))
     case "string::len"       => length(cs(0)).cast("bigint")
     case "string::concat"    => concat(cs: _*)
-    case "string::replace"   => regexp_replace(cs(0), raw(1) match { case Lit(VStr(s)) => s; case _ => " " },
-      raw(2) match { case Lit(VStr(s)) => s; case _ => "" })
+    case "string::replace"   => regexp_replace(cs(0), raw(1) match { case Lit(VStr(s)) => java.util.regex.Pattern.quote(s); case _ => " " },
+      raw(2) match { case Lit(VStr(s)) => java.util.regex.Matcher.quoteReplacement(s); case _ => "" })
     case "string::trim"      => trim(cs(0))
     case "string::reverse"   => reverse(cs(0))
     case "string::slice"     =>
@@ -264,11 +461,11 @@ object SparkPlanner {
     case "math::sign"  => signum(cs(0))
     case "math::pow"   => pow(cs(0), cs(1))
     case "math::max"   => raw(0) match {
-      case ArrLit(items) => greatest(items.map(toCol(_, schema, spark, dir)): _*)
+      case ArrLit(items) => greatest(items.map(toCol(_, ctx)): _*)
       case _ => cs(0)
     }
     case "math::min"   => raw(0) match {
-      case ArrLit(items) => least(items.map(toCol(_, schema, spark, dir)): _*)
+      case ArrLit(items) => least(items.map(toCol(_, ctx)): _*)
       case _ => cs(0)
     }
     case "time::year"   => year(cs(0)).cast("bigint")
@@ -281,6 +478,42 @@ object SparkPlanner {
     case "time::group"  =>
       val unit = raw(1) match { case Lit(VStr(s)) => s; case _ => "day" }
       date_trunc(unit, cs(0)).cast("date")
+    // ---- array::* over in-row arrays (codegen'd array expressions) -------
+    case "array::len"      => size(cs(0)).cast("bigint")
+    case "array::sort"     => sort_array(cs(0))
+    case "array::distinct" => array_distinct(cs(0))
+    case "array::contains" => array_contains(cs(0), cs(1))
+    case "array::at"       =>
+      element_at(cs(0), (raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }) + 1)
+    case "array::first"    => element_at(cs(0), 1)
+    case "array::join"     => concat_ws(raw(1) match { case Lit(VStr(s)) => s; case _ => "," }, cs(0))
+    case "array::slice"    =>
+      val from = raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }
+      val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
+      slice(cs(0), from + 1, len)
+    case "array::flatten"  => flatten(cs(0))
+    // ---- crypto::* (builtins; hex output matches DuckDB) -----------------
+    case "crypto::md5"    => md5(cs(0))
+    case "crypto::sha1"   => sha1(cs(0))
+    case "crypto::sha256" => sha2(cs(0), 256)
+    case "crypto::sha512" => sha2(cs(0), 512)
+    // ---- parse::* --------------------------------------------------------
+    case "parse::url::host"   => parse_url(cs(0), lit("HOST"))
+    case "parse::url::path"   => parse_url(cs(0), lit("PATH"))
+    case "parse::url::query"  => parse_url(cs(0), lit("QUERY"))
+    case "parse::email::user" => substring_index(cs(0), "@", 1)
+    case "parse::email::host" => substring_index(cs(0), "@", -1)
+    // ---- geo::distance — haversine over (lon, lat) doubles ---------------
+    case "geo::distance" =>
+      val R = lit(6371008.8)
+      val lon1 = radians(cs(0)); val lat1 = radians(cs(1))
+      val lon2 = radians(cs(2)); val lat2 = radians(cs(3))
+      val a = pow(sin((lat2 - lat1) / 2), 2) +
+        cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
+      R * lit(2.0) * asin(sqrt(a))
+    case "type::string" => cs(0).cast("string")
+    case "type::int"    => cs(0).cast("bigint")
+    case "type::float"  => cs(0).cast("double")
     case "count" => count(lit(1))
     case other => throw SqlError(s"SparkPlanner: unsupported function $other")
     }
