@@ -76,7 +76,8 @@ final case class Binary(op: String, l: Expr, r: Expr) extends Expr
 final case class Prefix(op: String, e: Expr) extends Expr
 final case class Cast(kind: Kind, e: Expr) extends Expr
 final case class FnCall(name: String, args: Seq[Expr]) extends Expr
-final case class Closure(params: Seq[(String, Option[Kind])], body: Expr) extends Expr
+final case class Closure(params: Seq[(String, Option[Kind])], body: Expr,
+    ret: Option[Kind] = scala.None) extends Expr
 final case class Param(name: String) extends Expr
 /** Parenthesized subquery or statement-expression: `(SELECT …)`, `(RETURN x)`. */
 final case class Subquery(stmt: Statement) extends Expr
@@ -168,6 +169,9 @@ final case class DefineIndexStmt(name: String, table: String, fields: Seq[String
     mode: String = "") extends Statement
 final case class InfoStmt(level: String, target: String = "",
     structure: Boolean = false) extends Statement
+/** EXPLAIN [ANALYZE] [FORMAT JSON] <stmt> (exec/operators/explain.rs). */
+final case class ExplainStmt(analyze: Boolean, json: Boolean,
+    inner: Statement) extends Statement
 final case class OptionStmt(name: String, value: Boolean) extends Statement
 
 // SELECT (expr/statements/select.rs; planner exec/planner/select.rs:1213)
@@ -189,7 +193,8 @@ final case class SelectStmt(
     fetch: Seq[String],
     version: Option[Expr],
     timeout: Option[Expr],
-    explain: Boolean) extends Statement
+    explain: Boolean,
+    explainFull: Boolean = false) extends Statement
 
 // Mutations (expr/statements/{create,insert,update,upsert,delete,relate}.rs)
 sealed trait Data

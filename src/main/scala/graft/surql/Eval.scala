@@ -44,7 +44,7 @@ object Eval {
       env.params.get(name).orElse(builtinParam(name, env)).getOrElse(VNone)
     case Constant(name) => constant(name)
     case TableRef(name) => VTable(name)
-    case Closure(params, body) => VClosure(params, body, env.params)
+    case Closure(params, body, _) => VClosure(params, body, env.params)
     case Cast(k, inner) => Coerce.cast(k, eval(inner, env))
     case FnCall(name, args) => Functions.call(name, args, env)
     case Prefix(op, inner) =>

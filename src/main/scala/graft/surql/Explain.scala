@@ -1,0 +1,549 @@
+package graft.surql
+
+import graft.surql.ast._
+import scala.collection.immutable.TreeMap
+
+/** EXPLAIN plan rendering — mirrors the reference's operator-tree formatter
+  * (exec/operators/explain.rs:213-264: 4-space child indent, embedded
+  * operator expressions at prefix+2 with `role.embed:` labels) and its
+  * planner's pipeline-assembly decisions (exec/planner/select.rs:195):
+  * which operator appears for which clause, predicate/limit pushdown into
+  * the scan, Sort vs SortByKey vs SortTopK[ByKey], Compute pre-pass,
+  * SelectProject vs Project vs ProjectValue classification, CountScan
+  * fast path, IndexScan access-path selection. */
+object Explain {
+
+  final case class PNode(name: String, ctx: String,
+      attrs: Seq[(String, String)] = Nil,
+      children: Seq[PNode] = Nil,
+      embedded: Seq[(String, PNode)] = Nil,
+      rows: Option[Long] = scala.None)
+
+  private val Indent = 4
+
+  def renderText(root: PNode, total: Option[Long]): String = {
+    val sb = new StringBuilder
+    format(root, sb, "")
+    total.foreach(t => sb.append(s"\nTotal rows: $t"))
+    sb.toString
+  }
+
+  private def format(n: PNode, sb: StringBuilder, prefix: String): Unit = {
+    sb.append(n.name).append(" [ctx: ").append(n.ctx).append("]")
+    if (n.attrs.nonEmpty)
+      sb.append(n.attrs.map { case (k, v) => s"$k: $v" }.mkString(" [", ", ", "]"))
+    n.rows.foreach(r => sb.append(s" {rows: $r}"))
+    sb.append('\n')
+    n.embedded.foreach { case (role, sub) =>
+      sb.append(prefix).append("  ").append(role).append(": ")
+      format(sub, sb, prefix + "  ")
+    }
+    if (n.children.nonEmpty) {
+      val childPrefix = prefix + (" " * Indent)
+      n.children.foreach { c =>
+        sb.append(childPrefix)
+        format(c, sb, childPrefix)
+      }
+    }
+  }
+
+  def renderJson(n: PNode, total: Option[Long]): V = {
+    var m = TreeMap[String, V](
+      "operator" -> VStr(n.name),
+      "context" -> VStr(n.ctx))
+    if (n.attrs.nonEmpty)
+      m += "attributes" -> VObj(TreeMap(n.attrs.map { case (k, v) => k -> (VStr(v): V) }: _*))
+    if (n.children.nonEmpty)
+      m += "children" -> VArr(n.children.map(c => renderJson(c, scala.None)).toVector)
+    n.rows.foreach(r => m += "metrics" -> V.obj("output_rows" -> VInt(r)))
+    total.foreach(t => m += "total_rows" -> VInt(t))
+    VObj(m)
+  }
+
+  // ---- expression rendering (sql to_sql canonical text) -----------------
+
+  def kindSql(k: Kind): String = k match {
+    case Kind.KAny => "any"
+    case Kind.KNone => "none"
+    case Kind.KNull => "null"
+    case Kind.KBool => "bool"
+    case Kind.KInt => "int"
+    case Kind.KFloat => "float"
+    case Kind.KDecimal => "decimal"
+    case Kind.KNumber => "number"
+    case Kind.KString => "string"
+    case Kind.KDuration => "duration"
+    case Kind.KDatetime => "datetime"
+    case Kind.KUuid => "uuid"
+    case Kind.KBytes => "bytes"
+    case Kind.KObject => "object"
+    case Kind.KRegex => "regex"
+    case Kind.KRange => "range"
+    case Kind.KFunction => "function"
+    case Kind.KFile => "file"
+    case Kind.KArray(inner, max) =>
+      "array" + inner.map(i => "<" + kindSql(i) + max.map(m => s", $m").getOrElse("") + ">").getOrElse("")
+    case Kind.KSet(inner, max) =>
+      "set" + inner.map(i => "<" + kindSql(i) + max.map(m => s", $m").getOrElse("") + ">").getOrElse("")
+    case Kind.KRecord(ts) => if (ts.isEmpty) "record" else "record<" + ts.mkString(" | ") + ">"
+    case Kind.KGeometry(ks) => if (ks.isEmpty) "geometry" else "geometry<" + ks.mkString(" | ") + ">"
+    case Kind.KEither(ks) => ks.map(kindSql).mkString(" | ")
+    case Kind.KOption(i) => "option<" + kindSql(i) + ">"
+    case Kind.KLiteral(v) => Render.sql(v)
+    case Kind.KTable(ns) => ns.mkString(" | ")
+    case Kind.KLiteralArr(items) => "[" + items.map(kindSql).mkString(", ") + "]"
+    case Kind.KLiteralObj(fs) => "{ " + fs.map { case (n, kk) => s"$n: ${kindSql(kk)}" }.mkString(", ") + " }"
+  }
+
+  private def opSql(op: String): String = op match {
+    case "&&" => "AND"
+    case "||" => "OR"
+    case other => other
+  }
+
+  def exprSql(e: Expr): String = e match {
+    case Lit(v) => Render.sql(v)
+    case ArrLit(items) => "[" + items.map(exprSql).mkString(", ") + "]"
+    case ObjLit(fs) =>
+      if (fs.isEmpty) "{  }"
+      else "{ " + fs.map { case (n, v) => s"$n: ${exprSql(v)}" }.mkString(", ") + " }"
+    case RidLit(tb, key) => key match {
+      case RangeLit(lo, hi) =>
+        tb + ":" + lo.map(b => exprSql(b._1)).getOrElse("") + ".." +
+          hi.map(b => (if (b._2) "=" else "") + exprSql(b._1)).getOrElse("")
+      case Lit(v) => Render.sql(VRid(tb, v))
+      case other  => s"$tb:${exprSql(other)}"
+    }
+    case RangeLit(lo, hi) =>
+      lo.map(b => exprSql(b._1)).getOrElse("") + " .. " +
+        hi.map(b => (if (b._2) "=" else "") + exprSql(b._1)).getOrElse("")
+    case Param(n) => "$" + n
+    case Constant(n) => n
+    case TableRef(n) => n
+    case Binary(op, l, r) => s"${exprSql(l)} ${opSql(op)} ${exprSql(r)}"
+    case Prefix(op, inner) => op match {
+      case "!" => "!" + exprSql(inner)
+      case o   => o + exprSql(inner)
+    }
+    case Cast(k, inner) => inner match {
+      case _: RangeLit => s"<${kindSql(k)}>  ${exprSql(inner)}"
+      case _           => s"<${kindSql(k)}>${exprSql(inner)}"
+    }
+    case FnCall(name, args) => s"$name(${args.map(exprSql).mkString(", ")})"
+    case Closure(params, body, ret) =>
+      val ps = params.map { case (n, k) => s"$$$n: ${k.map(kindSql).getOrElse("any")}" }.mkString(", ")
+      val retTxt = ret.map(k => s" -> ${kindSql(k)}").getOrElse("")
+      val bodyTxt = body match {
+        case b: BlockExpr if b.stmts.isEmpty => "{  }"
+        case BlockExpr(Seq(ExprStmt(inner))) => s"{ ${exprSql(inner)} }"
+        case b: BlockExpr => s"{ … }"
+        case other => s"{ ${exprSql(other)} }"
+      }
+      s"|$ps|$retTxt $bodyTxt"
+    case Idiom(parts) => idiomSql(parts)
+    case IfExpr(_, _) => "IF …"
+    case Subquery(_: SelectStmt) => "(SELECT …)"
+    case Subquery(ThrowStmt(inner)) => s"THROW ${exprSql(inner)}"
+    case Subquery(BreakStmt) => "BREAK"
+    case Subquery(ContinueStmt) => "CONTINUE"
+    case Subquery(ReturnStmt(inner)) => s"RETURN ${exprSql(inner)}"
+    case Subquery(_) => "(…)"
+    case BlockExpr(Seq(ExprStmt(inner))) => s"{ ${exprSql(inner)} }"
+    case BlockExpr(_) => "{ … }"
+  }
+
+  def idiomSql(parts: Seq[Part]): String = {
+    val sb = new StringBuilder
+    parts.zipWithIndex.foreach { case (p, i) =>
+      p match {
+        case PStart(e) =>
+          // record-id starts followed by lookups render parenthesized
+          val needsParens = parts.length > 1 && (e match {
+            case _: RidLit | _: Subquery => true
+            case _ => false
+          })
+          if (needsParens) sb.append('(').append(exprSql(e)).append(')')
+          else sb.append(exprSql(e))
+        case PField(n) => if (i == 0) sb.append(n) else sb.append('.').append(n)
+        case PAll => if (i == 0) sb.append("*") else sb.append(".*")
+        case PFlatten => sb.append("…")
+        case PLast => sb.append("[$]")
+        case PIndex(e) => sb.append('[').append(exprSql(e)).append(']')
+        case PWhere(e) => sb.append("[WHERE ").append(exprSql(e)).append(']')
+        case PMethod(n, args) => sb.append('.').append(n).append('(')
+          .append(args.map(exprSql).mkString(", ")).append(')')
+        case PDestructure(fs) =>
+          sb.append(".{ ").append(fs.map {
+            case (n, scala.None) => n
+            case (n, Some(sub)) =>
+              val subTxt = idiomSql(sub)
+              if (subTxt == n) n else s"$n: $subTxt"
+          }.mkString(", ")).append(" }")
+        case POptional => sb.append('?')
+        case PDoc => sb.append('@')
+        case PRepeatRecurse => sb.append(".@")
+        case g: PGraph =>
+          val arrow = g.dir match {
+            case "out" => "->"; case "in" => "<-"; case "ref" => "<~"; case _ => "<->"
+          }
+          sb.append(arrow)
+          g.raw match {
+            case Some(r) => sb.append(Defs.normRaw(r))
+            case scala.None =>
+              if (g.what.isEmpty) sb.append('?')
+              else sb.append(g.what.map(_.table).mkString(", "))
+          }
+        case PRecurse(mn, mx, fixed, nest, _) =>
+          sb.append(".{")
+          if (fixed) sb.append(mn.getOrElse(1L))
+          else sb.append(mn.map(_.toString).getOrElse("")).append("..")
+            .append(mx.map(_.toString).getOrElse(""))
+          sb.append('}')
+          nest.foreach(np => sb.append('(').append(idiomSql(np)).append(')'))
+      }
+    }
+    sb.toString
+  }
+
+  // ---- plan building -----------------------------------------------------
+
+  /** Does an expression touch the database (lookups / subqueries)? */
+  private def touchesDb(e: Expr): Boolean = e match {
+    case Idiom(parts) => parts.exists {
+      case _: PGraph | _: PRecurse | PRepeatRecurse => true
+      case PStart(inner) => touchesDb(inner) || inner.isInstanceOf[RidLit]
+      case _ => false
+    }
+    case Binary(_, l, r) => touchesDb(l) || touchesDb(r)
+    case Prefix(_, i) => touchesDb(i)
+    case Cast(_, i) => touchesDb(i)
+    case FnCall(_, as) => as.exists(touchesDb)
+    case _: Subquery => true
+    case _ => false
+  }
+
+  /** Lookup chain → nested GraphEdgeScan tree (innermost CurrentValueSource). */
+  private def lookupPlan(parts: Seq[Part]): Option[PNode] = {
+    val hops = parts.collect { case g: PGraph => g }
+    if (hops.isEmpty) return scala.None
+    var node = PNode("CurrentValueSource", "Rt")
+    hops.foreach { g =>
+      val arrow = g.dir match {
+        case "out" => "->"; case "in" => "<-"; case "ref" => "<~"; case _ => "<->"
+      }
+      val rich = g.fields.isDefined || g.cond.isDefined || g.groupBy.isDefined
+      val output = if (rich) "FullEdge" else "TargetId"
+      val tables = if (g.what.isEmpty) "" else g.what.map(_.table).mkString(", ")
+      val attrs = Seq("direction" -> arrow) ++
+        (if (tables.nonEmpty) Seq("tables" -> tables) else Nil) ++
+        Seq("output" -> output)
+      node = PNode("GraphEdgeScan", "Db", attrs, Seq(node))
+      if (rich) {
+        g.cond.foreach { c => node = PNode("Filter", "Db", Seq("predicate" -> exprSql(c)), Seq(node)) }
+        g.groupBy.foreach {
+          case Nil  => node = PNode("Aggregate", "Db", Nil, Seq(node))
+          case keys => node = PNode("Aggregate", "Db",
+            Seq("by" -> keys.map(exprSql).mkString(", ")), Seq(node))
+        }
+        if (g.groupBy.isEmpty) g.fields.foreach { fs =>
+          val projs = fs.map(f => if (f.isAll) "*" else f.alias.getOrElse(Eval.fieldName(f.expr)))
+          node = PNode("SelectProject", "Db", Seq("projections" -> projs.mkString(", ")), Seq(node))
+        }
+      }
+    }
+    Some(node)
+  }
+
+  /** Recursion part → Recurse node with its body chain. */
+  private def recursePlan(parts: Seq[Part]): Option[(PNode, String)] = {
+    parts.zipWithIndex.collectFirst { case (r: PRecurse, i) =>
+      val body = r.nest.getOrElse(parts.drop(i + 1))
+      val depth =
+        if (r.fixed) r.min.getOrElse(1L).toString
+        else r.min.getOrElse(1L).toString + ".." + r.max.map(_.toString).getOrElse("")
+      val pattern = if (body.exists { case PRepeatRecurse => true
+        case PDestructure(fs) => fs.exists(_._2.exists(_.contains(PRepeatRecurse)))
+        case _ => false }) Seq("pattern" -> "tree") else Nil
+      val instr = r.instr match {
+        case RDefault => "default"
+        case _: RPath => "path"
+        case _: RCollect => "collect"
+        case _: RShortest => "shortest"
+      }
+      val attrs = Seq("depth" -> depth, "instruction" -> instr) ++ pattern
+      val inner = lookupPlan(body).getOrElse(PNode("CurrentValueSource", "Rt"))
+      (PNode("Recurse", "Db", attrs, Seq(inner)), "recurse")
+    }
+  }
+
+  /** Embedded-operator expressions for a projected/filtered expr. */
+  private def embeds(e: Expr, role: String): Seq[(String, PNode)] = e match {
+    case Idiom(parts) =>
+      recursePlan(parts) match {
+        case Some((node, kind)) => Seq(s"$role.$kind" -> node)
+        case scala.None =>
+          lookupPlan(parts).map(n => s"$role.lookup" -> n).toSeq
+      }
+    case _ => Nil
+  }
+
+  /** SELECT statement → plan tree (pipeline assembly, select.rs:195). */
+  def selectPlan(s: SelectStmt, in: Interp): PNode = {
+    val singleTable: Option[String] = s.what match {
+      case Seq(Idiom(Seq(PField(n)))) => Some(n)
+      case Seq(TableRef(n))           => Some(n)
+      case _                          => scala.None
+    }
+
+    // CountScan fast path: GROUP ALL + count()-only projection on one table
+    val countOnly = s.groupBy.contains(Nil) && singleTable.isDefined && s.where.isEmpty &&
+      s.fields.forall(f => f.expr match { case FnCall("count", Nil) => true; case _ => false })
+    if (countOnly) return PNode("CountScan", "Db", Seq("source" -> singleTable.get))
+
+    // ---- source ----------------------------------------------------------
+    val predicateTxt = s.where.map(exprSql)
+    // limit/offset pushdown into the scan: plain scan, no sort/group
+    val limitConst = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
+    val startConst = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
+    val pushLimit = s.order.isEmpty && s.groupBy.isEmpty && s.split.isEmpty && singleTable.isDefined
+    var consumedPred = false
+    var consumedLimit = false
+    var residualPred: Option[Expr] = scala.None
+
+    def sourceNode(e: Expr): PNode = e match {
+      case Idiom(Seq(PField(_))) | TableRef(_) =>
+        val name = e match { case Idiom(Seq(PField(x))) => x; case TableRef(x) => x; case _ => "" }
+        // IndexScan access-path selection: equality conjuncts served by an
+        // index; residual conjuncts become a Filter (exec/index/access_path.rs)
+        val fts = s.where.flatMap(w => fulltextAccess(in, name, w))
+        val idx = if (fts.isDefined) scala.None else s.where.flatMap(w => indexAccess(in, name, w))
+        fts match {
+          case Some((idxName, queryTxt, residual)) =>
+            consumedPred = true
+            residualPred = residual
+            PNode("FullTextScan", "Db", Seq("index" -> idxName, "query" -> queryTxt))
+          case scala.None =>
+        idx match {
+          case Some((idxName, access, residual)) =>
+            consumedPred = true
+            residualPred = residual
+            PNode("IndexScan", "Db",
+              Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"))
+          case scala.None =>
+            var attrs = Seq("table" -> name, "direction" -> "Forward")
+            if (singleTable.isDefined && predicateTxt.isDefined) {
+              attrs = attrs :+ ("predicate" -> predicateTxt.get)
+              consumedPred = true
+            }
+            if (pushLimit && limitConst.isDefined) {
+              attrs = attrs :+ ("limit" -> limitConst.get.toString)
+              startConst.filter(_ > 0).foreach(o => attrs = attrs :+ ("offset" -> o.toString))
+              consumedLimit = true
+            }
+            PNode("TableScan", "Db", attrs)
+        }
+        }
+      case r: RidLit => PNode("RecordIdScan", "Db", Seq("record_id" -> exprSql(r)))
+      case other => PNode("SourceExpr", "Db", Seq("expr" -> exprSql(other)))
+    }
+
+    var node: PNode =
+      if (s.what.length == 1) sourceNode(s.what.head)
+      else PNode("Union", "Db", Nil, s.what.map(sourceNode))
+
+    // ---- filter (residual) ----------------------------------------------
+    if (!consumedPred) s.where.foreach { w =>
+      node = PNode("Filter", "Db", Seq("predicate" -> exprSql(w)), Seq(node))
+    }
+    residualPred.foreach { w =>
+      node = PNode("Filter", "Db", Seq("predicate" -> exprSql(w)), Seq(node))
+    }
+
+    // ---- split -----------------------------------------------------------
+    if (s.split.nonEmpty)
+      node = PNode("Split", "Db", Seq("on" -> s.split.mkString(", ")), Seq(node))
+
+    // ---- aggregate -------------------------------------------------------
+    val grouped = s.groupBy.isDefined
+    s.groupBy.foreach {
+      case Nil  => node = PNode("Aggregate", "Db", Seq("mode" -> "GROUP ALL"), Seq(node))
+      case keys => node = PNode("Aggregate", "Db",
+        Seq("by" -> keys.map(exprSql).mkString(", ")), Seq(node))
+    }
+
+    // ---- sort / limit ----------------------------------------------------
+    val orderTxt = s.order.map(k => exprSql(k.expr) + (if (k.desc) " DESC" else " ASC")).mkString(", ")
+    if (s.order.nonEmpty) {
+      if (limitConst.isDefined) {
+        val topn = limitConst.get + startConst.getOrElse(0L)
+        val (nme, key) = if (grouped) ("SortTopK", "order_by") else ("SortTopKByKey", "sort_keys")
+        node = PNode(nme, "Db", Seq(key -> orderTxt, "limit" -> topn.toString), Seq(node))
+        var attrs = Seq("limit" -> limitConst.get.toString)
+        startConst.foreach(o => attrs = attrs :+ ("offset" -> o.toString))
+        node = PNode("Limit", "Db", attrs, Seq(node))
+        consumedLimit = true
+      } else {
+        val (nme, key) = if (grouped) ("Sort", "order_by") else ("SortByKey", "sort_keys")
+        node = PNode(nme, "Db", Seq(key -> orderTxt), Seq(node))
+      }
+    }
+    if (!consumedLimit && (limitConst.isDefined || startConst.isDefined)) {
+      var attrs = Seq.empty[(String, String)]
+      limitConst.foreach(l => attrs = attrs :+ ("limit" -> l.toString))
+      startConst.filter(_ > 0).foreach(o => attrs = attrs :+ ("offset" -> o.toString))
+      node = PNode("Limit", "Db", attrs, Seq(node))
+    }
+
+    // ---- projection classification --------------------------------------
+    if (grouped) return node
+
+    val isRid = s.what.exists { case _: RidLit => true; case _ => false }
+    if (s.value) {
+      val fe = s.fields.head.expr
+      PNode("ProjectValue", "Db", Seq("expr" -> exprSql(fe)), Seq(node),
+        embedded = embeds(fe, "expr"))
+    } else if (s.fields.forall(_.isAll) && isRid) {
+      PNode("Project", "Db", Nil, Seq(node))
+    } else if (s.fields.exists(f => !f.isAll && touchesDb(f.expr))) {
+      val emb = s.fields.filterNot(_.isAll).flatMap(f => embeds(f.expr, "field"))
+      PNode("Project", "Db", Nil, Seq(node), embedded = emb)
+    } else {
+      val simple = s.fields.forall(f => f.isAll || (f.expr match {
+        case Idiom(ps) => ps.forall(_.isInstanceOf[PField])
+        case _ => false
+      }))
+      val projs = s.fields.map(f =>
+        if (f.isAll) "*" else f.alias.getOrElse(Eval.fieldName(f.expr))).mkString(", ")
+      if (simple) PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(node))
+      else {
+        val computed = s.fields.filterNot(_.isAll).filter(f => f.expr match {
+          case Idiom(ps) => !ps.forall(_.isInstanceOf[PField])
+          case _ => true
+        })
+        val fieldsTxt = computed.map { f =>
+          val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
+          s"$nm = ${exprSql(f.expr)}"
+        }.mkString(", ")
+        val emb = computed.flatMap { f =>
+          val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
+          embeds(f.expr, nm).map { case (role, n) =>
+            // role from embeds is "<nm>.lookup"/"<nm>.recurse" already
+            role -> n
+          }
+        }
+        val compute = PNode("Compute", "Db", Seq("fields" -> fieldsTxt), Seq(node), embedded = emb)
+        PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(compute))
+      }
+    }
+  }
+
+  private def conjunctList(e: Expr): Seq[Expr] = e match {
+    case Binary("&&", l, r) => conjunctList(l) ++ conjunctList(r)
+    case x => Seq(x)
+  }
+
+  /** Equality conjuncts served by an index → (index name, access text,
+    * residual predicate). Unique indexes are preferred at equal prefix
+    * length (access-path scoring, exec/index/access_path.rs:209). */
+  private def indexAccess(in: Interp, table: String, where: Expr): Option[(String, String, Option[Expr])] = {
+    val cs = conjunctList(where)
+    val eqPairs: Map[String, (String, Expr)] = cs.collect {
+      case c @ Binary("=", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
+        f -> ((exprSql(rhs), c))
+    }.toMap
+    if (eqPairs.isEmpty) return scala.None
+    val candidates = in.indexDefs.collect {
+      case ((t, _), d) if t == table && d.fields.nonEmpty &&
+          !d.tail.toUpperCase.startsWith("FULLTEXT") && !d.tail.toUpperCase.startsWith("SEARCH") =>
+        val matched = d.fields.takeWhile(f => eqPairs.contains(f))
+        (d, matched)
+    }.filter(_._2.nonEmpty)
+    if (candidates.isEmpty) return scala.None
+    val (idx, matched) = candidates.maxBy { case (d, m) => (m.length, d.unique) }
+    val served = matched.map(f => eqPairs(f)._2).toSet
+    val residual = cs.filterNot(served.contains)
+    val residualExpr = residual.reduceOption((a, b) => Binary("&&", a, b))
+    val access =
+      if (idx.fields.length == 1) "= " + eqPairs(matched.head)._1
+      else "[" + matched.map(f => eqPairs(f)._1).mkString(", ") + "]"
+    Some((idx.name, access, residualExpr))
+  }
+
+  /** `field @@ 'query'` conjunct served by a FULLTEXT index. */
+  private def fulltextAccess(in: Interp, table: String, where: Expr): Option[(String, String, Option[Expr])] = {
+    val cs = conjunctList(where)
+    val hit = cs.collectFirst {
+      case c @ Binary("MATCHES", Idiom(Seq(PField(f))), Lit(VStr(q))) => (f, q, c)
+    }
+    hit.flatMap { case (f, q, c) =>
+      in.indexDefs.collectFirst {
+        case ((t, _), d) if t == table && d.fields.contains(f) &&
+            (d.tail.toUpperCase.startsWith("FULLTEXT") || d.tail.toUpperCase.startsWith("SEARCH")) =>
+          val residual = cs.filterNot(_ == c).reduceOption((a, b) => Binary("&&", a, b))
+          (d.name, q, residual)
+      }
+    }
+  }
+
+  /** Non-SELECT statements (control flow etc.). */
+  def statementPlan(stmt: Statement, in: Interp): PNode = stmt match {
+    case s: SelectStmt => selectPlan(s, in)
+    case ReturnStmt(e) =>
+      PNode("Return", "Rt", Nil, Seq(exprNode(e)))
+    case ExprStmt(e) => exprNode(e)
+    case IfStmt(branches, otherwise) =>
+      val attrs = Seq("branches" -> branches.length.toString) ++
+        (if (otherwise.isDefined) Seq("has_else" -> "true") else Nil)
+      PNode("IfElse", "Rt", attrs)
+    case ForStmt(param, _, block) =>
+      PNode("Foreach", "Rt",
+        Seq("param" -> param, "statements" -> block.stmts.length.toString))
+    case ThrowStmt(e) =>
+      PNode("Expr", "Rt", Seq("expr" -> s"THROW ${exprSql(e)}"))
+    case BreakStmt => PNode("Expr", "Rt", Seq("expr" -> "BREAK"))
+    case ContinueStmt => PNode("Expr", "Rt", Seq("expr" -> "CONTINUE"))
+    case LetStmt(name, _, what) =>
+      PNode("Let", "Rt", Seq("param" -> name), Seq(exprNode(what)))
+    case other => PNode("Expr", "Rt", Seq("expr" -> "…"))
+  }
+
+  private def exprNode(e: Expr): PNode = e match {
+    case FnCall("sleep", Seq(d)) =>
+      PNode("Sleep", "Rt", Seq("duration" -> exprSql(d)))
+    case IfExpr(branches, otherwise) =>
+      val attrs = Seq("branches" -> branches.length.toString) ++
+        (if (otherwise.isDefined) Seq("has_else" -> "true") else Nil)
+      PNode("IfElse", "Rt", attrs)
+    case _ =>
+      val emb = embeds(e, "expr")
+      val ctx = if (touchesDb(e)) "Db" else "Rt"
+      PNode("Expr", ctx, Seq("expr" -> exprSql(e)), embedded = emb)
+  }
+
+  /** EXPLAIN [ANALYZE] execution (Interp side): build, optionally run for
+    * row counts, render. */
+  def run(in: Interp, analyze: Boolean, json: Boolean, inner: Statement, env: Env): V = {
+    val plan = statementPlan(inner, in)
+    if (!analyze) {
+      if (json) renderJson(plan, scala.None)
+      else VStr(renderText(plan, scala.None))
+    } else {
+      // execute for metrics: result row count annotates the Db chain
+      val result = try in.execStatement(inner, env) catch { case _: SqlError => VNone }
+      val total: Long = inner match {
+        case _: ReturnStmt => 0L
+        case _ => result match {
+          case VArr(items) => items.length.toLong
+          case VNone       => 1L
+          case _           => 1L
+        }
+      }
+      def annotate(n: PNode): PNode =
+        n.copy(rows = Some(if (n.ctx == "Db") total else 0L),
+          children = n.children.map(annotate))
+      val annotated = annotate(plan)
+      if (json) renderJson(annotated, Some(total))
+      else VStr(renderText(annotated, Some(total)))
+    }
+  }
+}

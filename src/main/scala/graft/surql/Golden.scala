@@ -346,7 +346,9 @@ object Toml {
               var done = false
               while (li < lines.length && !done) {
                 val l2 = lines(li)
-                if (l2.contains(delim)) { buf.append('\n').append(l2.substring(0, l2.indexOf(delim))); done = true }
+                // use the LAST delimiter occurrence: a `''''` close means the
+                // content ends with a quote character (TOML adjacent quotes)
+                if (l2.contains(delim)) { buf.append('\n').append(l2.substring(0, l2.lastIndexOf(delim))); done = true }
                 else buf.append('\n').append(l2)
                 li += 1
               }

@@ -95,6 +95,9 @@ final class Interp {
   def execStatement(stmt: Statement, env: Env): V = stmt match {
     case ExprStmt(e)   => Eval.eval(e, env)
     case ReturnStmt(e) => Eval.eval(e, env)
+    case ExplainStmt(analyze, json, inner) => Explain.run(this, analyze, json, inner, env)
+    case s: SelectStmt if s.explain =>
+      Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt => execSelect(s, env)
     case s: CreateStmt => execCreate(s, env)
     case s: UpdateStmt => execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false)
@@ -263,7 +266,7 @@ final class Interp {
       case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
       case RidLit(_, k)     => go(k)
       case RangeLit(lo, hi) => lo.foreach(b => go(b._1)); hi.foreach(b => go(b._1))
-      case Closure(_, b)    => go(b)
+      case Closure(_, b, _) => go(b)
       case IfExpr(bs, o)    => bs.foreach { case (c, v) => go(c); go(v) }; o.foreach(go)
       case Subquery(_) | BlockExpr(_) => ()
       case _ => ()

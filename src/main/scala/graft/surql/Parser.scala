@@ -145,11 +145,12 @@ final class Parser(val src: String) {
   def statement(): Statement = {
     ws()
     if (peekKw("EXPLAIN") || peekKw("ANALYZE")) {
-      // EXPLAIN/ANALYZE <stmt>: parse the inner statement; plan output is
-      // engine-specific so the result is a placeholder
-      kw("EXPLAIN"); kw("ANALYZE"); kw("FULL")
+      kw("EXPLAIN")
+      val analyze = kw("ANALYZE")
+      kw("FULL")
+      val json = if (kw("FORMAT")) { expectKw("JSON"); true } else false
       val inner = statement()
-      return ExprStmt(FnCall("__explain__", Seq(Subquery(inner))))
+      return ExplainStmt(analyze, json, inner)
     }
     if (kw("SELECT")) selectStmt()
     else if (kw("LET")) letStmt()
@@ -898,9 +899,10 @@ final class Parser(val src: String) {
     kw("PARALLEL")
     kw("TEMPFILES")
     val explain = kw("EXPLAIN")
-    if (explain) kw("FULL")
+    val explainFull = explain && kw("FULL")
     SelectStmt(fields.toSeq, value, omit.toSeq, only, what.toSeq, where, split.toSeq,
-      groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain)
+      groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain,
+      explainFull)
   }
 
   /** OMIT entry: dotted idiom, optionally fanning out over a destructure
@@ -1859,10 +1861,11 @@ final class Parser(val src: String) {
     }
     expectSym("|")
     ws()
-    val body = if (sym("->")) { kind(); blockExpr() }
+    var ret: Option[Kind] = scala.None
+    val body = if (sym("->")) { ret = Some(kind()); blockExpr() }
       else if (peekc == '{') objectOrBlock()
       else expr()
-    Closure(params.toSeq, body)
+    Closure(params.toSeq, body, ret)
   }
 
   private def mockLit(): Expr = {

@@ -136,7 +136,9 @@ object Render {
       case '\u0000' => f.append("\\0")
       case '\r'     => f.append("\\r")
       case '\t'     => f.append("\\t")
-      case '\n'     => f.append("\\n")
+      // pretty SqlFormat preserves newlines (escape.rs:57) — the corpus
+      // renders results in pretty mode
+      case '\n'     => f.append('\n')
       case '\u0008' => f.append("\\u{8}")
       case '\u000C' => f.append("\\f")
       case '\\'     => f.append("\\\\")
