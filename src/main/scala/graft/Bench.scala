@@ -21,17 +21,30 @@ object Bench {
       // Consume EVERY output column via a hash-reduce — a bare count() would
       // let Catalyst dead-code the projection work and time only the scan.
       // bit_xor, not sum: a Long sum of hashes overflows under ANSI mode.
-      try {
-        val out = fn(spark, sfDir)
-        out.select(xxhash64(out.columns.map(col).toIndexedSeq: _*).as("h"))
-          .agg(expr("bit_xor(h)")).collect()
-      } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val failure: Option[String] =
+        try {
+          val out = fn(spark, sfDir)
+          out.select(xxhash64(out.columns.map(col).toIndexedSeq: _*).as("h"))
+            .agg(expr("bit_xor(h)")).collect()
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          Some(name)
+        }
+      (name, (System.nanoTime() - t0) / 1e9, failure)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failures = results.flatMap(_._3)
+    val failuresJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a query that died mid-run must not post a plausible wall-time and keep
+    // the bench green — failures are first-class in the emitted record
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failuresJson,"sf":"$sfDir"}""")
+    if (failures.nonEmpty) {
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -343,6 +343,10 @@ object Eval {
 
   private val RecursionLimit = 256L
 
+  private def checkInterrupt(): Unit =
+    if (Thread.currentThread().isInterrupted)
+      throw SqlError("query interrupted")
+
   private case object EliminatedSignal extends Exception
 
   /** expr/idiom/recursion.rs:42 — None/Null/empty-or-all-null arrays end a branch. */
@@ -390,6 +394,7 @@ object Eval {
     var current = start
     var depth = 0L
     while (depth < maxD) {
+      checkInterrupt()
       val next = cleanIteration(walk(current, body, env))
       depth += 1
       if (isFinalV(next) || next == current) {
@@ -412,6 +417,7 @@ object Eval {
     if (inclusive) { collected += start; seen += start }
     var depth = 0L
     while (depth < maxD && frontier.nonEmpty) {
+      checkInterrupt()
       val next = scala.collection.mutable.ArrayBuffer[V]()
       frontier.foreach { value =>
         val vals = walk(value, body, env) match {
@@ -442,6 +448,7 @@ object Eval {
     var active: Vector[Vector[V]] = Vector(if (inclusive) Vector(start) else Vector.empty)
     var depth = 0L
     while (depth < maxD && active.nonEmpty) {
+      checkInterrupt()
       val next = scala.collection.mutable.ArrayBuffer[Vector[V]]()
       active.foreach { cur =>
         val tip = cur.lastOption.getOrElse(start)
@@ -500,6 +507,7 @@ object Eval {
   private def recurseRepeat(start: V, body: Seq[Part], minD: Long, maxD: Long,
       userMax: Boolean, env: Env): V = {
     def go(value: V, depth: Long): V = {
+      checkInterrupt()
       val handler: V => V = { input =>
         val vals = input match {
           case VArr(its)     => its

@@ -267,7 +267,15 @@ object Functions {
           case v => VInt(if (v.truthy) 1 else 0)
         }
       case "not" => VBool(!arg(0).truthy)
-      case "sleep" => VNone
+      case "sleep" =>
+        // real wall-clock sleep (capped) — VERSION tests separate writes in time
+        arg(0) match {
+          case VDur(s, n) =>
+            val ms = Math.min(s * 1000L + n / 1000000L, 2000L)
+            if (ms > 0) Thread.sleep(ms)
+          case _ => ()
+        }
+        VNone
 
       // ---- math --------------------------------------------------------
       case "math::abs" => num(0) match {

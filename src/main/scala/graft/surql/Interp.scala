@@ -63,6 +63,12 @@ final class Interp {
   val accesses = mutable.LinkedHashMap[(String, String), String]()
   /** DEFINE CONFIG API/GRAPHQL — structured payloads for INFO. */
   val configs = mutable.LinkedHashMap[String, V]()
+  /** Versioned write log: (timestamp, table, key, doc-or-tombstone) — VERSION
+    * reads reconstruct table state as of a timestamp (kvs versionstamps,
+    * exec/operators/version_scope.rs). */
+  val history = mutable.ArrayBuffer[(java.time.Instant, String, V, Option[VObj])]()
+  /** Active VERSION scope: reads snapshot at this timestamp. */
+  var versionAsOf: Option[java.time.Instant] = scala.None
 
   def run(ast: Ast): Seq[QueryResult] = {
     val results = mutable.ArrayBuffer[QueryResult]()
@@ -693,8 +699,12 @@ final class Interp {
   def table(name: String): mutable.LinkedHashMap[V, VObj] =
     tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
 
-  def fetchRecord(rid: VRid): Option[VObj] =
-    tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
+  def fetchRecord(rid: VRid): Option[VObj] = versionAsOf match {
+    case Some(ts) =>
+      versionedTable(rid.table, ts).find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2)
+    case scala.None =>
+      tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
+  }
 
   private def nextId(): V = VStr(Interp.randomId())
 
@@ -895,9 +905,27 @@ final class Interp {
         try viewRows(name, sel)
         finally viewDepth -= 1
       case scala.None =>
-        tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
-          .toVector.sortBy(_._1)(V.ordering).map(_._2)
+        versionAsOf match {
+          case Some(ts) => versionedTable(name, ts).toVector.sortBy(_._1)(V.ordering).map(_._2)
+          case scala.None =>
+            tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
+              .toVector.sortBy(_._1)(V.ordering).map(_._2)
+        }
     }
+  }
+
+  /** Reconstruct a table's state as of `ts` by replaying the write log. */
+  private def versionedTable(name: String, ts: java.time.Instant): mutable.LinkedHashMap[V, VObj] = {
+    val m = mutable.LinkedHashMap[V, VObj]()
+    history.foreach { case (t, tb, k, doc) =>
+      if (tb == name && !t.isAfter(ts)) {
+        doc match {
+          case Some(d)    => m(k) = d
+          case scala.None => m.remove(k)
+        }
+      }
+    }
+    m
   }
 
   /** Materialize a view's rows: grouped views key records by the array of
@@ -981,8 +1009,49 @@ final class Interp {
   }
 
   /** Full SELECT pipeline; each output row is paired with its GROUP-key
-    * values when grouped (views derive record ids from them). */
+    * values when grouped (views derive record ids from them). VERSION sets
+    * a snapshot scope inherited by subqueries; TIMEOUT runs the pipeline
+    * under a watchdog (timeout.rs:25). */
   def selectWithGroupKeys(s: SelectStmt, env: Env): Vector[(V, Option[Seq[V]])] = {
+    s.timeout match {
+      case Some(te) =>
+        val dur = Eval.eval(te, env) match {
+          case d: VDur => d
+          case other => throw SqlError(s"Expected a duration but found ${other.render}")
+        }
+        val ms = dur.secs * 1000L + dur.nanos / 1000000L
+        val inner = s.copy(timeout = scala.None)
+        val task = new java.util.concurrent.FutureTask[Vector[(V, Option[Seq[V]])]](() =>
+          selectWithGroupKeys(inner, env))
+        val th = new Thread(task, "select-timeout")
+        th.setDaemon(true)
+        th.start()
+        try return task.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            task.cancel(true)
+            throw SqlError(s"The query was not executed because it exceeded the timeout: ${Render.sql(dur)}")
+          case e: java.util.concurrent.ExecutionException =>
+            e.getCause match {
+              case s: SqlError => throw s
+              case r: ReturnSignal => throw r
+              case other => throw SqlError(String.valueOf(other.getMessage))
+            }
+        }
+      case scala.None => ()
+    }
+    s.version match {
+      case Some(ve) =>
+        val ts = Eval.eval(ve, env) match {
+          case VDt(t) => t
+          case other  => throw SqlError(s"Expected a datetime but found ${other.render}")
+        }
+        val saved = versionAsOf
+        versionAsOf = Some(ts)
+        try return selectWithGroupKeys(s.copy(version = scala.None), env)
+        finally versionAsOf = saved
+      case scala.None => ()
+    }
     var rows: Vector[V] = s.what.flatMap(resolveTarget(_, env)).toVector
 
     // WHERE
@@ -1345,6 +1414,10 @@ final class Interp {
   private var eventDepth = 0
   def fireEvents(tb: String, before: Option[VObj], after: Option[VObj], env: Env,
       input: Option[VObj] = scala.None): Unit = {
+    after.orElse(before).flatMap(_.fields.get("id")) match {
+      case Some(VRid(_, k)) => history += ((java.time.Instant.now(), tb, k, after))
+      case _ => ()
+    }
     maintainViews(tb)
     val evs = eventDefs.collect { case ((t, _), d) if t == tb => d }
     if (evs.isEmpty) return

@@ -178,6 +178,7 @@ final class Parser(val src: String) {
     else if (kw("BEGIN")) { kw("TRANSACTION"); BeginStmt }
     else if (kw("COMMIT")) { kw("TRANSACTION"); CommitStmt }
     else if (kw("CANCEL")) { kw("TRANSACTION"); CancelStmt }
+    else if (kw("SLEEP")) ExprStmt(FnCall("sleep", Seq(expr())))
     else if (kw("USE")) useStmt()
     else if (kw("DEFINE")) defineStmt()
     else if (kw("REMOVE")) removeStmt()
