@@ -65,8 +65,12 @@ object Similarity {
   // --- seeded random-hyperplane LSH ------------------------------------
 
   private val NumPlanes   = 64
-  private val BitsPerBand = 8
-  private val NumBands    = NumPlanes / BitsPerBand // 8 bands × 8 bits
+  /** 16-bit band keys: 65,536 buckets per band, so bucket population stays
+    * ~n/65k and within-bucket candidate pairs stay near-linear as n grows —
+    * the 100× scale path (8-bit keys capped at 256 buckets/band, making
+    * within-bucket pairs O(n²/256)). */
+  private val BitsPerBand = 16
+  private val NumBands    = NumPlanes / BitsPerBand // 4 bands × 16 bits
 
   /** Deterministic ±1 random hyperplanes (seeded, no runtime randomness).
     * The first 16 rows double as the knn probe signature below. */
@@ -174,19 +178,49 @@ object Similarity {
       when(dot(emb, planeCol(j)) > 0.0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce(_ + _)
 
-  /** `KnnScan` ANN analog: probe buckets within Hamming distance
-    * [[MaxHammingProbe]] of the query's 16-bit signature, rerank survivors
-    * exactly, top-10. Here the signature filter is a cheap codegen'd
-    * predicate over the scan; at scale the signature table is persisted
-    * bucketed BY signature so probing prunes buckets instead of scanning.
-    * Rows-only: approximate by design. */
+  /** Persisted ANN signature index: (vec_id, embedding) written ONCE per
+    * corpus, partitioned by the 16-bit probe signature — the Spark analog of
+    * the reference's persisted vector index (idx/ HNSW). Probes then read
+    * only the partitions inside the Hamming ball instead of scanning the
+    * table (partition pruning visible in the scan's PartitionFilters). */
+  private val annIndexes = scala.collection.concurrent.TrieMap[String, String]()
+  private def annIndexPath(s: SparkSession, d: String): String =
+    annIndexes.getOrElseUpdate(d, {
+      val path = s"/tmp/graft_ann_${Integer.toHexString(d.hashCode)}"
+      Tables.embeddingsWide(s, d)
+        .withColumn("sig", lshSignature(col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("sig"))
+        .write.mode("overwrite").partitionBy("sig").parquet(path)
+      path
+    })
+
+  /** All signatures within Hamming distance `maxDist` of `sig` (16-bit):
+    * C(16,0..5) = 6,885 bucket keys — the probe set. */
+  private def hammingBall(sig: Int, bits: Int, maxDist: Int): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    def go(pos: Int, flipsLeft: Int, cur: Int): Unit = {
+      if (pos == bits) { out += cur; return }
+      go(pos + 1, flipsLeft, cur)
+      if (flipsLeft > 0) go(pos + 1, flipsLeft - 1, cur ^ (1 << pos))
+    }
+    go(0, maxDist, sig)
+    out.distinct.toSeq
+  }
+
+  /** `KnnScan` ANN analog over the persisted index: enumerate the Hamming
+    * ball of the query signature, read only those partitions, rerank the
+    * survivors exactly, top-10. Rows-only: approximate by design. */
   val knnAnnLsh = Q.rowsOnly("knn_ann_lsh") { (s, d) =>
-    val emb = Tables.embeddingsWide(s, d).withColumn("sig", lshSignature(col("embedding")))
-    val q = emb.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qe"), col("sig").as("qsig"))
-    emb.filter(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q))
-      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= MaxHammingProbe)
+    val path = annIndexPath(s, d)
+    val q = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"), lshSignature(col("embedding")).as("qsig"))
+    // 1-row driver-side probe: the signature picks the bucket set
+    val qsig = q.select(col("qsig")).head().getInt(0)
+    val ball = hammingBall(qsig, 16, MaxHammingProbe)
+    s.read.parquet(path)
+      .filter(col("sig").isin(ball: _*)) // partition pruning: ≤6,885 buckets read
+      .filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(q.select(col("qe"))))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
