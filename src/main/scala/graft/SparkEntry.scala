@@ -18,7 +18,7 @@ object SparkEntry {
   private val handBuilt: Seq[Q] =
     Relational.all ++ GraphOps.all ++ ScalarQueries.all ++
       VectorQueries.all ++ MiscQueries.all ++
-      Mutations.all ++
+      Mutations.all ++ graft.streaming.Live.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ FullText.all ++ Multimodal.all
 
   /** 21 entries run as REAL SurrealQL text through the parser + SparkPlanner

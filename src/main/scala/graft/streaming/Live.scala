@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.operators.Mutations
+
+/** Live queries + change feeds on Structured Streaming (SURVEY §2.8).
+  *
+  * Reference semantics: every committed write appends a versionstamped row
+  * to the table's change feed (cf/writer.rs); LIVE SELECT registrations
+  * evaluate their condition against each change and push
+  * `Notification{id, action: Create/Update/Delete, record}` to subscribers
+  * (expr/statements/live.rs:23-30, fan-out doc/lives.rs:223-308;
+  * types/src/notification.rs). There are no watermark/window constructs —
+  * the feed is versionstamp-ordered, so the Spark mapping is:
+  *
+  *  - change feed  = an append-only DataFrame (vs, id, action, record)
+  *    derived from each mutation batch — Delta CDF shape;
+  *  - LIVE SELECT  = ONE transform (filter + project) applied identically
+  *    to the batch feed and to a `readStream` over it — the streaming
+  *    plan is the batch plan, so correctness is oracle-checkable in batch
+  *    while the stream path is exercised end-to-end in LiveSpec with a
+  *    MemoryStream source and per-microbatch incremental execution.
+  *
+  * At scale the feed is a partitioned append-only table (bucketed by id,
+  * partitioned by versionstamp range); notification fan-out is a stateless
+  * map over the stream — no shuffle, no state store, unbounded throughput. */
+object Live {
+
+  /** Versionstamped change rows from a before/after table pair — the
+    * cf/writer analog. One row per changed record: (vs, id, action,
+    * payload columns of the after side; before values for deletes). */
+  def changeFeed(before: DataFrame, after: DataFrame, idCol: String,
+      versionstamp: Long): DataFrame = {
+    val bCols = before.columns
+    val b = before.select(col(idCol).as("id"),
+      xxhash64(struct(bCols.map(col).toIndexedSeq: _*)).as("h_before"),
+      struct(bCols.map(col).toIndexedSeq: _*).as("rec_before"))
+    val a = after.select(col(idCol).as("id"),
+      xxhash64(struct(after.columns.map(col).toIndexedSeq: _*)).as("h_after"),
+      struct(after.columns.map(col).toIndexedSeq: _*).as("rec_after"))
+    b.join(a, Seq("id"), "full_outer")
+      .select(
+        lit(versionstamp).as("vs"),
+        col("id"),
+        when(col("h_before").isNull, "CREATE")
+          .when(col("h_after").isNull, "DELETE")
+          .when(col("h_before") =!= col("h_after"), "UPDATE")
+          .as("action"),
+        coalesce(col("rec_after"), col("rec_before")).as("record"))
+      .filter(col("action").isNotNull)
+  }
+
+  /** LIVE SELECT notification transform — applied identically to a batch
+    * feed or a streaming feed (doc/lives.rs condition check + projection:
+    * DELETE notifications always pass; the condition is evaluated against
+    * the record for CREATE/UPDATE). */
+  def notifications(changes: DataFrame, cond: Column): DataFrame =
+    changes.filter(col("action") === "DELETE" || cond)
+      .select(col("vs"), col("id"), col("action"), col("record"))
+
+  /** CORRECTNESS row: the mutChangefeed scenario's feed run through a LIVE
+    * SELECT with a condition — hash-checked against the oracle replaying
+    * the same mutation. The same `notifications` transform is what the
+    * streaming path runs per microbatch (LiveSpec). */
+  val liveSelect = Q("live_select",
+    """SELECT CAST(1 AS BIGINT) AS vs, o_orderkey AS id, 'UPDATE' AS action,
+              o_totalprice + 1000.0 AS total
+       FROM orders WHERE o_orderkey < 50 AND o_totalprice + 1000.0 > 100000.0
+       UNION ALL
+       SELECT CAST(1 AS BIGINT) AS vs, o_orderkey + 1000000 AS id, 'CREATE' AS action,
+              o_totalprice AS total
+       FROM orders WHERE o_orderkey < 5 AND o_totalprice > 100000.0
+       ORDER BY id""") {
+    (s, d) =>
+      val o = Tables.orders(s, d)
+      val deltaUp = o.filter(col("o_orderkey") < 50)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val deltaNew = o.filter(col("o_orderkey") < 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      val after = Mutations.upsert(o, deltaUp.unionByName(deltaNew), "o_orderkey")
+      val feed = changeFeed(o, after, "o_orderkey", versionstamp = 1L)
+      // LIVE SELECT … WHERE record.o_totalprice > 100000
+      notifications(feed, col("record.o_totalprice") > 100000.0)
+        .select(col("vs"), col("id"), col("action"),
+          col("record.o_totalprice").as("total"))
+        .orderBy("id")
+  }
+
+  val all: Seq[Q] = Seq(liveSelect)
+}
