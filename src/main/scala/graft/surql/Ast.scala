@@ -53,7 +53,10 @@ final case class PGraph(dir: String, what: Seq[LookupSubject],
     start: Option[Expr] = scala.None,
     /** Source text of a parenthesized lookup — unaliased projections are
       * named by their written form (`"->(SELECT … FROM works_on …)"`). */
-    raw: Option[String] = scala.None) extends Part
+    raw: Option[String] = scala.None,
+    /** `<~(table FIELD col)` — restrict reference scans to specific
+      * referencing fields (sql/lookup.rs). */
+    refFields: Seq[String] = Nil) extends Part
 /** Current document `@` start (reference Part::Doc, syn/parser/prime.rs:48). */
 case object PDoc extends Part
 /** RepeatRecurse `.@` marker inside a recursion nest (part.rs RepeatRecurse). */

@@ -699,11 +699,15 @@ final class Interp {
   def table(name: String): mutable.LinkedHashMap[V, VObj] =
     tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
 
-  def fetchRecord(rid: VRid): Option[VObj] = versionAsOf match {
-    case Some(ts) =>
-      versionedTable(rid.table, ts).find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2)
-    case scala.None =>
-      tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
+  def fetchRecord(rid: VRid): Option[VObj] = {
+    val raw = versionAsOf match {
+      case Some(ts) =>
+        versionedTable(rid.table, ts).find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2)
+      case scala.None =>
+        tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
+    }
+    if (computedOrder(rid.table).isEmpty) raw
+    else raw.map(withComputed(rid.table, _, readEnv))
   }
 
   private def nextId(): V = VStr(Interp.randomId())
@@ -835,23 +839,42 @@ final class Interp {
       }
       check(VObj(fields), "")
     }
-    // compute phase (doc/mod.rs lifecycle: …field → compute → store): computed
-    // fields are evaluated against the stored document in dependency order
-    computedOrder(tb).foreach { fd =>
-      val v0 = Eval.eval(fd.computed.get, env.copy(doc = Some(VObj(fields))))
-      val v = fd.kind match {
-        case Some(k) =>
-          try Coerce.coerce(k, v0)
-          catch {
-            case e: SqlError =>
-              throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
-          }
-        case scala.None => v0
-      }
-      fields = fields.updated(fd.field, v)
-    }
     VObj(fields)
   }
+
+  /** Computed fields are VIRTUAL: evaluated in dependency order against the
+    * stored document at READ time (so `<~` reverse references and link
+    * derefs always see current data). Depth-guarded for cyclic link
+    * structures. */
+  private var computeDepth = 0
+  def withComputed(tb: String, doc: VObj, env: Env): VObj = {
+    val defs = computedOrder(tb)
+    if (defs.isEmpty || computeDepth > 4) return doc
+    computeDepth += 1
+    try {
+      var fields = doc.fields
+      defs.foreach { fd =>
+        val rid = doc.fields.get("id") match {
+          case Some(r: VRid) => r
+          case _ => VRid(tb, VNone)
+        }
+        val v0 = Eval.eval(fd.computed.get, env.copy(doc = Some(VObj(fields))))
+        val v = fd.kind match {
+          case Some(k) =>
+            try Coerce.coerce(k, v0)
+            catch {
+              case e: SqlError =>
+                throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
+            }
+          case scala.None => v0
+        }
+        fields = fields.updated(fd.field, v)
+      }
+      VObj(fields)
+    } finally computeDepth -= 1
+  }
+
+  private def readEnv: Env = Env(params = globals, interp = Some(this))
 
   /** Unique-index enforcement: error if another record holds the same key
     * values (catalog/schema/index.rs; err "Database index … already
@@ -905,12 +928,14 @@ final class Interp {
         try viewRows(name, sel)
         finally viewDepth -= 1
       case scala.None =>
-        versionAsOf match {
+        val rows = versionAsOf match {
           case Some(ts) => versionedTable(name, ts).toVector.sortBy(_._1)(V.ordering).map(_._2)
           case scala.None =>
             tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
               .toVector.sortBy(_._1)(V.ordering).map(_._2)
         }
+        if (computedOrder(name).isEmpty) rows
+        else rows.map(withComputed(name, _, readEnv))
     }
   }
 
@@ -1373,6 +1398,11 @@ final class Interp {
     }
 
   private def shapeOutput(before: Option[VObj], after: Option[VObj], output: Option[Output],
+      env: Env, tb: String = ""): Option[V] = shapeOutput0(
+    before.map(d => if (tb.nonEmpty) withComputed(tb, d, env) else d),
+    after.map(d => if (tb.nonEmpty) withComputed(tb, d, env) else d), output, env)
+
+  private def shapeOutput0(before: Option[VObj], after: Option[VObj], output: Option[Output],
       env: Env): Option[V] = output match {
     case scala.None => after.orElse(before).map(identity)
     case Some(Output.ONone) => scala.None
@@ -1499,7 +1529,7 @@ final class Interp {
       checkUniqueIndexes(tb, rid, doc)
       t(key) = doc
       fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
-      shapeOutput(scala.None, Some(doc), s.output, env)
+      shapeOutput(scala.None, Some(doc), s.output, env, tb)
     }
     val vs = created.flatten
     if (s.only) vs.headOption.getOrElse(VNone)
@@ -1528,7 +1558,7 @@ final class Interp {
                 checkUniqueIndexes(tb, rid, updated)
                 t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
                 fireEvents(tb, Some(doc), Some(updated), env, Some(updated0))
-                shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
+                shapeOutput(Some(doc), Some(updated), output, env, tb).foreach(results += _)
               }
             case scala.None if upsert =>
               val rid = VRid(tb, key)
@@ -1538,7 +1568,7 @@ final class Interp {
               checkUniqueIndexes(tb, rid, doc)
               t(key) = doc
               fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
-              shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
+              shapeOutput(scala.None, Some(doc), output, env, tb).foreach(results += _)
             case scala.None => ()
           }
         case scala.None =>
@@ -1556,7 +1586,7 @@ final class Interp {
               checkUniqueIndexes(tb, rid, updated)
               t(key) = updated
               fireEvents(tb, Some(doc), Some(updated), env, Some(updated0))
-              shapeOutput(Some(doc), Some(updated), output, env).foreach(results += _)
+              shapeOutput(Some(doc), Some(updated), output, env, tb).foreach(results += _)
             }
           }
           if (upsert && touched == 0) {
@@ -1569,7 +1599,7 @@ final class Interp {
             checkUniqueIndexes(tb, rid, doc)
             t(key) = doc
             fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
-            shapeOutput(scala.None, Some(doc), output, env).foreach(results += _)
+            shapeOutput(scala.None, Some(doc), output, env, tb).foreach(results += _)
           }
       }
     }
@@ -1588,15 +1618,70 @@ final class Interp {
         val doc = t(key)
         val de = env.copy(doc = Some(doc))
         if (s.where.forall(c => Eval.eval(c, de).truthy)) {
+          val rid = doc.fields.get("id") match {
+            case Some(r: VRid) => r
+            case _ => VRid(tb, key)
+          }
+          applyReferentialActions(rid, env)
           t.remove(key)
           fireEvents(tb, Some(doc), scala.None, env)
-          shapeOutput(Some(doc), scala.None, s.output, env).foreach(results += _)
+          shapeOutput(Some(doc), scala.None, s.output, env, tb).foreach(results += _)
         }
       }
     }
     if (s.output.isEmpty) VArr(Vector.empty)
     else if (s.only) results.headOption.getOrElse(VNone)
     else VArr(results.toVector)
+  }
+
+  /** ON DELETE referential actions (expr/reference.rs): before a record is
+    * deleted, every REFERENCE field pointing at it applies its action —
+    * REJECT errors, CASCADE deletes the referencing record, UNSET removes
+    * the link, IGNORE (the default) leaves it dangling. */
+  private def applyReferentialActions(target: VRid, env: Env): Unit = {
+    fieldPipeline.toSeq.foreach { case (tbl, defs) =>
+      defs.filter(_.meta.exists(_.referenceRaw.isDefined)).foreach { fd =>
+        val raw = fd.meta.flatMap(_.referenceRaw).getOrElse("").toUpperCase
+        val action =
+          if (raw.contains("REJECT")) "REJECT"
+          else if (raw.contains("CASCADE")) "CASCADE"
+          else if (raw.contains("UNSET")) "UNSET"
+          else "IGNORE"
+        if (action != "IGNORE") {
+          val path = fd.field.replace(".*", "")
+          val hits = tables.getOrElse(tbl, mutable.LinkedHashMap.empty).toSeq.filter {
+            case (_, r) => docFieldPath(r, path) match {
+              case VArr(items) => items.exists(V.looseEq(_, target))
+              case v           => V.looseEq(v, target)
+            }
+          }
+          hits.foreach { case (k, r) =>
+            val refRid = r.fields.get("id") match {
+              case Some(x: VRid) => x
+              case _ => VRid(tbl, k)
+            }
+            action match {
+              case "REJECT" =>
+                throw SqlError(s"Cannot delete `${Render.sql(target)}` as it is referenced by " +
+                  s"`${Render.sql(refRid)}` with an ON DELETE REJECT clause")
+              case "CASCADE" =>
+                applyReferentialActions(refRid, env)
+                tables(tbl).remove(k)
+                fireEvents(tbl, Some(r), scala.None, env)
+              case "UNSET" =>
+                val updated = docFieldPath(r, path) match {
+                  case VArr(items) =>
+                    VObj(r.fields.updated(path, VArr(items.filterNot(V.looseEq(_, target)))))
+                  case _ => VObj(r.fields - path)
+                }
+                tables(tbl)(k) = updated
+                fireEvents(tbl, Some(r), Some(updated), env)
+              case _ => ()
+            }
+          }
+        }
+      }
+    }
   }
 
   def execInsert(s: InsertStmt, env: Env): V = {
@@ -1731,6 +1816,35 @@ final class Interp {
       }
     }
     val candidates = mutable.ArrayBuffer[V]()
+    // `<~table` reference scan (exec/operators/scan/reference.rs:48):
+    // records whose REFERENCE-marked fields point at the source
+    if (g.dir == "ref") {
+      sources.foreach { src =>
+        val subjectTables =
+          if (g.what.nonEmpty) g.what.map(_.table)
+          else tables.keys.toVector.sorted
+        subjectTables.foreach { t =>
+          val refFields = fieldPipeline.getOrElse(t, Vector.empty)
+            .filter(_.meta.exists(_.referenceRaw.isDefined))
+            .filter(fd => g.refFields.isEmpty ||
+              g.refFields.contains(fd.field.replace(".*", "")))
+          if (refFields.nonEmpty) {
+            tables.get(t).foreach(_.values.foreach { r =>
+              val hit = refFields.exists { fd =>
+                docFieldPath(r, fd.field.replace(".*", "")) match {
+                  case VArr(items) => items.exists(V.looseEq(_, src))
+                  case v           => V.looseEq(v, src)
+                }
+              }
+              if (hit) r.fields.get("id").foreach(candidates += _)
+            })
+          }
+        }
+      }
+      val plainRef = g.cond.isEmpty && g.fields.isEmpty && g.order.isEmpty &&
+        g.groupBy.isEmpty && g.limit.isEmpty && g.start.isEmpty && g.split.isEmpty && !g.only
+      if (plainRef) return VArr(candidates.toVector)
+    } else
     sources.foreach { src =>
       val rec = fetchRecord(src)
       val isEdge = rec.exists(r => r.fields.get("in").exists(_.isInstanceOf[VRid]) &&

@@ -1484,6 +1484,7 @@ final class Parser(val src: String) {
       }
       else if (!noGraphIdiom && peekSym("->") ) { sym("->"); parts += graphPart("out") }
       else if (!noGraphIdiom && peekSym("<->")) { sym("<->"); parts += graphPart("both") }
+      else if (!noGraphIdiom && peekSym("<~") ) { sym("<~"); parts += graphPart("ref") }
       else if (!noGraphIdiom && peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
       else if (peekSym("?") && !peekSym("??") && !peekSym("?:") && !peekSym("?=")) {
         sym("?"); parts += POptional
@@ -1592,6 +1593,7 @@ final class Parser(val src: String) {
       }
       else if (!noGraphIdiom && peekSym("->") ) { sym("->"); parts += graphPart("out") }
       else if (!noGraphIdiom && peekSym("<->")) { sym("<->"); parts += graphPart("both") }
+      else if (!noGraphIdiom && peekSym("<~") ) { sym("<~"); parts += graphPart("ref") }
       else if (!noGraphIdiom && peekSym("<-") ) { sym("<-"); parts += graphPart("in") }
       else go = false
     }
@@ -1669,6 +1671,11 @@ final class Parser(val src: String) {
       ws()
       if (peekc == '?') pos += 1
       else { var g = true; while (g) { what += lookupSubject(); g = sym(",") } }
+      val refFields = ArrayBuffer[String]()
+      if (kw("FIELD") || kw("FIELDS")) {
+        var g = true
+        while (g) { refFields += idiomName(); g = sym(",") }
+      }
       val cond = if (kw("WHERE")) Some(expr()) else scala.None
       val split = ArrayBuffer[String]()
       if (kw("SPLIT")) { kw("ON"); var g = true; while (g) { split += idiomName(); g = sym(",") } }
@@ -1703,7 +1710,7 @@ final class Parser(val src: String) {
       expectSym(")")
       PGraph(dir, what.toSeq, cond, alias, fieldsOpt, value, only,
         split.toSeq, groupBy, order.toSeq, limit, start,
-        raw = Some(src.substring(rawStart, pos)))
+        raw = Some(src.substring(rawStart, pos)), refFields = refFields.toSeq)
     } else if (peekc == '?') { pos += 1; PGraph(dir, Nil) }
     else { what += lookupSubject(); PGraph(dir, what.toSeq) }
   }
