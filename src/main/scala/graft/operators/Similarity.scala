@@ -178,24 +178,28 @@ object Similarity {
       when(dot(emb, planeCol(j)) > 0.0, shiftleft(lit(1), j)).otherwise(0)
     }.reduce(_ + _)
 
-  /** Persisted ANN signature index: (vec_id, embedding) written ONCE per
-    * corpus, partitioned by the 16-bit probe signature — the Spark analog of
-    * the reference's persisted vector index (idx/ HNSW). Probes then read
-    * only the partitions inside the Hamming ball instead of scanning the
-    * table (partition pruning visible in the scan's PartitionFilters). */
+  /** Persisted ANN signature index: (vec_id, embedding, sig) written ONCE
+    * per corpus, PARTITIONED by the top-6-bit bucket of the probe signature
+    * (64 directories — coarse buckets that stay O(1) in count while each
+    * bucket's population scales with n). The Spark analog of the
+    * reference's persisted vector index (idx/ HNSW): probes prune to the
+    * Hamming-ball buckets at the directory level and apply the full 16-bit
+    * signature as an in-partition residual filter. */
   private val annIndexes = scala.collection.concurrent.TrieMap[String, String]()
   private def annIndexPath(s: SparkSession, d: String): String =
     annIndexes.getOrElseUpdate(d, {
       val path = s"/tmp/graft_ann_${Integer.toHexString(d.hashCode)}"
       Tables.embeddingsWide(s, d)
         .withColumn("sig", lshSignature(col("embedding")))
-        .select(col("vec_id"), col("embedding"), col("sig"))
-        .write.mode("overwrite").partitionBy("sig").parquet(path)
+        .withColumn("bucket", shiftright(col("sig"), 10))
+        .select(col("vec_id"), col("embedding"), col("sig"), col("bucket"))
+        .repartition(col("bucket")) // one writer per bucket → 64 files, not tasks×64
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
       path
     })
 
-  /** All signatures within Hamming distance `maxDist` of `sig` (16-bit):
-    * C(16,0..5) = 6,885 bucket keys — the probe set. */
+  /** All values within Hamming distance `maxDist` of `sig` over `bits`
+    * bits — the bucket probe set (C(6,≤3) = 42 of 64 buckets). */
   private def hammingBall(sig: Int, bits: Int, maxDist: Int): Seq[Int] = {
     val out = scala.collection.mutable.ArrayBuffer[Int]()
     def go(pos: Int, flipsLeft: Int, cur: Int): Unit = {
@@ -207,18 +211,21 @@ object Similarity {
     out.distinct.toSeq
   }
 
-  /** `KnnScan` ANN analog over the persisted index: enumerate the Hamming
-    * ball of the query signature, read only those partitions, rerank the
-    * survivors exactly, top-10. Rows-only: approximate by design. */
+  /** `KnnScan` ANN analog over the persisted index: read only the bucket
+    * directories within Hamming distance 3 of the query's bucket
+    * (partition pruning: 42/64 dirs), filter survivors by the 16-bit
+    * signature Hamming bound, rerank exactly, top-10. Rows-only:
+    * approximate by design. */
   val knnAnnLsh = Q.rowsOnly("knn_ann_lsh") { (s, d) =>
     val path = annIndexPath(s, d)
     val q = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qe"), lshSignature(col("embedding")).as("qsig"))
     // 1-row driver-side probe: the signature picks the bucket set
     val qsig = q.select(col("qsig")).head().getInt(0)
-    val ball = hammingBall(qsig, 16, MaxHammingProbe)
+    val buckets = hammingBall(qsig >> 10, 6, 3)
     s.read.parquet(path)
-      .filter(col("sig").isin(ball: _*)) // partition pruning: ≤6,885 buckets read
+      .filter(col("bucket").isin(buckets: _*)) // directory-level pruning
+      .filter(bit_count(col("sig").bitwiseXOR(lit(qsig))) <= MaxHammingProbe)
       .filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(q.select(col("qe"))))
       .select(col("vec_id"),

@@ -264,11 +264,22 @@ object Golden {
     val files = Files.walk(root).iterator().asScala
       .filter(p => p.toString.endsWith(".surql") && filter(p.toString))
       .toSeq.sortBy(_.toString)
-    files.flatMap { p =>
-      val tf = try parseFile(p) catch { case _: Exception => return Seq.empty }
-      if (!tf.run || tf.wip) scala.None
-      else Some(runFileWithTimeout(tf, testsRoot))
-    }
+    // each file runs on a fresh Interp — embarrassingly parallel; a worker
+    // pool keeps the full 1,480-file corpus to seconds instead of minutes
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      Math.max(2, Runtime.getRuntime.availableProcessors() / 2))
+    try {
+      val futures = files.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Option[Outcome]] {
+          def call(): Option[Outcome] = {
+            val tf = try parseFile(p) catch { case _: Exception => return scala.None }
+            if (!tf.run || tf.wip) scala.None
+            else Some(runFileWithTimeout(tf, testsRoot))
+          }
+        })
+      }
+      futures.flatMap(_.get())
+    } finally pool.shutdown()
   }
 
   def runFileWithTimeout(tf: TestFile, testsRoot: Path): Outcome = {
