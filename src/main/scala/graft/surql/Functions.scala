@@ -17,6 +17,8 @@ object Functions {
            "array::find_index" | "array::index_of" | "array::fold" | "array::reduce" |
            "array::any" | "array::all" | "array::some" | "array::every" | "array::sort_by" =>
         return higherOrder(name, argEs.map(Eval.eval(_, env)), env)
+      case n if n.startsWith("set::") && hofNames.contains("array::" + n.stripPrefix("set::")) =>
+        return setHigherOrder(n.stripPrefix("set::"), argEs.map(Eval.eval(_, env)), env)
       case _ =>
     }
     val args = argEs.map(Eval.eval(_, env))
@@ -26,6 +28,7 @@ object Functions {
   def method(recv: V, name: String, argEs: Seq[Expr], env: Env): V = {
     val ns = recv match {
       case _: VArr   => "array"
+      case _: VSet   => "set"
       case _: VStr   => "string"
       case _: VObj   => "object"
       case _: VNum   => "math"
@@ -38,6 +41,8 @@ object Functions {
     val args = argEs.map(Eval.eval(_, env))
     val full = s"$ns::$name"
     if (hofNames.contains(full)) return higherOrder(full, recv +: args, env)
+    if (ns == "set" && hofNames.contains("array::" + name))
+      return setHigherOrder(name, recv +: args, env)
     try apply(full, recv +: args, env)
     catch {
       case e: SqlError if e.msg.startsWith("Unknown function") =>
@@ -50,6 +55,26 @@ object Functions {
   private val hofNames = Set("array::map", "array::filter", "array::filter_index",
     "array::find", "array::find_index", "array::index_of", "array::fold", "array::reduce",
     "array::any", "array::all", "array::some", "array::every", "array::sort_by")
+
+  /** set:: closure-taking functions: the array HOF over the set's items,
+    * with set-shaped results re-sorted/deduped. */
+  private def setHigherOrder(op: String, args: Seq[V], env: Env): V = {
+    val items = args.head match {
+      case VSet(i) => i
+      case VArr(i) => V.set(i).items
+      case other => throw SqlError(
+        s"Incorrect arguments for function set::$op(). Argument 1 was the wrong type. " +
+          s"Expected `set` but found `${other.render}`")
+    }
+    val res = higherOrder("array::" + op, VArr(items) +: args.tail, env)
+    op match {
+      case "map" | "filter" | "filter_index" | "sort_by" => res match {
+        case VArr(i) => V.set(i)
+        case x => x
+      }
+      case _ => res
+    }
+  }
 
   private def applyClosure(c: V, args: Seq[V], env: Env): V = c match {
     case VClosure(params, body, captured) =>
@@ -694,15 +719,91 @@ object Functions {
         }
         VObj(obj(0) -- keys)
 
-      // ---- set (array semantics with dedup) ---------------------------
-      case "set::union" => VArr(Coerce.dedup(arr(0) ++ arr(1)))
-      case "set::intersect" => VArr(Coerce.dedup(arr(0).filter(e => arr(1).exists(V.looseEq(_, e)))))
-      case "set::difference" =>
-        VArr(Coerce.dedup(arr(0).filterNot(e => arr(1).exists(V.looseEq(_, e))) ++
-          arr(1).filterNot(e => arr(0).exists(V.looseEq(_, e)))))
-      case "set::complement" => VArr(Coerce.dedup(arr(0).filterNot(e => arr(1).exists(V.looseEq(_, e)))))
-      case "set::len" => VInt(Coerce.dedup(arr(0)).length)
-      case "set::contains" => VBool(arr(0).exists(V.looseEq(_, arg(1))))
+      // ---- set (sorted-unique BTreeSet semantics, fnc/mod.rs:351-367) --
+      // most operations delegate to their array:: cousin with the first
+      // argument checked as a set and set-shaped results re-wrapped
+      case n if n.startsWith("set::") =>
+        val op = n.stripPrefix("set::")
+        def setArg(i: Int): Vector[V] = arg(i) match {
+          case VSet(items) => items
+          case VArr(items) => V.set(items).items
+          case other => typeErr(i, "set", other)
+        }
+        def wrap(v: V): V = v match {
+          case VArr(items) => V.set(items)
+          case s: VSet     => V.set(s.items)
+          case other       => other
+        }
+        op match {
+          case "add" => arg(1) match {
+            case VSet(more)  => V.set(setArg(0) ++ more)
+            case VArr(more)  => V.set(setArg(0) ++ more)
+            case VNone       => V.set(setArg(0))
+            case v           => V.set(setArg(0) :+ v)
+          }
+          case "remove" => arg(1) match {
+            case VSet(gone) => V.set(setArg(0).filterNot(e => gone.exists(V.looseEq(_, e))))
+            case VArr(gone) => V.set(setArg(0).filterNot(e => gone.exists(V.looseEq(_, e))))
+            case v          => V.set(setArg(0).filterNot(V.looseEq(_, v)))
+          }
+          case "slice" =>
+            val items = setArg(0)
+            def idx(v: V): Option[Int] = v match {
+              case VInt(i) => Some(if (i < 0) (items.length + i).toInt else i.toInt)
+              case _ => scala.None
+            }
+            arg(1) match {
+              case r: VRng =>
+                val lo = r.lo match {
+                  case Some((VInt(i), incl)) => (if (incl) i else i + 1).toInt
+                  case _ => 0
+                }
+                val hi = r.hi match {
+                  case Some((VInt(i), incl)) => (if (incl) i + 1 else i).toInt
+                  case _ => items.length
+                }
+                V.set(items.slice(Math.max(lo, 0), Math.min(Math.max(hi, 0), items.length)))
+              case s =>
+                val start = idx(s).getOrElse(0)
+                val end = arg(2) match {
+                  case VNone => items.length
+                  case v     => idx(v).getOrElse(items.length)
+                }
+                V.set(items.slice(Math.max(start, 0), Math.min(Math.max(end, 0), items.length)))
+            }
+          case "union"      => V.set(setArg(0) ++ setArg(1))
+          case "intersect"  => V.set(setArg(0).filter(e => setArg(1).exists(V.looseEq(_, e))))
+          case "difference" =>
+            V.set(setArg(0).filterNot(e => setArg(1).exists(V.looseEq(_, e))) ++
+              setArg(1).filterNot(e => setArg(0).exists(V.looseEq(_, e))))
+          case "complement" => V.set(setArg(0).filterNot(e => setArg(1).exists(V.looseEq(_, e))))
+          case "len"        => VInt(setArg(0).length)
+          case "contains"   => VBool(setArg(0).exists(V.looseEq(_, arg(1))))
+          case "is_empty"   => VBool(setArg(0).isEmpty)
+          case "distinct"   => V.set(setArg(0))
+          case "flatten" =>
+            V.set(setArg(0).flatMap {
+              case VArr(inner) => inner
+              case VSet(inner) => inner
+              case el          => Vector(el)
+            })
+          case other =>
+            // delegate to the array:: implementation over the set's items
+            val delegated =
+              try apply("array::" + other, VArr(setArg(0)) +: a.drop(1), env)
+              catch {
+                case e: SqlError if e.msg.startsWith("Unknown function") =>
+                  throw SqlError(s"Unknown function set::$other()")
+                case e: SqlError =>
+                  throw SqlError(e.msg
+                    .replace(s"array::$other(", s"set::$other(")
+                    .replace("Expected `array`", "Expected `set`"))
+              }
+            other match {
+              case "map" | "filter" | "slice" | "windows" | "clump" => wrap(delegated)
+              case _ => delegated
+            }
+        }
 
       // ---- time --------------------------------------------------------
       case "time::now" => VDt(java.time.Instant.now())
@@ -814,6 +915,12 @@ object Functions {
       case "type::datetime" => Coerce.cast(Kind.KDatetime, arg(0))
       case "type::uuid" => Coerce.cast(Kind.KUuid, arg(0))
       case "type::array" => Coerce.cast(Kind.KArray(scala.None, scala.None), arg(0))
+      case "type::set" => arg(0) match {
+        case VSet(items) => V.set(items)
+        case VArr(items) => V.set(items)
+        case other => typeErr(0, "set", other)
+      }
+      case "type::is_set" => VBool(arg(0).isInstanceOf[VSet])
       case "type::geometry" | "type::point" => Coerce.cast(Kind.KGeometry(Nil), arg(0))
       case "type::table" => VTable(arg(0).renderRaw)
       case "type::record" =>
