@@ -197,7 +197,9 @@ final case class SelectStmt(
     version: Option[Expr],
     timeout: Option[Expr],
     explain: Boolean,
-    explainFull: Boolean = false) extends Statement
+    explainFull: Boolean = false,
+    /** WITH INDEX hints: None = auto, Some(Nil) = NOINDEX, Some(names). */
+    withIndex: Option[Seq[String]] = scala.None) extends Statement
 
 // Mutations (expr/statements/{create,insert,update,upsert,delete,relate}.rs)
 sealed trait Data

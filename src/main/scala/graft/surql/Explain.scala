@@ -308,6 +308,7 @@ object Explain {
     val pushLimit = s.order.isEmpty && s.groupBy.isEmpty && s.split.isEmpty && singleTable.isDefined
     var consumedPred = false
     var consumedLimit = false
+    var orderConsumed = false
     var residualPred: Option[Expr] = scala.None
 
     def sourceNode(e: Expr): PNode = e match {
@@ -316,7 +317,18 @@ object Explain {
         // IndexScan access-path selection: equality conjuncts served by an
         // index; residual conjuncts become a Filter (exec/index/access_path.rs)
         val fts = s.where.flatMap(w => fulltextAccess(in, name, w))
-        val idx = if (fts.isDefined) scala.None else s.where.flatMap(w => indexAccess(in, name, w))
+        val union = if (fts.isDefined) scala.None
+          else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex))
+        union.foreach { case (idxName, items, _) =>
+          consumedPred = true
+          residualPred = s.where
+          val branches = items.map(v => PNode("IndexScan", "Db",
+            Seq("index" -> idxName, "access" -> ("= " + v), "direction" -> "Forward")))
+          return PNode("UnionIndexScan", "Db",
+            Seq("table" -> name, "branches" -> branches.length.toString), branches)
+        }
+        val idx = if (fts.isDefined) scala.None
+          else s.where.flatMap(w => indexAccess(in, name, w, s.withIndex))
         fts match {
           case Some((idxName, queryTxt, residual)) =>
             consumedPred = true
@@ -324,11 +336,28 @@ object Explain {
             PNode("FullTextScan", "Db", Seq("index" -> idxName, "query" -> queryTxt))
           case scala.None =>
         idx match {
-          case Some((idxName, access, residual)) =>
+          case Some((idxName, access, residual, idxFields, eqLen)) =>
             consumedPred = true
             residualPred = residual
-            PNode("IndexScan", "Db",
-              Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"))
+            // index-covered ordering: a single ORDER BY key on a matched
+            // index field is served by scan direction (sort elimination,
+            // planner util.rs:1243 index_covers_ordering)
+            var direction = "Forward"
+            if (s.order.length == 1 && s.groupBy.isEmpty) {
+              s.order.head.expr match {
+                case Idiom(Seq(PField(of))) if idxFields.take(eqLen + 1).contains(of) =>
+                  orderConsumed = true
+                  direction = if (s.order.head.desc) "Backward" else "Forward"
+                case _ => ()
+              }
+            }
+            var attrs = Seq("index" -> idxName, "access" -> access, "direction" -> direction)
+            if (orderConsumed && limitConst.isDefined && startConst.isEmpty &&
+                s.groupBy.isEmpty && s.split.isEmpty) {
+              attrs = attrs :+ ("limit" -> limitConst.get.toString)
+              consumedLimit = true
+            }
+            PNode("IndexScan", "Db", attrs)
           case scala.None =>
             var attrs = Seq("table" -> name, "direction" -> "Forward")
             if (singleTable.isDefined && predicateTxt.isDefined) {
@@ -373,7 +402,7 @@ object Explain {
 
     // ---- sort / limit ----------------------------------------------------
     val orderTxt = s.order.map(k => exprSql(k.expr) + (if (k.desc) " DESC" else " ASC")).mkString(", ")
-    if (s.order.nonEmpty) {
+    if (s.order.nonEmpty && !orderConsumed) {
       if (limitConst.isDefined) {
         val topn = limitConst.get + startConst.getOrElse(0L)
         val (nme, key) = if (grouped) ("SortTopK", "order_by") else ("SortTopKByKey", "sort_keys")
@@ -442,31 +471,89 @@ object Explain {
     case x => Seq(x)
   }
 
-  /** Equality conjuncts served by an index → (index name, access text,
-    * residual predicate). Unique indexes are preferred at equal prefix
-    * length (access-path scoring, exec/index/access_path.rs:209). */
-  private def indexAccess(in: Interp, table: String, where: Expr): Option[(String, String, Option[Expr])] = {
+  /** Index access-path selection (exec/index/access_path.rs:209): an
+    * equality prefix plus an optional range on the next index field.
+    * Returns (index name, access text, residual predicate, index fields,
+    * equality-prefix length). Unique indexes are preferred at equal
+    * prefix length. */
+  /** Dotted text of a pure field path (PField/PAll parts only). */
+  private def fieldPathName(ps: Seq[Part]): Option[String] =
+    if (ps.forall(p => p.isInstanceOf[PField] || p == PAll))
+      Some(ps.map { case PField(n) => n; case _ => "*" }.mkString("."))
+    else scala.None
+
+  private def indexAccess(in: Interp, table: String, where: Expr,
+      hints: Option[Seq[String]] = scala.None): Option[(String, String, Option[Expr], Seq[String], Int)] = {
+    if (hints.contains(Nil)) return scala.None // WITH NOINDEX
     val cs = conjunctList(where)
     val eqPairs: Map[String, (String, Expr)] = cs.collect {
       case c @ Binary("=", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
         f -> ((exprSql(rhs), c))
+      // CONTAINS over an array path is an equality probe into the index
+      // built on that path (planner contains_operators)
+      case c @ Binary("CONTAINS", Idiom(ps), rhs) if !touchesDb(rhs) && fieldPathName(ps).isDefined =>
+        fieldPathName(ps).get -> ((exprSql(rhs), c))
     }.toMap
+    val rangeOps: Map[String, Seq[(String, String, Expr)]] = cs.collect {
+      case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
+        (f, (op, exprSql(rhs), c))
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     if (eqPairs.isEmpty) return scala.None
     val candidates = in.indexDefs.collect {
       case ((t, _), d) if t == table && d.fields.nonEmpty &&
+          hints.forall(h => h.contains(d.name)) &&
           !d.tail.toUpperCase.startsWith("FULLTEXT") && !d.tail.toUpperCase.startsWith("SEARCH") =>
         val matched = d.fields.takeWhile(f => eqPairs.contains(f))
         (d, matched)
-    }.filter(_._2.nonEmpty)
+    }.filter { case (d, m) => m.length == d.fields.length || m.nonEmpty }
+      .filter(_._2.nonEmpty)
     if (candidates.isEmpty) return scala.None
     val (idx, matched) = candidates.maxBy { case (d, m) => (m.length, d.unique) }
-    val served = matched.map(f => eqPairs(f)._2).toSet
+    val containsConjuncts: Set[Expr] = cs.collect {
+      case c @ Binary("CONTAINS", _, _) => c
+    }.toSet
+    var served = matched.map(f => eqPairs(f)._2).toSet -- containsConjuncts
+    // range on the field right after the equality prefix
+    val rangeTxt = idx.fields.lift(matched.length).flatMap(rangeOps.get) match {
+      case Some(rs) if rs.length == 1 =>
+        val (op, vTxt, c) = rs.head
+        served += c
+        val opName = op match {
+          case ">"  => "MoreThan"
+          case ">=" => "MoreThanEqual"
+          case "<"  => "LessThan"
+          case "<=" => "LessThanEqual"
+        }
+        Some(s" $opName $vTxt")
+      case _ => scala.None
+    }
     val residual = cs.filterNot(served.contains)
     val residualExpr = residual.reduceOption((a, b) => Binary("&&", a, b))
     val access =
-      if (idx.fields.length == 1) "= " + eqPairs(matched.head)._1
-      else "[" + matched.map(f => eqPairs(f)._1).mkString(", ") + "]"
-    Some((idx.name, access, residualExpr))
+      (if (idx.fields.length == 1) "= " + eqPairs(matched.head)._1
+       else "[" + matched.map(f => eqPairs(f)._1).mkString(", ") + "]") +
+        rangeTxt.getOrElse("")
+    Some((idx.name, access, residualExpr, idx.fields, matched.length))
+  }
+
+  /** CONTAINSALL/CONTAINSANY over an indexed array path → per-element
+    * index probes merged by UnionIndexScan (scan/union_index.rs). */
+  private def unionIndexAccess(in: Interp, table: String, where: Expr,
+      hints: Option[Seq[String]]): Option[(String, Seq[String], Expr)] = {
+    if (hints.contains(Nil)) return scala.None
+    val cs = conjunctList(where)
+    cs.collectFirst {
+      case c @ Binary("CONTAINSALL" | "CONTAINSANY", Idiom(ps), ArrLit(items))
+          if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
+        (fieldPathName(ps).get, items, c)
+    }.flatMap { case (path, items, c) =>
+      in.indexDefs.collectFirst {
+        case ((t, _), d) if t == table && d.fields == Seq(path) &&
+            hints.forall(_.contains(d.name)) &&
+            !d.tail.toUpperCase.startsWith("FULLTEXT") =>
+          (d.name, items.map(exprSql), c)
+      }
+    }
   }
 
   /** `field @@ 'query'` conjunct served by a FULLTEXT index. */
@@ -483,6 +570,79 @@ object Explain {
           (d.name, q, residual)
       }
     }
+  }
+
+  /** Legacy (compute-only) trailing-EXPLAIN output: the dbs/ executor's
+    * Iterate/Collector operation array. */
+  def legacy(in: Interp, s: SelectStmt, env: Env): V = {
+    val table: Option[String] = s.what match {
+      case Seq(Idiom(Seq(PField(n)))) => Some(n)
+      case Seq(TableRef(n))           => Some(n)
+      case _                          => scala.None
+    }
+    val entries = scala.collection.mutable.ArrayBuffer[V]()
+    val union = for {
+      t <- table
+      w <- s.where
+      r <- unionIndexAccess(in, t, w, s.withIndex)
+    } yield r
+    union.foreach { case (idxName, _, c) =>
+      val vals: V = c match {
+        case Binary(_, _, ArrLit(items)) =>
+          VArr(items.map(i => try Eval.eval(i, env) catch { case _: SqlError => VNone }).toVector)
+        case _ => VNone
+      }
+      entries += V.obj(
+        "detail" -> V.obj(
+          "plan" -> V.obj(
+            "index" -> VStr(idxName),
+            "operator" -> VStr("union"),
+            "value" -> vals),
+          "table" -> VStr(table.getOrElse(""))),
+        "operation" -> VStr("Iterate Index"))
+      entries += V.obj(
+        "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
+        "operation" -> VStr("Collector"))
+      return VArr(entries.toVector)
+    }
+    val idx = for {
+      t <- table
+      w <- s.where
+      r <- indexAccess(in, t, w, s.withIndex)
+    } yield r
+    idx match {
+      case Some((idxName, _, _, idxFields, eqLen)) =>
+        // evaluate the matched equality values for the plan detail
+        val cs = conjunctList(s.where.get)
+        val valueOf: Map[String, V] = cs.collect {
+          case Binary("=", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
+            f -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
+          case Binary("CONTAINS", Idiom(ps), rhs) if fieldPathName(ps).isDefined =>
+            fieldPathName(ps).get -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
+        }.toMap
+        val matched = idxFields.take(eqLen).flatMap(valueOf.get)
+        val valueV: V =
+          if (matched.length == 1) matched.headOption.getOrElse(VNone)
+          else VArr(matched.toVector)
+        entries += V.obj(
+          "detail" -> V.obj(
+            "plan" -> V.obj(
+              "index" -> VStr(idxName),
+              "operator" -> VStr("="),
+              "value" -> valueV),
+            "table" -> VStr(table.getOrElse(""))),
+          "operation" -> VStr("Iterate Index"))
+      case scala.None =>
+        table.foreach { t =>
+          entries += V.obj(
+            "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
+            "operation" -> VStr("Iterate Table"))
+        }
+    }
+    entries += V.obj(
+      "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
+      "operation" -> VStr("Collector"))
+    VArr(entries.toVector)
   }
 
   /** Non-SELECT statements (control flow etc.). */
@@ -538,9 +698,37 @@ object Explain {
           case _           => 1L
         }
       }
-      def annotate(n: PNode): PNode =
-        n.copy(rows = Some(if (n.ctx == "Db") total else 0L),
-          children = n.children.map(annotate))
+      // a scan beneath a residual Filter processed MORE rows than the final
+      // result: re-count with only the index-served conjuncts applied
+      val scanRows: Option[Long] = inner match {
+        case sel: SelectStmt if sel.where.isDefined =>
+          val table = sel.what match {
+            case Seq(Idiom(Seq(PField(n)))) => Some(n)
+            case Seq(TableRef(n))           => Some(n)
+            case _                          => scala.None
+          }
+          table.flatMap(t => indexAccess(in, t, sel.where.get)).flatMap {
+            case (_, _, Some(residual), _, _) =>
+              val residualSet = conjunctList(residual).toSet
+              val accessOnly = conjunctList(sel.where.get).filterNot(residualSet.contains)
+                .reduceOption((a, b) => Binary("&&", a, b))
+              val scanStmt = sel.copy(where = accessOnly, order = Nil,
+                limit = scala.None, start = scala.None)
+              try in.execStatement(scanStmt, env) match {
+                case VArr(items) => Some(items.length.toLong)
+                case _           => scala.None
+              } catch { case _: SqlError => scala.None }
+            case _ => scala.None
+          }
+        case _ => scala.None
+      }
+      def annotate(n: PNode): PNode = {
+        val r =
+          if (n.ctx != "Db") 0L
+          else if (n.name.endsWith("Scan") && scanRows.isDefined) scanRows.get
+          else total
+        n.copy(rows = Some(r), children = n.children.map(annotate))
+      }
       val annotated = annotate(plan)
       if (json) renderJson(annotated, Some(total))
       else VStr(renderText(annotated, Some(total)))

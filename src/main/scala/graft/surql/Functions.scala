@@ -994,11 +994,29 @@ object Functions {
       case "crypto::joaat" => VInt(joaat(str(0)))
 
       // ---- rand --------------------------------------------------------
+      case n if n.startsWith("type::is_") && n != "type::is_set" =>
+        apply("type::is::" + n.stripPrefix("type::is_"), a, env)
+      case "rand::duration" =>
+        def durNs(v: V): BigInt = v match {
+          case VDur(s2, n2) => BigInt(s2) * 1000000000L + n2
+          case other => typeErr(0, "duration", other)
+        }
+        if (a.isEmpty) VDur(scala.util.Random.nextInt(60).toLong, 0)
+        else if (a.length == 2) {
+          val (lo, hi) = (durNs(arg(0)), durNs(arg(1)))
+          val (mn, mx) = if (lo <= hi) (lo, hi) else (hi, lo)
+          val span = mx - mn
+          val pick = mn + (if (span == 0) BigInt(0)
+            else BigInt(64, scala.util.Random).mod(span + 1))
+          VDur((pick / 1000000000L).toLong, (pick % 1000000000L).toInt)
+        } else throw SqlError("Incorrect arguments for function rand::duration(). Expected 0 or 2 arguments")
       case "rand" => VFloat(scala.util.Random.nextDouble())
       case "rand::bool" => VBool(scala.util.Random.nextBoolean())
       case "rand::float" =>
         if (a.length >= 2) VFloat(dbl(0) + scala.util.Random.nextDouble() * (dbl(1) - dbl(0)))
         else VFloat(scala.util.Random.nextDouble())
+      case "rand::int" if a.length == 1 =>
+        throw SqlError("Incorrect arguments for function rand::int(). Expected 0 or 2 arguments")
       case "rand::int" =>
         if (a.length >= 2) VInt(int(0) + Math.abs(scala.util.Random.nextLong()) % Math.max(1, int(1) - int(0) + 1))
         else VInt(scala.util.Random.nextLong())

@@ -30,7 +30,8 @@ object Golden {
   final case class TestFile(path: Path, sql: String, expected: Seq[Expected],
       imports: Seq[String], run: Boolean, wip: Boolean,
       expectParseError: Boolean = false,
-      envNamespace: Boolean = true, envDatabase: Boolean = true)
+      envNamespace: Boolean = true, envDatabase: Boolean = true,
+      legacyPlanner: Boolean = false)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -111,8 +112,12 @@ object Golden {
       case Some(Toml.B(b)) => b
       case _ => true
     }
+    val legacy = t.get("env.planner-strategy") match {
+      case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s == "compute-only"; case _ => false }
+      case _ => false
+    }
     TestFile(path, src, expected, imports, run, wip, parseErr,
-      envFlag("env.namespace"), envFlag("env.database"))
+      envFlag("env.namespace"), envFlag("env.database"), legacy)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -128,6 +133,7 @@ object Golden {
     // the [env] config disables them (language-tests provisioner)
     if (tf.envNamespace) interp.namespaces("test") = "DEFINE NAMESPACE test"
     if (tf.envDatabase) interp.databases("test") = "DEFINE DATABASE test"
+    interp.legacyPlanner = tf.legacyPlanner
     // imports run first, results discarded
     tf.imports.foreach { imp =>
       val p = testsRoot.resolve(imp.stripPrefix("/"))

@@ -69,6 +69,9 @@ final class Interp {
   val history = mutable.ArrayBuffer[(java.time.Instant, String, V, Option[VObj])]()
   /** Active VERSION scope: reads snapshot at this timestamp. */
   var versionAsOf: Option[java.time.Instant] = scala.None
+  /** Session planner strategy: trailing `… EXPLAIN` renders the legacy
+    * Iterate/Collector array under compute-only (dbs/ legacy executor). */
+  var legacyPlanner = false
 
   def run(ast: Ast): Seq[QueryResult] = {
     val results = mutable.ArrayBuffer[QueryResult]()
@@ -102,6 +105,8 @@ final class Interp {
     case ExprStmt(e)   => Eval.eval(e, env)
     case ReturnStmt(e) => Eval.eval(e, env)
     case ExplainStmt(analyze, json, inner) => Explain.run(this, analyze, json, inner, env)
+    case s: SelectStmt if s.explain && legacyPlanner =>
+      Explain.legacy(this, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt if s.explain =>
       Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt => execSelect(s, env)

@@ -854,10 +854,16 @@ final class Parser(val src: String) {
     val what = ArrayBuffer[Expr]()
     var goW = true
     while (goW) { what += expr(); goW = sym(",") }
-    // WITH INDEX i[, j] / WITH NOINDEX — planner hints, accepted and ignored
+    // WITH INDEX i[, j] / WITH NOINDEX — access-path hints (expr/with.rs)
+    var withIndex: Option[Seq[String]] = scala.None
     if (kw("WITH")) {
-      if (kw("NOINDEX")) ()
-      else if (kw("INDEX")) { var g = true; while (g) { rawIdent(); g = sym(",") } }
+      if (kw("NOINDEX")) withIndex = Some(Nil)
+      else if (kw("INDEX")) {
+        val names = ArrayBuffer[String]()
+        var g = true
+        while (g) { names += rawIdent(); g = sym(",") }
+        withIndex = Some(names.toSeq)
+      }
     }
     val where = if (kw("WHERE")) Some(expr()) else scala.None
     val split = ArrayBuffer[String]()
@@ -903,7 +909,7 @@ final class Parser(val src: String) {
     val explainFull = explain && kw("FULL")
     SelectStmt(fields.toSeq, value, omit.toSeq, only, what.toSeq, where, split.toSeq,
       groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain,
-      explainFull)
+      explainFull, withIndex)
   }
 
   /** OMIT entry: dotted idiom, optionally fanning out over a destructure
