@@ -267,6 +267,16 @@ object Functions {
       case VObj(fs) => fs
       case other => typeErr(i, "object", other)
     }
+    // GeoJSON objects coerce to geometry in geo:: argument positions
+    def geom(i: Int): VGeom = arg(i) match {
+      case g: VGeom => g
+      case VObj(fs) if fs.contains("type") && fs.contains("coordinates") =>
+        fs("type") match {
+          case VStr(t) => VGeom(t, fs("coordinates"))
+          case _ => typeErr(i, "geometry", arg(i))
+        }
+      case other => typeErr(i, "geometry", other)
+    }
     def nums(i: Int): Vector[Double] = arr(i).map {
       case n: VNum => n.toDouble
       case other => typeErr(i, "array<number>", other)
@@ -1094,8 +1104,73 @@ object Functions {
         VFloat(cov / (sx * sy))
 
       // ---- geo ---------------------------------------------------------
+      case "geo::area" =>
+        def pts(v: V): Vector[(Double, Double)] = v match {
+          case VArr(items) => items.collect {
+            case VArr(Vector(x: VNum, y: VNum)) => (x.toDouble, y.toDouble)
+            case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) => (x.toDouble, y.toDouble)
+          }
+          case _ => Vector.empty
+        }
+        // Chamberlain–Duquette spherical ring area (geo crate, R = WGS84
+        // equatorial radius 6378137)
+        def ringArea(ring: Vector[(Double, Double)]): Double = {
+          val n = ring.length
+          if (n < 3) return 0.0
+          var total = 0.0
+          var i = 0
+          while (i < n) {
+            val p0 = ring((i + n - 1) % n)
+            val p1 = ring(i)
+            val p2 = ring((i + 1) % n)
+            total += (Math.toRadians(p2._1) - Math.toRadians(p0._1)) * Math.sin(Math.toRadians(p1._2))
+            i += 1
+          }
+          Math.abs(total * 6378137.0 * 6378137.0 / 2.0)
+        }
+        geom(0) match {
+          case VGeom("Polygon", VArr(rings)) =>
+            val outer = rings.headOption.map(pts).map(ringArea).getOrElse(0.0)
+            val holes = rings.drop(1).map(pts).map(ringArea).sum
+            VFloat(outer - holes)
+          case VGeom("Point" | "MultiPoint" | "Line" | "LineString" | "MultiLine", _) => VFloat(0.0)
+          case other => typeErr(0, "geometry", other)
+        }
+      case "geo::centroid" =>
+        def ring(v: V): Vector[(Double, Double)] = v match {
+          case VArr(items) => items.collect {
+            case VArr(Vector(x: VNum, y: VNum)) => (x.toDouble, y.toDouble)
+          }
+          case _ => Vector.empty
+        }
+        geom(0) match {
+          case p @ VGeom("Point", _) => p
+          case VGeom("MultiPoint", VArr(items)) =>
+            val ps = items.collect { case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) => (x.toDouble, y.toDouble) }
+            if (ps.isEmpty) VNone
+            else VGeom("Point", VArr(Vector(VFloat(ps.map(_._1).sum / ps.length), VFloat(ps.map(_._2).sum / ps.length))))
+          case VGeom("Polygon", VArr(rings)) =>
+            val ps = rings.headOption.map(ring).getOrElse(Vector.empty)
+            if (ps.length < 3) VNone
+            else {
+              // planar shoelace centroid (geo crate Centroid for Polygon)
+              var a = 0.0; var cx = 0.0; var cy = 0.0
+              var i = 0
+              val n = ps.length
+              while (i < n) {
+                val (x1, y1) = ps(i)
+                val (x2, y2) = ps((i + 1) % n)
+                val cross = x1 * y2 - x2 * y1
+                a += cross; cx += (x1 + x2) * cross; cy += (y1 + y2) * cross
+                i += 1
+              }
+              if (a == 0.0) VNone
+              else VGeom("Point", VArr(Vector(VFloat(cx / (3 * a)), VFloat(cy / (3 * a)))))
+            }
+          case other => typeErr(0, "geometry", other)
+        }
       case "geo::distance" =>
-        (arg(0), arg(1)) match {
+        (geom(0), geom(1)) match {
           case (VGeom("Point", VArr(Vector(x1: VNum, y1: VNum))), VGeom("Point", VArr(Vector(x2: VNum, y2: VNum)))) =>
             VFloat(haversine(y1.toDouble, x1.toDouble, y2.toDouble, x2.toDouble))
           case _ => VNone
@@ -1114,11 +1189,14 @@ object Functions {
             VStr(geohashEncode(y.toDouble, x.toDouble, len))
           case other => typeErr(0, "geometry", other)
         }
-      case "geo::hash::decode" =>
-        val (lat, lon) = geohashDecode(str(0))
-        VGeom("Point", VArr(Vector(VFloat(lon), VFloat(lat))))
+      case "geo::hash::decode" => arg(0) match {
+        case VStr(s) =>
+          val (lat, lon) = geohashDecode(s)
+          VGeom("Point", VArr(Vector(VFloat(lon), VFloat(lat))))
+        case _ => VNone
+      }
       case "geo::bearing" =>
-        (arg(0), arg(1)) match {
+        (geom(0), geom(1)) match {
           case (VGeom("Point", VArr(Vector(x1: VNum, y1: VNum))), VGeom("Point", VArr(Vector(x2: VNum, y2: VNum)))) =>
             val (lat1, lon1, lat2, lon2) = (Math.toRadians(y1.toDouble), Math.toRadians(x1.toDouble), Math.toRadians(y2.toDouble), Math.toRadians(x2.toDouble))
             val dl = lon2 - lon1
@@ -1136,13 +1214,30 @@ object Functions {
           case VStr(s) => s.getBytes("UTF-8")
           case other => other.renderRaw.getBytes("UTF-8")
         }
-        VStr(java.util.Base64.getEncoder.encodeToString(bytes))
+        // the reference emits UNPADDED base64 (fnc/encoding.rs)
+        VStr(java.util.Base64.getEncoder.withoutPadding().encodeToString(bytes))
       case "encoding::json::encode" | "json::encode" =>
         VStr(Json.encode(arg(0)))
       case "encoding::json::decode" | "json::decode" =>
-        Json.decode(str(0))
+        try Json.decode(str(0))
+        catch {
+          case _: Exception =>
+            throw SqlError("Incorrect arguments for function encoding::json::decode(). Invalid JSON")
+        }
       case "encoding::base64::decode" =>
         VBytes(java.util.Base64.getDecoder.decode(str(0)).toVector)
+      case "encoding::cbor::encode" =>
+        VBytes(Cbor.encode(arg(0)).toVector)
+      case "encoding::cbor::decode" =>
+        arg(0) match {
+          case VBytes(bs) =>
+            try Cbor.decode(bs.toArray)
+            catch {
+              case _: Exception =>
+                throw SqlError("Incorrect arguments for function encoding::cbor::decode(). Invalid CBOR")
+            }
+          case other => typeErr(0, "bytes", other)
+        }
 
       // ---- session (static defaults) ----------------------------------
       case "session::db" => VStr("test")

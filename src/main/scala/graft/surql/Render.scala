@@ -63,8 +63,13 @@ object Render {
     case VRegex(p)    => f.append('/').append(p).append('/')
     case _: VClosure  => f.append("function")
     case VGeom("Point", VArr(Vector(x, y))) =>
-      // points display as a coordinate tuple, coords as stored: (1f, 2f)
-      f.append('('); write(f, x); f.append(", "); write(f, y); f.append(')')
+      // points display as a coordinate tuple of bare f64s (Rust Display —
+      // no `f` suffix, integral values show as integers): (0, 0)
+      def coord(v: V): Unit = v match {
+        case n: VNum => f.append(floatDigits(n.toDouble))
+        case other   => write(f, other)
+      }
+      f.append('('); coord(x); f.append(", "); coord(y); f.append(')')
     case VGeom(kind, coords) =>
       // other geometries: GeoJSON-shaped object rendering
       write(f, V.obj("type" -> VStr(kind), "coordinates" -> coords))
