@@ -928,9 +928,14 @@ object Functions {
       case "type::set" => arg(0) match {
         case VSet(items) => V.set(items)
         case VArr(items) => V.set(items)
-        case other => typeErr(0, "set", other)
+        case other => throw SqlError(s"Could not cast into `set` using input `${other.renderRaw}`")
       }
-      case "type::is_set" => VBool(arg(0).isInstanceOf[VSet])
+      case "type::is_set" | "type::is::set" => VBool(arg(0).isInstanceOf[VSet])
+      case "type::range" if arg(0).isInstanceOf[VArr] => arg(0) match {
+        case VArr(Vector(lo, hi)) => VRng(Some((lo, true)), Some((hi, false)))
+        case VArr(Vector(lo)) => VRng(Some((lo, true)), scala.None)
+        case other => throw SqlError(s"Could not cast into `range` using input `${other.renderRaw}`")
+      }
       case "type::geometry" | "type::point" => Coerce.cast(Kind.KGeometry(Nil), arg(0))
       case "type::table" => VTable(arg(0).renderRaw)
       case "type::record" =>
@@ -946,9 +951,24 @@ object Functions {
       case "type::range" => Coerce.cast(Kind.KRange, arg(0))
       case "type::record" => Coerce.cast(Kind.KRecord(Nil), arg(0))
       case "type::field" =>
-        env.doc.flatMap(_.fields.get(str(0))).getOrElse(VNone)
+        def pathValue(d: V, path: String): V =
+          path.split('.').foldLeft(d) {
+            case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
+            case (VArr(items), "*") => VArr(items)
+            case _ => VNone
+          }
+        env.doc.map(d => pathValue(d, str(0))).getOrElse(VNone)
       case "type::fields" =>
-        VArr(arr(0).map { case VStr(f) => env.doc.flatMap(_.fields.get(f)).getOrElse(VNone); case _ => VNone })
+        def pathValue2(d: V, path: String): V =
+          path.split('.').foldLeft(d) {
+            case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
+            case (VArr(items), "*") => VArr(items)
+            case _ => VNone
+          }
+        VArr(arr(0).map {
+          case VStr(f) => env.doc.map(d => pathValue2(d, f)).getOrElse(VNone)
+          case _ => VNone
+        })
       case "type::is::array" => VBool(arg(0).isInstanceOf[VArr])
       case "type::is::bool" => VBool(arg(0).isInstanceOf[VBool])
       case "type::is::bytes" => VBool(arg(0).isInstanceOf[VBytes])

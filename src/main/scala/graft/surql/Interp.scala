@@ -1178,9 +1178,29 @@ final class Interp {
       case obj: VObj =>
         var out = if (hasAll) obj.fields else TreeMap.empty[String, V]
         s.fields.filterNot(_.isAll).foreach { f =>
-          val name = f.alias.getOrElse(Eval.fieldName(f.expr))
-          val v = Eval.eval(f.expr, de)
-          out = setPath(out, name.split('.').toList, v)
+          f.expr match {
+            // dynamic projections: type::field/type::fields project under
+            // the RESOLVED field path(s) (fnc/mod.rs:645-646)
+            case FnCall("type::field", Seq(fe)) if f.alias.isEmpty =>
+              Eval.eval(fe, de) match {
+                case VStr(path) =>
+                  out = setPath(out, path.split('.').toList, docFieldPath(obj, path))
+                case _ => ()
+              }
+            case FnCall("type::fields", Seq(fe)) if f.alias.isEmpty =>
+              Eval.eval(fe, de) match {
+                case VArr(paths) => paths.foreach {
+                  case VStr(path) =>
+                    out = setPath(out, path.split('.').toList, docFieldPath(obj, path))
+                  case _ => ()
+                }
+                case _ => ()
+              }
+            case _ =>
+              val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+              val v = Eval.eval(f.expr, de)
+              out = setPath(out, name.split('.').toList, v)
+          }
         }
         var res = VObj(out)
         s.omit.foreach { o => res = removeDocPath(res, o.split('.').toList) }
