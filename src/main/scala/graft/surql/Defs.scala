@@ -123,7 +123,34 @@ object Defs {
     t = t.replace("( ", "(").replace(" )", ")")
     t = t.replaceAll("(?<![\\w$.:`])value(\\s*=[^=])", "`value`$1")
     t = t.replace("{ }", "{  }").replace("{}", "{  }")
+    t = requoteStrings(t)
     t
+  }
+
+  /** Re-render simple double-quoted string literals with the reference's
+    * single-quote preference (QuoteStr: `'` unless the text contains one).
+    * Only rewrites literals free of quotes and escapes; skips content inside
+    * single-quoted strings. */
+  private def requoteStrings(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' =>
+          val j = { var k = i + 1; while (k < s.length && s.charAt(k) != '\'') { if (s.charAt(k) == '\\') k += 1; k += 1 }; k }
+          sb.append(s, i, math.min(j + 1, s.length)); i = j + 1
+        case '"' =>
+          val j = { var k = i + 1; while (k < s.length && s.charAt(k) != '"') { if (s.charAt(k) == '\\') k += 1; k += 1 }; k }
+          if (j < s.length) {
+            val body = s.substring(i + 1, j)
+            if (!body.contains('\'') && !body.contains('\\')) sb.append('\'').append(body).append('\'')
+            else sb.append(s, i, j + 1)
+            i = j + 1
+          } else { sb.append(s.charAt(i)); i += 1 }
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   final case class EventDef(

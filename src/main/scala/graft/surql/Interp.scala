@@ -57,6 +57,10 @@ final class Interp {
   val functionDefs = mutable.LinkedHashMap[String, String]()
   val tableDefs = mutable.LinkedHashMap[String, Defs.TableDef]()
   val fieldDefs2 = mutable.LinkedHashMap[(String, String), Defs.FieldDef]()
+  /** Subtype `name.*` definitions auto-created for array<K>/set<K> fields
+    * (define/field.rs process_recursive_definitions) — these never conflict
+    * with a later explicit DEFINE FIELD of the same path. */
+  val autoFields = mutable.Set[(String, String)]()
   val indexDefs = mutable.LinkedHashMap[(String, String), Defs.IndexDef]()
   val eventDefs = mutable.LinkedHashMap[(String, String), Defs.EventDef]()
   val sequences = mutable.LinkedHashMap[String, Defs.SequenceDef]()
@@ -144,18 +148,18 @@ final class Interp {
     case BreakStmt    => throw BreakSignal
     case ContinueStmt => throw ContinueSignal
     case d: DefineStmt => execDefine(d); VNone
-    case s: DefineFunctionStmt => execDefineFunction(s.copy(comment = s.comment.map(rn(_, env)))); VNone
+    case s: DefineFunctionStmt => execDefineFunction(s.copy(comment = rc(s.comment, env))); VNone
     case f: DefineFieldStmt => execDefineField(resolveFieldNames(f, env)); VNone
     case ix: DefineIndexStmt => execDefineIndex(ix.copy(name = rn(ix.name, env),
       table = rn(ix.table, env), meta = ix.meta.map(m => m.copy(name = rn(m.name, env), table = rn(m.table, env))))); VNone
     case s: DefineTableStmt => execDefineTable(s.copy(d = s.d.copy(name = rn(s.d.name, env),
-      comment = s.d.comment.map(rn(_, env))))); VNone
+      comment = rc(s.d.comment, env)))); VNone
     case s: DefineEventStmt => execDefineEvent(s.copy(d = s.d.copy(name = rn(s.d.name, env),
-      table = rn(s.d.table, env), comment = s.d.comment.map(rn(_, env))))); VNone
+      table = rn(s.d.table, env), comment = rc(s.d.comment, env)))); VNone
     case s: DefineUserStmt => execDefineUser(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
     case s: DefineSequenceStmt => execDefineSequence(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
     case s: DefineRawStmt => execDefineRaw(s.copy(name = rn(s.name, env),
-      comment = s.comment.map(rn(_, env))), env); VNone
+      comment = rc(s.comment, env)), env); VNone
     case s: RemoveStmt => execRemove(s.copy(name = rn(s.name, env),
       onTable = s.onTable.map(rn(_, env)))); VNone
     case s: AlterTableStmt => execAlterTable(s); VNone
@@ -179,10 +183,24 @@ final class Interp {
       }
     else n
 
+  /** Resolve a COMMENT value; a `$param` that evaluates to NONE/NULL drops
+    * the comment entirely (the reference stores comment as an Expr and
+    * omits it when it computes to None). */
+  private def rc(c: Option[String], env: Env): Option[String] =
+    c.flatMap { n =>
+      if (n.startsWith("$"))
+        Eval.eval(Param(n.substring(1)), env) match {
+          case VNone | VNull => scala.None
+          case VStr(s)       => Some(s)
+          case other         => Some(other.renderRaw)
+        }
+      else Some(n)
+    }
+
   private def resolveFieldNames(f: DefineFieldStmt, env: Env): DefineFieldStmt =
     f.copy(field = rn(f.field, env), table = rn(f.table, env),
       meta = f.meta.map(m => m.copy(name = rn(m.name, env), table = rn(m.table, env),
-        comment = m.comment.map(rn(_, env)))))
+        comment = rc(m.comment, env))))
 
   /** `mode`: "" errors on duplicates, "ifnotexists" no-ops, "overwrite"
     * replaces (sql/statements/define DefineKind; remove.rs errors). */
@@ -236,12 +254,41 @@ final class Interp {
     }
     if (f.flexible && !tableDefs.get(f.table).exists(_.full))
       throw SqlError("An error occurred: FLEXIBLE can only be used in SCHEMAFULL tables")
-    if (ddlGate(fieldDefs2.contains(key), f.mode, s"The field '${f.field}' already exists")) {
+    if (ddlGate(fieldDefs2.contains(key) && !autoFields.contains(key), f.mode,
+        s"The field '${f.field}' already exists")) {
+      autoFields.remove(key)
       val next = fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
       checkComputedCycles(next)
       fieldPipeline(f.table) = next
       f.meta.foreach(fieldDefs2(key) = _)
       table(f.table) // schema definition brings the table into existence
+      // array<K>/set<K> register recursive subtype fields `name.*` TYPE K
+      // (define/field.rs process_recursive_definitions; skips bare `array`
+      // whose inner kind is `any`)
+      def innerOf(k: Kind): Option[Kind] = k match {
+        case Kind.KArray(inner, _) => Some(inner.getOrElse(Kind.KAny))
+        case Kind.KSet(inner, _)   => Some(inner.getOrElse(Kind.KAny))
+        case _                     => scala.None
+      }
+      var curName = f.field
+      var curInner = f.kind.flatMap(innerOf)
+      while (curInner.isDefined && curInner.get != Kind.KAny) {
+        val k = curInner.get
+        curName = curName + ".*"
+        val subKey = (f.table, curName)
+        val kindTxt = Explain.kindSql(k)
+        val subMeta = fieldDefs2.get(subKey) match {
+          case Some(d)    => d.copy(kindRaw = Some(kindTxt))
+          case scala.None => Defs.FieldDef(curName, f.table, kindRaw = Some(kindTxt))
+        }
+        if (!fieldDefs2.contains(subKey)) autoFields += subKey
+        fieldDefs2(subKey) = subMeta
+        val subStmt = DefineFieldStmt(curName, f.table, Some(k), false, scala.None,
+          scala.None, false, scala.None, "", false, Some(subMeta))
+        if (!fieldPipeline.getOrElse(f.table, Vector.empty).exists(_.field == curName))
+          fieldPipeline(f.table) = fieldPipeline.getOrElse(f.table, Vector.empty) :+ subStmt
+        curInner = innerOf(k)
+      }
     }
   }
 
@@ -420,7 +467,8 @@ final class Interp {
       if (ddlGate(configs.contains(s.name), s.mode, s"The config for ${s.name} already exists")) {
         configs(s.name) = s.name match {
           case "api"     => V.obj("permissions" -> VBool(true))
-          case "graphql" => V.obj("functions" -> VStr("AUTO"), "tables" -> VStr("AUTO"))
+          case "graphql" =>
+            VStr(if (s.rendered.nonEmpty) s.rendered else "GRAPHQL TABLES NONE FUNCTIONS NONE")
           case _         => V.obj()
         }
       }
@@ -551,6 +599,40 @@ final class Interp {
 
   private def emptyObj: V = VObj(TreeMap.empty)
 
+  /** Structured INFO payload for a canonically-rendered GRAPHQL config
+    * (catalog/schema/config.rs InfoStructure: AUTO → 'AUTO', NONE → NONE,
+    * limits as ints, introspection only when NONE). */
+  private def graphqlStructure(r: String): V = {
+    val toks = r.split(' ')
+    var i = 1 // skip "GRAPHQL"
+    var m = TreeMap[String, V]()
+    def spec(): V = toks(i) match {
+      case "AUTO" => i += 1; VStr("AUTO")
+      case "NONE" => i += 1; VNone
+      case inc @ ("INCLUDE" | "EXCLUDE") =>
+        i += 1
+        val items = scala.collection.mutable.ArrayBuffer[V]()
+        var go = true
+        while (go && i < toks.length) {
+          val t = toks(i)
+          items += VTable(if (t.endsWith(",")) t.dropRight(1) else t)
+          go = t.endsWith(",")
+          i += 1
+        }
+        VObj(TreeMap(inc.toLowerCase -> VArr(items.toVector)))
+      case _ => i += 1; VNone
+    }
+    while (i < toks.length) toks(i) match {
+      case "TABLES"        => i += 1; m += "tables" -> spec()
+      case "FUNCTIONS"     => i += 1; m += "functions" -> spec()
+      case "DEPTH"         => m += "depth_limit" -> VInt(toks(i + 1).toLong); i += 2
+      case "COMPLEXITY"    => m += "complexity_limit" -> VInt(toks(i + 1).toLong); i += 2
+      case "INTROSPECTION" => m += "introspection" -> VNone; i += 2
+      case _               => i += 1
+    }
+    VObj(m)
+  }
+
   private def strMap(entries: Iterable[(String, String)]): V =
     VObj(TreeMap(entries.map { case (k, v) => k -> (VStr(v): V) }.toSeq: _*))
 
@@ -601,7 +683,13 @@ final class Interp {
         "analyzers" -> VArr(Vector.empty),
         "apis" -> VArr(Vector.empty),
         "buckets" -> VArr(Vector.empty),
-        "configs" -> VArr(configs.map { case (n, v) => VObj(TreeMap(n -> v)): V }.toVector),
+        "configs" -> VArr(configs.map { case (n, v) =>
+          val sv = (n, v) match {
+            case ("graphql", VStr(r)) => graphqlStructure(r)
+            case (_, other)           => other
+          }
+          VObj(TreeMap(n -> sv)): V
+        }.toVector),
         "functions" -> VArr(Vector.empty),
         "models" -> VArr(Vector.empty),
         "modules" -> VArr(Vector.empty),
@@ -613,7 +701,8 @@ final class Interp {
       val tb = s.target
       VObj(TreeMap(
         "events" -> VArr(Vector.empty),
-        "fields" -> VArr(fieldDefs2.collect { case ((t, _), d) if t == tb => fieldStructure(d) }.toVector),
+        "fields" -> VArr(fieldDefs2.toSeq.collect { case ((t, n), d) if t == tb => (n, d) }
+          .sortBy(_._1).map(x => fieldStructure(x._2)).toVector),
         "indexes" -> VArr(indexDefs.collect { case ((t, _), d) if t == tb => indexStructure(d) }.toVector),
         "lives" -> VArr(Vector.empty),
         "tables" -> VArr(Vector.empty)))
@@ -637,7 +726,10 @@ final class Interp {
         "analyzers" -> strMap(analyzers),
         "apis" -> emptyObj,
         "buckets" -> emptyObj,
-        "configs" -> emptyObj,
+        "configs" -> VObj(TreeMap(configs.toSeq.map { case (n, v) =>
+          val display = n match { case "graphql" => "GraphQL"; case "api" => "Api"; case o => o }
+          display -> (v match { case s: VStr => s: V; case other => other })
+        }: _*)),
         "functions" -> strMap(functionDefs.map { case (n, r) => n.stripPrefix("fn::") -> r }),
         "models" -> emptyObj,
         "modules" -> emptyObj,

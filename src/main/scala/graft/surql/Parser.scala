@@ -384,6 +384,44 @@ final class Parser(val src: String) {
     if (what == "SEQUENCE") return defineSequenceStmt(mode)
     if (what == "CONFIG") {
       val which = rawIdent().toLowerCase
+      if (which == "graphql") {
+        // sql/statements/define/config/graphql.rs: TABLES/FUNCTIONS specs,
+        // DEPTH/COMPLEXITY limits, INTROSPECTION; bare AUTO/NONE sets both.
+        var tables = "NONE"
+        var funcs = "NONE"
+        var depthL: Option[String] = scala.None
+        var complexityL: Option[String] = scala.None
+        var introNone = false
+        def intTok(): String = { ws(); val d0 = pos; while (!eof && peekc.isDigit) pos += 1; src.substring(d0, pos) }
+        def tfSpec(): String =
+          if (kw("AUTO")) "AUTO"
+          else if (kw("NONE")) "NONE"
+          else {
+            val inc = kw("INCLUDE")
+            if (inc || kw("EXCLUDE")) {
+              val ts = ArrayBuffer[String]()
+              var g = true
+              while (g) { ts += rawIdent(); g = sym(",") }
+              (if (inc) "INCLUDE " else "EXCLUDE ") + ts.mkString(", ")
+            } else "NONE"
+          }
+        var go = true
+        while (go) {
+          if (kw("TABLES")) tables = tfSpec()
+          else if (kw("FUNCTIONS")) funcs = tfSpec()
+          else if (kw("AUTO")) { tables = "AUTO"; funcs = "AUTO" }
+          else if (kw("NONE")) { tables = "NONE"; funcs = "NONE" }
+          else if (kw("DEPTH")) depthL = Some(intTok())
+          else if (kw("COMPLEXITY")) complexityL = Some(intTok())
+          else if (kw("INTROSPECTION")) { if (kw("NONE")) introNone = true else kw("AUTO") }
+          else go = false
+        }
+        val sb = new StringBuilder("GRAPHQL TABLES ").append(tables).append(" FUNCTIONS ").append(funcs)
+        depthL.foreach(d => sb.append(" DEPTH ").append(d))
+        complexityL.foreach(c => sb.append(" COMPLEXITY ").append(c))
+        if (introNone) sb.append(" INTROSPECTION NONE")
+        return DefineRawStmt("CONFIG", which, sb.toString, mode)
+      }
       while (!eof && peekc != ';') pos += 1 // clause tail (PERMISSIONS / AUTO / …)
       return DefineRawStmt("CONFIG", which, "", mode)
     }
@@ -701,19 +739,70 @@ final class Parser(val src: String) {
     DefineRawStmt(what, name, "", mode, scala.None, comment)
   }
 
+  /** One FILTER spec, canonicalized: name uppercase, numeric args joined
+    * with "," (no space), string args single-quoted, keyword args uppercase
+    * (sql/filter.rs fmt_sql). */
+  private def filterSpec(): String = {
+    val nm = rawIdent().toUpperCase
+    ws()
+    if (peekc == '(') {
+      pos += 1
+      val args = ArrayBuffer[String]()
+      ws()
+      if (peekc != ')') {
+        var g = true
+        while (g) {
+          ws()
+          if (peekc == '\'' || peekc == '"') args += Render.sql(VStr(stringLit()._1))
+          else if (peekc.isDigit) {
+            val d0 = pos; while (!eof && peekc.isDigit) pos += 1
+            args += src.substring(d0, pos)
+          } else args += rawIdent().toUpperCase
+          g = sym(",")
+        }
+      }
+      ws(); if (peekc == ')') pos += 1
+      s"$nm(${args.mkString(",")})"
+    } else nm
+  }
+
   private def defineAnalyzerStmt(mode: String): Statement = {
     val name = defName()
-    val p0 = pos
-    var depth = 0
-    while (!eof && !(depth == 0 && (peekc == ';' || peekKw("COMMENT")))) {
-      val c = peekc
-      if (c == '{' || c == '(' || c == '[') depth += 1
-      if (c == '}' || c == ')' || c == ']') depth -= 1
-      pos += 1
+    var function: Option[String] = scala.None
+    var tokenizers: Option[Seq[String]] = scala.None
+    var filters: Option[Seq[String]] = scala.None
+    var go = true
+    while (go) {
+      if (kw("FUNCTION")) {
+        val nb = new StringBuilder(rawIdent())
+        while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+        function = Some(nb.toString)
+      } else if (kw("TOKENIZERS")) {
+        val ts = ArrayBuffer[String]()
+        var g = true
+        while (g) { ts += rawIdent().toUpperCase; g = sym(",") }
+        tokenizers = Some(ts.toSeq)
+      } else if (kw("FILTERS")) {
+        val fs = ArrayBuffer[String]()
+        var g = true
+        while (g) { fs += filterSpec(); g = sym(",") }
+        filters = Some(fs.toSeq)
+      } else go = false
     }
-    val tail = src.substring(p0, pos).trim.replaceAll("\\s+", " ")
+    // canonical order: FUNCTION, TOKENIZERS (joined ","), FILTERS (joined ", ")
+    // — sql/statements/define/analyzer.rs fmt_sql
+    val tail = new StringBuilder
+    function.foreach(fn => tail.append("FUNCTION ").append(fn))
+    tokenizers.foreach { ts =>
+      if (tail.nonEmpty) tail.append(' ')
+      tail.append("TOKENIZERS ").append(ts.mkString(","))
+    }
+    filters.foreach { fs =>
+      if (tail.nonEmpty) tail.append(' ')
+      tail.append("FILTERS ").append(fs.mkString(", "))
+    }
     val comment = if (kw("COMMENT")) Some(commentStr()) else scala.None
-    DefineRawStmt("ANALYZER", name, tail, mode, scala.None, comment)
+    DefineRawStmt("ANALYZER", name, tail.toString, mode, scala.None, comment)
   }
 
   private def defineSequenceStmt(mode: String): Statement = {
