@@ -176,6 +176,22 @@ final case class InfoStmt(level: String, target: String = "",
 final case class ExplainStmt(analyze: Boolean, json: Boolean,
     inner: Statement) extends Statement
 final case class OptionStmt(name: String, value: Boolean) extends Statement
+/** One `FOR <methods> [MIDDLEWARE …] [PERMISSIONS …] THEN <block>` clause of
+  * DEFINE API (sql/statements/define/api.rs ApiAction; `FOR any` is the
+  * fallback). Middleware entries: (full fn name, parsed args, canonical
+  * rendered call). */
+final case class ApiClause(methods: Seq[String],
+    middleware: Seq[(String, Seq[Expr], String)],
+    permsRaw: Option[String], action: Option[Expr], actionRaw: String)
+final case class DefineApiStmt(path: Expr, clauses: Seq[ApiClause],
+    comment: Option[String], mode: String) extends Statement
+/** DEFINE CONFIG API — database-wide middleware + permissions
+  * (sql/statements/define/config/api.rs). */
+final case class DefineApiConfigStmt(middleware: Seq[(String, Seq[Expr], String)],
+    permsRaw: Option[String], mode: String) extends Statement
+/** Interpreter-native expression — carries a Scala function evaluated with
+  * the caller's environment (API middleware `$next` plumbing; never parsed). */
+final case class NativeExpr(f: graft.surql.Env => V) extends Expr
 
 // SELECT (expr/statements/select.rs; planner exec/planner/select.rs:1213)
 final case class Field(expr: Expr, alias: Option[String], isAll: Boolean = false)

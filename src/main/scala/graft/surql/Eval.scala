@@ -30,6 +30,7 @@ object Eval {
   def evalConst(e: Expr): V = eval(e, Env())
 
   def eval(e: Expr, env: Env): V = e match {
+    case NativeExpr(f) => f(env)
     case Lit(v)        => v
     case ArrLit(items) => VArr(items.map(eval(_, env)).toVector)
     case ObjLit(fs)    => VObj(TreeMap(fs.map { case (k, fe) => k -> eval(fe, env) }: _*))

@@ -303,11 +303,21 @@ object Functions {
         }
       case "not" => VBool(!arg(0).truthy)
       case "sleep" =>
-        // real wall-clock sleep (capped) — VERSION tests separate writes in time
+        // real wall-clock sleep (capped) — VERSION tests separate writes in
+        // time; under an api::timeout deadline the sleep is cancelled at the
+        // deadline ("deadline has elapsed", fnc/api timeout semantics)
         arg(0) match {
           case VDur(s, n) =>
             val ms = Math.min(s * 1000L + n / 1000000L, 2000L)
-            if (ms > 0) Thread.sleep(ms)
+            env.interp.flatMap(_.apiDeadline) match {
+              case Some((dl, _)) =>
+                val remain = java.time.Duration.between(java.time.Instant.now(), dl).toMillis
+                if (remain <= 0 || ms > remain) {
+                  if (remain > 0) Thread.sleep(remain)
+                  throw Api.ApiErr("deadline has elapsed")
+                } else if (ms > 0) Thread.sleep(ms)
+              case scala.None => if (ms > 0) Thread.sleep(ms)
+            }
           case _ => ()
         }
         VNone
@@ -1284,6 +1294,12 @@ object Functions {
           case _ => v
         }
         paths.foldLeft(arg(0)) { (acc, pth) => applyPath(acc, pth.split('.').toList) }
+      case "api::invoke" =>
+        val path = arg(0) match {
+          case VStr(p) => p
+          case other   => throw SqlError(s"Incorrect arguments for function api::invoke(). Argument 1 was the wrong type. Expected `string` but found `${other.render}`")
+        }
+        Api.invoke(path, a.lift(1).filter(_ != VNone), env)
       case custom if custom.startsWith("fn::") =>
         env.interp.flatMap(_.customFns.get(custom.stripPrefix("fn::"))) match {
           case Some(cl) => applyClosure(cl, a, env)

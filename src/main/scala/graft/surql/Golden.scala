@@ -31,7 +31,7 @@ object Golden {
       imports: Seq[String], run: Boolean, wip: Boolean,
       expectParseError: Boolean = false,
       envNamespace: Boolean = true, envDatabase: Boolean = true,
-      legacyPlanner: Boolean = false)
+      legacyPlanner: Boolean = false, recordAuth: Boolean = false)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -116,8 +116,12 @@ object Golden {
       case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s == "compute-only"; case _ => false }
       case _ => false
     }
+    val recordAuth = t.get("env.auth") match {
+      case Some(Toml.T(fields)) => fields.contains("access") || fields.contains("rid")
+      case _ => false
+    }
     TestFile(path, src, expected, imports, run, wip, parseErr,
-      envFlag("env.namespace"), envFlag("env.database"), legacy)
+      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -134,6 +138,7 @@ object Golden {
     if (tf.envNamespace) interp.namespaces("test") = "DEFINE NAMESPACE test"
     if (tf.envDatabase) interp.databases("test") = "DEFINE DATABASE test"
     interp.legacyPlanner = tf.legacyPlanner
+    interp.recordAuth = tf.recordAuth
     // imports run first, results discarded
     tf.imports.foreach { imp =>
       val p = testsRoot.resolve(imp.stripPrefix("/"))
@@ -401,7 +406,16 @@ object Toml {
       val items = splitTopLevel(inner).map(s => parseValue(s)).toVector
       A(items)
     }
-    else if (rhs.startsWith("{")) T(Map.empty)
+    else if (rhs.startsWith("{")) {
+      // inline table: { level = "owner", access = "user" }
+      val inner = rhs.stripPrefix("{").reverse.dropWhile(_ != '}').drop(1).reverse
+      val fields = splitTopLevel(inner).flatMap { kv =>
+        val eq = kv.indexOf('=')
+        if (eq < 0) scala.None
+        else Some(kv.substring(0, eq).trim.stripPrefix("\"").stripSuffix("\"") -> parseValue(kv.substring(eq + 1).trim))
+      }.toMap
+      T(fields)
+    }
     else try I(rhs.takeWhile(c => c.isDigit || c == '-' || c == '+').toLong)
     catch { case _: Exception => S(rhs) }
   }

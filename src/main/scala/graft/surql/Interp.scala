@@ -67,6 +67,22 @@ final class Interp {
   val accesses = mutable.LinkedHashMap[(String, String), String]()
   /** DEFINE CONFIG API/GRAPHQL — structured payloads for INFO. */
   val configs = mutable.LinkedHashMap[String, V]()
+  /** DEFINE API definitions keyed by canonical path text (api/path.rs). */
+  val apiDefs = mutable.LinkedHashMap[String, Api.RtDef]()
+  /** DEFINE CONFIG API database-wide middleware + permissions. */
+  var apiGlobalMw: Seq[(String, Seq[Expr], String)] = Nil
+  var apiGlobalPerms: Option[String] = scala.None
+  /** Record-level auth session ([env] auth with an access method) — API
+    * permission clauses are only enforced for record users (check_perms). */
+  var recordAuth = false
+  /** Active api::timeout deadline: (instant, rendered duration). */
+  var apiDeadline: Option[(java.time.Instant, String)] = scala.None
+
+  /** Statement-level deadline check (Error::QueryTimedout shape). */
+  def checkApiDeadline(): Unit = apiDeadline.foreach { case (dl, durTxt) =>
+    if (!java.time.Instant.now().isBefore(dl))
+      throw Api.ApiErr(s"The query was not executed because it exceeded the timeout: $durTxt")
+  }
   /** Versioned write log: (timestamp, table, key, doc-or-tombstone) — VERSION
     * reads reconstruct table state as of a timestamp (kvs versionstamps,
     * exec/operators/version_scope.rs). */
@@ -114,12 +130,12 @@ final class Interp {
     case s: SelectStmt if s.explain =>
       Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt => execSelect(s, env)
-    case s: CreateStmt => execCreate(s, env)
-    case s: UpdateStmt => execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false)
-    case s: UpsertStmt => execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true)
-    case s: DeleteStmt => execDelete(s, env)
-    case s: InsertStmt => execInsert(s, env)
-    case s: RelateStmt => execRelate(s, env)
+    case s: CreateStmt => checkApiDeadline(); execCreate(s, env)
+    case s: UpdateStmt => checkApiDeadline(); execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false)
+    case s: UpsertStmt => checkApiDeadline(); execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true)
+    case s: DeleteStmt => checkApiDeadline(); execDelete(s, env)
+    case s: InsertStmt => checkApiDeadline(); execInsert(s, env)
+    case s: RelateStmt => checkApiDeadline(); execRelate(s, env)
     case IfStmt(branches, otherwise) =>
       Eval.eval(IfExpr(branches, otherwise), env)
     case ForStmt(param, iterable, block) =>
@@ -160,6 +176,26 @@ final class Interp {
     case s: DefineSequenceStmt => execDefineSequence(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
     case s: DefineRawStmt => execDefineRaw(s.copy(name = rn(s.name, env),
       comment = rc(s.comment, env)), env); VNone
+    case s: DefineApiStmt =>
+      val pathStr = Eval.eval(s.path, env) match {
+        case VStr(p) => p
+        case other   => other.renderRaw
+      }
+      val segs = Api.parsePath(pathStr)
+      val sqlPath = Api.pathSql(segs)
+      if (ddlGate(apiDefs.contains(sqlPath), s.mode, s"The api '$sqlPath' already exists")) {
+        val fallback = s.clauses.find(_.methods.contains("any"))
+        val actions = s.clauses.filterNot(_.methods.contains("any"))
+        apiDefs(sqlPath) = Api.RtDef(sqlPath, segs, actions, fallback, rc(s.comment, env))
+      }
+      VNone
+    case s: DefineApiConfigStmt =>
+      if (ddlGate(configs.contains("api"), s.mode, "The config for api already exists")) {
+        configs("api") = VStr(Api.renderConfig(s.middleware, s.permsRaw))
+        apiGlobalMw = s.middleware
+        apiGlobalPerms = s.permsRaw
+      }
+      VNone
     case s: RemoveStmt => execRemove(s.copy(name = rn(s.name, env),
       onTable = s.onTable.map(rn(_, env)))); VNone
     case s: AlterTableStmt => execAlterTable(s); VNone
@@ -573,6 +609,11 @@ final class Interp {
         val key = s.name.toLowerCase
         gone(configs.contains(key), s"The config for $key does not exist") {
           configs.remove(key)
+          if (key == "api") { apiGlobalMw = Nil; apiGlobalPerms = scala.None }
+        }
+      case "API" =>
+        gone(apiDefs.contains(s.name), s"The api '${s.name}' does not exist") {
+          apiDefs.remove(s.name)
         }
       case _ => ()
     }
@@ -724,10 +765,10 @@ final class Interp {
       VObj(TreeMap(
         "accesses" -> strMap(accesses.collect { case (("DATABASE", n), r) => n -> r }),
         "analyzers" -> strMap(analyzers),
-        "apis" -> emptyObj,
+        "apis" -> strMap(apiDefs.map { case (p, d) => p -> Api.render(d) }),
         "buckets" -> emptyObj,
         "configs" -> VObj(TreeMap(configs.toSeq.map { case (n, v) =>
-          val display = n match { case "graphql" => "GraphQL"; case "api" => "Api"; case o => o }
+          val display = n match { case "graphql" => "GraphQL"; case "api" => "API"; case o => o }
           display -> (v match { case s: VStr => s: V; case other => other })
         }: _*)),
         "functions" -> strMap(functionDefs.map { case (n, r) => n.stripPrefix("fn::") -> r }),

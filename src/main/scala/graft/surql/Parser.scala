@@ -18,6 +18,14 @@ object Parser {
     p.ws(); p.expectEof()
     e
   }
+  /** Parse a kind annotation text (API path `:seg<kind>` segments). */
+  def parseKind(text: String): Kind = {
+    val p = new Parser(text)
+    p.ws()
+    val k = p.kind()
+    p.ws(); p.expectEof()
+    k
+  }
   /** Parse a rendered value literal (used by the golden runner to compare
     * structurally rather than textually where needed). */
   def parseValue(text: String): V = {
@@ -382,8 +390,20 @@ final class Parser(val src: String) {
     if (what == "DATABASE" || what == "DB") return defineNamespaceLike("DATABASE", mode)
     if (what == "ANALYZER") return defineAnalyzerStmt(mode)
     if (what == "SEQUENCE") return defineSequenceStmt(mode)
+    if (what == "API") return defineApiStmt(mode)
     if (what == "CONFIG") {
       val which = rawIdent().toLowerCase
+      if (which == "api") {
+        var mws: Seq[(String, Seq[Expr], String)] = Nil
+        var permsRaw: Option[String] = scala.None
+        var go = true
+        while (go) {
+          if (kw("MIDDLEWARE")) mws = middlewareList()
+          else if (kw("PERMISSIONS")) permsRaw = Some(permSpec())
+          else go = false
+        }
+        return DefineApiConfigStmt(mws, permsRaw, mode)
+      }
       if (which == "graphql") {
         // sql/statements/define/config/graphql.rs: TABLES/FUNCTIONS specs,
         // DEPTH/COMPLEXITY limits, INTROSPECTION; bare AUTO/NONE sets both.
@@ -766,6 +786,73 @@ final class Parser(val src: String) {
     } else nm
   }
 
+  /** A comma-separated middleware list: `fn::x(args), api::req::body('json')`.
+    * Each entry keeps (full name, parsed args, canonical rendered call). */
+  private def middlewareList(): Seq[(String, Seq[Expr], String)] = {
+    val buf = ArrayBuffer[(String, Seq[Expr], String)]()
+    var go = true
+    while (go) {
+      ws()
+      val nb = new StringBuilder(rawIdent())
+      while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+      ws()
+      val a0 = pos
+      val argEs = ArrayBuffer[Expr]()
+      expectSym("(")
+      ws()
+      if (peekc != ')') {
+        var g = true
+        while (g) { argEs += expr(); g = sym(",") }
+      }
+      expectSym(")")
+      val rawArgs = Defs.normRaw(src.substring(a0, pos))
+      buf += ((nb.toString, argEs.toSeq, nb.toString + rawArgs))
+      go = sym(",")
+    }
+    buf.toSeq
+  }
+
+  /** PERMISSIONS value for API clauses: FULL | NONE | WHERE <cond>. */
+  private def permSpec(): String =
+    if (kw("FULL")) "FULL"
+    else if (kw("NONE")) "NONE"
+    else if (kw("WHERE")) { val (_, r) = exprWithRaw(); "WHERE " + Defs.normRaw(r) }
+    else { val (_, r) = exprWithRaw(); "WHERE " + Defs.normRaw(r) }
+
+  /** DEFINE API '<path>' (FOR methods [MIDDLEWARE …] [PERMISSIONS …] THEN
+    * <block>)* [COMMENT …] — sql/statements/define/api.rs. */
+  private def defineApiStmt(mode: String): Statement = {
+    ws()
+    val pathE = expr()
+    val clauses = ArrayBuffer[ApiClause]()
+    var comment: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("FOR")) {
+        val ms = ArrayBuffer[String]()
+        var g = true
+        while (g) { ms += rawIdent().toLowerCase; g = sym(",") }
+        var mws: Seq[(String, Seq[Expr], String)] = Nil
+        var permsRaw: Option[String] = scala.None
+        var g2 = true
+        while (g2) {
+          if (kw("MIDDLEWARE")) mws = middlewareList()
+          else if (kw("PERMISSIONS")) permsRaw = Some(permSpec())
+          else g2 = false
+        }
+        if (kw("THEN")) {
+          ws()
+          val b0 = pos
+          val action = blockExpr()
+          val actionRaw = src.substring(b0, pos)
+          clauses += ApiClause(ms.toSeq, mws, permsRaw, Some(action), actionRaw)
+        } else clauses += ApiClause(ms.toSeq, mws, permsRaw, scala.None, "")
+      } else if (kw("COMMENT")) comment = Some(commentStr())
+      else go = false
+    }
+    DefineApiStmt(pathE, clauses.toSeq, comment, mode)
+  }
+
   private def defineAnalyzerStmt(mode: String): Statement = {
     val name = defName()
     var function: Option[String] = scala.None
@@ -825,6 +912,7 @@ final class Parser(val src: String) {
         sym("$")
         if (what == "PARAM") rawIdent() else "$" + rawIdent()
       }
+      else if (peekc == '"' || peekc == '\'') stringLit()._1 // REMOVE API "/path"
       else {
         val nb = new StringBuilder(tryIdent().getOrElse(""))
         while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
