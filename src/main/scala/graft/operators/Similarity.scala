@@ -186,6 +186,8 @@ object Similarity {
     * Hamming-ball buckets at the directory level and apply the full 16-bit
     * signature as an in-partition residual filter. */
   private val annIndexes = scala.collection.concurrent.TrieMap[String, String]()
+  /** Force the persisted ANN index build (bench attributes it separately). */
+  def warmIndex(s: SparkSession, d: String): Unit = annIndexPath(s, d)
   private def annIndexPath(s: SparkSession, d: String): String =
     annIndexes.getOrElseUpdate(d, {
       val path = s"/tmp/graft_ann_${Integer.toHexString(d.hashCode)}"

@@ -93,30 +93,121 @@ final class Interp {
     * Iterate/Collector array under compute-only (dbs/ legacy executor). */
   var legacyPlanner = false
 
+  /** Deep-enough copy of the mutable catalog for transaction rollback —
+    * documents (VObj) and definitions are immutable values, so cloning each
+    * map suffices (the reference rolls back via the kv-store transaction;
+    * here the "store" is these maps). Session params are NOT snapshotted:
+    * LET survives CANCEL (language-tests parameters/set_within_transaction). */
+  private final class TxSnapshot {
+    val tabs = tables.map { case (k, m) => (k, m.clone()) }
+    val fns = customFns.clone(); val fp = fieldPipeline.clone()
+    val uniq = uniqueIndexes.clone(); val tds = tableDefs.clone()
+    val fds = fieldDefs2.clone(); val af = autoFields.clone()
+    val ixs = indexDefs.clone(); val evs = eventDefs.clone()
+    val seqs = sequences.clone(); val accs = accesses.clone()
+    val cfgs = configs.clone(); val apis = apiDefs.clone()
+    val anas = analyzers.clone(); val pds = paramDefs.clone()
+    val fnds = functionDefs.clone(); val histLen = history.length
+    def restore(): Unit = {
+      tables.clear(); tabs.foreach { case (k, m) => tables(k) = m }
+      def put[K, W](dst: mutable.LinkedHashMap[K, W], src: mutable.LinkedHashMap[K, W]): Unit = {
+        dst.clear(); dst ++= src
+      }
+      put(customFns, fns); put(fieldPipeline, fp); put(uniqueIndexes, uniq)
+      put(tableDefs, tds); put(fieldDefs2, fds)
+      autoFields.clear(); autoFields ++= af
+      put(indexDefs, ixs); put(eventDefs, evs); put(sequences, seqs)
+      put(accesses, accs); put(configs, cfgs); put(apiDefs, apis)
+      put(analyzers, anas); put(paramDefs, pds); put(functionDefs, fnds)
+      history.remove(histLen, history.length - histLen)
+    }
+  }
+
   def run(ast: Ast): Seq[QueryResult] = {
     val results = mutable.ArrayBuffer[QueryResult]()
+    // Transaction state (dbs/executor.rs statement loop): statements between
+    // BEGIN and COMMIT/CANCEL execute eagerly; on the first error the
+    // transaction aborts — prior successful results flip to the
+    // failed-transaction error, later statements are skipped as cancelled,
+    // and the catalog rolls back to the BEGIN snapshot.
+    var inTx = false
+    var txAborted = false
+    var txStart = 0
+    var snapshot: Option[TxSnapshot] = scala.None
+    val FailedTx = "The query was not executed due to a failed transaction"
+    val CancelledTx = "The query was not executed due to a cancelled transaction"
+
     ast.stmts.foreach { stmt =>
-      try {
-        val env = Env(params = globals, interp = Some(this))
-        stmt match {
-          case LetStmt(name, kindAnn, what) =>
-            if (protectedParams.contains(name))
-              throw SqlError(s"'$name' is a protected variable and cannot be set")
-            val v0 = execExprStatementValue(what, env)
-            val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
-            globals = globals + (name -> v)
+      stmt match {
+        case BeginStmt =>
+          if (!inTx) { snapshot = Some(new TxSnapshot); inTx = true; txAborted = false }
+          results += QOk(VNone)
+          txStart = results.length
+        case CommitStmt =>
+          if (!inTx)
+            results += QErr("Invalid statement: Cannot COMMIT without starting a transaction")
+          else if (txAborted) {
+            snapshot.foreach(_.restore())
+            results += QErr("Cannot COMMIT: the transaction was aborted due to a prior error")
+            inTx = false; txAborted = false; snapshot = scala.None
+          } else {
             results += QOk(VNone)
-          case other =>
-            results += QOk(execStatement(other, env))
-        }
-      } catch {
-        case ReturnSignal(v) => results += QOk(v)
-        case e: SqlError     => results += QErr(e.msg)
-        case e: ParseError   => results += QErr(e.getMessage)
-        case BreakSignal | ContinueSignal =>
-          results += QErr("Invalid control flow statement, break or continue statement found outside of loop.")
+            inTx = false; snapshot = scala.None
+          }
+        case CancelStmt =>
+          if (!inTx)
+            results += QErr("Invalid statement: Cannot CANCEL without starting a transaction")
+          else {
+            snapshot.foreach(_.restore())
+            for (i <- txStart until results.length)
+              results(i) match {
+                case QOk(_) => results(i) = QErr(CancelledTx)
+                case _      => ()
+              }
+            results += QOk(VNone)
+            inTx = false; txAborted = false; snapshot = scala.None
+          }
+        case _ if inTx && txAborted =>
+          results += QErr(CancelledTx)
+        case other =>
+          try {
+            val env = Env(params = globals, interp = Some(this))
+            other match {
+              case LetStmt(name, kindAnn, what) =>
+                if (protectedParams.contains(name))
+                  throw SqlError(s"'$name' is a protected variable and cannot be set")
+                val v0 = execExprStatementValue(what, env)
+                val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
+                globals = globals + (name -> v)
+                results += QOk(VNone)
+              case _ =>
+                results += QOk(execStatement(other, env))
+            }
+          } catch {
+            case ReturnSignal(v) => results += QOk(v)
+            case e: Throwable =>
+              val msg = e match {
+                case se: SqlError   => se.msg
+                case pe: ParseError => pe.getMessage
+                case BreakSignal | ContinueSignal =>
+                  "Invalid control flow statement, break or continue statement found outside of loop."
+                case _ => throw e
+              }
+              if (inTx) {
+                for (i <- txStart until results.length)
+                  results(i) match {
+                    case QOk(_) => results(i) = QErr(FailedTx)
+                    case _      => ()
+                  }
+                txAborted = true
+              }
+              results += QErr(msg)
+          }
       }
     }
+    // EOF with an open transaction: implicit rollback (never reached by the
+    // golden corpus, but leaves the catalog consistent for REPL-style use).
+    if (inTx) snapshot.foreach(_.restore())
     results.toSeq
   }
 
