@@ -149,6 +149,11 @@ final case class DefineTableStmt(d: graft.surql.Defs.TableDef, mode: String) ext
 final case class DefineEventStmt(d: graft.surql.Defs.EventDef, mode: String) extends Statement
 final case class DefineUserStmt(d: graft.surql.Defs.UserDef, mode: String) extends Statement
 final case class DefineSequenceStmt(d: graft.surql.Defs.SequenceDef, mode: String) extends Statement
+/** DEFINE BUCKET (sql/statements/define/bucket.rs): an object-store
+  * namespace for `file::*` / f"bucket:/key" values. */
+final case class DefineBucketStmt(name: String, backend: Option[Expr],
+    readonly: Boolean, perm: String, comment: Option[Expr],
+    mode: String) extends Statement
 /** NAMESPACE/DATABASE/ANALYZER/PARAM and other raw-rendered kinds. */
 final case class DefineRawStmt(what: String, name: String, rendered: String,
     mode: String, value: Option[Expr] = scala.None,

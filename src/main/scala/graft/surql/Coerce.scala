@@ -148,6 +148,10 @@ object Coerce {
     case KBytes => v match {
       case b: VBytes => b
       case VStr(s) => VBytes(s.getBytes("UTF-8").toVector)
+      case VArr(items) if items.forall {
+        case VInt(n) => n >= 0 && n <= 255
+        case _       => false
+      } => VBytes(items.map { case VInt(n) => n.toByte; case _ => 0.toByte })
       case _ => err(k, v)
     }
     case KObject => v match {

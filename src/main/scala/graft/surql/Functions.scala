@@ -36,6 +36,7 @@ object Functions {
       case _: VDt    => "time"
       case _: VRid   => "record"
       case _: VUuid  => "string"
+      case _: VFile  => "file"
       case _         => "type"
     }
     val args = argEs.map(Eval.eval(_, env))
@@ -150,9 +151,12 @@ object Functions {
     }
   }
 
+  /** array::any/all value-argument check: Rust `*v == value` — EXACT
+    * equality, not the loose `=` operator (fnc/array.rs:71,95), so a regex
+    * value only matches a regex element, never a matching string. */
   private def matchesFilter(f: V, el: V, env: Env): Boolean = f match {
     case c: VClosure => applyClosure(c, Seq(el), env).truthy
-    case value       => V.looseEq(value, el)
+    case value       => V.exactEq(value, el)
   }
 
   // ---- main dispatch ---------------------------------------------------
@@ -175,13 +179,13 @@ object Functions {
     "array::intersect" -> (2, 2), "array::is_empty" -> (1, 1),
     "array::join" -> (2, 2), "array::last" -> (1, 1), "array::len" -> (1, 1),
     "array::max" -> (1, 1), "array::min" -> (1, 1), "array::matches" -> (2, 2),
-    "array::pop" -> (1, 1), "array::range" -> (2, 2), "array::remove" -> (2, 2),
+    "array::pop" -> (1, 1), "array::range" -> (1, 2), "array::remove" -> (2, 2),
     "array::repeat" -> (2, 2), "array::reverse" -> (1, 1),
     "array::sequence" -> (1, 2), "array::shuffle" -> (1, 1),
     "array::slice" -> (1, 3), "array::sort" -> (1, 2),
     "array::sort::asc" -> (1, 1), "array::sort::desc" -> (1, 1),
-    "array::sort_natural" -> (1, 1), "array::sort_lexical" -> (1, 1),
-    "array::sort_natural_lexical" -> (1, 1),
+    "array::sort_natural" -> (1, 2), "array::sort_lexical" -> (1, 2),
+    "array::sort_natural_lexical" -> (1, 2),
     "array::swap" -> (3, 3), "array::transpose" -> (1, 1),
     "array::union" -> (2, 2), "array::windows" -> (2, 2),
     "bytes::len" -> (1, 1),
@@ -282,6 +286,8 @@ object Functions {
       case other => typeErr(i, "array<number>", other)
     }
 
+    // ---- file:: object-store namespace (fnc/file.rs over buc/) ----------
+    if (name.startsWith("file::")) return fileFn(name, a, env)
     name match {
       // ---- top-level ---------------------------------------------------
       case "__set__" => V.set(a)
@@ -596,11 +602,16 @@ object Functions {
       case "array::group" =>
         VArr(Coerce.dedup(arr(0).flatMap { case VArr(inner) => inner; case v => Vector(v) }))
       case "array::insert" =>
+        // fnc/array.rs:437: negative index counts from the back; an index
+        // still out of range returns the array UNALTERED (no clamping)
         val items = arr(0); val v = arg(1)
-        var i = if (a.length > 2) int(2) else items.length.toLong
-        if (i < 0) i = items.length + i + 1
-        val idx = Math.max(0, Math.min(items.length.toLong, i)).toInt
-        VArr(items.take(idx) ++ Vector(v) ++ items.drop(idx))
+        if (a.length <= 2) VArr(items :+ v)
+        else {
+          var i = int(2)
+          if (i < 0) i += items.length
+          if (i > items.length || i < 0) VArr(items)
+          else VArr(items.take(i.toInt) ++ Vector(v) ++ items.drop(i.toInt))
+        }
       case "array::intersect" =>
         VArr(Coerce.dedup(arr(0).filter(e => arr(1).exists(V.looseEq(_, e)))))
       case "array::is_empty" => VBool(arr(0).isEmpty)
@@ -612,11 +623,27 @@ object Functions {
       case "array::matches" => VArr(arr(0).map(e => VBool(V.looseEq(e, arg(1)))))
       case "array::pop" => arr(0).lastOption.getOrElse(VNone)
       case "array::range" =>
-        val start = int(0); val count = int(1)
+        // fnc/array.rs:617: (start, end-exclusive) or a single range value
+        val (start, endEx) =
+          if (a.length >= 2) (int(0), int(1))
+          else arg(0) match {
+            case VRng(lo, hi) =>
+              val s = lo.map { case (v, _) => v match {
+                case VInt(n) => n
+                case other => typeErr(0, "int", other)
+              }}.getOrElse(0L)
+              val e = hi.map { case (v, incl) => (v match {
+                case VInt(n) => n
+                case other => typeErr(0, "int", other)
+              }) + (if (incl) 1L else 0L) }.getOrElse(s)
+              (s, e)
+            case other => typeErr(0, "range", other)
+          }
+        val count = endEx - start
         if (count <= 0) VArr(Vector.empty)
-        else if (count > 131072)
+        else if (count > 65536)
           throw SqlError("Incorrect arguments for function array::range(). Output must not exceed 1048576 bytes.")
-        else VArr((start until start + count).map(VInt(_)).toVector)
+        else VArr((start until endEx).map(VInt(_)).toVector)
       case "array::sequence" =>
         val (start, count) = if (a.length >= 2) (int(0), int(1)) else (0L, int(0))
         if (count <= 0) VArr(Vector.empty)
@@ -658,33 +685,43 @@ object Functions {
         var i = int(1)
         if (i < 0) i = items.length + i
         if (i >= 0 && i < items.length) VArr(items.patch(i.toInt, Nil, 1)) else VArr(items)
-      case "array::repeat" => VArr(Vector.fill(int(1).toInt)(arg(0)))
+      case "array::repeat" =>
+        val count = int(1)
+        if (count < 0)
+          throw SqlError("Incorrect arguments for function array::repeat(). Expected argument 2 to be a positive number")
+        if (count > 65536)
+          throw SqlError("Incorrect arguments for function array::repeat(). Output must not exceed 1048576 bytes.")
+        VArr(Vector.fill(count.toInt)(arg(0)))
       case "array::reverse" => VArr(arr(0).reverse)
       case "array::shuffle" => VArr(scala.util.Random.shuffle(arr(0)))
       case "array::slice" =>
+        // fnc/array.rs:742: [start, end) index semantics; negatives count
+        // from the back on BOTH bounds; empty when start >= end
         val items = arr(0)
         var from = if (a.length > 1) int(1) else 0L
-        if (from < 0) from = Math.max(0, items.length + from)
-        var take = if (a.length > 2) int(2) else items.length - from
-        if (take < 0) take = Math.max(0, items.length - from + take)
-        VArr(items.slice(from.toInt, (from + take).toInt))
+        if (from < 0) from += items.length
+        var until = if (a.length > 2) int(2) else items.length.toLong
+        if (until < 0) until += items.length
+        from = Math.max(0, Math.min(items.length.toLong, from))
+        until = Math.max(0, Math.min(items.length.toLong, until))
+        if (from >= until) VArr(Vector.empty)
+        else VArr(items.slice(from.toInt, until.toInt))
       case "array::sort" =>
-        val asc = arg(1) match {
-          case VBool(b) => b
-          case VStr("desc") => false
-          case _ => true
-        }
+        val asc = !descArg(arg(1))
         val sorted = arr(0).sorted(V.ordering)
         VArr(if (asc) sorted else sorted.reverse)
       case "array::sort::asc" => VArr(arr(0).sorted(V.ordering))
       case "array::sort::desc" => VArr(arr(0).sorted(V.ordering).reverse)
       case "array::sort_natural" =>
-        VArr(arr(0).sortWith((x, y) => naturalCmp(x.renderRaw, y.renderRaw) < 0))
+        val sorted = arr(0).sortWith((x, y) => naturalCmp(x.renderRaw, y.renderRaw) < 0)
+        VArr(if (descArg(arg(1))) sorted.reverse else sorted)
       case "array::sort_lexical" =>
-        VArr(arr(0).sortWith((x, y) =>
-          java.text.Collator.getInstance(java.util.Locale.ROOT).compare(x.renderRaw, y.renderRaw) < 0))
+        val sorted = arr(0).sortWith((x, y) =>
+          java.text.Collator.getInstance(java.util.Locale.ROOT).compare(x.renderRaw, y.renderRaw) < 0)
+        VArr(if (descArg(arg(1))) sorted.reverse else sorted)
       case "array::sort_natural_lexical" =>
-        VArr(arr(0).sortWith((x, y) => naturalLexicalCmp(x.renderRaw, y.renderRaw) < 0))
+        val sorted = arr(0).sortWith((x, y) => naturalLexicalCmp(x.renderRaw, y.renderRaw) < 0)
+        VArr(if (descArg(arg(1))) sorted.reverse else sorted)
       case "array::swap" =>
         val items = arr(0)
         def norm(argIdx: Int, x: Long): Int = {
@@ -912,15 +949,9 @@ object Functions {
       case "duration::from::mins" | "duration::from_mins" => durMul(arg(0), 60, name)
       case "duration::from::secs" | "duration::from_secs" => durMul(arg(0), 1, name)
       case "duration::from::weeks" | "duration::from_weeks" => durMul(arg(0), 604800, name)
-      case "duration::from::millis" | "duration::from_millis" =>
-        if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
-        VDur(int(0) / 1000, ((int(0) % 1000) * 1000000).toInt)
-      case "duration::from::micros" | "duration::from_micros" =>
-        if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
-        VDur(int(0) / 1000000, ((int(0) % 1000000) * 1000).toInt)
-      case "duration::from::nanos" | "duration::from_nanos" =>
-        if (int(0) < 0) throw SqlError(s"Incorrect arguments for function $name(). Must be a positive number")
-        VDur(int(0) / 1000000000, (int(0) % 1000000000).toInt)
+      case "duration::from::millis" | "duration::from_millis" => durDiv(arg(0), 1000L, name)
+      case "duration::from::micros" | "duration::from_micros" => durDiv(arg(0), 1000000L, name)
+      case "duration::from::nanos" | "duration::from_nanos" => durDiv(arg(0), 1000000000L, name)
 
       // ---- type --------------------------------------------------------
       case "type::of" | "type::string_of" => VStr(arg(0).typeName)
@@ -1322,19 +1353,34 @@ object Functions {
     case other => throw SqlError(s"Expected a duration but found ${other.render}")
   }
 
+  /** The reference's duration constructors take u64 counts: a negative i64
+    * argument reinterprets as its unsigned value (so from_micros(-1) is a
+    * VALID huge duration while from_days(-1) overflows u64 seconds, and the
+    * overflow message renders the unsigned number — fnc/duration.rs). */
+  private def durUnsignedArg(v: V, name: String): BigInt = v match {
+    case VInt(i) =>
+      if (i >= 0) BigInt(i) else BigInt(java.lang.Long.toUnsignedString(i))
+    case VDec(d) if d.isWhole && d >= 0 => d.toBigInt
+    case VFloat(d) if d == Math.rint(d) && d >= 0 => BigInt(d.toLong)
+    case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `int` but found `${other.render}`")
+  }
+
+  private val U64Max = BigInt(2).pow(64) - 1
+
   private def durMul(v: V, unitSecs: Long, name: String): VDur = {
-    def overflow(): Nothing =
-      throw SqlError(s"""Failed to compute: "$name(${v.renderRaw})", as the operation results in an arithmetic overflow.""")
-    val n: BigInt = v match {
-      case VInt(i) => BigInt(i)
-      case VDec(d) if d.isWhole => d.toBigInt
-      case VFloat(d) if d == Math.rint(d) => BigInt(d.toLong)
-      case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `int` but found `${other.render}`")
-    }
-    if (n < 0) overflow()
+    val n = durUnsignedArg(v, name)
     val secs = n * unitSecs
-    if (secs > BigInt(2).pow(64) - 1) overflow()
+    if (secs > U64Max)
+      throw SqlError(s"""Failed to compute: "$name($n)", as the operation results in an arithmetic overflow.""")
     VDur(secs.toLong, 0)
+  }
+
+  /** Sub-second constructors: u64 count of `perSec`-ths of a second. */
+  private def durDiv(v: V, perSec: Long, name: String): VDur = {
+    val n = durUnsignedArg(v, name)
+    val secs = n / perSec
+    val rem = (n % perSec).toLong
+    VDur(secs.toLong, (rem * (1000000000L / perSec)).toInt)
   }
 
   /** Numbers-only array for math::top/bottom. */
@@ -1532,6 +1578,13 @@ object Functions {
   }
 
   /** Natural sort: digit runs compare numerically ("2" < "11"). */
+  /** Optional sort-direction argument: "desc"/false → descending. */
+  private def descArg(v: V): Boolean = v match {
+    case VStr(s)  => s.equalsIgnoreCase("desc")
+    case VBool(b) => !b
+    case _        => false
+  }
+
   def naturalCmp(a: String, b: String): Int = {
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {
@@ -1602,5 +1655,148 @@ object Functions {
       i += 1
     }
     sb.toString
+  }
+
+  // ---- file:: object-store namespace ------------------------------------
+  // fnc/file.rs over the bucket controller (buc/controller.rs) with the
+  // in-memory backend (buc/store/memory.rs). Keys normalize to a leading
+  // '/' for display/errors; VFile.key stores the path without it.
+  private def fileFn(name: String, a: Seq[V], env: Env): V = {
+    def interp = env.interp.getOrElse(throw SqlError(s"Unknown function $name()"))
+    def arg(i: Int): V = if (i < a.length) a(i) else VNone
+    def asFile(i: Int): VFile = arg(i) match {
+      case f: VFile => f
+      case other => throw SqlError(
+        s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. " +
+          s"Expected `file` but found `${other.render}`")
+    }
+    def noSlash(k: String): String = if (k.startsWith("/")) k.substring(1) else k
+    def disp(k: String): String = "/" + noSlash(k)
+    def bucketOf(b: String): Interp#BucketRt =
+      interp.buckets.getOrElse(b, throw SqlError(s"The bucket '$b' does not exist"))
+    def writable(b: String): Interp#BucketRt = {
+      val bk = bucketOf(b)
+      if (bk.readonly)
+        throw SqlError(s"Write operation is not supported, as bucket `$b` is in read-only mode")
+      bk
+    }
+    def opFail(b: String, msg: String): Nothing =
+      throw SqlError(s"Operation for bucket `$b` failed: $msg")
+    def toBytes(v: V): Vector[Byte] = Coerce.cast(Kind.KBytes, v) match {
+      case VBytes(bs) => bs
+      case _ => Vector.empty
+    }
+    def meta(bucket: String, key: String, e: (Vector[Byte], java.time.Instant)): V =
+      VObj(TreeMap(
+        "file" -> VFile(bucket, noSlash(key)),
+        "size" -> VInt(e._1.length.toLong),
+        "updated" -> VDt(e._2)))
+    def now() = java.time.Instant.now()
+    // copy/copy_if_not_exists destination: string (same bucket) or file
+    def dstOf(i: Int, srcBucket: String): (String, String) = arg(i) match {
+      case VFile(b, k) => (b, disp(k))
+      case VStr(s)     => (srcBucket, disp(s))
+      case other => throw SqlError(
+        s"Incorrect arguments for function $name(). Argument ${i + 1} was the wrong type. " +
+          s"Expected `string` but found `${other.render}`")
+    }
+
+    name match {
+      case "file::bucket" => VStr(asFile(0).bucket)
+      case "file::key"    => VStr(disp(asFile(0).key))
+      case "file::put" | "file::put_if_not_exists" =>
+        val f = asFile(0)
+        val bk = writable(f.bucket)
+        val k = disp(f.key)
+        if (name == "file::put" || !bk.objects.contains(k))
+          bk.objects(k) = (toBytes(arg(1)), now())
+        VNone
+      case "file::get" =>
+        bucketOf(asFile(0).bucket).objects.get(disp(asFile(0).key)) match {
+          case Some((bs, _)) => VBytes(bs)
+          case scala.None    => VNone
+        }
+      case "file::head" =>
+        val f = asFile(0)
+        bucketOf(f.bucket).objects.get(disp(f.key)) match {
+          case Some(e)    => meta(f.bucket, disp(f.key), e)
+          case scala.None => VNone
+        }
+      case "file::exists" =>
+        VBool(bucketOf(asFile(0).bucket).objects.contains(disp(asFile(0).key)))
+      case "file::delete" =>
+        val f = asFile(0)
+        writable(f.bucket).objects.remove(disp(f.key))
+        VNone
+      case "file::copy" | "file::copy_if_not_exists" =>
+        val src = asFile(0)
+        val (dstBucket, dstKey) = dstOf(1, src.bucket)
+        val srcKey = disp(src.key)
+        if (dstBucket == src.bucket) {
+          val bk = writable(src.bucket)
+          if (name == "file::copy_if_not_exists" && bk.objects.contains(dstKey)) return VNone
+          bk.objects.get(srcKey) match {
+            case Some(e) => bk.objects(dstKey) = e
+            case scala.None =>
+              if (name == "file::copy") opFail(src.bucket, s"Source key does not exist: $srcKey")
+            // copy_if_not_exists with a missing source is idempotent-ok
+          }
+        } else {
+          val srcBk = bucketOf(src.bucket)
+          val dstBk = writable(dstBucket)
+          srcBk.objects.get(srcKey) match {
+            case Some(e) =>
+              if (name == "file::copy" || !dstBk.objects.contains(dstKey))
+                dstBk.objects(dstKey) = e
+            case scala.None => throw SqlError("Source file does not exist")
+          }
+        }
+        VNone
+      case "file::rename" | "file::rename_if_not_exists" =>
+        val f = asFile(0)
+        val bk = writable(f.bucket)
+        val srcKey = disp(f.key)
+        val dstKey = arg(1) match {
+          case VStr(s) => disp(s)
+          case VFile(_, k) => disp(k)
+          case other => throw SqlError(
+            s"Incorrect arguments for function $name(). Argument 2 was the wrong type. " +
+              s"Expected `string` but found `${other.render}`")
+        }
+        if (name == "file::rename_if_not_exists" && bk.objects.contains(dstKey)) return VNone
+        bk.objects.remove(srcKey) match {
+          case Some(e)    => bk.objects(dstKey) = e
+          case scala.None => opFail(f.bucket, s"Source key does not exist: $srcKey")
+        }
+        VNone
+      case "file::list" =>
+        val bucket = arg(0) match {
+          case VStr(s) => s
+          case other => throw SqlError(
+            s"Incorrect arguments for function $name(). Argument 1 was the wrong type. " +
+              s"Expected `string` but found `${other.render}`")
+        }
+        val bk = bucketOf(bucket)
+        var prefix = ""
+        var start: Option[String] = scala.None
+        var limit: Option[Int] = scala.None
+        arg(1) match {
+          case VObj(fs) =>
+            fs.get("prefix").foreach { case VStr(p) => prefix = disp(p); case _ => () }
+            fs.get("start").foreach { case VStr(s0) => start = Some(disp(s0)); case _ => () }
+            fs.get("limit").foreach {
+              case VInt(n) => limit = Some(n.toInt)
+              case _       => ()
+            }
+          case _ => ()
+        }
+        var keys = bk.objects.keys.toVector
+          .filter(_.startsWith(prefix))
+          .filter(k => start.forall(k > _))
+          .sorted
+        limit.foreach(l => keys = keys.take(l))
+        VArr(keys.map(k => meta(bucket, k, bk.objects(k))))
+      case _ => throw SqlError(s"Unknown function $name()")
+    }
   }
 }

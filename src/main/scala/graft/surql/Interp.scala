@@ -83,6 +83,17 @@ final class Interp {
     if (!java.time.Instant.now().isBefore(dl))
       throw Api.ApiErr(s"The query was not executed because it exceeded the timeout: $durTxt")
   }
+  /** DEFINE BUCKET registry: object-store namespaces for file::* / f"…"
+    * values (buc/controller.rs; the memory backend, buc/store/memory.rs).
+    * Keys are stored in display form with a leading '/'. */
+  final class BucketRt(val readonly: Boolean, val render: String) {
+    val objects = mutable.LinkedHashMap[String, (Vector[Byte], java.time.Instant)]()
+    def copyRt(): BucketRt = {
+      val b = new BucketRt(readonly, render); b.objects ++= objects; b
+    }
+  }
+  val buckets = mutable.LinkedHashMap[String, BucketRt]()
+
   /** Versioned write log: (timestamp, table, key, doc-or-tombstone) — VERSION
     * reads reconstruct table state as of a timestamp (kvs versionstamps,
     * exec/operators/version_scope.rs). */
@@ -108,7 +119,9 @@ final class Interp {
     val cfgs = configs.clone(); val apis = apiDefs.clone()
     val anas = analyzers.clone(); val pds = paramDefs.clone()
     val fnds = functionDefs.clone(); val histLen = history.length
+    val bks = buckets.map { case (k, b) => (k, b.copyRt()) }
     def restore(): Unit = {
+      buckets.clear(); bks.foreach { case (k, b) => buckets(k) = b }
       tables.clear(); tabs.foreach { case (k, m) => tables(k) = m }
       def put[K, W](dst: mutable.LinkedHashMap[K, W], src: mutable.LinkedHashMap[K, W]): Unit = {
         dst.clear(); dst ++= src
@@ -287,6 +300,7 @@ final class Interp {
         apiGlobalPerms = s.permsRaw
       }
       VNone
+    case s: DefineBucketStmt => execDefineBucket(s, env); VNone
     case s: RemoveStmt => execRemove(s.copy(name = rn(s.name, env),
       onTable = s.onTable.map(rn(_, env)))); VNone
     case s: AlterTableStmt => execAlterTable(s); VNone
@@ -611,6 +625,26 @@ final class Interp {
     case _ => () // BUCKET/API/MODULE/MODEL … — registered loosely via execDefine
   }
 
+  private def execDefineBucket(s: DefineBucketStmt, env: Env): Unit =
+    if (ddlGate(buckets.contains(s.name), s.mode, s"The bucket '${s.name}' already exists")) {
+      val backendTxt = s.backend.map(e => Eval.eval(e, env))
+      backendTxt.foreach {
+        case VStr(url) if url.startsWith("file:") =>
+          // filesystem backends are behind a capability gate (buc/manager.rs)
+          throw SqlError(s"File access denied: ${url.stripPrefix("file:")}")
+        case VStr(url) if url != "memory" && !url.startsWith("memory") =>
+          throw SqlError("Bucket backend is not supported")
+        case _ => ()
+      }
+      val commentTxt = s.comment.map(e => Eval.eval(e, env))
+      val render = "DEFINE BUCKET " + Defs.escIdent(s.name) +
+        (if (s.readonly) " READONLY" else "") +
+        backendTxt.map(b => " BACKEND " + Render.sql(b)).getOrElse("") +
+        " PERMISSIONS " + s.perm +
+        commentTxt.collect { case v if v != VNone => " COMMENT " + Render.sql(v) }.getOrElse("")
+      buckets(s.name) = new BucketRt(s.readonly, render)
+    }
+
   private def execRemove(s: RemoveStmt): Unit = {
     def gone(exists: Boolean, missing: => String)(drop: => Unit): Unit =
       if (exists) drop
@@ -671,6 +705,10 @@ final class Interp {
       case "ANALYZER" =>
         gone(analyzers.contains(s.name), s"The analyzer '${s.name}' does not exist") {
           analyzers.remove(s.name)
+        }
+      case "BUCKET" =>
+        gone(buckets.contains(s.name), s"The bucket '${s.name}' does not exist") {
+          buckets.remove(s.name)
         }
       case "USER" =>
         val (reg, levelName) = s.onTable match {
@@ -857,7 +895,7 @@ final class Interp {
         "accesses" -> strMap(accesses.collect { case (("DATABASE", n), r) => n -> r }),
         "analyzers" -> strMap(analyzers),
         "apis" -> strMap(apiDefs.map { case (p, d) => p -> Api.render(d) }),
-        "buckets" -> emptyObj,
+        "buckets" -> strMap(buckets.map { case (n, b) => n -> b.render }),
         "configs" -> VObj(TreeMap(configs.toSeq.map { case (n, v) =>
           val display = n match { case "graphql" => "GraphQL"; case "api" => "API"; case o => o }
           display -> (v match { case s: VStr => s: V; case other => other })
@@ -1564,17 +1602,42 @@ final class Interp {
               case old => old
             }
           case "+=" =>
-            val cur = getPath(fields, path)
-            cur match {
-              case VNone => newV match { case _: VNum => newV; case _ => VArr(Vector(newV)) }
-              case VArr(items) => VArr(items :+ newV)
+            // val/value/increment.rs: NONE += duration/array/set keeps the
+            // value as-is (no array wrap); array += array concatenates
+            getPath(fields, path) match {
+              case VNone => newV match {
+                case _: VNum | _: VDur | _: VArr | _: VSet => newV
+                case _ => VArr(Vector(newV))
+              }
+              case VArr(items) => newV match {
+                case VArr(xs) => VArr(items ++ xs)
+                case VSet(xs) => VArr(items ++ xs)
+                case x        => VArr(items :+ x)
+              }
+              case VSet(items) => newV match {
+                case VArr(xs) => V.set(items ++ xs)
+                case VSet(xs) => V.set(items ++ xs)
+                case x        => V.set(items :+ x)
+              }
               case old => Ops.add(old, newV)
             }
           case "-=" =>
-            val cur = getPath(fields, path)
-            cur match {
-              case VArr(items) => VArr(items.filterNot(V.looseEq(_, newV)))
-              case VNone => Ops.sub(VInt(0), newV)
+            // val/value/decrement.rs: NONE -= non-number is a no-op
+            getPath(fields, path) match {
+              case VArr(items) => newV match {
+                case VArr(xs) => VArr(items.filterNot(e => xs.exists(V.looseEq(_, e))))
+                case VSet(xs) => VArr(items.filterNot(e => xs.exists(V.looseEq(_, e))))
+                case x        => VArr(items.filterNot(V.looseEq(_, x)))
+              }
+              case VSet(items) => newV match {
+                case VArr(xs) => V.set(items.filterNot(e => xs.exists(V.looseEq(_, e))))
+                case VSet(xs) => V.set(items.filterNot(e => xs.exists(V.looseEq(_, e))))
+                case x        => V.set(items.filterNot(V.looseEq(_, x)))
+              }
+              case VNone => newV match {
+                case _: VNum => Ops.sub(VInt(0), newV)
+                case _       => VNone
+              }
               case old => Ops.sub(old, newV)
             }
         }

@@ -389,6 +389,7 @@ final class Parser(val src: String) {
     if (what == "NAMESPACE" || what == "NS") return defineNamespaceLike("NAMESPACE", mode)
     if (what == "DATABASE" || what == "DB") return defineNamespaceLike("DATABASE", mode)
     if (what == "ANALYZER") return defineAnalyzerStmt(mode)
+    if (what == "BUCKET") return defineBucketStmt(mode)
     if (what == "SEQUENCE") return defineSequenceStmt(mode)
     if (what == "API") return defineApiStmt(mode)
     if (what == "CONFIG") {
@@ -890,6 +891,25 @@ final class Parser(val src: String) {
     }
     val comment = if (kw("COMMENT")) Some(commentStr()) else scala.None
     DefineRawStmt("ANALYZER", name, tail.toString, mode, scala.None, comment)
+  }
+
+  /** DEFINE BUCKET name [READONLY] [BACKEND expr] [PERMISSIONS perm]
+    * [COMMENT expr] — sql/statements/define/bucket.rs. */
+  private def defineBucketStmt(mode: String): Statement = {
+    val name = defName()
+    var backend: Option[Expr] = scala.None
+    var readonly = false
+    var perm = "FULL"
+    var comment: Option[Expr] = scala.None
+    var go = true
+    while (go) {
+      if (kw("READONLY")) readonly = true
+      else if (kw("BACKEND")) backend = Some(expr())
+      else if (kw("PERMISSIONS")) perm = permSpec()
+      else if (kw("COMMENT")) comment = Some(expr())
+      else go = false
+    }
+    DefineBucketStmt(name, backend, readonly, perm, comment, mode)
   }
 
   private def defineSequenceStmt(mode: String): Statement = {
