@@ -176,7 +176,8 @@ final case class DefineIndexStmt(name: String, table: String, fields: Seq[String
     unique: Boolean, meta: Option[graft.surql.Defs.IndexDef] = scala.None,
     mode: String = "") extends Statement
 final case class InfoStmt(level: String, target: String = "",
-    structure: Boolean = false) extends Statement
+    structure: Boolean = false,
+    version: Option[Expr] = scala.None) extends Statement
 /** EXPLAIN [ANALYZE] [FORMAT JSON] <stmt> (exec/operators/explain.rs). */
 final case class ExplainStmt(analyze: Boolean, json: Boolean,
     inner: Statement) extends Statement
@@ -239,6 +240,8 @@ object Output {
   case object OBefore extends Output
   case object OAfter extends Output
   final case class OFields(fields: Seq[Field]) extends Output
+  /** RETURN VALUE expr — bare value per record (expr/output.rs). */
+  final case class OValue(e: Expr) extends Output
 }
 
 final case class CreateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
@@ -247,11 +250,16 @@ final case class InsertStmt(ignore: Boolean, into: Option[Expr], values: Expr,
     onDuplicate: Option[Seq[(Idiom, String, Expr)]], relation: Boolean,
     output: Option[Output]) extends Statement
 final case class UpdateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
-    where: Option[Expr], output: Option[Output]) extends Statement
+    where: Option[Expr], output: Option[Output],
+    explain: Boolean = false) extends Statement
 final case class UpsertStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
-    where: Option[Expr], output: Option[Output]) extends Statement
+    where: Option[Expr], output: Option[Output],
+    explain: Boolean = false) extends Statement
 final case class DeleteStmt(only: Boolean, what: Seq[Expr], where: Option[Expr],
-    output: Option[Output]) extends Statement
+    output: Option[Output], explain: Boolean = false) extends Statement
+/** REBUILD INDEX [IF EXISTS] name ON table (sql/statements/rebuild.rs). */
+final case class RebuildIndexStmt(name: String, table: String,
+    ifExists: Boolean) extends Statement
 final case class RelateStmt(only: Boolean, from: Expr, edge: Expr, to: Expr,
     data: Option[Data], output: Option[Output]) extends Statement
 

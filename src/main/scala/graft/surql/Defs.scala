@@ -138,13 +138,13 @@ object Defs {
       s.charAt(i) match {
         case '\'' =>
           val j = { var k = i + 1; while (k < s.length && s.charAt(k) != '\'') { if (s.charAt(k) == '\\') k += 1; k += 1 }; k }
-          sb.append(s, i, math.min(j + 1, s.length)); i = j + 1
+          sb.append(s.substring(i, math.min(j + 1, s.length))); i = j + 1
         case '"' =>
           val j = { var k = i + 1; while (k < s.length && s.charAt(k) != '"') { if (s.charAt(k) == '\\') k += 1; k += 1 }; k }
           if (j < s.length) {
             val body = s.substring(i + 1, j)
             if (!body.contains('\'') && !body.contains('\\')) sb.append('\'').append(body).append('\'')
-            else sb.append(s, i, j + 1)
+            else sb.append(s.substring(i, j + 1))
             i = j + 1
           } else { sb.append(s.charAt(i)); i += 1 }
         case c => sb.append(c); i += 1

@@ -123,6 +123,7 @@ object Eval {
   }
 
   private def binary(op: String, le: Expr, re: Expr, env: Env): V = op match {
+    case m if m.startsWith("MATCHES") => Search.evalMatches(m, le, re, env)
     case "&&" =>
       val l = eval(le, env)
       if (!l.truthy) l else eval(re, env)
@@ -163,16 +164,6 @@ object Eval {
         case "NONEINSIDE"   => VBool(Ops.noneInside(l, r))
         case "OUTSIDE"      => VBool(!Ops.contains(r, l))
         case "INTERSECTS"   => VBool(Ops.containsAny(l, r))
-        case "MATCHES"      => l match {
-          case VStr(s) => r match {
-            case VStr(q) =>
-              val terms = q.toLowerCase.split("\\s+").filter(_.nonEmpty)
-              val toks = s.toLowerCase.split("\\s+").toSet
-              VBool(terms.forall(toks.contains))
-            case _ => VBool(false)
-          }
-          case _ => VBool(false)
-        }
         case other => throw SqlError(s"Unsupported operator $other")
       }
   }

@@ -574,13 +574,45 @@ object Explain {
 
   /** Legacy (compute-only) trailing-EXPLAIN output: the dbs/ executor's
     * Iterate/Collector operation array. */
-  def legacy(in: Interp, s: SelectStmt, env: Env): V = {
+  /** Mutation EXPLAIN (UPDATE/UPSERT/DELETE … EXPLAIN): the same legacy
+    * plan array the old SELECT executor prints — Iterate Record for rid
+    * targets, Iterate Table/Index otherwise (sql/statements/update.rs
+    * explain passthrough). */
+  def legacyMut(in: Interp, what: Seq[Expr], where: Option[Expr], env: Env,
+      defer: Boolean = false): V = {
+    val sel = SelectStmt(
+      fields = Seq(Field(Idiom(Seq(PAll)), scala.None)), value = false,
+      omit = Nil, only = false, what = what, where = where,
+      split = Nil, groupBy = scala.None, order = Nil, orderRand = false,
+      limit = scala.None, start = scala.None, fetch = Nil,
+      version = scala.None, timeout = scala.None, explain = false)
+    legacy(in, sel, env, defer)
+  }
+
+  def legacy(in: Interp, s: SelectStmt, env: Env, defer: Boolean = false): V = {
     val table: Option[String] = s.what match {
       case Seq(Idiom(Seq(PField(n)))) => Some(n)
       case Seq(TableRef(n))           => Some(n)
       case _                          => scala.None
     }
     val entries = scala.collection.mutable.ArrayBuffer[V]()
+    // record-id targets: one Iterate Record entry per rid (plain keys only)
+    val rids = s.what.collect { case r @ RidLit(_, key) if !key.isInstanceOf[RangeLit] => r }
+    if (rids.nonEmpty && rids.length == s.what.length) {
+      rids.foreach { r =>
+        val ridV = try Eval.eval(r, env) match {
+          case v: VRid => v: V
+          case other   => other
+        } catch { case _: SqlError => VNone }
+        entries += V.obj(
+          "detail" -> V.obj("record" -> ridV),
+          "operation" -> VStr(if (defer) "Iterate Defer" else "Iterate Record"))
+      }
+      entries += V.obj(
+        "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
+        "operation" -> VStr("Collector"))
+      return VArr(entries.toVector)
+    }
     val union = for {
       t <- table
       w <- s.where
@@ -634,9 +666,14 @@ object Explain {
           "operation" -> VStr("Iterate Index"))
       case scala.None =>
         table.foreach { t =>
-          entries += V.obj(
-            "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
-            "operation" -> VStr("Iterate Table"))
+          if (defer)
+            entries += V.obj(
+              "detail" -> V.obj("table" -> VStr(t)),
+              "operation" -> VStr("Iterate Yield"))
+          else
+            entries += V.obj(
+              "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
+              "operation" -> VStr("Iterate Table"))
         }
     }
     entries += V.obj(

@@ -1131,6 +1131,22 @@ object Functions {
         checkDims(x, y, name)
         val scale = x.zip(y).map { case (m, n) => m * n }.sum / y.map(t => t * t).sum
         VArr(y.map(t => VFloat(t * scale)))
+      case "vector::distance::knn" => Search.knnDistance(env)
+      case "search::score" => Search.score(env, int(0).toInt)
+      case "search::highlight" =>
+        val pre = arg(0) match { case VStr(s) => s; case o => o.renderRaw }
+        val post = arg(1) match { case VStr(s) => s; case o => o.renderRaw }
+        Search.highlight(env, pre, post, int(2).toInt)
+      case "search::offsets" => Search.offsets(env, int(0).toInt)
+      case "search::analyze" =>
+        val nm = arg(0) match { case VStr(s) => s; case o => o.renderRaw }
+        val tx = arg(1) match { case VStr(s) => s; case o => o.renderRaw }
+        Search.analyzeFn(env, nm, tx)
+      case "search::rrf" =>
+        Search.rrf(arg(0), int(1), if (a.length > 2) Some(int(2)) else scala.None)
+      case "search::linear" =>
+        val nm = arg(3) match { case VStr(s) => s; case o => o.renderRaw }
+        Search.linear(arg(0), arg(1), int(2), nm)
       case "vector::distance::euclidean" =>
         val (x, y) = (nums(0), nums(1)); checkDims(x, y, name)
         VFloat(Math.sqrt(x.zip(y).map { case (m, n) => (m - n) * (m - n) }.sum))
@@ -1333,8 +1349,27 @@ object Functions {
         Api.invoke(path, a.lift(1).filter(_ != VNone), env)
       case custom if custom.startsWith("fn::") =>
         env.interp.flatMap(_.customFns.get(custom.stripPrefix("fn::"))) match {
-          case Some(cl) => applyClosure(cl, a, env)
-          case scala.None => throw SqlError(s"Unknown function $custom()")
+          case Some(cl) =>
+            // custom functions enforce arity: trailing option<T>/any params
+            // are optional (fnc script dispatch arg check)
+            cl match {
+              case VClosure(params, _, _) =>
+                val max = params.length
+                def optionalKind(k: Option[Kind]): Boolean = k match {
+                  case Some(_: Kind.KOption) | Some(Kind.KAny) | scala.None => true
+                  case _ => false
+                }
+                val min = max - params.reverseIterator.takeWhile(p => optionalKind(p._2)).length
+                if (a.length < min || a.length > max) {
+                  val what =
+                    if (min == max) s"$max argument" + (if (max == 1) "" else "s")
+                    else s"$min to $max arguments"
+                  throw SqlError(s"Incorrect arguments for function $custom(). The function expects $what.")
+                }
+              case _ => ()
+            }
+            applyClosure(cl, a, env)
+          case scala.None => throw SqlError(s"The function '$custom' does not exist")
         }
       case other => throw SqlError(s"Unknown function $other()")
     }

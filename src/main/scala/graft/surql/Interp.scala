@@ -94,6 +94,10 @@ final class Interp {
   }
   val buckets = mutable.LinkedHashMap[String, BucketRt]()
 
+  /** Per-index build stats for INFO FOR INDEX (idx building status): rows
+    * present when the index was (re)built. */
+  val indexBuildInfo = mutable.LinkedHashMap[(String, String), Long]()
+
   /** Versioned write log: (timestamp, table, key, doc-or-tombstone) — VERSION
     * reads reconstruct table state as of a timestamp (kvs versionstamps,
     * exec/operators/version_scope.rs). */
@@ -224,8 +228,44 @@ final class Interp {
     results.toSeq
   }
 
+  /** DDL catalog timeline for INFO … VERSION: a snapshot after every DDL
+    * statement; versioned INFO restores the latest snapshot ≤ ts, reads,
+    * then restores the present (kvs versionstamped catalog reads). */
+  private val ddlSnaps = mutable.ArrayBuffer[(java.time.Instant, TxSnapshot)]()
+  private val emptySnap = new TxSnapshot // construction-time (empty) catalog
+
+  private def execInfoVersioned(s: InfoStmt, env: Env): V = {
+    val ts = Eval.eval(s.version.get, env) match {
+      case VDt(i) => i
+      case other  => throw SqlError(s"Expected a datetime but found ${other.render}")
+    }
+    val cur = new TxSnapshot
+    val savedHist = history.toVector
+    try {
+      ddlSnaps.reverseIterator.find(!_._1.isAfter(ts)).map(_._2)
+        .getOrElse(emptySnap).restore()
+      execInfo(s.copy(version = scala.None))
+    } finally {
+      cur.restore()
+      history.clear(); history ++= savedHist
+    }
+  }
+
   /** Statement evaluation inside expressions/subqueries. */
-  def execStatement(stmt: Statement, env: Env): V = stmt match {
+  def execStatement(stmt: Statement, env: Env): V = {
+    val v = execStatement0(stmt, env)
+    stmt match {
+      case _: DefineTableStmt | _: DefineFieldStmt | _: DefineIndexStmt |
+           _: DefineEventStmt | _: DefineUserStmt | _: DefineSequenceStmt |
+           _: DefineBucketStmt | _: DefineRawStmt | _: DefineApiStmt |
+           _: RemoveStmt | _: AlterTableStmt =>
+        ddlSnaps += ((java.time.Instant.now(), new TxSnapshot))
+      case _ => ()
+    }
+    v
+  }
+
+  private def execStatement0(stmt: Statement, env: Env): V = stmt match {
     case ExprStmt(e)   => Eval.eval(e, env)
     case ReturnStmt(e) => Eval.eval(e, env)
     case ExplainStmt(analyze, json, inner) => Explain.run(this, analyze, json, inner, env)
@@ -235,6 +275,9 @@ final class Interp {
       Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt => execSelect(s, env)
     case s: CreateStmt => checkApiDeadline(); execCreate(s, env)
+    case s: UpdateStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env)
+    case s: UpsertStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env, defer = true)
+    case s: DeleteStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env)
     case s: UpdateStmt => checkApiDeadline(); execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false)
     case s: UpsertStmt => checkApiDeadline(); execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true)
     case s: DeleteStmt => checkApiDeadline(); execDelete(s, env)
@@ -304,6 +347,13 @@ final class Interp {
     case s: RemoveStmt => execRemove(s.copy(name = rn(s.name, env),
       onTable = s.onTable.map(rn(_, env)))); VNone
     case s: AlterTableStmt => execAlterTable(s); VNone
+    case s: RebuildIndexStmt =>
+      if (!indexDefs.contains((s.table, s.name))) {
+        if (!s.ifExists) throw SqlError(s"The index '${s.name}' does not exist")
+      } else indexBuildInfo((s.table, s.name)) =
+        tables.get(s.table).map(_.size.toLong).getOrElse(0L)
+      VNone
+    case s: InfoStmt if s.version.isDefined => execInfoVersioned(s, env)
     case s: InfoStmt => execInfo(s)
     case u: UseStmt =>
       u.ns.foreach(curNs = _)
@@ -524,6 +574,7 @@ final class Interp {
         uniqueIndexes(ix.table) =
           uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
       ix.meta.foreach(indexDefs(key) = _)
+      indexBuildInfo(key) = tables.get(ix.table).map(_.size.toLong).getOrElse(0L)
       table(ix.table)
     }
   }
@@ -920,6 +971,15 @@ final class Interp {
         case Some(u) => VStr(u.render)
         case scala.None => throw SqlError(s"The root user '${s.target}' does not exist")
       }
+    case "INDEX" =>
+      val Array(ix, tb) = s.target.split(":", 2)
+      if (!indexDefs.contains((tb, ix)))
+        throw SqlError(s"The index '$ix' does not exist")
+      V.obj("building" -> V.obj(
+        "initial" -> VInt(indexBuildInfo.getOrElse((tb, ix), 0L)),
+        "pending" -> VInt(0),
+        "status" -> VStr("ready"),
+        "updated" -> VInt(0)))
     case _ => VNone
   }
 
@@ -1346,10 +1406,24 @@ final class Interp {
     }
     var rows: Vector[V] = s.what.flatMap(resolveTarget(_, env)).toVector
 
-    // WHERE
-    s.where.foreach { cond =>
-      rows = rows.filter(r => Eval.eval(cond, rowEnv(env, r)).truthy)
+    // fulltext match refs (`@N@`) bind per-statement so search::score/
+    // highlight/offsets can resolve them from projections (Search)
+    var env0 = env
+    val matchRefs = Search.collectRefs(s)
+    if (matchRefs.nonEmpty)
+      env0 = env0.bind(Search.RefsParam, Search.encodeRefs(matchRefs, env))
+
+    // WHERE — `<|k|>` KNN nodes are cross-row top-k: precompute over the
+    // candidate rows, rewrite to membership, bind distances
+    s.where.foreach { cond0 =>
+      val cond = if (Search.hasKnn(cond0)) {
+        val (c2, e2) = Search.prepareKnn(cond0, rows, env0, this)
+        env0 = e2
+        c2
+      } else cond0
+      rows = rows.filter(r => Eval.eval(cond, rowEnv(env0, r)).truthy)
     }
+    val envS = env0
 
     // SPLIT
     s.split.foreach { field =>
@@ -1366,7 +1440,7 @@ final class Interp {
     // GROUP
     val grouped: Vector[(V, Option[Seq[V]])] = s.groupBy match {
       case Some(Nil) => // GROUP ALL
-        Vector((projectGroup(rows, s, Nil, env), Some(Nil)))
+        Vector((projectGroup(rows, s, Nil, envS), Some(Nil)))
       case Some(keys0) =>
         // GROUP BY may reference SELECT aliases (GROUP BY country, year where
         // year = time::year(time) AS year) — resolve aliases to their exprs
@@ -1382,14 +1456,14 @@ final class Interp {
           while (c == 0 && i < Math.min(a.length, b.length)) { c = V.cmp(a(i), b(i)); i += 1 }
           if (c != 0) c else a.length - b.length
         }
-        rows.groupBy(r => keys.map(k => Eval.eval(k, rowEnv(env, r))))
+        rows.groupBy(r => keys.map(k => Eval.eval(k, rowEnv(envS, r))))
           .toVector
           .sortBy(_._1)(seqOrd)
           .map { case (keyVals, group) =>
-            (projectGroup(group, s, keys.zip(keyVals), env), Some(keyVals): Option[Seq[V]])
+            (projectGroup(group, s, keys.zip(keyVals), envS), Some(keyVals): Option[Seq[V]])
           }
       case scala.None =>
-        rows.map(r => (projectRow(r, s, env), scala.None: Option[Seq[V]]))
+        rows.map(r => (projectRow(r, s, envS), scala.None: Option[Seq[V]]))
     }
     var out = grouped
 
@@ -1404,8 +1478,8 @@ final class Interp {
           val k = it.next()
           // sort keys do not dereference record links — FETCH runs after
           // ORDER BY (select/fetch/order_by golden), so link paths are NONE
-          val kx = Eval.eval(k.expr, rowEnv(env, x._1).copy(interp = scala.None))
-          val ky = Eval.eval(k.expr, rowEnv(env, y._1).copy(interp = scala.None))
+          val kx = Eval.eval(k.expr, rowEnv(envS, x._1).copy(interp = scala.None))
+          val ky = Eval.eval(k.expr, rowEnv(envS, y._1).copy(interp = scala.None))
           res = V.cmp(kx, ky)
           if (k.desc) res = -res
         }
@@ -1414,8 +1488,8 @@ final class Interp {
     }
 
     // START / LIMIT
-    s.start.foreach { st => out = out.drop(Eval.eval(st, env) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
-    s.limit.foreach { lm => out = out.take(Eval.eval(lm, env) match { case n: VNum => n.toDouble.toInt; case _ => out.length }) }
+    s.start.foreach { st => out = out.drop(Eval.eval(st, envS) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
+    s.limit.foreach { lm => out = out.take(Eval.eval(lm, envS) match { case n: VNum => n.toDouble.toInt; case _ => out.length }) }
 
     // FETCH: dereference record links at (possibly nested) paths
     if (s.fetch.nonEmpty) {
@@ -1427,7 +1501,7 @@ final class Interp {
     // VALUE
     if (s.value) {
       val fe = s.fields.head.expr
-      out.map { case (r, k) => (Eval.eval(fe, rowEnv(env, r)), k) }
+      out.map { case (r, k) => (Eval.eval(fe, rowEnv(envS, r)), k) }
     } else out
   }
 
@@ -1748,6 +1822,14 @@ final class Interp {
         val name = f.alias.getOrElse(Eval.fieldName(f.expr))
         name -> Eval.eval(f.expr, de)
       }: _*)))
+    case Some(Output.OValue(e)) =>
+      // RETURN VALUE evaluates against the post-write doc with
+      // $before/$after bound (expr/output.rs)
+      val doc = after.orElse(before).getOrElse(VObj(TreeMap.empty))
+      val de = env.copy(doc = Some(doc))
+        .bind("before", before.map(identity[V]).getOrElse(VNone))
+        .bind("after", after.map(identity[V]).getOrElse(VNone))
+      Some(Eval.eval(e, de))
   }
 
   /** Fire DEFINE EVENT triggers after a stored write (doc/event.rs): each

@@ -11,6 +11,11 @@ final case class ParseError(msg: String, pos: Int) extends Exception(s"Parse err
   * statement parsing syn/parser/stmt/). Scannerless because SurrealQL lexing
   * is context-dependent (record ids, durations, regex, casts). */
 object Parser {
+  /** `@[ref][,]?[AND|OR]@` — the fulltext match operator family. */
+  private[surql] val MatchOpRe = "@(?:(\\d+))?(?:,?(AND|OR))?@".r
+  /** `<|k[,ef-or-METRIC]|>` — the KNN operator. */
+  private[surql] val KnnOpRe = "<\\|(\\d+)(?:,([A-Za-z0-9]+))?\\|>".r
+
   def parse(text: String): Ast = new Parser(text).parseAst()
   def parseExpr(text: String): Expr = {
     val p = new Parser(text)
@@ -177,6 +182,13 @@ final class Parser(val src: String) {
     else if (kw("CREATE")) createStmt()
     else if (kw("UPDATE")) UpdateStmt.tupled(updLike())
     else if (kw("UPSERT")) UpsertStmt.tupled(updLike())
+    else if (kw("REBUILD")) {
+      expectKw("INDEX")
+      val ifExists = if (kw("IF")) { expectKw("EXISTS"); true } else false
+      val name = defName()
+      expectKw("ON"); kw("TABLE")
+      RebuildIndexStmt(name, defName(), ifExists)
+    }
     else if (kw("DELETE")) deleteStmt()
     else if (kw("INSERT")) insertStmt()
     else if (kw("RELATE")) relateStmt()
@@ -291,8 +303,9 @@ final class Parser(val src: String) {
         InfoStmt("INDEX", i + ":" + defName())
       }
       else fail("expected INFO target")
+    val version = if (kw("VERSION")) Some(expr()) else scala.None
     val structure = kw("STRUCTURE")
-    s.copy(structure = structure)
+    s.copy(structure = structure, version = version)
   }
 
   private def useStmt(): Statement = {
@@ -508,7 +521,17 @@ final class Parser(val src: String) {
       val fn = new StringBuilder(name)  // name may be a $param reference
       var goFn = true
       while (goFn) {
-        if (peekSym("[")) { sym("["); ws(); if (peekc == '*') pos += 1; expectSym("]"); fn.append(".*") }
+        if (peekSym("[")) {
+          sym("["); ws()
+          if (peekc == '*') { pos += 1; expectSym("]"); fn.append(".*") }
+          else if (peekc.isDigit) {
+            val s0 = pos
+            while (!eof && peekc.isDigit) pos += 1
+            val ix = src.substring(s0, pos)
+            expectSym("]"); fn.append('[').append(ix).append(']')
+          }
+          else { expectSym("]"); fn.append(".*") }
+        }
         else if (peekSym(".") && !peekSym("..")) {
           sym(".")
           ws()
@@ -588,7 +611,10 @@ final class Parser(val src: String) {
         if (c == '}' || c == ')' || c == ']') depth -= 1
         pos += 1
       }
-      val tail = src.substring(t0, pos).trim.replaceAll("\\s+", " ")
+      var tail = src.substring(t0, pos).trim.replaceAll("\\s+", " ")
+      // canonical render: BM25 with no explicit params shows the reference's
+      // defaults (k1=1.2, b=0.75 — catalog render of SearchParams)
+      tail = tail.replaceAll("(?i)\\bBM25\\b(?!\\s*\\()", "BM25(1.2,0.75)")
       val unique = tail.toUpperCase.startsWith("UNIQUE")
       val meta = Defs.IndexDef(idxName, tbl, fields.toSeq, tail)
       return DefineIndexStmt(idxName, tbl, fields.toSeq, unique, Some(meta), mode)
@@ -1205,6 +1231,7 @@ final class Parser(val src: String) {
       else if (kw("DIFF")) Some(Output.ODiff)
       else if (kw("BEFORE")) Some(Output.OBefore)
       else if (kw("AFTER")) Some(Output.OAfter)
+      else if (kw("VALUE")) Some(Output.OValue(expr()))
       else {
         val fs = ArrayBuffer[Field]()
         var go = true
@@ -1228,14 +1255,17 @@ final class Parser(val src: String) {
     CreateStmt(only, what, data, out)
   }
 
-  private def updLike(): (Boolean, Seq[Expr], Option[Data], Option[Expr], Option[Output]) = {
+  private def updLike(): (Boolean, Seq[Expr], Option[Data], Option[Expr], Option[Output], Boolean) = {
     val only = kw("ONLY")
     val what = targets()
     val data = dataClause()
     val where = if (kw("WHERE")) Some(expr()) else scala.None
     val out = output()
-    kw("TIMEOUT"); kw("PARALLEL")
-    (only, what, data, where, out)
+    if (kw("TIMEOUT")) expr()
+    kw("PARALLEL")
+    val explain = kw("EXPLAIN")
+    kw("FULL")
+    (only, what, data, where, out, explain)
   }
 
   private def deleteStmt(): Statement = {
@@ -1244,8 +1274,11 @@ final class Parser(val src: String) {
     val what = targets()
     val where = if (kw("WHERE")) Some(expr()) else scala.None
     val out = output()
-    kw("TIMEOUT"); kw("PARALLEL")
-    DeleteStmt(only, what, where, out)
+    if (kw("TIMEOUT")) expr()
+    kw("PARALLEL")
+    val explain = kw("EXPLAIN")
+    kw("FULL")
+    DeleteStmt(only, what, where, out, explain)
   }
 
   private def insertStmt(): Statement = {
@@ -1407,7 +1440,29 @@ final class Parser(val src: String) {
     if (peekSym("⊂")) return take("⊂", "ANYINSIDE", BpRelation)
     if (peekSym("⊄")) return take("⊄", "NONEINSIDE", BpRelation)
     if (peekSym("@@")) return take("@@", "MATCHES", BpEquality)
-    if (peekSym("@")) return take("@", "MATCHES", BpEquality)
+    // match-ref forms: @1@, @AND@, @OR@, @1,AND@ (expr/operator.rs Matches)
+    if (peekc == '@' && BpEquality >= minBp) {
+      val m = Parser.MatchOpRe.findPrefixMatchOf(src.subSequence(pos, src.length))
+      m match {
+        case Some(mm) =>
+          pos += mm.end
+          val ref = Option(mm.group(1)).getOrElse("")
+          val bop = Option(mm.group(2)).getOrElse("")
+          return Some((s"MATCHES:$ref:$bop", BpEquality))
+        case scala.None => ()
+      }
+    }
+    // KNN operator <|k|>, <|k,ef|>, <|k,METRIC|> (expr/operator.rs Knn)
+    if (peekc == '<' && peekAt(1) == '|' && BpEquality >= minBp) {
+      val m = Parser.KnnOpRe.findPrefixMatchOf(src.subSequence(pos, src.length))
+      m match {
+        case Some(mm) =>
+          pos += mm.end
+          val arg = Option(mm.group(2)).getOrElse("")
+          return Some((s"KNN:${mm.group(1)}:$arg", BpEquality))
+        case scala.None => ()
+      }
+    }
 
     // keyword operators
     if (BpOr >= minBp && kw("OR")) return Some(("||", BpOr))
@@ -2305,7 +2360,12 @@ final class Parser(val src: String) {
     }
     val keyExpr: Expr = {
       val c = peekc
-      if (c == '\'' || c == '"') Lit(VStr(stringLit()._1))
+      if (c == 'u' && (peekAt(1) == '\'' || peekAt(1) == '"')) {
+        // uuid record key: t:u"xxxxxxxx-…" (syn uuid key form)
+        pos += 1
+        Lit(VUuid(java.util.UUID.fromString(stringLit()._1)))
+      }
+      else if (c == '\'' || c == '"') Lit(VStr(stringLit()._1))
       else if (c == '`' || c == '⟨') Lit(VStr(rawIdent()))
       else if (c == '[') { primary() }
       else if (c == '{') { primary() }
