@@ -123,6 +123,7 @@ final class Interp {
     val cfgs = configs.clone(); val apis = apiDefs.clone()
     val anas = analyzers.clone(); val pds = paramDefs.clone()
     val fnds = functionDefs.clone(); val histLen = history.length
+    val snapsLen = ddlSnaps.length
     val bks = buckets.map { case (k, b) => (k, b.copyRt()) }
     def restore(): Unit = {
       buckets.clear(); bks.foreach { case (k, b) => buckets(k) = b }
@@ -136,7 +137,13 @@ final class Interp {
       put(indexDefs, ixs); put(eventDefs, evs); put(sequences, seqs)
       put(accesses, accs); put(configs, cfgs); put(apiDefs, apis)
       put(analyzers, anas); put(paramDefs, pds); put(functionDefs, fnds)
-      history.remove(histLen, history.length - histLen)
+      // Guard: a versioned-INFO restore of an OLDER snapshot may have already
+      // truncated history below our mark; removing a negative count throws.
+      if (history.length > histLen) history.remove(histLen, history.length - histLen)
+      // DDL snapshots recorded after this snapshot belong to rolled-back
+      // statements — discard them so INFO … VERSION can't resurrect
+      // never-committed catalog state.
+      if (ddlSnaps.length > snapsLen) ddlSnaps.remove(snapsLen, ddlSnaps.length - snapsLen)
     }
   }
 
@@ -157,9 +164,23 @@ final class Interp {
     ast.stmts.foreach { stmt =>
       stmt match {
         case BeginStmt =>
-          if (!inTx) { snapshot = Some(new TxSnapshot); inTx = true; txAborted = false }
-          results += QOk(VNone)
-          txStart = results.length
+          if (!inTx) {
+            snapshot = Some(new TxSnapshot); inTx = true; txAborted = false
+            results += QOk(VNone)
+            txStart = results.length
+          } else {
+            // Nested BEGIN aborts the open transaction (executor.rs): prior
+            // results flip to the failed-transaction error, the nested BEGIN
+            // itself errors, and the remaining statements are skipped until
+            // COMMIT/CANCEL closes the aborted transaction.
+            for (i <- txStart until results.length)
+              results(i) match {
+                case QOk(_) => results(i) = QErr(FailedTx)
+                case _      => ()
+              }
+            results += QErr("Tried to start a transaction while another transaction was open")
+            txAborted = true
+          }
         case CommitStmt =>
           if (!inTx)
             results += QErr("Invalid statement: Cannot COMMIT without starting a transaction")
@@ -174,7 +195,12 @@ final class Interp {
         case CancelStmt =>
           if (!inTx)
             results += QErr("Invalid statement: Cannot CANCEL without starting a transaction")
-          else {
+          else if (txAborted) {
+            // Post-abort CANCEL: the reference's consume loop returns without
+            // pushing any result row for the CANCEL itself.
+            snapshot.foreach(_.restore())
+            inTx = false; txAborted = false; snapshot = scala.None
+          } else {
             snapshot.foreach(_.restore())
             for (i <- txStart until results.length)
               results(i) match {
@@ -241,6 +267,7 @@ final class Interp {
     }
     val cur = new TxSnapshot
     val savedHist = history.toVector
+    val savedSnaps = ddlSnaps.toVector
     try {
       ddlSnaps.reverseIterator.find(!_._1.isAfter(ts)).map(_._2)
         .getOrElse(emptySnap).restore()
@@ -248,6 +275,7 @@ final class Interp {
     } finally {
       cur.restore()
       history.clear(); history ++= savedHist
+      ddlSnaps.clear(); ddlSnaps ++= savedSnaps
     }
   }
 

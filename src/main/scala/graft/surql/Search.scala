@@ -259,7 +259,12 @@ object Search {
       val docTerms: Map[V, Map[String, Int]],
       val docLen: Map[V, Long])
 
-  private val corpusCache = mutable.HashMap[(String, String, Int), Corpus]()
+  /** Corpus cache scoped per Interp instance (weak keys — entries die with
+    * the interp, so parallel golden runs can't cross-pollinate and memory is
+    * reclaimed). Within an interp, the key carries the full index + analyzer
+    * definitions and the write-history length, so redefining either evicts. */
+  private val corpusCache =
+    new java.util.WeakHashMap[Interp, mutable.HashMap[(FtsIndex, String, Int), Corpus]]()
 
   private def strValues(v: V): Vector[String] = v match {
     case VStr(s)     => Vector(s)
@@ -268,8 +273,18 @@ object Search {
   }
 
   def corpusFor(in: Interp, env: Env, idx: FtsIndex): Corpus = {
-    val key = (idx.table, idx.name, in.history.length)
-    corpusCache.getOrElseUpdate(key, {
+    val perInterp = corpusCache.synchronized {
+      var m = corpusCache.get(in)
+      if (m == null) { m = mutable.HashMap[(FtsIndex, String, Int), Corpus](); corpusCache.put(in, m) }
+      m
+    }
+    val anaDef = in.analyzers.getOrElse(idx.analyzer, "")
+    val key = (idx, anaDef, in.history.length)
+    // Drop stale generations of this index (older history lengths / defs).
+    perInterp.keysIterator
+      .filter(k => k._1.table == idx.table && k._1.name == idx.name && k != key)
+      .toList.foreach(perInterp.remove)
+    perInterp.getOrElseUpdate(key, {
       val a = analyzerOf(in, idx.analyzer)
       val termDocs = mutable.HashMap[String, Int]()
       val docTerms = mutable.HashMap[V, Map[String, Int]]()
