@@ -102,6 +102,10 @@ final class Interp {
     * reads reconstruct table state as of a timestamp (kvs versionstamps,
     * exec/operators/version_scope.rs). */
   val history = mutable.ArrayBuffer[(java.time.Instant, String, V, Option[VObj])]()
+  /** Monotonic write generation: bumped on every history append AND on every
+    * snapshot restore, so caches keyed on it (FTS corpus) can never alias a
+    * rolled-back state with a later one that has the same history length. */
+  var writeGen: Long = 0L
   /** Active VERSION scope: reads snapshot at this timestamp. */
   var versionAsOf: Option[java.time.Instant] = scala.None
   /** Session planner strategy: trailing `… EXPLAIN` renders the legacy
@@ -144,6 +148,40 @@ final class Interp {
       // statements — discard them so INFO … VERSION can't resurrect
       // never-committed catalog state.
       if (ddlSnaps.length > snapsLen) ddlSnaps.remove(snapsLen, ddlSnaps.length - snapsLen)
+      writeGen += 1
+    }
+  }
+
+  /** Best-effort statement → canonical SQL, for the nested-BEGIN abort
+    * messages ("… failed transaction: <stmt>", executor.rs:903 uses
+    * stmt.to_sql()). Only the statement head needs to be faithful here. */
+  private def stmtSql(s: Statement): String = {
+    def es(e: Expr): String =
+      try Explain.exprSql(e) catch { case _: MatchError => "…" }
+    def targets(ws: Seq[Expr]) = ws.map(es).mkString(", ")
+    s match {
+      case BeginStmt         => "BEGIN"
+      case CommitStmt        => "COMMIT"
+      case CancelStmt        => "CANCEL"
+      case BreakStmt         => "BREAK"
+      case ContinueStmt      => "CONTINUE"
+      case ExprStmt(e)       => es(e)
+      case ReturnStmt(e)     => s"RETURN ${es(e)}"
+      case ThrowStmt(e)      => s"THROW ${es(e)}"
+      case LetStmt(n, _, w)  => s"LET $$$n = ${es(w)}"
+      case c: CreateStmt     => "CREATE " + (if (c.only) "ONLY " else "") + targets(c.what)
+      case u: UpdateStmt     => "UPDATE " + (if (u.only) "ONLY " else "") + targets(u.what)
+      case u: UpsertStmt     => "UPSERT " + (if (u.only) "ONLY " else "") + targets(u.what)
+      case d: DeleteStmt     => "DELETE " + (if (d.only) "ONLY " else "") + targets(d.what)
+      case i: InsertStmt     => "INSERT" + i.into.map(e => s" INTO ${es(e)}").getOrElse("")
+      case r: RelateStmt     => s"RELATE ${es(r.from)}->${es(r.edge)}->${es(r.to)}"
+      case sel: SelectStmt   =>
+        val fs = if (sel.value) "VALUE …" else if (sel.fields.isEmpty) "*" else "…"
+        s"SELECT $fs FROM ${targets(sel.what)}"
+      case other =>
+        // DEFINE/REMOVE/ALTER/INFO/… — the leading keyword is enough.
+        val n = other.getClass.getSimpleName.stripSuffix("$").stripSuffix("Stmt")
+        n.replaceAll("([a-z])([A-Z])", "$1 $2").toUpperCase.split(" ").headOption.getOrElse(n)
     }
   }
 
@@ -156,6 +194,11 @@ final class Interp {
     // and the catalog rolls back to the BEGIN snapshot.
     var inTx = false
     var txAborted = false
+    // Abort cause matters (executor.rs keeps two distinct consume loops):
+    // an error abort skips statements with the cancelled-transaction message
+    // and pushes NO row for CANCEL, while a nested-BEGIN abort skips them
+    // with "failed transaction: <stmt sql>" and DOES push a row for CANCEL.
+    var txNested = false
     var txStart = 0
     var snapshot: Option[TxSnapshot] = scala.None
     val FailedTx = "The query was not executed due to a failed transaction"
@@ -163,31 +206,35 @@ final class Interp {
 
     ast.stmts.foreach { stmt =>
       stmt match {
+        case BeginStmt if inTx && txAborted && txNested =>
+          // Another BEGIN inside the already-aborted consume loop is just a
+          // skipped statement with its own sql text (executor.rs:903).
+          results += QErr(s"$FailedTx: BEGIN")
         case BeginStmt =>
           if (!inTx) {
-            snapshot = Some(new TxSnapshot); inTx = true; txAborted = false
+            snapshot = Some(new TxSnapshot); inTx = true; txAborted = false; txNested = false
             results += QOk(VNone)
             txStart = results.length
           } else {
-            // Nested BEGIN aborts the open transaction (executor.rs): prior
-            // results flip to the failed-transaction error, the nested BEGIN
-            // itself errors, and the remaining statements are skipped until
-            // COMMIT/CANCEL closes the aborted transaction.
+            // Nested BEGIN aborts the open transaction (executor.rs:856-918):
+            // prior results flip to the failed-transaction error WITH the
+            // aborting statement's sql text, the nested BEGIN itself errors,
+            // and the remaining statements are skipped until COMMIT/CANCEL
+            // closes the aborted transaction.
             for (i <- txStart until results.length)
-              results(i) match {
-                case QOk(_) => results(i) = QErr(FailedTx)
-                case _      => ()
-              }
+              results(i) = QErr(s"$FailedTx: BEGIN")
             results += QErr("Tried to start a transaction while another transaction was open")
-            txAborted = true
+            txAborted = true; txNested = true
           }
         case CommitStmt =>
           if (!inTx)
             results += QErr("Invalid statement: Cannot COMMIT without starting a transaction")
           else if (txAborted) {
             snapshot.foreach(_.restore())
-            results += QErr("Cannot COMMIT: the transaction was aborted due to a prior error")
-            inTx = false; txAborted = false; snapshot = scala.None
+            results += QErr(
+              if (txNested) "Cannot COMMIT: the transaction was aborted due to a nested BEGIN"
+              else "Cannot COMMIT: the transaction was aborted due to a prior error")
+            inTx = false; txAborted = false; txNested = false; snapshot = scala.None
           } else {
             results += QOk(VNone)
             inTx = false; snapshot = scala.None
@@ -196,10 +243,12 @@ final class Interp {
           if (!inTx)
             results += QErr("Invalid statement: Cannot CANCEL without starting a transaction")
           else if (txAborted) {
-            // Post-abort CANCEL: the reference's consume loop returns without
-            // pushing any result row for the CANCEL itself.
+            // Post-abort CANCEL: after an error abort the reference's consume
+            // loop returns without pushing any row; after a nested-BEGIN abort
+            // it pushes the failed-transaction row first (executor.rs:903-910).
+            if (txNested) results += QErr(s"$FailedTx: CANCEL")
             snapshot.foreach(_.restore())
-            inTx = false; txAborted = false; snapshot = scala.None
+            inTx = false; txAborted = false; txNested = false; snapshot = scala.None
           } else {
             snapshot.foreach(_.restore())
             for (i <- txStart until results.length)
@@ -211,7 +260,7 @@ final class Interp {
             inTx = false; txAborted = false; snapshot = scala.None
           }
         case _ if inTx && txAborted =>
-          results += QErr(CancelledTx)
+          results += QErr(if (txNested) s"$FailedTx: ${stmtSql(stmt)}" else CancelledTx)
         case other =>
           try {
             val env = Env(params = globals, interp = Some(this))
@@ -1867,7 +1916,8 @@ final class Interp {
   def fireEvents(tb: String, before: Option[VObj], after: Option[VObj], env: Env,
       input: Option[VObj] = scala.None): Unit = {
     after.orElse(before).flatMap(_.fields.get("id")) match {
-      case Some(VRid(_, k)) => history += ((java.time.Instant.now(), tb, k, after))
+      case Some(VRid(_, k)) =>
+        history += ((java.time.Instant.now(), tb, k, after)); writeGen += 1
       case _ => ()
     }
     maintainViews(tb)

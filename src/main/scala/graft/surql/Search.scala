@@ -262,9 +262,12 @@ object Search {
   /** Corpus cache scoped per Interp instance (weak keys — entries die with
     * the interp, so parallel golden runs can't cross-pollinate and memory is
     * reclaimed). Within an interp, the key carries the full index + analyzer
-    * definitions and the write-history length, so redefining either evicts. */
+    * definitions and the interp's monotonic write generation — NOT the
+    * history length, which is non-monotonic (transaction rollback truncates
+    * it, so a later state could alias a rolled-back one). writeGen bumps on
+    * every append AND every snapshot restore, so it can't ABA. */
   private val corpusCache =
-    new java.util.WeakHashMap[Interp, mutable.HashMap[(FtsIndex, String, Int), Corpus]]()
+    new java.util.WeakHashMap[Interp, mutable.HashMap[(FtsIndex, String, Long), Corpus]]()
 
   private def strValues(v: V): Vector[String] = v match {
     case VStr(s)     => Vector(s)
@@ -275,16 +278,20 @@ object Search {
   def corpusFor(in: Interp, env: Env, idx: FtsIndex): Corpus = {
     val perInterp = corpusCache.synchronized {
       var m = corpusCache.get(in)
-      if (m == null) { m = mutable.HashMap[(FtsIndex, String, Int), Corpus](); corpusCache.put(in, m) }
+      if (m == null) { m = mutable.HashMap[(FtsIndex, String, Long), Corpus](); corpusCache.put(in, m) }
       m
     }
     val anaDef = in.analyzers.getOrElse(idx.analyzer, "")
-    val key = (idx, anaDef, in.history.length)
-    // Drop stale generations of this index (older history lengths / defs).
-    perInterp.keysIterator
-      .filter(k => k._1.table == idx.table && k._1.name == idx.name && k != key)
-      .toList.foreach(perInterp.remove)
-    perInterp.getOrElseUpdate(key, {
+    val key = (idx, anaDef, in.writeGen)
+    // The inner map is shared by all FTS queries against this interp — hold
+    // its lock across the eviction scan and the compute-if-absent so
+    // concurrent queries can't corrupt it or race the build.
+    perInterp.synchronized {
+      // Drop stale generations of this index (older write gens / defs).
+      perInterp.keysIterator
+        .filter(k => k._1.table == idx.table && k._1.name == idx.name && k != key)
+        .toList.foreach(perInterp.remove)
+      perInterp.getOrElseUpdate(key, {
       val a = analyzerOf(in, idx.analyzer)
       val termDocs = mutable.HashMap[String, Int]()
       val docTerms = mutable.HashMap[V, Map[String, Int]]()
@@ -306,7 +313,8 @@ object Search {
         }
       }
       new Corpus(n, total, termDocs.toMap, docTerms.toMap, docLen.toMap)
-    })
+      })
+    }
   }
 
   /** BM25 as the reference computes it (f64 math, result cast to f32). */

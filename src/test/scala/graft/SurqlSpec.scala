@@ -55,6 +55,30 @@ class SurqlSpec extends AnyFunSuite {
     assert(results.last == QOk(Parser.parseValue("[{ v: 3 }, { v: 2 }]")))
   }
 
+  test("nested BEGIN aborts with the failed-transaction consume loop (executor.rs:856-918)") {
+    val sql =
+      """BEGIN; CREATE p:1 SET v = 1; BEGIN; CREATE p:2 SET v = 2; COMMIT;"""
+    val rs = new Interp().run(Parser.parse(sql))
+    val failedBegin = "The query was not executed due to a failed transaction: BEGIN"
+    assert(rs.length == 5)
+    assert(rs(0) == QOk(VNone))
+    // Prior in-tx result flips with the BEGIN sql suffix, not the bare message.
+    assert(rs(1) == QErr(failedBegin))
+    assert(rs(2) == QErr("Tried to start a transaction while another transaction was open"))
+    // Skipped statements carry their own sql text (not the cancelled message).
+    assert(rs(3) == QErr("The query was not executed due to a failed transaction: CREATE p:2"))
+    assert(rs(4) == QErr("Cannot COMMIT: the transaction was aborted due to a nested BEGIN"))
+
+    // CANCEL after a nested-BEGIN abort DOES get a result row…
+    val rs2 = new Interp().run(Parser.parse("BEGIN; BEGIN; CANCEL;"))
+    assert(rs2.length == 3)
+    assert(rs2(2) == QErr("The query was not executed due to a failed transaction: CANCEL"))
+    // …while CANCEL after an error abort does not.
+    val rs3 = new Interp().run(Parser.parse("BEGIN; THROW 'x'; CANCEL;"))
+    assert(rs3.length == 2)
+    assert(rs3(1) == QErr("An error occurred: x"))
+  }
+
   test("golden corpus per-category floors hold") {
     val root = java.nio.file.Paths.get("/root/reference/language-tests/tests")
     val in = getClass.getResourceAsStream("/golden_floors.txt")
