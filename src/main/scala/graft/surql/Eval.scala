@@ -556,11 +556,14 @@ object Eval {
         g.alias.getOrElse(arrow + g.raw.map(_.replace('"', '\''))
           .getOrElse(g.what.map(_.table).mkString(", ")))
     }.mkString(".").replace(".->", "->").replace(".<-", "<-")
+    case Lit(VStr(s))  => s
     case Lit(v)        => v.render
     case Param(n)      => n
     case FnCall(n, _)  => n
     case Constant(n)   => n
-    case Binary(_, _, _) | Prefix(_, _) | Cast(_, _) => "expr"
-    case _ => "value"
+    // expr/expression.rs:339 to_idiom: any other expression names its output
+    // field by its canonical sql text
+    case other =>
+      try Explain.exprSql(other) catch { case _: MatchError => "value" }
   }
 }

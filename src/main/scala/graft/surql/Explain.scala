@@ -152,6 +152,36 @@ object Explain {
     case BlockExpr(_) => "{ … }"
   }
 
+  /** Physical-expression rendering for new-executor plan attributes: like
+    * [[exprSql]] but function calls elide their compiled argument
+    * sub-expressions (`count(...)`) — except inside idioms, which compile
+    * and render as one unit (`record::id(id).val`). */
+  def physSql(e: Expr): String = e match {
+    case FnCall(name, _) => s"$name(...)"
+    case Binary(op, l, r) => s"${physSql(l)} ${opSql(op)} ${physSql(r)}"
+    case Prefix(op, inner) => op match {
+      case "!" => "!" + physSql(inner)
+      case o   => o + physSql(inner)
+    }
+    case Cast(k, inner) => s"<${kindSql(k)}>${physSql(inner)}"
+    case other => exprSql(other)
+  }
+
+  /** Reserved-keyword-aware ident escape (fmt/escape.rs EscapeIdent +
+    * syn/lexer/keywords.rs RESERVED_KEYWORD): used where a table name
+    * renders as an expression (e.g. CountScan source). */
+  private val ReservedKw: Set[String] = Set(
+    "ALTER", "BEGIN", "BREAK", "CANCEL", "COMMIT", "CONTINUE", "CREATE",
+    "DEFINE", "DELETE", "FOR", "IF", "INFO", "INSERT", "KILL", "LIVE",
+    "OPTION", "REBUILD", "RETURN", "RELATE", "REMOVE", "SELECT", "LET",
+    "SHOW", "SLEEP", "THROW", "UPDATE", "UPSERT", "USE", "DIFF", "RAND",
+    "NONE", "NULL", "AFTER", "BEFORE", "VALUE", "BY", "ALL", "TRUE",
+    "FALSE", "WHERE", "TABLE", "TB", "SEQUENCE", "FUNCTION")
+
+  def escKwIdent(s: String): String =
+    if (ReservedKw.contains(s.toUpperCase)) "`" + s + "`"
+    else { val sb = new StringBuilder; Render.escapeIdent(sb, s); sb.toString }
+
   def idiomSql(parts: Seq[Part]): String = {
     val sb = new StringBuilder
     parts.zipWithIndex.foreach { case (p, i) =>
@@ -296,20 +326,45 @@ object Explain {
     }
 
     // CountScan fast path: GROUP ALL + count()-only projection on one table
-    val countOnly = s.groupBy.contains(Nil) && singleTable.isDefined && s.where.isEmpty &&
-      s.fields.forall(f => f.expr match { case FnCall("count", Nil) => true; case _ => false })
-    if (countOnly) return PNode("CountScan", "Db", Seq("source" -> singleTable.get))
+    // or record-id range (exec/operators/scan/count.rs; source renders as an
+    // expression so reserved table names backtick)
+    val countSource: Option[String] = s.what match {
+      case Seq(Idiom(Seq(PField(n)))) => Some(escKwIdent(n))
+      case Seq(TableRef(n))           => Some(escKwIdent(n))
+      case Seq(r @ RidLit(_, _: RangeLit)) => Some(exprSql(r))
+      case _ => scala.None
+    }
+    val groupAllCount = s.groupBy.contains(Nil) && countAllOnly(s)
+    if (groupAllCount && countSource.isDefined && s.where.isEmpty)
+      return PNode("CountScan", "Db", Seq("source" -> countSource.get))
+    // IndexCountScan: the count is served by an index probe plus the index
+    // condition (exec/operators/scan/index_count.rs)
+    if (groupAllCount && singleTable.isDefined && s.where.isDefined &&
+        !s.withIndex.contains(Nil)) {
+      indexAccess(in, singleTable.get, s.where.get, s.withIndex) match {
+        case Some((_, _, scala.None, _, _)) =>
+          return PNode("IndexCountScan", "Db", Seq(
+            "source" -> countSource.getOrElse(singleTable.get),
+            "condition" -> physSql(s.where.get)))
+        case _ => ()
+      }
+    }
 
     // ---- source ----------------------------------------------------------
-    val predicateTxt = s.where.map(exprSql)
+    val predicateTxt = s.where.map(physSql)
     // limit/offset pushdown into the scan: plain scan, no sort/group
     val limitConst = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
     val startConst = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
-    val pushLimit = s.order.isEmpty && s.groupBy.isEmpty && s.split.isEmpty && singleTable.isDefined
+    // ORDER BY id is the natural scan order: the sort is eliminated and the
+    // scan direction flips for DESC (dbs/plan.rs scan-direction rule)
+    val orderById = s.groupBy.isEmpty && !s.orderRand && s.order.length == 1 &&
+      (s.order.head.expr match { case Idiom(Seq(PField("id"))) => true; case _ => false })
+    val pushLimit = (s.order.isEmpty || orderById) && s.groupBy.isEmpty && s.split.isEmpty && singleTable.isDefined
     var consumedPred = false
     var consumedLimit = false
     var orderConsumed = false
     var residualPred: Option[Expr] = scala.None
+    def hints2(n: String): Boolean = s.withIndex.forall(_.contains(n))
 
     def sourceNode(e: Expr): PNode = e match {
       case Idiom(Seq(PField(_))) | TableRef(_) =>
@@ -352,14 +407,48 @@ object Explain {
               }
             }
             var attrs = Seq("index" -> idxName, "access" -> access, "direction" -> direction)
-            if (orderConsumed && limitConst.isDefined && startConst.isEmpty &&
+            if ((orderConsumed || s.order.isEmpty) && residual.isEmpty &&
+                limitConst.isDefined && startConst.isEmpty &&
                 s.groupBy.isEmpty && s.split.isEmpty) {
               attrs = attrs :+ ("limit" -> limitConst.get.toString)
               consumedLimit = true
             }
             PNode("IndexScan", "Db", attrs)
           case scala.None =>
-            var attrs = Seq("table" -> name, "direction" -> "Forward")
+            // ORDER BY an indexed field without index-served WHERE: scan the
+            // index in order with an empty access (sort elimination +
+            // limit pushdown, planner index_limit_pushdown)
+            if (s.order.length == 1 && s.groupBy.isEmpty && s.where.isEmpty &&
+                !s.orderRand && !orderById) {
+              val idxForOrder = s.order.head.expr match {
+                case Idiom(Seq(PField(of))) =>
+                  in.indexDefs.collectFirst {
+                    case ((t, _), d) if t == name && d.fields.headOption.contains(of) &&
+                        hints2(d.name) &&
+                        !d.tail.toUpperCase.startsWith("FULLTEXT") &&
+                        !d.tail.toUpperCase.startsWith("SEARCH") => d
+                  }
+                case _ => scala.None
+              }
+              idxForOrder match {
+                case Some(d) =>
+                  orderConsumed = true
+                  val direction = if (s.order.head.desc) "Backward" else "Forward"
+                  var attrs = Seq("index" -> d.name, "access" -> "", "direction" -> direction)
+                  if (limitConst.isDefined && startConst.isEmpty && s.split.isEmpty) {
+                    attrs = attrs :+ ("limit" -> limitConst.get.toString)
+                    consumedLimit = true
+                  }
+                  return PNode("IndexScan", "Db", attrs)
+                case scala.None => ()
+              }
+            }
+            var direction = "Forward"
+            if (orderById) {
+              orderConsumed = true
+              direction = if (s.order.head.desc) "Backward" else "Forward"
+            }
+            var attrs = Seq("table" -> name, "direction" -> direction)
             if (singleTable.isDefined && predicateTxt.isDefined) {
               attrs = attrs :+ ("predicate" -> predicateTxt.get)
               consumedPred = true
@@ -382,10 +471,10 @@ object Explain {
 
     // ---- filter (residual) ----------------------------------------------
     if (!consumedPred) s.where.foreach { w =>
-      node = PNode("Filter", "Db", Seq("predicate" -> exprSql(w)), Seq(node))
+      node = PNode("Filter", "Db", Seq("predicate" -> physSql(w)), Seq(node))
     }
     residualPred.foreach { w =>
-      node = PNode("Filter", "Db", Seq("predicate" -> exprSql(w)), Seq(node))
+      node = PNode("Filter", "Db", Seq("predicate" -> physSql(w)), Seq(node))
     }
 
     // ---- split -----------------------------------------------------------
@@ -401,7 +490,7 @@ object Explain {
     }
 
     // ---- sort / limit ----------------------------------------------------
-    val orderTxt = s.order.map(k => exprSql(k.expr) + (if (k.desc) " DESC" else " ASC")).mkString(", ")
+    val orderTxt = s.order.map(k => physSql(k.expr) + (if (k.desc) " DESC" else " ASC")).mkString(", ")
     if (s.order.nonEmpty && !orderConsumed) {
       if (limitConst.isDefined) {
         val topn = limitConst.get + startConst.getOrElse(0L)
@@ -429,7 +518,7 @@ object Explain {
     val isRid = s.what.exists { case _: RidLit => true; case _ => false }
     if (s.value) {
       val fe = s.fields.head.expr
-      PNode("ProjectValue", "Db", Seq("expr" -> exprSql(fe)), Seq(node),
+      PNode("ProjectValue", "Db", Seq("expr" -> physSql(fe)), Seq(node),
         embedded = embeds(fe, "expr"))
     } else if (s.fields.forall(_.isAll) && isRid) {
       PNode("Project", "Db", Nil, Seq(node))
@@ -451,7 +540,7 @@ object Explain {
         })
         val fieldsTxt = computed.map { f =>
           val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
-          s"$nm = ${exprSql(f.expr)}"
+          s"$nm = ${physSql(f.expr)}"
         }.mkString(", ")
         val emb = computed.flatMap { f =>
           val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
@@ -487,18 +576,20 @@ object Explain {
     if (hints.contains(Nil)) return scala.None // WITH NOINDEX
     val cs = conjunctList(where)
     val eqPairs: Map[String, (String, Expr)] = cs.collect {
-      case c @ Binary("=", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
+      case c @ Binary("=" | "==", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
         f -> ((exprSql(rhs), c))
-      // CONTAINS over an array path is an equality probe into the index
-      // built on that path (planner contains_operators)
-      case c @ Binary("CONTAINS", Idiom(ps), rhs) if !touchesDb(rhs) && fieldPathName(ps).isDefined =>
+      // CONTAINS probes an index only when the index is built over an ARRAY
+      // path (`marks.*.subject`) — each element is an index entry. A plain
+      // scalar-field index stores whole values and cannot serve CONTAINS
+      // (planner contains_operators vs delete_select_std_index_…).
+      case c @ Binary("CONTAINS", Idiom(ps), rhs)
+          if !touchesDb(rhs) && fieldPathName(ps).isDefined && ps.contains(PAll) =>
         fieldPathName(ps).get -> ((exprSql(rhs), c))
     }.toMap
     val rangeOps: Map[String, Seq[(String, String, Expr)]] = cs.collect {
       case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
         (f, (op, exprSql(rhs), c))
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    if (eqPairs.isEmpty) return scala.None
     val candidates = in.indexDefs.collect {
       case ((t, _), d) if t == table && d.fields.nonEmpty &&
           hints.forall(h => h.contains(d.name)) &&
@@ -507,7 +598,24 @@ object Explain {
         (d, matched)
     }.filter { case (d, m) => m.length == d.fields.length || m.nonEmpty }
       .filter(_._2.nonEmpty)
-    if (candidates.isEmpty) return scala.None
+    if (candidates.isEmpty) {
+      // range-only access: range conjuncts on the FIRST field of an index
+      // (single-field compact render: `>15`, `>=2000 <2020`)
+      val rangeCand = in.indexDefs.collectFirst {
+        case ((t, _), d) if t == table && d.fields.nonEmpty &&
+            hints.forall(h => h.contains(d.name)) &&
+            !d.tail.toUpperCase.startsWith("FULLTEXT") && !d.tail.toUpperCase.startsWith("SEARCH") &&
+            rangeOps.contains(d.fields.head) => d
+      }
+      return rangeCand.map { d =>
+        val rs = rangeOps(d.fields.head)
+        val served = rs.map(_._3).toSet
+        val residual = cs.filterNot(served.contains).reduceOption((a, b) => Binary("&&", a, b))
+        val access = rs.sortBy(r => if (r._1.startsWith(">")) 0 else 1)
+          .map { case (op, v, _) => op + v }.mkString(" ")
+        (d.name, access, residual, d.fields, 0)
+      }
+    }
     val (idx, matched) = candidates.maxBy { case (d, m) => (m.length, d.unique) }
     val containsConjuncts: Set[Expr] = cs.collect {
       case c @ Binary("CONTAINS", _, _) => c
@@ -544,6 +652,11 @@ object Explain {
     val cs = conjunctList(where)
     cs.collectFirst {
       case c @ Binary("CONTAINSALL" | "CONTAINSANY", Idiom(ps), ArrLit(items))
+          if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
+        (fieldPathName(ps).get, items, c)
+      // value IN [list] over an indexed field: one index probe per element
+      // merged by a union (planner in_operator_index)
+      case c @ Binary("INSIDE" | "IN", Idiom(ps), ArrLit(items))
           if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
         (fieldPathName(ps).get, items, c)
     }.flatMap { case (path, items, c) =>
@@ -586,16 +699,111 @@ object Explain {
       split = Nil, groupBy = scala.None, order = Nil, orderRand = false,
       limit = scala.None, start = scala.None, fetch = Nil,
       version = scala.None, timeout = scala.None, explain = false)
-    legacy(in, sel, env, defer)
+    legacy(in, sel, env, defer, mutation = true)
   }
 
-  def legacy(in: Interp, s: SelectStmt, env: Env, defer: Boolean = false): V = {
+  /** Are the SELECT fields only `count()` (no args, not `*`)? */
+  private def countAllOnly(s: SelectStmt): Boolean =
+    !s.value && s.fields.nonEmpty && s.fields.forall(f =>
+      !f.isAll && (f.expr match { case FnCall("count", Nil) => true; case _ => false }))
+
+  /** RecordStrategy derivation (idx/planner/mod.rs:137 check_record_strategy):
+    * mutations, uncovered WHERE, GROUP BY fields, ORDER fields, non-count
+    * projections → KeysAndValues; count()-only + GROUP ALL → Count;
+    * otherwise KeysOnly. */
+  private def recordStrategy(s: SelectStmt, fullyIndexed: Boolean,
+      mutation: Boolean): String = {
+    if (mutation) "KeysAndValues"
+    else if (s.where.isDefined && !fullyIndexed) "KeysAndValues"
+    else if (s.groupBy.exists(_.nonEmpty)) "KeysAndValues"
+    else if (s.order.nonEmpty) "KeysAndValues"
+    else if (!countAllOnly(s)) "KeysAndValues"
+    else if (s.groupBy.contains(Nil)) "Count"
+    else "KeysOnly"
+  }
+
+  private def iterSuffix(rs: String): String = rs match {
+    case "Count"    => " Count"
+    case "KeysOnly" => " Keys"
+    case _          => ""
+  }
+
+  /** Legacy `Group` collector detail (dbs/group.rs:68 GroupCollector::explain)
+    * rendered from the aggregation analysis. */
+  private def groupCollectorDetail(s: SelectStmt): V = {
+    val an = AggAnalysis.analyze(s.fields, s.value, s.groupBy.getOrElse(Nil))
+    def obj(pairs: Seq[(String, String)]): V =
+      VObj(TreeMap(pairs.map { case (k, v) => k -> (VStr(v): V) }: _*))
+    V.obj(
+      "type" -> VStr("Group"),
+      "Aggregate expressions" -> obj(an.aggregateArgs.zipWithIndex.map {
+        case (e, i) => s"expr$i" -> exprSql(e) }),
+      "Aggregations" -> obj(an.aggregations.zipWithIndex.map {
+        case (a, i) => s"_a$i" -> a.label }),
+      "Group expressions" -> obj(an.groupExprs.zipWithIndex.map {
+        case (e, i) => s"_g$i" -> exprSql(e) }),
+      "Select expression" -> (an.fields match {
+        case Left(e)   => VStr(exprSql(e))
+        case Right(fs) => obj(fs.map { case (n, e) => n -> exprSql(e) })
+      }))
+  }
+
+  def legacy(in: Interp, s: SelectStmt, env: Env, defer: Boolean = false,
+      full: Boolean = false, mutation: Boolean = false): V = {
     val table: Option[String] = s.what match {
       case Seq(Idiom(Seq(PField(n)))) => Some(n)
       case Seq(TableRef(n))           => Some(n)
       case _                          => scala.None
     }
     val entries = scala.collection.mutable.ArrayBuffer[V]()
+
+    def collectorEntry(): V =
+      if (s.groupBy.isDefined)
+        V.obj("detail" -> groupCollectorDetail(s), "operation" -> VStr("Collector"))
+      else {
+        val limitN = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
+        val startN = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None }).getOrElse(0L)
+        if (s.order.nonEmpty && limitN.isDefined)
+          // ordered + limited results collect into a bounded heap
+          // (dbs/store.rs MemoryOrderedLimit — limit covers START + LIMIT)
+          V.obj(
+            "detail" -> V.obj(
+              "limit" -> VInt(limitN.get + startN),
+              "type" -> VStr("MemoryOrderedLimit")),
+            "operation" -> VStr("Collector"))
+        else V.obj(
+          "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
+          "operation" -> VStr("Collector"))
+      }
+
+    // EXPLAIN FULL appendix: RecordStrategy, StartLimitStrategy (when the
+    // iterator can skip/cancel at the storage level), Fetch with the final
+    // result count (dbs/iterator.rs:735,801,1165).
+    def fullRows(rs: String, fullyIndexed: Boolean): Unit = if (full) {
+      entries += V.obj(
+        "detail" -> V.obj("type" -> VStr(rs)),
+        "operation" -> VStr("RecordStrategy"))
+      val canSkip = s.groupBy.isEmpty && (s.where.isEmpty || fullyIndexed)
+      val canCancel = s.groupBy.isEmpty && s.order.isEmpty
+      val startN = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None }).getOrElse(0L)
+      val limitN = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
+      var slAttrs = Seq.empty[(String, V)]
+      if (canSkip && startN > 0) slAttrs :+= ("SkipStart" -> (VInt(startN): V))
+      if (canCancel && limitN.isDefined) slAttrs :+= ("CancelOnLimit" -> (VInt(limitN.get): V))
+      if (slAttrs.nonEmpty)
+        entries += V.obj(
+          "detail" -> VObj(TreeMap(slAttrs: _*)),
+          "operation" -> VStr("StartLimitStrategy"))
+      val count: Long = try in.execStatement(s, env) match {
+        case VArr(items) => items.length.toLong
+        case VNone       => 0L
+        case _           => 1L
+      } catch { case _: SqlError => 0L }
+      entries += V.obj(
+        "detail" -> V.obj("count" -> VInt(count)),
+        "operation" -> VStr("Fetch"))
+    }
+
     // record-id targets: one Iterate Record entry per rid (plain keys only)
     val rids = s.what.collect { case r @ RidLit(_, key) if !key.isInstanceOf[RangeLit] => r }
     if (rids.nonEmpty && rids.length == s.what.length) {
@@ -608,22 +816,48 @@ object Explain {
           "detail" -> V.obj("record" -> ridV),
           "operation" -> VStr(if (defer) "Iterate Defer" else "Iterate Record"))
       }
-      entries += V.obj(
-        "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
-        "operation" -> VStr("Collector"))
+      entries += collectorEntry()
+      fullRows(recordStrategy(s, fullyIndexed = false, mutation), fullyIndexed = false)
       return VArr(entries.toVector)
     }
-    val union = for {
+    // record-id RANGE targets: Iterate Range with the bounds as a range value
+    val ranges = s.what.collect { case r @ RidLit(_, _: RangeLit) => r }
+    if (ranges.nonEmpty && ranges.length == s.what.length) {
+      val rs = recordStrategy(s, fullyIndexed = false, mutation)
+      ranges.foreach { case RidLit(tb, RangeLit(lo, hi)) =>
+        def bound(b: Option[(Expr, Boolean)]): Option[(V, Boolean)] =
+          b.map { case (e, incl) =>
+            ((try Eval.eval(e, env) catch { case _: SqlError => VNone }), incl)
+          }
+        entries += V.obj(
+          "detail" -> V.obj(
+            "direction" -> VStr("forward"),
+            "range" -> VRng(bound(lo), bound(hi)),
+            "table" -> VStr(tb)),
+          "operation" -> VStr("Iterate Range" + iterSuffix(rs)))
+      case _ => ()
+      }
+      entries += collectorEntry()
+      fullRows(rs, fullyIndexed = false)
+      return VArr(entries.toVector)
+    }
+
+    // WITH NOINDEX: the planner records a Fallback reason and scans the table
+    // (idx/planner/plan.rs:74)
+    val noIndexHint = s.withIndex.contains(Nil) && (s.where.isDefined || s.order.nonEmpty)
+
+    val union = if (noIndexHint) scala.None else (for {
       t <- table
       w <- s.where
       r <- unionIndexAccess(in, t, w, s.withIndex)
-    } yield r
+    } yield r)
     union.foreach { case (idxName, _, c) =>
       val vals: V = c match {
         case Binary(_, _, ArrLit(items)) =>
           VArr(items.map(i => try Eval.eval(i, env) catch { case _: SqlError => VNone }).toVector)
         case _ => VNone
       }
+      val rs = recordStrategy(s, fullyIndexed = true, mutation)
       entries += V.obj(
         "detail" -> V.obj(
           "plan" -> V.obj(
@@ -631,23 +865,49 @@ object Explain {
             "operator" -> VStr("union"),
             "value" -> vals),
           "table" -> VStr(table.getOrElse(""))),
-        "operation" -> VStr("Iterate Index"))
-      entries += V.obj(
-        "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
-        "operation" -> VStr("Collector"))
+        "operation" -> VStr("Iterate Index" + iterSuffix(rs)))
+      entries += collectorEntry()
+      fullRows(rs, fullyIndexed = true)
       return VArr(entries.toVector)
     }
-    val idx = for {
+    val idx = if (noIndexHint) scala.None else (for {
       t <- table
       w <- s.where
       r <- indexAccess(in, t, w, s.withIndex)
-    } yield r
+    } yield r)
+    var strategy = "KeysAndValues"
+    var fullyIndexed = false
     idx match {
-      case Some((idxName, _, _, idxFields, eqLen)) =>
+      case Some((idxName, _, residual, idxFields, 0)) =>
+        // range-only index access: from/to bound detail (idx/planner explain)
+        fullyIndexed = residual.isEmpty
+        strategy = recordStrategy(s, fullyIndexed, mutation)
+        val cs = conjunctList(s.where.get)
+        var fromV: (V, Boolean) = (VNone, false)
+        var toV: (V, Boolean) = (VNone, false)
+        cs.foreach {
+          case Binary(op @ (">" | ">="), Idiom(Seq(PField(f))), rhs) if f == idxFields.head =>
+            fromV = ((try Eval.eval(rhs, env) catch { case _: SqlError => VNone }), op == ">=")
+          case Binary(op @ ("<" | "<="), Idiom(Seq(PField(f))), rhs) if f == idxFields.head =>
+            toV = ((try Eval.eval(rhs, env) catch { case _: SqlError => VNone }), op == "<=")
+          case _ => ()
+        }
+        entries += V.obj(
+          "detail" -> V.obj(
+            "plan" -> V.obj(
+              "direction" -> VStr("forward"),
+              "from" -> V.obj("inclusive" -> VBool(fromV._2), "value" -> fromV._1),
+              "index" -> VStr(idxName),
+              "to" -> V.obj("inclusive" -> VBool(toV._2), "value" -> toV._1)),
+            "table" -> VStr(table.getOrElse(""))),
+          "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
+      case Some((idxName, _, residual, idxFields, eqLen)) =>
+        fullyIndexed = residual.isEmpty
+        strategy = recordStrategy(s, fullyIndexed, mutation)
         // evaluate the matched equality values for the plan detail
         val cs = conjunctList(s.where.get)
         val valueOf: Map[String, V] = cs.collect {
-          case Binary("=", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
+          case Binary("=" | "==", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
             f -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
           case Binary("CONTAINS", Idiom(ps), rhs) if fieldPathName(ps).isDefined =>
             fieldPathName(ps).get -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
@@ -663,8 +923,9 @@ object Explain {
               "operator" -> VStr("="),
               "value" -> valueV),
             "table" -> VStr(table.getOrElse(""))),
-          "operation" -> VStr("Iterate Index"))
+          "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
       case scala.None =>
+        strategy = recordStrategy(s, fullyIndexed = false, mutation)
         table.foreach { t =>
           if (defer)
             entries += V.obj(
@@ -673,12 +934,15 @@ object Explain {
           else
             entries += V.obj(
               "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
-              "operation" -> VStr("Iterate Table"))
+              "operation" -> VStr("Iterate Table" + iterSuffix(strategy)))
         }
     }
-    entries += V.obj(
-      "detail" -> V.obj("type" -> VStr(if (s.order.nonEmpty) "MemoryOrdered" else "Memory")),
-      "operation" -> VStr("Collector"))
+    if (noIndexHint)
+      entries += V.obj(
+        "detail" -> V.obj("reason" -> VStr("WITH NOINDEX")),
+        "operation" -> VStr("Fallback"))
+    entries += collectorEntry()
+    fullRows(strategy, fullyIndexed)
     VArr(entries.toVector)
   }
 

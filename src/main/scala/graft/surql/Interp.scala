@@ -347,7 +347,8 @@ final class Interp {
     case ReturnStmt(e) => Eval.eval(e, env)
     case ExplainStmt(analyze, json, inner) => Explain.run(this, analyze, json, inner, env)
     case s: SelectStmt if s.explain && legacyPlanner =>
-      Explain.legacy(this, s.copy(explain = false, explainFull = false), env)
+      Explain.legacy(this, s.copy(explain = false, explainFull = false), env,
+        full = s.explainFull)
     case s: SelectStmt if s.explain =>
       Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt => execSelect(s, env)
@@ -1705,6 +1706,19 @@ final class Interp {
       case FnCall("count", Nil) => VInt(group.length)
       case FnCall("count", Seq(inner)) =>
         VInt(group.count(r => Eval.eval(inner, rowEnv(env, r)).truthy))
+      // array::group as an AGGREGATE is a plain per-row collect preserving
+      // duplicates (exec/function/builtin/aggregates/array.rs
+      // ArrayGroupAccumulator), unlike the scalar flatten+uniq function
+      case FnCall("array::group", Seq(inner)) =>
+        VArr(group.map(r => Eval.eval(inner, rowEnv(env, r))).filter(v => v != VNone && v != VNull))
+      // array::distinct WRAPPING an aggregate call post-processes the
+      // aggregate's result (exec/planner/aggregate.rs:301)
+      case FnCall("array::distinct", Seq(inner @ FnCall(n, _)))
+          if n == "array::group" || aggFns.contains(n) =>
+        Functions.apply("array::distinct", Seq(evalAggregate(inner, group, keyVals, env)), env)
+      case FnCall("array::len", Seq(inner @ FnCall(n, _)))
+          if n == "array::group" || aggFns.contains(n) =>
+        Functions.apply("array::len", Seq(evalAggregate(inner, group, keyVals, env)), env)
       case FnCall(name, Seq(inner)) if aggFns.contains(name) =>
         val values = group.map(r => Eval.eval(inner, rowEnv(env, r)))
         Functions.apply(name, Seq(VArr(values.filter(v => v != VNone && v != VNull))), env)

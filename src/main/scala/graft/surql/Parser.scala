@@ -1081,6 +1081,10 @@ final class Parser(val src: String) {
     var withIndex: Option[Seq[String]] = scala.None
     if (kw("WITH")) {
       if (kw("NOINDEX")) withIndex = Some(Nil)
+      else if (kw("NO")) { // WITH NO INDEX (two-token spelling, parts.rs:593)
+        if (!kw("INDEX")) fail("expected INDEX after NO")
+        withIndex = Some(Nil)
+      }
       else if (kw("INDEX")) {
         val names = ArrayBuffer[String]()
         var g = true
