@@ -154,19 +154,75 @@ final case class DefineSequenceStmt(d: graft.surql.Defs.SequenceDef, mode: Strin
 final case class DefineBucketStmt(name: String, backend: Option[Expr],
     readonly: Boolean, perm: String, comment: Option[Expr],
     mode: String) extends Statement
-/** NAMESPACE/DATABASE/ANALYZER/PARAM and other raw-rendered kinds. */
+/** NAMESPACE/DATABASE and other raw-rendered kinds. */
 final case class DefineRawStmt(what: String, name: String, rendered: String,
     mode: String, value: Option[Expr] = scala.None,
     comment: Option[String] = scala.None) extends Statement
+final case class DefineAnalyzerStmt(d: graft.surql.Defs.AnalyzerDef, mode: String) extends Statement
+final case class DefineParamStmt(d: graft.surql.Defs.ParamDef, value: Option[Expr], mode: String) extends Statement
+final case class DefineAccessStmt(d: graft.surql.Defs.AccessDef, mode: String,
+    issuerKeyRaw: Option[String] = scala.None, keyRaw: Option[String] = scala.None,
+    algorithm: Option[String] = scala.None,
+    issuerAlgorithm: Option[String] = scala.None) extends Statement
 final case class RemoveStmt(what: String, name: String, onTable: Option[String] = scala.None,
     ifExists: Boolean = false) extends Statement
 final case class AlterTableStmt(name: String, ifExists: Boolean,
     drop: Option[Boolean], full: Option[Boolean], ttype: Option[(String, Seq[String], Seq[String], Boolean)],
     perms: Option[Seq[(String, String)]], comment: Option[Option[String]],
-    changefeed: Option[Option[String]]) extends Statement
+    changefeed: Option[Option[String]], compact: Boolean = false) extends Statement
+/** ALTER family (sql/statements/alter/): each field is None = untouched,
+  * Some(None) = DROP clause, Some(Some(v)) = SET clause. */
+final case class AlterFunctionStmt(name: String, ifExists: Boolean,
+    redefine: Option[DefineFunctionStmt],
+    comment: Option[Option[String]], perms: Option[String]) extends Statement
+final case class AlterEventStmt(name: String, table: String, ifExists: Boolean,
+    when: Option[(Expr, String)], thenE: Option[(Seq[Expr], String)],
+    comment: Option[Option[String]], async: Option[Boolean],
+    retry: Option[Long], maxDepth: Option[Long]) extends Statement
+final case class AlterFieldStmt(field: String, table: String, ifExists: Boolean,
+    kind: Option[Option[(Kind, String)]], flexible: Option[Boolean],
+    value: Option[Option[(Expr, String)]],
+    default: Option[Option[(Expr, String, Boolean)]],
+    assertC: Option[Option[(Expr, String)]], readonly: Option[Boolean],
+    reference: Option[Option[String]], comment: Option[Option[String]],
+    perms: Option[Seq[(String, String)]]) extends Statement
+final case class AlterIndexStmt(name: String, table: String, ifExists: Boolean,
+    comment: Option[Option[String]],
+    prepareRemove: Option[Boolean] = scala.None) extends Statement
+final case class AlterParamStmt(name: String, ifExists: Boolean,
+    value: Option[(Expr, String)], comment: Option[Option[String]],
+    perms: Option[String]) extends Statement
+final case class AlterAnalyzerStmt(name: String, ifExists: Boolean,
+    tokenizers: Option[Option[Seq[String]]], filters: Option[Option[Seq[String]]],
+    comment: Option[Option[String]]) extends Statement
+final case class AlterAccessStmt(name: String, level: String, ifExists: Boolean,
+    authenticate: Option[Option[String]],
+    durGrant: Option[Option[String]], durToken: Option[Option[String]],
+    durSession: Option[Option[String]],
+    comment: Option[Option[String]]) extends Statement
+final case class AlterBucketStmt(name: String, ifExists: Boolean,
+    readonly: Option[Boolean], comment: Option[Option[String]],
+    perms: Option[String]) extends Statement
+/** clauses: methods -> Some(action block) | None = DROP THEN. */
+final case class AlterApiStmt(path: Expr, ifExists: Boolean,
+    comment: Option[Option[String]],
+    clauses: Seq[(Seq[String], Option[(Expr, String)])]) extends Statement
+/** which: graphql | api | default; rendered: canonical clause tail. */
+final case class AlterConfigStmt(which: String, ifExists: Boolean,
+    rendered: String) extends Statement
+final case class AlterSystemStmt(compact: Boolean,
+    queryTimeout: Option[Option[(Long, Int)]]) extends Statement
+/** ALTER NAMESPACE/DATABASE COMPACT. */
+final case class AlterCompactStmt(level: String) extends Statement
+final case class AlterUserStmt(name: String, level: String, ifExists: Boolean,
+    passhash: Option[String], roles: Option[Seq[String]],
+    durToken: Option[Option[String]], durSession: Option[Option[String]],
+    comment: Option[Option[String]]) extends Statement
 final case class DefineFunctionStmt(name: String, params: Seq[(String, Option[Kind])],
     body: Expr, paramsRaw: String = "", bodyRaw: String = "",
-    mode: String = "", comment: Option[String] = scala.None) extends Statement
+    mode: String = "", comment: Option[String] = scala.None,
+    returnsRaw: Option[String] = scala.None,
+    perms: String = "FULL") extends Statement
 final case class DefineFieldStmt(field: String, table: String, kind: Option[Kind],
     flexible: Boolean, value: Option[Expr], default: Option[Expr], defaultAlways: Boolean,
     assert: Option[Expr], assertRaw: String, readonly: Boolean,

@@ -16,8 +16,8 @@ object Defs {
     * (sql/permission.rs): all-NONE → NONE, all-FULL → FULL, else
     * `FOR select FULL, FOR create, update NONE`-style groups in first-
     * appearance order. */
-  def renderPerms(actions: Seq[(String, String)]): String =
-    if (actions.forall(_._2 == "NONE")) "PERMISSIONS NONE"
+  def renderPerms(actions: Seq[(String, String)], collapseNone: Boolean = true): String =
+    if (collapseNone && actions.forall(_._2 == "NONE")) "PERMISSIONS NONE"
     else if (actions.forall(_._2 == "FULL")) "PERMISSIONS FULL"
     else {
       val groups = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[String]]()
@@ -93,7 +93,9 @@ object Defs {
       computedRaw.foreach(c => sb.append(" COMPUTED ").append(c))
       referenceRaw.foreach(r => sb.append(" REFERENCE ").append(r))
       comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
-      sb.append(" ").append(renderPerms(perms))
+      // catalog fields don't track delete perms: all-NONE renders as a
+      // FOR-group, never collapsed (sql/permission.rs fmt_sql delete skip)
+      sb.append(" ").append(renderPerms(perms, collapseNone = false))
       sb.toString
     }
   }
@@ -103,7 +105,8 @@ object Defs {
       table: String,
       fields: Seq[String] = Nil,
       tail: String = "",                           // "UNIQUE" | "FULLTEXT …" | "HNSW …" | "COUNT" | ""
-      comment: Option[String] = scala.None) {
+      comment: Option[String] = scala.None,
+      prepareRemove: Boolean = false) {
     def unique: Boolean = tail.startsWith("UNIQUE")
     def render: String = {
       val sb = new StringBuilder("DEFINE INDEX ").append(escIdent(name))
@@ -165,7 +168,7 @@ object Defs {
       maxDepth: Option[Long] = scala.None,
       comment: Option[String] = scala.None) {
     def render: String = {
-      val thenN = normRaw(thenRaw)
+      val thenN = normRaw(thenRaw).replace("; }", " }")
       val thenTxt = if (thenN.startsWith("(") || thenN.startsWith("{")) thenN else s"($thenN)"
       val sb = new StringBuilder("DEFINE EVENT ").append(escIdent(name))
         .append(" ON ").append(escIdent(table))
@@ -191,7 +194,8 @@ object Defs {
       comment: Option[String] = scala.None) {
     def render: String =
       s"DEFINE USER ${escIdent(name)} ON $level PASSHASH '$passhash' ROLES ${roles.mkString(", ")} " +
-        s"DURATION FOR TOKEN $durToken, FOR SESSION $durSession"
+        s"DURATION FOR TOKEN $durToken, FOR SESSION $durSession" +
+        comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
   }
 
   final case class SequenceDef(
@@ -207,7 +211,88 @@ object Defs {
     }
   }
 
-  /** Raw-render definitions (analyzers, accesses, params, functions,
-    * namespaces, databases) — canonical text assembled at parse time. */
+  /** Raw-render definitions (accesses, namespaces, databases) — canonical
+    * text assembled at parse time. */
   final case class RawDef(name: String, rendered: String)
+
+  /** DEFINE FUNCTION catalog entry (sql/statements/define/function.rs
+    * fmt_sql: name(params) [-> ret] body [COMMENT c] PERMISSIONS p). */
+  final case class FnDef(
+      name: String,                                // full "fn::name"
+      paramsRaw: String,                           // "($a: int, $b)"
+      returnsRaw: Option[String] = scala.None,
+      bodyRendered: String = "",
+      comment: Option[String] = scala.None,
+      perms: String = "FULL") {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE FUNCTION ").append(name).append(paramsRaw)
+      returnsRaw.foreach(r => sb.append(" -> ").append(r))
+      sb.append(' ').append(bodyRendered)
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.append(" PERMISSIONS ").append(perms)
+      sb.toString
+    }
+  }
+
+  /** DEFINE PARAM catalog entry (sql/statements/define/param.rs). */
+  final case class ParamDef(
+      name: String,                                // without '$'
+      valueRaw: String,
+      comment: Option[String] = scala.None,
+      perms: String = "FULL") {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE PARAM $").append(name)
+        .append(" VALUE ").append(valueRaw)
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.append(" PERMISSIONS ").append(perms)
+      sb.toString
+    }
+  }
+
+  /** DEFINE ANALYZER catalog entry (sql/statements/define/analyzer.rs
+    * fmt_sql: FUNCTION, TOKENIZERS joined ",", FILTERS joined ", "). */
+  final case class AnalyzerDef(
+      name: String,
+      function: Option[String] = scala.None,
+      tokenizers: Option[Seq[String]] = scala.None,
+      filters: Option[Seq[String]] = scala.None,
+      comment: Option[String] = scala.None) {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE ANALYZER ").append(escIdent(name))
+      function.foreach(fn => sb.append(" FUNCTION ").append(fn))
+      tokenizers.foreach(ts => sb.append(" TOKENIZERS ").append(ts.mkString(",")))
+      filters.foreach(fs => sb.append(" FILTERS ").append(fs.mkString(", ")))
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.toString
+    }
+  }
+
+  /** DEFINE ACCESS catalog entry (sql/statements/define/access.rs fmt_sql;
+    * access_type.rs ToSql). `typeRendered` is the canonical `TYPE …` tail
+    * with keys redacted; durations render with defaults always printed. */
+  final case class AccessDef(
+      name: String,
+      level: String,                               // ROOT | NAMESPACE | DATABASE
+      kind: String,                                // JWT | RECORD | BEARER
+      typeRendered: String,                        // "JWT ALGORITHM HS256 KEY '[REDACTED]' …"
+      bearerSubject: String = "",                  // USER | RECORD (bearer only)
+      canIssueGrants: Boolean = false,
+      canIssueTokens: Boolean = true,
+      authenticateRaw: Option[String] = scala.None,
+      durGrant: Option[String] = Some("4w2d"),     // None renders NONE
+      durToken: Option[String] = Some("1h"),
+      durSession: Option[String] = scala.None,
+      comment: Option[String] = scala.None) {
+    def render: String = {
+      val sb = new StringBuilder("DEFINE ACCESS ").append(escIdent(name))
+        .append(" ON ").append(level).append(" TYPE ").append(typeRendered)
+      authenticateRaw.foreach(a => sb.append(" AUTHENTICATE ").append(a))
+      sb.append(" DURATION")
+      if (canIssueGrants) sb.append(" FOR GRANT ").append(durGrant.getOrElse("NONE")).append(',')
+      if (canIssueTokens) sb.append(" FOR TOKEN ").append(durToken.getOrElse("NONE")).append(',')
+      sb.append(" FOR SESSION ").append(durSession.getOrElse("NONE"))
+      comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
+      sb.toString
+    }
+  }
 }

@@ -31,7 +31,8 @@ object Golden {
       imports: Seq[String], run: Boolean, wip: Boolean,
       expectParseError: Boolean = false,
       envNamespace: Boolean = true, envDatabase: Boolean = true,
-      legacyPlanner: Boolean = false, recordAuth: Boolean = false)
+      legacyPlanner: Boolean = false, recordAuth: Boolean = false,
+      compactOk: Boolean = false)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -120,8 +121,12 @@ object Golden {
       case Some(Toml.T(fields)) => fields.contains("access") || fields.contains("rid")
       case _ => false
     }
+    val compactOk = t.get("env.backend") match {
+      case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s != "mem"; case _ => false }
+      case _ => false
+    }
     TestFile(path, src, expected, imports, run, wip, parseErr,
-      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth)
+      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -139,6 +144,7 @@ object Golden {
     if (tf.envDatabase) interp.databases("test") = "DEFINE DATABASE test"
     interp.legacyPlanner = tf.legacyPlanner
     interp.recordAuth = tf.recordAuth
+    interp.compactSupported = tf.compactOk
     // imports run first, results discarded
     tf.imports.foreach { imp =>
       val p = testsRoot.resolve(imp.stripPrefix("/"))

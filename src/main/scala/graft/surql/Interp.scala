@@ -52,9 +52,14 @@ final class Interp {
   val rootUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
   val nsUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
   val dbUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
-  val analyzers = mutable.LinkedHashMap[String, String]()
-  val paramDefs = mutable.LinkedHashMap[String, String]()
-  val functionDefs = mutable.LinkedHashMap[String, String]()
+  val analyzers = mutable.LinkedHashMap[String, Defs.AnalyzerDef]()
+  val paramDefs = mutable.LinkedHashMap[String, Defs.ParamDef]()
+  val functionDefs = mutable.LinkedHashMap[String, Defs.FnDef]()
+  /** ALTER SYSTEM QUERY_TIMEOUT — surfaced in INFO FOR ROOT `config`. */
+  var systemQueryTimeout: Option[VDur] = scala.None
+  /** Whether the simulated storage backend accepts compaction requests
+    * (mem does not; rocksdb-style backends do). */
+  var compactSupported = false
   val tableDefs = mutable.LinkedHashMap[String, Defs.TableDef]()
   val fieldDefs2 = mutable.LinkedHashMap[(String, String), Defs.FieldDef]()
   /** Subtype `name.*` definitions auto-created for array<K>/set<K> fields
@@ -64,7 +69,10 @@ final class Interp {
   val indexDefs = mutable.LinkedHashMap[(String, String), Defs.IndexDef]()
   val eventDefs = mutable.LinkedHashMap[(String, String), Defs.EventDef]()
   val sequences = mutable.LinkedHashMap[String, Defs.SequenceDef]()
-  val accesses = mutable.LinkedHashMap[(String, String), String]()
+  val accesses = mutable.LinkedHashMap[(String, String), Defs.AccessDef]()
+  /** Issued access grants (bearer/record): (level, access) → grant objects
+    * in issue order (expr/statements/access.rs GrantStatement). */
+  val accessGrants = mutable.LinkedHashMap[(String, String), Vector[VObj]]()
   /** DEFINE CONFIG API/GRAPHQL — structured payloads for INFO. */
   val configs = mutable.LinkedHashMap[String, V]()
   /** DEFINE API definitions keyed by canonical path text (api/path.rs). */
@@ -86,10 +94,20 @@ final class Interp {
   /** DEFINE BUCKET registry: object-store namespaces for file::* / f"…"
     * values (buc/controller.rs; the memory backend, buc/store/memory.rs).
     * Keys are stored in display form with a leading '/'. */
-  final class BucketRt(val readonly: Boolean, val render: String) {
+  final class BucketRt(val readonly: Boolean, val backendRendered: Option[String],
+      val perms: String = "FULL", val comment: Option[String] = scala.None) {
     val objects = mutable.LinkedHashMap[String, (Vector[Byte], java.time.Instant)]()
-    def copyRt(): BucketRt = {
-      val b = new BucketRt(readonly, render); b.objects ++= objects; b
+    var name: String = ""
+    def render: String =
+      "DEFINE BUCKET " + Defs.escIdent(name) +
+        (if (readonly) " READONLY" else "") +
+        backendRendered.map(b => " BACKEND " + b).getOrElse("") +
+        " PERMISSIONS " + perms +
+        comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
+    def copyRt(readonly2: Boolean = readonly, perms2: String = perms,
+        comment2: Option[String] = comment): BucketRt = {
+      val b = new BucketRt(readonly2, backendRendered, perms2, comment2)
+      b.name = name; b.objects ++= objects; b
     }
   }
   val buckets = mutable.LinkedHashMap[String, BucketRt]()
@@ -124,6 +142,7 @@ final class Interp {
     val fds = fieldDefs2.clone(); val af = autoFields.clone()
     val ixs = indexDefs.clone(); val evs = eventDefs.clone()
     val seqs = sequences.clone(); val accs = accesses.clone()
+    val grants = accessGrants.clone()
     val cfgs = configs.clone(); val apis = apiDefs.clone()
     val anas = analyzers.clone(); val pds = paramDefs.clone()
     val fnds = functionDefs.clone(); val histLen = history.length
@@ -139,7 +158,8 @@ final class Interp {
       put(tableDefs, tds); put(fieldDefs2, fds)
       autoFields.clear(); autoFields ++= af
       put(indexDefs, ixs); put(eventDefs, evs); put(sequences, seqs)
-      put(accesses, accs); put(configs, cfgs); put(apiDefs, apis)
+      put(accesses, accs); put(accessGrants, grants)
+      put(configs, cfgs); put(apiDefs, apis)
       put(analyzers, anas); put(paramDefs, pds); put(functionDefs, fnds)
       // Guard: a versioned-INFO restore of an OLDER snapshot may have already
       // truncated history below our mark; removing a negative count throws.
@@ -335,7 +355,12 @@ final class Interp {
       case _: DefineTableStmt | _: DefineFieldStmt | _: DefineIndexStmt |
            _: DefineEventStmt | _: DefineUserStmt | _: DefineSequenceStmt |
            _: DefineBucketStmt | _: DefineRawStmt | _: DefineApiStmt |
-           _: RemoveStmt | _: AlterTableStmt =>
+           _: DefineAnalyzerStmt | _: DefineParamStmt | _: DefineAccessStmt |
+           _: RemoveStmt | _: AlterTableStmt | _: AlterFunctionStmt |
+           _: AlterEventStmt | _: AlterFieldStmt | _: AlterIndexStmt |
+           _: AlterParamStmt | _: AlterAnalyzerStmt | _: AlterAccessStmt |
+           _: AlterBucketStmt | _: AlterApiStmt | _: AlterConfigStmt |
+           _: AlterUserStmt =>
         ddlSnaps += ((java.time.Instant.now(), new TxSnapshot))
       case _ => ()
     }
@@ -397,7 +422,10 @@ final class Interp {
       comment = rc(s.d.comment, env)))); VNone
     case s: DefineEventStmt => execDefineEvent(s.copy(d = s.d.copy(name = rn(s.d.name, env),
       table = rn(s.d.table, env), comment = rc(s.d.comment, env)))); VNone
-    case s: DefineUserStmt => execDefineUser(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
+    case s: DefineUserStmt => execDefineUser(s.copy(d = s.d.copy(name = rn(s.d.name, env),
+      comment = rc(s.d.comment, env),
+      durToken = rd(Some(s.d.durToken), env).getOrElse("NONE"),
+      durSession = rd(Some(s.d.durSession), env).getOrElse("NONE")))); VNone
     case s: DefineSequenceStmt => execDefineSequence(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
     case s: DefineRawStmt => execDefineRaw(s.copy(name = rn(s.name, env),
       comment = rc(s.comment, env)), env); VNone
@@ -421,10 +449,71 @@ final class Interp {
         apiGlobalPerms = s.permsRaw
       }
       VNone
-    case s: DefineBucketStmt => execDefineBucket(s, env); VNone
+    case s: DefineBucketStmt => execDefineBucket(s.copy(name = rn(s.name, env)), env); VNone
     case s: RemoveStmt => execRemove(s.copy(name = rn(s.name, env),
       onTable = s.onTable.map(rn(_, env)))); VNone
     case s: AlterTableStmt => execAlterTable(s); VNone
+    case s: DefineAnalyzerStmt => execDefineAnalyzer(s.copy(d = s.d.copy(
+      name = rn(s.d.name, env), comment = rc(s.d.comment, env)))); VNone
+    case s: DefineParamStmt => execDefineParam(s.copy(d = s.d.copy(
+      name = rn(s.d.name, env), comment = rc(s.d.comment, env)))); VNone
+    case s: DefineAccessStmt => execDefineAccess(s.copy(d = s.d.copy(
+      name = rn(s.d.name, env), comment = rc(s.d.comment, env),
+      durGrant = rd(s.d.durGrant, env), durToken = rd(s.d.durToken, env),
+      durSession = rd(s.d.durSession, env)),
+      keyRaw = s.keyRaw.map(rn(_, env)),
+      issuerKeyRaw = s.issuerKeyRaw.map(rn(_, env)))); VNone
+    case s0: AlterFunctionStmt =>
+      val s = s0.copy(name = rn(s0.name, env), comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterFunction(s); VNone
+    case s0: AlterEventStmt =>
+      val s = s0.copy(name = rn(s0.name, env), table = rn(s0.table, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterEvent(s); VNone
+    case s0: AlterFieldStmt =>
+      val s = s0.copy(table = rn(s0.table, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterField(s); VNone
+    case s0: AlterIndexStmt =>
+      val s = s0.copy(name = rn(s0.name, env), table = rn(s0.table, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterIndex(s); VNone
+    case s0: AlterParamStmt =>
+      val s = s0.copy(comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterParam(s, env); VNone
+    case s0: AlterAnalyzerStmt =>
+      val s = s0.copy(name = rn(s0.name, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterAnalyzer(s); VNone
+    case s0: AlterAccessStmt =>
+      val s = s0.copy(name = rn(s0.name, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))),
+        durGrant = s0.durGrant.map(rd(_, env)), durToken = s0.durToken.map(rd(_, env)),
+        durSession = s0.durSession.map(rd(_, env)))
+      execAlterAccess(s); VNone
+    case s0: AlterBucketStmt =>
+      val s = s0.copy(name = rn(s0.name, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))))
+      execAlterBucket(s); VNone
+    case s0: AlterUserStmt =>
+      val s = s0.copy(name = rn(s0.name, env),
+        comment = s0.comment.map(_.flatMap(c => rc(Some(c), env))),
+        durToken = s0.durToken.map(rd(_, env)), durSession = s0.durSession.map(rd(_, env)))
+      execAlterUser(s); VNone
+    case s: AlterApiStmt => execAlterApi(s, env); VNone
+    case s: AlterConfigStmt => execAlterConfig(s); VNone
+    case s: AlterSystemStmt =>
+      if (s.compact && !compactSupported)
+        throw SqlError("The storage layer does not support compaction requests.")
+      s.queryTimeout.foreach {
+        case Some((secs, nanos)) => systemQueryTimeout = Some(VDur(secs, nanos))
+        case scala.None          => systemQueryTimeout = scala.None
+      }
+      VNone
+    case s: AlterCompactStmt =>
+      if (s.level != "SEQUENCE" && !compactSupported)
+        throw SqlError("The storage layer does not support compaction requests.")
+      VNone
     case s: RebuildIndexStmt =>
       if (!indexDefs.contains((s.table, s.name))) {
         if (!s.ifExists) throw SqlError(s"The index '${s.name}' does not exist")
@@ -451,6 +540,18 @@ final class Interp {
         case other     => other.renderRaw
       }
     else n
+
+  /** Resolve a `$param` duration to its canonical render; NONE drops it. */
+  private def rd(d: Option[String], env: Env): Option[String] =
+    d.flatMap { t =>
+      if (t.startsWith("$"))
+        Eval.eval(Param(t.substring(1)), env) match {
+          case dur: VDur => Some(Render.sql(dur))
+          case VNone | VNull => scala.None
+          case other => Some(other.renderRaw)
+        }
+      else Some(t)
+    }
 
   /** Resolve a COMMENT value; a `$param` that evaluates to NONE/NULL drops
     * the comment entirely (the reference stores comment as an Expr and
@@ -489,8 +590,7 @@ final class Interp {
     if (ddlGate(functionDefs.contains(full), s.mode, s"The function '$full' already exists")) {
       customFns(key) = VClosure(s.params, s.body, Map.empty)
       val body = Defs.normRaw(s.bodyRaw).replace("; }", " }")
-      val commentTxt = s.comment.map(c => s"COMMENT ${Render.sql(VStr(c))} ").getOrElse("")
-      functionDefs(full) = s"DEFINE FUNCTION $full${s.paramsRaw} $body ${commentTxt}PERMISSIONS FULL"
+      functionDefs(full) = Defs.FnDef(full, s.paramsRaw, s.returnsRaw, body, s.comment, s.perms)
     }
   }
 
@@ -716,23 +816,6 @@ final class Interp {
       if (ddlGate(databases.contains(s.name), s.mode, s"The database '${s.name}' already exists"))
         databases(s.name) = s"DEFINE DATABASE ${Defs.escIdent(s.name)}" +
           s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
-    case "ANALYZER" =>
-      if (ddlGate(analyzers.contains(s.name), s.mode, s"The analyzer '${s.name}' already exists"))
-        analyzers(s.name) = s"DEFINE ANALYZER ${Defs.escIdent(s.name)}" +
-          (if (s.rendered.nonEmpty) s" ${s.rendered}" else "") +
-          s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
-    case "PARAM" =>
-      if (ddlGate(paramDefs.contains(s.name), s.mode, s"The param '$$${s.name}' already exists")) {
-        val (vp, permTxt) = s.rendered.lastIndexOf('|') match {
-          case i if i >= 0 => (s.rendered.substring(0, i), s.rendered.substring(i + 1))
-          case _ => (s.rendered, "FULL")
-        }
-        val commentTxt = s.comment.map(c => s" COMMENT ${Render.sql(VStr(c))}").getOrElse("")
-        paramDefs(s.name) = s"$vp$commentTxt PERMISSIONS $permTxt"
-        s.value.foreach { e =>
-          globals = globals + (s.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
-        }
-      }
     case "CONFIG" =>
       if (ddlGate(configs.contains(s.name), s.mode, s"The config for ${s.name} already exists")) {
         configs(s.name) = s.name match {
@@ -742,17 +825,51 @@ final class Interp {
           case _         => V.obj()
         }
       }
-    case w if w.startsWith("ACCESS:") =>
-      val level = w.stripPrefix("ACCESS:")
-      val already = level match {
-        case "DATABASE" => s"The access method '${s.name}' already exists in the database '$curDb'"
-        case "NAMESPACE" => s"The access method '${s.name}' already exists in the namespace '$curNs'"
-        case _ => s"The access method '${s.name}' already exists"
-      }
-      if (ddlGate(accesses.contains((level, s.name)), s.mode, already))
-        accesses((level, s.name)) = s.rendered
     case _ => () // BUCKET/API/MODULE/MODEL … — registered loosely via execDefine
   }
+
+  /** Missing-access error, level-qualified (expr/statements/define/access.rs). */
+  private def accessMissing(level: String, name: String): String = level match {
+    case "DATABASE"  => s"The access method '$name' does not exist in the database '$curDb'"
+    case "NAMESPACE" => s"The access method '$name' does not exist in the namespace '$curNs'"
+    case _           => s"The access method '$name' does not exist"
+  }
+
+  private def execDefineAccess(s: DefineAccessStmt): Unit = {
+    val d = s.d
+    // IF NOT EXISTS no-ops BEFORE algorithm validation (define/access.rs)
+    if (s.mode == "ifnotexists" && accesses.contains((d.level, d.name))) return
+    // unsupported/invalid algorithm checks (sql/algorithm.rs)
+    (s.algorithm.toSeq ++ s.issuerAlgorithm.toSeq).foreach {
+      case "ES512" => throw SqlError(
+        "The ES512 algorithm is not currently supported. Please use ES384 or another supported algorithm")
+      case _ => ()
+    }
+    for (alg <- s.algorithm; key <- s.keyRaw; iss <- s.issuerKeyRaw)
+      if (alg.startsWith("HS") && key != iss)
+        throw SqlError(s"Invalid query: Symmetric algorithm $alg requires the same key for signing " +
+          "and verification. Use the same key value for both KEY and WITH ISSUER KEY clauses, " +
+          "or omit WITH ISSUER KEY.")
+    val already = d.level match {
+      case "DATABASE" => s"The access method '${d.name}' already exists in the database '$curDb'"
+      case "NAMESPACE" => s"The access method '${d.name}' already exists in the namespace '$curNs'"
+      case _ => s"The access method '${d.name}' already exists"
+    }
+    if (ddlGate(accesses.contains((d.level, d.name)), s.mode, already))
+      accesses((d.level, d.name)) = d
+  }
+
+  private def execDefineAnalyzer(s: DefineAnalyzerStmt): Unit =
+    if (ddlGate(analyzers.contains(s.d.name), s.mode, s"The analyzer '${s.d.name}' already exists"))
+      analyzers(s.d.name) = s.d
+
+  private def execDefineParam(s: DefineParamStmt): Unit =
+    if (ddlGate(paramDefs.contains(s.d.name), s.mode, s"The param '$$${s.d.name}' already exists")) {
+      paramDefs(s.d.name) = s.d
+      s.value.foreach { e =>
+        globals = globals + (s.d.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
+      }
+    }
 
   private def execDefineBucket(s: DefineBucketStmt, env: Env): Unit =
     if (ddlGate(buckets.contains(s.name), s.mode, s"The bucket '${s.name}' already exists")) {
@@ -766,12 +883,10 @@ final class Interp {
         case _ => ()
       }
       val commentTxt = s.comment.map(e => Eval.eval(e, env))
-      val render = "DEFINE BUCKET " + Defs.escIdent(s.name) +
-        (if (s.readonly) " READONLY" else "") +
-        backendTxt.map(b => " BACKEND " + Render.sql(b)).getOrElse("") +
-        " PERMISSIONS " + s.perm +
-        commentTxt.collect { case v if v != VNone => " COMMENT " + Render.sql(v) }.getOrElse("")
-      buckets(s.name) = new BucketRt(s.readonly, render)
+      val b = new BucketRt(s.readonly, backendTxt.map(Render.sql), s.perm,
+        commentTxt.collect { case v if v != VNone => v.renderRaw })
+      b.name = s.name
+      buckets(s.name) = b
     }
 
   private def execRemove(s: RemoveStmt): Unit = {
@@ -865,7 +980,9 @@ final class Interp {
         }
       case "CONFIG" =>
         val key = s.name.toLowerCase
-        gone(configs.contains(key), s"The config for $key does not exist") {
+        // DEFAULT configs are stored at DB level by ALTER but REMOVE resolves
+        // them at Root level (alter/config.rs vs remove/config.rs) — always missing
+        gone(key != "default" && configs.contains(key), s"The config for $key does not exist") {
           configs.remove(key)
           if (key == "api") { apiGlobalMw = Nil; apiGlobalPerms = scala.None }
         }
@@ -877,7 +994,233 @@ final class Interp {
     }
   }
 
+  // ---- ALTER family (sql/statements/alter/) ------------------------------
+
+  private def execAlterFunction(s: AlterFunctionStmt): Unit = {
+    val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
+    functionDefs.get(full) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The function '$full' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.redefine.foreach { r =>
+          customFns(full.stripPrefix("fn::")) = VClosure(r.params, r.body, Map.empty)
+          d = d.copy(paramsRaw = r.paramsRaw, returnsRaw = r.returnsRaw,
+            bodyRendered = Defs.normRaw(r.bodyRaw).replace("; }", " }"))
+        }
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.perms.foreach(p => d = d.copy(perms = p))
+        functionDefs(full) = d
+    }
+  }
+
+  private def execAlterEvent(s: AlterEventStmt): Unit = {
+    eventDefs.get((s.table, s.name)) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The event '${s.name}' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.when.foreach { case (e, r) => d = d.copy(whenE = Some(e), whenRaw = r) }
+        s.thenE.foreach { case (es, r) => d = d.copy(thenE = es, thenRaw = r) }
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.async.foreach { a =>
+          d = d.copy(async = a)
+          if (!a) d = d.copy(retry = scala.None, maxDepth = scala.None)
+        }
+        s.retry.foreach(r => d = d.copy(retry = Some(r)))
+        s.maxDepth.foreach(m => d = d.copy(maxDepth = Some(m)))
+        eventDefs((s.table, s.name)) = d
+    }
+  }
+
+  private def execAlterField(s: AlterFieldStmt): Unit = {
+    fieldDefs2.get((s.table, s.field)) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The field '${s.field}' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.kind.foreach {
+          case Some((_, raw)) => d = d.copy(kindRaw = Some(raw))
+          case scala.None     => d = d.copy(kindRaw = scala.None)
+        }
+        s.flexible.foreach(f => d = d.copy(flexible = f))
+        s.value.foreach {
+          case Some((_, raw)) => d = d.copy(valueRaw = Some(raw))
+          case scala.None     => d = d.copy(valueRaw = scala.None)
+        }
+        s.default.foreach {
+          case Some((_, raw, always)) => d = d.copy(defaultRaw = Some(raw), defaultAlways = always)
+          case scala.None             => d = d.copy(defaultRaw = scala.None, defaultAlways = false)
+        }
+        s.assertC.foreach {
+          case Some((_, raw)) => d = d.copy(assertRaw = Some(raw))
+          case scala.None     => d = d.copy(assertRaw = scala.None)
+        }
+        s.readonly.foreach(r => d = d.copy(readonly = r))
+        s.reference.foreach {
+          case Some(raw) => d = d.copy(referenceRaw = Some(if (raw.isEmpty) "ON DELETE IGNORE" else raw))
+          case scala.None => d = d.copy(referenceRaw = scala.None)
+        }
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.perms.foreach(p => d = d.copy(perms = p))
+        fieldDefs2((s.table, s.field)) = d
+        // the execution pipeline (type coercion / VALUE / ASSERT) follows the
+        // stored FieldDef; rebuild the pipeline entry from the altered meta
+        val stmt = Parser.parse(d.render + ";").stmts.collectFirst { case f: DefineFieldStmt => f }
+        stmt.foreach { f =>
+          val vec = fieldPipeline.getOrElse(s.table, Vector.empty)
+          val ix = vec.indexWhere(_.field == s.field)
+          fieldPipeline(s.table) =
+            if (ix >= 0) vec.updated(ix, f.copy(mode = "overwrite"))
+            else vec :+ f.copy(mode = "overwrite")
+        }
+    }
+  }
+
+  private def execAlterIndex(s: AlterIndexStmt): Unit = {
+    indexDefs.get((s.table, s.name)) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The index '${s.name}' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.prepareRemove.foreach(p => d = d.copy(prepareRemove = p))
+        indexDefs((s.table, s.name)) = d
+    }
+  }
+
+  private def execAlterUser(s: AlterUserStmt): Unit = {
+    val reg = s.level match {
+      case "ROOT" => rootUsers; case "NAMESPACE" => nsUsers; case _ => dbUsers
+    }
+    val missing = s.level match {
+      case "DATABASE"  => s"The user '${s.name}' does not exist in the database '$curDb'"
+      case "NAMESPACE" => s"The user '${s.name}' does not exist in the namespace '$curNs'"
+      case _           => s"The user '${s.name}' does not exist"
+    }
+    reg.get(s.name) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(missing)
+      case Some(d0) =>
+        var d = d0
+        s.passhash.foreach(p => d = d.copy(passhash = p))
+        s.roles.foreach(r => d = d.copy(roles = r))
+        s.durToken.foreach(t => d = d.copy(durToken = t.getOrElse("NONE")))
+        s.durSession.foreach(x => d = d.copy(durSession = x.getOrElse("NONE")))
+        s.comment.foreach(c => d = d.copy(comment = c))
+        reg(s.name) = d
+    }
+  }
+
+  private def execAlterParam(s: AlterParamStmt, env: Env): Unit = {
+    paramDefs.get(s.name) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The param '$$${s.name}' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.value.foreach { case (e, raw) =>
+          d = d.copy(valueRaw = raw)
+          globals = globals + (s.name -> Eval.eval(e, env))
+        }
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.perms.foreach(p => d = d.copy(perms = p))
+        paramDefs(s.name) = d
+    }
+  }
+
+  private def execAlterAnalyzer(s: AlterAnalyzerStmt): Unit = {
+    analyzers.get(s.name) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The analyzer '${s.name}' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.tokenizers.foreach(t => d = d.copy(tokenizers = t))
+        s.filters.foreach(f => d = d.copy(filters = f))
+        s.comment.foreach(c => d = d.copy(comment = c))
+        analyzers(s.name) = d
+    }
+  }
+
+  private def execAlterAccess(s: AlterAccessStmt): Unit = {
+    accesses.get((s.level, s.name)) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(accessMissing(s.level, s.name))
+      case Some(d0) =>
+        var d = d0
+        s.authenticate.foreach(a => d = d.copy(authenticateRaw = a))
+        s.durGrant.foreach(g => d = d.copy(durGrant = g))
+        s.durToken.foreach(t => d = d.copy(durToken = t))
+        s.durSession.foreach(x => d = d.copy(durSession = x))
+        s.comment.foreach(c => d = d.copy(comment = c))
+        accesses((s.level, s.name)) = d
+    }
+  }
+
+  private def execAlterBucket(s: AlterBucketStmt): Unit = {
+    buckets.get(s.name) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The bucket '${s.name}' does not exist")
+      case Some(b0) =>
+        val ro = s.readonly.getOrElse(b0.readonly)
+        val pm = s.perms.getOrElse(b0.perms)
+        val cm = s.comment.getOrElse(b0.comment)
+        buckets(s.name) = b0.copyRt(ro, pm, cm)
+    }
+  }
+
+  private def execAlterApi(s: AlterApiStmt, env: Env): Unit = {
+    val pathStr = Eval.eval(s.path, env) match {
+      case VStr(p) => p
+      case other   => other.renderRaw
+    }
+    val segs = Api.parsePath(pathStr)
+    val sqlPath = Api.pathSql(segs)
+    apiDefs.get(sqlPath) match {
+      case scala.None =>
+        if (!s.ifExists) throw SqlError(s"The api '$sqlPath' does not exist")
+      case Some(d0) =>
+        var d = d0
+        s.comment.foreach(c => d = d.copy(comment = c))
+        s.clauses.foreach { case (methods, act) =>
+          if (methods.contains("any")) {
+            act match {
+              case Some((e, raw)) =>
+                val fb = d.fallback.getOrElse(ApiClause(Seq("any"), Nil, scala.None, scala.None, ""))
+                d = d.copy(fallback = Some(fb.copy(action = Some(e), actionRaw = raw)))
+              case scala.None =>
+                d = d.copy(fallback = d.fallback.map(_.copy(action = scala.None, actionRaw = "")))
+            }
+          } else {
+            val cleaned = d.actions
+              .map(c => c.copy(methods = c.methods.filterNot(methods.contains)))
+              .filter(_.methods.nonEmpty)
+            act match {
+              case Some((e, raw)) =>
+                d = d.copy(actions = cleaned :+ ApiClause(methods, Nil, scala.None, Some(e), raw))
+              case scala.None => d = d.copy(actions = cleaned)
+            }
+          }
+        }
+        apiDefs(sqlPath) = d
+    }
+  }
+
+  private def execAlterConfig(s: AlterConfigStmt): Unit = s.which match {
+    case "default" =>
+      // upsert at DB level (alter/config.rs Default handling)
+      configs("default") = VStr(s.rendered)
+    case key =>
+      if (!configs.contains(key)) {
+        if (!s.ifExists) throw SqlError(s"The config for $key does not exist")
+      } else configs(key) = VStr(s.rendered)
+  }
+
   private def execAlterTable(s: AlterTableStmt): Unit = {
+    if (s.compact) {
+      if (!compactSupported)
+        throw SqlError("The storage layer does not support compaction requests.")
+      return
+    }
     if (s.name.isEmpty) return
     tableDefs.get(s.name) match {
       case scala.None =>
@@ -962,10 +1305,13 @@ final class Interp {
 
   private def indexStructure(d: Defs.IndexDef): V =
     VObj(TreeMap(
-      "cols" -> VArr(d.fields.map(f => VStr(f): V).toVector),
-      "index" -> VStr(if (d.tail.isEmpty) "" else d.tail),
-      "name" -> VStr(d.name),
-      "table" -> VStr(d.table)))
+      Seq(
+        "cols" -> VArr(d.fields.map(f => VStr(f): V).toVector),
+        "index" -> (VStr(if (d.tail.isEmpty) "" else d.tail): V),
+        "name" -> (VStr(d.name): V),
+        "table" -> (VStr(d.table): V)) ++
+        d.comment.map(c => "comment" -> (VStr(c): V)).toSeq ++
+        (if (d.prepareRemove) Seq("prepare_remove" -> (VBool(true): V)) else Nil): _*))
 
   private def sequenceStructure(d: Defs.SequenceDef): V =
     VObj(TreeMap(
@@ -1007,8 +1353,8 @@ final class Interp {
         "tables" -> VArr(Vector.empty)))
     case "ROOT" =>
       VObj(TreeMap(
-        "accesses" -> strMap(accesses.collect { case (("ROOT", n), r) => n -> r }),
-        "config" -> emptyObj,
+        "accesses" -> strMap(accesses.collect { case (("ROOT", n), d) => n -> d.render }),
+        "config" -> VObj(TreeMap(systemQueryTimeout.toSeq.map(d => "QUERY_TIMEOUT" -> (d: V)): _*)),
         "defaults" -> emptyObj,
         "namespaces" -> strMap(namespaces),
         "nodes" -> emptyObj,
@@ -1016,23 +1362,23 @@ final class Interp {
         "users" -> strMap(rootUsers.map { case (n, u) => n -> u.render })))
     case "NS" =>
       VObj(TreeMap(
-        "accesses" -> strMap(accesses.collect { case (("NAMESPACE", n), r) => n -> r }),
+        "accesses" -> strMap(accesses.collect { case (("NAMESPACE", n), d) => n -> d.render }),
         "databases" -> strMap(databases),
         "users" -> strMap(nsUsers.map { case (n, u) => n -> u.render })))
     case "DB" =>
       VObj(TreeMap(
-        "accesses" -> strMap(accesses.collect { case (("DATABASE", n), r) => n -> r }),
-        "analyzers" -> strMap(analyzers),
+        "accesses" -> strMap(accesses.collect { case (("DATABASE", n), d) => n -> d.render }),
+        "analyzers" -> strMap(analyzers.map { case (n, d) => n -> d.render }),
         "apis" -> strMap(apiDefs.map { case (p, d) => p -> Api.render(d) }),
         "buckets" -> strMap(buckets.map { case (n, b) => n -> b.render }),
         "configs" -> VObj(TreeMap(configs.toSeq.map { case (n, v) =>
-          val display = n match { case "graphql" => "GraphQL"; case "api" => "API"; case o => o }
+          val display = n match { case "graphql" => "GraphQL"; case "api" => "API"; case "default" => "Default"; case o => o }
           display -> (v match { case s: VStr => s: V; case other => other })
         }: _*)),
-        "functions" -> strMap(functionDefs.map { case (n, r) => n.stripPrefix("fn::") -> r }),
+        "functions" -> strMap(functionDefs.map { case (n, d) => n.stripPrefix("fn::") -> d.render }),
         "models" -> emptyObj,
         "modules" -> emptyObj,
-        "params" -> strMap(paramDefs),
+        "params" -> strMap(paramDefs.map { case (n, d) => n -> d.render }),
         "sequences" -> strMap(sequences.map { case (n, d) => n -> d.render }),
         "tables" -> strMap(tableDefs.map { case (n, d) => n -> d.render }),
         "users" -> strMap(dbUsers.map { case (n, u) => n -> u.render })))

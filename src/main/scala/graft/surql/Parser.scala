@@ -292,7 +292,7 @@ final class Parser(val src: String) {
       if (kw("ROOT") || kw("KV")) InfoStmt("ROOT")
       else if (kw("NAMESPACE") || kw("NS")) InfoStmt("NS")
       else if (kw("DATABASE") || kw("DB")) InfoStmt("DB")
-      else if (kw("TABLE")) InfoStmt("TABLE", defName())
+      else if (kw("TABLE") || kw("TB")) InfoStmt("TABLE", defName())
       else if (kw("USER")) {
         val u = defName()
         if (kw("ON")) { kw("ROOT"); kw("NAMESPACE"); kw("NS"); kw("DATABASE"); kw("DB") }
@@ -466,18 +466,7 @@ final class Parser(val src: String) {
         if (kw("ROOT")) "ROOT"
         else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
         else { kw("DATABASE"); kw("DB"); "DATABASE" }
-      val p0 = pos
-      var depth = 0
-      while (!eof && !(depth == 0 && peekc == ';')) {
-        val c = peekc
-        if (c == '{' || c == '(' || c == '[') depth += 1
-        if (c == '}' || c == ')' || c == ']') depth -= 1
-        if (c == '\'' || c == '"') { val q = c; pos += 1; while (!eof && peekc != q) { if (peekc == '\\') pos += 1; pos += 1 } }
-        pos += 1
-      }
-      val tail = src.substring(p0, pos).trim.replaceAll("\\s+", " ")
-      val rendered = s"DEFINE ACCESS ${Defs.escIdent(name)} ON ${level.toLowerCase.capitalize} " + tail
-      return DefineRawStmt("ACCESS:" + level, name, rendered, mode)
+      return defineAccessTail(name, level, mode)
     }
     val name = if (peekSym("$")) { sym("$"); if (what == "PARAM") rawIdent() else "$" + rawIdent() }
       else if (what == "FUNCTION") ""
@@ -501,21 +490,29 @@ final class Parser(val src: String) {
       expectSym(")")
       val paramsRaw = src.substring(pr0, pos)
       ws()
-      if (sym("->")) kind() // optional return kind
+      var returnsRaw: Option[String] = scala.None
+      if (sym("->")) { ws(); val r0 = pos; kind(); returnsRaw = Some(src.substring(r0, pos).trim) }
       ws()
       val b0 = pos
       val body = blockExpr()
       val bodyRaw = src.substring(b0, pos)
       var fnComment: Option[String] = scala.None
+      var fnPerms = "FULL"
       var goT = true
       while (goT) {
         if (kw("COMMENT")) fnComment = Some(commentStr())
-        else if (kw("PERMISSIONS")) { kw("FULL"); kw("NONE") }
+        else if (kw("PERMISSIONS")) {
+          fnPerms =
+            if (kw("FULL")) "FULL"
+            else if (kw("NONE")) "NONE"
+            else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim }
+        }
         else goT = false
       }
       ws()
       while (!eof && peekc != ';') pos += 1
-      return DefineFunctionStmt(nb.toString, params.toSeq, body, paramsRaw, bodyRaw, mode, fnComment)
+      return DefineFunctionStmt(nb.toString, params.toSeq, body, paramsRaw, bodyRaw, mode,
+        fnComment, returnsRaw, fnPerms)
     }
     if (what == "FIELD") {
       val fn = new StringBuilder(name)  // name may be a $param reference
@@ -623,12 +620,19 @@ final class Parser(val src: String) {
       expectKw("VALUE")
       val (v, raw) = exprWithRaw()
       var permTxt = "FULL"
-      if (kw("PERMISSIONS")) {
-        if (kw("NONE")) permTxt = "NONE" else { kw("FULL"); permTxt = "FULL" }
+      var pComment: Option[String] = scala.None
+      var goP = true
+      while (goP) {
+        if (kw("PERMISSIONS")) {
+          permTxt =
+            if (kw("NONE")) "NONE"
+            else if (kw("FULL")) "FULL"
+            else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim }
+        }
+        else if (kw("COMMENT")) pComment = Some(commentStr())
+        else goP = false
       }
-      val pComment = if (kw("COMMENT")) Some(commentStr()) else scala.None
-      val rendered = s"DEFINE PARAM $$$name VALUE $raw|$permTxt"
-      return DefineRawStmt("PARAM", name, rendered, mode, Some(v), pComment)
+      return DefineParamStmt(Defs.ParamDef(name, floatRaw(v, raw), pComment, permTxt), Some(v), mode)
     }
     // consume the remainder of the statement (balanced braces/parens)
     val sb = new StringBuilder
@@ -745,6 +749,7 @@ final class Parser(val src: String) {
     var roles = Seq("VIEWER")
     var durToken = "1h"
     var durSession = "NONE"
+    var uComment: Option[String] = scala.None
     var go = true
     while (go) {
       if (kw("PASSWORD")) { hash = fakePasshash(stringLit()._1) }
@@ -759,18 +764,16 @@ final class Parser(val src: String) {
         var g2 = true
         while (g2) {
           if (kw("FOR")) {
-            if (kw("TOKEN")) { val (_, r) = exprWithRaw(); durToken = r }
-            else if (kw("SESSION")) {
-              if (kw("NONE")) durSession = "NONE" else { val (_, r) = exprWithRaw(); durSession = r }
-            }
-            if (!sym(",")) g2 = false
+            if (kw("TOKEN")) durToken = accessDurVal().getOrElse("NONE")
+            else if (kw("SESSION")) durSession = accessDurVal().getOrElse("NONE")
+            sym(",")
           } else g2 = false
         }
       }
-      else if (kw("COMMENT")) commentStr()
+      else if (kw("COMMENT")) uComment = Some(commentStr())
       else go = false
     }
-    DefineUserStmt(Defs.UserDef(name, level, hash, roles, durToken, durSession), mode)
+    DefineUserStmt(Defs.UserDef(name, level, hash, roles, durToken, durSession, uComment), mode)
   }
 
   private def defineNamespaceLike(what: String, mode: String): Statement = {
@@ -903,20 +906,135 @@ final class Parser(val src: String) {
         filters = Some(fs.toSeq)
       } else go = false
     }
-    // canonical order: FUNCTION, TOKENIZERS (joined ","), FILTERS (joined ", ")
-    // — sql/statements/define/analyzer.rs fmt_sql
-    val tail = new StringBuilder
-    function.foreach(fn => tail.append("FUNCTION ").append(fn))
-    tokenizers.foreach { ts =>
-      if (tail.nonEmpty) tail.append(' ')
-      tail.append("TOKENIZERS ").append(ts.mkString(","))
-    }
-    filters.foreach { fs =>
-      if (tail.nonEmpty) tail.append(' ')
-      tail.append("FILTERS ").append(fs.mkString(", "))
-    }
     val comment = if (kw("COMMENT")) Some(commentStr()) else scala.None
-    DefineRawStmt("ANALYZER", name, tail.toString, mode, scala.None, comment)
+    DefineAnalyzerStmt(Defs.AnalyzerDef(name, function, tokenizers, filters, comment), mode)
+  }
+
+  /** A KEY value: string literal or `$param` reference (kept as raw text —
+    * keys are redacted in renders, only equality between clauses matters). */
+  private def keyVal(): String = {
+    ws()
+    if (peekc == '$') { pos += 1; "$" + rawIdent() } else stringLit()._1
+  }
+
+  /** One access duration value: NONE or a canonicalized duration literal. */
+  private def accessDurVal(): Option[String] = {
+    if (kw("NONE")) scala.None
+    else {
+      ws()
+      if (peekc == '$') { pos += 1; Some("$" + rawIdent()) }
+      else expr() match {
+        case Lit(d: VDur) => Some(Render.sql(d))
+        case _            => fail("expected a duration"); scala.None
+      }
+    }
+  }
+
+  /** DEFINE ACCESS tail after `name ON level`: TYPE …, AUTHENTICATE,
+    * DURATION, COMMENT (syn/parser/stmt/define.rs; access_type.rs ToSql). */
+  private def defineAccessTail(name: String, level: String, mode: String): Statement = {
+    var algorithm: Option[String] = scala.None
+    var keyRaw: Option[String] = scala.None
+    var issuerKeyRaw: Option[String] = scala.None
+    var canTokens = true
+
+    var issuerAlg: Option[String] = scala.None
+    // ALGORITHM alg KEY key | URL url, then optional WITH ISSUER [ALGORITHM a] KEY key
+    def issuerClause(sb: StringBuilder): Unit = {
+      expectKw("ISSUER")
+      if (kw("ALGORITHM")) issuerAlg = Some(rawIdent().toUpperCase)
+      expectKw("KEY")
+      issuerKeyRaw = Some(keyVal())
+      sb.append(" WITH ISSUER KEY '[REDACTED]'")
+    }
+    def jwtTail(): String = {
+      val sb = new StringBuilder
+      if (kw("URL")) {
+        val u = stringLit()._1
+        sb.append("URL ").append(Render.sql(VStr(u)))
+        canTokens = false
+        if (kw("WITH")) { issuerClause(sb); canTokens = true }
+      } else if (kw("ALGORITHM")) {
+        val alg = rawIdent().toUpperCase
+        algorithm = Some(alg)
+        val key = if (kw("KEY")) keyVal() else ""
+        keyRaw = Some(key)
+        sb.append("ALGORITHM ").append(alg).append(" KEY '[REDACTED]'")
+        val symmetric = alg.startsWith("HS")
+        if (kw("WITH")) issuerClause(sb)
+        else if (symmetric) {
+          // symmetric algorithms can always issue with the verification key
+          issuerKeyRaw = Some(key)
+          sb.append(" WITH ISSUER KEY '[REDACTED]'")
+        }
+        canTokens = symmetric || issuerKeyRaw.isDefined
+      } else {
+        // defaults to HS512 with a generated key (access_type.rs JwtAccess::default)
+        algorithm = Some("HS512")
+        sb.append("ALGORITHM HS512 KEY '[REDACTED]' WITH ISSUER KEY '[REDACTED]'")
+      }
+      sb.toString
+    }
+
+    var kind = "RECORD"
+    var typeRendered = ""
+    var bearerSubject = ""
+    var canGrants = false
+    expectKw("TYPE")
+    if (kw("JWT")) {
+      kind = "JWT"
+      typeRendered = "JWT " + jwtTail()
+      canGrants = false
+    } else if (kw("BEARER")) {
+      kind = "BEARER"; canGrants = true; canTokens = true
+      expectKw("FOR")
+      bearerSubject = if (kw("RECORD")) "RECORD" else { expectKw("USER"); "USER" }
+      typeRendered = s"BEARER FOR $bearerSubject"
+    } else {
+      expectKw("RECORD")
+      kind = "RECORD"
+      val sb = new StringBuilder("RECORD")
+      var refresh = false
+      var jwtR: Option[String] = scala.None
+      var go = true
+      while (go) {
+        if (kw("SIGNUP")) { val (_, r) = exprWithRaw(); sb.append(" SIGNUP ").append(Defs.normRaw(r)) }
+        else if (kw("SIGNIN")) { val (_, r) = exprWithRaw(); sb.append(" SIGNIN ").append(Defs.normRaw(r)) }
+        else if (kw("WITH")) {
+          if (kw("REFRESH")) refresh = true
+          else { expectKw("JWT"); jwtR = Some(jwtTail()) }
+        } else go = false
+      }
+      if (refresh) { sb.append(" WITH REFRESH"); canGrants = true }
+      sb.append(" WITH JWT ").append(jwtR.getOrElse {
+        algorithm = Some("HS512")
+        "ALGORITHM HS512 KEY '[REDACTED]' WITH ISSUER KEY '[REDACTED]'"
+      })
+      canTokens = true
+      typeRendered = sb.toString
+    }
+    var authRaw: Option[String] = scala.None
+    var durGrant: Option[String] = Some("4w2d")
+    var durToken: Option[String] = Some("1h")
+    var durSession: Option[String] = scala.None
+    var comment: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("AUTHENTICATE")) { val (_, r) = exprWithRaw(); authRaw = Some(Defs.normRaw(r)) }
+      else if (kw("DURATION")) {
+        while (kw("FOR")) {
+          if (kw("GRANT")) durGrant = accessDurVal()
+          else if (kw("TOKEN")) durToken = accessDurVal()
+          else { expectKw("SESSION"); durSession = accessDurVal() }
+          sym(",")
+        }
+      }
+      else if (kw("COMMENT")) comment = Some(commentStr())
+      else go = false
+    }
+    DefineAccessStmt(Defs.AccessDef(name, level, kind, typeRendered, bearerSubject,
+      canGrants, canTokens, authRaw, durGrant, durToken, durSession, comment),
+      mode, issuerKeyRaw, keyRaw, algorithm, issuerAlg)
   }
 
   /** DEFINE BUCKET name [READONLY] [BACKEND expr] [PERMISSIONS perm]
@@ -977,24 +1095,52 @@ final class Parser(val src: String) {
 
   private def alterStmt(): Statement = {
     val what = rawIdent().toUpperCase
-    if (what != "TABLE") {
-      // only ALTER TABLE exists in the reference grammar (alter.rs)
-      while (!eof && peekc != ';') pos += 1
-      return AlterTableStmt("", ifExists = true, scala.None, scala.None, scala.None,
-        scala.None, scala.None, scala.None)
+    what match {
+      case "TABLE"    => alterTableTail()
+      case "FUNCTION" => alterFunctionTail()
+      case "EVENT"    => alterEventTail()
+      case "FIELD"    => alterFieldTail()
+      case "INDEX"    => alterIndexTail()
+      case "PARAM"    => alterParamTail()
+      case "ANALYZER" => alterAnalyzerTail()
+      case "ACCESS"   => alterAccessTail()
+      case "BUCKET"   => alterBucketTail()
+      case "API"      => alterApiTail()
+      case "CONFIG"   => alterConfigTail()
+      case "SYSTEM"   => alterSystemTail()
+      case "USER"     => alterUserTail()
+      case "NAMESPACE" | "NS" => expectKw("COMPACT"); AlterCompactStmt("NAMESPACE")
+      case "DATABASE" | "DB"  => expectKw("COMPACT"); AlterCompactStmt("DATABASE")
+      case "SEQUENCE" =>
+        // ALTER SEQUENCE name TIMEOUT … (alter/sequence.rs) — parsed, inert
+        while (!eof && peekc != ';') pos += 1
+        AlterCompactStmt("SEQUENCE")
+      case other => fail(s"unexpected ALTER target $other"); null
     }
-    val ifExists = if (kw("IF")) { expectKw("EXISTS"); true } else false
-    val name = rawIdent()
+  }
+
+  /** `COMMENT s` or (after a consumed DROP) drop marker helpers. */
+  private def alterIfExists(): Boolean =
+    if (kw("IF")) { expectKw("EXISTS"); true } else false
+
+  private def alterTableTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
     var drop: Option[Boolean] = scala.None
     var full: Option[Boolean] = scala.None
     var ttype: Option[(String, Seq[String], Seq[String], Boolean)] = scala.None
     var perms: Option[Seq[(String, String)]] = scala.None
     var comment: Option[Option[String]] = scala.None
     var changefeed: Option[Option[String]] = scala.None
+    var compact = false
     var go = true
     while (go) {
-      if (kw("DROP")) {
-        if (kw("FALSE")) drop = Some(false) else { kw("TRUE"); drop = Some(true) }
+      if (kw("COMPACT")) compact = true
+      else if (kw("DROP")) {
+        if (kw("COMMENT")) comment = Some(scala.None)
+        else if (kw("CHANGEFEED")) changefeed = Some(scala.None)
+        else if (kw("FALSE")) drop = Some(false)
+        else { kw("TRUE"); drop = Some(true) }
       }
       else if (kw("SCHEMALESS")) full = Some(false)
       else if (kw("SCHEMAFULL")) full = Some(true)
@@ -1034,7 +1180,416 @@ final class Parser(val src: String) {
       }
       else go = false
     }
-    AlterTableStmt(name, ifExists, drop, full, ttype, perms, comment, changefeed)
+    AlterTableStmt(name, ifExists, drop, full, ttype, perms, comment, changefeed, compact)
+  }
+
+  private def alterFunctionTail(): Statement = {
+    val ifExists = alterIfExists()
+    val nb = new StringBuilder(rawIdent())
+    while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+    val name = nb.toString
+    var redefine: Option[DefineFunctionStmt] = scala.None
+    ws()
+    if (peekc == '(') {
+      val pr0 = pos
+      expectSym("(")
+      val params = ArrayBuffer[(String, Option[Kind])]()
+      ws()
+      if (peekc != ')') {
+        var g = true
+        while (g) {
+          expectSym("$"); val n = rawIdent()
+          val k = if (sym(":")) Some(kind()) else scala.None
+          params += ((n, k)); g = sym(",")
+        }
+      }
+      expectSym(")")
+      val paramsRaw = src.substring(pr0, pos)
+      ws()
+      var returnsRaw: Option[String] = scala.None
+      if (sym("->")) { ws(); val r0 = pos; kind(); returnsRaw = Some(src.substring(r0, pos).trim) }
+      ws()
+      val b0 = pos
+      val body = blockExpr()
+      val bodyRaw = src.substring(b0, pos)
+      redefine = Some(DefineFunctionStmt(name, params.toSeq, body, paramsRaw, bodyRaw,
+        "overwrite", scala.None, returnsRaw))
+    }
+    var comment: Option[Option[String]] = scala.None
+    var perms: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) { expectKw("COMMENT"); comment = Some(scala.None) }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else if (kw("PERMISSIONS")) {
+        perms = Some(
+          if (kw("FULL")) "FULL"
+          else if (kw("NONE")) "NONE"
+          else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim })
+      }
+      else go = false
+    }
+    AlterFunctionStmt(name, ifExists, redefine, comment, perms)
+  }
+
+  private def alterEventTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
+    expectKw("ON"); kw("TABLE")
+    val tbl = defName()
+    var when: Option[(Expr, String)] = scala.None
+    var thenE: Option[(Seq[Expr], String)] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var async: Option[Boolean] = scala.None
+    var retry: Option[Long] = scala.None
+    var maxDepth: Option[Long] = scala.None
+    var go = true
+    while (go) {
+      if (kw("WHEN")) { val (e, r) = exprWithRaw(); when = Some((e, r)) }
+      else if (kw("THEN")) {
+        ws()
+        val t0 = pos
+        val es = ArrayBuffer[Expr]()
+        es += (if (peekc == '{') blockExpr() else exprOrStatement())
+        while (sym(",")) es += (if ({ ws(); peekc == '{' }) blockExpr() else exprOrStatement())
+        thenE = Some((es.toSeq, src.substring(t0, pos).trim))
+      }
+      else if (kw("DROP")) {
+        if (kw("COMMENT")) comment = Some(scala.None)
+        else { expectKw("ASYNC"); async = Some(false) }
+      }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else if (kw("ASYNC")) async = Some(true)
+      else if (kw("RETRY")) retry = Some(intLit())
+      else if (kw("MAXDEPTH")) maxDepth = Some(intLit())
+      else go = false
+    }
+    AlterEventStmt(name, tbl, ifExists, when, thenE, comment, async, retry, maxDepth)
+  }
+
+  private def alterFieldTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = idiomName()
+    expectKw("ON"); kw("TABLE")
+    val tbl = defName()
+    var kindC: Option[Option[(Kind, String)]] = scala.None
+    var flexible: Option[Boolean] = scala.None
+    var value: Option[Option[(Expr, String)]] = scala.None
+    var default: Option[Option[(Expr, String, Boolean)]] = scala.None
+    var assertC: Option[Option[(Expr, String)]] = scala.None
+    var readonly: Option[Boolean] = scala.None
+    var reference: Option[Option[String]] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var perms: Option[Seq[(String, String)]] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) {
+        if (kw("TYPE")) kindC = Some(scala.None)
+        else if (kw("FLEXIBLE")) flexible = Some(false)
+        else if (kw("VALUE")) value = Some(scala.None)
+        else if (kw("DEFAULT")) default = Some(scala.None)
+        else if (kw("ASSERT")) assertC = Some(scala.None)
+        else if (kw("READONLY")) readonly = Some(false)
+        else if (kw("REFERENCE")) reference = Some(scala.None)
+        else { expectKw("COMMENT"); comment = Some(scala.None) }
+      }
+      else if (kw("FLEXIBLE")) flexible = Some(true)
+      else if (kw("TYPE")) {
+        ws(); val p0 = pos; val k = kind()
+        kindC = Some(Some((k, src.substring(p0, pos).trim)))
+      }
+      else if (kw("VALUE")) { val (e, r) = exprWithRaw(); value = Some(Some((e, floatRaw(e, r)))) }
+      else if (kw("DEFAULT")) {
+        val always = kw("ALWAYS")
+        val (e, r) = exprWithRaw(); default = Some(Some((e, floatRaw(e, r), always)))
+      }
+      else if (kw("ASSERT")) { val (e, r) = exprWithRaw(); assertC = Some(Some((e, r))) }
+      else if (kw("READONLY")) readonly = Some(true)
+      else if (kw("REFERENCE")) {
+        val p0 = pos
+        while (!eof && peekc != ';' && !peekKw("PERMISSIONS") && !peekKw("COMMENT") &&
+          !peekKw("TYPE") && !peekKw("VALUE") && !peekKw("DEFAULT") && !peekKw("ASSERT") &&
+          !peekKw("READONLY") && !peekKw("DROP") && !peekKw("FLEXIBLE")) pos += 1
+        reference = Some(Some(src.substring(p0, pos).trim))
+      }
+      else if (kw("PERMISSIONS")) perms = Some(permsClauses(Defs.fieldPermsDefault))
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else go = false
+    }
+    AlterFieldStmt(name, tbl, ifExists, kindC, flexible, value, default, assertC,
+      readonly, reference, comment, perms)
+  }
+
+  private def alterIndexTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
+    expectKw("ON"); kw("TABLE")
+    val tbl = defName()
+    var comment: Option[Option[String]] = scala.None
+    var prepareRemove: Option[Boolean] = scala.None
+    var any = false
+    var go = true
+    while (go) {
+      if (kw("DROP")) { expectKw("COMMENT"); comment = Some(scala.None); any = true }
+      else if (kw("COMMENT")) { comment = Some(Some(commentStr())); any = true }
+      else if (kw("PREPARE")) { expectKw("REMOVE"); prepareRemove = Some(true); any = true }
+      else if (kw("CONCURRENTLY")) any = true
+      else go = false
+    }
+    if (!any) fail("Unexpected token `;`, expected `PREPARE`, `DROP` or `COMMENT`")
+    AlterIndexStmt(name, tbl, ifExists, comment, prepareRemove)
+  }
+
+  private def alterParamTail(): Statement = {
+    val ifExists = alterIfExists()
+    expectSym("$")
+    val name = rawIdent()
+    var value: Option[(Expr, String)] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var perms: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) { expectKw("COMMENT"); comment = Some(scala.None) }
+      else if (kw("VALUE")) { val (e, r) = exprWithRaw(); value = Some((e, floatRaw(e, r))) }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else if (kw("PERMISSIONS")) {
+        perms = Some(
+          if (kw("FULL")) "FULL"
+          else if (kw("NONE")) "NONE"
+          else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim })
+      }
+      else go = false
+    }
+    AlterParamStmt(name, ifExists, value, comment, perms)
+  }
+
+  private def alterAnalyzerTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
+    var tokenizers: Option[Option[Seq[String]]] = scala.None
+    var filters: Option[Option[Seq[String]]] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) {
+        if (kw("TOKENIZERS")) tokenizers = Some(scala.None)
+        else if (kw("FILTERS")) filters = Some(scala.None)
+        else { expectKw("COMMENT"); comment = Some(scala.None) }
+      }
+      else if (kw("TOKENIZERS")) {
+        val ts = ArrayBuffer[String]()
+        var g = true
+        while (g) { ts += rawIdent().toUpperCase; g = sym(",") }
+        tokenizers = Some(Some(ts.toSeq))
+      }
+      else if (kw("FILTERS")) {
+        val fs = ArrayBuffer[String]()
+        var g = true
+        while (g) { fs += filterSpec(); g = sym(",") }
+        filters = Some(Some(fs.toSeq))
+      }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else go = false
+    }
+    AlterAnalyzerStmt(name, ifExists, tokenizers, filters, comment)
+  }
+
+  private def alterAccessTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
+    expectKw("ON")
+    val level =
+      if (kw("ROOT")) "ROOT"
+      else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
+      else { kw("DATABASE"); kw("DB"); "DATABASE" }
+    var auth: Option[Option[String]] = scala.None
+    var durGrant: Option[Option[String]] = scala.None
+    var durToken: Option[Option[String]] = scala.None
+    var durSession: Option[Option[String]] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) {
+        if (kw("AUTHENTICATE")) auth = Some(scala.None)
+        else { expectKw("COMMENT"); comment = Some(scala.None) }
+      }
+      else if (kw("AUTHENTICATE")) { val (_, r) = exprWithRaw(); auth = Some(Some(Defs.normRaw(r))) }
+      else if (kw("DURATION")) {
+        while (kw("FOR")) {
+          if (kw("GRANT")) durGrant = Some(accessDurVal())
+          else if (kw("TOKEN")) durToken = Some(accessDurVal())
+          else { expectKw("SESSION"); durSession = Some(accessDurVal()) }
+          sym(",")
+        }
+      }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else go = false
+    }
+    AlterAccessStmt(name, level, ifExists, auth, durGrant, durToken, durSession, comment)
+  }
+
+  private def alterUserTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
+    expectKw("ON")
+    val level =
+      if (kw("ROOT")) "ROOT"
+      else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
+      else { kw("DATABASE"); kw("DB"); "DATABASE" }
+    var passhash: Option[String] = scala.None
+    var roles: Option[Seq[String]] = scala.None
+    var durToken: Option[Option[String]] = scala.None
+    var durSession: Option[Option[String]] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) { expectKw("COMMENT"); comment = Some(scala.None) }
+      else if (kw("PASSWORD")) passhash = Some(fakePasshash(stringLit()._1))
+      else if (kw("PASSHASH")) passhash = Some(stringLit()._1)
+      else if (kw("ROLES")) {
+        val rs = ArrayBuffer[String]()
+        var g = true
+        while (g) { rs += rawIdent().toUpperCase; g = sym(",") }
+        roles = Some(rs.toSeq)
+      }
+      else if (kw("DURATION")) {
+        while (kw("FOR")) {
+          if (kw("TOKEN")) durToken = Some(accessDurVal())
+          else { expectKw("SESSION"); durSession = Some(accessDurVal()) }
+          sym(",")
+        }
+      }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else go = false
+    }
+    AlterUserStmt(name, level, ifExists, passhash, roles, durToken, durSession, comment)
+  }
+
+  private def alterBucketTail(): Statement = {
+    val ifExists = alterIfExists()
+    val name = defName()
+    var readonly: Option[Boolean] = scala.None
+    var comment: Option[Option[String]] = scala.None
+    var perms: Option[String] = scala.None
+    var go = true
+    while (go) {
+      if (kw("DROP")) {
+        if (kw("READONLY")) readonly = Some(false)
+        else { expectKw("COMMENT"); comment = Some(scala.None) }
+      }
+      else if (kw("READONLY")) readonly = Some(true)
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else if (kw("PERMISSIONS")) {
+        perms = Some(
+          if (kw("FULL")) "FULL"
+          else if (kw("NONE")) "NONE"
+          else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim })
+      }
+      else go = false
+    }
+    AlterBucketStmt(name, ifExists, readonly, comment, perms)
+  }
+
+  private def alterApiTail(): Statement = {
+    val ifExists = alterIfExists()
+    val path = expr()
+    var comment: Option[Option[String]] = scala.None
+    val clauses = ArrayBuffer[(Seq[String], Option[(Expr, String)])]()
+    var go = true
+    while (go) {
+      if (kw("DROP")) { expectKw("COMMENT"); comment = Some(scala.None) }
+      else if (kw("COMMENT")) comment = Some(Some(commentStr()))
+      else if (kw("FOR")) {
+        val methods = ArrayBuffer[String]()
+        var g = true
+        while (g) { methods += rawIdent().toLowerCase; g = sym(",") }
+        if (kw("DROP")) { expectKw("THEN"); clauses += ((methods.toSeq, scala.None)) }
+        else {
+          expectKw("THEN")
+          ws()
+          val t0 = pos
+          val e = blockExpr()
+          clauses += ((methods.toSeq, Some((e, src.substring(t0, pos).trim))))
+        }
+      }
+      else go = false
+    }
+    AlterApiStmt(path, ifExists, comment, clauses.toSeq)
+  }
+
+  private def alterConfigTail(): Statement = {
+    val ifExists = alterIfExists()
+    def tfSpec(): String =
+      if (kw("AUTO")) "AUTO"
+      else if (kw("NONE")) "NONE"
+      else {
+        val inc = kw("INCLUDE")
+        if (inc || kw("EXCLUDE")) {
+          val ts = ArrayBuffer[String]()
+          var g = true
+          while (g) { ts += rawIdent(); g = sym(",") }
+          (if (inc) "INCLUDE " else "EXCLUDE ") + ts.mkString(", ")
+        } else "NONE"
+      }
+    if (kw("GRAPHQL")) {
+      // TABLES (AUTO|NONE|INCLUDE…) FUNCTIONS (AUTO|NONE|INCLUDE…)
+      var tables = "AUTO"
+      var functions = "AUTO"
+      var go = true
+      while (go) {
+        if (kw("TABLES")) tables = tfSpec()
+        else if (kw("FUNCTIONS")) functions = tfSpec()
+        else if (kw("AUTO")) { tables = "AUTO"; functions = "AUTO" }
+        else if (kw("NONE")) { tables = "NONE"; functions = "NONE" }
+        else go = false
+      }
+      AlterConfigStmt("graphql", ifExists, s"GRAPHQL TABLES $tables FUNCTIONS $functions")
+    } else if (kw("API")) {
+      var permTxt = "FULL"
+      var go = true
+      while (go) {
+        if (kw("PERMISSIONS")) {
+          permTxt =
+            if (kw("NONE")) "NONE"
+            else if (kw("FULL")) "FULL"
+            else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim }
+        } else go = false
+      }
+      AlterConfigStmt("api", ifExists, s"API PERMISSIONS $permTxt")
+    } else {
+      expectKw("DEFAULT")
+      var ns: Option[String] = scala.None
+      var db: Option[String] = scala.None
+      var go = true
+      while (go) {
+        if (kw("NAMESPACE")) ns = Some(rawIdent())
+        else if (kw("DATABASE")) db = Some(rawIdent())
+        else go = false
+      }
+      val parts = ns.map(n => s"NAMESPACE $n").toSeq ++ db.map(d => s"DATABASE $d").toSeq
+      AlterConfigStmt("default", ifExists, ("DEFAULT" +: parts).mkString(" "))
+    }
+  }
+
+  private def alterSystemTail(): Statement = {
+    var compact = false
+    var qt: Option[Option[(Long, Int)]] = scala.None
+    var any = false
+    var go = true
+    while (go) {
+      if (kw("COMPACT")) { compact = true; any = true }
+      else if (kw("DROP")) { expectKw("QUERY_TIMEOUT"); qt = Some(scala.None); any = true }
+      else if (kw("QUERY_TIMEOUT")) {
+        expr() match {
+          case Lit(VDur(s, n)) => qt = Some(Some((s, n)))
+          case _               => fail("expected a duration")
+        }
+        any = true
+      }
+      else go = false
+    }
+    if (!any) fail("Unexpected token `;`, expected `COMPACT`, `DROP` or `QUERY_TIMEOUT`")
+    AlterSystemStmt(compact, qt)
   }
 
   // ---- SELECT ---------------------------------------------------------

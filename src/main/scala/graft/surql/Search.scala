@@ -63,9 +63,9 @@ object Search {
   }
 
   def analyzerOf(in: Interp, name: String): AnalyzerDef = {
-    val render = in.analyzers.getOrElse(name,
+    val d = in.analyzers.getOrElse(name,
       throw SqlError(s"The analyzer '$name' does not exist"))
-    parseAnalyzer(name, render)
+    parseAnalyzer(name, d.render)
   }
 
   // ---- tokenizers (tokenizer.rs state machine) ---------------------------
@@ -281,7 +281,7 @@ object Search {
       if (m == null) { m = mutable.HashMap[(FtsIndex, String, Long), Corpus](); corpusCache.put(in, m) }
       m
     }
-    val anaDef = in.analyzers.getOrElse(idx.analyzer, "")
+    val anaDef = in.analyzers.get(idx.analyzer).map(_.render).getOrElse("")
     val key = (idx, anaDef, in.writeGen)
     // The inner map is shared by all FTS queries against this interp — hold
     // its lock across the eviction scan and the compute-if-absent so
