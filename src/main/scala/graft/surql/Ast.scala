@@ -214,6 +214,12 @@ final case class AlterSystemStmt(compact: Boolean,
     queryTimeout: Option[Option[(Long, Int)]]) extends Statement
 /** ALTER NAMESPACE/DATABASE COMPACT. */
 final case class AlterCompactStmt(level: String) extends Statement
+/** ACCESS … GRANT/SHOW/REVOKE/PURGE (sql/statements/access.rs). */
+final case class AccessStmt(name: String, level: Option[String], op: String,
+    subjectKind: String = "", subject: String = "",
+    selector: String = "", selectorExpr: Option[Expr] = scala.None,
+    purgeExpired: Boolean = false, purgeRevoked: Boolean = false,
+    purgeFor: Option[String] = scala.None) extends Statement
 final case class AlterUserStmt(name: String, level: String, ifExists: Boolean,
     passhash: Option[String], roles: Option[Seq[String]],
     durToken: Option[Option[String]], durSession: Option[Option[String]],

@@ -145,6 +145,8 @@ object Golden {
     interp.legacyPlanner = tf.legacyPlanner
     interp.recordAuth = tf.recordAuth
     interp.compactSupported = tf.compactOk
+    interp.sessionHasNs = tf.envNamespace
+    interp.sessionHasDb = tf.envDatabase
     // imports run first, results discarded
     tf.imports.foreach { imp =>
       val p = testsRoot.resolve(imp.stripPrefix("/"))

@@ -60,6 +60,16 @@ final class Interp {
   /** Whether the simulated storage backend accepts compaction requests
     * (mem does not; rocksdb-style backends do). */
   var compactSupported = false
+  /** Session base: whether a namespace/database is selected (language-tests
+    * provisioner flags) — bare ACCESS statements resolve to the deepest
+    * selected level (sql/statements/access.rs base resolution). */
+  var sessionHasNs = true
+  var sessionHasDb = true
+  private val grantRng = new scala.util.Random(0x6772616e74L)
+  private def grantToken(n: Int): String = {
+    val cs = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    Vector.fill(n)(cs(grantRng.nextInt(cs.length))).mkString
+  }
   val tableDefs = mutable.LinkedHashMap[String, Defs.TableDef]()
   val fieldDefs2 = mutable.LinkedHashMap[(String, String), Defs.FieldDef]()
   /** Subtype `name.*` definitions auto-created for array<K>/set<K> fields
@@ -501,6 +511,7 @@ final class Interp {
         durToken = s0.durToken.map(rd(_, env)), durSession = s0.durSession.map(rd(_, env)))
       execAlterUser(s); VNone
     case s: AlterApiStmt => execAlterApi(s, env); VNone
+    case s: AccessStmt => execAccess(s.copy(name = rn(s.name, env)), env)
     case s: AlterConfigStmt => execAlterConfig(s); VNone
     case s: AlterSystemStmt =>
       if (s.compact && !compactSupported)
@@ -826,6 +837,103 @@ final class Interp {
         }
       }
     case _ => () // BUCKET/API/MODULE/MODEL … — registered loosely via execDefine
+  }
+
+  private def userMissing(level: String, name: String): String = level match {
+    case "DATABASE"  => s"The user '$name' does not exist in the database '$curDb'"
+    case "NAMESPACE" => s"The user '$name' does not exist in the namespace '$curNs'"
+    case _           => s"The root user '$name' does not exist"
+  }
+
+  /** ACCESS … GRANT/SHOW/REVOKE/PURGE over bearer-capable access methods
+    * (expr/statements/access.rs; grants are in-memory catalog rows). */
+  private def execAccess(s: AccessStmt, env: Env): V = {
+    val level = s.level.getOrElse(
+      if (sessionHasDb) "DATABASE" else if (sessionHasNs) "NAMESPACE" else "ROOT")
+    val d = accesses.getOrElse((level, s.name),
+      throw SqlError(if (level == "ROOT") s"The root access method '${s.name}' does not exist"
+        else accessMissing(level, s.name)))
+    def redact(g: VObj): VObj = g.fields.get("grant") match {
+      case Some(go: VObj) => VObj(g.fields.updated("grant", VObj(go.fields.updated("key", VStr("[REDACTED]")))))
+      case _ => g
+    }
+    s.op match {
+      case "GRANT" =>
+        if (!d.canIssueGrants)
+          throw SqlError(s"The access method cannot issue grants")
+        val subject: V = s.subjectKind match {
+          case "USER" =>
+            val reg = level match {
+              case "ROOT" => rootUsers; case "NAMESPACE" => nsUsers; case _ => dbUsers
+            }
+            if (!reg.contains(s.subject)) throw SqlError(userMissing(level, s.subject))
+            V.obj("user" -> VStr(s.subject))
+          case _ =>
+            V.obj("record" -> (try Parser.parseValue(s.subject)
+              catch { case _: Exception => VStr(s.subject): V }))
+        }
+        val id = grantToken(12)
+        val key = "surreal-bearer-" + id + "-" + grantToken(24)
+        val creation = java.time.Instant.now()
+        val expiration: V = d.durGrant match {
+          case Some(txt) =>
+            try Parser.parseValue(txt) match {
+              case VDur(secs, nanos) => VDt(creation.plusSeconds(secs).plusNanos(nanos.toLong))
+              case _ => VNone
+            } catch { case _: Exception => VNone }
+          case scala.None => VNone
+        }
+        val grant = V.obj(
+          "ac" -> VStr(s.name),
+          "creation" -> VDt(creation),
+          "expiration" -> expiration,
+          "grant" -> V.obj("id" -> VStr(id), "key" -> VStr(key)),
+          "revocation" -> VNone,
+          "subject" -> subject,
+          "type" -> VStr(if (d.kind == "BEARER") "bearer" else "refresh"))
+        accessGrants((level, s.name)) =
+          accessGrants.getOrElse((level, s.name), Vector.empty) :+ grant
+        grant
+      case "SHOW" =>
+        val gs = accessGrants.getOrElse((level, s.name), Vector.empty)
+        val sel: Vector[VObj] = s.selector match {
+          case "ALL" => gs
+          case g if g.startsWith("GRANT ") =>
+            val id = g.stripPrefix("GRANT ")
+            gs.filter(_.fields.get("grant").exists {
+              case go: VObj => go.fields.get("id").contains(VStr(id)); case _ => false
+            })
+          case _ => gs // WHERE — evaluate per grant
+        }
+        VArr(sel.map(g => redact(g): V))
+      case "REVOKE" =>
+        val gs = accessGrants.getOrElse((level, s.name), Vector.empty)
+        val nowDt = VDt(java.time.Instant.now())
+        val (hit, rest) = s.selector match {
+          case "ALL" => (gs, Vector.empty[VObj])
+          case g if g.startsWith("GRANT ") =>
+            val id = g.stripPrefix("GRANT ")
+            gs.partition(_.fields.get("grant").exists {
+              case go: VObj => go.fields.get("id").contains(VStr(id)); case _ => false
+            })
+          case _ => (gs, Vector.empty[VObj])
+        }
+        val revoked = hit.map((g => VObj(g.fields.updated("revocation", nowDt))))
+        accessGrants((level, s.name)) = rest ++ revoked
+        VArr(revoked.map(g => redact(g): V))
+      case _ => // PURGE
+        val gs = accessGrants.getOrElse((level, s.name), Vector.empty)
+        val now = java.time.Instant.now()
+        val (purged, kept) = gs.partition { g =>
+          val expired = g.fields.get("expiration").exists {
+            case VDt(t) => t.isBefore(now); case _ => false
+          }
+          val revoked = g.fields.get("revocation").exists(_ != VNone)
+          (s.purgeExpired && expired) || (s.purgeRevoked && revoked)
+        }
+        accessGrants((level, s.name)) = kept
+        VArr(purged.map(g => redact(g): V))
+    }
   }
 
   /** Missing-access error, level-qualified (expr/statements/define/access.rs). */

@@ -203,6 +203,12 @@ final class Parser(val src: String) {
     else if (kw("DEFINE")) defineStmt()
     else if (kw("REMOVE")) removeStmt()
     else if (kw("ALTER")) alterStmt()
+    else if (peekKw("ACCESS")) {
+      // speculative: `access` may also be a plain identifier expression
+      val save = pos
+      try { kw("ACCESS"); accessStmt() }
+      catch { case _: ParseError => pos = save; ExprStmt(expr()) }
+    }
     else if (kw("INFO")) infoStmt()
     else if (kw("OPTION")) {
       val name = rawIdent()
@@ -210,6 +216,50 @@ final class Parser(val src: String) {
       OptionStmt(name, v)
     }
     else ExprStmt(expr())
+  }
+
+  /** ACCESS name [ON base] GRANT|SHOW|REVOKE|PURGE …
+    * (sql/statements/access.rs). */
+  private def accessStmt(): Statement = {
+    val name = rawIdent()
+    val level: Option[String] =
+      if (kw("ON")) Some(
+        if (kw("ROOT")) "ROOT"
+        else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
+        else { kw("DATABASE"); kw("DB"); "DATABASE" })
+      else scala.None
+    def selector(): (String, Option[Expr]) =
+      if (kw("ALL")) ("ALL", scala.None)
+      else if (kw("GRANT")) ("GRANT " + rawIdent(), scala.None)
+      else { expectKw("WHERE"); val e = expr(); ("WHERE", Some(e)) }
+    if (kw("GRANT")) {
+      expectKw("FOR")
+      if (kw("USER")) AccessStmt(name, level, "GRANT", "USER", rawIdent())
+      else { expectKw("RECORD"); val (_, r) = exprWithRaw(); AccessStmt(name, level, "GRANT", "RECORD", r) }
+    }
+    else if (kw("SHOW")) {
+      val (sel, e) = selector()
+      AccessStmt(name, level, "SHOW", selector = sel, selectorExpr = e)
+    }
+    else if (kw("REVOKE")) {
+      val (sel, e) = selector()
+      AccessStmt(name, level, "REVOKE", selector = sel, selectorExpr = e)
+    }
+    else if (kw("PURGE")) {
+      var expired = false
+      var revoked = false
+      var g = true
+      while (g) {
+        if (kw("EXPIRED")) expired = true
+        else if (kw("REVOKED")) revoked = true
+        else g = false
+        if (!sym(",")) g = false else g = true
+      }
+      val dur = if (kw("FOR")) accessDurVal() else scala.None
+      AccessStmt(name, level, "PURGE", purgeExpired = expired, purgeRevoked = revoked,
+        purgeFor = dur)
+    }
+    else fail("expected GRANT, SHOW, REVOKE or PURGE")
   }
 
   private def letStmt(): Statement = {
