@@ -283,7 +283,7 @@ object Functions {
     }
     def nums(i: Int): Vector[Double] = arr(i).map {
       case n: VNum => n.toDouble
-      case other => typeErr(i, "array<number>", other)
+      case other => typeErr(i, "number", other) // element-level mismatch (fnc args Vec<Number>)
     }
 
     // ---- file:: object-store namespace (fnc/file.rs over buc/) ----------
@@ -423,15 +423,18 @@ object Functions {
         if (items.isEmpty) VNone
         else VFloat(items.groupBy(identity).toSeq.maxBy(g => (g._2.length, g._1))._1)
       case "math::stddev" =>
+        // len 0 → NaN, len 1 → 0 (fnc/util/math/mod.rs variance)
         val ns = nums(0)
-        if (ns.length < 2) VNone
+        if (ns.isEmpty) VFloat(Double.NaN)
+        else if (ns.length == 1) VFloat(0.0)
         else {
           val m = ns.sum / ns.length
           VFloat(Math.sqrt(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)))
         }
       case "math::variance" =>
         val ns = nums(0)
-        if (ns.length < 2) VNone
+        if (ns.isEmpty) VFloat(Double.NaN)
+        else if (ns.length == 1) VFloat(0.0)
         else { val m = ns.sum / ns.length; VFloat(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)) }
       case "math::spread" =>
         val ns = nums(0)
@@ -496,7 +499,10 @@ object Functions {
         VArr(str(0).split(java.util.regex.Pattern.quote(str(1)), -1).toVector.map(VStr(_)))
       case "string::trim" => VStr(str(0).trim)
       case "string::words" => VArr(str(0).split("\\s+").filter(_.nonEmpty).toVector.map(VStr(_)))
-      case "string::matches" => VBool(VRegex(str(1)).compiled.matcher(str(0)).find())
+      case "string::matches" => arg(1) match {
+        case r: VRegex => VBool(r.compiled.matcher(str(0)).find())
+        case _         => VBool(VRegex(str(1)).compiled.matcher(str(0)).find())
+      }
       case "string::slug" =>
         VStr(str(0).toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", ""))
       case "string::distance::levenshtein" => VInt(levenshtein(str(0), str(1)))

@@ -536,7 +536,8 @@ final class Interp {
     case u: UseStmt =>
       u.ns.foreach(curNs = _)
       u.db.foreach(curDb = _)
-      VNone
+      // USE reports the resulting session target (statements/use)
+      VObj(TreeMap("database" -> VStr(curDb), "namespace" -> VStr(curNs)))
     case BeginStmt | CommitStmt | CancelStmt | _: OptionStmt => VNone
   }
 
@@ -605,6 +606,74 @@ final class Interp {
     }
   }
 
+  /** Subtype-kind agreement: defining `parent.*`/`parent.x`/`parent[i]`
+    * with an explicit TYPE must match the child kind the parent's TYPE
+    * implies (define/field.rs mismatch check). Comparison is exact up to
+    * option-unwrapping and either-flattening; `any` on either side passes. */
+  private def checkSubtypeMismatch(f: DefineFieldStmt): Unit = {
+    import Kind._
+    val declared = f.kind.getOrElse(return)
+    // split "a.b[0].*" → parent "a.b[0]" + last segment
+    val name = f.field
+    val (parent, seg) = {
+      val di = name.lastIndexOf('.')
+      val bi = name.lastIndexOf('[')
+      if (di < 0 && bi < 0) return
+      if (bi > di) (name.substring(0, bi), name.substring(bi)) // "[i]"
+      else (name.substring(0, di), name.substring(di + 1))     // "*" or field
+    }
+    val parentDef = fieldPipeline.getOrElse(f.table, Vector.empty)
+      .find(_.field == parent).getOrElse(return)
+    val parentKind = parentDef.kind.getOrElse(return)
+    def flat(k: Kind): Vector[Kind] = k match {
+      case KEither(ks) => ks.toVector.flatMap(flat)
+      case KOption(i)  => flat(i)
+      case other       => Vector(other)
+    }
+    val mismatch = new Exception with scala.util.control.NoStackTrace
+    // child kinds implied by one parent member; None = unconstrained
+    def childOf(m: Kind): Option[Vector[Kind]] = (m, seg) match {
+      case (KAny, _) => scala.None
+      case (KArray(inner, _), "*") => Some(Vector(inner.getOrElse(KAny)))
+      case (KSet(inner, _), "*")   => Some(Vector(inner.getOrElse(KAny)))
+      case (KArray(inner, max), s) if s.startsWith("[") =>
+        val i = s.stripPrefix("[").stripSuffix("]").toLong
+        if (max.exists(i >= _)) throw mismatch else Some(Vector(inner.getOrElse(KAny)))
+      case (KSet(inner, max), s) if s.startsWith("[") =>
+        val i = s.stripPrefix("[").stripSuffix("]").toLong
+        if (max.exists(i >= _)) throw mismatch else Some(Vector(inner.getOrElse(KAny)))
+      case (KLiteralArr(items), "*") => Some(items.toVector)
+      case (KLiteralArr(items), s) if s.startsWith("[") =>
+        val i = s.stripPrefix("[").stripSuffix("]").toInt
+        if (i < items.length) Some(Vector(items(i))) else throw mismatch
+      case (KLiteralObj(fields), "*") => Some(fields.map(_._2).toVector)
+      case (KLiteralObj(fields), fn) if !fn.startsWith("[") =>
+        fields.find(_._1 == fn) match {
+          case Some((_, k)) => Some(Vector(k))
+          case scala.None   => throw mismatch
+        }
+      case (KObject, s) if !s.startsWith("[") => scala.None
+      case _ => throw mismatch
+    }
+    val err = {
+      val declRaw = f.meta.flatMap(_.kindRaw).getOrElse("")
+      val parRaw = parentDef.meta.flatMap(_.kindRaw).getOrElse("")
+      SqlError(s"Cannot set field `$name` with type `$declRaw` as it mismatched " +
+        s"with field `$parent` with type `$parRaw`")
+    }
+    try {
+      val members = flat(parentKind)
+      val constrained = members.flatMap(childOf)
+      if (constrained.nonEmpty) {
+        val expected = constrained.flatten.flatMap(flat).distinct
+        val decl = flat(declared).distinct
+        val ok = decl.contains(KAny) || expected.contains(KAny) ||
+          (expected.toSet == decl.toSet)
+        if (!ok) throw mismatch
+      }
+    } catch { case `mismatch` => throw err }
+  }
+
   private def execDefineField(f: DefineFieldStmt): Unit = {
     val key = (f.table, f.field)
     if (f.computed.isDefined) {
@@ -634,9 +703,46 @@ final class Interp {
     }
     if (f.flexible && !tableDefs.get(f.table).exists(_.full))
       throw SqlError("An error occurred: FLEXIBLE can only be used in SCHEMAFULL tables")
+    checkSubtypeMismatch(f)
+    // `id` TYPE must be a valid record-id key kind at top level (nested
+    // kinds are unrestricted) — define/field.rs id-kind validation
+    if (f.field == "id") f.kind.foreach { k =>
+      import Kind._
+      def bad(k: Kind): Option[String] = k match {
+        case KEither(ks) => ks.flatMap(bad).headOption
+        case KRange => Some("range")
+        case KFunction => Some("function")
+        case KFile => Some("file")
+        case _: KGeometry => Some("geometry")
+        case KNone => Some("none")
+        case KNull => Some("null")
+        case KBool => Some("bool")
+        case KBytes => Some("bytes")
+        case KDatetime => Some("datetime")
+        case KDecimal => Some("decimal")
+        case KDuration => Some("duration")
+        case KFloat => Some("float")
+        case KRegex => Some("regex")
+        case _: KRecord => Some("record")
+        case KOption(i) => Some("option")
+        case _ => scala.None
+      }
+      bad(k).foreach(n => throw SqlError(
+        s"Cannot use the `$n` type on the `id` field, as that's not a valid record id key."))
+    }
     if (ddlGate(fieldDefs2.contains(key) && !autoFields.contains(key), f.mode,
         s"The field '${f.field}' already exists")) {
       autoFields.remove(key)
+      // an explicit in/out record<> field on a RELATION table re-types the
+      // relation itself (catalog/schema keeps them in sync)
+      if (f.field == "in" || f.field == "out") f.kind.foreach {
+        case Kind.KRecord(tables) if tables.nonEmpty =>
+          tableDefs.get(f.table).filter(_.ttype == "RELATION").foreach { d =>
+            tableDefs(f.table) =
+              if (f.field == "in") d.copy(relIn = tables) else d.copy(relOut = tables)
+          }
+        case _ => ()
+      }
       val next = fieldPipeline.getOrElse(f.table, Vector.empty).filterNot(_.field == f.field) :+ f
       checkComputedCycles(next)
       fieldPipeline(f.table) = next
@@ -1497,7 +1603,13 @@ final class Interp {
         "fields" -> strMap(fieldDefs2.collect { case ((t, n), d) if t == tb => n -> d.render }.toSeq.sortBy(_._1)),
         "indexes" -> strMap(indexDefs.collect { case ((t, n), d) if t == tb => n -> d.render }),
         "lives" -> emptyObj,
-        "tables" -> emptyObj))
+        // views (foreign tables) that read this table (doc/table.rs)
+        "tables" -> strMap(tableDefs.collect {
+          case (n, d) if d.viewStmt.exists(_.what.exists {
+            case Idiom(Seq(PField(t))) => t == tb
+            case _ => false
+          }) => n -> d.render
+        })))
     case "USER" =>
       rootUsers.get(s.target).orElse(nsUsers.get(s.target)).orElse(dbUsers.get(s.target)) match {
         case Some(u) => VStr(u.render)
@@ -1596,6 +1708,28 @@ final class Interp {
         case Nil =>
           var v = cur
           val input = cur
+          // the id field's TYPE constrains the record KEY, not the rid value
+          if (fd.field == "id") {
+            ((fd.kind, cur): @unchecked) match {
+              case (Some(k), r: VRid) =>
+                try Coerce.coerce(k, r.key)
+                catch {
+                  case e: SqlError =>
+                    throw SqlError(s"Couldn't coerce value for field `id` of `${Render.sql(rid)}`: ${e.msg}")
+                }
+              case _ => ()
+            }
+            return v
+          }
+          // a provided (non-NONE) input coerces against TYPE before the
+          // VALUE clause computes (doc/field.rs order)
+          if (v != VNone && fd.value.isDefined) fd.kind.foreach { k =>
+            try Coerce.coerce(k, v)
+            catch {
+              case e: SqlError =>
+                throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
+            }
+          }
           if ((v == VNone || v == VNull) && fd.default.isDefined && (isCreate || fd.defaultAlways))
             v = Eval.eval(fd.default.get, env.copy(doc = Some(VObj(fields))))
           fd.value.foreach { ve =>
@@ -1971,8 +2105,9 @@ final class Interp {
 
     // GROUP
     val grouped: Vector[(V, Option[Seq[V]])] = s.groupBy match {
-      case Some(Nil) => // GROUP ALL
-        Vector((projectGroup(rows, s, Nil, envS), Some(Nil)))
+      case Some(Nil) => // GROUP ALL — zero source rows yield zero groups
+        if (rows.isEmpty) Vector.empty
+        else Vector((projectGroup(rows, s, Nil, envS), Some(Nil)))
       case Some(keys0) =>
         // GROUP BY may reference SELECT aliases (GROUP BY country, year where
         // year = time::year(time) AS year) — resolve aliases to their exprs
@@ -2383,12 +2518,26 @@ final class Interp {
   private var eventDepth = 0
   def fireEvents(tb: String, before: Option[VObj], after: Option[VObj], env: Env,
       input: Option[VObj] = scala.None): Unit = {
-    after.orElse(before).flatMap(_.fields.get("id")) match {
+    val ridKey = after.orElse(before).flatMap(_.fields.get("id")) match {
       case Some(VRid(_, k)) =>
         history += ((java.time.Instant.now(), tb, k, after)); writeGen += 1
-      case _ => ()
+        Some(k)
+      case _ => scala.None
     }
-    maintainViews(tb)
+    try maintainViews(tb)
+    catch {
+      case e: SqlError =>
+        // view maintenance failure rolls the triggering write back
+        // (doc/table.rs applies deltas transactionally with the write)
+        ridKey.foreach { k =>
+          before match {
+            case Some(b)    => table(tb)(k) = b
+            case scala.None => table(tb).remove(k)
+          }
+          history += ((java.time.Instant.now(), tb, k, before)); writeGen += 1
+        }
+        throw e
+    }
     val evs = eventDefs.collect { case ((t, _), d) if t == tb => d }
     if (evs.isEmpty) return
     if (eventDepth > 20)
@@ -2423,15 +2572,38 @@ final class Interp {
     } finally eventDepth -= 1
   }
 
-  /** Recompute views that read `tb` so view-maintenance errors surface at
-    * write time (doc/table.rs applies view deltas per write). */
+  /** Last materialized row-set per view, keyed by record id — diffed after
+    * every source write to fire view-table events (doc/table.rs applies
+    * view deltas per write and triggers events on the view). */
+  private val viewLast = mutable.HashMap[String, Map[V, VObj]]()
+
+  /** Recompute views that read `tb`: surface maintenance errors at write
+    * time and fire CREATE/UPDATE/DELETE events on the view for changed
+    * groups (doc/table.rs). */
   private def maintainViews(tb: String): Unit =
     tableDefs.values.toSeq.foreach { d =>
       val readsTb = d.viewStmt.exists(_.what.exists {
         case Idiom(Seq(PField(n))) => n == tb
         case _ => false
       })
-      if (readsTb) { tableRows(d.name); () }
+      if (readsTb) {
+        val rows = tableRows(d.name)
+        val cur: Map[V, VObj] = rows.flatMap(r => r.fields.get("id").map(_ -> r)).toMap
+        val prev = viewLast.getOrElse(d.name, Map.empty[V, VObj])
+        viewLast(d.name) = cur
+        if (eventDefs.keys.exists(_._1 == d.name)) {
+          val env = Env(params = globals, interp = Some(this))
+          def stripId(o: VObj): VObj = VObj(o.fields - "id")
+          (prev.keySet ++ cur.keySet).toSeq.sortBy(_.toString).foreach { k =>
+            (prev.get(k), cur.get(k)) match {
+              case (scala.None, Some(n)) => fireEvents(d.name, scala.None, Some(stripId(n)), env)
+              case (Some(o), Some(n)) if o != n => fireEvents(d.name, Some(stripId(o)), Some(stripId(n)), env)
+              case (Some(o), scala.None) => fireEvents(d.name, Some(stripId(o)), scala.None, env)
+              case _ => ()
+            }
+          }
+        }
+      }
     }
 
   def execCreate(s: CreateStmt, env: Env): V = {
@@ -2463,7 +2635,13 @@ final class Interp {
       if (tableDefs.get(tb).exists(_.ttype == "RELATION") &&
           !(withData.fields.get("in").exists(_.isInstanceOf[VRid]) &&
             withData.fields.get("out").exists(_.isInstanceOf[VRid])))
-        throw SqlError(s"Found record: `${Render.sql(rid)}` which is not a relation, but expected a RELATION")
+        throw SqlError({
+          val spec = tableDefs.get(tb).map { d =>
+            (if (d.relIn.nonEmpty) " IN " + d.relIn.mkString(" | ") else "") +
+              (if (d.relOut.nonEmpty) " OUT " + d.relOut.mkString(" | ") else "")
+          }.getOrElse("")
+          s"Found record: `${Render.sql(rid)}` which is not a relation, but expected a RELATION$spec"
+        })
       val doc0 = VObj(withData.fields.updated("id", rid))
       val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
       checkUniqueIndexes(tb, rid, doc)
@@ -2687,7 +2865,11 @@ final class Interp {
   def execRelate(s: RelateStmt, env: Env): V = {
     def rids(e: Expr): Seq[VRid] = Eval.eval(e, env) match {
       case r: VRid => Seq(r)
-      case VArr(items) => items.collect { case r: VRid => r }
+      case VArr(items) => items.collect {
+        case r: VRid => r
+        case VObj(fs) if fs.get("id").exists(_.isInstanceOf[VRid]) =>
+          fs("id").asInstanceOf[VRid]
+      }
       case VObj(fs) => fs.get("id").collect { case r: VRid => r }.toSeq
       case other => throw SqlError(s"Can not RELATE ${other.render}")
     }
@@ -2711,6 +2893,15 @@ final class Interp {
         case _ => nextId()
       }
       val rid = VRid(edgeTable, key)
+      // typed relations coerce in/out to their IN/OUT record kinds
+      tableDefs.get(edgeTable).filter(_.ttype == "RELATION").foreach { d =>
+        if (d.relIn.nonEmpty && !d.relIn.contains(from.table))
+          throw SqlError(s"Couldn't coerce value for field `in` of `${Render.sql(rid)}`: " +
+            s"Expected `record<${d.relIn.mkString("|")}>` but found `${Render.sql(from)}`")
+        if (d.relOut.nonEmpty && !d.relOut.contains(to.table))
+          throw SqlError(s"Couldn't coerce value for field `out` of `${Render.sql(rid)}`: " +
+            s"Expected `record<${d.relOut.mkString("|")}>` but found `${Render.sql(to)}`")
+      }
       val base = VObj(TreeMap(
         "id" -> (rid: V), "in" -> from, "out" -> to))
       val doc0 = applyData(base, s.data, env)

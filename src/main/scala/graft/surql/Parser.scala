@@ -703,12 +703,19 @@ final class Parser(val src: String) {
   private def defineTableStmt(mode: String): Statement = {
     val name = defName()
     var d = Defs.TableDef(name)
+    var typeSet = false
     var go = true
     while (go) {
       if (kw("DROP")) d = d.copy(drop = true)
       else if (kw("SCHEMALESS")) d = d.copy(full = false)
-      else if (kw("SCHEMAFULL") || kw("SCHEMAFUL")) d = d.copy(full = true)
+      else if (kw("SCHEMAFULL") || kw("SCHEMAFUL")) {
+        // SCHEMAFULL without an explicit TYPE implies TYPE NORMAL
+        // (syn/parser/stmt/define.rs t!("SCHEMAFULL"))
+        d = d.copy(full = true)
+        if (!typeSet) d = d.copy(ttype = "NORMAL")
+      }
       else if (kw("TYPE")) {
+        typeSet = true
         if (kw("ANY")) d = d.copy(ttype = "ANY")
         else if (kw("NORMAL")) d = d.copy(ttype = "NORMAL")
         else if (kw("RELATION")) {
