@@ -236,7 +236,7 @@ final case class DefineFieldStmt(field: String, table: String, kind: Option[Kind
     computed: Option[Expr] = scala.None) extends Statement
 final case class DefineIndexStmt(name: String, table: String, fields: Seq[String],
     unique: Boolean, meta: Option[graft.surql.Defs.IndexDef] = scala.None,
-    mode: String = "") extends Statement
+    mode: String = "", concurrently: Boolean = false) extends Statement
 final case class InfoStmt(level: String, target: String = "",
     structure: Boolean = false,
     version: Option[Expr] = scala.None) extends Statement

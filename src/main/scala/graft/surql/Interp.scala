@@ -857,6 +857,65 @@ final class Interp {
     seen.toVector.flatMap(byName.get)
   }
 
+  /** Whether an index field path resolves against the table's schema —
+    * SCHEMAFULL DEFINE INDEX requires it (define/index.rs field check).
+    * `object`/`any` kinds are open; literal object/array kinds must contain
+    * the segment; array kinds accept `*`/`[i]` into their element kind. */
+  private def indexFieldResolvable(tb: String, path: String): Boolean = {
+    import Kind._
+    // tokenize a.b[0].* → ["a", "b", "[0]", "*"]
+    val segs = mutable.ArrayBuffer[String]()
+    var cur = new StringBuilder
+    var i = 0
+    while (i < path.length) {
+      path.charAt(i) match {
+        case '.' => if (cur.nonEmpty) { segs += cur.toString; cur = new StringBuilder }
+        case '[' =>
+          if (cur.nonEmpty) { segs += cur.toString; cur = new StringBuilder }
+          val j = path.indexOf(']', i)
+          segs += path.substring(i, j + 1); i = j
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) segs += cur.toString
+    def joined(n: Int): String = {
+      val sb = new StringBuilder(segs.head)
+      segs.slice(1, n).foreach { s =>
+        if (s.startsWith("[")) sb.append(s) else sb.append('.').append(s)
+      }
+      sb.toString
+    }
+    def walk(k: Kind, rest: List[String]): Boolean = rest match {
+      case Nil => true
+      case seg :: more => k match {
+        case KAny | KObject => true
+        case KOption(inner) => walk(inner, rest)
+        case KEither(ks) => ks.exists(walk(_, rest))
+        case KLiteralObj(fs) if seg == "*" => fs.exists(f => walk(f._2, more))
+        case KLiteralObj(fs) if !seg.startsWith("[") => fs.find(_._1 == seg).exists(f => walk(f._2, more))
+        case KArray(inner, _) if seg == "*" || seg.startsWith("[") => walk(inner.getOrElse(KAny), more)
+        case KSet(inner, _) if seg == "*" || seg.startsWith("[") => walk(inner.getOrElse(KAny), more)
+        case KLiteralArr(items) if seg == "*" => items.exists(walk(_, more))
+        case KLiteralArr(items) if seg.startsWith("[") =>
+          val ix = seg.stripPrefix("[").stripSuffix("]").toIntOption.getOrElse(-1)
+          items.lift(ix).exists(walk(_, more))
+        case _ => false
+      }
+    }
+    val pipe = fieldPipeline.getOrElse(tb, Vector.empty)
+    if (segs.headOption.exists(Set("id", "in", "out"))) return true
+    (segs.length to 1 by -1).exists { n =>
+      val prefix = joined(n)
+      pipe.find(_.field == prefix) match {
+        case Some(fd) =>
+          if (n == segs.length) true
+          else walk(fd.kind.getOrElse(KAny), segs.drop(n).toList)
+        case scala.None => false
+      }
+    }
+  }
+
   private def execDefineIndex(ix: DefineIndexStmt): Unit = {
     val key = (ix.table, ix.name)
     // computed fields cannot be indexed (either definition order)
@@ -865,7 +924,33 @@ final class Interp {
         throw SqlError(s"Computed fields cannot be indexed. Index: '${ix.name}' - Field: '${cf.field}'")
     }
     if (ddlGate(indexDefs.contains(key), ix.mode, s"The index '${ix.name}' already exists")) {
-      if (ix.unique)
+      // SCHEMAFULL tables require every indexed path to resolve in the schema
+      if (tableDefs.get(ix.table).exists(_.full)) ix.fields.foreach { fpath =>
+        if (!indexFieldResolvable(ix.table, fpath))
+          throw SqlError(s"The field '$fpath' does not exist")
+      }
+      if (ix.unique && !ix.concurrently) {
+        // index build scans existing rows: a pre-existing duplicate fails
+        // the build and leaves the index unregistered (idx building)
+        val seen = mutable.HashMap[Vector[V], VRid]()
+        tables.getOrElse(ix.table, mutable.LinkedHashMap.empty).foreach { case (k, doc) =>
+          val vals = ix.fields.map(f => docFieldPath(doc, f)).toVector
+          if (vals.exists(v => v != VNone && v != VNull)) {
+            val rid = doc.fields.get("id") match {
+              case Some(r: VRid) => r; case _ => VRid(ix.table, k)
+            }
+            seen.get(vals) match {
+              case Some(holder) =>
+                val shown = if (vals.length == 1) vals.head.render else VArr(vals).render
+                throw SqlError(s"Database index `${ix.name}` already contains $shown, with record `${Render.sql(holder)}`")
+              case scala.None => seen(vals) = rid
+            }
+          }
+        }
+        uniqueIndexes(ix.table) =
+          uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
+      }
+      if (ix.unique && ix.concurrently)
         uniqueIndexes(ix.table) =
           uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
       ix.meta.foreach(indexDefs(key) = _)
@@ -1951,7 +2036,9 @@ final class Interp {
     * source record's key. */
   private def viewRows(name: String, sel: SelectStmt): Vector[VObj] = {
     val env = Env(params = globals, interp = Some(this))
-    val rows = selectWithGroupKeys(sel, env)
+    val saved = suppressEmptyGroupAll
+    suppressEmptyGroupAll = true
+    val rows = try selectWithGroupKeys(sel, env) finally suppressEmptyGroupAll = saved
     rows.zipWithIndex.flatMap { case ((row, keyOpt), i) =>
       val key: V = keyOpt match {
         case Some(ks) => VArr(ks.toVector)
@@ -2030,6 +2117,10 @@ final class Interp {
     * values when grouped (views derive record ids from them). VERSION sets
     * a snapshot scope inherited by subqueries; TIMEOUT runs the pipeline
     * under a watchdog (timeout.rs:25). */
+  /** When true, GROUP ALL over zero rows yields zero groups (view
+    * materialization, doc/table.rs); plain selects emit the zero-count row. */
+  private var suppressEmptyGroupAll = false
+
   def selectWithGroupKeys(s: SelectStmt, env: Env): Vector[(V, Option[Seq[V]])] = {
     s.timeout match {
       case Some(te) =>
@@ -2105,8 +2196,8 @@ final class Interp {
 
     // GROUP
     val grouped: Vector[(V, Option[Seq[V]])] = s.groupBy match {
-      case Some(Nil) => // GROUP ALL — zero source rows yield zero groups
-        if (rows.isEmpty) Vector.empty
+      case Some(Nil) => // GROUP ALL (views drop the empty group, selects keep it)
+        if (rows.isEmpty && suppressEmptyGroupAll) Vector.empty
         else Vector((projectGroup(rows, s, Nil, envS), Some(Nil)))
       case Some(keys0) =>
         // GROUP BY may reference SELECT aliases (GROUP BY country, year where

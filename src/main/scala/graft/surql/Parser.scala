@@ -662,9 +662,12 @@ final class Parser(val src: String) {
       // canonical render: BM25 with no explicit params shows the reference's
       // defaults (k1=1.2, b=0.75 — catalog render of SearchParams)
       tail = tail.replaceAll("(?i)\\bBM25\\b(?!\\s*\\()", "BM25(1.2,0.75)")
+      val concurrently = tail.toUpperCase.contains("CONCURRENTLY")
+      if (concurrently)
+        tail = tail.replaceAll("(?i)\\s*\\bCONCURRENTLY\\b\\s*", " ").trim
       val unique = tail.toUpperCase.startsWith("UNIQUE")
       val meta = Defs.IndexDef(idxName, tbl, fields.toSeq, tail)
-      return DefineIndexStmt(idxName, tbl, fields.toSeq, unique, Some(meta), mode)
+      return DefineIndexStmt(idxName, tbl, fields.toSeq, unique, Some(meta), mode, concurrently)
     }
     if (what == "PARAM") {
       expectKw("VALUE")
