@@ -216,7 +216,9 @@ object Functions {
     "time::hour" -> (1, 1), "time::minute" -> (1, 1), "time::second" -> (1, 1),
     "time::unix" -> (1, 1), "time::floor" -> (2, 2), "time::ceil" -> (2, 2),
     "time::round" -> (2, 2), "time::group" -> (2, 2), "time::format" -> (2, 2),
-    "type::of" -> (1, 1), "type::string" -> (1, 1), "type::int" -> (1, 1),
+    "type::of" -> (1, 1), "type::type_of" -> (1, 1),
+    "rand::id" -> (0, 2), "sequence::nextval" -> (1, 1),
+    "type::string" -> (1, 1), "type::int" -> (1, 1),
     "type::float" -> (1, 1), "type::decimal" -> (1, 1), "type::number" -> (1, 1),
     "type::bool" -> (1, 1), "type::bytes" -> (1, 1),
     "record::id" -> (1, 1), "record::tb" -> (1, 1), "record::table" -> (1, 1),
@@ -241,7 +243,12 @@ object Functions {
       }
     }
 
-  def apply(name: String, a: Seq[V], env: Env): V = {
+  def apply(name0: String, a: Seq[V], env: Env): V = {
+    // flat aliases: string::is_alphanum → string::is::alphanum, type::type_of
+    // (fnc/mod.rs flat-name table)
+    val name =
+      if (name0.startsWith("string::is_")) "string::is::" + name0.stripPrefix("string::is_")
+      else name0
     checkArity(name, a.length)
     def arg(i: Int): V = if (i < a.length) a(i) else VNone
     def typeErr(i: Int, expected: String, found: V): Nothing =
@@ -480,8 +487,15 @@ object Functions {
       case "string::lowercase" => VStr(str(0).toLowerCase)
       case "string::uppercase" => VStr(str(0).toUpperCase)
       case "string::capitalize" =>
+        // title-case: uppercase any lowercase char after whitespace (string.rs capitalize)
         val s = str(0)
-        VStr(if (s.isEmpty) s else s.substring(0, 1).toUpperCase + s.substring(1))
+        val sb = new StringBuilder
+        var prevWs = true
+        s.foreach { c =>
+          sb.append(if (prevWs && c.isLower) c.toUpper else c)
+          prevWs = c.isWhitespace
+        }
+        VStr(sb.toString)
       case "string::repeat" => VStr(str(0) * int(1).toInt)
       case "string::replace" => VStr(str(0).replace(str(1), str(2)))
       case "string::reverse" => VStr(str(0).reverse)
@@ -517,11 +531,37 @@ object Functions {
         VFloat(j + prefix * 0.1 * (1 - j))
       case "string::similarity::fuzzy" | "string::similarity::smithwaterman" =>
         VInt(fuzzyScore(str(0), str(1)))
-      case "string::is::alphanum" => VBool(str(0).forall(_.isLetterOrDigit))
-      case "string::is::alpha" => VBool(str(0).forall(_.isLetter))
-      case "string::is::ascii" => VBool(str(0).forall(_ < 128))
+      case "string::is::alphanum" => VBool(str(0).nonEmpty && str(0).forall(_.isLetterOrDigit))
+      case "type::type_of" => VStr(arg(0).typeName)
+      case "string::is::alpha" => VBool(str(0).nonEmpty && str(0).forall(_.isLetter))
+      case "string::is::ascii" => VBool(str(0).nonEmpty && str(0).forall(_ < 128))
+      case "string::is::hexadecimal" =>
+        VBool(str(0).nonEmpty && str(0).forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
+      case "string::is::ipv4" =>
+        VBool(str(0).matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") &&
+          str(0).split('.').forall(p => p.toInt <= 255))
+      case "string::is::ipv6" => VBool(isIpv6(str(0)))
+      case "string::is::domain" => VBool(isDomain(str(0)))
+      case "string::is::latitude" =>
+        VBool(try { val d = str(0).toDouble; d >= -90.0 && d <= 90.0 && str(0).matches("^[-+]?\\d{1,2}(\\.\\d+)?$") } catch { case _: Exception => false })
+      case "string::is::longitude" =>
+        VBool(try { val d = str(0).toDouble; d >= -180.0 && d <= 180.0 && str(0).matches("^[-+]?\\d{1,3}(\\.\\d+)?$") } catch { case _: Exception => false })
       case "string::is::numeric" => VBool(str(0).nonEmpty && str(0).forall(_.isDigit))
-      case "string::is::email" => VBool(str(0).matches("^[\\w.+-]+@[\\w-]+(\\.[\\w-]+)+$"))
+      case "string::is::email" =>
+        val e = str(0)
+        val at = e.lastIndexOf('@')
+        val ok = at > 0 && at < e.length - 1 && {
+          val (local, host) = (e.substring(0, at), e.substring(at + 1))
+          val localOk = !local.contains("..") && !local.startsWith(".") && !local.endsWith(".") &&
+            local.forall(c => c.isLetterOrDigit || "!#$%&'*+-/=?^_`{|}~.".contains(c))
+          val hostOk =
+            if (host.startsWith("[") && host.endsWith("]")) {
+              val inner = host.substring(1, host.length - 1)
+              isIpv6(inner.stripPrefix("IPv6:")) || inner.matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
+            } else host.matches("^[\\w-]+(\\.[\\w-]+)*$")
+          localOk && hostOk
+        }
+        VBool(ok)
       case "string::is::url" => VBool(str(0).matches("^(https?|ftp)://\\S+$"))
       case "string::is::uuid" =>
         VBool(try { java.util.UUID.fromString(str(0)); true } catch { case _: Exception => false })
@@ -530,7 +570,9 @@ object Functions {
           case VStr(_) => VBool(true) // format-based check: lenient
           case _ => VBool(try { new Parser("").parseDatetime(str(0)); true } catch { case _: Exception => false })
         }
-      case "string::is::ip" => VBool(str(0).matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") || str(0).contains(':'))
+      case "string::is::ip" =>
+        VBool((str(0).matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") &&
+          str(0).split('.').forall(p => p.toInt <= 255)) || isIpv6(str(0)))
       case "string::is::int" => VBool(try { str(0).toLong; true } catch { case _: Exception => false })
       case "string::is::decimal" | "string::is::number" =>
         VBool(try { BigDecimal(str(0)); true } catch { case _: Exception => false })
@@ -538,8 +580,22 @@ object Functions {
       case "string::is::record" =>
         VBool(try { Parser.parseValue(str(0)).isInstanceOf[VRid] } catch { case _: Exception => false })
       case "string::html::encode" =>
-        VStr(str(0).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-          .replace("\"", "&quot;").replace("'", "&#39;"))
+        // ammonia::clean_text escape set
+        VStr(str(0).flatMap {
+          case '&' => "&amp;"
+          case '<' => "&lt;"
+          case '>' => "&gt;"
+          case '"' => "&quot;"
+          case '\'' => "&#39;"
+          case '`' => "&#96;"
+          case '/' => "&#47;"
+          case '=' => "&#61;"
+          case ' ' => "&#32;"
+          case '\t' => "&#9;"
+          case '\n' => "&#10;"
+          case '\r' => "&#13;"
+          case c => c.toString
+        })
       case "string::html::sanitize" => VStr(str(0).replaceAll("<[^>]*>", ""))
       case "string::semver::major" => VInt(str(0).split("[.+-]")(0).toLong)
       case "string::semver::minor" => VInt(str(0).split("[.+-]")(1).toLong)
@@ -1088,6 +1144,23 @@ object Functions {
           VDur((pick / 1000000000L).toLong, (pick % 1000000000L).toInt)
         } else throw SqlError("Incorrect arguments for function rand::duration(). Expected 0 or 2 arguments")
       case "rand" => VFloat(scala.util.Random.nextDouble())
+      case "rand::id" =>
+        val cs = "abcdefghijklmnopqrstuvwxyz0123456789"
+        val len = a.length match {
+          case 0 => 20
+          case 1 => int(0).toInt
+          case _ =>
+            val lo = int(0).toInt; val hi = int(1).toInt
+            lo + scala.util.Random.nextInt(math.max(1, hi - lo + 1))
+        }
+        VStr(Vector.fill(len)(cs(scala.util.Random.nextInt(cs.length))).mkString)
+      case "sequence::nextval" =>
+        val in = env.interp.getOrElse(throw SqlError("The sequence does not exist"))
+        val nm = str(0)
+        val d = in.sequences.getOrElse(nm, throw SqlError(s"The sequence '$nm' does not exist"))
+        val cur = in.sequenceState.getOrElse(nm, d.start)
+        in.sequenceState(nm) = cur + 1
+        VInt(cur)
       case "rand::bool" => VBool(scala.util.Random.nextBoolean())
       case "rand::float" =>
         if (a.length >= 2) VFloat(dbl(0) + scala.util.Random.nextDouble() * (dbl(1) - dbl(0)))
@@ -1422,6 +1495,37 @@ object Functions {
     val secs = n / perSec
     val rem = (n % perSec).toLong
     VDur(secs.toLong, (rem * (1000000000L / perSec)).toInt)
+  }
+
+  /** RFC-ish IPv6 textual check (supports ::-compression). */
+  private def isIpv6(s: String): Boolean = {
+    if (s.isEmpty || s.count(_ == ':') < 2) return false
+    val dbl = s.indexOf("::")
+    if (dbl >= 0 && s.indexOf("::", dbl + 1) >= 0) return false
+    def groupsOf(part: String): Option[Int] = {
+      if (part.isEmpty) return Some(0)
+      val gs = part.split(":", -1)
+      if (gs.exists(g => g.isEmpty || g.length > 4 || !g.forall(c => c.isDigit || ('a' to 'f').contains(c.toLower))))
+        scala.None
+      else Some(gs.length)
+    }
+    if (dbl >= 0) {
+      (groupsOf(s.substring(0, dbl)), groupsOf(s.substring(dbl + 2))) match {
+        case (Some(a), Some(b)) => a + b <= 7
+        case _ => false
+      }
+    } else groupsOf(s).contains(8)
+  }
+
+  /** Unicode-friendly domain check: dot-separated labels, each nonempty,
+    * not starting/ending with '-' (addr::parse_domain_name semantics). */
+  private def isDomain(s: String): Boolean = {
+    if (s.isEmpty || s.length > 253) return false
+    val labels = s.split('.')
+    labels.nonEmpty && labels.forall { l =>
+      l.nonEmpty && l.length <= 63 && !l.startsWith("-") && !l.endsWith("-") &&
+        l.forall(c => c.isLetterOrDigit || c == '-' || c > 127)
+    }
   }
 
   /** Numbers-only array for math::top/bottom. */

@@ -79,6 +79,8 @@ final class Interp {
   val indexDefs = mutable.LinkedHashMap[(String, String), Defs.IndexDef]()
   val eventDefs = mutable.LinkedHashMap[(String, String), Defs.EventDef]()
   val sequences = mutable.LinkedHashMap[String, Defs.SequenceDef]()
+  /** Next value per sequence (sequence::nextval). */
+  val sequenceState = mutable.LinkedHashMap[String, Long]()
   val accesses = mutable.LinkedHashMap[(String, String), Defs.AccessDef]()
   /** Issued access grants (bearer/record): (level, access) → grant objects
     * in issue order (expr/statements/access.rs GrantStatement). */

@@ -2335,7 +2335,7 @@ final class Parser(val src: String) {
             pos += 1
             val args = ArrayBuffer[Expr]()
             ws()
-            if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+            if (peekc != ')') { var g = true; while (g) { ws(); if (peekc == ')') g = false else { args += expr(); g = sym(",") } } }
             expectSym(")")
             parts += PMethod(name, args.toSeq)
           } else parts += PField(name)
@@ -2355,7 +2355,7 @@ final class Parser(val src: String) {
         sym("(")
         val args = ArrayBuffer[Expr]()
         ws()
-        if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+        if (peekc != ')') { var g = true; while (g) { ws(); if (peekc == ')') g = false else { args += expr(); g = sym(",") } } }
         expectSym(")")
         parts += PMethod("__call__", args.toSeq)
       }
@@ -2453,7 +2453,7 @@ final class Parser(val src: String) {
             pos += 1
             val args = ArrayBuffer[Expr]()
             ws()
-            if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+            if (peekc != ')') { var g = true; while (g) { ws(); if (peekc == ')') g = false else { args += expr(); g = sym(",") } } }
             expectSym(")")
             parts += PMethod(name, args.toSeq)
           } else parts += PField(name)
@@ -2941,7 +2941,7 @@ final class Parser(val src: String) {
         pos += 1
         val args = ArrayBuffer[Expr]()
         ws()
-        if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+        if (peekc != ')') { var g = true; while (g) { ws(); if (peekc == ')') g = false else { args += expr(); g = sym(",") } } }
         expectSym(")")
         return FnCall(path.toString.toLowerCase, args.toSeq)
       }
@@ -2952,7 +2952,7 @@ final class Parser(val src: String) {
       pos += 1
       val args = ArrayBuffer[Expr]()
       ws()
-      if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+      if (peekc != ')') { var g = true; while (g) { ws(); if (peekc == ')') g = false else { args += expr(); g = sym(",") } } }
       expectSym(")")
       return FnCall(lower, args.toSeq)
     }

@@ -55,8 +55,10 @@ sealed abstract class V {
     case _: VUuid    => "uuid"
     case _: VArr     => "array"
     case _: VSet     => "set"
+    case o: VObj if V.geomSubtype(o).isDefined =>
+      "geometry<" + V.geomSubtype(o).get + ">"
     case _: VObj     => "object"
-    case _: VGeom    => "geometry"
+    case g: VGeom    => "geometry<" + V.geomName(g.kind) + ">"
     case _: VBytes   => "bytes"
     case _: VTable   => "table"
     case _: VRid     => "record"
@@ -153,6 +155,19 @@ final case class VClosure(params: Seq[(String, Option[ast.Kind])], body: ast.Exp
 final case class VGeom(kind: String, coords: V) extends V
 
 object V {
+  private val geomNames = Map(
+    "Point" -> "point", "LineString" -> "line", "Polygon" -> "polygon",
+    "MultiPoint" -> "multipoint", "MultiLineString" -> "multiline",
+    "MultiPolygon" -> "multipolygon", "GeometryCollection" -> "collection")
+  def geomName(t: String): String = geomNames.getOrElse(t, t.toLowerCase)
+  /** A GeoJSON-shaped object's geometry subtype, if it is one. */
+  def geomSubtype(o: VObj): Option[String] = o.fields.get("type") match {
+    case Some(VStr(t)) if geomNames.contains(t) &&
+        (o.fields.contains("coordinates") || o.fields.contains("geometries")) &&
+        o.fields.size == 2 =>
+      Some(geomNames(t))
+    case _ => scala.None
+  }
   def obj(kvs: (String, V)*): VObj = VObj(TreeMap(kvs: _*))
   def arr(vs: V*): VArr = VArr(vs.toVector)
   /** Sorted-unique set constructor (BTreeSet semantics). */
