@@ -216,7 +216,7 @@ object Functions {
     "time::hour" -> (1, 1), "time::minute" -> (1, 1), "time::second" -> (1, 1),
     "time::unix" -> (1, 1), "time::floor" -> (2, 2), "time::ceil" -> (2, 2),
     "time::round" -> (2, 2), "time::group" -> (2, 2), "time::format" -> (2, 2),
-    "type::of" -> (1, 1), "type::type_of" -> (1, 1),
+    "type::of" -> (1, 1), "type::type_of" -> (1, 1), "type::file" -> (2, 2),
     "rand::id" -> (0, 2), "sequence::nextval" -> (1, 1),
     "type::string" -> (1, 1), "type::int" -> (1, 1),
     "type::float" -> (1, 1), "type::decimal" -> (1, 1), "type::number" -> (1, 1),
@@ -497,7 +497,38 @@ object Functions {
         }
         VStr(sb.toString)
       case "string::repeat" => VStr(str(0) * int(1).toInt)
-      case "string::replace" => VStr(str(0).replace(str(1), str(2)))
+      case "string::replace" =>
+        val limit = 1048576
+        def sizeCheck(n: Int): Unit =
+          if (n > limit) throw SqlError(
+            s"Incorrect arguments for function string::replace(). Output must not exceed $limit bytes.")
+        arg(1) match {
+          case r: VRegex =>
+            val v = str(0); val rep = str(2)
+            val sb = new StringBuilder
+            val m = r.compiled.matcher(v)
+            var last = 0
+            while (m.find()) {
+              sb.append(v, last, m.start()).append(rep)
+              sizeCheck(sb.length)
+              last = m.end()
+              if (m.end() == m.start()) { // zero-width: advance to avoid stalls
+                if (last < v.length) sb.append(v.charAt(last))
+                last += 1
+                if (last > v.length) last = v.length
+              }
+            }
+            sb.append(v, last, v.length)
+            sizeCheck(sb.length)
+            VStr(sb.toString)
+          case _ =>
+            val (v, search, rep) = (str(0), str(1), str(2))
+            if (rep.length > search.length && search.nonEmpty) {
+              val count = v.sliding(search.length).count(_ == search)
+              sizeCheck(v.length + count * (rep.length - search.length))
+            }
+            VStr(v.replace(search, rep))
+        }
       case "string::reverse" => VStr(str(0).reverse)
       case "string::slice" =>
         val s = str(0)
@@ -857,8 +888,7 @@ object Functions {
           case "add" => arg(1) match {
             case VSet(more)  => V.set(setArg(0) ++ more)
             case VArr(more)  => V.set(setArg(0) ++ more)
-            case VNone       => V.set(setArg(0))
-            case v           => V.set(setArg(0) :+ v)
+            case v           => V.set(setArg(0) :+ v) // NONE is a member too
           }
           case "remove" => arg(1) match {
             case VSet(gone) => V.set(setArg(0).filterNot(e => gone.exists(V.looseEq(_, e))))
@@ -966,7 +996,26 @@ object Functions {
         }
         VDt(truncated.toInstant)
       case "time::format" =>
-        VStr(strftime(utc(arg(0)), str(1)))
+        val fmt = str(1)
+        // chrono strftime validation: reject unknown specifiers
+        val valid = "YCyqmbBhdejaAwuUWGgVDxFvHkIlPpMSfrRTXzZstc%n".toSet
+        var i2 = 0
+        while (i2 < fmt.length) {
+          if (fmt.charAt(i2) == '%') {
+            var j2 = i2 + 1
+            while (j2 < fmt.length && (fmt.charAt(j2) == '.' || fmt.charAt(j2) == '-' ||
+              fmt.charAt(j2) == '_' || fmt.charAt(j2) == '0' || fmt.charAt(j2).isDigit)) j2 += 1
+            if (j2 >= fmt.length || !valid(fmt.charAt(j2)))
+              throw SqlError(s"Incorrect arguments for method time::format(). `$fmt` is not a valid time formatting string")
+            // numeric padding is only valid before fractional seconds
+            if (j2 > i2 + 1 && fmt.charAt(j2) != 'f' &&
+                !(fmt.substring(i2 + 1, j2).forall(_.isDigit) && fmt.charAt(j2) == 'f'))
+              throw SqlError(s"Incorrect arguments for method time::format(). `$fmt` is not a valid time formatting string")
+            i2 = j2
+          }
+          i2 += 1
+        }
+        VStr(strftime(utc(arg(0)), fmt))
       case "time::max" =>
         val items = arr(0)
         if (items.isEmpty) VNone else items.max(V.ordering)
@@ -1017,6 +1066,7 @@ object Functions {
 
       // ---- type --------------------------------------------------------
       case "type::of" | "type::string_of" => VStr(arg(0).typeName)
+      case "type::file" => VFile(str(0), str(1))
       case "type::bool" => Coerce.cast(Kind.KBool, arg(0))
       case "type::bytes" => Coerce.cast(Kind.KBytes, arg(0))
       case "type::int" => Coerce.cast(Kind.KInt, arg(0))
@@ -1108,15 +1158,40 @@ object Functions {
       }
 
       // ---- parse -------------------------------------------------------
-      case "parse::email::host" => VStr(str(0).split("@").last)
-      case "parse::email::user" => VStr(str(0).split("@").head)
+      case "parse::email::host" =>
+        parseEmailAddr(str(0)).map(p => VStr(p._2): V).getOrElse(VNone)
+      case "parse::email::user" =>
+        parseEmailAddr(str(0)).map(p => VStr(p._1): V).getOrElse(VNone)
       case "parse::url::domain" | "parse::url::host" => uriPart(str(0), _.getHost)
-      case "parse::url::path" => uriPart(str(0), _.getPath)
+      case "parse::url::path" =>
+        parseUrlPath(str(0)).map(VStr(_): V).getOrElse(VNone)
       case "parse::url::port" =>
-        val p = new java.net.URI(str(0)).getPort
-        if (p < 0) VNone else VInt(p)
+        // manual authority scan: the url crate rejects ports > 65535
+        val u = str(0)
+        val m = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:(\\d+)".r.findFirstMatchIn(u)
+        m.map(_.group(1).toLong) match {
+          case Some(p) if p <= 65535 => VInt(p)
+          case _ => VNone
+        }
       case "parse::url::scheme" => uriPart(str(0), _.getScheme)
-      case "parse::url::query" => uriPart(str(0), _.getQuery)
+      case "parse::url::query" =>
+        // raw query with url-crate percent-encoding of unsafe chars
+        val u = str(0)
+        val q0 = u.indexOf('?')
+        if (q0 < 0 || !u.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) VNone
+        else {
+          val tail = u.substring(q0 + 1).takeWhile(_ != '#')
+          if (tail.isEmpty) VNone
+          else VStr(tail.flatMap {
+            case ' '  => "%20"
+            case '\'' => "%27"
+            case '"'  => "%22"
+            case '<'  => "%3C"
+            case '>'  => "%3E"
+            case '`'  => "%60"
+            case c    => c.toString
+          })
+        }
       case "parse::url::fragment" => uriPart(str(0), _.getFragment)
 
       // ---- crypto ------------------------------------------------------
@@ -1339,11 +1414,19 @@ object Functions {
           case other => typeErr(0, "geometry", other)
         }
       case "geo::hash::encode" =>
-        arg(0) match {
+        val g0 = arg(0) match {
+          case o: VObj if o.fields.get("type").contains(VStr("Point")) =>
+            o.fields.get("coordinates") match {
+              case Some(VArr(Vector(x: VNum, y: VNum))) => VGeom("Point", VArr(Vector(x, y)))
+              case _ => arg(0)
+            }
+          case other => other
+        }
+        g0 match {
           case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) =>
             val len = if (a.length > 1) int(1).toInt else 12
             VStr(geohashEncode(y.toDouble, x.toDouble, len))
-          case other => typeErr(0, "geometry", other)
+          case _ => VNone // non-point geometries hash to NONE (fnc/geo.rs)
         }
       case "geo::hash::decode" => arg(0) match {
         case VStr(s) =>
@@ -1495,6 +1578,54 @@ object Functions {
     val secs = n / perSec
     val rem = (n % perSec).toLong
     VDur(secs.toLong, (rem * (1000000000L / perSec)).toInt)
+  }
+
+  /** RFC2822-ish email split: Some((local, host)) or None when invalid
+    * (fnc/parse.rs email via addr crate; IPv6 literals are rejected). */
+  private def parseEmailAddr(s: String): Option[(String, String)] = {
+    val at = s.lastIndexOf('@')
+    if (at <= 0 || at == s.length - 1) return scala.None
+    val local = s.substring(0, at)
+    val host = s.substring(at + 1)
+    val localOk =
+      if (local.length >= 2 && local.startsWith("\"") && local.endsWith("\"")) true
+      else local.nonEmpty && !local.contains("..") && !local.startsWith(".") && !local.endsWith(".") &&
+        local.forall(c => c.isLetterOrDigit || "!#$%&'*+-/=?^_`{|}~.".contains(c))
+    if (!localOk) return scala.None
+    val hostClean =
+      if (host.startsWith("[") && host.endsWith("]")) {
+        val inner = host.substring(1, host.length - 1)
+        if (inner.matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")) Some(inner) else scala.None
+      } else if (host.matches("^[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*$")) Some(host)
+      else scala.None
+    hostClean.map(h => (local, h))
+  }
+
+  /** URL path per the rust `url` crate: special schemes normalize ./..
+    * segments and default to "/"; other schemes keep the raw remainder;
+    * scheme-less input fails (fnc/parse.rs url::path). */
+  private def parseUrlPath(u: String): Option[String] = {
+    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):(.*)$".r
+    u match {
+      case SchemeRe(scheme, rest) =>
+        val special = Set("http", "https", "ws", "wss", "ftp", "file")(scheme.toLowerCase)
+        if (special) {
+          val afterScheme = if (rest.startsWith("//")) rest.drop(2) else rest
+          val slash = afterScheme.indexOf('/')
+          val raw0 = if (slash < 0) "/" else afterScheme.substring(slash)
+          val raw = raw0.takeWhile(c => c != '?' && c != '#')
+          val trailing = raw.endsWith("/")
+          val out = scala.collection.mutable.ArrayBuffer[String]()
+          raw.split('/').filter(_.nonEmpty).foreach {
+            case "."  => ()
+            case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+            case seg  => out += seg
+          }
+          val base = "/" + out.mkString("/")
+          Some(if (out.isEmpty) "/" else if (trailing) base + "/" else base)
+        } else Some(rest.takeWhile(c => c != '?' && c != '#'))
+      case _ => scala.None
+    }
   }
 
   /** RFC-ish IPv6 textual check (supports ::-compression). */

@@ -2028,9 +2028,20 @@ final class Parser(val src: String) {
     if (peekSym(">..")) return take(">..", ">..", BpRange)
     if (peekSym("..")) return take("..", "..", BpRange)
     if (peekSym("<")) {
-      // not a comparison if followed by - ~ -> .. (graph/cast territory)
+      // not a comparison if followed by - ~ (graph/cast territory);
+      // `<|` is the KNN operator (handled below)
       val n = peekAt(1)
-      if (n == '-' || n == '~' || n == '|') return scala.None
+      if (n == '-' || n == '~') return scala.None
+      if (n == '|') {
+        val m = Parser.KnnOpRe.findPrefixMatchOf(src.subSequence(pos, src.length))
+        m match {
+          case Some(mm) if BpEquality >= minBp =>
+            pos += mm.end
+            val arg = Option(mm.group(2)).getOrElse("")
+            return Some((s"KNN:${mm.group(1)}:$arg", BpEquality))
+          case _ => return scala.None
+        }
+      }
       return take("<", "<", BpRelation)
     }
     if (peekSym(">")) {
