@@ -33,7 +33,10 @@ object Eval {
     case NativeExpr(f) => f(env)
     case Lit(v)        => v
     case ArrLit(items) => VArr(items.map(eval(_, env)).toVector)
-    case ObjLit(fs)    => VObj(TreeMap(fs.map { case (k, fe) => k -> eval(fe, env) }: _*))
+    case ObjLit(fs)    =>
+      val o = VObj(TreeMap(fs.map { case (k, fe) => k -> eval(fe, env) }: _*))
+      // GeoJSON-shaped objects normalize to geometry values (val/geometry.rs)
+      V.asGeom(o).getOrElse(o)
     case RidLit(tb, keyE) =>
       eval(keyE, env) match {
         case r: VRng => VRid(tb, r)
@@ -241,6 +244,9 @@ object Eval {
         val idx = eval(ie, env)
         (v, idx) match {
           case (VArr(its), n: VNum) =>
+            val i = n.toDouble.toInt
+            walk(if (i >= 0 && i < its.length) its(i) else VNone, rest, env)
+          case (VSet(its), n: VNum) =>
             val i = n.toDouble.toInt
             walk(if (i >= 0 && i < its.length) its(i) else VNone, rest, env)
           case (VObj(fs), VStr(k)) => walk(fs.getOrElse(k, VNone), rest, env)

@@ -11,6 +11,63 @@ final case class QOk(v: V) extends QueryResult
 final case class QErr(msg: String) extends QueryResult
 
 object Interp {
+  private val rootCollator = {
+    val c = java.text.Collator.getInstance(java.util.Locale.ROOT)
+    c.setStrength(java.text.Collator.SECONDARY)
+    c
+  }
+
+  /** ORDER BY … COLLATE/NUMERIC string comparison: unicode collation with
+    * upper-case-first tie-break (ICU caseFirst=upper), and natural numeric
+    * run comparison (expr/order.rs). */
+  def orderedStrCmp(a: String, b: String, collate: Boolean, numeric: Boolean): Int = {
+    if (numeric) {
+      // split into digit / non-digit runs
+      def runs(s: String): Vector[String] = {
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < s.length) {
+          val digit = s.charAt(i).isDigit
+          val j0 = i
+          while (i < s.length && s.charAt(i).isDigit == digit) i += 1
+          out += s.substring(j0, i)
+        }
+        out.toVector
+      }
+      val (ra, rb) = (runs(a), runs(b))
+      var i = 0
+      while (i < ra.length && i < rb.length) {
+        val (x, y) = (ra(i), rb(i))
+        val c =
+          if (x.nonEmpty && y.nonEmpty && x.head.isDigit && y.head.isDigit)
+            BigInt(x).compare(BigInt(y))
+          else if (collate) collateCmp(x, y)
+          else x.compareTo(y)
+        if (c != 0) return c
+        i += 1
+      }
+      ra.length - rb.length
+    }
+    else collateCmp(a, b)
+  }
+
+  private def collateCmp(a: String, b: String): Int = {
+    val base = rootCollator.synchronized(rootCollator.compare(a, b))
+    if (base != 0) base
+    else {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val ca = a.charAt(i); val cb = b.charAt(i)
+        if (ca != cb) {
+          val (ua, ub) = (ca.isUpper, cb.isUpper)
+          return if (ua != ub) { if (ua) -1 else 1 } else ca.compareTo(cb)
+        }
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
   private val idRng = new java.util.concurrent.atomic.AtomicLong(0x5eed5eedL)
   /** 20-char lowercase-alnum record id, shaped like the reference's random
     * ids (nanoid alphabet subset) but deterministic per session. */
@@ -2074,9 +2131,9 @@ final class Interp {
         case VTable(tb) =>
           tables.get(tb).map(_ => tableRows(tb))
             .getOrElse(throw SqlError(s"The table '$tb' does not exist"))
-        case VArr(items) => items.map {
+        case VArr(items) => items.collect {
           case rid: VRid => fetchRecord(rid).getOrElse(rid)
-          case v         => v
+          case v if v != VNone && v != VNull => v // NONE/NULL sources drop (select/from_none)
         }
         case VNone | VNull => Vector.empty
         case v => Vector(v)
@@ -2110,7 +2167,15 @@ final class Interp {
   def execSelect(s: SelectStmt, env: Env): V = {
     val resultRows = selectWithGroupKeys(s, env).map(_._1)
     if (s.only) {
-      if (resultRows.length > 1) throw SqlError("Expected a single result output when using the ONLY keyword")
+      // value sources error on empty; table/record sources yield NONE
+      // (unwrap_exactly_one.rs none_on_empty = !is_value_source)
+      val valueSource = s.what.exists {
+        case _: TableRef | _: RidLit => false
+        case Idiom(_) => false
+        case _ => true
+      }
+      if (resultRows.length > 1 || (resultRows.isEmpty && valueSource))
+        throw SqlError("Expected a single result output when using the ONLY keyword")
       resultRows.headOption.getOrElse(VNone)
     } else VArr(resultRows)
   }
@@ -2240,7 +2305,11 @@ final class Interp {
           // ORDER BY (select/fetch/order_by golden), so link paths are NONE
           val kx = Eval.eval(k.expr, rowEnv(envS, x._1).copy(interp = scala.None))
           val ky = Eval.eval(k.expr, rowEnv(envS, y._1).copy(interp = scala.None))
-          res = V.cmp(kx, ky)
+          res = (kx, ky) match {
+            case (VStr(a), VStr(b)) if k.collate || k.numeric =>
+              Interp.orderedStrCmp(a, b, k.collate, k.numeric)
+            case _ => V.cmp(kx, ky)
+          }
           if (k.desc) res = -res
         }
         res < 0

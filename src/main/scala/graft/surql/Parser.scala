@@ -1910,7 +1910,13 @@ final class Parser(val src: String) {
       else TableRef(rawIdent())
     } else scala.None
     val values: Expr =
-      if (peekSym("(")) {
+      if (peekSym("(") && { val save = pos; sym("("); val isSel = peekKw("SELECT"); pos = save; isSel }) {
+        // INSERT INTO t (SELECT …) — subquery source
+        expectSym("(")
+        val sel = Subquery(statement())
+        expectSym(")")
+        sel
+      } else if (peekSym("(")) {
         // (col, col) VALUES (v, v), (v, v)
         expectSym("(")
         val cols = ArrayBuffer[String]()

@@ -71,8 +71,11 @@ object Render {
       }
       f.append('('); coord(x); f.append(", "); coord(y); f.append(')')
     case VGeom(kind, coords) =>
-      // other geometries: GeoJSON-shaped object rendering
-      write(f, V.obj("type" -> VStr(kind), "coordinates" -> coords))
+      // other geometries: GeoJSON-shaped rendering, `type` first
+      val key = if (kind == "GeometryCollection") "geometries" else "coordinates"
+      f.append("{ type: '").append(kind).append("', ").append(key).append(": ")
+      write(f, coords)
+      f.append(" }")
   }
 
   private def toF(v: V): V = v match {

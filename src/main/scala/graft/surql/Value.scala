@@ -160,6 +160,17 @@ object V {
     "MultiPoint" -> "multipoint", "MultiLineString" -> "multiline",
     "MultiPolygon" -> "multipolygon", "GeometryCollection" -> "collection")
   def geomName(t: String): String = geomNames.getOrElse(t, t.toLowerCase)
+  private val geomRanks = Map("Point" -> 1, "LineString" -> 2, "Polygon" -> 3,
+    "MultiPoint" -> 4, "MultiLineString" -> 5, "MultiPolygon" -> 6,
+    "GeometryCollection" -> 7)
+  def geomRank(t: String): Int = geomRanks.getOrElse(t, 8)
+  /** Convert a GeoJSON-shaped object into a geometry value, if it is one. */
+  def asGeom(o: VObj): Option[VGeom] = o.fields.get("type") match {
+    case Some(VStr(t)) if geomRanks.contains(t) && o.fields.size == 2 =>
+      if (t == "GeometryCollection") o.fields.get("geometries").map(g => VGeom(t, g))
+      else o.fields.get("coordinates").map(c => VGeom(t, c))
+    case _ => scala.None
+  }
   /** A GeoJSON-shaped object's geometry subtype, if it is one. */
   def geomSubtype(o: VObj): Option[String] = o.fields.get("type") match {
     case Some(VStr(t)) if geomNames.contains(t) &&
@@ -225,7 +236,9 @@ object V {
       val c = bx.compareTo(by); if (c != 0) c else kx.compareTo(ky)
     case (x: VRng, y: VRng) => cmpRange(x, y)
     case (VRegex(x), VRegex(y)) => x.compareTo(y)
-    case (x: VGeom, y: VGeom) => cmp(x.coords, y.coords)
+    case (x: VGeom, y: VGeom) =>
+      val r = Integer.compare(geomRank(x.kind), geomRank(y.kind))
+      if (r != 0) r else cmp(x.coords, y.coords)
     case _ => a.typeTag.compareTo(b.typeTag)
   }
 
