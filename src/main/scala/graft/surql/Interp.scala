@@ -11,6 +11,18 @@ final case class QOk(v: V) extends QueryResult
 final case class QErr(msg: String) extends QueryResult
 
 object Interp {
+  /** None-elimination on stored documents: object entries whose value is
+    * NONE are dropped recursively; NONE stays inside arrays (doc write
+    * normalization — upsert/none_remove_field, field/none_elimination). */
+  def stripNoneKeys(o: VObj): VObj = {
+    def walk(v: V): V = v match {
+      case VObj(fs) => VObj(fs.collect { case (k, x) if x != VNone => k -> walk(x) })
+      case VArr(items) => VArr(items.map(walk))
+      case other => other
+    }
+    walk(o).asInstanceOf[VObj]
+  }
+
   private val rootCollator = {
     val c = java.text.Collator.getInstance(java.util.Locale.ROOT)
     c.setStrength(java.text.Collator.SECONDARY)
@@ -1842,7 +1854,16 @@ final class Interp {
 
   /** DEFINE FIELD pipeline (doc/field.rs: DEFAULT → VALUE → TYPE coerce →
     * ASSERT → READONLY) applied to a document before it is stored. */
+  /** Set while applying REPLACE data: readonly fields error instead of
+    * restoring (doc/field.rs). Reset after each pipeline run. */
+  private var replaceSemantics = false
+
   def applyFieldPipeline(tb: String, rid: VRid, doc: VObj, before: Option[VObj],
+      isCreate: Boolean, env: Env): VObj = try {
+    Interp.stripNoneKeys(applyFieldPipeline0(tb, rid, doc, before, isCreate, env))
+  } finally replaceSemantics = false
+
+  private def applyFieldPipeline0(tb: String, rid: VRid, doc: VObj, before: Option[VObj],
       isCreate: Boolean, env: Env): VObj = {
     val defs = fieldPipeline.getOrElse(tb, Vector.empty).filter(_.computed.isEmpty)
     var fields = doc.fields
@@ -1865,6 +1886,12 @@ final class Interp {
             }
             return v
           }
+          // readonly fields on existing records keep their prior value when
+          // the new content omits them (doc/field.rs readonly restore) —
+          // except under REPLACE, which reports the change as an error
+          if (fd.readonly && !isCreate && before.isDefined && (v == VNone || v == VNull) &&
+              !replaceSemantics)
+            v = beforeV
           // a provided (non-NONE) input coerces against TYPE before the
           // VALUE clause computes (doc/field.rs order)
           if (v != VNone && fd.value.isDefined) fd.kind.foreach { k =>
@@ -1889,9 +1916,10 @@ final class Interp {
             }
           }
           fd.assert.foreach { ae =>
-            val ok = Eval.eval(ae, env.copy(doc = Some(VObj(fields))).bind("value", v)).truthy
+            val ok = Eval.eval(ae, env.copy(doc = Some(VObj(fields)))
+              .bind("value", v).bind("input", input)).truthy
             if (!ok)
-              throw SqlError(s"Found ${v.render} for field `${fd.field}`, with record `${Render.sql(rid)}`, but field must conform to: ${fd.assertRaw}")
+              throw SqlError(s"Found ${v.render} for field `${fd.field}`, with record `${Render.sql(rid)}`, but field must conform to: ${Defs.normRaw(fd.assertRaw)}")
           }
           if (fd.readonly && !isCreate && before.isDefined) {
             val old = beforeV
@@ -2150,7 +2178,13 @@ final class Interp {
         case VRid(tb, key) => Seq((tb, Some(key)))
         case VTable(tb)    => Seq((tb, scala.None: Option[V]))
         case VStr(tb)      => Seq((tb, scala.None: Option[V]))
-        case VArr(items)   => items.collect { case VRid(tb, key) => (tb, Some(key): Option[V]) }
+        case VArr(items)   => items.collect {
+          case VRid(tb, key) => (tb, Some(key): Option[V])
+          case VObj(fs) if fs.get("id").exists(_.isInstanceOf[VRid]) =>
+            val VRid(tb, key) = fs("id"); (tb, Some(key): Option[V])
+        }
+        case VObj(fs) if fs.get("id").exists(_.isInstanceOf[VRid]) =>
+          val VRid(tb, key) = fs("id"); Seq((tb, Some(key): Option[V]))
         case v => throw SqlError(s"Can not execute statement using value: ${v.render}")
       }
     }
@@ -2576,7 +2610,9 @@ final class Interp {
           VObj(doc.fields.get("id").map(id => kept + ("id" -> id)).getOrElse(kept))
         case other => throw SqlError(s"Cannot use ${other.render} in a CONTENT clause")
       }
-    case Some(ReplaceData(e)) => applyData(doc, Some(ContentData(e)), env)
+    case Some(ReplaceData(e)) =>
+      replaceSemantics = true
+      applyData(doc, Some(ContentData(e)), env)
     case Some(MergeData(e)) =>
       Eval.eval(e, env) match {
         case VObj(fs) =>
@@ -3050,9 +3086,20 @@ final class Interp {
       throw SqlError(s"Found table: `$edgeTable` which is not a relation table, but expected a RELATION")
     val results = mutable.ArrayBuffer[V]()
     for (from <- rids(s.from); to <- rids(s.to)) {
+      // a CONTENT/SET id overrides the generated key (doc/relate.rs)
+      val dataId: Option[V] = s.data match {
+        case Some(ContentData(ce)) => Eval.eval(ce, env) match {
+          case VObj(fs) => fs.get("id").map {
+            case VRid(_, k) => k
+            case v => v
+          }
+          case _ => scala.None
+        }
+        case _ => scala.None
+      }
       val key = s.edge match {
         case RidLit(_, keyE) => Eval.eval(keyE, env)
-        case _ => nextId()
+        case _ => dataId.getOrElse(nextId())
       }
       val rid = VRid(edgeTable, key)
       // typed relations coerce in/out to their IN/OUT record kinds
@@ -3066,7 +3113,11 @@ final class Interp {
       }
       val base = VObj(TreeMap(
         "id" -> (rid: V), "in" -> from, "out" -> to))
-      val doc0 = applyData(base, s.data, env)
+      // CONTENT/REPLACE never displace the edge identity fields
+      val doc0 = {
+        val d = applyData(base, s.data, env)
+        VObj(d.fields.updated("id", rid: V).updated("in", from: V).updated("out", to: V))
+      }
       val doc = applyFieldPipeline(edgeTable, rid, doc0, scala.None, isCreate = true, env)
       table(edgeTable)(key) = doc
       fireEvents(edgeTable, scala.None, Some(doc), env)

@@ -291,17 +291,20 @@ final class Parser(val src: String) {
     var otherwise: Option[Expr] = scala.None
     var thenForm = false
     var continueLoop = true
+    // THEN…END branches accept bare statements (UPSERT/CREATE/…)
+    def branchExpr(): Expr = exprOrStatement()
     val cond0 = expr()
-    if (kw("THEN")) { thenForm = true; branches += ((cond0, expr())) }
+    if (kw("THEN")) { thenForm = true; branches += ((cond0, branchExpr())); if (thenForm) sym(";") }
     else { branches += ((cond0, blockExpr())) }
     while (continueLoop) {
       if (kw("ELSE")) {
         if (kw("IF")) {
           val c = expr()
-          if (thenForm) { expectKw("THEN"); branches += ((c, expr())) }
+          if (thenForm) { expectKw("THEN"); branches += ((c, branchExpr())); sym(";") }
           else branches += ((c, blockExpr()))
         } else {
-          otherwise = Some(if (thenForm) expr() else blockExpr())
+          otherwise = Some(if (thenForm) branchExpr() else blockExpr())
+          if (thenForm) sym(";")
           continueLoop = false
         }
       } else continueLoop = false
@@ -1813,7 +1816,7 @@ final class Parser(val src: String) {
       while (go) {
         val target = idiomForSet()
         val op =
-          if (sym("+=")) "+=" else if (sym("-=")) "-=" else { expectSym("="); "=" }
+          if (sym("+?=")) "+?=" else if (sym("+=")) "+=" else if (sym("-=")) "-=" else { expectSym("="); "=" }
         sets += ((target, op, expr()))
         go = sym(",")
       }
@@ -1943,7 +1946,7 @@ final class Parser(val src: String) {
       var g = true
       while (g) {
         val t = idiomForSet()
-        val op = if (sym("+=")) "+=" else if (sym("-=")) "-=" else { expectSym("="); "=" }
+        val op = if (sym("+?=")) "+?=" else if (sym("+=")) "+=" else if (sym("-=")) "-=" else { expectSym("="); "=" }
         sets += ((t, op, expr()))
         g = sym(",")
       }
