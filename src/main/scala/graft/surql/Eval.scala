@@ -249,6 +249,10 @@ object Eval {
           case (VSet(its), n: VNum) =>
             val i = n.toDouble.toInt
             walk(if (i >= 0 && i < its.length) its(i) else VNone, rest, env)
+          case (VRid(_, VArr(its)), n: VNum) =>
+            // record ids with array keys index into the key (t:[1, o:1])
+            val i = n.toDouble.toInt
+            walk(if (i >= 0 && i < its.length) its(i) else VNone, rest, env)
           case (VObj(fs), VStr(k)) => walk(fs.getOrElse(k, VNone), rest, env)
           case (VArr(its), r: VRng) =>
             walk(sliceRange(its, r), rest, env)

@@ -560,6 +560,32 @@ object Explain {
     case x => Seq(x)
   }
 
+  private def disjunctList(e: Expr): Seq[Expr] = e match {
+    case Binary("||", l, r) => disjunctList(l) ++ disjunctList(r)
+    case x => Seq(x)
+  }
+
+  /** ORDER BY covered by an index: single key on the first field of a
+    * non-fulltext index (idx/planner order selection). Returns
+    * (index name, descending). */
+  private def orderIndexInfo(in: Interp, table: String, s: SelectStmt,
+      hints: Option[Seq[String]]): Option[(String, Boolean)] = {
+    if (s.order.length != 1 || hints.contains(Nil)) return scala.None
+    s.order.head.expr match {
+      case Idiom(Seq(PField(f))) =>
+        in.indexDefs.collectFirst {
+          case ((t, _), d) if t == table && d.fields.headOption.contains(f) &&
+              hints.forall(_.contains(d.name)) &&
+              !d.tail.toUpperCase.startsWith("FULLTEXT") &&
+              !d.tail.toUpperCase.startsWith("SEARCH") &&
+              !d.tail.toUpperCase.startsWith("HNSW") &&
+              !d.tail.toUpperCase.startsWith("COUNT") =>
+            (d.name, s.order.head.desc)
+        }
+      case _ => scala.None
+    }
+  }
+
   /** Index access-path selection (exec/index/access_path.rs:209): an
     * equality prefix plus an optional range on the next index field.
     * Returns (index name, access text, residual predicate, index fields,
@@ -567,8 +593,19 @@ object Explain {
     * prefix length. */
   /** Dotted text of a pure field path (PField/PAll parts only). */
   private def fieldPathName(ps: Seq[Part]): Option[String] =
-    if (ps.forall(p => p.isInstanceOf[PField] || p == PAll))
-      Some(ps.map { case PField(n) => n; case _ => "*" }.mkString("."))
+    if (ps.forall {
+      case _: PField | PAll => true
+      case PIndex(Lit(_: VInt)) => true
+      case _ => false
+    }) {
+      val sb = new StringBuilder
+      ps.foreach {
+        case PField(n) => if (sb.nonEmpty) sb.append('.'); sb.append(n)
+        case PIndex(Lit(VInt(i))) => sb.append('[').append(i).append(']')
+        case _ => if (sb.nonEmpty) sb.append('.'); sb.append('*')
+      }
+      Some(sb.toString)
+    }
     else scala.None
 
   private def indexAccess(in: Interp, table: String, where: Expr,
@@ -576,8 +613,9 @@ object Explain {
     if (hints.contains(Nil)) return scala.None // WITH NOINDEX
     val cs = conjunctList(where)
     val eqPairs: Map[String, (String, Expr)] = cs.collect {
-      case c @ Binary("=" | "==", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
-        f -> ((exprSql(rhs), c))
+      case c @ Binary("=" | "==", Idiom(ps), rhs)
+          if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
+        fieldPathName(ps).get -> ((exprSql(rhs), c))
       // CONTAINS probes an index only when the index is built over an ARRAY
       // path (`marks.*.subject`) — each element is an index entry. A plain
       // scalar-field index stores whole values and cannot serve CONTAINS
@@ -587,8 +625,9 @@ object Explain {
         fieldPathName(ps).get -> ((exprSql(rhs), c))
     }.toMap
     val rangeOps: Map[String, Seq[(String, String, Expr)]] = cs.collect {
-      case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
-        (f, (op, exprSql(rhs), c))
+      case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(ps), rhs)
+          if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
+        (fieldPathName(ps).get, (op, exprSql(rhs), c))
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val candidates = in.indexDefs.collect {
       case ((t, _), d) if t == table && d.fields.nonEmpty &&
@@ -779,12 +818,12 @@ object Explain {
     // EXPLAIN FULL appendix: RecordStrategy, StartLimitStrategy (when the
     // iterator can skip/cancel at the storage level), Fetch with the final
     // result count (dbs/iterator.rs:735,801,1165).
-    def fullRows(rs: String, fullyIndexed: Boolean): Unit = if (full) {
+    def fullRows(rs: String, fullyIndexed: Boolean, orderCovered: Boolean = false): Unit = if (full) {
       entries += V.obj(
         "detail" -> V.obj("type" -> VStr(rs)),
         "operation" -> VStr("RecordStrategy"))
       val canSkip = s.groupBy.isEmpty && (s.where.isEmpty || fullyIndexed)
-      val canCancel = s.groupBy.isEmpty && s.order.isEmpty
+      val canCancel = s.groupBy.isEmpty && (s.order.isEmpty || orderCovered)
       val startN = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None }).getOrElse(0L)
       val limitN = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
       var slAttrs = Seq.empty[(String, V)]
@@ -794,11 +833,15 @@ object Explain {
         entries += V.obj(
           "detail" -> VObj(TreeMap(slAttrs: _*)),
           "operation" -> VStr("StartLimitStrategy"))
-      val count: Long = try in.execStatement(s, env) match {
-        case VArr(items) => items.length.toLong
-        case VNone       => 0L
-        case _           => 1L
-      } catch { case _: SqlError => 0L }
+      val count: Long =
+        // a MemoryOrderedLimit collector never reports fetched rows
+        // (dbs/iterator.rs:1165 — the bounded heap consumes them)
+        if (limitN.isDefined && s.order.nonEmpty && s.groupBy.isEmpty) 0L
+        else try in.execStatement(s, env) match {
+          case VArr(items) => items.length.toLong
+          case VNone       => 0L
+          case _           => 1L
+        } catch { case _: SqlError => 0L }
       entries += V.obj(
         "detail" -> V.obj("count" -> VInt(count)),
         "operation" -> VStr("Fetch"))
@@ -824,6 +867,10 @@ object Explain {
     val ranges = s.what.collect { case r @ RidLit(_, _: RangeLit) => r }
     if (ranges.nonEmpty && ranges.length == s.what.length) {
       val rs = recordStrategy(s, fullyIndexed = false, mutation)
+      val idOrderDesc = s.order match {
+        case Seq(k) if k.expr == Idiom(Seq(PField("id"))) => Some(k.desc)
+        case _ => scala.None
+      }
       ranges.foreach { case RidLit(tb, RangeLit(lo, hi)) =>
         def bound(b: Option[(Expr, Boolean)]): Option[(V, Boolean)] =
           b.map { case (e, incl) =>
@@ -831,7 +878,7 @@ object Explain {
           }
         entries += V.obj(
           "detail" -> V.obj(
-            "direction" -> VStr("forward"),
+            "direction" -> VStr(if (idOrderDesc.contains(true)) "backward" else "forward"),
             "range" -> VRng(bound(lo), bound(hi)),
             "table" -> VStr(tb)),
           "operation" -> VStr("Iterate Range" + iterSuffix(rs)))
@@ -870,6 +917,84 @@ object Explain {
       fullRows(rs, fullyIndexed = true)
       return VArr(entries.toVector)
     }
+    // top-level OR where EVERY disjunct resolves to an index access: one
+    // Iterate Index per disjunct, result union (idx/planner multi-index)
+    if (!noIndexHint && table.isDefined && s.where.isDefined) {
+      val ds = disjunctList(s.where.get)
+      if (ds.length > 1) {
+        val accesses: Seq[Option[(String, String, V)]] = ds.map { d =>
+          indexAccess(in, table.get, d, s.withIndex) match {
+            case Some((idxName, _, residual, idxFields, eqLen)) if residual.isEmpty && eqLen > 0 =>
+              val valueOf: Map[String, V] = conjunctList(d).collect {
+                case Binary("=" | "==", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
+                  f -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
+              }.toMap
+              val matched = idxFields.take(eqLen).flatMap(valueOf.get)
+              val v: V = if (matched.length == 1) matched.head else VArr(matched.toVector)
+              Some((idxName, "=", v))
+            case _ =>
+              fulltextAccess(in, table.get, d) match {
+                case Some((idxName, q, scala.None)) => Some((idxName, "@@", VStr(q)))
+                case _ => scala.None
+              }
+          }
+        }
+        if (accesses.forall(_.isDefined)) {
+          val rs = recordStrategy(s, fullyIndexed = true, mutation)
+          accesses.flatten.foreach { case (idxName, op, v) =>
+            entries += V.obj(
+              "detail" -> V.obj(
+                "plan" -> V.obj(
+                  "index" -> VStr(idxName),
+                  "operator" -> VStr(op),
+                  "value" -> v),
+                "table" -> VStr(table.getOrElse(""))),
+              "operation" -> VStr("Iterate Index" + iterSuffix(rs)))
+          }
+          entries += collectorEntry()
+          fullRows(rs, fullyIndexed = true)
+          return VArr(entries.toVector)
+        }
+      }
+    }
+    // record-link join: WHERE link.field = v with an index over the link
+    // field and an index over the target table's field (idx/planner joins)
+    if (!noIndexHint && table.isDefined && s.where.isDefined) {
+      conjunctList(s.where.get) match {
+        case Seq(Binary("=" | "==", Idiom(Seq(PField(link), PField(fld))), rhs)) if !touchesDb(rhs) =>
+          val t = table.get
+          val linkIdx = in.indexDefs.collectFirst {
+            case ((tt, _), d) if tt == t && d.fields == Seq(link) &&
+                s.withIndex.forall(_.contains(d.name)) => d.name
+          }
+          val targetTb = in.fieldDefs2.get((t, link)).flatMap(_.kindRaw).flatMap { kr =>
+            val m = "record<\\s*([A-Za-z0-9_]+)".r.findFirstMatchIn(kr)
+            m.map(_.group(1))
+          }
+          val tIdx = targetTb.flatMap(tt => in.indexDefs.collectFirst {
+            case ((t2, _), d) if t2 == tt && d.fields == Seq(fld) => d.name
+          })
+          (linkIdx, tIdx) match {
+            case (Some(li), Some(ti)) =>
+              val rs = recordStrategy(s, fullyIndexed = true, mutation)
+              val v = try Eval.eval(rhs, env) catch { case _: SqlError => VNone }
+              entries += V.obj(
+                "detail" -> V.obj(
+                  "plan" -> V.obj(
+                    "index" -> VStr(li),
+                    "joins" -> VArr(Vector(V.obj(
+                      "index" -> VStr(ti), "operator" -> VStr("="), "value" -> v))),
+                    "operator" -> VStr("join")),
+                  "table" -> VStr(t)),
+                "operation" -> VStr("Iterate Index" + iterSuffix(rs)))
+              entries += collectorEntry()
+              fullRows(rs, fullyIndexed = true)
+              return VArr(entries.toVector)
+            case _ => ()
+          }
+        case _ => ()
+      }
+    }
     val idx = if (noIndexHint) scala.None else (for {
       t <- table
       w <- s.where
@@ -877,6 +1002,7 @@ object Explain {
     } yield r)
     var strategy = "KeysAndValues"
     var fullyIndexed = false
+    var orderCovered = false
     idx match {
       case Some((idxName, _, residual, idxFields, 0)) =>
         // range-only index access: from/to bound detail (idx/planner explain)
@@ -892,10 +1018,17 @@ object Explain {
             toV = ((try Eval.eval(rhs, env) catch { case _: SqlError => VNone }), op == "<=")
           case _ => ()
         }
+        // a single ORDER BY on the range field rides the index order
+        val ordered = s.order match {
+          case Seq(k) => k.expr == Idiom(Seq(PField(idxFields.head)))
+          case _ => false
+        }
+        orderCovered = ordered
+        val direction = if (ordered && s.order.head.desc) "backward" else "forward"
         entries += V.obj(
           "detail" -> V.obj(
             "plan" -> V.obj(
-              "direction" -> VStr("forward"),
+              "direction" -> VStr(direction),
               "from" -> V.obj("inclusive" -> VBool(fromV._2), "value" -> fromV._1),
               "index" -> VStr(idxName),
               "to" -> V.obj("inclusive" -> VBool(toV._2), "value" -> toV._1)),
@@ -907,34 +1040,71 @@ object Explain {
         // evaluate the matched equality values for the plan detail
         val cs = conjunctList(s.where.get)
         val valueOf: Map[String, V] = cs.collect {
-          case Binary("=" | "==", Idiom(Seq(PField(f))), rhs) if !touchesDb(rhs) =>
-            f -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
+          case Binary("=" | "==", Idiom(ps), rhs)
+              if !touchesDb(rhs) && fieldPathName(ps).isDefined =>
+            fieldPathName(ps).get -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
           case Binary("CONTAINS", Idiom(ps), rhs) if fieldPathName(ps).isDefined =>
             fieldPathName(ps).get -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
         }.toMap
         val matched = idxFields.take(eqLen).flatMap(valueOf.get)
-        val valueV: V =
-          if (matched.length == 1) matched.headOption.getOrElse(VNone)
-          else VArr(matched.toVector)
-        entries += V.obj(
-          "detail" -> V.obj(
-            "plan" -> V.obj(
-              "index" -> VStr(idxName),
-              "operator" -> VStr("="),
-              "value" -> valueV),
-            "table" -> VStr(table.getOrElse(""))),
-          "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
+        // equality prefix + range on the next field: prefix/ranges detail
+        val nextRanges: Seq[(String, V)] =
+          if (eqLen < idxFields.length)
+            cs.collect {
+              case Binary(op @ (">" | ">=" | "<" | "<="), Idiom(ps), rhs)
+                  if fieldPathName(ps).contains(idxFields(eqLen)) && !touchesDb(rhs) =>
+                (op, (try Eval.eval(rhs, env) catch { case _: SqlError => VNone }): V)
+            }
+          else Nil
+        if (nextRanges.nonEmpty) {
+          entries += V.obj(
+            "detail" -> V.obj(
+              "plan" -> V.obj(
+                "index" -> VStr(idxName),
+                "prefix" -> VArr(matched.toVector),
+                "ranges" -> VArr(nextRanges.map { case (op, v) =>
+                  V.obj("operator" -> VStr(op), "value" -> v): V
+                }.toVector)),
+              "table" -> VStr(table.getOrElse(""))),
+            "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
+        } else {
+          val valueV: V =
+            if (matched.length == 1) matched.headOption.getOrElse(VNone)
+            else VArr(matched.toVector)
+          entries += V.obj(
+            "detail" -> V.obj(
+              "plan" -> V.obj(
+                "index" -> VStr(idxName),
+                "operator" -> VStr("="),
+                "value" -> valueV),
+              "table" -> VStr(table.getOrElse(""))),
+            "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
+        }
       case scala.None =>
         strategy = recordStrategy(s, fullyIndexed = false, mutation)
-        table.foreach { t =>
-          if (defer)
+        val orderIdx =
+          if (noIndexHint || s.where.isDefined || defer) scala.None
+          else table.flatMap(t => orderIndexInfo(in, t, s, s.withIndex))
+        (orderIdx, table) match {
+          case (Some((idxName, desc)), Some(t)) =>
+            orderCovered = true
             entries += V.obj(
-              "detail" -> V.obj("table" -> VStr(t)),
-              "operation" -> VStr("Iterate Yield"))
-          else
-            entries += V.obj(
-              "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
-              "operation" -> VStr("Iterate Table" + iterSuffix(strategy)))
+              "detail" -> V.obj(
+                "plan" -> V.obj(
+                  "index" -> VStr(idxName),
+                  "operator" -> VStr(if (desc) "ReverseOrder" else "Order")),
+                "table" -> VStr(t)),
+              "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
+          case _ => table.foreach { t =>
+            if (defer)
+              entries += V.obj(
+                "detail" -> V.obj("table" -> VStr(t)),
+                "operation" -> VStr("Iterate Yield"))
+            else
+              entries += V.obj(
+                "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
+                "operation" -> VStr("Iterate Table" + iterSuffix(strategy)))
+          }
         }
     }
     if (noIndexHint)
@@ -942,7 +1112,7 @@ object Explain {
         "detail" -> V.obj("reason" -> VStr("WITH NOINDEX")),
         "operation" -> VStr("Fallback"))
     entries += collectorEntry()
-    fullRows(strategy, fullyIndexed)
+    fullRows(strategy, fullyIndexed, orderCovered)
     VArr(entries.toVector)
   }
 
