@@ -709,17 +709,24 @@ object Explain {
   }
 
   /** `field @@ 'query'` conjunct served by a FULLTEXT index. */
-  private def fulltextAccess(in: Interp, table: String, where: Expr): Option[(String, String, Option[Expr])] = {
+  private def fulltextAccess(in: Interp, table: String, where: Expr): Option[(String, String, Option[Expr])] =
+    fulltextAccessOp(in, table, where).map { case (n, q, r, _) => (n, q, r) }
+
+  /** Like fulltextAccess but also yields the written operator (`@@`/`@1@`). */
+  private def fulltextAccessOp(in: Interp, table: String,
+      where: Expr): Option[(String, String, Option[Expr], String)] = {
     val cs = conjunctList(where)
     val hit = cs.collectFirst {
-      case c @ Binary("MATCHES", Idiom(Seq(PField(f))), Lit(VStr(q))) => (f, q, c)
+      case c @ Binary(op, Idiom(Seq(PField(f))), Lit(VStr(q))) if op.startsWith("MATCHES") =>
+        val ref = op.split(':').lift(1).getOrElse("")
+        (f, q, c, if (ref.nonEmpty) s"@$ref@" else "@@")
     }
-    hit.flatMap { case (f, q, c) =>
+    hit.flatMap { case (f, q, c, opTxt) =>
       in.indexDefs.collectFirst {
         case ((t, _), d) if t == table && d.fields.contains(f) &&
             (d.tail.toUpperCase.startsWith("FULLTEXT") || d.tail.toUpperCase.startsWith("SEARCH")) =>
           val residual = cs.filterNot(_ == c).reduceOption((a, b) => Binary("&&", a, b))
-          (d.name, q, residual)
+          (d.name, q, residual, opTxt)
       }
     }
   }
@@ -993,6 +1000,41 @@ object Explain {
             case _ => ()
           }
         case _ => ()
+      }
+    }
+    // full-text access: `field @ref@ 'query'` over a FULLTEXT/SEARCH index
+    if (!noIndexHint && table.isDefined && s.where.isDefined) {
+      fulltextAccessOp(in, table.get, s.where.get) match {
+        case Some((idxName, q, residual, opTxt)) =>
+          val rs = recordStrategy(s, residual.isEmpty, mutation)
+          entries += V.obj(
+            "detail" -> V.obj(
+              "plan" -> V.obj(
+                "index" -> VStr(idxName),
+                "operator" -> VStr(opTxt),
+                "value" -> VStr(q)),
+              "table" -> VStr(table.getOrElse(""))),
+            "operation" -> VStr("Iterate Index" + iterSuffix(rs)))
+          entries += collectorEntry()
+          fullRows(rs, residual.isEmpty)
+          return VArr(entries.toVector)
+        case scala.None => ()
+      }
+    }
+    // COUNT-index: `SELECT count() FROM t GROUP ALL` served by a COUNT index
+    if (!noIndexHint && table.isDefined && s.where.isEmpty && countAllOnly(s)) {
+      in.indexDefs.collectFirst {
+        case ((t, _), d) if t == table.get && d.tail.toUpperCase.startsWith("COUNT") &&
+            !d.prepareRemove && s.withIndex.forall(_.contains(d.name)) => d.name
+      }.foreach { idxName =>
+        entries += V.obj(
+          "detail" -> V.obj(
+            "plan" -> V.obj("index" -> VStr(idxName), "operator" -> VStr("Count")),
+            "table" -> VStr(table.get)),
+          "operation" -> VStr("Iterate Index Count"))
+        entries += collectorEntry()
+        fullRows(recordStrategy(s, fullyIndexed = true, mutation), fullyIndexed = true)
+        return VArr(entries.toVector)
       }
     }
     val idx = if (noIndexHint) scala.None else (for {

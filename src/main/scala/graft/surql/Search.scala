@@ -521,7 +521,8 @@ object Search {
                 }
               }
               merged.foreach { case (st, e) =>
-                sb.append(s, p, st).append(pre).append(s, st, e).append(post)
+                sb.append(s.substring(p, st)).append(pre)
+                  .append(s.substring(st, e)).append(post)
                 p = e
               }
               sb.append(s.substring(p))
