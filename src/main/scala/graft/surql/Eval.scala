@@ -121,7 +121,7 @@ object Eval {
     case "time::epoch"       => VDt(java.time.Instant.EPOCH)
     case "time::minimum"     => VDt(java.time.Instant.parse("-262143-01-01T00:00:00Z"))
     case "time::maximum"     => VDt(java.time.Instant.parse("+262142-12-31T23:59:59Z"))
-    case "duration::max"     => VDur(Long.MaxValue, 999999999)
+    case "duration::max"     => VDur(-1L, 999999999) // u64::MAX secs
     case other => throw SqlError(s"Unknown constant $other")
   }
 

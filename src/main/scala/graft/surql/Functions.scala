@@ -1029,19 +1029,32 @@ object Functions {
       case "time::from::micros" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000L, (int(0) % 1000000L) * 1000))
       case "time::from::nanos" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000000L, int(0) % 1000000000L))
       case "time::set_year" =>
-        VDt(utc(arg(0)).withYear(int(1).toInt).toInstant)
-      case "time::set_month" =>
-        VDt(utc(arg(0)).withMonth(int(1).toInt).toInstant)
-      case "time::set_day" =>
-        VDt(utc(arg(0)).withDayOfMonth(int(1).toInt).toInstant)
-      case "time::set_hour" =>
-        VDt(utc(arg(0)).withHour(int(1).toInt).toInstant)
-      case "time::set_minute" =>
-        VDt(utc(arg(0)).withMinute(int(1).toInt).toInstant)
-      case "time::set_second" =>
-        VDt(utc(arg(0)).withSecond(int(1).toInt).toInstant)
-      case "time::set_nanosecond" =>
-        VDt(utc(arg(0)).withNano(int(1).toInt).toInstant)
+        // chrono date range: [-262143, 262142] (val/datetime.rs)
+        val y = int(1)
+        if (y < -262143 || y > 262142)
+          throw SqlError(s"Unable to set datetime to year $y")
+        VDt(utc(arg(0)).withYear(y.toInt).toInstant)
+      case "time::set_month" | "time::set_day" | "time::set_hour" |
+           "time::set_minute" | "time::set_second" | "time::set_nanosecond" =>
+        val v = int(1)
+        if (v < 0 || v > Int.MaxValue)
+          throw SqlError("out of range integral type conversion attempted")
+        try {
+          val z = utc(arg(0))
+          val r = name match {
+            case "time::set_month"      => z.withMonth(v.toInt)
+            case "time::set_day"        => z.withDayOfMonth(v.toInt)
+            case "time::set_hour"       => z.withHour(v.toInt)
+            case "time::set_minute"     => z.withMinute(v.toInt)
+            case "time::set_second"     => z.withSecond(v.toInt)
+            case _                      => z.withNano(v.toInt)
+          }
+          VDt(r.toInstant)
+        } catch {
+          case e: java.time.DateTimeException =>
+            val unit = name.stripPrefix("time::set_")
+            throw SqlError(s"Unable to set datetime to $unit $v")
+        }
       case "time::is::leap_year" =>
         VBool(java.time.Year.isLeap(utc(arg(0)).getYear))
 

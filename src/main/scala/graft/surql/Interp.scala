@@ -2195,6 +2195,11 @@ final class Interp {
     * rows expose themselves as $this only. */
   private def rowEnv(env: Env, row: V): Env = row match {
     case o: VObj => env.copy(doc = Some(o))
+    case VGeom(kind, coords) =>
+      // geometry rows expose their GeoJSON fields (val/geometry.rs)
+      val key = if (kind == "GeometryCollection") "geometries" else "coordinates"
+      env.copy(doc = Some(VObj(TreeMap("type" -> (VStr(kind): V), key -> coords))),
+        params = env.params + ("this" -> row))
     case v       => env.copy(doc = scala.None, params = env.params + ("this" -> v))
   }
 

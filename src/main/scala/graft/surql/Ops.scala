@@ -119,6 +119,9 @@ object Ops {
         throw SqlError(s"""Failed to compute: "${a.renderRaw} - ${b.renderRaw}", as the operation results in a negative value.""")
       durFromNanosOr(total, s"""Failed to compute: "${a.renderRaw} - ${b.renderRaw}", as the operation results in an arithmetic overflow.""")
     case (VArr(x), VArr(y))   => VArr(x.filterNot(e => y.exists(V.looseEq(_, e))))
+    case (VArr(x), VSet(y))   => VArr(x.filterNot(e => y.exists(V.looseEq(_, e))))
+    case (VSet(x), VArr(y))   => V.set(x.filterNot(e => y.exists(V.looseEq(_, e))))
+    case (VSet(x), VSet(y))   => V.set(x.filterNot(e => y.exists(V.looseEq(_, e))))
     case _ => err("subtraction", a, b)
   }
 
@@ -147,11 +150,18 @@ object Ops {
     case _ => err("multiplication", a, b)
   }
 
-  private def durScale(d: VDur, n: VNum, a: V, b: V): VDur = n match {
-    case VInt(i) if i >= 0 => durFromNanos(d.totalNanos * i, "multiplication", a, b)
-    case VFloat(f) if f >= 0 && java.lang.Double.isFinite(f) =>
-      durFromNanos((BigDecimal(d.totalNanos) * BigDecimal(f)).toBigInt, "multiplication", a, b)
-    case _ => err("multiplication", a, b)
+  private def durScale(d: VDur, n: VNum, a: V, b: V): VDur = {
+    val overflowMsg =
+      s"""Failed to compute: "${a.renderRaw} * ${b.renderRaw}", as the operation results in an arithmetic overflow."""
+    n match {
+      case VInt(i) if i >= 0 =>
+        durFromNanosOr(d.totalNanos * i, overflowMsg)
+      case VFloat(f) if f >= 0 && java.lang.Double.isFinite(f) =>
+        durFromNanosOr((BigDecimal(d.totalNanos) * BigDecimal(f)).toBigInt, overflowMsg)
+      case VDec(dec) if dec.signum >= 0 =>
+        durFromNanosOr((BigDecimal(d.totalNanos) * dec).toBigInt, overflowMsg)
+      case _ => err("multiplication", a, b)
+    }
   }
 
   /** `/`: try_div with failures → NaN (operate.rs div). */

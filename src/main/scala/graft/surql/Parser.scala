@@ -2135,6 +2135,10 @@ final class Parser(val src: String) {
   }
 
   /** Does the upcoming input start an expression? (for open-ended ranges) */
+  private val clauseKws = Seq("ORDER", "LIMIT", "START", "GROUP", "SPLIT",
+    "FETCH", "WHERE", "WITH", "TIMEOUT", "PARALLEL", "EXPLAIN", "VERSION", "OMIT")
+  private def peekClauseKw(): Boolean = clauseKws.exists(peekKw)
+
   private def startsExpr(): Boolean = {
     ws()
     if (eof) return false
@@ -3031,12 +3035,14 @@ final class Parser(val src: String) {
       else if (isIdentStart(c)) Lit(VStr(rawIdent()))
       else fail(s"invalid record id key start '$c'")
     }
-    // id range: person:1..5
+    // id range: person:1..5 — a trailing clause keyword is NOT an upper bound
     if (peekSym("..") || peekSym(">..")) {
       val exclLo = sym(">..")
       if (!exclLo) sym("..")
       val incl = sym("=")
-      val hi = if (startsExpr()) Some((exprAtLevel(BpRange + 1), incl)) else scala.None
+      val hi =
+        if (startsExpr() && !peekClauseKw()) Some((exprAtLevel(BpRange + 1), incl))
+        else scala.None
       return RidLit(table, RangeLit(Some((keyExpr, !exclLo)), hi))
     }
     RidLit(table, keyExpr)
