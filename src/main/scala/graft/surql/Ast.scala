@@ -90,6 +90,9 @@ final case class IfExpr(branches: Seq[(Expr, Expr)], otherwise: Option[Expr]) ex
 /** Table reference in FROM position. */
 final case class TableRef(name: String) extends Expr
 final case class Constant(name: String) extends Expr    // math::PI, time::EPOCH …
+/** Embedded `function() { … }` scripting body (raw JS text; only the
+  * single-return-builtin shape is evaluable). */
+final case class JsExpr(params: Seq[Expr], body: String) extends Expr
 
 // ---- kinds (casts / DEFINE FIELD types) ------------------------------
 sealed trait Kind

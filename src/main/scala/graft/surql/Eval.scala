@@ -47,6 +47,21 @@ object Eval {
     case Param(name) =>
       env.params.get(name).orElse(builtinParam(name, env)).getOrElse(VNone)
     case Constant(name) => constant(name)
+    case JsExpr(args, body) =>
+      // only the single-return-builtin scripting shape is evaluable
+      val Shape = """(?s)return\s+surrealdb\.functions\.([A-Za-z_.]+)\((.*)\)\s*;?\s*""".r
+      body match {
+        case Shape(fnPath, argsTxt) =>
+          val fnName = fnPath.replace(".", "::")
+          val argVals =
+            if (argsTxt.trim.isEmpty) Seq.empty[V]
+            else argsTxt.split(",").toSeq.map { t =>
+              try Parser.parseValue(t.trim.replace("\"", "'"))
+              catch { case _: Exception => VStr(t.trim): V }
+            }
+          Functions.apply(fnName, argVals, env)
+        case _ => throw SqlError("Scripting functions are not enabled")
+      }
     case TableRef(name) => VTable(name)
     case Closure(params, body, _) => VClosure(params, body, env.params)
     case Cast(k, inner) => Coerce.cast(k, eval(inner, env))

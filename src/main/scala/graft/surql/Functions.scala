@@ -26,6 +26,18 @@ object Functions {
   }
 
   def method(recv: V, name: String, argEs: Seq[Expr], env: Env): V = {
+    // closure-valued object fields act as methods (expr/part.rs Method)
+    recv match {
+      case VObj(fs) if fs.contains(name) && !fs(name).isInstanceOf[VClosure] &&
+          !arity.contains("object::" + name) && !arity.contains("type::" + name) && !name.startsWith("is_") && !name.startsWith("to_") =>
+        throw SqlError(s"There was a problem running the $name() function. no such method found for the object type")
+      case VObj(fs) => fs.get(name) match {
+        case Some(c: VClosure) =>
+          return applyClosure(c, argEs.map(Eval.eval(_, env)), env)
+        case _ => ()
+      }
+      case _ => ()
+    }
     val ns = recv match {
       case _: VArr   => "array"
       case _: VSet   => "set"
@@ -217,6 +229,7 @@ object Functions {
     "time::unix" -> (1, 1), "time::floor" -> (2, 2), "time::ceil" -> (2, 2),
     "time::round" -> (2, 2), "time::group" -> (2, 2), "time::format" -> (2, 2),
     "type::of" -> (1, 1), "type::type_of" -> (1, 1), "type::file" -> (2, 2),
+    "record::is_edge" -> (1, 1), "schema::table::exists" -> (1, 1),
     "rand::id" -> (0, 2), "sequence::nextval" -> (1, 1),
     "type::string" -> (1, 1), "type::int" -> (1, 1),
     "type::float" -> (1, 1), "type::decimal" -> (1, 1), "type::number" -> (1, 1),
@@ -1165,6 +1178,22 @@ object Functions {
         case VRid(tb, _) => VStr(tb)
         case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected a record but found ${other.render}")
       }
+      case "record::is_edge" => arg(0) match {
+        case rid: VRid =>
+          env.interp.flatMap(_.fetchRecord(rid)) match {
+            case Some(doc) => VBool(doc.fields.get("in").exists(_.isInstanceOf[VRid]) &&
+              doc.fields.get("out").exists(_.isInstanceOf[VRid]))
+            case scala.None => VBool(false)
+          }
+        case VStr(txt) =>
+          (try Some(Parser.parseValue(txt)) catch { case _: Exception => scala.None }) match {
+            case Some(rid: VRid) => apply(name, Seq(rid), env)
+            case _ => throw SqlError("Incorrect arguments for function record::is_edge(). Expected a record ID")
+          }
+        case _ => throw SqlError("Incorrect arguments for function record::is_edge(). Expected a record ID")
+      }
+      case "schema::table::exists" =>
+        VBool(env.interp.exists(in => in.tables.contains(str(0)) || in.tableDefs.contains(str(0))))
       case "record::exists" => arg(0) match {
         case r: VRid => VBool(env.interp.exists(_.fetchRecord(r).isDefined))
         case _ => VBool(false)

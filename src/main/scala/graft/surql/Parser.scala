@@ -2153,6 +2153,30 @@ final class Parser(val src: String) {
     ws()
     if (eof) fail("unexpected end of input")
     val c = peekc
+    if (peekKw("FUNCTION") && { val save = pos; kw("FUNCTION"); ws(); val r = peekc == '('; pos = save; r }) {
+      // embedded scripting function: function(args) { raw-js }
+      kw("FUNCTION")
+      expectSym("(")
+      val args = ArrayBuffer[Expr]()
+      ws()
+      if (peekc != ')') { var g = true; while (g) { args += expr(); g = sym(",") } }
+      expectSym(")")
+      ws()
+      if (peekc != '{') fail("expected scripting body")
+      val b0 = pos
+      var depth = 0
+      do {
+        val ch = peekc
+        if (ch == '{') depth += 1
+        if (ch == '}') depth -= 1
+        if (ch == '"' || ch == '\'') {
+          val q = ch; pos += 1
+          while (!eof && peekc != q) { if (peekc == '\\') pos += 1; pos += 1 }
+        }
+        pos += 1
+      } while (!eof && depth > 0)
+      return JsExpr(args.toSeq, src.substring(b0 + 1, pos - 1).trim)
+    }
     if (c == '!') { pos += 1; Prefix("!", exprAtLevel(BpPrefix)) }
     else if (c == '-' && !src.startsWith("->", pos)) {
       // fold a negative numeric literal so -9223372036854775808 parses as
@@ -2212,6 +2236,12 @@ final class Parser(val src: String) {
       operand = RangeLit(Some((operand, !exclLo)), hi)
     }
     Cast(k, operand)
+  }
+
+  private var kindNoUnionFlag = false
+  def kindNoUnionEntry(): Kind = {
+    kindNoUnionFlag = true
+    try kind() finally kindNoUnionFlag = false
   }
 
   def kind(): Kind = {
@@ -2312,8 +2342,11 @@ final class Parser(val src: String) {
         case other => KTable(Seq(other))
       }
     }
-    kindUnionFrom(one())
+    if (kindNoUnionFlag) one() else kindUnionFrom(one())
   }
+
+  /** A single kind without trailing-union continuation (closure params). */
+  def kindNoUnion(): Kind = kindNoUnionEntry()
 
   private def kindUnion(): Kind = kindUnionFrom(kind())
 
@@ -2375,7 +2408,8 @@ final class Parser(val src: String) {
         else { val e = expr(); expectSym("]"); parts += PIndex(e) }
       }
       else if (peekSym("(") && (prime.isInstanceOf[Closure] || parts.nonEmpty ||
-               prime.isInstanceOf[Subquery] || prime.isInstanceOf[Param])) {
+               prime.isInstanceOf[Subquery] || prime.isInstanceOf[Param] ||
+               prime.isInstanceOf[BlockExpr])) {
         sym("(")
         val args = ArrayBuffer[Expr]()
         ws()
@@ -2763,7 +2797,8 @@ final class Parser(val src: String) {
       while (g) {
         expectSym("$")
         val n = rawIdent()
-        val k = if (sym(":")) Some(kind()) else scala.None
+        // param kinds never cross the closing `|` (no bare unions here)
+        val k = if (sym(":")) Some(kindNoUnion()) else scala.None
         params += ((n, k))
         g = sym(",")
       }
