@@ -169,7 +169,13 @@ object Defs {
       comment: Option[String] = scala.None) {
     def render: String = {
       val thenN = normRaw(thenRaw).replace("; }", " }")
-      val thenTxt = if (thenN.startsWith("(") || thenN.startsWith("{")) thenN else s"($thenN)"
+      val stmtStart = Seq("SELECT", "CREATE", "UPDATE", "UPSERT", "DELETE",
+        "RELATE", "INSERT", "DEFINE", "REMOVE", "RETURN", "IF ", "FOR ", "LET ")
+        .exists(k => thenN.toUpperCase.startsWith(k))
+      val thenTxt =
+        if (thenN.startsWith("(") || thenN.startsWith("{")) thenN
+        else if (stmtStart) s"($thenN)"
+        else thenN
       val sb = new StringBuilder("DEFINE EVENT ").append(escIdent(name))
         .append(" ON ").append(escIdent(table))
       if (async) {

@@ -371,6 +371,16 @@ object Explain {
         val name = e match { case Idiom(Seq(PField(x))) => x; case TableRef(x) => x; case _ => "" }
         // IndexScan access-path selection: equality conjuncts served by an
         // index; residual conjuncts become a Filter (exec/index/access_path.rs)
+        // WHERE id = <rid> (any conjunct) → point lookup (planner record-id equality)
+        s.where.foreach { w =>
+          conjunctList(w).collectFirst {
+            case Binary("=" | "==", Idiom(Seq(PField("id"))), r @ RidLit(tb, _)) if tb == name => r
+          }.foreach { r =>
+            consumedPred = true
+            return PNode("RecordIdScan", "Db",
+              Seq("record_id" -> exprSql(r), "predicate" -> physSql(w)))
+          }
+        }
         val fts = s.where.flatMap(w => fulltextAccess(in, name, w))
         val union = if (fts.isDefined) scala.None
           else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex))

@@ -111,7 +111,12 @@ object Golden {
     }
     def envFlag(name: String): Boolean = t.get(name) match {
       case Some(Toml.B(b)) => b
-      case _ => true
+      case _ =>
+        // `clean = true` suppresses namespace/database provisioning
+        t.get("env.clean") match {
+          case Some(Toml.B(true)) => false
+          case _ => true
+        }
     }
     val legacy = t.get("env.planner-strategy") match {
       case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s == "compute-only"; case _ => false }
@@ -147,6 +152,8 @@ object Golden {
     interp.compactSupported = tf.compactOk
     interp.sessionHasNs = tf.envNamespace
     interp.sessionHasDb = tf.envDatabase
+    if (!tf.envNamespace) interp.curNs = ""
+    if (!tf.envDatabase) interp.curDb = ""
     // imports run first, results discarded
     tf.imports.foreach { imp =>
       val p = testsRoot.resolve(imp.stripPrefix("/"))

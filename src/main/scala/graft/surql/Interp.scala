@@ -608,7 +608,9 @@ final class Interp {
       u.ns.foreach(curNs = _)
       u.db.foreach(curDb = _)
       // USE reports the resulting session target (statements/use)
-      VObj(TreeMap("database" -> VStr(curDb), "namespace" -> VStr(curNs)))
+      VObj(TreeMap(
+        "database" -> (if (curDb.isEmpty) VNone else VStr(curDb): V),
+        "namespace" -> (if (curNs.isEmpty) VNone else VStr(curNs): V)))
     case BeginStmt | CommitStmt | CancelStmt | _: OptionStmt => VNone
   }
 
@@ -2335,6 +2337,8 @@ final class Interp {
     if (s.orderRand) out = scala.util.Random.shuffle(out)
     else if (s.order.nonEmpty) {
       val keys = s.order
+      val fieldAliases: Map[String, Expr] =
+        s.fields.flatMap(f => f.alias.map(_ -> f.expr)).toMap
       out = out.sortWith { (x, y) =>
         var res = 0
         val it = keys.iterator
@@ -2342,8 +2346,15 @@ final class Interp {
           val k = it.next()
           // sort keys do not dereference record links — FETCH runs after
           // ORDER BY (select/fetch/order_by golden), so link paths are NONE
-          val kx = Eval.eval(k.expr, rowEnv(envS, x._1).copy(interp = scala.None))
-          val ky = Eval.eval(k.expr, rowEnv(envS, y._1).copy(interp = scala.None))
+          def keyOf(row: V): V = k.expr match {
+            // ORDER BY a projection alias sorts by the aliased expr (7146)
+            case Idiom(Seq(PField(n))) if fieldAliases.contains(n) && (s.value || !row.isInstanceOf[VObj] ||
+                !row.asInstanceOf[VObj].fields.contains(n)) =>
+              Eval.eval(fieldAliases(n), rowEnv(envS, row).copy(interp = scala.None))
+            case _ => Eval.eval(k.expr, rowEnv(envS, row).copy(interp = scala.None))
+          }
+          val kx = keyOf(x._1)
+          val ky = keyOf(y._1)
           res = (kx, ky) match {
             case (VStr(a), VStr(b)) if k.collate || k.numeric =>
               Interp.orderedStrCmp(a, b, k.collate, k.numeric)

@@ -582,12 +582,15 @@ final class Parser(val src: String) {
           }
           else { expectSym("]"); fn.append(".*") }
         }
+        else if (peekSym("...")) { sym("..."); fn.append("...") }
         else if (peekSym(".") && !peekSym("..")) {
           sym(".")
           ws()
           if (peekc == '*') { pos += 1; fn.append(".*") }
           else fn.append('.').append(rawIdent())
-        } else goFn = false
+        }
+        else if (peekSym("?") && !peekSym("??")) { sym("?"); fn.append("?") }
+        else goFn = false
       }
       val fieldName = fn.toString
       expectKw("ON"); kw("TABLE")
