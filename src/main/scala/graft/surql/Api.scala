@@ -324,7 +324,7 @@ object Api {
             case scala.None => throw SqlError(s"Unknown function $custom()")
             case Some(cl) =>
               val nextClosure: V = VClosure(Seq(("__req", scala.None)),
-                NativeExpr(e => next(e.params.getOrElse("__req", VNone))), Map.empty)
+                NativeExpr(e => next(e.params.getOrElse("__req", VNone))), scala.None, Map.empty)
               val out = Functions.callClosure(cl, (normalizeRequest(reqV): V) +: nextClosure +: args, env)
               toResponse(out)
           }

@@ -15,7 +15,9 @@ final case class Env(
     params: Map[String, V] = Map.empty,
     doc: Option[VObj] = scala.None,
     interp: Option[Interp] = scala.None,
-    repeat: Option[V => V] = scala.None) {
+    repeat: Option[V => V] = scala.None,
+    /** Closure bodies run read-only: writes to missing tables fail. */
+    readonly: Boolean = false) {
   def bind(name: String, v: V): Env = copy(params = params + (name -> v))
 }
 
@@ -63,7 +65,7 @@ object Eval {
         case _ => throw SqlError("Scripting functions are not enabled")
       }
     case TableRef(name) => VTable(name)
-    case Closure(params, body, _) => VClosure(params, body, env.params)
+    case Closure(params, body, ret) => VClosure(params, body, ret, env.params)
     case Cast(k, inner) => Coerce.cast(k, eval(inner, env))
     case FnCall(name, args) => Functions.call(name, args, env)
     case Prefix(op, inner) =>

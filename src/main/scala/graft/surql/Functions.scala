@@ -90,17 +90,34 @@ object Functions {
   }
 
   private def applyClosure(c: V, args: Seq[V], env: Env): V = c match {
-    case VClosure(params, body, captured) =>
-      var e = env.copy(params = env.params ++ captured)
+    case VClosure(params, body, retK, captured) =>
+      var e = env.copy(params = env.params ++ captured, readonly = true)
       params.zipWithIndex.foreach { case ((pname, pk), i) =>
         val av = if (i < args.length) args(i) else VNone
-        e = e.bind(pname, pk.map(Coerce.coerce(_, av)).getOrElse(av))
+        val coerced = pk.map { k =>
+          try Coerce.coerce(k, av)
+          catch {
+            case _: SqlError => throw SqlError(
+              s"Incorrect arguments for function ANONYMOUS(). Expected a value of type '${Explain.kindSql(k)}' for argument $$$pname")
+          }
+        }.getOrElse(av)
+        e = e.bind(pname, coerced)
       }
-      try Eval.eval(body, e)
-      catch {
-        // a closure is a control-flow boundary: break/continue cannot escape
-        case BreakSignal | ContinueSignal =>
-          throw SqlError("Invalid control flow statement, break or continue statement found outside of loop.")
+      val out =
+        try Eval.eval(body, e)
+        catch {
+          // a closure is a control-flow boundary: break/continue cannot escape
+          case BreakSignal | ContinueSignal =>
+            throw SqlError("Invalid control flow statement, break or continue statement found outside of loop.")
+        }
+      retK match {
+        case Some(k) =>
+          try Coerce.coerce(k, out)
+          catch {
+            case e2: SqlError => throw SqlError(
+              s"Couldn't coerce return value from function `ANONYMOUS`: ${e2.msg}")
+          }
+        case scala.None => out
       }
     case _ => throw SqlError("Expected a function argument")
   }
@@ -1557,7 +1574,7 @@ object Functions {
             // custom functions enforce arity: trailing option<T>/any params
             // are optional (fnc script dispatch arg check)
             cl match {
-              case VClosure(params, _, _) =>
+              case VClosure(params, _, _, _) =>
                 val max = params.length
                 def optionalKind(k: Option[Kind]): Boolean = k match {
                   case Some(_: Kind.KOption) | Some(Kind.KAny) | scala.None => true

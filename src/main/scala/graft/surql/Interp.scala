@@ -11,6 +11,16 @@ final case class QOk(v: V) extends QueryResult
 final case class QErr(msg: String) extends QueryResult
 
 object Interp {
+  /** Edge records keep their identity fields across CONTENT/REPLACE updates
+    * (doc/relate.rs — in/out are readonly on edges). */
+  def keepEdgeIdentity(updated: VObj, before: VObj, rid: VRid): VObj = {
+    (before.fields.get("in"), before.fields.get("out")) match {
+      case (Some(i: VRid), Some(o: VRid)) =>
+        VObj(updated.fields.updated("id", rid: V).updated("in", i: V).updated("out", o: V))
+      case _ => updated
+    }
+  }
+
   /** None-elimination on stored documents: object entries whose value is
     * NONE are dropped recursively; NONE stays inside arrays (doc write
     * normalization — upsert/none_remove_field, field/none_elimination). */
@@ -673,7 +683,7 @@ final class Interp {
     val key = s.name.stripPrefix("fn::")
     val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
     if (ddlGate(functionDefs.contains(full), s.mode, s"The function '$full' already exists")) {
-      customFns(key) = VClosure(s.params, s.body, Map.empty)
+      customFns(key) = VClosure(s.params, s.body, scala.None, Map.empty)
       val body = Defs.normRaw(s.bodyRaw).replace("; }", " }")
       functionDefs(full) = Defs.FnDef(full, s.paramsRaw, s.returnsRaw, body, s.comment, s.perms)
     }
@@ -1376,7 +1386,7 @@ final class Interp {
       case Some(d0) =>
         var d = d0
         s.redefine.foreach { r =>
-          customFns(full.stripPrefix("fn::")) = VClosure(r.params, r.body, Map.empty)
+          customFns(full.stripPrefix("fn::")) = VClosure(r.params, r.body, scala.None, Map.empty)
           d = d.copy(paramsRaw = r.paramsRaw, returnsRaw = r.returnsRaw,
             bodyRendered = Defs.normRaw(r.bodyRaw).replace("; }", " }"))
         }
@@ -1825,8 +1835,11 @@ final class Interp {
 
   // ---- catalog ---------------------------------------------------------
 
-  def table(name: String): mutable.LinkedHashMap[V, VObj] =
+  def table(name: String): mutable.LinkedHashMap[V, VObj] = {
+    if (!tables.contains(name) && !tableDefs.contains(name))
+      tableDefs(name) = Defs.TableDef(name) // implicit tables register a definition
     tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
+  }
 
   def fetchRecord(rid: VRid): Option[VObj] = {
     val raw = versionAsOf match {
@@ -2370,10 +2383,20 @@ final class Interp {
     s.start.foreach { st => out = out.drop(Eval.eval(st, envS) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
     s.limit.foreach { lm => out = out.take(Eval.eval(lm, envS) match { case n: VNum => n.toDouble.toInt; case _ => out.length }) }
 
-    // FETCH: dereference record links at (possibly nested) paths
+    // FETCH: dereference record links at (possibly nested) paths;
+    // `FETCH $param` resolves the path name at execution time
     if (s.fetch.nonEmpty) {
+      val paths = s.fetch.flatMap { f =>
+        if (f.startsWith("$"))
+          Eval.eval(Param(f.substring(1)), envS) match {
+            case VStr(p) => Seq(p)
+            case VArr(items) => items.collect { case VStr(p) => p }
+            case _ => Nil
+          }
+        else Seq(f)
+      }
       out = out.map { case (r, k) =>
-        (s.fetch.foldLeft(r)((acc, f) => applyFetch(acc, f.split('.').toList)), k)
+        (paths.foldLeft(r)((acc, f) => applyFetch(acc, f.split('.').toList)), k)
       }
     }
 
@@ -2822,6 +2845,8 @@ final class Interp {
 
   def execCreate(s: CreateStmt, env: Env): V = {
     val created = mutationTargets(s.what, env).map { case (tb, keyOpt) =>
+      if (env.readonly && !tables.contains(tb))
+        throw SqlError(s"The table '$tb' does not exist")
       val t = table(tb)
       // a SET/CONTENT id overrides the generated key (string/int values
       // become the record key — `CREATE person SET id = "x"` → person:x)
@@ -2885,7 +2910,7 @@ final class Interp {
                   case Some(r: VRid) => r
                   case _ => VRid(tb, key)
                 }
-                val updated0 = applyData(doc, data, env.copy(doc = Some(doc)))
+                val updated0 = Interp.keepEdgeIdentity(applyData(doc, data, env.copy(doc = Some(doc))), doc, rid)
                 val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
                 checkUniqueIndexes(tb, rid, updated)
                 t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
@@ -2913,7 +2938,7 @@ final class Interp {
                 case Some(r: VRid) => r
                 case _ => VRid(tb, key)
               }
-              val updated0 = applyData(doc, data, env.copy(doc = Some(doc)))
+              val updated0 = Interp.keepEdgeIdentity(applyData(doc, data, env.copy(doc = Some(doc))), doc, rid)
               val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
               checkUniqueIndexes(tb, rid, updated)
               t(key) = updated
@@ -3085,15 +3110,18 @@ final class Interp {
           fs("id").asInstanceOf[VRid]
       }
       case VObj(fs) => fs.get("id").collect { case r: VRid => r }.toSeq
-      case other => throw SqlError(s"Can not RELATE ${other.render}")
+      case other =>
+        val prop = if (e eq s.from) "in" else "out"
+        throw SqlError(s"Cannot execute RELATE statement where property '$prop' is: ${other.renderRaw}")
     }
+    var edgeKeyFromValue: Option[V] = scala.None
     val edgeTable = s.edge match {
       case Idiom(Seq(PField(n))) => n
       case RidLit(tb, _) => tb
       case e => Eval.eval(e, env) match {
         case VTable(n) => n
         case VStr(n) => n
-        case VRid(tb, _) => tb
+        case VRid(tb, k) => edgeKeyFromValue = Some(k); tb
         case other => throw SqlError(s"Can not RELATE through ${other.render}")
       }
     }
@@ -3111,13 +3139,27 @@ final class Interp {
           }
           case _ => scala.None
         }
+        case Some(SetData(sets)) =>
+          sets.collectFirst {
+            case (Idiom(Seq(PField("id"))), "=", ve) => Eval.eval(ve, env) match {
+              case VRid(_, k) => k
+              case v => v
+            }
+          }
         case _ => scala.None
       }
       val key = s.edge match {
         case RidLit(_, keyE) => Eval.eval(keyE, env)
-        case _ => dataId.getOrElse(nextId())
+        case _ => edgeKeyFromValue.orElse(dataId).getOrElse(nextId())
       }
       val rid = VRid(edgeTable, key)
+      // ENFORCED relations require both endpoints to exist (doc/relate.rs)
+      tableDefs.get(edgeTable).filter(d => d.ttype == "RELATION" && d.enforced).foreach { _ =>
+        Seq(from, to).foreach { r =>
+          if (fetchRecord(r).isEmpty)
+            throw SqlError(s"The record '${Render.sql(r)}' does not exist")
+        }
+      }
       // typed relations coerce in/out to their IN/OUT record kinds
       tableDefs.get(edgeTable).filter(_.ttype == "RELATION").foreach { d =>
         if (d.relIn.nonEmpty && !d.relIn.contains(from.table))

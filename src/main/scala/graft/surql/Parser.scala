@@ -1748,7 +1748,15 @@ final class Parser(val src: String) {
       if (kw("START")) { kw("AT"); start = Some(expr()) }
     }
     val fetch = ArrayBuffer[String]()
-    if (kw("FETCH")) { var g = true; while (g) { fetch += idiomName(); g = sym(",") } }
+    if (kw("FETCH")) {
+      var g = true
+      while (g) {
+        ws()
+        if (peekc == '$') { pos += 1; fetch += "$" + rawIdent() }
+        else fetch += idiomName()
+        g = sym(",")
+      }
+    }
     val version = if (kw("VERSION")) Some(expr()) else scala.None
     val timeout = if (kw("TIMEOUT")) Some(expr()) else scala.None
     kw("PARALLEL")

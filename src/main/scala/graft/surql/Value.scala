@@ -150,6 +150,7 @@ final case class VRegex(pattern: String) extends V {
 }
 /** Closure `|$x| expr` — carries its defining environment. */
 final case class VClosure(params: Seq[(String, Option[ast.Kind])], body: ast.Expr,
+    ret: Option[ast.Kind] = scala.None,
     env: Map[String, V]) extends V
 /** Geometry (minimal): GeoJSON-ish tagged representation. */
 final case class VGeom(kind: String, coords: V) extends V
