@@ -2403,7 +2403,16 @@ final class Interp {
     // VALUE
     if (s.value) {
       val fe = s.fields.head.expr
-      out.map { case (r, k) => (Eval.eval(fe, rowEnv(envS, r)), k) }
+      out.map { case (r, k) =>
+        // OMIT strips fields from the source document before VALUE
+        // projection (select_value_omit)
+        val base = r match {
+          case obj: VObj if s.omit.nonEmpty =>
+            s.omit.foldLeft(obj)((acc, o) => removeDocPath(acc, o.split('.').toList))
+          case other => other
+        }
+        (Eval.eval(fe, rowEnv(envS, base)), k)
+      }
     } else out
   }
 
@@ -2579,7 +2588,16 @@ final class Interp {
       var fields = doc.fields
       val de = env.copy(doc = Some(VObj(fields)))
       sets.foreach { case (idiom, op, valueE) =>
-        val path = idiom.parts.collect { case PField(n) => n }.toList
+        // resolve dynamic [expr] segments to literal keys (dynamic_keys)
+        val path = idiom.parts.toList.flatMap {
+          case PField(n) => Seq(n)
+          case PIndex(ie) => Eval.eval(ie, env.copy(doc = Some(VObj(fields)))) match {
+            case VStr(k) => Seq(k)
+            case VInt(i) => Seq(i.toString)
+            case _ => Nil
+          }
+          case _ => Nil
+        }
         val newV = Eval.eval(valueE, env.copy(doc = Some(VObj(fields))))
         val resolved = op match {
           case "=" => newV
