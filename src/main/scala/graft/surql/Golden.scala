@@ -32,7 +32,7 @@ object Golden {
       expectParseError: Boolean = false,
       envNamespace: Boolean = true, envDatabase: Boolean = true,
       legacyPlanner: Boolean = false, recordAuth: Boolean = false,
-      compactOk: Boolean = false)
+      compactOk: Boolean = false, authRid: Option[String] = scala.None)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -126,12 +126,19 @@ object Golden {
       case Some(Toml.T(fields)) => fields.contains("access") || fields.contains("rid")
       case _ => false
     }
+    val authRid = t.get("env.auth") match {
+      case Some(Toml.T(fields)) => fields.get("rid") match {
+        case Some(Toml.S(r)) => Some(r)
+        case _ => scala.None
+      }
+      case _ => scala.None
+    }
     val compactOk = t.get("env.backend") match {
       case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s != "mem"; case _ => false }
       case _ => false
     }
     TestFile(path, src, expected, imports, run, wip, parseErr,
-      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk)
+      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk, authRid)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -149,6 +156,10 @@ object Golden {
     if (tf.envDatabase) interp.databases("test") = "DEFINE DATABASE test"
     interp.legacyPlanner = tf.legacyPlanner
     interp.recordAuth = tf.recordAuth
+    interp.authRid = tf.authRid.flatMap { r =>
+      try Some(Parser.parseValue(r)).collect { case rid: VRid => rid }
+      catch { case _: Exception => scala.None }
+    }
     interp.compactSupported = tf.compactOk
     interp.sessionHasNs = tf.envNamespace
     interp.sessionHasDb = tf.envDatabase

@@ -174,6 +174,49 @@ final class Interp {
   /** Record-level auth session ([env] auth with an access method) — API
     * permission clauses are only enforced for record users (check_perms). */
   var recordAuth = false
+  /** Record-auth session subject ($auth) for permission WHERE clauses. */
+  var authRid: Option[VRid] = scala.None
+  private val permExprCache = mutable.HashMap[String, Option[ast.Expr]]()
+
+  /** The SELECT permission applied to reads of `tb` under record auth:
+    * None = unrestricted, Some(None) = table pruned (NONE),
+    * Some(Some(cond)) = row filter (catalog perms; doc/compute.rs). */
+  def readPermission(tb: String): Option[Option[ast.Expr]] = {
+    if (!recordAuth) return scala.None
+    tableDefs.get(tb).flatMap { d =>
+      d.perms.collectFirst { case ("select", v) => v }.flatMap {
+        case "FULL" => scala.None
+        case "NONE" => Some(scala.None)
+        case w if w.startsWith("WHERE ") =>
+          val cond = permExprCache.getOrElseUpdate(w,
+            try Some(Parser.parse("RETURN " + w.stripPrefix("WHERE ") + ";").stmts.collectFirst {
+              case ReturnStmt(e) => e
+            }.get)
+            catch { case _: Exception => scala.None })
+          Some(cond)
+        case _ => scala.None
+      }
+    }
+  }
+
+  /** Re-entrancy guard: permission predicates with subqueries must not
+    * re-check permissions on the tables they read (skip_fetch_perms). */
+  private var permDepth = 0
+
+  /** Filter rows by the table's SELECT permission ($auth bound). */
+  def permFilter(tb: String, rows: Vector[VObj]): Vector[VObj] = {
+    if (permDepth > 0) return rows
+    readPermission(tb) match {
+      case scala.None => rows
+      case Some(scala.None) => Vector.empty
+      case Some(Some(cond)) =>
+        val base = Env(params = globals + ("auth" -> authRid.map(identity[V]).getOrElse(VNone)),
+          interp = Some(this))
+        permDepth += 1
+        try rows.filter(r => Eval.eval(cond, base.copy(doc = Some(r))).truthy)
+        finally permDepth -= 1
+    }
+  }
   /** Active api::timeout deadline: (instant, rendered duration). */
   var apiDeadline: Option[(java.time.Instant, String)] = scala.None
 
@@ -2114,8 +2157,9 @@ final class Interp {
             tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
               .toVector.sortBy(_._1)(V.ordering).map(_._2)
         }
-        if (computedOrder(name).isEmpty) rows
-        else rows.map(withComputed(name, _, readEnv))
+        val visible = permFilter(name, rows)
+        if (computedOrder(name).isEmpty) visible
+        else visible.map(withComputed(name, _, readEnv))
     }
   }
 
@@ -2164,9 +2208,9 @@ final class Interp {
     case RidLit(tb, keyE) =>
       Eval.eval(keyE, env) match {
         case rng: VRng =>
-          table(tb).collect { case (k, doc) if Ops.contains(rng, k) => doc }.toVector
+          permFilter(tb, table(tb).collect { case (k, doc) if Ops.contains(rng, k) => doc }.toVector)
         case key =>
-          fetchRecord(VRid(tb, key)).toVector
+          permFilter(tb, fetchRecord(VRid(tb, key)).toVector)
       }
     case other =>
       Eval.eval(other, env) match {
@@ -2318,7 +2362,12 @@ final class Interp {
     // GROUP
     val grouped: Vector[(V, Option[Seq[V]])] = s.groupBy match {
       case Some(Nil) => // GROUP ALL (views drop the empty group, selects keep it)
-        if (rows.isEmpty && suppressEmptyGroupAll) Vector.empty
+        val prunedByPerms = recordAuth && rows.isEmpty && s.what.nonEmpty && s.what.forall {
+          case Idiom(Seq(PField(n))) => readPermission(n) == Some(scala.None)
+          case TableRef(n)           => readPermission(n) == Some(scala.None)
+          case _ => false
+        }
+        if (rows.isEmpty && (suppressEmptyGroupAll || prunedByPerms)) Vector.empty
         else Vector((projectGroup(rows, s, Nil, envS), Some(Nil)))
       case Some(keys0) =>
         // GROUP BY may reference SELECT aliases (GROUP BY country, year where
