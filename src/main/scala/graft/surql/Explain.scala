@@ -98,6 +98,10 @@ object Explain {
   private def opSql(op: String): String = op match {
     case "&&" => "AND"
     case "||" => "OR"
+    case "MATCHES" => "@@"
+    case m if m.startsWith("MATCHES:") =>
+      val ref = m.split(':').lift(1).getOrElse("")
+      if (ref.nonEmpty) s"@$ref@" else "@@"
     case other => other
   }
 
@@ -318,6 +322,24 @@ object Explain {
   }
 
   /** SELECT statement → plan tree (pipeline assembly, select.rs:195). */
+  /** Set during EXPLAIN ANALYZE plan building: per-branch scans count
+    * their own rows (dbs metrics). */
+  var analyzeMode = false
+
+  private def branchRows(in: Interp, table: String, cond: Expr): Option[Long] = {
+    if (!analyzeMode) return scala.None
+    val sel = SelectStmt(
+      fields = Seq(Field(Idiom(Seq(PAll)), scala.None, isAll = true)), value = false,
+      omit = Nil, only = false, what = Seq(Idiom(Seq(PField(table)))), where = Some(cond),
+      split = Nil, groupBy = scala.None, order = Nil, orderRand = false,
+      limit = scala.None, start = scala.None, fetch = Nil,
+      version = scala.None, timeout = scala.None, explain = false)
+    try in.execStatement(sel, Env(params = in.globals, interp = Some(in))) match {
+      case VArr(items) => Some(items.length.toLong)
+      case _           => scala.None
+    } catch { case _: Exception => scala.None }
+  }
+
   def selectPlan(s: SelectStmt, in: Interp): PNode = {
     val singleTable: Option[String] = s.what match {
       case Seq(Idiom(Seq(PField(n)))) => Some(n)
@@ -384,13 +406,46 @@ object Explain {
         val fts = s.where.flatMap(w => fulltextAccess(in, name, w))
         val union = if (fts.isDefined) scala.None
           else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex))
-        union.foreach { case (idxName, items, _) =>
+        union.foreach { case (idxName, items, c) =>
           consumedPred = true
           residualPred = s.where
-          val branches = items.map(v => PNode("IndexScan", "Db",
-            Seq("index" -> idxName, "access" -> ("= " + v), "direction" -> "Forward")))
+          val branches = items.zipWithIndex.map { case (v, bi) =>
+            val rows = c match {
+              case Binary(_, lhs, ArrLit(elems)) if bi < elems.length =>
+                branchRows(in, name, Binary("=", lhs, elems(bi)))
+              case _ => scala.None
+            }
+            PNode("IndexScan", "Db",
+              Seq("index" -> idxName, "access" -> ("= " + v), "direction" -> "Forward"),
+              rows = rows)
+          }
           return PNode("UnionIndexScan", "Db",
             Seq("table" -> name, "branches" -> branches.length.toString), branches)
+        }
+        // OR across per-disjunct indexes: UnionIndexScan with one branch each
+        s.where.map(disjunctList).filter(_.length > 1).foreach { ds =>
+          val branchOpts: Seq[Option[PNode]] = ds.map { d =>
+            indexAccess(in, name, d, s.withIndex) match {
+              case Some((idxName, access, scala.None, _, eqLen)) if eqLen > 0 =>
+                Some(PNode("IndexScan", "Db",
+                  Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"),
+                  rows = branchRows(in, name, d)))
+              case _ => fulltextAccess(in, name, d) match {
+                case Some((idxName, q, scala.None)) =>
+                  Some(PNode("FullTextScan", "Db",
+                    Seq("index" -> idxName, "query" -> q),
+                    rows = branchRows(in, name, d)))
+                case _ => scala.None
+              }
+            }
+          }
+          if (branchOpts.forall(_.isDefined)) {
+            consumedPred = true
+            residualPred = s.where
+            val branches = branchOpts.flatten
+            return PNode("UnionIndexScan", "Db",
+              Seq("table" -> name, "branches" -> branches.length.toString), branches)
+          }
         }
         val idx = if (fts.isDefined) scala.None
           else s.where.flatMap(w => indexAccess(in, name, w, s.withIndex))
@@ -1012,6 +1067,109 @@ object Explain {
         case _ => ()
       }
     }
+    // every AND conjunct individually index-served: one Iterate Index entry
+    // per conjunct, intersected (idx/planner multi-index AND)
+    if (!noIndexHint && table.isDefined && s.where.isDefined) {
+      val cs = conjunctList(s.where.get)
+      if (cs.length > 1) {
+        def entryFor(c: Expr): Option[V] = c match {
+          case Binary("INSIDE" | "IN", Idiom(ps), ArrLit(items))
+              if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
+            val path = fieldPathName(ps).get
+            in.indexDefs.collectFirst {
+              case ((t, _), d) if t == table.get && d.fields == Seq(path) &&
+                  s.withIndex.forall(_.contains(d.name)) &&
+                  !d.tail.toUpperCase.startsWith("FULLTEXT") =>
+                V.obj(
+                  "detail" -> V.obj(
+                    "plan" -> V.obj(
+                      "index" -> VStr(d.name),
+                      "operator" -> VStr("union"),
+                      "value" -> VArr(items.map(i =>
+                        try Eval.eval(i, env) catch { case _: SqlError => VNone }).toVector)),
+                    "table" -> VStr(table.get)),
+                  "operation" -> VStr("Iterate Index")): V
+            }
+          case Binary("=" | "==", Idiom(ps), rhs)
+              if fieldPathName(ps).isDefined && !touchesDb(rhs) =>
+            val path = fieldPathName(ps).get
+            in.indexDefs.collectFirst {
+              case ((t, _), d) if t == table.get && d.fields == Seq(path) &&
+                  s.withIndex.forall(_.contains(d.name)) &&
+                  !d.tail.toUpperCase.startsWith("FULLTEXT") =>
+                V.obj(
+                  "detail" -> V.obj(
+                    "plan" -> V.obj(
+                      "index" -> VStr(d.name),
+                      "operator" -> VStr("="),
+                      "value" -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })),
+                    "table" -> VStr(table.get)),
+                  "operation" -> VStr("Iterate Index")): V
+            }
+          case Binary(op @ (">" | ">=" | "<" | "<="), Idiom(ps), rhs)
+              if fieldPathName(ps).isDefined && !touchesDb(rhs) =>
+            val path = fieldPathName(ps).get
+            in.indexDefs.collectFirst {
+              case ((t, _), d) if t == table.get && d.fields == Seq(path) &&
+                  s.withIndex.forall(_.contains(d.name)) &&
+                  !d.tail.toUpperCase.startsWith("FULLTEXT") =>
+                val v: V = try Eval.eval(rhs, env) catch { case _: SqlError => VNone }
+                val from: (V, Boolean) = if (op.startsWith(">")) (v, op == ">=") else (VNone, false)
+                val to: (V, Boolean) = if (op.startsWith("<")) (v, op == "<=") else (VNone, false)
+                V.obj(
+                  "detail" -> V.obj(
+                    "plan" -> V.obj(
+                      "direction" -> VStr("forward"),
+                      "from" -> V.obj("inclusive" -> VBool(from._2), "value" -> from._1),
+                      "index" -> VStr(d.name),
+                      "to" -> V.obj("inclusive" -> VBool(to._2), "value" -> to._1)),
+                    "table" -> VStr(table.get)),
+                  "operation" -> VStr("Iterate Index")): V
+            }
+          case _ => scala.None
+        }
+        def entriesFor(c: Expr): Option[Seq[V]] = {
+          val ds = disjunctList(c)
+          if (ds.length > 1) {
+            val each = ds.map(entryFor)
+            if (each.forall(_.isDefined)) Some(each.flatten) else scala.None
+          } else entryFor(c).map(Seq(_))
+        }
+        val perConjunct = cs.map(entriesFor)
+        // only multi-index AND when >1 distinct indexes involved and ALL served
+        if (perConjunct.forall(_.isDefined)) {
+          // the planner schedules point/union probes before range scans
+          val rendered0 = perConjunct.flatten.flatten
+          def isRange(v: V): Boolean = v match {
+            case VObj(fs) => fs.get("detail") match {
+              case Some(VObj(dfs)) => dfs.get("plan") match {
+                case Some(VObj(pfs)) => pfs.contains("from")
+                case _ => false
+              }
+              case _ => false
+            }
+            case _ => false
+          }
+          val rendered = rendered0.filterNot(isRange) ++ rendered0.filter(isRange)
+          val idxNames = rendered.flatMap {
+            case VObj(fs) => fs.get("detail") match {
+              case Some(VObj(dfs)) => dfs.get("plan") match {
+                case Some(VObj(pfs)) => pfs.get("index").collect { case VStr(n) => n }
+                case _ => scala.None
+              }
+              case _ => scala.None
+            }
+            case _ => scala.None
+          }
+          if (idxNames.distinct.length > 1) {
+            rendered.foreach(entries += _)
+            entries += collectorEntry()
+            fullRows(recordStrategy(s, fullyIndexed = true, mutation), fullyIndexed = true)
+            return VArr(entries.toVector)
+          }
+        }
+      }
+    }
     // full-text access: `field @ref@ 'query'` over a FULLTEXT/SEARCH index
     if (!noIndexHint && table.isDefined && s.where.isDefined) {
       fulltextAccessOp(in, table.get, s.where.get) match {
@@ -1206,7 +1364,8 @@ object Explain {
   /** EXPLAIN [ANALYZE] execution (Interp side): build, optionally run for
     * row counts, render. */
   def run(in: Interp, analyze: Boolean, json: Boolean, inner: Statement, env: Env): V = {
-    val plan = statementPlan(inner, in)
+    analyzeMode = analyze
+    val plan = try statementPlan(inner, in) finally analyzeMode = false
     if (!analyze) {
       if (json) renderJson(plan, scala.None)
       else VStr(renderText(plan, scala.None))
@@ -1246,6 +1405,7 @@ object Explain {
         case _ => scala.None
       }
       def annotate(n: PNode): PNode = {
+        if (n.rows.isDefined) return n.copy(children = n.children.map(annotate))
         val r =
           if (n.ctx != "Db") 0L
           else if (n.name.endsWith("Scan") && scanRows.isDefined) scanRows.get
