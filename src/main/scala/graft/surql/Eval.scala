@@ -110,6 +110,14 @@ object Eval {
   private def builtinParam(name: String, env: Env): Option[V] = name match {
     case "this" | "self" => env.doc
     case "parent"        => env.params.get("parent")
+    case "session"       => env.interp.map { i =>
+      import scala.collection.immutable.TreeMap
+      def opt(v: String, selected: Boolean): V = if (v.isEmpty && !selected) VNone else VStr(v)
+      VObj(TreeMap(
+        "ns" -> opt(i.curNs, i.sessionHasNs),
+        "db" -> opt(i.curDb, i.sessionHasDb)))
+    }
+    case "auth"          => env.interp.flatMap(_.authRid).map(identity[V])
     case _               => scala.None
   }
 

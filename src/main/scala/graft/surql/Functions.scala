@@ -337,6 +337,24 @@ object Functions {
           case _ =>
             VArr((1L to int(1)).map(_ => VRid(tb, VStr(Interp.randomId()))).toVector)
         }
+      case "__mock_range__" =>
+        val tb = str(0)
+        arg(1) match {
+          case VRng(lo, hi) =>
+            val start = lo match {
+              case Some((VInt(l), incl)) => if (incl) l else l + 1
+              case _ => Long.MinValue
+            }
+            val end = hi match {
+              case Some((VInt(h), incl)) => if (incl) h else h - 1
+              case _ => Long.MaxValue
+            }
+            val count = BigInt(end) - BigInt(start) + 1
+            if (count > 1000000)
+              throw SqlError("Mock range exceeds allocation limit")
+            VArr((start to end).map(i => VRid(tb, VInt(i))).toVector)
+          case other => typeErr(1, "range", other)
+        }
       case "count" =>
         if (a.isEmpty) VInt(1)
         else arg(0) match {
@@ -1538,8 +1556,10 @@ object Functions {
         }
 
       // ---- session (static defaults) ----------------------------------
-      case "session::db" => VStr("test")
-      case "session::ns" => VStr("test")
+      case "session::db" =>
+        env.interp.map(i => if (i.curDb.isEmpty && !i.sessionHasDb) VNone else VStr(i.curDb): V).getOrElse(VStr("test"))
+      case "session::ns" =>
+        env.interp.map(i => if (i.curNs.isEmpty && !i.sessionHasNs) VNone else VStr(i.curNs): V).getOrElse(VStr("test"))
       case "session::id" | "session::origin" | "session::ip" | "session::ac" |
            "session::rd" | "session::token" => VNone
 

@@ -658,8 +658,8 @@ final class Interp {
     case s: InfoStmt if s.version.isDefined => execInfoVersioned(s, env)
     case s: InfoStmt => execInfo(s)
     case u: UseStmt =>
-      u.ns.foreach(curNs = _)
-      u.db.foreach(curDb = _)
+      u.ns.foreach { n => curNs = n; sessionHasNs = true }
+      u.db.foreach { d => curDb = d; sessionHasDb = true }
       // USE reports the resulting session target (statements/use)
       VObj(TreeMap(
         "database" -> (if (curDb.isEmpty) VNone else VStr(curDb): V),

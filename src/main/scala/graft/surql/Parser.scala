@@ -2827,11 +2827,27 @@ final class Parser(val src: String) {
     expectSym("|")
     val tb = rawIdent()
     expectSym(":")
-    val lo = intLit()
-    val hi = if (sym("..")) Some(intLit()) else scala.None
-    expectSym("|")
-    FnCall("__mock__", Seq(Lit(VStr(tb)), Lit(VInt(lo)),
-      hi.map(h => Lit(VInt(h)): Expr).getOrElse(Lit(VNone))))
+    ws()
+    def signedInt(): Long = {
+      val neg = sym("-")
+      val v = BigInt(intLit())
+      (if (neg) -v else v).toLong
+    }
+    val lo: Option[Long] =
+      if (peekc == '.' || peekc == '>') scala.None else Some(signedInt())
+    val exclLo = sym(">..")
+    if (exclLo || sym("..")) {
+      val inclHi = sym("=")
+      ws()
+      val hi: Option[Long] = if (peekc != '|') Some(signedInt()) else scala.None
+      expectSym("|")
+      // range mock: id range [lo, hi) with >../..= variants (mock.rs)
+      FnCall("__mock_range__", Seq(Lit(VStr(tb)),
+        Lit(VRng(lo.map(l => (VInt(l): V, !exclLo)), hi.map(h => (VInt(h): V, inclHi))))))
+    } else {
+      expectSym("|")
+      FnCall("__mock__", Seq(Lit(VStr(tb)), Lit(VInt(lo.getOrElse(0L))), Lit(VNone)))
+    }
   }
 
   private def regexLit(): Expr = {
