@@ -287,7 +287,8 @@ object Coerce {
       case _ => coerceErr(k, v)
     }
     case KSet(inner, _) => v match {
-      case VArr(items) => VArr(dedup(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items)))
+      case VSet(items) => V.set(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
+      case VArr(items) => V.set(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
       case _ => coerceErr(k, v)
     }
     case KObject => v match { case o: VObj => o; case _ => coerceErr(k, v) }

@@ -2885,19 +2885,27 @@ final class Parser(val src: String) {
           case '"' => sb.append('"')
           case '/' => sb.append('/')
           case 'u' =>
+            def hexChars(h: String): Unit = {
+              if (h.isEmpty || !h.forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
+                fail(s"invalid unicode escape '\\u$h'")
+              try sb.appendAll(Character.toChars(Integer.parseInt(h, 16)))
+              catch { case _: Exception => fail(s"invalid unicode escape '\\u$h'") }
+            }
             if (peekc == '{') {
               pos += 1
               val st = pos
-              while (!eof && peekc != '}') pos += 1
+              while (!eof && peekc != '}' && peekc != '\'' && peekc != '"' && peekc != ';') pos += 1
+              if (eof || peekc != '}') fail("missing closing brace for unicode escape")
               val hex = src.substring(st, pos)
               pos += 1
-              sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+              hexChars(hex)
             } else {
+              if (pos + 4 > src.length) fail("truncated unicode escape")
               val hex = src.substring(pos, pos + 4)
               pos += 4
-              sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+              hexChars(hex)
             }
-          case other => sb.append(other)
+          case other => fail(s"invalid escape character '$other'")
         }
       } else { sb.append(peekc); pos += 1 }
     }
@@ -2997,7 +3005,9 @@ final class Parser(val src: String) {
     // prefixed strings: d'..' u'..' s'..' r'..' b'..'
     if (name.length == 1 && (peekc == '\'' || peekc == '"')) {
       lower match {
-        case "d" => val (s, _) = stringLit(); return Lit(parseDatetime(s))
+        case "d" =>
+          val (s, _) = stringLit()
+          return Lit(try parseDatetime(s) catch { case e: SqlError => fail(e.msg) })
         case "u" => val (s, _) = stringLit(); return Lit(VUuid(java.util.UUID.fromString(s)))
         case "s" => val (s, _) = stringLit(); return Lit(VStr(s))
         case "b" => val (s, _) = stringLit(); return Lit(VBytes(hexToBytes(s)))
@@ -3111,9 +3121,37 @@ final class Parser(val src: String) {
   }
 
   def parseDatetime(s: String): V = {
+    // chrono accepts a space separator and lowercase t/z
+    val n0 = s.trim
+    val n = {
+      val b = n0.toCharArray
+      var i = 0
+      while (i < b.length) {
+        if (b(i) == 't' && i >= 8) b(i) = 'T'
+        else if (b(i) == ' ' && i >= 8 && n0.indexOf(' ') == i) b(i) = 'T'
+        else if (b(i) == 'z' && i == b.length - 1) b(i) = 'Z'
+        i += 1
+      }
+      val t0 = new String(b)
+      // java.time needs canonical year fields; chrono writes -000000/000000
+      val YearRe = "^([+-]?)(\\d{4,6})(-.*)$".r
+      t0 match {
+        case YearRe(sign, digits, rest) =>
+          val y = BigInt(digits) * (if (sign == "-") -1 else 1)
+          val yTxt =
+            if (y >= 0 && y <= 9999) f"${y.toInt}%04d"
+            else if (y < 0 && y >= -9999) "-" + f"${-y.toInt}%04d"
+            else if (y > 0) "+" + f"${y.toInt}%06d"
+            else "-" + f"${-y.toInt}%06d"
+          yTxt + rest
+        case _ => t0
+      }
+    }
+    // chrono truncates sub-nanosecond fractions; java.time rejects them
+    val n2 = "\\.(\\d{10,})".r.replaceAllIn(n, m => "." + m.group(1).take(9))
     val t = try {
-      if (s.length == 10) java.time.LocalDate.parse(s).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
-      else java.time.OffsetDateTime.parse(s).toInstant
+      if (n2.length == 10) java.time.LocalDate.parse(n2).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+      else java.time.OffsetDateTime.parse(n2).toInstant
     } catch {
       case _: Exception => throw SqlError(s"Expected a datetime but cannot convert '$s' into a datetime")
     }
