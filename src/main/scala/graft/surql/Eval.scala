@@ -125,24 +125,24 @@ object Eval {
     case "math::pi"          => VFloat(Math.PI)
     case "math::e"           => VFloat(Math.E)
     case "math::tau"         => VFloat(Math.PI * 2)
-    case "math::inf"         => VFloat(Double.PositiveInfinity)
-    case "math::neg_inf"     => VFloat(Double.NegativeInfinity)
+    case "math::inf" | "math::infinity" => VFloat(Double.PositiveInfinity)
+    case "math::neg_inf" | "math::neg_infinity" => VFloat(Double.NegativeInfinity)
     case "math::frac_1_pi"   => VFloat(1.0 / Math.PI)
-    case "math::frac_1_sqrt_2" => VFloat(1.0 / Math.sqrt(2.0))
+    case "math::frac_1_sqrt_2" => VFloat(0.70710678118654752440084436210484903) // FRAC_1_SQRT_2
     case "math::frac_2_pi"   => VFloat(2.0 / Math.PI)
     case "math::frac_2_sqrt_pi" => VFloat(2.0 / Math.sqrt(Math.PI))
     case "math::frac_pi_2"   => VFloat(Math.PI / 2)
-    case "math::frac_pi_3"   => VFloat(Math.PI / 3)
+    case "math::frac_pi_3"   => VFloat(1.04719755119659774615421446109316763) // FRAC_PI_3
     case "math::frac_pi_4"   => VFloat(Math.PI / 4)
-    case "math::frac_pi_6"   => VFloat(Math.PI / 6)
-    case "math::frac_pi_8"   => VFloat(Math.PI / 8)
-    case "math::ln_10"       => VFloat(Math.log(10.0))
-    case "math::ln_2"        => VFloat(Math.log(2.0))
-    case "math::log10_2"     => VFloat(Math.log10(2.0))
-    case "math::log10_e"     => VFloat(Math.log10(Math.E))
-    case "math::log2_10"     => VFloat(Math.log(10.0) / Math.log(2.0))
-    case "math::log2_e"      => VFloat(1.0 / Math.log(2.0))
-    case "math::sqrt_2"      => VFloat(Math.sqrt(2.0))
+    case "math::frac_pi_6"   => VFloat(0.52359877559829887307710723054658381) // FRAC_PI_6
+    case "math::frac_pi_8"   => VFloat(0.39269908169872415480783042290993786) // FRAC_PI_8
+    case "math::ln_10"       => VFloat(2.30258509299404568401799145468436421) // LN_10
+    case "math::ln_2"        => VFloat(0.69314718055994530941723212145817656) // LN_2
+    case "math::log10_2"     => VFloat(0.30102999566398119521373889472449302) // LOG10_2
+    case "math::log10_e"     => VFloat(0.43429448190325182765112891891660508) // LOG10_E
+    case "math::log2_10"     => VFloat(3.32192809488736234787031942948939018) // LOG2_10
+    case "math::log2_e"      => VFloat(1.44269504088896340735992468100189214) // LOG2_E
+    case "math::sqrt_2"      => VFloat(1.41421356237309504880168872420969808) // SQRT_2
     case "time::epoch"       => VDt(java.time.Instant.EPOCH)
     case "time::minimum"     => VDt(java.time.Instant.parse("-262143-01-01T00:00:00Z"))
     case "time::maximum"     => VDt(java.time.Instant.parse("+262142-12-31T23:59:59Z"))

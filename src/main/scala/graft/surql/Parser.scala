@@ -668,6 +668,13 @@ final class Parser(val src: String) {
       // canonical render: BM25 with no explicit params shows the reference's
       // defaults (k1=1.2, b=0.75 — catalog render of SearchParams)
       tail = tail.replaceAll("(?i)\\bBM25\\b(?!\\s*\\()", "BM25(1.2,0.75)")
+      val tailU0 = tail.toUpperCase
+      if (tailU0.startsWith("COUNT") && fields.nonEmpty)
+        fail("COUNT indexes do not take FIELDS")
+      if (fields.isEmpty && !tailU0.startsWith("COUNT"))
+        fail("expected FIELDS")
+      if (tailU0.startsWith("FULLTEXT") && fields.length > 1)
+        fail("FULLTEXT indexes take exactly one field")
       val concurrently = tail.toUpperCase.contains("CONCURRENTLY")
       if (concurrently)
         tail = tail.replaceAll("(?i)\\s*\\bCONCURRENTLY\\b\\s*", " ").trim
