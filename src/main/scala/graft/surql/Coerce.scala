@@ -205,14 +205,12 @@ object Coerce {
     }
     case KGeometry(_) => v match {
       case g: VGeom => g
-      case VArr(Vector(x: VNum, y: VNum)) =>
-        VGeom("Point", VArr(Vector(VFloat(x.toDouble), VFloat(y.toDouble))))
       case VObj(fs) =>
         (fs.get("type"), fs.get("coordinates")) match {
           case (Some(VStr(t)), Some(c)) => VGeom(t, c)
           case _ => err(k, v)
         }
-      case _ => err(k, v)
+      case _ => err(k, v) // bare arrays are NOT geometries (cast geometry.surql)
     }
     case KLiteral(lit) => if (V.looseEq(lit, v)) v else err(k, v)
     case KNone => if (v == VNone) v else err(k, v)

@@ -328,7 +328,9 @@ object Functions {
     name match {
       // ---- top-level ---------------------------------------------------
       case "__set__" => V.set(a)
-      case "__point__" => VGeom("Point", VArr(Vector(arg(0), arg(1))))
+      case "__point__" =>
+        // geometry coordinates are always f64 (geo-types)
+        VGeom("Point", VArr(Vector(VFloat(num(0).toDouble), VFloat(num(1).toDouble))))
       case "__explain__" => VArr(Vector.empty) // plan output is engine-specific
       case "__mock__" =>
         val tb = str(0)

@@ -655,8 +655,9 @@ final class Interp {
       } else indexBuildInfo((s.table, s.name)) =
         tables.get(s.table).map(_.size.toLong).getOrElse(0L)
       VNone
-    case s: InfoStmt if s.version.isDefined => execInfoVersioned(s, env)
-    case s: InfoStmt => execInfo(s)
+    case s0: InfoStmt if s0.version.isDefined =>
+      execInfoVersioned(s0.copy(target = rn(s0.target, env)), env)
+    case s0: InfoStmt => execInfo(s0.copy(target = rn(s0.target, env)))
     case u: UseStmt =>
       u.ns.foreach { n => curNs = n; sessionHasNs = true }
       u.db.foreach { d => curDb = d; sessionHasDb = true }

@@ -168,8 +168,13 @@ object V {
   /** Convert a GeoJSON-shaped object into a geometry value, if it is one. */
   def asGeom(o: VObj): Option[VGeom] = o.fields.get("type") match {
     case Some(VStr(t)) if geomRanks.contains(t) && o.fields.size == 2 =>
+      def deepF(v: V): V = v match {
+        case n: VNum => VFloat(n.toDouble) // geo coordinates are f64
+        case VArr(items) => VArr(items.map(deepF))
+        case other => other
+      }
       if (t == "GeometryCollection") o.fields.get("geometries").map(g => VGeom(t, g))
-      else o.fields.get("coordinates").map(c => VGeom(t, c))
+      else o.fields.get("coordinates").map(c => VGeom(t, deepF(c)))
     case _ => scala.None
   }
   /** A GeoJSON-shaped object's geometry subtype, if it is one. */
