@@ -32,7 +32,8 @@ object Golden {
       expectParseError: Boolean = false,
       envNamespace: Boolean = true, envDatabase: Boolean = true,
       legacyPlanner: Boolean = false, recordAuth: Boolean = false,
-      compactOk: Boolean = false, authRid: Option[String] = scala.None)
+      compactOk: Boolean = false, authRid: Option[String] = scala.None,
+      clean: Boolean = false)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -111,12 +112,11 @@ object Golden {
     }
     def envFlag(name: String): Boolean = t.get(name) match {
       case Some(Toml.B(b)) => b
-      case _ =>
-        // `clean = true` suppresses namespace/database provisioning
-        t.get("env.clean") match {
-          case Some(Toml.B(true)) => false
-          case _ => true
-        }
+      case _ => true
+    }
+    val cleanEnv = t.get("env.clean") match {
+      case Some(Toml.B(true)) => true
+      case _ => false
     }
     val legacy = t.get("env.planner-strategy") match {
       case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s == "compute-only"; case _ => false }
@@ -138,7 +138,8 @@ object Golden {
       case _ => false
     }
     TestFile(path, src, expected, imports, run, wip, parseErr,
-      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk, authRid)
+      envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk, authRid,
+      cleanEnv)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -152,8 +153,10 @@ object Golden {
     val interp = new Interp()
     // session env: the runner provisions namespace/database `test` unless
     // the [env] config disables them (language-tests provisioner)
-    if (tf.envNamespace) interp.namespaces("test") = "DEFINE NAMESPACE test"
-    if (tf.envDatabase) interp.databases("test") = "DEFINE DATABASE test"
+    // `clean = true` starts with an empty catalog but the session still has
+    // ns/db `test` selected (language-tests provisioner)
+    if (tf.envNamespace && !tf.clean) interp.namespaces("test") = "DEFINE NAMESPACE test"
+    if (tf.envDatabase && !tf.clean) interp.databases("test") = "DEFINE DATABASE test"
     interp.legacyPlanner = tf.legacyPlanner
     interp.recordAuth = tf.recordAuth
     interp.authRid = tf.authRid.flatMap { r =>

@@ -1128,6 +1128,10 @@ final class Interp {
     val levelName = s.d.level match {
       case "ROOT" => "root"; case "NAMESPACE" => "namespace"; case _ => "database"
     }
+    if (s.d.level == "DATABASE" && !sessionHasDb)
+      throw SqlError("Specify a database to use")
+    if (s.d.level == "NAMESPACE" && !sessionHasNs)
+      throw SqlError("Specify a namespace to use")
     if (ddlGate(reg.contains(s.d.name), s.mode, s"The $levelName user '${s.d.name}' already exists"))
       reg(s.d.name) = s.d
   }
@@ -1823,9 +1827,23 @@ final class Interp {
           }) => n -> d.render
         })))
     case "USER" =>
-      rootUsers.get(s.target).orElse(nsUsers.get(s.target)).orElse(dbUsers.get(s.target)) match {
+      val (uname, lvl) = s.target.split('|') match {
+        case Array(n, l) => (n, l)
+        case _ => (s.target, "")
+      }
+      val found = lvl match {
+        case "ROOT"      => rootUsers.get(uname)
+        case "NAMESPACE" => nsUsers.get(uname)
+        case "DATABASE"  => dbUsers.get(uname)
+        case _ => rootUsers.get(uname).orElse(nsUsers.get(uname)).orElse(dbUsers.get(uname))
+      }
+      found match {
         case Some(u) => VStr(u.render)
-        case scala.None => throw SqlError(s"The root user '${s.target}' does not exist")
+        case scala.None => throw SqlError(lvl match {
+          case "NAMESPACE" => s"The user '$uname' does not exist in the namespace '$curNs'"
+          case "DATABASE"  => s"The user '$uname' does not exist in the database '$curDb'"
+          case _           => s"The root user '$uname' does not exist"
+        })
       }
     case "INDEX" =>
       val Array(ix, tb) = s.target.split(":", 2)

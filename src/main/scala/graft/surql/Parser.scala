@@ -348,8 +348,13 @@ final class Parser(val src: String) {
       else if (kw("TABLE") || kw("TB")) InfoStmt("TABLE", defName())
       else if (kw("USER")) {
         val u = defName()
-        if (kw("ON")) { kw("ROOT"); kw("NAMESPACE"); kw("NS"); kw("DATABASE"); kw("DB") }
-        InfoStmt("USER", u)
+        val lvl =
+          if (kw("ON")) {
+            if (kw("ROOT")) "ROOT"
+            else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
+            else { kw("DATABASE"); kw("DB"); "DATABASE" }
+          } else ""
+        InfoStmt("USER", if (lvl.isEmpty) u else s"$u|$lvl")
       }
       else if (kw("INDEX")) {
         val i = defName(); expectKw("ON"); kw("TABLE")
