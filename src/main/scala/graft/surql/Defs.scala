@@ -85,11 +85,11 @@ object Defs {
         if (flexible) sb.append(" FLEXIBLE")
       }
       defaultRaw.foreach { d =>
-        sb.append(if (defaultAlways) " DEFAULT ALWAYS " else " DEFAULT ").append(d)
+        sb.append(if (defaultAlways) " DEFAULT ALWAYS " else " DEFAULT ").append(normRaw(d))
       }
       if (readonly) sb.append(" READONLY")
-      valueRaw.foreach(v => sb.append(" VALUE ").append(v))
-      assertRaw.foreach(a => sb.append(" ASSERT ").append(a))
+      valueRaw.foreach(v => sb.append(" VALUE ").append(normRaw(v)))
+      assertRaw.foreach(a => sb.append(" ASSERT ").append(normRaw(a)))
       computedRaw.foreach(c => sb.append(" COMPUTED ").append(c))
       referenceRaw.foreach(r => sb.append(" REFERENCE ").append(r))
       comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
@@ -126,8 +126,33 @@ object Defs {
     t = t.replace("( ", "(").replace(" )", ")")
     t = t.replaceAll("(?<![\\w$.:`])value(\\s*=[^=])", "`value`$1")
     t = t.replace("{ }", "{  }").replace("{}", "{  }")
+    t = replaceBareWord(t, "IN", "INSIDE")
     t = requoteStrings(t)
     t
+  }
+
+  /** Replace a bare keyword token outside quoted strings (canonical operator
+    * spelling: IN → INSIDE, sql/operator.rs). */
+  private def replaceBareWord(s: String, from: String, to: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"') {
+        val q = c
+        sb.append(c); i += 1
+        while (i < s.length && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\') { sb.append(s.charAt(i)); i += 1 }
+          if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
+      } else if (s.regionMatches(i, from, 0, from.length) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' && s.charAt(i - 1) != ':' && s.charAt(i - 1) != '$') &&
+          (i + from.length >= s.length || !s.charAt(i + from.length).isLetterOrDigit && s.charAt(i + from.length) != '_')) {
+        sb.append(to); i += from.length
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Re-render simple double-quoted string literals with the reference's
