@@ -26,16 +26,17 @@ object Functions {
   }
 
   def method(recv: V, name: String, argEs: Seq[Expr], env: Env): V = {
-    // closure-valued object fields act as methods (expr/part.rs Method)
+    // closure-valued object fields act as methods — built-in object methods
+    // take priority (expr/part.rs Method)
     recv match {
-      case VObj(fs) if fs.contains(name) && !fs(name).isInstanceOf[VClosure] &&
-          !arity.contains("object::" + name) && !arity.contains("type::" + name) && !name.startsWith("is_") && !name.startsWith("to_") =>
-        throw SqlError(s"There was a problem running the $name() function. no such method found for the object type")
-      case VObj(fs) => fs.get(name) match {
-        case Some(c: VClosure) =>
-          return applyClosure(c, argEs.map(Eval.eval(_, env)), env)
-        case _ => ()
-      }
+      case VObj(fs) if !arity.contains("object::" + name) =>
+        fs.get(name) match {
+          case Some(c: VClosure) =>
+            return applyClosure(c, argEs.map(Eval.eval(_, env)), env)
+          case Some(_) if !arity.contains("type::" + name) && !name.startsWith("is_") && !name.startsWith("to_") =>
+            throw SqlError(s"There was a problem running the $name() function. no such method found for the object type")
+          case _ => ()
+        }
       case _ => ()
     }
     val ns = recv match {

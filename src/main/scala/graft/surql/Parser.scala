@@ -2432,7 +2432,7 @@ final class Parser(val src: String) {
       }
       else if (peekSym("(") && (prime.isInstanceOf[Closure] || parts.nonEmpty ||
                prime.isInstanceOf[Subquery] || prime.isInstanceOf[Param] ||
-               prime.isInstanceOf[BlockExpr])) {
+               prime.isInstanceOf[BlockExpr] || prime.isInstanceOf[Idiom])) {
         sym("(")
         val args = ArrayBuffer[Expr]()
         ws()
