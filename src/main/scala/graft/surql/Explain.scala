@@ -677,10 +677,17 @@ object Explain {
       hints: Option[Seq[String]] = scala.None): Option[(String, String, Option[Expr], Seq[String], Int)] = {
     if (hints.contains(Nil)) return scala.None // WITH NOINDEX
     val cs = conjunctList(where)
+    def foldSql(e: Expr): String =
+      try {
+        Eval.evalConst(e) match {
+          case VNone => exprSql(e)
+          case v => Render.sql(v)
+        }
+      } catch { case _: Exception => exprSql(e) }
     val eqPairs: Map[String, (String, Expr)] = cs.collect {
       case c @ Binary("=" | "==", Idiom(ps), rhs)
           if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
-        fieldPathName(ps).get -> ((exprSql(rhs), c))
+        fieldPathName(ps).get -> ((foldSql(rhs), c))
       // CONTAINS probes an index only when the index is built over an ARRAY
       // path (`marks.*.subject`) — each element is an index entry. A plain
       // scalar-field index stores whole values and cannot serve CONTAINS
@@ -692,7 +699,7 @@ object Explain {
     val rangeOps: Map[String, Seq[(String, String, Expr)]] = cs.collect {
       case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(ps), rhs)
           if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
-        (fieldPathName(ps).get, (op, exprSql(rhs), c))
+        (fieldPathName(ps).get, (op, foldSql(rhs), c))
     }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val candidates = in.indexDefs.collect {
       case ((t, _), d) if t == table && d.fields.nonEmpty &&

@@ -1978,7 +1978,8 @@ final class Interp {
                 throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
             }
           }
-          if ((v == VNone || v == VNull) && fd.default.isDefined && (isCreate || fd.defaultAlways))
+          // DEFAULT fills only ABSENT values; NULL is provided (doc/field.rs)
+          if (v == VNone && fd.default.isDefined && (isCreate || fd.defaultAlways))
             v = Eval.eval(fd.default.get, env.copy(doc = Some(VObj(fields))))
           fd.value.foreach { ve =>
             v = Eval.eval(ve, env.copy(doc = Some(VObj(fields)))
