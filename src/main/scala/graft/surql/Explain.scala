@@ -1196,6 +1196,35 @@ object Explain {
         case scala.None => ()
       }
     }
+    // KNN access: `field <|k,ef|> $vec` over an HNSW/MTREE index
+    if (!noIndexHint && table.isDefined && s.where.isDefined) {
+      conjunctList(s.where.get).collectFirst {
+        case Binary(op, Idiom(Seq(PField(f))), rhs) if op.startsWith("KNN:") => (op, f, rhs)
+      }.foreach { case (op, f, rhs) =>
+        in.indexDefs.collectFirst {
+          case ((t, _), d) if t == table.get && d.fields.contains(f) &&
+              (d.tail.toUpperCase.startsWith("HNSW") || d.tail.toUpperCase.startsWith("MTREE")) => d.name
+        }.foreach { idxName =>
+          val parts = op.split(':')
+          val k = parts.lift(1).getOrElse("")
+          val ef = parts.lift(2).filter(_.nonEmpty)
+          val opTxt = "<|" + k + ef.map("," + _).getOrElse("") + "|>"
+          val v = try Eval.eval(rhs, env) catch { case _: SqlError => VNone }
+          val rs = recordStrategy(s, fullyIndexed = true, mutation)
+          entries += V.obj(
+            "detail" -> V.obj(
+              "plan" -> V.obj(
+                "index" -> VStr(idxName),
+                "operator" -> VStr(opTxt),
+                "value" -> v),
+              "table" -> VStr(table.get)),
+            "operation" -> VStr("Iterate Index" + iterSuffix(rs)))
+          entries += collectorEntry()
+          fullRows(rs, fullyIndexed = true)
+          return VArr(entries.toVector)
+        }
+      }
+    }
     // COUNT-index: `SELECT count() FROM t GROUP ALL` served by a COUNT index
     if (!noIndexHint && table.isDefined && s.where.isEmpty && countAllOnly(s)) {
       in.indexDefs.collectFirst {

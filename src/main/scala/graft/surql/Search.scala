@@ -476,10 +476,12 @@ object Search {
       val qTerms = analyzeText(in, env, a, query, querying = true).map(_.term).distinct
       val c = corpusFor(in, env, idx)
       val docTerms = c.docTerms.getOrElse(rid.key, Map.empty)
-      if (qTerms.isEmpty || !qTerms.exists(docTerms.contains)) VNone
+      if (qTerms.isEmpty || !qTerms.exists(docTerms.contains)) VFloat(0.0)
       else VFloat(bm25Score(c, idx, rid.key, qTerms))
     }
-    r.getOrElse(VNone)
+    // a resolvable match-ref scores 0 on unmatched/unindexed docs; only an
+    // unknown ref yields NONE (fnc/search.rs score)
+    r.getOrElse(if (refInfo(env, ref).isDefined) VFloat(0.0) else VNone)
   }
 
   /** Matched source spans per value-index of the ref's field for the
