@@ -2385,6 +2385,7 @@ final class Interp {
         val prunedByPerms = recordAuth && rows.isEmpty && s.what.nonEmpty && s.what.forall {
           case Idiom(Seq(PField(n))) => readPermission(n) == Some(scala.None)
           case TableRef(n)           => readPermission(n) == Some(scala.None)
+          case RidLit(tb, _)         => readPermission(tb) == Some(scala.None)
           case _ => false
         }
         if (rows.isEmpty && (suppressEmptyGroupAll || prunedByPerms)) Vector.empty

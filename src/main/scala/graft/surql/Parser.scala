@@ -3082,10 +3082,30 @@ final class Parser(val src: String) {
     if (src.startsWith("..", pos) && !src.startsWith("...", pos)) {
       pos += 2
       val incl = sym("=")
-      val hi = if (startsExpr()) Some((exprAtLevel(BpRange + 1), incl)) else scala.None
+      val hi =
+        if (startsExpr() && !peekClauseKw()) Some((recordKeyExpr(), incl))
+        else scala.None
       return RidLit(table, RangeLit(scala.None, hi))
     }
-    val keyExpr: Expr = {
+    val keyExpr: Expr = recordKeyExpr()
+    // id range: person:1..5 — a trailing clause keyword is NOT an upper bound
+    if (peekSym("..") || peekSym(">..")) {
+      val exclLo = sym(">..")
+      if (!exclLo) sym("..")
+      val incl = sym("=")
+      val hi =
+        if (startsExpr() && !peekClauseKw()) Some((recordKeyExpr(), incl))
+        else scala.None
+      return RidLit(table, RangeLit(Some((keyExpr, !exclLo)), hi))
+    }
+    RidLit(table, keyExpr)
+  }
+
+  /** A record-id key: bare idents are string keys, digits int keys, plus
+    * quoted/uuid/array/object/param forms (syn record id key grammar). */
+  private def recordKeyExpr(): Expr = {
+    ws()
+    locally {
       val c = peekc
       if (c == 'u' && (peekAt(1) == '\'' || peekAt(1) == '"')) {
         // uuid record key: t:u"xxxxxxxx-…" (syn uuid key form)
@@ -3119,17 +3139,6 @@ final class Parser(val src: String) {
       else if (isIdentStart(c)) Lit(VStr(rawIdent()))
       else fail(s"invalid record id key start '$c'")
     }
-    // id range: person:1..5 — a trailing clause keyword is NOT an upper bound
-    if (peekSym("..") || peekSym(">..")) {
-      val exclLo = sym(">..")
-      if (!exclLo) sym("..")
-      val incl = sym("=")
-      val hi =
-        if (startsExpr() && !peekClauseKw()) Some((exprAtLevel(BpRange + 1), incl))
-        else scala.None
-      return RidLit(table, RangeLit(Some((keyExpr, !exclLo)), hi))
-    }
-    RidLit(table, keyExpr)
   }
 
   def parseDatetime(s: String): V = {
