@@ -473,9 +473,9 @@ object Explain {
             }
             var attrs = Seq("index" -> idxName, "access" -> access, "direction" -> direction)
             if ((orderConsumed || s.order.isEmpty) && residual.isEmpty &&
-                limitConst.isDefined && startConst.isEmpty &&
-                s.groupBy.isEmpty && s.split.isEmpty) {
+                limitConst.isDefined && s.groupBy.isEmpty && s.split.isEmpty) {
               attrs = attrs :+ ("limit" -> limitConst.get.toString)
+              startConst.filter(_ > 0).foreach(o => attrs = attrs :+ ("offset" -> o.toString))
               consumedLimit = true
             }
             PNode("IndexScan", "Db", attrs)

@@ -2516,7 +2516,10 @@ final class Interp {
             case _ =>
               val name = f.alias.getOrElse(Eval.fieldName(f.expr))
               val v = Eval.eval(f.expr, de)
-              out = setPath(out, name.split('.').toList, v)
+              // `link.*` splats under `link` (wildcard segments name the parent)
+              val segs0 = name.split('.').toList
+              val segs = if (segs0.length > 1 && segs0.last == "*") segs0.dropRight(1) else segs0
+              out = setPath(out, segs, v)
           }
         }
         var res = VObj(out)
