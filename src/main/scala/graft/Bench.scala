@@ -27,22 +27,31 @@ object Bench {
     graft.operators.Similarity.warmIndex(spark, sfDir)
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,
       None: Option[String])
+    // Single-run timings proved indistinguishable from sandbox noise (a
+    // 4× swing on untouched code between rounds): run each query REPS times
+    // and report the per-query MEDIAN, which survives one bad GC pause or
+    // page-cache miss.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = idxBuild +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // Consume EVERY output column via a hash-reduce — a bare count() would
       // let Catalyst dead-code the projection work and time only the scan.
       // bit_xor, not sum: a Long sum of hashes overflows under ANSI mode.
-      val failure: Option[String] =
+      def once(): Either[String, Double] =
         try {
+          val t0 = System.nanoTime()
           val out = fn(spark, sfDir)
           out.select(xxhash64(out.columns.map(col).toIndexedSeq: _*).as("h"))
             .agg(expr("bit_xor(h)")).collect()
-          None
+          Right((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          Some(name)
+          Left(name)
         }
-      (name, (System.nanoTime() - t0) / 1e9, failure)
+      val runs = (1 to reps).map(_ => once())
+      val failure = runs.collectFirst { case Left(n) => n }
+      val times = runs.collect { case Right(t) => t }.sorted
+      val median = if (times.isEmpty) 0.0 else times(times.size / 2)
+      (name, median, failure)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -147,18 +147,24 @@ object Similarity {
         .limit(20)
   }
 
-  /** Exact all-pairs verifier, explicitly capped to a 1/4 sample (a `<`
-    * join condition is a BroadcastNestedLoopJoin — O(n²); fine on a bounded
+  /** Rows in the exact verifier's sample — FIXED-COUNT, not a modulus: a
+    * `vec_id % k` sample grows linearly with n and its all-pairs stage grows
+    * n² (the round-6 scale-killer). `vec_id < 500` is the same 500-row cost
+    * at sf0.1 and stays 500 rows (124,750 pairs) at 100 TB. */
+  private val ExactSampleRows = 500
+
+  /** Exact all-pairs verifier over a fixed-size sample (a `<` join
+    * condition is a BroadcastNestedLoopJoin — O(n²); fine on a bounded
     * sample, never the production path). Keeps an exact-semantics oracle row
     * alive without the quadratic blowup. */
   val embedTopPairsExact = Q("embed_top_pairs_exact",
     s"""SELECT a.vec_id AS a, b.vec_id AS b,
                round(${sqlCosine("a.embedding", "b.embedding")}, 6) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+        WHERE a.vec_id < $ExactSampleRows AND b.vec_id < $ExactSampleRows
         ORDER BY cos_sim DESC, a, b LIMIT 20""") {
     (s, d) =>
-      val emb = Tables.embeddings(s, d).filter(col("vec_id") % 4 === 0)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < ExactSampleRows)
       val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
       a.join(b, col("a") < col("b"))

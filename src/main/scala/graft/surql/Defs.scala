@@ -131,28 +131,68 @@ object Defs {
     t
   }
 
-  /** Replace a bare keyword token outside quoted strings (canonical operator
-    * spelling: IN → INSIDE, sql/operator.rs). */
+  /** Tokens after which a bare IN is the FOREACH keyword or a field named
+    * `in`, never the binary operator (an operator needs a left operand;
+    * foreach renders with IN — sql/statements/foreach.rs:16). */
+  private val nonOperatorBefore = Set(
+    "WHERE", "AND", "OR", "NOT", "SELECT", "RETURN", "THEN", "ELSE", "DO",
+    "SET", "CONTENT", "MERGE", "REPLACE", "PATCH", "WHEN", "IF", "FROM",
+    "GROUP", "SPLIT", "OMIT", "VALUE", "ON", "BY", "LET", "ALL", "ANY", "NONE")
+
+  /** Replace a bare keyword token outside quoted strings/idents, in OPERATOR
+    * position only (canonical operator spelling: IN → INSIDE,
+    * sql/operator.rs). Operator position = the previous token ends an
+    * expression (ident/literal/closing bracket) and is not itself a keyword
+    * that starts a clause; `FOR $x IN …` keeps the foreach keyword. */
   private def replaceBareWord(s: String, from: String, to: String): String = {
     val sb = new StringBuilder
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\'' || c == '"') {
+      if (c == '\'' || c == '"' || c == '`') {
         val q = c
         sb.append(c); i += 1
         while (i < s.length && s.charAt(i) != q) {
-          if (s.charAt(i) == '\\') { sb.append(s.charAt(i)); i += 1 }
+          if (s.charAt(i) == '\\' && q != '`') { sb.append(s.charAt(i)); i += 1 }
           if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
         }
         if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
-      } else if (s.regionMatches(i, from, 0, from.length) &&
-          (i == 0 || !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' && s.charAt(i - 1) != ':' && s.charAt(i - 1) != '$') &&
-          (i + from.length >= s.length || !s.charAt(i + from.length).isLetterOrDigit && s.charAt(i + from.length) != '_')) {
+      } else if (s.regionMatches(true, i, from, 0, from.length) &&
+          (i == 0 || !s.charAt(i - 1).isLetterOrDigit && s.charAt(i - 1) != '_' && s.charAt(i - 1) != ':' && s.charAt(i - 1) != '$' && s.charAt(i - 1) != '`') &&
+          (i + from.length >= s.length || !s.charAt(i + from.length).isLetterOrDigit && s.charAt(i + from.length) != '_') &&
+          operatorPosition(s, i)) {
         sb.append(to); i += from.length
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** True when the token starting at `i` sits in binary-operator position:
+    * the previous non-space char closes an expression and the previous word
+    * is neither a clause keyword nor a foreach binding (`FOR $x`). */
+  private def operatorPosition(s: String, i: Int): Boolean = {
+    var j = i - 1
+    while (j >= 0 && s.charAt(j) == ' ') j -= 1
+    if (j < 0) return false
+    val pc = s.charAt(j)
+    val endsExpr = pc.isLetterOrDigit || pc == '_' || pc == ')' || pc == ']' ||
+      pc == '}' || pc == '\'' || pc == '"' || pc == '`'
+    if (!endsExpr) return false
+    // extract the previous word (idents, params, keywords)
+    var k = j
+    while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
+    if (k >= 0 && s.charAt(k) == '$') {
+      // a $param is an expression, not a keyword — operator position UNLESS
+      // it is a foreach binding: `FOR $x IN` renders with IN (foreach.rs:16)
+      var m = k - 1
+      while (m >= 0 && s.charAt(m) == ' ') m -= 1
+      val e = m
+      while (m >= 0 && s.charAt(m).isLetter) m -= 1
+      return !s.substring(m + 1, e + 1).equalsIgnoreCase("FOR")
+    }
+    val word = s.substring(k + 1, j + 1)
+    if (word.nonEmpty && nonOperatorBefore.contains(word.toUpperCase)) return false
+    true
   }
 
   /** Re-render simple double-quoted string literals with the reference's

@@ -1218,6 +1218,12 @@ final class Interp {
         grant
       case "SHOW" =>
         val gs = accessGrants.getOrElse((level, s.name), Vector.empty)
+        // WHERE conds evaluate per grant against the REDACTED grant object
+        // as the current document (access.rs:580-603)
+        def condMatch(g: VObj): Boolean =
+          Eval.eval(s.selectorExpr.getOrElse(throw SqlError(
+            "Missing WHERE condition in ACCESS statement")),
+            env.copy(doc = Some(redact(g)))).truthy
         val sel: Vector[VObj] = s.selector match {
           case "ALL" => gs
           case g if g.startsWith("GRANT ") =>
@@ -1225,12 +1231,16 @@ final class Interp {
             gs.filter(_.fields.get("grant").exists {
               case go: VObj => go.fields.get("id").contains(VStr(id)); case _ => false
             })
-          case _ => gs // WHERE — evaluate per grant
+          case _ => gs.filter(condMatch)
         }
         VArr(sel.map(g => redact(g): V))
       case "REVOKE" =>
         val gs = accessGrants.getOrElse((level, s.name), Vector.empty)
         val nowDt = VDt(java.time.Instant.now())
+        def condMatch(g: VObj): Boolean =
+          Eval.eval(s.selectorExpr.getOrElse(throw SqlError(
+            "Missing WHERE condition in ACCESS statement")),
+            env.copy(doc = Some(redact(g)))).truthy
         val (hit, rest) = s.selector match {
           case "ALL" => (gs, Vector.empty[VObj])
           case g if g.startsWith("GRANT ") =>
@@ -1238,7 +1248,7 @@ final class Interp {
             gs.partition(_.fields.get("grant").exists {
               case go: VObj => go.fields.get("id").contains(VStr(id)); case _ => false
             })
-          case _ => (gs, Vector.empty[VObj])
+          case _ => gs.partition(condMatch)
         }
         val revoked = hit.map((g => VObj(g.fields.updated("revocation", nowDt))))
         accessGrants((level, s.name)) = rest ++ revoked
@@ -1246,11 +1256,25 @@ final class Interp {
       case _ => // PURGE
         val gs = accessGrants.getOrElse((level, s.name), Vector.empty)
         val now = java.time.Instant.now()
+        // FOR <dur> grace window: purge only grants expired/revoked MORE
+        // than `grace` seconds ago — strictly greater, whole seconds, and
+        // never for future timestamps (access.rs:887-896)
+        val graceSecs: Long = s.purgeFor.map { txt =>
+          try Parser.parseValue(txt) match {
+            case VDur(secs, _) => secs
+            case _ => 0L
+          } catch { case _: Exception => 0L }
+        }.getOrElse(0L)
+        def pastGrace(t: java.time.Instant): Boolean =
+          now.getEpochSecond >= t.getEpochSecond &&
+            (now.getEpochSecond - t.getEpochSecond) > graceSecs
         val (purged, kept) = gs.partition { g =>
           val expired = g.fields.get("expiration").exists {
-            case VDt(t) => t.isBefore(now); case _ => false
+            case VDt(t) => pastGrace(t); case _ => false
           }
-          val revoked = g.fields.get("revocation").exists(_ != VNone)
+          val revoked = g.fields.get("revocation").exists {
+            case VDt(t) => pastGrace(t); case _ => false
+          }
           (s.purgeExpired && expired) || (s.purgeRevoked && revoked)
         }
         accessGrants((level, s.name)) = kept
@@ -1902,6 +1926,17 @@ final class Interp {
       tableDefs(name) = Defs.TableDef(name) // implicit tables register a definition
     tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
   }
+
+  /** Records created by RELATE carry edge metadata (catalog RecordType::Edge,
+    * doc/alter.rs:93); only THOSE records pin in/out across updates. A normal
+    * table storing record links in fields named in/out keeps user edits. */
+  private val edgeMarks = mutable.HashSet[(String, V)]()
+  def markEdge(tb: String, key: V): Unit = edgeMarks += ((tb, key))
+  def unmarkEdge(tb: String, key: V): Unit =
+    edgeMarks.filterInPlace { case (t, k) => t != tb || !V.looseEq(k, key) }
+  def isEdgeRecord(tb: String, key: V): Boolean =
+    tableDefs.get(tb).exists(_.ttype == "RELATION") ||
+      edgeMarks.exists { case (t, k) => t == tb && V.looseEq(k, key) }
 
   def fetchRecord(rid: VRid): Option[VObj] = {
     val raw = versionAsOf match {
@@ -2742,7 +2777,11 @@ final class Interp {
       }
     case Some(ReplaceData(e)) =>
       replaceSemantics = true
-      applyData(doc, Some(ContentData(e)), env)
+      // if the CONTENT application itself fails (e.g. REPLACE with a
+      // non-object), the pipeline's finally never runs — reset here so the
+      // NEXT statement's pipeline doesn't inherit REPLACE semantics
+      try applyData(doc, Some(ContentData(e)), env)
+      catch { case ex: Throwable => replaceSemantics = false; throw ex }
     case Some(MergeData(e)) =>
       Eval.eval(e, env) match {
         case VObj(fs) =>
@@ -3001,7 +3040,9 @@ final class Interp {
                   case Some(r: VRid) => r
                   case _ => VRid(tb, key)
                 }
-                val updated0 = Interp.keepEdgeIdentity(applyData(doc, data, env.copy(doc = Some(doc))), doc, rid)
+                val applied = applyData(doc, data, env.copy(doc = Some(doc)))
+                val updated0 = if (isEdgeRecord(tb, key))
+                  Interp.keepEdgeIdentity(applied, doc, rid) else applied
                 val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
                 checkUniqueIndexes(tb, rid, updated)
                 t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
@@ -3029,7 +3070,9 @@ final class Interp {
                 case Some(r: VRid) => r
                 case _ => VRid(tb, key)
               }
-              val updated0 = Interp.keepEdgeIdentity(applyData(doc, data, env.copy(doc = Some(doc))), doc, rid)
+              val applied = applyData(doc, data, env.copy(doc = Some(doc)))
+              val updated0 = if (isEdgeRecord(tb, key))
+                Interp.keepEdgeIdentity(applied, doc, rid) else applied
               val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
               checkUniqueIndexes(tb, rid, updated)
               t(key) = updated
@@ -3072,6 +3115,7 @@ final class Interp {
           }
           applyReferentialActions(rid, env)
           t.remove(key)
+          unmarkEdge(tb, key)
           fireEvents(tb, Some(doc), scala.None, env)
           shapeOutput(Some(doc), scala.None, s.output, env, tb).foreach(results += _)
         }
@@ -3269,6 +3313,7 @@ final class Interp {
       }
       val doc = applyFieldPipeline(edgeTable, rid, doc0, scala.None, isCreate = true, env)
       table(edgeTable)(key) = doc
+      markEdge(edgeTable, key) // RecordType::Edge metadata (doc/alter.rs:93)
       fireEvents(edgeTable, scala.None, Some(doc), env)
       shapeOutput(scala.None, Some(doc), s.output, env).foreach(results += _)
     }

@@ -42,7 +42,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("embed_top_pairs_exact returns the true all-pairs top of its sample") {
     val rows = SparkEntry.queries("embed_top_pairs_exact")(spark, sf).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(0) % 4 == 0 && r.getLong(1) % 4 == 0))
+    assert(rows.forall(r => r.getLong(0) < 500 && r.getLong(1) < 500))
     val sims = rows.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted.reverse))
   }
