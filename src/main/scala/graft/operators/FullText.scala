@@ -49,10 +49,12 @@ object FullText {
       (post, dl)
     })
 
-  /** BM25 top-k for a bag of query terms, against the persisted index. All
-    * constants and intermediates in double; the only order-dependent float
-    * sum is over ≤|terms| addends per doc, hidden by round(4). */
-  def bm25(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+  /** Per-document BM25 scores for a bag of query terms against the persisted
+    * index — every matched doc (≥1 term), no top-k. The `@@` WHERE lowering
+    * joins this; [[bm25]] adds the TakeOrdered. All constants and
+    * intermediates in double; the only order-dependent float sum is over
+    * ≤|terms| addends per doc, hidden by round(4). */
+  def scores(spark: SparkSession, dir: String, terms: Seq[String]): DataFrame = {
     val (allPost, dl) = index(spark, dir)
     val post = allPost.filter(col("term").isin(terms: _*))
     val glob = dl.agg(count(lit(1)).cast("double").as("n"),
@@ -69,9 +71,13 @@ object FullText {
             lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
         .as("term_score"))
     scored.groupBy("doc_id").agg(round(sum(col("term_score")), 4).as("score"))
+  }
+
+  /** BM25 top-k (FullTextScan + SortTopK → TakeOrderedAndProject). */
+  def bm25(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
+    scores(spark, dir, terms)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
-  }
 
   /** SQL twin of [[bm25]] for the DuckDB oracle. */
   def sqlBm25(terms: Seq[String], k: Int): String = {

@@ -26,6 +26,42 @@ import graft.{Q, Tables}
   */
 object GraphOps {
 
+  /** Relation-table topology: edge table name → (inTable, outTable). The
+    * `supplies` edges are the `mut_relate` output (one edge per distinct
+    * supplier→part shipment pair with aggregate props) — the Spark analog of
+    * a RELATE-populated relation table (catalog/table.rs:151-156). The
+    * SurrealQL planner lowers `->supplies->part` onto these. */
+  val edgeDefs: Map[String, (String, String)] = Map(
+    "supplies" -> ("supplier", "part"))
+
+  /** Session-cached edge tables per corpus dir, schema (id, in, out, props…).
+    * Built ONCE and persisted — at 100 TB this is the stored relation table
+    * the RELATE job wrote, bucketed by `in` (and mirrored by `out` for
+    * reverse hops), not per-query work. */
+  private val edgeCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** Force edge-table builds (bench attributes them to index_build). */
+  def warmEdges(s: SparkSession, d: String): Unit =
+    edgeDefs.keys.foreach(edgeTable(s, d, _))
+
+  def edgeTable(s: SparkSession, dir: String, name: String): DataFrame =
+    edgeCache.getOrElseUpdate((dir, name), name match {
+      case "supplies" =>
+        val e = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey").as("in"), col("l_partkey").as("out"))
+          .agg(count(lit(1)).as("n_shipments"),
+            graft.functions.Exact.dsum(col("l_quantity")).as("total_qty"))
+          .select(
+            concat(lit("supplies:"), col("in").cast("string"), lit(":"),
+              col("out").cast("string")).as("id"),
+            col("in"), col("out"), col("n_shipments"), col("total_qty"))
+          .persist()
+        e.count() // build eagerly so queries are joins, not rebuilds
+        e
+      case other => throw new IllegalArgumentException(s"unknown edge table $other")
+    })
+
   /** One `->edge->` hop: from a set of source ids through an edge table.
     * `outCols` picks what survives (TargetId vs FullEdge output modes). */
   def hop(src: DataFrame, edges: DataFrame, srcKey: Column, edgeIn: Column,

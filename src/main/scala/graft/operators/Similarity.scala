@@ -34,6 +34,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Euclidean distance, same in-order double fold as [[dot]]. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** Manhattan distance. */
+  def l1(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
   /** SQL twin of [[cosine]]: same in-order double fold, for the DuckDB
     * oracle (1-based list indexing; range(1,65) = dims 1..64). */
   def sqlCosine(a: String, b: String): String = {
@@ -217,6 +231,30 @@ object Similarity {
     }
     go(0, maxDist, sig)
     out.distinct.toSeq
+  }
+
+  /** `<|k|>` index-backed ANN probe for a LITERAL query vector (the
+    * SparkPlanner KnnScan lowering, exec/operators/scan/knn.rs:37): the
+    * 16-bit probe signature computes driver-side from the constant vector
+    * (no data touched), bucket dirs within Hamming distance 3 are partition-
+    * pruned, survivors pass the full-signature residual filter and an exact
+    * cosine rerank, top-k. Returns (vec_id, cos_sim). */
+  def annProbe(s: SparkSession, d: String, qvec: Seq[Double], k: Int): DataFrame = {
+    val path = annIndexPath(s, d)
+    val qsig = (0 until 16).map { j =>
+      // same in-order fold as the Column-side dot — sign decisions agree
+      val dp = planes(j).zip(qvec).map { case (p, v) => p * v }.sum
+      if (dp > 0.0) 1 << j else 0
+    }.sum
+    val buckets = hammingBall(qsig >> 10, 6, 3)
+    val qe = array(qvec.map(lit): _*)
+    s.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(bit_count(col("sig").bitwiseXOR(lit(qsig))) <= MaxHammingProbe)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), qe), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** `KnnScan` ANN analog over the persisted index: read only the bucket

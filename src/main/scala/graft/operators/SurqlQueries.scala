@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
+
 import graft.{Q, Tables}
 import graft.functions.Exact
 import graft.surql.SparkPlanner
@@ -17,6 +19,13 @@ object SurqlQueries {
 
   private def sq(name: String, oracle: String)(surql: String): Q =
     Q(name, oracle) { (s, d) => SparkPlanner.query(s, d, surql) }
+
+  /** Mutation statements have no ORDER clause; the trailing sort here is
+    * presentation order for the driver's row-hash compare only. */
+  private def sqOrd(name: String, oracle: String)(surql: String)(sortCols: String*): Q =
+    Q(name, oracle) { (s, d) =>
+      SparkPlanner.query(s, d, surql).orderBy(sortCols.map(col): _*)
+    }
 
   val tableScan = sq("table_scan",
     "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey")(
@@ -344,6 +353,167 @@ object SurqlQueries {
               string::slice(crypto::md5(source), 0, 4) AS src_bucket
        FROM documents ORDER BY doc_id""")
 
+  // ---- graph-arrow traversal (GraphEdgeScan from real `->` syntax) --------
+  // The `supplies` relation table is the mut_relate edge set (one edge per
+  // distinct supplier→part shipment pair); hops lower to aggregated
+  // equi-joins anchored on the record key — see SparkPlanner.graphLookup.
+
+  /** `->edge->target`: parts each supplier supplies, as an id array. */
+  val graphArrow = sq("graph_arrow",
+    """SELECT s_suppkey,
+              (SELECT list(DISTINCT l_partkey ORDER BY l_partkey)
+               FROM lineitem WHERE l_suppkey = s_suppkey) AS parts
+       FROM supplier ORDER BY s_suppkey""")(
+    "SELECT s_suppkey, ->supplies->part AS parts FROM supplier ORDER BY s_suppkey")
+
+  /** `<-edge<-source`: reverse hop — suppliers of each part. */
+  val graphArrowRev = sq("graph_arrow_rev",
+    """SELECT p_partkey,
+              (SELECT list(DISTINCT l_suppkey ORDER BY l_suppkey)
+               FROM lineitem WHERE l_partkey = p_partkey) AS sups
+       FROM part WHERE p_partkey >= 1 AND p_partkey < 51 ORDER BY p_partkey""")(
+    "SELECT p_partkey, <-supplies<-supplier AS sups FROM part:1..51 ORDER BY p_partkey")
+
+  /** `->(edge WHERE cond)->target`: the hop's WHERE filters edge props. */
+  val graphArrowCond = sq("graph_arrow_cond",
+    s"""SELECT s_suppkey,
+               (SELECT list(l_partkey ORDER BY l_partkey) FROM (
+                  SELECT l_partkey, ${Exact.sqlSum("l_quantity")} AS tq
+                  FROM lineitem WHERE l_suppkey = s_suppkey GROUP BY l_partkey) x
+                WHERE tq > 100.0) AS parts
+        FROM supplier ORDER BY s_suppkey""")(
+    """SELECT s_suppkey, ->(supplies WHERE total_qty > 100.0)->part AS parts
+       FROM supplier ORDER BY s_suppkey""")
+
+  /** `->edge->target.field`: project a target field, in target-id order. */
+  val graphArrowField = sq("graph_arrow_field",
+    """SELECT s_suppkey,
+              (SELECT list(p_name ORDER BY p_partkey) FROM (
+                 SELECT DISTINCT l_partkey FROM lineitem
+                 WHERE l_suppkey = s_suppkey) j
+               JOIN part ON p_partkey = j.l_partkey) AS part_names
+       FROM supplier WHERE s_suppkey >= 1 AND s_suppkey < 6 ORDER BY s_suppkey""")(
+    """SELECT s_suppkey, ->supplies->part.p_name AS part_names
+       FROM supplier:1..6 ORDER BY s_suppkey""")
+
+  // ---- @@ MATCHES and <|k|> KNN from query text ---------------------------
+
+  /** `@@` strip-and-subplan: the MATCHES condition plans as a FullTextScan
+    * against the persisted postings index; search::score(1) resolves to the
+    * sub-plan's BM25 column (exec/planner/util.rs:377). */
+  val fulltextBm25 = sq("fulltext_bm25",
+    FullText.sqlBm25(Seq("spark", "merge", "window"), 20))(
+    """SELECT doc_id, search::score(1) AS score FROM documents
+       WHERE text @1@ 'spark merge window'
+       ORDER BY score DESC, doc_id LIMIT 20""")
+
+  /** `<|k,COSINE|>` brute KNN from text: the condition strips into a
+    * KnnTopK (score candidates + TakeOrdered); vector::distance::knn()
+    * resolves to the sub-plan's distance. The query vector is read with a
+    * 1-row driver probe and rendered into the statement (Double.toString
+    * round-trips exactly through the parser). */
+  val knnBruteText = Q("knn_brute", Similarity.knnBrute.oracle.get) { (s, d) =>
+    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    SparkPlanner.query(s, d,
+      s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
+          FROM embeddings WHERE vec_id != 0 AND embedding <|10,COSINE|> $vec
+          ORDER BY cos_sim DESC, vec_id""")
+  }
+
+  /** `<|k|>` index-backed ANN from text: partition-pruned probe of the
+    * persisted LSH index (rows-only — approximate by design). */
+  val knnAnnText = Q.rowsOnly("knn_ann_from_text") { (s, d) =>
+    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    SparkPlanner.query(s, d,
+      s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
+          FROM embeddings WHERE vec_id != 0 AND embedding <|10|> $vec
+          ORDER BY cos_sim DESC, vec_id""")
+  }
+
+  // ---- mutation statements through the planner ----------------------------
+  // CREATE/INSERT/UPDATE/UPSERT/DELETE/RELATE text lowers onto the
+  // Mutations.* transforms (SparkPlanner.planCreate &c.); outputs are the
+  // statements' RETURN shapes.
+
+  val mutUpdateSet = sqOrd("mut_update_set",
+    """SELECT o_orderkey, o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+              '2-HIGH' AS o_orderpriority
+       FROM orders WHERE o_orderstatus = 'O' ORDER BY o_orderkey""")(
+    """UPDATE orders
+       SET o_totalprice = o_totalprice * 1.1, o_orderpriority = '2-HIGH'
+       WHERE o_orderstatus = 'O'
+       RETURN o_orderkey, o_totalprice, o_orderpriority""")("o_orderkey")
+
+  val mutDeleteBefore = sqOrd("mut_delete_before",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice < 50000.0
+       ORDER BY o_orderkey""")(
+    """DELETE orders WHERE o_orderstatus = 'F' AND o_totalprice < 50000.0
+       RETURN o_orderkey, o_totalprice""")("o_orderkey")
+
+  /** Bulk INSERT from a sub-select; the duplicate-id anti-join guard is the
+    * MERGE insert-arm (none of the +100 keys collide). */
+  val mutCreate = sqOrd("mut_create",
+    """SELECT r_regionkey + 100 AS r_regionkey,
+              'REGION_' || CAST(r_regionkey AS VARCHAR) AS r_name
+       FROM region ORDER BY r_regionkey""")(
+    """INSERT INTO region
+         (SELECT r_regionkey + 100 AS r_regionkey,
+                 string::concat('REGION_', <string>r_regionkey) AS r_name
+          FROM region)
+       RETURN r_regionkey, r_name""")("r_regionkey")
+
+  /** CREATE region:⟨id⟩ — single synthesized record. */
+  val mutCreateOne = sq("mut_create_one",
+    "SELECT CAST(100 AS BIGINT) AS r_regionkey, 'MOON' AS r_name")(
+    "CREATE region:100 SET r_name = 'MOON' RETURN r_regionkey, r_name")
+
+  /** INSERT … ON DUPLICATE KEY UPDATE: colliding keys (o_orderkey < 50) take
+    * the update arm (+1000 on the EXISTING row), fresh keys (+1000000) take
+    * the insert arm — the same two-arm MERGE as Mutations.upsert. */
+  val mutUpsert = sqOrd("mut_upsert",
+    """WITH delta_up AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice,
+                o_orderdate, o_orderpriority
+         FROM orders WHERE o_orderkey < 50),
+       delta_new AS (
+         SELECT o_orderkey + 1000000, o_custkey, 'N', o_totalprice, o_orderdate,
+                o_orderpriority
+         FROM orders WHERE o_orderkey < 5)
+       SELECT o_orderkey, o_totalprice, o_orderstatus FROM (
+         SELECT * FROM delta_up UNION ALL SELECT * FROM delta_new)
+       ORDER BY o_orderkey""")(
+    """INSERT INTO orders
+         (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                 o_orderdate, o_orderpriority
+          FROM (SELECT * FROM orders WHERE o_orderkey < 50),
+               (SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey,
+                       'N' AS o_orderstatus, o_totalprice, o_orderdate,
+                       o_orderpriority
+                FROM orders WHERE o_orderkey < 5))
+       ON DUPLICATE KEY UPDATE o_totalprice += 1000.0
+       RETURN o_orderkey, o_totalprice, o_orderstatus""")("o_orderkey")
+
+  /** UPSERT on an absent record id — the synthesized create arm. */
+  val mutUpsertPoint = sq("mut_upsert_point",
+    """SELECT CAST(9999999 AS BIGINT) AS o_orderkey,
+              CAST(1.5 AS DOUBLE) AS o_totalprice""")(
+    "UPSERT orders:9999999 SET o_totalprice = 1.5 RETURN o_orderkey, o_totalprice")
+
+  /** RELATE over two record-id ranges: cartesian pairing + edge props. */
+  val mutRelateStmt = sqOrd("mut_relate_stmt",
+    """SELECT s_suppkey AS "in", p_partkey AS "out", CAST(1.5 AS DOUBLE) AS w
+       FROM supplier, part
+       WHERE s_suppkey >= 1 AND s_suppkey < 4 AND p_partkey >= 1 AND p_partkey < 4
+       ORDER BY "in", "out"""")(
+    """RELATE (supplier:1..4)->adjacent->(part:1..4) SET w = 1.5
+       RETURN in, out, w""")("in", "out")
+
   /** Names the planner path overrides — the hand-built closures with these
     * names are replaced in SparkEntry's registry. */
   val all: Seq[Q] = Seq(
@@ -352,5 +522,9 @@ object SurqlQueries {
     limitStart, onlyOne, aggGroup, aggGlobal, distinctScan, subqueryIn,
     subqueryNotIn, fnMath, fnTime,
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
-    fnString, fnArray, fnCast, fnAggStats, fnCrypto)
+    fnString, fnArray, fnCast, fnAggStats, fnCrypto,
+    graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
+    fulltextBm25, knnBruteText, knnAnnText,
+    mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
+    mutUpsertPoint, mutRelateStmt)
 }

@@ -57,9 +57,13 @@ object SparkPlanner {
   private val broadcastDims = Set("region", "nation", "supplier", "customer", "part")
 
   /** Planning context: source table (for link resolution), its schema, and
-    * derived columns produced by link-deref joins. */
+    * derived columns produced by link-deref joins, graph-hop aggregations,
+    * and the MATCHES / KNN sub-plans. */
   final case class Ctx(spark: SparkSession, dir: String, table: String,
-      schema: StructType, linkCols: Map[List[String], String])
+      schema: StructType, linkCols: Map[List[String], String],
+      graphCols: Map[Seq[Part], String] = Map.empty,
+      scoreCol: Option[String] = scala.None,
+      knnDistCol: Option[String] = scala.None)
 
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
@@ -70,6 +74,12 @@ object SparkPlanner {
         val dummy = spark.range(1)
         val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
         dummy.select(fields.map { case (name, e) => toCol(e, ctx).as(name) }: _*)
+      case Seq(s: CreateStmt) => planCreate(spark, dir, s)
+      case Seq(s: InsertStmt) => planInsert(spark, dir, s)
+      case Seq(s: UpdateStmt) => planUpdate(spark, dir, s)
+      case Seq(s: UpsertStmt) => planUpsert(spark, dir, s)
+      case Seq(s: DeleteStmt) => planDelete(spark, dir, s)
+      case Seq(s: RelateStmt) => planRelate(spark, dir, s)
       case other => throw SqlError(s"SparkPlanner: unsupported statement shape $other")
     }
   }
@@ -135,15 +145,77 @@ object SparkPlanner {
       df = df.join(side, col(path.head) === col(keyName), "left").drop(keyName)
       linkCols += (path -> derived)
     }
-    val ctx = Ctx(spark, dir, table, schema, linkCols)
-    def c(e: Expr): Column = toCol(e, ctx)
 
-    // ---- filter: split conjuncts, decorrelate INSIDE-subqueries ----------
+    // ---- graph-arrow pre-pass --------------------------------------------
+    // `->edge->target[.field]` idioms lower to one aggregated equi-join per
+    // distinct path against the relation table (GraphEdgeScan,
+    // exec/operators/scan/graph.rs:64): group the oriented edges by their
+    // anchor id, collect the reached ids/fields in key order, left-join onto
+    // the source by its record key. Two key-partitioned shuffles, output
+    // bounded at one row per source record — the 100 TB-safe hop shape.
+    var graphCols = Map.empty[Seq[Part], String]
+    pathExprs.flatMap(collectGraphPaths).distinct.zipWithIndex.foreach {
+      case (parts, i) =>
+        if (table.isEmpty) throw SqlError("SparkPlanner: graph hop needs a concrete source table")
+        val derived = s"__g$i"
+        val kName = derived + "_k"
+        val lookup = graphLookup(spark, dir, table, parts, derived, kName)
+        val srcKey = recordKey.getOrElse(table,
+          throw SqlError(s"SparkPlanner: no record key for table $table"))
+        df = df.join(lookup, col(srcKey) === col(kName), "left").drop(kName)
+        graphCols += (parts -> derived)
+    }
+
+    // ---- WHERE: strip MATCHES / KNN conjuncts into sub-plans --------------
+    // The reference removes `@@` and `<|k|>` from the condition and plans
+    // FTS / KNN operators for them (exec/planner/util.rs:377,394); the rest
+    // of the conjunction stays a row predicate.
     def conjuncts(e: Expr): Seq[Expr] = e match {
       case Binary("&&", l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    s.where.toSeq.flatMap(conjuncts).foreach {
+    val allConjs = s.where.toSeq.flatMap(conjuncts)
+    val (matchConjs, rest0) = allConjs.partition {
+      case Binary(op, _, _) => op == "MATCHES" || op.startsWith("MATCHES:")
+      case _ => false
+    }
+    val (knnConjs, plainConjs) = rest0.partition {
+      case Binary(op, _, _) => op.startsWith("KNN:")
+      case _ => false
+    }
+
+    var scoreCol: Option[String] = scala.None
+    matchConjs.foreach {
+      case Binary(_, Idiom(Seq(PField(f))), rhs) =>
+        // FullTextScan lowering against the persisted postings index. Only
+        // documents.text is indexed in this catalog (DEFINE INDEX … SEARCH).
+        if (table != "documents" || f != "text")
+          throw SqlError(s"SparkPlanner: @@ requires a search-indexed field; $table.$f is not")
+        val terms = Eval.evalConst(rhs) match {
+          case VStr(q) => q.trim.toLowerCase.split("\\s+").toSeq
+          case other => throw SqlError(s"SparkPlanner: @@ rhs must be a string, got ${other.render}")
+        }
+        if (pathExprs.exists(containsScoreFn)) {
+          // score requested → inner-join per-doc BM25 (match filter + score)
+          val sc = graft.operators.FullText.scores(spark, dir, terms)
+            .withColumnRenamed("score", "__fts_score")
+          df = df.join(sc, Seq("doc_id"), "inner")
+          scoreCol = Some("__fts_score")
+        } else {
+          // pure match predicate → postings semi-join
+          val hits = graft.operators.FullText.index(spark, dir)._1
+            .filter(col("term").isin(terms: _*)).select("doc_id").distinct()
+          df = df.join(hits, Seq("doc_id"), "left_semi")
+        }
+      case other => throw SqlError(s"SparkPlanner: unsupported MATCHES shape $other")
+    }
+
+    val ctx = Ctx(spark, dir, table, schema, linkCols, graphCols, scoreCol,
+      knnDistCol = if (knnConjs.nonEmpty) Some("__knn_dist") else scala.None)
+    def c(e: Expr): Column = toCol(e, ctx)
+
+    // ---- filter: plain conjuncts, decorrelate INSIDE-subqueries ----------
+    plainConjs.foreach {
       case Binary(op @ ("INSIDE" | "NOTINSIDE"), l, Subquery(sub: SelectStmt)) =>
         // membership against a subquery → semi/anti join (decorrelated)
         val subDf = planSelect(spark, dir, sub)
@@ -151,6 +223,49 @@ object SparkPlanner {
         val joinType = if (op == "INSIDE") "left_semi" else "left_anti"
         df = df.join(subDf, c(l) === subDf(key), joinType)
       case cond => df = df.filter(c(cond))
+    }
+
+    // ---- KNN after row predicates: top-k among surviving candidates -------
+    knnConjs.foreach { case Binary(op, lhs, rhs) =>
+      val Array(_, kStr, metric) = op.split(":", -1)
+      val k = kStr.toInt
+      val f = lhs match {
+        case Idiom(Seq(PField(n))) => n
+        case other => throw SqlError(s"SparkPlanner: KNN lhs must be a field, got $other")
+      }
+      val qvec: Seq[Double] = Eval.evalConst(rhs) match {
+        case VArr(items) => items.map {
+          case n: VNum => n.toDouble
+          case other => throw SqlError(s"SparkPlanner: KNN vector must be numeric, got ${other.render}")
+        }
+        case other => throw SqlError(s"SparkPlanner: KNN rhs must be an array, got ${other.render}")
+      }
+      val srcKey = recordKey.getOrElse(table,
+        throw SqlError(s"SparkPlanner: no record key for table $table"))
+      metric match {
+        case "COSINE" | "EUCLIDEAN" | "MANHATTAN" =>
+          // KnnTopK brute force (exec/operators/knn_topk.rs:81): score every
+          // candidate, TakeOrderedAndProject — right at any scale
+          val qe = array(qvec.map(lit): _*)
+          val Sim = graft.operators.Similarity
+          val dist = metric match {
+            case "COSINE"    => lit(1.0) - Sim.cosine(col(f), qe)
+            case "EUCLIDEAN" => Sim.l2(col(f), qe)
+            case _           => Sim.l1(col(f), qe)
+          }
+          df = df.withColumn("__knn_dist", dist)
+            .orderBy(col("__knn_dist").asc, col(srcKey).asc)
+            .limit(k)
+        case _ =>
+          // `<|k|>` / `<|k,ef|>`: index-backed ANN (KnnScan,
+          // exec/operators/scan/knn.rs:37) over the persisted LSH index;
+          // the ef search-width param has no LSH analog and is ignored
+          if (table != "embeddings" || f != "embedding")
+            throw SqlError(s"SparkPlanner: <|k|> requires a vector-indexed field; $table.$f is not")
+          val probe = graft.operators.Similarity.annProbe(spark, dir, qvec, k)
+            .select(col("vec_id"), (lit(1.0) - col("cos_sim")).as("__knn_dist"))
+          df = df.join(probe, Seq("vec_id"), "inner")
+      }
     }
 
     // ---- split -----------------------------------------------------------
@@ -279,6 +394,323 @@ object SparkPlanner {
     case _ => throw SqlError(s"SparkPlanner: invalid link path $path")
   }
 
+  // ---- graph-arrow resolution --------------------------------------------
+
+  /** Idioms that start with a graph hop (`->edge->…`). Idioms containing a
+    * PGraph anywhere ELSE are rejected later by toCol (no silent lowering). */
+  private def collectGraphPaths(e: Expr): Seq[Seq[Part]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Seq[Part]]()
+    def go(x: Expr): Unit = x match {
+      case Idiom(parts) if parts.headOption.exists(_.isInstanceOf[PGraph]) =>
+        out += parts
+      case Idiom(parts) => parts.foreach {
+        case PStart(inner) => go(inner)
+        case PIndex(inner) => go(inner)
+        case PWhere(inner) => go(inner)
+        case _ => ()
+      }
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, inner) => go(inner)
+      case Cast(_, inner)   => go(inner)
+      case FnCall(_, args)  => args.foreach(go)
+      case ArrLit(items)    => items.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case IfExpr(bs, o)    => bs.foreach { case (cc, v) => go(cc); go(v) }; o.foreach(go)
+      case _ => ()
+    }
+    go(e)
+    out.toSeq
+  }
+
+  private def containsScoreFn(e: Expr): Boolean = e match {
+    case FnCall("search::score", _) => true
+    case Binary(_, l, r)  => containsScoreFn(l) || containsScoreFn(r)
+    case Prefix(_, inner) => containsScoreFn(inner)
+    case Cast(_, inner)   => containsScoreFn(inner)
+    case FnCall(_, args)  => args.exists(containsScoreFn)
+    case ArrLit(items)    => items.exists(containsScoreFn)
+    case _ => false
+  }
+
+  /** Lower one graph path to an aggregated lookup keyed by the source id.
+    * Supported shapes (the reference's Lookup with its SELECT-features runs
+    * in the Interp; anything not lowered throws rather than approximating):
+    *   `->edge`                 → array of edge record ids (KV key order)
+    *   `->edge->target`         → array of reached target ids
+    *   `->edge->target.field`   → array of target field values (id order)
+    * with an optional `WHERE` on the edge (`->(edge WHERE cond)->…`), and
+    * `<-`/`<->` orientations. Output modes mirror GraphScanOutput
+    * (scan/graph.rs:30-36). */
+  private def graphLookup(spark: SparkSession, dir: String, table: String,
+      parts: Seq[Part], derived: String, kName: String): DataFrame = {
+    import graft.operators.GraphOps
+    val g1 = parts.head.asInstanceOf[PGraph]
+    def unsupported(why: String) =
+      throw SqlError(s"SparkPlanner: unsupported graph lookup ($why)")
+    if (g1.what.length != 1) unsupported("multi-subject hop")
+    if (g1.what.head.key.nonEmpty) unsupported("id-restricted hop")
+    if (g1.fields.nonEmpty || g1.groupBy.nonEmpty || g1.order.nonEmpty ||
+        g1.limit.nonEmpty || g1.start.nonEmpty || g1.split.nonEmpty || g1.only)
+      unsupported("SELECT-featured lookup")
+    val edgeName = g1.what.head.table
+    val (inT, outT) = GraphOps.edgeDefs.getOrElse(edgeName,
+      unsupported(s"unknown relation table $edgeName"))
+    val e0 = GraphOps.edgeTable(spark, dir, edgeName)
+    val e = g1.cond match {
+      case Some(cnd) =>
+        e0.filter(toCol(cnd, Ctx(spark, dir, edgeName, e0.schema, Map.empty)))
+      case scala.None => e0
+    }
+    // orientation: `->` anchors the source at `in`, `<-` at `out`, `<->` both
+    def orient(anchor: String, far: String): DataFrame =
+      e.select(col(anchor).as(kName), col(far).as("__dst"), col("id").as("__eid"))
+    val oriented = g1.dir match {
+      case "out"  => if (table != inT) unsupported(s"$table is not the in-side of $edgeName") else orient("in", "out")
+      case "in"   => if (table != outT) unsupported(s"$table is not the out-side of $edgeName") else orient("out", "in")
+      case "both" =>
+        val sides = Seq(
+          if (table == inT) Some(orient("in", "out")) else scala.None,
+          if (table == outT) Some(orient("out", "in")) else scala.None).flatten
+        if (sides.isEmpty) unsupported(s"$table touches neither side of $edgeName")
+        else sides.reduce(_ unionByName _)
+      case other  => unsupported(s"direction $other")
+    }
+    parts.tail match {
+      case Nil =>
+        // edge-record ids, sorted (KV scan order is key order)
+        oriented.groupBy(kName)
+          .agg(sort_array(collect_list(col("__eid"))).as(derived))
+      case Seq(g2: PGraph) =>
+        checkTargetHop(g1, g2, if (g1.dir == "out") outT else inT)
+        oriented.groupBy(kName)
+          .agg(sort_array(collect_list(col("__dst"))).as(derived))
+      case Seq(g2: PGraph, PField(f)) =>
+        val targetT = if (g1.dir == "out") outT else inT
+        checkTargetHop(g1, g2, targetT)
+        val tk = recordKey.getOrElse(targetT, unsupported(s"no record key for $targetT"))
+        val target = Tables(spark, dir, targetT).select(col(tk), col(f))
+        // collect (targetId, field) structs, sort by id (KV order), project
+        // the field — array_sort on structs orders by the leading field
+        oriented.join(target, col("__dst") === col(tk))
+          .groupBy(kName)
+          .agg(transform(
+            array_sort(collect_list(struct(col("__dst").as("k"), col(f).as("v")))),
+            x => x.getField("v")).as(derived))
+      case other => unsupported(s"trailing parts $other")
+    }
+  }
+
+  private def checkTargetHop(g1: PGraph, g2: PGraph, expected: String): Unit = {
+    def unsupported(why: String) =
+      throw SqlError(s"SparkPlanner: unsupported graph lookup ($why)")
+    if (g2.dir != g1.dir && g1.dir != "both") unsupported("mixed hop directions")
+    if (g2.what.length != 1 || g2.what.head.key.nonEmpty || g2.cond.nonEmpty)
+      unsupported("restricted target hop")
+    if (g2.what.head.table != expected)
+      unsupported(s"target ${g2.what.head.table} does not match relation endpoint $expected")
+  }
+
+  // ---- mutations -----------------------------------------------------------
+  // SurrealQL mutation text lowers onto the pure table transforms in
+  // graft.operators.Mutations (Delta-MERGE-shaped joins — the reference's
+  // per-document lifecycle dbs/iterator.rs:34-64 + doc/process.rs:16 becomes
+  // column exprs + anti/semi/outer joins; nothing collects to the driver).
+  // The returned DataFrame is the RETURN-clause shape: the statement's
+  // affected rows, not the post-mutation table (which a storage layer would
+  // MERGE INTO).
+
+  /** Resolve a mutation target to (table, scan, key predicate). */
+  private def mutTarget(spark: SparkSession, dir: String, e: Expr): (String, DataFrame, Option[Column]) = e match {
+    case Idiom(Seq(PField(name))) => (name, Tables(spark, dir, name), scala.None)
+    case TableRef(name)           => (name, Tables(spark, dir, name), scala.None)
+    case RidLit(table, keyE) =>
+      val key = recordKey.getOrElse(table,
+        throw SqlError(s"SparkPlanner: no record key for table $table"))
+      Eval.evalConst(keyE) match {
+        case VRng(lo, hi) =>
+          val preds =
+            lo.map { case (v, incl) => if (incl) col(key) >= ridKeyLit(v) else col(key) > ridKeyLit(v) }.toSeq ++
+            hi.map { case (v, incl) => if (incl) col(key) <= ridKeyLit(v) else col(key) < ridKeyLit(v) }.toSeq
+          (table, Tables(spark, dir, table), preds.reduceOption(_ && _))
+        case v => (table, Tables(spark, dir, table), Some(col(key) === ridKeyLit(v)))
+      }
+    case other => throw SqlError(s"SparkPlanner: unsupported mutation target $other")
+  }
+
+  /** SET clause → column assignments evaluated against the pre-image row
+    * (simultaneous assignment, doc/alter.rs process_set_data). */
+  private def setMap(data: Option[Data], ctx: Ctx, requireExisting: Boolean): Map[String, Column] =
+    data match {
+      case Some(SetData(sets)) => sets.map {
+        case (Idiom(Seq(PField(n))), op, e) =>
+          if (requireExisting && !ctx.schema.fieldNames.contains(n))
+            throw SqlError(s"SparkPlanner: SET on unknown column $n")
+          val v = toCol(e, ctx)
+          n -> (op match {
+            case "="  => v
+            case "+=" => col(n) + v
+            case "-=" => col(n) - v
+            case other => throw SqlError(s"SparkPlanner: unsupported SET op $other")
+          })
+        case (idiom, _, _) => throw SqlError(s"SparkPlanner: unsupported SET path $idiom")
+      }.toMap
+      case Some(ContentData(ObjLit(fs))) =>
+        fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
+      case scala.None => Map.empty
+      case other => throw SqlError(s"SparkPlanner: unsupported data clause $other")
+    }
+
+  /** RETURN-clause shaping over (before, after) row sets. */
+  private def shapeOutput(before: DataFrame, after: DataFrame,
+      output: Option[Output], ctx: Ctx): DataFrame = output match {
+    case scala.None | Some(Output.OAfter) => after
+    case Some(Output.OBefore) => before
+    case Some(Output.ONone)   => after.limit(0)
+    case Some(Output.OFields(fields)) =>
+      after.select(fields.map(f => toCol(f.expr, ctx).as(fieldAlias(f))): _*)
+    case Some(other) => throw SqlError(s"SparkPlanner: unsupported RETURN $other")
+  }
+
+  /** One synthesized row per record id, conformed to the table schema:
+    * the id key, the SET/CONTENT values, NULL elsewhere. */
+  private def synthRows(spark: SparkSession, table: String, schema: StructType,
+      rids: Seq[(V, Map[String, Column])]): DataFrame = {
+    val key = recordKey.getOrElse(table,
+      throw SqlError(s"SparkPlanner: no record key for table $table"))
+    rids.map { case (keyV, sets) =>
+      val cols = schema.fields.map { sf =>
+        (if (sf.name == key) ridKeyLit(keyV)
+         else sets.getOrElse(sf.name, lit(null))).cast(sf.dataType).as(sf.name)
+      }
+      spark.range(1).select(cols.toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** CREATE table:id … — synthesized rows behind the duplicate-id anti-join
+    * guard (reference errors on existing ids; the guard excludes them the
+    * way a MERGE insert-arm would). */
+  private def planCreate(spark: SparkSession, dir: String, s: CreateStmt): DataFrame = {
+    val targets = s.what.map {
+      case RidLit(table, keyE) => (table, Eval.evalConst(keyE))
+      case other => throw SqlError(s"SparkPlanner: CREATE target must be a record id, got $other")
+    }
+    val table = targets.head._1
+    if (!targets.forall(_._1 == table))
+      throw SqlError("SparkPlanner: CREATE across tables is unsupported")
+    val base = Tables(spark, dir, table)
+    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+    val sets = setMap(s.data, ctx, requireExisting = true)
+    val key = recordKey(table)
+    val rows = synthRows(spark, table, base.schema, targets.map(t => (t._2, sets)))
+    val created = rows.join(base.select(key), Seq(key), "left_anti")
+    shapeOutput(created, created, s.output, ctx)
+  }
+
+  /** INSERT INTO t (SELECT …) [ON DUPLICATE KEY UPDATE …]: bulk insert from
+    * a sub-select. Fresh rows pass the anti-join; on-duplicate SETs apply to
+    * the EXISTING row (the semi-joined arm) — the two arms of a MERGE. */
+  private def planInsert(spark: SparkSession, dir: String, s: InsertStmt): DataFrame = {
+    val table = s.into match {
+      case Some(TableRef(name)) => name
+      case Some(Idiom(Seq(PField(name)))) => name
+      case other => throw SqlError(s"SparkPlanner: unsupported INSERT target $other")
+    }
+    val base = Tables(spark, dir, table)
+    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+    val key = recordKey.getOrElse(table,
+      throw SqlError(s"SparkPlanner: no record key for table $table"))
+    val rows0 = s.values match {
+      case Subquery(sel: SelectStmt) => planSelect(spark, dir, sel)
+      case other => throw SqlError(s"SparkPlanner: INSERT values must be a sub-select, got $other")
+    }
+    val extra = rows0.columns.filterNot(base.columns.contains)
+    if (extra.nonEmpty)
+      throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
+    // conform to table schema: absent columns NULL
+    val rows = rows0.select(base.schema.fields.map { sf =>
+      (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
+        .cast(sf.dataType).as(sf.name)
+    }.toIndexedSeq: _*)
+    val fresh = rows.join(base.select(key), Seq(key), "left_anti")
+    val result = s.onDuplicate match {
+      case scala.None => fresh
+      case Some(sets) =>
+        val dupSets = setMap(Some(SetData(sets)), ctx, requireExisting = true)
+        val existing = base.join(rows.select(key), Seq(key), "left_semi")
+        val updated = graft.operators.Mutations.update(existing, lit(true), dupSets)
+        fresh.unionByName(updated)
+    }
+    shapeOutput(result, result, s.output, ctx)
+  }
+
+  private def planUpdate(spark: SparkSession, dir: String, s: UpdateStmt): DataFrame = {
+    val Seq(what) = s.what
+    val (table, base, keyPred) = mutTarget(spark, dir, what)
+    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val sets = setMap(s.data, ctx, requireExisting = true)
+    val before = base.filter(cond)
+    val after = graft.operators.Mutations.update(before, lit(true), sets)
+    shapeOutput(before, after, s.output, ctx)
+  }
+
+  /** UPSERT table:id SET … — update arm if the id exists, synthesized create
+    * arm otherwise; both arms computed distributively, exactly one non-empty. */
+  private def planUpsert(spark: SparkSession, dir: String, s: UpsertStmt): DataFrame = {
+    val Seq(what) = s.what
+    val (table, base, keyPred) = mutTarget(spark, dir, what)
+    val keyV = what match {
+      case RidLit(_, keyE) => Eval.evalConst(keyE) match {
+        case r: VRng => throw SqlError("SparkPlanner: UPSERT needs a point record id")
+        case v => v
+      }
+      case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
+    }
+    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val sets = setMap(s.data, ctx, requireExisting = true)
+    val key = recordKey(table)
+    val updated = graft.operators.Mutations.update(base.filter(cond), lit(true), sets)
+    val inserted = synthRows(spark, table, base.schema, Seq((keyV, sets)))
+      .join(base.select(key), Seq(key), "left_anti")
+    val after = updated.unionByName(inserted)
+    shapeOutput(base.filter(cond), after, s.output, ctx)
+  }
+
+  private def planDelete(spark: SparkSession, dir: String, s: DeleteStmt): DataFrame = {
+    val Seq(what) = s.what
+    val (table, base, keyPred) = mutTarget(spark, dir, what)
+    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val (_, deleted) = graft.operators.Mutations.delete(base, cond)
+    // DELETE defaults to RETURN NONE; BEFORE/fields evaluate on deleted rows
+    shapeOutput(deleted, deleted, s.output.orElse(Some(Output.OBefore)), ctx)
+  }
+
+  /** RELATE from->edge->to SET …: the cartesian pairing of the two id sets
+    * (from/to are explicit record sets — small by construction; reference
+    * RELATE iterates the product) through Mutations.relate. */
+  private def planRelate(spark: SparkSession, dir: String, s: RelateStmt): DataFrame = {
+    def ids(e: Expr, side: String): DataFrame = {
+      val (df, tbl) = planSource(spark, dir, e)
+      val key = recordKey.getOrElse(tbl,
+        throw SqlError(s"SparkPlanner: no record key for table $tbl"))
+      df.select(col(key).as(side))
+    }
+    val from = ids(s.from, "__in")
+    val to   = ids(s.to, "__out")
+    val constCtx = Ctx(spark, dir, "", new StructType(), Map.empty)
+    val props = setMap(s.data, constCtx, requireExisting = false)
+    val pairs = from.crossJoin(to)
+    val edges = graft.operators.Mutations.relate(pairs, col("__in"), col("__out"),
+      props.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) })
+    val ctx = Ctx(spark, dir, "", edges.schema, Map.empty)
+    shapeOutput(edges, edges, s.output, ctx)
+  }
+
   private def fieldAlias(f: Field): String =
     f.alias.getOrElse(Eval.fieldName(f.expr))
 
@@ -361,6 +793,14 @@ object SparkPlanner {
   private def isDoubleTyped(e: Expr, schema: StructType): Boolean =
     typeOf(e, schema).contains(DoubleType)
 
+  /** Coarse type family for the loose-`=` guard. */
+  private def typeFamily(t: DataType): String = t match {
+    case LongType | DoubleType | IntegerType | FloatType | _: DecimalType => "num"
+    case StringType  => "str"
+    case BooleanType => "bool"
+    case other       => other.typeName
+  }
+
   def toCol(e: Expr, ctx: Ctx): Column = {
     def c(x: Expr): Column = toCol(x, ctx)
     val schema = ctx.schema
@@ -371,6 +811,10 @@ object SparkPlanner {
       case Lit(VBool(b))   => lit(b)
       case Lit(VDec(d))    => lit(d.toDouble)
       case Lit(VNone) | Lit(VNull) => lit(null)
+      case Idiom(parts) if ctx.graphCols.contains(parts) =>
+        col(ctx.graphCols(parts))
+      case Idiom(parts) if parts.exists(_.isInstanceOf[PGraph]) =>
+        throw SqlError(s"SparkPlanner: unsupported graph idiom $parts")
       case Idiom(parts) if parts.forall(_.isInstanceOf[PField]) &&
           ctx.linkCols.contains(parts.collect { case PField(n) => n }.toList) =>
         col(ctx.linkCols(parts.collect { case PField(n) => n }.toList))
@@ -393,7 +837,15 @@ object SparkPlanner {
         case "%"  => c(l) % c(r)
         case "=" => r match {
           case Lit(VNone) | Lit(VNull) => c(l).isNull
-          case _ => c(l) === c(r)
+          case _ =>
+            // SurrealQL `=` coerces across types (expr/operator.rs:59-62);
+            // Spark === does not. Numeric-vs-numeric agrees, anything else
+            // cross-family must NOT silently lower to a wrong answer.
+            (typeOf(l, schema), typeOf(r, schema)) match {
+              case (Some(lt), Some(rt)) if typeFamily(lt) != typeFamily(rt) =>
+                throw SqlError(s"SparkPlanner: loose = between $lt and $rt needs coercion; use the Interp path")
+              case _ => c(l) === c(r)
+            }
         }
         case "==" => c(l) === c(r)
         case "!=" => r match {
@@ -407,8 +859,13 @@ object SparkPlanner {
         case "&&" => c(l) && c(r)
         case "||" => c(l) || c(r)
         case "INSIDE" => r match {
+          // primitive literals only: a datetime/record-id/duration IN-list
+          // would need value-domain coercion — throw, never compare against
+          // a rendered string
           case ArrLit(items) => c(l).isin(items.map(i => Eval.evalConst(i) match {
-            case VStr(s) => s; case VInt(n) => n; case VFloat(d) => d; case v => v.renderRaw
+            case VStr(s) => s; case VInt(n) => n; case VFloat(d) => d
+            case VBool(b) => b
+            case v => throw SqlError(s"SparkPlanner: non-primitive INSIDE element ${v.render}")
           }): _*)
           case _ => throw SqlError(s"SparkPlanner: unsupported INSIDE rhs $r")
         }
@@ -511,6 +968,11 @@ object SparkPlanner {
       val a = pow(sin((lat2 - lat1) / 2), 2) +
         cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
       R * lit(2.0) * asin(sqrt(a))
+    // ---- MATCHES / KNN companions (resolve to the sub-plan's column) ------
+    case "search::score" => col(ctx.scoreCol.getOrElse(
+      throw SqlError("SparkPlanner: search::score outside a MATCHES query")))
+    case "vector::distance::knn" => col(ctx.knnDistCol.getOrElse(
+      throw SqlError("SparkPlanner: vector::distance::knn outside a KNN query")))
     case "type::string" => cs(0).cast("string")
     case "type::int"    => cs(0).cast("bigint")
     case "type::float"  => cs(0).cast("double")

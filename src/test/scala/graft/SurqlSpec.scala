@@ -104,4 +104,35 @@ class SurqlSpec extends AnyFunSuite {
     val rows = df.collect()
     assert(rows.nonEmpty && rows.map(_.getLong(0)).toSeq.sorted == rows.map(_.getLong(0)).toSeq)
   }
+
+  test("planner refuses silent divergences instead of lowering wrongly") {
+    val spark = TestSpark.session
+    val d = "/root/testdata/sf0.001"
+    // loose `=` across type families coerces in SurrealQL; Spark === doesn't
+    val e1 = intercept[SqlError](SparkPlanner.query(spark, d,
+      "SELECT o_orderkey FROM orders WHERE o_orderkey = '1'"))
+    assert(e1.msg.contains("loose ="))
+    // non-primitive INSIDE elements must not degrade to rendered strings
+    val e2 = intercept[SqlError](SparkPlanner.query(spark, d,
+      "SELECT o_orderkey FROM orders WHERE o_orderdate INSIDE [d'2020-01-01T00:00:00Z']"))
+    assert(e2.msg.contains("INSIDE"))
+    // graph hops only lower on declared relation endpoints
+    val e3 = intercept[SqlError](SparkPlanner.query(spark, d,
+      "SELECT ->supplies->part FROM customer"))
+    assert(e3.msg.contains("graph lookup"))
+  }
+
+  test("planner graph/MATCHES/KNN lowerings execute from text") {
+    val spark = TestSpark.session
+    val d = "/root/testdata/sf0.001"
+    val g = SparkPlanner.query(spark, d,
+      "SELECT s_suppkey, ->supplies->part AS parts FROM supplier:1..3 ORDER BY s_suppkey").collect()
+    assert(g.length == 2 && g.forall(!_.isNullAt(1)))
+    val m = SparkPlanner.query(spark, d,
+      "SELECT doc_id, search::score(1) AS score FROM documents WHERE text @1@ 'spark' ORDER BY score DESC, doc_id LIMIT 5").collect()
+    assert(m.nonEmpty && m.length <= 5)
+    val k = SparkPlanner.query(spark, d,
+      "SELECT vec_id, vector::distance::knn() AS dist FROM embeddings WHERE vec_id != 0 AND embedding <|5,EUCLIDEAN|> [0.1, 0.2] ORDER BY dist, vec_id").collect()
+    assert(k.length == 5 && k.forall(_.getLong(0) != 0L))
+  }
 }
