@@ -434,6 +434,31 @@ object SurqlQueries {
           ORDER BY cos_sim DESC, vec_id""")
   }
 
+  // ---- COLLATE / NUMERIC ordering -----------------------------------------
+
+  /** ORDER BY … COLLATE: case-insensitive lexical order with a binary
+    * tie-break (reference lexical_cmp) — lowered to a (lower(k), k) sort-key
+    * pair, so the distributed range sort is unchanged. The IF flips half the
+    * rows to lowercase so collation actually decides the order. */
+  val sortCollate = sq("sort_collate",
+    """SELECT p_partkey,
+              CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END AS k
+       FROM part ORDER BY lower(k), k, p_partkey""")(
+    """SELECT p_partkey,
+              IF p_partkey % 2 = 0 THEN string::lowercase(p_type) ELSE p_type END AS k
+       FROM part ORDER BY k COLLATE, p_partkey""")
+
+  /** ORDER BY … NUMERIC: digit-run-aware natural order (reference
+    * natural_cmp) — lowered to a padded-digit-run sort key. 'PKG 5' sorts
+    * before 'PKG 10'; binary order would invert them. */
+  val sortNumeric = sq("sort_numeric",
+    """SELECT p_partkey, p_name || ' ' || CAST(p_size AS VARCHAR) AS k
+       FROM part
+       ORDER BY regexp_extract(k, '^([^0-9]*)', 1),
+                CAST(regexp_extract(k, '([0-9]+)$', 1) AS BIGINT), p_partkey""")(
+    """SELECT p_partkey, string::concat(p_name, ' ', <string>p_size) AS k
+       FROM part ORDER BY k NUMERIC, p_partkey""")
+
   // ---- mutation statements through the planner ----------------------------
   // CREATE/INSERT/UPDATE/UPSERT/DELETE/RELATE text lowers onto the
   // Mutations.* transforms (SparkPlanner.planCreate &c.); outputs are the
@@ -524,7 +549,7 @@ object SurqlQueries {
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
     fnString, fnArray, fnCast, fnAggStats, fnCrypto,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
-    fulltextBm25, knnBruteText, knnAnnText,
+    fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt)
 }

@@ -315,13 +315,23 @@ object SparkPlanner {
 
     // ---- order / start / limit ------------------------------------------
     if (s.order.nonEmpty) {
-      val keys = s.order.map { k =>
+      val keys = s.order.flatMap { k =>
         val kc = k.expr match {
           // order keys may reference output aliases
           case Idiom(Seq(PField(n))) if df.columns.contains(n) => col(n)
           case e => toCol(e, ctx)
         }
-        if (k.desc) kc.desc else kc.asc
+        // COLLATE = lexical_cmp (case-insensitive, binary tie-break keeps
+        // upper first); NUMERIC = natural_cmp (digit-run aware); both =
+        // natural_lexical_cmp (val/value/compare.rs:15-19). Each is a plain
+        // sort-key expression, so the distributed range-partitioned sort is
+        // unchanged.
+        val cols: Seq[Column] =
+          if (k.collate && k.numeric) Seq(naturalKey(lower(kc)), kc)
+          else if (k.collate) Seq(lower(kc), kc)
+          else if (k.numeric) Seq(naturalKey(kc))
+          else Seq(kc)
+        cols.map(c => if (k.desc) c.desc else c.asc)
       }
       df = df.orderBy(keys: _*)
     }
@@ -792,6 +802,16 @@ object SparkPlanner {
 
   private def isDoubleTyped(e: Expr, schema: StructType): Boolean =
     typeOf(e, schema).contains(DoubleType)
+
+  /** Natural-sort key (reference natural_cmp, lexicmp crate): split into
+    * digit / non-digit runs, left-pad digit runs to fixed width, re-join —
+    * binary order of the key equals numeric-aware order of the value. All
+    * codegen'd builtins (split/transform/lpad), no UDF. */
+  private def naturalKey(c: Column): Column =
+    array_join(
+      transform(split(c, "(?<=\\d)(?=\\D)|(?<=\\D)(?=\\d)"),
+        x => when(x.rlike("^[0-9]+$"), lpad(x, 20, "0")).otherwise(x)),
+      "")
 
   /** Coarse type family for the loose-`=` guard. */
   private def typeFamily(t: DataType): String = t match {
