@@ -61,6 +61,28 @@ object Live {
     changes.filter(col("action") === "DELETE" || cond)
       .select(col("vs"), col("id"), col("action"), col("record"))
 
+  /** Drive [[notifications]] from LIVE SELECT statement text: the parsed
+    * WHERE lowers through SparkPlanner.toCol against the feed's record
+    * payload — the registration path (expr/statements/live.rs) and the
+    * fan-out transform share one condition definition. */
+  def liveFromText(feed: DataFrame, surql: String): DataFrame =
+    graft.surql.Parser.parse(surql).stmts match {
+      case scala.collection.Seq(s: graft.surql.ast.LiveStmt) =>
+        val recSchema = feed.schema("record").dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        // flatten the record payload so WHERE fields resolve as columns
+        val flat = feed.select(
+          (feed.columns.map(col).toSeq ++
+            recSchema.fieldNames.toSeq.map(n => col(s"record.$n").as(n))): _*)
+        val ctx = graft.surql.SparkPlanner.Ctx(
+          feed.sparkSession, "", "", recSchema, Map.empty)
+        val cond = s.where.map(graft.surql.SparkPlanner.toCol(_, ctx))
+          .getOrElse(lit(true))
+        notifications(flat, cond)
+      case other =>
+        throw new IllegalArgumentException(s"not a LIVE statement: $other")
+    }
+
   /** CORRECTNESS row: the mutChangefeed scenario's feed run through a LIVE
     * SELECT with a condition — hash-checked against the oracle replaying
     * the same mutation. The same `notifications` transform is what the
@@ -83,8 +105,9 @@ object Live {
         .withColumn("o_orderstatus", lit("N"))
       val after = Mutations.upsert(o, deltaUp.unionByName(deltaNew), "o_orderkey")
       val feed = changeFeed(o, after, "o_orderkey", versionstamp = 1L)
-      // LIVE SELECT … WHERE record.o_totalprice > 100000
-      notifications(feed, col("record.o_totalprice") > 100000.0)
+      // the registration is REAL statement text; its WHERE becomes the
+      // notification condition on the feed
+      liveFromText(feed, "LIVE SELECT * FROM orders WHERE o_totalprice > 100000.0")
         .select(col("vs"), col("id"), col("action"),
           col("record.o_totalprice").as("total"))
         .orderBy("id")

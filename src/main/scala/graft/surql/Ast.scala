@@ -322,6 +322,17 @@ final case class UpsertStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
     explain: Boolean = false) extends Statement
 final case class DeleteStmt(only: Boolean, what: Seq[Expr], where: Option[Expr],
     output: Option[Output], explain: Boolean = false) extends Statement
+/** LIVE SELECT … — register a realtime subscription, returns its uuid
+  * (expr/statements/live.rs:23-30). */
+final case class LiveStmt(fields: Seq[Field], value: Boolean, diff: Boolean,
+    what: Expr, where: Option[Expr], fetch: Seq[String]) extends Statement
+/** KILL ⟨uuid⟩ — drop a live subscription (expr/statements/kill.rs). */
+final case class KillStmt(id: Expr) extends Statement
+/** SHOW CHANGES FOR TABLE t | DATABASE SINCE ts|vs [LIMIT n]
+  * (expr/statements/show.rs). */
+final case class ShowChangesStmt(table: Option[String], since: Expr,
+    limit: Option[Expr]) extends Statement
+
 /** REBUILD INDEX [IF EXISTS] name ON table (sql/statements/rebuild.rs). */
 final case class RebuildIndexStmt(name: String, table: String,
     ifExists: Boolean) extends Statement

@@ -520,6 +520,9 @@ final class Interp {
     case s: DeleteStmt => checkApiDeadline(); execDelete(s, env)
     case s: InsertStmt => checkApiDeadline(); execInsert(s, env)
     case s: RelateStmt => checkApiDeadline(); execRelate(s, env)
+    case s: LiveStmt => execLive(s, env)
+    case s: KillStmt => execKill(s, env)
+    case s: ShowChangesStmt => execShowChanges(s, env)
     case IfStmt(branches, otherwise) =>
       Eval.eval(IfExpr(branches, otherwise), env)
     case ForStmt(param, iterable, block) =>
@@ -1280,6 +1283,80 @@ final class Interp {
         accessGrants((level, s.name)) = kept
         VArr(purged.map(g => redact(g): V))
     }
+  }
+
+  // ---- LIVE / KILL / SHOW CHANGES ---------------------------------------
+
+  /** Registered live subscriptions (expr/statements/live.rs — node/table lq
+    * keys; here a session registry the write path notifies). */
+  val liveQueries = mutable.LinkedHashMap[java.util.UUID, LiveStmt]()
+
+  private def execLive(s: LiveStmt, env: Env): V = {
+    val tableName = s.what match {
+      case Idiom(Seq(PField(n))) => n
+      case TableRef(n)           => n
+      case e => Eval.eval(e, env) match {
+        case VTable(n) => n
+        case VStr(n)   => n
+        case other =>
+          throw SqlError(s"Cannot execute LIVE statement using value: ${other.render}")
+      }
+    }
+    val id = java.util.UUID.randomUUID()
+    liveQueries(id) = s.copy(what = TableRef(tableName))
+    VUuid(id)
+  }
+
+  private def execKill(s: KillStmt, env: Env): V = {
+    val idV = Eval.eval(s.id, env)
+    val uuid = idV match {
+      case VUuid(u) => Some(u)
+      case VStr(str) =>
+        try Some(java.util.UUID.fromString(str))
+        catch { case _: IllegalArgumentException => scala.None }
+      case _ => scala.None
+    }
+    uuid.filter(liveQueries.contains) match {
+      case Some(u) => liveQueries.remove(u); VNone
+      case scala.None =>
+        throw SqlError(s"Cannot execute KILL statement using id: ${idV.render}")
+    }
+  }
+
+  /** SHOW CHANGES … SINCE reads the versioned write log (the same log
+    * VERSION time-travel uses) shaped as the reference's changefeed rows
+    * (cf/mutations.rs:123-185: {versionstamp, changes:[{update}|{delete}]}).
+    * Only CHANGEFEED-enabled tables feed it; versionstamps step by 65536
+    * per write, as the reference's per-commit stamps do. */
+  private def execShowChanges(s: ShowChangesStmt, env: Env): V = {
+    def feedEnabled(tb: String) = tableDefs.get(tb).exists(_.changefeed.isDefined)
+    val sinceV = Eval.eval(s.since, env)
+    val limit = s.limit.map(e => Eval.eval(e, env) match {
+      case n: VNum => n.toDouble.toInt
+      case other => throw SqlError(s"Expected an integer but found ${other.render}")
+    }).getOrElse(Int.MaxValue)
+    def vs(i: Int): Long = (i.toLong + 1) * 65536L
+    val entries = history.zipWithIndex.filter { case ((_, tb, _, _), _) =>
+      s.table match {
+        case Some(t)    => tb == t && feedEnabled(t)
+        case scala.None => feedEnabled(tb)
+      }
+    }
+    val afterSince = sinceV match {
+      case VDt(ts) => entries.filter { case ((t, _, _, _), _) => !t.isBefore(ts) }
+      case n: VNum =>
+        val v = n.toDouble.toLong
+        entries.filter { case (_, i) => vs(i) >= v }
+      case other =>
+        throw SqlError(s"Expected a datetime or versionstamp but found ${other.render}")
+    }
+    VArr(afterSince.take(limit).map { case ((_, tb, k, doc), i) =>
+      val change: V = doc match {
+        case Some(d)    => V.obj("update" -> (d: V))
+        case scala.None => V.obj("delete" -> V.obj("id" -> (VRid(tb, k): V)))
+      }
+      V.obj("versionstamp" -> VInt(vs(i)), "changes" -> VArr(Vector(change))): V
+    }.toVector)
   }
 
   /** Missing-access error, level-qualified (expr/statements/define/access.rs). */

@@ -192,6 +192,15 @@ final class Parser(val src: String) {
     else if (kw("DELETE")) deleteStmt()
     else if (kw("INSERT")) insertStmt()
     else if (kw("RELATE")) relateStmt()
+    else if (kw("LIVE")) liveStmt()
+    else if (kw("KILL")) KillStmt(expr())
+    else if (peekKw("SHOW")) {
+      // speculative: `show` may also be a plain identifier expression
+      val save = pos
+      kw("SHOW")
+      if (kw("CHANGES")) showChangesStmt()
+      else { pos = save; ExprStmt(expr()) }
+    }
     else if (kw("THROW")) ThrowStmt(expr())
     else if (kw("BREAK")) BreakStmt
     else if (kw("CONTINUE")) ContinueStmt
@@ -216,6 +225,37 @@ final class Parser(val src: String) {
       OptionStmt(name, v)
     }
     else ExprStmt(expr())
+  }
+
+  /** LIVE SELECT ⟨fields⟩|DIFF FROM what [WHERE cond] [FETCH …]
+    * (sql/statements/live.rs:45). */
+  private def liveStmt(): Statement = {
+    expectKw("SELECT")
+    val diff = kw("DIFF")
+    val (fields, value) =
+      if (diff) (Seq.empty[Field], false) else fieldsClause()
+    expectKw("FROM")
+    val what = expr()
+    val where = if (kw("WHERE")) Some(expr()) else scala.None
+    val fetch = ArrayBuffer[String]()
+    if (kw("FETCH")) {
+      var g = true
+      while (g) { fetch += idiomName(); g = sym(",") }
+    }
+    LiveStmt(fields, value, diff, what, where, fetch.toSeq)
+  }
+
+  /** SHOW CHANGES FOR TABLE t | DATABASE SINCE ⟨ts|versionstamp⟩ [LIMIT n]
+    * (sql/statements/show.rs:44). */
+  private def showChangesStmt(): Statement = {
+    expectKw("FOR")
+    val table =
+      if (kw("TABLE")) Some(rawIdent())
+      else { expectKw("DATABASE"); scala.None }
+    expectKw("SINCE")
+    val since = expr()
+    val limit = if (kw("LIMIT")) Some(expr()) else scala.None
+    ShowChangesStmt(table, since, limit)
   }
 
   /** ACCESS name [ON base] GRANT|SHOW|REVOKE|PURGE …

@@ -105,6 +105,47 @@ class SurqlSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.map(_.getLong(0)).toSeq.sorted == rows.map(_.getLong(0)).toSeq)
   }
 
+  test("LIVE SELECT / KILL / SHOW CHANGES statements") {
+    val i = new Interp()
+    def run(sql: String): QueryResult = i.run(Parser.parse(sql)).last
+    // LIVE returns a uuid; KILL with that uuid removes the subscription
+    val uuid = run("LIVE SELECT * FROM person WHERE age > 18") match {
+      case QOk(VUuid(u)) => u
+      case other => fail(s"expected uuid, got $other")
+    }
+    assert(i.liveQueries.contains(uuid))
+    assert(run(s"KILL '$uuid'") == QOk(VNone))
+    assert(!i.liveQueries.contains(uuid))
+    run(s"KILL '$uuid'") match {
+      case QErr(m) => assert(m.startsWith("Cannot execute KILL statement"))
+      case other => fail(s"expected error, got $other")
+    }
+    // SHOW CHANGES reads the versionstamped log of CHANGEFEED tables
+    i.run(Parser.parse(
+      """DEFINE TABLE person CHANGEFEED 1d;
+         CREATE person:1 SET age = 30;
+         UPDATE person:1 SET age = 31;
+         DELETE person:1;"""))
+    run("SHOW CHANGES FOR TABLE person SINCE 0") match {
+      case QOk(VArr(rows)) =>
+        assert(rows.length == 3)
+        val kinds = rows.map {
+          case o: VObj => o.fields("changes") match {
+            case VArr(Vector(c: VObj)) => c.fields.keys.head
+            case other => fail(s"bad change $other")
+          }
+          case other => fail(s"bad row $other")
+        }
+        assert(kinds == Vector("update", "update", "delete"))
+      case other => fail(s"expected rows, got $other")
+    }
+    // non-changefeed tables contribute nothing
+    run("SHOW CHANGES FOR DATABASE SINCE 0 LIMIT 2") match {
+      case QOk(VArr(rows)) => assert(rows.length == 2)
+      case other => fail(s"expected rows, got $other")
+    }
+  }
+
   test("planner refuses silent divergences instead of lowering wrongly") {
     val spark = TestSpark.session
     val d = "/root/testdata/sf0.001"
