@@ -78,10 +78,16 @@ object Defs {
       comment: Option[String] = scala.None,
       perms: Seq[(String, String)] = fieldPermsDefault) {
     def render: String = {
-      val sb = new StringBuilder("DEFINE FIELD ").append(name)
+      // keyword-position field segments are backticked (`value`, `all`);
+      // in/out stay bare (reference could_be_reserved_keyword)
+      val escName = name.split('.').map { seg =>
+        if (seg == "value" || seg == "all") "`" + seg + "`" else seg
+      }.mkString(".")
+      val sb = new StringBuilder("DEFINE FIELD ").append(escName)
         .append(" ON ").append(escIdent(table))
       kindRaw.foreach { k =>
-        sb.append(" TYPE ").append(k)
+        // `<any>` element types render collapsed (array<any> → array)
+        sb.append(" TYPE ").append(k.replace("array<any>", "array").replace("set<any>", "set"))
         if (flexible) sb.append(" FLEXIBLE")
       }
       defaultRaw.foreach { d =>
@@ -112,10 +118,35 @@ object Defs {
       val sb = new StringBuilder("DEFINE INDEX ").append(escIdent(name))
         .append(" ON ").append(escIdent(table))
       if (fields.nonEmpty) sb.append(" FIELDS ").append(fields.mkString(", "))
-      if (tail.nonEmpty) sb.append(" ").append(tail)
+      val t = if (tail.toUpperCase.startsWith("HNSW")) canonHnsw(tail) else tail
+      if (t.nonEmpty) sb.append(" ").append(t)
       comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
       sb.toString
     }
+  }
+
+  /** Canonical HNSW clause: absent params render with their parser defaults
+    * — DIST EUCLIDEAN, TYPE F32, EFC 150, M 12, M0 = 2·M, LM = 1/ln(M)
+    * (syn/parser/stmt/define.rs:1105-1171, fmt sql/index.rs:226). */
+  private def canonHnsw(tail: String): String = {
+    val toks = tail.trim.split("\\s+")
+    def arg(key: String): Option[String] = {
+      val i = toks.indexWhere(_.equalsIgnoreCase(key))
+      if (i >= 0 && i + 1 < toks.length) Some(toks(i + 1)) else scala.None
+    }
+    def flag(key: String): Boolean = toks.exists(_.equalsIgnoreCase(key))
+    val dim  = arg("DIMENSION").getOrElse("0")
+    val dist = arg("DIST").map(_.toUpperCase).getOrElse("EUCLIDEAN")
+    val typ  = arg("TYPE").map(_.toUpperCase).getOrElse("F32")
+    val efc  = arg("EFC").getOrElse("150")
+    val m    = arg("M").map(_.toInt).getOrElse(12)
+    val m0   = arg("M0").map(_.toInt).getOrElse(m * 2)
+    val lm   = arg("LM").map(_.toDouble).getOrElse(1.0 / math.log(m.toDouble))
+    val sb = new StringBuilder(
+      s"HNSW DIMENSION $dim DIST $dist TYPE $typ EFC $efc M $m M0 $m0 LM ${Render.sql(VFloat(lm))}")
+    if (flag("EXTEND_CANDIDATES")) sb.append(" EXTEND_CANDIDATES")
+    if (flag("KEEP_PRUNED_CONNECTIONS")) sb.append(" KEEP_PRUNED_CONNECTIONS")
+    sb.toString
   }
 
   /** Canonical expression-text normalization: collapse whitespace, tighten

@@ -2234,13 +2234,23 @@ final class Interp {
   /** Unique-index enforcement: error if another record holds the same key
     * values (catalog/schema/index.rs; err "Database index … already
     * contains"). */
+  /** An array-valued indexed field contributes one index ENTRY per element
+    * (multi-value index, idx/entry fan-out) — uniqueness is per entry. */
+  private def indexEntryFan(vals: Seq[V]): Seq[Seq[V]] =
+    vals.foldLeft(Seq(Seq.empty[V])) { (acc, v) =>
+      v match {
+        case VArr(items) => for (a <- acc; it <- items.distinct) yield a :+ it
+        case other       => acc.map(_ :+ other)
+      }
+    }
+
   def checkUniqueIndexes(tb: String, rid: VRid, doc: VObj): Unit = {
     uniqueIndexes.getOrElse(tb, Vector.empty).foreach { case (idxName, idxFields) =>
       val vals = idxFields.map(f => docFieldPath(doc, f))
       if (vals.exists(v => v != VNone && v != VNull)) {
-        findUniqueConflict(tb, rid, idxFields, vals).foreach { other =>
-          val shown = if (vals.length == 1) vals.head.render
-            else VArr(vals.toVector).render
+        findUniqueConflictEntry(tb, rid, idxFields, vals).foreach { case (other, entry) =>
+          val shown = if (entry.length == 1) entry.head.render
+            else VArr(entry.toVector).render
           throw SqlError(s"Database index `$idxName` already contains $shown, with record `${Render.sql(other)}`")
         }
       }
@@ -2249,14 +2259,27 @@ final class Interp {
 
   /** Find a DIFFERENT record with the same unique-index values. */
   def findUniqueConflict(tb: String, rid: VRid, idxFields: Seq[String], vals: Seq[V]): Option[VRid] =
-    table(tb).collectFirst {
-      case (k, other) if !V.looseEq(k, rid.key) &&
-          idxFields.zip(vals).forall { case (f, v) => V.looseEq(docFieldPath(other, f), v) } =>
-        other.fields.get("id") match {
-          case Some(r: VRid) => r
-          case _ => VRid(tb, k)
-        }
-    }
+    findUniqueConflictEntry(tb, rid, idxFields, vals).map(_._1)
+
+  /** Find a different record sharing any fanned index ENTRY, and the entry. */
+  private def findUniqueConflictEntry(tb: String, rid: VRid, idxFields: Seq[String],
+      vals: Seq[V]): Option[(VRid, Seq[V])] = {
+    val mine = indexEntryFan(vals)
+    table(tb).view.flatMap { case (k, other) =>
+      if (V.looseEq(k, rid.key)) scala.None
+      else {
+        val theirs = indexEntryFan(idxFields.map(f => docFieldPath(other, f)))
+        mine.find(e => theirs.exists(t =>
+            t.length == e.length && t.zip(e).forall { case (a, b) => V.looseEq(a, b) }))
+          .map { entry =>
+            (other.fields.get("id") match {
+              case Some(r: VRid) => r
+              case _ => VRid(tb, k)
+            }, entry)
+          }
+      }
+    }.headOption
+  }
 
   def docFieldPath(doc: VObj, path: String): V =
     path.split('.').toList.foldLeft[V](doc) {
@@ -2491,6 +2514,23 @@ final class Interp {
       }
     }
 
+    // GROUP-mode selector validation (exec/planner/aggregate.rs): `*` cannot
+    // aggregate, and $parent/$this have no document to refer to
+    if (s.groupBy.isDefined) {
+      if (s.fields.exists(_.isAll))
+        throw SqlError("Invalid query: Incorrect selector for aggregate selection, " +
+          "expression `*` within in selector cannot be aggregated in a group.")
+      val isGroupBy = s.groupBy.exists(_.nonEmpty)
+      s.fields.foreach { f =>
+        if (exprUsesParam(f.expr, "parent"))
+          throw SqlError("Invalid query: Found a `$parent` parameter refering to the document of a GROUP select statement\n" +
+            "Select statements with a GROUP BY or GROUP ALL currently have no defined document to refer to")
+        if (isGroupBy && exprUsesParam(f.expr, "this"))
+          throw SqlError("Invalid query: Found a `$this` parameter refering to the document of a group by select statement\n" +
+            "Select statements with a group by currently have no defined document to refer to")
+      }
+    }
+
     // GROUP
     val grouped: Vector[(V, Option[Seq[V]])] = s.groupBy match {
       case Some(Nil) => // GROUP ALL (views drop the empty group, selects keep it)
@@ -2500,7 +2540,12 @@ final class Interp {
           case RidLit(tb, _)         => readPermission(tb) == Some(scala.None)
           case _ => false
         }
-        if (rows.isEmpty && (suppressEmptyGroupAll || prunedByPerms)) Vector.empty
+        // the legacy compute pipeline emits NO group when a WHERE filtered
+        // every row (5581: Iterate Index Count over zero rows → []); the
+        // scan-everything paths still emit the zero row
+        val legacyFilteredEmpty = legacyPlanner && s.where.nonEmpty
+        if (rows.isEmpty && (suppressEmptyGroupAll || prunedByPerms || legacyFilteredEmpty))
+          Vector.empty
         else Vector((projectGroup(rows, s, Nil, envS), Some(Nil)))
       case Some(keys0) =>
         // GROUP BY may reference SELECT aliases (GROUP BY country, year where
@@ -2517,11 +2562,18 @@ final class Interp {
           while (c == 0 && i < Math.min(a.length, b.length)) { c = V.cmp(a(i), b(i)); i += 1 }
           if (c != 0) c else a.length - b.length
         }
-        rows.groupBy(r => keys.map(k => Eval.eval(k, rowEnv(envS, r))))
-          .toVector
+        // numeric keys group by VALUE, not spelling (1 groups with 1.0 —
+        // Number equality in dbs/group.rs); the first-seen spelling is the
+        // output key
+        val groups = mutable.LinkedHashMap[Seq[V], (Seq[V], mutable.ArrayBuffer[V])]()
+        rows.foreach { r =>
+          val kv = keys.map(k => Eval.eval(k, rowEnv(envS, r)))
+          groups.getOrElseUpdate(kv.map(normGroupKey), (kv, mutable.ArrayBuffer[V]()))._2 += r
+        }
+        groups.values.toVector
           .sortBy(_._1)(seqOrd)
           .map { case (keyVals, group) =>
-            (projectGroup(group, s, keys.zip(keyVals), envS), Some(keyVals): Option[Seq[V]])
+            (projectGroup(group.toVector, s, keys.zip(keyVals), envS), Some(keyVals): Option[Seq[V]])
           }
       case scala.None =>
         rows.map(r => (projectRow(r, s, envS), scala.None: Option[Seq[V]]))
@@ -2650,6 +2702,46 @@ final class Interp {
     }
   }
 
+  /** Canonical group-key form: numerics of equal value collapse to one
+    * group regardless of spelling (scala BigDecimal equality is value-based
+    * with a consistent hashCode across Int/Float/Decimal sources). */
+  private def normGroupKey(v: V): V = v match {
+    case VInt(i) => VDec(BigDecimal(i))
+    case VFloat(f) if !f.isNaN && !f.isInfinite => VDec(BigDecimal(f))
+    case other => other
+  }
+
+  /** Does the expression (including nested subqueries) reference `$name`? */
+  private def exprUsesParam(e: Expr, name: String): Boolean = {
+    def goStmt(st: Statement): Boolean = st match {
+      case sel: SelectStmt =>
+        sel.fields.exists(f => go(f.expr)) || sel.what.exists(go) ||
+          sel.where.exists(go) || sel.groupBy.toSeq.flatten.exists(go)
+      case ReturnStmt(inner) => go(inner)
+      case ExprStmt(inner)   => go(inner)
+      case _ => false
+    }
+    def go(x: Expr): Boolean = x match {
+      case Param(n)        => n == name
+      case Binary(_, l, r) => go(l) || go(r)
+      case Prefix(_, i)    => go(i)
+      case Cast(_, i)      => go(i)
+      case FnCall(_, args) => args.exists(go)
+      case ArrLit(items)   => items.exists(go)
+      case ObjLit(fs)      => fs.exists { case (_, v) => go(v) }
+      case IfExpr(bs, o)   => bs.exists { case (c, v) => go(c) || go(v) } || o.exists(go)
+      case Subquery(st)    => goStmt(st)
+      case Idiom(parts)    => parts.exists {
+        case PStart(i) => go(i)
+        case PIndex(i) => go(i)
+        case PWhere(i) => go(i)
+        case _ => false
+      }
+      case _ => false
+    }
+    go(e)
+  }
+
   private def projectGroup(group: Vector[V], s: SelectStmt, keyVals: Seq[(Expr, V)], env: Env): V = {
     var out = TreeMap.empty[String, V]
     s.fields.filterNot(_.isAll).foreach { f =>
@@ -2657,7 +2749,10 @@ final class Interp {
       val v = evalAggregate(f.expr, group, keyVals, env)
       out = setPath(out, name.split('.').toList, v)
     }
-    VObj(out)
+    // OMIT applies to the SELECTed output, grouped or not (omit_group_by)
+    var res = VObj(out)
+    s.omit.foreach { o => res = removeDocPath(res, o.split('.').toList) }
+    res
   }
 
   /** FETCH dereference along a dotted path (exec/operators/fetch.rs:27):
@@ -2686,6 +2781,8 @@ final class Interp {
   /** Remove a dotted path from a document (OMIT; `*` fans over arrays). */
   private def removeDocPath(doc: VObj, path: List[String]): VObj = {
     def rm(v: V, segs: List[String]): V = (v, segs) match {
+      // a trailing `.*` empties the object at the path (omit.surql 7-8)
+      case (VObj(_), "*" :: Nil)   => VObj(TreeMap.empty[String, V])
       case (VObj(fs), last :: Nil) => VObj(fs - last)
       case (VObj(fs), "*" :: rest) => VObj(fs.map { case (k, sub) => k -> rm(sub, rest) })
       case (VObj(fs), seg :: rest) =>
@@ -2715,7 +2812,8 @@ final class Interp {
     * known aggregate functions consume the group; any other expression is
     * evaluated per-row and implicitly collapsed to the group array (or the
     * group-key value when the expression IS a group key). */
-  private def evalAggregate(e: Expr, group: Vector[V], keyVals: Seq[(Expr, V)], env: Env): V = {
+  private def evalAggregate(e: Expr, group: Vector[V], keyVals: Seq[(Expr, V)], env: Env,
+      top: Boolean = true): V = {
     keyVals.find { case (ke, _) => ke == e } match {
       case Some((_, kv)) => return kv
       case scala.None =>
@@ -2737,6 +2835,17 @@ final class Interp {
       case FnCall("array::len", Seq(inner @ FnCall(n, _)))
           if n == "array::group" || aggFns.contains(n) =>
         Functions.apply("array::len", Seq(evalAggregate(inner, group, keyVals, env)), env)
+      case FnCall("math::sum", Seq(inner)) if top =>
+        // a DIRECT math::sum projection uses the planner's Sum aggregation,
+        // whose accumulator starts from FLOAT zero (catalog/
+        // aggregation.rs:99) — group sums are float even over ints. Sums
+        // NESTED in expressions go through the generic accumulator
+        // (exec/function/builtin/aggregates/math.rs SumAccumulator), which
+        // folds from Int(0) — and so does the empty group (stats default).
+        val values = group.map(r => Eval.eval(inner, rowEnv(env, r)))
+          .filter(v => v != VNone && v != VNull)
+        if (values.isEmpty) VInt(0)
+        else values.foldLeft(VFloat(0.0): V)((acc, v) => Ops.add(acc, v))
       case FnCall(name, Seq(inner)) if aggFns.contains(name) =>
         val values = group.map(r => Eval.eval(inner, rowEnv(env, r)))
         Functions.apply(name, Seq(VArr(values.filter(v => v != VNone && v != VNull))), env)
@@ -2746,8 +2855,8 @@ final class Interp {
         Functions.apply(name, VArr(values.filter(v => v != VNone && v != VNull)) +: extraArgs, env)
       case Binary(op, l, rr) => // aggregate distributes over binary exprs
         Ops match { case _ =>
-          Eval.eval(Binary(op, Lit(evalAggregate(l, group, keyVals, env)),
-            Lit(evalAggregate(rr, group, keyVals, env))), env)
+          Eval.eval(Binary(op, Lit(evalAggregate(l, group, keyVals, env, top = false)),
+            Lit(evalAggregate(rr, group, keyVals, env, top = false))), env)
         }
       case other =>
         // implicit array-collapse of a per-row expression
@@ -3283,7 +3392,12 @@ final class Interp {
           if (vals.forall(v => v == VNone || v == VNull)) scala.None
           else findUniqueConflict(tb, rid, idxFields, vals).map(r => r.key)
       }.headOption
-      val existingKey = t.keys.find(V.looseEq(_, key)).orElse(idxConflict)
+      // an id duplicate is "record already exists"; a unique-index collision
+      // on a NEW id only reroutes IGNORE/ON DUPLICATE — plain INSERT reports
+      // it as the index violation below (unique_constraint_index)
+      val idDup = t.keys.find(V.looseEq(_, key))
+      val existingKey =
+        if (s.ignore || s.onDuplicate.isDefined) idDup.orElse(idxConflict) else idDup
       val produced: Option[V] = existingKey match {
         case Some(k0) =>
           if (s.ignore) scala.None

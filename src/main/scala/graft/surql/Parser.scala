@@ -443,7 +443,11 @@ final class Parser(val src: String) {
         if (kw("NONE")) "NONE"
         else if (kw("FULL")) "FULL"
         else { expectKw("WHERE"); val p0 = pos; expr(); "WHERE " + src.substring(p0, pos).trim }
-      as.foreach(a => if (m.contains(a)) m(a) = v)
+      as.foreach { a =>
+        if (m.contains(a)) m(a) = v
+        // fields have no delete permission (permission_delete parse error)
+        else if (a == "delete") fail("Can't define permission DELETE for fields")
+      }
       sym(",")
     }
     defaults.map { case (a, _) => a -> m(a) }
@@ -659,12 +663,18 @@ final class Parser(val src: String) {
       var go = true
       while (go) {
         if (kw("FLEXIBLE")) {
+          // FLEXIBLE is a TYPE suffix since 2.x (flexible_deprecated)
+          if (peekKw("TYPE")) fail("FLEXIBLE must be specified after TYPE")
           flexible = true
-          if (kw("TYPE")) { ws(); val p0 = pos; kindAnn = Some(kind()); kindRaw = Some(src.substring(p0, pos).trim) }
         }
         else if (kw("TYPE")) {
           ws(); val p0 = pos; kindAnn = Some(kind()); kindRaw = Some(src.substring(p0, pos).trim)
-          if (kw("FLEXIBLE")) flexible = true
+          if (kw("FLEXIBLE")) {
+            // only meaningful on types containing a schemaless object
+            if (!kindAnn.exists(kindContainsObject))
+              fail("FLEXIBLE can only be used with types containing object")
+            flexible = true
+          }
         }
         else if (kw("VALUE")) { val (e, r) = exprWithRaw(); valueE = Some(e); valueRaw = Some(floatRaw(e, r)) }
         else if (kw("COMPUTED")) { val (e, r) = exprWithRaw(); computedE = Some(e); computedRaw = Some(floatRaw(e, r)) }
@@ -1815,9 +1825,57 @@ final class Parser(val src: String) {
     kw("TEMPFILES")
     val explain = kw("EXPLAIN")
     val explainFull = explain && kw("FULL")
+    // every GROUP BY idiom must occur in the selection — as a field, inside
+    // a field expression, or as an alias ("Missing group idiom `x` in
+    // statement selection", parse-time in the reference)
+    groupBy.foreach(_.foreach { k =>
+      val kName = Eval.fieldName(k)
+      val present = fields.exists(f => f.isAll || f.expr == k ||
+        f.alias.contains(kName) || exprContains(f.expr, k))
+      if (!present) fail(s"Missing group idiom `$kName` in statement selection")
+    })
     SelectStmt(fields.toSeq, value, omit.toSeq, only, what.toSeq, where, split.toSeq,
       groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain,
       explainFull, withIndex)
+  }
+
+  /** Does the type contain a schemaless `object` anywhere (FLEXIBLE gate)? */
+  private def kindContainsObject(k: Kind): Boolean = k match {
+    case Kind.KObject           => true
+    case Kind.KArray(inner, _)  => inner.exists(kindContainsObject)
+    case Kind.KSet(inner, _)    => inner.exists(kindContainsObject)
+    case Kind.KEither(kinds)    => kinds.exists(kindContainsObject)
+    case Kind.KOption(inner)    => kindContainsObject(inner)
+    case Kind.KLiteralArr(its)  => its.exists(kindContainsObject)
+    case Kind.KLiteralObj(_)    => true
+    case _ => false
+  }
+
+  /** Structural containment of a sub-expression (GROUP-idiom validation).
+    * A group idiom also matches as a PREFIX of a selected path
+    * (`SELECT in.name … GROUP BY in`, reproductions/group_by_in_edge_field). */
+  private def exprContains(e: Expr, needle: Expr): Boolean = {
+    if (e == needle) return true
+    (e, needle) match {
+      case (Idiom(parts), Idiom(nparts)) if parts.startsWith(nparts) => return true
+      case _ => ()
+    }
+    e match {
+      case Binary(_, l, r) => exprContains(l, needle) || exprContains(r, needle)
+      case Prefix(_, i)    => exprContains(i, needle)
+      case Cast(_, i)      => exprContains(i, needle)
+      case FnCall(_, args) => args.exists(exprContains(_, needle))
+      case ArrLit(items)   => items.exists(exprContains(_, needle))
+      case ObjLit(fs)      => fs.exists { case (_, v) => exprContains(v, needle) }
+      case IfExpr(bs, o)   => bs.exists { case (c, v) => exprContains(c, needle) || exprContains(v, needle) } || o.exists(exprContains(_, needle))
+      case Idiom(parts)    => parts.exists {
+        case PStart(i) => exprContains(i, needle)
+        case PIndex(i) => exprContains(i, needle)
+        case PWhere(i) => exprContains(i, needle)
+        case _ => false
+      }
+      case _ => false
+    }
   }
 
   /** OMIT entry: dotted idiom, optionally fanning out over a destructure
