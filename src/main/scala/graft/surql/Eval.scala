@@ -81,9 +81,20 @@ object Eval {
     case Binary(op, l, r) => binary(op, l, r, env)
     case Idiom(parts)     => evalIdiom(parts, env)
     case IfExpr(branches, otherwise) =>
+      // IF/ELSE branch blocks are transparent to RETURN — the signal
+      // bubbles to the ENCLOSING block (reference FlowResult::Return)
+      def evalBody(b: Expr): V = b match {
+        case BlockExpr(stmts) => env.interp match {
+          case Some(in) => in.runBlockOpen(stmts, env)
+          case scala.None =>
+            val in = new Interp()
+            in.runBlockOpen(stmts, env.copy(interp = Some(in)))
+        }
+        case other => eval(other, env)
+      }
       branches.find { case (c, _) => eval(c, env).truthy } match {
-        case Some((_, body)) => eval(body, env)
-        case scala.None      => otherwise.map(eval(_, env)).getOrElse(VNone)
+        case Some((_, body)) => evalBody(body)
+        case scala.None      => otherwise.map(evalBody).getOrElse(VNone)
       }
     case BlockExpr(stmts) =>
       env.interp match {

@@ -416,6 +416,10 @@ final class Interp {
         case _ if inTx && txAborted =>
           results += QErr(if (txNested) s"$FailedTx: ${stmtSql(stmt)}" else CancelledTx)
         case other =>
+          // each statement outside an explicit transaction runs in its own
+          // implicit one: an error rolls its writes back (dbs/executor.rs —
+          // for/break_in_function: the FOR's creates vanish on error)
+          val stmtSnap = if (inTx) scala.None else Some(new TxSnapshot)
           try {
             val env = Env(params = globals, interp = Some(this))
             other match {
@@ -439,6 +443,7 @@ final class Interp {
                   "Invalid control flow statement, break or continue statement found outside of loop."
                 case _ => throw e
               }
+              stmtSnap.foreach(_.restore())
               if (inTx) {
                 for (i <- txStart until results.length)
                   results(i) match {
@@ -1064,16 +1069,18 @@ final class Interp {
         // the build and leaves the index unregistered (idx building)
         val seen = mutable.HashMap[Vector[V], VRid]()
         tables.getOrElse(ix.table, mutable.LinkedHashMap.empty).foreach { case (k, doc) =>
-          val vals = ix.fields.map(f => docFieldPath(doc, f)).toVector
+          val vals = ix.fields.map(f => idxFieldValue(doc, f))
           if (vals.exists(v => v != VNone && v != VNull)) {
             val rid = doc.fields.get("id") match {
               case Some(r: VRid) => r; case _ => VRid(ix.table, k)
             }
-            seen.get(vals) match {
-              case Some(holder) =>
-                val shown = if (vals.length == 1) vals.head.render else VArr(vals).render
-                throw SqlError(s"Database index `${ix.name}` already contains $shown, with record `${Render.sql(holder)}`")
-              case scala.None => seen(vals) = rid
+            indexEntryFan(ix.fields, vals).foreach { entry =>
+              seen.get(entry.toVector) match {
+                case Some(holder) =>
+                  val shown = if (entry.length == 1) entry.head.render else VArr(entry.toVector).render
+                  throw SqlError(s"Database index `${ix.name}` already contains $shown, with record `${Render.sql(holder)}`")
+                case scala.None => seen(entry.toVector) = rid
+              }
             }
           }
         }
@@ -1975,25 +1982,28 @@ final class Interp {
 
   /** Block semantics: statements run in order; RETURN short-circuits; the
     * block's value is the last statement's value. LET bindings are local. */
-  def runBlock(stmts: Seq[Statement], env: Env): V = {
+  def runBlock(stmts: Seq[Statement], env: Env): V =
+    try runBlockOpen(stmts, env)
+    catch { case ReturnSignal(v) => v }
+
+  /** Block body WITHOUT the early-return boundary: RETURN propagates to the
+    * enclosing block (IF/ELSE branch blocks are transparent to control
+    * flow — if/control_flow golden; reference FlowResult::Return bubbles). */
+  def runBlockOpen(stmts: Seq[Statement], env: Env): V = {
     var e = env
     var last: V = VNone
-    try {
-      stmts.foreach { stmt =>
-        stmt match {
-          case LetStmt(name, kindAnn, what) =>
-            val v0 = Eval.eval(what, e)
-            val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
-            e = e.bind(name, v)
-            last = VNone
-          case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
-          case other => last = execStatement(other, e)
-        }
+    stmts.foreach { stmt =>
+      stmt match {
+        case LetStmt(name, kindAnn, what) =>
+          val v0 = Eval.eval(what, e)
+          val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
+          e = e.bind(name, v)
+          last = VNone
+        case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
+        case other => last = execStatement(other, e)
       }
-      last
-    } catch {
-      case ReturnSignal(v) => v
     }
+    last
   }
 
   // ---- catalog ---------------------------------------------------------
@@ -2235,18 +2245,25 @@ final class Interp {
     * values (catalog/schema/index.rs; err "Database index … already
     * contains"). */
   /** An array-valued indexed field contributes one index ENTRY per element
-    * (multi-value index, idx/entry fan-out) — uniqueness is per entry. */
-  private def indexEntryFan(vals: Seq[V]): Seq[Seq[V]] =
-    vals.foldLeft(Seq(Seq.empty[V])) { (acc, v) =>
+    * (multi-value index, idx/entry fan-out) — uniqueness is per entry.
+    * Fields with the flatten marker (`tags…`) keep the whole array as ONE
+    * entry value instead. */
+  private def indexEntryFan(idxFields: Seq[String], vals: Seq[V]): Seq[Seq[V]] =
+    idxFields.zip(vals).foldLeft(Seq(Seq.empty[V])) { case (acc, (f, v)) =>
       v match {
-        case VArr(items) => for (a <- acc; it <- items.distinct) yield a :+ it
-        case other       => acc.map(_ :+ other)
+        case VArr(items) if !f.endsWith("…") =>
+          for (a <- acc; it <- items.distinct) yield a :+ it
+        case other => acc.map(_ :+ other)
       }
     }
 
+  /** Indexed-field value, flatten marker stripped. */
+  private def idxFieldValue(doc: VObj, f: String): V =
+    docFieldPath(doc, f.stripSuffix("…"))
+
   def checkUniqueIndexes(tb: String, rid: VRid, doc: VObj): Unit = {
     uniqueIndexes.getOrElse(tb, Vector.empty).foreach { case (idxName, idxFields) =>
-      val vals = idxFields.map(f => docFieldPath(doc, f))
+      val vals = idxFields.map(f => idxFieldValue(doc, f))
       if (vals.exists(v => v != VNone && v != VNull)) {
         findUniqueConflictEntry(tb, rid, idxFields, vals).foreach { case (other, entry) =>
           val shown = if (entry.length == 1) entry.head.render
@@ -2264,11 +2281,11 @@ final class Interp {
   /** Find a different record sharing any fanned index ENTRY, and the entry. */
   private def findUniqueConflictEntry(tb: String, rid: VRid, idxFields: Seq[String],
       vals: Seq[V]): Option[(VRid, Seq[V])] = {
-    val mine = indexEntryFan(vals)
+    val mine = indexEntryFan(idxFields, vals)
     table(tb).view.flatMap { case (k, other) =>
       if (V.looseEq(k, rid.key)) scala.None
       else {
-        val theirs = indexEntryFan(idxFields.map(f => docFieldPath(other, f)))
+        val theirs = indexEntryFan(idxFields, idxFields.map(f => idxFieldValue(other, f)))
         mine.find(e => theirs.exists(t =>
             t.length == e.length && t.zip(e).forall { case (a, b) => V.looseEq(a, b) }))
           .map { entry =>
@@ -2281,12 +2298,15 @@ final class Interp {
     }.headOption
   }
 
-  def docFieldPath(doc: VObj, path: String): V =
-    path.split('.').toList.foldLeft[V](doc) {
-      case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
-      case (VArr(items), "*") => VArr(items)
+  def docFieldPath(doc: VObj, path: String): V = {
+    def step(v: V, seg: String): V = v match {
+      case VObj(fs) => fs.getOrElse(seg, VNone)
+      case VArr(items) if seg == "*" => VArr(items)
+      case VArr(items) => VArr(items.map(step(_, seg))) // field maps over arrays
       case _ => VNone
     }
+    path.split('.').toList.foldLeft[V](doc)(step)
+  }
 
   // ---- FROM resolution -------------------------------------------------
 
@@ -3181,6 +3201,9 @@ final class Interp {
       }
       key match {
         case VStr("") => throw SqlError("Found '' for the Record ID but this is not a valid id")
+        // a range is a scan bound, never a creatable id (create.rs)
+        case r: VRng => throw SqlError(
+          s"Found ${Render.sql(VRid(tb, r))} for the Record ID but this is not a valid id")
         case _ => ()
       }
       if (t.keys.exists(V.looseEq(_, key)))
@@ -3388,7 +3411,7 @@ final class Interp {
       val rid = VRid(tb, key)
       val idxConflict = uniqueIndexes.getOrElse(tb, Vector.empty).view.flatMap {
         case (_, idxFields) =>
-          val vals = idxFields.map(f => docFieldPath(VObj(row.fields), f))
+          val vals = idxFields.map(f => idxFieldValue(VObj(row.fields), f))
           if (vals.forall(v => v == VNone || v == VNull)) scala.None
           else findUniqueConflict(tb, rid, idxFields, vals).map(r => r.key)
       }.headOption

@@ -708,7 +708,15 @@ final class Parser(val src: String) {
       val fields = ArrayBuffer[String]()
       if (kw("FIELDS") || kw("COLUMNS")) {
         var g = true
-        while (g) { fields += idiomName(); g = sym(",") }
+        while (g) {
+          var f = idiomName()
+          // flatten marker: the index entry takes the flattened array as ONE
+          // value instead of fanning per element (tags… / emails...)
+          ws()
+          if (sym("…") || sym("...")) f += "…"
+          fields += f
+          g = sym(",")
+        }
       }
       ws()
       val t0 = pos
@@ -3234,7 +3242,15 @@ final class Parser(val src: String) {
           else Lit(VStr((if (neg) "-" else "") + ds))
         }
       }
-      else if (isIdentStart(c)) Lit(VStr(rawIdent()))
+      else if (isIdentStart(c)) {
+        val id = rawIdent()
+        // generated keys: person:ulid() / :uuid() / :rand()
+        // (syn record-id key generators → rand::* functions)
+        if (peekc == '(' && (id == "ulid" || id == "uuid" || id == "rand")) {
+          pos += 1; ws(); expectSym(")")
+          FnCall(if (id == "rand") "rand::guid" else "rand::" + id, Nil)
+        } else Lit(VStr(id))
+      }
       else fail(s"invalid record id key start '$c'")
     }
   }
