@@ -158,8 +158,34 @@ object Defs {
     t = t.replaceAll("(?<![\\w$.:`])value(\\s*=[^=])", "`value`$1")
     t = t.replace("{ }", "{  }").replace("{}", "{  }")
     t = replaceBareWord(t, "IN", "INSIDE")
+    // canonical operator spellings: || → OR, && → AND (sql/operator.rs fmt)
+    t = replaceSymbol(t, "||", " OR ")
+    t = replaceSymbol(t, "&&", " AND ")
+    t = t.replaceAll("\\s+", " ").trim
+    t = t.replace("{ }", "{  }").replace("{}", "{  }")
     t = requoteStrings(t)
     t
+  }
+
+  /** Replace a symbol token outside quoted strings/idents. */
+  private def replaceSymbol(s: String, from: String, to: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c
+        sb.append(c); i += 1
+        while (i < s.length && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\' && q != '`') { sb.append(s.charAt(i)); i += 1 }
+          if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
+      } else if (s.regionMatches(i, from, 0, from.length)) {
+        sb.append(to); i += from.length
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Tokens after which a bare IN is the FOREACH keyword or a field named

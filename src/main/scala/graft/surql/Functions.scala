@@ -92,7 +92,7 @@ object Functions {
 
   private def applyClosure(c: V, args: Seq[V], env: Env): V = c match {
     case VClosure(params, body, retK, captured) =>
-      var e = env.copy(params = env.params ++ captured, readonly = true)
+      var e = env.copy(params = env.params ++ captured)
       params.zipWithIndex.foreach { case ((pname, pk), i) =>
         val av = if (i < args.length) args(i) else VNone
         val coerced = pk.map { k =>

@@ -98,10 +98,14 @@ object Golden {
       case Some(Toml.A(items)) => items.collect { case Toml.S(s) => s }
       case _ => Seq.empty
     }
-    val run = t.get("test.run") match {
+    val run = (t.get("test.run") match {
       case Some(Toml.B(b)) => b
       case _ => true
-    }
+    }) && (t.get("test.version") match {
+      // version-gated files (e.g. "<3.0.0") don't apply to the 3.x target
+      case Some(Toml.S(v)) => !v.trim.startsWith("<")
+      case _ => true
+    })
     val wip = t.get("test.wip") match {
       case Some(Toml.B(b)) => b
       case _ => false

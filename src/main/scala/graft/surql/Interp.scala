@@ -126,6 +126,9 @@ final class Interp {
   // ---- schema catalog (INFO / REMOVE / ALTER surface) ------------------
   var curNs = "test"
   var curDb = "test"
+  /** Databases defined STRICT: writes to undefined tables error
+    * (DEFINE DATABASE … STRICT, closure/readonly golden). */
+  val strictDbs = mutable.HashSet[String]()
   val namespaces = mutable.LinkedHashMap[String, String]()
   val databases = mutable.LinkedHashMap[String, String]()
   val rootUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
@@ -1156,9 +1159,11 @@ final class Interp {
         namespaces(s.name) = s"DEFINE NAMESPACE ${Defs.escIdent(s.name)}" +
           s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
     case "DATABASE" =>
-      if (ddlGate(databases.contains(s.name), s.mode, s"The database '${s.name}' already exists"))
+      if (ddlGate(databases.contains(s.name), s.mode, s"The database '${s.name}' already exists")) {
         databases(s.name) = s"DEFINE DATABASE ${Defs.escIdent(s.name)}" +
           s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
+        if (s.rendered == "STRICT") strictDbs += s.name
+      }
     case "CONFIG" =>
       if (ddlGate(configs.contains(s.name), s.mode, s"The config for ${s.name} already exists")) {
         configs(s.name) = s.name match {
@@ -1483,6 +1488,7 @@ final class Interp {
       case "DATABASE" | "DB" =>
         gone(databases.contains(s.name), s"The database '${s.name}' does not exist") {
           databases.remove(s.name)
+          strictDbs -= s.name
         }
       case "ANALYZER" =>
         gone(analyzers.contains(s.name), s"The analyzer '${s.name}' does not exist") {
@@ -2115,7 +2121,10 @@ final class Interp {
                 throw SqlError(s"Couldn't coerce value for field `${fd.field}` of `${Render.sql(rid)}`: ${e.msg}")
             }
           }
-          fd.assert.foreach { ae =>
+          // an optional TYPE skips ASSERT entirely when the value is NONE
+          // (doc/field.rs process_assert_clause: Kind::can_be_none)
+          val assertSkipped = v == VNone && fd.kind.exists(kindCanBeNone)
+          if (!assertSkipped) fd.assert.foreach { ae =>
             val ok = Eval.eval(ae, env.copy(doc = Some(VObj(fields)))
               .bind("value", v).bind("input", input)).truthy
             if (!ok)
@@ -2722,6 +2731,13 @@ final class Interp {
     }
   }
 
+  /** Can this kind hold NONE (reference Kind::can_be_none)? */
+  private def kindCanBeNone(k: Kind): Boolean = k match {
+    case Kind.KOption(_) | Kind.KNone | Kind.KAny => true
+    case Kind.KEither(ks) => ks.exists(kindCanBeNone)
+    case _ => false
+  }
+
   /** Canonical group-key form: numerics of equal value collapse to one
     * group regardless of spelling (scala BigDecimal equality is value-based
     * with a consistent hashCode across Int/Float/Decimal sources). */
@@ -3181,7 +3197,9 @@ final class Interp {
 
   def execCreate(s: CreateStmt, env: Env): V = {
     val created = mutationTargets(s.what, env).map { case (tb, keyOpt) =>
-      if (env.readonly && !tables.contains(tb))
+      // STRICT databases refuse writes to undefined tables (strict mode) —
+      // this is a DB property, not a closure one: function bodies may write
+      if (strictDbs.contains(curDb) && !tables.contains(tb) && !tableDefs.contains(tb))
         throw SqlError(s"The table '$tb' does not exist")
       val t = table(tb)
       // a SET/CONTENT id overrides the generated key (string/int values

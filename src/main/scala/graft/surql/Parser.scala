@@ -915,14 +915,15 @@ final class Parser(val src: String) {
   private def defineNamespaceLike(what: String, mode: String): Statement = {
     val name = defName()
     var comment: Option[String] = scala.None
+    var strict = false
     var go = true
     while (go) {
       if (kw("COMMENT")) comment = Some(commentStr())
       else if (kw("CHANGEFEED")) { expr(); if (kw("INCLUDE")) kw("ORIGINAL") }
-      else if (kw("STRICT")) ()
+      else if (kw("STRICT")) strict = true
       else go = false
     }
-    DefineRawStmt(what, name, "", mode, scala.None, comment)
+    DefineRawStmt(what, name, if (strict) "STRICT" else "", mode, scala.None, comment)
   }
 
   /** One FILTER spec, canonicalized: name uppercase, numeric args joined
