@@ -321,6 +321,10 @@ object Coerce {
         catch { case _: SqlError => coerceErr(k, v) }
       case _ => coerceErr(k, v)
     }
+    case KTable(names) => v match {
+      case t: VTable if names.isEmpty || names.contains(t.name) => t
+      case _ => coerceErr(k, v) // coercion does NOT accept strings (let/typed_table)
+    }
     case _ => cast(k, v)
   }
 

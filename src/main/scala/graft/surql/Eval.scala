@@ -47,7 +47,10 @@ object Eval {
     case RangeLit(lo, hi) =>
       VRng(lo.map { case (be, i) => (eval(be, env), i) }, hi.map { case (be, i) => (eval(be, env), i) })
     case Param(name) =>
-      env.params.get(name).orElse(builtinParam(name, env)).getOrElse(VNone)
+      // session variables (LET) shadow DEFINE PARAM values (param/shadowed)
+      env.params.get(name)
+        .orElse(env.interp.flatMap(_.dbParams.get(name)))
+        .orElse(builtinParam(name, env)).getOrElse(VNone)
     case Constant(name) => constant(name)
     case JsExpr(args, body) =>
       // only the single-return-builtin scripting shape is evaluable

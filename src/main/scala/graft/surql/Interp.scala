@@ -113,6 +113,18 @@ final class Interp {
     mutable.LinkedHashMap.empty
 
   var globals: Map[String, V] = Map.empty
+  /** OPTION IMPORT: mutations run but return NONE (bulk-import mode). */
+  var importMode = false
+  private def suppressIfImport(v: V): V = if (importMode) VNone else v
+
+  /** Typed LET coercion with the statement-level error wrapper
+    * (let/typed: "Tried to set `$x`, but couldn't coerce value: ..."). */
+  def letCoerce(name: String, kindAnn: Option[Kind], v0: V): V =
+    kindAnn.map { k =>
+      try Coerce.coerce(k, v0)
+      catch { case e: SqlError => throw SqlError(
+        s"Tried to set `$$$name`, but couldn't coerce value: ${e.msg}") }
+    }.getOrElse(v0)
   /** DEFINE FUNCTION registry: name (sans fn::) → closure. */
   val customFns: mutable.LinkedHashMap[String, VClosure] = mutable.LinkedHashMap.empty
   /** DEFINE FIELD registry per table, in definition order. */
@@ -136,6 +148,9 @@ final class Interp {
   val dbUsers = mutable.LinkedHashMap[String, Defs.UserDef]()
   val analyzers = mutable.LinkedHashMap[String, Defs.AnalyzerDef]()
   val paramDefs = mutable.LinkedHashMap[String, Defs.ParamDef]()
+  /** DEFINE PARAM values — session LETs shadow these (param/shadowed);
+    * transactional, unlike session variables (param/cancel_commit). */
+  val dbParams = mutable.LinkedHashMap[String, V]()
   val functionDefs = mutable.LinkedHashMap[String, Defs.FnDef]()
   /** ALTER SYSTEM QUERY_TIMEOUT — surfaced in INFO FOR ROOT `config`. */
   var systemQueryTimeout: Option[VDur] = scala.None
@@ -282,6 +297,7 @@ final class Interp {
     val grants = accessGrants.clone()
     val cfgs = configs.clone(); val apis = apiDefs.clone()
     val anas = analyzers.clone(); val pds = paramDefs.clone()
+    val dbp = dbParams.clone()
     val fnds = functionDefs.clone(); val histLen = history.length
     val snapsLen = ddlSnaps.length
     val bks = buckets.map { case (k, b) => (k, b.copyRt()) }
@@ -298,6 +314,7 @@ final class Interp {
       put(accesses, accs); put(accessGrants, grants)
       put(configs, cfgs); put(apiDefs, apis)
       put(analyzers, anas); put(paramDefs, pds); put(functionDefs, fnds)
+      put(dbParams, dbp)
       // Guard: a versioned-INFO restore of an OLDER snapshot may have already
       // truncated history below our mark; removing a negative count throws.
       if (history.length > histLen) history.remove(histLen, history.length - histLen)
@@ -430,7 +447,7 @@ final class Interp {
                 if (protectedParams.contains(name))
                   throw SqlError(s"'$name' is a protected variable and cannot be set")
                 val v0 = execExprStatementValue(what, env)
-                val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
+                val v = letCoerce(name, kindAnn, v0)
                 globals = globals + (name -> v)
                 results += QOk(VNone)
               case _ =>
@@ -519,15 +536,15 @@ final class Interp {
     case s: SelectStmt if s.explain =>
       Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
     case s: SelectStmt => execSelect(s, env)
-    case s: CreateStmt => checkApiDeadline(); execCreate(s, env)
+    case s: CreateStmt => checkApiDeadline(); suppressIfImport(execCreate(s, env))
     case s: UpdateStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env)
     case s: UpsertStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env, defer = true)
     case s: DeleteStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env)
-    case s: UpdateStmt => checkApiDeadline(); execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false)
-    case s: UpsertStmt => checkApiDeadline(); execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true)
-    case s: DeleteStmt => checkApiDeadline(); execDelete(s, env)
-    case s: InsertStmt => checkApiDeadline(); execInsert(s, env)
-    case s: RelateStmt => checkApiDeadline(); execRelate(s, env)
+    case s: UpdateStmt => checkApiDeadline(); suppressIfImport(execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false))
+    case s: UpsertStmt => checkApiDeadline(); suppressIfImport(execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true))
+    case s: DeleteStmt => checkApiDeadline(); suppressIfImport(execDelete(s, env))
+    case s: InsertStmt => checkApiDeadline(); suppressIfImport(execInsert(s, env))
+    case s: RelateStmt => checkApiDeadline(); suppressIfImport(execRelate(s, env))
     case s: LiveStmt => execLive(s, env)
     case s: KillStmt => execKill(s, env)
     case s: ShowChangesStmt => execShowChanges(s, env)
@@ -676,7 +693,12 @@ final class Interp {
       VObj(TreeMap(
         "database" -> (if (curDb.isEmpty) VNone else VStr(curDb): V),
         "namespace" -> (if (curNs.isEmpty) VNone else VStr(curNs): V)))
-    case BeginStmt | CommitStmt | CancelStmt | _: OptionStmt => VNone
+    case s: OptionStmt =>
+      // OPTION IMPORT: bulk-import mode — mutation statements suppress
+      // their output (executor import handling; option/import_indexes)
+      if (s.name.equalsIgnoreCase("IMPORT")) importMode = s.value
+      VNone
+    case BeginStmt | CommitStmt | CancelStmt => VNone
   }
 
   // ---- DDL (DEFINE / REMOVE / ALTER / INFO) ----------------------------
@@ -1410,7 +1432,7 @@ final class Interp {
     if (ddlGate(paramDefs.contains(s.d.name), s.mode, s"The param '$$${s.d.name}' already exists")) {
       paramDefs(s.d.name) = s.d
       s.value.foreach { e =>
-        globals = globals + (s.d.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
+        dbParams(s.d.name) = Eval.eval(e, Env(params = globals, interp = Some(this)))
       }
     }
 
@@ -1473,6 +1495,7 @@ final class Interp {
       case "PARAM" =>
         gone(paramDefs.contains(s.name), s"The param '$$${s.name}' does not exist") {
           paramDefs.remove(s.name)
+          dbParams.remove(s.name)
           globals = globals - s.name
         }
       case "FUNCTION" =>
@@ -1664,7 +1687,7 @@ final class Interp {
         var d = d0
         s.value.foreach { case (e, raw) =>
           d = d.copy(valueRaw = raw)
-          globals = globals + (s.name -> Eval.eval(e, env))
+          dbParams(s.name) = Eval.eval(e, env)
         }
         s.comment.foreach(c => d = d.copy(comment = c))
         s.perms.foreach(p => d = d.copy(perms = p))
@@ -1980,7 +2003,7 @@ final class Interp {
     stmts.foreach {
       case LetStmt(name, kindAnn, what) =>
         val v0 = Eval.eval(what, e)
-        e = e.bind(name, kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0))
+        e = e.bind(name, letCoerce(name, kindAnn, v0))
       case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
       case other => execStatement(other, e)
     }
@@ -2002,8 +2025,7 @@ final class Interp {
       stmt match {
         case LetStmt(name, kindAnn, what) =>
           val v0 = Eval.eval(what, e)
-          val v = kindAnn.map(Coerce.coerce(_, v0)).getOrElse(v0)
-          e = e.bind(name, v)
+          e = e.bind(name, letCoerce(name, kindAnn, v0))
           last = VNone
         case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
         case other => last = execStatement(other, e)
@@ -2050,7 +2072,7 @@ final class Interp {
     if (d.what == "TABLE" && d.name.nonEmpty) table(d.name)
     if (d.what == "FIELD") fieldDefs((d.name, "")) = d.raw
     if (d.what == "PARAM") d.clauses.get("value").foreach { e =>
-      globals = globals + (d.name -> Eval.eval(e, Env(params = globals, interp = Some(this))))
+      dbParams(d.name) = Eval.eval(e, Env(params = globals, interp = Some(this)))
     }
   }
 
@@ -3421,8 +3443,22 @@ final class Interp {
     rows.foreach { row =>
       val (tb, key) = row.fields.get("id") match {
         case Some(VRid(t, k)) => (intoTable.getOrElse(t), k)
-        case Some(k) => (intoTable.getOrElse(throw SqlError("INSERT without table")), k)
-        case scala.None => (intoTable.getOrElse(throw SqlError("INSERT without table")), nextId())
+        case Some(k) => (intoTable.getOrElse(throw SqlError(
+          s"Cannot execute INSERT statement where property 'id' is: ${k.render}")), k)
+        case scala.None => (intoTable.getOrElse(throw SqlError(
+          "Cannot execute INSERT statement where property 'id' is: NONE")), nextId())
+      }
+      // INSERT RELATION rows are edges: in/out must be record links
+      // (insert/invalid_relation)
+      if (s.relation) {
+        Seq("in", "out").foreach { side =>
+          row.fields.get(side) match {
+            case Some(_: VRid) => ()
+            case other => throw SqlError(
+              s"Cannot execute INSERT statement where property '$side' is: ${other.map(_.render).getOrElse("NONE")}")
+          }
+        }
+        markEdge(tb, key)
       }
       val t = table(tb)
       // duplicate = same record id OR a unique-index collision
