@@ -280,7 +280,9 @@ final case class SelectStmt(
     orderRand: Boolean,
     limit: Option[Expr],
     start: Option[Expr],
-    fetch: Seq[String],
+    /** FETCH items: plain idioms parse as `Lit(VStr(path))`; params and
+      * `type::field(s)` calls stay as exprs resolved at execution time. */
+    fetch: Seq[Expr],
     version: Option[Expr],
     timeout: Option[Expr],
     explain: Boolean,

@@ -256,7 +256,9 @@ object Eval {
         case _ => walk(VNone, rest, env)
       }
       case PAll => v match {
-        case VArr(its) => VArr(its.map(el => walk(el, rest, env)))
+        // `.*` distributes over arrays re-applying itself, so record-id
+        // elements fetch their documents (relate/ported_create_select)
+        case VArr(its) => VArr(its.map(el => walk(el, parts, env)))
         // `.*` on an object yields the object itself (record.* = full doc)
         case obj: VObj => walk(obj, rest, env)
         case rid: VRid =>

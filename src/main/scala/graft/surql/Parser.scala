@@ -1818,15 +1818,10 @@ final class Parser(val src: String) {
       if (kw("LIMIT")) { kw("BY"); limit = Some(expr()) }
       if (kw("START")) { kw("AT"); start = Some(expr()) }
     }
-    val fetch = ArrayBuffer[String]()
+    val fetch = ArrayBuffer[Expr]()
     if (kw("FETCH")) {
       var g = true
-      while (g) {
-        ws()
-        if (peekc == '$') { pos += 1; fetch += "$" + rawIdent() }
-        else fetch += idiomName()
-        g = sym(",")
-      }
+      while (g) { fetch += fetchItem(); g = sym(",") }
     }
     val version = if (kw("VERSION")) Some(expr()) else scala.None
     val timeout = if (kw("TIMEOUT")) Some(expr()) else scala.None
@@ -1843,6 +1838,19 @@ final class Parser(val src: String) {
         f.alias.contains(kName) || exprContains(f.expr, k))
       if (!present) fail(s"Missing group idiom `$kName` in statement selection")
     })
+    // every ORDER BY idiom must occur in the selection — as a field, an
+    // alias, or an expression's output name; SELECT VALUE orders run on the
+    // full row before projection (syn/parser/stmt/parts.rs:166-176)
+    if (!value) order.foreach { k =>
+      k.expr match {
+        case ord: Idiom =>
+          val kName = Eval.fieldName(ord)
+          val present = fields.exists(f => f.isAll || f.expr == ord ||
+            f.alias.contains(kName) || Eval.fieldName(f.expr) == kName)
+          if (!present) fail(s"Missing order idiom `$kName` in statement selection")
+        case _ => ()
+      }
+    }
     SelectStmt(fields.toSeq, value, omit.toSeq, only, what.toSeq, where, split.toSeq,
       groupBy, order.toSeq, orderRand, limit, start, fetch.toSeq, version, timeout, explain,
       explainFull, withIndex)
@@ -1916,6 +1924,22 @@ final class Parser(val src: String) {
       } else go = false
     }
     Seq(base.toString)
+  }
+
+  /** One FETCH clause item (sql/statements/select.rs fetch): a plain dotted
+    * idiom becomes a string literal; params, string literals and function
+    * calls (`type::field`/`type::fields`) stay exprs for runtime resolution. */
+  private def fetchItem(): Expr = {
+    ws()
+    if (peekc == '$' || peekc == '\'' || peekc == '"') expr()
+    else {
+      val save = pos
+      rawIdent()
+      ws()
+      val isCall = peekc == '(' || (peekc == ':' && pos + 1 < src.length && src.charAt(pos + 1) == ':')
+      pos = save
+      if (isCall) expr() else Lit(VStr(idiomName()))
+    }
   }
 
   /** A dotted idiom name used in OMIT/SPLIT/FETCH/AS positions. */

@@ -300,7 +300,7 @@ object SparkPlanner {
     df = out
 
     // ---- fetch: embed the linked record as a struct (Fetch op) -----------
-    s.fetch.foreach { f =>
+    s.fetch.collect { case Lit(VStr(f)) => f }.foreach { f =>
       if (table.nonEmpty && links.contains((table, f)) && df.columns.contains(f)) {
         val (tt, tk) = links((table, f))
         val target = Tables(spark, dir, tt)
