@@ -323,7 +323,9 @@ object Coerce {
     }
     case KTable(names) => v match {
       case t: VTable if names.isEmpty || names.contains(t.name) => t
-      case _ => coerceErr(k, v) // coercion does NOT accept strings (let/typed_table)
+      // a string naming an allowed table coerces to it (let/typed_table)
+      case VStr(s) if names.isEmpty || names.contains(s) => VTable(s)
+      case _ => coerceErr(k, v)
     }
     case _ => cast(k, v)
   }

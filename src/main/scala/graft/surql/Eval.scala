@@ -107,10 +107,11 @@ object Eval {
           in.runBlock(stmts, env.copy(interp = Some(in)))
       }
     case Subquery(stmt) =>
-      // inside a subquery the outer document becomes $parent
-      // (exec/physical_expr/subquery.rs; language/param/select_parent)
-      val subEnv = env.doc match {
-        case Some(d) => env.copy(params = env.params + ("parent" -> d))
+      // inside a subquery the outer document becomes $parent — using the
+      // PINNED outer $this when a mutation pinned one, not the evolving doc
+      // (exec/physical_expr/subquery.rs; define/param/parent)
+      val subEnv = env.params.get("this").orElse(env.doc.map(identity[V])) match {
+        case Some(d) => env.copy(params = env.params - "this" + ("parent" -> d))
         case scala.None => env
       }
       subEnv.interp match {

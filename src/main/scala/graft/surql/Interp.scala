@@ -128,6 +128,91 @@ object Interp {
       .compareTo(translit(b).toLowerCase(java.util.Locale.ROOT))
     if (c != 0) c else a.compareTo(b)
   }
+  /** UPDATE/UPSERT may not move a record to a different id
+    * (doc/alter.rs generate_record_id; update/recordid golden). */
+  def checkIdUnchanged(applied: VObj, rid: VRid): Unit =
+    applied.fields.get("id") match {
+      case Some(r: VRid) if !V.looseEq(r, rid) =>
+        throw SqlError(s"Found ${Render.sql(r)} for the `id` field, but a specific record has been specified")
+      case _ => ()
+    }
+
+  /** diff-match-patch patch text for a string change (dmp patch_make1 +
+    * patch_to_text, val/value/diff.rs:70): single hunk via common prefix/
+    * suffix trimming with DMP's 4-char context margin and URI encoding. */
+  def dmpPatchText(a: String, b: String): String = {
+    if (a == b) return ""
+    val maxP = math.min(a.length, b.length)
+    var p = 0
+    while (p < maxP && a.charAt(p) == b.charAt(p)) p += 1
+    var s = 0
+    while (s < maxP - p && a.charAt(a.length - 1 - s) == b.charAt(b.length - 1 - s)) s += 1
+    val del = a.substring(p, a.length - s)
+    val ins = b.substring(p, b.length - s)
+    val margin = 4
+    val ctxPre = a.substring(math.max(0, p - margin), p)
+    val ctxPost = a.substring(a.length - s, math.min(a.length, a.length - s + margin))
+    val len1 = ctxPre.length + del.length + ctxPost.length
+    val len2 = ctxPre.length + ins.length + ctxPost.length
+    val start = p - ctxPre.length
+    def coord(ln: Int) = if (ln == 0) s"$start,0" else s"${start + 1},$ln"
+    def enc(t: String): String = {
+      val keep = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789;,/?:@&=+$-_.!~*'()#"
+      val sb = new StringBuilder
+      t.getBytes("UTF-8").foreach { byte =>
+        val c = (byte & 0xff).toChar
+        if (c < 128 && keep.indexOf(c) >= 0) sb.append(c)
+        else sb.append(f"%%${byte & 0xff}%02X")
+      }
+      sb.toString
+    }
+    val sb = new StringBuilder(s"@@ -${coord(len1)} +${coord(len2)} @@\n")
+    if (ctxPre.nonEmpty) sb.append(' ').append(enc(ctxPre)).append('\n')
+    if (del.nonEmpty) sb.append('-').append(enc(del)).append('\n')
+    if (ins.nonEmpty) sb.append('+').append(enc(ins)).append('\n')
+    if (ctxPost.nonEmpty) sb.append(' ').append(enc(ctxPost)).append('\n')
+    sb.toString
+  }
+
+  /** Apply a diff-match-patch patch text (dmp patch_apply; exact-position
+    * application — hunks are assumed to match, as they do on round-trips
+    * of diffs this engine produced). */
+  def dmpPatchApply(patch: String, orig: String): String = {
+    def dec(t: String): String = {
+      val bytes = new java.io.ByteArrayOutputStream
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        if (c == '%' && i + 2 < t.length) {
+          bytes.write(Integer.parseInt(t.substring(i + 1, i + 3), 16)); i += 3
+        } else { bytes.write(c.toInt); i += 1 } // unencoded chars are ASCII
+      }
+      new String(bytes.toByteArray, "UTF-8")
+    }
+    val hunkRe = """@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@""".r
+    val out = new StringBuilder
+    var pos = 0
+    var src = 0
+    patch.split("\n", -1).foreach {
+      case hunkRe(a, b, _, _) =>
+        val len1 = Option(b).map(_.toInt).getOrElse(1)
+        val start = if (len1 == 0) a.toInt else a.toInt - 1
+        out.append(orig.substring(pos, math.min(start, orig.length)))
+        src = start
+      case line if line.nonEmpty =>
+        val body = dec(line.substring(1))
+        line.charAt(0) match {
+          case ' ' => out.append(body); src += body.length; pos = src
+          case '-' => src += body.length; pos = src
+          case '+' => out.append(body); pos = src
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.append(orig.substring(math.min(pos, orig.length)))
+    out.toString
+  }
+
   private val idRng = new java.util.concurrent.atomic.AtomicLong(0x5eed5eedL)
   /** 20-char lowercase-alnum record id, shaped like the reference's random
     * ids (nanoid alphabet subset) but deterministic per session. */
@@ -2151,12 +2236,17 @@ final class Interp {
             }
             return v
           }
-          // readonly fields on existing records keep their prior value when
-          // the new content omits them (doc/field.rs readonly restore) —
-          // except under REPLACE, which reports the change as an error
-          if (fd.readonly && !isCreate && before.isDefined && (v == VNone || v == VNull) &&
-              !replaceSemantics)
-            v = beforeV
+          // READONLY on existing records runs BEFORE any other clause
+          // (doc/field.rs:254): omitted-under-CONTENT restores the old
+          // value, any other modification errors, and an unmodified
+          // readonly field skips the rest of the pipeline entirely
+          if (fd.readonly && !isCreate && before.isDefined) {
+            if (!V.looseEq(v, beforeV)) {
+              if ((v == VNone || v == VNull) && !replaceSemantics) return beforeV
+              throw SqlError(s"Found changed value for field `${fd.field}`, with record `${Render.sql(rid)}`, but field is readonly")
+            }
+            return v
+          }
           // a provided (non-NONE) input coerces against TYPE before the
           // VALUE clause computes (doc/field.rs order)
           if (v != VNone && fd.value.isDefined) fd.kind.foreach { k =>
@@ -2189,11 +2279,6 @@ final class Interp {
               .bind("value", v).bind("input", input)).truthy
             if (!ok)
               throw SqlError(s"Found ${v.render} for field `${fd.field}`, with record `${Render.sql(rid)}`, but field must conform to: ${Defs.normRaw(fd.assertRaw)}")
-          }
-          if (fd.readonly && !isCreate && before.isDefined) {
-            val old = beforeV
-            if (!V.looseEq(old, v))
-              throw SqlError(s"Found changed value for field `${fd.field}`, with record `${Render.sql(rid)}`, but field is readonly")
           }
           v
         case "*" :: rest => cur match {
@@ -2831,6 +2916,7 @@ final class Interp {
       case ArrLit(items)   => items.exists(go)
       case ObjLit(fs)      => fs.exists { case (_, v) => go(v) }
       case IfExpr(bs, o)   => bs.exists { case (c, v) => go(c) || go(v) } || o.exists(go)
+      case BlockExpr(sts)  => sts.exists(goStmt)
       case Subquery(st)    => goStmt(st)
       case Idiom(parts)    => parts.exists {
         case PStart(i) => go(i)
@@ -2981,19 +3067,25 @@ final class Interp {
     case scala.None => doc
     case Some(SetData(sets)) =>
       var fields = doc.fields
+      // $this is pinned to the document as of statement start (NONE when
+      // creating; define/param/this,parent goldens) — bare idioms keep
+      // seeing the evolving document
+      val pinnedThis: V = env.doc.map(identity[V]).getOrElse(VNone)
+      def setEnv(fs: TreeMap[String, V]) =
+        env.copy(doc = Some(VObj(fs)), params = env.params + ("this" -> pinnedThis))
       val de = env.copy(doc = Some(VObj(fields)))
       sets.foreach { case (idiom, op, valueE) =>
         // resolve dynamic [expr] segments to literal keys (dynamic_keys)
         val path = idiom.parts.toList.flatMap {
           case PField(n) => Seq(n)
-          case PIndex(ie) => Eval.eval(ie, env.copy(doc = Some(VObj(fields)))) match {
+          case PIndex(ie) => Eval.eval(ie, setEnv(fields)) match {
             case VStr(k) => Seq(k)
             case VInt(i) => Seq(i.toString)
             case _ => Nil
           }
           case _ => Nil
         }
-        val newV = Eval.eval(valueE, env.copy(doc = Some(VObj(fields))))
+        val newV = Eval.eval(valueE, setEnv(fields))
         val resolved = op match {
           case "=" => newV
           case "+?=" =>
@@ -3080,16 +3172,78 @@ final class Interp {
       Eval.eval(e, env) match {
         case VArr(patches) =>
           var fields = doc.fields
+          // JSON-patch apply (val/value/patch.rs:11): numeric/`-` terminal
+          // segments address array elements (insert/append), add on an
+          // existing array appends, change applies a DMP string patch
+          def pick(path: List[String]): V =
+            path.foldLeft(VObj(fields): V) {
+              case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
+              case (VArr(items), seg) if seg.forall(_.isDigit) && seg.nonEmpty =>
+                items.lift(seg.toInt).getOrElse(VNone)
+              case _ => VNone
+            }
+          def put(path: List[String], v: V): Unit =
+            fields = setPath(TreeMap(fields.toSeq: _*), path, v)
           patches.foreach {
             case VObj(p) =>
               val op = p.get("op").collect { case VStr(s) => s }.getOrElse("")
-              val path = p.get("path").collect { case VStr(s) => s }.getOrElse("")
+              def pathOf(key: String) = p.get(key).collect { case VStr(s) => s }.getOrElse("")
                 .stripPrefix("/").split('/').filter(_.nonEmpty).toList
+              val path = pathOf("path")
               val value = p.getOrElse("value", VNone)
               op match {
-                case "add" | "replace" => fields = setPath(TreeMap(fields.toSeq: _*), path, value)
-                case "remove" => if (path.length == 1) fields = fields - path.head
-                case "copy" | "move" | "test" => ()
+                case "add" =>
+                  path.lastOption match {
+                    case Some(last) if last.nonEmpty && last.forall(_.isDigit) =>
+                      pick(path.init) match {
+                        case VArr(items) =>
+                          val x = last.toInt
+                          val nv = if (items.length > x)
+                            (items.take(x) :+ value) ++ items.drop(x) else items :+ value
+                          put(path.init, VArr(nv))
+                        case _ => put(path.init, value)
+                      }
+                    case Some("-") =>
+                      pick(path.init) match {
+                        case VArr(items) => put(path.init, VArr(items :+ value))
+                        case _ => put(path.init, value)
+                      }
+                    case _ =>
+                      pick(path) match {
+                        case VArr(items) => put(path, VArr(items :+ value))
+                        case _ => put(path, value)
+                      }
+                  }
+                case "replace" => put(path, value)
+                case "remove" =>
+                  path.lastOption match {
+                    case Some(last) if last.nonEmpty && last.forall(_.isDigit) =>
+                      pick(path.init) match {
+                        case VArr(items) =>
+                          val x = last.toInt
+                          if (x < items.length)
+                            put(path.init, VArr(items.take(x) ++ items.drop(x + 1)))
+                        case _ =>
+                          fields = removeDocPath(VObj(fields), path).fields
+                      }
+                    case Some(_) => fields = removeDocPath(VObj(fields), path).fields
+                    case scala.None => ()
+                  }
+                case "change" =>
+                  (value, pick(path)) match {
+                    case (VStr(pt), VStr(orig)) =>
+                      put(path, VStr(Interp.dmpPatchApply(pt, orig)))
+                    case _ => ()
+                  }
+                case "copy" => put(path, pick(pathOf("from")))
+                case "move" =>
+                  val from = pathOf("from")
+                  put(path, pick(from))
+                  fields = removeDocPath(VObj(fields), from).fields
+                case "test" =>
+                  val got = pick(path)
+                  if (got != value) throw SqlError(
+                    s"Given test operation failed for JSON Patch. Expected `${Render.sql(value)}`, but got `${Render.sql(got)}` instead.")
                 case _ => ()
               }
             case _ => ()
@@ -3134,20 +3288,39 @@ final class Interp {
       if (before.isEmpty && after.isDefined)
         return Some(VArr(Vector(V.obj("op" -> VStr("replace"), "path" -> VStr(""),
           "value" -> after.get))))
-      val b = before.map(_.fields).getOrElse(TreeMap.empty[String, V])
-      val aa = after.map(_.fields).getOrElse(TreeMap.empty[String, V])
+      // recursive JSON-patch diff (val/value/diff.rs:14): nested objects
+      // recurse, arrays diff element-wise, string→string changes emit a
+      // `change` op carrying a diff-match-patch patch text
       val ops = mutable.ArrayBuffer[V]()
-      (aa.keySet ++ b.keySet).toSeq.sorted.foreach { k =>
-        (b.get(k), aa.get(k)) match {
-          case (scala.None, Some(v)) =>
-            ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"/$k"), "value" -> v)
-          case (Some(_), scala.None) =>
-            ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"/$k"))
-          case (Some(x), Some(y)) if !V.looseEq(x, y) =>
-            ops += V.obj("op" -> VStr("replace"), "path" -> VStr(s"/$k"), "value" -> y)
-          case _ => ()
-        }
+      def diffRec(a: V, bv: V, path: String): Unit = (a, bv) match {
+        case (VObj(fa), VObj(fb)) if a != bv =>
+          fa.keys.foreach { k =>
+            if (!fb.contains(k))
+              ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"$path/$k"))
+          }
+          fb.foreach { case (k, v) =>
+            fa.get(k) match {
+              case scala.None =>
+                ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"$path/$k"), "value" -> v)
+              case Some(old) => diffRec(old, v, s"$path/$k")
+            }
+          }
+        case (VArr(ia), VArr(ib)) if a != bv =>
+          val mn = math.min(ia.length, ib.length)
+          (0 until mn).foreach(n => diffRec(ia(n), ib(n), s"$path/$n"))
+          (mn until ib.length).foreach(n =>
+            ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"$path/$n"), "value" -> ib(n)))
+          (mn until ia.length).foreach(n =>
+            ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"$path/$n")))
+        case (VStr(x), VStr(y)) if x != y =>
+          ops += V.obj("op" -> VStr("change"), "path" -> VStr(path),
+            "value" -> VStr(Interp.dmpPatchText(x, y)))
+        case _ if a != bv =>
+          ops += V.obj("op" -> VStr("replace"), "path" -> VStr(path), "value" -> bv)
+        case _ => ()
       }
+      diffRec(before.map(identity[V]).getOrElse(VNone),
+        after.map(identity[V]).getOrElse(VNone), "")
       Some(VArr(ops.toVector))
     case Some(Output.OFields(fs)) =>
       val doc = after.orElse(before).getOrElse(VObj(TreeMap.empty))
@@ -3270,7 +3443,7 @@ final class Interp {
       // a SET/CONTENT id overrides the generated key (string/int values
       // become the record key — `CREATE person SET id = "x"` → person:x)
       val base0 = VObj(TreeMap.empty[String, V])
-      val withData = applyData(base0, s.data, env)
+      val withData = applyData(base0, s.data, env.copy(doc = scala.None)) // creation has no prior doc: $this pins to NONE
       val key = withData.fields.get("id") match {
         case Some(VRid(_, k)) =>
           keyOpt.filterNot(V.looseEq(_, k)).foreach { _ =>
@@ -3319,8 +3492,21 @@ final class Interp {
   def execUpdate(only: Boolean, what: Seq[Expr], data: Option[Data], where: Option[Expr],
       output: Option[Output], env: Env, upsert: Boolean): V = {
     val results = mutable.ArrayBuffer[V]()
-    mutationTargets(what, env).foreach { case (tb, keyOpt) =>
+    mutationTargets(what, env).foreach { case (tb, keyOpt0) =>
       val t = table(tb)
+      // UPSERT on a bare table adopts an id carried by the data clause
+      // (doc/alter.rs:28 generate_record_id — data.rid() beats random),
+      // so `UPSERT tb CONTENT {id: tb:x, …}` targets tb:x
+      val keyOpt = keyOpt0.orElse {
+        if (upsert && data.nonEmpty)
+          try applyData(VObj(TreeMap.empty[String, V]), data, env).fields.get("id") match {
+            case Some(VRid(t2, k)) if t2 == tb => Some(k)
+            case Some(VNone) | Some(_: VRid) | scala.None => scala.None
+            case Some(other) => Some(other)
+          }
+          catch { case _: SqlError => scala.None }
+        else scala.None
+      }
       keyOpt match {
         case Some(key) =>
           val existing = t.find { case (k, _) => V.looseEq(k, key) }.map(_._2)
@@ -3333,6 +3519,7 @@ final class Interp {
                   case _ => VRid(tb, key)
                 }
                 val applied = applyData(doc, data, env.copy(doc = Some(doc)))
+                Interp.checkIdUnchanged(applied, rid)
                 val updated0 = if (isEdgeRecord(tb, key))
                   Interp.keepEdgeIdentity(applied, doc, rid) else applied
                 val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
@@ -3344,7 +3531,7 @@ final class Interp {
             case scala.None if upsert =>
               val rid = VRid(tb, key)
               val base = VObj(TreeMap("id" -> (rid: V)))
-              val doc0 = applyData(base, data, env)
+              val doc0 = applyData(base, data, env.copy(doc = scala.None))
               val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
               checkUniqueIndexes(tb, rid, doc)
               t(key) = doc
@@ -3363,6 +3550,7 @@ final class Interp {
                 case _ => VRid(tb, key)
               }
               val applied = applyData(doc, data, env.copy(doc = Some(doc)))
+              Interp.checkIdUnchanged(applied, rid)
               val updated0 = if (isEdgeRecord(tb, key))
                 Interp.keepEdgeIdentity(applied, doc, rid) else applied
               val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
@@ -3377,7 +3565,7 @@ final class Interp {
             val key = nextId()
             val rid = VRid(tb, key)
             val base = VObj(TreeMap("id" -> (rid: V)))
-            val doc0 = applyData(base, data, env)
+            val doc0 = applyData(base, data, env.copy(doc = scala.None))
             val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
             checkUniqueIndexes(tb, rid, doc)
             t(key) = doc
