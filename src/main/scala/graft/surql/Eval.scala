@@ -111,7 +111,11 @@ object Eval {
       // PINNED outer $this when a mutation pinned one, not the evolving doc
       // (exec/physical_expr/subquery.rs; define/param/parent)
       val subEnv = env.params.get("this").orElse(env.doc.map(identity[V])) match {
-        case Some(d) => env.copy(params = env.params - "this" + ("parent" -> d))
+        case Some(d) => env.copy(
+          // the subquery's document context is the PINNED outer $this, not
+          // a mutation's evolving doc (define/param/parent)
+          doc = d match { case o: VObj => Some(o); case _ => scala.None },
+          params = env.params - "this" + ("parent" -> d))
         case scala.None => env
       }
       subEnv.interp match {

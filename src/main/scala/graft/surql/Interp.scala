@@ -3063,6 +3063,19 @@ final class Interp {
 
   // ---- mutations -------------------------------------------------------
 
+  /** A mutation statement opens a fresh document scope: the enclosing doc
+    * (or pinned $this) becomes $parent, and $this re-pins to the mutated
+    * record's statement-start state — NONE when creating
+    * (define/event/this_parent, define/param/this,parent). */
+  private def mutScope(env: Env, thisDoc: Option[VObj]): Env = {
+    val parentV = env.params.get("this").orElse(env.doc.map(identity[V]))
+    val base = parentV match {
+      case Some(p) => env.copy(params = env.params - "this" + ("parent" -> p))
+      case scala.None => env
+    }
+    base.copy(doc = thisDoc)
+  }
+
   private def applyData(doc: VObj, data: Option[Data], env: Env): VObj = data match {
     case scala.None => doc
     case Some(SetData(sets)) =>
@@ -3377,17 +3390,15 @@ final class Interp {
         case _                     => "UPDATE"
       }
       evs.foreach { ev =>
-        // bare field refs see the mutated record (cursor doc), which is also
-        // $parent; $this is NOT bound; $input is the pre-pipeline doc
-        // (doc/event.rs)
-        val e2 = env.copy(doc = after.orElse(before))
+        // bare field refs and $this see the mutated record (cursor doc);
+        // nested mutations inherit it as $parent via mutScope; $input is
+        // the pre-pipeline doc (doc/event.rs:111-115)
+        val e2 = env.copy(doc = after.orElse(before), params = env.params - "this" - "parent")
           .bind("event", VStr(action))
           .bind("before", before.map(identity[V]).getOrElse(VNone))
           .bind("after", after.map(identity[V]).getOrElse(VNone))
           .bind("value", after.orElse(before).map(identity[V]).getOrElse(VNone))
-          .bind("parent", after.orElse(before).map(identity[V]).getOrElse(VNone))
           .bind("input", input.map(identity[V]).getOrElse(VNone))
-          .bind("this", VNone) // $this is not bound inside event THEN bodies
         if (ev.whenE.forall(w => Eval.eval(w, e2).truthy)) {
           try ev.thenE.foreach(te => Eval.eval(te, e2))
           catch {
@@ -3443,7 +3454,7 @@ final class Interp {
       // a SET/CONTENT id overrides the generated key (string/int values
       // become the record key — `CREATE person SET id = "x"` → person:x)
       val base0 = VObj(TreeMap.empty[String, V])
-      val withData = applyData(base0, s.data, env.copy(doc = scala.None)) // creation has no prior doc: $this pins to NONE
+      val withData = applyData(base0, s.data, mutScope(env, scala.None))
       val key = withData.fields.get("id") match {
         case Some(VRid(_, k)) =>
           keyOpt.filterNot(V.looseEq(_, k)).foreach { _ =>
@@ -3518,7 +3529,7 @@ final class Interp {
                   case Some(r: VRid) => r
                   case _ => VRid(tb, key)
                 }
-                val applied = applyData(doc, data, env.copy(doc = Some(doc)))
+                val applied = applyData(doc, data, mutScope(env, Some(doc)))
                 Interp.checkIdUnchanged(applied, rid)
                 val updated0 = if (isEdgeRecord(tb, key))
                   Interp.keepEdgeIdentity(applied, doc, rid) else applied
@@ -3531,7 +3542,7 @@ final class Interp {
             case scala.None if upsert =>
               val rid = VRid(tb, key)
               val base = VObj(TreeMap("id" -> (rid: V)))
-              val doc0 = applyData(base, data, env.copy(doc = scala.None))
+              val doc0 = applyData(base, data, mutScope(env, scala.None))
               val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
               checkUniqueIndexes(tb, rid, doc)
               t(key) = doc
@@ -3549,7 +3560,7 @@ final class Interp {
                 case Some(r: VRid) => r
                 case _ => VRid(tb, key)
               }
-              val applied = applyData(doc, data, env.copy(doc = Some(doc)))
+              val applied = applyData(doc, data, mutScope(env, Some(doc)))
               Interp.checkIdUnchanged(applied, rid)
               val updated0 = if (isEdgeRecord(tb, key))
                 Interp.keepEdgeIdentity(applied, doc, rid) else applied
@@ -3565,7 +3576,7 @@ final class Interp {
             val key = nextId()
             val rid = VRid(tb, key)
             val base = VObj(TreeMap("id" -> (rid: V)))
-            val doc0 = applyData(base, data, env.copy(doc = scala.None))
+            val doc0 = applyData(base, data, mutScope(env, scala.None))
             val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
             checkUniqueIndexes(tb, rid, doc)
             t(key) = doc
@@ -3597,6 +3608,7 @@ final class Interp {
           t.remove(key)
           unmarkEdge(tb, key)
           fireEvents(tb, Some(doc), scala.None, env)
+          cascadeEdgeDeletes(rid, env)
           shapeOutput(Some(doc), scala.None, s.output, env, tb).foreach(results += _)
         }
       }
@@ -3604,6 +3616,28 @@ final class Interp {
     if (s.output.isEmpty) VArr(Vector.empty)
     else if (s.only) results.headOption.getOrElse(VNone)
     else VArr(results.toVector)
+  }
+
+  /** Deleting a record purges the graph edges pointing in or out of it
+    * (doc/purge.rs), running each edge's own delete lifecycle so DEFINE
+    * EVENT on the edge table fires (event/with_relations golden). */
+  private def cascadeEdgeDeletes(rid: VRid, env: Env): Unit = {
+    tables.toSeq.foreach { case (etb, t) =>
+      val victims = t.toSeq.filter { case (k, doc) =>
+        isEdgeRecord(etb, k) && Seq("in", "out").exists(side =>
+          doc.fields.get(side).exists {
+            case r: VRid => r.table == rid.table && V.looseEq(r.key, rid.key)
+            case _ => false
+          })
+      }
+      victims.foreach { case (k, doc) =>
+        if (t.contains(k)) { // a nested cascade may have removed it already
+          t.remove(k)
+          unmarkEdge(etb, k)
+          fireEvents(etb, Some(doc), scala.None, env)
+        }
+      }
+    }
   }
 
   /** ON DELETE referential actions (expr/reference.rs): before a record is
