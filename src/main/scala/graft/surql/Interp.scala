@@ -277,6 +277,8 @@ final class Interp {
   val functionDefs = mutable.LinkedHashMap[String, Defs.FnDef]()
   /** ALTER SYSTEM QUERY_TIMEOUT — surfaced in INFO FOR ROOT `config`. */
   var systemQueryTimeout: Option[VDur] = scala.None
+  /** DEFINE CONFIG DEFAULT NAMESPACE x DATABASE y — root-level (ns, db). */
+  var rootDefaultConfig: Option[(String, String)] = scala.None
   /** Whether the simulated storage backend accepts compaction requests
     * (mem does not; rocksdb-style backends do). */
   var compactSupported = false
@@ -496,6 +498,9 @@ final class Interp {
     // and pushes NO row for CANCEL, while a nested-BEGIN abort skips them
     // with "failed transaction: <stmt sql>" and DOES push a row for CANCEL.
     var txNested = false
+    // a top-level RETURN inside a transaction skips the remaining
+    // statements (no result rows) until COMMIT/CANCEL (executor.rs:842)
+    var txReturned = false
     var txStart = 0
     var snapshot: Option[TxSnapshot] = scala.None
     val FailedTx = "The query was not executed due to a failed transaction"
@@ -509,7 +514,7 @@ final class Interp {
           results += QErr(s"$FailedTx: BEGIN")
         case BeginStmt =>
           if (!inTx) {
-            snapshot = Some(new TxSnapshot); inTx = true; txAborted = false; txNested = false
+            snapshot = Some(new TxSnapshot); inTx = true; txAborted = false; txNested = false; txReturned = false
             results += QOk(VNone)
             txStart = results.length
           } else {
@@ -531,10 +536,10 @@ final class Interp {
             results += QErr(
               if (txNested) "Cannot COMMIT: the transaction was aborted due to a nested BEGIN"
               else "Cannot COMMIT: the transaction was aborted due to a prior error")
-            inTx = false; txAborted = false; txNested = false; snapshot = scala.None
+            inTx = false; txReturned = false; txAborted = false; txNested = false; snapshot = scala.None
           } else {
             results += QOk(VNone)
-            inTx = false; snapshot = scala.None
+            inTx = false; txReturned = false; snapshot = scala.None
           }
         case CancelStmt =>
           if (!inTx)
@@ -545,7 +550,7 @@ final class Interp {
             // it pushes the failed-transaction row first (executor.rs:903-910).
             if (txNested) results += QErr(s"$FailedTx: CANCEL")
             snapshot.foreach(_.restore())
-            inTx = false; txAborted = false; txNested = false; snapshot = scala.None
+            inTx = false; txReturned = false; txAborted = false; txNested = false; snapshot = scala.None
           } else {
             snapshot.foreach(_.restore())
             for (i <- txStart until results.length)
@@ -554,8 +559,10 @@ final class Interp {
                 case _      => ()
               }
             results += QOk(VNone)
-            inTx = false; txAborted = false; snapshot = scala.None
+            inTx = false; txReturned = false; txAborted = false; snapshot = scala.None
           }
+        case _ if inTx && txReturned =>
+          () // skipped entirely: no result row (executor.rs skip_remaining)
         case _ if inTx && txAborted =>
           results += QErr(if (txNested) s"$FailedTx: ${stmtSql(stmt)}" else CancelledTx)
         case other =>
@@ -575,9 +582,12 @@ final class Interp {
                 results += QOk(VNone)
               case _ =>
                 results += QOk(execStatement(other, env))
+                if (inTx && other.isInstanceOf[ReturnStmt]) txReturned = true
             }
           } catch {
-            case ReturnSignal(v) => results += QOk(v)
+            case ReturnSignal(v) =>
+              results += QOk(v)
+              if (inTx) txReturned = true
             case e: Throwable =>
               val msg = e match {
                 case se: SqlError   => se.msg
@@ -1309,6 +1319,14 @@ final class Interp {
           s.comment.map(c => " COMMENT " + Render.sql(VStr(c))).getOrElse("")
         if (s.rendered == "STRICT") strictDbs += s.name
       }
+    case "CONFIG" if s.name == "default" =>
+      // DEFINE CONFIG DEFAULT NAMESPACE x DATABASE y lives at ROOT level
+      // (remove/config/default golden; define/config/default.rs)
+      if (ddlGate(rootDefaultConfig.isDefined, s.mode, "The config for default already exists")) {
+        val ns = "(?i)NAMESPACE\\s+(\\S+)".r.findFirstMatchIn(s.rendered).map(_.group(1))
+        val db = "(?i)DATABASE\\s+(\\S+)".r.findFirstMatchIn(s.rendered).map(_.group(1))
+        rootDefaultConfig = Some((ns.getOrElse(""), db.getOrElse("")))
+      }
     case "CONFIG" =>
       if (ddlGate(configs.contains(s.name), s.mode, s"The config for ${s.name} already exists")) {
         configs(s.name) = s.name match {
@@ -1671,8 +1689,13 @@ final class Interp {
       case "CONFIG" =>
         val key = s.name.toLowerCase
         // DEFAULT configs are stored at DB level by ALTER but REMOVE resolves
-        // them at Root level (alter/config.rs vs remove/config.rs) — always missing
-        gone(key != "default" && configs.contains(key), s"The config for $key does not exist") {
+        // them at Root level (alter/config.rs vs remove/config.rs), where
+        // only DEFINE CONFIG DEFAULT registers one
+        if (key == "default")
+          gone(rootDefaultConfig.isDefined, s"The config for $key does not exist") {
+            rootDefaultConfig = scala.None
+          }
+        else gone(configs.contains(key), s"The config for $key does not exist") {
           configs.remove(key)
           if (key == "api") { apiGlobalMw = Nil; apiGlobalPerms = scala.None }
         }
@@ -2011,6 +2034,32 @@ final class Interp {
       "timeout" -> d.timeout.map(t =>
         try Parser.parseValue(t) catch { case _: Exception => VStr(t): V }).getOrElse(VNone)))
 
+  /** INFO … STRUCTURE table row (catalog TableDefinition::structure). */
+  private def tableStructure(d: Defs.TableDef, id: Int): V = {
+    def permV(s: String): V = s.toUpperCase match {
+      case "FULL" => VBool(true)
+      case "NONE" => VBool(false)
+      case _      => VStr(s)
+    }
+    val pm = d.perms.toMap
+    val kindObj: V = d.ttype match {
+      case "RELATION" =>
+        val b = TreeMap.newBuilder[String, V]
+        b += ("kind" -> VStr("RELATION"))
+        if (d.relIn.nonEmpty) b += ("in" -> VArr(d.relIn.map(VStr(_): V).toVector))
+        if (d.relOut.nonEmpty) b += ("out" -> VArr(d.relOut.map(VStr(_): V).toVector))
+        if (d.enforced) b += ("enforced" -> VBool(true))
+        VObj(b.result())
+      case t => VObj(TreeMap("kind" -> (VStr(t): V)))
+    }
+    V.obj(
+      "drop" -> VBool(d.drop), "id" -> VInt(id), "kind" -> kindObj,
+      "name" -> VStr(d.name),
+      "permissions" -> VObj(TreeMap(Seq("create", "delete", "select", "update")
+        .map(k => k -> permV(pm.getOrElse(k, "NONE"))): _*)),
+      "schemafull" -> VBool(d.full))
+  }
+
   def execInfo(s: InfoStmt): V = s.level match {
     case "DB" if s.structure =>
       VObj(TreeMap(
@@ -2021,6 +2070,10 @@ final class Interp {
         "configs" -> VArr(configs.map { case (n, v) =>
           val sv = (n, v) match {
             case ("graphql", VStr(r)) => graphqlStructure(r)
+            case ("api", VStr(r)) =>
+              // API config structure: PERMISSIONS FULL/NONE → bool
+              V.obj("permissions" -> (
+                if (r.contains("PERMISSIONS NONE")) VBool(false) else VBool(true)))
             case (_, other)           => other
           }
           VObj(TreeMap(n -> sv)): V
@@ -2030,7 +2083,8 @@ final class Interp {
         "modules" -> VArr(Vector.empty),
         "params" -> VArr(Vector.empty),
         "sequences" -> VArr(sequences.values.map(sequenceStructure).toVector),
-        "tables" -> VArr(Vector.empty),
+        "tables" -> VArr(tableDefs.values.zipWithIndex
+          .map { case (d, i) => tableStructure(d, i) }.toVector),
         "users" -> VArr(Vector.empty)))
     case "TABLE" if s.structure =>
       val tb = s.target
@@ -2045,7 +2099,9 @@ final class Interp {
       VObj(TreeMap(
         "accesses" -> strMap(accesses.collect { case (("ROOT", n), d) => n -> d.render }),
         "config" -> VObj(TreeMap(systemQueryTimeout.toSeq.map(d => "QUERY_TIMEOUT" -> (d: V)): _*)),
-        "defaults" -> emptyObj,
+        "defaults" -> rootDefaultConfig.map { case (ns, db) =>
+          VObj(TreeMap("database" -> (VStr(db): V), "namespace" -> (VStr(ns): V))): V
+        }.getOrElse(emptyObj),
         "namespaces" -> strMap(namespaces),
         "nodes" -> emptyObj,
         "system" -> emptyObj,
@@ -2151,6 +2207,9 @@ final class Interp {
           e = e.bind(name, letCoerce(name, kindAnn, v0))
           last = VNone
         case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
+        // a nested bare block is transparent: its RETURN breaks the whole
+        // enclosing body (return/breaks_nested_execution)
+        case ExprStmt(BlockExpr(inner)) => last = runBlockOpen(inner, e)
         case other => last = execStatement(other, e)
       }
     }
@@ -2682,6 +2741,8 @@ final class Interp {
         case r: VObj =>
           r.fields.get(field) match {
             case Some(VArr(items)) => items.map(it => VObj(r.fields.updated(field, it)))
+            // SPLIT fans out sets like arrays (split_set golden)
+            case Some(VSet(items)) => items.map(it => VObj(r.fields.updated(field, it)))
             case _ => Vector(r)
           }
         case v => Vector(v)
@@ -3779,7 +3840,9 @@ final class Interp {
       }
       case VObj(fs) => fs.get("id").collect { case r: VRid => r }.toSeq
       case other =>
-        val prop = if (e eq s.from) "in" else "out"
+        // invalid FROM reports 'in'; invalid TO reports 'id'
+        // (relate.rs:75 RelateStatementIn vs :117 RelateStatementId)
+        val prop = if (e eq s.from) "in" else "id"
         throw SqlError(s"Cannot execute RELATE statement where property '$prop' is: ${other.renderRaw}")
     }
     var edgeKeyFromValue: Option[V] = scala.None

@@ -558,8 +558,9 @@ final class Parser(val src: String) {
         if (introNone) sb.append(" INTROSPECTION NONE")
         return DefineRawStmt("CONFIG", which, sb.toString, mode)
       }
+      val tail0 = pos
       while (!eof && peekc != ';') pos += 1 // clause tail (PERMISSIONS / AUTO / …)
-      return DefineRawStmt("CONFIG", which, "", mode)
+      return DefineRawStmt("CONFIG", which, src.substring(tail0, pos).trim, mode)
     }
     if (what == "ACCESS") {
       val name = defName()
@@ -1788,6 +1789,8 @@ final class Parser(val src: String) {
     val split = ArrayBuffer[String]()
     if (kw("SPLIT")) { kw("ON"); var g = true; while (g) { split += idiomName(); g = sym(",") } }
     var groupBy: Option[Seq[Expr]] = scala.None
+    if (peekKw("GROUP") && split.nonEmpty)
+      fail("SPLIT and GROUP are mutually exclusive")
     if (kw("GROUP")) {
       if (kw("ALL")) groupBy = Some(Nil)
       else { kw("BY"); val gs = ArrayBuffer[Expr](); var g = true; while (g) { gs += expr(); g = sym(",") }; groupBy = Some(gs.toSeq) }
