@@ -217,6 +217,9 @@ final case class AlterSystemStmt(compact: Boolean,
     queryTimeout: Option[Option[(Long, Int)]]) extends Statement
 /** ALTER NAMESPACE/DATABASE COMPACT. */
 final case class AlterCompactStmt(level: String) extends Statement
+/** ALTER SEQUENCE name TIMEOUT dur|NONE; timeout=None → clause absent. */
+final case class AlterSequenceStmt(name: String, ifExists: Boolean,
+    timeout: Option[Option[String]]) extends Statement
 /** ACCESS … GRANT/SHOW/REVOKE/PURGE (sql/statements/access.rs). */
 final case class AccessStmt(name: String, level: Option[String], op: String,
     subjectKind: String = "", subject: String = "",

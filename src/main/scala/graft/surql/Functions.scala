@@ -256,7 +256,8 @@ object Functions {
     "vector::add" -> (2, 2), "vector::subtract" -> (2, 2), "vector::multiply" -> (2, 2),
     "vector::divide" -> (2, 2), "vector::dot" -> (2, 2), "vector::magnitude" -> (1, 1),
     "vector::normalize" -> (1, 1), "vector::angle" -> (2, 2), "vector::cross" -> (2, 2),
-    "vector::project" -> (2, 2), "vector::scale" -> (2, 2))
+    "vector::project" -> (2, 2), "vector::scale" -> (2, 2),
+    "value::diff" -> (2, 2), "value::patch" -> (2, 2))
 
   private def checkArity(name: String, n: Int): Unit =
     arity.get(name).foreach { case (lo, hi) =>
@@ -1167,6 +1168,14 @@ object Functions {
         }
       case "type::range" => Coerce.cast(Kind.KRange, arg(0))
       case "type::record" => Coerce.cast(Kind.KRecord(Nil), arg(0))
+      case "value::diff" =>
+        // JSON-patch operations turning arg0 into arg1 (val/value/diff.rs)
+        VArr(Interp.valueDiff(arg(0), arg(1)))
+      case "value::patch" =>
+        (arg(0), arg(1)) match {
+          case (o: VObj, VArr(ops)) => env.interp.getOrElse(new Interp()).applyJsonPatch(o, ops)
+          case (o, _) => o
+        }
       case "type::field" =>
         def pathValue(d: V, path: String): V =
           path.split('.').foldLeft(d) {

@@ -128,6 +128,42 @@ object Interp {
       .compareTo(translit(b).toLowerCase(java.util.Locale.ROOT))
     if (c != 0) c else a.compareTo(b)
   }
+  /** Recursive JSON-patch diff (val/value/diff.rs:14): nested objects
+    * recurse, arrays diff element-wise, string→string changes emit a
+    * `change` op carrying a diff-match-patch patch text. */
+  def valueDiff(a0: V, b0: V): Vector[V] = {
+    val ops = mutable.ArrayBuffer[V]()
+    def diffRec(a: V, bv: V, path: String): Unit = (a, bv) match {
+      case (VObj(fa), VObj(fb)) if a != bv =>
+        fa.keys.foreach { k =>
+          if (!fb.contains(k))
+            ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"$path/$k"))
+        }
+        fb.foreach { case (k, v) =>
+          fa.get(k) match {
+            case scala.None =>
+              ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"$path/$k"), "value" -> v)
+            case Some(old) => diffRec(old, v, s"$path/$k")
+          }
+        }
+      case (VArr(ia), VArr(ib)) if a != bv =>
+        val mn = math.min(ia.length, ib.length)
+        (0 until mn).foreach(n => diffRec(ia(n), ib(n), s"$path/$n"))
+        (mn until ib.length).foreach(n =>
+          ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"$path/$n"), "value" -> ib(n)))
+        (mn until ia.length).foreach(n =>
+          ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"$path/$n")))
+      case (VStr(x), VStr(y)) if x != y =>
+        ops += V.obj("op" -> VStr("change"), "path" -> VStr(path),
+          "value" -> VStr(Interp.dmpPatchText(x, y)))
+      case _ if a != bv =>
+        ops += V.obj("op" -> VStr("replace"), "path" -> VStr(path), "value" -> bv)
+      case _ => ()
+    }
+    diffRec(a0, b0, "")
+    ops.toVector
+  }
+
   /** UPDATE/UPSERT may not move a record to a different id
     * (doc/alter.rs generate_record_id; update/recordid golden). */
   def checkIdUnchanged(applied: VObj, rid: VRid): Unit =
@@ -809,6 +845,14 @@ final class Interp {
     case s: AlterCompactStmt =>
       if (s.level != "SEQUENCE" && !compactSupported)
         throw SqlError("The storage layer does not support compaction requests.")
+      VNone
+    case s: AlterSequenceStmt =>
+      sequences.get(s.name) match {
+        case Some(d) =>
+          s.timeout.foreach(t => sequences(s.name) = d.copy(timeout = t))
+        case scala.None =>
+          if (!s.ifExists) throw SqlError(s"The sequence '${s.name}' does not exist")
+      }
       VNone
     case s: RebuildIndexStmt =>
       if (!indexDefs.contains((s.table, s.name))) {
@@ -3244,11 +3288,16 @@ final class Interp {
       }
     case Some(PatchData(e)) =>
       Eval.eval(e, env) match {
-        case VArr(patches) =>
+        case VArr(patches) => applyJsonPatch(doc, patches)
+        case other => throw SqlError(s"Cannot use ${other.render} in a PATCH clause")
+      }
+  }
+
+  /** JSON-patch apply (val/value/patch.rs:11): numeric/`-` terminal
+    * segments address array elements (insert/append), add on an existing
+    * array appends, change applies a DMP string patch. */
+  def applyJsonPatch(doc: VObj, patches: Vector[V]): VObj = {
           var fields = doc.fields
-          // JSON-patch apply (val/value/patch.rs:11): numeric/`-` terminal
-          // segments address array elements (insert/append), add on an
-          // existing array appends, change applies a DMP string patch
           def pick(path: List[String]): V =
             path.foldLeft(VObj(fields): V) {
               case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
@@ -3323,8 +3372,6 @@ final class Interp {
             case _ => ()
           }
           VObj(fields)
-        case other => throw SqlError(s"Cannot use ${other.render} in a PATCH clause")
-      }
   }
 
   private def getPath(fields: TreeMap[String, V], path: List[String]): V = path match {
@@ -3362,40 +3409,8 @@ final class Interp {
       if (before.isEmpty && after.isDefined)
         return Some(VArr(Vector(V.obj("op" -> VStr("replace"), "path" -> VStr(""),
           "value" -> after.get))))
-      // recursive JSON-patch diff (val/value/diff.rs:14): nested objects
-      // recurse, arrays diff element-wise, string→string changes emit a
-      // `change` op carrying a diff-match-patch patch text
-      val ops = mutable.ArrayBuffer[V]()
-      def diffRec(a: V, bv: V, path: String): Unit = (a, bv) match {
-        case (VObj(fa), VObj(fb)) if a != bv =>
-          fa.keys.foreach { k =>
-            if (!fb.contains(k))
-              ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"$path/$k"))
-          }
-          fb.foreach { case (k, v) =>
-            fa.get(k) match {
-              case scala.None =>
-                ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"$path/$k"), "value" -> v)
-              case Some(old) => diffRec(old, v, s"$path/$k")
-            }
-          }
-        case (VArr(ia), VArr(ib)) if a != bv =>
-          val mn = math.min(ia.length, ib.length)
-          (0 until mn).foreach(n => diffRec(ia(n), ib(n), s"$path/$n"))
-          (mn until ib.length).foreach(n =>
-            ops += V.obj("op" -> VStr("add"), "path" -> VStr(s"$path/$n"), "value" -> ib(n)))
-          (mn until ia.length).foreach(n =>
-            ops += V.obj("op" -> VStr("remove"), "path" -> VStr(s"$path/$n")))
-        case (VStr(x), VStr(y)) if x != y =>
-          ops += V.obj("op" -> VStr("change"), "path" -> VStr(path),
-            "value" -> VStr(Interp.dmpPatchText(x, y)))
-        case _ if a != bv =>
-          ops += V.obj("op" -> VStr("replace"), "path" -> VStr(path), "value" -> bv)
-        case _ => ()
-      }
-      diffRec(before.map(identity[V]).getOrElse(VNone),
-        after.map(identity[V]).getOrElse(VNone), "")
-      Some(VArr(ops.toVector))
+      Some(VArr(Interp.valueDiff(before.map(identity[V]).getOrElse(VNone),
+        after.map(identity[V]).getOrElse(VNone))))
     case Some(Output.OFields(fs)) =>
       val doc = after.orElse(before).getOrElse(VObj(TreeMap.empty))
       val de = env.copy(doc = Some(doc))

@@ -1250,9 +1250,20 @@ final class Parser(val src: String) {
       case "NAMESPACE" | "NS" => expectKw("COMPACT"); AlterCompactStmt("NAMESPACE")
       case "DATABASE" | "DB"  => expectKw("COMPACT"); AlterCompactStmt("DATABASE")
       case "SEQUENCE" =>
-        // ALTER SEQUENCE name TIMEOUT … (alter/sequence.rs) — parsed, inert
-        while (!eof && peekc != ';') pos += 1
-        AlterCompactStmt("SEQUENCE")
+        // ALTER SEQUENCE name TIMEOUT dur|NONE (alter/sequence.rs)
+        val ifEx = alterIfExists()
+        val name = defName()
+        var timeout: Option[Option[String]] = scala.None
+        if (kw("TIMEOUT")) {
+          ws()
+          if (kw("NONE")) timeout = Some(scala.None)
+          else {
+            val t0 = pos
+            while (!eof && !peekc.isWhitespace && peekc != ';') pos += 1
+            timeout = Some(Some(src.substring(t0, pos)))
+          }
+        }
+        AlterSequenceStmt(name, ifEx, timeout)
       case other => fail(s"unexpected ALTER target $other"); null
     }
   }
