@@ -17,7 +17,8 @@ object Explain {
       attrs: Seq[(String, String)] = Nil,
       children: Seq[PNode] = Nil,
       embedded: Seq[(String, PNode)] = Nil,
-      rows: Option[Long] = scala.None)
+      rows: Option[Long] = scala.None,
+      exprs: Seq[(String, String)] = Nil)  // (role, sql) — JSON `expressions`
 
   private val Indent = 4
 
@@ -55,6 +56,9 @@ object Explain {
       m += "attributes" -> VObj(TreeMap(n.attrs.map { case (k, v) => k -> (VStr(v): V) }: _*))
     if (n.children.nonEmpty)
       m += "children" -> VArr(n.children.map(c => renderJson(c, scala.None)).toVector)
+    if (n.exprs.nonEmpty)
+      m += "expressions" -> VArr(n.exprs.map { case (role, sql) =>
+        V.obj("role" -> VStr(role), "sql" -> VStr(sql)) }.toVector)
     n.rows.foreach(r => m += "metrics" -> V.obj("output_rows" -> VInt(r)))
     total.foreach(t => m += "total_rows" -> VInt(t))
     VObj(m)
@@ -340,7 +344,38 @@ object Explain {
     } catch { case _: Exception => scala.None }
   }
 
-  def selectPlan(s: SelectStmt, in: Interp): PNode = {
+  def selectPlan(s0: SelectStmt, in: Interp): PNode = {
+    // plan-time source resolution (planner/dynamic_scan_limit_pushdown):
+    // a $param holding a table value and a constant-foldable type::table()
+    // call plan exactly like the literal table
+    def paramVal(n: String): Option[V] = in.globals.get(n).orElse(in.dbParams.get(n))
+    def resolvePlanSource(e: Expr): Expr = e match {
+      case Param(n) => paramVal(n) match {
+        case Some(VTable(t)) => TableRef(t)
+        case _ => e
+      }
+      case FnCall("type::table", Seq(a)) =>
+        (a match {
+          case Lit(VStr(t)) => Some(t)
+          case Param(n) => paramVal(n).collect { case VStr(t) => t; case VTable(t) => t }
+          case _ => scala.None
+        }).map(TableRef(_): Expr).getOrElse(e)
+      case _ => e
+    }
+    val s = s0.copy(what = s0.what.map(resolvePlanSource))
+    // new-executor gap: @@ on a multi-part field path fails at plan time
+    // (record_link_index_new_executor golden)
+    if (!in.legacyPlanner) s.where.foreach { w =>
+      def scanMatches(e: Expr): Unit = e match {
+        case Binary(op, Idiom(parts), _) if op.startsWith("MATCHES") &&
+            parts.count(_.isInstanceOf[PField]) > 1 =>
+          throw SqlError("Invalid query: New executor does not support: MATCHES with multi-part field path not yet supported in streaming executor")
+        case Binary(_, l, r) => scanMatches(l); scanMatches(r)
+        case Prefix(_, i) => scanMatches(i)
+        case _ => ()
+      }
+      scanMatches(w)
+    }
     val singleTable: Option[String] = s.what match {
       case Seq(Idiom(Seq(PField(n)))) => Some(n)
       case Seq(TableRef(n))           => Some(n)
@@ -403,8 +438,18 @@ object Explain {
               Seq("record_id" -> exprSql(r), "predicate" -> physSql(w)))
           }
         }
-        val fts = s.where.flatMap(w => fulltextAccess(in, name, w))
-        val union = if (fts.isDefined) scala.None
+        // a UNIQUE-index equality access outranks full-text: at most one
+        // row, so @@ and the rest become residual filters and the sort is
+        // eliminated (multi_index_or_and_new_executor assert 14)
+        val idxPre = s.where.flatMap(w => indexAccess(in, name, w, s.withIndex))
+        val uniqueEq = idxPre.filter { case (idxName, access, _, idxFields, eqLen) =>
+          eqLen == idxFields.length && access.startsWith("=") &&
+            in.indexDefs.exists { case ((t, _), d) => t == name && d.name == idxName && d.unique }
+        }
+        if (uniqueEq.isDefined && s.order.nonEmpty) orderConsumed = true
+        val fts = if (uniqueEq.isDefined) scala.None
+          else s.where.flatMap(w => fulltextAccess(in, name, w))
+        val union = if (fts.isDefined || uniqueEq.isDefined) scala.None
           else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex))
         union.foreach { case (idxName, items, c) =>
           consumedPred = true
@@ -416,10 +461,12 @@ object Explain {
               case _ => scala.None
             }
             PNode("IndexScan", "Db",
-              Seq("index" -> idxName, "access" -> ("= " + v), "direction" -> "Forward"),
+              Seq("index" -> idxName, "access" -> v, "direction" -> "Forward"),
               rows = rows)
           }
-          return PNode("UnionIndexScan", "Db",
+          // a single-element IN list needs no union wrapper
+          return if (branches.length == 1) branches.head
+          else PNode("UnionIndexScan", "Db",
             Seq("table" -> name, "branches" -> branches.length.toString), branches)
         }
         // OR across per-disjunct indexes: UnionIndexScan with one branch each
@@ -453,7 +500,14 @@ object Explain {
           case Some((idxName, queryTxt, residual)) =>
             consumedPred = true
             residualPred = residual
-            PNode("FullTextScan", "Db", Seq("index" -> idxName, "query" -> queryTxt))
+            // ANALYZE rows on the scan reflect the @@ access alone,
+            // before residual filtering (multi_index_or_and_new_executor)
+            val ftsRows = s.where.flatMap(w => conjunctList(w).collectFirst {
+              case c @ Binary(op, _, _) if op.startsWith("MATCHES") =>
+                branchRows(in, name, c)
+            }.flatten)
+            PNode("FullTextScan", "Db", Seq("index" -> idxName, "query" -> queryTxt),
+              rows = ftsRows)
           case scala.None =>
         idx match {
           case Some((idxName, access, residual, idxFields, eqLen)) =>
@@ -539,7 +593,8 @@ object Explain {
       node = PNode("Filter", "Db", Seq("predicate" -> physSql(w)), Seq(node))
     }
     residualPred.foreach { w =>
-      node = PNode("Filter", "Db", Seq("predicate" -> physSql(w)), Seq(node))
+      node = PNode("Filter", "Db", Seq("predicate" -> physSql(w)), Seq(node),
+        exprs = Seq("predicate" -> physSql(w)))
     }
 
     // ---- split -----------------------------------------------------------
@@ -578,10 +633,17 @@ object Explain {
     }
 
     // ---- projection classification --------------------------------------
-    if (grouped) return node
+    // FETCH wraps the completed pipeline (exec fetch operator)
+    def withFetch(n: PNode): PNode =
+      if (s.fetch.isEmpty) n
+      else PNode("Fetch", "Db", Seq("fields" -> s.fetch.map {
+        case Lit(VStr(p)) => p
+        case e => physSql(e)
+      }.mkString(", ")), Seq(n))
+    if (grouped) return withFetch(node)
 
     val isRid = s.what.exists { case _: RidLit => true; case _ => false }
-    if (s.value) {
+    withFetch(if (s.value) {
       val fe = s.fields.head.expr
       PNode("ProjectValue", "Db", Seq("expr" -> physSql(fe)), Seq(node),
         embedded = embeds(fe, "expr"))
@@ -617,7 +679,7 @@ object Explain {
         val compute = PNode("Compute", "Db", Seq("fields" -> fieldsTxt), Seq(node), embedded = emb)
         PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(compute))
       }
-    }
+    })
   }
 
   private def conjunctList(e: Expr): Seq[Expr] = e match {
@@ -661,12 +723,14 @@ object Explain {
     if (ps.forall {
       case _: PField | PAll => true
       case PIndex(Lit(_: VInt)) => true
+      case PMethod(_, Nil) => true // zero-arg method paths are indexable (id.id().r)
       case _ => false
     }) {
       val sb = new StringBuilder
       ps.foreach {
         case PField(n) => if (sb.nonEmpty) sb.append('.'); sb.append(n)
         case PIndex(Lit(VInt(i))) => sb.append('[').append(i).append(']')
+        case PMethod(n, _) => sb.append('.').append(n).append("()")
         case _ => if (sb.nonEmpty) sb.append('.'); sb.append('*')
       }
       Some(sb.toString)
@@ -695,6 +759,15 @@ object Explain {
       case c @ Binary("CONTAINS", Idiom(ps), rhs)
           if !touchesDb(rhs) && fieldPathName(ps).isDefined && ps.contains(PAll) =>
         fieldPathName(ps).get -> ((exprSql(rhs), c))
+      // field CONTAINS x / x INSIDE field probe an index declared over
+      // field[*] (Part::All entries, one per element —
+      // reproductions/array_containment_index)
+      case c @ Binary("CONTAINS", Idiom(ps), rhs)
+          if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
+        (fieldPathName(ps).get + "[*]") -> ((exprSql(rhs), c))
+      case c @ Binary("INSIDE" | "IN", lhs, Idiom(ps))
+          if !touchesDb(lhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
+        (fieldPathName(ps).get + "[*]") -> ((exprSql(lhs), c))
     }.toMap
     val rangeOps: Map[String, Seq[(String, String, Expr)]] = cs.collect {
       case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(ps), rhs)
@@ -730,11 +803,14 @@ object Explain {
     val (idx, matched) = candidates.maxBy { case (d, m) => (m.length, d.unique) }
     val containsConjuncts: Set[Expr] = cs.collect {
       case c @ Binary("CONTAINS", _, _) => c
+      case c @ Binary("INSIDE" | "IN", _, Idiom(_)) => c
     }.toSet
     var served = matched.map(f => eqPairs(f)._2).toSet -- containsConjuncts
     // range on the field right after the equality prefix
     val rangeTxt = idx.fields.lift(matched.length).flatMap(rangeOps.get) match {
-      case Some(rs) if rs.length == 1 =>
+      // several ranges on the post-prefix field: the access serves the
+      // FIRST (conjunct order); the rest stay residual (compound_index [9])
+      case Some(rs) if rs.nonEmpty =>
         val (op, vTxt, c) = rs.head
         served += c
         val opName = op match {
@@ -766,17 +842,27 @@ object Explain {
           if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
         (fieldPathName(ps).get, items, c)
       // value IN [list] over an indexed field: one index probe per element
-      // merged by a union (planner in_operator_index)
+      // merged by a union; lists past 32 elements fall back to a scan
+      // (planner in_operator_index, in_operator_large_array_fallback)
       case c @ Binary("INSIDE" | "IN", Idiom(ps), ArrLit(items))
-          if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
+          if fieldPathName(ps).isDefined && items.length <= 32 &&
+            items.forall(i => !touchesDb(i)) =>
         (fieldPathName(ps).get, items, c)
     }.flatMap { case (path, items, c) =>
       in.indexDefs.collectFirst {
         case ((t, _), d) if t == table && d.fields == Seq(path) &&
             hints.forall(_.contains(d.name)) &&
             !d.tail.toUpperCase.startsWith("FULLTEXT") =>
-          (d.name, items.map(exprSql), c)
-      }
+          (d.name, items.map(i => "= " + exprSql(i)), c)
+      }.orElse(in.indexDefs.collectFirst {
+        // composite index whose FIRST field is the IN column: per-element
+        // tuple-prefix probes, access rendered bracketed (in_operator_index)
+        case ((t, _), d) if t == table && d.fields.length > 1 &&
+            d.fields.headOption.contains(path) &&
+            hints.forall(_.contains(d.name)) &&
+            !d.tail.toUpperCase.startsWith("FULLTEXT") =>
+          (d.name, items.map(i => "[" + exprSql(i) + "]"), c)
+      })
     }
   }
 
@@ -972,6 +1058,44 @@ object Explain {
     // (idx/planner/plan.rs:74)
     val noIndexHint = s.withIndex.contains(Nil) && (s.where.isDefined || s.order.nonEmpty)
 
+    // equality prefix + IN on the trailing field of a composite index:
+    // a union over composite-key tuples (planner in_operator_index 21-22)
+    if (!noIndexHint && table.isDefined && s.where.isDefined) {
+      val cs = conjunctList(s.where.get)
+      val inC = cs.collectFirst {
+        case c @ Binary("INSIDE" | "IN", Idiom(Seq(PField(f))), ArrLit(items))
+            if items.forall(i => !touchesDb(i)) => (f, items, c)
+      }
+      inC.foreach { case (f, items, _) =>
+        val eqs: Map[String, Expr] = cs.collect {
+          case Binary("=" | "==", Idiom(Seq(PField(g))), rhs) if !touchesDb(rhs) => g -> rhs
+        }.toMap
+        in.indexDefs.collectFirst {
+          case ((t, _), d) if t == table.get && d.fields.length >= 2 &&
+              d.fields.last == f && d.fields.init.forall(eqs.contains) &&
+              cs.length == d.fields.length &&
+              s.withIndex.forall(_.contains(d.name)) &&
+              !d.tail.toUpperCase.startsWith("FULLTEXT") => d
+        }.foreach { d =>
+          def ev(e: Expr): V = try Eval.eval(e, env) catch { case _: SqlError => VNone }
+          val prefix = d.fields.init.map(g => ev(eqs(g)))
+          val tuples: V = VArr(items.map(i => VArr((prefix :+ ev(i)).toVector): V).toVector)
+          val rs = recordStrategy(s, fullyIndexed = true, mutation)
+          entries += V.obj(
+            "detail" -> V.obj(
+              "plan" -> V.obj(
+                "index" -> VStr(d.name),
+                "operator" -> VStr("union"),
+                "value" -> tuples),
+              "table" -> VStr(table.get)),
+            "operation" -> VStr("Iterate Index" + iterSuffix(rs)))
+          entries += collectorEntry()
+          fullRows(rs, fullyIndexed = true)
+          return VArr(entries.toVector)
+        }
+      }
+    }
+
     val union = if (noIndexHint) scala.None else (for {
       t <- table
       w <- s.where
@@ -1040,8 +1164,15 @@ object Explain {
     // field and an index over the target table's field (idx/planner joins)
     if (!noIndexHint && table.isDefined && s.where.isDefined) {
       conjunctList(s.where.get) match {
-        case Seq(Binary("=" | "==", Idiom(Seq(PField(link), PField(fld))), rhs)) if !touchesDb(rhs) =>
+        case Seq(Binary(op, Idiom(Seq(PField(link), PField(fld))), rhs))
+            if !touchesDb(rhs) &&
+              (op == "=" || op == "==" || op == "INSIDE" || op.startsWith("MATCHES")) =>
           val t = table.get
+          val wantFts = op.startsWith("MATCHES")
+          def isFts(tail: String): Boolean = {
+            val u = tail.toUpperCase
+            u.startsWith("FULLTEXT") || u.startsWith("SEARCH")
+          }
           val linkIdx = in.indexDefs.collectFirst {
             case ((tt, _), d) if tt == t && d.fields == Seq(link) &&
                 s.withIndex.forall(_.contains(d.name)) => d.name
@@ -1051,18 +1182,22 @@ object Explain {
             m.map(_.group(1))
           }
           val tIdx = targetTb.flatMap(tt => in.indexDefs.collectFirst {
-            case ((t2, _), d) if t2 == tt && d.fields == Seq(fld) => d.name
+            case ((t2, _), d) if t2 == tt && d.fields == Seq(fld) &&
+                isFts(d.tail) == wantFts => d.name
           })
           (linkIdx, tIdx) match {
             case (Some(li), Some(ti)) =>
               val rs = recordStrategy(s, fullyIndexed = true, mutation)
               val v = try Eval.eval(rhs, env) catch { case _: SqlError => VNone }
+              // join operator mirrors the access kind: equality `=`,
+              // IN-list `union`, full-text `@@` (idx/planner joins)
+              val joinOp = if (wantFts) "@@" else if (op == "INSIDE") "union" else "="
               entries += V.obj(
                 "detail" -> V.obj(
                   "plan" -> V.obj(
                     "index" -> VStr(li),
                     "joins" -> VArr(Vector(V.obj(
-                      "index" -> VStr(ti), "operator" -> VStr("="), "value" -> v))),
+                      "index" -> VStr(ti), "operator" -> VStr(joinOp), "value" -> v))),
                     "operator" -> VStr("join")),
                   "table" -> VStr(t)),
                 "operation" -> VStr("Iterate Index" + iterSuffix(rs)))

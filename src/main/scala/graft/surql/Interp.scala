@@ -2515,8 +2515,20 @@ final class Interp {
     }
 
   /** Indexed-field value, flatten marker stripped. */
-  private def idxFieldValue(doc: VObj, f: String): V =
-    docFieldPath(doc, f.stripSuffix("…"))
+  private def idxFieldValue(doc: VObj, f: String): V = {
+    val path = f.stripSuffix("…")
+    // method-call and array-index segments (id.id().r, id[1]) need full
+    // idiom evaluation
+    if (path.contains("()") || path.contains("["))
+      try {
+        val e = Parser.parse("RETURN " + path).stmts.head match {
+          case ReturnStmt(x) => x
+          case _ => return VNone
+        }
+        Eval.eval(e, Env(params = globals, interp = Some(this), doc = Some(doc)))
+      } catch { case _: Exception => VNone }
+    else docFieldPath(doc, path)
+  }
 
   def checkUniqueIndexes(tb: String, rid: VRid, doc: VObj): Unit = {
     uniqueIndexes.getOrElse(tb, Vector.empty).foreach { case (idxName, idxFields) =>
@@ -2791,6 +2803,20 @@ final class Interp {
           }
         case v => Vector(v)
       }
+    }
+
+    // new-executor gap: @@ on a multi-part field path is unsupported
+    // (exec/planner: record_link_index_new_executor golden)
+    if (!legacyPlanner) s.where.foreach { w =>
+      def scanMatches(e: Expr): Unit = e match {
+        case Binary(op, Idiom(parts), _) if op.startsWith("MATCHES") &&
+            parts.count(_.isInstanceOf[PField]) > 1 =>
+          throw SqlError("Invalid query: New executor does not support: MATCHES with multi-part field path not yet supported in streaming executor")
+        case Binary(_, l, r) => scanMatches(l); scanMatches(r)
+        case Prefix(_, i) => scanMatches(i)
+        case _ => ()
+      }
+      scanMatches(w)
     }
 
     // GROUP-mode selector validation (exec/planner/aggregate.rs): `*` cannot

@@ -711,9 +711,27 @@ final class Parser(val src: String) {
         var g = true
         while (g) {
           var f = idiomName()
+          // zero-arg method and array-index segments are indexable paths
+          // (id.id().r, id[1] — planner select_compound_index_*)
+          ws()
+          while (peekc == '(' || peekc == '[') {
+            if (peekc == '(') { pos += 1; ws(); expectSym(")"); f += "()" }
+            else {
+              pos += 1; ws()
+              if (peekc == '*') { pos += 1; ws(); expectSym("]"); f += "[*]" }
+              else {
+                val d0 = pos
+                while (!eof && peekc.isDigit) pos += 1
+                val digits = src.substring(d0, pos)
+                ws(); expectSym("]")
+                f += s"[$digits]"
+              }
+            }
+            if (peekSym(".") && !peekSym("..")) { sym("."); f += "." + idiomName() }
+            ws()
+          }
           // flatten marker: the index entry takes the flattened array as ONE
           // value instead of fanning per element (tags… / emails...)
-          ws()
           if (sym("…") || sym("...")) f += "…"
           fields += f
           g = sym(",")
