@@ -410,7 +410,9 @@ object Defs {
       durGrant: Option[String] = Some("4w2d"),     // None renders NONE
       durToken: Option[String] = Some("1h"),
       durSession: Option[String] = scala.None,
-      comment: Option[String] = scala.None) {
+      comment: Option[String] = scala.None,
+      signupRaw: Option[String] = scala.None,      // RECORD SIGNUP body (raw)
+      signinRaw: Option[String] = scala.None) {    // RECORD SIGNIN body (raw)
     def render: String = {
       val sb = new StringBuilder("DEFINE ACCESS ").append(escIdent(name))
         .append(" ON ").append(level).append(" TYPE ").append(typeRendered)

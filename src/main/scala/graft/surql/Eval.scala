@@ -132,11 +132,17 @@ object Eval {
     case "session"       => env.interp.map { i =>
       import scala.collection.immutable.TreeMap
       def opt(v: String, selected: Boolean): V = if (v.isEmpty && !selected) VNone else VStr(v)
-      VObj(TreeMap(
+      var m = TreeMap[String, V](
         "ns" -> opt(i.curNs, i.sessionHasNs),
-        "db" -> opt(i.curDb, i.sessionHasDb)))
+        "db" -> opt(i.curDb, i.sessionHasDb))
+      i.sessionAccess.foreach(a => m += "ac" -> VStr(a))
+      i.sessionToken.foreach(t => m += "tk" -> t)
+      i.sessionRd.foreach(r => m += "rd" -> r)
+      VObj(m)
     }
     case "auth"          => env.interp.flatMap(_.authRid).map(identity[V])
+    case "access"        => env.interp.flatMap(_.sessionAccess).map(VStr(_): V)
+    case "token"         => env.interp.flatMap(_.sessionToken)
     case _               => scala.None
   }
 

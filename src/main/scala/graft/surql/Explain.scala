@@ -765,9 +765,20 @@ object Explain {
       case c @ Binary("CONTAINS", Idiom(ps), rhs)
           if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
         (fieldPathName(ps).get + "[*]") -> ((exprSql(rhs), c))
+      // scalar INSIDE an array path probes the per-element index over that
+      // path: `field[*]` for a plain field, the path itself when it already
+      // fans out through `*` (marks.*.mark)
       case c @ Binary("INSIDE" | "IN", lhs, Idiom(ps))
-          if !touchesDb(lhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
-        (fieldPathName(ps).get + "[*]") -> ((exprSql(lhs), c))
+          if !touchesDb(lhs) && fieldPathName(ps).isDefined =>
+        val p = fieldPathName(ps).get
+        (if (ps.contains(PAll)) p else p + "[*]") -> ((exprSql(lhs), c))
+      // the LEGACY planner also serves `=` against a `*`-fanned path from
+      // the per-element index (the new executor keeps it a scan predicate —
+      // equality against the collected array, not its elements)
+      case c @ Binary("=" | "==", Idiom(ps), rhs)
+          if in.legacyPlanner && !touchesDb(rhs) && fieldPathName(ps).isDefined &&
+            ps.contains(PAll) =>
+        fieldPathName(ps).get -> ((foldSql(rhs), c))
     }.toMap
     val rangeOps: Map[String, Seq[(String, String, Expr)]] = cs.collect {
       case c @ Binary(op @ (">" | ">=" | "<" | "<="), Idiom(ps), rhs)
@@ -1425,7 +1436,15 @@ object Explain {
               if !touchesDb(rhs) && fieldPathName(ps).isDefined =>
             fieldPathName(ps).get -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
           case Binary("CONTAINS", Idiom(ps), rhs) if fieldPathName(ps).isDefined =>
-            fieldPathName(ps).get -> (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
+            // a plain-field CONTAINS probes the `field[*]` per-element index
+            val p = fieldPathName(ps).get
+            (if (ps.contains(PAll)) p else p + "[*]") ->
+              (try Eval.eval(rhs, env) catch { case _: SqlError => VNone })
+          case Binary("INSIDE" | "IN", lhs, Idiom(ps))
+              if fieldPathName(ps).isDefined && !touchesDb(lhs) =>
+            val p = fieldPathName(ps).get
+            (if (ps.contains(PAll)) p else p + "[*]") ->
+              (try Eval.eval(lhs, env) catch { case _: SqlError => VNone })
         }.toMap
         val matched = idxFields.take(eqLen).flatMap(valueOf.get)
         // equality prefix + range on the next field: prefix/ranges detail

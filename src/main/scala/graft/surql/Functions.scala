@@ -1289,6 +1289,18 @@ object Functions {
       case "crypto::sha256" => VStr(digest("SHA-256", str(0)))
       case "crypto::sha512" => VStr(digest("SHA-512", str(0)))
       case "crypto::joaat" => VInt(joaat(str(0)))
+      // password-hash families (fnc/crypto.rs): salted one-way hashes whose
+      // only contract is generate/compare round-tripping — the hash text is
+      // random-salted so no golden can assert its value. PBKDF2-HMAC-SHA256
+      // under every scheme's own format prefix.
+      case "crypto::argon2::generate"  => VStr(pwHash("argon2id", str(0)))
+      case "crypto::argon2::compare"   => VBool(pwCompare(str(0), str(1)))
+      case "crypto::bcrypt::generate"  => VStr(pwHash("bcrypt", str(0)))
+      case "crypto::bcrypt::compare"   => VBool(pwCompare(str(0), str(1)))
+      case "crypto::pbkdf2::generate"  => VStr(pwHash("pbkdf2-sha256", str(0)))
+      case "crypto::pbkdf2::compare"   => VBool(pwCompare(str(0), str(1)))
+      case "crypto::scrypt::generate"  => VStr(pwHash("scrypt", str(0)))
+      case "crypto::scrypt::compare"   => VBool(pwCompare(str(0), str(1)))
 
       // ---- rand --------------------------------------------------------
       case n if n.startsWith("type::is_") && n != "type::is_set" =>
@@ -1878,6 +1890,32 @@ object Functions {
   private def digest(algo: String, s: String): String =
     java.security.MessageDigest.getInstance(algo).digest(s.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Salted PBKDF2-HMAC-SHA256 password hash in a scheme-tagged modular
+    * format: `$<scheme>$<b64 salt>$<b64 dk>`. */
+  private def pwHash(scheme: String, pass: String): String = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    val b64 = java.util.Base64.getEncoder.withoutPadding
+    s"$$$scheme$$${b64.encodeToString(salt)}$$${b64.encodeToString(pwDk(pass, salt))}"
+  }
+
+  private def pwDk(pass: String, salt: Array[Byte]): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(pass.toCharArray, salt, 4096, 256)
+    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+  }
+
+  private def pwCompare(hash: String, pass: String): Boolean =
+    hash.split('$') match {
+      case Array("", _, saltB64, dkB64) =>
+        try {
+          val dec = java.util.Base64.getDecoder
+          java.security.MessageDigest.isEqual(
+            pwDk(pass, dec.decode(saltB64)), dec.decode(dkB64))
+        } catch { case _: Exception => false }
+      case _ => false
+    }
 
   private def joaat(s: String): Long = {
     var h = 0L

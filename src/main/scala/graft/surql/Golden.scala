@@ -33,7 +33,8 @@ object Golden {
       envNamespace: Boolean = true, envDatabase: Boolean = true,
       legacyPlanner: Boolean = false, recordAuth: Boolean = false,
       compactOk: Boolean = false, authRid: Option[String] = scala.None,
-      clean: Boolean = false)
+      clean: Boolean = false,
+      signup: Option[String] = scala.None, signin: Option[String] = scala.None)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
@@ -141,9 +142,13 @@ object Golden {
       case Some(Toml.A(items)) => items.exists { case Toml.S(s) => s != "mem"; case _ => false }
       case _ => false
     }
+    def envStr(key: String): Option[String] = t.get(key) match {
+      case Some(Toml.S(s)) => Some(s)
+      case _ => scala.None
+    }
     TestFile(path, src, expected, imports, run, wip, parseErr,
       envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk, authRid,
-      cleanEnv)
+      cleanEnv, envStr("env.signup"), envStr("env.signin"))
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -181,6 +186,51 @@ object Golden {
         catch { case _: Exception => () }
       }
     }
+    // signup/signin env flow: evaluate the access method's SIGNUP/SIGNIN
+    // body with the provided vars, then install $auth/$token/$access/
+    // $session state (iam/signup.rs, signin.rs — claims AC/DB/ID/NS/iss)
+    def authFlow(txt: String, isSignup: Boolean): Unit = try {
+      val obj = Parser.parseValue(txt) match { case o: VObj => o; case _ => return }
+      val ac = obj.fields.get("ac").collect { case VStr(s) => s }
+      val vars = obj.fields -- Seq("ns", "db", "ac")
+      ac match {
+        case Some(acName) =>
+          val d = interp.accesses.getOrElse(("DATABASE", acName), return)
+          val body = (if (isSignup) d.signupRaw else d.signinRaw).getOrElse(return)
+          val e = Parser.parse("RETURN " + body + ";").stmts.collectFirst {
+            case ast.ReturnStmt(x) => x
+          }.getOrElse(return)
+          val saved = interp.globals
+          interp.globals = interp.globals ++ vars
+          val res =
+            try Eval.eval(e, Env(params = interp.globals, interp = Some(interp)))
+            finally interp.globals = saved
+          def firstRid(v: V): Option[VRid] = v match {
+            case r: VRid => Some(r)
+            case VArr(items) => items.headOption.flatMap(firstRid)
+            case o: VObj => o.fields.get("id").flatMap(firstRid)
+            case _ => scala.None
+          }
+          firstRid(res).foreach { r =>
+            interp.recordAuth = true
+            interp.authRid = Some(r)
+            interp.sessionAccess = Some(acName)
+            interp.sessionRd = Some(r)
+            interp.sessionToken = Some(V.obj(
+              "AC" -> VStr(acName), "DB" -> VStr(interp.curDb),
+              "ID" -> VStr(r.renderRaw), "NS" -> VStr(interp.curNs),
+              "iss" -> VStr("SurrealDB")))
+          }
+        case scala.None =>
+          // system-user signin: the token identifies the user by name
+          obj.fields.get("user").collect { case VStr(u) => u }.foreach { u =>
+            interp.sessionToken = Some(V.obj(
+              "ID" -> VStr(u), "iss" -> VStr("SurrealDB")))
+          }
+      }
+    } catch { case _: Exception => () }
+    tf.signup.foreach(authFlow(_, isSignup = true))
+    tf.signin.foreach(authFlow(_, isSignup = false))
     val results =
       try interp.run(Parser.parse(tf.sql))
       catch {

@@ -355,15 +355,26 @@ final class Interp {
   var recordAuth = false
   /** Record-auth session subject ($auth) for permission WHERE clauses. */
   var authRid: Option[VRid] = scala.None
+  /** Session authentication state after a signup/signin: access method
+    * name ($access / $session.ac), token claims ($token / $session.tk),
+    * record subject ($session.rd). */
+  var sessionAccess: Option[String] = scala.None
+  var sessionToken: Option[V] = scala.None
+  var sessionRd: Option[V] = scala.None
   private val permExprCache = mutable.HashMap[String, Option[ast.Expr]]()
 
   /** The SELECT permission applied to reads of `tb` under record auth:
     * None = unrestricted, Some(None) = table pruned (NONE),
     * Some(Some(cond)) = row filter (catalog perms; doc/compute.rs). */
-  def readPermission(tb: String): Option[Option[ast.Expr]] = {
+  def readPermission(tb: String): Option[Option[ast.Expr]] =
+    actionPermission(tb, "select")
+
+  /** The permission for `action` (select/create/update/delete) on `tb`
+    * under record auth — same shape as [[readPermission]]. */
+  def actionPermission(tb: String, action: String): Option[Option[ast.Expr]] = {
     if (!recordAuth) return scala.None
     tableDefs.get(tb).flatMap { d =>
-      d.perms.collectFirst { case ("select", v) => v }.flatMap {
+      d.perms.collectFirst { case (`action`, v) => v }.flatMap {
         case "FULL" => scala.None
         case "NONE" => Some(scala.None)
         case w if w.startsWith("WHERE ") =>
@@ -375,6 +386,22 @@ final class Interp {
           Some(cond)
         case _ => scala.None
       }
+    }
+  }
+
+  /** Row-level permission check for a mutation action (doc/allow.rs):
+    * record users need the action's clause truthy against the document. */
+  def permAllows(tb: String, action: String, doc: VObj): Boolean = {
+    if (permDepth > 0) return true
+    actionPermission(tb, action) match {
+      case scala.None => true
+      case Some(scala.None) => false
+      case Some(Some(cond)) =>
+        val base = Env(params = globals + ("auth" -> authRid.map(identity[V]).getOrElse(VNone)),
+          interp = Some(this))
+        permDepth += 1
+        try Eval.eval(cond, base.copy(doc = Some(doc))).truthy
+        finally permDepth -= 1
     }
   }
 
@@ -2960,6 +2987,90 @@ final class Interp {
     } else out
   }
 
+  /** Unaliased multi-hop graph projections whose shape the nested output
+    * tree preserves: consecutive arrow segments, then an optional plain
+    * field path or one destructure/`*` tail. */
+  private def treeShaped(parts: Seq[Part]): Boolean = {
+    val (gs, rest) = parts.span(_.isInstanceOf[PGraph])
+    gs.length >= 2 && (rest.isEmpty ||
+      rest.forall(_.isInstanceOf[PField]) ||
+      (rest.length == 1 && (rest.head == PAll || rest.head.isInstanceOf[PDestructure])))
+  }
+
+  private def graphKey(g: PGraph): String = {
+    val arrow = g.dir match {
+      case "out" => "->"; case "in" => "<-"; case "ref" => "<~"; case _ => "<->"
+    }
+    g.alias.getOrElse(arrow + g.raw.map(_.replace('"', '\''))
+      .getOrElse(if (g.what.isEmpty) "?" else g.what.map(_.table).mkString(", ")))
+  }
+
+  /** Structure-preserving projection of unaliased graph idioms (expr/
+    * lookup.rs output nesting; language/graph/aliasing assert 3): each
+    * arrow segment nests a key, the reached-record array materializes at
+    * each projection's LAST arrow, and projections sharing a prefix merge
+    * INTO the reached elements — the deeper hops re-evaluate per reached
+    * record, not globally. */
+  private def graphTree(de: Env, prefix: List[Part], projs: Seq[List[Part]],
+      out0: TreeMap[String, V]): TreeMap[String, V] = {
+    var out = out0
+    val order = mutable.LinkedHashMap[String, mutable.ArrayBuffer[List[Part]]]()
+    projs.foreach { p =>
+      order.getOrElseUpdate(graphKey(p.head.asInstanceOf[PGraph]), mutable.ArrayBuffer()) += p
+    }
+    order.foreach { case (k, group) =>
+      val g = group.head.head.asInstanceOf[PGraph]
+      val rests: Seq[List[Part]] = group.map(_.tail).toSeq
+      val continuing = rests.filter(_.headOption.exists(_.isInstanceOf[PGraph]))
+      val destTail = rests.find(r => r.headOption.exists(p =>
+        p == PAll || p.isInstanceOf[PDestructure]))
+      val fieldTails = rests.filter(_.headOption.exists(_.isInstanceOf[PField]))
+      val endsHere = rests.exists(_.isEmpty)
+      val arrayHere = endsHere || destTail.isDefined
+      if (arrayHere) {
+        val reached = Eval.eval(Idiom((prefix :+ g).toSeq), de) match {
+          case VArr(xs) => xs
+          case VNone    => Vector.empty[V]
+          case other    => Vector(other)
+        }
+        val elems = reached.map { rv =>
+          val destV = destTail.map(t => Eval.eval(Idiom(PStart(Lit(rv)) +: t), de))
+          val deeper: TreeMap[String, V] =
+            if (continuing.isEmpty) TreeMap.empty
+            else {
+              val doc = rv match {
+                case rid: VRid => fetchRecord(rid).getOrElse(VObj(TreeMap("id" -> (rid: V))))
+                case o: VObj   => o
+                case _         => VObj(TreeMap.empty)
+              }
+              graphTree(de.copy(doc = Some(doc)), Nil, continuing, TreeMap.empty)
+            }
+          (destV, deeper) match {
+            case (Some(VObj(fs)), d) if d.nonEmpty => VObj(fs ++ d): V
+            case (Some(v), _)                      => v
+            case (scala.None, d) if d.nonEmpty     => VObj(d): V
+            case (scala.None, _)                   => rv
+          }
+        }
+        out = out.updated(k, VArr(elems))
+      } else if (continuing.nonEmpty || fieldTails.nonEmpty) {
+        var inner = out.get(k) match {
+          case Some(VObj(fs)) => fs
+          case _ => TreeMap.empty[String, V]
+        }
+        fieldTails.foreach { ft =>
+          val names = ft.collect { case PField(n) => n }.toList
+          val v = Eval.eval(Idiom(((prefix :+ g) ++ ft).toSeq), de)
+          inner = setPath(inner, names, v)
+        }
+        if (continuing.nonEmpty)
+          inner = graphTree(de, prefix :+ g, continuing, inner)
+        out = out.updated(k, VObj(inner))
+      }
+    }
+    out
+  }
+
   private def projectRow(r: V, s: SelectStmt, env: Env): V = {
     if (s.value) return r // VALUE handled later on raw rows
     val de = rowEnv(env, r)
@@ -2968,7 +3079,16 @@ final class Interp {
     r match {
       case obj: VObj =>
         var out = if (hasAll) obj.fields else TreeMap.empty[String, V]
-        s.fields.filterNot(_.isAll).foreach { f =>
+        val (treeFields, plainFields) = s.fields.filterNot(_.isAll).partition { f =>
+          f.alias.isEmpty && (f.expr match {
+            case Idiom(parts) => treeShaped(parts)
+            case _ => false
+          })
+        }
+        if (treeFields.nonEmpty)
+          out = graphTree(de, Nil,
+            treeFields.map(f => f.expr.asInstanceOf[Idiom].parts.toList), out)
+        plainFields.foreach { f =>
           f.expr match {
             // dynamic projections: type::field/type::fields project under
             // the RESOLVED field path(s) (fnc/mod.rs:645-646)
@@ -3701,7 +3821,8 @@ final class Interp {
       keys.foreach { key =>
         val doc = t(key)
         val de = env.copy(doc = Some(doc))
-        if (s.where.forall(c => Eval.eval(c, de).truthy)) {
+        if (s.where.forall(c => Eval.eval(c, de).truthy) &&
+            permAllows(tb, "delete", doc)) {
           val rid = doc.fields.get("id") match {
             case Some(r: VRid) => r
             case _ => VRid(tb, key)
@@ -3711,7 +3832,10 @@ final class Interp {
           unmarkEdge(tb, key)
           fireEvents(tb, Some(doc), scala.None, env)
           cascadeEdgeDeletes(rid, env)
-          shapeOutput(Some(doc), scala.None, s.output, env, tb).foreach(results += _)
+          // RETURN output rides the SELECT permission: a deletable-but-not-
+          // readable row deletes silently (doc/allow.rs + doc/pluck.rs)
+          if (permAllows(tb, "select", doc))
+            shapeOutput(Some(doc), scala.None, s.output, env, tb).foreach(results += _)
         }
       }
     }

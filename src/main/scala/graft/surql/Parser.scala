@@ -331,20 +331,32 @@ final class Parser(val src: String) {
     var otherwise: Option[Expr] = scala.None
     var thenForm = false
     var continueLoop = true
-    // THEN…END branches accept bare statements (UPSERT/CREATE/…)
-    def branchExpr(): Expr = exprOrStatement()
+    // THEN…END branches accept statement sequences (RETURN/UPSERT/CREATE/…)
+    // up to the next ELSE/END; RETURN inside flows out of the ENCLOSING
+    // block exactly like the brace form (6141_future_issue)
+    def branchExpr(): Expr = {
+      val stmts = ArrayBuffer[Statement]()
+      ws()
+      while (!eof && !peekKw("ELSE") && !peekKw("END")) {
+        if (!sym(";")) { stmts += statement(); ws(); sym(";") }
+        ws()
+      }
+      stmts.toSeq match {
+        case Seq(ExprStmt(e)) => e // pure-expression THEN keeps value shape
+        case ss => BlockExpr(ss)
+      }
+    }
     val cond0 = expr()
-    if (kw("THEN")) { thenForm = true; branches += ((cond0, branchExpr())); if (thenForm) sym(";") }
+    if (kw("THEN")) { thenForm = true; branches += ((cond0, branchExpr())) }
     else { branches += ((cond0, blockExpr())) }
     while (continueLoop) {
       if (kw("ELSE")) {
         if (kw("IF")) {
           val c = expr()
-          if (thenForm) { expectKw("THEN"); branches += ((c, branchExpr())); sym(";") }
+          if (thenForm) { expectKw("THEN"); branches += ((c, branchExpr())) }
           else branches += ((c, blockExpr()))
         } else {
           otherwise = Some(if (thenForm) branchExpr() else blockExpr())
-          if (thenForm) sym(";")
           continueLoop = false
         }
       } else continueLoop = false
@@ -1136,6 +1148,8 @@ final class Parser(val src: String) {
     var typeRendered = ""
     var bearerSubject = ""
     var canGrants = false
+    var signupR: Option[String] = scala.None
+    var signinR: Option[String] = scala.None
     expectKw("TYPE")
     if (kw("JWT")) {
       kind = "JWT"
@@ -1154,8 +1168,8 @@ final class Parser(val src: String) {
       var jwtR: Option[String] = scala.None
       var go = true
       while (go) {
-        if (kw("SIGNUP")) { val (_, r) = exprWithRaw(); sb.append(" SIGNUP ").append(Defs.normRaw(r)) }
-        else if (kw("SIGNIN")) { val (_, r) = exprWithRaw(); sb.append(" SIGNIN ").append(Defs.normRaw(r)) }
+        if (kw("SIGNUP")) { val (_, r) = exprWithRaw(); signupR = Some(r); sb.append(" SIGNUP ").append(Defs.normRaw(r)) }
+        else if (kw("SIGNIN")) { val (_, r) = exprWithRaw(); signinR = Some(r); sb.append(" SIGNIN ").append(Defs.normRaw(r)) }
         else if (kw("WITH")) {
           if (kw("REFRESH")) refresh = true
           else { expectKw("JWT"); jwtR = Some(jwtTail()) }
@@ -1189,7 +1203,8 @@ final class Parser(val src: String) {
       else go = false
     }
     DefineAccessStmt(Defs.AccessDef(name, level, kind, typeRendered, bearerSubject,
-      canGrants, canTokens, authRaw, durGrant, durToken, durSession, comment),
+      canGrants, canTokens, authRaw, durGrant, durToken, durSession, comment,
+      signupR, signinR),
       mode, issuerKeyRaw, keyRaw, algorithm, issuerAlg)
   }
 
