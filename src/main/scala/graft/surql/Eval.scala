@@ -49,7 +49,7 @@ object Eval {
     case Param(name) =>
       // session variables (LET) shadow DEFINE PARAM values (param/shadowed)
       env.params.get(name)
-        .orElse(env.interp.flatMap(_.dbParams.get(name)))
+        .orElse(env.interp.flatMap(_.versionedParam(name)))
         .orElse(builtinParam(name, env)).getOrElse(VNone)
     case Constant(name) => constant(name)
     case JsExpr(args, body) =>

@@ -168,7 +168,9 @@ object Explain {
     case FnCall(name, _) => s"$name(...)"
     case Binary(op, l, r) => s"${physSql(l)} ${opSql(op)} ${physSql(r)}"
     case Prefix(op, inner) => op match {
-      case "!" => "!" + physSql(inner)
+      // the physical-expr formatter puts a space after unary not
+      // (`! boolean` — expression_value/noindex_unary new-executor renders)
+      case "!" => "! " + physSql(inner)
       case o   => o + physSql(inner)
     }
     case Cast(k, inner) => s"<${kindSql(k)}>${physSql(inner)}"
@@ -309,8 +311,12 @@ object Explain {
         case _: RShortest => "shortest"
       }
       val attrs = Seq("depth" -> depth, "instruction" -> instr) ++ pattern
-      val inner = lookupPlan(body).getOrElse(PNode("CurrentValueSource", "Rt"))
-      (PNode("Recurse", "Db", attrs, Seq(inner)), "recurse")
+      // a tree-pattern body (destructure with @ repeats) has no linear
+      // lookup chain to render beneath the Recurse (explain/select_recursive)
+      val children =
+        if (pattern.nonEmpty) lookupPlan(body).toSeq
+        else Seq(lookupPlan(body).getOrElse(PNode("CurrentValueSource", "Rt")))
+      (PNode("Recurse", "Db", attrs, children), "recurse")
     }
   }
 
@@ -413,8 +419,11 @@ object Explain {
     val limitConst = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
     val startConst = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
     // ORDER BY id is the natural scan order: the sort is eliminated and the
-    // scan direction flips for DESC (dbs/plan.rs scan-direction rule)
+    // scan direction flips for DESC (dbs/plan.rs scan-direction rule). Only
+    // a SINGLE source preserves it — a multi-FROM Union interleaves rows
+    // (explain/complex query 6 keeps its SortTopKByKey)
     val orderById = s.groupBy.isEmpty && !s.orderRand && s.order.length == 1 &&
+      s.what.length == 1 &&
       (s.order.head.expr match { case Idiom(Seq(PField("id"))) => true; case _ => false })
     val pushLimit = (s.order.isEmpty || orderById) && s.groupBy.isEmpty && s.split.isEmpty && singleTable.isDefined
     var consumedPred = false
@@ -581,12 +590,23 @@ object Explain {
         }
         }
       case r: RidLit => PNode("RecordIdScan", "Db", Seq("record_id" -> exprSql(r)))
+      // a sub-select FROM source inlines its own pipeline as the child plan
+      // (explain/complex query 8)
+      case Subquery(sub: SelectStmt) => selectPlan(sub, in)
       case other => PNode("SourceExpr", "Db", Seq("expr" -> exprSql(other)))
     }
 
     var node: PNode =
       if (s.what.length == 1) sourceNode(s.what.head)
-      else PNode("Union", "Db", Nil, s.what.map(sourceNode))
+      else PNode("Union", "Db", Nil, s.what.map { src =>
+        // multi-FROM: a branch may still scan via an index, but the WHERE
+        // stays a union-level Filter and order/limit cannot be consumed by
+        // any single branch (explain/complex queries 6 and 8)
+        val n = sourceNode(src)
+        consumedPred = false; residualPred = scala.None
+        orderConsumed = false; consumedLimit = false
+        n
+      })
 
     // ---- filter (residual) ----------------------------------------------
     if (!consumedPred) s.where.foreach { w =>
@@ -649,7 +669,10 @@ object Explain {
         embedded = embeds(fe, "expr"))
     } else if (s.fields.forall(_.isAll) && isRid) {
       PNode("Project", "Db", Nil, Seq(node))
-    } else if (s.fields.exists(f => !f.isAll && touchesDb(f.expr))) {
+    } else if (s.fields.exists(f => !f.isAll && touchesDb(f.expr) && f.alias.isEmpty)) {
+      // UNALIASED db-touching projections keep the bare Project shape with
+      // `field.*` embeds; aliased ones classify as Compute fields below
+      // (explain/select_graph vs explain/select_recursive)
       val emb = s.fields.filterNot(_.isAll).flatMap(f => embeds(f.expr, "field"))
       PNode("Project", "Db", Nil, Seq(node), embedded = emb)
     } else {
@@ -660,6 +683,9 @@ object Explain {
       val projs = s.fields.map(f =>
         if (f.isAll) "*" else f.alias.getOrElse(Eval.fieldName(f.expr))).mkString(", ")
       if (simple) PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(node))
+      // record-id sources project generically — no Compute pre-pass
+      // (select/group/count_range_keys_only vs count_group_all)
+      else if (isRid) PNode("Project", "Db", Nil, Seq(node))
       else {
         val computed = s.fields.filterNot(_.isAll).filter(f => f.expr match {
           case Idiom(ps) => !ps.forall(_.isInstanceOf[PField])
@@ -741,9 +767,13 @@ object Explain {
       hints: Option[Seq[String]] = scala.None): Option[(String, String, Option[Expr], Seq[String], Int)] = {
     if (hints.contains(Nil)) return scala.None // WITH NOINDEX
     val cs = conjunctList(where)
+    // access values fold with session params bound — the planner resolves
+    // `>$p3 - math::max([0, $p1]) + $p1` to its value
+    // (define/index/with_non_boolean_expression)
     def foldSql(e: Expr): String =
       try {
-        Eval.evalConst(e) match {
+        (try Eval.eval(e, Env(params = in.globals, interp = Some(in)))
+         catch { case _: Exception => Eval.evalConst(e) }) match {
           case VNone => exprSql(e)
           case v => Render.sql(v)
         }
@@ -811,7 +841,18 @@ object Explain {
         (d.name, access, residual, d.fields, 0)
       }
     }
-    val (idx, matched) = candidates.maxBy { case (d, m) => (m.length, d.unique) }
+    // candidate scoring mirrors exec/index/analysis.rs IndexCandidate::score:
+    // single-column equality 500 (unique 1000), compound prefix 400+50/col
+    // (+25 for a range on the next column); ties resolve to the FIRST
+    // candidate in catalog order (explain/complex picks idx_category over
+    // the fully-matching idx_cat_brand; compound_index_matching picks the
+    // higher-scoring 3-column compound)
+    def candScore(d: Defs.IndexDef, m: Seq[String]): Int = {
+      val rangeNext = d.fields.lift(m.length).exists(rangeOps.contains)
+      if (d.fields.length == 1) (if (d.unique) 1000 else 500)
+      else 400 + 50 * m.length + (if (rangeNext) 25 else 0)
+    }
+    val (idx, matched) = candidates.maxBy { case (d, m) => candScore(d, m) }
     val containsConjuncts: Set[Expr] = cs.collect {
       case c @ Binary("CONTAINS", _, _) => c
       case c @ Binary("INSIDE" | "IN", _, Idiom(_)) => c
@@ -1495,16 +1536,23 @@ object Explain {
                   "operator" -> VStr(if (desc) "ReverseOrder" else "Order")),
                 "table" -> VStr(t)),
               "operation" -> VStr("Iterate Index" + iterSuffix(strategy)))
-          case _ => table.foreach { t =>
-            if (defer)
-              entries += V.obj(
-                "detail" -> V.obj("table" -> VStr(t)),
-                "operation" -> VStr("Iterate Yield"))
-            else
-              entries += V.obj(
-                "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
-                "operation" -> VStr("Iterate Table" + iterSuffix(strategy)))
-          }
+          case _ =>
+            // one Iterate entry per table-name source (multi-FROM unions:
+            // select/explain_multi_table)
+            val tables = s.what.collect {
+              case Idiom(Seq(PField(n))) => n
+              case TableRef(n)           => n
+            }
+            tables.foreach { t =>
+              if (defer)
+                entries += V.obj(
+                  "detail" -> V.obj("table" -> VStr(t)),
+                  "operation" -> VStr("Iterate Yield"))
+              else
+                entries += V.obj(
+                  "detail" -> V.obj("direction" -> VStr("forward"), "table" -> VStr(t)),
+                  "operation" -> VStr("Iterate Table" + iterSuffix(strategy)))
+            }
         }
     }
     if (noIndexHint)
@@ -1560,8 +1608,11 @@ object Explain {
       if (json) renderJson(plan, scala.None)
       else VStr(renderText(plan, scala.None))
     } else {
-      // execute for metrics: result row count annotates the Db chain
-      val result = try in.execStatement(inner, env) catch { case _: SqlError => VNone }
+      // execute for metrics: result row count annotates the Db chain; a
+      // RETURN flowing out of the inner statement is metrics input, not a
+      // result (explain/literals ANALYZE RETURN IF)
+      val result = try in.execStatement(inner, env)
+        catch { case _: SqlError => VNone; case ReturnSignal(v) => v }
       val total: Long = inner match {
         case _: ReturnStmt => 0L
         case _ => result match {
@@ -1579,12 +1630,14 @@ object Explain {
             case Seq(TableRef(n))           => Some(n)
             case _                          => scala.None
           }
+          val star = Seq(Field(Idiom(Seq(PAll)), scala.None, isAll = true))
           table.flatMap(t => indexAccess(in, t, sel.where.get)).flatMap {
             case (_, _, Some(residual), _, _) =>
               val residualSet = conjunctList(residual).toSet
               val accessOnly = conjunctList(sel.where.get).filterNot(residualSet.contains)
                 .reduceOption((a, b) => Binary("&&", a, b))
-              val scanStmt = sel.copy(where = accessOnly, order = Nil,
+              val scanStmt = sel.copy(fields = star, value = false,
+                groupBy = scala.None, where = accessOnly, order = Nil,
                 limit = scala.None, start = scala.None)
               try in.execStatement(scanStmt, env) match {
                 case VArr(items) => Some(items.length.toLong)
@@ -1594,12 +1647,45 @@ object Explain {
           }
         case _ => scala.None
       }
+      // rows flowing OUT of a residual Filter (post-filter, pre-aggregate)
+      val filterRows: Option[Long] = inner match {
+        case sel: SelectStmt if sel.where.isDefined && scanRows.isDefined =>
+          val star = Seq(Field(Idiom(Seq(PAll)), scala.None, isAll = true))
+          val flatStmt = sel.copy(fields = star, value = false,
+            groupBy = scala.None, order = Nil,
+            limit = scala.None, start = scala.None)
+          try in.execStatement(flatStmt, env) match {
+            case VArr(items) => Some(items.length.toLong)
+            case _           => scala.None
+          } catch { case _: SqlError => scala.None }
+        case _ => scala.None
+      }
       def annotate(n: PNode): PNode = {
         if (n.rows.isDefined) return n.copy(children = n.children.map(annotate))
         val r =
           if (n.ctx != "Db") 0L
           else if (n.name.endsWith("Scan") && scanRows.isDefined) scanRows.get
+          else if (n.name == "Filter" && filterRows.isDefined) filterRows.get
           else total
+        // each Union branch scan counts its OWN table's rows, not the
+        // combined total (select/explain_multi_table_new_executor)
+        if (n.name == "Union")
+          return n.copy(rows = Some(r), children = n.children.map { c =>
+            if (c.name == "TableScan" && c.rows.isEmpty)
+              c.copy(rows = c.attrs.collectFirst { case ("table", t) =>
+                (inner match {
+                  case sel: SelectStmt =>
+                    try in.execStatement(sel.copy(
+                        what = Seq(TableRef(t)), order = Nil,
+                        limit = scala.None, start = scala.None), env) match {
+                      case VArr(items) => items.length.toLong
+                      case _           => 0L
+                    } catch { case _: SqlError => 0L }
+                  case _ => 0L
+                })
+              }, children = c.children.map(annotate))
+            else annotate(c)
+          })
         n.copy(rows = Some(r), children = n.children.map(annotate))
       }
       val annotated = annotate(plan)

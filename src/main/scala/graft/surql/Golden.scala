@@ -179,7 +179,10 @@ object Golden {
     if (!tf.envDatabase) interp.curDb = ""
     // imports run first, results discarded
     tf.imports.foreach { imp =>
-      val p = testsRoot.resolve(imp.stripPrefix("/"))
+      // `./`-relative imports resolve against the test file's own directory
+      val p = if (imp.startsWith("./") || imp.startsWith("../"))
+        tf.path.getParent.resolve(imp).normalize()
+      else testsRoot.resolve(imp.stripPrefix("/"))
       if (Files.exists(p)) {
         val src = Files.readString(p)
         try interp.run(Parser.parse(src))

@@ -409,10 +409,11 @@ final class Interp {
     * re-check permissions on the tables they read (skip_fetch_perms). */
   private var permDepth = 0
 
-  /** Filter rows by the table's SELECT permission ($auth bound). */
+  /** Filter rows by the table's SELECT permission ($auth bound), then
+    * strip fields whose own SELECT permission denies the record user. */
   def permFilter(tb: String, rows: Vector[VObj]): Vector[VObj] = {
     if (permDepth > 0) return rows
-    readPermission(tb) match {
+    val out = readPermission(tb) match {
       case scala.None => rows
       case Some(scala.None) => Vector.empty
       case Some(Some(cond)) =>
@@ -422,6 +423,21 @@ final class Interp {
         try rows.filter(r => Eval.eval(cond, base.copy(doc = Some(r))).truthy)
         finally permDepth -= 1
     }
+    out.map(redactDoc(tb, _))
+  }
+
+  /** Field-level SELECT permissions: denied fields read as absent for
+    * record users (doc/pluck.rs field permission check;
+    * update/field_permissions). */
+  def redactDoc(tb: String, doc: VObj): VObj = {
+    if (!recordAuth || permDepth > 0) return doc
+    val denied = fieldDefs2.collect {
+      case ((t, f), d) if t == tb &&
+          d.perms.collectFirst { case ("select", v) => v }.contains("NONE") => f
+    }
+    if (denied.isEmpty) doc
+    else VObj(doc.fields.filterNot { case (k, _) =>
+      denied.exists(df => df == k || k.startsWith(df + ".")) })
   }
   /** Active api::timeout deadline: (instant, rendered duration). */
   var apiDeadline: Option[(java.time.Instant, String)] = scala.None
@@ -1115,10 +1131,25 @@ final class Interp {
       // array<K>/set<K> register recursive subtype fields `name.*` TYPE K
       // (define/field.rs process_recursive_definitions; skips bare `array`
       // whose inner kind is `any`)
-      def innerOf(k: Kind): Option[Kind] = k match {
-        case Kind.KArray(inner, _) => Some(inner.getOrElse(Kind.KAny))
-        case Kind.KSet(inner, _)   => Some(inner.getOrElse(Kind.KAny))
-        case _                     => scala.None
+      // the element kind unions across EITHER arms: each array/set arm
+      // contributes its element type, nested eithers flatten in arm order
+      // (define/field/recursive_types: array<float|array<bool>> | set<number>
+      // → `.*` TYPE float | array<bool> | number)
+      def innerOf(k: Kind): Option[Kind] = {
+        def arms(x: Kind): Seq[Kind] = x match {
+          case Kind.KEither(ks) => ks.flatMap(arms)
+          case other            => Seq(other)
+        }
+        val elems = arms(k).flatMap {
+          case Kind.KArray(inner, _) => arms(inner.getOrElse(Kind.KAny))
+          case Kind.KSet(inner, _)   => arms(inner.getOrElse(Kind.KAny))
+          case _                     => Nil
+        }
+        elems.distinct match {
+          case Seq()    => scala.None
+          case Seq(one) => Some(one)
+          case many     => Some(Kind.KEither(many))
+        }
       }
       var curName = f.field
       var curInner = f.kind.flatMap(innerOf)
@@ -1133,10 +1164,18 @@ final class Interp {
         }
         if (!fieldDefs2.contains(subKey)) autoFields += subKey
         fieldDefs2(subKey) = subMeta
-        val subStmt = DefineFieldStmt(curName, f.table, Some(k), false, scala.None,
-          scala.None, false, scala.None, "", false, Some(subMeta))
-        if (!fieldPipeline.getOrElse(f.table, Vector.empty).exists(_.field == curName))
-          fieldPipeline(f.table) = fieldPipeline.getOrElse(f.table, Vector.empty) :+ subStmt
+        val pipe = fieldPipeline.getOrElse(f.table, Vector.empty)
+        if (pipe.exists(_.field == curName))
+          // an explicit child def keeps its clauses/permissions; only the
+          // KIND is overwritten by the parent's recursive definition
+          fieldPipeline(f.table) = pipe.map {
+            case d if d.field == curName => d.copy(kind = Some(k), meta = Some(subMeta))
+            case d => d
+          }
+        else
+          fieldPipeline(f.table) = pipe :+ DefineFieldStmt(curName, f.table,
+            Some(k), false, scala.None, scala.None, false, scala.None, "",
+            false, Some(subMeta))
         curInner = innerOf(k)
       }
     }
@@ -1640,11 +1679,25 @@ final class Interp {
     if (ddlGate(analyzers.contains(s.d.name), s.mode, s"The analyzer '${s.d.name}' already exists"))
       analyzers(s.d.name) = s.d
 
+  /** DEFINE PARAM value timeline — VERSION queries resolve $params at the
+    * versioned timestamp (select/version_param_resolution). */
+  val paramLog = mutable.ArrayBuffer[(java.time.Instant, String, V)]()
+
+  /** Param value as of the active VERSION snapshot (falls back to HEAD). */
+  def versionedParam(name: String): Option[V] = versionAsOf match {
+    case Some(ts) =>
+      paramLog.filter(e => e._2 == name && !e._1.isAfter(ts)).lastOption.map(_._3)
+        .orElse(dbParams.get(name))
+    case scala.None => dbParams.get(name)
+  }
+
   private def execDefineParam(s: DefineParamStmt): Unit =
     if (ddlGate(paramDefs.contains(s.d.name), s.mode, s"The param '$$${s.d.name}' already exists")) {
       paramDefs(s.d.name) = s.d
       s.value.foreach { e =>
-        dbParams(s.d.name) = Eval.eval(e, Env(params = globals, interp = Some(this)))
+        val v = Eval.eval(e, Env(params = globals, interp = Some(this)))
+        dbParams(s.d.name) = v
+        paramLog += ((java.time.Instant.now(), s.d.name, v))
       }
     }
 
@@ -2689,9 +2742,12 @@ final class Interp {
         case VTable(tb) =>
           tables.get(tb).map(_ => tableRows(tb))
             .getOrElse(throw SqlError(s"The table '$tb' does not exist"))
-        case VArr(items) => items.collect {
-          case rid: VRid => fetchRecord(rid).getOrElse(rid)
-          case v if v != VNone && v != VNull => v // NONE/NULL sources drop (select/from_none)
+        case VArr(items) => items.flatMap {
+          // record-id sources iterate the STORE: a missing record yields no
+          // row at all (select/whats mock range over absent ids)
+          case rid: VRid => fetchRecord(rid).map(identity[V]).toVector
+          case v if v != VNone && v != VNull => Vector(v) // NONE/NULL sources drop (select/from_none)
+          case _ => Vector.empty[V]
         }
         case VNone | VNull => Vector.empty
         case v => Vector(v)
@@ -3327,7 +3383,8 @@ final class Interp {
     base.copy(doc = thisDoc)
   }
 
-  private def applyData(doc: VObj, data: Option[Data], env: Env): VObj = data match {
+  private def applyData(doc: VObj, data: Option[Data], env: Env,
+      redactTb: String = ""): VObj = data match {
     case scala.None => doc
     case Some(SetData(sets)) =>
       var fields = doc.fields
@@ -3335,9 +3392,13 @@ final class Interp {
       // creating; define/param/this,parent goldens) — bare idioms keep
       // seeing the evolving document
       val pinnedThis: V = env.doc.map(identity[V]).getOrElse(VNone)
+      // under record auth, expression reads of the evolving doc honor
+      // field-level SELECT permissions (update/field_permissions)
+      def visible(fs: TreeMap[String, V]): VObj =
+        if (redactTb.isEmpty) VObj(fs) else redactDoc(redactTb, VObj(fs))
       def setEnv(fs: TreeMap[String, V]) =
-        env.copy(doc = Some(VObj(fs)), params = env.params + ("this" -> pinnedThis))
-      val de = env.copy(doc = Some(VObj(fields)))
+        env.copy(doc = Some(visible(fs)), params = env.params + ("this" -> pinnedThis))
+      val de = env.copy(doc = Some(visible(fields)))
       sets.foreach { case (idiom, op, valueE) =>
         // resolve dynamic [expr] segments to literal keys (dynamic_keys)
         val path = idiom.parts.toList.flatMap {
@@ -3540,8 +3601,8 @@ final class Interp {
 
   private def shapeOutput(before: Option[VObj], after: Option[VObj], output: Option[Output],
       env: Env, tb: String = ""): Option[V] = shapeOutput0(
-    before.map(d => if (tb.nonEmpty) withComputed(tb, d, env) else d),
-    after.map(d => if (tb.nonEmpty) withComputed(tb, d, env) else d), output, env)
+    before.map(d => if (tb.nonEmpty) redactDoc(tb, withComputed(tb, d, env)) else d),
+    after.map(d => if (tb.nonEmpty) redactDoc(tb, withComputed(tb, d, env)) else d), output, env)
 
   private def shapeOutput0(before: Option[VObj], after: Option[VObj], output: Option[Output],
       env: Env): Option[V] = output match {
@@ -3751,7 +3812,7 @@ final class Interp {
                   case Some(r: VRid) => r
                   case _ => VRid(tb, key)
                 }
-                val applied = applyData(doc, data, mutScope(env, Some(doc)))
+                val applied = applyData(doc, data, mutScope(env, Some(redactDoc(tb, doc))), redactTb = tb)
                 Interp.checkIdUnchanged(applied, rid)
                 val updated0 = if (isEdgeRecord(tb, key))
                   Interp.keepEdgeIdentity(applied, doc, rid) else applied
@@ -3782,7 +3843,7 @@ final class Interp {
                 case Some(r: VRid) => r
                 case _ => VRid(tb, key)
               }
-              val applied = applyData(doc, data, mutScope(env, Some(doc)))
+              val applied = applyData(doc, data, mutScope(env, Some(redactDoc(tb, doc))), redactTb = tb)
               Interp.checkIdUnchanged(applied, rid)
               val updated0 = if (isEdgeRecord(tb, key))
                 Interp.keepEdgeIdentity(applied, doc, rid) else applied
@@ -4021,9 +4082,6 @@ final class Interp {
         case other => throw SqlError(s"Can not RELATE through ${other.render}")
       }
     }
-    // RELATE may only target relation-capable tables (TYPE ANY or RELATION)
-    if (tableDefs.get(edgeTable).exists(_.ttype == "NORMAL"))
-      throw SqlError(s"Found table: `$edgeTable` which is not a relation table, but expected a RELATION")
     val results = mutable.ArrayBuffer[V]()
     for (from <- rids(s.from); to <- rids(s.to)) {
       // a CONTENT/SET id overrides the generated key (doc/relate.rs)
@@ -4049,6 +4107,11 @@ final class Interp {
         case _ => edgeKeyFromValue.orElse(dataId).getOrElse(nextId())
       }
       val rid = VRid(edgeTable, key)
+      // RELATE may only target relation-capable tables (TYPE ANY or
+      // RELATION); the error names the RECORD being written (doc/relate.rs
+      // — define/table/type_normal)
+      if (tableDefs.get(edgeTable).exists(_.ttype == "NORMAL"))
+        throw SqlError(s"Found record: `${rid.renderRaw}` which is a relation, but expected a NORMAL")
       // ENFORCED relations require both endpoints to exist (doc/relate.rs)
       tableDefs.get(edgeTable).filter(d => d.ttype == "RELATION" && d.enforced).foreach { _ =>
         Seq(from, to).foreach { r =>

@@ -1251,6 +1251,21 @@ final class Parser(val src: String) {
       else {
         val nb = new StringBuilder(tryIdent().getOrElse(""))
         while (src.startsWith("::", pos)) { pos += 2; nb.append("::").append(rawIdent()) }
+        // REMOVE FIELD takes a full path (document.visible, tags[*], a.*.b)
+        if (what == "FIELD") {
+          var go2 = true
+          while (go2) {
+            if (peekc == '.') {
+              pos += 1; ws()
+              if (peekc == '*') { pos += 1; nb.append(".*") }
+              else nb.append('.').append(rawIdent())
+            } else if (peekc == '[') {
+              val j = src.indexOf(']', pos)
+              if (j > 0) { nb.append(src.substring(pos, j + 1)); pos = j + 1 }
+              else go2 = false
+            } else go2 = false
+          }
+        }
         nb.toString
       }
     var onTable: Option[String] = scala.None
