@@ -334,7 +334,9 @@ object Explain {
   /** SELECT statement → plan tree (pipeline assembly, select.rs:195). */
   /** Set during EXPLAIN ANALYZE plan building: per-branch scans count
     * their own rows (dbs metrics). */
-  var analyzeMode = false
+  private val analyzeModeTL = new ThreadLocal[Boolean] { override def initialValue = false }
+  def analyzeMode: Boolean = analyzeModeTL.get
+  def analyzeMode_=(b: Boolean): Unit = analyzeModeTL.set(b)
 
   private def branchRows(in: Interp, table: String, cond: Expr): Option[Long] = {
     if (!analyzeMode) return scala.None
@@ -368,7 +370,27 @@ object Explain {
         }).map(TableRef(_): Expr).getOrElse(e)
       case _ => e
     }
-    val s = s0.copy(what = s0.what.map(resolvePlanSource))
+    // the physical plan binds session params at plan time: predicate text
+    // shows the VALUE (`name = { name: 'Tobie' }.name` — param_value_index)
+    def substParams(e: Expr): Expr = e match {
+      case Param(n) => paramVal(n) match {
+        case Some(v) if !v.isInstanceOf[VTable] => Lit(v)
+        case _ => e
+      }
+      case Binary(op, l, r) => Binary(op, substParams(l), substParams(r))
+      case Prefix(op, i)    => Prefix(op, substParams(i))
+      case Cast(k, i)       => Cast(k, substParams(i))
+      case Idiom(parts) => Idiom(parts.map {
+        case PStart(i) => PStart(substParams(i))
+        case PIndex(i) => PIndex(substParams(i))
+        case PWhere(i) => PWhere(substParams(i))
+        case p => p
+      })
+      case ArrLit(items) => ArrLit(items.map(substParams))
+      case other => other
+    }
+    val s = s0.copy(what = s0.what.map(resolvePlanSource),
+      where = s0.where.map(substParams))
     // new-executor gap: @@ on a multi-part field path fails at plan time
     // (record_link_index_new_executor golden)
     if (!in.legacyPlanner) s.where.foreach { w =>
@@ -404,7 +426,7 @@ object Explain {
     // condition (exec/operators/scan/index_count.rs)
     if (groupAllCount && singleTable.isDefined && s.where.isDefined &&
         !s.withIndex.contains(Nil)) {
-      indexAccess(in, singleTable.get, s.where.get, s.withIndex) match {
+      indexAccess(in, singleTable.get, s.where.get, s.withIndex, newExec = true) match {
         case Some((_, _, scala.None, _, _)) =>
           return PNode("IndexCountScan", "Db", Seq(
             "source" -> countSource.getOrElse(singleTable.get),
@@ -450,7 +472,7 @@ object Explain {
         // a UNIQUE-index equality access outranks full-text: at most one
         // row, so @@ and the rest become residual filters and the sort is
         // eliminated (multi_index_or_and_new_executor assert 14)
-        val idxPre = s.where.flatMap(w => indexAccess(in, name, w, s.withIndex))
+        val idxPre = s.where.flatMap(w => indexAccess(in, name, w, s.withIndex, newExec = true))
         val uniqueEq = idxPre.filter { case (idxName, access, _, idxFields, eqLen) =>
           eqLen == idxFields.length && access.startsWith("=") &&
             in.indexDefs.exists { case ((t, _), d) => t == name && d.name == idxName && d.unique }
@@ -458,30 +480,42 @@ object Explain {
         if (uniqueEq.isDefined && s.order.nonEmpty) orderConsumed = true
         val fts = if (uniqueEq.isDefined) scala.None
           else s.where.flatMap(w => fulltextAccess(in, name, w))
-        val union = if (fts.isDefined || uniqueEq.isDefined) scala.None
-          else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex))
+        // a direct index candidate outranks IN/containment expansion —
+        // expansions are fallbacks when no candidate exists
+        // (in_operator_index assert 22: compound prefix beats IN union)
+        val union = if (fts.isDefined || uniqueEq.isDefined || idxPre.isDefined) scala.None
+          else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex, newExec = true))
         union.foreach { case (idxName, items, c) =>
           consumedPred = true
           residualPred = s.where
+          // per-branch probe condition: CONTAINS for containment unions,
+          // equality for IN-list unions (planner contains_operators)
+          def branchCond(bi: Int): Option[Expr] = c match {
+            case Binary(op, lhs, ArrLit(elems)) if bi < elems.length =>
+              Some(if (op.startsWith("CONTAINS")) Binary("CONTAINS", lhs, elems(bi))
+                   else Binary("=", lhs, elems(bi)))
+            case _ => scala.None
+          }
           val branches = items.zipWithIndex.map { case (v, bi) =>
-            val rows = c match {
-              case Binary(_, lhs, ArrLit(elems)) if bi < elems.length =>
-                branchRows(in, name, Binary("=", lhs, elems(bi)))
-              case _ => scala.None
-            }
             PNode("IndexScan", "Db",
               Seq("index" -> idxName, "access" -> v, "direction" -> "Forward"),
-              rows = rows)
+              rows = branchCond(bi).flatMap(branchRows(in, name, _)))
           }
           // a single-element IN list needs no union wrapper
           return if (branches.length == 1) branches.head
-          else PNode("UnionIndexScan", "Db",
-            Seq("table" -> name, "branches" -> branches.length.toString), branches)
+          else {
+            // the union's own count: DISTINCT records across branches
+            val unionRows = items.indices.flatMap(branchCond)
+              .reduceOption(Binary("||", _, _)).flatMap(branchRows(in, name, _))
+            PNode("UnionIndexScan", "Db",
+              Seq("table" -> name, "branches" -> branches.length.toString),
+              branches, rows = unionRows)
+          }
         }
         // OR across per-disjunct indexes: UnionIndexScan with one branch each
         s.where.map(disjunctList).filter(_.length > 1).foreach { ds =>
           val branchOpts: Seq[Option[PNode]] = ds.map { d =>
-            indexAccess(in, name, d, s.withIndex) match {
+            indexAccess(in, name, d, s.withIndex, newExec = true) match {
               case Some((idxName, access, scala.None, _, eqLen)) if eqLen > 0 =>
                 Some(PNode("IndexScan", "Db",
                   Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"),
@@ -504,7 +538,7 @@ object Explain {
           }
         }
         val idx = if (fts.isDefined) scala.None
-          else s.where.flatMap(w => indexAccess(in, name, w, s.withIndex))
+          else s.where.flatMap(w => indexAccess(in, name, w, s.withIndex, newExec = true))
         fts match {
           case Some((idxName, queryTxt, residual)) =>
             consumedPred = true
@@ -663,11 +697,17 @@ object Explain {
     if (grouped) return withFetch(node)
 
     val isRid = s.what.exists { case _: RidLit => true; case _ => false }
+    // `SELECT * FROM t:a` projects generically; a RANGE scan streams like a
+    // table and keeps SelectProject (reverse_iterator_range_new_executor)
+    val isRidPoint = s.what.exists {
+      case RidLit(_, k) => !k.isInstanceOf[RangeLit]
+      case _ => false
+    }
     withFetch(if (s.value) {
       val fe = s.fields.head.expr
       PNode("ProjectValue", "Db", Seq("expr" -> physSql(fe)), Seq(node),
         embedded = embeds(fe, "expr"))
-    } else if (s.fields.forall(_.isAll) && isRid) {
+    } else if (s.fields.forall(_.isAll) && isRidPoint) {
       PNode("Project", "Db", Nil, Seq(node))
     } else if (s.fields.exists(f => !f.isAll && touchesDb(f.expr) && f.alias.isEmpty)) {
       // UNALIASED db-touching projections keep the bare Project shape with
@@ -764,7 +804,8 @@ object Explain {
     else scala.None
 
   private def indexAccess(in: Interp, table: String, where: Expr,
-      hints: Option[Seq[String]] = scala.None): Option[(String, String, Option[Expr], Seq[String], Int)] = {
+      hints: Option[Seq[String]] = scala.None,
+      newExec: Boolean = false): Option[(String, String, Option[Expr], Seq[String], Int)] = {
     if (hints.contains(Nil)) return scala.None // WITH NOINDEX
     val cs = conjunctList(where)
     // access values fold with session params bound — the planner resolves
@@ -779,8 +820,12 @@ object Explain {
         }
       } catch { case _: Exception => exprSql(e) }
     val eqPairs: Map[String, (String, Expr)] = cs.collect {
+      // the analyzer only matches literal/param values — a value-path rhs
+      // (`{ name: 'Tobie' }.name`) stays a scan predicate (param_value_index)
       case c @ Binary("=" | "==", Idiom(ps), rhs)
-          if !touchesDb(rhs) && fieldPathName(ps).isDefined && !ps.contains(PAll) =>
+          if (!touchesDb(rhs) || rhs.isInstanceOf[RidLit]) &&
+            !(newExec && rhs.isInstanceOf[Idiom]) &&
+            fieldPathName(ps).isDefined && !ps.contains(PAll) =>
         fieldPathName(ps).get -> ((foldSql(rhs), c))
       // CONTAINS probes an index only when the index is built over an ARRAY
       // path (`marks.*.subject`) — each element is an index entry. A plain
@@ -852,7 +897,12 @@ object Explain {
       if (d.fields.length == 1) (if (d.unique) 1000 else 500)
       else 400 + 50 * m.length + (if (rangeNext) 25 else 0)
     }
-    val (idx, matched) = candidates.maxBy { case (d, m) => candScore(d, m) }
+    // legacy planner: longest equality match wins, ties resolve to the
+    // LAST index in catalog order and uniqueness is NOT prized
+    // (multi_index_or_and assert 11 picks idx_genre over uniq_name)
+    val (idx, matched) =
+      if (newExec) candidates.maxBy { case (d, m) => candScore(d, m) }
+      else candidates.zipWithIndex.maxBy { case ((d, m), i) => (m.length, i) }._1
     val containsConjuncts: Set[Expr] = cs.collect {
       case c @ Binary("CONTAINS", _, _) => c
       case c @ Binary("INSIDE" | "IN", _, Idiom(_)) => c
@@ -886,12 +936,18 @@ object Explain {
   /** CONTAINSALL/CONTAINSANY over an indexed array path → per-element
     * index probes merged by UnionIndexScan (scan/union_index.rs). */
   private def unionIndexAccess(in: Interp, table: String, where: Expr,
-      hints: Option[Seq[String]]): Option[(String, Seq[String], Expr)] = {
+      hints: Option[Seq[String]],
+      newExec: Boolean = false): Option[(String, Seq[String], Expr)] = {
     if (hints.contains(Nil)) return scala.None
+    def literalish(i: Expr): Boolean = !touchesDb(i) || i.isInstanceOf[RidLit]
     val cs = conjunctList(where)
     cs.collectFirst {
+      // containment over a whole-array index: the LEGACY planner fans the
+      // probe per element; the new executor requires a per-element (`*`)
+      // index path (select_std_index_with_record_id vs its _new_executor)
       case c @ Binary("CONTAINSALL" | "CONTAINSANY", Idiom(ps), ArrLit(items))
-          if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
+          if fieldPathName(ps).isDefined && items.forall(literalish) &&
+            (!newExec || ps.contains(PAll)) =>
         (fieldPathName(ps).get, items, c)
       // value IN [list] over an indexed field: one index probe per element
       // merged by a union; lists past 32 elements fall back to a scan
@@ -1039,7 +1095,10 @@ object Explain {
       entries += V.obj(
         "detail" -> V.obj("type" -> VStr(rs)),
         "operation" -> VStr("RecordStrategy"))
-      val canSkip = s.groupBy.isEmpty && (s.where.isEmpty || fullyIndexed)
+      // a MemoryOrderedLimit collector absorbs START itself (its bound is
+      // START + LIMIT) — no storage-level skip (select_compound_order_limit)
+      val orderedLimit = s.order.nonEmpty && s.limit.isDefined && !orderCovered
+      val canSkip = s.groupBy.isEmpty && (s.where.isEmpty || fullyIndexed) && !orderedLimit
       val canCancel = s.groupBy.isEmpty && (s.order.isEmpty || orderCovered)
       val startN = s.start.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None }).getOrElse(0L)
       val limitN = s.limit.flatMap(e => Eval.evalConst(e) match { case VInt(i) => Some(i); case _ => scala.None })
@@ -1262,10 +1321,18 @@ object Explain {
       }
     }
     // every AND conjunct individually index-served: one Iterate Index entry
-    // per conjunct, intersected (idx/planner multi-index AND)
+    // per conjunct, intersected — the legacy planner only builds this
+    // intersection when a MATCHES conjunct forces a specialized index into
+    // the plan; plain equality ANDs pick ONE index and filter the rest
+    // (multi_index_or_and asserts 11 vs 13)
     if (!noIndexHint && table.isDefined && s.where.isDefined) {
       val cs = conjunctList(s.where.get)
-      if (cs.length > 1) {
+      if (cs.length > 1 && cs.exists {
+          case Binary(op, _, _) if op.startsWith("MATCHES") => true
+          // an OR conjunct needs a UNION of index probes — no single index
+          // can serve the whole AND chain (select_with_in_operator assert 1)
+          case c => disjunctList(c).length > 1
+        }) {
         def entryFor(c: Expr): Option[V] = c match {
           case Binary("INSIDE" | "IN", Idiom(ps), ArrLit(items))
               if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
@@ -1559,6 +1626,17 @@ object Explain {
       entries += V.obj(
         "detail" -> V.obj("reason" -> VStr("WITH NOINDEX")),
         "operation" -> VStr("Fallback"))
+    else s.where.foreach { w =>
+      // a condition the index analyzer cannot express at all (unary not on
+      // an idiom) records its Fallback reason (planner noindex_unary_operator)
+      conjunctList(w).collectFirst {
+        case Prefix("!", inner @ Idiom(_)) =>
+          entries += V.obj(
+            "detail" -> V.obj("reason" ->
+              VStr("Unsupported expression: !" + exprSql(inner))),
+            "operation" -> VStr("Fallback"))
+      }
+    }
     entries += collectorEntry()
     fullRows(strategy, fullyIndexed, orderCovered)
     VArr(entries.toVector)
@@ -1631,9 +1709,17 @@ object Explain {
             case _                          => scala.None
           }
           val star = Seq(Field(Idiom(Seq(PAll)), scala.None, isAll = true))
-          table.flatMap(t => indexAccess(in, t, sel.where.get)).flatMap {
+          table.flatMap(t => indexAccess(in, t, sel.where.get, sel.withIndex,
+              newExec = true)).flatMap {
             case (_, _, Some(residual), _, _) =>
-              val residualSet = conjunctList(residual).toSet
+              // CONTAINS/INSIDE conjuncts are index-SERVED yet re-checked as
+              // residual — the scan's row count includes their selectivity
+              // (planner contains_operators)
+              val residualSet = conjunctList(residual).filterNot {
+                case Binary("CONTAINS", _, _) => true
+                case Binary("INSIDE" | "IN", _, Idiom(_)) => true
+                case _ => false
+              }.toSet
               val accessOnly = conjunctList(sel.where.get).filterNot(residualSet.contains)
                 .reduceOption((a, b) => Binary("&&", a, b))
               val scanStmt = sel.copy(fields = star, value = false,
@@ -1647,9 +1733,12 @@ object Explain {
           }
         case _ => scala.None
       }
-      // rows flowing OUT of a residual Filter (post-filter, pre-aggregate)
+      // rows flowing OUT of the filtered source (post-predicate,
+      // pre-aggregate/sort/limit) — stamps residual Filters, pushed-
+      // predicate scans, and record-id range scans
       val filterRows: Option[Long] = inner match {
-        case sel: SelectStmt if sel.where.isDefined && scanRows.isDefined =>
+        case sel: SelectStmt if sel.where.isDefined || sel.groupBy.isDefined ||
+            sel.order.nonEmpty || sel.limit.isDefined =>
           val star = Seq(Field(Idiom(Seq(PAll)), scala.None, isAll = true))
           val flatStmt = sel.copy(fields = star, value = false,
             groupBy = scala.None, order = Nil,
@@ -1662,10 +1751,15 @@ object Explain {
       }
       def annotate(n: PNode): PNode = {
         if (n.rows.isDefined) return n.copy(children = n.children.map(annotate))
+        // a scan that CONSUMED the limit emits post-limit rows
+        val limitPushed = n.attrs.exists(_._1 == "limit")
         val r =
           if (n.ctx != "Db") 0L
+          else if (n.name.endsWith("CountScan")) total
+          else if (n.name.endsWith("Scan") && limitPushed) total
           else if (n.name.endsWith("Scan") && scanRows.isDefined) scanRows.get
-          else if (n.name == "Filter" && filterRows.isDefined) filterRows.get
+          else if ((n.name == "Filter" || n.name.endsWith("Scan")) && filterRows.isDefined)
+            filterRows.get
           else total
         // each Union branch scan counts its OWN table's rows, not the
         // combined total (select/explain_multi_table_new_executor)

@@ -482,11 +482,17 @@ object Functions {
         if (items.isEmpty) VNone
         else VFloat(items.groupBy(identity).toSeq.maxBy(g => (g._2.length, g._1))._1)
       case "math::stddev" =>
-        // len 0 → NaN, len 1 → 0 (fnc/util/math/mod.rs variance)
+        // len 0 → NaN, len 1 → 0 (fnc/util/math/mod.rs variance). View
+        // maintenance uses the ROLLING sum/sum-of-squares formula, whose
+        // float cancellation artifacts are part of the observable result
+        // (catalog/aggregation.rs:454 — view/stddev_variance_rolling).
         val ns = nums(0)
         if (ns.isEmpty) VFloat(Double.NaN)
         else if (ns.length == 1) VFloat(0.0)
-        else {
+        else if (env.interp.exists(_.viewAggMode)) {
+          val v = rollingVariance(ns)
+          VFloat(if (v == 0.0) 0.0 else Math.sqrt(v))
+        } else {
           val m = ns.sum / ns.length
           VFloat(Math.sqrt(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)))
         }
@@ -494,6 +500,7 @@ object Functions {
         val ns = nums(0)
         if (ns.isEmpty) VFloat(Double.NaN)
         else if (ns.length == 1) VFloat(0.0)
+        else if (env.interp.exists(_.viewAggMode)) VFloat(rollingVariance(ns))
         else { val m = ns.sum / ns.length; VFloat(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)) }
       case "math::spread" =>
         val ns = nums(0)
@@ -1885,6 +1892,16 @@ object Functions {
       } else streak = 0
     }
     if (qi == query.length) score else 0L
+  }
+
+  /** Incremental-view variance: (sum_of_squares - sum·mean) / (n-1) over
+    * running sums — the rolling formula's float artifacts are observable
+    * (catalog/aggregation.rs:454). */
+  private def rollingVariance(ns: Seq[Double]): Double = {
+    val n = ns.length
+    val sum = ns.sum
+    val sumsq = ns.map(x => x * x).sum
+    (sumsq - sum * (sum / n)) / (n - 1)
   }
 
   private def digest(algo: String, s: String): String =

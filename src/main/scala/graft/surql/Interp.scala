@@ -471,6 +471,8 @@ final class Interp {
   /** Per-index build stats for INFO FOR INDEX (idx building status): rows
     * present when the index was (re)built. */
   val indexBuildInfo = mutable.LinkedHashMap[(String, String), Long]()
+  /** Failed CONCURRENTLY builds: (table, index) → error text. */
+  val indexBuildError = mutable.LinkedHashMap[(String, String), String]()
 
   /** Versioned write log: (timestamp, table, key, doc-or-tombstone) — VERSION
     * reads reconstruct table state as of a timestamp (kvs versionstamps,
@@ -1355,9 +1357,38 @@ final class Interp {
         uniqueIndexes(ix.table) =
           uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
       }
-      if (ix.unique && ix.concurrently)
-        uniqueIndexes(ix.table) =
-          uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
+      if (ix.unique && ix.concurrently) {
+        // CONCURRENTLY defers the build: a pre-existing duplicate doesn't
+        // fail the statement — the background build errors and INFO FOR
+        // INDEX reports it (multiple_unique_existing_concurrently)
+        val seen = mutable.HashMap[Vector[V], VRid]()
+        var err: Option[String] = scala.None
+        tables.getOrElse(ix.table, mutable.LinkedHashMap.empty).foreach { case (k, doc) =>
+          if (err.isEmpty) {
+            val vals = ix.fields.map(f => idxFieldValue(doc, f))
+            if (vals.exists(v => v != VNone && v != VNull)) {
+              val rid = doc.fields.get("id") match {
+                case Some(r: VRid) => r; case _ => VRid(ix.table, k)
+              }
+              indexEntryFan(ix.fields, vals).foreach { entry =>
+                seen.get(entry.toVector) match {
+                  case Some(holder) if err.isEmpty =>
+                    val shown = if (entry.length == 1) entry.head.render else VArr(entry.toVector).render
+                    err = Some(s"Database index `${ix.name}` already contains $shown, with record `${Render.sql(holder)}`")
+                  case _ => seen(entry.toVector) = rid
+                }
+              }
+            }
+          }
+        }
+        err match {
+          case Some(m) => indexBuildError(key) = m
+          case scala.None =>
+            indexBuildError.remove(key)
+            uniqueIndexes(ix.table) =
+              uniqueIndexes.getOrElse(ix.table, Vector.empty).filterNot(_._1 == ix.name) :+ ((ix.name, ix.fields))
+        }
+      } else indexBuildError.remove(key)
       ix.meta.foreach(indexDefs(key) = _)
       indexBuildInfo(key) = tables.get(ix.table).map(_.size.toLong).getOrElse(0L)
       table(ix.table)
@@ -2289,11 +2320,18 @@ final class Interp {
       val Array(ix, tb) = s.target.split(":", 2)
       if (!indexDefs.contains((tb, ix)))
         throw SqlError(s"The index '$ix' does not exist")
-      V.obj("building" -> V.obj(
-        "initial" -> VInt(indexBuildInfo.getOrElse((tb, ix), 0L)),
-        "pending" -> VInt(0),
-        "status" -> VStr("ready"),
-        "updated" -> VInt(0)))
+      indexBuildError.get((tb, ix)) match {
+        case Some(msg) =>
+          V.obj("building" -> V.obj(
+            "error" -> VStr(msg),
+            "status" -> VStr("error")))
+        case scala.None =>
+          V.obj("building" -> V.obj(
+            "initial" -> VInt(indexBuildInfo.getOrElse((tb, ix), 0L)),
+            "pending" -> VInt(0),
+            "status" -> VStr("ready"),
+            "updated" -> VInt(0)))
+      }
     case _ => VNone
   }
 
@@ -2667,6 +2705,9 @@ final class Interp {
     * tables", doc/table.rs) recompute their SELECT on read: batch-exact
     * semantics without incremental state. */
   private var viewDepth = 0
+  /** True while recomputing a view's SELECT: aggregate functions switch to
+    * their incremental (rolling-sum) formulas. */
+  var viewAggMode = false
   private def tableRows(name: String): Vector[VObj] = {
     tableDefs.get(name).flatMap(_.viewStmt) match {
       case Some(sel) =>
@@ -2707,8 +2748,11 @@ final class Interp {
   private def viewRows(name: String, sel: SelectStmt): Vector[VObj] = {
     val env = Env(params = globals, interp = Some(this))
     val saved = suppressEmptyGroupAll
+    val savedAgg = viewAggMode
     suppressEmptyGroupAll = true
-    val rows = try selectWithGroupKeys(sel, env) finally suppressEmptyGroupAll = saved
+    viewAggMode = true
+    val rows = try selectWithGroupKeys(sel, env)
+      finally { suppressEmptyGroupAll = saved; viewAggMode = savedAgg }
     rows.zipWithIndex.flatMap { case ((row, keyOpt), i) =>
       val key: V = keyOpt match {
         case Some(ks) => VArr(ks.toVector)
