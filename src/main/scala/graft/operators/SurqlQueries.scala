@@ -307,7 +307,7 @@ object SurqlQueries {
               array::len(string::split(p_type, ' ')) AS n,
               array::join(array::sort(string::split(p_type, ' ')), '|') AS sorted,
               array::join(array::sort(array::distinct(string::split(p_name, ' '))), '|') AS uniq,
-              array::contains(string::split(p_type, ' '), 'BRUSHED') AS has,
+              array::includes(string::split(p_type, ' '), 'BRUSHED') AS has,
               array::at(array::sort(string::split(p_type, ' ')), 0) AS first_w,
               array::join(array::sort(string::split(p_type, ' ')), '-') AS joined,
               array::join(array::slice(array::sort(string::split(p_type, ' ')), 0, 2), '|') AS sliced

@@ -182,12 +182,22 @@ object Coerce {
       case r: VRng => rangeToArray(r).getOrElse(err(k, v))
       case _ => err(k, v)
     }
-    case KSet(inner, _) => v match {
-      case VSet(items) => V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
-      case VArr(items) => V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
-      case r: VRng => rangeToArray(r).map(a => V.set(a.items)).getOrElse(err(k, v))
-      case _ => err(k, v)
-    }
+    case KSet(inner, max) =>
+      // length bound applies AFTER dedup (type/set: <set<int,5>>[1,2,1])
+      def bounded(s: V): V = s match {
+        case VSet(items) =>
+          max.filter(_ != items.length).foreach { m =>
+            throw SqlError(s"Expected `set<${inner.map(kindName).getOrElse("any")},$m>`" +
+              s" but found a collection of length `${items.length}`") }
+          s
+        case other => other
+      }
+      v match {
+        case VSet(items) => bounded(V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items)))
+        case VArr(items) => bounded(V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items)))
+        case r: VRng => rangeToArray(r).map(a => bounded(V.set(a.items))).getOrElse(err(k, v))
+        case _ => err(k, v)
+      }
     case KRecord(tables) => v match {
       case r: VRid if tables.isEmpty || tables.contains(r.table) => r
       case VStr(s) =>

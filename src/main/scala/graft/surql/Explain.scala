@@ -933,6 +933,15 @@ object Explain {
     Some((idx.name, access, residualExpr, idx.fields, matched.length))
   }
 
+  /** Index fields of the single-index access that would serve this WHERE —
+    * used by the interpreter to emulate index-scan RESULT ORDER (rows come
+    * back in key order, not table order; composite_index_range assert 13).
+    * None for union/containment accesses or fanned (`*`) paths. */
+  def accessIndexFields(in: Interp, table: String, where: Expr,
+      hints: Option[Seq[String]]): Option[Seq[String]] =
+    indexAccess(in, table, where, hints).map(_._4)
+      .filter(fs => fs.forall(f => !f.contains("[") && !f.contains("*")))
+
   /** CONTAINSALL/CONTAINSANY over an indexed array path → per-element
     * index probes merged by UnionIndexScan (scan/union_index.rs). */
   private def unionIndexAccess(in: Interp, table: String, where: Expr,

@@ -15,7 +15,7 @@ object Functions {
     name match {
       case "array::map" | "array::filter" | "array::filter_index" | "array::find" |
            "array::find_index" | "array::index_of" | "array::fold" | "array::reduce" |
-           "array::any" | "array::all" | "array::some" | "array::every" | "array::sort_by" =>
+           "array::any" | "array::includes" | "array::all" | "array::some" | "array::every" | "array::sort_by" =>
         return higherOrder(name, argEs.map(Eval.eval(_, env)), env)
       case n if n.startsWith("set::") && hofNames.contains("array::" + n.stripPrefix("set::")) =>
         return setHigherOrder(n.stripPrefix("set::"), argEs.map(Eval.eval(_, env)), env)
@@ -68,7 +68,7 @@ object Functions {
 
   private val hofNames = Set("array::map", "array::filter", "array::filter_index",
     "array::find", "array::find_index", "array::index_of", "array::fold", "array::reduce",
-    "array::any", "array::all", "array::some", "array::every", "array::sort_by")
+    "array::any", "array::includes", "array::all", "array::some", "array::every", "array::sort_by")
 
   /** set:: closure-taking functions: the array HOF over the set's items,
     * with set-shaped results re-sorted/deduped. */
@@ -130,7 +130,7 @@ object Functions {
     "array::map" -> (2, 2), "array::filter" -> (2, 2), "array::filter_index" -> (2, 2),
     "array::find" -> (2, 2), "array::find_index" -> (2, 2), "array::index_of" -> (2, 2),
     "array::fold" -> (3, 3), "array::reduce" -> (2, 2),
-    "array::any" -> (1, 2), "array::all" -> (1, 2),
+    "array::any" -> (1, 2), "array::includes" -> (1, 2), "array::all" -> (1, 2),
     "array::some" -> (2, 2), "array::every" -> (2, 2), "array::sort_by" -> (2, 2))
 
   private def higherOrder(name: String, args: Seq[V], env: Env): V = {
@@ -169,7 +169,7 @@ object Functions {
           arr.tail.zipWithIndex.foreach { case (el, i) => acc = applyClosure(args(1), Seq(acc, el, VInt(i)), env) }
           acc
         }
-      case "array::any" | "array::some" =>
+      case "array::any" | "array::includes" | "array::some" =>
         if (args.length < 2) VBool(arr.exists(_.truthy))
         else VBool(arr.exists(el => matchesFilter(args(1), el, env)))
       case "array::all" | "array::every" =>
@@ -423,8 +423,12 @@ object Functions {
       }
       case "math::clamp" =>
         val v = num(0); val lo = num(1); val hi = num(2)
+        if (V.cmpNum(lo, hi) > 0)
+          throw SqlError("Incorrect arguments for function math::clamp(). Lowerbound for clamp must be smaller than the upperbound")
         if (V.cmpNum(v, lo) < 0) lo else if (V.cmpNum(v, hi) > 0) hi else v
       case "math::fixed" =>
+        if (int(1) <= 0)
+          throw SqlError("Incorrect arguments for function math::fixed(). The second argument must be an integer greater than 0.")
         val places = int(1).toInt
         num(0) match {
           case i: VInt => i
@@ -1166,11 +1170,14 @@ object Functions {
       case "type::record" =>
         arg(1) match {
           case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
+          // a full record id keeps its own key (type/field/record)
+          case VRid(_, k) => VRid(arg(0).renderRaw, k)
           case key => VRid(arg(0).renderRaw, key)
         }
       case "type::thing" =>
         arg(1) match {
           case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
+          case VRid(_, k) => VRid(arg(0).renderRaw, k)
           case key => VRid(arg(0).renderRaw, key)
         }
       case "type::range" => Coerce.cast(Kind.KRange, arg(0))
@@ -1296,6 +1303,7 @@ object Functions {
       case "crypto::sha256" => VStr(digest("SHA-256", str(0)))
       case "crypto::sha512" => VStr(digest("SHA-512", str(0)))
       case "crypto::joaat" => VInt(joaat(str(0)))
+      case "crypto::blake3" => VStr(Blake3.hex(str(0).getBytes("UTF-8")))
       // password-hash families (fnc/crypto.rs): salted one-way hashes whose
       // only contract is generate/compare round-tripping — the hash text is
       // random-salted so no golden can assert its value. PBKDF2-HMAC-SHA256
@@ -1356,13 +1364,52 @@ object Functions {
       case "rand::string" =>
         val len = if (a.nonEmpty) int(0).toInt else 32
         VStr(scala.util.Random.alphanumeric.take(len).mkString)
-      case "rand::enum" => if (a.isEmpty) VNone else a(scala.util.Random.nextInt(a.length))
+      case "rand::enum" =>
+        // a single array argument picks from ITS elements (fnc/rand.rs)
+        val pool = a match {
+          case Vector(VArr(items)) => items
+          case other => other
+        }
+        if (pool.isEmpty) VNone else pool(scala.util.Random.nextInt(pool.length))
       case "rand::guid" => VStr(java.util.UUID.randomUUID().toString.replace("-", "").take(20))
       case "rand::uuid" | "rand::uuid::v4" => VUuid(java.util.UUID.randomUUID())
-      case "rand::uuid::v7" => VUuid(java.util.UUID.randomUUID())
-      case "rand::ulid" => VStr(java.util.UUID.randomUUID().toString.replace("-", "").toUpperCase.take(26))
+      case "rand::uuid::v7" =>
+        // 48-bit ms timestamp + ver 7 + random — time-ordered (RFC 9562);
+        // an optional datetime pins the timestamp (rand/uuid_v7_from_datetime)
+        val ms = a.headOption match {
+          case Some(VDt(t)) => t.toEpochMilli
+          case _ => System.currentTimeMillis()
+        }
+        val hi = (ms << 16) | 0x7000L | (scala.util.Random.nextLong() & 0x0FFFL)
+        val lo = (scala.util.Random.nextLong() & 0x3FFFFFFFFFFFFFFFL) | 0x8000000000000000L
+        VUuid(new java.util.UUID(hi, lo))
+      case "rand::ulid" =>
+        // Crockford base32: 10 chars of 48-bit ms time + 16 random chars —
+        // lexically time-ordered (rand/ulid_from_datetime)
+        val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+        val ms = a.headOption match {
+          case Some(VDt(t)) => t.toEpochMilli
+          case _ => System.currentTimeMillis()
+        }
+        val time = (0 until 10).map(i => alphabet(((ms >>> (5 * (9 - i))) & 31).toInt)).mkString
+        val rnd = (0 until 16).map(_ => alphabet(scala.util.Random.nextInt(32))).mkString
+        VStr(time + rnd)
       case "rand::time" =>
-        VDt(java.time.Instant.ofEpochSecond(Math.abs(scala.util.Random.nextLong()) % 4102444800L))
+        // bounds accept ints (epoch seconds) or datetimes, either order;
+        // equal bounds return the bound itself (fnc/rand.rs time)
+        def secOf(v: V): Long = v match {
+          case VDt(t)    => t.getEpochSecond
+          case n: VNum   => n.toDouble.toLong
+          case other     => throw SqlError(s"Incorrect arguments for function rand::time(). Expected a datetime or number but found ${other.render}")
+        }
+        if (a.length >= 2) {
+          val (x, y) = (secOf(a(0)), secOf(a(1)))
+          val (lo, hi) = if (x <= y) (x, y) else (y, x)
+          val span = hi - lo
+          val pick = if (span == 0) lo else lo + Math.floorMod(scala.util.Random.nextLong(), span + 1)
+          VDt(java.time.Instant.ofEpochSecond(pick))
+        } else
+          VDt(java.time.Instant.ofEpochSecond(Math.abs(scala.util.Random.nextLong()) % 4102444800L))
 
       // ---- vector ------------------------------------------------------
       case "vector::add" => vecZip(nums(0), nums(1), name)(_ + _)
@@ -1492,19 +1539,24 @@ object Functions {
             val ps = rings.headOption.map(ring).getOrElse(Vector.empty)
             if (ps.length < 3) VNone
             else {
-              // planar shoelace centroid (geo crate Centroid for Polygon)
+              // planar shoelace centroid, accumulated RELATIVE to the
+              // first vertex — the geo crate's translation trick keeps the
+              // cross products small so the quotient is exact for simple
+              // shapes (geo/algorithm/centroid.rs)
+              val (ox, oy) = ps.head
               var a = 0.0; var cx = 0.0; var cy = 0.0
               var i = 0
               val n = ps.length
               while (i < n) {
-                val (x1, y1) = ps(i)
-                val (x2, y2) = ps((i + 1) % n)
+                val (x1, y1) = (ps(i)._1 - ox, ps(i)._2 - oy)
+                val (x2, y2) = (ps((i + 1) % n)._1 - ox, ps((i + 1) % n)._2 - oy)
                 val cross = x1 * y2 - x2 * y1
                 a += cross; cx += (x1 + x2) * cross; cy += (y1 + y2) * cross
                 i += 1
               }
               if (a == 0.0) VNone
-              else VGeom("Point", VArr(Vector(VFloat(cx / (3 * a)), VFloat(cy / (3 * a)))))
+              else VGeom("Point", VArr(Vector(
+                VFloat(ox + cx / (3 * a)), VFloat(oy + cy / (3 * a)))))
             }
           case other => typeErr(0, "geometry", other)
         }
@@ -1561,8 +1613,10 @@ object Functions {
           case VStr(s) => s.getBytes("UTF-8")
           case other => other.renderRaw.getBytes("UTF-8")
         }
-        // the reference emits UNPADDED base64 (fnc/encoding.rs)
-        VStr(java.util.Base64.getEncoder.withoutPadding().encodeToString(bytes))
+        // UNPADDED by default; a truthy second arg pads (fnc/encoding.rs)
+        val enc = if (a.lift(1).exists(_.truthy)) java.util.Base64.getEncoder
+                  else java.util.Base64.getEncoder.withoutPadding()
+        VStr(enc.encodeToString(bytes))
       case "encoding::json::encode" | "json::encode" =>
         VStr(Json.encode(arg(0)))
       case "encoding::json::decode" | "json::decode" =>
@@ -1643,6 +1697,11 @@ object Functions {
             applyClosure(cl, a, env)
           case scala.None => throw SqlError(s"The function '$custom' does not exist")
         }
+      case ml if ml.startsWith("ml::") =>
+        // model invocation requires the ML capability (fnc/mod.rs)
+        throw SqlError("Problem with machine learning computation. Machine learning computation is not enabled.")
+      case mod if mod.startsWith("mod::") =>
+        throw SqlError("Module functions are not enabled")
       case other => throw SqlError(s"Unknown function $other()")
     }
   }
@@ -1772,7 +1831,7 @@ object Functions {
   /** Numbers-only array for math::top/bottom. */
   private def nums2(items: Vector[V], name: String): Vector[VNum] = items.map {
     case n: VNum => n
-    case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `array<number>` but found `${other.render}`")
+    case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 1 was the wrong type. Expected `number` but found `${other.render}` when coercing an element of `array<number>`")
   }
 
   /** Rust BinaryHeap-faithful k-selection: replicates push/pop sift order so

@@ -2916,6 +2916,35 @@ final class Interp {
       } else cond0
       rows = rows.filter(r => Eval.eval(cond, rowEnv(env0, r)).truthy)
     }
+    // an index-served WHERE returns rows in INDEX KEY order — identical to
+    // record order for full-equality probes (ties break by id) but
+    // OBSERVABLY different for partial/range accesses over compound keys
+    // (composite_index_range: eq prefix + range scans order by the range
+    // column, not the record id)
+    if (s.order.isEmpty && s.groupBy.isEmpty && !s.orderRand && s.where.isDefined) {
+      val tbl = s.what match {
+        case Seq(Idiom(Seq(PField(n)))) => Some(n)
+        case Seq(TableRef(n))           => Some(n)
+        case _                          => scala.None
+      }
+      tbl.flatMap(t => Explain.accessIndexFields(this, t, s.where.get, s.withIndex))
+        .foreach { idxFields =>
+          def key(r: V): Vector[V] = r match {
+            case o: VObj =>
+              idxFields.map(f => docFieldPath(o, f)).toVector :+
+                o.fields.getOrElse("id", VNone)
+            case _ => Vector.empty[V]
+          }
+          rows = rows.sortWith { (a, b) =>
+            val (ka, kb) = (key(a), key(b))
+            val n = math.min(ka.length, kb.length)
+            var i = 0
+            var res = 0
+            while (res == 0 && i < n) { res = V.cmp(ka(i), kb(i)); i += 1 }
+            res < 0
+          }
+        }
+    }
     val envS = env0
 
     // SPLIT
@@ -3018,6 +3047,24 @@ final class Interp {
       val keys = s.order
       val fieldAliases: Map[String, Expr] =
         s.fields.flatMap(f => f.alias.map(_ -> f.expr)).toMap
+      // a DESC sort SERVED BY AN INDEX is a reverse index scan: equal keys
+      // come back id-descending (unique_index_reverse_range). Un-indexed
+      // sorts stay stable in record order (order_bool).
+      val reverseIdxTies = keys.length == 1 && keys.head.desc && {
+        val tbl = s.what match {
+          case Seq(Idiom(Seq(PField(n)))) => Some(n)
+          case Seq(TableRef(n))           => Some(n)
+          case _                          => scala.None
+        }
+        (keys.head.expr, tbl) match {
+          case (Idiom(Seq(PField(f))), Some(t)) => indexDefs.exists {
+            case ((tt, _), d) => tt == t && d.fields.headOption.contains(f) &&
+              !d.tail.toUpperCase.startsWith("FULLTEXT") &&
+              !d.tail.toUpperCase.startsWith("SEARCH")
+          }
+          case _ => false
+        }
+      }
       out = out.sortWith { (x, y) =>
         var res = 0
         val it = keys.iterator
@@ -3040,6 +3087,13 @@ final class Interp {
             case _ => V.cmp(kx, ky)
           }
           if (k.desc) res = -res
+        }
+        if (res == 0 && reverseIdxTies) {
+          def idOf(row: V): V = row match {
+            case VObj(fs) => fs.getOrElse("id", VNone)
+            case _ => VNone
+          }
+          res = -V.cmp(idOf(x._1), idOf(y._1))
         }
         res < 0
       }
@@ -3666,7 +3720,15 @@ final class Interp {
       val doc = after.orElse(before).getOrElse(VObj(TreeMap.empty))
       val de = env.copy(doc = Some(doc))
       Some(VObj(TreeMap(fs.map { f =>
-        val name = f.alias.getOrElse(Eval.fieldName(f.expr))
+        // dynamic type::field projections name their RESOLVED path
+        // (type/field/selection_and_modification_variable_fields)
+        val name = f.alias.getOrElse(f.expr match {
+          case FnCall("type::field", Seq(fe)) => Eval.eval(fe, de) match {
+            case VStr(p) => p
+            case _ => Eval.fieldName(f.expr)
+          }
+          case _ => Eval.fieldName(f.expr)
+        })
         name -> Eval.eval(f.expr, de)
       }: _*)))
     case Some(Output.OValue(e)) =>

@@ -3238,13 +3238,32 @@ final class Parser(val src: String) {
         path.append("::").append(rawIdent())
       }
       ws()
+      // unknown paths in a builtin namespace are PARSE errors with a
+      // nearest-name hint (syn/parser/builtin.rs; path_hints goldens);
+      // custom fn:: and unchecked namespaces pass through
+      val full = path.toString.toLowerCase
+      val nsHead = full.split("::")(0)
+      // ml::model<maj.min.patch>(args): version-tagged model invocation
+      // (syn ml parsing; evaluation needs the ML capability)
+      if (nsHead == "ml" && peekc == '<') {
+        pos += 1
+        while (!eof && peekc != '>') pos += 1
+        expectSym(">")
+      }
+      if (nsHead != "fn" && KnownFns.checkedNs(nsHead) && !KnownFns.names(full)) {
+        val hint = KnownFns.names.filter(_.startsWith(nsHead + "::"))
+          .minByOption(k => levenshteinish(k, full))
+          .filter(k => levenshteinish(k, full) <= 3)
+        fail("Invalid function/constant path" +
+          hint.map(h => s", did you maybe mean `$h`").getOrElse(""))
+      }
       if (peekc == '(') {
         pos += 1
         val args = ArrayBuffer[Expr]()
         ws()
         if (peekc != ')') { var g = true; while (g) { ws(); if (peekc == ')') g = false else { args += expr(); g = sym(",") } } }
         expectSym(")")
-        return FnCall(path.toString.toLowerCase, args.toSeq)
+        return FnCall(full, args.toSeq)
       }
       return Constant(path.toString)
     }
@@ -3268,6 +3287,17 @@ final class Parser(val src: String) {
 
   private def isPlainFn(name: String): Boolean =
     name == "count" || name == "rand" || name == "not" || name == "sleep" || name == "fn"
+
+  /** Cheap edit distance for the unknown-path hint. */
+  private def levenshteinish(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 
   private def recordIdTail(table: String): Expr = {
     ws()

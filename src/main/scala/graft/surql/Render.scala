@@ -61,7 +61,17 @@ object Render {
       f.append("..")
       hi.foreach { case (bv, incl) => if (incl) f.append('='); write(f, bv) }
     case VRegex(p)    => f.append('/').append(p).append('/')
-    case _: VClosure  => f.append("function")
+    case c: VClosure  =>
+      // closures render canonically: |$a: any| {  } (expr/closure.rs fmt)
+      f.append('|')
+      f.append(c.params.map { case (n, k) =>
+        "$" + n + ": " + k.map(Explain.kindSql).getOrElse("any")
+      }.mkString(", "))
+      f.append("| ")
+      f.append(c.body match {
+        case ast.BlockExpr(Seq()) => "{  }"
+        case b => try Explain.exprSql(b) catch { case _: Exception => "{  }" }
+      })
     case VGeom("Point", VArr(Vector(x, y))) =>
       // points display as a coordinate tuple of bare f64s (Rust Display —
       // no `f` suffix, integral values show as integers): (0, 0)

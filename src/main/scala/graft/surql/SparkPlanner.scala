@@ -959,7 +959,7 @@ object SparkPlanner {
     case "array::len"      => size(cs(0)).cast("bigint")
     case "array::sort"     => sort_array(cs(0))
     case "array::distinct" => array_distinct(cs(0))
-    case "array::contains" => array_contains(cs(0), cs(1))
+    case "array::includes" => array_contains(cs(0), cs(1))
     case "array::at"       =>
       element_at(cs(0), (raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }) + 1)
     case "array::first"    => element_at(cs(0), 1)
