@@ -389,8 +389,22 @@ object Explain {
       case ArrLit(items) => ArrLit(items.map(substParams))
       case other => other
     }
-    val s = s0.copy(what = s0.what.map(resolvePlanSource),
+    val sSub = s0.copy(what = s0.what.map(resolvePlanSource),
       where = s0.where.map(substParams))
+    // ---- `<|k|>` KNN: stripped from WHERE and planned as its own operator
+    // (exec/planner/util.rs:394 strip-and-subplan). The numeric-ef form over
+    // an HNSW/MTREE index becomes a KnnScan SOURCE (scan/knn.rs:37); any
+    // other form a KnnTopK above the filtered rows (knn_topk.rs:81).
+    val knnConj = sSub.where.flatMap(w => conjunctList(w).collectFirst {
+      case b @ Binary(op, Idiom(Seq(PField(f))), rhs) if op.startsWith("KNN:") =>
+        (b, op, f, rhs)
+    })
+    val s = knnConj match {
+      case Some((b, _, _, _)) =>
+        sSub.copy(where = sSub.where.flatMap(w =>
+          conjunctList(w).filterNot(_ eq b).reduceOption(Binary("&&", _, _))))
+      case scala.None => sSub
+    }
     // new-executor gap: @@ on a multi-part field path fails at plan time
     // (record_link_index_new_executor golden)
     if (!in.legacyPlanner) s.where.foreach { w =>
@@ -408,6 +422,33 @@ object Explain {
       case Seq(Idiom(Seq(PField(n)))) => Some(n)
       case Seq(TableRef(n))           => Some(n)
       case _                          => scala.None
+    }
+
+    // decoded KNN operator: k, raw arg, Capitalized metric, query dimension
+    val knnInfo: Option[(String, String, String, String, String)] =
+      knnConj.map { case (_, op, f, rhs) =>
+        val parts = op.split(":", -1)
+        val k = parts(1)
+        val arg = parts.lift(2).getOrElse("")
+        val metricCap = (if (arg.nonEmpty && !arg.forall(_.isDigit)) arg else "EUCLIDEAN")
+          .toLowerCase.capitalize
+        val dim = (try Search.vecOf(Eval.eval(rhs,
+            Env(params = in.globals, interp = Some(in))))
+          catch { case _: Exception => scala.None })
+          .map(_.length).getOrElse(0).toString
+        (f, k, arg, metricCap, dim)
+      }
+    // ef-form KNN served by an HNSW/MTREE vector index → KnnScan source
+    val knnScanIdx: Option[Defs.IndexDef] = knnInfo.flatMap { case (f, _, arg, _, _) =>
+      if (arg.isEmpty || !arg.forall(_.isDigit) || s.withIndex.contains(Nil)) scala.None
+      else singleTable.flatMap { t =>
+        in.indexDefs.collectFirst {
+          case ((tt, _), d) if tt == t && d.fields.contains(f) &&
+              s.withIndex.forall(_.contains(d.name)) &&
+              (d.tail.toUpperCase.startsWith("HNSW") ||
+               d.tail.toUpperCase.startsWith("MTREE")) => d
+        }
+      }
     }
 
     // CountScan fast path: GROUP ALL + count()-only projection on one table
@@ -457,6 +498,14 @@ object Explain {
     def sourceNode(e: Expr): PNode = e match {
       case Idiom(Seq(PField(_))) | TableRef(_) =>
         val name = e match { case Idiom(Seq(PField(x))) => x; case TableRef(x) => x; case _ => "" }
+        // KnnScan source: the `<|k,ef|>` probe IS the scan; the remaining
+        // WHERE stays a Filter above it (scan/knn.rs:37, HnswConditionChecker
+        // pulls candidates until k pass, so the scan emits ≤ k rows)
+        knnScanIdx.foreach { d =>
+          val Some((_, k, arg, _, dim)) = knnInfo
+          return PNode("KnnScan", "Db", Seq(
+            "index" -> d.name, "k" -> k, "ef" -> arg, "dimension" -> dim))
+        }
         // IndexScan access-path selection: equality conjuncts served by an
         // index; residual conjuncts become a Filter (exec/index/access_path.rs)
         // WHERE id = <rid> (any conjunct) → point lookup (planner record-id equality)
@@ -521,10 +570,16 @@ object Explain {
                   Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"),
                   rows = branchRows(in, name, d)))
               case _ => fulltextAccess(in, name, d) match {
-                case Some((idxName, q, scala.None)) =>
+                case Some((idxName, q, _)) =>
+                  // branch rows reflect the @@ access alone; the disjunct's
+                  // non-indexed conjuncts stay in the union-level residual
+                  // Filter (matches_without_using_index_iterator)
+                  val matchConj = conjunctList(d).collectFirst {
+                    case c @ Binary(op, _, _) if op.startsWith("MATCHES") => c
+                  }
                   Some(PNode("FullTextScan", "Db",
                     Seq("index" -> idxName, "query" -> q),
-                    rows = branchRows(in, name, d)))
+                    rows = matchConj.flatMap(branchRows(in, name, _))))
                 case _ => scala.None
               }
             }
@@ -651,6 +706,43 @@ object Explain {
         exprs = Seq("predicate" -> physSql(w)))
     }
 
+    // ---- KnnTopK: brute-force top-k above the filtered source -------------
+    // (exec/operators/knn_topk.rs:81 — ranks only rows that passed the plain
+    // predicate, so the Filter/scan sits BELOW it in the tree)
+    if (knnInfo.isDefined && knnScanIdx.isEmpty) {
+      val Some((f, k, _, metricCap, dim)) = knnInfo
+      if (analyzeMode) {
+        // the source emits the rows passing the plain predicate — NOT the
+        // post-KNN count the executed statement reports
+        val tables = s.what.collect {
+          case Idiom(Seq(PField(n))) => n
+          case TableRef(n)           => n
+        }
+        val plainCond = s.where.getOrElse(Lit(VBool(true)))
+        lazy val plainTotal = tables.flatMap(t => branchRows(in, t, plainCond))
+          .reduceOption(_ + _)
+        lazy val tableTotal = tables.flatMap(t => branchRows(in, t, Lit(VBool(true))))
+          .reduceOption(_ + _)
+        node = node.name match {
+          case "TableScan" => node.copy(rows = plainTotal)
+          case "Filter" => node.copy(rows = plainTotal,
+            children = node.children.map {
+              case u if u.name == "Union" => u.copy(rows = tableTotal,
+                children = u.children.map {
+                  case ts if ts.name == "TableScan" =>
+                    ts.copy(rows = ts.attrs.collectFirst { case ("table", t) =>
+                      branchRows(in, t, Lit(VBool(true))) }.flatten)
+                  case c => c
+                })
+              case c => c
+            })
+          case _ => node
+        }
+      }
+      node = PNode("KnnTopK", "Db", Seq(
+        "field" -> f, "k" -> k, "distance" -> metricCap, "dimension" -> dim), Seq(node))
+    }
+
     // ---- split -----------------------------------------------------------
     if (s.split.nonEmpty)
       node = PNode("Split", "Db", Seq("on" -> s.split.mkString(", ")), Seq(node))
@@ -664,6 +756,35 @@ object Explain {
     }
 
     // ---- sort / limit ----------------------------------------------------
+    // Compute classification hoisted: a KNN plan ordering on a computed
+    // alias runs the Compute pre-pass BEFORE the sort (SortByKey above
+    // Compute — bruteforce_knn_with_filter_new_executor), so the sort key
+    // resolves the computed field
+    lazy val computedFields = s.fields.filterNot(_.isAll).filter(f => f.expr match {
+      case Idiom(ps) => !ps.forall(_.isInstanceOf[PField])
+      case _ => true
+    })
+    def computeNode(child: PNode): PNode = {
+      val fieldsTxt = computedFields.map { f =>
+        val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
+        s"$nm = ${physSql(f.expr)}"
+      }.mkString(", ")
+      val emb = computedFields.flatMap { f =>
+        val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
+        embeds(f.expr, nm)
+      }
+      PNode("Compute", "Db", Seq("fields" -> fieldsTxt), Seq(child), embedded = emb)
+    }
+    var computePre = false
+    if (knnInfo.isDefined && !grouped && s.order.nonEmpty && !orderConsumed &&
+        computedFields.nonEmpty && s.order.exists(_.expr match {
+          case Idiom(Seq(PField(n))) =>
+            computedFields.exists(f => f.alias.getOrElse(Eval.fieldName(f.expr)) == n)
+          case _ => false
+        })) {
+      node = computeNode(node)
+      computePre = true
+    }
     val orderTxt = s.order.map(k => physSql(k.expr) + (if (k.desc) " DESC" else " ASC")).mkString(", ")
     if (s.order.nonEmpty && !orderConsumed) {
       if (limitConst.isDefined) {
@@ -726,25 +847,10 @@ object Explain {
       // record-id sources project generically — no Compute pre-pass
       // (select/group/count_range_keys_only vs count_group_all)
       else if (isRid) PNode("Project", "Db", Nil, Seq(node))
-      else {
-        val computed = s.fields.filterNot(_.isAll).filter(f => f.expr match {
-          case Idiom(ps) => !ps.forall(_.isInstanceOf[PField])
-          case _ => true
-        })
-        val fieldsTxt = computed.map { f =>
-          val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
-          s"$nm = ${physSql(f.expr)}"
-        }.mkString(", ")
-        val emb = computed.flatMap { f =>
-          val nm = f.alias.getOrElse(Eval.fieldName(f.expr))
-          embeds(f.expr, nm).map { case (role, n) =>
-            // role from embeds is "<nm>.lookup"/"<nm>.recurse" already
-            role -> n
-          }
-        }
-        val compute = PNode("Compute", "Db", Seq("fields" -> fieldsTxt), Seq(node), embedded = emb)
-        PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(compute))
-      }
+      else if (computePre)
+        PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(node))
+      else
+        PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(computeNode(node)))
     })
   }
 
@@ -1466,11 +1572,18 @@ object Explain {
       }.foreach { case (op, f, rhs) =>
         in.indexDefs.collectFirst {
           case ((t, _), d) if t == table.get && d.fields.contains(f) &&
-              (d.tail.toUpperCase.startsWith("HNSW") || d.tail.toUpperCase.startsWith("MTREE")) => d.name
-        }.foreach { idxName =>
+              (d.tail.toUpperCase.startsWith("HNSW") || d.tail.toUpperCase.startsWith("MTREE")) => d
+        }.foreach { idxDef =>
+          val idxName = idxDef.name
           val parts = op.split(':')
           val k = parts.lift(1).getOrElse("")
-          val ef = parts.lift(2).filter(_.nonEmpty)
+          val arg = parts.lift(2).filter(_.nonEmpty)
+          // a metric/empty arg means the planner rewrote a brute-force KNN
+          // onto the vector index: the plan renders the index's EFC as the
+          // search width (idx/planner: Knn → Ann with ef = efc, default 150)
+          val ef = arg.filter(_.forall(_.isDigit)).orElse(Some(
+            "(?i)EFC\\s+(\\d+)".r.findFirstMatchIn(idxDef.tail)
+              .map(_.group(1)).getOrElse("150")))
           val opTxt = "<|" + k + ef.map("," + _).getOrElse("") + "|>"
           val v = try Eval.eval(rhs, env) catch { case _: SqlError => VNone }
           val rs = recordStrategy(s, fullyIndexed = true, mutation)

@@ -50,6 +50,8 @@ object Functions {
       case _: VRid   => "record"
       case _: VUuid  => "string"
       case _: VFile  => "file"
+      case _: VBytes => "bytes"
+      case _: VGeom  => "geo"
       case _         => "type"
     }
     val args = argEs.map(Eval.eval(_, env))
@@ -60,9 +62,28 @@ object Functions {
     try apply(full, recv +: args, env)
     catch {
       case e: SqlError if e.msg.startsWith("Unknown function") =>
-        if (name.startsWith("is_")) apply(s"type::is::${name.drop(3)}", recv +: args, env)
-        else if (name.startsWith("to_")) apply(s"type::${name.drop(3)}", recv +: args, env)
-        else apply(s"type::$name", recv +: args, env)
+        // GeoJSON-shaped objects answer geo:: methods (.area/.distance/…)
+        val geoShaped = recv match {
+          case _: VGeom => true
+          case VObj(fs) => fs.contains("type") &&
+            (fs.contains("coordinates") || fs.contains("geometries"))
+          case _ => false
+        }
+        val geoName =
+          if (name.startsWith("hash_")) "geo::hash::" + name.stripPrefix("hash_")
+          else s"geo::$name"
+        def typeFallback() =
+          if (name.startsWith("is_"))
+            // ns-local is:: family first (time::is::leap_year), then type::
+            try apply(s"$ns::is::${name.drop(3)}", recv +: args, env)
+            catch { case e3: SqlError if e3.msg.startsWith("Unknown function") =>
+              apply(s"type::is::${name.drop(3)}", recv +: args, env) }
+          else if (name.startsWith("to_")) apply(s"type::${name.drop(3)}", recv +: args, env)
+          else apply(s"type::$name", recv +: args, env)
+        if (geoShaped)
+          try apply(geoName, recv +: args, env)
+          catch { case e2: SqlError if e2.msg.startsWith("Unknown function") => typeFallback() }
+        else typeFallback()
     }
   }
 
@@ -280,6 +301,17 @@ object Functions {
     // (fnc/mod.rs flat-name table)
     val name =
       if (name0.startsWith("string::is_")) "string::is::" + name0.stripPrefix("string::is_")
+      else if (name0.startsWith("string::distance_")) "string::distance::" + name0.stripPrefix("string::distance_")
+      else if (name0.startsWith("string::similarity_")) "string::similarity::" + name0.stripPrefix("string::similarity_")
+      else if (name0.startsWith("string::html_")) "string::html::" + name0.stripPrefix("string::html_")
+      else if (name0.startsWith("string::semver_inc_")) "string::semver::inc::" + name0.stripPrefix("string::semver_inc_")
+      else if (name0.startsWith("string::semver_set_")) "string::semver::set::" + name0.stripPrefix("string::semver_set_")
+      else if (name0.startsWith("string::semver_")) "string::semver::" + name0.stripPrefix("string::semver_")
+      else if (name0.startsWith("array::vector_distance_")) "vector::distance::" + name0.stripPrefix("array::vector_distance_")
+      else if (name0.startsWith("array::vector_similarity_")) "vector::similarity::" + name0.stripPrefix("array::vector_similarity_")
+      else if (name0.startsWith("array::vector_")) "vector::" + name0.stripPrefix("array::vector_")
+      else if (name0 == "array::sort_asc") "array::sort::asc"
+      else if (name0 == "array::sort_desc") "array::sort::desc"
       else name0
     checkArity(name, a.length)
     def arg(i: Int): V = if (i < a.length) a(i) else VNone
@@ -614,6 +646,33 @@ object Functions {
       case "string::slug" =>
         VStr(str(0).toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", ""))
       case "string::distance::levenshtein" => VInt(levenshtein(str(0), str(1)))
+      case "string::distance::damerau_levenshtein" =>
+        VInt(damerauLevenshtein(str(0), str(1)))
+      case "string::distance::normalized_levenshtein" =>
+        val (x, y) = (str(0), str(1))
+        val m = Math.max(x.length, y.length)
+        VFloat(if (m == 0) 1.0 else 1.0 - levenshtein(x, y).toDouble / m)
+      case "string::distance::normalized_damerau_levenshtein" =>
+        val (x, y) = (str(0), str(1))
+        val m = Math.max(x.length, y.length)
+        VFloat(if (m == 0) 1.0 else 1.0 - damerauLevenshtein(x, y).toDouble / m)
+      case "string::similarity::sorensen_dice" =>
+        // char-bigram Dice coefficient over non-whitespace bigrams (strsim)
+        def bigrams(s: String): Seq[(Char, Char)] =
+          s.sliding(2).filterNot(_.exists(_.isWhitespace))
+            .collect { case w if w.length == 2 => (w(0), w(1)) }.toSeq
+        val (ba, bb) = (bigrams(str(0)), bigrams(str(1)))
+        if (ba.isEmpty && bb.isEmpty) VFloat(1.0)
+        else {
+          val counts = scala.collection.mutable.HashMap.empty[(Char, Char), Int]
+          ba.foreach(b => counts(b) = counts.getOrElse(b, 0) + 1)
+          var inter = 0
+          bb.foreach { b =>
+            val c = counts.getOrElse(b, 0)
+            if (c > 0) { inter += 1; counts(b) = c - 1 }
+          }
+          VFloat(2.0 * inter / (ba.length + bb.length))
+        }
       case "string::distance::hamming" =>
         val (x, y) = (str(0), str(1))
         if (x.length != y.length) throw SqlError("Incorrect arguments for function string::distance::hamming(). Strings must be of equal length")
@@ -629,6 +688,9 @@ object Functions {
       case "type::type_of" => VStr(arg(0).typeName)
       case "string::is::alpha" => VBool(str(0).nonEmpty && str(0).forall(_.isLetter))
       case "string::is::ascii" => VBool(str(0).nonEmpty && str(0).forall(_ < 128))
+      case "string::is::ulid" =>
+        // 26 Crockford-base32 chars, first char ≤ 7 (128-bit bound)
+        VBool(str(0).matches("^[0-7][0-9A-HJKMNP-TV-Za-hjkmnp-tv-z]{25}$"))
       case "string::is::hexadecimal" =>
         VBool(str(0).nonEmpty && str(0).forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
       case "string::is::ipv4" =>
@@ -698,6 +760,24 @@ object Functions {
         val x = str(0).split("[.+-]").take(3).map(_.toLong)
         val y = str(1).split("[.+-]").take(3).map(_.toLong)
         VInt(x.zip(y).collectFirst { case (m, n) if m != n => java.lang.Long.compare(m, n).toLong }.getOrElse(0L))
+      case "string::semver::inc::major" | "string::semver::inc::minor" |
+           "string::semver::inc::patch" =>
+        // inc resets the lower components (semver crate increment_*)
+        val p = str(0).split("[.+-]").take(3).map(_.toLong)
+        VStr(name.split("::").last match {
+          case "major" => s"${p(0) + 1}.0.0"
+          case "minor" => s"${p(0)}.${p(1) + 1}.0"
+          case _       => s"${p(0)}.${p(1)}.${p(2) + 1}"
+        })
+      case "string::semver::set::major" | "string::semver::set::minor" |
+           "string::semver::set::patch" =>
+        val p = str(0).split("[.+-]").take(3).map(_.toLong)
+        val v = int(1)
+        VStr(name.split("::").last match {
+          case "major" => s"$v.${p(1)}.${p(2)}"
+          case "minor" => s"${p(0)}.$v.${p(2)}"
+          case _       => s"${p(0)}.${p(1)}.$v"
+        })
 
       // ---- array -------------------------------------------------------
       case "array::add" =>
@@ -1149,7 +1229,9 @@ object Functions {
       case "type::float" => Coerce.cast(Kind.KFloat, arg(0))
       case "type::decimal" => Coerce.cast(Kind.KDecimal, arg(0))
       case "type::number" => Coerce.cast(Kind.KNumber, arg(0))
-      case "type::string" => Coerce.cast(Kind.KString, arg(0))
+      // string_lossy replaces invalid UTF-8 in bytes; JVM strings are
+      // already well-formed, so the conversion coincides with type::string
+      case "type::string" | "type::string_lossy" => Coerce.cast(Kind.KString, arg(0))
       case "type::duration" => Coerce.cast(Kind.KDuration, arg(0))
       case "type::datetime" => Coerce.cast(Kind.KDatetime, arg(0))
       case "type::uuid" => Coerce.cast(Kind.KUuid, arg(0))
@@ -1165,7 +1247,13 @@ object Functions {
         case VArr(Vector(lo)) => VRng(Some((lo, true)), scala.None)
         case other => throw SqlError(s"Could not cast into `range` using input `${other.renderRaw}`")
       }
-      case "type::geometry" | "type::point" => Coerce.cast(Kind.KGeometry(Nil), arg(0))
+      case "type::geometry" => Coerce.cast(Kind.KGeometry(Nil), arg(0))
+      case "type::point" => arg(0) match {
+        // a two-number array IS a point for type::point (fnc/type.rs point),
+        // unlike the bare `<geometry>` cast which rejects arrays
+        case VArr(Vector(x: VNum, y: VNum)) => VGeom("Point", VArr(Vector(x, y)))
+        case other => Coerce.cast(Kind.KGeometry(Nil), other)
+      }
       case "type::table" => VTable(arg(0).renderRaw)
       case "type::record" =>
         arg(1) match {
@@ -1229,6 +1317,25 @@ object Functions {
       case "type::is::string" => VBool(arg(0).isInstanceOf[VStr])
       case "type::is::uuid" => VBool(arg(0).isInstanceOf[VUuid])
       case "type::is::geometry" => VBool(arg(0).isInstanceOf[VGeom])
+      case "type::is::range" => VBool(arg(0).isInstanceOf[VRng])
+      // geometry-kind predicates (fnc/type.rs is::point/line/…); GeoJSON
+      // objects count as their declared kind, same as geo:: coercion
+      case "type::is::point" | "type::is::line" | "type::is::polygon" |
+           "type::is::multipoint" | "type::is::multiline" | "type::is::multipolygon" |
+           "type::is::collection" =>
+        val want = name.stripPrefix("type::is::") match {
+          case "point" => "Point"; case "line" => "LineString"
+          case "polygon" => "Polygon"; case "multipoint" => "MultiPoint"
+          case "multiline" => "MultiLineString"; case "multipolygon" => "MultiPolygon"
+          case _ => "GeometryCollection"
+        }
+        val gt = arg(0) match {
+          case VGeom(t, _) => Some(t)
+          case VObj(fs) if fs.contains("coordinates") || fs.contains("geometries") =>
+            fs.get("type").collect { case VStr(t) => t }
+          case _ => scala.None
+        }
+        VBool(gt.contains(want))
 
       // ---- record / meta ----------------------------------------------
       case "record::id" | "meta::id" => arg(0) match {
@@ -1320,6 +1427,11 @@ object Functions {
       // ---- rand --------------------------------------------------------
       case n if n.startsWith("type::is_") && n != "type::is_set" =>
         apply("type::is::" + n.stripPrefix("type::is_"), a, env)
+      // universal value methods land here via the method-dispatch fallback
+      // (reference fnc: every Value has .chain/.diff/.patch)
+      case "type::chain" => applyClosure(arg(1), Seq(arg(0)), env)
+      case "type::diff"  => apply("value::diff", a, env)
+      case "type::patch" => apply("value::patch", a, env)
       case "rand::duration" =>
         def durNs(v: V): BigInt = v match {
           case VDur(s2, n2) => BigInt(s2) * 1000000000L + n2
@@ -1349,6 +1461,16 @@ object Functions {
         val in = env.interp.getOrElse(throw SqlError("The sequence does not exist"))
         val nm = str(0)
         val d = in.sequences.getOrElse(nm, throw SqlError(s"The sequence '$nm' does not exist"))
+        // a TIMEOUT 0 sequence can never allocate a batch in time — the
+        // reference's allocator wait deadline fires immediately (seq.rs)
+        d.timeout.foreach { t =>
+          val dur = try Coerce.cast(Kind.KDuration, VStr(t)) catch { case _: Exception => VNone }
+          dur match {
+            case vd: VDur if vd.secs == 0 && vd.nanos == 0 =>
+              throw SqlError(s"The query was not executed because it exceeded the timeout: ${vd.render}")
+            case _ => ()
+          }
+        }
         val cur = in.sequenceState.getOrElse(nm, d.start)
         in.sequenceState(nm) = cur + 1
         VInt(cur)
@@ -1367,7 +1489,7 @@ object Functions {
       case "rand::enum" =>
         // a single array argument picks from ITS elements (fnc/rand.rs)
         val pool = a match {
-          case Vector(VArr(items)) => items
+          case Seq(VArr(items)) => items
           case other => other
         }
         if (pool.isEmpty) VNone else pool(scala.util.Random.nextInt(pool.length))
@@ -1445,8 +1567,10 @@ object Functions {
       case "search::highlight" =>
         val pre = arg(0) match { case VStr(s) => s; case o => o.renderRaw }
         val post = arg(1) match { case VStr(s) => s; case o => o.renderRaw }
-        Search.highlight(env, pre, post, int(2).toInt)
-      case "search::offsets" => Search.offsets(env, int(0).toInt)
+        Search.highlight(env, pre, post, int(2).toInt,
+          arg(3) match { case VBool(b) => b; case _ => false })
+      case "search::offsets" => Search.offsets(env, int(0).toInt,
+        arg(1) match { case VBool(b) => b; case _ => false })
       case "search::analyze" =>
         val nm = arg(0) match { case VStr(s) => s; case o => o.renderRaw }
         val tx = arg(1) match { case VStr(s) => s; case o => o.renderRaw }
@@ -1586,7 +1710,8 @@ object Functions {
           case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) =>
             val len = if (a.length > 1) int(1).toInt else 12
             VStr(geohashEncode(y.toDouble, x.toDouble, len))
-          case _ => VNone // non-point geometries hash to NONE (fnc/geo.rs)
+          case _: VGeom | _: VObj => VNone // non-point geometries hash to NONE (fnc/geo.rs)
+          case other => typeErr(0, "geometry", other)
         }
       case "geo::hash::decode" => arg(0) match {
         case VStr(s) =>
@@ -1909,6 +2034,35 @@ object Functions {
       }
     }
     dp(y.length).toLong
+  }
+
+  /** True Damerau-Levenshtein (transpositions over arbitrary distance —
+    * the strsim algorithm the reference links against, fnc/string.rs). */
+  private def damerauLevenshtein(a: String, b: String): Long = {
+    val (la, lb) = (a.length, b.length)
+    val maxD = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = maxD
+    for (i <- 0 to la) { d(i + 1)(0) = maxD; d(i + 1)(1) = i }
+    for (j <- 0 to lb) { d(0)(j + 1) = maxD; d(1)(j + 1) = j }
+    val lastRow = scala.collection.mutable.HashMap.empty[Char, Int]
+    for (i <- 1 to la) {
+      var lastMatchCol = 0
+      for (j <- 1 to lb) {
+        val k = lastRow.getOrElse(b(j - 1), 0)
+        val l = lastMatchCol
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        if (cost == 0) lastMatchCol = j
+        d(i + 1)(j + 1) = Seq(
+          d(i)(j) + cost,                          // substitute
+          d(i + 1)(j) + 1,                         // insert
+          d(i)(j + 1) + 1,                         // delete
+          d(k)(l) + (i - k - 1) + 1 + (j - l - 1)  // transpose
+        ).min
+      }
+      lastRow(a(i - 1)) = i
+    }
+    d(la + 1)(lb + 1).toLong
   }
 
   private def jaro(x: String, y: String): Double = {

@@ -2907,10 +2907,21 @@ final class Interp {
       env0 = env0.bind(Search.RefsParam, Search.encodeRefs(matchRefs, env))
 
     // WHERE — `<|k|>` KNN nodes are cross-row top-k: precompute over the
-    // candidate rows, rewrite to membership, bind distances
+    // candidate rows, rewrite to membership, bind distances. The top-k ranks
+    // only rows passing the OTHER conjuncts (KnnTopK sits above the
+    // predicated scan, exec/planner/select.rs; HNSW pulls candidates until k
+    // pass the condition, idx/trees/hnsw HnswConditionChecker).
     s.where.foreach { cond0 =>
       val cond = if (Search.hasKnn(cond0)) {
-        val (c2, e2) = Search.prepareKnn(cond0, rows, env0, this)
+        def conjs(e: Expr): Seq[Expr] = e match {
+          case Binary("&&", l, r) => conjs(l) ++ conjs(r)
+          case x => Seq(x)
+        }
+        val plain = conjs(cond0).filterNot(Search.hasKnn)
+        val candidates =
+          if (plain.isEmpty) rows
+          else rows.filter(r => plain.forall(c => Eval.eval(c, rowEnv(env0, r)).truthy))
+        val (c2, e2) = Search.prepareKnn(cond0, candidates, env0, this)
         env0 = e2
         c2
       } else cond0

@@ -66,7 +66,7 @@ object Ops {
 
   def numPow(a: VNum, p: VNum): VNum = (a, p) match {
     case (VInt(v), VInt(e)) =>
-      def fail() = throw SqlError(s"Cannot raise the value '$v' and '$e'")
+      def fail() = throw SqlError(s"Cannot raise the value '$v' with '$e'")
       v match {
         case 0L => if (e < 0) fail() else if (e == 0) VInt(1) else VInt(0)
         case 1L => VInt(1)
@@ -85,7 +85,7 @@ object Ops {
       }
     case (VDec(v), VInt(e)) =>
       try VDec(v.pow(e.toInt))
-      catch { case _: Exception => throw SqlError(s"Cannot raise the value '$v' and '$e'") }
+      catch { case _: Exception => throw SqlError(s"Cannot raise the value '$v' with '$e'") }
     case (x, y) => VFloat(Math.pow(x.toDouble, y.toDouble))
   }
 

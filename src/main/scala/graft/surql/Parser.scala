@@ -3250,6 +3250,11 @@ final class Parser(val src: String) {
         while (!eof && peekc != '>') pos += 1
         expectSym(">")
       }
+      // `mod::` module invocation is gated behind the experimental
+      // `surrealism` capability, which is off by default (syn/parser:
+      // functions/module/surrealism_disabled golden)
+      if (nsHead == "mod")
+        fail("Experimental capability `surrealism` is not enabled: use of `mod::` is still experimental")
       if (nsHead != "fn" && KnownFns.checkedNs(nsHead) && !KnownFns.names(full)) {
         val hint = KnownFns.names.filter(_.startsWith(nsHead + "::"))
           .minByOption(k => levenshteinish(k, full))

@@ -15,7 +15,13 @@ object Search {
   /** A term derived from a source token: `term` is the (filtered) text,
     * [start,end) the char span of the ORIGINAL token in the source string
     * (highlights/offsets report source spans, not derived-term spans). */
-  final case class Tok(term: String, start: Int, end: Int)
+  final case class Tok(term: String, start: Int, end: Int,
+      pStart: Int = -1, pEnd: Int = -1) {
+    /** Partial (derived-term) span: where THIS term sits in the source —
+      * differs from the token span only for ngram/edgengram sub-terms
+      * (search::highlight/offsets partial=true mode). */
+    def pSpan: (Int, Int) = if (pStart >= 0) (pStart, pEnd) else (start, end)
+  }
 
   final case class AnalyzerDef(
       name: String,
@@ -185,7 +191,11 @@ object Search {
         while (s <= l - min) {
           var p = s + min
           val e = Math.min(s + max, l)
-          while (p <= e) { out += t.copy(term = cs.substring(s, p)); p += 1 }
+          while (p <= e) {
+            out += t.copy(term = cs.substring(s, p),
+              pStart = t.start + s, pEnd = t.start + p)
+            p += 1
+          }
           s += 1
         }
         out.toVector
@@ -197,7 +207,8 @@ object Search {
       if (l < min) Vector.empty
       else {
         val max = Math.min(maxArg, l)
-        (min to max).map(p => t.copy(term = t.term.substring(0, p))).toVector
+        (min to max).map(p => t.copy(term = t.term.substring(0, p),
+          pStart = t.start, pEnd = t.start + p)).toVector
       }
     case "snowball" | "mapper" => Vector(t) // stemming/lemmatization: identity
     case _ => Vector(t)
@@ -272,6 +283,9 @@ object Search {
   private def strValues(v: V): Vector[String] = v match {
     case VStr(s)     => Vector(s)
     case VArr(items) => items.flatMap(strValues)
+    // object values index/highlight their nested strings in key order
+    // (ft/highlighter.rs walks the value tree; VObj is key-sorted)
+    case VObj(fs)    => fs.values.toVector.flatMap(strValues)
     case _           => Vector.empty
   }
 
@@ -486,7 +500,8 @@ object Search {
 
   /** Matched source spans per value-index of the ref's field for the
     * current doc. */
-  private def matchSpans(env: Env, ref: Int): Option[(Vector[String], Map[Int, Vector[(Int, Int)]])] =
+  private def matchSpans(env: Env, ref: Int,
+      partial: Boolean): Option[(Vector[String], Map[Int, Vector[(Int, Int)]])] =
     for {
       in <- env.interp
       doc <- env.doc
@@ -500,15 +515,18 @@ object Search {
       val spans = values.zipWithIndex.flatMap { case (s, i) =>
         val toks = analyzeText(in, env, a, s, querying = false)
         val hit = toks.filter(t => qTerms.contains(t.term))
-          .map(t => (t.start, t.end)).distinct.sorted
+          .map(t => if (partial) t.pSpan else (t.start, t.end)).distinct.sorted
         if (hit.isEmpty) scala.None else Some(i -> hit)
       }.toMap
       (values, spans)
     }
 
-  /** search::highlight(pre, post, ref): wrap matched source spans. */
-  def highlight(env: Env, pre: String, post: String, ref: Int): V = {
-    matchSpans(env, ref) match {
+  /** search::highlight(pre, post, ref, [partial]): wrap matched source
+    * spans — whole enclosing tokens by default, the matched ngram sub-spans
+    * with partial=true (fnc/search.rs highlight partial flag). */
+  def highlight(env: Env, pre: String, post: String, ref: Int,
+      partial: Boolean = false): V = {
+    matchSpans(env, ref, partial) match {
       case Some((values, spans)) if spans.nonEmpty =>
         val out = values.zipWithIndex.map { case (s, i) =>
           spans.get(i) match {
@@ -539,9 +557,9 @@ object Search {
     }
   }
 
-  /** search::offsets(ref): { "<valueIndex>": [{s,e}…] }. */
-  def offsets(env: Env, ref: Int): V = {
-    matchSpans(env, ref) match {
+  /** search::offsets(ref, [partial]): { "<valueIndex>": [{s,e}…] }. */
+  def offsets(env: Env, ref: Int, partial: Boolean = false): V = {
+    matchSpans(env, ref, partial) match {
       case Some((_, spans)) if spans.nonEmpty =>
         VObj(TreeMap(spans.toSeq.sortBy(_._1).map { case (i, hs) =>
           i.toString -> (VArr(hs.map { case (s, e) =>
@@ -586,6 +604,38 @@ object Search {
     case _ => scala.None
   }
 
+  /** Index-served distance over f32-stored vectors: components quantized to
+    * f32, products ACCUMULATED in f32, final sqrt/divide in f64 — the exact
+    * arithmetic of the reference's F32 SharedVector (idx/trees/vector.rs),
+    * verified bit-for-bit against the search-linear/rrf goldens. */
+  def distanceF32(metric: String, a0: Vector[Double], b0: Vector[Double]): Double = {
+    val a = a0.map(_.toFloat)
+    val b = b0.map(_.toFloat)
+    val m = Math.min(a.length, b.length)
+    metric match {
+      case "COSINE" =>
+        var d = 0.0f; var na = 0.0f; var nb = 0.0f; var i = 0
+        while (i < m) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        1.0 - d.toDouble / (Math.sqrt(na.toDouble) * Math.sqrt(nb.toDouble))
+      case "MANHATTAN" =>
+        var s = 0.0f; var i = 0
+        while (i < m) { s += Math.abs(a(i) - b(i)); i += 1 }
+        s.toDouble
+      case "CHEBYSHEV" =>
+        var s = 0.0f; var i = 0
+        while (i < m) { s = Math.max(s, Math.abs(a(i) - b(i))); i += 1 }
+        s.toDouble
+      case "HAMMING" =>
+        var s = 0.0; var i = 0
+        while (i < m) { if (a(i) != b(i)) s += 1; i += 1 }
+        s
+      case _ => // EUCLIDEAN
+        var s = 0.0f; var i = 0
+        while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
+        Math.sqrt(s.toDouble)
+    }
+  }
+
   def distance(metric: String, a: Vector[Double], b: Vector[Double]): Double = {
     val m = Math.min(a.length, b.length)
     metric match {
@@ -612,6 +662,16 @@ object Search {
         Math.sqrt(s)
     }
   }
+
+  /** Vector element type of the HNSW/MTREE index on (table, field): the
+    * DEFAULT is F32 (catalog/providers vector index), so index-served KNN
+    * distances are computed over f32-quantized components. */
+  def knnQuantF32(in: Interp, table: String, field: String): Boolean =
+    in.indexDefs.exists { case ((t, _), d) =>
+      t == table && d.fields.contains(field) &&
+        (d.tail.toUpperCase.contains("HNSW") || d.tail.toUpperCase.contains("MTREE")) &&
+        !"(?i)TYPE\\s+F64".r.findFirstIn(d.tail).isDefined
+    }
 
   /** Metric for a KNN op over (table, field): explicit metric wins, else the
     * HNSW/MTREE index's DIST clause, else euclidean. */
@@ -648,7 +708,10 @@ object Search {
               v <- vecOf(d.fields.getOrElse(f, VNone))
             } yield {
               val metric = knnMetric(in, rid.table, f, ko.metric)
-              (rid, distance(metric, v, q))
+              // the `<|k,ef|>` index form reads f32-stored vectors and
+              // accumulates in f32 — match the reference bit-for-bit
+              val indexed = ko.metric.isEmpty && knnQuantF32(in, rid.table, f)
+              (rid, if (indexed) distanceF32(metric, v, q) else distance(metric, v, q))
             }
           case _ => scala.None
         }
