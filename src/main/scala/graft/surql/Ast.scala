@@ -151,7 +151,9 @@ final case class DefineStmt(what: String, name: String, clauses: Map[String, Exp
 final case class DefineTableStmt(d: graft.surql.Defs.TableDef, mode: String) extends Statement
 final case class DefineEventStmt(d: graft.surql.Defs.EventDef, mode: String) extends Statement
 final case class DefineUserStmt(d: graft.surql.Defs.UserDef, mode: String) extends Statement
-final case class DefineSequenceStmt(d: graft.surql.Defs.SequenceDef, mode: String) extends Statement
+final case class DefineSequenceStmt(d: graft.surql.Defs.SequenceDef, mode: String,
+    batchE: Option[Expr] = scala.None, startE: Option[Expr] = scala.None,
+    timeoutE: Option[Expr] = scala.None) extends Statement
 /** DEFINE BUCKET (sql/statements/define/bucket.rs): an object-store
   * namespace for `file::*` / f"bucket:/key" values. */
 final case class DefineBucketStmt(name: String, backend: Option[Expr],
@@ -315,18 +317,19 @@ object Output {
 }
 
 final case class CreateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
-    output: Option[Output]) extends Statement
+    output: Option[Output], timeout: Option[Expr] = scala.None) extends Statement
 final case class InsertStmt(ignore: Boolean, into: Option[Expr], values: Expr,
     onDuplicate: Option[Seq[(Idiom, String, Expr)]], relation: Boolean,
     output: Option[Output]) extends Statement
 final case class UpdateStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
     where: Option[Expr], output: Option[Output],
-    explain: Boolean = false) extends Statement
+    explain: Boolean = false, timeout: Option[Expr] = scala.None) extends Statement
 final case class UpsertStmt(only: Boolean, what: Seq[Expr], data: Option[Data],
     where: Option[Expr], output: Option[Output],
-    explain: Boolean = false) extends Statement
+    explain: Boolean = false, timeout: Option[Expr] = scala.None) extends Statement
 final case class DeleteStmt(only: Boolean, what: Seq[Expr], where: Option[Expr],
-    output: Option[Output], explain: Boolean = false) extends Statement
+    output: Option[Output], explain: Boolean = false,
+    timeout: Option[Expr] = scala.None) extends Statement
 /** LIVE SELECT … — register a realtime subscription, returns its uuid
   * (expr/statements/live.rs:23-30). */
 final case class LiveStmt(fields: Seq[Field], value: Boolean, diff: Boolean,

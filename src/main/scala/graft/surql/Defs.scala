@@ -44,7 +44,8 @@ object Defs {
       perms: Seq[(String, String)] = tablePermsDefault,
       comment: Option[String] = scala.None) {
     def render: String = {
-      val sb = new StringBuilder("DEFINE TABLE ").append(escIdent(name)).append(" TYPE ")
+      // reserved words backtick in the catalog render (`table`)
+      val sb = new StringBuilder("DEFINE TABLE ").append(Explain.escKwIdent(name)).append(" TYPE ")
       ttype match {
         case "RELATION" =>
           sb.append("RELATION")

@@ -243,13 +243,20 @@ object Eval {
     walk(start, rest, env)
   }
 
-  def walk(v: V, parts: Seq[Part], env: Env): V = {
+  def walk(v: V, parts: Seq[Part], env: Env): V = walk(v, parts, env, postHop = false)
+
+  /** `postHop` marks a value produced by a graph hop: consecutive hops (and
+    * hops after an interposed filter) flatten, while a hop applied to a
+    * plain array value distributes per element WITHOUT flattening
+    * (idiom/graph_filter_flattened: `[person:1]->likes->person` nests). */
+  private def walk(v: V, parts: Seq[Part], env: Env, postHop: Boolean): V = {
     if (parts.isEmpty) return v
     val part = parts.head
     val rest = parts.tail
     part match {
       case POptional =>
-        if (v == VNone || v == VNull) VNone else walk(v, rest, env)
+        // only NONE short-circuits; NULL passes through (optional_passthrough)
+        if (v == VNone) VNone else walk(v, rest, env)
       case PField(name) => v match {
         case VObj(fs)  => walk(fs.getOrElse(name, VNone), rest, env)
         case VArr(its) => VArr(its.map(el => walk(el, parts, env)))
@@ -267,9 +274,14 @@ object Eval {
         case _ => walk(VNone, rest, env)
       }
       case PAll => v match {
-        // `.*` distributes over arrays re-applying itself, so record-id
-        // elements fetch their documents (relate/ported_create_select)
-        case VArr(its) => VArr(its.map(el => walk(el, parts, env)))
+        // `.*` distributes ONE level over arrays: each element takes the
+        // REST of the path (re-applying `.*` only to unwrap record ids —
+        // relate/ported_create_select; nested arrays must NOT re-distribute,
+        // idiom/array_range `.*[0..1].min()`)
+        case VArr(its) => VArr(its.map {
+          case rid: VRid => walk(rid, parts, env)
+          case el => walk(el, rest, env)
+        })
         // `.*` on an object yields the object itself (record.* = full doc)
         case obj: VObj => walk(obj, rest, env)
         case rid: VRid =>
@@ -327,7 +339,8 @@ object Eval {
               case x => eval(cond, baseEnv.copy(doc = scala.None, params = baseEnv.params + ("this" -> x))).truthy
             }
           }
-          walk(VArr(filtered), rest, env)
+          // a filter between hops preserves hop-flattening semantics
+          walk(VArr(filtered), rest, env, postHop)
         case _ => walk(VNone, rest, env)
       }
       case PMethod("__call__", args) =>
@@ -354,7 +367,13 @@ object Eval {
       }
       case g: PGraph =>
         env.interp match {
-          case Some(in) => walk(in.graphHop(v, g, env), rest, env)
+          case Some(in) => v match {
+            case VArr(its) if !postHop =>
+              // plain-array source: the hop (and the remaining chain)
+              // evaluates per element, results collect unflattened
+              VArr(its.map(el => walk(el, parts, env, postHop = false)))
+            case _ => walk(in.graphHop(v, g, env), rest, env, postHop = true)
+          }
           case scala.None => walk(VNone, rest, env)
         }
       case PDoc => walk(env.doc.getOrElse(v), rest, env)
@@ -380,7 +399,14 @@ object Eval {
           if (containsRepeat(body)) {
             if (instr != RDefault)
               throw SqlError("Cannot construct a recursion plan when an instruction is provided")
-            recurseRepeat(v, body, minD, maxD, userMax, env)
+            // the recursion body ends at the top-level `@`; trailing parts
+            // (`.{2}.contains.@.name`) apply ONCE to the final frontier
+            val splitAt = body.indexOf(PRepeatRecurse)
+            val (bodyCore, afterRepeat) =
+              if (splitAt >= 0) (body.take(splitAt + 1), body.drop(splitAt + 1))
+              else (body, Seq.empty[Part])
+            walk(recurseRepeat(v, bodyCore, minD, maxD, userMax, env),
+              afterRepeat, env)
           } else instr match {
             case RDefault          => recurseDefault(v, body, minD, maxD, userMax, env)
             case RCollect(incl)    => recurseCollect(v, body, minD, maxD, incl, env)
@@ -578,9 +604,14 @@ object Eval {
             throw SqlError(s"Exceeded the idiom recursion limit of $RecursionLimit.")
           VArr(clean)
         } else {
+          // each iteration flattens one level (recursion.rs clean_iteration)
+          // — `{2}.contains.@` yields a FLAT frontier, not per-parent arrays
           val expanded = clean.flatMap { t =>
-            try Some(go(t, depth + 1))
-            catch { case EliminatedSignal => scala.None }
+            try go(t, depth + 1) match {
+              case VArr(inner) => inner
+              case x => Vector(x)
+            }
+            catch { case EliminatedSignal => Vector.empty[V] }
           }
           if (expanded.isEmpty && depth + 1 < minD) throw EliminatedSignal
           VArr(expanded)

@@ -749,14 +749,18 @@ final class Interp {
         full = s.explainFull)
     case s: SelectStmt if s.explain =>
       Explain.run(this, s.explainFull, json = true, s.copy(explain = false, explainFull = false), env)
-    case s: SelectStmt => execSelect(s, env)
-    case s: CreateStmt => checkApiDeadline(); suppressIfImport(execCreate(s, env))
+    case s: SelectStmt =>
+      // type::field/fields OMIT markers bind to the session env here
+      val sx = if (s.omit.exists(_.startsWith(" ")))
+        s.copy(omit = expandIdxFields(s.omit, env)) else s
+      execSelect(sx, env)
+    case s: CreateStmt => checkApiDeadline(); checkStmtTimeout(s.timeout, env); suppressIfImport(execCreate(s, env))
     case s: UpdateStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env)
     case s: UpsertStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env, defer = true)
     case s: DeleteStmt if s.explain => Explain.legacyMut(this, s.what, s.where, env)
-    case s: UpdateStmt => checkApiDeadline(); suppressIfImport(execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false))
-    case s: UpsertStmt => checkApiDeadline(); suppressIfImport(execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true))
-    case s: DeleteStmt => checkApiDeadline(); suppressIfImport(execDelete(s, env))
+    case s: UpdateStmt => checkApiDeadline(); checkStmtTimeout(s.timeout, env); suppressIfImport(execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = false))
+    case s: UpsertStmt => checkApiDeadline(); checkStmtTimeout(s.timeout, env); suppressIfImport(execUpdate(s.only, s.what, s.data, s.where, s.output, env, upsert = true))
+    case s: DeleteStmt => checkApiDeadline(); checkStmtTimeout(s.timeout, env); suppressIfImport(execDelete(s, env))
     case s: InsertStmt => checkApiDeadline(); suppressIfImport(execInsert(s, env))
     case s: RelateStmt => checkApiDeadline(); suppressIfImport(execRelate(s, env))
     case s: LiveStmt => execLive(s, env)
@@ -792,8 +796,12 @@ final class Interp {
     case d: DefineStmt => execDefine(d); VNone
     case s: DefineFunctionStmt => execDefineFunction(s.copy(comment = rc(s.comment, env))); VNone
     case f: DefineFieldStmt => execDefineField(resolveFieldNames(f, env)); VNone
-    case ix: DefineIndexStmt => execDefineIndex(ix.copy(name = rn(ix.name, env),
-      table = rn(ix.table, env), meta = ix.meta.map(m => m.copy(name = rn(m.name, env), table = rn(m.table, env))))); VNone
+    case ix: DefineIndexStmt =>
+      val fs = expandIdxFields(ix.fields, env)
+      execDefineIndex(ix.copy(name = rn(ix.name, env),
+        table = rn(ix.table, env), fields = fs,
+        meta = ix.meta.map(m => m.copy(name = rn(m.name, env),
+          table = rn(m.table, env), fields = fs)))); VNone
     case s: DefineTableStmt => execDefineTable(s.copy(d = s.d.copy(name = rn(s.d.name, env),
       comment = rc(s.d.comment, env)))); VNone
     case s: DefineEventStmt => execDefineEvent(s.copy(d = s.d.copy(name = rn(s.d.name, env),
@@ -802,7 +810,7 @@ final class Interp {
       comment = rc(s.d.comment, env),
       durToken = rd(Some(s.d.durToken), env).getOrElse("NONE"),
       durSession = rd(Some(s.d.durSession), env).getOrElse("NONE")))); VNone
-    case s: DefineSequenceStmt => execDefineSequence(s.copy(d = s.d.copy(name = rn(s.d.name, env)))); VNone
+    case s: DefineSequenceStmt => execDefineSequence(s.copy(d = s.d.copy(name = rn(s.d.name, env))), env); VNone
     case s: DefineRawStmt => execDefineRaw(s.copy(name = rn(s.name, env),
       comment = rc(s.comment, env)), env); VNone
     case s: DefineApiStmt =>
@@ -813,8 +821,19 @@ final class Interp {
       val segs = Api.parsePath(pathStr)
       val sqlPath = Api.pathSql(segs)
       if (ddlGate(apiDefs.contains(sqlPath), s.mode, s"The api '$sqlPath' already exists")) {
-        val fallback = s.clauses.find(_.methods.contains("any"))
-        val actions = s.clauses.filterNot(_.methods.contains("any"))
+        // middleware args bind at define time: the catalog renders their
+        // VALUES, not the $param references (parameterized/schema/api)
+        val clauses = s.clauses.map { c =>
+          c.copy(middleware = c.middleware.map { case (nm, argEs, _) =>
+            val rendered = nm + "(" + argEs.map(e =>
+              try Render.sql(Eval.eval(e, env))
+              catch { case _: SqlError => Explain.exprSql(e) }).mkString(", ") + ")"
+            (nm, argEs.map(e => try Lit(Eval.eval(e, env)): Expr
+              catch { case _: SqlError => e }), rendered)
+          })
+        }
+        val fallback = clauses.find(_.methods.contains("any"))
+        val actions = clauses.filterNot(_.methods.contains("any"))
         apiDefs(sqlPath) = Api.RtDef(sqlPath, segs, actions, fallback, rc(s.comment, env))
       }
       VNone
@@ -983,7 +1002,10 @@ final class Interp {
     val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
     if (ddlGate(functionDefs.contains(full), s.mode, s"The function '$full' already exists")) {
       customFns(key) = VClosure(s.params, s.body, scala.None, Map.empty)
-      val body = Defs.normRaw(s.bodyRaw).replace("; }", " }")
+      // an empty body block prints as `{;}` (sql Block Display: zero
+      // statements emit the bare separator — upgrade/define/function golden)
+      val body0 = Defs.normRaw(s.bodyRaw).replace("; }", " }")
+      val body = if (body0.replaceAll("[\\s{}]", "").isEmpty) "{;}" else body0
       functionDefs(full) = Defs.FnDef(full, s.paramsRaw, s.returnsRaw, body, s.comment, s.perms)
     }
   }
@@ -1085,6 +1107,26 @@ final class Interp {
     }
     if (f.flexible && !tableDefs.get(f.table).exists(_.full))
       throw SqlError("An error occurred: FLEXIBLE can only be used in SCHEMAFULL tables")
+    if (f.meta.exists(_.referenceRaw.isDefined)) {
+      // REFERENCE restrictions (define/field.rs): root-level fields only,
+      // and the type must be record-only (possibly wrapped/unioned)
+      if (f.field.contains('.') || f.field.contains('['))
+        throw SqlError(s"Cannot use the `REFERENCE` keyword on nested field `${f.field}`. " +
+          "Specify a referencing field at the root level instead.")
+      def recordOnly(k: Kind): Boolean = k match {
+        case Kind.KRecord(_) => true
+        case Kind.KOption(inner) => recordOnly(inner)
+        case Kind.KArray(inner, _) => inner.forall(recordOnly)
+        case Kind.KSet(inner, _) => inner.forall(recordOnly)
+        case Kind.KEither(ks) => ks.forall(recordOnly)
+        case _ => false
+      }
+      f.kind.foreach { k =>
+        if (!recordOnly(k))
+          throw SqlError(s"Cannot use the `REFERENCE` keyword with `TYPE ${f.meta.flatMap(_.kindRaw).getOrElse(Explain.kindSql(k))}`. " +
+            "Specify only a `record` type, or a type containing only records, instead.")
+      }
+    }
     checkSubtypeMismatch(f)
     // `id` TYPE must be a valid record-id key kind at top level (nested
     // kinds are unrestricted) — define/field.rs id-kind validation
@@ -1445,9 +1487,23 @@ final class Interp {
       reg(s.d.name) = s.d
   }
 
-  private def execDefineSequence(s: DefineSequenceStmt): Unit =
-    if (ddlGate(sequences.contains(s.d.name), s.mode, s"The sequence '${s.d.name}' already exists"))
-      sequences(s.d.name) = s.d
+  private def execDefineSequence(s: DefineSequenceStmt, env: Env): Unit = {
+    var d = s.d
+    s.batchE.foreach(e => d = d.copy(batch = Eval.eval(e, env) match {
+      case VInt(n) => n
+      case other => throw SqlError(s"Expected a int but found ${other.render}")
+    }))
+    s.startE.foreach(e => d = d.copy(start = Eval.eval(e, env) match {
+      case VInt(n) => n
+      case other => throw SqlError(s"Expected a int but found ${other.render}")
+    }))
+    s.timeoutE.foreach(e => d = d.copy(timeout = Some(Eval.eval(e, env) match {
+      case dd: VDur => Render.sql(dd)
+      case other => throw SqlError(s"Expected a duration but found ${other.render}")
+    })))
+    if (ddlGate(sequences.contains(d.name), s.mode, s"The sequence '${d.name}' already exists"))
+      sequences(d.name) = d
+  }
 
   private def execDefineRaw(s: DefineRawStmt, env: Env): Unit = s.what match {
     case "NAMESPACE" =>
@@ -1464,8 +1520,16 @@ final class Interp {
       // DEFINE CONFIG DEFAULT NAMESPACE x DATABASE y lives at ROOT level
       // (remove/config/default golden; define/config/default.rs)
       if (ddlGate(rootDefaultConfig.isDefined, s.mode, "The config for default already exists")) {
-        val ns = "(?i)NAMESPACE\\s+(\\S+)".r.findFirstMatchIn(s.rendered).map(_.group(1))
-        val db = "(?i)DATABASE\\s+(\\S+)".r.findFirstMatchIn(s.rendered).map(_.group(1))
+        // NAMESPACE/DATABASE values may be $params or quoted strings —
+        // they bind at define time (parameterized/schema/config)
+        def tok(t: String): String =
+          if (t.startsWith("$")) Eval.eval(Param(t.drop(1)), env) match {
+            case VStr(x) => x
+            case other   => other.renderRaw
+          }
+          else t.stripPrefix("'").stripSuffix("'").stripPrefix("\"").stripSuffix("\"")
+        val ns = "(?i)NAMESPACE\\s+(\\S+)".r.findFirstMatchIn(s.rendered).map(m => tok(m.group(1)))
+        val db = "(?i)DATABASE\\s+(\\S+)".r.findFirstMatchIn(s.rendered).map(m => tok(m.group(1)))
         rootDefaultConfig = Some((ns.getOrElse(""), db.getOrElse("")))
       }
     case "CONFIG" =>
@@ -2507,6 +2571,11 @@ final class Interp {
             val beforeItems = beforeV match { case VArr(bi) => bi; case _ => Vector.empty }
             VArr(items.zipWithIndex.map { case (el, i) =>
               transform(el, rest, beforeItems.lift(i).getOrElse(VNone)) })
+          // `obj.*` constrains every VALUE of the object (define_field_dot_star)
+          case VObj(fs) =>
+            val beforeFs = beforeV match { case o: VObj => o.fields; case _ => TreeMap.empty[String, V] }
+            VObj(fs.map { case (k2, el) =>
+              k2 -> transform(el, rest, beforeFs.getOrElse(k2, VNone)) })
           case other => other
         }
         case seg :: rest => cur match {
@@ -3844,6 +3913,40 @@ final class Interp {
       }
     }
 
+  /** `type::field($p)` / `type::fields($p)` DEFINE INDEX items (parsed to
+    * " field:<raw>" / " fields:<raw>" markers) evaluate at define time
+    * (parameterized/schema/index; reference computes them in the planner). */
+  private def expandIdxFields(fs: Seq[String], env: Env): Seq[String] = fs.flatMap { f =>
+    if (f.startsWith(" ") && f.contains(":")) {
+      val i = f.indexOf(':')
+      val which = f.substring(1, i)
+      val raw = f.substring(i + 1)
+      val e = Parser.parse("RETURN " + raw + ";").stmts.head match {
+        case ReturnStmt(x) => x
+        case _ => Lit(VNone)
+      }
+      Eval.eval(e, env) match {
+        case VStr(s) => Seq(s)
+        case VArr(items) if which == "fields" =>
+          items.map { case VStr(s) => s; case o => o.renderRaw }
+        case other => throw SqlError(s"Expected a string but found ${other.render}")
+      }
+    } else Seq(f)
+  }
+
+  /** Mutation TIMEOUT guard: a zero budget means the deadline fires before
+    * the first operation — nothing executes (dbs executor deadline check).
+    * Nonzero budgets are ample for the in-process engine and run untimed
+    * (the cross-thread watchdog would race interpreter state on writes). */
+  private def checkStmtTimeout(tmo: Option[Expr], env: Env): Unit = tmo.foreach { te =>
+    val dur = Eval.eval(te, env) match {
+      case d: VDur => d
+      case other => throw SqlError(s"Expected a duration but found ${other.render}")
+    }
+    if (dur.secs == 0 && dur.nanos == 0)
+      throw SqlError(s"The query was not executed because it exceeded the timeout: ${Render.sql(dur)}")
+  }
+
   def execCreate(s: CreateStmt, env: Env): V = {
     val created = mutationTargets(s.what, env).map { case (tb, keyOpt) =>
       // STRICT databases refuse writes to undefined tables (strict mode) —
@@ -4051,11 +4154,13 @@ final class Interp {
   private def applyReferentialActions(target: VRid, env: Env): Unit = {
     fieldPipeline.toSeq.foreach { case (tbl, defs) =>
       defs.filter(_.meta.exists(_.referenceRaw.isDefined)).foreach { fd =>
-        val raw = fd.meta.flatMap(_.referenceRaw).getOrElse("").toUpperCase
+        val rawOrig = fd.meta.flatMap(_.referenceRaw).getOrElse("")
+        val raw = rawOrig.toUpperCase
         val action =
           if (raw.contains("REJECT")) "REJECT"
           else if (raw.contains("CASCADE")) "CASCADE"
           else if (raw.contains("UNSET")) "UNSET"
+          else if (raw.contains("THEN")) "THEN"
           else "IGNORE"
         if (action != "IGNORE") {
           val path = fd.field.replace(".*", "")
@@ -4086,6 +4191,21 @@ final class Interp {
                 }
                 tables(tbl)(k) = updated
                 fireEvents(tbl, Some(r), Some(updated), env)
+              case "THEN" =>
+                // custom referential action: run the THEN expression with
+                // $this = referencing record, $reference = deleted id
+                // (expr/reference.rs ReferenceDeleteStrategy::Custom)
+                val thenRaw = "(?is)THEN\\s+(.*)$".r.findFirstMatchIn(rawOrig)
+                  .map(_.group(1).trim).getOrElse("")
+                if (thenRaw.nonEmpty) {
+                  val e = Parser.parse("RETURN " + thenRaw + ";").stmts.head match {
+                    case ReturnStmt(x) => x
+                    case _ => Lit(VNone)
+                  }
+                  val env2 = env.copy(doc = Some(r)).bind("reference", target)
+                  try Eval.eval(e, env2)
+                  catch { case ReturnSignal(_) => () }
+                }
               case _ => ()
             }
           }
@@ -4299,23 +4419,34 @@ final class Interp {
     // records whose REFERENCE-marked fields point at the source
     if (g.dir == "ref") {
       sources.foreach { src =>
-        val subjectTables =
-          if (g.what.nonEmpty) g.what.map(_.table)
-          else tables.keys.toVector.sorted
-        subjectTables.foreach { t =>
+        val subjects: Seq[LookupSubject] =
+          if (g.what.nonEmpty) g.what
+          else tables.keys.toVector.sorted.map(t => LookupSubject(t, scala.None))
+        subjects.foreach { sub =>
+          val t = sub.table
+          // an id-range restriction needs a referencing FIELD to index by
+          // (reference scan/reference.rs range guard)
+          if (sub.key.exists(_.isInstanceOf[RangeLit]) && g.refFields.isEmpty)
+            throw SqlError("Cannot scan a specific range of record references without a referencing field")
           val refFields = fieldPipeline.getOrElse(t, Vector.empty)
             .filter(_.meta.exists(_.referenceRaw.isDefined))
             .filter(fd => g.refFields.isEmpty ||
               g.refFields.contains(fd.field.replace(".*", "")))
           if (refFields.nonEmpty) {
             tables.get(t).foreach(_.values.foreach { r =>
-              val hit = refFields.exists { fd =>
-                docFieldPath(r, fd.field.replace(".*", "")) match {
+              // each referencing FIELD contributes its own entry — a record
+              // referencing via two fields appears twice (via_referencing_field)
+              refFields.foreach { fd =>
+                val hit = docFieldPath(r, fd.field.replace(".*", "")) match {
                   case VArr(items) => items.exists(V.looseEq(_, src))
                   case v           => V.looseEq(v, src)
                 }
+                if (hit) r.fields.get("id").foreach {
+                  case id: VRid if keyMatch(id.key, sub.key) => candidates += id
+                  case id if sub.key.isEmpty => candidates += id
+                  case _ => ()
+                }
               }
-              if (hit) r.fields.get("id").foreach(candidates += _)
             })
           }
         }

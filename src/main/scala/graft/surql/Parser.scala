@@ -644,7 +644,9 @@ final class Parser(val src: String) {
           }
           else { expectSym("]"); fn.append(".*") }
         }
-        else if (peekSym("...")) { sym("..."); fn.append("...") }
+        // flatten part canonicalizes to the unicode ellipsis (fmt_sql …)
+        else if (peekSym("...")) { sym("..."); fn.append("…") }
+        else if (peekSym("…")) { sym("…"); fn.append("…") }
         else if (peekSym(".") && !peekSym("..")) {
           sym(".")
           ws()
@@ -723,9 +725,28 @@ final class Parser(val src: String) {
         var g = true
         while (g) {
           var f = idiomName()
-          // zero-arg method and array-index segments are indexable paths
-          // (id.id().r, id[1] — planner select_compound_index_*)
+          // type::field($p) / type::fields($p) items evaluate at define
+          // time — stored as markers the executor expands with the env
+          // (parameterized/schema/index)
           ws()
+          if (f == "type" && peekSym("::")) {
+            sym("::")
+            val which = rawIdent().toLowerCase
+            ws(); expectSym("(")
+            val e0 = pos
+            var dep = 1
+            while (!eof && dep > 0) {
+              val c = peekc
+              if (c == '(') dep += 1
+              else if (c == ')') dep -= 1
+              if (dep > 0) pos += 1
+            }
+            val inner = src.substring(e0, pos).trim
+            expectSym(")")
+            f = " " + which + ":" + inner
+            fields += f
+            g = sym(",")
+          } else {
           while (peekc == '(' || peekc == '[') {
             if (peekc == '(') { pos += 1; ws(); expectSym(")"); f += "()" }
             else {
@@ -747,6 +768,7 @@ final class Parser(val src: String) {
           if (sym("…") || sym("...")) f += "…"
           fields += f
           g = sym(",")
+          }
         }
       }
       ws()
@@ -777,8 +799,11 @@ final class Parser(val src: String) {
       return DefineIndexStmt(idxName, tbl, fields.toSeq, unique, Some(meta), mode, concurrently)
     }
     if (what == "PARAM") {
-      expectKw("VALUE")
-      val (v, raw) = exprWithRaw()
+      // VALUE is optional — a bare DEFINE PARAM stores NONE
+      // (upgrade/define/param: `DEFINE PARAM $comment COMMENT "…"`)
+      val (v, raw) =
+        if (kw("VALUE")) exprWithRaw()
+        else (Lit(VNone): Expr, "NONE")
       var permTxt = "FULL"
       var pComment: Option[String] = scala.None
       var goP = true
@@ -912,7 +937,9 @@ final class Parser(val src: String) {
       if (kw("ROOT")) "ROOT"
       else if (kw("NAMESPACE") || kw("NS")) "NAMESPACE"
       else { kw("DATABASE"); kw("DB"); "DATABASE" }
-    var hash = fakePasshash(name)
+    // no PASSWORD/PASSHASH clause leaves an empty passhash (the reference
+    // only hashes when given a password — upgrade/define/user_base)
+    var hash = ""
     var roles = Seq("VIEWER")
     var durToken = "1h"
     var durSession = "NONE"
@@ -1229,15 +1256,18 @@ final class Parser(val src: String) {
 
   private def defineSequenceStmt(mode: String): Statement = {
     val name = defName()
-    var d = Defs.SequenceDef(name)
+    val d = Defs.SequenceDef(name)
+    // clause values evaluate at define time (params allowed —
+    // parameterized/schema/sequence)
+    var batchE, startE, timeoutE: Option[Expr] = scala.None
     var go = true
     while (go) {
-      if (kw("BATCH")) d = d.copy(batch = Eval.evalConst(expr()) match { case VInt(n) => n; case _ => 1000 })
-      else if (kw("START")) d = d.copy(start = Eval.evalConst(expr()) match { case VInt(n) => n; case _ => 0 })
-      else if (kw("TIMEOUT")) { val (_, r) = exprWithRaw(); d = d.copy(timeout = Some(r)) }
+      if (kw("BATCH")) batchE = Some(expr())
+      else if (kw("START")) startE = Some(expr())
+      else if (kw("TIMEOUT")) timeoutE = Some(expr())
       else go = false
     }
-    DefineSequenceStmt(d, mode)
+    DefineSequenceStmt(d, mode, batchE, startE, timeoutE)
   }
 
   private def removeStmt(): Statement = {
@@ -1961,6 +1991,25 @@ final class Parser(val src: String) {
     * suffix (`obj.c.{d, f}` → obj.c.d, obj.c.f). */
   private def omitNames(): Seq[String] = {
     val base = new StringBuilder(rawIdent())
+    // type::field($p) / type::fields($p) OMIT entries — same define-time
+    // marker convention as DEFINE INDEX FIELDS (parameterized/select)
+    ws()
+    if (base.toString == "type" && peekSym("::")) {
+      sym("::")
+      val which = rawIdent().toLowerCase
+      ws(); expectSym("(")
+      val e0 = pos
+      var dep = 1
+      while (!eof && dep > 0) {
+        val c = peekc
+        if (c == '(') dep += 1
+        else if (c == ')') dep -= 1
+        if (dep > 0) pos += 1
+      }
+      val inner = src.substring(e0, pos).trim
+      expectSym(")")
+      return Seq(" " + which + ":" + inner)
+    }
     var go = true
     while (go) {
       if (peekSym(".") && !peekSym("..")) {
@@ -2089,21 +2138,22 @@ final class Parser(val src: String) {
     val what = targets()
     val data = dataClause()
     val out = output()
-    kw("TIMEOUT"); kw("PARALLEL")
-    CreateStmt(only, what, data, out)
+    val tmo = if (kw("TIMEOUT")) Some(expr()) else scala.None
+    kw("PARALLEL")
+    CreateStmt(only, what, data, out, tmo)
   }
 
-  private def updLike(): (Boolean, Seq[Expr], Option[Data], Option[Expr], Option[Output], Boolean) = {
+  private def updLike(): (Boolean, Seq[Expr], Option[Data], Option[Expr], Option[Output], Boolean, Option[Expr]) = {
     val only = kw("ONLY")
     val what = targets()
     val data = dataClause()
     val where = if (kw("WHERE")) Some(expr()) else scala.None
     val out = output()
-    if (kw("TIMEOUT")) expr()
+    val tmo = if (kw("TIMEOUT")) Some(expr()) else scala.None
     kw("PARALLEL")
     val explain = kw("EXPLAIN")
     kw("FULL")
-    (only, what, data, where, out, explain)
+    (only, what, data, where, out, explain, tmo)
   }
 
   private def deleteStmt(): Statement = {
@@ -2112,11 +2162,11 @@ final class Parser(val src: String) {
     val what = targets()
     val where = if (kw("WHERE")) Some(expr()) else scala.None
     val out = output()
-    if (kw("TIMEOUT")) expr()
+    val tmo = if (kw("TIMEOUT")) Some(expr()) else scala.None
     kw("PARALLEL")
     val explain = kw("EXPLAIN")
     kw("FULL")
-    DeleteStmt(only, what, where, out, explain)
+    DeleteStmt(only, what, where, out, explain, tmo)
   }
 
   private def insertStmt(): Statement = {
@@ -2352,7 +2402,8 @@ final class Parser(val src: String) {
 
   /** Does the upcoming input start an expression? (for open-ended ranges) */
   private val clauseKws = Seq("ORDER", "LIMIT", "START", "GROUP", "SPLIT",
-    "FETCH", "WHERE", "WITH", "TIMEOUT", "PARALLEL", "EXPLAIN", "VERSION", "OMIT")
+    "FETCH", "WHERE", "WITH", "TIMEOUT", "PARALLEL", "EXPLAIN", "VERSION", "OMIT",
+    "FIELD", "FIELDS")
   private def peekClauseKw(): Boolean = clauseKws.exists(peekKw)
 
   private def startsExpr(): Boolean = {
@@ -2888,7 +2939,13 @@ final class Parser(val src: String) {
           } else first
         }
       expectSym(")")
-      inner
+      // parens BREAK idiom continuity: `(arr.a)[0]` indexes the grouped
+      // result, it does not extend the inner path (idiom/continuity) —
+      // re-rooting an inner Idiom keeps the boundary when parts follow
+      inner match {
+        case i: Idiom => Idiom(Seq(PStart(i)))
+        case x => x
+      }
     }
     else if (c == '[') {
       pos += 1

@@ -173,8 +173,22 @@ object V {
         case VArr(items) => VArr(items.map(deepF))
         case other => other
       }
+      // polygon rings auto-close on construction (geo crate LineString::close)
+      def closeRing(v: V): V = v match {
+        case VArr(pts) if pts.length >= 3 && pts.headOption != pts.lastOption =>
+          VArr(pts :+ pts.head)
+        case other => other
+      }
+      def closed(kind: String, c: V): V = (kind, c) match {
+        case ("Polygon", VArr(rings)) => VArr(rings.map(closeRing))
+        case ("MultiPolygon", VArr(polys)) => VArr(polys.map {
+          case VArr(rings) => VArr(rings.map(closeRing)): V
+          case other => other
+        })
+        case _ => c
+      }
       if (t == "GeometryCollection") o.fields.get("geometries").map(g => VGeom(t, g))
-      else o.fields.get("coordinates").map(c => VGeom(t, deepF(c)))
+      else o.fields.get("coordinates").map(c => VGeom(t, closed(t, deepF(c))))
     case _ => scala.None
   }
   /** A GeoJSON-shaped object's geometry subtype, if it is one. */
