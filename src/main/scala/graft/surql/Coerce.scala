@@ -180,6 +180,8 @@ object Coerce {
             s" but found a collection of length `${items.length}`") }
         VArr(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
       case r: VRng => rangeToArray(r).getOrElse(err(k, v))
+      // bytes → array of byte values (primitive/bytes: <array> b"…")
+      case VBytes(bs) => VArr(bs.map(b => VInt((b & 0xff).toLong): V))
       case _ => err(k, v)
     }
     case KSet(inner, max) =>
@@ -213,14 +215,18 @@ object Coerce {
         } catch { case _: SqlError | _: ParseError => err(k, v) }
       case _ => err(k, v)
     }
-    case KGeometry(_) => v match {
+    case KGeometry(kinds) => v match {
       case g: VGeom => g
       case VObj(fs) =>
         (fs.get("type"), fs.get("coordinates")) match {
           case (Some(VStr(t)), Some(c)) => VGeom(t, c)
           case _ => err(k, v)
         }
-      case _ => err(k, v) // bare arrays are NOT geometries (cast geometry.surql)
+      // a two-number array casts to a POINT only under the point subtype
+      // (<point> / <geometry<point>>; bare <geometry> rejects arrays)
+      case VArr(Vector(x: VNum, y: VNum)) if kinds.exists(_.equalsIgnoreCase("point")) =>
+        VGeom("Point", VArr(Vector(VFloat(x.toDouble), VFloat(y.toDouble))))
+      case _ => err(k, v)
     }
     case KLiteral(lit) => if (V.looseEq(lit, v)) v else err(k, v)
     case KNone => if (v == VNone) v else err(k, v)
@@ -264,7 +270,12 @@ object Coerce {
     * format: "Expected a <kind> but found <value>". */
   def coerce(k: Kind, v: V): V = k match {
     case KAny => v
-    case KOption(inner) => if (v == VNone || v == VNull) v else coerce(inner, v)
+    // option<T> admits NONE and whatever T admits — NULL only if T does
+    // (types/field_none_null: `option<string>` + NULL errors as
+    // `none | string`, `option<string | null>` accepts NULL)
+    case KOption(inner) =>
+      if (v == VNone) v
+      else try coerce(inner, v) catch { case _: SqlError => coerceErr(k, v) }
     case KEither(ks) =>
       ks.view.flatMap(ki => try Some(coerce(ki, v)) catch { case _: SqlError => scala.None })
         .headOption.getOrElse(coerceErr(k, v))

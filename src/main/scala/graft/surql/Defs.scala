@@ -80,9 +80,10 @@ object Defs {
       perms: Seq[(String, String)] = fieldPermsDefault) {
     def render: String = {
       // keyword-position field segments are backticked (`value`, `all`);
-      // in/out stay bare (reference could_be_reserved_keyword)
-      val escName = name.split('.').map { seg =>
-        if (seg == "value" || seg == "all") "`" + seg + "`" else seg
+      // in/out stay bare (reference could_be_reserved_keyword); EMPTY
+      // segments render as `` (parsing/idents/empty_identifiers)
+      val escName = name.split("\\.", -1).map { seg =>
+        if (seg == "value" || seg == "all" || seg.isEmpty) "`" + seg + "`" else seg
       }.mkString(".")
       val sb = new StringBuilder("DEFINE FIELD ").append(escName)
         .append(" ON ").append(escIdent(table))
@@ -97,7 +98,7 @@ object Defs {
       if (readonly) sb.append(" READONLY")
       valueRaw.foreach(v => sb.append(" VALUE ").append(normRaw(v)))
       assertRaw.foreach(a => sb.append(" ASSERT ").append(normRaw(a)))
-      computedRaw.foreach(c => sb.append(" COMPUTED ").append(c))
+      computedRaw.foreach(c => sb.append(" COMPUTED ").append(normRaw(c)))
       referenceRaw.foreach(r => sb.append(" REFERENCE ").append(r))
       comment.foreach(c => sb.append(" COMMENT ").append(Render.sql(VStr(c))))
       // catalog fields don't track delete perms: all-NONE renders as a
@@ -154,7 +155,7 @@ object Defs {
     * parens, backtick reserved-word idents (the reference re-renders from
     * its AST; we normalize the captured source instead). */
   def normRaw(s: String): String = {
-    var t = s.replaceAll("\\s+", " ").trim
+    var t = stripLineComments(s).replaceAll("\\s+", " ").trim
     t = t.replace("( ", "(").replace(" )", ")")
     t = t.replaceAll("(?<![\\w$.:`])value(\\s*=[^=])", "`value`$1")
     t = t.replace("{ }", "{  }").replace("{}", "{  }")
@@ -166,6 +167,29 @@ object Defs {
     t = t.replace("{ }", "{  }").replace("{}", "{  }")
     t = requoteStrings(t)
     t
+  }
+
+  /** Drop `//` line comments outside quoted strings/idents — the reference
+    * parses raw bodies to an AST and re-renders, so comments never survive
+    * into catalog output (upgrade/value/table: COMPUTED body comment). */
+  private def stripLineComments(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c
+        sb.append(c); i += 1
+        while (i < s.length && s.charAt(i) != q) {
+          if (s.charAt(i) == '\\' && q != '`') { sb.append(s.charAt(i)); i += 1 }
+          if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
+        }
+        if (i < s.length) { sb.append(s.charAt(i)); i += 1 }
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Replace a symbol token outside quoted strings/idents. */

@@ -50,7 +50,16 @@ object Eval {
       // session variables (LET) shadow DEFINE PARAM values (param/shadowed)
       env.params.get(name)
         .orElse(env.interp.flatMap(_.versionedParam(name)))
-        .orElse(builtinParam(name, env)).getOrElse(VNone)
+        .orElse(builtinParam(name, env)).getOrElse {
+          // a DB-param lookup needs a selected namespace+database: an
+          // undefined param without one errors (param_no_namespace /
+          // parameters/outside_database) — with both selected it is NONE
+          env.interp.foreach { in =>
+            if (!in.sessionHasNs) throw SqlError("Specify a namespace to use")
+            if (!in.sessionHasDb) throw SqlError("Specify a database to use")
+          }
+          VNone
+        }
     case Constant(name) => constant(name)
     case JsExpr(args, body) =>
       // only the single-return-builtin scripting shape is evaluable

@@ -1064,6 +1064,11 @@ object Explain {
           if fieldPathName(ps).isDefined && items.forall(literalish) &&
             (!newExec || ps.contains(PAll)) =>
         (fieldPathName(ps).get, items, c)
+      // reversed containment: `[x] ANYINSIDE field` ≡ `field CONTAINSANY [x]`
+      case c @ Binary("ANYINSIDE" | "ALLINSIDE", ArrLit(items), Idiom(ps))
+          if fieldPathName(ps).isDefined && items.forall(literalish) &&
+            (!newExec || ps.contains(PAll)) =>
+        (fieldPathName(ps).get, items, c)
       // value IN [list] over an indexed field: one index probe per element
       // merged by a union; lists past 32 elements fall back to a scan
       // (planner in_operator_index, in_operator_large_array_fallback)

@@ -1819,7 +1819,23 @@ object Functions {
                 }
               case _ => ()
             }
-            applyClosure(cl, a, env)
+            // named functions report per-argument coercion failures with the
+            // fn:: path (coerce/regex golden), not the ANONYMOUS form
+            try applyClosure(cl, a, env)
+            catch {
+              case e: SqlError if e.msg.startsWith("Incorrect arguments for function ANONYMOUS()") =>
+                val m = "argument \\$(\\w+)$".r.findFirstMatchIn(e.msg)
+                (m, cl) match {
+                  case (Some(mm), VClosure(params, _, _, _)) =>
+                    val pname = mm.group(1)
+                    val idx = params.indexWhere(_._1 == pname)
+                    val found = if (idx >= 0 && idx < a.length) a(idx) else VNone
+                    val kTxt = params.lift(idx).flatMap(_._2).map(Explain.kindSql).getOrElse("any")
+                    throw SqlError(s"Incorrect arguments for function $custom(). " +
+                      s"Failed to coerce argument `$$$pname`: Expected `$kTxt` but found `${found.render}`")
+                  case _ => throw e
+                }
+            }
           case scala.None => throw SqlError(s"The function '$custom' does not exist")
         }
       case ml if ml.startsWith("ml::") =>

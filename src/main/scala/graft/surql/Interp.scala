@@ -27,6 +27,9 @@ object Interp {
   def stripNoneKeys(o: VObj): VObj = {
     def walk(v: V): V = v match {
       case VObj(fs) => VObj(fs.collect { case (k, x) if x != VNone => k -> walk(x) })
+      // NONE is storable in arrays again since 2.2.1
+      // (upgrade/value/none_null_array; the 2.1.x drop behavior is
+      // version-gated out by the runner's importing-version check)
       case VArr(items) => VArr(items.map(walk))
       case other => other
     }
@@ -930,10 +933,11 @@ final class Interp {
     case u: UseStmt =>
       u.ns.foreach { n => curNs = n; sessionHasNs = true }
       u.db.foreach { d => curDb = d; sessionHasDb = true }
-      // USE reports the resulting session target (statements/use)
+      // USE reports the resulting session target (statements/use) — an
+      // explicitly selected EMPTY name reports '' (parsing/idents)
       VObj(TreeMap(
-        "database" -> (if (curDb.isEmpty) VNone else VStr(curDb): V),
-        "namespace" -> (if (curNs.isEmpty) VNone else VStr(curNs): V)))
+        "database" -> (if (curDb.isEmpty && !sessionHasDb) VNone else VStr(curDb): V),
+        "namespace" -> (if (curNs.isEmpty && !sessionHasNs) VNone else VStr(curNs): V)))
     case s: OptionStmt =>
       // OPTION IMPORT: bulk-import mode — mutation statements suppress
       // their output (executor import handling; option/import_indexes)
@@ -990,6 +994,9 @@ final class Interp {
   private def ddlGate(exists: Boolean, mode: String, already: => String): Boolean = {
     if (exists) {
       mode match {
+        // bulk IMPORT overwrites existing definitions by default
+        // (import/overwrite-by-default; executor import handling)
+        case "" if importMode => true
         case ""            => throw SqlError(already)
         case "ifnotexists" => false
         case "overwrite"   => true
@@ -2351,7 +2358,10 @@ final class Interp {
       val tb = s.target
       VObj(TreeMap(
         "events" -> strMap(eventDefs.collect { case ((t, n), d) if t == tb => n -> d.render }),
-        "fields" -> strMap(fieldDefs2.collect { case ((t, n), d) if t == tb => n -> d.render }.toSeq.sortBy(_._1)),
+        "fields" -> strMap(fieldDefs2.collect { case ((t, n), d) if t == tb =>
+          // empty path segments keep their backticks in the map key
+          n.split("\\.", -1).map(s2 => if (s2.isEmpty) "``" else s2)
+            .mkString(".") -> d.render }.toSeq.sortBy(_._1)),
         "indexes" -> strMap(indexDefs.collect { case ((t, n), d) if t == tb => n -> d.render }),
         "lives" -> emptyObj,
         // views (foreign tables) that read this table (doc/table.rs)
@@ -2503,7 +2513,7 @@ final class Interp {
     val defs = fieldPipeline.getOrElse(tb, Vector.empty).filter(_.computed.isEmpty)
     var fields = doc.fields
     defs.foreach { fd =>
-      val path = fd.field.split('.').toList
+      val path = fd.field.split("\\.", -1).toList
       def transform(cur: V, segs: List[String], beforeV: V): V = segs match {
         case Nil =>
           var v = cur
@@ -3970,7 +3980,10 @@ final class Interp {
           other
       }
       key match {
-        case VStr("") => throw SqlError("Found '' for the Record ID but this is not a valid id")
+        // an explicit ``:`` target is a legal empty ident key; only an
+        // empty id VALUE from the data clause is invalid (parsing/idents)
+        case VStr("") if keyOpt.isEmpty =>
+          throw SqlError("Found '' for the Record ID but this is not a valid id")
         // a range is a scan bound, never a creatable id (create.rs)
         case r: VRng => throw SqlError(
           s"Found ${Render.sql(VRid(tb, r))} for the Record ID but this is not a valid id")

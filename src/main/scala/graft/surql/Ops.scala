@@ -261,12 +261,13 @@ object Ops {
   def allInside(a: V, b: V): Boolean = a match {
     case VArr(items) => items.forall(contains(b, _))
     case VSet(items) => items.forall(contains(b, _))
-    case _           => false
+    // a scalar ALLINSIDE falls back to plain containment ("in" in "inout")
+    case other       => contains(b, other)
   }
   def anyInside(a: V, b: V): Boolean = a match {
     case VArr(items) => items.exists(contains(b, _))
     case VSet(items) => items.exists(contains(b, _))
-    case _           => false
+    case other       => contains(b, other)
   }
   def noneInside(a: V, b: V): Boolean = a match {
     case VArr(items) => !items.exists(contains(b, _))

@@ -109,7 +109,7 @@ final class Parser(val src: String) {
       pos += 1
       val sb = new StringBuilder
       while (!eof && peekc != '`') {
-        if (peekc == '\\' && peekAt(1) == '`') { sb.append('`'); pos += 2 }
+        if (peekc == '\\') identEscape(sb)
         else { sb.append(peekc); pos += 1 }
       }
       if (eof) fail("unterminated backtick ident")
@@ -118,7 +118,10 @@ final class Parser(val src: String) {
     } else if (peekc == '⟨') { // ⟨ ... ⟩
       pos += 1
       val sb = new StringBuilder
-      while (!eof && peekc != '⟩') { sb.append(peekc); pos += 1 }
+      while (!eof && peekc != '⟩') {
+        if (peekc == '\\') identEscape(sb)
+        else { sb.append(peekc); pos += 1 }
+      }
       if (eof) fail("unterminated angle ident")
       pos += 1
       sb.toString
@@ -127,6 +130,45 @@ final class Parser(val src: String) {
       while (!eof && isIdentChar(peekc)) pos += 1
       src.substring(start, pos)
     } else fail(s"expected identifier, found '$peekc'")
+  }
+
+  /** Escaped-ident escape sequences (syn lexer ident escapes): \0 \t \n
+    * \f \r \b \" \' \\ \` \⟩ S \u{55}. */
+  private def identEscape(sb: StringBuilder): Unit = {
+    pos += 1 // consume '\'
+    if (eof) fail("unterminated escape")
+    val c = peekc
+    pos += 1
+    c match {
+      case '0' => sb.append('\u0000')
+      case 't' => sb.append('\t')
+      case 'n' => sb.append('\n')
+      case 'f' => sb.append('\f')
+      case 'r' => sb.append('\r')
+      case 'b' => sb.append('\b')
+      case 'u' =>
+        if (peekc == '{') {
+          pos += 1
+          val h0 = pos
+          while (!eof && peekc != '}') pos += 1
+          val hex = src.substring(h0, pos)
+          if (!eof) pos += 1
+          sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+        } else {
+          val hex = src.substring(pos, Math.min(pos + 4, src.length))
+          pos += 4
+          sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+        }
+      case other => sb.append(other) // \" \' \\ \` \⟩ and any literal
+    }
+  }
+
+  /** Strict 8-4-4-4-12 UUID literal (java's fromString accepts short
+    * groups; the reference lexer does not — primitive/uuid goldens). */
+  private def strictUuid(s: String): java.util.UUID = {
+    if (!s.matches("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"))
+      fail("Unexpected end of string, expected UUID token to finish")
+    java.util.UUID.fromString(s)
   }
 
   def tryIdent(): Option[String] = {
@@ -3028,7 +3070,15 @@ final class Parser(val src: String) {
         else {
           val key =
             if (peekc == '\'' || peekc == '"') stringLit()._1
-            else if (peekc.isDigit) { val s0 = pos; while (peekc.isDigit) pos += 1; src.substring(s0, pos) }
+            else if (peekc.isDigit) {
+              val s0 = pos; while (peekc.isDigit) pos += 1
+              val digits = src.substring(s0, pos)
+              // numeric keys lex as i64 (primitive/object_numeric_keys)
+              try { java.lang.Long.parseLong(digits); () }
+              catch { case _: NumberFormatException =>
+                fail("Failed to parse number: number cannot fit within a 64bit signed integer") }
+              digits
+            }
             else rawIdent()
           expectSym(":")
           fields += ((key, expr()))
@@ -3270,7 +3320,7 @@ final class Parser(val src: String) {
         case "d" =>
           val (s, _) = stringLit()
           return Lit(try parseDatetime(s) catch { case e: SqlError => fail(e.msg) })
-        case "u" => val (s, _) = stringLit(); return Lit(VUuid(java.util.UUID.fromString(s)))
+        case "u" => val (s, _) = stringLit(); return Lit(VUuid(strictUuid(s)))
         case "s" => val (s, _) = stringLit(); return Lit(VStr(s))
         case "b" => val (s, _) = stringLit(); return Lit(VBytes(hexToBytes(s)))
         case "r" =>
@@ -3395,7 +3445,7 @@ final class Parser(val src: String) {
       if (c == 'u' && (peekAt(1) == '\'' || peekAt(1) == '"')) {
         // uuid record key: t:u"xxxxxxxx-…" (syn uuid key form)
         pos += 1
-        Lit(VUuid(java.util.UUID.fromString(stringLit()._1)))
+        Lit(VUuid(strictUuid(stringLit()._1)))
       }
       else if (c == '\'' || c == '"') Lit(VStr(stringLit()._1))
       else if (c == '`' || c == '⟨') Lit(VStr(rawIdent()))

@@ -149,14 +149,15 @@ object Render {
     f.append(quote)
   }
 
-  private def escapeInto(f: StringBuilder, s: String, escapeChar: Char): Unit =
+  private def escapeInto(f: StringBuilder, s: String, escapeChar: Char,
+      escapeNewline: Boolean = false): Unit =
     s.foreach {
       case '\u0000' => f.append("\\0")
       case '\r'     => f.append("\\r")
       case '\t'     => f.append("\\t")
-      // pretty SqlFormat preserves newlines (escape.rs:57) — the corpus
-      // renders results in pretty mode
-      case '\n'     => f.append('\n')
+      // pretty SqlFormat preserves newlines in STRINGS (escape.rs:57) but
+      // object KEYS and idents escape them (escape_sequences goldens)
+      case '\n'     => f.append(if (escapeNewline) "\\n" else "\n")
       case '\u0008' => f.append("\\u{8}")
       case '\u000C' => f.append("\\f")
       case '\\'     => f.append("\\\\")
@@ -170,12 +171,12 @@ object Render {
   /** EscapeSqonIdent: backticks unless plain. */
   def escapeIdent(f: StringBuilder, s: String): Unit =
     if (isPlainIdent(s)) f.append(s)
-    else { f.append('`'); escapeInto(f, s, '`'); f.append('`') }
+    else { f.append('`'); escapeInto(f, s, '`', escapeNewline = true); f.append('`') }
 
   /** EscapeObjectKey: double quotes unless plain. */
   def escapeObjectKey(f: StringBuilder, s: String): Unit =
     if (isPlainIdent(s)) f.append(s)
-    else { f.append('"'); escapeInto(f, s, '"'); f.append('"') }
+    else { f.append('"'); escapeInto(f, s, '"', escapeNewline = true); f.append('"') }
 
   /** EscapeRecordKey: backticks if empty, non-word chars, or all-digits. */
   def escapeRecordKey(f: StringBuilder, s: String): Unit = {
