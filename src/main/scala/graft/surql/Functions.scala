@@ -510,12 +510,12 @@ object Functions {
         if (ns.isEmpty) VFloat(Double.NaN) else VFloat(ns.sum / ns.length)
       case "math::median" =>
         val ns = nums(0).sorted
-        if (ns.isEmpty) VFloat(Double.NaN)
+        if (ns.isEmpty) VNone
         else if (ns.length % 2 == 1) VFloat(ns(ns.length / 2))
         else VFloat((ns(ns.length / 2 - 1) + ns(ns.length / 2)) / 2.0)
       case "math::mode" =>
         val items = nums(0)
-        if (items.isEmpty) VNone
+        if (items.isEmpty) VFloat(Double.NaN)
         else VFloat(items.groupBy(identity).toSeq.maxBy(g => (g._2.length, g._1))._1)
       case "math::stddev" =>
         // len 0 → NaN, len 1 → 0 (fnc/util/math/mod.rs variance). View
@@ -543,10 +543,11 @@ object Functions {
         if (ns.isEmpty) VFloat(Double.NaN) else VFloat(ns.max - ns.min)
       case "math::midhinge" =>
         val ns = nums(0)
-        if (ns.isEmpty) VNone else VFloat((percentile(ns, 25) + percentile(ns, 75)) / 2.0)
+        if (ns.isEmpty) VFloat(Double.NaN)
+        else VFloat((percentile(ns, 25) + percentile(ns, 75)) / 2.0)
       case "math::trimean" =>
         val ns = nums(0)
-        if (ns.isEmpty) VNone
+        if (ns.isEmpty) VFloat(Double.NaN)
         else VFloat((percentile(ns, 25) + 2 * percentile(ns, 50) + percentile(ns, 75)) / 4.0)
       case "math::percentile" =>
         val ns = nums(0)
@@ -555,7 +556,7 @@ object Functions {
         else VFloat(percentile(ns, p0))
       case "math::nearestrank" =>
         val ns = nums(0).sorted
-        if (ns.isEmpty) VNone
+        if (ns.isEmpty) VFloat(Double.NaN)
         else VFloat(ns(Math.min(ns.length - 1, Math.ceil(dbl(1) / 100.0 * ns.length).toInt - 1).max(0)))
       case "math::top" =>
         if (int(1) <= 0) throw SqlError("Incorrect arguments for function math::top(). The second argument must be an integer greater than 0.")
@@ -565,7 +566,8 @@ object Functions {
         heapSelect(nums2(arr(0), name), int(1).toInt, smallestOut = false)
       case "math::interquartile" =>
         val ns = nums(0)
-        if (ns.isEmpty) VNone else VFloat(percentile(ns, 75) - percentile(ns, 25))
+        if (ns.isEmpty) VFloat(Double.NaN)
+        else VFloat(percentile(ns, 75) - percentile(ns, 25))
 
       // ---- string ------------------------------------------------------
       case "string::concat" => VStr(a.map(_.renderRaw).mkString)

@@ -46,6 +46,9 @@ final class Parser(val src: String) {
   /** While set, idiom continuation does not consume graph arrows — used by
     * RELATE to keep `$a->edge->$b` separable. */
   private var noGraphIdiom = false
+  /** While set, a `$a = …` expression-statement is NOT rejected as a
+    * LET-less declaration (THEN branches; see reject_letless_let). */
+  private var allowLetless = false
 
   // ---- low-level ------------------------------------------------------
 
@@ -266,7 +269,21 @@ final class Parser(val src: String) {
       val v = if (sym("=")) { if (kw("TRUE")) true else { kw("FALSE"); false } } else true
       OptionStmt(name, v)
     }
-    else ExprStmt(expr())
+    else {
+      // a bare `$a = …` statement is a deprecated LET-less param declaration,
+      // REJECTED at parse time at top level and inside `{ }` blocks — but a
+      // leading `(` covers it, and THEN-branch expressions are exempt
+      // (syn/parser: reject_letless_let; parsing/deprecate/ommited_let*)
+      val covered = pos < src.length && src.charAt(pos) == '('
+      val e = expr()
+      if (!covered && !allowLetless) e match {
+        case Binary("=", Param(_), _) | Binary("=", Idiom(Seq(PStart(Param(_)))), _) =>
+          throw ParseError("Parameter declarations without `let` are deprecated." +
+            " Replace with `let $a = ...` to keep the previous behavior.", pos)
+        case _ => ()
+      }
+      ExprStmt(e)
+    }
   }
 
   /** LIVE SELECT ⟨fields⟩|DIFF FROM what [WHERE cond] [FETCH …]
@@ -379,10 +396,16 @@ final class Parser(val src: String) {
     def branchExpr(): Expr = {
       val stmts = ArrayBuffer[Statement]()
       ws()
-      while (!eof && !peekKw("ELSE") && !peekKw("END")) {
-        if (!sym(";")) { stmts += statement(); ws(); sym(";") }
-        ws()
-      }
+      // THEN-branch expressions are exempt from the LET-less `$a = …`
+      // rejection (reference rejects only top-level + brace blocks)
+      val savedLetless = allowLetless
+      allowLetless = true
+      try {
+        while (!eof && !peekKw("ELSE") && !peekKw("END")) {
+          if (!sym(";")) { stmts += statement(); ws(); sym(";") }
+          ws()
+        }
+      } finally allowLetless = savedLetless
       stmts.toSeq match {
         case Seq(ExprStmt(e)) => e // pure-expression THEN keeps value shape
         case ss => BlockExpr(ss)
@@ -3203,6 +3226,14 @@ final class Parser(val src: String) {
               try sb.appendAll(Character.toChars(Integer.parseInt(h, 16)))
               catch { case _: Exception => fail(s"invalid unicode escape '\\u$h'") }
             }
+            def hex4(): Int = {
+              if (pos + 4 > src.length) fail("truncated unicode escape")
+              val hex = src.substring(pos, pos + 4)
+              if (!hex.forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
+                fail(s"invalid unicode escape '\\u$hex'")
+              pos += 4
+              Integer.parseInt(hex, 16)
+            }
             if (peekc == '{') {
               pos += 1
               val st = pos
@@ -3210,12 +3241,25 @@ final class Parser(val src: String) {
               if (eof || peekc != '}') fail("missing closing brace for unicode escape")
               val hex = src.substring(st, pos)
               pos += 1
+              // at most 6 hex chars (syn/lexer: "expected `}` after 6
+              // characters"; parsing/strings/error)
+              if (hex.length > 6) fail("unicode escape sequence expects at most 6 characters")
               hexChars(hex)
             } else {
-              if (pos + 4 > src.length) fail("truncated unicode escape")
-              val hex = src.substring(pos, pos + 4)
-              pos += 4
-              hexChars(hex)
+              // `\uXXXX`: a high surrogate must pair with a following
+              // `\uXXXX` low surrogate (parsing/strings/error/
+              // missing_trailing_surrogate)
+              val c1 = hex4()
+              if (c1 >= 0xD800 && c1 <= 0xDBFF) {
+                if (pos + 1 < src.length && src.charAt(pos) == '\\' && src.charAt(pos + 1) == 'u') {
+                  pos += 2
+                  val c2 = hex4()
+                  if (c2 >= 0xDC00 && c2 <= 0xDFFF) { sb.append(c1.toChar); sb.append(c2.toChar) }
+                  else fail("expected a trailing surrogate after a leading surrogate escape")
+                } else fail("expected a trailing surrogate after a leading surrogate escape")
+              } else if (c1 >= 0xDC00 && c1 <= 0xDFFF)
+                fail("unexpected trailing surrogate without a leading surrogate")
+              else sb.append(c1.toChar)
             }
           case other => fail(s"invalid escape character '$other'")
         }
@@ -3314,6 +3358,9 @@ final class Parser(val src: String) {
       case "if"    => return ifExprBody()
       case _ =>
     }
+    // CASE-SENSITIVE float tokens (syn/lexer/ident.rs:154-157)
+    if (name == "NaN") return Lit(VFloat(Double.NaN))
+    if (name == "Infinity") return Lit(VFloat(Double.PositiveInfinity))
     // prefixed strings: d'..' u'..' s'..' r'..' b'..'
     if (name.length == 1 && (peekc == '\'' || peekc == '"')) {
       lower match {
@@ -3327,12 +3374,36 @@ final class Parser(val src: String) {
           val (s, _) = stringLit()
           val sub = new Parser(s)
           val e = sub.expr()
-          return e
+          // the content must BE a record id — a separator-less body is a
+          // lex error (syn/lexer: record-id strings;
+          // parsing/recordid_string/error/missing_seperator)
+          e match {
+            case _: RidLit => return e
+            case Idiom(parts) if parts.exists {
+              case PStart(_: RidLit) => true; case _ => false } => return e
+            case _ => throw ParseError(
+              "Unexpected end of record-id string, expected a `:` seperator", pos)
+          }
         case "f" =>
           val (s, _) = stringLit()
-          val idx = s.indexOf(":/")
-          if (idx >= 0) return Lit(VFile(s.substring(0, idx), s.substring(idx + 2)))
-          return Lit(VFile("", s))
+          // bucket `:/ ` key, with restricted charsets
+          // (syn/lexer/strings/mod.rs:528-585 lex_file)
+          val idx = s.indexOf(':')
+          if (idx < 0) throw ParseError(
+            "Unexpected end of file string, missing bucket seperator `:/`", pos)
+          val bucket = s.substring(0, idx)
+          bucket.find(ch => !ch.isLetterOrDigit && ch != '_' && ch != '-' && ch != '.').foreach { ch =>
+            throw ParseError(s"Unexpected character `$ch`, file strings buckets only " +
+              "allow alpha numeric characters and `_`, `-`, and `.`", pos) }
+          if (idx + 1 >= s.length) throw ParseError(
+            "Unexpected end of file string, missing file string key.", pos)
+          if (s.charAt(idx + 1) != '/') throw ParseError(
+            s"Unexpected character `${s.charAt(idx + 1)}`, expected `/`", pos)
+          val key = s.substring(idx + 1)
+          key.find(ch => !ch.isLetterOrDigit && ch != '_' && ch != '-' && ch != '.' && ch != '/').foreach { ch =>
+            throw ParseError(s"Unexpected character `$ch`, file strings key's only " +
+              "allow alpha numeric characters and `_`, `-`, `.`, and `/`", pos) }
+          return Lit(VFile(bucket, key.stripPrefix("/")))
         case _ =>
       }
     }
@@ -3511,20 +3582,33 @@ final class Parser(val src: String) {
         case _ => t0
       }
     }
-    // chrono truncates sub-nanosecond fractions; java.time rejects them
-    val n2 = "\\.(\\d{10,})".r.replaceAllIn(n, m => "." + m.group(1).take(9))
+    // sub-nanosecond fractions ROUND on the 10th digit (syn/lexer/strings/
+    // datetime.rs:124-130: `if d - b'0' >= 5 { number += 1 }`); java.time
+    // rejects >9 digits outright, so strip and re-add the rounding nano
+    var roundNano = 0L
+    val n2 = "\\.(\\d{10,})".r.replaceAllIn(n, m => {
+      val digs = m.group(1)
+      if (digs.charAt(9) >= '5') roundNano = 1L
+      "." + digs.take(9)
+    })
     val t = try {
       if (n2.length == 10) java.time.LocalDate.parse(n2).atStartOfDay(java.time.ZoneOffset.UTC).toInstant
       else java.time.OffsetDateTime.parse(n2).toInstant
     } catch {
       case _: Exception => throw SqlError(s"Expected a datetime but cannot convert '$s' into a datetime")
     }
-    VDt(t)
+    VDt(t.plusNanos(roundNano))
   }
 
+  /** b"…" literal body → bytes. Parse-time only: a stray or missing hex
+    * digit is a PARSE error (reference: "expected a hexidecimal digit",
+    * parsing/bytes/error). */
   private def hexToBytes(s: String): Vector[Byte] = {
     val clean = s.trim
-    if (clean.length % 2 != 0) throw SqlError(s"invalid bytes literal")
+    if (clean.length % 2 != 0)
+      throw ParseError("Unexpected end of byte-string, expected a hexidecimal digit", 0)
+    if (!clean.forall(ch => Character.digit(ch, 16) >= 0))
+      throw ParseError("Unexpected character, expected a hexidecimal digit", 0)
     clean.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toVector
   }
 }

@@ -187,8 +187,31 @@ object V {
         })
         case _ => c
       }
-      if (t == "GeometryCollection") o.fields.get("geometries").map(g => VGeom(t, g))
-      else o.fields.get("coordinates").map(c => VGeom(t, closed(t, deepF(c))))
+      // only a STRUCTURALLY VALID GeoJSON shape converts — `{ type: 'Point',
+      // coordinates: [NONE, NONE] }` stays a plain object
+      // (parsing/basic/geometry; reference TryFrom<Object> for Geometry)
+      def validPt(v: V): Boolean = v match {
+        case VArr(Vector(_: VNum, _: VNum)) => true
+        case _ => false
+      }
+      def valid(kind: String, c: V): Boolean = (kind, c) match {
+        case ("Point", p) => validPt(p)
+        case ("LineString" | "MultiPoint", VArr(pts)) => pts.forall(validPt)
+        case ("Polygon" | "MultiLineString", VArr(ls)) => ls.forall {
+          case VArr(pts) => pts.forall(validPt); case _ => false
+        }
+        case ("MultiPolygon", VArr(polys)) => polys.forall {
+          case VArr(rings) => rings.forall {
+            case VArr(pts) => pts.forall(validPt); case _ => false
+          }
+          case _ => false
+        }
+        case _ => false
+      }
+      if (t == "GeometryCollection") o.fields.get("geometries").collect {
+        case g @ VArr(items) if items.forall(_.isInstanceOf[VGeom]) => VGeom(t, g)
+      }
+      else o.fields.get("coordinates").filter(valid(t, _)).map(c => VGeom(t, closed(t, deepF(c))))
     case _ => scala.None
   }
   /** A GeoJSON-shaped object's geometry subtype, if it is one. */
