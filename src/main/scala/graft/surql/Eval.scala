@@ -62,6 +62,10 @@ object Eval {
         }
     case Constant(name) => constant(name)
     case JsExpr(args, body) =>
+      // capability gate first: with scripting denied the reference rejects
+      // the function before evaluation (self_tests/no_scripting_capabilities)
+      if (env.interp.exists(!_.capScripting))
+        throw SqlError("Scripting functions are not allowed")
       // only the single-return-builtin scripting shape is evaluable
       val Shape = """(?s)return\s+surrealdb\.functions\.([A-Za-z_.]+)\((.*)\)\s*;?\s*""".r
       body match {
@@ -141,13 +145,18 @@ object Eval {
     case "session"       => env.interp.map { i =>
       import scala.collection.immutable.TreeMap
       def opt(v: String, selected: Boolean): V = if (v.isEmpty && !selected) VNone else VStr(v)
-      var m = TreeMap[String, V](
+      // the session object always carries ALL nine claims, absent ones as
+      // NONE (dbs/session.rs values(); self_tests/auth_db_variables)
+      VObj(TreeMap[String, V](
+        "ac" -> i.sessionAccess.map(VStr(_): V).getOrElse(VNone),
+        "db" -> opt(i.curDb, i.sessionHasDb),
+        "exp" -> VNone,
+        "id" -> VNone,
+        "ip" -> VNone,
         "ns" -> opt(i.curNs, i.sessionHasNs),
-        "db" -> opt(i.curDb, i.sessionHasDb))
-      i.sessionAccess.foreach(a => m += "ac" -> VStr(a))
-      i.sessionToken.foreach(t => m += "tk" -> t)
-      i.sessionRd.foreach(r => m += "rd" -> r)
-      VObj(m)
+        "or" -> VNone,
+        "rd" -> i.sessionRd.map(identity[V]).getOrElse(VNone),
+        "tk" -> i.sessionToken.getOrElse(VNone)))
     }
     case "auth"          => env.interp.flatMap(_.authRid).map(identity[V])
     case "access"        => env.interp.flatMap(_.sessionAccess).map(VStr(_): V)

@@ -313,6 +313,12 @@ object Functions {
       else if (name0 == "array::sort_asc") "array::sort::asc"
       else if (name0 == "array::sort_desc") "array::sort::desc"
       else name0
+    // capability gate: [env.capabilities] deny-functions
+    // (iam: Capabilities::allows_function)
+    env.interp.foreach { in =>
+      if (in.capDenyFunctions.contains(name) || in.capDenyFunctions.contains(name0))
+        throw SqlError(s"Function '$name0' is not allowed to be executed")
+    }
     checkArity(name, a.length)
     def arg(i: Int): V = if (i < a.length) a(i) else VNone
     def typeErr(i: Int, expected: String, found: V): Nothing =
@@ -1801,6 +1807,25 @@ object Functions {
         }
         Api.invoke(path, a.lift(1).filter(_ != VNone), env)
       case custom if custom.startsWith("fn::") =>
+        // function PERMISSIONS apply to record users (fnc custom dispatch:
+        // reproductions/function_permissions_none_record)
+        env.interp.filter(_.recordAuth).foreach { in =>
+          in.functionDefs.get(custom).foreach { d =>
+            val denied = d.perms match {
+              case "NONE" => true
+              case w if w.startsWith("WHERE ") =>
+                !(try Eval.eval(Parser.parse("RETURN " + w.stripPrefix("WHERE ") + ";")
+                    .stmts.collectFirst { case ReturnStmt(e) => e }.get,
+                  Env(params = in.globals +
+                    ("auth" -> in.authRid.map(identity[V]).getOrElse(VNone)),
+                    interp = env.interp)).truthy
+                catch { case _: Exception => false })
+              case _ => false
+            }
+            if (denied)
+              throw SqlError(s"You don't have permission to run the $custom function")
+          }
+        }
         env.interp.flatMap(_.customFns.get(custom.stripPrefix("fn::"))) match {
           case Some(cl) =>
             // custom functions enforce arity: trailing option<T>/any params
@@ -1823,6 +1848,11 @@ object Functions {
             }
             // named functions report per-argument coercion failures with the
             // fn:: path (coerce/regex golden), not the ANONYMOUS form
+            // the body runs under the function's auth ceiling (ALTER by a
+            // DB-level principal pins it; alter_auth_limit_escalation)
+            val ceilIn = env.interp.filter(_.fnAuthCeiling.contains(custom))
+            val savedCeil = ceilIn.map(_.activeFnCeiling)
+            ceilIn.foreach(in => in.activeFnCeiling = in.fnAuthCeiling.get(custom))
             try applyClosure(cl, a, env)
             catch {
               case e: SqlError if e.msg.startsWith("Incorrect arguments for function ANONYMOUS()") =>
@@ -1837,6 +1867,11 @@ object Functions {
                       s"Failed to coerce argument `$$$pname`: Expected `$kTxt` but found `${found.render}`")
                   case _ => throw e
                 }
+            } finally {
+              (ceilIn, savedCeil) match {
+                case (Some(in), Some(c)) => in.activeFnCeiling = c
+                case _ => ()
+              }
             }
           case scala.None => throw SqlError(s"The function '$custom' does not exist")
         }

@@ -34,10 +34,39 @@ object Golden {
       legacyPlanner: Boolean = false, recordAuth: Boolean = false,
       compactOk: Boolean = false, authRid: Option[String] = scala.None,
       clean: Boolean = false,
-      signup: Option[String] = scala.None, signin: Option[String] = scala.None)
+      signup: Option[String] = scala.None, signin: Option[String] = scala.None,
+      authLevel: Option[String] = scala.None,
+      denyFunctions: Seq[String] = Seq.empty,
+      scripting: Boolean = true)
 
   final case class Outcome(path: Path, total: Int, passed: Int, failures: Seq[String]) {
     def ok: Boolean = failures.isEmpty
+  }
+
+  /** The engine version this port targets (reference v3.1.0-alpha). */
+  private val CurrentVersion = Seq(3, 1, 0)
+
+  /** Does a `test.version` / `test.importing-version` constraint admit the
+    * current target? Supports `>=x`, `>x`, `<=x`, `<x`, `a.b.*`, `*`,
+    * and exact versions. */
+  def versionAdmits(constraint: String): Boolean = {
+    def nums(s: String): Seq[Int] =
+      s.split("\\.").toSeq.map(_.filter(_.isDigit)).map(x => if (x.isEmpty) 0 else x.toInt).padTo(3, 0)
+    def cmp(a: Seq[Int], b: Seq[Int]): Int =
+      a.zip(b).collectFirst { case (x, y) if x != y => x.compare(y) }.getOrElse(0)
+    val c = constraint.trim
+    if (c == "*" || c.isEmpty) true
+    else if (c.startsWith(">=")) cmp(CurrentVersion, nums(c.drop(2))) >= 0
+    else if (c.startsWith(">")) cmp(CurrentVersion, nums(c.drop(1))) > 0
+    else if (c.startsWith("<=")) cmp(CurrentVersion, nums(c.drop(2))) <= 0
+    else if (c.startsWith("<")) cmp(CurrentVersion, nums(c.drop(1))) < 0
+    else if (c.contains("*")) {
+      val pre = c.takeWhile(_ != '*').stripSuffix(".")
+      val parts = nums(pre)
+      val n = pre.count(_ == '.') + 1
+      cmp(CurrentVersion.take(n), parts.take(n)) == 0
+    }
+    else cmp(CurrentVersion, nums(c)) == 0
   }
 
   /** Extract test comments: slash-star-star blocks and //! lines. */
@@ -103,16 +132,15 @@ object Golden {
       case Some(Toml.B(b)) => b
       case _ => true
     }) && (t.get("test.version") match {
-      // version-gated files (e.g. "<3.0.0") don't apply to the 3.x target
-      case Some(Toml.S(v)) => !v.trim.startsWith("<")
+      // version-gated files don't apply unless the constraint admits the
+      // 3.1.0 target (e.g. "<3.0.0" and ">9999.0.0" are skipped)
+      case Some(Toml.S(v)) => versionAdmits(v)
       case _ => true
     }) && (t.get("test.importing-version") match {
       // upgrade tests pin the version that WROTE the data; we emulate the
       // latest engine, so old-version behavior snapshots (e.g. "2.1.*",
       // "<2.2.1") don't apply while ">=x" ranges do
-      case Some(Toml.S(v)) =>
-        val c = v.trim
-        c.startsWith(">") || c.startsWith("3.") || c == "*" || c.startsWith("3.*")
+      case Some(Toml.S(v)) => versionAdmits(v)
       case _ => true
     })
     val wip = t.get("test.wip") match {
@@ -154,9 +182,24 @@ object Golden {
       case Some(Toml.S(s)) => Some(s)
       case _ => scala.None
     }
+    val authLevel = t.get("env.auth") match {
+      case Some(Toml.T(fields)) => fields.get("level") match {
+        case Some(Toml.S(l)) => Some(l)
+        case _ => scala.None
+      }
+      case _ => scala.None
+    }
+    val denyFns = t.get("env.capabilities.deny-functions") match {
+      case Some(Toml.A(items)) => items.collect { case Toml.S(s) => s }
+      case _ => Seq.empty
+    }
+    val scripting = t.get("env.capabilities.scripting") match {
+      case Some(Toml.B(b)) => b
+      case _ => true
+    }
     TestFile(path, src, expected, imports, run, wip, parseErr,
       envFlag("env.namespace"), envFlag("env.database"), legacy, recordAuth, compactOk, authRid,
-      cleanEnv, envStr("env.signup"), envStr("env.signin"))
+      cleanEnv, envStr("env.signup"), envStr("env.signin"), authLevel, denyFns, scripting)
   }
 
   def runFile(tf: TestFile, testsRoot: Path): Outcome = {
@@ -175,17 +218,15 @@ object Golden {
     if (tf.envNamespace && !tf.clean) interp.namespaces("test") = "DEFINE NAMESPACE test"
     if (tf.envDatabase && !tf.clean) interp.databases("test") = "DEFINE DATABASE test"
     interp.legacyPlanner = tf.legacyPlanner
-    interp.recordAuth = tf.recordAuth
-    interp.authRid = tf.authRid.flatMap { r =>
-      try Some(Parser.parseValue(r)).collect { case rid: VRid => rid }
-      catch { case _: Exception => scala.None }
-    }
     interp.compactSupported = tf.compactOk
     interp.sessionHasNs = tf.envNamespace
     interp.sessionHasDb = tf.envDatabase
+    interp.capDenyFunctions = tf.denyFunctions.toSet
+    interp.capScripting = tf.scripting
     if (!tf.envNamespace) interp.curNs = ""
     if (!tf.envDatabase) interp.curDb = ""
-    // imports run first, results discarded
+    // imports run first AS ROOT, results discarded — the [env] auth session
+    // only applies to the test body (provisioner imports precede auth)
     tf.imports.foreach { imp =>
       // `./`-relative imports resolve against the test file's own directory
       val p = if (imp.startsWith("./") || imp.startsWith("../"))
@@ -197,6 +238,12 @@ object Golden {
         catch { case _: Exception => () }
       }
     }
+    interp.recordAuth = tf.recordAuth
+    interp.authRid = tf.authRid.flatMap { r =>
+      try Some(Parser.parseValue(r)).collect { case rid: VRid => rid }
+      catch { case _: Exception => scala.None }
+    }
+    interp.authLevel = tf.authLevel
     // signup/signin env flow: evaluate the access method's SIGNUP/SIGNIN
     // body with the provided vars, then install $auth/$token/$access/
     // $session state (iam/signup.rs, signin.rs — claims AC/DB/ID/NS/iss)
@@ -233,10 +280,16 @@ object Golden {
               "iss" -> VStr("SurrealDB")))
           }
         case scala.None =>
-          // system-user signin: the token identifies the user by name
+          // system-user signin: the token identifies the user by name; the
+          // user's definition level becomes the session's privilege level
           obj.fields.get("user").collect { case VStr(u) => u }.foreach { u =>
             interp.sessionToken = Some(V.obj(
               "ID" -> VStr(u), "iss" -> VStr("SurrealDB")))
+            interp.authUserLevel =
+              if (interp.dbUsers.contains(u)) Some("DATABASE")
+              else if (interp.nsUsers.contains(u)) Some("NAMESPACE")
+              else if (interp.rootUsers.contains(u)) Some("ROOT")
+              else scala.None
           }
       }
     } catch { case _: Exception => () }

@@ -277,7 +277,12 @@ final class Interp {
   var globals: Map[String, V] = Map.empty
   /** OPTION IMPORT: mutations run but return NONE (bulk-import mode). */
   var importMode = false
-  private def suppressIfImport(v: V): V = if (importMode) VNone else v
+  /** Bulk-import mode suppresses mutation OUTPUT but keeps the statement's
+    * shape: array-valued statements report `[]`, ONLY forms `NONE`
+    * (upsert_where_option_import_phantom vs option/import_indexes). */
+  private def suppressIfImport(v: V): V =
+    if (!importMode) v
+    else v match { case _: VArr => VArr(Vector.empty); case _ => VNone }
 
   /** Typed LET coercion with the statement-level error wrapper
     * (let/typed: "Tried to set `$x`, but couldn't coerce value: ..."). */
@@ -289,6 +294,15 @@ final class Interp {
     }.getOrElse(v0)
   /** DEFINE FUNCTION registry: name (sans fn::) → closure. */
   val customFns: mutable.LinkedHashMap[String, VClosure] = mutable.LinkedHashMap.empty
+  /** Auth ceiling per function ("fn::name" → DATABASE/NAMESPACE): ALTER
+    * FUNCTION recomputes the function's privilege limit from the ALTERING
+    * principal, so a DB-owner's alteration cannot escalate to namespace
+    * operations (reproductions/alter_auth_limit_escalation). */
+  val fnAuthCeiling: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  /** Level of the signed-in SYSTEM user (DATABASE/NAMESPACE/ROOT), if any. */
+  var authUserLevel: Option[String] = scala.None
+  /** Ceiling active while a custom function body executes. */
+  var activeFnCeiling: Option[String] = scala.None
   /** DEFINE FIELD registry per table, in definition order. */
   val fieldPipeline: mutable.LinkedHashMap[String, Vector[DefineFieldStmt]] =
     mutable.LinkedHashMap.empty
@@ -364,6 +378,13 @@ final class Interp {
   var sessionAccess: Option[String] = scala.None
   var sessionToken: Option[V] = scala.None
   var sessionRd: Option[V] = scala.None
+  /** System-user auth role ([env] auth.level): "viewer" is read-only —
+    * DDL and mutations raise the IAM error (iam/check.rs role checks). */
+  var authLevel: Option[String] = scala.None
+  /** Capabilities ([env.capabilities]): denied function paths error at
+    * call time; scripting=false rejects `function(){}` outright. */
+  var capDenyFunctions: Set[String] = Set.empty
+  var capScripting: Boolean = true
   private val permExprCache = mutable.HashMap[String, Option[ast.Expr]]()
 
   /** The SELECT permission applied to reads of `tb` under record auth:
@@ -655,6 +676,26 @@ final class Interp {
           // for/break_in_function: the FOR's creates vanish on error)
           val stmtSnap = if (inTx) scala.None else Some(new TxSnapshot)
           try {
+            // session/namespace requirements + read-only role gate, checked
+            // before execution (dbs/executor.rs context checks; iam/check)
+            other match {
+              case _: CreateStmt | _: UpdateStmt | _: UpsertStmt | _: DeleteStmt |
+                   _: InsertStmt | _: RelateStmt =>
+                if (!sessionHasNs) throw SqlError("Specify a namespace to use")
+                if (!sessionHasDb) throw SqlError("Specify a database to use")
+              case _ => ()
+            }
+            if (authLevel.contains("viewer")) other match {
+              case _: DefineStmt | _: DefineFunctionStmt | _: DefineFieldStmt |
+                   _: DefineIndexStmt | _: DefineTableStmt | _: DefineEventStmt |
+                   _: DefineUserStmt | _: DefineSequenceStmt | _: DefineRawStmt |
+                   _: DefineApiStmt | _: RemoveStmt | _: AlterTableStmt |
+                   _: AlterFunctionStmt | _: AlterEventStmt | _: AlterFieldStmt |
+                   _: CreateStmt | _: UpdateStmt | _: UpsertStmt | _: DeleteStmt |
+                   _: InsertStmt | _: RelateStmt =>
+                throw SqlError("IAM error: Not enough permissions to perform this action")
+              case _ => ()
+            }
             val env = Env(params = globals, interp = Some(this))
             other match {
               case LetStmt(name, kindAnn, what) =>
@@ -1490,6 +1531,13 @@ final class Interp {
       throw SqlError("Specify a database to use")
     if (s.d.level == "NAMESPACE" && !sessionHasNs)
       throw SqlError("Specify a namespace to use")
+    // a function body running under a DB-level auth ceiling cannot define
+    // users above its level (iam: auth_limit; alter_auth_limit_escalation)
+    activeFnCeiling.foreach { c =>
+      val rank = Map("DATABASE" -> 0, "NAMESPACE" -> 1, "ROOT" -> 2)
+      if (rank.getOrElse(s.d.level, 0) > rank.getOrElse(c, 2))
+        throw SqlError("IAM error: Not enough permissions to perform this action")
+    }
     if (ddlGate(reg.contains(s.d.name), s.mode, s"The $levelName user '${s.d.name}' already exists"))
       reg(s.d.name) = s.d
   }
@@ -1950,6 +1998,12 @@ final class Interp {
         s.comment.foreach(c => d = d.copy(comment = c))
         s.perms.foreach(p => d = d.copy(perms = p))
         functionDefs(full) = d
+        // recompute the auth ceiling from the ALTERING principal: a DB- or
+        // NS-level user pins the function to its own privilege level
+        authUserLevel match {
+          case Some(l @ ("DATABASE" | "NAMESPACE")) => fnAuthCeiling(full) = l
+          case _ => fnAuthCeiling.remove(full)
+        }
     }
   }
 
@@ -2417,6 +2471,10 @@ final class Interp {
     var e = env
     stmts.foreach {
       case LetStmt(name, kindAnn, what) =>
+        // protected params stay unassignable inside loop bodies too
+        // (reproductions/for_let_fallback_validation)
+        if (protectedParams.contains(name))
+          throw SqlError(s"'$name' is a protected variable and cannot be set")
         val v0 = Eval.eval(what, e)
         e = e.bind(name, letCoerce(name, kindAnn, v0))
       case ReturnStmt(re) => throw ReturnSignal(Eval.eval(re, e))
@@ -2730,7 +2788,9 @@ final class Interp {
   def checkUniqueIndexes(tb: String, rid: VRid, doc: VObj): Unit = {
     uniqueIndexes.getOrElse(tb, Vector.empty).foreach { case (idxName, idxFields) =>
       val vals = idxFields.map(f => idxFieldValue(doc, f))
-      if (vals.exists(v => v != VNone && v != VNull)) {
+      // SQL-standard NULL semantics: a tuple with ANY NONE/NULL column never
+      // conflicts (NULLs are not equal to each other; reproductions/3290)
+      if (vals.forall(v => v != VNone && v != VNull)) {
         findUniqueConflictEntry(tb, rid, idxFields, vals).foreach { case (other, entry) =>
           val shown = if (entry.length == 1) entry.head.render
             else VArr(entry.toVector).render
@@ -4005,10 +4065,16 @@ final class Interp {
         })
       val doc0 = VObj(withData.fields.updated("id", rid))
       val doc = applyFieldPipeline(tb, rid, doc0, scala.None, isCreate = true, env)
-      checkUniqueIndexes(tb, rid, doc)
-      t(key) = doc
-      fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
-      shapeOutput(scala.None, Some(doc), s.output, env, tb)
+      // record users need the table's CREATE permission truthy for the new
+      // doc — a denied create is silently skipped, and no references or
+      // events fire (doc/allow.rs; reproductions/7208)
+      if (!permAllows(tb, "create", doc)) scala.None
+      else {
+        checkUniqueIndexes(tb, rid, doc)
+        t(key) = doc
+        fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
+        shapeOutput(scala.None, Some(doc), s.output, env, tb)
+      }
     }
     val vs = created.flatten
     if (s.only) vs.headOption.getOrElse(VNone)

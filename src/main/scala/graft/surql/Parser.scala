@@ -2984,6 +2984,10 @@ final class Parser(val src: String) {
 
   private def primary(): Expr = {
     ws()
+    // a bare SELECT in expression position is a subquery — the reference
+    // parses statement keywords as expression starts (parse_expr_start;
+    // reproductions/7129: `count(SELECT * FROM t)`)
+    if (peekKw("SELECT")) return Subquery(statement())
     val c = peekc
     if (c == '(') {
       pos += 1
