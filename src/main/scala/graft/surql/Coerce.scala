@@ -300,9 +300,19 @@ object Coerce {
     }
     case KNumber => v match { case n: VNum => n; case _ => coerceErr(k, v) }
     case KString => v match { case s: VStr => s; case _ => coerceErr(k, v) }
-    case KArray(inner, _) => v match {
-      case VArr(items) => VArr(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
-      case VSet(items) => VArr(inner.map(ik => items.map(coerce(ik, _))).getOrElse(items))
+    case KArray(inner, len) => v match {
+      case VArr(items) =>
+        // fixed-length arrays enforce EXACT length on coercion too
+        // (reproductions/5677: array<number, 2> rejects [])
+        len.filter(_ != items.length).foreach { m =>
+          throw SqlError(s"Expected `array<${inner.map(kindName).getOrElse("any")},$m>`" +
+            s" but found a collection of length `${items.length}`") }
+        VArr(inner.map(ik => items.map(el => coerceElem(ik, el))).getOrElse(items))
+      case VSet(items) =>
+        len.filter(_ != items.length).foreach { m =>
+          throw SqlError(s"Expected `array<${inner.map(kindName).getOrElse("any")},$m>`" +
+            s" but found a collection of length `${items.length}`") }
+        VArr(inner.map(ik => items.map(el => coerceElem(ik, el))).getOrElse(items))
       case _ => coerceErr(k, v)
     }
     case KSet(inner, _) => v match {
@@ -353,4 +363,13 @@ object Coerce {
 
   private def coerceErr(k: Kind, v: V): Nothing =
     throw SqlError(s"Expected `${kindName(k)}` but found `${v.render}`")
+
+  /** Element coercion inside `array<T>` tags failures with the enclosing
+    * array kind (CoercionError::ElementOf; reproductions/5677). */
+  private def coerceElem(ik: Kind, el: V): V =
+    try coerce(ik, el)
+    catch {
+      case e: SqlError if !e.msg.contains("when coercing an element") =>
+        throw SqlError(s"${e.msg} when coercing an element of `array<${kindName(ik)}>`")
+    }
 }

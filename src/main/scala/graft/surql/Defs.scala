@@ -88,8 +88,11 @@ object Defs {
       val sb = new StringBuilder("DEFINE FIELD ").append(escName)
         .append(" ON ").append(escIdent(table))
       kindRaw.foreach { k =>
-        // `<any>` element types render collapsed (array<any> → array)
-        sb.append(" TYPE ").append(k.replace("array<any>", "array").replace("set<any>", "set"))
+        // `<any>` element types render collapsed (array<any> → array);
+        // `option<T>` is sugar for the union and renders `none | T`
+        // (3.x Kind has no Option variant; reproductions/6297)
+        sb.append(" TYPE ").append(desugarOption(
+          k.replace("array<any>", "array").replace("set<any>", "set")))
         if (flexible) sb.append(" FLEXIBLE")
       }
       defaultRaw.foreach { d =>
@@ -167,6 +170,24 @@ object Defs {
     t = t.replace("{ }", "{  }").replace("{}", "{  }")
     t = requoteStrings(t)
     t
+  }
+
+  /** `option<T>` → `none | T` (recursively): 3.x desugars option at parse
+    * time, so catalog kinds never render the option<> form. */
+  def desugarOption(s: String): String = {
+    val i = s.indexOf("option<")
+    if (i < 0) s
+    else {
+      var depth = 1
+      var j = i + 7
+      while (j < s.length && depth > 0) {
+        val c = s.charAt(j)
+        if (c == '<') depth += 1 else if (c == '>') depth -= 1
+        j += 1
+      }
+      val inner = s.substring(i + 7, j - 1)
+      desugarOption(s.substring(0, i) + "none | " + inner + s.substring(j))
+    }
   }
 
   /** Drop `//` line comments outside quoted strings/idents — the reference

@@ -1287,13 +1287,10 @@ object Functions {
           case (o, _) => o
         }
       case "type::field" =>
-        def pathValue(d: V, path: String): V =
-          path.split('.').foldLeft(d) {
-            case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
-            case (VArr(items), "*") => VArr(items)
-            case _ => VNone
-          }
-        env.doc.map(d => pathValue(d, str(0))).getOrElse(VNone)
+        // the path evaluates as a real idiom — record links traverse exactly
+        // like `friend.name.first` would (reproductions/6980)
+        try Eval.eval(Parser.parseExpr(str(0)), env)
+        catch { case _: ParseError => VNone }
       case "type::fields" =>
         def pathValue2(d: V, path: String): V =
           path.split('.').foldLeft(d) {

@@ -2571,7 +2571,18 @@ final class Interp {
     val defs = fieldPipeline.getOrElse(tb, Vector.empty).filter(_.computed.isEmpty)
     var fields = doc.fields
     defs.foreach { fd =>
-      val path = fd.field.split("\\.", -1).toList
+      // `arr[0]`-style defs address a specific element: expand bracketed
+      // indexes into their own path segments (reproductions/5677)
+      val path = fd.field.split("\\.", -1).toList.flatMap { s =>
+        val i = s.indexOf('[')
+        if (i < 0) List(s)
+        else {
+          val head = s.substring(0, i)
+          val idxs = "\\[([0-9*]+)\\]".r.findAllMatchIn(s.substring(i))
+            .map(m => if (m.group(1) == "*") "*" else "[" + m.group(1) + "]").toList
+          (if (head.nonEmpty) List(head) else Nil) ++ idxs
+        }
+      }
       def transform(cur: V, segs: List[String], beforeV: V): V = segs match {
         case Nil =>
           var v = cur
@@ -2644,6 +2655,20 @@ final class Interp {
             val beforeFs = beforeV match { case o: VObj => o.fields; case _ => TreeMap.empty[String, V] }
             VObj(fs.map { case (k2, el) =>
               k2 -> transform(el, rest, beforeFs.getOrElse(k2, VNone)) })
+          case other => other
+        }
+        // `[N]` element defs fire only when the element EXISTS — an absent
+        // index skips the pipeline (doc/field.rs path walk; 5677)
+        case seg :: rest if seg.startsWith("[") && seg.endsWith("]") => cur match {
+          case VArr(items) =>
+            seg.drop(1).dropRight(1).toIntOption match {
+              case Some(idx) if idx >= 0 && idx < items.length =>
+                val beforeEl = beforeV match {
+                  case VArr(b) => b.lift(idx).getOrElse(VNone); case _ => VNone
+                }
+                VArr(items.updated(idx, transform(items(idx), rest, beforeEl)))
+              case _ => cur
+            }
           case other => other
         }
         case seg :: rest => cur match {
@@ -2856,7 +2881,12 @@ final class Interp {
         finally viewDepth -= 1
       case scala.None =>
         val rows = versionAsOf match {
-          case Some(ts) => versionedTable(name, ts).toVector.sortBy(_._1)(V.ordering).map(_._2)
+          case Some(ts) =>
+            // a VERSION read before the table existed errors like a missing
+            // table (kvs versioned reads; reproductions/6541 epoch query)
+            if (!history.exists { case (t, tb, _, _) => tb == name && !t.isAfter(ts) })
+              throw SqlError(s"The table '$name' does not exist")
+            versionedTable(name, ts).toVector.sortBy(_._1)(V.ordering).map(_._2)
           case scala.None =>
             tables.getOrElse(name, throw SqlError(s"The table '$name' does not exist"))
               .toVector.sortBy(_._1)(V.ordering).map(_._2)
@@ -2925,13 +2955,18 @@ final class Interp {
         case VTable(tb) =>
           tables.get(tb).map(_ => tableRows(tb))
             .getOrElse(throw SqlError(s"The table '$tb' does not exist"))
-        case VArr(items) => items.flatMap {
+        case VArr(items) =>
           // record-id sources iterate the STORE: a missing record yields no
-          // row at all (select/whats mock range over absent ids)
-          case rid: VRid => fetchRecord(rid).map(identity[V]).toVector
-          case v if v != VNone && v != VNull => Vector(v) // NONE/NULL sources drop (select/from_none)
-          case _ => Vector.empty[V]
-        }
+          // row at all (select/whats mock range over absent ids); NESTED
+          // arrays (graph traversals in a FROM array) flatten into rows
+          // (reproductions/7124)
+          def flat(v: V): Vector[V] = v match {
+            case rid: VRid => fetchRecord(rid).map(identity[V]).toVector
+            case VArr(nested) => nested.flatMap(flat)
+            case x if x != VNone && x != VNull => Vector(x) // NONE/NULL sources drop (select/from_none)
+            case _ => Vector.empty[V]
+          }
+          items.flatMap(flat)
         case VNone | VNull => Vector.empty
         case v => Vector(v)
       }
@@ -3026,8 +3061,23 @@ final class Interp {
     }
     s.version match {
       case Some(ve) =>
+        // VERSION applies to concrete table/record sources only — a
+        // subquery source must carry its own VERSION (reproductions/6541)
+        if (s.what.exists {
+          case Subquery(_) => true
+          case Idiom(parts) => parts.exists { case PStart(Subquery(_)) => true; case _ => false }
+          case _ => false
+        }) throw SqlError("Invalid query: VERSION clause cannot be used with a subquery " +
+          "source. Place the VERSION clause inside the subquery instead.")
+        // a string version coerces to datetime (statement compute: coerce)
         val ts = Eval.eval(ve, env) match {
           case VDt(t) => t
+          case VStr(txt) =>
+            try new Parser("").parseDatetime(txt) match {
+              case VDt(t) => t
+              case _ => throw SqlError(s"Expected a datetime but found '$txt'")
+            } catch { case _: SqlError | _: ParseError =>
+              throw SqlError(s"Expected a datetime but found '$txt'") }
           case other  => throw SqlError(s"Expected a datetime but found ${other.render}")
         }
         val saved = versionAsOf
