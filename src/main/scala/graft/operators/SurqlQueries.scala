@@ -358,42 +358,47 @@ object SurqlQueries {
   // distinct supplier→part shipment pair); hops lower to aggregated
   // equi-joins anchored on the record key — see SparkPlanner.graphLookup.
 
+  // The hop results are id/field ARRAYS; the driver's comparator cannot hash
+  // list columns (same pandas limitation as agg_array_collect), so each
+  // projection serializes the array with array::join — the arrow lowering
+  // itself (graphLookup's aggregated equi-join) stays fully under test.
+
   /** `->edge->target`: parts each supplier supplies, as an id array. */
   val graphArrow = sq("graph_arrow",
     """SELECT s_suppkey,
-              (SELECT list(DISTINCT l_partkey ORDER BY l_partkey)
-               FROM lineitem WHERE l_suppkey = s_suppkey) AS parts
+              array_to_string((SELECT list(DISTINCT l_partkey ORDER BY l_partkey)
+               FROM lineitem WHERE l_suppkey = s_suppkey), ',') AS parts
        FROM supplier ORDER BY s_suppkey""")(
-    "SELECT s_suppkey, ->supplies->part AS parts FROM supplier ORDER BY s_suppkey")
+    "SELECT s_suppkey, array::join(->supplies->part, ',') AS parts FROM supplier ORDER BY s_suppkey")
 
   /** `<-edge<-source`: reverse hop — suppliers of each part. */
   val graphArrowRev = sq("graph_arrow_rev",
     """SELECT p_partkey,
-              (SELECT list(DISTINCT l_suppkey ORDER BY l_suppkey)
-               FROM lineitem WHERE l_partkey = p_partkey) AS sups
+              array_to_string((SELECT list(DISTINCT l_suppkey ORDER BY l_suppkey)
+               FROM lineitem WHERE l_partkey = p_partkey), ',') AS sups
        FROM part WHERE p_partkey >= 1 AND p_partkey < 51 ORDER BY p_partkey""")(
-    "SELECT p_partkey, <-supplies<-supplier AS sups FROM part:1..51 ORDER BY p_partkey")
+    "SELECT p_partkey, array::join(<-supplies<-supplier, ',') AS sups FROM part:1..51 ORDER BY p_partkey")
 
   /** `->(edge WHERE cond)->target`: the hop's WHERE filters edge props. */
   val graphArrowCond = sq("graph_arrow_cond",
     s"""SELECT s_suppkey,
-               (SELECT list(l_partkey ORDER BY l_partkey) FROM (
+               coalesce(array_to_string((SELECT list(l_partkey ORDER BY l_partkey) FROM (
                   SELECT l_partkey, ${Exact.sqlSum("l_quantity")} AS tq
                   FROM lineitem WHERE l_suppkey = s_suppkey GROUP BY l_partkey) x
-                WHERE tq > 100.0) AS parts
+                WHERE tq > 100.0), ','), '') AS parts
         FROM supplier ORDER BY s_suppkey""")(
-    """SELECT s_suppkey, ->(supplies WHERE total_qty > 100.0)->part AS parts
+    """SELECT s_suppkey, array::join(->(supplies WHERE total_qty > 100.0)->part, ',') AS parts
        FROM supplier ORDER BY s_suppkey""")
 
   /** `->edge->target.field`: project a target field, in target-id order. */
   val graphArrowField = sq("graph_arrow_field",
     """SELECT s_suppkey,
-              (SELECT list(p_name ORDER BY p_partkey) FROM (
+              array_to_string((SELECT list(p_name ORDER BY p_partkey) FROM (
                  SELECT DISTINCT l_partkey FROM lineitem
                  WHERE l_suppkey = s_suppkey) j
-               JOIN part ON p_partkey = j.l_partkey) AS part_names
+               JOIN part ON p_partkey = j.l_partkey), '|') AS part_names
        FROM supplier WHERE s_suppkey >= 1 AND s_suppkey < 6 ORDER BY s_suppkey""")(
-    """SELECT s_suppkey, ->supplies->part.p_name AS part_names
+    """SELECT s_suppkey, array::join(->supplies->part.p_name, '|') AS part_names
        FROM supplier:1..6 ORDER BY s_suppkey""")
 
   // ---- @@ MATCHES and <|k|> KNN from query text ---------------------------

@@ -163,6 +163,8 @@ object SparkPlanner {
         val srcKey = recordKey.getOrElse(table,
           throw SqlError(s"SparkPlanner: no record key for table $table"))
         df = df.join(lookup, col(srcKey) === col(kName), "left").drop(kName)
+          // no edges → empty array, not NULL (GraphScanOutput yields [])
+          .withColumn(derived, coalesce(col(derived), array()))
         graphCols += (parts -> derived)
     }
 
@@ -963,7 +965,11 @@ object SparkPlanner {
     case "array::at"       =>
       element_at(cs(0), (raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }) + 1)
     case "array::first"    => element_at(cs(0), 1)
-    case "array::join"     => concat_ws(raw(1) match { case Lit(VStr(s)) => s; case _ => "," }, cs(0))
+    case "array::join"     =>
+      // elements render raw (array.rs ArrayJoin) — cast non-strings so
+      // concat_ws accepts numeric/id arrays (e.g. graph-hop results)
+      concat_ws(raw(1) match { case Lit(VStr(s)) => s; case _ => "," },
+        transform(cs(0), x => x.cast("string")))
     case "array::slice"    =>
       val from = raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }
       val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
