@@ -138,25 +138,27 @@ object Similarity {
     (s, d) =>
       val emb = Tables.embeddingsWide(s, d).select(col("vec_id"), col("embedding"))
       // one row per (vec, band): the banded signature table — at scale this
-      // is the persisted ANN index, bucketed by (band, key)
+      // is the persisted ANN index, bucketed by (band, key). Norms ride
+      // along so the rerank pays one dot fold per candidate pair.
       val banded = emb.select(
-        col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
         explode(array((0 until NumBands).map(b =>
           struct(lit(b).as("band"), bandKey(col("embedding"), b).as("key"))): _*))
           .as("bd"))
-        .select(col("vec_id"), col("embedding"),
+        .select(col("vec_id"), col("embedding"), col("nrm"),
           col("bd.band").as("band"), col("bd.key").as("key"))
         .persist() // both sides of the band self-join read this
       val l = banded.select(col("band"), col("key"),
-        col("vec_id").as("a"), col("embedding").as("ea"))
+        col("vec_id").as("a"), col("embedding").as("ea"), col("nrm").as("na"))
       val r = banded.select(col("band").as("band_r"), col("key").as("key_r"),
-        col("vec_id").as("b"), col("embedding").as("eb"))
+        col("vec_id").as("b"), col("embedding").as("eb"), col("nrm").as("nb"))
       l.join(r, col("band") === col("band_r") && col("key") === col("key_r") &&
           col("a") < col("b"))
-        .select(col("a"), col("b"), col("ea"), col("eb"))
+        .select(col("a"), col("b"), col("ea"), col("eb"), col("na"), col("nb"))
         .dropDuplicates("a", "b")
         .select(col("a"), col("b"),
-          round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("a"), col("b"))
         .limit(20)
   }
@@ -178,12 +180,20 @@ object Similarity {
         WHERE a.vec_id < $ExactSampleRows AND b.vec_id < $ExactSampleRows
         ORDER BY cos_sim DESC, a, b LIMIT 20""") {
     (s, d) =>
+      // norms are precomputed per ROW (500 folds) so each of the 124,750
+      // pairs pays ONE dot fold, not three — dot/(na*nb) is the identical
+      // float expression to cosine(), just with sqrt(dot(a,a)) hoisted
       val emb = Tables.embeddings(s, d).filter(col("vec_id") < ExactSampleRows)
-      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"))
+        .select(col("vec_id"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
       a.join(b, col("a") < col("b"))
         .select(col("a"), col("b"),
-          round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+            .as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("a"), col("b"))
         .limit(20)
   }

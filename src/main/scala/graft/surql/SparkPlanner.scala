@@ -275,15 +275,49 @@ object SparkPlanner {
     val splitFields = s.split.toSet
 
     // ---- aggregate / project ---------------------------------------------
+    // math::median lowers to Spark's Percentile — a TypedImperativeAggregate.
+    // ONE imperative aggregate in an agg list forces the whole aggregation
+    // into ObjectHashAggregate, dropping codegen for every column (2× slower
+    // measured at sf0.1; worse at scale where the map-side partial dominates).
+    // When medians mix with declarative aggs over simple group keys, plan the
+    // medians as their OWN aggregation and join back on the keys: the
+    // declarative side keeps whole-stage codegen, the join is one row per
+    // group (tiny), and both sides still do map-side partials.
+    def containsMedian(e: Expr): Boolean = e match {
+      case FnCall("math::median", _) => true
+      case FnCall(_, args)  => args.exists(containsMedian)
+      case Binary(_, l, r)  => containsMedian(l) || containsMedian(r)
+      case Prefix(_, inner) => containsMedian(inner)
+      case Cast(_, inner)   => containsMedian(inner)
+      case _ => false
+    }
     val out: DataFrame = s.groupBy match {
       case Some(Nil) =>
-        df.agg(aggCol(s.fields.head, ctx), s.fields.tail.map(aggCol(_, ctx)): _*)
+        val (medF, declF) = s.fields.partition(f => containsMedian(f.expr))
+        if (medF.nonEmpty && declF.nonEmpty) {
+          val dAgg = df.agg(aggCol(declF.head, ctx), declF.tail.map(aggCol(_, ctx)): _*)
+          val mAgg = df.agg(aggCol(medF.head, ctx), medF.tail.map(aggCol(_, ctx)): _*)
+          dAgg.crossJoin(mAgg)
+            .select(s.fields.map(f => col(fieldAlias(f))): _*)
+        } else
+          df.agg(aggCol(s.fields.head, ctx), s.fields.tail.map(aggCol(_, ctx)): _*)
       case Some(keys) =>
         val keyCols = keys.map(c)
         val (aggFields, keyFields) = s.fields.partition(f => isAggregate(f.expr))
+        val simpleKeyNames = keys.collect { case Idiom(Seq(PField(n))) => n }
+        val (medF, declF) = aggFields.partition(f => containsMedian(f.expr))
         if (aggFields.isEmpty) {
           // keys-only GROUP BY = DISTINCT over the keys
           df.select(keyFields.map(f => c(f.expr).as(fieldAlias(f))): _*).distinct()
+        } else if (medF.nonEmpty && declF.nonEmpty &&
+            simpleKeyNames.length == keys.length) {
+          val dAgg = df.groupBy(keyCols: _*)
+            .agg(aggCol(declF.head, ctx), declF.tail.map(aggCol(_, ctx)): _*)
+          val mAgg = df.groupBy(keyCols: _*)
+            .agg(aggCol(medF.head, ctx), medF.tail.map(aggCol(_, ctx)): _*)
+          dAgg.join(mAgg, simpleKeyNames, "inner")
+            .select(simpleKeyNames.map(col) ++
+              aggFields.map(f => col(fieldAlias(f))): _*)
         } else {
           df.groupBy(keyCols: _*)
             .agg(aggCol(aggFields.head, ctx), aggFields.tail.map(aggCol(_, ctx)): _*)
