@@ -21,9 +21,10 @@ object SparkEntry {
       Mutations.all ++ graft.streaming.Live.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ FullText.all ++ Multimodal.all
 
-  /** 21 entries run as REAL SurrealQL text through the parser + SparkPlanner
-    * (graft.surql) — they override the hand-built closures of the same name,
-    * so the driver's oracle gate verifies parse → plan → execute. */
+  /** Every SurqlQueries entry (SurqlQueries.all.length of them) runs as REAL
+    * SurrealQL text through the parser + SparkPlanner (graft.surql) — each
+    * overrides the hand-built closure of the same name, so the driver's
+    * oracle gate verifies parse → plan → execute end-to-end. */
   private val registry: Seq[Q] = {
     val planned = SurqlQueries.all.map(_.name).toSet
     handBuilt.filterNot(q => planned.contains(q.name)) ++ SurqlQueries.all ++

@@ -358,6 +358,9 @@ object Coerce {
       case VStr(s) if names.isEmpty || names.contains(s) => VTable(s)
       case _ => coerceErr(k, v)
     }
+    // coercion does NOT compile strings into regexes — only `<regex>` casts
+    // do (coerce/regex: fn arg `'a'` → "Expected `regex` but found `'a'`")
+    case KRegex => v match { case r: VRegex => r; case _ => coerceErr(k, v) }
     case _ => cast(k, v)
   }
 

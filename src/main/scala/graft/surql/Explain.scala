@@ -561,15 +561,41 @@ object Explain {
               branches, rows = unionRows)
           }
         }
-        // OR across per-disjunct indexes: UnionIndexScan with one branch each
+        // OR across per-disjunct indexes: UnionIndexScan with one branch per
+        // disjunct. Each disjunct contributes its BEST single access — eq
+        // probe first, then a single-element IN probe, then a range — with
+        // every non-served conjunct left to the union-level residual Filter
+        // (select_with_in_operator_multiple_indexes_new_executor 5/7; branch
+        // rows reflect the access ALONE, pre-residual).
         s.where.map(disjunctList).filter(_.length > 1).foreach { ds =>
-          val branchOpts: Seq[Option[PNode]] = ds.map { d =>
-            indexAccess(in, name, d, s.withIndex, newExec = true) match {
-              case Some((idxName, access, scala.None, _, eqLen)) if eqLen > 0 =>
-                Some(PNode("IndexScan", "Db",
-                  Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"),
-                  rows = branchRows(in, name, d)))
-              case _ => fulltextAccess(in, name, d) match {
+          def servedOf(d: Expr, residual: Option[Expr]): Option[Expr] = {
+            val resSet = residual.map(conjunctList(_).toSet).getOrElse(Set.empty[Expr])
+            conjunctList(d).filterNot(resSet.contains).reduceOption(Binary("&&", _, _))
+          }
+          // (branch node, served-access condition for union row counting)
+          val branchOpts: Seq[Option[(PNode, Option[Expr])]] = ds.map { d =>
+            val acc = indexAccess(in, name, d, s.withIndex, newExec = true)
+            def accBranch(wantEq: Boolean): Option[(PNode, Option[Expr])] =
+              acc.filter(a => (a._5 > 0) == wantEq).map {
+                case (idxName, access, residual, _, _) =>
+                  val served = servedOf(d, residual)
+                  (PNode("IndexScan", "Db",
+                    Seq("index" -> idxName, "access" -> access, "direction" -> "Forward"),
+                    rows = served.flatMap(branchRows(in, name, _))), served)
+              }
+            def inProbe: Option[(PNode, Option[Expr])] =
+              unionIndexAccess(in, name, d, s.withIndex, newExec = true)
+                .filter(_._2.length == 1).map { case (idxName, items, c) =>
+                  val served: Option[Expr] = c match {
+                    case Binary(_, lhs, ArrLit(Seq(el))) => Some(Binary("=", lhs, el))
+                    case _ => Some(c)
+                  }
+                  (PNode("IndexScan", "Db",
+                    Seq("index" -> idxName, "access" -> items.head, "direction" -> "Forward"),
+                    rows = served.flatMap(branchRows(in, name, _))), served)
+                }
+            def ftsBranch: Option[(PNode, Option[Expr])] =
+              fulltextAccess(in, name, d) match {
                 case Some((idxName, q, _)) =>
                   // branch rows reflect the @@ access alone; the disjunct's
                   // non-indexed conjuncts stay in the union-level residual
@@ -577,19 +603,24 @@ object Explain {
                   val matchConj = conjunctList(d).collectFirst {
                     case c @ Binary(op, _, _) if op.startsWith("MATCHES") => c
                   }
-                  Some(PNode("FullTextScan", "Db",
+                  Some((PNode("FullTextScan", "Db",
                     Seq("index" -> idxName, "query" -> q),
-                    rows = matchConj.flatMap(branchRows(in, name, _))))
+                    rows = matchConj.flatMap(branchRows(in, name, _))), matchConj))
                 case _ => scala.None
               }
-            }
+            accBranch(wantEq = true).orElse(inProbe)
+              .orElse(accBranch(wantEq = false)).orElse(ftsBranch)
           }
           if (branchOpts.forall(_.isDefined)) {
             consumedPred = true
             residualPred = s.where
-            val branches = branchOpts.flatten
+            val branches = branchOpts.flatten.map(_._1)
+            // the union's own count: DISTINCT records across branch accesses
+            val unionRows = branchOpts.flatten.flatMap(_._2)
+              .reduceOption(Binary("||", _, _)).flatMap(branchRows(in, name, _))
             return PNode("UnionIndexScan", "Db",
-              Seq("table" -> name, "branches" -> branches.length.toString), branches)
+              Seq("table" -> name, "branches" -> branches.length.toString),
+              branches, rows = unionRows)
           }
         }
         val idx = if (fts.isDefined) scala.None
@@ -1048,6 +1079,71 @@ object Explain {
     indexAccess(in, table, where, hints).map(_._4)
       .filter(fs => fs.forall(f => !f.contains("[") && !f.contains("*")))
 
+  /** Visiting order of a legacy multi-index union access: the single-field
+    * leaf scans in plan order — point/union probes before ranges, discovery
+    * order within each class — as (index field, leaf predicate). Rows stream
+    * per scan in index key order, deduped first-wins, so an index-served OR
+    * observably reorders output (select_with_in_operator_multiple_indexes
+    * rows asserts). Some only for the covering trees the multi-leaf EXPLAIN
+    * branch serves: every OR arm indexable, >1 distinct index, no MATCHES. */
+  def unionVisitScans(in: Interp, table: String, where: Expr,
+      hints: Option[Seq[String]]): Option[Seq[(String, Expr)]] = {
+    if (hints.contains(Nil)) return scala.None
+    def hasMatches(e: Expr): Boolean = e match {
+      case Binary(op, _, _) if op.startsWith("MATCHES") || op.startsWith("KNN:") => true
+      case Binary(_, l, r) => hasMatches(l) || hasMatches(r)
+      case Prefix(_, i) => hasMatches(i)
+      case _ => false
+    }
+    if (hasMatches(where)) return scala.None
+    def idxOn(path: String): Option[String] = in.indexDefs.collectFirst {
+      case ((t, _), d) if t == table && d.fields == Seq(path) &&
+          hints.forall(_.contains(d.name)) &&
+          !d.tail.toUpperCase.startsWith("FULLTEXT") &&
+          !d.tail.toUpperCase.startsWith("SEARCH") => d.name
+    }
+    // (index name, field, leaf predicate, isRange)
+    def leaf(c: Expr): Option[(String, String, Expr, Boolean)] = c match {
+      case Binary("INSIDE" | "IN", Idiom(ps), ArrLit(items))
+          if fieldPathName(ps).isDefined && items.length <= 32 &&
+            items.forall(i => !touchesDb(i)) =>
+        val p = fieldPathName(ps).get
+        idxOn(p).map((_, p, c, false))
+      case Binary("=" | "==", Idiom(ps), rhs)
+          if fieldPathName(ps).isDefined && !touchesDb(rhs) =>
+        val p = fieldPathName(ps).get
+        idxOn(p).map((_, p, c, false))
+      case Binary(">" | ">=" | "<" | "<=", Idiom(ps), rhs)
+          if fieldPathName(ps).isDefined && !touchesDb(rhs) =>
+        val p = fieldPathName(ps).get
+        idxOn(p).map((_, p, c, true))
+      case _ => scala.None
+    }
+    def walk(e: Expr): Option[Seq[(String, String, Expr, Boolean)]] = {
+      val ds = disjunctList(e)
+      if (ds.length > 1) {
+        val each = ds.map(walk)
+        if (each.forall(_.isDefined)) Some(each.flatten.flatten) else scala.None
+      } else {
+        val cs = conjunctList(e)
+        if (cs.length > 1) {
+          val each = cs.map(walk)
+          if (each.exists(_.isDefined)) Some(each.flatten.flatten) else scala.None
+        } else leaf(e).map(Seq(_))
+      }
+    }
+    val cs = conjunctList(where)
+    val trigger = disjunctList(where).length > 1 ||
+      (cs.length > 1 && cs.exists(c => disjunctList(c).length > 1))
+    if (!trigger) return scala.None
+    walk(where).flatMap { ls =>
+      val ordered = ls.filterNot(_._4) ++ ls.filter(_._4)
+      if (ordered.map(_._1).distinct.length > 1)
+        Some(ordered.map(t => (t._2, t._3)))
+      else scala.None
+    }
+  }
+
   /** CONTAINSALL/CONTAINSANY over an indexed array path → per-element
     * index probes merged by UnionIndexScan (scan/union_index.rs). */
   private def unionIndexAccess(in: Interp, table: String, where: Expr,
@@ -1333,9 +1429,13 @@ object Explain {
       r <- unionIndexAccess(in, t, w, s.withIndex)
     } yield r)
     union.foreach { case (idxName, _, c) =>
+      def evalV(i: Expr): V = try Eval.eval(i, env) catch { case _: SqlError => VNone }
       val vals: V = c match {
-        case Binary(_, _, ArrLit(items)) =>
-          VArr(items.map(i => try Eval.eval(i, env) catch { case _: SqlError => VNone }).toVector)
+        case Binary(_, _, ArrLit(items)) => VArr(items.map(evalV).toVector)
+        // element-side probes (`a:2 IN links`, `[a:2] ANYINSIDE links`):
+        // the probed values sit on the LEFT of the operator
+        case Binary(_, ArrLit(items), _) => VArr(items.map(evalV).toVector)
+        case Binary("INSIDE" | "IN", lhs, _) => VArr(Vector(evalV(lhs)))
         case _ => VNone
       }
       val rs = recordStrategy(s, fullyIndexed = true, mutation)
@@ -1447,12 +1547,15 @@ object Explain {
     // (multi_index_or_and asserts 11 vs 13)
     if (!noIndexHint && table.isDefined && s.where.isDefined) {
       val cs = conjunctList(s.where.get)
-      if (cs.length > 1 && cs.exists {
+      if ((cs.length > 1 && cs.exists {
           case Binary(op, _, _) if op.startsWith("MATCHES") => true
           // an OR conjunct needs a UNION of index probes — no single index
           // can serve the whole AND chain (select_with_in_operator assert 1)
           case c => disjunctList(c).length > 1
-        }) {
+          // OR-root trees the per-disjunct branch above could not serve
+          // (AND-disjuncts, range disjuncts) union EVERY indexable leaf in
+          // the tree (select_with_in_operator_multiple_indexes 5/7)
+        }) || disjunctList(s.where.get).length > 1) {
         def entryFor(c: Expr): Option[V] = c match {
           case Binary("INSIDE" | "IN", Idiom(ps), ArrLit(items))
               if fieldPathName(ps).isDefined && items.forall(i => !touchesDb(i)) =>
@@ -1509,12 +1612,21 @@ object Explain {
             }
           case _ => scala.None
         }
+        // covering walk: OR needs EVERY branch served (else the union misses
+        // rows); AND needs at least one (the rest filter residually), but
+        // emits scans for every indexable conjunct it does have
         def entriesFor(c: Expr): Option[Seq[V]] = {
           val ds = disjunctList(c)
           if (ds.length > 1) {
-            val each = ds.map(entryFor)
-            if (each.forall(_.isDefined)) Some(each.flatten) else scala.None
-          } else entryFor(c).map(Seq(_))
+            val each = ds.map(entriesFor)
+            if (each.forall(_.isDefined)) Some(each.flatten.flatten) else scala.None
+          } else {
+            val cs2 = conjunctList(c)
+            if (cs2.length > 1) {
+              val each = cs2.map(entriesFor)
+              if (each.exists(_.isDefined)) Some(each.flatten.flatten) else scala.None
+            } else entryFor(c).map(Seq(_))
+          }
         }
         val perConjunct = cs.map(entriesFor)
         // only multi-index AND when >1 distinct indexes involved and ALL served

@@ -3127,23 +3127,55 @@ final class Interp {
         case Seq(TableRef(n))           => Some(n)
         case _                          => scala.None
       }
-      tbl.flatMap(t => Explain.accessIndexFields(this, t, s.where.get, s.withIndex))
-        .foreach { idxFields =>
-          def key(r: V): Vector[V] = r match {
-            case o: VObj =>
-              idxFields.map(f => docFieldPath(o, f)).toVector :+
-                o.fields.getOrElse("id", VNone)
-            case _ => Vector.empty[V]
+      // legacy multi-index union outranks a single access (the EXPLAIN
+      // branch ordering): rows stream scan by scan (plan order), in each
+      // scan's index key order, deduped first-wins — the observable order
+      // of an index-served OR (select_with_in_operator_multiple_indexes)
+      val unionScans =
+        if (legacyPlanner)
+          tbl.flatMap(t => Explain.unionVisitScans(this, t, s.where.get, s.withIndex))
+        else scala.None
+      unionScans match {
+        case Some(scans) =>
+          val taken = new java.util.IdentityHashMap[V, java.lang.Boolean]()
+          val out = Vector.newBuilder[V]
+          scans.foreach { case (field, leafPred) =>
+            val hits = rows.filter { r =>
+              !taken.containsKey(r) &&
+                (try Eval.eval(leafPred, rowEnv(env0, r)).truthy
+                 catch { case _: SqlError => false })
+            }
+            def key(r: V): (V, V) = r match {
+              case o: VObj => (docFieldPath(o, field), o.fields.getOrElse("id", VNone))
+              case _ => (VNone, VNone)
+            }
+            hits.sortWith { (a, b) =>
+              val (ka, kb) = (key(a), key(b))
+              val c1 = V.cmp(ka._1, kb._1)
+              (if (c1 == 0) V.cmp(ka._2, kb._2) else c1) < 0
+            }.foreach { r => taken.put(r, java.lang.Boolean.TRUE); out += r }
           }
-          rows = rows.sortWith { (a, b) =>
-            val (ka, kb) = (key(a), key(b))
-            val n = math.min(ka.length, kb.length)
-            var i = 0
-            var res = 0
-            while (res == 0 && i < n) { res = V.cmp(ka(i), kb(i)); i += 1 }
-            res < 0
-          }
-        }
+          rows.foreach(r => if (!taken.containsKey(r)) out += r)
+          rows = out.result()
+        case scala.None =>
+          tbl.flatMap(t => Explain.accessIndexFields(this, t, s.where.get, s.withIndex))
+            .foreach { idxFields =>
+              def key(r: V): Vector[V] = r match {
+                case o: VObj =>
+                  idxFields.map(f => docFieldPath(o, f)).toVector :+
+                    o.fields.getOrElse("id", VNone)
+                case _ => Vector.empty[V]
+              }
+              rows = rows.sortWith { (a, b) =>
+                val (ka, kb) = (key(a), key(b))
+                val n = math.min(ka.length, kb.length)
+                var i = 0
+                var res = 0
+                while (res == 0 && i < n) { res = V.cmp(ka(i), kb(i)); i += 1 }
+                res < 0
+              }
+            }
+      }
     }
     val envS = env0
 
