@@ -546,6 +546,52 @@ object SurqlQueries {
 
   /** Names the planner path overrides — the hand-built closures with these
     * names are replaced in SparkEntry's registry. */
+  // ---- DynamicScan / mock source / ORDER BY RAND --------------------------
+
+  /** DynamicScan (exec/operators/scan/dynamic.rs:53): `FROM $param` — the
+    * bound value resolves to a concrete table at PLAN time, so Catalyst
+    * still sees a static parquet relation with full pushdown. */
+  val dynamicScan = sq("dynamic_scan",
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey")(
+    "LET $t = 'nation'; SELECT n_nationkey, n_name FROM $t ORDER BY n_nationkey")
+
+  /** Mock source `|t:n|` (expr/mock.rs:68): n generated record ids from a
+    * `spark.range` — a parallel generator, no driver materialization. */
+  val mockSource = sq("mock_source",
+    "SELECT 'mock:' || i AS id FROM generate_series(1, 5) AS t(i) ORDER BY id")(
+    "SELECT id FROM |mock:5| ORDER BY id")
+
+  /** ORDER BY RAND() (exec/operators/sort/shuffle.rs:32): per-row random
+    * sort key, distributed shuffle-sort — rows-only (order is random). */
+  val orderRand = Q.rowsOnly("order_rand") { (s, d) =>
+    SparkPlanner.query(s, d,
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY RAND() LIMIT 100")
+  }
+
+  /** VERSION time travel (exec/operators/version_scope.rs:25): the scan
+    * resolves to the latest snapshot parquet at-or-before the requested
+    * instant — see [[graft.operators.VersionStore]]. The fixture snapshot
+    * (orders as of 1997-01-01: only orders placed before then) is
+    * materialized idempotently; the oracle replays the snapshot's defining
+    * filter on the live table. */
+  val versionScope = Q("version_scope",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderdate < TIMESTAMP '1997-01-01' ORDER BY o_orderkey""") { (s, d) =>
+    graft.operators.VersionStore.ensureSnapshot(s, d, "orders", "1997-01-01T00:00:00Z")(
+      _.filter(col("o_orderdate") < org.apache.spark.sql.functions.lit("1997-01-01")
+        .cast("timestamp")))
+    SparkPlanner.query(s, d,
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderkey VERSION d'1997-06-01T00:00:00Z'""")
+  }
+
+  /** TIMEOUT enforcement (exec/operators/timeout.rs:25): the plan executes
+    * under a job group a watchdog can cancel; a generous budget keeps the
+    * row green (the 1ns-trips-it path is asserted in SurqlSpec). */
+  val timeoutScope = sq("timeout_scope",
+    "SELECT COUNT(*) AS cnt FROM lineitem")(
+    "SELECT count() AS cnt FROM lineitem GROUP ALL TIMEOUT 5m")
+
   val all: Seq[Q] = Seq(
     tableScan, pointLookup, rangeScan, countAll, exprScalar, filterWhere,
     projectExpr, projectValue, unionOrFilter, splitExplode, sortMulti, topK,
@@ -556,5 +602,6 @@ object SurqlQueries {
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
-    mutUpsertPoint, mutRelateStmt)
+    mutUpsertPoint, mutRelateStmt,
+    dynamicScan, mockSource, orderRand, versionScope, timeoutScope)
 }

@@ -69,6 +69,13 @@ object SparkPlanner {
     val ast = Parser.parse(surql)
     ast.stmts match {
       case Seq(s: SelectStmt) => planSelect(spark, dir, s)
+      // `LET $t = …; SELECT … FROM $t` — DynamicScan (scan/dynamic.rs:53):
+      // the source resolves at PLAN time (the param value is a plan-time
+      // constant), then dispatches to the ordinary table scan, so Catalyst
+      // still sees a static parquet relation with full pushdown.
+      case Seq(LetStmt(name, _, what), s: SelectStmt) =>
+        val bound = Eval.evalConst(what)
+        planSelect(spark, dir, s, Map(name -> bound))
       case Seq(ReturnStmt(ObjLit(fields))) =>
         // RETURN { … }: one-row plan (SourceExpr/ExprPlan analog)
         val dummy = spark.range(1)
@@ -85,9 +92,35 @@ object SparkPlanner {
   }
 
   /** One FROM source → (DataFrame, source table name if concrete). */
-  private def planSource(spark: SparkSession, dir: String, e: Expr): (DataFrame, String) = e match {
+  private def planSource(spark: SparkSession, dir: String, e: Expr,
+      params: Map[String, V] = Map.empty): (DataFrame, String) = e match {
     case Idiom(Seq(PField(name))) => (Tables(spark, dir, name), name)
     case TableRef(name)           => (Tables(spark, dir, name), name)
+    // DynamicScan: `FROM $param` resolves the bound value to a concrete
+    // source at plan time and dispatches (scan/dynamic.rs:53)
+    case Param(name) =>
+      params.get(name) match {
+        case Some(VStr(t))    => (Tables(spark, dir, t), t)
+        case Some(VTable(t))  => (Tables(spark, dir, t), t)
+        case Some(r: VRid)    => planSource(spark, dir, RidLit(r.table, Lit(r.key)), params)
+        case Some(other) => throw SqlError(
+          s"SparkPlanner: FROM $$$name resolves to ${other.render}, not a source")
+        case scala.None => throw SqlError(s"SparkPlanner: unbound FROM param $$$name")
+      }
+    case Idiom(Seq(PStart(p: Param))) => planSource(spark, dir, p, params)
+    // mock source `|t:n|` / `|t:lo..hi|`: generated record ids (expr/mock.rs)
+    case FnCall("__mock__", Seq(Lit(VStr(tb)), Lit(VInt(n)), _)) =>
+      (spark.range(1, n + 1)
+        .select(concat(lit(tb + ":"), col("id")).as("id")), "")
+    case FnCall("__mock_range__", Seq(Lit(VStr(tb)), Lit(VRng(lo, hi)))) =>
+      def asLong(v: V): Long = v match {
+        case VInt(i) => i
+        case other   => throw SqlError(s"SparkPlanner: non-integer mock bound ${other.render}")
+      }
+      val from = lo.map { case (v, incl) => asLong(v) + (if (incl) 0 else 1) }.getOrElse(0L)
+      val until = hi.map { case (v, incl) => asLong(v) + (if (incl) 1 else 0) }.getOrElse(from)
+      (spark.range(from, until)
+        .select(concat(lit(tb + ":"), col("id")).as("id")), "")
     case RidLit(table, keyE) =>
       // RecordIdScan: point lookup / id-range — a key predicate the parquet
       // scan consumes (partition/row-group pruning at scale)
@@ -119,9 +152,27 @@ object SparkPlanner {
     case other     => lit(other.renderRaw)
   }
 
-  def planSelect(spark: SparkSession, dir: String, s: SelectStmt): DataFrame = {
+  def planSelect(spark: SparkSession, dir: String, s: SelectStmt,
+      params: Map[String, V] = Map.empty): DataFrame = {
+    // ---- VERSION: scope table scans to a point-in-time snapshot ----------
+    // (exec/operators/version_scope.rs:25) — resolution happens at PLAN
+    // time via the snapshot-suffixed parquet convention (VersionStore), so
+    // the chosen snapshot is still a static relation with full pushdown.
+    val asOf: Option[java.time.Instant] = s.version.map { ve =>
+      Eval.evalConst(ve) match {
+        case VDt(t) => t
+        case other  => throw SqlError(
+          s"SparkPlanner: VERSION expects a datetime, got ${other.render}")
+      }
+    }
     // ---- source(s): multi-source FROM is a bag concat (Union op) ---------
-    val sources = s.what.map(planSource(spark, dir, _))
+    val sources = s.what.map {
+      case Idiom(Seq(PField(name))) if asOf.isDefined =>
+        (graft.operators.VersionStore.tableAt(spark, dir, name, asOf.get), name)
+      case TableRef(name) if asOf.isDefined =>
+        (graft.operators.VersionStore.tableAt(spark, dir, name, asOf.get), name)
+      case e => planSource(spark, dir, e, params)
+    }
     val (src0, table) =
       if (sources.length == 1) sources.head
       else (sources.map(_._1).reduce((a, b) => a.unionByName(b, allowMissingColumns = true)),
@@ -371,6 +422,9 @@ object SparkPlanner {
       }
       df = df.orderBy(keys: _*)
     }
+    // ORDER BY RAND(): a distributed shuffle-sort on a per-row random key
+    // (exec/operators/sort/shuffle.rs:32) — no driver-side materialization
+    if (s.orderRand) df = df.orderBy(rand())
     s.start.foreach { e => df = df.offset(Eval.evalConst(e) match { case n: VNum => n.toDouble.toInt; case _ => 0 }) }
     s.limit.foreach { e => df = df.limit(Eval.evalConst(e) match { case n: VNum => n.toDouble.toInt; case _ => Int.MaxValue }) }
 
@@ -381,6 +435,36 @@ object SparkPlanner {
       df = df.persist()
       val n = df.take(2).length
       require(n == 1, s"FROM ONLY expects exactly 1 row, got $n")
+    }
+    // ---- TIMEOUT: watchdogged execution (exec/operators/timeout.rs:25) ---
+    // The plan executes eagerly under a dedicated job group; a watchdog
+    // cancels every job in the group at the deadline — Spark's cooperative
+    // cancellation reaches all executors, the distributed analog of the
+    // reference's per-operator deadline checks. The materialized (cached)
+    // result is returned so downstream consumers don't re-run the work.
+    s.timeout.foreach { te =>
+      val ms = Eval.evalConst(te) match {
+        case d: VDur => d.secs * 1000L + d.nanos / 1000000L
+        case other => throw SqlError(s"Expected a duration but found ${other.render}")
+      }
+      val sc = spark.sparkContext
+      val group = s"graft-timeout-${java.util.UUID.randomUUID()}"
+      val frozen = df
+      val task = new java.util.concurrent.FutureTask[DataFrame](() => {
+        sc.setJobGroup(group, "SurrealQL TIMEOUT scope", interruptOnCancel = true)
+        try { val out = frozen.localCheckpoint(true); out }
+        finally sc.clearJobGroup()
+      })
+      val th = new Thread(task, group)
+      th.setDaemon(true)
+      th.start()
+      try df = task.get(ms, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          sc.cancelJobGroup(group)
+          throw SqlError("The query was not executed because it exceeded the timeout")
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     }
     df
   }

@@ -176,4 +176,36 @@ class SurqlSpec extends AnyFunSuite {
       "SELECT vec_id, vector::distance::knn() AS dist FROM embeddings WHERE vec_id != 0 AND embedding <|5,EUCLIDEAN|> [0.1, 0.2] ORDER BY dist, vec_id").collect()
     assert(k.length == 5 && k.forall(_.getLong(0) != 0L))
   }
+
+  test("dynamic scan, mock source, ORDER BY RAND, VERSION, TIMEOUT from text") {
+    val spark = TestSpark.session
+    val d = "/root/testdata/sf0.001"
+    // DynamicScan: FROM $param resolves at plan time
+    val dyn = SparkPlanner.query(spark, d,
+      "LET $t = 'region'; SELECT r_regionkey FROM $t ORDER BY r_regionkey").collect()
+    assert(dyn.length == 5)
+    val unbound = intercept[SqlError](SparkPlanner.query(spark, d,
+      "SELECT * FROM $nope"))
+    assert(unbound.msg.contains("unbound"))
+    // mock sources: count and range forms
+    assert(SparkPlanner.query(spark, d, "SELECT id FROM |m:7|").count() == 7)
+    assert(SparkPlanner.query(spark, d, "SELECT id FROM |m:3..=6|").count() == 4)
+    // ORDER BY RAND permutes without loss
+    val r = SparkPlanner.query(spark, d,
+      "SELECT r_regionkey FROM region ORDER BY RAND()").collect()
+    assert(r.map(_.getAs[Number](0).longValue).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    // VERSION with no qualifying snapshot falls back to the live table
+    val v = SparkPlanner.query(spark, d,
+      "SELECT r_regionkey FROM region VERSION d'1980-01-01T00:00:00Z'").count()
+    assert(v == 5)
+    // TIMEOUT: a 1ns budget trips before any job can finish; the message
+    // matches the reference's (exec/operators/timeout.rs:25)
+    val t = intercept[SqlError](SparkPlanner.query(spark, d,
+      "SELECT l_orderkey FROM lineitem TIMEOUT 1ns"))
+    assert(t.msg.contains("exceeded the timeout"))
+    // a generous budget executes normally
+    assert(SparkPlanner.query(spark, d,
+      "SELECT count() AS c FROM region GROUP ALL TIMEOUT 1m").collect()
+      .head.getLong(0) == 5L)
+  }
 }
