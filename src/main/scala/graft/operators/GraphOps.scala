@@ -32,7 +32,11 @@ object GraphOps {
     * a RELATE-populated relation table (catalog/table.rs:151-156). The
     * SurrealQL planner lowers `->supplies->part` onto these. */
   val edgeDefs: Map[String, (String, String)] = Map(
-    "supplies" -> ("supplier", "part"))
+    "supplies" -> ("supplier", "part"),
+    // each customer's orders by date form a linked list — the time-series
+    // idiom of SURVEY §1.1; self-referencing, so `@{n..m}` recursion from
+    // SurrealQL text has a real chain to walk (exec/operators/recursion.rs)
+    "next_order" -> ("orders", "orders"))
 
   /** Session-cached edge tables per corpus dir, schema (id, in, out, props…).
     * Built ONCE and persisted — at 100 TB this is the stored relation table
@@ -56,6 +60,20 @@ object GraphOps {
             concat(lit("supplies:"), col("in").cast("string"), lit(":"),
               col("out").cast("string")).as("id"),
             col("in"), col("out"), col("n_shipments"), col("total_qty"))
+          .persist()
+        e.count() // build eagerly so queries are joins, not rebuilds
+        e
+      case "next_order" =>
+        // one window shuffle builds the whole chain; stored-relation shape
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val e = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .select(
+            concat(lit("next_order:"), col("o_orderkey").cast("string"), lit(":"),
+              col("nxt").cast("string")).as("id"),
+            col("o_orderkey").as("in"), col("nxt").as("out"))
           .persist()
         e.count() // build eagerly so queries are joins, not rebuilds
         e

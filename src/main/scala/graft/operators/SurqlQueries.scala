@@ -568,6 +568,77 @@ object SurqlQueries {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY RAND() LIMIT 100")
   }
 
+  // ---- `@{n..m}` recursion from text --------------------------------------
+
+  /** Bounded recursion, default strategy (exec/operators/recursion.rs:81,
+    * recursion/default.rs): from each selected order, walk its customer's
+    * date-ordered `next_order` chain and return the frontier at the final
+    * depth reached (max depth ≤ 3 with a non-empty frontier, if ≥ min 1).
+    * The oracle replays the walk with a recursive CTE. Scalarized with
+    * array::join like the arrow hops. */
+  val recursionSurql = sq("recursion_surql",
+    """WITH RECURSIVE seq AS (
+         SELECT o_orderkey, o_custkey,
+                lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey) AS nxt
+         FROM orders),
+       edges AS (SELECT o_orderkey AS src, nxt AS dst FROM seq WHERE nxt IS NOT NULL),
+       walk(start, node, depth) AS (
+         SELECT o_orderkey, o_orderkey, 0 FROM orders
+         WHERE o_orderkey >= 1 AND o_orderkey < 51
+         UNION ALL
+         SELECT w.start, e.dst, w.depth + 1 FROM walk w
+         JOIN edges e ON w.node = e.src WHERE w.depth < 3),
+       fin AS (SELECT start, max(depth) AS dstar FROM walk GROUP BY start),
+       res AS (
+         SELECT w.start, array_to_string(list(w.node ORDER BY w.node), ',') AS reached
+         FROM walk w JOIN fin f ON w.start = f.start AND w.depth = f.dstar
+         WHERE f.dstar >= 1 GROUP BY w.start)
+       SELECT o.o_orderkey, coalesce(r.reached, '') AS reached
+       FROM orders o LEFT JOIN res r ON r.start = o.o_orderkey
+       WHERE o.o_orderkey >= 1 AND o.o_orderkey < 51
+       ORDER BY o.o_orderkey""")(
+    """SELECT o_orderkey, array::join(@{1..3}(->next_order->orders), ',') AS reached
+       FROM orders:1..51 ORDER BY o_orderkey""")
+
+  /** Shortest-path recursion (`+shortest=`, recursion/shortest.rs) via
+    * iterative min-join BFS on the Spark path. The start and target are the
+    * 1st and 4th orders (by date) of the lowest-keyed customer with ≥4
+    * orders — derived identically by the oracle's window, and rendered into
+    * the statement by two O(1)-row driver probes (the knn_brute pattern).
+    * Path excludes the start (non-inclusive), so it is chain ranks 2..4. */
+  val recursionShortest = Q("recursion_shortest",
+    """WITH seq AS (
+         SELECT o_orderkey, o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn,
+                count(*) OVER (PARTITION BY o_custkey) AS cnt
+         FROM orders),
+       c AS (SELECT min(o_custkey) AS ck FROM seq WHERE cnt >= 4),
+       s AS (SELECT o_orderkey AS sk FROM seq, c WHERE o_custkey = ck AND rn = 1),
+       p AS (SELECT array_to_string(list(o_orderkey ORDER BY rn), ',') AS path
+             FROM seq, c WHERE o_custkey = ck AND rn >= 2 AND rn <= 4)
+       SELECT sk AS o_orderkey, path FROM s, p""") { (s, d) =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val seq = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_custkey")))
+      .persist()
+    val ck = seq.filter(col("cnt") >= 4).agg(min("o_custkey")).head.getLong(0)
+    val s0 = seq.filter(col("o_custkey") === ck && col("rn") === 1)
+      .select("o_orderkey").head.getLong(0)
+    val t0 = seq.filter(col("o_custkey") === ck && col("rn") === 4)
+      .select("o_orderkey").head.getLong(0)
+    seq.unpersist()
+    SparkPlanner.query(s, d,
+      s"""SELECT o_orderkey,
+            array::join(@{1..6+shortest=orders:$t0}(->next_order->orders), ',') AS path
+          FROM orders:$s0""")
+  }
+
   /** VERSION time travel (exec/operators/version_scope.rs:25): the scan
     * resolves to the latest snapshot parquet at-or-before the requested
     * instant — see [[graft.operators.VersionStore]]. The fixture snapshot
@@ -603,5 +674,6 @@ object SurqlQueries {
     fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
-    dynamicScan, mockSource, orderRand, versionScope, timeoutScope)
+    dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
+    recursionSurql, recursionShortest)
 }

@@ -219,6 +219,31 @@ object SparkPlanner {
         graphCols += (parts -> derived)
     }
 
+    // ---- recursion pre-pass ----------------------------------------------
+    // `@{n..m}(->edge->target)` idioms (Recursion, exec/operators/
+    // recursion.rs:81) lower onto a driver-side frontier-join loop: each hop
+    // is ONE distributed shuffle join; the loop only controls depth. The
+    // per-start result joins back onto the source by its record key — one
+    // row per source record, the same 100 TB-safe shape as a graph hop.
+    pathExprs.flatMap(collectRecursePaths).distinct.zipWithIndex.foreach {
+      case (parts, i) =>
+        if (table.isEmpty)
+          throw SqlError("SparkPlanner: recursion needs a concrete source table")
+        val derived = s"__r$i"
+        val kName = derived + "_k"
+        val rec = parts(1).asInstanceOf[PRecurse]
+        val srcKey = recordKey.getOrElse(table,
+          throw SqlError(s"SparkPlanner: no record key for table $table"))
+        // starts = the SELECTED records (the reference's Recursion operator
+        // runs per selected record) — a point/range source recurses from a
+        // handful of starts, not the whole table
+        val lookup = recursionLookup(spark, dir, table, rec,
+          df.select(col(srcKey)).distinct(), srcKey, derived, kName)
+        df = df.join(lookup, col(srcKey) === col(kName), "left").drop(kName)
+          .withColumn(derived, coalesce(col(derived), array()))
+        graphCols += (parts -> derived)
+    }
+
     // ---- WHERE: strip MATCHES / KNN conjuncts into sub-plans --------------
     // The reference removes `@@` and `<|k|>` from the condition and plans
     // FTS / KNN operators for them (exec/planner/util.rs:377,394); the rest
@@ -522,6 +547,110 @@ object SparkPlanner {
         .select(col(keyName), col(derived))
       (mid, keyName, tt)
     case _ => throw SqlError(s"SparkPlanner: invalid link path $path")
+  }
+
+  // ---- recursion resolution ----------------------------------------------
+
+  /** Idioms of shape `@{n..m}(->edge->target)` — a doc-rooted recursion with
+    * a pure graph-hop body. Anything fancier (trailing parts, `.@` repeat
+    * nests, destructures) stays Interp-only and throws here. */
+  private def collectRecursePaths(e: Expr): Seq[Seq[Part]] = {
+    val out = scala.collection.mutable.ArrayBuffer[Seq[Part]]()
+    def go(x: Expr): Unit = x match {
+      case Idiom(Seq(PDoc, _: PRecurse)) => out += x.asInstanceOf[Idiom].parts
+      case Idiom(parts) => parts.foreach {
+        case PStart(inner) => go(inner)
+        case PIndex(inner) => go(inner)
+        case PWhere(inner) => go(inner)
+        case _ => ()
+      }
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, inner) => go(inner)
+      case Cast(_, inner)   => go(inner)
+      case FnCall(_, args)  => args.foreach(go)
+      case ArrLit(items)    => items.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case _ => ()
+    }
+    go(e)
+    out.toSeq
+  }
+
+  /** Lower one `@{n..m}` recursion to a frontier-join loop over a
+    * self-referencing relation table (recursion.rs strategies):
+    *   default  → the frontier at the FINAL depth reached (last non-empty
+    *              depth D ≤ max, included iff D ≥ min — recursion/default.rs)
+    *   shortest → BFS path to the target id: expand to min depth of first
+    *              contact per start, emit the accumulated id path
+    *              (recursion/shortest.rs via iterative min-join)
+    * Output: (kName, derived array column), one row per start record. */
+  private def recursionLookup(spark: SparkSession, dir: String, table: String,
+      rec: PRecurse, startRows: DataFrame, srcKey: String,
+      derived: String, kName: String): DataFrame = {
+    import graft.operators.GraphOps
+    def unsupported(why: String) =
+      throw SqlError(s"SparkPlanner: unsupported recursion ($why)")
+    val minD = rec.min.getOrElse(1L)
+    if (minD < 1) throw SqlError(s"Found $minD for bound but expected at least 1.")
+    val maxD = rec.max.getOrElse(
+      unsupported("unbounded depth — give an explicit {n..m} ceiling")).toInt
+    val body = rec.nest.getOrElse(unsupported("recursion without a (…) body"))
+    val (g1, g2) = body match {
+      case Seq(a: PGraph, b: PGraph) => (a, b)
+      case other => unsupported(s"non-graph recursion body $other")
+    }
+    if (g1.dir != "out" || g2.dir != "out") unsupported("non-forward hop")
+    if (g1.what.length != 1 || g1.cond.nonEmpty || g1.what.head.key.nonEmpty)
+      unsupported("restricted edge hop")
+    val edgeName = g1.what.head.table
+    val (inT, outT) = GraphOps.edgeDefs.getOrElse(edgeName,
+      unsupported(s"unknown relation table $edgeName"))
+    if (inT != table || outT != table)
+      unsupported(s"$edgeName is not a self-relation of $table")
+    if (g2.what.headOption.map(_.table) != Some(table))
+      unsupported("recursion target must be the source table")
+    val e = GraphOps.edgeTable(spark, dir, edgeName)
+      .select(col("in").as("src"), col("out").as("dst"))
+    val starts = startRows
+      .select(col(srcKey).as("start"), col(srcKey).as("node"))
+    rec.instr match {
+      case RDefault =>
+        // (start, node, depth) for all depths 1..max, then keep each start's
+        // final frontier: depth = max non-empty depth, if it reaches min
+        val all = GraphOps.recurse(starts, e, maxD)
+        val dstar = all.groupBy("start").agg(max(col("depth")).as("__dstar"))
+        all.join(dstar, "start")
+          .filter(col("depth") === col("__dstar") && col("__dstar") >= minD)
+          .groupBy(col("start").as(kName))
+          .agg(sort_array(collect_list(col("node"))).as(derived))
+      case RShortest(targetE, inclusive) =>
+        val targetId: Column = Eval.evalConst(targetE) match {
+          case r: VRid => ridKeyLit(r.key)
+          case other   => unsupported(s"shortest target ${other.render}")
+        }
+        // iterative min-join BFS: expand every frontier, record first
+        // contact per start per depth, keep the minimum-depth path
+        var frontier = starts.withColumn("path",
+          if (inclusive) array(col("node")) else array().cast("array<long>"))
+        var found: DataFrame = null
+        for (depth <- 1 to maxD) {
+          val f = frontier.alias("f")
+          frontier = f.join(e.alias("e"), col("f.node") === col("e.src"))
+            .select(col("f.start").as("start"), col("e.dst").as("node"),
+              concat(col("f.path"), array(col("e.dst"))).as("path"))
+            .dropDuplicates("start", "node")
+            .localCheckpoint()
+          if (depth >= minD) {
+            val hit = frontier.filter(col("node") === targetId)
+              .withColumn("__d", lit(depth))
+            found = if (found == null) hit else found.unionByName(hit)
+          }
+        }
+        if (found == null) unsupported(s"max depth $maxD below min $minD")
+        val best = found.groupBy("start").agg(min(col("__d")).as("__d"))
+        found.join(best, Seq("start", "__d"))
+          .select(col("start").as(kName), col("path").as(derived))
+    }
   }
 
   // ---- graph-arrow resolution --------------------------------------------

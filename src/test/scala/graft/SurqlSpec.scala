@@ -208,4 +208,23 @@ class SurqlSpec extends AnyFunSuite {
       "SELECT count() AS c FROM region GROUP ALL TIMEOUT 1m").collect()
       .head.getLong(0) == 5L)
   }
+
+  test("recursion @{n..m} lowers to the frontier loop from text") {
+    val spark = TestSpark.session
+    val d = "/root/testdata/sf0.001"
+    // default strategy: final-depth frontier; dead-ends under min → empty
+    val r = SparkPlanner.query(spark, d,
+      """SELECT o_orderkey, array::join(@{1..3}(->next_order->orders), ',') AS reached
+         FROM orders:1..11 ORDER BY o_orderkey""").collect()
+    assert(r.length == 10)
+    // fixed depth {2} reaches strictly the 2nd-next order when it exists
+    val f = SparkPlanner.query(spark, d,
+      """SELECT o_orderkey, array::join(@{2}(->next_order->orders), ',') AS nxt2
+         FROM orders:1..4 ORDER BY o_orderkey""").collect()
+    assert(f.length == 3)
+    // non-self-recursive bodies refuse to lower (Interp-only semantics)
+    val e = intercept[SqlError](SparkPlanner.query(spark, d,
+      "SELECT @{1..2}(->supplies->part) AS x FROM supplier"))
+    assert(e.msg.contains("self-relation"))
+  }
 }
