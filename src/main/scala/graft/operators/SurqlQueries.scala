@@ -639,6 +639,28 @@ object SurqlQueries {
           FROM orders:$s0""")
   }
 
+  /** `+collect` recursion (recursion/collect.rs): every node first visited
+    * at depth 1..4 of the chain walk — for a linear chain, exactly the next
+    * four orders, which the oracle enumerates by window rank. */
+  val recursionCollect = sq("recursion_collect",
+    """WITH seq AS (
+         SELECT o_orderkey, o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       res AS (
+         SELECT a.o_orderkey AS start,
+                array_to_string(list(b.o_orderkey ORDER BY b.o_orderkey), ',') AS visited
+         FROM seq a JOIN seq b
+           ON a.o_custkey = b.o_custkey AND b.rn > a.rn AND b.rn <= a.rn + 4
+         GROUP BY a.o_orderkey)
+       SELECT o.o_orderkey, coalesce(r.visited, '') AS visited
+       FROM orders o LEFT JOIN res r ON r.start = o.o_orderkey
+       WHERE o.o_orderkey >= 1 AND o.o_orderkey < 51
+       ORDER BY o.o_orderkey""")(
+    """SELECT o_orderkey, array::join(@{1..4+collect}(->next_order->orders), ',') AS visited
+       FROM orders:1..51 ORDER BY o_orderkey""")
+
   /** VERSION time travel (exec/operators/version_scope.rs:25): the scan
     * resolves to the latest snapshot parquet at-or-before the requested
     * instant — see [[graft.operators.VersionStore]]. The fixture snapshot
@@ -675,5 +697,5 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
-    recursionSurql, recursionShortest)
+    recursionSurql, recursionShortest, recursionCollect)
 }

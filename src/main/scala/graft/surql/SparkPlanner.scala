@@ -623,6 +623,17 @@ object SparkPlanner {
           .filter(col("depth") === col("__dstar") && col("__dstar") >= minD)
           .groupBy(col("start").as(kName))
           .agg(sort_array(collect_list(col("node"))).as(derived))
+      case RCollect(inclusive) =>
+        // +collect (recursion/collect.rs): every node whose FIRST visit is
+        // at depth ≥ min (a node seen earlier is never re-collected), plus
+        // the start itself when +inclusive
+        val all = GraphOps.recurse(starts, e, maxD)
+        val kept = all.groupBy("start", "node").agg(min(col("depth")).as("__d"))
+          .filter(col("__d") >= minD).select("start", "node")
+        val visited = if (inclusive) kept.unionByName(starts).distinct() else kept
+        visited
+          .groupBy(col("start").as(kName))
+          .agg(sort_array(collect_list(col("node"))).as(derived))
       case RShortest(targetE, inclusive) =>
         val targetId: Column = Eval.evalConst(targetE) match {
           case r: VRid => ridKeyLit(r.key)
