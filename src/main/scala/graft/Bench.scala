@@ -26,6 +26,7 @@ object Bench {
     graft.operators.Dedup.shingleTable(spark, sfDir)
     graft.operators.Similarity.warmIndex(spark, sfDir)
     graft.operators.GraphOps.warmEdges(spark, sfDir)
+    graft.operators.CountIndex.warm(spark, sfDir)
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,
       None: Option[String])
     // Single-run timings proved indistinguishable from sandbox noise (a

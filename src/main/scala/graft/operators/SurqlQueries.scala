@@ -46,6 +46,13 @@ object SurqlQueries {
     "SELECT COUNT(*) AS cnt FROM lineitem")(
     "SELECT count() AS cnt FROM lineitem GROUP ALL")
 
+  /** IndexCountScan (exec/operators/scan/index_count.rs:55): the
+    * unpredicated GROUP ALL count is answered from the warmed COUNT index
+    * (graft.operators.CountIndex) — no scan in the plan. */
+  val indexCount = sq("index_count",
+    "SELECT COUNT(*) AS cnt FROM orders")(
+    "SELECT count() AS cnt FROM orders GROUP ALL")
+
   val exprScalar = sq("expr_scalar",
     """SELECT CAST(3 AS BIGINT) AS a, 'sur' || 'real' AS s,
               CAST(2.0 AS DOUBLE) * CAST(3.5 AS DOUBLE) AS d, TRUE AS b""")(
@@ -697,5 +704,5 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
-    recursionSurql, recursionShortest, recursionCollect)
+    recursionSurql, recursionShortest, recursionCollect, indexCount)
 }

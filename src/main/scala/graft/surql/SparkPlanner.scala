@@ -56,6 +56,10 @@ object SparkPlanner {
     * joins that AQE may still convert. */
   private val broadcastDims = Set("region", "nation", "supplier", "customer", "part")
 
+  /** Tables with a declared COUNT index (`DEFINE INDEX … COUNT` analog) —
+    * only these get the IndexCountScan fast path; the rest keep CountScan. */
+  private val countIndexed = Set("orders")
+
   /** Planning context: source table (for link resolution), its schema, and
     * derived columns produced by link-deref joins, graph-hop aggregations,
     * and the MATCHES / KNN sub-plans. */
@@ -164,6 +168,19 @@ object SparkPlanner {
         case other  => throw SqlError(
           s"SparkPlanner: VERSION expects a datetime, got ${other.render}")
       }
+    }
+    // ---- IndexCountScan (exec/operators/scan/index_count.rs:55) ----------
+    // an unpredicated `SELECT count() FROM t GROUP ALL` over a table with a
+    // declared COUNT index is served by the warmed index, not a scan (tables
+    // without one keep the ordinary CountScan plan, as in the reference)
+    (s.what, s.fields, s.groupBy) match {
+      case (Seq(Idiom(Seq(PField(t)))), Seq(f), Some(Nil))
+          if f.expr == FnCall("count", Nil) && s.where.isEmpty &&
+            s.split.isEmpty && s.fetch.isEmpty && asOf.isEmpty &&
+            s.timeout.isEmpty && countIndexed.contains(t) =>
+        val cnt = graft.operators.CountIndex.of(spark, dir, t)
+        return spark.range(1).select(lit(cnt).as(fieldAlias(f)))
+      case _ => ()
     }
     // ---- source(s): multi-source FROM is a bag concat (Union op) ---------
     val sources = s.what.map {
