@@ -553,6 +553,38 @@ object SurqlQueries {
 
   /** Names the planner path overrides — the hand-built closures with these
     * names are replaced in SparkEntry's registry. */
+  // ---- implicit array-collapse + closures from text -----------------------
+
+  /** `ArrayGroup`-family aggregates from text: non-grouped fields collapse
+    * into arrays under GROUP BY, and array::join serializes them (the
+    * comparator cannot hash lists). Same name/oracle as the hand-built
+    * entry it replaces — aggExpr lowers array::join to a sorted
+    * concat_ws(collect_list). */
+  val aggArrayCollect = Q("agg_array_collect",
+    Relational.aggArrayCollect.oracle.get) { (s, d) =>
+    SparkPlanner.query(s, d,
+      """SELECT n_regionkey,
+                array::join(n_name, '|') AS names,
+                array::join(n_name, ',') AS joined,
+                count() AS cnt
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+  }
+
+  /** Closures (`|$x| …`, expr/closure.rs) from text: array::map / filter /
+    * any / all / fold lower to Catalyst lambda expressions (transform,
+    * filter, exists, forall, aggregate) — fully codegen'd, no UDFs. */
+  val fnClosures = Q("fn_closures",
+    graft.functions.MiscQueries.fnClosures.oracle.get) { (s, d) =>
+    SparkPlanner.query(s, d,
+      """SELECT p_partkey,
+                array::join(array::map(string::split(p_type, ' '), |$w| string::lowercase($w)), '|') AS mapped,
+                array::join(array::filter(string::split(p_type, ' '), |$w| string::len($w) > 5), '|') AS filtered,
+                array::any(string::split(p_type, ' '), |$w| string::len($w) > 5) AS any_long,
+                array::all(string::split(p_type, ' '), |$w| string::len($w) >= 3) AS all_3,
+                array::fold(string::split(p_type, ' '), 0, |$acc, $w| $acc + string::len($w)) AS total_len
+         FROM part ORDER BY p_partkey""")
+  }
+
   // ---- DynamicScan / mock source / ORDER BY RAND --------------------------
 
   /** DynamicScan (exec/operators/scan/dynamic.rs:53): `FROM $param` — the
@@ -704,5 +736,6 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
-    recursionSurql, recursionShortest, recursionCollect, indexCount)
+    recursionSurql, recursionShortest, recursionCollect, indexCount,
+    aggArrayCollect, fnClosures)
 }

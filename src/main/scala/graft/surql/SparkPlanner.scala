@@ -67,7 +67,8 @@ object SparkPlanner {
       schema: StructType, linkCols: Map[List[String], String],
       graphCols: Map[Seq[Part], String] = Map.empty,
       scoreCol: Option[String] = scala.None,
-      knnDistCol: Option[String] = scala.None)
+      knnDistCol: Option[String] = scala.None,
+      lambdaParams: Map[String, Column] = Map.empty)
 
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
@@ -1009,7 +1010,10 @@ object SparkPlanner {
   }
 
   private val aggFns = Set("math::sum", "math::mean", "math::min", "math::max",
-    "math::stddev", "math::variance", "math::median", "time::min", "time::max", "count")
+    "math::stddev", "math::variance", "math::median", "time::min", "time::max", "count",
+    // implicit array-collapse family: a non-grouped field under GROUP BY
+    // becomes an array, and these consume it (aggregates/array.rs)
+    "array::group", "array::distinct", "array::join")
 
   /** Aggregate output column (map-side partial + exact decimal routing for
     * float sums/means — see [[Exact]]). */
@@ -1073,6 +1077,13 @@ object SparkPlanner {
         case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
         case (a, _) => a
       }
+    // string::* returns strings EXCEPT the numeric/boolean members — getting
+    // this wrong flips `+` between concat and addition
+    case FnCall("string::len" | "string::similarity" | "string::distance", _) =>
+      Some(LongType)
+    case FnCall(n, _) if n.startsWith("string::contains") ||
+        n.startsWith("string::starts_with") || n.startsWith("string::ends_with") ||
+        n.startsWith("string::is") => Some(BooleanType)
     case FnCall(n, _) if n.startsWith("string::") => Some(StringType)
     case _ => scala.None
   }
@@ -1108,6 +1119,11 @@ object SparkPlanner {
       case Lit(VBool(b))   => lit(b)
       case Lit(VDec(d))    => lit(d.toDouble)
       case Lit(VNone) | Lit(VNull) => lit(null)
+      // closure parameters bound by an enclosing HOF lowering
+      case Param(name) if ctx.lambdaParams.contains(name) =>
+        ctx.lambdaParams(name)
+      case Idiom(Seq(PStart(Param(name)))) if ctx.lambdaParams.contains(name) =>
+        ctx.lambdaParams(name)
       case Idiom(parts) if ctx.graphCols.contains(parts) =>
         col(ctx.graphCols(parts))
       case Idiom(parts) if parts.exists(_.isInstanceOf[PGraph]) =>
@@ -1232,6 +1248,41 @@ object SparkPlanner {
     case "time::group"  =>
       val unit = raw(1) match { case Lit(VStr(s)) => s; case _ => "day" }
       date_trunc(unit, cs(0)).cast("date")
+    // ---- closure HOFs (expr/closure.rs → Catalyst LambdaFunction) --------
+    // `|$x| body` closures lower to codegen'd lambda expressions; the
+    // closure parameter binds as a Ctx lambda param, so the body reuses the
+    // full scalar lowering
+    case "array::map" => raw match {
+      case Seq(arr, Closure(Seq((p, _)), body, _)) =>
+        transform(toCol(arr, ctx), x =>
+          toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
+      case _ => throw SqlError("SparkPlanner: array::map expects (array, |$x| …)")
+    }
+    case "array::filter" => raw match {
+      case Seq(arr, Closure(Seq((p, _)), body, _)) =>
+        filter(toCol(arr, ctx), x =>
+          toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
+      case _ => throw SqlError("SparkPlanner: array::filter expects (array, |$x| …)")
+    }
+    case "array::any" => raw match {
+      case Seq(arr, Closure(Seq((p, _)), body, _)) =>
+        exists(toCol(arr, ctx), x =>
+          toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
+      case _ => throw SqlError("SparkPlanner: array::any expects (array, |$x| …)")
+    }
+    case "array::all" => raw match {
+      case Seq(arr, Closure(Seq((p, _)), body, _)) =>
+        forall(toCol(arr, ctx), x =>
+          toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
+      case _ => throw SqlError("SparkPlanner: array::all expects (array, |$x| …)")
+    }
+    case "array::fold" => raw match {
+      case Seq(arr, init, Closure(Seq((pa, _), (px, _)), body, _)) =>
+        aggregate(toCol(arr, ctx), toCol(init, ctx), (acc, x) =>
+          toCol(body, ctx.copy(lambdaParams =
+            ctx.lambdaParams + (pa -> acc) + (px -> x))))
+      case _ => throw SqlError("SparkPlanner: array::fold expects (array, init, |$acc, $x| …)")
+    }
     // ---- array::* over in-row arrays (codegen'd array expressions) -------
     case "array::len"      => size(cs(0)).cast("bigint")
     case "array::sort"     => sort_array(cs(0))
