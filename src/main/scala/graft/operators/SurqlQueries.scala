@@ -585,6 +585,43 @@ object SurqlQueries {
          FROM part ORDER BY p_partkey""")
   }
 
+  /** duration::* + datetime ± duration-literal arithmetic from text
+    * (fnc durations; SurrealQL literals 3d/12h): timestamp + day-time
+    * interval, total-unit decomposition — pure integer math on both sides. */
+  val fnDuration = sq("fn_duration",
+    """SELECT o_orderkey,
+              CAST(o_orderdate + INTERVAL 3 DAY AS TIMESTAMP) AS plus_3d,
+              CAST(o_orderdate - INTERVAL 12 HOUR AS TIMESTAMP) AS minus_12h,
+              CAST(CAST(epoch(o_orderdate) AS BIGINT) % 86400 AS BIGINT) AS secs_in_day,
+              CAST(o_orderkey * 3600 // 86400 AS BIGINT) AS dur_days,
+              CAST((o_orderkey * 3600 % 86400) // 3600 AS BIGINT) AS dur_hours
+       FROM orders ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              o_orderdate + 3d AS plus_3d,
+              o_orderdate - 12h AS minus_12h,
+              time::unix(o_orderdate) % 86400 AS secs_in_day,
+              duration::days(duration::from_secs(o_orderkey * 3600)) AS dur_days,
+              duration::hours(duration::from_secs(o_orderkey * 3600)) % 24 AS dur_hours
+       FROM orders ORDER BY o_orderkey""")
+
+  /** Idiom paths from text (§2.3): object-literal construction (→ struct),
+    * nested field paths, trailing array index, array::len — all navigated
+    * through a subquery-projected document column. */
+  val idiomPaths = sq("idiom_paths",
+    graft.functions.MiscQueries.idiomPaths.oracle.get)(
+    """SELECT c_custkey,
+              doc.name AS name,
+              doc.address.segment AS seg,
+              <int> doc.address.nation AS nat,
+              doc.tags[0] AS tag0,
+              array::len(doc.tags) AS n_tags
+       FROM (SELECT c_custkey,
+                    { name: c_name,
+                      address: { segment: c_mktsegment, nation: c_nationkey },
+                      tags: string::split(c_mktsegment, 'I') } AS doc
+             FROM customer)
+       ORDER BY c_custkey""")
+
   // ---- DynamicScan / mock source / ORDER BY RAND --------------------------
 
   /** DynamicScan (exec/operators/scan/dynamic.rs:53): `FROM $param` — the
@@ -737,5 +774,5 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
     recursionSurql, recursionShortest, recursionCollect, indexCount,
-    aggArrayCollect, fnClosures)
+    aggArrayCollect, fnClosures, fnDuration, idiomPaths)
 }

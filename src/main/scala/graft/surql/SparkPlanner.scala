@@ -1137,9 +1137,28 @@ object SparkPlanner {
         element_at(col(a), (Eval.evalConst(ie) match {
           case VInt(i) => i.toInt; case _ => 0
         }) + 1)
+      // deeper field paths navigate struct columns (`doc.address.segment`);
+      // a trailing [i] indexes the array at the path
+      case Idiom(parts) if parts.nonEmpty && parts.forall(_.isInstanceOf[PField]) =>
+        col(parts.collect { case PField(n) => n }.mkString("."))
+      case Idiom(parts) if parts.length >= 2 &&
+          parts.init.forall(_.isInstanceOf[PField]) &&
+          parts.last.isInstanceOf[PIndex] =>
+        val path = parts.init.collect { case PField(n) => n }.mkString(".")
+        element_at(col(path), (Eval.evalConst(parts.last.asInstanceOf[PIndex].e) match {
+          case VInt(i) => i.toInt; case _ => 0
+        }) + 1)
+      case ObjLit(fields) =>
+        struct(fields.map { case (n, v) => c(v).as(n) }: _*)
       case Prefix("-", inner) => -c(inner)
       case Prefix("!", inner) => !c(inner)
       case Binary(op, l, r) => op match {
+        // datetime ± duration literal → day-time interval arithmetic
+        case "+" | "-" if (r match { case Lit(_: VDur) => true; case _ => false }) =>
+          val d = r.asInstanceOf[Lit].v.asInstanceOf[VDur]
+          val iv = make_dt_interval(lit(0), lit(0), lit(0),
+            lit(d.secs.toDouble + d.nanos / 1e9))
+          if (op == "+") c(l) + iv else c(l) - iv
         case "+" =>
           if (typeOf(l, schema).contains(StringType) || typeOf(r, schema).contains(StringType))
             concat(c(l), c(r))
@@ -1245,6 +1264,16 @@ object SparkPlanner {
     case "time::minute" => minute(cs(0)).cast("bigint")
     case "time::second" => second(cs(0)).cast("bigint")
     case "time::unix"   => unix_timestamp(cs(0)).cast("bigint")
+    // ---- duration::* — durations are total-seconds longs on this path ----
+    // (fnc durations: days/hours/mins/secs return the TOTAL in that unit)
+    case "duration::from::secs" | "duration::from_secs" => cs(0).cast("bigint")
+    case "duration::from::mins" | "duration::from_mins" => (cs(0) * 60).cast("bigint")
+    case "duration::from::hours" | "duration::from_hours" => (cs(0) * 3600).cast("bigint")
+    case "duration::from::days" | "duration::from_days" => (cs(0) * 86400).cast("bigint")
+    case "duration::days"  => floor(cs(0) / 86400).cast("bigint")
+    case "duration::hours" => floor(cs(0) / 3600).cast("bigint")
+    case "duration::mins"  => floor(cs(0) / 60).cast("bigint")
+    case "duration::secs"  => cs(0).cast("bigint")
     case "time::group"  =>
       val unit = raw(1) match { case Lit(VStr(s)) => s; case _ => "day" }
       date_trunc(unit, cs(0)).cast("date")
