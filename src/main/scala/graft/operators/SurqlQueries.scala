@@ -622,6 +622,77 @@ object SurqlQueries {
              FROM customer)
        ORDER BY c_custkey""")
 
+  /** parse::url::* / parse::email::* from text (fnc/mod.rs:314-322) over
+    * URLs/emails synthesized in a subquery projection. */
+  val fnParse = sq("fn_parse",
+    graft.functions.MiscQueries.fnParse.oracle.get)(
+    """SELECT p_partkey,
+              parse::url::host(url) AS host,
+              parse::url::path(url) AS path,
+              parse::url::query(url) AS query,
+              parse::url::scheme(url) AS scheme,
+              parse::email::user(email) AS email_user,
+              parse::email::host(email) AS email_host
+       FROM (SELECT p_partkey,
+                    string::concat('https://shop.example.com/parts/', <string> p_partkey,
+                                   '?brand=', string::replace(p_brand, '#', '')) AS url,
+                    string::concat('user', <string> p_partkey, '@mail.example.org') AS email
+             FROM part)
+       ORDER BY p_partkey""")
+
+  // ---- text-analysis pipeline from SurrealQL text -------------------------
+  // (same names/oracles as the hand-built TextOps entries they replace)
+
+  val textTokens = sq("text_tokens",
+    graft.operators.TextOps.textTokens.oracle.get)(
+    """SELECT doc_id,
+              array::len(string::split(string::trim(text), ' ')) AS n_tokens,
+              string::len(text) AS n_chars2,
+              <int> math::ceil(string::len(text) / 4.0) AS bpe_est,
+              string::len(string::replace(text, ' ', '')) AS n_nonspace
+       FROM documents ORDER BY doc_id""")
+
+  val textQuality = sq("text_quality",
+    graft.operators.TextOps.textQuality.oracle.get)(
+    """SELECT doc_id,
+              <float> string::len(string::replace(text, ' ', ''))
+                / array::len(string::split(string::trim(text), ' ')) AS mean_word_len,
+              <float> array::len(array::filter(string::split(string::trim(text), ' '),
+                  |$t| $t INSIDE ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']))
+                / array::len(string::split(string::trim(text), ' ')) AS stop_ratio,
+              string::len(text) < 100 AS too_short
+       FROM documents ORDER BY doc_id""")
+
+  val textLangId = sq("text_langid",
+    graft.operators.TextOps.textLangId.oracle.get)(
+    """SELECT doc_id,
+              IF array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['the', 'a', 'of', 'and', 'fast']))
+                   >= array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['der', 'die', 'das', 'und', 'nicht']))
+                 AND array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['the', 'a', 'of', 'and', 'fast']))
+                   >= array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['le', 'la', 'les', 'et', 'est']))
+                 { 'en' }
+              ELSE IF array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['der', 'die', 'das', 'und', 'nicht']))
+                   >= array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['le', 'la', 'les', 'et', 'est']))
+                 { 'de' }
+              ELSE { 'fr' } AS pred_lang,
+              array::len(array::filter(string::split(string::trim(text), ' '), |$t| $t INSIDE ['the', 'a', 'of', 'and', 'fast'])) AS score_en
+       FROM documents ORDER BY doc_id""")
+
+  /** Exact dedup from text: hash-groupBy on the content digest, GROUP BY
+    * referencing the projection alias. One digest-keyed shuffle with
+    * map-side combine — linear at 100 TB. */
+  val dedupExact = sq("dedup_exact",
+    graft.operators.TextOps.dedupExact.oracle.get)(
+    """SELECT crypto::md5(text) AS h, math::min(doc_id) AS keeper, count() AS copies
+       FROM documents GROUP BY h ORDER BY h""")
+
+  val textFingerprint = sq("text_fingerprint",
+    graft.operators.TextOps.textFingerprint.oracle.get)(
+    """SELECT doc_id,
+              crypto::md5(string::lowercase(string::replace(text, ' ', ''))) AS fp,
+              string::slice(crypto::md5(string::lowercase(string::replace(text, ' ', ''))), 0, 8) AS fp_short
+       FROM documents ORDER BY doc_id""")
+
   // ---- DynamicScan / mock source / ORDER BY RAND --------------------------
 
   /** DynamicScan (exec/operators/scan/dynamic.rs:53): `FROM $param` — the
@@ -774,5 +845,6 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
     recursionSurql, recursionShortest, recursionCollect, indexCount,
-    aggArrayCollect, fnClosures, fnDuration, idiomPaths)
+    aggArrayCollect, fnClosures, fnDuration, idiomPaths, fnParse,
+    textTokens, textQuality, textLangId, dedupExact, textFingerprint)
 }

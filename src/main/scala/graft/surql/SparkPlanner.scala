@@ -396,7 +396,15 @@ object SparkPlanner {
         } else
           df.agg(aggCol(s.fields.head, ctx), s.fields.tail.map(aggCol(_, ctx)): _*)
       case Some(keys) =>
-        val keyCols = keys.map(c)
+        // a GROUP BY key may name an output alias (`GROUP BY h` where
+        // `crypto::md5(text) AS h` is a projection) — resolve to the
+        // aliased expression, named so the agg output carries the alias
+        val keyCols = keys.map {
+          case k @ Idiom(Seq(PField(n))) if !schema.fieldNames.contains(n) =>
+            s.fields.find(f => !f.isAll && fieldAlias(f) == n)
+              .map(f => c(f.expr).as(n)).getOrElse(c(k))
+          case k => c(k)
+        }
         val (aggFields, keyFields) = s.fields.partition(f => isAggregate(f.expr))
         val simpleKeyNames = keys.collect { case Idiom(Seq(PField(n))) => n }
         val (medF, declF) = aggFields.partition(f => containsMedian(f.expr))
@@ -1214,8 +1222,12 @@ object SparkPlanner {
         case Kind.KDatetime => c(inner).cast("timestamp")
         case other => throw SqlError(s"SparkPlanner: unsupported cast $other")
       }
-      case IfExpr(Seq((cond, thenE)), Some(elseE)) =>
-        when(c(cond), c(thenE)).otherwise(c(elseE))
+      case IfExpr(branches, Some(elseE)) if branches.nonEmpty =>
+        branches.foldRight(c(elseE)) { case ((cond, v), acc) =>
+          when(c(cond), c(v)).otherwise(acc)
+        }
+      // `{ expr }` block value (IF/ELSE bodies) — single pure expression only
+      case BlockExpr(Seq(ExprStmt(inner))) => c(inner)
       case other => throw SqlError(s"SparkPlanner: unsupported expression $other")
     }
   }
@@ -1339,6 +1351,7 @@ object SparkPlanner {
     case "parse::url::host"   => parse_url(cs(0), lit("HOST"))
     case "parse::url::path"   => parse_url(cs(0), lit("PATH"))
     case "parse::url::query"  => parse_url(cs(0), lit("QUERY"))
+    case "parse::url::scheme" => parse_url(cs(0), lit("PROTOCOL"))
     case "parse::email::user" => substring_index(cs(0), "@", 1)
     case "parse::email::host" => substring_index(cs(0), "@", -1)
     // ---- geo::distance — haversine over (lon, lat) doubles ---------------
