@@ -693,6 +693,30 @@ object SurqlQueries {
               string::slice(crypto::md5(string::lowercase(string::replace(text, ' ', ''))), 0, 8) AS fp_short
        FROM documents ORDER BY doc_id""")
 
+  /** vector::* namespace from text (fnc vector): dot / magnitude /
+    * euclidean / manhattan / chebyshev as in-order double folds, plus
+    * element arithmetic. The query vector renders into the statement via a
+    * 1-row driver probe (the knn_brute pattern — Double.toString
+    * round-trips exactly). */
+  val vectorOps = Q("vector_ops",
+    graft.functions.VectorQueries.vectorOps.oracle.get) { (s, d) =>
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0)
+    val vec = qv.map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val q0 = qv.head.toDouble.toString
+    SparkPlanner.query(s, d,
+      s"""SELECT vec_id,
+             math::fixed(vector::dot(embedding, $vec), 6) AS dot,
+             math::fixed(vector::magnitude(embedding), 6) AS magnitude,
+             math::fixed(vector::distance::euclidean(embedding, $vec), 6) AS euclidean,
+             math::fixed(vector::distance::manhattan(embedding, $vec), 6) AS manhattan,
+             math::fixed(vector::distance::chebyshev(embedding, $vec), 6) AS chebyshev,
+             math::fixed(embedding[0] + $q0, 6) AS add0,
+             math::fixed(embedding[0] * 2.0, 6) AS scale0,
+             math::fixed(embedding[0] / vector::magnitude(embedding), 6) AS norm0
+          FROM embeddings WHERE vec_id < 50 ORDER BY vec_id""")
+  }
+
   // ---- DynamicScan / mock source / ORDER BY RAND --------------------------
 
   /** DynamicScan (exec/operators/scan/dynamic.rs:53): `FROM $param` — the
@@ -846,5 +870,5 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
     recursionSurql, recursionShortest, recursionCollect, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, fnParse,
-    textTokens, textQuality, textLangId, dedupExact, textFingerprint)
+    textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)
 }

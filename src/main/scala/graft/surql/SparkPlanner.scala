@@ -1158,6 +1158,7 @@ object SparkPlanner {
         }) + 1)
       case ObjLit(fields) =>
         struct(fields.map { case (n, v) => c(v).as(n) }: _*)
+      case ArrLit(items) => array(items.map(c): _*)
       case Prefix("-", inner) => -c(inner)
       case Prefix("!", inner) => !c(inner)
       case Binary(op, l, r) => op match {
@@ -1365,6 +1366,14 @@ object SparkPlanner {
     // ---- MATCHES / KNN companions (resolve to the sub-plan's column) ------
     case "search::score" => col(ctx.scoreCol.getOrElse(
       throw SqlError("SparkPlanner: search::score outside a MATCHES query")))
+    // ---- vector::* — in-order double folds (codegen'd HOFs, no UDFs) -----
+    case "vector::dot" => graft.operators.Similarity.dot(cs(0), cs(1))
+    case "vector::magnitude" => graft.operators.Similarity.norm(cs(0))
+    case "vector::distance::euclidean" => graft.operators.Similarity.l2(cs(0), cs(1))
+    case "vector::distance::manhattan" => graft.operators.Similarity.l1(cs(0), cs(1))
+    case "vector::distance::chebyshev" =>
+      array_max(zip_with(cs(0), cs(1), (x, y) => abs(x.cast("double") - y.cast("double"))))
+    case "vector::similarity::cosine" => graft.operators.Similarity.cosine(cs(0), cs(1))
     case "vector::distance::knn" => col(ctx.knnDistCol.getOrElse(
       throw SqlError("SparkPlanner: vector::distance::knn outside a KNN query")))
     case "type::string" => cs(0).cast("string")
