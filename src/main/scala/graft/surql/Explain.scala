@@ -498,6 +498,24 @@ object Explain {
     def sourceNode(e: Expr): PNode = e match {
       case Idiom(Seq(PField(_))) | TableRef(_) =>
         val name = e match { case Idiom(Seq(PField(x))) => x; case TableRef(x) => x; case _ => "" }
+        // Inside a COMPUTED field body the planner has no plan-time catalog
+        // context — table sources resolve their access path at runtime via
+        // DynamicScan (planner/select.rs:2223 "FROM tablename fallback when
+        // plan-time catalog context is unavailable"); predicate and limit
+        // still push into the scan.
+        if (in.planCatalogless) {
+          var attrs = Seq("source" -> name)
+          if (singleTable.isDefined && predicateTxt.isDefined) {
+            attrs = attrs :+ ("predicate" -> predicateTxt.get)
+            consumedPred = true
+          }
+          if (pushLimit && limitConst.isDefined) {
+            attrs = attrs :+ ("limit" -> limitConst.get.toString)
+            startConst.filter(_ > 0).foreach(o => attrs = attrs :+ ("offset" -> o.toString))
+            consumedLimit = true
+          }
+          return PNode("DynamicScan", "Db", attrs)
+        }
         // KnnScan source: the `<|k,ef|>` probe IS the scan; the remaining
         // WHERE stays a Filter above it (scan/knn.rs:37, HnswConditionChecker
         // pulls candidates until k pass, so the scan emits ≤ k rows)

@@ -556,6 +556,77 @@ final class Interp {
     }
   }
 
+  /** Per-database catalog + data (catalog is namespaced Ns→Db→… in the
+    * reference; reproductions/7135 — schemafull fields must not leak across
+    * databases). USE DB parks the current database's state here and installs
+    * the target's. `history`/`ddlSnaps` (VERSION) and live queries stay
+    * session-global. */
+  private final class DbState {
+    var tabs = mutable.LinkedHashMap.empty[String, mutable.LinkedHashMap[V, VObj]]
+    var fns = mutable.LinkedHashMap.empty[String, VClosure]
+    var fnAuth = mutable.LinkedHashMap.empty[String, String]
+    var fp = mutable.LinkedHashMap.empty[String, Vector[DefineFieldStmt]]
+    var uniq = mutable.LinkedHashMap.empty[String, Vector[(String, Seq[String])]]
+    var tds = mutable.LinkedHashMap.empty[String, Defs.TableDef]
+    var fds = mutable.LinkedHashMap.empty[(String, String), Defs.FieldDef]
+    var af = mutable.Set.empty[(String, String)]
+    var ixs = mutable.LinkedHashMap.empty[(String, String), Defs.IndexDef]
+    var evs = mutable.LinkedHashMap.empty[(String, String), Defs.EventDef]
+    var seqs = mutable.LinkedHashMap.empty[String, Defs.SequenceDef]
+    var seqSt = mutable.LinkedHashMap.empty[String, Long]
+    var accs = mutable.LinkedHashMap.empty[(String, String), Defs.AccessDef]
+    var grants = mutable.LinkedHashMap.empty[(String, String), Vector[VObj]]
+    var cfgs = mutable.LinkedHashMap.empty[String, V]
+    var apis = mutable.LinkedHashMap.empty[String, Api.RtDef]
+    var anas = mutable.LinkedHashMap.empty[String, Defs.AnalyzerDef]
+    var pds = mutable.LinkedHashMap.empty[String, Defs.ParamDef]
+    var dbp = mutable.LinkedHashMap.empty[String, V]
+    var fnds = mutable.LinkedHashMap.empty[String, Defs.FnDef]
+    var dbus = mutable.LinkedHashMap.empty[String, Defs.UserDef]
+    var bks = mutable.LinkedHashMap.empty[String, BucketRt]
+    var rawFds = mutable.LinkedHashMap.empty[(String, String), String]
+    var marks = mutable.HashSet.empty[(String, V)]
+    var ixInfo = mutable.LinkedHashMap.empty[(String, String), Long]
+    var ixErr = mutable.LinkedHashMap.empty[(String, String), String]
+  }
+  private val dbStates = mutable.HashMap[(String, String), DbState]()
+
+  private def swapDbState(from: (String, String), to: (String, String)): Unit = {
+    if (from == to) return
+    val parked = new DbState
+    def park[K, W](live: mutable.LinkedHashMap[K, W]): mutable.LinkedHashMap[K, W] = {
+      val m = live.clone(); live.clear(); m
+    }
+    parked.tabs = park(tables); parked.fns = park(customFns)
+    parked.fnAuth = park(fnAuthCeiling); parked.fp = park(fieldPipeline)
+    parked.uniq = park(uniqueIndexes); parked.tds = park(tableDefs)
+    parked.fds = park(fieldDefs2)
+    parked.af = { val s = mutable.Set.empty[(String, String)] ++= autoFields; autoFields.clear(); s }
+    parked.ixs = park(indexDefs); parked.evs = park(eventDefs)
+    parked.seqs = park(sequences); parked.seqSt = park(sequenceState)
+    parked.accs = park(accesses); parked.grants = park(accessGrants)
+    parked.cfgs = park(configs); parked.apis = park(apiDefs)
+    parked.anas = park(analyzers); parked.pds = park(paramDefs)
+    parked.dbp = park(dbParams); parked.fnds = park(functionDefs)
+    parked.dbus = park(dbUsers); parked.bks = park(buckets)
+    parked.rawFds = park(fieldDefs)
+    parked.marks = { val s = mutable.HashSet.empty[(String, V)] ++= edgeMarks; edgeMarks.clear(); s }
+    parked.ixInfo = park(indexBuildInfo); parked.ixErr = park(indexBuildError)
+    dbStates(from) = parked
+    dbStates.get(to).foreach { st =>
+      tables ++= st.tabs; customFns ++= st.fns; fnAuthCeiling ++= st.fnAuth
+      fieldPipeline ++= st.fp; uniqueIndexes ++= st.uniq; tableDefs ++= st.tds
+      fieldDefs2 ++= st.fds; autoFields ++= st.af; indexDefs ++= st.ixs
+      eventDefs ++= st.evs; sequences ++= st.seqs; sequenceState ++= st.seqSt
+      accesses ++= st.accs; accessGrants ++= st.grants; configs ++= st.cfgs
+      apiDefs ++= st.apis; analyzers ++= st.anas; paramDefs ++= st.pds
+      dbParams ++= st.dbp; functionDefs ++= st.fnds; dbUsers ++= st.dbus
+      buckets ++= st.bks; fieldDefs ++= st.rawFds; edgeMarks ++= st.marks
+      indexBuildInfo ++= st.ixInfo; indexBuildError ++= st.ixErr
+    }
+    writeGen += 1
+  }
+
   /** Best-effort statement → canonical SQL, for the nested-BEGIN abort
     * messages ("… failed transaction: <stmt>", executor.rs:903 uses
     * stmt.to_sql()). Only the statement head needs to be faithful here. */
@@ -972,8 +1043,10 @@ final class Interp {
       execInfoVersioned(s0.copy(target = rn(s0.target, env)), env)
     case s0: InfoStmt => execInfo(s0.copy(target = rn(s0.target, env)))
     case u: UseStmt =>
+      val before = (curNs, curDb)
       u.ns.foreach { n => curNs = n; sessionHasNs = true }
       u.db.foreach { d => curDb = d; sessionHasDb = true }
+      swapDbState(before, (curNs, curDb))
       // USE reports the resulting session target (statements/use) — an
       // explicitly selected EMPTY name reports '' (parsing/idents)
       VObj(TreeMap(
@@ -2749,8 +2822,92 @@ final class Interp {
     * derefs always see current data). Depth-guarded for cyclic link
     * structures. */
   private var computeDepth = 0
+
+  /** True while a COMPUTED field body evaluates: the planner runs without
+    * plan-time catalog context there, so EXPLAIN renders table sources as
+    * DynamicScan (planner/select.rs:2223). */
+  var planCatalogless: Boolean = false
+
+  /** Lazy COMPUTED evaluation (issue #7094): while a SELECT materializes its
+    * source rows this holds the top-level fields the statement can observe;
+    * computed fields outside the set never run (an unselected THROW inside a
+    * COMPUTED body is unobservable). None = whole document visible. */
+  private var computedNeeded: Option[Set[String]] = scala.None
+
+  /** Fields a SELECT statement can observe, or None when it sees the whole
+    * document (`*`, bare `$this`, subqueries, blocks — all opaque). */
+  private def selectNeededFields(s: SelectStmt): Option[Set[String]] = {
+    var opaque = false
+    val out = mutable.HashSet[String]()
+    def goParts(ps: Seq[Part]): Unit = {
+      ps match {
+        case PField(n) +: _ => out += n
+        case PStart(Param("this" | "self")) +: rest => rest match {
+          case PField(n) +: _            => out += n
+          case PIndex(Lit(VStr(n))) +: _ => out += n
+          case _                         => opaque = true
+        }
+        case (PAll | PDoc | PFlatten) +: _ => opaque = true
+        case PStart(Param(_)) +: _ => () // other params are env values
+        case _ => ()
+      }
+      ps.foreach {
+        case PStart(inner)    => go(inner)
+        case PIndex(inner)    => go(inner)
+        case PWhere(inner)    => go(inner)
+        case PMethod(_, as)   => as.foreach(go)
+        case PDestructure(fs) => fs.foreach(_._2.foreach(goParts))
+        case g: PGraph        => g.cond.foreach(go)
+        case PRecurse(_, _, _, nest, _) => nest.foreach(goParts)
+        case _ => ()
+      }
+    }
+    def go(e: Expr): Unit = e match {
+      case Idiom(ps)        => goParts(ps)
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, x)     => go(x)
+      case Cast(_, x)       => go(x)
+      case FnCall(_, as)    => as.foreach(go)
+      case ArrLit(xs)       => xs.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case RidLit(_, k)     => go(k)
+      case RangeLit(lo, hi) => lo.foreach(b => go(b._1)); hi.foreach(b => go(b._1))
+      case Closure(_, b, _) => go(b)
+      case IfExpr(bs, o)    => bs.foreach { case (c, v) => go(c); go(v) }; o.foreach(go)
+      case Lit(_) | Param(_) | TableRef(_) => ()
+      // subqueries/blocks can reach the current document through $this or
+      // $parent — treat as whole-document access
+      case _ => opaque = true
+    }
+    s.fields.foreach { f => if (f.isAll) opaque = true else go(f.expr) }
+    s.what.foreach {
+      case Idiom(Seq(PField(_))) | TableRef(_) => () // the source itself, not a field
+      case e => go(e)
+    }
+    s.where.foreach(go)
+    out ++= s.split
+    s.groupBy.foreach(_.foreach(go))
+    s.order.foreach(k => go(k.expr))
+    s.fetch.foreach {
+      case Lit(VStr(path)) => out += path.takeWhile(c => c != '.' && c != '[')
+      case e => go(e)
+    }
+    if (opaque) scala.None else Some(out.toSet)
+  }
+
   def withComputed(tb: String, doc: VObj, env: Env): VObj = {
-    val defs = computedOrder(tb)
+    val defs0 = computedOrder(tb)
+    // prune to the observable computed fields plus their transitive
+    // computed-field dependencies (defs0 is topologically ordered)
+    val defs = computedNeeded match {
+      case Some(need) =>
+        val keep = mutable.HashSet[String]() ++= need
+        defs0.reverse.foreach { d =>
+          if (keep(d.field)) keep ++= exprFieldDeps(d.computed.get)
+        }
+        defs0.filter(d => keep(d.field))
+      case scala.None => defs0
+    }
     if (defs.isEmpty || computeDepth > 4) return doc
     computeDepth += 1
     try {
@@ -2760,7 +2917,12 @@ final class Interp {
           case Some(r: VRid) => r
           case _ => VRid(tb, VNone)
         }
-        val v0 = Eval.eval(fd.computed.get, env.copy(doc = Some(VObj(fields))))
+        val v0 = {
+          val savedCtx = planCatalogless
+          planCatalogless = true
+          try Eval.eval(fd.computed.get, env.copy(doc = Some(VObj(fields))))
+          finally planCatalogless = savedCtx
+        }
         val v = fd.kind match {
           case Some(k) =>
             try Coerce.coerce(k, v0)
@@ -2920,21 +3082,37 @@ final class Interp {
     val savedAgg = viewAggMode
     suppressEmptyGroupAll = true
     viewAggMode = true
-    val rows = try selectWithGroupKeys(sel, env)
+    // Ungrouped views derive each record's id from the SOURCE record's key
+    // (t:1 → view:1) even when the projection drops or aliases `id`
+    // (doc/table.rs view ids; reproductions/7134) — smuggle the source id
+    // through the projection and strip it after.
+    val SrcIdField = "__view_src_id"
+    val selAug =
+      if (sel.groupBy.isEmpty && !sel.value)
+        sel.copy(fields = sel.fields :+
+          Field(Idiom(Seq(PField("id"))), Some(SrcIdField)))
+      else sel
+    val rows = try selectWithGroupKeys(selAug, env)
       finally { suppressEmptyGroupAll = saved; viewAggMode = savedAgg }
     rows.zipWithIndex.flatMap { case ((row, keyOpt), i) =>
+      val srcId: Option[V] = row match {
+        case VObj(fs) => fs.get(SrcIdField).collect { case VRid(_, k) => k }
+        case _ => scala.None
+      }
       val key: V = keyOpt match {
         case Some(ks) => VArr(ks.toVector)
-        case scala.None => row match {
-          case VObj(fs) => fs.get("id") match {
-            case Some(VRid(_, k)) => k
+        case scala.None => srcId.getOrElse {
+          row match {
+            case VObj(fs) => fs.get("id") match {
+              case Some(VRid(_, k)) => k
+              case _ => VInt(i.toLong)
+            }
             case _ => VInt(i.toLong)
           }
-          case _ => VInt(i.toLong)
         }
       }
       row match {
-        case VObj(fs) => Some(VObj(fs.updated("id", VRid(name, key))))
+        case VObj(fs) => Some(VObj((fs - SrcIdField).updated("id", VRid(name, key))))
         case _ => scala.None
       }
     }
@@ -3086,7 +3264,15 @@ final class Interp {
         finally versionAsOf = saved
       case scala.None => ()
     }
-    var rows: Vector[V] = s.what.flatMap(resolveTarget(_, env)).toVector
+    // materialize sources with only the observable computed fields (lazy
+    // COMPUTED, issue #7094); restored immediately so projection-time record
+    // derefs (links, graph hops) see fully-computed documents
+    var rows: Vector[V] = {
+      val saved = computedNeeded
+      computedNeeded = selectNeededFields(s)
+      try s.what.flatMap(resolveTarget(_, env)).toVector
+      finally computedNeeded = saved
+    }
 
     // fulltext match refs (`@N@`) bind per-statement so search::score/
     // highlight/offsets can resolve them from projections (Search)
@@ -3930,9 +4116,17 @@ final class Interp {
     }
 
   private def shapeOutput(before: Option[VObj], after: Option[VObj], output: Option[Output],
-      env: Env, tb: String = ""): Option[V] = shapeOutput0(
-    before.map(d => if (tb.nonEmpty) redactDoc(tb, withComputed(tb, d, env)) else d),
-    after.map(d => if (tb.nonEmpty) redactDoc(tb, withComputed(tb, d, env)) else d), output, env)
+      env: Env, tb: String = ""): Option[V] = {
+    // Computed fields are lazy (issue #7094): RETURN NONE/NULL discards the
+    // document, so its COMPUTED expressions must never run — a THROW inside
+    // an unselected computed body is unobservable.
+    val discard = output.contains(Output.ONone) || output.contains(Output.ONull)
+    def shaped(d: VObj) =
+      if (tb.isEmpty) d
+      else if (discard) redactDoc(tb, d)
+      else redactDoc(tb, withComputed(tb, d, env))
+    shapeOutput0(before.map(shaped), after.map(shaped), output, env)
+  }
 
   private def shapeOutput0(before: Option[VObj], after: Option[VObj], output: Option[Output],
       env: Env): Option[V] = output match {
