@@ -530,6 +530,8 @@ object Explain {
         s.where.foreach { w =>
           conjunctList(w).collectFirst {
             case Binary("=" | "==", Idiom(Seq(PField("id"))), r @ RidLit(tb, _)) if tb == name => r
+            // flipped operands: `item:3 = id` is the same point access
+            case Binary("=" | "==", r @ RidLit(tb, _), Idiom(Seq(PField("id")))) if tb == name => r
           }.foreach { r =>
             consumedPred = true
             return PNode("RecordIdScan", "Db",
