@@ -832,6 +832,31 @@ object SurqlQueries {
     """SELECT o_orderkey, array::join(@{1..4+collect}(->next_order->orders), ',') AS visited
        FROM orders:1..51 ORDER BY o_orderkey""")
 
+  /** `+path` recursion (recursion/path.rs): every complete traversal path
+    * as an array of arrays. The `next_order` graph is a per-customer linear
+    * chain, so each start yields exactly one path — the next ≤4 orders in
+    * CHAIN order (not key order) — which the oracle enumerates by window
+    * rank; flatten+join scalarizes the nested array for the comparator. */
+  val recursionPath = sq("recursion_path",
+    """WITH seq AS (
+         SELECT o_orderkey, o_custkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders),
+       res AS (
+         SELECT a.o_orderkey AS start,
+                array_to_string(list(b.o_orderkey ORDER BY b.rn), ',') AS path
+         FROM seq a JOIN seq b
+           ON a.o_custkey = b.o_custkey AND b.rn > a.rn AND b.rn <= a.rn + 4
+         GROUP BY a.o_orderkey)
+       SELECT o.o_orderkey, coalesce(r.path, '') AS path
+       FROM orders o LEFT JOIN res r ON r.start = o.o_orderkey
+       WHERE o.o_orderkey >= 1 AND o.o_orderkey < 51
+       ORDER BY o.o_orderkey""")(
+    """SELECT o_orderkey,
+              array::join(array::flatten(@{1..4+path}(->next_order->orders)), ',') AS path
+       FROM orders:1..51 ORDER BY o_orderkey""")
+
   /** VERSION time travel (exec/operators/version_scope.rs:25): the scan
     * resolves to the latest snapshot parquet at-or-before the requested
     * instant — see [[graft.operators.VersionStore]]. The fixture snapshot
@@ -868,7 +893,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
-    recursionSurql, recursionShortest, recursionCollect, indexCount,
+    recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)
 }

@@ -660,6 +660,34 @@ object SparkPlanner {
         visited
           .groupBy(col("start").as(kName))
           .agg(sort_array(collect_list(col("node"))).as(derived))
+      case RPath(inclusive) =>
+        // +path (recursion/path.rs): every complete traversal path, one
+        // array per path. A path completes at a dead end once the loop depth
+        // reaches min, or by surviving to max depth; each loop step is one
+        // frontier-sized left join (dead ends are the unmatched side), so
+        // the plan stays a bounded chain of key-partitioned joins.
+        var active = starts.withColumn("path",
+          if (inclusive) array(col("node")) else array().cast("array<long>"))
+        var completed: DataFrame = null
+        def addCompleted(d: DataFrame): Unit =
+          completed = if (completed == null) d else completed.unionByName(d)
+        for (depth <- 0 until maxD) {
+          val a = active.alias("a")
+          val joined = a.join(e.alias("e"), col("a.node") === col("e.src"), "left")
+            .localCheckpoint()
+          if (depth >= minD)
+            addCompleted(joined
+              .filter(col("e.dst").isNull && size(col("a.path")) > 0)
+              .select(col("a.start").as("start"), col("a.path").as("path")))
+          active = joined.filter(col("e.dst").isNotNull)
+            .select(col("a.start").as("start"), col("e.dst").as("node"),
+              concat(col("a.path"), array(col("e.dst"))).as("path"))
+        }
+        if (maxD >= minD)
+          addCompleted(active.filter(size(col("path")) > 0).select("start", "path"))
+        completed
+          .groupBy(col("start").as(kName))
+          .agg(sort_array(collect_list(col("path"))).as(derived))
       case RShortest(targetE, inclusive) =>
         val targetId: Column = Eval.evalConst(targetE) match {
           case r: VRid => ridKeyLit(r.key)
