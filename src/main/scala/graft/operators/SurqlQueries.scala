@@ -832,6 +832,45 @@ object SurqlQueries {
     """SELECT o_orderkey, array::join(@{1..4+collect}(->next_order->orders), ',') AS visited
        FROM orders:1..51 ORDER BY o_orderkey""")
 
+  /** Chained graph traversal `->e->t<-e<-t` (multi-hop GraphEdgeScan): each
+    * hop pair is one more equi-join on the reached id; the walk flatMaps and
+    * keeps duplicates (a co-supplier reached through two shared parts
+    * appears twice), which the oracle reproduces with a self-join on the
+    * distinct supplier→part pair set. */
+  val graphChain = sq("graph_chain",
+    """WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       res AS (
+         SELECT a.s AS start,
+                array_to_string(list(b.s ORDER BY b.s), ',') AS cosup
+         FROM sp a JOIN sp b ON a.p = b.p
+         GROUP BY a.s)
+       SELECT s_suppkey, coalesce(r.cosup, '') AS cosup
+       FROM supplier LEFT JOIN res r ON r.start = s_suppkey
+       WHERE s_suppkey >= 1 AND s_suppkey < 4 ORDER BY s_suppkey""")(
+    """SELECT s_suppkey,
+              array::join(->supplies->part<-supplies<-supplier, ',') AS cosup
+       FROM supplier:1..4 ORDER BY s_suppkey""")
+
+  /** Chained traversal ending in a field projection: two `next_order` hops
+    * reach each order's grand-successor, whose date the oracle derives with
+    * a double window lead. */
+  val graphChainField = sq("graph_chain_field",
+    """WITH seq AS (
+         SELECT o_orderkey,
+                lead(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey) AS nxt2
+         FROM orders),
+       res AS (
+         SELECT s.o_orderkey AS start, CAST(o.o_orderdate AS VARCHAR) AS d
+         FROM seq s JOIN orders o ON o.o_orderkey = s.nxt2)
+       SELECT o.o_orderkey, coalesce(r.d, '') AS next2_date
+       FROM orders o LEFT JOIN res r ON r.start = o.o_orderkey
+       WHERE o.o_orderkey >= 1 AND o.o_orderkey < 51
+       ORDER BY o.o_orderkey""")(
+    """SELECT o_orderkey,
+              array::join(->next_order->orders->next_order->orders.o_orderdate, ',') AS next2_date
+       FROM orders:1..51 ORDER BY o_orderkey""")
+
   /** `+path` recursion (recursion/path.rs): every complete traversal path
     * as an array of arrays. The `next_order` graph is a per-customer linear
     * chain, so each start yields exactly one path — the next ≤4 orders in
@@ -889,6 +928,7 @@ object SurqlQueries {
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
     fnString, fnArray, fnCast, fnAggStats, fnCrypto,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
+    graphChain, graphChainField,
     fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,

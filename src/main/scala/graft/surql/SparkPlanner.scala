@@ -804,22 +804,71 @@ object SparkPlanner {
         // edge-record ids, sorted (KV scan order is key order)
         oriented.groupBy(kName)
           .agg(sort_array(collect_list(col("__eid"))).as(derived))
-      case Seq(g2: PGraph) =>
-        checkTargetHop(g1, g2, if (g1.dir == "out") outT else inT)
-        oriented.groupBy(kName)
-          .agg(sort_array(collect_list(col("__dst"))).as(derived))
-      case Seq(g2: PGraph, PField(f)) =>
-        val targetT = if (g1.dir == "out") outT else inT
-        checkTargetHop(g1, g2, targetT)
-        val tk = recordKey.getOrElse(targetT, unsupported(s"no record key for $targetT"))
-        val target = Tables(spark, dir, targetT).select(col(tk), col(f))
-        // collect (targetId, field) structs, sort by id (KV order), project
-        // the field — array_sort on structs orders by the leading field
-        oriented.join(target, col("__dst") === col(tk))
-          .groupBy(kName)
-          .agg(transform(
-            array_sort(collect_list(struct(col("__dst").as("k"), col(f).as("v")))),
-            x => x.getField("v")).as(derived))
+      case (g2: PGraph) +: rest0 =>
+        // Chained traversal `->e1->t1->e2->t2…[.field]`: each further hop
+        // pair is ONE more equi-join on the reached id — the walk flatMaps
+        // and KEEPS duplicates (a target reached twice appears twice),
+        // matching the per-record traversal semantics (scan/graph.rs; each
+        // multiplicity survives the join). Output order is canonical
+        // (sorted) since the reference's edge-key order is id-random.
+        var curT = if (g1.dir == "out") outT else inT
+        checkTargetHop(g1, g2, curT)
+        var cur = oriented.select(col(kName), col("__dst"))
+        var remaining: Seq[Part] = rest0
+        var hop = 0
+        while (remaining.headOption.exists(_.isInstanceOf[PGraph])) {
+          val ge = remaining.head.asInstanceOf[PGraph]
+          val gt = remaining.tail.headOption match {
+            case Some(g: PGraph) => g
+            case _ => unsupported("edge hop without a target hop")
+          }
+          if (ge.what.length != 1 || ge.what.head.key.nonEmpty)
+            unsupported("restricted chained edge hop")
+          val eName = ge.what.head.table
+          val (eIn, eOut) = GraphOps.edgeDefs.getOrElse(eName,
+            unsupported(s"unknown relation table $eName"))
+          val et0 = GraphOps.edgeTable(spark, dir, eName)
+          val et = ge.cond match {
+            case Some(cnd) =>
+              et0.filter(toCol(cnd, Ctx(spark, dir, eName, et0.schema, Map.empty)))
+            case scala.None => et0
+          }
+          val (anchor, far, nextT) = ge.dir match {
+            case "out" =>
+              if (curT != eIn) unsupported(s"$curT is not the in-side of $eName")
+              ("in", "out", eOut)
+            case "in" =>
+              if (curT != eOut) unsupported(s"$curT is not the out-side of $eName")
+              ("out", "in", eIn)
+            case other => unsupported(s"direction $other in a chained hop")
+          }
+          checkTargetHop(ge, gt, nextT)
+          hop += 1
+          val src = s"__h${hop}_src"
+          val dst = s"__h${hop}_dst"
+          cur = cur.join(et.select(col(anchor).as(src), col(far).as(dst)),
+              col("__dst") === col(src))
+            .select(col(kName), col(dst).as("__dst"))
+          curT = nextT
+          remaining = remaining.drop(2)
+        }
+        remaining match {
+          case Nil =>
+            cur.groupBy(kName)
+              .agg(sort_array(collect_list(col("__dst"))).as(derived))
+          case Seq(PField(f)) =>
+            val tk = recordKey.getOrElse(curT, unsupported(s"no record key for $curT"))
+            val target = Tables(spark, dir, curT).select(col(tk), col(f))
+            // collect (targetId, field) structs, sort by id (KV order),
+            // project the field — array_sort on structs orders by the
+            // leading field
+            cur.join(target, col("__dst") === col(tk))
+              .groupBy(kName)
+              .agg(transform(
+                array_sort(collect_list(struct(col("__dst").as("k"), col(f).as("v")))),
+                x => x.getField("v")).as(derived))
+          case other => unsupported(s"trailing parts $other")
+        }
       case other => unsupported(s"trailing parts $other")
     }
   }
