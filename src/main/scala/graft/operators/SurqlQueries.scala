@@ -832,6 +832,44 @@ object SurqlQueries {
     """SELECT o_orderkey, array::join(@{1..4+collect}(->next_order->orders), ',') AS visited
        FROM orders:1..51 ORDER BY o_orderkey""")
 
+  /** set::* namespace (fnc/set.rs): BTreeSet semantics — every result is
+    * sorted and deduplicated; difference is SYMMETRIC (A △ B), complement is
+    * relative (A \ B). Arrays built per row from key columns. */
+  val fnSet = sq("fn_set",
+    """SELECT n_nationkey,
+              array_to_string(list_sort(list_distinct([n_nationkey, n_regionkey, 0])), ',') AS u,
+              array_to_string(list_sort(list_distinct(list_intersect([n_nationkey, n_regionkey, 7], [n_regionkey, 7]))), ',') AS i,
+              coalesce(array_to_string(list_sort(list_distinct(
+                list_cat(list_filter([n_nationkey, 1], x -> NOT list_contains([1, n_regionkey], x)),
+                         list_filter([1, n_regionkey], x -> NOT list_contains([n_nationkey, 1], x))))), ','), '') AS d,
+              coalesce(array_to_string(list_sort(list_distinct(
+                list_filter([n_nationkey, n_regionkey], x -> x != 0))), ','), '') AS c,
+              len(list_distinct([n_nationkey, n_regionkey, n_nationkey])) AS l
+       FROM nation ORDER BY n_nationkey""")(
+    """SELECT n_nationkey,
+              array::join(set::union([n_nationkey, n_regionkey], [0, n_regionkey]), ',') AS u,
+              array::join(set::intersect([n_nationkey, n_regionkey, 7], [n_regionkey, 7]), ',') AS i,
+              array::join(set::difference([n_nationkey, 1], [1, n_regionkey]), ',') AS d,
+              array::join(set::complement([n_nationkey, n_regionkey], [0]), ',') AS c,
+              set::len([n_nationkey, n_regionkey, n_nationkey]) AS l
+       FROM nation ORDER BY n_nationkey""")
+
+  /** object::* + encoding::base64 namespaces: keys/len over an object
+    * literal (struct), unpadded base64 round-trip over document source
+    * strings (fnc/encoding.rs STANDARD_NO_PAD). */
+  val fnObjectEncoding = sq("fn_object_encoding",
+    """SELECT doc_id,
+              'k,src' AS ks, 2 AS kl,
+              rtrim(to_base64(encode(source)), '=') AS b64,
+              source AS rt
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""")(
+    """SELECT doc_id,
+              array::join(object::keys({ k: doc_id, src: source }), ',') AS ks,
+              object::len({ k: doc_id, src: source }) AS kl,
+              encoding::base64::encode(<bytes> source) AS b64,
+              <string> encoding::base64::decode(encoding::base64::encode(<bytes> source)) AS rt
+       FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
+
   /** Chained graph traversal `->e->t<-e<-t` (multi-hop GraphEdgeScan): each
     * hop pair is one more equi-join on the reached id; the walk flatMaps and
     * keeps duplicates (a co-supplier reached through two shared parts
@@ -926,7 +964,7 @@ object SurqlQueries {
     limitStart, onlyOne, aggGroup, aggGlobal, distinctScan, subqueryIn,
     subqueryNotIn, fnMath, fnTime,
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
-    fnString, fnArray, fnCast, fnAggStats, fnCrypto,
+    fnString, fnArray, fnCast, fnAggStats, fnCrypto, fnSet, fnObjectEncoding,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     graphChain, graphChainField,
     fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,

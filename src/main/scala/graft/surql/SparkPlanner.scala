@@ -1298,6 +1298,7 @@ object SparkPlanner {
         case Kind.KBool    => c(inner).cast("boolean")
         case Kind.KDecimal => c(inner).cast("decimal(38,10)")
         case Kind.KDatetime => c(inner).cast("timestamp")
+        case Kind.KBytes   => c(inner).cast("binary")
         case other => throw SqlError(s"SparkPlanner: unsupported cast $other")
       }
       case IfExpr(branches, Some(elseE)) if branches.nonEmpty =>
@@ -1420,6 +1421,26 @@ object SparkPlanner {
       val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
       slice(cs(0), from + 1, len)
     case "array::flatten"  => flatten(cs(0))
+    // ---- set::* — BTreeSet semantics: sorted, deduplicated (fnc/set.rs;
+    // array_union/intersect/except already dedup, sort canonicalizes) ------
+    case "set::union"      => array_sort(array_union(cs(0), cs(1)))
+    case "set::intersect"  => array_sort(array_intersect(cs(0), cs(1)))
+    case "set::difference" => // symmetric difference A △ B (fnc/set.rs:69)
+      array_sort(array_union(array_except(cs(0), cs(1)), array_except(cs(1), cs(0))))
+    case "set::complement" => array_sort(array_except(cs(0), cs(1)))
+    case "set::contains"   => array_contains(cs(0), cs(1))
+    case "set::len"        => size(array_distinct(cs(0))).cast("bigint")
+    case "set::is_empty"   => size(array_distinct(cs(0))) === 0
+    // ---- object::* — keys via the JSON render (codegen'd; struct field
+    // order is the object's insertion order, matching fnc/object.rs) -------
+    case "object::keys"     => json_object_keys(to_json(cs(0)))
+    case "object::len"      => size(json_object_keys(to_json(cs(0)))).cast("bigint")
+    case "object::is_empty" => size(json_object_keys(to_json(cs(0)))) === 0
+    // ---- encoding::base64 — reference default: UNPADDED encode, padding-
+    // indifferent decode (fnc/encoding.rs STANDARD_NO_PAD) -----------------
+    case "encoding::base64::encode" =>
+      regexp_replace(base64(cs(0).cast("binary")), "=+$", "")
+    case "encoding::base64::decode" => unbase64(cs(0))
     // ---- crypto::* (builtins; hex output matches DuckDB) -----------------
     case "crypto::md5"    => md5(cs(0))
     case "crypto::sha1"   => sha1(cs(0))
