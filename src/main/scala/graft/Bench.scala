@@ -25,6 +25,7 @@ object Bench {
     graft.operators.FullText.index(spark, sfDir)
     graft.operators.Dedup.shingleTable(spark, sfDir)
     graft.operators.Similarity.warmIndex(spark, sfDir)
+    graft.operators.Similarity.warmIvf(spark, sfDir)
     graft.operators.GraphOps.warmEdges(spark, sfDir)
     graft.operators.CountIndex.warm(spark, sfDir)
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,

@@ -290,5 +290,88 @@ object Similarity {
       .limit(10)
   }
 
-  val all: Seq[Q] = Seq(knnBrute, embedTopPairs, embedTopPairsExact, knnAnnLsh)
+  // --- IVF (inverted-file) ANN index ------------------------------------
+
+  /** Squared L2, same in-order double fold as [[dot]]. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  private val IvfK = 32      // centroid count (cells)
+  private val IvfProbe = 8   // cells scanned per query
+
+  /** Nearest-centroid id for a row: fold the (tiny, literal) centroid set
+    * into struct(dist, cid) and take the array min — struct ordering makes
+    * the argmin deterministic (distance, then cid). Codegen'd, no UDF. */
+  private def assignCid(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, cv) =>
+      struct(l2sq(emb, array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  /** Persisted IVF index: embeddings PARTITIONED by nearest-centroid cell
+    * (the scale path SURVEY §"Similarity search" names alongside LSH).
+    * Build = deterministic seed sample (K lowest xxhash64(vec_id)) + one
+    * distributed Lloyd iteration (assign → per-cell mean); only the K×dim
+    * centroid MATRIX ever reaches the driver — index metadata, the same
+    * role the centroid table plays in any IVF build. Probe prunes to the
+    * `IvfProbe` nearest cells at the DIRECTORY level, so a query scans
+    * ~IvfProbe/IvfK of the corpus regardless of n. */
+  private val ivfIndexes = scala.collection.concurrent.TrieMap[String, (String, Seq[(Int, Seq[Double])])]()
+  /** Force the IVF build (bench attributes it to index_build). */
+  def warmIvf(s: SparkSession, d: String): Unit = ivfIndex(s, d)
+  private def ivfIndex(s: SparkSession, d: String): (String, Seq[(Int, Seq[Double])]) =
+    ivfIndexes.getOrElseUpdate(d, {
+      val path = s"/tmp/graft_ivf_${Integer.toHexString(d.hashCode)}"
+      val emb = Tables.embeddingsWide(s, d).select(col("vec_id"), col("embedding"))
+      // deterministic seeds: the K rows with the lowest hashed ids
+      val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfK)
+        .orderBy("vec_id").collect()
+        .zipWithIndex.map { case (r, i) =>
+          (i, r.getSeq[Float](1).map(_.toDouble).toSeq)
+        }.toSeq
+      // one Lloyd iteration: per-cell elementwise mean via dim explode —
+      // K×dim rows of metadata come back, never the data itself
+      val refined = emb
+        .withColumn("cid", assignCid(col("embedding"), seeds))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      emb.withColumn("cid", assignCid(col("embedding"), refined))
+        .repartition(col("cid")) // one writer per cell → K files, not tasks×K
+        .write.mode("overwrite").partitionBy("cid").parquet(path)
+      (path, refined)
+    })
+
+  /** IVF probe: the query's `IvfProbe` nearest cells are chosen driver-side
+    * against the centroid matrix, pruned at the directory level, and only
+    * those cells pay the exact cosine rerank. Rows-only: approximate by
+    * design (a true neighbor assigned to an unprobed cell is missed). */
+  val knnAnnIvf = Q.rowsOnly("knn_ann_ivf") { (s, d) =>
+    val (path, cents) = ivfIndex(s, d)
+    val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    val probeCids = cents
+      .map { case (cid, cv) =>
+        (cid, cv.zip(qvec).map { case (c, q) => val dd = c - q; dd * dd }.sum)
+      }
+      .sortBy { case (cid, dist) => (dist, cid) }
+      .take(IvfProbe).map(_._1)
+    val qe = array(qvec.map(lit): _*)
+    s.read.parquet(path)
+      .filter(col("cid").isin(probeCids: _*)) // directory-level pruning
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), qe), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(knnBrute, embedTopPairs, embedTopPairsExact, knnAnnLsh, knnAnnIvf)
 }

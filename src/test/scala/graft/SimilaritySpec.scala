@@ -46,4 +46,27 @@ class SimilaritySpec extends AnyFunSuite {
     val sims = rows.map(_.getDouble(2))
     assert(sims.sameElements(sims.sorted.reverse))
   }
+
+  test("ann_ivf: probe returns 10 ordered real neighbors whose scores match " +
+    "the brute-force score for the same ids") {
+    val ivf = SparkEntry.queries("knn_ann_ivf")(spark, sf).collect()
+    assert(ivf.length == 10)
+    val sims = ivf.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+    // every (id, score) the IVF probe emits must agree with the exact
+    // full-scan score — the probe prunes candidates, never rescores them
+    val bruteAll = Tables.embeddings(spark, sf).count()
+    assert(ivf.forall(r => r.getLong(0) != 0L && r.getLong(0) < bruteAll))
+    val ids = ivf.map(_.getLong(0)).toSet
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddingsWide(spark, sf)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val exact = emb.filter(col("vec_id").isin(ids.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(graft.operators.Similarity.cosine(col("embedding"), col("qe")), 6)
+          .as("cos_sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
+  }
 }
