@@ -832,6 +832,26 @@ object SurqlQueries {
     """SELECT o_orderkey, array::join(@{1..4+collect}(->next_order->orders), ',') AS visited
        FROM orders:1..51 ORDER BY o_orderkey""")
 
+  /** GraphQL front-end (core/src/gql/tables.rs): a query document with
+    * filter/order/limit/start arguments translates source-to-source onto
+    * SurrealQL and runs through the SAME parser + SparkPlanner as every
+    * other entry — table root field → one SELECT (tables.rs:291), filter
+    * operators → binary ops (tables.rs:1628). */
+  val gqlQuery = Q("gql_query",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 5""") { (s, d) =>
+    graft.gql.Gql.query(s, d, """
+      query {
+        orders(filter: {and: [{o_orderstatus: {eq: "F"}},
+                              {o_totalprice: {gt: 150000.0}}]},
+               order: {desc: o_totalprice, then: {asc: o_orderkey}},
+               limit: 20, start: 5) {
+          o_orderkey o_custkey o_totalprice
+        }
+      }""")
+  }
+
   /** set::* namespace (fnc/set.rs): BTreeSet semantics — every result is
     * sorted and deduplicated; difference is SYMMETRIC (A △ B), complement is
     * relative (A \ B). Arrays built per row from key columns. */
@@ -965,6 +985,7 @@ object SurqlQueries {
     subqueryNotIn, fnMath, fnTime,
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
     fnString, fnArray, fnCast, fnAggStats, fnCrypto, fnSet, fnObjectEncoding,
+    gqlQuery,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     graphChain, graphChainField,
     fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
