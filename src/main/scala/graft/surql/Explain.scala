@@ -377,6 +377,18 @@ object Explain {
         case Some(v) if !v.isInstanceOf[VTable] => Lit(v)
         case _ => e
       }
+      // `type::record($p)` with a plan-time-resolvable argument folds to the
+      // record id literal (planner resolve_source_exprs constant folding) —
+      // an IN list over it can then probe an index per element
+      case FnCall("type::record", Seq(a)) =>
+        (substParams(a) match {
+          case Lit(VStr(s)) if s.indexOf(':') > 0 =>
+            val i = s.indexOf(':')
+            val (tb, key) = (s.substring(0, i), s.substring(i + 1))
+            val kv: V = if (key.nonEmpty && key.forall(_.isDigit)) VInt(key.toLong) else VStr(key)
+            Some(Lit(VRid(tb, kv)))
+          case _ => scala.None
+        }).getOrElse(e)
       case Binary(op, l, r) => Binary(op, substParams(l), substParams(r))
       case Prefix(op, i)    => Prefix(op, substParams(i))
       case Cast(k, i)       => Cast(k, substParams(i))
@@ -495,6 +507,29 @@ object Explain {
     var residualPred: Option[Expr] = scala.None
     def hints2(n: String): Boolean = s.withIndex.forall(_.contains(n))
 
+    // analysis-only view of the WHERE: `type::field($p)` with a plan-time-
+    // resolvable argument is the field idiom for INDEX SELECTION (the
+    // parameterized-OData shape, reproductions/schemaless_parameterized) —
+    // predicate TEXT keeps the original call form.
+    def resolveFieldFns(e: Expr): Expr = e match {
+      case FnCall("type::field", Seq(a)) =>
+        (substParams(a) match {
+          case Lit(VStr(f)) => Some(Idiom(Seq(PField(f))): Expr)
+          case _ => scala.None
+        }).getOrElse(e)
+      case Binary(op, l, r) => Binary(op, resolveFieldFns(l), resolveFieldFns(r))
+      case Prefix(op, i)    => Prefix(op, resolveFieldFns(i))
+      case other => other
+    }
+    def containsFieldFn(e: Expr): Boolean = e match {
+      case FnCall("type::field", _) => true
+      case Binary(_, l, r) => containsFieldFn(l) || containsFieldFn(r)
+      case Prefix(_, i)    => containsFieldFn(i)
+      case _ => false
+    }
+    val wAna: Option[Expr] =
+      s.where.map(w => if (containsFieldFn(w)) resolveFieldFns(w) else w)
+
     def sourceNode(e: Expr): PNode = e match {
       case Idiom(Seq(PField(_))) | TableRef(_) =>
         val name = e match { case Idiom(Seq(PField(x))) => x; case TableRef(x) => x; case _ => "" }
@@ -541,19 +576,19 @@ object Explain {
         // a UNIQUE-index equality access outranks full-text: at most one
         // row, so @@ and the rest become residual filters and the sort is
         // eliminated (multi_index_or_and_new_executor assert 14)
-        val idxPre = s.where.flatMap(w => indexAccess(in, name, w, s.withIndex, newExec = true))
+        val idxPre = wAna.flatMap(w => indexAccess(in, name, w, s.withIndex, newExec = true))
         val uniqueEq = idxPre.filter { case (idxName, access, _, idxFields, eqLen) =>
           eqLen == idxFields.length && access.startsWith("=") &&
             in.indexDefs.exists { case ((t, _), d) => t == name && d.name == idxName && d.unique }
         }
         if (uniqueEq.isDefined && s.order.nonEmpty) orderConsumed = true
         val fts = if (uniqueEq.isDefined) scala.None
-          else s.where.flatMap(w => fulltextAccess(in, name, w))
+          else wAna.flatMap(w => fulltextAccess(in, name, w))
         // a direct index candidate outranks IN/containment expansion —
         // expansions are fallbacks when no candidate exists
         // (in_operator_index assert 22: compound prefix beats IN union)
         val union = if (fts.isDefined || uniqueEq.isDefined || idxPre.isDefined) scala.None
-          else s.where.flatMap(w => unionIndexAccess(in, name, w, s.withIndex, newExec = true))
+          else wAna.flatMap(w => unionIndexAccess(in, name, w, s.withIndex, newExec = true))
         union.foreach { case (idxName, items, c) =>
           consumedPred = true
           residualPred = s.where
@@ -587,7 +622,7 @@ object Explain {
         // every non-served conjunct left to the union-level residual Filter
         // (select_with_in_operator_multiple_indexes_new_executor 5/7; branch
         // rows reflect the access ALONE, pre-residual).
-        s.where.map(disjunctList).filter(_.length > 1).foreach { ds =>
+        wAna.map(disjunctList).filter(_.length > 1).foreach { ds =>
           def servedOf(d: Expr, residual: Option[Expr]): Option[Expr] = {
             val resSet = residual.map(conjunctList(_).toSet).getOrElse(Set.empty[Expr])
             conjunctList(d).filterNot(resSet.contains).reduceOption(Binary("&&", _, _))
@@ -644,7 +679,7 @@ object Explain {
           }
         }
         val idx = if (fts.isDefined) scala.None
-          else s.where.flatMap(w => indexAccess(in, name, w, s.withIndex, newExec = true))
+          else wAna.flatMap(w => indexAccess(in, name, w, s.withIndex, newExec = true))
         fts match {
           case Some((idxName, queryTxt, residual)) =>
             consumedPred = true
@@ -881,6 +916,10 @@ object Explain {
         embedded = embeds(fe, "expr"))
     } else if (s.fields.forall(_.isAll) && isRidPoint) {
       PNode("Project", "Db", Nil, Seq(node))
+    } else if (s.fields.exists(f => !f.isAll && containsParam(f.expr))) {
+      // parameterized projections (`type::field($p) AS x`) require the full
+      // Project operator, not the fast SelectProject path (select.rs:708)
+      PNode("Project", "Db", Nil, Seq(node))
     } else if (s.fields.exists(f => !f.isAll && touchesDb(f.expr) && f.alias.isEmpty)) {
       // UNALIASED db-touching projections keep the bare Project shape with
       // `field.*` embeds; aliased ones classify as Compute fields below
@@ -903,6 +942,24 @@ object Explain {
       else
         PNode("SelectProject", "Db", Seq("projections" -> projs), Seq(computeNode(node)))
     })
+  }
+
+  /** True when a projection expression references a `$param` (these require
+    * the full Project operator, select.rs:708). */
+  private def containsParam(e: Expr): Boolean = e match {
+    case Param(_)        => true
+    case Binary(_, l, r) => containsParam(l) || containsParam(r)
+    case Prefix(_, i)    => containsParam(i)
+    case Cast(_, i)      => containsParam(i)
+    case FnCall(_, as)   => as.exists(containsParam)
+    case ArrLit(xs)      => xs.exists(containsParam)
+    case Idiom(ps)       => ps.exists {
+      case PStart(i) => containsParam(i)
+      case PIndex(i) => containsParam(i)
+      case PWhere(i) => containsParam(i)
+      case _ => false
+    }
+    case _ => false
   }
 
   private def conjunctList(e: Expr): Seq[Expr] = e match {
