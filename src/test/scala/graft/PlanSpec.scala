@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions: the 100 TB gates. Each test pins a plan
+  * property that keeps a query scalable — filter pushdown reaching the
+  * parquet scan, column pruning, TakeOrderedAndProject for top-k, broadcast
+  * joins for dims, no cartesian products on the hot paths, whole-stage
+  * codegen coverage. A regression here is a scale regression even when the
+  * answers stay right. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+  }
+
+  test("filter_where pushes its predicate into the parquet scan") {
+    val p = planOf("filter_where")
+    assert(p.contains("PushedFilters: ["), "no pushed filters on the scan")
+    assert(!p.contains("PushedFilters: []"), "pushed-filter list is empty")
+  }
+
+  test("point_lookup pushes the key equality down") {
+    val p = planOf("point_lookup")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
+  }
+
+  test("project_expr prunes the scan to referenced columns only") {
+    val p = planOf("project_expr")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.isDefined, "no ReadSchema in plan")
+    // lineitem has 16 columns; the projection touches a strict subset
+    assert(read.get.split(",").length < 16, s"scan reads all columns: ${read.get}")
+  }
+
+  test("topk plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("topk")
+    assert(p.contains("TakeOrderedAndProject"), "ORDER BY + LIMIT did not fuse")
+  }
+
+  test("fetch_join broadcasts the dimension side") {
+    val p = planOf("fetch_join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("broadcast"),
+      "fetch did not broadcast the dim table")
+  }
+
+  test("graph_arrow stays an equi-join (no cartesian/BNLJ)") {
+    val p = planOf("graph_arrow")
+    assert(!p.contains("CartesianProduct"), "graph hop degenerated to a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "graph hop degenerated to a BNLJ")
+  }
+
+  test("agg_group runs inside whole-stage codegen with partial aggregation") {
+    val df = SparkEntry.queries("agg_group")(spark, sf)
+    // AQE only finalizes codegen stages at execution time
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` is the WholeStageCodegen stage marker in the final AQE plan
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "aggregate fell out of codegen")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("gql_query inherits the same pushdown as native SurrealQL") {
+    val p = planOf("gql_query")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "GraphQL-translated filter did not reach the scan")
+    assert(p.contains("TakeOrderedAndProject"), "GraphQL order+limit did not fuse")
+  }
+}
