@@ -83,6 +83,88 @@ object Live {
         throw new IllegalArgumentException(s"not a LIVE statement: $other")
     }
 
+  /** Change rows carrying BOTH record sides — the store-diff feed shape
+    * (cf/writer.rs `store_diff`), needed when a consumer must retract the
+    * before-image (view maintenance below). */
+  def changeFeedFull(before: DataFrame, after: DataFrame, idCol: String,
+      versionstamp: Long): DataFrame = {
+    val b = before.select(col(idCol).as("id"),
+      xxhash64(struct(before.columns.map(col).toIndexedSeq: _*)).as("h_before"),
+      struct(before.columns.map(col).toIndexedSeq: _*).as("rec_before"))
+    val a = after.select(col(idCol).as("id"),
+      xxhash64(struct(after.columns.map(col).toIndexedSeq: _*)).as("h_after"),
+      struct(after.columns.map(col).toIndexedSeq: _*).as("rec_after"))
+    b.join(a, Seq("id"), "full_outer")
+      .select(
+        lit(versionstamp).as("vs"),
+        col("id"),
+        when(col("h_before").isNull, "CREATE")
+          .when(col("h_after").isNull, "DELETE")
+          .when(col("h_before") =!= col("h_after"), "UPDATE")
+          .as("action"),
+        col("rec_before"), col("rec_after"))
+      .filter(col("action").isNotNull)
+  }
+
+  /** Incremental view maintenance (doc/table.rs: `DEFINE TABLE v AS SELECT
+    * g, count(), sum(x) GROUP BY g` views update on every write, never
+    * recompute): each change decomposes into a retraction delta against its
+    * BEFORE group (-1, -x) and an insertion delta for its AFTER group
+    * (+1, +x) — an UPDATE that moves a record between groups emits both.
+    * Folding the deltas is a plain grouped sum, so the SAME transform runs
+    * batch (oracle-checkable against a from-scratch recompute) and
+    * streaming (update-mode agg over the delta stream, LiveSpec). Decimal-
+    * exact sums make retraction arithmetic associative — maintained state
+    * equals recompute bit-for-bit at any scale. */
+  def viewDeltas(feed: DataFrame, groupField: String, valueField: String): DataFrame = {
+    val retract = feed.filter(col("action").isin("UPDATE", "DELETE"))
+      .select(col(s"rec_before.$groupField").as("g"),
+        lit(-1L).as("dn"), (-col(s"rec_before.$valueField")).as("dv"))
+    val insert = feed.filter(col("action").isin("CREATE", "UPDATE"))
+      .select(col(s"rec_after.$groupField").as("g"),
+        lit(1L).as("dn"), col(s"rec_after.$valueField").as("dv"))
+    retract.unionByName(insert)
+  }
+
+  /** Fold view deltas into the maintained view state (batch or streaming;
+    * groups whose count reaches zero drop out of the view). */
+  def maintainView(deltas: DataFrame): DataFrame =
+    deltas.groupBy("g")
+      .agg(sum(col("dn")).as("cnt"), graft.functions.Exact.dsum(col("dv")).as("total"))
+      .filter(col("cnt") > 0)
+
+  /** CORRECTNESS row: the liveSelect mutation scenario's view, maintained
+    * incrementally (base rows as insertion deltas + the change feed's
+    * retract/insert deltas) — the oracle RECOMPUTES the same view from
+    * scratch on the after-state, so a green row proves maintained state ==
+    * recompute. */
+  val matViewIncremental = Q("mat_view_incremental",
+    s"""WITH after AS (
+          SELECT o_orderstatus,
+                 CASE WHEN o_orderkey < 50 THEN o_totalprice + 1000.0
+                      ELSE o_totalprice END AS p
+          FROM orders
+          UNION ALL
+          SELECT 'N' AS o_orderstatus, o_totalprice AS p
+          FROM orders WHERE o_orderkey < 5)
+        SELECT o_orderstatus AS g, count(*) AS cnt,
+               ${graft.functions.Exact.sqlSum("p")} AS total
+        FROM after GROUP BY g ORDER BY g""") {
+    (s, d) =>
+      val o = Tables.orders(s, d)
+      val deltaUp = o.filter(col("o_orderkey") < 50)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      val deltaNew = o.filter(col("o_orderkey") < 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 1000000L)
+        .withColumn("o_orderstatus", lit("N"))
+      val after = Mutations.upsert(o, deltaUp.unionByName(deltaNew), "o_orderkey")
+      val feed = changeFeedFull(o, after, "o_orderkey", versionstamp = 1L)
+      val base = o.select(col("o_orderstatus").as("g"),
+        lit(1L).as("dn"), col("o_totalprice").as("dv"))
+      maintainView(base.unionByName(viewDeltas(feed, "o_orderstatus", "o_totalprice")))
+        .orderBy("g")
+  }
+
   /** CORRECTNESS row: the mutChangefeed scenario's feed run through a LIVE
     * SELECT with a condition — hash-checked against the oracle replaying
     * the same mutation. The same `notifications` transform is what the
@@ -113,5 +195,5 @@ object Live {
         .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(liveSelect)
+  val all: Seq[Q] = Seq(liveSelect, matViewIncremental)
 }

@@ -57,4 +57,41 @@ class LiveSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(feed == Seq((7L, 2L, "UPDATE"), (7L, 3L, "DELETE"), (7L, 4L, "CREATE")))
   }
+
+  test("incremental view maintenance: streamed deltas converge to the recomputed view") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // base table (id, g, v) then one mutation batch: update 2 moves groups,
+    // delete 3, create 4
+    val before = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("id", "g", "v")
+    val after  = Seq((1L, "a", 10.0), (2L, "b", 20.0), (4L, "b", 40.0)).toDF("id", "g", "v")
+    val feed = Live.changeFeedFull(before, after, "id", versionstamp = 1L)
+
+    // the SAME delta decomposition streams: base rows as insertions
+    // (batch 1), then the change feed's retract/insert deltas (batch 2);
+    // complete-mode fold = the maintained view after each commit
+    val stream = MemoryStream[(String, Long, Double)]
+    val q = Live.maintainView(stream.toDF.toDF("g", "dn", "dv"))
+      .writeStream.format("memory").queryName("mat_view")
+      .outputMode("complete").start()
+    try {
+      stream.addData(Seq(("a", 1L, 10.0), ("a", 1L, 20.0), ("b", 1L, 30.0)))
+      q.processAllAvailable()
+      val deltas = Live.viewDeltas(feed, "g", "v")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      stream.addData(deltas)
+      q.processAllAvailable()
+
+      val maintained = spark.table("mat_view").orderBy("g")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      // recompute from scratch on the after-state — must match exactly
+      val recomputed = after.select(col("g"), lit(1L).as("dn"), col("v").as("dv"))
+        .transform(Live.maintainView).orderBy("g")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(maintained == recomputed)
+      assert(maintained == Seq(("a", 1L, 10.0), ("b", 2L, 60.0)))
+    } finally q.stop()
+  }
 }
