@@ -832,6 +832,22 @@ object SurqlQueries {
     """SELECT o_orderkey, array::join(@{1..4+collect}(->next_order->orders), ',') AS visited
        FROM orders:1..51 ORDER BY o_orderkey""")
 
+  /** Array idiom parts on the Spark path (expr/part.rs Where/All/Last):
+    * `[WHERE cond]` lowers to a codegen'd `filter` lambda with the element
+    * bound as the condition scope, `[*]` passes the array through, `[$]`
+    * takes the last element. */
+  val idiomArrayFilter = sq("idiom_array_filter",
+    """SELECT vec_id,
+              len(list_filter(embedding, x -> x > 0.0)) AS pos_dims,
+              len(embedding) AS all_dims,
+              round(CAST(embedding[-1] AS DOUBLE) * 1000.0) AS last_mil
+       FROM embeddings ORDER BY vec_id""")(
+    """SELECT vec_id,
+              array::len(embedding[WHERE $this > 0.0]) AS pos_dims,
+              array::len(embedding[*]) AS all_dims,
+              math::round(embedding[$] * 1000.0) AS last_mil
+       FROM embeddings ORDER BY vec_id""")
+
   /** GraphQL front-end (core/src/gql/tables.rs): a query document with
     * filter/order/limit/start arguments translates source-to-source onto
     * SurrealQL and runs through the SAME parser + SparkPlanner as every
@@ -993,6 +1009,6 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
-    aggArrayCollect, fnClosures, fnDuration, idiomPaths, fnParse,
+    aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)
 }

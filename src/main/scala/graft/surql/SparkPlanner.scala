@@ -1216,7 +1216,28 @@ object SparkPlanner {
       case Idiom(parts) if parts.forall(_.isInstanceOf[PField]) &&
           ctx.linkCols.contains(parts.collect { case PField(n) => n }.toList) =>
         col(ctx.linkCols(parts.collect { case PField(n) => n }.toList))
+      // inside a `[WHERE …]` lambda, bare fields resolve against the
+      // ELEMENT (the element document is the condition's scope —
+      // expr/part.rs Where part)
+      case Idiom(Seq(PField(n))) if ctx.lambdaParams.contains("__elem") =>
+        ctx.lambdaParams("__elem").getField(n)
       case Idiom(Seq(PField(n))) => col(n)
+      // `field[WHERE cond]` — codegen'd array filter; the condition sees
+      // the element as $this (scalars) and its fields directly (objects)
+      case Idiom(Seq(PField(a), PWhere(cond))) =>
+        filter(col(a), x => toCol(cond, ctx.copy(lambdaParams =
+          ctx.lambdaParams + ("this" -> x) + ("__elem" -> x))))
+      case Idiom(Seq(PField(a), PWhere(cond), PField(sub))) =>
+        transform(
+          filter(col(a), x => toCol(cond, ctx.copy(lambdaParams =
+            ctx.lambdaParams + ("this" -> x) + ("__elem" -> x)))),
+          x => x.getField(sub))
+      // `field[*]` — the whole array; `field[*].sub` maps a field over it
+      case Idiom(Seq(PField(a), PAll)) => col(a)
+      case Idiom(Seq(PField(a), PAll, PField(sub))) =>
+        transform(col(a), x => x.getField(sub))
+      // `field[$]` — last element (expr/part.rs Last)
+      case Idiom(Seq(PField(a), PLast)) => element_at(col(a), -1)
       case Idiom(Seq(PField(a), PField(b))) => col(s"$a.$b")
       case Idiom(Seq(PField(a), PIndex(ie))) =>
         element_at(col(a), (Eval.evalConst(ie) match {
