@@ -68,7 +68,8 @@ object SparkPlanner {
       graphCols: Map[Seq[Part], String] = Map.empty,
       scoreCol: Option[String] = scala.None,
       knnDistCol: Option[String] = scala.None,
-      lambdaParams: Map[String, Column] = Map.empty)
+      lambdaParams: Map[String, Column] = Map.empty,
+      destrCols: Map[(String, Seq[String]), String] = Map.empty)
 
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
@@ -215,6 +216,26 @@ object SparkPlanner {
       linkCols += (path -> derived)
     }
 
+    // ---- destructure-on-link pre-pass ------------------------------------
+    // `fk.{a, b}` derefs the record link then keeps a projection of it as
+    // ONE struct (expr/part.rs Destructure) — an implicit Fetch of only the
+    // selected subfields: one equi-join against the target projecting a
+    // struct of exactly those columns (this is also how GraphQL nested
+    // selections run distributed).
+    var destrCols = Map.empty[(String, Seq[String]), String]
+    if (table.nonEmpty) pathExprs.flatMap(collectDestructures(_, table)).distinct
+      .zipWithIndex.foreach { case ((fk, subs), i) =>
+        val (tt, tk) = links((table, fk))
+        val derived = s"__d$i"
+        val lookup = Tables(spark, dir, tt)
+          .select(col(tk).as(derived + "_k"),
+            struct(subs.map(col): _*).as(derived))
+        val side = if (broadcastDims(tt)) broadcast(lookup) else lookup
+        df = df.join(side, col(fk) === col(derived + "_k"), "left")
+          .drop(derived + "_k")
+        destrCols += ((fk, subs) -> derived)
+      }
+
     // ---- graph-arrow pre-pass --------------------------------------------
     // `->edge->target[.field]` idioms lower to one aggregated equi-join per
     // distinct path against the relation table (GraphEdgeScan,
@@ -307,7 +328,8 @@ object SparkPlanner {
     }
 
     val ctx = Ctx(spark, dir, table, schema, linkCols, graphCols, scoreCol,
-      knnDistCol = if (knnConjs.nonEmpty) Some("__knn_dist") else scala.None)
+      knnDistCol = if (knnConjs.nonEmpty) Some("__knn_dist") else scala.None,
+      destrCols = destrCols)
     def c(e: Expr): Column = toCol(e, ctx)
 
     // ---- filter: plain conjuncts, decorrelate INSIDE-subqueries ----------
@@ -521,6 +543,34 @@ object SparkPlanner {
   }
 
   // ---- link resolution ---------------------------------------------------
+
+  /** `fk.{a, b}` destructures rooted at link columns of `table` — plain
+    * subfield names only (nested destructure paths stay on the Interp
+    * path). */
+  private def collectDestructures(e: Expr, table: String): Seq[(String, Seq[String])] = {
+    val out = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
+    def go(x: Expr): Unit = x match {
+      case Idiom(Seq(PField(fk), PDestructure(fs)))
+          if links.contains((table, fk)) && fs.forall(_._2.isEmpty) =>
+        out += (fk -> fs.map(_._1))
+      case Idiom(parts) => parts.foreach {
+        case PStart(inner) => go(inner)
+        case PIndex(inner) => go(inner)
+        case PWhere(inner) => go(inner)
+        case _ => ()
+      }
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, inner) => go(inner)
+      case Cast(_, inner)   => go(inner)
+      case FnCall(_, args)  => args.foreach(go)
+      case ArrLit(items)    => items.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case IfExpr(bs, o)    => bs.foreach { case (cc, v) => go(cc); go(v) }; o.foreach(go)
+      case _ => ()
+    }
+    go(e)
+    out.toSeq
+  }
 
   /** `fk.field` chains rooted at link columns of `table`. */
   private def collectLinkPaths(e: Expr, table: String): Seq[List[String]] = {
@@ -1222,6 +1272,11 @@ object SparkPlanner {
       case Idiom(Seq(PField(n))) if ctx.lambdaParams.contains("__elem") =>
         ctx.lambdaParams("__elem").getField(n)
       case Idiom(Seq(PField(n))) => col(n)
+      // `fk.{a, b}` — the pre-joined destructure struct
+      case Idiom(Seq(PField(fk), PDestructure(fs)))
+          if fs.forall(_._2.isEmpty) &&
+            ctx.destrCols.contains((fk, fs.map(_._1))) =>
+        col(ctx.destrCols((fk, fs.map(_._1))))
       // `field[WHERE cond]` — codegen'd array filter; the condition sees
       // the element as $this (scalars) and its fields directly (objects)
       case Idiom(Seq(PField(a), PWhere(cond))) =>

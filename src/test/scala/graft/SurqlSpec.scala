@@ -227,4 +227,33 @@ class SurqlSpec extends AnyFunSuite {
       "SELECT @{1..2}(->supplies->part) AS x FROM supplier"))
     assert(e.msg.contains("self-relation"))
   }
+
+  test("destructure on a record link joins and projects one struct") {
+    val spark = TestSpark.session
+    val d = "/root/testdata/sf0.001"
+    val rows = SparkPlanner.query(spark, d,
+      """SELECT o_orderkey, o_custkey.{c_name, c_mktsegment} AS cust
+         FROM orders:1..4 ORDER BY o_orderkey""").collect()
+    assert(rows.length == 3)
+    val cust = rows.head.getStruct(1)
+    assert(cust.schema.fieldNames.toSeq == Seq("c_name", "c_mktsegment"))
+    // cross-check one value against the base tables
+    import org.apache.spark.sql.functions._
+    val o1 = Tables.orders(spark, d).filter(col("o_orderkey") === 1L)
+      .select("o_custkey").head.getLong(0)
+    val cname = Tables.customer(spark, d).filter(col("c_custkey") === o1)
+      .select("c_name").head.getString(0)
+    assert(cust.getString(0) == cname)
+  }
+
+  test("GraphQL nested selection runs distributed through the planner") {
+    val spark = TestSpark.session
+    val d = "/root/testdata/sf0.001"
+    val df = graft.gql.Gql.query(spark, d,
+      """{ orders(filter: {o_orderkey: {lt: 4}}, order: {asc: o_orderkey}) {
+             o_orderkey o_custkey { c_name } } }""")
+    val rows = df.collect()
+    assert(rows.length == 4) // orders keys start at 0
+    assert(rows.head.getStruct(1).schema.fieldNames.toSeq == Seq("c_name"))
+  }
 }
