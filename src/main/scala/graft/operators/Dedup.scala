@@ -151,25 +151,91 @@ object Dedup {
        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
        ORDER BY jaccard DESC, a, b""") {
     (s, d) =>
-      val sh = shingleTable(s, d)
-      // df-cap via one count-window over the shingle key — a single extra
-      // shuffle, no second evaluation of the shingle pipeline
-      val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-      val capped = sh.withColumn("df", count(lit(1)).over(byShingle))
-        .filter(col("df") <= MaxShingleDf).drop("df").persist()
-      capped.count() // materialize once; 3 consumers below read the cache
-      val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val g1 = capped.select(col("sh"), col("doc_id").as("a"))
-      val g2 = capped.select(col("sh").as("sh_r"), col("doc_id").as("b"))
-      val inter = g1.join(g2, col("sh") === col("sh_r") && col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("i"))
-      val jac = inter
-        .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .select(col("a"), col("b"),
-          (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
-      jac.filter(col("jaccard") >= 0.5)
+      jaccardPairs(s, d)
         .orderBy(col("jaccard").desc, col("a"), col("b"))
+  }
+
+  /** Exact-Jaccard near-dup pairs (a < b, jaccard ≥ 0.5) — the shared
+    * verified edge set behind the jaccard and clustering entries. */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleTable(s, d)
+    // df-cap via one count-window over the shingle key — a single extra
+    // shuffle, no second evaluation of the shingle pipeline
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val capped = sh.withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= MaxShingleDf).drop("df").persist()
+    capped.count() // materialize once; 3 consumers below read the cache
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val g1 = capped.select(col("sh"), col("doc_id").as("a"))
+    val g2 = capped.select(col("sh").as("sh_r"), col("doc_id").as("b"))
+    val inter = g1.join(g2, col("sh") === col("sh_r") && col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+    val jac = inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
+    jac.filter(col("jaccard") >= 0.5)
+  }
+
+  /** Near-dup CLUSTERING: connected components over the verified pair set —
+    * the keep-one-per-group step of a dedup pipeline. Distributed min-label
+    * propagation: each iteration is one equi-join (pull the smaller label
+    * across every edge) + one grouped min, localCheckpoint'ed; converges in
+    * O(cluster diameter) iterations — near-dup clusters are shallow, so a
+    * handful of shuffles at any corpus size, never a driver-side graph. The
+    * oracle replays the closure with a recursive CTE. */
+  val dedupClusters = Q("dedup_clusters",
+    s"""WITH RECURSIVE toks AS (
+         SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+       grams AS (
+         SELECT DISTINCT doc_id,
+                CASE WHEN len(w) >= 3
+                     THEN w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                     ELSE array_to_string(w, ' ') END AS shingle
+         FROM toks, LATERAL (SELECT unnest(range(1, greatest(len(w) - 1, 2))) AS i)),
+       sdf AS (SELECT shingle FROM grams GROUP BY shingle
+               HAVING COUNT(*) <= $MaxShingleDf),
+       capped AS (SELECT doc_id, shingle FROM grams JOIN sdf USING (shingle)),
+       sizes AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY doc_id),
+       inter AS (
+         SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+         FROM capped g1 JOIN capped g2
+           ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT a, b FROM inter
+         JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       SELECT n AS doc_id, least(n, min(m)) AS cluster
+       FROM reach GROUP BY n ORDER BY doc_id""") {
+    (s, d) =>
+      val pairs = jaccardPairs(s, d).select("a", "b").persist()
+      val adj = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+      adj.count()
+      var labels = adj.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val pulled = adj.join(labels, col("b") === col("node"))
+          .select(col("a").as("node"), col("label"))
+        val next = labels.unionByName(pulled)
+          .groupBy("node").agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+        .orderBy("doc_id")
   }
 
   /** SimHash: 64-bit signature = sign of per-bit vote sums over token hashes;
@@ -210,5 +276,5 @@ object Dedup {
       .limit(50)
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupNgramJaccard, dedupSimhash)
+  val all: Seq[Q] = Seq(dedupMinhash, dedupNgramJaccard, dedupSimhash, dedupClusters)
 }
