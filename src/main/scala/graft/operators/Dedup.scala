@@ -120,7 +120,7 @@ object Dedup {
     * on exactly those hot keys. Capping bounds the join to ≤ cap² pairs per
     * shingle — the standard prefix-filtering trick from the all-pairs
     * similarity literature. */
-  private val MaxShingleDf = 50
+  private[operators] val MaxShingleDf = 50
 
   /** Exact n-gram Jaccard similarity join over the discriminative-shingle
     * universe (document frequency ≤ [[MaxShingleDf]], applied identically on
@@ -214,28 +214,33 @@ object Dedup {
          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
        SELECT n AS doc_id, least(n, min(m)) AS cluster
        FROM reach GROUP BY n ORDER BY doc_id""") {
-    (s, d) =>
-      val pairs = jaccardPairs(s, d).select("a", "b").persist()
-      val adj = pairs.unionByName(
-        pairs.select(col("b").as("a"), col("a").as("b"))).persist()
-      adj.count()
-      var labels = adj.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 20) {
-        val pulled = adj.join(labels, col("b") === col("node"))
-          .select(col("a").as("node"), col("label"))
-        val next = labels.unionByName(pulled)
-          .groupBy("node").agg(min(col("label")).as("label"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-          .filter(col("label") =!= col("old")).count()
-        labels = next
-        iter += 1
-      }
-      labels.select(col("node").as("doc_id"), col("label").as("cluster"))
-        .orderBy("doc_id")
+    (s, d) => nearDupClusters(s, d).orderBy("doc_id")
+  }
+
+  /** (doc_id, cluster) for every doc in ≥1 verified near-dup pair — the
+    * min-label-propagation fixpoint behind [[dedupClusters]], reusable by
+    * downstream curation filters. */
+  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = jaccardPairs(s, d).select("a", "b").persist()
+    val adj = pairs.unionByName(
+      pairs.select(col("b").as("a"), col("a").as("b"))).persist()
+    adj.count()
+    var labels = adj.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val pulled = adj.join(labels, col("b") === col("node"))
+        .select(col("a").as("node"), col("label"))
+      val next = labels.unionByName(pulled)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
   }
 
   /** SimHash: 64-bit signature = sign of per-bit vote sums over token hashes;
