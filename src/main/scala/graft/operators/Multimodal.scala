@@ -85,5 +85,92 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures)
+  private def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** One sampled frame of a media payload. */
+  final case class Frame(doc_id: Long, frame_no: Int, frame_digest: String,
+      frame_bytes: Long)
+
+  private val NumFrames = 8
+  private val FrameBytes = 16
+
+  /** Frame sampling over a video-like payload: ONE input row fans out to ≤
+    * [[NumFrames]] output rows (the demuxer batch shape), evenly strided
+    * through the payload. mapPartitions so a real demuxer initializes once
+    * per partition; the stand-in "frame" is a byte slice, deterministic so
+    * the oracle can replay it. */
+  def sampleFrames(spark: SparkSession, payloads: DataFrame): Dataset[Frame] = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // (real impl: initialize the demuxer here, once per partition)
+        it.flatMap { case (id, bytes) =>
+          val stride = math.max(1, bytes.length / NumFrames)
+          (0 until NumFrames).iterator
+            .takeWhile(i => i * stride < bytes.length)
+            .map { i =>
+              val slice = bytes.slice(i * stride,
+                math.min(i * stride + FrameBytes, bytes.length))
+              Frame(id, i, md5hex(slice), slice.length.toLong)
+            }
+        }
+      }
+  }
+
+  private val ResizeTarget = 64
+
+  /** Resize-to-fixed-size stub: cycle the payload to exactly
+    * [[ResizeTarget]] bytes — stands in for an image resample with the same
+    * plumbing (binary in, binary out, per-partition codec init). */
+  def resizeStub(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.isEmpty) Array.fill(ResizeTarget)(0.toByte)
+    else Array.tabulate(ResizeTarget)(i => bytes(i % bytes.length))
+
+  /** Frame-sampling entry — oracle-checked: the deterministic slicing
+    * replays in SQL (ASCII corpus: byte offsets == char offsets). */
+  val multimodalFrames = Q("multimodal_frames",
+    s"""WITH f AS (
+          SELECT doc_id, text, unnest(range(0, $NumFrames)) AS frame_no,
+                 greatest(1, length(text) // $NumFrames) AS stride
+          FROM documents)
+        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+               md5(substring(text, frame_no * stride + 1, $FrameBytes)) AS frame_digest,
+               CAST(least($FrameBytes, length(text) - frame_no * stride) AS BIGINT)
+                 AS frame_bytes
+        FROM f WHERE frame_no * stride < length(text)
+        ORDER BY doc_id, frame_no""") {
+    (s, d) =>
+      val payloads = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      sampleFrames(s, payloads).toDF().orderBy("doc_id", "frame_no")
+  }
+
+  /** Resize entry — oracle-checked via the cycled-byte replay. */
+  val multimodalResize = Q("multimodal_resize",
+    s"""SELECT doc_id,
+               CAST($ResizeTarget AS BIGINT) AS n_out,
+               md5(substring(repeat(text, CAST(ceil($ResizeTarget.0 / length(text)) AS INT)),
+                             1, $ResizeTarget)) AS out_digest
+        FROM documents ORDER BY doc_id""") {
+    (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          // (real impl: image codec init once per partition)
+          it.map { case (id, bytes) =>
+            val out = resizeStub(bytes)
+            (id, out.length.toLong, md5hex(out))
+          }
+        }
+        .toDF("doc_id", "n_out", "out_digest")
+        .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalFrames,
+    multimodalResize)
 }
