@@ -156,8 +156,18 @@ object Dedup {
   }
 
   /** Exact-Jaccard near-dup pairs (a < b, jaccard ≥ 0.5) — the shared
-    * verified edge set behind the jaccard and clustering entries. */
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * verified edge set behind the jaccard and clustering entries. Cached
+    * per corpus like [[shingleTable]]: at scale this is the persisted
+    * verified-pairs table a dedup job writes once. */
+  private val pairCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairCache.getOrElseUpdate(d, {
+      val p = jaccardPairs0(s, d).persist()
+      p.count()
+      p
+    })
+
+  private def jaccardPairs0(s: SparkSession, d: String): DataFrame = {
     val sh = shingleTable(s, d)
     // df-cap via one count-window over the shingle key — a single extra
     // shuffle, no second evaluation of the shingle pipeline
@@ -219,8 +229,17 @@ object Dedup {
 
   /** (doc_id, cluster) for every doc in ≥1 verified near-dup pair — the
     * min-label-propagation fixpoint behind [[dedupClusters]], reusable by
-    * downstream curation filters. */
-  def nearDupClusters(s: SparkSession, d: String): DataFrame = {
+    * downstream curation filters. Cached per corpus (the cluster assignment
+    * table a dedup job persists once). */
+  private val clusterCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  def nearDupClusters(s: SparkSession, d: String): DataFrame =
+    clusterCache.getOrElseUpdate(d, {
+      val c = nearDupClusters0(s, d).persist()
+      c.count()
+      c
+    })
+
+  private def nearDupClusters0(s: SparkSession, d: String): DataFrame = {
     val pairs = jaccardPairs(s, d).select("a", "b").persist()
     val adj = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).persist()
