@@ -66,20 +66,8 @@ object Eval {
       // the function before evaluation (self_tests/no_scripting_capabilities)
       if (env.interp.exists(!_.capScripting))
         throw SqlError("Scripting functions are not allowed")
-      // only the single-return-builtin scripting shape is evaluable
-      val Shape = """(?s)return\s+surrealdb\.functions\.([A-Za-z_.]+)\((.*)\)\s*;?\s*""".r
-      body match {
-        case Shape(fnPath, argsTxt) =>
-          val fnName = fnPath.replace(".", "::")
-          val argVals =
-            if (argsTxt.trim.isEmpty) Seq.empty[V]
-            else argsTxt.split(",").toSeq.map { t =>
-              try Parser.parseValue(t.trim.replace("\"", "'"))
-              catch { case _: Exception => VStr(t.trim): V }
-            }
-          Functions.apply(fnName, argVals, env)
-        case _ => throw SqlError("Scripting functions are not enabled")
-      }
+      val argVals = args.map(a => eval(a, env))
+      Js.run(body, argVals, env)
     case TableRef(name) => VTable(name)
     case Closure(params, body, ret) => VClosure(params, body, ret, env.params)
     case Cast(k, inner) => Coerce.cast(k, eval(inner, env))

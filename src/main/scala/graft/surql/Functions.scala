@@ -1850,6 +1850,13 @@ object Functions {
             val ceilIn = env.interp.filter(_.fnAuthCeiling.contains(custom))
             val savedCeil = ceilIn.map(_.activeFnCeiling)
             ceilIn.foreach(in => in.activeFnCeiling = in.fnAuthCeiling.get(custom))
+            // depth budget: function frames cost 8 of the 120-unit budget
+            // (err/mod.rs:381) — the 16th nested fn:: frame errors
+            env.interp.foreach { in =>
+              if (in.fnCallDepth >= 15)
+                throw SqlError("Reached excessive computation depth due to functions, subqueries, or computed values")
+              in.fnCallDepth += 1
+            }
             try applyClosure(cl, a, env)
             catch {
               case e: SqlError if e.msg.startsWith("Incorrect arguments for function ANONYMOUS()") =>
@@ -1865,6 +1872,7 @@ object Functions {
                   case _ => throw e
                 }
             } finally {
+              env.interp.foreach(in => in.fnCallDepth -= 1)
               (ceilIn, savedCeil) match {
                 case (Some(in), Some(c)) => in.activeFnCeiling = c
                 case _ => ()

@@ -313,7 +313,9 @@ object Golden {
         case (ExpectValue(want, _), QErr(m)) =>
           failures += s"[$i] expected value $want, got error: $m"
         case (ExpectError(Some(want)), QErr(got)) =>
-          if (got == want) passed += 1
+          // TOML `"""` blocks keep the newline before the closing quotes —
+          // compare modulo trailing whitespace
+          if (got.replaceAll("\\s+$", "") == want.replaceAll("\\s+$", "")) passed += 1
           else failures += s"[$i] error mismatch:\n  want: $want\n  got:  $got"
         case (ExpectError(scala.None), QErr(_)) => passed += 1
         case (ExpectError(w), QOk(v)) =>

@@ -385,6 +385,12 @@ final class Interp {
     * call time; scripting=false rejects `function(){}` outright. */
   var capDenyFunctions: Set[String] = Set.empty
   var capScripting: Boolean = true
+
+  /** Custom-function call depth: the reference budgets 120 computation-depth
+    * units with function frames costing 8 each (err/mod.rs:381), so the 16th
+    * nested `fn::` call errors (script/massive_parallel pins 15 surviving
+    * frames). */
+  var fnCallDepth: Int = 0
   private val permExprCache = mutable.HashMap[String, Option[ast.Expr]]()
 
   /** The SELECT permission applied to reads of `tb` under record auth:
@@ -3037,7 +3043,7 @@ final class Interp {
   private def tableRows(name: String): Vector[VObj] = {
     tableDefs.get(name).flatMap(_.viewStmt) match {
       case Some(sel) =>
-        if (viewDepth > 8) throw SqlError("Reached excessive computation depth due to functions, subqueries, or futures")
+        if (viewDepth > 8) throw SqlError("Reached excessive computation depth due to functions, subqueries, or computed values")
         viewDepth += 1
         try viewRows(name, sel)
         finally viewDepth -= 1
@@ -4196,7 +4202,7 @@ final class Interp {
     val evs = eventDefs.collect { case ((t, _), d) if t == tb => d }
     if (evs.isEmpty) return
     if (eventDepth > 20)
-      throw SqlError("Reached excessive computation depth due to functions, subqueries, or futures")
+      throw SqlError("Reached excessive computation depth due to functions, subqueries, or computed values")
     eventDepth += 1
     try {
       val action = (before, after) match {
