@@ -72,14 +72,34 @@ class GqlSpec extends AnyFunSuite {
       "{ data: { pet: [{ name: 'Rex', owner: { city: 'Oslo', name: 'Alice' } }] } }")
   }
 
-  test("multiple root fields run in order; mutations are rejected") {
+  test("multiple root fields run in order; subscriptions are rejected") {
     val in = freshDb()
     val res = Gql.execute("""
       { a: person(limit: 1, order: {asc: age}) { name }
         b: person(filter: {age: {gt: 30}}) { name } }""", in)
     assert(Render.sql(res) ==
       "{ data: { a: [{ name: 'Dave' }], b: [{ name: 'Carol' }] } }")
-    val e = intercept[Gql.GqlError](Gql.parse("mutation { createPerson { id } }"))
-    assert(e.msg.contains("queries only"))
+    val e = intercept[Gql.GqlError](Gql.parse("subscription { person { id } }"))
+    assert(e.msg.contains("subscriptions are out of scope"))
+  }
+
+  test("mutations: create/update/upsert/delete translate and execute") {
+    val in = freshDb()
+    val created = Gql.execute("""
+      mutation { createPerson(data: {id: "9", name: "Eve", age: 28, city: "Bonn"}) {
+        name age } }""", in)
+    assert(Render.sql(created) == "{ data: { createPerson: { age: 28, name: 'Eve' } } }")
+    val updated = Gql.execute("""
+      mutation { updatePerson(id: "person:9", data: {age: 29}) { name age } }""", in)
+    assert(Render.sql(updated) == "{ data: { updatePerson: { age: 29, name: 'Eve' } } }")
+    val upserted = Gql.execute("""
+      mutation { upsertPerson(data: {id: "10", name: "Fay", age: 41, city: "Kyiv"}) { name } }""", in)
+    assert(Render.sql(upserted) == "{ data: { upsertPerson: { name: 'Fay' } } }")
+    val deleted = Gql.execute("""mutation { deletePerson(id: "9") }""", in)
+    assert(Render.sql(deleted) == "{ data: { deletePerson: true } }")
+    val after = Gql.execute(
+      """{ person(filter: {age: {gt: 27}}, order: {asc: name}) { name } }""", in)
+    assert(Render.sql(after) ==
+      "{ data: { person: [{ name: 'Alice' }, { name: 'Carol' }, { name: 'Fay' }] } }")
   }
 }
