@@ -308,6 +308,55 @@ object Relational {
         .orderBy("event_type")
   }
 
+  /** Gap-based sessionization over the events time-series (SURVEY §1.1: the
+    * record-id-range/time-series idiom; the classic event-stream batch op):
+    * a >30-minute silence per user starts a new session. One window pass
+    * marks session starts (lag + compare), a running sum numbers them, one
+    * grouped aggregate emits per-session stats — two shuffles total, both
+    * partitioned by user, so the plan scales with users × events/user and
+    * never materializes session state on the driver. Timestamps compare in
+    * raw nanoseconds on both engines (epoch_ns ↔ the nanos-as-long read). */
+  val eventsSessionize = Q("events_sessionize",
+    """WITH t AS (
+         SELECT user_id, epoch_us(ts) AS tu FROM events),
+       marked AS (
+         SELECT user_id, tu,
+                CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+                       OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)
+                          > 1800000000 THEN 1 ELSE 0 END AS new_sess
+         FROM t),
+       numbered AS (
+         SELECT user_id, tu,
+                SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tu
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+         FROM marked)
+       SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+              MIN(tu) AS start_us,
+              COUNT(*) AS n_events,
+              CAST((MAX(tu) - MIN(tu)) / 1000000.0 AS DOUBLE) AS dur_secs
+       FROM numbered GROUP BY user_id, sess_no
+       ORDER BY user_id, sess_no""") {
+    (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("tu")
+      val run = Window.partitionBy("user_id").orderBy("tu")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tu"))
+        .withColumn("prev", lag(col("tu"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tu") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_no", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(
+          min(col("tu")).as("start_us"),
+          count(lit(1)).as("n_events"),
+          ((max(col("tu")) - min(col("tu"))) / 1e6).as("dur_secs"))
+        .select(col("user_id"), col("sess_no"), col("start_us"),
+          col("n_events"), col("dur_secs"))
+        .orderBy("user_id", "sess_no")
+  }
+
   // ---- join-shaped (FETCH / graph / subquery) -------------------------
 
   /** `Fetch` (exec/operators/fetch.rs:27): dereference a record link into the
@@ -359,5 +408,5 @@ object Relational {
     filterWhere, projectExpr, projectValue, unionOrFilter, splitExplode,
     sortMulti, topK, limitStart, onlyOne,
     aggGroup, aggGlobal, distinctScan, aggArrayCollect, fnConditional,
-    fetchJoin, subqueryIn, subqueryNotIn)
+    fetchJoin, subqueryIn, subqueryNotIn, eventsSessionize)
 }
