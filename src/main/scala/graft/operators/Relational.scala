@@ -357,6 +357,26 @@ object Relational {
         .orderBy("user_id", "sess_no")
   }
 
+  /** Tumbling-window aggregation (the batch twin of a streaming windowed
+    * agg; SurrealQL expresses it as `time::floor(ts, 1h)` group keys):
+    * hourly event counts and value sums per type — one map-side-combined
+    * aggregate keyed (hour, type), embarrassingly scalable. */
+  val eventsWindow = Q("events_window",
+    s"""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start,
+               event_type,
+               COUNT(*) AS cnt,
+               ${Exact.sqlSum("value")} AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""") {
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts").cast("timestamp")),
+            "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+  }
+
   // ---- join-shaped (FETCH / graph / subquery) -------------------------
 
   /** `Fetch` (exec/operators/fetch.rs:27): dereference a record link into the
@@ -408,5 +428,5 @@ object Relational {
     filterWhere, projectExpr, projectValue, unionOrFilter, splitExplode,
     sortMulti, topK, limitStart, onlyOne,
     aggGroup, aggGlobal, distinctScan, aggArrayCollect, fnConditional,
-    fetchJoin, subqueryIn, subqueryNotIn, eventsSessionize)
+    fetchJoin, subqueryIn, subqueryNotIn, eventsSessionize, eventsWindow)
 }
