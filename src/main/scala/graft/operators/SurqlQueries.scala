@@ -848,6 +848,22 @@ object SurqlQueries {
               math::round(embedding[$] * 1000.0) AS last_mil
        FROM embeddings ORDER BY vec_id""")
 
+  /** type::is::* runtime type checks (fnc/mod.rs:491-510): on a typed
+    * column the answer is static from the schema, null-aware. */
+  val fnTypeIs = sq("fn_type_is",
+    """SELECT o_orderkey,
+              TRUE AS is_int, TRUE AS is_num, TRUE AS is_str,
+              FALSE AS not_float, TRUE AS is_dt
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 6
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              type::is_int(o_orderkey) AS is_int,
+              type::is_number(o_totalprice) AS is_num,
+              type::is_string(o_orderstatus) AS is_str,
+              type::is_float(o_orderstatus) AS not_float,
+              type::is_datetime(o_orderdate) AS is_dt
+       FROM orders:1..6 ORDER BY o_orderkey""")
+
   /** GraphQL front-end (core/src/gql/tables.rs): a query document with
     * filter/order/limit/start arguments translates source-to-source onto
     * SurrealQL and runs through the SAME parser + SparkPlanner as every
@@ -1000,7 +1016,7 @@ object SurqlQueries {
     limitStart, onlyOne, aggGroup, aggGlobal, distinctScan, subqueryIn,
     subqueryNotIn, fnMath, fnTime,
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
-    fnString, fnArray, fnCast, fnAggStats, fnCrypto, fnSet, fnObjectEncoding,
+    fnString, fnArray, fnCast, fnAggStats, fnCrypto, fnSet, fnObjectEncoding, fnTypeIs,
     gqlQuery,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     graphChain, graphChainField,

@@ -1550,6 +1550,29 @@ object SparkPlanner {
     case "vector::similarity::cosine" => graft.operators.Similarity.cosine(cs(0), cs(1))
     case "vector::distance::knn" => col(ctx.knnDistCol.getOrElse(
       throw SqlError("SparkPlanner: vector::distance::knn outside a KNN query")))
+    // ---- type::is::* — runtime type checks; on a typed column the answer
+    // is static from the schema, null-aware (NULL is no type) -------------
+    case n if n.startsWith("type::is::") || n.startsWith("type::is_") =>
+      val want = n.stripPrefix("type::is::").stripPrefix("type::is_")
+      val fam: Option[String] = raw.headOption.flatMap(e => typeOf(e, ctx.schema)).flatMap {
+        case LongType | IntegerType   => Some("int")
+        case DoubleType | FloatType   => Some("float")
+        case _: DecimalType           => Some("decimal")
+        case StringType               => Some("string")
+        case BooleanType              => Some("bool")
+        case TimestampType | TimestampNTZType | DateType => Some("datetime")
+        case _: ArrayType             => Some("array")
+        case _: StructType            => Some("object")
+        case _ => scala.None
+      }
+      fam match {
+        case Some(f) =>
+          val hit = want == f ||
+            (want == "number" && Set("int", "float", "decimal").contains(f))
+          when(cs(0).isNull, lit(false)).otherwise(lit(hit))
+        case scala.None =>
+          throw SqlError(s"SparkPlanner: type::is::$want needs a statically-typed argument")
+      }
     case "type::string" => cs(0).cast("string")
     case "type::int"    => cs(0).cast("bigint")
     case "type::float"  => cs(0).cast("double")
