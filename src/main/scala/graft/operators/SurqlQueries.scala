@@ -734,6 +734,15 @@ object SurqlQueries {
 
   /** ORDER BY RAND() (exec/operators/sort/shuffle.rs:32): per-row random
     * sort key, distributed shuffle-sort — rows-only (order is random). */
+  /** rand::* namespace from text (fnc/rand.rs): per-row distributed
+    * randomness — rows-only by nature; the spec pins ranges/shape. */
+  val fnRand = Q.rowsOnly("fn_rand") { (s, d) =>
+    SparkPlanner.query(s, d,
+      """SELECT o_orderkey, rand::float() AS f, rand::float(10.0, 20.0) AS fr,
+                rand::int(1, 6) AS die, rand::bool() AS b, rand::uuid() AS u
+         FROM orders:1..101 ORDER BY o_orderkey""")
+  }
+
   val orderRand = Q.rowsOnly("order_rand") { (s, d) =>
     SparkPlanner.query(s, d,
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY RAND() LIMIT 100")
@@ -1023,7 +1032,7 @@ object SurqlQueries {
     fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
-    dynamicScan, mockSource, orderRand, versionScope, timeoutScope,
+    dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

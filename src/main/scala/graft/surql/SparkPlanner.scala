@@ -1573,6 +1573,19 @@ object SparkPlanner {
         case scala.None =>
           throw SqlError(s"SparkPlanner: type::is::$want needs a statically-typed argument")
       }
+    // ---- rand::* — distributed per-row randomness (fnc/rand.rs); no
+    // oracle possible, registry entries are rows-only by design ------------
+    case "rand::float" => raw match {
+      case Seq(lo, hi) => toCol(lo, ctx) + rand() * (toCol(hi, ctx) - toCol(lo, ctx))
+      case _           => rand()
+    }
+    case "rand::int" => raw match {
+      case Seq(lo, hi) =>
+        floor(toCol(lo, ctx) + rand() * (toCol(hi, ctx) - toCol(lo, ctx) + 1)).cast("bigint")
+      case _ => (rand() * Long.MaxValue).cast("bigint")
+    }
+    case "rand::bool" => rand() > 0.5
+    case "rand::uuid" => expr("uuid()")
     case "type::string" => cs(0).cast("string")
     case "type::int"    => cs(0).cast("bigint")
     case "type::float"  => cs(0).cast("double")

@@ -228,6 +228,22 @@ class SurqlSpec extends AnyFunSuite {
     assert(e.msg.contains("self-relation"))
   }
 
+  test("rand::* lowers to distributed per-row randomness with pinned ranges") {
+    val spark = TestSpark.session
+    val rows = SparkPlanner.query(spark, "/root/testdata/sf0.001",
+      """SELECT o_orderkey, rand::float() AS f, rand::float(10.0, 20.0) AS fr,
+                rand::int(1, 6) AS die, rand::uuid() AS u
+         FROM orders:1..101 ORDER BY o_orderkey""").collect()
+    assert(rows.length == 100)
+    assert(rows.forall { r =>
+      val f = r.getDouble(1); val fr = r.getDouble(2); val die = r.getLong(3)
+      f >= 0.0 && f < 1.0 && fr >= 10.0 && fr < 20.0 && die >= 1 && die <= 6 &&
+        r.getString(4).length == 36
+    })
+    // not constant across rows
+    assert(rows.map(_.getDouble(1)).distinct.length > 1)
+  }
+
   test("destructure on a record link joins and projects one struct") {
     val spark = TestSpark.session
     val d = "/root/testdata/sf0.001"
