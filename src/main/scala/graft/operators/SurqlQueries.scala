@@ -1012,6 +1012,35 @@ object SurqlQueries {
          ORDER BY o_orderkey VERSION d'1997-06-01T00:00:00Z'""")
   }
 
+  /** CurrentValueSource / `$parent` correlation
+    * (exec/operators/current_value_source.rs:19): the reference re-executes
+    * the projection subquery per outer record with the outer document bound
+    * as current_value. This path decorrelates each distinct subquery to ONE
+    * grouped aggregate + key join (see SparkPlanner's correlated-subquery
+    * pre-pass) — per-row semantics, set-at-a-time execution. The two
+    * subqueries here share one join (structural dedup); l_quantity is
+    * integral-valued so the double sums are order-exact. */
+  val subqueryParent = sq("subquery_parent",
+    """SELECT o_orderkey,
+              (SELECT CAST(COALESCE(SUM(l_quantity), 0) AS DOUBLE)
+                 FROM lineitem WHERE l_orderkey = o_orderkey) AS qty,
+              (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey = o_orderkey) AS n_items,
+              (SELECT CAST(COALESCE(SUM(l_quantity), 0) AS DOUBLE)
+                 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_quantity > 25) AS qty_high
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 201
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              math::sum((SELECT VALUE l_quantity FROM lineitem
+                          WHERE l_orderkey = $parent.o_orderkey)) AS qty,
+              array::len((SELECT VALUE l_quantity FROM lineitem
+                           WHERE l_orderkey = $parent.o_orderkey)) AS n_items,
+              math::sum((SELECT VALUE l_quantity FROM lineitem
+                          WHERE l_orderkey = $parent.o_orderkey
+                            AND l_quantity > 25)) AS qty_high
+       FROM orders:1..201 ORDER BY o_orderkey""")
+
   /** TIMEOUT enforcement (exec/operators/timeout.rs:25): the plan executes
     * under a job group a watchdog can cancel; a generous budget keeps the
     * row green (the 1ns-trips-it path is asserted in SurqlSpec). */
@@ -1033,6 +1062,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
+    subqueryParent,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -69,7 +69,8 @@ object SparkPlanner {
       scoreCol: Option[String] = scala.None,
       knnDistCol: Option[String] = scala.None,
       lambdaParams: Map[String, Column] = Map.empty,
-      destrCols: Map[(String, Seq[String]), String] = Map.empty)
+      destrCols: Map[(String, Seq[String]), String] = Map.empty,
+      subqCols: Map[Expr, String] = Map.empty)
 
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
@@ -283,6 +284,38 @@ object SparkPlanner {
         graphCols += (parts -> derived)
     }
 
+    // ---- correlated-subquery pre-pass (CurrentValueSource) ---------------
+    // A projection subquery correlated on `$parent.<col>` re-executes per
+    // outer record in the reference: LookupPart binds the outer document as
+    // the context's current_value and runs the sub-plan rooted at
+    // CurrentValueSource (exec/operators/current_value_source.rs:19,
+    // planner/source.rs). Per-row re-execution is the one shape that cannot
+    // survive 100 TB, so this path DECORRELATES it: group the inner table by
+    // its correlation key collecting the `SELECT VALUE` expression, then
+    // left-join on the parent column — one shuffled aggregate + one key join
+    // regardless of outer cardinality, and identical per-row arrays. The
+    // collected array is canonicalized by sort (distributed scan order is
+    // nondeterministic anyway; the reference's "storage order" has no
+    // distributed analog).
+    var subqCols = Map.empty[Expr, String]
+    pathExprs.flatMap(collectParentSubqueries).distinct.zipWithIndex.foreach {
+      case (sq, i) =>
+        val (innerTable, innerCol, outerCol, residual) =
+          parentCorrelation(sq.stmt.asInstanceOf[SelectStmt]).get
+        val derived = s"__sq$i"
+        val kName = derived + "_k"
+        var inner = Tables(spark, dir, innerTable)
+        val ictx = Ctx(spark, dir, innerTable, inner.schema, Map.empty)
+        residual.foreach(p => inner = inner.filter(toCol(p, ictx)))
+        val valueExpr = sq.stmt.asInstanceOf[SelectStmt].fields.head.expr
+        val grouped = inner.groupBy(col(innerCol).as(kName))
+          .agg(sort_array(collect_list(toCol(valueExpr, ictx))).as(derived))
+        df = df.join(grouped, col(outerCol) === col(kName), "left").drop(kName)
+          // no matching inner rows → empty result set, not NULL
+          .withColumn(derived, coalesce(col(derived), array()))
+        subqCols += (sq -> derived)
+    }
+
     // ---- WHERE: strip MATCHES / KNN conjuncts into sub-plans --------------
     // The reference removes `@@` and `<|k|>` from the condition and plans
     // FTS / KNN operators for them (exec/planner/util.rs:377,394); the rest
@@ -329,7 +362,7 @@ object SparkPlanner {
 
     val ctx = Ctx(spark, dir, table, schema, linkCols, graphCols, scoreCol,
       knnDistCol = if (knnConjs.nonEmpty) Some("__knn_dist") else scala.None,
-      destrCols = destrCols)
+      destrCols = destrCols, subqCols = subqCols)
     def c(e: Expr): Column = toCol(e, ctx)
 
     // ---- filter: plain conjuncts, decorrelate INSIDE-subqueries ----------
@@ -796,6 +829,90 @@ object SparkPlanner {
     out.toSeq
   }
 
+  /** Subqueries correlated on `$parent.<col>` anywhere inside `e` — the
+    * shapes [[parentCorrelation]] can decorrelate. */
+  private def collectParentSubqueries(e: Expr): Seq[Subquery] = {
+    val out = scala.collection.mutable.ArrayBuffer[Subquery]()
+    def go(x: Expr): Unit = x match {
+      case sq @ Subquery(sel: SelectStmt) if parentCorrelation(sel).isDefined =>
+        out += sq
+      case Idiom(parts) => parts.foreach {
+        case PStart(inner) => go(inner)
+        case PIndex(inner) => go(inner)
+        case PWhere(inner) => go(inner)
+        case _ => ()
+      }
+      case Binary(_, l, r)  => go(l); go(r)
+      case Prefix(_, inner) => go(inner)
+      case Cast(_, inner)   => go(inner)
+      case FnCall(_, args)  => args.foreach(go)
+      case ArrLit(items)    => items.foreach(go)
+      case ObjLit(fs)       => fs.foreach { case (_, v) => go(v) }
+      case IfExpr(bs, o)    => bs.foreach { case (cc, v) => go(cc); go(v) }; o.foreach(go)
+      case _ => ()
+    }
+    go(e)
+    out.toSeq
+  }
+
+  /** Decorrelatable shape of a `$parent`-correlated subquery:
+    * `SELECT VALUE <expr> FROM <table> WHERE <inner> = $parent.<outer>
+    * [AND <uncorrelated residual>…]` → (table, innerCol, outerCol,
+    * residual conjuncts). Anything else (ORDER/LIMIT/GROUP, multi-source,
+    * residuals that still mention `$parent`) is rejected and falls back to
+    * the interpreter path. */
+  private def parentCorrelation(sel: SelectStmt)
+      : Option[(String, String, String, Seq[Expr])] = {
+    if (!sel.value || sel.fields.length != 1) return scala.None
+    if (sel.groupBy.nonEmpty || sel.order.nonEmpty || sel.orderRand ||
+        sel.limit.nonEmpty || sel.start.nonEmpty || sel.split.nonEmpty ||
+        sel.fetch.nonEmpty || sel.version.nonEmpty) return scala.None
+    val table = sel.what match {
+      case Seq(Idiom(Seq(PField(t)))) => t
+      case Seq(TableRef(t))           => t
+      case _ => return scala.None
+    }
+    def parentRef(e: Expr): Option[String] = e match {
+      case Idiom(Seq(PStart(Param("parent")), PField(c))) => Some(c)
+      case _ => scala.None
+    }
+    def mentionsParent(x: Expr): Boolean = x match {
+      case Param("parent") => true
+      case Idiom(parts) => parts.exists {
+        case PStart(inner) => mentionsParent(inner)
+        case PIndex(inner) => mentionsParent(inner)
+        case PWhere(inner) => mentionsParent(inner)
+        case _ => false
+      }
+      case Binary(_, l, r)  => mentionsParent(l) || mentionsParent(r)
+      case Prefix(_, inner) => mentionsParent(inner)
+      case Cast(_, inner)   => mentionsParent(inner)
+      case FnCall(_, args)  => args.exists(mentionsParent)
+      case ArrLit(items)    => items.exists(mentionsParent)
+      case ObjLit(fs)       => fs.exists { case (_, v) => mentionsParent(v) }
+      case Subquery(_)      => true // nested correlation — don't decorrelate
+      case _ => false
+    }
+    def conjs(e: Expr): Seq[Expr] = e match {
+      case Binary("&&", l, r) => conjs(l) ++ conjs(r)
+      case x => Seq(x)
+    }
+    val cs = sel.where.toSeq.flatMap(conjs)
+    val (corr, residual) = cs.partition {
+      case Binary("=", l, r) => parentRef(l).isDefined || parentRef(r).isDefined
+      case _ => false
+    }
+    if (residual.exists(mentionsParent) || mentionsParent(sel.fields.head.expr))
+      return scala.None
+    corr match {
+      case Seq(Binary("=", Idiom(Seq(PField(ic))), r)) if parentRef(r).isDefined =>
+        Some((table, ic, parentRef(r).get, residual))
+      case Seq(Binary("=", l, Idiom(Seq(PField(ic))))) if parentRef(l).isDefined =>
+        Some((table, ic, parentRef(l).get, residual))
+      case _ => scala.None
+    }
+  }
+
   private def containsScoreFn(e: Expr): Boolean = e match {
     case FnCall("search::score", _) => true
     case Binary(_, l, r)  => containsScoreFn(l) || containsScoreFn(r)
@@ -1254,6 +1371,11 @@ object SparkPlanner {
       case Lit(VBool(b))   => lit(b)
       case Lit(VDec(d))    => lit(d.toDouble)
       case Lit(VNone) | Lit(VNull) => lit(null)
+      // $parent-correlated subquery → its pre-joined (decorrelated) array
+      case sq: Subquery if ctx.subqCols.contains(sq) =>
+        col(ctx.subqCols(sq))
+      case Idiom(Seq(PStart(sq: Subquery))) if ctx.subqCols.contains(sq) =>
+        col(ctx.subqCols(sq))
       // closure parameters bound by an enclosing HOF lowering
       case Param(name) if ctx.lambdaParams.contains(name) =>
         ctx.lambdaParams(name)
@@ -1416,6 +1538,9 @@ object SparkPlanner {
     case "math::sqrt"  => sqrt(cs(0))
     case "math::sign"  => signum(cs(0))
     case "math::pow"   => pow(cs(0), cs(1))
+    // math::sum over an in-row array value (fnc/math.rs Sum) — a codegen'd
+    // fold; result is double (SurrealQL numeric promotion on mixed arrays)
+    case "math::sum" => aggregate(cs(0), lit(0.0), (a, x) => a + x.cast("double"))
     case "math::max"   => raw(0) match {
       case ArrLit(items) => greatest(items.map(toCol(_, ctx)): _*)
       case _ => cs(0)

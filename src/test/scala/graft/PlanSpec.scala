@@ -67,6 +67,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
 
+  test("subquery_parent decorrelates to aggregate equi-joins, not per-row loops") {
+    val p = planOf("subquery_parent")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "correlated subquery did not decorrelate")
+    assert(p.contains("collect_list") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate") || p.contains("HashAggregate"),
+      "no grouped aggregate for the subquery side")
+    // the two structurally-identical subqueries must share ONE join
+    val joins = "Join LeftOuter".r.findAllIn(p).length
+    assert(joins <= 2, s"structural dedup failed: $joins outer joins for 2 distinct subqueries")
+  }
+
   test("gql_query inherits the same pushdown as native SurrealQL") {
     val p = planOf("gql_query")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
