@@ -1012,6 +1012,18 @@ object SurqlQueries {
          ORDER BY o_orderkey VERSION d'1997-06-01T00:00:00Z'""")
   }
 
+  /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,
+    * fnc/session.rs): record ids travel as `table:key` strings, so the
+    * accessors are codegen'd string splits; session ns/db are catalog-bound
+    * statics — the same defaults the interpreter path exposes. */
+  val fnRecordMeta = sq("fn_record_meta",
+    """SELECT 'item:' || i AS id, 'item' AS tb, CAST(i AS STRING) AS k,
+              'test' AS db, TRUE AS ex
+       FROM generate_series(1, 5) AS t(i) ORDER BY id""")(
+    """SELECT id, record::tb(id) AS tb, record::id(id) AS k,
+              session::db() AS db, record::exists(id) AS ex
+       FROM |item:5| ORDER BY id""")
+
   /** CurrentValueSource / `$parent` correlation
     * (exec/operators/current_value_source.rs:19): the reference re-executes
     * the projection subquery per outer record with the outer document bound
@@ -1062,7 +1074,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
-    subqueryParent,
+    subqueryParent, fnRecordMeta,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -1642,6 +1642,22 @@ object SparkPlanner {
     case "encoding::base64::encode" =>
       regexp_replace(base64(cs(0).cast("binary")), "=+$", "")
     case "encoding::base64::decode" => unbase64(cs(0))
+    // ---- record::* / meta::* over `table:key` record ids ----------------
+    // this path's canonical record-id form is the `table:key` string (see
+    // the mock/graph lowerings); table names cannot contain ':' so the
+    // first colon splits tb from key (fnc/record.rs, meta aliases)
+    case "record::tb" | "record::table" | "meta::tb" | "meta::table" =>
+      substring_index(cs(0), ":", 1)
+    case "record::id" | "meta::id" =>
+      regexp_replace(cs(0), "^[^:]*:", "")
+    case "record::exists" => cs(0).isNotNull
+    // ---- session::* — static session context (fnc/session.rs). ns/db are
+    // catalog-bound on this engine; connection-scoped fields (ip, origin,
+    // token, access, record-user) have no distributed analog → NONE, the
+    // same defaults the interpreter path exposes
+    case "session::db" | "session::ns" => lit("test")
+    case "session::id" | "session::origin" | "session::ip" | "session::ac" |
+         "session::rd" | "session::token" => lit(null)
     // ---- crypto::* (builtins; hex output matches DuckDB) -----------------
     case "crypto::md5"    => md5(cs(0))
     case "crypto::sha1"   => sha1(cs(0))
