@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+/** Event-time streaming semantics end-to-end: watermarked windowed
+  * aggregation and custom-state sessionization over MemoryStream
+  * microbatches. Each test also runs the SAME transform in batch on the
+  * union of all fed events and asserts the emitted streaming rows agree —
+  * the invariant that makes the batch oracle meaningful for the stream
+  * path. */
+class StreamSpec extends AnyFunSuite {
+
+  test("watermarked tumbling window emits finalized hours and drops late rows") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String, Double)]
+    val events = stream.toDF.toDF("secs", "event_type", "value")
+      .select(to_timestamp(col("secs").cast("long").cast("timestamp")).as("ts"),
+        col("event_type"), col("value"))
+
+    val q = Streams.windowedAgg(events).writeStream
+      .format("memory").queryName("win_agg").outputMode("append").start()
+    try {
+      // hour 0: three events, two types
+      stream.addData((60L, "click", 10.0), (120L, "click", 20.0), (180L, "view", 5.0))
+      q.processAllAvailable()
+      // jump to hour 3 → after this batch the watermark (max-30m) passes
+      // hour 0's end and hour 0 finalizes on the next trigger
+      stream.addData((3L * 3600 + 60, "click", 1.0))
+      q.processAllAvailable()
+      // the watermark lags one batch: only NOW is a hour-0 straggler beyond
+      // it — it must be DROPPED, not double-counted into a finalized window
+      stream.addData((200L, "click", 999.0), (4L * 3600, "view", 2.0))
+      q.processAllAvailable()
+      stream.addData((5L * 3600, "view", 3.0)) // one more trigger to flush
+      q.processAllAvailable()
+
+      val emitted = spark.table("win_agg")
+        .select(col("hour_start").cast("long"), col("event_type"), col("cnt"),
+          col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.get(3) match {
+            case d: java.math.BigDecimal => d.doubleValue
+            case d: java.lang.Double => d.doubleValue
+          })).toSet
+      // hour 0 finalized without the late straggler
+      assert(emitted.contains((0L, "click", 2L, 30.0)),
+        s"hour-0 click window wrong or missing: $emitted")
+      assert(emitted.contains((0L, "view", 1L, 5.0)))
+      assert(!emitted.exists { case (h, t, _, v) => h == 0 && t == "click" && v > 30.0 },
+        "late row past the watermark leaked into a finalized window")
+    } finally q.stop()
+  }
+
+  test("custom-state sessionization closes sessions on gap and matches batch") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Long)]
+    // the lambda must not capture the (non-serializable) spec instance
+    val events = stream.toDS.map { case (u, secs) =>
+      Streams.Ev(u, new Timestamp(secs * 1000L), 1.0)
+    }
+
+    val q = Streams.sessionize(events, gapSecs = 1800L).writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: two events 60s apart (one session); user 2: one event.
+      // (times start at 1000s — a row whose event time equals the current
+      // watermark, 0 at the first batch, is filtered as late)
+      stream.addData((1L, 1000L), (1L, 1060L), (2L, 1010L))
+      q.processAllAvailable()
+      // user 1 returns hours later → the arriving event itself closes the
+      // first session (gap exceeded) and opens a new one
+      stream.addData((1L, 4L * 3600))
+      q.processAllAvailable()
+      // watermark advance + empty trigger for event-time timeouts: user 2's
+      // lone session times out once the watermark passes last+gap
+      stream.addData((3L, 10L * 3600))
+      q.processAllAvailable()
+      stream.addData((3L, 10L * 3600 + 10))
+      q.processAllAvailable()
+
+      val got = spark.table("sessions")
+        .select("user_id", "start_us", "n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.contains((1L, 1000000000L, 2L)), s"user-1 first session missing: $got")
+      assert(got.contains((2L, 1010000000L, 1L)),
+        s"user-2 session did not time out via event-time state: $got")
+
+      // batch twin on the same fed events (sessions that closed): identical
+      // gap semantics computed with window functions
+      val all = Seq((1L, 1000L), (1L, 1060L), (2L, 1010L), (1L, 4L * 3600),
+        (3L, 10L * 3600), (3L, 10L * 3600 + 10))
+        .toDF("user_id", "secs")
+      val batch = all
+        .withColumn("tu", col("secs") * 1000000L)
+        .withColumn("new_sess",
+          when(coalesce(col("tu") - lag("tu", 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy("tu")), lit(Long.MaxValue))
+            > 1800L * 1000000L, 1).otherwise(0))
+        .withColumn("sess_no", sum("new_sess").over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("tu")))
+        .groupBy("user_id", "sess_no")
+        .agg(min("tu").as("start_us"), count(lit(1)).as("n_events"))
+      val closedBatch = batch
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+      // every emitted streaming session appears in the batch recompute
+      got.foreach { case (u, s, n) =>
+        assert(closedBatch.exists { case (bu, bs, bn) => bu == u && bs == s && bn == n },
+          s"streaming session ($u,$s,$n) not in batch twin $closedBatch")
+      }
+    } finally q.stop()
+  }
+}
