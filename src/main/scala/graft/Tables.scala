@@ -24,13 +24,24 @@ object Tables {
     * nation=25 rows — fixed-size dims in the TPC-H-ish schema). */
   val broadcastable: Set[String] = Set("region", "nation")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
-      // read it as a long (ns since epoch) — convert with nsToTimestamp below.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
-  }
+  /** Uncommitted-write overlay for multi-statement scripts (SparkPlanner
+    * .script): inside `withOverlay`, a table name resolves to its pending
+    * post-mutation plan instead of the base parquet scan. The overlay holds
+    * lazy DataFrames — nothing materializes until the script's final result
+    * executes, so a whole transaction composes into ONE Catalyst plan. */
+  private val overlay =
+    new scala.util.DynamicVariable[Map[String, DataFrame]](Map.empty)
+  def withOverlay[T](m: Map[String, DataFrame])(f: => T): T =
+    overlay.withValue(m)(f)
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    overlay.value.getOrElse(name, {
+      if (name == "events")
+        // events.ts is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects;
+        // read it as a long (ns since epoch) — convert with nsToTimestamp below.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** Convert an ns-since-epoch long (see events.ts) to a microsecond
     * TimestampType column. */

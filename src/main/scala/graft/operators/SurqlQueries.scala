@@ -1012,6 +1012,49 @@ object SurqlQueries {
          ORDER BY o_orderkey VERSION d'1997-06-01T00:00:00Z'""")
   }
 
+  /** Multi-statement transaction scripts (BEGIN…COMMIT,
+    * expr/statements/begin.rs): each mutation rewrites its table in the
+    * script overlay and later statements read through it — the whole
+    * transaction composes into one lazy Catalyst plan (atomic by
+    * construction). The oracle replays the same statement chain as CTEs. */
+  val scriptTxn = Q("script_txn",
+    """WITH s1 AS (
+         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+                CASE WHEN o_orderkey >= 1 AND o_orderkey < 51
+                      AND o_totalprice > 150000.0
+                     THEN 'X-HIGH' ELSE o_orderpriority END AS o_orderpriority
+         FROM orders),
+       s2 AS (SELECT * FROM s1 WHERE NOT (o_orderkey >= 40 AND o_orderkey < 46)),
+       s3 AS (SELECT * FROM s2
+              UNION ALL
+              SELECT 900001, 1, 'O', 123.45, NULL, '1-URGENT')
+       SELECT o_orderkey, o_orderpriority, o_totalprice
+       FROM s3 WHERE o_orderkey < 60 OR o_orderkey = 900001
+       ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         UPDATE orders:1..51 SET o_orderpriority = 'X-HIGH'
+           WHERE o_totalprice > 150000.0;
+         DELETE orders:40..46;
+         CREATE orders:900001 SET o_custkey = 1, o_orderstatus = 'O',
+           o_totalprice = 123.45, o_orderpriority = '1-URGENT';
+         SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+           WHERE o_orderkey < 60 OR o_orderkey = 900001 ORDER BY o_orderkey;
+         COMMIT;""")
+  }
+
+  /** CANCEL discards every write since BEGIN (expr/statements/cancel.rs):
+    * the post-cancel SELECT must see the untouched base table. */
+  val scriptCancel = Q("script_cancel",
+    """SELECT o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderkey >= 1 AND o_orderkey < 20 ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         UPDATE orders SET o_orderpriority = 'NOPE';
+         CANCEL;
+         SELECT o_orderkey, o_orderpriority FROM orders:1..20 ORDER BY o_orderkey;""")
+  }
+
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,
     * fnc/session.rs): record ids travel as `table:key` strings, so the
     * accessors are codegen'd string splits; session ns/db are catalog-bound
@@ -1074,7 +1117,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
-    subqueryParent, fnRecordMeta,
+    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

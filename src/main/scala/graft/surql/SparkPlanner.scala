@@ -98,6 +98,94 @@ object SparkPlanner {
     }
   }
 
+  /** Multi-statement SurrealQL script — the transaction surface
+    * (`BEGIN; …; COMMIT`, expr/statements/begin.rs + the kvs transaction
+    * in the reference). Statements run in order against an uncommitted-
+    * write OVERLAY: each mutation rewrites its table's DataFrame plan, and
+    * later statements (SELECTs or further mutations) read through it. The
+    * overlay is lazy — nothing materializes per statement, so the whole
+    * transaction collapses into ONE Catalyst plan over the base parquet,
+    * which is also the atomicity story: either the final plan executes or
+    * nothing did. `CANCEL` discards writes made since `BEGIN`
+    * (expr/statements/cancel.rs). Returns the last result-producing
+    * statement's DataFrame. */
+  def script(spark: SparkSession, dir: String, surql: String): DataFrame = {
+    val ast = Parser.parse(surql)
+    var overlay = Map.empty[String, DataFrame]
+    var txnBase = Map.empty[String, DataFrame] // overlay snapshot at BEGIN
+    var params = Map.empty[String, V]
+    var last: Option[DataFrame] = scala.None
+    def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
+    ast.stmts.foreach {
+      case BeginStmt  => txnBase = overlay
+      case CommitStmt => () // the composed plan is already all-or-nothing
+      case CancelStmt => overlay = txnBase; last = scala.None
+      case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
+      case s: SelectStmt =>
+        last = Some(planWith(planSelect(spark, dir, s, params)))
+      case s: UpdateStmt =>
+        val (table, after, ret) = planWith {
+          val Seq(what) = s.what
+          val (t, base, keyPred) = mutTarget(spark, dir, what)
+          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
+          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val sets = setMap(s.data, ctx, requireExisting = true)
+          (t, graft.operators.Mutations.update(base, cond, sets),
+            planUpdate(spark, dir, s))
+        }
+        overlay += (table -> after); last = Some(ret)
+      case s: DeleteStmt =>
+        val (table, after, ret) = planWith {
+          val Seq(what) = s.what
+          val (t, base, keyPred) = mutTarget(spark, dir, what)
+          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
+          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+            .reduceOption(_ && _).getOrElse(lit(true))
+          (t, base.filter(!cond), planDelete(spark, dir, s))
+        }
+        overlay += (table -> after); last = Some(ret)
+      case s: CreateStmt =>
+        val (table, after, ret) = planWith {
+          val targets = s.what.map {
+            case RidLit(t, keyE) => (t, Eval.evalConst(keyE))
+            case other => throw SqlError(
+              s"SparkPlanner: CREATE target must be a record id, got $other")
+          }
+          val t = targets.head._1
+          val base = Tables(spark, dir, t)
+          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
+          val sets = setMap(s.data, ctx, requireExisting = true)
+          val key = recordKey(t)
+          val created = synthRows(spark, t, base.schema, targets.map(x => (x._2, sets)))
+            .join(base.select(key), Seq(key), "left_anti")
+          (t, base.unionByName(created), planCreate(spark, dir, s))
+        }
+        overlay += (table -> after); last = Some(ret)
+      case s: UpsertStmt =>
+        val (table, after, ret) = planWith {
+          val Seq(what) = s.what
+          val (t, base, keyPred) = mutTarget(spark, dir, what)
+          val keyV = what match {
+            case RidLit(_, keyE) => Eval.evalConst(keyE)
+            case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
+          }
+          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
+          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+            .reduceOption(_ && _).getOrElse(lit(true))
+          val sets = setMap(s.data, ctx, requireExisting = true)
+          val key = recordKey(t)
+          val updated = graft.operators.Mutations.update(base, cond, sets)
+          val inserted = synthRows(spark, t, base.schema, Seq((keyV, sets)))
+            .join(base.select(key), Seq(key), "left_anti")
+          (t, updated.unionByName(inserted), planUpsert(spark, dir, s))
+        }
+        overlay += (table -> after); last = Some(ret)
+      case other => throw SqlError(s"SparkPlanner: unsupported script statement $other")
+    }
+    last.getOrElse(throw SqlError("SparkPlanner: script produced no result"))
+  }
+
   /** One FROM source → (DataFrame, source table name if concrete). */
   private def planSource(spark: SparkSession, dir: String, e: Expr,
       params: Map[String, V] = Map.empty): (DataFrame, String) = e match {
