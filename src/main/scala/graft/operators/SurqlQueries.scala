@@ -1055,6 +1055,29 @@ object SurqlQueries {
          SELECT o_orderkey, o_orderpriority FROM orders:1..20 ORDER BY o_orderkey;""")
   }
 
+  /** DEFINE EVENT triggers on the Spark path (doc/event.rs): the mutation's
+    * change-feed diff binds `$event`/`$before`/`$after` per changed record,
+    * WHEN gates distributively, and the THEN CREATE appends one projected
+    * row per fired change to the target table — set-at-a-time trigger
+    * execution inside the same script transaction. The oracle replays the
+    * trigger as a projection of the rows the UPDATE actually changed. */
+  val defineEvent = Q("define_event",
+    """SELECT o_orderkey + 9000000 AS event_id, o_custkey AS user_id,
+              'order_update' AS event_type, o_totalprice + 10.0 AS value
+       FROM orders
+       WHERE o_orderkey >= 1 AND o_orderkey < 30 AND o_orderstatus = 'O'
+       ORDER BY event_id""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """DEFINE EVENT order_audit ON TABLE orders WHEN $event = 'UPDATE' THEN (
+           CREATE events SET event_id = $after.o_orderkey + 9000000,
+             user_id = $after.o_custkey, event_type = 'order_update',
+             value = $after.o_totalprice, props = '{}');
+         UPDATE orders:1..30 SET o_totalprice = o_totalprice + 10.0
+           WHERE o_orderstatus = 'O';
+         SELECT event_id, user_id, event_type, value FROM events
+           WHERE event_type = 'order_update' ORDER BY event_id;""")
+  }
+
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,
     * fnc/session.rs): record ids travel as `table:key` strings, so the
     * accessors are codegen'd string splits; session ns/db are catalog-bound
@@ -1117,7 +1140,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
-    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel,
+    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, defineEvent,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

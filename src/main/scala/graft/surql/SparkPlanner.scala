@@ -114,39 +114,50 @@ object SparkPlanner {
     var overlay = Map.empty[String, DataFrame]
     var txnBase = Map.empty[String, DataFrame] // overlay snapshot at BEGIN
     var params = Map.empty[String, V]
+    var eventDefs = Seq.empty[graft.surql.Defs.EventDef]
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
+    // a mutation commits its table's after-state to the overlay, then fires
+    // any DEFINE EVENT triggers on that table (doc/event.rs: events run as
+    // part of the same transaction; cascades do not re-fire here)
+    def applyMut(table: String, before: DataFrame, after: DataFrame,
+        ret: DataFrame): Unit = {
+      overlay += (table -> after)
+      overlay = fireScriptEvents(spark, dir, table, before, after, overlay, eventDefs)
+      last = Some(ret)
+    }
     ast.stmts.foreach {
       case BeginStmt  => txnBase = overlay
       case CommitStmt => () // the composed plan is already all-or-nothing
       case CancelStmt => overlay = txnBase; last = scala.None
       case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
+      case s: DefineEventStmt => eventDefs :+= s.d
       case s: SelectStmt =>
         last = Some(planWith(planSelect(spark, dir, s, params)))
       case s: UpdateStmt =>
-        val (table, after, ret) = planWith {
+        val (table, base, after, ret) = planWith {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
           val sets = setMap(s.data, ctx, requireExisting = true)
-          (t, graft.operators.Mutations.update(base, cond, sets),
+          (t, base, graft.operators.Mutations.update(base, cond, sets),
             planUpdate(spark, dir, s))
         }
-        overlay += (table -> after); last = Some(ret)
+        applyMut(table, base, after, ret)
       case s: DeleteStmt =>
-        val (table, after, ret) = planWith {
+        val (table, base, after, ret) = planWith {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
-          (t, base.filter(!cond), planDelete(spark, dir, s))
+          (t, base, base.filter(!cond), planDelete(spark, dir, s))
         }
-        overlay += (table -> after); last = Some(ret)
+        applyMut(table, base, after, ret)
       case s: CreateStmt =>
-        val (table, after, ret) = planWith {
+        val (table, base, after, ret) = planWith {
           val targets = s.what.map {
             case RidLit(t, keyE) => (t, Eval.evalConst(keyE))
             case other => throw SqlError(
@@ -159,11 +170,11 @@ object SparkPlanner {
           val key = recordKey(t)
           val created = synthRows(spark, t, base.schema, targets.map(x => (x._2, sets)))
             .join(base.select(key), Seq(key), "left_anti")
-          (t, base.unionByName(created), planCreate(spark, dir, s))
+          (t, base, base.unionByName(created), planCreate(spark, dir, s))
         }
-        overlay += (table -> after); last = Some(ret)
+        applyMut(table, base, after, ret)
       case s: UpsertStmt =>
-        val (table, after, ret) = planWith {
+        val (table, base, after, ret) = planWith {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
           val keyV = what match {
@@ -178,12 +189,63 @@ object SparkPlanner {
           val updated = graft.operators.Mutations.update(base, cond, sets)
           val inserted = synthRows(spark, t, base.schema, Seq((keyV, sets)))
             .join(base.select(key), Seq(key), "left_anti")
-          (t, updated.unionByName(inserted), planUpsert(spark, dir, s))
+          (t, base, updated.unionByName(inserted), planUpsert(spark, dir, s))
         }
-        overlay += (table -> after); last = Some(ret)
+        applyMut(table, base, after, ret)
       case other => throw SqlError(s"SparkPlanner: unsupported script statement $other")
     }
     last.getOrElse(throw SqlError("SparkPlanner: script produced no result"))
+  }
+
+  /** Fire DEFINE EVENT triggers for one committed mutation
+    * (doc/event.rs: per changed document, `$event`/`$before`/`$after` bind
+    * and the WHEN condition gates the THEN body). Set-at-a-time here: the
+    * change rows come from the change-feed diff of the table's before/after
+    * states ([[graft.streaming.Live.changeFeedFull]] — the same machinery
+    * LIVE SELECT runs on), WHEN is a distributed filter over them, and a
+    * `THEN (CREATE target SET …)` body appends one projected row per fired
+    * change to the target table's overlay state. Events do not re-fire on
+    * event-generated writes (no cascades), matching one transaction level. */
+  private def fireScriptEvents(spark: SparkSession, dir: String, table: String,
+      before: DataFrame, after: DataFrame, overlay0: Map[String, DataFrame],
+      defs: Seq[graft.surql.Defs.EventDef]): Map[String, DataFrame] = {
+    val applicable = defs.filter(_.table == table)
+    if (applicable.isEmpty) return overlay0
+    val key = recordKey.getOrElse(table,
+      throw SqlError(s"SparkPlanner: no record key for table $table"))
+    val feed = graft.streaming.Live.changeFeedFull(before, after, key, 0L)
+    applicable.foldLeft(overlay0) { (ov, d) =>
+      val binds = Map(
+        "event"  -> col("action"),
+        "after"  -> col("rec_after"),
+        "before" -> col("rec_before"),
+        "value"  -> col("rec_after"),
+        "this"   -> col("rec_after"))
+      val whenCtx = Ctx(spark, dir, table, before.schema, Map.empty,
+        lambdaParams = binds)
+      val fired = d.whenE.map(w => feed.filter(toCol(w, whenCtx))).getOrElse(feed)
+      d.thenE.foldLeft(ov) { (o, te) =>
+        te match {
+          case Subquery(cs: CreateStmt) =>
+            val tb = cs.what match {
+              case Seq(Idiom(Seq(PField(t)))) => t
+              case Seq(TableRef(t))           => t
+              case other => throw SqlError(
+                s"SparkPlanner: event THEN CREATE needs a plain table target, got $other")
+            }
+            val tgtBase = o.getOrElse(tb, Tables(spark, dir, tb))
+            val ctx = Ctx(spark, dir, tb, tgtBase.schema, Map.empty,
+              lambdaParams = binds)
+            val sets = setMap(cs.data, ctx, requireExisting = true)
+            val newRows = fired.select(tgtBase.schema.fields.map(sf =>
+              sets.getOrElse(sf.name, lit(null)).cast(sf.dataType).as(sf.name))
+              .toIndexedSeq: _*)
+            o + (tb -> tgtBase.unionByName(newRows))
+          case other => throw SqlError(
+            s"SparkPlanner: unsupported event THEN body $other (expected (CREATE …))")
+        }
+      }
+    }
   }
 
   /** One FROM source → (DataFrame, source table name if concrete). */
@@ -1469,6 +1531,15 @@ object SparkPlanner {
         ctx.lambdaParams(name)
       case Idiom(Seq(PStart(Param(name)))) if ctx.lambdaParams.contains(name) =>
         ctx.lambdaParams(name)
+      // `$after.field` / `$before.a.b` — field paths rooted at a bound
+      // struct param (event firing, closure params over objects)
+      case Idiom(PStart(Param(name)) +: rest)
+          if ctx.lambdaParams.contains(name) && rest.nonEmpty &&
+            rest.forall(_.isInstanceOf[PField]) =>
+        rest.foldLeft(ctx.lambdaParams(name)) {
+          case (acc, PField(f)) => acc.getField(f)
+          case (acc, _) => acc
+        }
       case Idiom(parts) if ctx.graphCols.contains(parts) =>
         col(ctx.graphCols(parts))
       case Idiom(parts) if parts.exists(_.isInstanceOf[PGraph]) =>
