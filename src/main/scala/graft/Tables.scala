@@ -34,6 +34,11 @@ object Tables {
   def withOverlay[T](m: Map[String, DataFrame])(f: => T): T =
     overlay.withValue(m)(f)
 
+  /** True when `name` currently resolves to uncommitted script writes —
+    * index-backed fast paths (e.g. the COUNT index) must not serve stale
+    * base-table answers for an overridden table. */
+  def overridden(name: String): Boolean = overlay.value.contains(name)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     overlay.value.getOrElse(name, {
       if (name == "events")

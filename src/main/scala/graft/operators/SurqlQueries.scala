@@ -1043,6 +1043,30 @@ object SurqlQueries {
          COMMIT;""")
   }
 
+  /** Bulk INSERT (+ ON DUPLICATE KEY UPDATE) inside a script: the second
+    * insert's sub-select reads THROUGH the overlay (its filter excludes the
+    * first insert's rows), its duplicate arm updates the rows the first
+    * insert created, and its fresh arm appends the rest — MERGE semantics
+    * composed across statements (expr/statements/insert.rs). */
+  val scriptInsert = Q("script_insert",
+    """SELECT o_orderkey + 500000 AS o_orderkey,
+              CASE WHEN o_orderkey < 20 THEN 'DUP'
+                   ELSE o_orderpriority END AS o_orderpriority
+       FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         INSERT INTO orders (SELECT o_orderkey + 500000 AS o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey < 20);
+         INSERT INTO orders (SELECT o_orderkey + 500000 AS o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey < 40)
+           ON DUPLICATE KEY UPDATE o_orderpriority = 'DUP';
+         SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE o_orderkey >= 500000 ORDER BY o_orderkey;
+         COMMIT;""")
+  }
+
   /** CANCEL discards every write since BEGIN (expr/statements/cancel.rs):
     * the post-cancel SELECT must see the untouched base table. */
   val scriptCancel = Q("script_cancel",
@@ -1140,7 +1164,8 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
-    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, defineEvent,
+    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
+    defineEvent,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

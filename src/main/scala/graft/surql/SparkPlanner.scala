@@ -173,6 +173,39 @@ object SparkPlanner {
           (t, base, base.unionByName(created), planCreate(spark, dir, s))
         }
         applyMut(table, base, after, ret)
+      case s: InsertStmt =>
+        val (table, base, after, ret) = planWith {
+          val t = s.into match {
+            case Some(TableRef(name)) => name
+            case Some(Idiom(Seq(PField(name)))) => name
+            case other => throw SqlError(s"SparkPlanner: unsupported INSERT target $other")
+          }
+          val base = Tables(spark, dir, t)
+          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
+          val key = recordKey(t)
+          val rows0 = s.values match {
+            case Subquery(sel: SelectStmt) => planSelect(spark, dir, sel, params)
+            case other => throw SqlError(
+              s"SparkPlanner: INSERT values must be a sub-select, got $other")
+          }
+          val rows = rows0.select(base.schema.fields.map { sf =>
+            (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
+              .cast(sf.dataType).as(sf.name)
+          }.toIndexedSeq: _*)
+          val fresh = rows.join(base.select(key), Seq(key), "left_anti")
+          val after = s.onDuplicate match {
+            case scala.None => base.unionByName(fresh)
+            case Some(sets) =>
+              // MERGE arms over the whole table: untouched ∪ dup-updated ∪ fresh
+              val dupSets = setMap(Some(SetData(sets)), ctx, requireExisting = true)
+              val untouched = base.join(rows.select(key), Seq(key), "left_anti")
+              val updated = graft.operators.Mutations.update(
+                base.join(rows.select(key), Seq(key), "left_semi"), lit(true), dupSets)
+              untouched.unionByName(updated).unionByName(fresh)
+          }
+          (t, base, after, planInsert(spark, dir, s))
+        }
+        applyMut(table, base, after, ret)
       case s: UpsertStmt =>
         val (table, base, after, ret) = planWith {
           val Seq(what) = s.what
@@ -330,7 +363,8 @@ object SparkPlanner {
       case (Seq(Idiom(Seq(PField(t)))), Seq(f), Some(Nil))
           if f.expr == FnCall("count", Nil) && s.where.isEmpty &&
             s.split.isEmpty && s.fetch.isEmpty && asOf.isEmpty &&
-            s.timeout.isEmpty && countIndexed.contains(t) =>
+            s.timeout.isEmpty && countIndexed.contains(t) &&
+            !Tables.overridden(t) =>
         val cnt = graft.operators.CountIndex.of(spark, dir, t)
         return spark.range(1).select(lit(cnt).as(fieldAlias(f)))
       case _ => ()
