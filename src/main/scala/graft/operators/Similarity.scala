@@ -25,28 +25,34 @@ import graft.{Q, Tables}
   * deterministic and the DuckDB oracle replays it exactly. */
 object Similarity {
 
-  /** In-order fold dot product of two float arrays, in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** In-order fold dot product of two float arrays, in double precision —
+    * a native codegen'd kernel (graft.functions.DotF); bit-identical to the
+    * `aggregate(zip_with(…))` HOF fold it replaced, but it stays inside
+    * whole-stage codegen with no per-element lambda or zipped-array
+    * allocation. */
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.VectorKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Euclidean distance, same in-order double fold as [[dot]]. */
-  def l2(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v))
+  def l2(a: Column, b: Column): Column = {
+    graft.functions.VectorKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_l2", a, b)
+  }
 
   /** Manhattan distance. */
-  def l1(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => abs(x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  def l1(a: Column, b: Column): Column = {
+    graft.functions.VectorKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_l1", a, b)
+  }
 
   /** SQL twin of [[cosine]]: same in-order double fold, for the DuckDB
     * oracle (1-based list indexing; range(1,65) = dims 1..64). */
