@@ -1012,6 +1012,34 @@ object SurqlQueries {
          ORDER BY o_orderkey VERSION d'1997-06-01T00:00:00Z'""")
   }
 
+  /** OMIT — column-set subtraction from `SELECT *` output
+    * (expr/statements/select.rs omit clause). */
+  val omitFields = sq("omit_fields",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 30
+       ORDER BY o_orderkey""")(
+    "SELECT * OMIT o_totalprice, o_orderdate FROM orders:1..30 ORDER BY o_orderkey")
+
+  /** INFO FOR DB / TABLE (expr/statements/info.rs): catalog introspection
+    * rendered as rows; the field kinds come from the parquet schema — the
+    * schemafull table definition this engine derives. */
+  val infoDb = Q("info_db",
+    """SELECT * FROM (VALUES ('customer','TABLE'),('documents','TABLE'),
+         ('embeddings','TABLE'),('events','TABLE'),('lineitem','TABLE'),
+         ('nation','TABLE'),('orders','TABLE'),('part','TABLE'),
+         ('region','TABLE'),('supplier','TABLE')) t(name, kind)
+       ORDER BY name""") { (s, d) =>
+    SparkPlanner.query(s, d, "INFO FOR DB").orderBy("name")
+  }
+
+  val infoTable = Q("info_table",
+    """SELECT * FROM (VALUES ('o_orderkey','int'),('o_custkey','int'),
+         ('o_orderstatus','string'),('o_totalprice','float'),
+         ('o_orderdate','datetime'),('o_orderpriority','string')) t(name, kind)
+       ORDER BY name""") { (s, d) =>
+    SparkPlanner.query(s, d, "INFO FOR TABLE orders").orderBy("name")
+  }
+
   /** Multi-statement transaction scripts (BEGIN…COMMIT,
     * expr/statements/begin.rs): each mutation rewrites its table in the
     * script overlay and later statements read through it — the whole
@@ -1165,7 +1193,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
-    defineEvent,
+    defineEvent, omitFields, infoDb, infoTable,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -88,6 +88,15 @@ object SparkPlanner {
         val dummy = spark.range(1)
         val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
         dummy.select(fields.map { case (name, e) => toCol(e, ctx).as(name) }: _*)
+      // INFO FOR DB / TABLE (expr/statements/info.rs): the catalog rendered
+      // as rows — a driver-side listing, no cluster work
+      case Seq(InfoStmt("DB", _, _, _)) =>
+        val rows = Tables.all.sorted.map(t => (t, "TABLE"))
+        spark.createDataFrame(rows).toDF("name", "kind")
+      case Seq(InfoStmt("TABLE", t, _, _)) =>
+        val fields = Tables(spark, dir, t).schema.fields
+          .map(f => (f.name, surqlKind(f.dataType))).toSeq
+        spark.createDataFrame(fields).toDF("name", "kind")
       case Seq(s: CreateStmt) => planCreate(spark, dir, s)
       case Seq(s: InsertStmt) => planInsert(spark, dir, s)
       case Seq(s: UpdateStmt) => planUpdate(spark, dir, s)
@@ -279,6 +288,21 @@ object SparkPlanner {
         }
       }
     }
+  }
+
+  /** Spark type → declared SurrealQL kind (types/src/kind/mod.rs) for the
+    * INFO FOR TABLE rendering. */
+  private def surqlKind(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType => "int"
+    case DoubleType | FloatType             => "float"
+    case StringType                         => "string"
+    case BooleanType                        => "bool"
+    case BinaryType                         => "bytes"
+    case _: org.apache.spark.sql.types.DecimalType => "decimal"
+    case TimestampType | TimestampNTZType | DateType => "datetime"
+    case ArrayType(inner, _)                => s"array<${surqlKind(inner)}>"
+    case _: StructType                      => "object"
+    case other                              => other.simpleString
   }
 
   /** One FROM source → (DataFrame, source table name if concrete). */
@@ -675,6 +699,14 @@ object SparkPlanner {
         df.select(cols: _*)
     }
     df = out
+    // ---- OMIT: column-set subtraction from the projected output ----------
+    // (expr/statements/select.rs omit clause; pairs with `SELECT *`). Also
+    // drops any internal derived columns a pre-pass joined in, which `*`
+    // would otherwise leak.
+    if (s.omit.nonEmpty)
+      df = df.drop(s.omit: _*)
+    if (s.fields.exists(_.isAll))
+      df = df.drop(df.columns.filter(_.startsWith("__")).toIndexedSeq: _*)
 
     // ---- fetch: embed the linked record as a struct (Fetch op) -----------
     s.fetch.collect { case Lit(VStr(f)) => f }.foreach { f =>
