@@ -1020,6 +1020,28 @@ object SurqlQueries {
        ORDER BY o_orderkey""")(
     "SELECT * OMIT o_totalprice, o_orderdate FROM orders:1..30 ORDER BY o_orderkey")
 
+  /** Breadth batch of scalar namespaces on the Spark path (fnc/time.rs
+    * floor-to-duration, fnc/string.rs slug/words, fnc/array.rs
+    * append/max, fnc/math.rs clamp/lerp) — all codegen'd column
+    * expressions, no UDFs. */
+  val fnBreadth = sq("fn_breadth",
+    """SELECT o_orderkey,
+              CAST(floor(epoch(o_orderdate) / 604800) * 604800 AS BIGINT) AS wk,
+              regexp_replace(regexp_replace(lower(o_orderpriority),
+                '[^a-z0-9]+', '-', 'g'), '(^-+)|(-+$)', '', 'g') AS slug,
+              greatest(o_orderkey, o_custkey) AS mx,
+              least(greatest(o_totalprice, 1000.0), 200000.0) AS clamped,
+              len(regexp_split_to_array(trim(o_orderpriority), '\s+')) AS nw
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 50
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              time::unix(time::floor(o_orderdate, 1w)) AS wk,
+              string::slug(o_orderpriority) AS slug,
+              array::max([o_orderkey, o_custkey]) AS mx,
+              math::clamp(o_totalprice, 1000.0, 200000.0) AS clamped,
+              array::len(string::words(o_orderpriority)) AS nw
+       FROM orders:1..50 ORDER BY o_orderkey""")
+
   /** INFO FOR DB / TABLE (expr/statements/info.rs): catalog introspection
     * rendered as rows; the field kinds come from the parquet schema — the
     * schemafull table definition this engine derives. */
@@ -1193,7 +1215,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
-    defineEvent, omitFields, infoDb, infoTable,
+    defineEvent, omitFields, infoDb, infoTable, fnBreadth,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -1766,6 +1766,10 @@ object SparkPlanner {
     // math::sum over an in-row array value (fnc/math.rs Sum) — a codegen'd
     // fold; result is double (SurrealQL numeric promotion on mixed arrays)
     case "math::sum" => aggregate(cs(0), lit(0.0), (a, x) => a + x.cast("double"))
+    case "math::clamp"   => least(greatest(cs(0), cs(1)), cs(2))
+    case "math::lerp"    => cs(0) + (cs(1) - cs(0)) * cs(2)
+    case "math::deg2rad" => radians(cs(0))
+    case "math::rad2deg" => degrees(cs(0))
     case "math::max"   => raw(0) match {
       case ArrLit(items) => greatest(items.map(toCol(_, ctx)): _*)
       case _ => cs(0)
@@ -1791,6 +1795,28 @@ object SparkPlanner {
     case "duration::hours" => floor(cs(0) / 3600).cast("bigint")
     case "duration::mins"  => floor(cs(0) / 60).cast("bigint")
     case "duration::secs"  => cs(0).cast("bigint")
+    // time::floor/ceil/round to a duration multiple since epoch
+    // (fnc/time.rs; second-granularity durations — the table data has no
+    // sub-second timestamps)
+    case "time::floor" | "time::ceil" | "time::round" =>
+      val secs = raw(1) match {
+        case Lit(d: VDur) => d.secs
+        case Lit(VInt(i)) => i
+        case other => throw SqlError(s"SparkPlanner: $name needs a duration, got $other")
+      }
+      // cs is a whole-arg map; the duration literal has no Column form, so
+      // lower only the timestamp argument
+      val e = unix_timestamp(toCol(raw(0), ctx).cast("timestamp"))
+      val bucket = name match {
+        case "time::floor" => floor(e / secs)
+        case "time::ceil"  => ceil(e / secs)
+        case _             => floor((e + lit(secs / 2)) / secs)
+      }
+      timestamp_seconds((bucket * secs).cast("bigint"))
+    case "string::words" => split(trim(cs(0)), "\\s+")
+    case "string::slug" =>
+      regexp_replace(regexp_replace(lower(cs(0)), "[^a-z0-9]+", "-"),
+        "(^-+)|(-+$)", "")
     case "time::group"  =>
       val unit = raw(1) match { case Lit(VStr(s)) => s; case _ => "day" }
       date_trunc(unit, cs(0)).cast("date")
@@ -1847,6 +1873,12 @@ object SparkPlanner {
       val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
       slice(cs(0), from + 1, len)
     case "array::flatten"  => flatten(cs(0))
+    case "array::reverse"  => reverse(cs(0))
+    case "array::max"      => array_max(cs(0))
+    case "array::min"      => array_min(cs(0))
+    case "array::append" | "array::push" => concat(cs(0), array(cs(1)))
+    case "array::prepend"  => concat(array(cs(1)), cs(0))
+    case "array::concat"   => concat(cs(0), cs(1))
     // ---- set::* — BTreeSet semantics: sorted, deduplicated (fnc/set.rs;
     // array_union/intersect/except already dedup, sort canonicalizes) ------
     case "set::union"      => array_sort(array_union(cs(0), cs(1)))
