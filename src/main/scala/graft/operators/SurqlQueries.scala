@@ -1117,6 +1117,33 @@ object SurqlQueries {
          COMMIT;""")
   }
 
+  /** Imperative control flow in scripts (expr/statements/foreach.rs,
+    * ifelse.rs): LET binds plan-time constants that substitute into later
+    * statements, FOR iterates a constant collection running its block's
+    * mutations against the overlay, IF executes only the taken branch.
+    * Control flow is driver-side; every iteration's mutation is still a
+    * distributed plan rewrite. */
+  val scriptFor = Q("script_for",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey IN (1,2,3,5,8) THEN o_totalprice + 5.0
+                   ELSE o_totalprice END AS o_totalprice,
+              CASE WHEN o_orderkey = 1 THEN 'BUMPED'
+                   ELSE o_orderpriority END AS o_orderpriority
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 10
+       ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """LET $bump = 5.0;
+         FOR $k IN [1, 2, 3, 5, 8] {
+           UPDATE orders SET o_totalprice = o_totalprice + $bump
+             WHERE o_orderkey = $k;
+         };
+         IF $bump > 1 {
+           UPDATE orders SET o_orderpriority = 'BUMPED' WHERE o_orderkey = 1;
+         };
+         SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders:1..10
+           ORDER BY o_orderkey;""")
+  }
+
   /** CANCEL discards every write since BEGIN (expr/statements/cancel.rs):
     * the post-cancel SELECT must see the untouched base table. */
   val scriptCancel = Q("script_cancel",
@@ -1215,7 +1242,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
-    defineEvent, omitFields, infoDb, infoTable, fnBreadth,
+    defineEvent, omitFields, infoDb, infoTable, fnBreadth, scriptFor,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -135,12 +135,52 @@ object SparkPlanner {
       overlay = fireScriptEvents(spark, dir, table, before, after, overlay, eventDefs)
       last = Some(ret)
     }
-    ast.stmts.foreach {
+    def exec(st0: Statement): Unit = Subst.stmt(st0, params) match {
       case BeginStmt  => txnBase = overlay
       case CommitStmt => () // the composed plan is already all-or-nothing
       case CancelStmt => overlay = txnBase; last = scala.None
+      case UseStmt(_, _) => () // single-catalog engine: ns/db switch is a no-op
       case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
       case s: DefineEventStmt => eventDefs :+= s.d
+      // RETURN — a one-row plan (SourceExpr/ExprPlan analog)
+      case ReturnStmt(ObjLit(fields)) =>
+        val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
+        last = Some(planWith(spark.range(1)
+          .select(fields.map { case (n, e) => toCol(e, ctx).as(n) }: _*)))
+      case ReturnStmt(e) =>
+        val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
+        last = Some(planWith(spark.range(1).select(toCol(e, ctx).as("value"))))
+      // IF — the condition is a plan-time constant; the taken branch's
+      // block executes, untaken branches plan nothing
+      case IfStmt(branches, otherwise) =>
+        branches.find { case (c, _) => Eval.evalConst(c).truthy } match {
+          case Some((_, BlockExpr(ss))) => ss.foreach(exec)
+          case Some((_, e))             => exec(ReturnStmt(e))
+          case scala.None => otherwise match {
+            case Some(BlockExpr(ss)) => ss.foreach(exec)
+            case Some(e)             => exec(ReturnStmt(e))
+            case scala.None          => ()
+          }
+        }
+      // FOR — a plan-time-constant iterable; each element binds the loop
+      // param and runs the block (statements compose into the overlay like
+      // any other script statements)
+      case ForStmt(param, iterable, block) =>
+        val items = Eval.evalConst(iterable) match {
+          case VArr(xs) => xs
+          case VRng(lo, hi) =>
+            val from = lo.map { case (v, i) => v.asInstanceOf[VInt].i + (if (i) 0 else 1) }.getOrElse(0L)
+            val until = hi.map { case (v, i) => v.asInstanceOf[VInt].i + (if (i) 1 else 0) }.getOrElse(from)
+            (from until until).map(VInt(_))
+          case other => throw SqlError(
+            s"SparkPlanner: FOR iterable must be an array/range, got ${other.render}")
+        }
+        val saved = params
+        items.foreach { v =>
+          params = saved + (param -> v)
+          block.stmts.foreach(exec)
+        }
+        params = saved
       case s: SelectStmt =>
         last = Some(planWith(planSelect(spark, dir, s, params)))
       case s: UpdateStmt =>
@@ -236,6 +276,7 @@ object SparkPlanner {
         applyMut(table, base, after, ret)
       case other => throw SqlError(s"SparkPlanner: unsupported script statement $other")
     }
+    ast.stmts.foreach(exec)
     last.getOrElse(throw SqlError("SparkPlanner: script produced no result"))
   }
 
