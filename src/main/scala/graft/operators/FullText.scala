@@ -41,11 +41,13 @@ object FullText {
 
   def index(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     indexCache.getOrElseUpdate(dir, {
-      val toks = tokenize(Tables.documentsWide(s, dir)).persist()
-      val post = toks.groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).persist()
-      val dl   = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).persist()
-      post.count(); dl.count() // build the index eagerly, ONE tokenize pass
-      toks.unpersist()
+      // ONE shuffle over the raw token stream (term,doc → tf); doc lengths
+      // derive from the postings (dl = Σ tf per doc), so the second
+      // aggregate shuffles only |postings| rows, not every token
+      val post = tokenize(Tables.documentsWide(s, dir))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).persist()
+      val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl")).persist()
+      post.count(); dl.count() // build the index eagerly
       (post, dl)
     })
 
