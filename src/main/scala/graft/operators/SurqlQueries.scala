@@ -1042,6 +1042,32 @@ object SurqlQueries {
               array::len(string::words(o_orderpriority)) AS nw
        FROM orders:1..50 ORDER BY o_orderkey""")
 
+  /** Second breadth batch: string repeat/pad/matches, ISO calendar parts,
+    * log-family math, and positional array edits — all codegen'd. */
+  val fnBreadth2 = sq("fn_breadth2",
+    """SELECT o_orderkey,
+              repeat(o_orderstatus, 3) AS r3,
+              reverse(o_orderpriority) AS rev,
+              regexp_matches(o_orderpriority, '^[0-9]-') AS m,
+              CAST(isodow(o_orderdate) AS BIGINT) AS wd,
+              CAST(week(o_orderdate) AS BIGINT) AS wk,
+              CAST(dayofyear(o_orderdate) AS BIGINT) AS yd,
+              round(ln(o_totalprice), 6) AS lg,
+              '1,3,4' AS rm, '1,9,2,3' AS ins
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 40
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              string::repeat(o_orderstatus, 3) AS r3,
+              string::reverse(o_orderpriority) AS rev,
+              string::matches(o_orderpriority, '^[0-9]-') AS m,
+              time::wday(o_orderdate) AS wd,
+              time::week(o_orderdate) AS wk,
+              time::yday(o_orderdate) AS yd,
+              math::fixed(math::ln(o_totalprice), 6) AS lg,
+              array::join(array::remove([1,2,3,4], 1), ',') AS rm,
+              array::join(array::insert([1,2,3], 9, 1), ',') AS ins
+       FROM orders:1..40 ORDER BY o_orderkey""")
+
   /** INFO FOR DB / TABLE (expr/statements/info.rs): catalog introspection
     * rendered as rows; the field kinds come from the parquet schema — the
     * schemafull table definition this engine derives. */
@@ -1242,7 +1268,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
-    defineEvent, omitFields, infoDb, infoTable, fnBreadth, scriptFor,
+    defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

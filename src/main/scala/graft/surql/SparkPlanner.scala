@@ -1808,6 +1808,10 @@ object SparkPlanner {
     // fold; result is double (SurrealQL numeric promotion on mixed arrays)
     case "math::sum" => aggregate(cs(0), lit(0.0), (a, x) => a + x.cast("double"))
     case "math::clamp"   => least(greatest(cs(0), cs(1)), cs(2))
+    case "math::ln"      => log(cs(0))
+    case "math::log"     => log(cs(0)) / log(cs(1)) // log base raw(1)
+    case "math::log2"    => log2(cs(0))
+    case "math::log10"   => log10(cs(0))
     case "math::lerp"    => cs(0) + (cs(1) - cs(0)) * cs(2)
     case "math::deg2rad" => radians(cs(0))
     case "math::rad2deg" => degrees(cs(0))
@@ -1826,6 +1830,10 @@ object SparkPlanner {
     case "time::minute" => minute(cs(0)).cast("bigint")
     case "time::second" => second(cs(0)).cast("bigint")
     case "time::unix"   => unix_timestamp(cs(0)).cast("bigint")
+    case "time::wday"   => (weekday(cs(0)) + 1).cast("bigint") // ISO Mon=1…Sun=7
+    case "time::week"   => weekofyear(cs(0)).cast("bigint")
+    case "time::yday"   => dayofyear(cs(0)).cast("bigint")
+    case "time::now"    => current_timestamp()
     // ---- duration::* — durations are total-seconds longs on this path ----
     // (fnc durations: days/hours/mins/secs return the TOTAL in that unit)
     case "duration::from::secs" | "duration::from_secs" => cs(0).cast("bigint")
@@ -1855,6 +1863,12 @@ object SparkPlanner {
       }
       timestamp_seconds((bucket * secs).cast("bigint"))
     case "string::words" => split(trim(cs(0)), "\\s+")
+    case "string::repeat" => raw(1) match {
+      case Lit(VInt(n)) => repeat(cs(0), n.toInt)
+      case _ => throw SqlError("SparkPlanner: string::repeat needs a constant count")
+    }
+    case "string::matches" => regexp_like(cs(0), cs(1))
+    case "string::reverse" => reverse(cs(0))
     case "string::slug" =>
       regexp_replace(regexp_replace(lower(cs(0)), "[^a-z0-9]+", "-"),
         "(^-+)|(-+$)", "")
@@ -1920,6 +1934,21 @@ object SparkPlanner {
     case "array::append" | "array::push" => concat(cs(0), array(cs(1)))
     case "array::prepend"  => concat(array(cs(1)), cs(0))
     case "array::concat"   => concat(cs(0), cs(1))
+    case "array::is_empty" => size(cs(0)) === 0
+    case "array::remove" => raw(1) match {
+      // drop the element at 0-based index (fnc/array.rs Remove)
+      case Lit(VInt(i)) =>
+        concat(slice(cs(0), 1, i.toInt),
+          slice(cs(0), lit(i.toInt + 2), size(cs(0))))
+      case _ => throw SqlError("SparkPlanner: array::remove needs a constant index")
+    }
+    case "array::insert" => raw(2) match {
+      // insert value before the 0-based index (fnc/array.rs Insert)
+      case Lit(VInt(i)) =>
+        concat(slice(cs(0), 1, i.toInt), array(cs(1)),
+          slice(cs(0), lit(i.toInt + 1), size(cs(0))))
+      case _ => throw SqlError("SparkPlanner: array::insert needs a constant index")
+    }
     // ---- set::* — BTreeSet semantics: sorted, deduplicated (fnc/set.rs;
     // array_union/intersect/except already dedup, sort canonicalizes) ------
     case "set::union"      => array_sort(array_union(cs(0), cs(1)))
