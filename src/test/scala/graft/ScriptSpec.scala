@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.surql.SparkPlanner
+
+/** Edge-case semantics of the script executor (transactions, overlay,
+  * events, control flow) that the oracle entries don't pin. */
+class ScriptSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("CANCEL reverts to the BEGIN snapshot; a later transaction still applies") {
+    val out = SparkPlanner.script(spark, sf,
+      """BEGIN;
+         UPDATE orders SET o_orderpriority = 'LOST' WHERE o_orderkey = 1;
+         CANCEL;
+         BEGIN;
+         UPDATE orders SET o_orderpriority = 'KEPT' WHERE o_orderkey = 2;
+         SELECT o_orderkey, o_orderpriority FROM orders:1..3 ORDER BY o_orderkey;
+         COMMIT;""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(2L) == "KEPT")
+    assert(out(1L) != "LOST", "cancelled write leaked into a later read")
+  }
+
+  test("script overlay does not leak outside the script") {
+    SparkPlanner.script(spark, sf,
+      """UPDATE orders SET o_orderpriority = 'X' WHERE o_orderkey = 1;
+         SELECT o_orderkey FROM orders:1..2;""").collect()
+    val prio = Tables.orders(spark, sf).filter(col("o_orderkey") === 1L)
+      .select("o_orderpriority").head.getString(0)
+    assert(prio != "X", "uncommitted overlay mutated the base catalog")
+  }
+
+  test("events fire once per mutation and do not cascade on event-generated writes") {
+    // the orders event CREATEs into events; an events event would cascade
+    // off those rows if event-generated writes re-fired triggers
+    val out = SparkPlanner.script(spark, sf,
+      """DEFINE EVENT a ON TABLE orders WHEN $event = 'UPDATE' THEN (
+           CREATE events SET event_id = $after.o_orderkey + 100000,
+             user_id = 1, event_type = 'aud', value = 1.0, props = '{}');
+         DEFINE EVENT b ON TABLE events WHEN $event = 'CREATE' THEN (
+           CREATE events SET event_id = $after.event_id + 200000,
+             user_id = 2, event_type = 'cascade', value = 2.0, props = '{}');
+         UPDATE orders SET o_totalprice = o_totalprice + 1.0
+           WHERE o_orderkey < 4;
+         SELECT event_type, count() AS n FROM events
+           WHERE event_type = 'aud' OR event_type = 'cascade'
+           GROUP BY event_type;""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.get("aud").contains(4L), // orderkeys 0,1,2,3 exist at sf0.001
+      s"orders event fired wrong count: $out")
+    assert(!out.contains("cascade"), s"event cascaded off an event-generated write: $out")
+  }
+
+  test("FOR loop param shadows an outer LET of the same name") {
+    val out = SparkPlanner.script(spark, sf,
+      """LET $k = 99;
+         FOR $k IN [1, 2] {
+           UPDATE orders SET o_orderpriority = 'LOOPED' WHERE o_orderkey = $k;
+         };
+         SELECT o_orderkey, o_orderpriority FROM orders
+           WHERE o_orderpriority = 'LOOPED' ORDER BY o_orderkey;""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L), s"loop binding wrong: $out")
+  }
+
+  test("IF takes the first truthy branch, ELSE otherwise") {
+    val thenOut = SparkPlanner.script(spark, sf,
+      "IF 1 > 2 { RETURN { r: 'a' }; } ELSE { RETURN { r: 'b' }; };")
+      .collect().head.getString(0)
+    assert(thenOut == "b")
+  }
+}
