@@ -1143,6 +1143,20 @@ object SurqlQueries {
          COMMIT;""")
   }
 
+  /** `type::record` dynamic record-id targets (fnc/type.rs record:
+    * constant args resolve at plan time) and MERGE partial-object mutation
+    * data (doc/alter.rs merge arm). */
+  val mutMergeThing = Q("mut_merge_thing",
+    """SELECT o_orderkey,
+              CASE WHEN o_orderkey = 3 THEN 'MERGED'
+                   ELSE o_orderpriority END AS o_orderpriority
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 6
+       ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """UPDATE type::record('orders:3') MERGE { o_orderpriority: 'MERGED' };
+         SELECT o_orderkey, o_orderpriority FROM orders:1..6 ORDER BY o_orderkey;""")
+  }
+
   /** Imperative control flow in scripts (expr/statements/foreach.rs,
     * ifelse.rs): LET binds plan-time constants that substitute into later
     * statements, FOR iterates a constant collection running its block's
@@ -1269,6 +1283,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
+    mutMergeThing,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

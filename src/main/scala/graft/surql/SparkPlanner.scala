@@ -209,6 +209,11 @@ object SparkPlanner {
         val (table, base, after, ret) = planWith {
           val targets = s.what.map {
             case RidLit(t, keyE) => (t, Eval.evalConst(keyE))
+            case fc @ FnCall("type::record" | "type::thing", _) => Eval.evalConst(fc) match {
+              case VRid(t, k) => (t, k)
+              case other => throw SqlError(
+                s"SparkPlanner: type::record resolved to ${other.render}, not a record id")
+            }
             case other => throw SqlError(
               s"SparkPlanner: CREATE target must be a record id, got $other")
           }
@@ -1319,6 +1324,13 @@ object SparkPlanner {
   /** Resolve a mutation target to (table, scan, key predicate). */
   private def mutTarget(spark: SparkSession, dir: String, e: Expr): (String, DataFrame, Option[Column]) = e match {
     case Idiom(Seq(PField(name))) => (name, Tables(spark, dir, name), scala.None)
+    // dynamic record-id construction: `type::thing('t', k)` with constant
+    // args resolves at plan time (fnc/type.rs Thing)
+    case fc @ FnCall("type::record" | "type::thing", _) => Eval.evalConst(fc) match {
+      case VRid(t, k) => mutTarget(spark, dir, RidLit(t, Lit(k)))
+      case other => throw SqlError(
+        s"SparkPlanner: type::record resolved to ${other.render}, not a record id")
+    }
     case TableRef(name)           => (name, Tables(spark, dir, name), scala.None)
     case RidLit(table, keyE) =>
       val key = recordKey.getOrElse(table,
@@ -1352,6 +1364,10 @@ object SparkPlanner {
         case (idiom, _, _) => throw SqlError(s"SparkPlanner: unsupported SET path $idiom")
       }.toMap
       case Some(ContentData(ObjLit(fs))) =>
+        fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
+      // MERGE is a partial object merge — for flat objects, identical to a
+      // SET of each field (doc/alter.rs merge arm)
+      case Some(MergeData(ObjLit(fs))) =>
         fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
       case scala.None => Map.empty
       case other => throw SqlError(s"SparkPlanner: unsupported data clause $other")
@@ -1389,6 +1405,11 @@ object SparkPlanner {
   private def planCreate(spark: SparkSession, dir: String, s: CreateStmt): DataFrame = {
     val targets = s.what.map {
       case RidLit(table, keyE) => (table, Eval.evalConst(keyE))
+      case fc @ FnCall("type::record" | "type::thing", _) => Eval.evalConst(fc) match {
+        case VRid(t, k) => (t, k)
+        case other => throw SqlError(
+          s"SparkPlanner: type::record resolved to ${other.render}, not a record id")
+      }
       case other => throw SqlError(s"SparkPlanner: CREATE target must be a record id, got $other")
     }
     val table = targets.head._1
