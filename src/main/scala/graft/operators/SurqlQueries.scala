@@ -1157,6 +1157,19 @@ object SurqlQueries {
          SELECT o_orderkey, o_orderpriority FROM orders:1..6 ORDER BY o_orderkey;""")
   }
 
+  /** Method-call idioms (expr/part.rs Method): the receiver's schema type
+    * picks the namespace, so `.lowercase()` on a string column is
+    * string::lowercase and `.len()` on a graph-hop array is array::len. */
+  val idiomMethods = sq("idiom_methods",
+    """SELECT o_orderkey, lower(o_orderpriority) AS lp,
+              CAST(length(o_orderpriority) AS BIGINT) AS n,
+              CAST(abs(o_custkey) AS BIGINT) AS ak
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 30
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey, o_orderpriority.lowercase() AS lp,
+              o_orderpriority.len() AS n, o_custkey.abs() AS ak
+       FROM orders:1..30 ORDER BY o_orderkey""")
+
   /** Imperative control flow in scripts (expr/statements/foreach.rs,
     * ifelse.rs): LET binds plan-time constants that substitute into later
     * statements, FOR iterates a constant collection running its block's
@@ -1283,7 +1296,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing,
+    mutMergeThing, idiomMethods,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

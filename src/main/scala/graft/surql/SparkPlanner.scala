@@ -1680,6 +1680,29 @@ object SparkPlanner {
       // expr/part.rs Where part)
       case Idiom(Seq(PField(n))) if ctx.lambdaParams.contains("__elem") =>
         ctx.lambdaParams("__elem").getField(n)
+      // method-call idioms: `field.lowercase()`, `arr.len()` — the
+      // reference resolves the method against the receiver's runtime type
+      // (expr/part.rs Method); here the schema gives the type statically,
+      // so the method lowers to the matching namespace function
+      case Idiom(init :+ PMethod(m, margs)) if init.nonEmpty =>
+        val recvExpr = Idiom(init)
+        val ns = init match {
+          case Seq(PField(n)) if ctx.schema.fieldNames.contains(n) =>
+            ctx.schema(n).dataType match {
+              case _: ArrayType => "array"
+              case StringType   => "string"
+              case LongType | IntegerType | DoubleType | FloatType => "math"
+              case TimestampType | TimestampNTZType | DateType => "time"
+              case _ => "string"
+            }
+          case _ if ctx.graphCols.contains(init) => "array"
+          case _ => "string"
+        }
+        // duration/type methods share names across namespaces; try the
+        // inferred namespace, then the universal type:: casts
+        val cand = Seq(s"$ns::$m", s"type::$m")
+        val resolved = cand.find(KnownFns.names.contains).getOrElse(cand.head)
+        fnCol(resolved, recvExpr +: margs, ctx)
       case Idiom(Seq(PField(n))) => col(n)
       // `fk.{a, b}` — the pre-joined destructure struct
       case Idiom(Seq(PField(fk), PDestructure(fs)))
