@@ -1157,6 +1157,34 @@ object SurqlQueries {
          SELECT o_orderkey, o_orderpriority FROM orders:1..6 ORDER BY o_orderkey;""")
   }
 
+  /** Array namespace batch 2 (fnc/array.rs): windows/clump/combine, the
+    * set-algebra family, range/repeat/fill, positional lookups — all
+    * codegen'd array expressions over plan-time-constant inputs whose
+    * oracle is the literal expected rendering. */
+  val fnArray2 = sq("fn_array2",
+    """SELECT o_orderkey,
+              '1,2,2,3,3,4' AS win, '1,2,3,4,5' AS cl, '1,2,3,4' AS un,
+              '2,3' AS it, '1,4' AS df, '1,3' AS cp, '5,6,7' AS rg,
+              'x,x,x' AS rp, 9 AS lst, 1 AS io, '1,2' AS ad,
+              '1,9,1,8' AS cb, 'z,z' AS fl
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 3
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              array::join(array::flatten(array::windows([1,2,3,4], 2)), ',') AS win,
+              array::join(array::flatten(array::clump([1,2,3,4,5], 2)), ',') AS cl,
+              array::join(array::union([1,2,3], [3,4]), ',') AS un,
+              array::join(array::intersect([1,2,3], [2,3,5]), ',') AS it,
+              array::join(array::difference([1,2,3], [2,3,4]), ',') AS df,
+              array::join(array::complement([1,2,3], [2]), ',') AS cp,
+              array::join(array::range(5, 8), ',') AS rg,
+              array::join(array::repeat('x', 3), ',') AS rp,
+              array::last([1,2,9]) AS lst,
+              array::index_of([7,8,9], 8) AS io,
+              array::join(array::add([1,2], 2), ',') AS ad,
+              array::join(array::flatten(array::combine([1], [9, 8])), ',') AS cb,
+              array::join(array::fill(['a','b'], 'z'), ',') AS fl
+       FROM orders:1..3 ORDER BY o_orderkey""")
+
   /** Method-call idioms (expr/part.rs Method): the receiver's schema type
     * picks the namespace, so `.lowercase()` on a string column is
     * string::lowercase and `.len()` on a graph-hop array is array::len. */
@@ -1296,7 +1324,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods,
+    mutMergeThing, idiomMethods, fnArray2,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

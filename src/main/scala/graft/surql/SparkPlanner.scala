@@ -1978,6 +1978,52 @@ object SparkPlanner {
     case "array::append" | "array::push" => concat(cs(0), array(cs(1)))
     case "array::prepend"  => concat(array(cs(1)), cs(0))
     case "array::concat"   => concat(cs(0), cs(1))
+    case "array::last"     => element_at(cs(0), -1)
+    case "array::union"    => array_union(cs(0), cs(1))
+    case "array::intersect" => array_intersect(cs(0), cs(1))
+    case "array::complement" => array_except(cs(0), cs(1))
+    // symmetric difference (fnc/array.rs:196)
+    case "array::difference" =>
+      concat(array_except(cs(0), cs(1)), array_except(cs(1), cs(0)))
+    // all ordered pairings [x, y] (fnc/array.rs:178)
+    case "array::combine" =>
+      flatten(transform(cs(0), x => transform(cs(1), y => array(x, y))))
+    // append only if absent (fnc/array.rs:33)
+    case "array::add" =>
+      when(array_contains(cs(0), cs(1)), cs(0))
+        .otherwise(concat(cs(0), array(cs(1))))
+    // (start, end-exclusive) integer range (fnc/array.rs:617)
+    case "array::range" => sequence(cs(0), cs(1) - 1)
+    case "array::repeat" => raw(1) match {
+      case Lit(VInt(n)) => array_repeat(cs(0), n.toInt)
+      case _ => throw SqlError("SparkPlanner: array::repeat needs a constant count")
+    }
+    case "array::fill" if raw.length == 2 => transform(cs(0), _ => cs(1))
+    // 0-based position, NONE when absent (higher-order index_of's
+    // value-equality form)
+    case "array::index_of" =>
+      val pos = array_position(cs(0), cs(1))
+      when(pos === 0, lit(null)).otherwise(pos - 1).cast("bigint")
+    // sliding windows of k; fewer than k elements → no windows
+    // (fnc/array.rs:938; sequence() descends when stop<start, hence the
+    // greatest+filter guard)
+    case "array::windows" => raw(1) match {
+      case Lit(VInt(k)) =>
+        val last = size(cs(0)) - lit(k.toInt) + 1
+        transform(
+          filter(sequence(lit(1), greatest(last, lit(1))), i => i <= last),
+          i => slice(cs(0), i, lit(k.toInt)))
+      case _ => throw SqlError("SparkPlanner: array::windows needs a constant size")
+    }
+    // chunks of k, trailing partial kept (fnc/array.rs:173)
+    case "array::clump" => raw(1) match {
+      case Lit(VInt(k)) =>
+        val n = ceil(size(cs(0)).cast("double") / k.toInt).cast("int")
+        transform(
+          filter(sequence(lit(0), greatest(n - 1, lit(0))), i => i < n),
+          i => slice(cs(0), i * k.toInt + 1, lit(k.toInt)))
+      case _ => throw SqlError("SparkPlanner: array::clump needs a constant size")
+    }
     case "array::is_empty" => size(cs(0)) === 0
     case "array::remove" => raw(1) match {
       // drop the element at 0-based index (fnc/array.rs Remove)
