@@ -79,6 +79,18 @@ class PlanSpec extends AnyFunSuite {
     assert(joins <= 2, s"structural dedup failed: $joins outer joins for 2 distinct subqueries")
   }
 
+  test("script transactions keep scan pushdown through the write overlay") {
+    val p = planOf("script_txn")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "the final SELECT's filter did not reach the parquet scan through the overlay")
+    assert(!p.contains("CartesianProduct"),
+      "overlay composition degenerated to a cross product")
+    // (a BroadcastNestedLoopJoin IS expected here: CREATE's duplicate-id
+    // guard anti-joins a one-row literal frame, so Catalyst folds the key
+    // to a constant and pushes `o_orderkey = <id>` into the base scan —
+    // a 1×1 probe, the optimal shape)
+  }
+
   test("gql_query inherits the same pushdown as native SurrealQL") {
     val p = planOf("gql_query")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
