@@ -1157,6 +1157,31 @@ object SurqlQueries {
          SELECT o_orderkey, o_orderpriority FROM orders:1..6 ORDER BY o_orderkey;""")
   }
 
+  /** String namespace batch 2 (fnc/string.rs): join, unicode character-
+    * class predicates, semver components. */
+  val fnString2 = sq("fn_string2",
+    """SELECT o_orderkey,
+              o_orderstatus || '-' || o_orderpriority AS j,
+              regexp_matches(o_orderstatus, '^[A-Za-z]+$') AS ia,
+              regexp_matches(o_orderstatus, '^[0-9]+$') AS inm,
+              TRUE AS ias,
+              regexp_matches(o_orderstatus, '^[A-Za-z0-9]+$') AS ian,
+              regexp_matches(o_orderstatus, '^[0-9a-fA-F]+$') AS ih,
+              1 AS smj, 2 AS smn, 3 AS smp
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 20
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              string::join('-', o_orderstatus, o_orderpriority) AS j,
+              string::is_alpha(o_orderstatus) AS ia,
+              string::is_numeric(o_orderstatus) AS inm,
+              string::is_ascii(o_orderpriority) AS ias,
+              string::is_alphanum(o_orderstatus) AS ian,
+              string::is_hexadecimal(o_orderstatus) AS ih,
+              string::semver::major('1.2.3') AS smj,
+              string::semver::minor('1.2.3-alpha') AS smn,
+              string::semver::patch('1.2.3') AS smp
+       FROM orders:1..20 ORDER BY o_orderkey""")
+
   /** Array namespace batch 2 (fnc/array.rs): windows/clump/combine, the
     * set-algebra family, range/repeat/fill, positional lookups — all
     * codegen'd array expressions over plan-time-constant inputs whose
@@ -1324,7 +1349,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2,
+    mutMergeThing, idiomMethods, fnArray2, fnString2,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -1913,6 +1913,24 @@ object SparkPlanner {
     }
     case "string::matches" => regexp_like(cs(0), cs(1))
     case "string::reverse" => reverse(cs(0))
+    // join(sep, parts…) — parts render raw (fnc/string.rs Join)
+    case "string::join" => raw(0) match {
+      case Lit(VStr(sep)) => concat_ws(sep, cs.tail.map(_.cast("string")): _*)
+      case _ => throw SqlError("SparkPlanner: string::join needs a constant separator")
+    }
+    // unicode character-class predicates (fnc/string.rs is::*)
+    case "string::is_alpha"       => regexp_like(cs(0), lit("^\\p{L}+$"))
+    case "string::is_alphanum"    => regexp_like(cs(0), lit("^[\\p{L}\\p{N}]+$"))
+    case "string::is_numeric"     => regexp_like(cs(0), lit("^\\p{N}+$"))
+    case "string::is_ascii"       => regexp_like(cs(0), lit("^[\\x00-\\x7F]*$"))
+    case "string::is_hexadecimal" => regexp_like(cs(0), lit("^[0-9a-fA-F]+$"))
+    // semver components split on [.+-] (fnc/string.rs semver)
+    case "string::semver::major" =>
+      element_at(split(cs(0), "[.+-]"), 1).cast("bigint")
+    case "string::semver::minor" =>
+      element_at(split(cs(0), "[.+-]"), 2).cast("bigint")
+    case "string::semver::patch" =>
+      element_at(split(cs(0), "[.+-]"), 3).cast("bigint")
     case "string::slug" =>
       regexp_replace(regexp_replace(lower(cs(0)), "[^a-z0-9]+", "-"),
         "(^-+)|(-+$)", "")
