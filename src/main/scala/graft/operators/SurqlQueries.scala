@@ -1157,6 +1157,38 @@ object SurqlQueries {
          SELECT o_orderkey, o_orderpriority FROM orders:1..6 ORDER BY o_orderkey;""")
   }
 
+  /** Link dereference inside GROUP BY (Fetch + Aggregate composition): the
+    * group key is a record-link field — one broadcast dim join feeding a
+    * map-side-combined aggregate, the canonical star-schema rollup shape. */
+  val linkGroup = sq("link_group",
+    s"""SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+               ${Exact.sqlSum("o.o_totalprice")} AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY seg""")(
+    """SELECT o_custkey.c_mktsegment AS seg, count() AS n,
+              math::sum(o_totalprice) AS rev
+       FROM orders GROUP BY seg ORDER BY seg""")
+
+  /** time/duration breadth: leap years, epoch unit conversions, timezone. */
+  val fnTime2 = sq("fn_time2",
+    """SELECT o_orderkey,
+              (year(o_orderdate) % 4 = 0 AND year(o_orderdate) % 100 <> 0)
+                OR year(o_orderdate) % 400 = 0 AS leap,
+              epoch_ms(o_orderdate) AS ms,
+              CAST(epoch_ms(o_orderdate) * 1000 AS BIGINT) AS us,
+              'UTC' AS tz,
+              CAST(2 AS BIGINT) AS wks, CAST(3600000 AS BIGINT) AS msx
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 20
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              time::is_leap_year(o_orderdate) AS leap,
+              time::millis(o_orderdate) AS ms,
+              time::micros(o_orderdate) AS us,
+              time::timezone() AS tz,
+              duration::weeks(duration::from_days(14)) AS wks,
+              duration::millis(duration::from_hours(1)) AS msx
+       FROM orders:1..20 ORDER BY o_orderkey""")
+
   /** String namespace batch 2 (fnc/string.rs): join, unicode character-
     * class predicates, semver components. */
   val fnString2 = sq("fn_string2",
@@ -1349,7 +1381,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -1878,6 +1878,27 @@ object SparkPlanner {
     case "time::week"   => weekofyear(cs(0)).cast("bigint")
     case "time::yday"   => dayofyear(cs(0)).cast("bigint")
     case "time::now"    => current_timestamp()
+    case "time::timezone" => lit("UTC") // session TZ is pinned UTC
+    case "time::is_leap_year" =>
+      val y = year(cs(0))
+      (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
+    case "time::micros" => unix_micros(cs(0).cast("timestamp"))
+    case "time::millis" => unix_millis(cs(0).cast("timestamp"))
+    case "time::from_secs" | "time::from_unix" => timestamp_seconds(cs(0))
+    case "time::from_millis" => timestamp_millis(cs(0))
+    case "time::from_micros" => timestamp_micros(cs(0))
+    // durations are total-seconds longs on this path (see duration::* below)
+    case "duration::weeks" => floor(cs(0) / 604800).cast("bigint")
+    case "duration::years" => floor(cs(0) / 31536000).cast("bigint")
+    case "duration::millis" => (cs(0) * 1000L).cast("bigint")
+    case "duration::micros" => (cs(0) * 1000000L).cast("bigint")
+    case "duration::nanos"  => (cs(0) * 1000000000L).cast("bigint")
+    case "duration::from_weeks" | "duration::from::weeks" =>
+      (cs(0) * 604800L).cast("bigint")
+    case "duration::from_millis" | "duration::from::millis" =>
+      floor(cs(0) / 1000).cast("bigint")
+    case "duration::from_micros" | "duration::from::micros" =>
+      floor(cs(0) / 1000000).cast("bigint")
     // ---- duration::* — durations are total-seconds longs on this path ----
     // (fnc durations: days/hours/mins/secs return the TOTAL in that unit)
     case "duration::from::secs" | "duration::from_secs" => cs(0).cast("bigint")
