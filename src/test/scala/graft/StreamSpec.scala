@@ -60,6 +60,23 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedAgg in batch mode reproduces the events_window oracle query") {
+    val spark = TestSpark.session
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_type"), col("value"))
+    val streamTwin = graft.streaming.Streams.windowedAgg(events)
+      .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("events_window")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamTwin == batch,
+      "streaming window transform diverged from the oracle-checked batch twin")
+  }
+
   test("custom-state sessionization closes sessions on gap and matches batch") {
     val spark = TestSpark.session
     import spark.implicits._
