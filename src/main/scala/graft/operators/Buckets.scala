@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.Exact
+
+/** Bucketed (hash-partitioned) storage for co-located fact-fact joins —
+  * the Spark analog of the reference keeping a table and its index rows
+  * physically adjacent in the KV layout (kvs/, key/). Writing orders and
+  * lineitem bucketed+sorted by the join key is a ONE-TIME offline layout
+  * job; afterwards every orderkey-keyed join and aggregation reads
+  * co-partitioned buckets and shuffles NOTHING — at 100 TB the difference
+  * between a network-bound join and a local merge. PlanSpec pins the
+  * zero-exchange property. */
+object Buckets {
+
+  private val NBuckets = 8
+  private val warmed = scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** One-time bucketed layout of orders+lineitem for `dir`; returns the
+    * (ordersTable, lineitemTable) catalog names. */
+  def warm(s: SparkSession, dir: String): (String, String) =
+    warmed.getOrElseUpdate(dir, {
+      val h = Integer.toHexString(dir.hashCode)
+      val oT = s"orders_bkt_$h"
+      val lT = s"lineitem_bkt_$h"
+      Tables.orders(s, dir).write
+        .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"/tmp/graft_bkt_$h/orders")
+        .mode("overwrite").saveAsTable(oT)
+      Tables.lineitem(s, dir).write
+        .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"/tmp/graft_bkt_$h/lineitem")
+        .mode("overwrite").saveAsTable(lT)
+      (oT, lT)
+    })
+
+  /** Co-located join + same-key aggregation over the bucketed layout:
+    * SortMergeJoin reads both sides pre-partitioned and pre-sorted, the
+    * groupBy key equals the bucket key, so the whole plan runs without a
+    * single shuffle exchange (TakeOrderedAndProject caps the output). */
+  val bucketJoin = Q("bucket_join",
+    s"""SELECT o.o_orderkey, o.o_totalprice, COUNT(*) AS n_items,
+               ${Exact.sqlSum("l.l_quantity")} AS qty
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2 ORDER BY o.o_orderkey LIMIT 100""") { (s, d) =>
+    val (oT, lT) = warm(s, d)
+    val o = s.table(oT)
+    val l = s.table(lT)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(o("o_orderkey"), o("o_totalprice"))
+      .agg(count(lit(1)).as("n_items"), Exact.dsum(col("l_quantity")).as("qty"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  val all: Seq[Q] = Seq(bucketJoin)
+}

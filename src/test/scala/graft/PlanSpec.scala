@@ -91,6 +91,26 @@ class PlanSpec extends AnyFunSuite {
     // a 1×1 probe, the optimal shape)
   }
 
+  test("bucket_join runs join AND aggregation with zero shuffle exchanges") {
+    // at sf0.001 AQE would broadcast the small side, which hides the
+    // co-location property this test pins; force the at-scale join shape
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("bucket_join")(spark, sf)
+      df.collect() // AQE finalizes the plan at execution
+      val p = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(p).length
+      assert(exchanges == 0,
+        s"bucketed co-located join still shuffles ($exchanges exchanges):\n$p")
+      assert(p.contains("SortMergeJoin"), "expected a merge join over sorted buckets")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("gql_query inherits the same pushdown as native SurrealQL") {
     val p = planOf("gql_query")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
