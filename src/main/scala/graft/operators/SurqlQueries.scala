@@ -1189,6 +1189,30 @@ object SurqlQueries {
               duration::millis(duration::from_hours(1)) AS msx
        FROM orders:1..20 ORDER BY o_orderkey""")
 
+  /** Vector namespace batch 2 (fnc/vector.rs): element-wise algebra,
+    * normalize/angle/cross/project, hamming/minkowski distances, jaccard —
+    * all zip_with/transform lambdas or the native fold kernels. */
+  val vectorOps2 = sq("vector_ops2",
+    """SELECT o_orderkey,
+              '5,7,9' AS ad, '-3,-3,-3' AS sb, '4,10,18' AS ml,
+              array_to_string([2.0, 3.0], ',') AS dv,
+              3.0 / 5.0 AS nz, round(acos(0.0), 6) AS an,
+              '0,0,1' AS cx, 1 AS hm, 7.0 AS mk, 0.5 AS jc
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 5
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              array::join(vector::add([1,2,3], [4,5,6]), ',') AS ad,
+              array::join(vector::subtract([1,2,3], [4,5,6]), ',') AS sb,
+              array::join(vector::multiply([1,2,3], [4,5,6]), ',') AS ml,
+              array::join(vector::divide([4.0,9.0], [2.0,3.0]), ',') AS dv,
+              array::at(vector::normalize([3.0,4.0]), 0) AS nz,
+              math::fixed(vector::angle([1.0,0.0], [0.0,1.0]), 6) AS an,
+              array::join(vector::cross([1,0,0], [0,1,0]), ',') AS cx,
+              vector::distance::hamming([1,2,3], [1,9,3]) AS hm,
+              vector::distance::minkowski([0.0,0.0], [3.0,4.0], 1) AS mk,
+              vector::similarity::jaccard([1,2,3], [2,3,4]) AS jc
+       FROM orders:1..5 ORDER BY o_orderkey""")
+
   /** String namespace batch 2 (fnc/string.rs): join, unicode character-
     * class predicates, semver components. */
   val fnString2 = sq("fn_string2",
@@ -1381,7 +1405,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -2139,6 +2139,42 @@ object SparkPlanner {
       throw SqlError("SparkPlanner: search::score outside a MATCHES query")))
     // ---- vector::* — in-order double folds (codegen'd HOFs, no UDFs) -----
     case "vector::dot" => graft.operators.Similarity.dot(cs(0), cs(1))
+    // element-wise vector algebra (fnc/vector.rs) — codegen'd lambdas
+    case "vector::add"      => zip_with(cs(0), cs(1), (x, y) => x + y)
+    case "vector::subtract" => zip_with(cs(0), cs(1), (x, y) => x - y)
+    case "vector::multiply" => zip_with(cs(0), cs(1), (x, y) => x * y)
+    case "vector::divide"   => zip_with(cs(0), cs(1), (x, y) => x / y)
+    case "vector::scale"    => transform(cs(0), x => x * cs(1))
+    case "vector::normalize" =>
+      val mag = graft.operators.Similarity.norm(cs(0))
+      transform(cs(0), x => x.cast("double") / mag)
+    case "vector::angle" =>
+      acos(graft.operators.Similarity.cosine(cs(0), cs(1)))
+    case "vector::cross" =>
+      def at(c: Column, i: Int) = element_at(c, i)
+      array(
+        at(cs(0), 2) * at(cs(1), 3) - at(cs(0), 3) * at(cs(1), 2),
+        at(cs(0), 3) * at(cs(1), 1) - at(cs(0), 1) * at(cs(1), 3),
+        at(cs(0), 1) * at(cs(1), 2) - at(cs(0), 2) * at(cs(1), 1))
+    case "vector::project" =>
+      val k = graft.operators.Similarity.dot(cs(0), cs(1)) /
+        graft.operators.Similarity.dot(cs(1), cs(1))
+      transform(cs(1), x => x.cast("double") * k)
+    case "vector::distance::hamming" =>
+      aggregate(zip_with(cs(0), cs(1),
+        (x, y) => when(x === y, 0L).otherwise(1L)), lit(0L), (a, v) => a + v)
+        .cast("bigint")
+    case "vector::distance::minkowski" => raw(2) match {
+      case Lit(v: VNum) =>
+        val p = v.toDouble
+        pow(aggregate(zip_with(cs(0), cs(1),
+          (x, y) => pow(abs(x.cast("double") - y.cast("double")), p)),
+          lit(0.0), (a, x) => a + x), 1.0 / p)
+      case _ => throw SqlError("SparkPlanner: minkowski needs a constant order")
+    }
+    case "vector::similarity::jaccard" =>
+      size(array_intersect(cs(0), cs(1))).cast("double") /
+        size(array_union(cs(0), cs(1)))
     case "vector::magnitude" => graft.operators.Similarity.norm(cs(0))
     case "vector::distance::euclidean" => graft.operators.Similarity.l2(cs(0), cs(1))
     case "vector::distance::manhattan" => graft.operators.Similarity.l1(cs(0), cs(1))
