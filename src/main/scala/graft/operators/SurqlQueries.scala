@@ -446,6 +446,20 @@ object SurqlQueries {
           ORDER BY cos_sim DESC, vec_id""")
   }
 
+  /** WITH NOINDEX honored on the KNN path (exec/planner/util.rs index
+    * hints): the `<|k|>` probe skips the persisted ANN index and runs the
+    * exact brute cosine top-k — which makes the hinted query ORACLE-exact
+    * where the index probe is approximate by design. */
+  val knnNoindex = Q("knn_noindex", Similarity.knnBrute.oracle.get) { (s, d) =>
+    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    SparkPlanner.query(s, d,
+      s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
+          FROM embeddings WITH NOINDEX WHERE vec_id != 0 AND embedding <|10|> $vec
+          ORDER BY cos_sim DESC, vec_id""")
+  }
+
   // ---- COLLATE / NUMERIC ordering -----------------------------------------
 
   /** ORDER BY … COLLATE: case-insensitive lexical order with a binary
@@ -1399,7 +1413,7 @@ object SurqlQueries {
     gqlQuery,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     graphChain, graphChainField,
-    fulltextBm25, knnBruteText, knnAnnText, sortCollate, sortNumeric,
+    fulltextBm25, knnBruteText, knnAnnText, knnNoindex, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,

@@ -661,6 +661,16 @@ object SparkPlanner {
           df = df.withColumn("__knn_dist", dist)
             .orderBy(col("__knn_dist").asc, col(srcKey).asc)
             .limit(k)
+        case _ if s.withIndex.contains(Nil) =>
+          // WITH NOINDEX (exec/planner/util.rs index hints): the `<|k|>`
+          // probe must NOT touch the persisted ANN index — exact brute
+          // cosine top-k instead, same as the reference falling back to a
+          // full KnnTopK scan
+          val qe = array(qvec.map(lit): _*)
+          val Sim = graft.operators.Similarity
+          df = df.withColumn("__knn_dist", lit(1.0) - Sim.cosine(col(f), qe))
+            .orderBy(col("__knn_dist").asc, col(srcKey).asc)
+            .limit(k)
         case _ =>
           // `<|k|>` / `<|k,ef|>`: index-backed ANN (KnnScan,
           // exec/operators/scan/knn.rs:37) over the persisted LSH index;
