@@ -654,6 +654,21 @@ object SurqlQueries {
              FROM part)
        ORDER BY p_partkey""")
 
+  /** parse::url batch 2: domain/port/fragment (fnc/parse.rs). */
+  val fnParse2 = sq("fn_parse2",
+    """SELECT p_partkey, 'shop.example.com' AS dom,
+              CAST(8080 AS BIGINT) AS port, 'sec' || p_partkey AS frag
+       FROM part WHERE p_partkey < 20 ORDER BY p_partkey""")(
+    """SELECT p_partkey,
+              parse::url::domain(url) AS dom,
+              parse::url::port(url) AS port,
+              parse::url::fragment(url) AS frag
+       FROM (SELECT p_partkey,
+                    string::concat('https://shop.example.com:8080/x#sec',
+                                   <string> p_partkey) AS url
+             FROM part WHERE p_partkey < 20)
+       ORDER BY p_partkey""")
+
   // ---- text-analysis pipeline from SurrealQL text -------------------------
   // (same names/oracles as the hand-built TextOps entries they replace)
 
@@ -1419,7 +1434,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -2130,7 +2130,11 @@ object SparkPlanner {
     case "crypto::sha256" => sha2(cs(0), 256)
     case "crypto::sha512" => sha2(cs(0), 512)
     // ---- parse::* --------------------------------------------------------
-    case "parse::url::host"   => parse_url(cs(0), lit("HOST"))
+    case "parse::url::host" | "parse::url::domain" => parse_url(cs(0), lit("HOST"))
+    case "parse::url::fragment" => parse_url(cs(0), lit("REF"))
+    case "parse::url::port" =>
+      regexp_extract(cs(0), "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:(\\d+)", 1)
+        .cast("bigint")
     case "parse::url::path"   => parse_url(cs(0), lit("PATH"))
     case "parse::url::query"  => parse_url(cs(0), lit("QUERY"))
     case "parse::url::scheme" => parse_url(cs(0), lit("PROTOCOL"))
