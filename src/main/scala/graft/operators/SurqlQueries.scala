@@ -669,6 +669,23 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
+  /** time::format (strftime subset → java.time translation) + schema-
+    * derived type::of. */
+  val fnFormat = sq("fn_format",
+    """SELECT o_orderkey,
+              strftime(o_orderdate, '%Y-%m-%d') AS d,
+              strftime(o_orderdate, '%d/%m/%Y %H:%M') AS dm,
+              strftime(o_orderdate, '%B %Y') AS mon,
+              'float' AS t1, 'string' AS t2
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 20
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              time::format(o_orderdate, '%Y-%m-%d') AS d,
+              time::format(o_orderdate, '%d/%m/%Y %H:%M') AS dm,
+              time::format(o_orderdate, '%B %Y') AS mon,
+              type::of(o_totalprice) AS t1, type::of(o_orderstatus) AS t2
+       FROM orders:1..20 ORDER BY o_orderkey""")
+
   // ---- text-analysis pipeline from SurrealQL text -------------------------
   // (same names/oracles as the hand-built TextOps entries they replace)
 
@@ -1434,7 +1451,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -1888,6 +1888,34 @@ object SparkPlanner {
     case "time::week"   => weekofyear(cs(0)).cast("bigint")
     case "time::yday"   => dayofyear(cs(0)).cast("bigint")
     case "time::now"    => current_timestamp()
+    // strftime-style formatting (fnc/time.rs format → chrono specifiers),
+    // translated to Spark's java.time patterns for the common subset
+    case "time::format" => raw(1) match {
+      case Lit(VStr(fmt)) =>
+        val java = new StringBuilder
+        var i = 0
+        while (i < fmt.length) {
+          if (fmt(i) == '%' && i + 1 < fmt.length) {
+            java.append(fmt(i + 1) match {
+              case 'Y' => "yyyy"; case 'y' => "yy";  case 'm' => "MM"
+              case 'd' => "dd";   case 'e' => "d";   case 'H' => "HH"
+              case 'M' => "mm";   case 'S' => "ss";  case 'j' => "DDD"
+              case 'b' => "MMM";  case 'B' => "MMMM"
+              case 'a' => "EEE";  case 'A' => "EEEE"
+              case '%' => "%"
+              case other => throw SqlError(s"SparkPlanner: time::format %$other unsupported")
+            })
+            i += 2
+          } else {
+            // literal chars that collide with pattern letters get quoted
+            if (fmt(i).isLetter) java.append("'").append(fmt(i)).append("'")
+            else java.append(fmt(i))
+            i += 1
+          }
+        }
+        date_format(cs(0).cast("timestamp"), java.toString)
+      case _ => throw SqlError("SparkPlanner: time::format needs a constant format")
+    }
     case "time::timezone" => lit("UTC") // session TZ is pinned UTC
     case "time::is_leap_year" =>
       val y = year(cs(0))
@@ -2197,6 +2225,14 @@ object SparkPlanner {
     case "vector::similarity::cosine" => graft.operators.Similarity.cosine(cs(0), cs(1))
     case "vector::distance::knn" => col(ctx.knnDistCol.getOrElse(
       throw SqlError("SparkPlanner: vector::distance::knn outside a KNN query")))
+    // type::of — the declared kind name; static from the schema on a typed
+    // column (fnc/type.rs)
+    case "type::of" => raw(0) match {
+      case Idiom(Seq(PField(n))) if ctx.schema.fieldNames.contains(n) =>
+        lit(surqlKind(ctx.schema(n).dataType))
+      case Lit(v) => lit(v.typeName)
+      case other => throw SqlError(s"SparkPlanner: type::of needs a typed column, got $other")
+    }
     // ---- type::is::* — runtime type checks; on a typed column the answer
     // is static from the schema, null-aware (NULL is no type) -------------
     case n if n.startsWith("type::is::") || n.startsWith("type::is_") =>
