@@ -1387,6 +1387,15 @@ object SurqlQueries {
            WHERE event_type = 'order_update' ORDER BY event_id;""")
   }
 
+  /** EXPLAIN on the Spark path surfaces the Catalyst plan the SurrealQL
+    * lowered to — rows-only (plan text is engine-specific by nature; the
+    * reference-shaped plan tree lives on the Interp path, surql/Explain). */
+  val explainSpark = Q.rowsOnly("explain_spark") { (s, d) =>
+    SparkPlanner.query(s, d,
+      """EXPLAIN SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > 100000.0 ORDER BY o_orderkey LIMIT 10""")
+  }
+
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,
     * fnc/session.rs): record ids travel as `table:key` strings, so the
     * accessors are codegen'd string splits; session ns/db are catalog-bound
@@ -1451,7 +1460,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

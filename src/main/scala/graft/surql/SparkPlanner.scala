@@ -88,6 +88,18 @@ object SparkPlanner {
         val dummy = spark.range(1)
         val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
         dummy.select(fields.map { case (name, e) => toCol(e, ctx).as(name) }: _*)
+      // EXPLAIN <select> (exec/operators/explain.rs): on the Spark path the
+      // authoritative plan IS Catalyst's — one row per optimized-plan line,
+      // so a user sees the pushdowns/joins their SurrealQL lowered to
+      // (EXPLAIN ANALYZE executes first and reports the final AQE plan)
+      case Seq(ExplainStmt(analyze, _, inner: SelectStmt)) =>
+        val df = planSelect(spark, dir, inner)
+        val plan =
+          if (analyze) { df.collect(); df.queryExecution.executedPlan.toString }
+          else df.queryExecution.optimizedPlan.toString
+        val rows = plan.linesIterator.zipWithIndex
+          .map { case (l, i) => (i.toLong, l) }.toSeq
+        spark.createDataFrame(rows).toDF("line_no", "operator")
       // INFO FOR DB / TABLE (expr/statements/info.rs): the catalog rendered
       // as rows — a driver-side listing, no cluster work
       case Seq(InfoStmt("DB", _, _, _)) =>
