@@ -669,6 +669,22 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
+  /** object::values / object::entries (fnc/object.rs): exact on object
+    * literals, JSON-rendered for struct columns; the destructure struct
+    * `fk.{…}` feeds the struct arm. */
+  val fnObject2 = sq("fn_object2",
+    """SELECT o_orderkey,
+              o_orderstatus || ',' || o_orderpriority AS vals,
+              'a,1,b,' || o_orderstatus AS ents,
+              c.c_name || ',' || c.c_mktsegment AS dvals
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o_orderkey >= 1 AND o_orderkey < 20 ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              array::join(object::values({ s: o_orderstatus, p: o_orderpriority }), ',') AS vals,
+              array::join(array::flatten(object::entries({ a: 1, b: o_orderstatus })), ',') AS ents,
+              array::join(object::values(o_custkey.{c_name, c_mktsegment}), ',') AS dvals
+       FROM orders:1..20 ORDER BY o_orderkey""")
+
   /** time::format (strftime subset → java.time translation) + schema-
     * derived type::of. */
   val fnFormat = sq("fn_format",
@@ -1460,7 +1476,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, explainSpark,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

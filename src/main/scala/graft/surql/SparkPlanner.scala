@@ -2141,6 +2141,20 @@ object SparkPlanner {
     // ---- object::* — keys via the JSON render (codegen'd; struct field
     // order is the object's insertion order, matching fnc/object.rs) -------
     case "object::keys"     => json_object_keys(to_json(cs(0)))
+    // values/entries: exact on object literals; struct columns go through
+    // the JSON render (string-valued — the canonical render of each field)
+    case "object::values" => raw(0) match {
+      case ObjLit(fs) => array(fs.map { case (_, e) => toCol(e, ctx) }: _*)
+      case _ => map_values(from_json(to_json(cs(0)),
+        MapType(StringType, StringType)))
+    }
+    case "object::entries" => raw(0) match {
+      case ObjLit(fs) =>
+        array(fs.map { case (k, e) => array(lit(k), toCol(e, ctx).cast("string")) }: _*)
+      case _ => transform(
+        map_entries(from_json(to_json(cs(0)), MapType(StringType, StringType))),
+        e => array(e.getField("key"), e.getField("value")))
+    }
     case "object::len"      => size(json_object_keys(to_json(cs(0)))).cast("bigint")
     case "object::is_empty" => size(json_object_keys(to_json(cs(0)))) === 0
     // ---- encoding::base64 — reference default: UNPADDED encode, padding-
