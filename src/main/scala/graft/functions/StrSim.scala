@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** String-similarity kernels (fnc/string.rs similarity::*, strsim crate
+  * semantics — the same algorithm the interpreter path runs, so both
+  * engines agree to the ulp). The expressions stay inside whole-stage
+  * codegen by generating a static call into [[StrSim]] — one virtual-free
+  * JVM call per row, no lambda interpretation. */
+object StrSim {
+  /** Jaro similarity (strsim jaro; standard match-window definition). */
+  def jaro(xs: UTF8String, ys: UTF8String): Double = {
+    val x = xs.toString
+    val y = ys.toString
+    if (x == y) return 1.0
+    if (x.isEmpty || y.isEmpty) return 0.0
+    val window = Math.max(x.length, y.length) / 2 - 1
+    val xm = new Array[Boolean](x.length)
+    val ym = new Array[Boolean](y.length)
+    var matches = 0
+    var i = 0
+    while (i < x.length) {
+      val lo = Math.max(0, i - window)
+      val hi = Math.min(y.length - 1, i + window)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!ym(j) && x(i) == y(j)) {
+          xm(i) = true; ym(j) = true; matches += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < x.length) {
+      if (xm(i)) {
+        while (!ym(k)) k += 1
+        if (x(i) != y(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
+  }
+
+  /** Jaro-Winkler: jaro boosted by the common prefix (≤4 chars, p=0.1). */
+  def jaroWinkler(xs: UTF8String, ys: UTF8String): Double = {
+    val j = jaro(xs, ys)
+    val x = xs.toString
+    val y = ys.toString
+    var prefix = 0
+    while (prefix < Math.min(4, Math.min(x.length, y.length)) &&
+      x(prefix) == y(prefix)) prefix += 1
+    j + prefix * 0.1 * (1 - j)
+  }
+}
+
+abstract class StrSimF extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  protected def method: String
+  override def nullSafeEval(l: Any, r: Any): Any =
+    method match {
+      case "jaro" => StrSim.jaro(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+      case _      => StrSim.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+    }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.$method($a, $b)")
+}
+
+final case class JaroF(left: Expression, right: Expression) extends StrSimF {
+  override def prettyName: String = "graft_jaro"
+  protected def method: String = "jaro"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class JaroWinklerF(left: Expression, right: Expression) extends StrSimF {
+  override def prettyName: String = "graft_jaro_winkler"
+  protected def method: String = "jaroWinkler"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object StrSimKernels {
+  def ensure(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_jaro",
+      es => JaroF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      es => JaroWinklerF(es.head, es(1)), "built-in")
+  }
+}

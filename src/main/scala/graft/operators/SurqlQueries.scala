@@ -669,6 +669,20 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
+  /** string::similarity::jaro / jaro_winkler as native codegen'd kernels
+    * (StrSim — the strsim-crate algorithm both engine paths share); the
+    * oracle is DuckDB's own jaro_similarity/jaro_winkler_similarity,
+    * rounded to absorb last-ulp disagreement between implementations. */
+  val fnSimilarity = sq("fn_similarity",
+    """SELECT p_partkey,
+              round(jaro_similarity(p_name, p_type), 6) AS j,
+              round(jaro_winkler_similarity(p_name, p_type), 6) AS jw
+       FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")(
+    """SELECT p_partkey,
+              math::fixed(string::similarity::jaro(p_name, p_type), 6) AS j,
+              math::fixed(string::similarity::jaro_winkler(p_name, p_type), 6) AS jw
+       FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")
+
   /** object::values / object::entries (fnc/object.rs): exact on object
     * literals, JSON-rendered for struct columns; the destructure struct
     * `fk.{…}` feeds the struct arm. */
@@ -1476,7 +1490,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, explainSpark,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -1984,6 +1984,14 @@ object SparkPlanner {
     }
     case "string::matches" => regexp_like(cs(0), cs(1))
     case "string::reverse" => reverse(cs(0))
+    case "string::similarity::jaro" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_jaro", cs(0), cs(1))
+    case "string::similarity::jaro_winkler" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_jaro_winkler", cs(0), cs(1))
     // join(sep, parts…) — parts render raw (fnc/string.rs Join)
     case "string::join" => raw(0) match {
       case Lit(VStr(sep)) => concat_ws(sep, cs.tail.map(_.cast("string")): _*)
