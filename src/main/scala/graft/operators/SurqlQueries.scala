@@ -669,6 +669,33 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
+  /** Percentile-family aggregates (fnc/math.rs: p in 0..100, linear
+    * interpolation — the definition Spark's percentile and DuckDB's
+    * quantile_cont share): p90, spread, interquartile, midhinge, trimean
+    * per group. Imperative aggs split from codegen'd ones (the median
+    * pattern), declarative side keeps map-side partials. */
+  val fnAggStats2 = sq("fn_agg_stats2",
+    """SELECT l_returnflag,
+              round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+              max(l_quantity) - min(l_quantity) AS spread,
+              round(quantile_cont(l_quantity, 0.75)
+                    - quantile_cont(l_quantity, 0.25), 6) AS iqr,
+              round((quantile_cont(l_quantity, 0.25)
+                     + quantile_cont(l_quantity, 0.75)) / 2, 6) AS mh,
+              round((quantile_cont(l_quantity, 0.25)
+                     + 2 * quantile_cont(l_quantity, 0.5)
+                     + quantile_cont(l_quantity, 0.75)) / 4, 6) AS tm,
+              COUNT(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")(
+    """SELECT l_returnflag,
+              math::fixed(math::percentile(l_quantity, 90), 6) AS p90,
+              math::spread(l_quantity) AS spread,
+              math::fixed(math::interquartile(l_quantity), 6) AS iqr,
+              math::fixed(math::midhinge(l_quantity), 6) AS mh,
+              math::fixed(math::trimean(l_quantity), 6) AS tm,
+              count() AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+
   /** string::similarity::jaro / jaro_winkler as native codegen'd kernels
     * (StrSim — the strsim-crate algorithm both engine paths share); the
     * oracle is DuckDB's own jaro_similarity/jaro_winkler_similarity,
@@ -1490,7 +1517,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, explainSpark,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -708,8 +708,10 @@ object SparkPlanner {
     // medians as their OWN aggregation and join back on the keys: the
     // declarative side keeps whole-stage codegen, the join is one row per
     // group (tiny), and both sides still do map-side partials.
+    val imperativeAggs = Set("math::median", "math::percentile", "math::mode",
+      "math::interquartile", "math::midhinge", "math::trimean")
     def containsMedian(e: Expr): Boolean = e match {
-      case FnCall("math::median", _) => true
+      case FnCall(n, _) if imperativeAggs.contains(n) => true
       case FnCall(_, args)  => args.exists(containsMedian)
       case Binary(_, l, r)  => containsMedian(l) || containsMedian(r)
       case Prefix(_, inner) => containsMedian(inner)
@@ -1555,14 +1557,16 @@ object SparkPlanner {
     f.alias.getOrElse(Eval.fieldName(f.expr))
 
   private def isAggregate(e: Expr): Boolean = e match {
-    case FnCall(name, _) =>
-      name == "count" || aggFns.contains(name)
+    case FnCall(name, args) =>
+      name == "count" || aggFns.contains(name) || args.exists(isAggregate)
     case Binary(_, l, r) => isAggregate(l) || isAggregate(r)
     case _ => false
   }
 
   private val aggFns = Set("math::sum", "math::mean", "math::min", "math::max",
     "math::stddev", "math::variance", "math::median", "time::min", "time::max", "count",
+    "math::percentile", "math::mode", "math::spread", "math::interquartile",
+    "math::midhinge", "math::trimean",
     // implicit array-collapse family: a non-grouped field under GROUP BY
     // becomes an array, and these consume it (aggregates/array.rs)
     "array::group", "array::distinct", "array::join")
@@ -1591,6 +1595,33 @@ object SparkPlanner {
       val ic = toCol(inner, ctx)
       if (isDoubleTyped(inner, ctx.schema)) Exact.dvarSamp(ic) else var_samp(ic)
     case FnCall("math::median", Seq(inner)) => median(toCol(inner, ctx))
+    // percentile family (fnc/math.rs: p in 0..100, linear interpolation —
+    // Spark's percentile/DuckDB's quantile_cont share the definition)
+    case FnCall("math::percentile", Seq(inner, p)) =>
+      percentile(toCol(inner, ctx), lit(Eval.evalConst(p) match {
+        case n: VNum => n.toDouble / 100.0
+        case other => throw SqlError(s"SparkPlanner: percentile p must be numeric, got ${other.render}")
+      }))
+    case FnCall("math::mode", Seq(inner)) => mode(toCol(inner, ctx))
+    case FnCall("math::spread", Seq(inner)) =>
+      max(toCol(inner, ctx)) - min(toCol(inner, ctx))
+    case FnCall("math::interquartile", Seq(inner)) =>
+      val c = toCol(inner, ctx)
+      percentile(c, lit(0.75)) - percentile(c, lit(0.25))
+    case FnCall("math::midhinge", Seq(inner)) =>
+      val c = toCol(inner, ctx)
+      (percentile(c, lit(0.25)) + percentile(c, lit(0.75))) / 2.0
+    case FnCall("math::trimean", Seq(inner)) =>
+      val c = toCol(inner, ctx)
+      (percentile(c, lit(0.25)) + percentile(c, lit(0.5)) * 2.0 +
+        percentile(c, lit(0.75))) / 4.0
+    // rounding over an aggregate: fixed(agg, n) → round(agg, n)
+    case FnCall("math::fixed", Seq(inner, d)) if isAggregate(inner) =>
+      val n = Eval.evalConst(d) match {
+        case VInt(i) => i.toInt
+        case other => throw SqlError(s"SparkPlanner: fixed digits must be int, got ${other.render}")
+      }
+      round(aggExpr(inner, ctx), n)
     case FnCall("math::min", Seq(inner)) => min(toCol(inner, ctx))
     case FnCall("math::max", Seq(inner)) => max(toCol(inner, ctx))
     case FnCall("time::min", Seq(inner)) => min(toCol(inner, ctx)).cast("date")
