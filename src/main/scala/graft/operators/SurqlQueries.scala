@@ -669,6 +669,35 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
+  /** Array namespace batch 3 (fnc/array.rs): transpose, boolean algebra,
+    * closure find/find_index, every/some aliases, swap, pop, matches, and
+    * string::html::encode — all codegen'd lambdas over constant inputs
+    * with literal expected renderings. */
+  val fnArray3 = sq("fn_array3",
+    """SELECT o_orderkey,
+              '1,3,2,4' AS tp, 'true,false' AS ba, 'true,true' AS bo,
+              'false,true' AS bx, 'false,true' AS bn,
+              4 AS fnd, 1 AS fni, TRUE AS ev, FALSE AS sm,
+              '3,2,1' AS sw, 9 AS pp, 'false,true,false' AS mt,
+              'a&#32;&lt;b&gt;&#61;&quot;c&amp;d&quot;' AS henc
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 3
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              array::join(array::flatten(array::transpose([[1,2],[3,4]])), ',') AS tp,
+              array::join(array::boolean_and([true,true], [true,false]), ',') AS ba,
+              array::join(array::boolean_or([true,false], [false,true]), ',') AS bo,
+              array::join(array::boolean_xor([true,false], [true,true]), ',') AS bx,
+              array::join(array::boolean_not([true,false]), ',') AS bn,
+              array::find([1,4,6], |$x| $x > 3) AS fnd,
+              array::find_index([1,4,6], |$x| $x > 3) AS fni,
+              array::every([2,4,6], |$x| $x % 2 = 0) AS ev,
+              array::some([1,3,5], |$x| $x % 2 = 0) AS sm,
+              array::join(array::swap([1,2,3], 0, 2), ',') AS sw,
+              array::pop([1,2,9]) AS pp,
+              array::join(array::matches([1,2,3], 2), ',') AS mt,
+              string::html::encode('a <b>="c&d"') AS henc
+       FROM orders:1..3 ORDER BY o_orderkey""")
+
   /** Percentile-family aggregates (fnc/math.rs: p in 0..100, linear
     * interpolation — the definition Spark's percentile and DuckDB's
     * quantile_cont share): p90, spread, interquartile, midhinge, trimean
@@ -1517,7 +1546,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, explainSpark,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, fnArray3, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -2063,17 +2063,32 @@ object SparkPlanner {
           toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
       case _ => throw SqlError("SparkPlanner: array::filter expects (array, |$x| …)")
     }
-    case "array::any" => raw match {
+    case "array::any" | "array::some" => raw match {
       case Seq(arr, Closure(Seq((p, _)), body, _)) =>
         exists(toCol(arr, ctx), x =>
           toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
       case _ => throw SqlError("SparkPlanner: array::any expects (array, |$x| …)")
     }
-    case "array::all" => raw match {
+    case "array::all" | "array::every" => raw match {
       case Seq(arr, Closure(Seq((p, _)), body, _)) =>
         forall(toCol(arr, ctx), x =>
           toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x))))
       case _ => throw SqlError("SparkPlanner: array::all expects (array, |$x| …)")
+    }
+    case "array::find" => raw match {
+      case Seq(arr, Closure(Seq((p, _)), body, _)) =>
+        element_at(filter(toCol(arr, ctx), x =>
+          toCol(body, ctx.copy(lambdaParams = ctx.lambdaParams + (p -> x)))), 1)
+      case _ => throw SqlError("SparkPlanner: array::find expects (array, |$x| ...)")
+    }
+    case "array::find_index" => raw match {
+      // first matching 0-based index, NONE when no element matches
+      case Seq(arr, Closure(Seq((p, _)), body, _)) =>
+        val a = toCol(arr, ctx)
+        element_at(filter(sequence(lit(1), greatest(size(a), lit(1))), i =>
+          i <= size(a) && toCol(body, ctx.copy(lambdaParams =
+            ctx.lambdaParams + (p -> element_at(a, i))))), 1) - 1
+      case _ => throw SqlError("SparkPlanner: array::find_index expects (array, |$x| ...)")
     }
     case "array::fold" => raw match {
       case Seq(arr, init, Closure(Seq((pa, _), (px, _)), body, _)) =>
@@ -2153,6 +2168,30 @@ object SparkPlanner {
       case _ => throw SqlError("SparkPlanner: array::clump needs a constant size")
     }
     case "array::is_empty" => size(cs(0)) === 0
+    case "array::pop" => element_at(cs(0), -1)
+    case "array::matches" => transform(cs(0), x => x === cs(1))
+    // element-wise boolean combination (fnc/array.rs boolean_*; null-safe
+    // via coalesce-to-false on the shorter side)
+    case "array::boolean_and" | "array::logical_and" =>
+      zip_with(cs(0), cs(1), (x, y) => coalesce(x, lit(false)) && coalesce(y, lit(false)))
+    case "array::boolean_or" | "array::logical_or" =>
+      zip_with(cs(0), cs(1), (x, y) => coalesce(x, lit(false)) || coalesce(y, lit(false)))
+    case "array::boolean_xor" | "array::logical_xor" =>
+      zip_with(cs(0), cs(1), (x, y) =>
+        coalesce(x, lit(false)) =!= coalesce(y, lit(false)))
+    case "array::boolean_not" => transform(cs(0), x => !x)
+    // matrix transpose for rectangular arrays-of-arrays (fnc/array.rs)
+    case "array::transpose" =>
+      transform(sequence(lit(1), size(element_at(cs(0), 1))),
+        i => transform(cs(0), row => element_at(row, i)))
+    case "array::swap" => (raw(1), raw(2)) match {
+      case (Lit(VInt(i)), Lit(VInt(j))) =>
+        transform(sequence(lit(1), size(cs(0))), p =>
+          when(p === (i + 1).toInt, element_at(cs(0), (j + 1).toInt))
+            .when(p === (j + 1).toInt, element_at(cs(0), (i + 1).toInt))
+            .otherwise(element_at(cs(0), p)))
+      case _ => throw SqlError("SparkPlanner: array::swap needs constant indices")
+    }
     case "array::remove" => raw(1) match {
       // drop the element at 0-based index (fnc/array.rs Remove)
       case Lit(VInt(i)) =>
@@ -2196,6 +2235,14 @@ object SparkPlanner {
     }
     case "object::len"      => size(json_object_keys(to_json(cs(0)))).cast("bigint")
     case "object::is_empty" => size(json_object_keys(to_json(cs(0)))) === 0
+    // ---- string::html::encode — the ammonia clean_text escape set -------
+    case "string::html::encode" =>
+      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;",
+        "'" -> "&#39;", "`" -> "&#96;", "/" -> "&#47;", "=" -> "&#61;",
+        " " -> "&#32;", "\t" -> "&#9;", "\n" -> "&#10;", "\r" -> "&#13;")
+        .foldLeft(cs(0)) { case (c, (from, to)) =>
+          regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+        }
     // ---- encoding::base64 — reference default: UNPADDED encode, padding-
     // indifferent decode (fnc/encoding.rs STANDARD_NO_PAD) -----------------
     case "encoding::base64::encode" =>
