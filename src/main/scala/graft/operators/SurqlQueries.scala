@@ -669,6 +669,17 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
+  /** SPLIT ON multiple fields — a cartesian of explodes, one chained
+    * generator per field (exec/operators/split.rs). */
+  val splitMulti = sq("split_multi",
+    """SELECT o_orderkey, a.a AS a, b.b AS b
+       FROM orders, (SELECT unnest([1, 2]) AS a) a,
+            (SELECT unnest(['x', 'y']) AS b) b
+       WHERE o_orderkey >= 1 AND o_orderkey < 3
+       ORDER BY o_orderkey, a, b""")(
+    """SELECT o_orderkey, [1, 2] AS a, ['x', 'y'] AS b
+       FROM orders:1..3 SPLIT a, b ORDER BY o_orderkey, a, b""")
+
   /** Array namespace batch 3 (fnc/array.rs): transpose, boolean algebra,
     * closure find/find_index, every/some aliases, swap, pop, matches, and
     * string::html::encode — all codegen'd lambdas over constant inputs
@@ -1546,7 +1557,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, fnArray3, explainSpark,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

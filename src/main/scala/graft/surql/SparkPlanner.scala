@@ -697,7 +697,6 @@ object SparkPlanner {
 
     // ---- split -----------------------------------------------------------
     // SPLIT ON an array-valued projected field: project first, then explode
-    val splitFields = s.split.toSet
 
     // ---- aggregate / project ---------------------------------------------
     // math::median lowers to Spark's Percentile — a TypedImperativeAggregate.
@@ -760,13 +759,14 @@ object SparkPlanner {
       case scala.None =>
         val cols = s.fields.map { f =>
           if (f.isAll) col("*")
-          else {
-            val base = c(f.expr)
-            val name = fieldAlias(f)
-            if (splitFields.contains(name)) explode(base).as(name) else base.as(name)
-          }
+          else c(f.expr).as(fieldAlias(f))
         }
-        df.select(cols: _*)
+        // SPLIT ON multiple fields is a cartesian of explodes — Spark
+        // allows one generator per projection, so each split field gets
+        // its own chained explode (exec/operators/split.rs)
+        s.split.foldLeft(df.select(cols: _*)) { (d, f) =>
+          d.withColumn(f, explode(col(f)))
+        }
     }
     df = out
     // ---- OMIT: column-set subtraction from the projected output ----------
