@@ -930,6 +930,12 @@ object SurqlQueries {
     * orders — derived identically by the oracle's window, and rendered into
     * the statement by two O(1)-row driver probes (the knn_brute pattern).
     * Path excludes the start (non-inclusive), so it is chain ranks 2..4. */
+  /** The (start, target) fixture probes are deterministic per corpus —
+    * memoized so bench reps and repeated verifies pay the two window
+    * passes once. */
+  private val shortestProbes =
+    scala.collection.concurrent.TrieMap[String, (Long, Long)]()
+
   val recursionShortest = Q("recursion_shortest",
     """WITH seq AS (
          SELECT o_orderkey, o_custkey,
@@ -944,18 +950,21 @@ object SurqlQueries {
        SELECT sk AS o_orderkey, path FROM s, p""") { (s, d) =>
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    val seq = Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_custkey")))
-      .persist()
-    val ck = seq.filter(col("cnt") >= 4).agg(min("o_custkey")).head.getLong(0)
-    val s0 = seq.filter(col("o_custkey") === ck && col("rn") === 1)
-      .select("o_orderkey").head.getLong(0)
-    val t0 = seq.filter(col("o_custkey") === ck && col("rn") === 4)
-      .select("o_orderkey").head.getLong(0)
-    seq.unpersist()
+    val (s0, t0) = shortestProbes.getOrElseUpdate(d, {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val seq = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .persist()
+      val ck = seq.filter(col("cnt") >= 4).agg(min("o_custkey")).head.getLong(0)
+      val start = seq.filter(col("o_custkey") === ck && col("rn") === 1)
+        .select("o_orderkey").head.getLong(0)
+      val target = seq.filter(col("o_custkey") === ck && col("rn") === 4)
+        .select("o_orderkey").head.getLong(0)
+      seq.unpersist()
+      (start, target)
+    })
     SparkPlanner.query(s, d,
       s"""SELECT o_orderkey,
             array::join(@{1..6+shortest=orders:$t0}(->next_order->orders), ',') AS path
