@@ -106,6 +106,47 @@ object Live {
       .filter(col("action").isNotNull)
   }
 
+  /** DIFF-mode notifications (expr/statements/live.rs `diff`): instead of
+    * the full record, each notification carries a JSON-patch describing
+    * the change — `replace` per modified field against the before-image,
+    * `add` of the whole document on CREATE, `remove` on DELETE
+    * (types/src/notification.rs result with store_diff). Runs identically
+    * batch/streaming: a stateless projection over the full change feed. */
+  def diffNotifications(changes: DataFrame): DataFrame = {
+    val recSchema = changes.schema("rec_after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val replaces = array(recSchema.fieldNames.toIndexedSeq.map { f =>
+      when(!(col(s"rec_before.$f") <=> col(s"rec_after.$f")),
+        struct(lit("replace").as("op"), lit("/" + f).as("path"),
+          col(s"rec_after.$f").cast("string").as("value")))
+        .otherwise(lit(null))
+    }: _*)
+    changes.withColumn("patch",
+      when(col("action") === "CREATE", to_json(array(struct(
+        lit("add").as("op"), lit("/").as("path"),
+        to_json(col("rec_after")).as("value")))))
+        .when(col("action") === "DELETE", to_json(array(struct(
+          lit("remove").as("op"), lit("/").as("path"),
+          lit(null).cast("string").as("value")))))
+        .otherwise(to_json(filter(replaces, p => p.isNotNull))))
+      .select(col("vs"), col("id"), col("action"), col("patch"))
+  }
+
+  /** CORRECTNESS row: a controlled one-field UPDATE through DIFF mode —
+    * the oracle rebuilds the identical patch strings in SQL. */
+  val liveDiff = Q("live_diff",
+    """SELECT CAST(1 AS BIGINT) AS vs, o_orderkey AS id, 'UPDATE' AS action,
+              '[{"op":"replace","path":"/o_totalprice","value":"'
+                || CAST(o_totalprice + 1000.0 AS VARCHAR) || '"}]' AS patch
+       FROM orders WHERE o_orderkey < 30 ORDER BY id""") {
+    (s, d) =>
+      val o = Tables.orders(s, d)
+      val after = Mutations.update(o, col("o_orderkey") < 30,
+        Map("o_totalprice" -> (col("o_totalprice") + lit(1000.0))))
+      diffNotifications(changeFeedFull(o, after, "o_orderkey", versionstamp = 1L))
+        .orderBy("id")
+  }
+
   /** Incremental view maintenance (doc/table.rs: `DEFINE TABLE v AS SELECT
     * g, count(), sum(x) GROUP BY g` views update on every write, never
     * recompute): each change decomposes into a retraction delta against its
@@ -195,5 +236,5 @@ object Live {
         .orderBy("id")
   }
 
-  val all: Seq[Q] = Seq(liveSelect, matViewIncremental)
+  val all: Seq[Q] = Seq(liveSelect, matViewIncremental, liveDiff)
 }
