@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.surql.{Interp, Parser, QErr, QOk, SparkPlanner, V, VArr, VBool, VFloat, VInt, VObj, VStr}
+
+/** Cross-engine differential testing: the SAME SurrealQL text runs through
+  * BOTH execution paths — the golden-verified value interpreter (Interp,
+  * over rows created by CREATE statements) and the Spark planner (over the
+  * same rows injected as a DataFrame via the catalog overlay) — and the
+  * results must agree value-for-value. Any divergence is a lowering bug on
+  * one side; the interpreter side is anchored by the reference's golden
+  * corpus, so agreement transfers that anchor to the distributed plans. */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  // deterministic 30-row fixture shared by both engines
+  private val rows: Seq[(Long, String, Long, Double, String)] =
+    (1L to 30L).map { i =>
+      (i, ("abc" (i.toInt % 3)).toString, i % 7, i * 1.25, f"n$i%02d")
+    }
+
+  private lazy val interp: Interp = {
+    val in = new Interp
+    val script = rows.map { case (id, grp, qty, price, name) =>
+      s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, name = '$name';"
+    }.mkString("\n")
+    in.run(Parser.parse(script))
+    in
+  }
+
+  private lazy val df = {
+    import spark.implicits._
+    rows.toDF("id", "grp", "qty", "price", "name")
+  }
+
+  /** Normalize one Spark output value to the interpreter's value model. */
+  private def toV(x: Any): V = x match {
+    case null            => graft.surql.VNull
+    case b: Boolean      => VBool(b)
+    case i: Int          => VInt(i)
+    case l: Long         => VInt(l)
+    case d: Double       => VFloat(d)
+    case s: String       => VStr(s)
+    case d: java.math.BigDecimal => VFloat(d.doubleValue)
+    case a: scala.collection.Seq[_] => VArr(a.map(toV).toVector)
+    case other => VStr(other.toString)
+  }
+
+  private def checkSame(surql: String): Unit = {
+    val iv = interp.run(Parser.parse(surql)).last match {
+      case QOk(VArr(items)) => items
+      case QOk(v)           => Vector(v)
+      case QErr(m)          => fail(s"interp error: $m\n$surql")
+    }
+    val sdf = Tables.withOverlay(Map("item" -> df)) {
+      SparkPlanner.query(spark, "/nonexistent", surql)
+    }
+    val srows = sdf.collect().map { r =>
+      VObj(scala.collection.immutable.TreeMap(
+        sdf.columns.zipWithIndex.map { case (c, i) => c -> toV(r.get(i)) }: _*))
+    }.toVector
+    val irows = iv.map {
+      case VObj(m) => VObj(m)
+      case v => VObj(scala.collection.immutable.TreeMap("value" -> v))
+    }
+    assert(srows.length == irows.length,
+      s"row count differs: spark=${srows.length} interp=${irows.length}\n$surql")
+    srows.zip(irows).zipWithIndex.foreach { case ((s0, i0), n) =>
+      // compare by field name; numeric values loosely (int vs float tags)
+      val sm = s0.fields; val im = i0.fields
+      assert(sm.keySet == im.keySet,
+        s"row $n columns differ: ${sm.keySet} vs ${im.keySet}\n$surql")
+      sm.keySet.foreach { k =>
+        val ok = (sm(k), im(k)) match {
+          case (a: graft.surql.VNum, b: graft.surql.VNum) =>
+            a.toDouble == b.toDouble
+          case (a, b) => a == b
+        }
+        assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
+      }
+    }
+  }
+
+  private val queries = Seq(
+    "SELECT name, qty FROM item WHERE qty > 2 ORDER BY name",
+    "SELECT name, qty, price FROM item WHERE qty >= 1 AND price < 20.0 ORDER BY name",
+    "SELECT grp, count() AS n FROM item GROUP BY grp ORDER BY grp",
+    "SELECT grp, math::sum(qty) AS s, math::max(price) AS mx FROM item GROUP BY grp ORDER BY grp",
+    "SELECT string::uppercase(name) AS u FROM item WHERE qty = 3 ORDER BY u",
+    "SELECT name, qty * 2 + 1 AS q2 FROM item WHERE grp = 'a' ORDER BY name",
+    "SELECT name FROM item WHERE name != 'n05' AND qty < 3 ORDER BY name LIMIT 5",
+    "SELECT name, math::clamp(qty, 2, 5) AS c FROM item ORDER BY name LIMIT 10",
+    "SELECT name, string::slug(name) AS s, string::len(name) AS l FROM item ORDER BY name LIMIT 8",
+    "SELECT count() AS cnt FROM item GROUP ALL",
+    "SELECT name, array::join(array::map([1, 2], |$x| $x * qty), ',') AS m FROM item ORDER BY name LIMIT 6",
+    "SELECT name, IF qty > 3 THEN 'big' ELSE 'small' END AS sz FROM item ORDER BY name LIMIT 12",
+    "SELECT grp, math::mean(qty) AS avg_q FROM item GROUP BY grp ORDER BY grp",
+    "SELECT name FROM item ORDER BY name NUMERIC LIMIT 7",
+    "SELECT name, qty FROM item WHERE qty INSIDE [1, 2, 6] ORDER BY name")
+
+  queries.zipWithIndex.foreach { case (q, i) =>
+    test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
+  }
+}
