@@ -90,11 +90,15 @@ object SurqlQueries {
     """SELECT p_partkey, p_brand, p_size FROM part
        WHERE p_size = 1 OR p_brand = 'Brand#33' ORDER BY p_partkey""")
 
+  /** SPLIT runs on DOCUMENT fields before projection (planner/select.rs
+    * pipeline order), so the array to split must be a field of the source —
+    * here the inner SELECT's output document. */
   val splitExplode = sq("split_explode",
     """SELECT p_partkey, UNNEST(string_split(p_type, ' ')) AS word
        FROM part ORDER BY p_partkey, word""")(
-    """SELECT p_partkey, string::split(p_type, ' ') AS word
-       FROM part SPLIT word ORDER BY p_partkey, word""")
+    """SELECT p_partkey, word
+       FROM (SELECT p_partkey, string::split(p_type, ' ') AS word FROM part)
+       SPLIT word ORDER BY p_partkey, word""")
 
   val sortMulti = sq("sort_multi",
     """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
@@ -669,16 +673,17 @@ object SurqlQueries {
              FROM part WHERE p_partkey < 20)
        ORDER BY p_partkey""")
 
-  /** SPLIT ON multiple fields — a cartesian of explodes, one chained
-    * generator per field (exec/operators/split.rs). */
+  /** SPLIT ON multiple DOCUMENT fields — a cartesian of explodes, one
+    * chained generator per field (exec/operators/split.rs). */
   val splitMulti = sq("split_multi",
     """SELECT o_orderkey, a.a AS a, b.b AS b
        FROM orders, (SELECT unnest([1, 2]) AS a) a,
             (SELECT unnest(['x', 'y']) AS b) b
        WHERE o_orderkey >= 1 AND o_orderkey < 3
        ORDER BY o_orderkey, a, b""")(
-    """SELECT o_orderkey, [1, 2] AS a, ['x', 'y'] AS b
-       FROM orders:1..3 SPLIT a, b ORDER BY o_orderkey, a, b""")
+    """SELECT o_orderkey, a, b
+       FROM (SELECT o_orderkey, [1, 2] AS a, ['x', 'y'] AS b FROM orders:1..3)
+       SPLIT a, b ORDER BY o_orderkey, a, b""")
 
   /** Array namespace batch 3 (fnc/array.rs): transpose, boolean algebra,
     * closure find/find_index, every/some aliases, swap, pop, matches, and

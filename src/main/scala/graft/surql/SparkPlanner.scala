@@ -634,11 +634,13 @@ object SparkPlanner {
     // ---- filter: plain conjuncts, decorrelate INSIDE-subqueries ----------
     plainConjs.foreach {
       case Binary(op @ ("INSIDE" | "NOTINSIDE"), l, Subquery(sub: SelectStmt)) =>
-        // membership against a subquery → semi/anti join (decorrelated)
-        val subDf = planSelect(spark, dir, sub)
-        val key = subDf.columns.head
+        // membership against a subquery → semi/anti join (decorrelated);
+        // the key is renamed to a fresh name so a self-table subquery
+        // cannot create an ambiguous column reference in the join condition
+        val subDf0 = planSelect(spark, dir, sub)
+        val subDf = subDf0.select(col(subDf0.columns.head).as("__inside_key"))
         val joinType = if (op == "INSIDE") "left_semi" else "left_anti"
-        df = df.join(subDf, c(l) === subDf(key), joinType)
+        df = df.join(subDf, c(l) === subDf("__inside_key"), joinType)
       case cond => df = df.filter(c(cond))
     }
 
@@ -697,6 +699,18 @@ object SparkPlanner {
 
     // ---- split -----------------------------------------------------------
     // SPLIT ON an array-valued projected field: project first, then explode
+
+    // ---- split (exec/operators/split.rs): runs BEFORE aggregation and
+    // projection in the reference pipeline (planner/select.rs:29 filter →
+    // split → aggregate → … → project), so it explodes DOCUMENT fields —
+    // one chained generator per field, the cartesian product. A split name
+    // that is not an array-valued document field passes through unchanged
+    // (projection aliases do not exist yet at this stage).
+    s.split.foreach { f =>
+      if (df.columns.contains(f) &&
+          df.schema(f).dataType.isInstanceOf[ArrayType])
+        df = df.withColumn(f, explode(col(f)))
+    }
 
     // ---- aggregate / project ---------------------------------------------
     // math::median lowers to Spark's Percentile — a TypedImperativeAggregate.
@@ -761,12 +775,7 @@ object SparkPlanner {
           if (f.isAll) col("*")
           else c(f.expr).as(fieldAlias(f))
         }
-        // SPLIT ON multiple fields is a cartesian of explodes — Spark
-        // allows one generator per projection, so each split field gets
-        // its own chained explode (exec/operators/split.rs)
-        s.split.foldLeft(df.select(cols: _*)) { (d, f) =>
-          d.withColumn(f, explode(col(f)))
-        }
+        df.select(cols: _*)
     }
     df = out
     // ---- OMIT: column-set subtraction from the projected output ----------

@@ -97,7 +97,14 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, IF qty > 3 THEN 'big' ELSE 'small' END AS sz FROM item ORDER BY name LIMIT 12",
     "SELECT grp, math::mean(qty) AS avg_q FROM item GROUP BY grp ORDER BY grp",
     "SELECT name FROM item ORDER BY name NUMERIC LIMIT 7",
-    "SELECT name, qty FROM item WHERE qty INSIDE [1, 2, 6] ORDER BY name")
+    "SELECT name, qty FROM item WHERE qty INSIDE [1, 2, 6] ORDER BY name",
+    "SELECT name FROM item ORDER BY name START 5 LIMIT 5",
+    "SELECT name, t FROM (SELECT name, [1, 2] AS t FROM item) SPLIT t ORDER BY name, t LIMIT 6",
+    "SELECT grp, math::median(price) AS md FROM item GROUP BY grp ORDER BY grp",
+    "SELECT grp, math::min(price) AS mn, math::max(qty) AS mx FROM item GROUP BY grp ORDER BY grp",
+    "SELECT grp, math::spread(qty) AS sp FROM item GROUP BY grp ORDER BY grp",
+    "SELECT grp, count(qty > 3) AS big FROM item GROUP BY grp ORDER BY grp",
+    "SELECT name FROM item WHERE qty INSIDE (SELECT VALUE qty FROM item WHERE grp = 'a') ORDER BY name LIMIT 8")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
