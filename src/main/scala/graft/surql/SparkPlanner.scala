@@ -1858,6 +1858,8 @@ object SparkPlanner {
           case _ => throw SqlError(s"SparkPlanner: unsupported INSIDE rhs $r")
         }
         case "CONTAINS" => array_contains(c(l), c(r))
+        // NONE-coalescing (expr/operator.rs Nco): NONE/NULL fall through
+        case "??" => coalesce(c(l), c(r))
         case other => throw SqlError(s"SparkPlanner: unsupported operator $other")
       }
       case FnCall(name, args) => fnCol(name, args, ctx)

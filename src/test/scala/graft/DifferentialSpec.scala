@@ -104,7 +104,15 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT grp, math::min(price) AS mn, math::max(qty) AS mx FROM item GROUP BY grp ORDER BY grp",
     "SELECT grp, math::spread(qty) AS sp FROM item GROUP BY grp ORDER BY grp",
     "SELECT grp, count(qty > 3) AS big FROM item GROUP BY grp ORDER BY grp",
-    "SELECT name FROM item WHERE qty INSIDE (SELECT VALUE qty FROM item WHERE grp = 'a') ORDER BY name LIMIT 8")
+    "SELECT name FROM item WHERE qty INSIDE (SELECT VALUE qty FROM item WHERE grp = 'a') ORDER BY name LIMIT 8",
+    "SELECT name FROM item WHERE qty = 3.0 ORDER BY name",
+    "SELECT name, (NONE ?? qty) AS q FROM item ORDER BY name LIMIT 4",
+    "SELECT name FROM item WHERE [1, 2, 3] CONTAINS qty ORDER BY name LIMIT 6",
+    "SELECT name, name + '!' AS bang FROM item ORDER BY name LIMIT 4",
+    "SELECT name, <int> price AS ip FROM item ORDER BY name LIMIT 5",
+    "SELECT name, -qty AS neg, !(qty > 3) AS nb FROM item ORDER BY name LIMIT 5",
+    "SELECT name FROM item WHERE grp = 'a' OR (qty > 4 AND grp = 'b') ORDER BY name",
+    "SELECT name, math::abs(0 - qty) AS aq, qty % 3 AS m FROM item ORDER BY name LIMIT 6")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
