@@ -1711,6 +1711,9 @@ object SparkPlanner {
       case Lit(VBool(b))   => lit(b)
       case Lit(VDec(d))    => lit(d.toDouble)
       case Lit(VNone) | Lit(VNull) => lit(null)
+      case Lit(VDt(t))  => lit(java.sql.Timestamp.from(t))
+      // durations are total-seconds longs on this path (see duration::*)
+      case Lit(d: VDur) => lit(d.secs)
       // $parent-correlated subquery → its pre-joined (decorrelated) array
       case sq: Subquery if ctx.subqCols.contains(sq) =>
         col(ctx.subqCols(sq))

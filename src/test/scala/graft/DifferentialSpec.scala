@@ -14,16 +14,21 @@ import graft.surql.{Interp, Parser, QErr, QOk, SparkPlanner, V, VArr, VBool, VFl
 class DifferentialSpec extends AnyFunSuite {
   lazy val spark = TestSpark.session
 
-  // deterministic 30-row fixture shared by both engines
-  private val rows: Seq[(Long, String, Long, Double, String)] =
+  // deterministic 30-row fixture shared by both engines (incl. a datetime
+  // and an array-valued document field)
+  private val rows: Seq[(Long, String, Long, Double, String, String, Seq[String])] =
     (1L to 30L).map { i =>
-      (i, ("abc" (i.toInt % 3)).toString, i % 7, i * 1.25, f"n$i%02d")
+      (i, ("abc" (i.toInt % 3)).toString, i % 7, i * 1.25, f"n$i%02d",
+        f"2024-${1 + i.toInt % 3}%02d-${1 + i.toInt % 27}%02dT12:00:00Z",
+        Seq(s"t${i % 2}", s"t${i % 5}"))
     }
 
   private lazy val interp: Interp = {
     val in = new Interp
-    val script = rows.map { case (id, grp, qty, price, name) =>
-      s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, name = '$name';"
+    val script = rows.map { case (id, grp, qty, price, name, ts, tags) =>
+      s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, " +
+        s"name = '$name', ts = d'$ts', " +
+        s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
     }.mkString("\n")
     in.run(Parser.parse(script))
     in
@@ -31,7 +36,10 @@ class DifferentialSpec extends AnyFunSuite {
 
   private lazy val df = {
     import spark.implicits._
-    rows.toDF("id", "grp", "qty", "price", "name")
+    rows.map { case (id, grp, qty, price, name, ts, tags) =>
+      (id, grp, qty, price, name,
+        java.sql.Timestamp.from(java.time.Instant.parse(ts)), tags)
+    }.toDF("id", "grp", "qty", "price", "name", "ts", "tags")
   }
 
   /** Normalize one Spark output value to the interpreter's value model. */
@@ -44,6 +52,7 @@ class DifferentialSpec extends AnyFunSuite {
     case s: String       => VStr(s)
     case d: java.math.BigDecimal => VFloat(d.doubleValue)
     case a: scala.collection.Seq[_] => VArr(a.map(toV).toVector)
+    case t: java.sql.Timestamp => graft.surql.VDt(t.toInstant)
     case other => VStr(other.toString)
   }
 
@@ -112,7 +121,14 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, <int> price AS ip FROM item ORDER BY name LIMIT 5",
     "SELECT name, -qty AS neg, !(qty > 3) AS nb FROM item ORDER BY name LIMIT 5",
     "SELECT name FROM item WHERE grp = 'a' OR (qty > 4 AND grp = 'b') ORDER BY name",
-    "SELECT name, math::abs(0 - qty) AS aq, qty % 3 AS m FROM item ORDER BY name LIMIT 6")
+    "SELECT name, math::abs(0 - qty) AS aq, qty % 3 AS m FROM item ORDER BY name LIMIT 6",
+    "SELECT name, time::year(ts) AS y, time::month(ts) AS mo, time::day(ts) AS dd FROM item ORDER BY name LIMIT 5",
+    "SELECT name FROM item WHERE ts > d'2024-02-15T00:00:00Z' ORDER BY name LIMIT 6",
+    "SELECT name, time::format(ts, '%Y/%m') AS ym FROM item ORDER BY name LIMIT 4",
+    "SELECT name, array::len(tags) AS nt, array::sort(array::distinct(tags)) AS st FROM item ORDER BY name LIMIT 5",
+    "SELECT name FROM item WHERE tags CONTAINS 't1' ORDER BY name LIMIT 8",
+    "SELECT name, tags FROM item SPLIT tags ORDER BY name, tags LIMIT 8",
+    "SELECT name, array::at(tags, 0) AS t0 FROM item ORDER BY name LIMIT 5")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
