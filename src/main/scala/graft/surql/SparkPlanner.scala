@@ -1904,6 +1904,7 @@ object SparkPlanner {
       val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
       substring(cs(0), from + 1, len) // SurrealQL slice is 0-based
     case "string::starts_with" => cs(0).startsWith(cs(1))
+    case "string::contains"    => cs(0).contains(cs(1))
     case "string::ends_with"   => cs(0).endsWith(cs(1))
     case "string::split"       => split(cs(0), raw(1) match { case Lit(VStr(s)) => java.util.regex.Pattern.quote(s); case _ => " " })
     case "string::distance::levenshtein" => levenshtein(cs(0), cs(1)).cast("bigint")

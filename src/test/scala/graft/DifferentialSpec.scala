@@ -128,7 +128,15 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, array::len(tags) AS nt, array::sort(array::distinct(tags)) AS st FROM item ORDER BY name LIMIT 5",
     "SELECT name FROM item WHERE tags CONTAINS 't1' ORDER BY name LIMIT 8",
     "SELECT name, tags FROM item SPLIT tags ORDER BY name, tags LIMIT 8",
-    "SELECT name, array::at(tags, 0) AS t0 FROM item ORDER BY name LIMIT 5")
+    "SELECT name, array::at(tags, 0) AS t0 FROM item ORDER BY name LIMIT 5",
+    "SELECT name, array::join(array::filter([1, 2, 3, 4], |$x| $x > qty), ',') AS f FROM item ORDER BY name LIMIT 5",
+    "SELECT name, array::fold([1, 2, 3], 0, |$a, $x| $a + $x) + qty AS s FROM item ORDER BY name LIMIT 4",
+    "SELECT name, array::at(string::split(name, 'n'), 1) AS suffix FROM item ORDER BY name LIMIT 4",
+    "SELECT name, <string> qty AS qs, <float> qty AS qf FROM item ORDER BY name LIMIT 4",
+    "SELECT name, math::round(math::sqrt(price)) AS r, math::floor(price) AS fl, math::ceil(price) AS ce FROM item ORDER BY name LIMIT 5",
+    "SELECT name, math::pow(qty, 2) AS p2 FROM item WHERE qty < 4 ORDER BY name LIMIT 5",
+    "RETURN { x: 1 + 2, y: string::uppercase('ab'), z: [1, 2, 3] }",
+    "SELECT name, string::contains(name, '1') AS has1, string::starts_with(name, 'n0') AS n0 FROM item ORDER BY name LIMIT 6")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
