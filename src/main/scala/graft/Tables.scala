@@ -34,6 +34,10 @@ object Tables {
   def withOverlay[T](m: Map[String, DataFrame])(f: => T): T =
     overlay.withValue(m)(f)
 
+  /** The ambient overlay (empty outside `withOverlay`) — script executors
+    * seed from it so nested/externally-injected overlays compose. */
+  def currentOverlay: Map[String, DataFrame] = overlay.value
+
   /** True when `name` currently resolves to uncommitted script writes —
     * index-backed fast paths (e.g. the COUNT index) must not serve stale
     * base-table answers for an overridden table. */

@@ -132,8 +132,10 @@ object SparkPlanner {
     * statement's DataFrame. */
   def script(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
-    var overlay = Map.empty[String, DataFrame]
-    var txnBase = Map.empty[String, DataFrame] // overlay snapshot at BEGIN
+    // seed from the ambient overlay so externally-injected tables (and
+    // nested script invocations) stay visible inside this script
+    var overlay = Tables.currentOverlay
+    var txnBase = overlay // overlay snapshot at BEGIN
     var params = Map.empty[String, V]
     var eventDefs = Seq.empty[graft.surql.Defs.EventDef]
     var last: Option[DataFrame] = scala.None

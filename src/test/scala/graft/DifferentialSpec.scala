@@ -23,14 +23,16 @@ class DifferentialSpec extends AnyFunSuite {
         Seq(s"t${i % 2}", s"t${i % 5}"))
     }
 
-  private lazy val interp: Interp = {
-    val in = new Interp
-    val script = rows.map { case (id, grp, qty, price, name, ts, tags) =>
+  private val fixtureScript: String =
+    rows.map { case (id, grp, qty, price, name, ts, tags) =>
       s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, " +
         s"name = '$name', ts = d'$ts', " +
         s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
     }.mkString("\n")
-    in.run(Parser.parse(script))
+
+  private lazy val interp: Interp = {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
     in
   }
 
@@ -56,14 +58,31 @@ class DifferentialSpec extends AnyFunSuite {
     case other => VStr(other.toString)
   }
 
-  private def checkSame(surql: String): Unit = {
-    val iv = interp.run(Parser.parse(surql)).last match {
+  private def checkSame(surql: String): Unit =
+    compare(surql, interp.run(Parser.parse(surql)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", surql)
+      })
+
+  /** Mutation scripts: a FRESH interpreter (fixture + script) against the
+    * Spark script executor over the same injected rows — write semantics
+    * (sequential statements, LET/FOR, WHERE-scoped updates) must agree. */
+  private def checkScript(script: String): Unit = {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    compare(script, in.run(Parser.parse(script)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script)
+      })
+  }
+
+  private def compare(surql: String,
+      ires: graft.surql.QueryResult,
+      sdf: org.apache.spark.sql.DataFrame): Unit = {
+    val iv = ires match {
       case QOk(VArr(items)) => items
       case QOk(v)           => Vector(v)
       case QErr(m)          => fail(s"interp error: $m\n$surql")
-    }
-    val sdf = Tables.withOverlay(Map("item" -> df)) {
-      SparkPlanner.query(spark, "/nonexistent", surql)
     }
     val srows = sdf.collect().map { r =>
       VObj(scala.collection.immutable.TreeMap(
@@ -140,5 +159,24 @@ class DifferentialSpec extends AnyFunSuite {
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
+  }
+
+  private val scripts = Seq(
+    """UPDATE item SET qty = qty + 10 WHERE grp = 'a';
+       SELECT name, qty FROM item WHERE qty >= 10 ORDER BY name;""",
+    """DELETE item WHERE qty < 2;
+       SELECT count() AS n FROM item GROUP ALL;""",
+    """LET $g = 'b';
+       UPDATE item SET price = price * 2.0 WHERE grp = $g;
+       SELECT grp, math::sum(price) AS s FROM item GROUP BY grp ORDER BY grp;""",
+    """FOR $q IN [1, 2] {
+         UPDATE item SET qty = qty + 1 WHERE qty = $q;
+       };
+       SELECT name, qty FROM item ORDER BY name LIMIT 8;""")
+
+  scripts.zipWithIndex.foreach { case (q, i) =>
+    test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
+      checkScript(q)
+    }
   }
 }
