@@ -172,7 +172,17 @@ class DifferentialSpec extends AnyFunSuite {
     """FOR $q IN [1, 2] {
          UPDATE item SET qty = qty + 1 WHERE qty = $q;
        };
-       SELECT name, qty FROM item ORDER BY name LIMIT 8;""")
+       SELECT name, qty FROM item ORDER BY name LIMIT 8;""",
+    """BEGIN;
+       UPDATE item SET qty = 99 WHERE grp = 'a';
+       CANCEL;
+       SELECT name, qty FROM item WHERE grp = 'a' ORDER BY name LIMIT 5;""",
+    """BEGIN;
+       UPDATE item SET qty = qty + 5 WHERE grp = 'c';
+       DELETE item WHERE qty > 8;
+       COMMIT;
+       SELECT grp, count() AS n, math::sum(qty) AS s FROM item
+         GROUP BY grp ORDER BY grp;""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
