@@ -1826,7 +1826,16 @@ object SparkPlanner {
           else c(l) + c(r)
         case "-"  => c(l) - c(r)
         case "*"  => c(l) * c(r)
-        case "/"  => c(l) / c(r)
+        case "/" =>
+          // Int / Int stays Int in the reference's checked arithmetic
+          // (number.rs div) — truncating division; mixed or float operands
+          // use float division. Spark's `/` is always double, so the
+          // integral case truncates the quotient back.
+          val bothInt = Seq(l, r).forall(e => typeOf(e, schema).exists {
+            case LongType | IntegerType | ShortType => true
+            case _ => false
+          })
+          if (bothInt) (c(l) / c(r)).cast("bigint") else c(l) / c(r)
         case "%"  => c(l) % c(r)
         case "=" => r match {
           case Lit(VNone) | Lit(VNull) => c(l).isNull
@@ -2120,7 +2129,13 @@ object SparkPlanner {
     case "array::distinct" => array_distinct(cs(0))
     case "array::includes" => array_contains(cs(0), cs(1))
     case "array::at"       =>
-      element_at(cs(0), (raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }) + 1)
+      // 0-based; negative counts from the end (element_at's native form)
+      val atIdx = raw(1) match {
+        case Lit(VInt(i)) => i.toInt
+        case Prefix("-", Lit(VInt(i))) => -i.toInt
+        case _ => 0
+      }
+      element_at(cs(0), if (atIdx >= 0) atIdx + 1 else atIdx)
     case "array::first"    => element_at(cs(0), 1)
     case "array::join"     =>
       // elements render raw (array.rs ArrayJoin) — cast non-strings so

@@ -155,7 +155,10 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, math::round(math::sqrt(price)) AS r, math::floor(price) AS fl, math::ceil(price) AS ce FROM item ORDER BY name LIMIT 5",
     "SELECT name, math::pow(qty, 2) AS p2 FROM item WHERE qty < 4 ORDER BY name LIMIT 5",
     "RETURN { x: 1 + 2, y: string::uppercase('ab'), z: [1, 2, 3] }",
-    "SELECT name, string::contains(name, '1') AS has1, string::starts_with(name, 'n0') AS n0 FROM item ORDER BY name LIMIT 6")
+    "SELECT name, string::contains(name, '1') AS has1, string::starts_with(name, 'n0') AS n0 FROM item ORDER BY name LIMIT 6",
+    "SELECT name, qty / 2 AS h, price / 2 AS ph FROM item WHERE qty > 0 ORDER BY name LIMIT 5",
+    "SELECT name, array::at(tags, -1) AS lastt FROM item ORDER BY name LIMIT 3",
+    "SELECT name, string::slice(name, 1, 2) AS mid FROM item ORDER BY name LIMIT 3")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
