@@ -55,6 +55,10 @@ class DifferentialSpec extends AnyFunSuite {
     case d: java.math.BigDecimal => VFloat(d.doubleValue)
     case a: scala.collection.Seq[_] => VArr(a.map(toV).toVector)
     case t: java.sql.Timestamp => graft.surql.VDt(t.toInstant)
+    case r: org.apache.spark.sql.Row =>
+      VObj(scala.collection.immutable.TreeMap(
+        r.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> toV(r.get(i)) }.toIndexedSeq: _*))
     case other => VStr(other.toString)
   }
 
@@ -158,7 +162,13 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, string::contains(name, '1') AS has1, string::starts_with(name, 'n0') AS n0 FROM item ORDER BY name LIMIT 6",
     "SELECT name, qty / 2 AS h, price / 2 AS ph FROM item WHERE qty > 0 ORDER BY name LIMIT 5",
     "SELECT name, array::at(tags, -1) AS lastt FROM item ORDER BY name LIMIT 3",
-    "SELECT name, string::slice(name, 1, 2) AS mid FROM item ORDER BY name LIMIT 3")
+    "SELECT name, string::slice(name, 1, 2) AS mid FROM item ORDER BY name LIMIT 3",
+    "SELECT name, ts + 1h AS t1 FROM item ORDER BY name LIMIT 3",
+    "SELECT name FROM item WHERE time::year(ts) = 2024 AND time::month(ts) = 2 ORDER BY name LIMIT 5",
+    "SELECT name, tags[0] AS t0 FROM item ORDER BY name LIMIT 3",
+    "SELECT name, string::replace(name, 'n', 'm') AS rep FROM item ORDER BY name LIMIT 3",
+    "SELECT name, [qty, qty * 2] AS pair FROM item ORDER BY name LIMIT 3",
+    "SELECT name, { q: qty, g: grp } AS obj FROM item ORDER BY name LIMIT 3")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
