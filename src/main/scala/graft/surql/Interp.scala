@@ -3158,10 +3158,25 @@ final class Interp {
 
   /** Targets for mutations: (table, Some(key)) for point writes, (table,
     * None) for whole-table writes. */
+  /** Is `stored` inside the record-id range `r` (record_id/range.rs)? */
+  private def keyInRange(stored: V, r: VRng): Boolean =
+    r.lo.forall { case (v, incl) =>
+      val c = V.ordering.compare(stored, v); if (incl) c >= 0 else c > 0
+    } && r.hi.forall { case (v, incl) =>
+      val c = V.ordering.compare(stored, v); if (incl) c <= 0 else c < 0
+    }
+
   private def mutationTargets(what: Seq[Expr], env: Env): Seq[(String, Option[V])] =
     what.flatMap {
       case Idiom(Seq(PField(name))) => Seq((name, scala.None: Option[V]))
-      case RidLit(tb, keyE) => Seq((tb, Some(Eval.eval(keyE, env))))
+      case RidLit(tb, keyE) => Eval.eval(keyE, env) match {
+        // a record-id RANGE target expands to every existing key in range
+        // (dbs/iterator.rs Range iterable), in key order
+        case r: VRng =>
+          table(tb).keys.filter(keyInRange(_, r)).toSeq.sorted(V.ordering)
+            .map(k => (tb, Some(k): Option[V]))
+        case k => Seq((tb, Some(k)))
+      }
       case other => Eval.eval(other, env) match {
         case VRid(tb, key) => Seq((tb, Some(key)))
         case VTable(tb)    => Seq((tb, scala.None: Option[V]))

@@ -45,11 +45,25 @@ object SparkPlanner {
     ("supplier", "s_nationkey") -> ("nation", "n_nationkey"),
     ("nation", "n_regionkey")  -> ("region", "r_regionkey"))
 
+  /** Extra record keys registered at runtime (tests / user tables beyond
+    * the built-in testdata catalog) — consulted after [[recordKeyBase]]. */
+  val extraRecordKeys = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Record-id key column per table (`table:key` scans). */
-  val recordKey: Map[String, String] = Map(
+  val recordKeyBase: Map[String, String] = Map(
     "customer" -> "c_custkey", "orders" -> "o_orderkey", "part" -> "p_partkey",
     "supplier" -> "s_suppkey", "nation" -> "n_nationkey", "region" -> "r_regionkey",
     "events" -> "event_id", "documents" -> "doc_id", "embeddings" -> "vec_id")
+
+  /** The effective record-key catalog (base + runtime registrations). */
+  object recordKey {
+    def apply(t: String): String = get(t).getOrElse(
+      throw SqlError(s"SparkPlanner: no record key for table $t"))
+    def get(t: String): Option[String] =
+      recordKeyBase.get(t).orElse(extraRecordKeys.get(t))
+    def getOrElse(t: String, default: => String): String =
+      get(t).getOrElse(default)
+  }
 
   /** Tables small enough to broadcast in link joins at any scale factor —
     * dimensions in the TPC-H sense. Fact-side links fall back to shuffle

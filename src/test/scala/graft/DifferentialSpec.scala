@@ -62,6 +62,8 @@ class DifferentialSpec extends AnyFunSuite {
     case other => VStr(other.toString)
   }
 
+  SparkPlanner.extraRecordKeys.put("item", "id")
+
   private def checkSame(surql: String): Unit =
     compare(surql, interp.run(Parser.parse(surql)).last,
       Tables.withOverlay(Map("item" -> df)) {
@@ -168,7 +170,9 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, tags[0] AS t0 FROM item ORDER BY name LIMIT 3",
     "SELECT name, string::replace(name, 'n', 'm') AS rep FROM item ORDER BY name LIMIT 3",
     "SELECT name, [qty, qty * 2] AS pair FROM item ORDER BY name LIMIT 3",
-    "SELECT name, { q: qty, g: grp } AS obj FROM item ORDER BY name LIMIT 3")
+    "SELECT name, { q: qty, g: grp } AS obj FROM item ORDER BY name LIMIT 3",
+    "SELECT name, qty FROM item:5..9 ORDER BY name",
+    "SELECT name FROM item:7")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
@@ -195,7 +199,12 @@ class DifferentialSpec extends AnyFunSuite {
        DELETE item WHERE qty > 8;
        COMMIT;
        SELECT grp, count() AS n, math::sum(qty) AS s FROM item
-         GROUP BY grp ORDER BY grp;""")
+         GROUP BY grp ORDER BY grp;""",
+    """UPDATE item:3 SET qty = 42;
+       DELETE item:4..6;
+       SELECT name, qty FROM item:1..8 ORDER BY name;""",
+    """UPSERT item:99 SET grp = 'z', qty = 7, price = 9.5, name = 'n99';
+       SELECT name, qty FROM item WHERE grp = 'z' OR qty = 42 ORDER BY name;""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
