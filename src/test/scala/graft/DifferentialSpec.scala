@@ -204,7 +204,14 @@ class DifferentialSpec extends AnyFunSuite {
        DELETE item:4..6;
        SELECT name, qty FROM item:1..8 ORDER BY name;""",
     """UPSERT item:99 SET grp = 'z', qty = 7, price = 9.5, name = 'n99';
-       SELECT name, qty FROM item WHERE grp = 'z' OR qty = 42 ORDER BY name;""")
+       SELECT name, qty FROM item WHERE grp = 'z' OR qty = 42 ORDER BY name;""",
+    """UPSERT item:2 SET qty = 77;
+       SELECT name, qty FROM item:1..4 ORDER BY name;""",
+    """UPDATE item:10..13 SET grp = 'x';
+       SELECT grp, count() AS n FROM item GROUP BY grp ORDER BY grp;""",
+    """CREATE item:77 SET grp = 'q', qty = 1, price = 2.0, name = 'n77';
+       SELECT name FROM item:70..80 ORDER BY name;""",
+    """UPDATE item:3 SET qty = 50 RETURN name, qty;""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
