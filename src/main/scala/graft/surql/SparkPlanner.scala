@@ -1851,6 +1851,14 @@ object SparkPlanner {
           })
           if (bothInt) (c(l) / c(r)).cast("bigint") else c(l) / c(r)
         case "%"  => c(l) % c(r)
+        case "**" =>
+          // Int ** non-negative Int stays Int (number.rs pow); otherwise
+          // float exponentiation
+          val bothInt = Seq(l, r).forall(e => typeOf(e, schema).exists {
+            case LongType | IntegerType | ShortType => true
+            case _ => false
+          })
+          if (bothInt) pow(c(l), c(r)).cast("bigint") else pow(c(l), c(r))
         case "=" => r match {
           case Lit(VNone) | Lit(VNull) => c(l).isNull
           case _ =>

@@ -172,7 +172,10 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, [qty, qty * 2] AS pair FROM item ORDER BY name LIMIT 3",
     "SELECT name, { q: qty, g: grp } AS obj FROM item ORDER BY name LIMIT 3",
     "SELECT name, qty FROM item:5..9 ORDER BY name",
-    "SELECT name FROM item:7")
+    "SELECT name FROM item:7",
+    "SELECT name, qty ** 2 AS p FROM item ORDER BY name LIMIT 4",
+    "SELECT name, price ** 0.5 AS sq FROM item ORDER BY name LIMIT 4",
+    "SELECT count() AS n, math::sum(qty) AS s, math::max(price) AS mx FROM item GROUP ALL")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
