@@ -1894,6 +1894,14 @@ object SparkPlanner {
           case _ => throw SqlError(s"SparkPlanner: unsupported INSIDE rhs $r")
         }
         case "CONTAINS" => array_contains(c(l), c(r))
+        // set-containment family (expr/operator.rs): ⊇ / ⊃ / ⊅ and the
+        // INSIDE variants — all codegen'd array predicates
+        case "CONTAINSALL"  => forall(c(r), x => array_contains(c(l), x))
+        case "CONTAINSANY"  => exists(c(r), x => array_contains(c(l), x))
+        case "CONTAINSNONE" => !exists(c(r), x => array_contains(c(l), x))
+        case "ALLINSIDE"    => forall(c(l), x => array_contains(c(r), x))
+        case "ANYINSIDE"    => exists(c(l), x => array_contains(c(r), x))
+        case "NONEINSIDE"   => !exists(c(l), x => array_contains(c(r), x))
         // NONE-coalescing (expr/operator.rs Nco): NONE/NULL fall through
         case "??" => coalesce(c(l), c(r))
         case other => throw SqlError(s"SparkPlanner: unsupported operator $other")

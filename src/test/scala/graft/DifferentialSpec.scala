@@ -175,7 +175,12 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name FROM item:7",
     "SELECT name, qty ** 2 AS p FROM item ORDER BY name LIMIT 4",
     "SELECT name, price ** 0.5 AS sq FROM item ORDER BY name LIMIT 4",
-    "SELECT count() AS n, math::sum(qty) AS s, math::max(price) AS mx FROM item GROUP ALL")
+    "SELECT count() AS n, math::sum(qty) AS s, math::max(price) AS mx FROM item GROUP ALL",
+    "SELECT name FROM item WHERE tags CONTAINSANY ['t1', 't4'] ORDER BY name LIMIT 6",
+    "SELECT name FROM item WHERE tags CONTAINSALL ['t1'] ORDER BY name LIMIT 6",
+    "SELECT name FROM item WHERE tags CONTAINSNONE ['t1', 't3'] ORDER BY name LIMIT 6",
+    "SELECT name FROM item WHERE ['t0'] ALLINSIDE tags ORDER BY name LIMIT 6",
+    "SELECT name FROM item WHERE ['t4', 'zz'] ANYINSIDE tags ORDER BY name LIMIT 6")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
