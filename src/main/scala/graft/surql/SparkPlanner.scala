@@ -1872,6 +1872,9 @@ object SparkPlanner {
             }
         }
         case "==" => c(l) === c(r)
+        // any-eq / all-eq: an array operand matched element-wise
+        case "?=" => exists(c(l), x => x === c(r))
+        case "*=" => forall(c(l), x => x === c(r))
         case "!=" => r match {
           case Lit(VNone) | Lit(VNull) => c(l).isNotNull
           case _ => c(l) =!= c(r)

@@ -180,7 +180,9 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name FROM item WHERE tags CONTAINSALL ['t1'] ORDER BY name LIMIT 6",
     "SELECT name FROM item WHERE tags CONTAINSNONE ['t1', 't3'] ORDER BY name LIMIT 6",
     "SELECT name FROM item WHERE ['t0'] ALLINSIDE tags ORDER BY name LIMIT 6",
-    "SELECT name FROM item WHERE ['t4', 'zz'] ANYINSIDE tags ORDER BY name LIMIT 6")
+    "SELECT name FROM item WHERE ['t4', 'zz'] ANYINSIDE tags ORDER BY name LIMIT 6",
+    "SELECT name FROM item WHERE tags ?= 't1' ORDER BY name LIMIT 6",
+    "SELECT name FROM item WHERE tags *= 't0' ORDER BY name LIMIT 6")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
