@@ -182,7 +182,10 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name FROM item WHERE ['t0'] ALLINSIDE tags ORDER BY name LIMIT 6",
     "SELECT name FROM item WHERE ['t4', 'zz'] ANYINSIDE tags ORDER BY name LIMIT 6",
     "SELECT name FROM item WHERE tags ?= 't1' ORDER BY name LIMIT 6",
-    "SELECT name FROM item WHERE tags *= 't0' ORDER BY name LIMIT 6")
+    "SELECT name FROM item WHERE tags *= 't0' ORDER BY name LIMIT 6",
+    "SELECT name, qty FROM item ORDER BY qty DESC, name DESC LIMIT 5",
+    "SELECT name, qty = 3 AS is3, qty != 3 AS not3 FROM item ORDER BY name LIMIT 4",
+    "SELECT name FROM item WHERE !(grp = 'a') AND qty > 4 ORDER BY name LIMIT 5")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
