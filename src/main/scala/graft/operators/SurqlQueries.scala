@@ -717,8 +717,13 @@ object SurqlQueries {
   /** Percentile-family aggregates (fnc/math.rs: p in 0..100, linear
     * interpolation — the definition Spark's percentile and DuckDB's
     * quantile_cont share): p90, spread, interquartile, midhinge, trimean
-    * per group. Imperative aggs split from codegen'd ones (the median
-    * pattern), declarative side keeps map-side partials. */
+    * per group. ENGINE EXTENSION: the reference only registers
+    * count/sum/mean/min/max/stddev/variance/median as aggregates
+    * (exec/function/builtin/aggregates/math.rs) and treats these as
+    * array functions; grouping by them directly is an analytics
+    * convenience this engine adds. Imperative aggs split from codegen'd
+    * ones (the median pattern), declarative side keeps map-side
+    * partials. */
   val fnAggStats2 = sq("fn_agg_stats2",
     """SELECT l_returnflag,
               round(quantile_cont(l_quantity, 0.9), 6) AS p90,
