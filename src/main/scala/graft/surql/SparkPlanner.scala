@@ -2158,7 +2158,13 @@ object SparkPlanner {
     }
     // ---- array::* over in-row arrays (codegen'd array expressions) -------
     case "array::len"      => size(cs(0)).cast("bigint")
-    case "array::sort"     => sort_array(cs(0))
+    case "array::sort" => raw.lift(1) match {
+      case Some(Lit(VBool(asc))) => sort_array(cs(0), asc)
+      case Some(Lit(VStr(d)))    => sort_array(cs(0), d.toLowerCase != "desc")
+      case _                     => sort_array(cs(0))
+    }
+    case "array::sort::asc"  => sort_array(cs(0))
+    case "array::sort::desc" => sort_array(cs(0), asc = false)
     case "array::distinct" => array_distinct(cs(0))
     case "array::includes" => array_contains(cs(0), cs(1))
     case "array::at"       =>
