@@ -63,6 +63,43 @@ object StrSim {
       x(prefix) == y(prefix)) prefix += 1
     j + prefix * 0.1 * (1 - j)
   }
+
+  /** Subsequence fuzzy score (fnc/string.rs similarity::fuzzy clamp
+    * analog — the interpreter path's exact algorithm): streak-weighted
+    * case-insensitive subsequence match; 0 when the query isn't a
+    * subsequence. */
+  def fuzzy(xs: UTF8String, ys: UTF8String): Long = {
+    val s = xs.toString
+    val query = ys.toString
+    var score = 0L
+    var qi = 0
+    var streak = 0
+    var i = 0
+    while (i < s.length && qi < query.length) {
+      if (Character.toLowerCase(s(i)) == Character.toLowerCase(query(qi))) {
+        qi += 1; streak += 1; score += streak
+      } else streak = 0
+      i += 1
+    }
+    if (qi == query.length) score else 0L
+  }
+}
+
+final case class FuzzyF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_fuzzy"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.fuzzy(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.fuzzy($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 abstract class StrSimF extends BinaryExpression {
@@ -104,5 +141,7 @@ object StrSimKernels {
       es => JaroF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_jaro_winkler",
       es => JaroWinklerF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_fuzzy",
+      es => FuzzyF(es.head, es(1)), "built-in")
   }
 }

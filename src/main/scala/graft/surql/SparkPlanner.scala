@@ -2082,6 +2082,16 @@ object SparkPlanner {
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_jaro_winkler", cs(0), cs(1))
+    case "string::similarity::fuzzy" | "string::similarity::smithwaterman" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_fuzzy", cs(0), cs(1))
+    // semver ordering: major, then minor, then patch (fnc/string.rs)
+    case "string::semver::compare" =>
+      def part(c: Column, i: Int) =
+        element_at(split(c, "[.+-]"), i).cast("bigint")
+      val diffs = (1 to 3).map(i => signum(part(cs(0), i) - part(cs(1), i)))
+      coalesce(diffs.map(d => when(d =!= 0, d)) :+ lit(0d): _*).cast("bigint")
     // join(sep, parts…) — parts render raw (fnc/string.rs Join)
     case "string::join" => raw(0) match {
       case Lit(VStr(sep)) => concat_ws(sep, cs.tail.map(_.cast("string")): _*)

@@ -186,7 +186,9 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, qty FROM item ORDER BY qty DESC, name DESC LIMIT 5",
     "SELECT name, qty = 3 AS is3, qty != 3 AS not3 FROM item ORDER BY name LIMIT 4",
     "SELECT name FROM item WHERE !(grp = 'a') AND qty > 4 ORDER BY name LIMIT 5",
-    "SELECT name, array::join(array::sort::desc([3, 1, 2]), ',') AS d, array::join(array::sort([2, 3, 1], false), ',') AS d2 FROM item ORDER BY name LIMIT 2")
+    "SELECT name, array::join(array::sort::desc([3, 1, 2]), ',') AS d, array::join(array::sort([2, 3, 1], false), ',') AS d2 FROM item ORDER BY name LIMIT 2",
+    "SELECT name, string::similarity::fuzzy(name, 'n1') AS fz FROM item ORDER BY name LIMIT 6",
+    "SELECT name, string::semver::compare('1.2.3', '1.10.0') AS c1, string::semver::compare('2.0.0', '1.9.9') AS c2, string::semver::compare('1.2.3', '1.2.3') AS c0 FROM item ORDER BY name LIMIT 2")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
