@@ -5,7 +5,7 @@ compare values exactly (columns sorted by name, rows as written).
 
 Usage: compare_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, os, json, math
+import sys, os, json, math, struct
 import duckdb
 import pyarrow.parquet as pq
 
@@ -15,7 +15,10 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        return v
+        # Bit-compare floats: Python's == treats 0.0 == -0.0, which made this
+        # gate blind to the signed-zero infidelity class the driver's hash
+        # catches (round 10's idiom_array_filter). NaN stays payload-blind.
+        return struct.pack('<d', v).hex()
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     if hasattr(v, "tolist"):  # numpy

@@ -55,7 +55,7 @@ object ScalarQueries {
               CAST(floor(c_acctbal) AS BIGINT) AS fl,
               round(c_acctbal, 2) AS rnd,
               sqrt(abs(c_acctbal)) AS sq,
-              CAST(sign(c_acctbal) AS DOUBLE) AS sg,
+              CAST(CASE WHEN signbit(c_acctbal) THEN -1.0 ELSE 1.0 END AS DOUBLE) AS sg,
               greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS hi,
               least(c_acctbal, CAST(1000.0 AS DOUBLE)) AS lo,
               c_acctbal * c_acctbal AS sqr,
@@ -69,7 +69,7 @@ object ScalarQueries {
         floor(col("c_acctbal")).cast("bigint").as("fl"),
         round(col("c_acctbal"), 2).as("rnd"),
         sqrt(abs(col("c_acctbal"))).as("sq"),
-        signum(col("c_acctbal")).cast("double").as("sg"),
+        when(col("c_acctbal") < 0, -1.0).otherwise(1.0).as("sg"),
         greatest(col("c_acctbal"), lit(0.0)).as("hi"),
         least(col("c_acctbal"), lit(1000.0)).as("lo"),
         (col("c_acctbal") * col("c_acctbal")).as("sqr"),

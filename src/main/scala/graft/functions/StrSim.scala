@@ -53,21 +53,30 @@ object StrSim {
     (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
   }
 
-  /** Jaro-Winkler: jaro boosted by the common prefix (≤4 chars, p=0.1). */
+  /** Jaro-Winkler as strsim 0.11's generic_jaro_winkler (the crate the
+    * reference links): the common-prefix boost is UNBOUNDED (no classic
+    * 4-char cap) and the result is clamped to 1.0. */
   def jaroWinkler(xs: UTF8String, ys: UTF8String): Double = {
     val j = jaro(xs, ys)
     val x = xs.toString
     val y = ys.toString
+    val n = Math.min(x.length, y.length)
     var prefix = 0
-    while (prefix < Math.min(4, Math.min(x.length, y.length)) &&
-      x(prefix) == y(prefix)) prefix += 1
-    j + prefix * 0.1 * (1 - j)
+    while (prefix < n && x(prefix) == y(prefix)) prefix += 1
+    Math.min(1.0, j + prefix * 0.1 * (1 - j))
   }
 
-  /** Subsequence fuzzy score (fnc/string.rs similarity::fuzzy clamp
-    * analog — the interpreter path's exact algorithm): streak-weighted
-    * case-insensitive subsequence match; 0 when the query isn't a
-    * subsequence. */
+  /** Subsequence fuzzy score — DOCUMENTED ENGINE EXTENSION (like the
+    * grouped percentile aggregates). The reference (fnc/string.rs:550,587)
+    * scores via the fuzzy-matcher crate's SkimMatcherV2 — an fzf-style DP
+    * with boundary/camel bonuses and gap penalties whose exact constants
+    * live in that crate's source, which is not available offline, so a
+    * "port" from memory would be a third algorithm rather than a faithful
+    * one. This engine instead defines fuzzy as a streak-weighted
+    * case-insensitive subsequence match (0 when the query isn't a
+    * subsequence); both execution paths implement THIS definition exactly,
+    * so Interp and Spark agree to the bit, but rankings can differ from
+    * the reference's SkimMatcherV2 magnitudes. */
   def fuzzy(xs: UTF8String, ys: UTF8String): Long = {
     val s = xs.toString
     val query = ys.toString

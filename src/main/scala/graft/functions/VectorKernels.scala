@@ -129,6 +129,115 @@ final case class L1F(left: Expression, right: Expression) extends VectorFoldF {
     copy(left = newLeft, right = newRight)
 }
 
+/** `math::round` with the reference's exact float semantics (val/number.rs:578
+  * = Rust `f64::round`): half-away-from-zero, and the SIGN OF ZERO is
+  * preserved (`(-0.2).round() == -0.0`). Spark's built-in `round()` goes
+  * through `BigDecimal` HALF_UP, which cannot represent `-0.0` and returns
+  * `+0.0` — a one-bit infidelity the driver's hash comparison catches.
+  * Integral children pass through unchanged (Number::Int(v) => v). */
+final case class RoundRs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def prettyName: String = "graft_round"
+  private def integral: Boolean = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    if (integral) child.dataType else DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric input, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (integral) v
+    else RoundRs.round(child.dataType match {
+      case FloatType => v.asInstanceOf[Float].toDouble
+      case DoubleType => v.asInstanceOf[Double]
+      case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (integral) s"${ev.value} = $c;"
+      else {
+        val cd = child.dataType match {
+          case _: DecimalType => s"$c.toDouble()"
+          case _ => s"(double) $c"
+        }
+        s"${ev.value} = graft.functions.RoundRs.round($cd);"
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RoundRs {
+  /** Rust `f64::round`: half away from zero; NaN/Inf pass through; the
+    * result inherits the argument's sign, so `round(-0.2) == -0.0`. */
+  def round(x: Double): Double = {
+    val a = java.lang.Math.abs(x)
+    val r = if (a % 1.0 >= 0.5) java.lang.Math.ceil(a) else java.lang.Math.floor(a)
+    java.lang.Math.copySign(r, x)
+  }
+
+  /** Rust `f64::signum` (val/number.rs:596): ±1.0 even for ±0.0 (the sign
+    * bit decides, not the comparison), NaN passes through — unlike Java's
+    * `Math.signum`, which returns ±0.0 for zeros. */
+  def signum(x: Double): Double =
+    if (java.lang.Double.isNaN(x)) x else java.lang.Math.copySign(1.0, x)
+}
+
+/** `math::sign` with the reference's semantics: Int input → Int signum
+  * (-1/0/1); float input → Rust `f64::signum` (±1.0 even for ±0.0, NaN
+  * passthrough). Spark's built-in `signum()` is Java semantics (±0.0 for
+  * zeros) and always double-typed. */
+final case class SignRs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def prettyName: String = "graft_sign"
+  private def integral: Boolean = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    if (integral) LongType else DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric input, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    if (integral) java.lang.Long.signum(v match {
+      case b: Byte => b.toLong; case s: Short => s.toLong
+      case i: Int => i.toLong; case l: Long => l
+    }).toLong
+    else RoundRs.signum(child.dataType match {
+      case FloatType => v.asInstanceOf[Float].toDouble
+      case DoubleType => v.asInstanceOf[Double]
+      case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    })
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (integral) s"${ev.value} = (long) java.lang.Long.signum((long) $c);"
+      else {
+        val cd = child.dataType match {
+          case _: DecimalType => s"$c.toDouble()"
+          case _ => s"(double) $c"
+        }
+        s"${ev.value} = graft.functions.RoundRs.signum($cd);"
+      })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorKernels {
   /** Register the kernels in `spark`'s function registry (idempotent) so
     * `call_function("graft_dot", …)` resolves — the classic-mode bridge
@@ -141,5 +250,9 @@ object VectorKernels {
       es => L2F(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l1",
       es => L1F(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_round",
+      es => RoundRs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_sign",
+      es => SignRs(es.head), "built-in")
   }
 }

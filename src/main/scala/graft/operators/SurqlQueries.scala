@@ -183,7 +183,7 @@ object SurqlQueries {
               CAST(floor(c_acctbal) AS BIGINT) AS fl,
               round(c_acctbal, 2) AS rnd,
               sqrt(abs(c_acctbal)) AS sq,
-              CAST(sign(c_acctbal) AS DOUBLE) AS sg,
+              CAST(CASE WHEN signbit(c_acctbal) THEN -1.0 ELSE 1.0 END AS DOUBLE) AS sg,
               greatest(c_acctbal, CAST(0.0 AS DOUBLE)) AS hi,
               least(c_acctbal, CAST(1000.0 AS DOUBLE)) AS lo,
               c_acctbal * c_acctbal AS sqr,
@@ -1359,7 +1359,8 @@ object SurqlQueries {
               '5,7,9' AS ad, '-3,-3,-3' AS sb, '4,10,18' AS ml,
               array_to_string([2.0, 3.0], ',') AS dv,
               3.0 / 5.0 AS nz, round(acos(0.0), 6) AS an,
-              '0,0,1' AS cx, 1 AS hm, 7.0 AS mk, 0.5 AS jc
+              '0,0,1' AS cx, 1 AS hm,
+              CAST(7.0 AS DOUBLE) AS mk, CAST(0.5 AS DOUBLE) AS jc
        FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 5
        ORDER BY o_orderkey""")(
     """SELECT o_orderkey,

@@ -456,7 +456,10 @@ object Functions {
       }
       case "math::round" => num(0) match {
         case i: VInt => i
-        case VFloat(d) => VFloat(Math.round(d).toDouble)
+        // Rust f64::round (val/number.rs:578): half AWAY from zero (Java
+        // Math.round is half toward +inf: round(-2.5) = -2, Rust = -3) and
+        // sign-of-zero preserving (round(-0.2) = -0.0).
+        case VFloat(d) => VFloat(graft.functions.RoundRs.round(d))
         case VDec(d) => VDec(d.setScale(0, BigDecimal.RoundingMode.HALF_UP))
       }
       case "math::clamp" =>
@@ -485,8 +488,11 @@ object Functions {
       case "math::log2" => VFloat(Math.log(dbl(0)) / Math.log(2.0))
       case "math::sign" => num(0) match {
         case VInt(v) => VInt(java.lang.Long.signum(v))
-        case VFloat(d) => VInt(Math.signum(d).toLong)
-        case VDec(d) => VInt(d.signum)
+        // Rust f64::signum (val/number.rs:596, golden math/sign.surql):
+        // FLOAT result; ±1.0 even for ±0.0 (copysign), NaN passes through —
+        // Java Math.signum would return ±0.0 for zeros
+        case VFloat(d) => VFloat(if (d.isNaN) d else Math.copySign(1.0, d))
+        case VDec(d) => VDec(BigDecimal(d.signum))
       }
       case "math::sqrt" => num(0) match {
         case VDec(d) if d.signum >= 0 => VFloat(Math.sqrt(d.toDouble))
@@ -687,9 +693,11 @@ object Functions {
         VInt(x.zip(y).count { case (c1, c2) => c1 != c2 })
       case "string::similarity::jaro" => VFloat(jaro(str(0), str(1)))
       case "string::similarity::jaro_winkler" =>
+        // strsim 0.11 generic_jaro_winkler: UNBOUNDED common-prefix boost
+        // (no classic 4-char cap), clamped to 1.0
         val j = jaro(str(0), str(1))
-        val prefix = str(0).zip(str(1)).take(4).takeWhile { case (x, y) => x == y }.length
-        VFloat(j + prefix * 0.1 * (1 - j))
+        val prefix = str(0).zip(str(1)).takeWhile { case (x, y) => x == y }.length
+        VFloat(Math.min(1.0, j + prefix * 0.1 * (1 - j)))
       case "string::similarity::fuzzy" | "string::similarity::smithwaterman" =>
         VInt(fuzzyScore(str(0), str(1)))
       case "string::is::alphanum" => VBool(str(0).nonEmpty && str(0).forall(_.isLetterOrDigit))

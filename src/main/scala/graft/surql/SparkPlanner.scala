@@ -152,6 +152,11 @@ object SparkPlanner {
     var txnBase = overlay // overlay snapshot at BEGIN
     var params = Map.empty[String, V]
     var eventDefs = Seq.empty[graft.surql.Defs.EventDef]
+    // CANCEL must roll back EVERYTHING the transaction did — not just table
+    // states but also DEFINE EVENT registrations and LET bindings made
+    // inside it (the reference discards the whole transaction context)
+    var txnParams = params
+    var txnEvents = eventDefs
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
     // a mutation commits its table's after-state to the overlay, then fires
@@ -164,9 +169,11 @@ object SparkPlanner {
       last = Some(ret)
     }
     def exec(st0: Statement): Unit = Subst.stmt(st0, params) match {
-      case BeginStmt  => txnBase = overlay
+      case BeginStmt  => txnBase = overlay; txnParams = params; txnEvents = eventDefs
       case CommitStmt => () // the composed plan is already all-or-nothing
-      case CancelStmt => overlay = txnBase; last = scala.None
+      case CancelStmt =>
+        overlay = txnBase; params = txnParams; eventDefs = txnEvents
+        last = scala.None
       case UseStmt(_, _) => () // single-catalog engine: ns/db switch is a no-op
       case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
       case s: DefineEventStmt => eventDefs :+= s.d
@@ -250,6 +257,20 @@ object SparkPlanner {
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val sets = setMap(s.data, ctx, requireExisting = true)
           val key = recordKey(t)
+          // reference errors on CREATE of an existing id (err/mod.rs:498
+          // "Database record `…` already exists") — the anti-join guard
+          // alone would silently no-op, so probe the constant target keys
+          val keyLits = targets.map(x => ridKeyLit(x._2))
+          val clash = base.select(col(key))
+            .filter(col(key).isin(keyLits: _*)).limit(1).collect()
+          if (clash.nonEmpty) {
+            val hit = targets.find(x =>
+              clash.head.get(0).toString == (x._2 match {
+                case VStr(sv) => sv; case other => other.renderRaw
+              })).getOrElse(targets.head)
+            throw SqlError(
+              s"Database record `${Render.sql(VRid(t, hit._2))}` already exists")
+          }
           val created = synthRows(spark, t, base.schema, targets.map(x => (x._2, sets)))
             .join(base.select(key), Seq(key), "left_anti")
           (t, base, base.unionByName(created), planCreate(spark, dir, s))
@@ -1852,13 +1873,29 @@ object SparkPlanner {
           if (bothInt) (c(l) / c(r)).cast("bigint") else c(l) / c(r)
         case "%"  => c(l) % c(r)
         case "**" =>
-          // Int ** non-negative Int stays Int (number.rs pow); otherwise
-          // float exponentiation
+          // Int ** Int stays Int only when the exponent is a KNOWN
+          // non-negative constant (number.rs pow: exponent is `u32
+          // try_into`, so a negative exponent errors in the reference —
+          // a blanket bigint cast would silently truncate 2 ** -1 to 0).
+          // Unknown or negative exponents fall through to float pow.
           val bothInt = Seq(l, r).forall(e => typeOf(e, schema).exists {
             case LongType | IntegerType | ShortType => true
             case _ => false
           })
-          if (bothInt) pow(c(l), c(r)).cast("bigint") else pow(c(l), c(r))
+          r match {
+            case Lit(VInt(i)) if i < 0 =>
+              if (bothInt)
+                throw SqlError("Cannot raise the value to the power of a negative integer")
+              else pow(c(l), c(r))
+            case Lit(VInt(_)) if bothInt => pow(c(l), c(r)).cast("bigint")
+            case _ if bothInt =>
+              // non-constant exponent: Int result, but a negative exponent
+              // raises at runtime like the reference's u32 try_into
+              when(c(r) < 0, raise_error(
+                lit("Cannot raise the value to the power of a negative integer")))
+                .otherwise(pow(c(l), c(r)).cast("bigint"))
+            case _ => pow(c(l), c(r))
+          }
         case "=" => r match {
           case Lit(VNone) | Lit(VNull) => c(l).isNull
           case _ =>
@@ -1955,10 +1992,21 @@ object SparkPlanner {
     case "math::abs"   => abs(cs(0))
     case "math::ceil"  => ceil(cs(0)).cast("bigint")
     case "math::floor" => floor(cs(0)).cast("bigint")
-    case "math::round" => round(cs(0))
+    // Reference round is Rust f64::round (val/number.rs:578): half away from
+    // zero AND sign-of-zero preserving — Spark's BigDecimal-backed round()
+    // returns +0.0 for tiny negative inputs, a bit-level infidelity.
+    case "math::round" =>
+      graft.functions.VectorKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_round", cs(0))
     case "math::fixed" => round(cs(0), raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 })
     case "math::sqrt"  => sqrt(cs(0))
-    case "math::sign"  => signum(cs(0))
+    // Rust f64::signum (val/number.rs:596): ±1.0 for ±0.0, NaN passthrough,
+    // and Int input keeps Int type — Spark's signum() is Java semantics
+    case "math::sign"  =>
+      graft.functions.VectorKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_sign", cs(0))
     case "math::pow"   => pow(cs(0), cs(1))
     // math::sum over an in-row array value (fnc/math.rs Sum) — a codegen'd
     // fold; result is double (SurrealQL numeric promotion on mixed arrays)
@@ -2216,8 +2264,12 @@ object SparkPlanner {
     case "array::add" =>
       when(array_contains(cs(0), cs(1)), cs(0))
         .otherwise(concat(cs(0), array(cs(1))))
-    // (start, end-exclusive) integer range (fnc/array.rs:617)
-    case "array::range" => sequence(cs(0), cs(1) - 1)
+    // (start, end-exclusive) integer range (fnc/array.rs:617). Spark's
+    // sequence() counts DOWN when stop < start, so an empty range
+    // (end <= start) must be guarded to [] explicitly.
+    case "array::range" =>
+      when(cs(1) <= cs(0), array().cast("array<bigint>"))
+        .otherwise(sequence(cs(0), cs(1) - 1))
     case "array::repeat" => raw(1) match {
       case Lit(VInt(n)) => array_repeat(cs(0), n.toInt)
       case _ => throw SqlError("SparkPlanner: array::repeat needs a constant count")

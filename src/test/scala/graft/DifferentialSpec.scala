@@ -107,6 +107,12 @@ class DifferentialSpec extends AnyFunSuite {
         s"row $n columns differ: ${sm.keySet} vs ${im.keySet}\n$surql")
       sm.keySet.foreach { k =>
         val ok = (sm(k), im(k)) match {
+          // float vs float: BIT comparison — Python-style == is blind to
+          // signed zero (round 10's idiom_array_filter escape); NaN is
+          // payload-normalized by doubleToLongBits
+          case (VFloat(a), VFloat(b)) =>
+            java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b)
           case (a: graft.surql.VNum, b: graft.surql.VNum) =>
             a.toDouble == b.toDouble
           case (a, b) => a == b
@@ -188,7 +194,19 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name FROM item WHERE !(grp = 'a') AND qty > 4 ORDER BY name LIMIT 5",
     "SELECT name, array::join(array::sort::desc([3, 1, 2]), ',') AS d, array::join(array::sort([2, 3, 1], false), ',') AS d2 FROM item ORDER BY name LIMIT 2",
     "SELECT name, string::similarity::fuzzy(name, 'n1') AS fz FROM item ORDER BY name LIMIT 6",
-    "SELECT name, string::semver::compare('1.2.3', '1.10.0') AS c1, string::semver::compare('2.0.0', '1.9.9') AS c2, string::semver::compare('1.2.3', '1.2.3') AS c0 FROM item ORDER BY name LIMIT 2")
+    "SELECT name, string::semver::compare('1.2.3', '1.10.0') AS c1, string::semver::compare('2.0.0', '1.9.9') AS c2, string::semver::compare('1.2.3', '1.2.3') AS c0 FROM item ORDER BY name LIMIT 2",
+    // ---- float-edge fidelity (round 10's escape class): math::round must
+    // be Rust f64::round — half AWAY from zero and sign-of-zero preserving;
+    // the comparator above bit-compares float-float pairs, so these pin
+    // round(-0.2) = -0.0 and round(-0.5) = -1 on BOTH engines
+    "RETURN { a: math::round(0.0 - 0.2), b: math::round(0.0 - 2.5), c: math::round(2.5), d: math::round(0.0 - 0.5), e: math::round(0.49999999999999994), f: math::round(1.5) }",
+    "SELECT name, math::round(qty - 0.2) AS rz, math::round(0.5 - qty) AS rh FROM item ORDER BY name LIMIT 8",
+    // jaro_winkler: strsim 0.11 UNBOUNDED prefix boost + 1.0 clamp (shared
+    // prefix longer than the classic 4-char cap)
+    "RETURN { j: string::similarity::jaro_winkler('prefixes12', 'prefixes34'), k: string::similarity::jaro_winkler('martha', 'marhta'), l: string::similarity::jaro_winkler('abcdefgh', 'abcdefgh') }",
+    // array::range: end-exclusive, EMPTY when end <= start (Spark sequence
+    // would count down without the guard)
+    "RETURN { a: array::range(5, 5), b: array::range(2, 5), c: array::range(5, 2) }")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }
@@ -233,5 +251,35 @@ class DifferentialSpec extends AnyFunSuite {
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
       checkScript(q)
     }
+  }
+
+  // ---- float-edge property tranche ---------------------------------------
+  // Round 10 proved the signed-zero class escapes both the golden corpus and
+  // a ==-based comparator. Pseudo-random + adversarial doubles flow through
+  // the math:: lowerings as ONE RETURN object per engine; the bit-comparing
+  // field check above catches any -0.0 / half-rounding divergence.
+  private def plain(d: Double): String = {
+    val s = BigDecimal(d).bigDecimal.toPlainString
+    if (s.startsWith("-")) s"(0.0 ${s.replaceFirst("-", "- ")})" else s
+  }
+
+  test("differential-float-edges: math::round over adversarial doubles") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq(-0.2, -0.5, -0.75, -2.5, 2.5, 1.5, -1.5,
+      0.49999999999999994, -0.49999999999999994, 4503599627370495.5,
+      -4503599627370495.5, 0.0)
+    val vals = edges ++ (1 to 52).map(_ =>
+      (rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(7)))
+    checkSame("RETURN { " + vals.zipWithIndex.map { case (v, i) =>
+      s"r$i: math::round(${plain(v)})" }.mkString(", ") + " }")
+  }
+
+  test("differential-float-edges: math::abs/sign/fixed over adversarial doubles") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(-0.25, -1.75, 3.125, -0.0078125) ++
+      (1 to 28).map(_ => (rnd.nextDouble() - 0.5) * math.pow(10.0, rnd.nextInt(5)))
+    checkSame("RETURN { " + vals.zipWithIndex.map { case (v, i) =>
+      s"a$i: math::abs(${plain(v)}), s$i: math::sign(${plain(v)})"
+    }.mkString(", ") + " }")
   }
 }
