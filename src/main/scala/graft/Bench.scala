@@ -23,11 +23,13 @@ object Bench {
     // (the reference likewise separates index build from query latency).
     val tIdx = System.nanoTime()
     graft.operators.FullText.index(spark, sfDir)
+    graft.operators.FullText.stemmedIndex(spark, sfDir)
     graft.operators.Dedup.shingleTable(spark, sfDir)
     graft.operators.Similarity.warmIndex(spark, sfDir)
     graft.operators.Similarity.warmIvf(spark, sfDir)
     graft.operators.GraphOps.warmEdges(spark, sfDir)
     graft.operators.CountIndex.warm(spark, sfDir)
+    graft.operators.Buckets.warm(spark, sfDir)
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,
       None: Option[String])
     // Single-run timings proved indistinguishable from sandbox noise (a
@@ -64,6 +66,13 @@ object Bench {
     // a query that died mid-run must not post a plausible wall-time and keep
     // the bench green — failures are first-class in the emitted record
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failuresJson,"sf":"$sfDir"}""")
+    // The driver's artifact capture keeps only the TAIL of stdout; emitting
+    // a compact top-20 summary AFTER the full record means the headline
+    // numbers survive any truncation of the (long) per-query JSON line.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"summary":true,"total":${f"$total%.3f"},"n_queries":${results.size},"n_failed":${failures.size},"slowest":$top}""")
     if (failures.nonEmpty) {
       spark.stop()
       sys.exit(1)

@@ -92,6 +92,11 @@ object StrSim {
     }
     if (qi == query.length) score else 0L
   }
+
+  /** UTF8String bridge for [[graft.surql.Snowball.stem]]. */
+  def stem(term: UTF8String, lang: UTF8String): UTF8String =
+    UTF8String.fromString(
+      graft.surql.Snowball.stem(lang.toString, term.toString))
 }
 
 final case class FuzzyF(left: Expression, right: Expression)
@@ -143,6 +148,28 @@ final case class JaroWinklerF(left: Expression, right: Expression) extends StrSi
     copy(left = newLeft, right = newRight)
 }
 
+/** Snowball stemmer as a native expression: a static call into
+  * [[graft.surql.Snowball]] per row, inside whole-stage codegen — the same
+  * stemmer the Interp analyzer chain runs, so the Spark FTS postings and
+  * the interpreter's `search::analyze` agree token-for-token. The language
+  * is a plan-time constant (right child must be a string literal). */
+final case class StemF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_stem"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.stem(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.stem($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object StrSimKernels {
   def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -152,5 +179,7 @@ object StrSimKernels {
       es => JaroWinklerF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fuzzy",
       es => FuzzyF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_stem",
+      es => StemF(es.head, es(1)), "built-in")
   }
 }

@@ -111,6 +111,98 @@ object FullText {
 
   private val queryTerms = Seq("spark", "merge", "window")
 
+  /** Stemmed-analyzer index: the blank+lowercase+snowball(english) chain
+    * (DEFINE ANALYZER … FILTERS lowercase,snowball(english)). The stemmer is
+    * [[graft.functions.StemF]] — a codegen'd static call into the same
+    * Porter2 implementation the Interp analyzer chain runs, so postings and
+    * `search::analyze` agree token-for-token. Cached/persisted like the
+    * unstemmed index. */
+  private val stemmedCache =
+    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]()
+
+  def stemmedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    stemmedCache.getOrElseUpdate(dir, {
+      graft.functions.StrSimKernels.ensure(s)
+      val post = tokenize(Tables.documentsWide(s, dir))
+        .select(col("doc_id"),
+          call_function("graft_stem", col("term"), lit("english")).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).persist()
+      val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl")).persist()
+      post.count(); dl.count()
+      (post, dl)
+    })
+
+  /** BM25 over the stemmed index — query terms arrive as user words and are
+    * stemmed with the same analyzer before the postings join (the reference
+    * stems the query through the same chain: idx/ft/analyzer/mod.rs). */
+  def bm25Stemmed(spark: SparkSession, dir: String, words: Seq[String], k: Int): DataFrame = {
+    val stems = words.map(w => graft.surql.Snowball.english(w.toLowerCase)).distinct
+    val (allPost, dl) = stemmedIndex(spark, dir)
+    val post = allPost.filter(col("term").isin(stems: _*))
+    val glob = dl.agg(count(lit(1)).cast("double").as("n"),
+      Exact.davg(col("dl")).as("avgdl"))
+    val df_  = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    post
+      .join(dl, "doc_id")
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(glob))
+      .select(col("doc_id"), (
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(K1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
+        .as("term_score"))
+      .groupBy("doc_id").agg(round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The test corpus vocabulary under Porter2 — only these five words change;
+    * the DuckDB oracle mirrors the stemmer with this CASE so both engines
+    * build identical stemmed postings over the fixed generator vocabulary. */
+  private val stemCase =
+    """CASE term WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+                 WHEN 'value' THEN 'valu' WHEN 'customer' THEN 'custom'
+                 WHEN 'table' THEN 'tabl' ELSE term END"""
+
+  private def sqlBm25Stemmed(stems: Seq[String], k: Int): String = {
+    val inList = stems.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+          SELECT doc_id, $stemCase AS term FROM (
+            SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+            FROM documents)),
+        post AS (
+          SELECT term, doc_id, COUNT(*) AS tf FROM toks
+          WHERE term IN $inList GROUP BY 1, 2),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, ${Exact.sqlAvg("dl")} AS avgdl FROM dl),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
+        scored AS (
+          SELECT post.doc_id,
+                 ln(CAST(1.0 AS DOUBLE) + (stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                      / (dfreq.df + CAST(0.5 AS DOUBLE)))
+                 * (CAST(post.tf AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
+                 / (CAST(post.tf AS DOUBLE)
+                    + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
+                        + CAST($B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
+                   AS term_score
+          FROM post JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+        SELECT doc_id, round(SUM(term_score), 4) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score DESC, doc_id LIMIT $k"""
+  }
+
+  /** Inflected user query words — the analyzer must stem them onto the same
+    * postings keys the corpus words produced (merging→merg matches merge). */
+  private val stemmedQueryWords = Seq("merging", "tables", "queries")
+
+  val fulltextStemmed = Q("fulltext_stemmed",
+    sqlBm25Stemmed(stemmedQueryWords.map(w =>
+      graft.surql.Snowball.english(w.toLowerCase)).distinct, 20)) {
+    (s, d) => bm25Stemmed(s, d, stemmedQueryWords, 20)
+  }
+
   /** `FullTextScan` (`@@` MATCHES with BM25 ranking): top-20 documents for a
     * 3-term query. */
   val fulltextBm25 = Q("fulltext_bm25", sqlBm25(queryTerms, 20)) {
@@ -165,5 +257,6 @@ object FullText {
         .orderBy("doc_id")
   }
 
-  val all: Seq[Q] = Seq(fulltextBm25, fulltextAll, fulltextHighlight)
+  val all: Seq[Q] = Seq(fulltextBm25, fulltextAll, fulltextHighlight,
+    fulltextStemmed)
 }

@@ -474,7 +474,7 @@ object Api {
     if (name.isEmpty || !name.forall(c => c.isLetterOrDigit && c < 128 || tokenExtra.contains(c)))
       throw ApiErr(s"Invalid header name: $name: invalid HTTP header name", 400)
     value match {
-      case VStr(s) if s.exists(c => c == '\r' || c == '\n' || c == ' ') =>
+      case VStr(s) if s.exists(c => c == '\r' || c == '\n' || c == '\u0000') =>
         throw ApiErr(s"Invalid header value for ${name.toLowerCase}: $s: failed to parse header value", 400)
       case _ => ()
     }

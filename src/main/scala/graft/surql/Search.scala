@@ -210,7 +210,13 @@ object Search {
         (min to max).map(p => t.copy(term = t.term.substring(0, p),
           pStart = t.start, pEnd = t.start + p)).toVector
       }
-    case "snowball" | "mapper" => Vector(t) // stemming/lemmatization: identity
+    // snowball(<language>): real stemming (reference idx/ft/analyzer/
+    // filter.rs:36-53 → rust_stemmers; implemented from the published
+    // algorithms in graft.surql.Snowball). Unimplemented languages pass
+    // through unchanged — see Snowball.supported.
+    case "snowball" =>
+      Vector(t.copy(term = Snowball.stem(args.headOption.getOrElse("english"), t.term)))
+    case "mapper" => Vector(t) // lemmatization map file: environment-limited
     case _ => Vector(t)
   }
 

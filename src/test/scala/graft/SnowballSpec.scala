@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.surql.Snowball
+
+/** Porter2 (Snowball English) pinned against known pairs from the published
+  * sample vocabulary (snowballstem.org) — exceptional forms, each step's
+  * rules, and the R1/R2 region logic. The reference applies this stemmer via
+  * rust_stemmers in its analyzer chain (idx/ft/analyzer/filter.rs:39). */
+class SnowballSpec extends AnyFunSuite {
+
+  private val englishPairs = Seq(
+    // step 1a / plurals
+    "ties" -> "tie", "cries" -> "cri", "gas" -> "gas", "gaps" -> "gap",
+    "kiwis" -> "kiwi", "this" -> "this", "caresses" -> "caress",
+    // exceptional forms
+    "dying" -> "die", "lying" -> "lie", "sky" -> "sky", "news" -> "news",
+    "early" -> "earli", "only" -> "onli", "skies" -> "sky", "bias" -> "bias",
+    // step-1a exceptions (invariant after plural removal)
+    "inning" -> "inning", "exceed" -> "exceed", "proceed" -> "proceed",
+    // step 1b with fixups
+    "hopping" -> "hop", "hoping" -> "hope", "hoped" -> "hope",
+    "luxuriating" -> "luxuri", "fitting" -> "fit", "arguing" -> "argu",
+    "argued" -> "argu", "running" -> "run",
+    // step 1c
+    "happy" -> "happi", "cry" -> "cri", "by" -> "by", "say" -> "say",
+    // steps 2-4 (suffix chains and regions)
+    "consign" -> "consign", "consigned" -> "consign",
+    "consigning" -> "consign", "consignment" -> "consign",
+    "consist" -> "consist", "consistency" -> "consist",
+    "consolation" -> "consol", "knightly" -> "knight",
+    "abilities" -> "abil", "agreement" -> "agreement",
+    "national" -> "nation", "rational" -> "ration",
+    "generously" -> "generous", "communication" -> "communic",
+    "electricity" -> "electr", "electrical" -> "electr",
+    "beautiful" -> "beauti", "beautifully" -> "beauti",
+    "sensitivity" -> "sensit", "controlled" -> "control",
+    "knavish" -> "knavish", "kneaded" -> "knead")
+
+  englishPairs.foreach { case (in, want) =>
+    test(s"porter2: $in -> $want") {
+      assertResult(want)(Snowball.english(in))
+    }
+  }
+
+  test("porter2 is idempotent over its own output") {
+    englishPairs.foreach { case (in, _) =>
+      val once = Snowball.english(in)
+      // stemming a stem may shorten further in rare chains, but must never
+      // throw and must stabilize within one more application
+      val twice = Snowball.english(once)
+      assertResult(Snowball.english(twice))(twice)
+    }
+  }
+
+  test("scandinavian stemmers strip definite/plural suffixes") {
+    // Swedish: jaktkarlarne -> jaktkarl (classic sample), klokaste -> klok
+    assertResult("jaktkarl")(Snowball.swedish("jaktkarlarne"))
+    assertResult("klok")(Snowball.swedish("klokaste"))
+    // Norwegian: huset -> hus (definite), billigere -> billig-
+    assertResult("hus")(Snowball.norwegian("huset"))
+    // Danish: hesten -> hest
+    assertResult("hest")(Snowball.danish("hesten"))
+    // unknown language falls back to identity
+    assertResult("walking")(Snowball.stem("klingon", "walking"))
+  }
+
+  test("snowball filter stems inside the analyzer chain") {
+    val in = new graft.surql.Interp
+    in.run(graft.surql.Parser.parse(
+      "DEFINE ANALYZER eng TOKENIZERS blank,class FILTERS lowercase,snowball(english);"))
+    val r = in.run(graft.surql.Parser.parse(
+      "RETURN search::analyze('eng', 'The hopping rabbits consistently analyzed beautifully');"))
+    val graft.surql.QOk(v) = r.last: @unchecked
+    val terms = v match {
+      case graft.surql.VArr(xs) => xs.collect { case graft.surql.VStr(s) => s }
+      case _ => fail(s"unexpected analyze result: $v")
+    }
+    assert(terms == Vector("the", "hop", "rabbit", "consist", "analyz", "beauti"),
+      s"got $terms")
+  }
+}
