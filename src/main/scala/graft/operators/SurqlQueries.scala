@@ -1561,7 +1561,37 @@ object SurqlQueries {
     "SELECT COUNT(*) AS cnt FROM lineitem")(
     "SELECT count() AS cnt FROM lineitem GROUP ALL TIMEOUT 5m")
 
+  /** PERMISSIONS enforcement on the Spark path (scan/resolved.rs:29): a
+    * record-auth session whose SELECT permission on orders restricts reads
+    * to the authenticated customer's own rows ($auth bound at plan time)
+    * and prunes customer entirely (NONE). The permission clause becomes one
+    * more pushed filter on the parquet scan — PlanSpec pins pushdown. */
+  val permScan = Q("perm_scan",
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       WHERE o_custkey = 42 AND o_totalprice > 1000.0 ORDER BY o_orderkey""") {
+    (s, d) =>
+      SparkPlanner.withAuth(SparkPlanner.AuthSession(
+        graft.surql.VInt(42),
+        Map("orders" -> "WHERE o_custkey = $auth", "customer" -> "NONE"))) {
+        SparkPlanner.query(s, d,
+          """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             WHERE o_totalprice > 1000.0 ORDER BY o_orderkey""")
+      }
+  }
+
+  /** NONE permission prunes the table: the same session sees zero customer
+    * rows regardless of predicates (reference prunes the scan entirely). */
+  val permNone = Q("perm_none",
+    "SELECT c_custkey, c_name FROM customer WHERE 1 = 0") { (s, d) =>
+      SparkPlanner.withAuth(SparkPlanner.AuthSession(
+        graft.surql.VInt(42),
+        Map("orders" -> "WHERE o_custkey = $auth", "customer" -> "NONE"))) {
+        SparkPlanner.query(s, d, "SELECT c_custkey, c_name FROM customer")
+      }
+  }
+
   val all: Seq[Q] = Seq(
+    permScan, permNone,
     tableScan, pointLookup, rangeScan, countAll, exprScalar, filterWhere,
     projectExpr, projectValue, unionOrFilter, splitExplode, sortMulti, topK,
     limitStart, onlyOne, aggGroup, aggGlobal, distinctScan, subqueryIn,

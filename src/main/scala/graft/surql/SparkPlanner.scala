@@ -65,6 +65,54 @@ object SparkPlanner {
       get(t).getOrElse(default)
   }
 
+  /** Record-auth session for the Spark path. When active, every concrete
+    * table scan resolves the table's SELECT permission clause ONCE at plan
+    * time and pushes it as an extra filter ahead of the user predicates —
+    * the reference resolves permissions per scan the same way
+    * (exec/operators/scan/resolved.rs:29) and Catalyst then pushes the
+    * conjunction down to the parquet reader, so multi-tenant row security
+    * costs nothing beyond the predicate itself at 100 TB.
+    *
+    * `perms`: table → "FULL" | "NONE" | "WHERE <surql>"; `auth` binds
+    * `$auth` inside permission clauses (doc/compute.rs record-user check). */
+  final case class AuthSession(auth: V, perms: Map[String, String])
+
+  private val authTL = new ThreadLocal[Option[AuthSession]] {
+    override def initialValue: Option[AuthSession] = scala.None
+  }
+
+  /** Run `f` as the given record-auth session (system sessions — the
+    * default — plan with no permission filters, like the reference's
+    * check_perms short-circuit for non-record users). */
+  def withAuth[T](sess: AuthSession)(f: => T): T = {
+    val prev = authTL.get()
+    authTL.set(Some(sess))
+    try f finally authTL.set(prev)
+  }
+
+  private val permCache =
+    scala.collection.concurrent.TrieMap[String, Expr]()
+
+  /** Apply `table`'s SELECT permission to a freshly planned scan. */
+  private def permFilter(spark: SparkSession, dir: String, df: DataFrame,
+      table: String): DataFrame = authTL.get() match {
+    case scala.None => df
+    case Some(sess) => sess.perms.get(table) match {
+      case scala.None | Some("FULL") => df
+      case Some("NONE") => df.filter(lit(false)) // table pruned
+      case Some(w) if w.toUpperCase.startsWith("WHERE ") =>
+        val cond = permCache.getOrElseUpdate(w,
+          Parser.parse("RETURN " + w.drop(6) + ";").stmts.collectFirst {
+            case ReturnStmt(e) => e
+          }.getOrElse(throw SqlError(s"SparkPlanner: unparsable permission $w")))
+        val bound = Subst.expr(cond, Map("auth" -> sess.auth))
+        val ctx = Ctx(spark, dir, table, df.schema, Map.empty)
+        df.filter(toCol(bound, ctx))
+      case Some(other) =>
+        throw SqlError(s"SparkPlanner: unsupported permission clause $other")
+    }
+  }
+
   /** Tables small enough to broadcast in link joins at any scale factor —
     * dimensions in the TPC-H sense. Fact-side links fall back to shuffle
     * joins that AQE may still convert. */
@@ -403,8 +451,10 @@ object SparkPlanner {
   /** One FROM source → (DataFrame, source table name if concrete). */
   private def planSource(spark: SparkSession, dir: String, e: Expr,
       params: Map[String, V] = Map.empty): (DataFrame, String) = e match {
-    case Idiom(Seq(PField(name))) => (Tables(spark, dir, name), name)
-    case TableRef(name)           => (Tables(spark, dir, name), name)
+    case Idiom(Seq(PField(name))) =>
+      (permFilter(spark, dir, Tables(spark, dir, name), name), name)
+    case TableRef(name) =>
+      (permFilter(spark, dir, Tables(spark, dir, name), name), name)
     // DynamicScan: `FROM $param` resolves the bound value to a concrete
     // source at plan time and dispatches (scan/dynamic.rs:53)
     case Param(name) =>
@@ -435,7 +485,7 @@ object SparkPlanner {
       // scan consumes (partition/row-group pruning at scale)
       val key = recordKey.getOrElse(table,
         throw SqlError(s"SparkPlanner: no record key for table $table"))
-      val df = Tables(spark, dir, table)
+      val df = permFilter(spark, dir, Tables(spark, dir, table), table)
       Eval.evalConst(keyE) match {
         case VRng(lo, hi) =>
           var out = df

@@ -253,6 +253,41 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ---- record-auth permissions -------------------------------------------
+  // The SAME permission clause enforced by both engines: Interp applies the
+  // table's SELECT permission per read (Interp.scala readPermission); the
+  // Spark path resolves it at plan time and pushes it as a scan filter
+  // (SparkPlanner.permFilter). Row sets must agree exactly.
+  test("differential-permissions: SELECT permission filters rows on both paths") {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse("DEFINE TABLE OVERWRITE item PERMISSIONS FOR select WHERE qty > 3;"))
+    in.recordAuth = true
+    val q = "SELECT name, qty FROM item WHERE qty < 6 ORDER BY name"
+    compare(q, in.run(Parser.parse(q)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.withAuth(SparkPlanner.AuthSession(graft.surql.VNull,
+          Map("item" -> "WHERE qty > 3"))) {
+          SparkPlanner.query(spark, "/nonexistent", q)
+        }
+      })
+  }
+
+  test("differential-permissions: NONE prunes the table on both paths") {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse("DEFINE TABLE OVERWRITE item PERMISSIONS NONE;"))
+    in.recordAuth = true
+    val q = "SELECT name FROM item ORDER BY name"
+    compare(q, in.run(Parser.parse(q)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.withAuth(SparkPlanner.AuthSession(graft.surql.VNull,
+          Map("item" -> "NONE"))) {
+          SparkPlanner.query(spark, "/nonexistent", q)
+        }
+      })
+  }
+
   // ---- float-edge property tranche ---------------------------------------
   // Round 10 proved the signed-zero class escapes both the golden corpus and
   // a ==-based comparator. Pseudo-random + adversarial doubles flow through

@@ -26,6 +26,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: []"), "pushed-filter list is empty")
   }
 
+  test("perm_scan pushes the permission predicate into the parquet scan") {
+    val p = planOf("perm_scan")
+    // the session's SELECT permission (o_custkey = $auth, bound to 42)
+    // must reach the reader as a pushed filter, alongside the user WHERE
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "no pushed filters on the permission-scoped scan")
+    assert(p.contains("o_custkey"),
+      "permission predicate column absent from the physical plan")
+  }
+
   test("point_lookup pushes the key equality down") {
     val p = planOf("point_lookup")
     assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"))
