@@ -29,8 +29,16 @@ import scala.collection.mutable
   * `upsert{Cap}(data)` → UPSERT CONTENT, `delete{Cap}(id)` → DELETE
   * returning Boolean — the reference's field-naming scheme.
   *
+  * Variables (`query($min: Int!) { … }` + a variables object, defaults,
+  * non-null enforcement) and fragments (named `fragment F on T` + `...F`
+  * spreads and inline `... on T` spreads) are supported: variables
+  * substitute into argument values and fragment spreads splice their
+  * selection sets before translation — both are client-surface document
+  * transforms, so the SurrealQL lowering underneath is unchanged
+  * (gql/schema.rs resolves them the same way before resolution).
+  *
   * Out of scope (documented): auth/subscriptions (gql/auth.rs,
-  * subscriptions.rs), variables, fragments, directives, introspection. */
+  * subscriptions.rs), directives, introspection. */
 object Gql {
 
   final case class GqlError(msg: String) extends RuntimeException(msg)
@@ -48,12 +56,23 @@ object Gql {
   final case class GObj(fields: Seq[(String, GVal)]) extends GVal {
     def get(k: String): Option[GVal] = fields.collectFirst { case (n, v) if n == k => v }
   }
+  /** A `$variable` reference inside a value — resolved against the
+    * operation's variable definitions before translation. */
+  final case class GVar(name: String) extends GVal
 
   final case class GField(alias: Option[String], name: String,
-      args: Seq[(String, GVal)], sel: Seq[GField]) {
+      args: Seq[(String, GVal)], sel: Seq[GField],
+      spread: Option[String] = scala.None) {
     def out: String = alias.getOrElse(name)
     def arg(k: String): Option[GVal] = args.collectFirst { case (n, v) if n == k => v }
   }
+
+  /** `$name: Type[!] [= default]` from the operation header. */
+  final case class VarDef(name: String, tpe: String, nonNull: Boolean,
+      default: Option[GVal])
+
+  /** `fragment Name on Type { … }`. */
+  final case class FragDef(name: String, on: String, sel: Seq[GField])
 
   // ---- lexer/parser (GraphQL October 2021 executable-document subset) ----
 
@@ -83,19 +102,69 @@ object Gql {
 
     def document(): Doc = {
       ws()
-      // operation form: `query|mutation [Name] { … }`; shorthand: `{ … }`
+      // executable document: any number of fragment definitions around ONE
+      // operation (`query|mutation [Name] [($vars)] { … }` or shorthand)
       var op = "query"
-      if (isNameStart(peek)) {
-        op = name()
-        if (op != "query" && op != "mutation")
-          throw GqlError(s"GraphQL: unsupported operation `$op` " +
-            "(queries and mutations only; subscriptions are out of scope)")
-        ws(); if (isNameStart(peek)) name() // optional operation name
+      var roots: Seq[GField] = Nil
+      var varDefs: Seq[VarDef] = Nil
+      val frags = mutable.LinkedHashMap[String, FragDef]()
+      var sawOp = false
+      while ({ ws(); pos < src.length }) {
+        if (peek == '{') {
+          if (sawOp) err("multiple operations in one document")
+          roots = selectionSet(); sawOp = true
+        } else {
+          name() match {
+            case "fragment" =>
+              val fn = name()
+              if (fn == "on") err("fragment name cannot be `on`")
+              ws(); if (name() != "on") err("expected `on` in fragment definition")
+              val tpe = name()
+              frags(fn) = FragDef(fn, tpe, selectionSet())
+            case o @ ("query" | "mutation") =>
+              if (sawOp) err("multiple operations in one document")
+              op = o
+              ws(); if (isNameStart(peek)) name() // optional operation name
+              ws(); if (peek == '(') varDefs = variableDefinitions()
+              roots = selectionSet(); sawOp = true
+            case other =>
+              throw GqlError(s"GraphQL: unsupported operation `$other` " +
+                "(queries and mutations only; subscriptions are out of scope)")
+          }
+        }
       }
-      val roots = selectionSet()
+      if (!sawOp) err("document has no operation")
+      Doc(op, roots, varDefs, frags.toMap)
+    }
+
+    /** `($min: Int!, $tag: String = "x")`. */
+    private def variableDefinitions(): Seq[VarDef] = {
+      expect('(')
+      val out = mutable.ArrayBuffer[VarDef]()
       ws()
-      if (pos < src.length) err("trailing content after document")
-      Doc(op, roots)
+      while (peek != ')') {
+        if (peek != '$') err("expected a $variable definition")
+        pos += 1
+        val n = name()
+        expect(':')
+        ws()
+        // type: Name, [Type], with optional ! wrappers — recorded as text
+        val t0 = pos
+        def typeRef(): Unit = {
+          ws()
+          if (peek == '[') { pos += 1; typeRef(); expect(']') } else name()
+          ws(); if (peek == '!') pos += 1
+        }
+        typeRef()
+        val tpeTxt = src.substring(t0, pos).trim
+        val nonNull = tpeTxt.endsWith("!")
+        ws()
+        val dflt = if (peek == '=') { pos += 1; Some(value()) } else scala.None
+        out += VarDef(n, tpeTxt.stripSuffix("!"), nonNull, dflt)
+        ws()
+      }
+      pos += 1
+      out.toSeq
     }
 
     private def selectionSet(): Seq[GField] = {
@@ -111,6 +180,23 @@ object Gql {
     }
 
     private def selection(): GField = {
+      ws()
+      // `...Fragment` or `... on Type { … }` spreads
+      if (peek == '.') {
+        if (pos + 2 >= src.length || src(pos + 1) != '.' || src(pos + 2) != '.')
+          err("expected `...` spread")
+        pos += 3
+        ws()
+        if (isNameStart(peek)) {
+          val n = name()
+          if (n == "on") {
+            val tpe = name() // inline fragment's type condition
+            return GField(scala.None, "...", Nil, selectionSet(), Some("on:" + tpe))
+          }
+          return GField(scala.None, "...", Nil, Nil, Some(n))
+        }
+        err("expected a fragment name or `on` after `...`")
+      }
       val n1 = name()
       ws()
       val (alias, fname) =
@@ -156,6 +242,7 @@ object Gql {
           }
           pos += 1
           GObj(fs.toSeq)
+        case '$' => pos += 1; GVar(name())
         case c if c == '-' || c.isDigit => numberLit()
         case c if isNameStart(c) =>
           name() match {
@@ -206,12 +293,64 @@ object Gql {
     }
   }
 
-  /** A parsed executable document: operation type + root fields. */
-  final case class Doc(op: String, roots: Seq[GField])
+  /** A parsed executable document: operation type, root fields, variable
+    * definitions, fragment definitions (both empty pre-resolution extras). */
+  final case class Doc(op: String, roots: Seq[GField],
+      varDefs: Seq[VarDef] = Nil, frags: Map[String, FragDef] = Map.empty)
 
-  def parse(src: String): Seq[GField] = new Parser(src).document().roots
+  def parse(src: String): Seq[GField] = parseDoc(src).roots
 
-  def parseDoc(src: String): Doc = new Parser(src).document()
+  def parseDoc(src: String): Doc = resolve(new Parser(src).document(), Map.empty)
+
+  def parseDoc(src: String, variables: Map[String, GVal]): Doc =
+    resolve(new Parser(src).document(), variables)
+
+  /** Parse a variables payload written as a GraphQL input object
+    * (`{min: 3, tag: "x"}`) — the transport-level JSON body decodes to the
+    * same shape. */
+  def parseVariables(src: String): Map[String, GVal] =
+    new Parser("{ __v(v: " + src + ") { f } }").document().roots.head
+      .arg("v") match {
+        case Some(o: GObj) => o.fields.toMap
+        case _ => throw GqlError("variables must be an object")
+      }
+
+  /** Resolve a parsed document: bind variables (defaults applied, missing
+    * non-null errors — gql/schema.rs variable coercion) and splice fragment
+    * spreads (named + inline; cycles error). */
+  private def resolve(d: Doc, vars: Map[String, GVal]): Doc = {
+    val bound: Map[String, GVal] = d.varDefs.map { vd =>
+      vars.get(vd.name).orElse(vd.default) match {
+        case Some(v) => vd.name -> v
+        case scala.None if vd.nonNull =>
+          throw GqlError(s"Variable $$${vd.name}: ${vd.tpe}! has no value")
+        case scala.None => vd.name -> GNull
+      }
+    }.toMap
+    def subV(v: GVal): GVal = v match {
+      case GVar(n) => bound.getOrElse(n,
+        throw GqlError(s"Undefined variable $$$n"))
+      case GList(items) => GList(items.map(subV))
+      case GObj(fs) => GObj(fs.map { case (k, x) => (k, subV(x)) })
+      case other => other
+    }
+    def expand(sel: Seq[GField], seen: Set[String]): Seq[GField] =
+      sel.flatMap { f =>
+        f.spread match {
+          case Some(s) if s.startsWith("on:") => // inline fragment
+            expand(f.sel, seen)
+          case Some(n) =>
+            if (seen(n)) throw GqlError(s"Fragment cycle through `$n`")
+            val fd = d.frags.getOrElse(n,
+              throw GqlError(s"Unknown fragment `$n`"))
+            expand(fd.sel, seen + n)
+          case scala.None =>
+            Seq(f.copy(args = f.args.map { case (k, v) => (k, subV(v)) },
+              sel = expand(f.sel, seen)))
+        }
+      }
+    d.copy(roots = expand(d.roots, Set.empty), varDefs = Nil, frags = Map.empty)
+  }
 
   // ---- GraphQL → SurrealQL translation -----------------------------------
 
@@ -349,8 +488,8 @@ object Gql {
   }
 
   /** Whole document → one SurrealQL statement per root field, in order. */
-  def toSurqlAll(doc: String): Seq[(String, String)] = {
-    val d = parseDoc(doc)
+  def toSurqlAll(doc: String, variables: Map[String, GVal] = Map.empty): Seq[(String, String)] = {
+    val d = parseDoc(doc, variables)
     d.roots.map(f => f.out ->
       (if (d.op == "mutation") mutationSurql(f)._1 else toSurql(f)))
   }
@@ -413,7 +552,8 @@ object Gql {
     * the GraphQL response shape `{ data: { <field>: … } }`. Rows are shaped
     * to the SELECTION (extra ORDER-key projections are stripped here, the
     * GraphQL layer's field resolution step). */
-  def execute(doc: String, interp: graft.surql.Interp): graft.surql.V = {
+  def execute(doc: String, interp: graft.surql.Interp,
+      variables: Map[String, GVal] = Map.empty): graft.surql.V = {
     import graft.surql.{Parser => SqlParser, QOk, QErr, SqlError, V, VArr, VObj}
     import scala.collection.immutable.TreeMap
     def shape(v: V, sel: Seq[GField]): V =
@@ -426,7 +566,7 @@ object Gql {
         case other => other
       }
     var data = TreeMap[String, V]()
-    val d = parseDoc(doc)
+    val d = parseDoc(doc, variables)
     d.roots.foreach { root =>
       val (sql, boolResult) =
         if (d.op == "mutation") mutationSurql(root)
@@ -445,8 +585,9 @@ object Gql {
   /** Execute a single-root GraphQL document on the Spark path: the
     * translated SELECT runs through the SurrealQL parser + SparkPlanner. */
   def query(spark: org.apache.spark.sql.SparkSession, dir: String,
-      doc: String): org.apache.spark.sql.DataFrame = {
-    val roots = toSurqlAll(doc)
+      doc: String,
+      variables: Map[String, GVal] = Map.empty): org.apache.spark.sql.DataFrame = {
+    val roots = toSurqlAll(doc, variables)
     if (roots.length != 1)
       throw GqlError("Spark-path GraphQL execution expects exactly one root field")
     graft.surql.SparkPlanner.query(spark, dir, roots.head._2)

@@ -1055,6 +1055,24 @@ object SurqlQueries {
       }""")
   }
 
+  /** GraphQL variables + fragments (gql/schema.rs client surface): the
+    * document carries `$min`/`$st` variable definitions and a named
+    * fragment; both resolve BEFORE translation, so the Spark plan is the
+    * same pushed-down SELECT as gql_query. */
+  val gqlVars = Q("gql_vars",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""") { (s, d) =>
+    graft.gql.Gql.query(s, d, """
+      fragment keyPrice on orders { o_orderkey o_totalprice }
+      query($min: Float!, $st: String = "F") {
+        orders(filter: {and: [{o_orderstatus: {eq: $st}},
+                              {o_totalprice: {gt: $min}}]},
+               order: {desc: o_totalprice, then: {asc: o_orderkey}},
+               limit: 15) { ...keyPrice }
+      }""", graft.gql.Gql.parseVariables("{min: 150000.0}"))
+  }
+
   /** set::* namespace (fnc/set.rs): BTreeSet semantics — every result is
     * sorted and deduplicated; difference is SYMMETRIC (A △ B), complement is
     * relative (A \ B). Arrays built per row from key columns. */
@@ -1598,7 +1616,7 @@ object SurqlQueries {
     subqueryNotIn, fnMath, fnTime,
     graphOneHop, graphTwoHop, referenceScan, fetchJoin, unionFrom,
     fnString, fnArray, fnCast, fnAggStats, fnCrypto, fnSet, fnObjectEncoding, fnTypeIs,
-    gqlQuery,
+    gqlQuery, gqlVars,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     graphChain, graphChainField,
     fulltextBm25, knnBruteText, knnAnnText, knnNoindex, sortCollate, sortNumeric,

@@ -102,4 +102,70 @@ class GqlSpec extends AnyFunSuite {
     assert(Render.sql(after) ==
       "{ data: { person: [{ name: 'Alice' }, { name: 'Carol' }, { name: 'Fay' }] } }")
   }
+
+  test("variables: substitution, defaults, non-null enforcement") {
+    val in = freshDb()
+    val res = Gql.execute("""
+      query Q($min: Int!, $town: String = "Oslo") {
+        person(filter: {age: {gte: $min}, city: {eq: $town}},
+               order: {asc: name}) { name age }
+      }""", in, Gql.parseVariables("{min: 30}"))
+    assert(Render.sql(res) ==
+      "{ data: { person: [{ age: 30, name: 'Alice' }, { age: 35, name: 'Carol' }] } }")
+    // missing non-null variable errors like the reference's coercion step
+    val err = intercept[Gql.GqlError] {
+      Gql.execute("""query($min: Int!) { person(filter: {age: {gte: $min}}) { name } }""", in)
+    }
+    assert(err.msg.contains("has no value"))
+    // undefined variable reference errors
+    val err2 = intercept[Gql.GqlError] {
+      Gql.execute("""{ person(filter: {age: {gte: $nope}}) { name } }""", in)
+    }
+    assert(err2.msg.contains("Undefined variable"))
+  }
+
+  test("fragments: named spreads, inline spreads, cycles error") {
+    val in = freshDb()
+    val res = Gql.execute("""
+      fragment basics on person { name age }
+      query {
+        person(filter: {city: {eq: "Oslo"}}, order: {asc: age}) {
+          ...basics
+          ... on person { city }
+        }
+      }""", in)
+    assert(Render.sql(res) ==
+      "{ data: { person: [{ age: 30, city: 'Oslo', name: 'Alice' }, " +
+        "{ age: 35, city: 'Oslo', name: 'Carol' }] } }")
+    // fragment defined after the operation works too
+    val res2 = Gql.execute("""
+      { person(filter: {age: {lt: 21}}) { ...nm } }
+      fragment nm on person { name }""", in)
+    assert(Render.sql(res2) == "{ data: { person: [{ name: 'Dave' }] } }")
+    val cyc = intercept[Gql.GqlError] {
+      Gql.execute("""
+        fragment a on person { ...b }
+        fragment b on person { ...a }
+        { person { ...a } }""", in)
+    }
+    assert(cyc.msg.contains("cycle"))
+    val unknown = intercept[Gql.GqlError] {
+      Gql.execute("{ person { ...ghost } }", in)
+    }
+    assert(unknown.msg.contains("Unknown fragment"))
+  }
+
+  test("variables + fragments compose on the Spark path") {
+    val spark = TestSpark.session
+    val df = Gql.query(spark, "/root/testdata/sf0.001", """
+      fragment keyPrice on orders { o_orderkey o_totalprice }
+      query($min: Float!, $st: String!) {
+        orders(filter: {and: [{o_orderstatus: {eq: $st}},
+                              {o_totalprice: {gt: $min}}]},
+               order: {desc: o_totalprice}, limit: 5) { ...keyPrice }
+      }""", Gql.parseVariables("""{min: 150000.0, st: "F"}"""))
+    val rows = df.collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getDouble(rows.head.fieldIndex("o_totalprice")) > 150000.0))
+  }
 }
