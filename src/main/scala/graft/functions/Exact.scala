@@ -20,11 +20,36 @@ import org.apache.spark.sql.types.DecimalType
 object Exact {
   private val D = DecimalType(38, 4)
 
-  /** Exact sum of a double column: identical result on any partitioning. */
-  def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
+  private def scaled(c: Column): Column = {
+    // graft_round (Rust f64::round — deterministic, matches DuckDB round)
+    graft.functions.VectorKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_round", c * lit(10000.0)).cast("long")
+  }
 
-  /** Exact mean: exact decimal sum, then one double division. */
-  def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(lit(1))
+  /** Exact sum of a double column: identical result on any partitioning.
+    *
+    * Implementation: quantize each addend to 4 decimal places as a SCALED
+    * LONG (`round(x·10⁴)`) and sum longs — a codegen'd primitive
+    * aggregation, ~3× faster than the previous decimal(38,4) partial
+    * aggregate (profiled round 11: 1.0 s → 0.73 s on the sf0.1 agg_group
+    * including the scan), with the same per-addend quantization and the
+    * same order-independence. Range contract: |Σ x·10⁴| must fit a long
+    * (Σ|x| < 9.2 × 10¹⁴ — ~10⁹ rows averaging 10⁵, an order of magnitude
+    * above the 100 TB fact columns this serves); ANSI mode makes overflow
+    * a loud error, and [[dsumBig]] is the unbounded decimal fallback. */
+  def dsum(c: Column): Column =
+    sum(scaled(c)).cast("double") / lit(10000.0)
+
+  /** Unbounded-range exact sum (decimal(38,4) partial aggregation) — for
+    * callers whose scaled sum could exceed long range. */
+  def dsumBig(c: Column): Column = sum(c.cast(D)).cast("double")
+
+  /** Exact mean: exact scaled-long sum, then double divisions (the SQL twin
+    * [[sqlAvg]] spells the SAME operation order, so results are
+    * bit-identical across engines). */
+  def davg(c: Column): Column =
+    sum(scaled(c)).cast("double") / lit(10000.0) / count(lit(1))
 
   /** Exact sample variance via sum / sum-of-squares (both exact decimals):
     * var = (n*sumsq - sum^2) / (n*(n-1)), assembled in double at the end. */
@@ -38,11 +63,13 @@ object Exact {
   /** Exact sample stddev (sqrt is correctly rounded in IEEE — deterministic). */
   def dstddev(c: Column): Column = sqrt(dvarSamp(c))
 
-  /** Matching DuckDB SQL fragments for the oracle side. */
+  /** Matching DuckDB SQL fragments for the oracle side — the same scaled-
+    * long formulation in the same operation order (DuckDB round is also
+    * half-away-from-zero, so per-addend quantization is bit-identical). */
   def sqlSum(x: String): String =
-    s"CAST(SUM(CAST(($x) AS DECIMAL(38,4))) AS DOUBLE)"
+    s"(CAST(SUM(CAST(round(($x) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0)"
   def sqlAvg(x: String): String =
-    s"(CAST(SUM(CAST(($x) AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*))"
+    s"(CAST(SUM(CAST(round(($x) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*))"
   def sqlVarSamp(x: String): String = {
     val n  = "CAST(COUNT(*) AS DOUBLE)"
     val s  = s"CAST(SUM(CAST(($x) AS DECIMAL(38,4))) AS DOUBLE)"
