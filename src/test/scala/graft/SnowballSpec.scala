@@ -80,4 +80,50 @@ class SnowballSpec extends AnyFunSuite {
     assert(terms == Vector("the", "hop", "rabbit", "consist", "analyz", "beauti"),
       s"got $terms")
   }
+
+  test("german stemmer: suffix steps, umlaut removal, regions") {
+    val pairs = Seq(
+      "häuser" -> "haus",             // step 1 `er` + umlaut postlude
+      "kategorie" -> "kategori",      // step 1 `e`
+      "aufgabe" -> "aufgab",
+      "bezeichnungen" -> "bezeichn",  // step 1 `en` + step 3 `ung`
+      "möglichkeit" -> "moglich",     // step 3 `keit` (lich survives: not in R2)
+      "schönheit" -> "schonheit")     // `heit` outside R2 — only the umlaut goes
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"german($in)")(Snowball.german(in))
+    }
+  }
+
+  test("spanish stemmer: RV verb suffixes, residuals, deaccenting") {
+    val pairs = Seq(
+      "comiendo" -> "com",        // gerund in RV
+      "corriendo" -> "corr",
+      "canciones" -> "cancion",   // verb-suffix `es`
+      "importancia" -> "import",  // step 1 `ancia`
+      "guerra" -> "guerr",        // residual `a`
+      "lógica" -> "logic")        // residual + deaccent
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"spanish($in)")(Snowball.spanish(in))
+    }
+  }
+
+  test("mapper filter lemmatizes through the analyzer chain") {
+    val in = new graft.surql.Interp
+    in.run(graft.surql.Parser.parse(
+      "DEFINE ANALYZER lem TOKENIZERS blank,class FILTERS lowercase," +
+        "mapper('/root/reference/tests/data/lemmatization-en.txt');"))
+    val r = in.run(graft.surql.Parser.parse(
+      "RETURN search::analyze('lem', 'Went cars unmappedword');"))
+    val graft.surql.QOk(v) = r.last: @unchecked
+    val terms = v match {
+      case graft.surql.VArr(xs) => xs.collect { case graft.surql.VStr(s) => s }
+      case other => fail(s"unexpected analyze result: $other")
+    }
+    // went -> go, cars -> car; duplicate-form lines overwrite (better ->
+    // well, the later line) like the reference's tree insert; unknown
+    // terms pass through
+    assert(terms == Vector("go", "car", "unmappedword"), s"got $terms")
+    assert(graft.surql.Search.mapperTable(
+      "/root/reference/tests/data/lemmatization-en.txt")("better") == "well")
+  }
 }
