@@ -4403,7 +4403,10 @@ final class Interp {
           existing match {
             case Some(doc) =>
               val de = env.copy(doc = Some(doc))
-              if (where.forall(c => Eval.eval(c, de).truthy)) {
+              // record users need the UPDATE clause truthy for the before-
+              // doc (doc/allow.rs — same silent skip as create/delete)
+              if (where.forall(c => Eval.eval(c, de).truthy) &&
+                  permAllows(tb, "update", doc)) {
                 val rid = doc.fields.get("id") match {
                   case Some(r: VRid) => r
                   case _ => VRid(tb, key)
@@ -4433,8 +4436,11 @@ final class Interp {
           var touched = 0
           t.toSeq.foreach { case (key, doc) =>
             val de = env.copy(doc = Some(doc))
-            if (where.forall(c => Eval.eval(c, de).truthy)) {
-              touched += 1
+            // a WHERE match counts as touched even when the UPDATE
+            // permission denies it — a denied row must not flip an UPSERT
+            // into its create arm
+            if (where.forall(c => Eval.eval(c, de).truthy) &&
+                { touched += 1; permAllows(tb, "update", doc) }) {
               val rid = doc.fields.get("id") match {
                 case Some(r: VRid) => r
                 case _ => VRid(tb, key)

@@ -75,7 +75,15 @@ object SparkPlanner {
     *
     * `perms`: table → "FULL" | "NONE" | "WHERE <surql>"; `auth` binds
     * `$auth` inside permission clauses (doc/compute.rs record-user check). */
-  final case class AuthSession(auth: V, perms: Map[String, String])
+  /** `perms`: SELECT permission per table; `actionPerms`: create/update/
+    * delete clauses keyed (table, action) — rows failing a mutation clause
+    * are silently untouched, like the reference (doc/allow.rs; a denied
+    * CREATE is skipped, reproductions/7208); `fieldDeny`: fields whose
+    * SELECT permission is NONE — they read as ABSENT (dropped from the
+    * scan schema), the doc/pluck.rs behavior. */
+  final case class AuthSession(auth: V, perms: Map[String, String],
+      fieldDeny: Map[String, Set[String]] = Map.empty,
+      actionPerms: Map[(String, String), String] = Map.empty)
 
   private val authTL = new ThreadLocal[Option[AuthSession]] {
     override def initialValue: Option[AuthSession] = scala.None
@@ -93,24 +101,46 @@ object SparkPlanner {
   private val permCache =
     scala.collection.concurrent.TrieMap[String, Expr]()
 
-  /** Apply `table`'s SELECT permission to a freshly planned scan. */
-  private def permFilter(spark: SparkSession, dir: String, df: DataFrame,
-      table: String): DataFrame = authTL.get() match {
-    case scala.None => df
-    case Some(sess) => sess.perms.get(table) match {
-      case scala.None | Some("FULL") => df
-      case Some("NONE") => df.filter(lit(false)) // table pruned
-      case Some(w) if w.toUpperCase.startsWith("WHERE ") =>
+  /** Lower one permission clause string to an optional row predicate. */
+  private def permCond(spark: SparkSession, dir: String, table: String,
+      schema: StructType, sess: AuthSession, clause: String): Option[Column] =
+    clause match {
+      case "FULL" => scala.None
+      case "NONE" => Some(lit(false))
+      case w if w.toUpperCase.startsWith("WHERE ") =>
         val cond = permCache.getOrElseUpdate(w,
           Parser.parse("RETURN " + w.drop(6) + ";").stmts.collectFirst {
             case ReturnStmt(e) => e
           }.getOrElse(throw SqlError(s"SparkPlanner: unparsable permission $w")))
         val bound = Subst.expr(cond, Map("auth" -> sess.auth))
-        val ctx = Ctx(spark, dir, table, df.schema, Map.empty)
-        df.filter(toCol(bound, ctx))
-      case Some(other) =>
+        Some(toCol(bound, Ctx(spark, dir, table, schema, Map.empty)))
+      case other =>
         throw SqlError(s"SparkPlanner: unsupported permission clause $other")
     }
+
+  /** The mutation permission predicate for (table, action) under the active
+    * session, if any — rows failing it are silently untouched. */
+  private def actionPermCond(spark: SparkSession, dir: String, table: String,
+      action: String, schema: StructType): Option[Column] =
+    authTL.get().flatMap { sess =>
+      sess.actionPerms.get((table, action))
+        .flatMap(permCond(spark, dir, table, schema, sess, _))
+    }
+
+  /** Apply `table`'s SELECT permission to a freshly planned scan: the row
+    * clause filters, then SELECT-NONE fields drop from the schema. */
+  private def permFilter(spark: SparkSession, dir: String, df: DataFrame,
+      table: String): DataFrame = authTL.get() match {
+    case scala.None => df
+    case Some(sess) =>
+      val rowFiltered = sess.perms.get(table)
+        .flatMap(permCond(spark, dir, table, df.schema, sess, _))
+        .map(df.filter).getOrElse(df)
+      sess.fieldDeny.get(table) match {
+        case Some(denied) if denied.nonEmpty =>
+          rowFiltered.drop(denied.toSeq.filter(rowFiltered.columns.contains): _*)
+        case _ => rowFiltered
+      }
   }
 
   /** Tables small enough to broadcast in link joins at any scale factor —
@@ -271,7 +301,8 @@ object SparkPlanner {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
-          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+            actionPermCond(spark, dir, t, "update", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
           val sets = setMap(s.data, ctx, requireExisting = true)
           (t, base, graft.operators.Mutations.update(base, cond, sets),
@@ -283,7 +314,8 @@ object SparkPlanner {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
-          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+            actionPermCond(spark, dir, t, "delete", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
           (t, base, base.filter(!cond), planDelete(spark, dir, s))
         }
@@ -319,8 +351,11 @@ object SparkPlanner {
             throw SqlError(
               s"Database record `${Render.sql(VRid(t, hit._2))}` already exists")
           }
-          val created = synthRows(spark, t, base.schema, targets.map(x => (x._2, sets)))
+          val created0 = synthRows(spark, t, base.schema, targets.map(x => (x._2, sets)))
             .join(base.select(key), Seq(key), "left_anti")
+          // a denied create is silently skipped (doc/allow.rs)
+          val created = actionPermCond(spark, dir, t, "create", base.schema)
+            .map(created0.filter).getOrElse(created0)
           (t, base, base.unionByName(created), planCreate(spark, dir, s))
         }
         applyMut(table, base, after, ret)
@@ -343,7 +378,9 @@ object SparkPlanner {
             (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
               .cast(sf.dataType).as(sf.name)
           }.toIndexedSeq: _*)
-          val fresh = rows.join(base.select(key), Seq(key), "left_anti")
+          val fresh0 = rows.join(base.select(key), Seq(key), "left_anti")
+          val fresh = actionPermCond(spark, dir, t, "create", base.schema)
+            .map(fresh0.filter).getOrElse(fresh0)
           val after = s.onDuplicate match {
             case scala.None => base.unionByName(fresh)
             case Some(sets) =>
@@ -366,13 +403,16 @@ object SparkPlanner {
             case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
           }
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
-          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+            actionPermCond(spark, dir, t, "update", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
           val sets = setMap(s.data, ctx, requireExisting = true)
           val key = recordKey(t)
           val updated = graft.operators.Mutations.update(base, cond, sets)
-          val inserted = synthRows(spark, t, base.schema, Seq((keyV, sets)))
+          val inserted0 = synthRows(spark, t, base.schema, Seq((keyV, sets)))
             .join(base.select(key), Seq(key), "left_anti")
+          val inserted = actionPermCond(spark, dir, t, "create", base.schema)
+            .map(inserted0.filter).getOrElse(inserted0)
           (t, base, updated.unionByName(inserted), planUpsert(spark, dir, s))
         }
         applyMut(table, base, after, ret)
@@ -1540,7 +1580,9 @@ object SparkPlanner {
     val sets = setMap(s.data, ctx, requireExisting = true)
     val key = recordKey(table)
     val rows = synthRows(spark, table, base.schema, targets.map(t => (t._2, sets)))
-    val created = rows.join(base.select(key), Seq(key), "left_anti")
+    val created0 = rows.join(base.select(key), Seq(key), "left_anti")
+    val created = actionPermCond(spark, dir, table, "create", base.schema)
+      .map(created0.filter).getOrElse(created0)
     shapeOutput(created, created, s.output, ctx)
   }
 
@@ -1585,7 +1627,8 @@ object SparkPlanner {
     val Seq(what) = s.what
     val (table, base, keyPred) = mutTarget(spark, dir, what)
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
-    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+      actionPermCond(spark, dir, table, "update", base.schema).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
     val sets = setMap(s.data, ctx, requireExisting = true)
     val before = base.filter(cond)
@@ -1606,13 +1649,16 @@ object SparkPlanner {
       case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
     }
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
-    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+      actionPermCond(spark, dir, table, "update", base.schema).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
     val sets = setMap(s.data, ctx, requireExisting = true)
     val key = recordKey(table)
     val updated = graft.operators.Mutations.update(base.filter(cond), lit(true), sets)
-    val inserted = synthRows(spark, table, base.schema, Seq((keyV, sets)))
+    val inserted0 = synthRows(spark, table, base.schema, Seq((keyV, sets)))
       .join(base.select(key), Seq(key), "left_anti")
+    val inserted = actionPermCond(spark, dir, table, "create", base.schema)
+      .map(inserted0.filter).getOrElse(inserted0)
     val after = updated.unionByName(inserted)
     shapeOutput(base.filter(cond), after, s.output, ctx)
   }
@@ -1621,7 +1667,8 @@ object SparkPlanner {
     val Seq(what) = s.what
     val (table, base, keyPred) = mutTarget(spark, dir, what)
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
-    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq)
+    val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+      actionPermCond(spark, dir, table, "delete", base.schema).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
     val (_, deleted) = graft.operators.Mutations.delete(base, cond)
     // DELETE defaults to RETURN NONE; BEFORE/fields evaluate on deleted rows

@@ -288,6 +288,82 @@ class DifferentialSpec extends AnyFunSuite {
       })
   }
 
+  test("differential-permissions: UPDATE permission gates writes on both paths") {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse(
+      "DEFINE TABLE OVERWRITE item PERMISSIONS FOR select FULL FOR update WHERE qty < 3 FOR create FULL FOR delete FULL;"))
+    in.recordAuth = true
+    val script =
+      """UPDATE item SET qty = qty + 100 WHERE qty < 6;
+         SELECT name, qty FROM item WHERE qty > 90 ORDER BY name;"""
+    compare(script, in.run(Parser.parse(script)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.withAuth(SparkPlanner.AuthSession(graft.surql.VNull,
+          Map("item" -> "FULL"),
+          actionPerms = Map(("item", "update") -> "WHERE qty < 3"))) {
+          SparkPlanner.script(spark, "/nonexistent", script)
+        }
+      })
+  }
+
+  test("differential-permissions: DELETE permission gates removals on both paths") {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse(
+      "DEFINE TABLE OVERWRITE item PERMISSIONS FOR select FULL FOR update FULL FOR create FULL FOR delete WHERE grp = 'a';"))
+    in.recordAuth = true
+    val script =
+      """DELETE item WHERE qty >= 0;
+         SELECT grp, count() AS n FROM item GROUP BY grp ORDER BY grp;"""
+    compare(script, in.run(Parser.parse(script)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.withAuth(SparkPlanner.AuthSession(graft.surql.VNull,
+          Map("item" -> "FULL"),
+          actionPerms = Map(("item", "delete") -> "WHERE grp = 'a'"))) {
+          SparkPlanner.script(spark, "/nonexistent", script)
+        }
+      })
+  }
+
+  test("differential-permissions: field SELECT NONE reads as absent on both paths") {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse(
+      "DEFINE TABLE OVERWRITE item PERMISSIONS FULL;" +
+      "DEFINE FIELD price ON item PERMISSIONS FOR select NONE;"))
+    in.recordAuth = true
+    // SELECT * — the denied field must vanish from the row shape on both
+    // engines; compare only the shared live columns via explicit projection
+    // of the full remaining schema
+    val q = "SELECT grp, name, qty FROM item WHERE qty = 2 ORDER BY name"
+    val iRows = in.run(Parser.parse("SELECT * FROM item WHERE qty = 2 ORDER BY name")).last
+    iRows match {
+      case QOk(VArr(items)) =>
+        assert(items.nonEmpty && items.forall {
+          case VObj(m) => !m.contains("price")
+          case _ => false
+        }, "interp still exposes the denied field")
+      case other => fail(s"interp error: $other")
+    }
+    val sdf = Tables.withOverlay(Map("item" -> df)) {
+      SparkPlanner.withAuth(SparkPlanner.AuthSession(graft.surql.VNull,
+        Map("item" -> "FULL"), fieldDeny = Map("item" -> Set("price")))) {
+        SparkPlanner.query(spark, "/nonexistent",
+          "SELECT * FROM item WHERE qty = 2 ORDER BY name")
+      }
+    }
+    assert(!sdf.columns.contains("price"), "spark still exposes the denied field")
+    // and the surviving columns agree value-for-value
+    compare(q, in.run(Parser.parse(q)).last,
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.withAuth(SparkPlanner.AuthSession(graft.surql.VNull,
+          Map("item" -> "FULL"), fieldDeny = Map("item" -> Set("price")))) {
+          SparkPlanner.query(spark, "/nonexistent", q)
+        }
+      })
+  }
+
   // ---- float-edge property tranche ---------------------------------------
   // Round 10 proved the signed-zero class escapes both the golden corpus and
   // a ==-based comparator. Pseudo-random + adversarial doubles flow through
