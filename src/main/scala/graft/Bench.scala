@@ -27,6 +27,7 @@ object Bench {
     graft.operators.Dedup.shingleTable(spark, sfDir)
     graft.operators.Similarity.warmIndex(spark, sfDir)
     graft.operators.Similarity.warmIvf(spark, sfDir)
+    graft.operators.Hnsw.warm(spark, sfDir)
     graft.operators.GraphOps.warmEdges(spark, sfDir)
     graft.operators.CountIndex.warm(spark, sfDir)
     graft.operators.Buckets.warm(spark, sfDir)

@@ -19,8 +19,8 @@ object SparkEntry {
     Relational.all ++ GraphOps.all ++ ScalarQueries.all ++
       VectorQueries.all ++ MiscQueries.all ++
       Mutations.all ++ graft.streaming.Live.all ++
-      TextOps.all ++ Dedup.all ++ Similarity.all ++ FullText.all ++
-      Multimodal.all ++ Buckets.all
+      TextOps.all ++ Dedup.all ++ Similarity.all ++ Hnsw.all ++
+      FullText.all ++ Multimodal.all ++ Buckets.all
 
   /** Every SurqlQueries entry (SurqlQueries.all.length of them) runs as REAL
     * SurrealQL text through the parser + SparkPlanner (graft.surql) — each

@@ -1,0 +1,277 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** One persisted adjacency row: a node's vector, level, and per-level
+  * sorted neighbor lists (`nbrs(level)` = neighbor ids at that level). */
+final case class HnswNode(shard: Int, vec_id: Long, embedding: Array[Float],
+    lvl: Int, nbrs: Array[Array[Long]])
+
+/** Distributed HNSW vector index — the graph structure the reference's
+  * `<|k,ef|>` KNN form searches (idx/trees/hnsw, Malkov & Yashunin 2016),
+  * re-architected for Spark: a single navigable-small-world graph does not
+  * shard, so the index is PARTITION-LOCAL — the corpus splits into bounded
+  * shards, each shard builds its own HNSW graph inside one task, and a
+  * probe searches every shard's graph independently (O(ef·log n_shard)
+  * distance evaluations each) then merges the per-shard top-k. This is the
+  * segment-local ANN-graph design production vector stores use on top of
+  * distributed storage; recall matches single-graph HNSW because each true
+  * neighbor lives in exactly one shard and that shard's search finds it
+  * with the same ef guarantee.
+  *
+  * Scale shape (100 TB): shard count grows with the corpus (bounded rows
+  * per shard ⇒ bounded task heap and O(log shard) hop depth); the
+  * adjacency+vector table persists columnar and partitions by shard, so a
+  * probe is one narrow scan + P independent in-task graph searches + a
+  * P×k-row merge — no shuffle of vector data, no all-pairs stage. Executors
+  * keep reconstructed graphs in a process-local cache so steady-state
+  * probes skip rebuild entirely (the Spark analog of the reference holding
+  * the HNSW in memory behind the index catalog).
+  *
+  * Determinism: node levels derive from a splitmix hash of the vec id
+  * (not runtime randomness) and shard insertion order is vec-id order, so
+  * two builds of the same corpus produce identical graphs and probes
+  * reproduce exactly.
+  *
+  * Reference parameter defaults mirrored from the parser
+  * (syn/parser/stmt/define.rs:1105-1171): M=12, M0=2·M, EFC=150,
+  * LM=1/ln(M). */
+object Hnsw {
+
+  val M   = 12          // max out-degree, levels ≥ 1
+  val M0  = 24          // max out-degree, level 0
+  val EfC = 150         // construction beam width
+  val LM: Double = 1.0 / math.log(M.toDouble)
+
+  /** Shards in the test corpora. At 100 TB this is corpus_rows /
+    * bounded_shard_rows — the design constant is the BOUND per shard
+    * (task heap + search depth), never the shard count. */
+  val Shards = 8
+
+  /** Deterministic level for a node: splitmix64 of the id → uniform (0,1)
+    * → geometric-ish level floor(-ln(u)·mL), the paper's assignment with
+    * the RNG replaced by a per-id hash. */
+  def levelOf(id: Long): Int = {
+    var z = id + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    val u = ((z >>> 11).toDouble + 0.5) / (1L << 53).toDouble
+    math.floor(-math.log(u) * LM).toInt
+  }
+
+  /** Cosine distance in double precision, the in-order fold the rest of
+    * the engine uses (VectorKernels semantics) so HNSW distances agree
+    * bit-for-bit with the brute/LSH/IVF paths. */
+  private def cosDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** One shard's navigable-small-world graph. Insertion and search follow
+    * the paper's Algorithms 1-5 with simple nearest-M neighbor selection. */
+  final class Graph {
+    val vecs  = mutable.LongMap.empty[Array[Float]]
+    /** links(id)(level) = neighbor ids (level 0 .. nodeLevel). */
+    val links = mutable.LongMap.empty[Array[mutable.ArrayBuffer[Long]]]
+    var entry: Long = -1L
+    var entryLevel: Int = -1
+
+    private def d(q: Array[Float], id: Long): Double = cosDist(q, vecs(id))
+
+    /** Beam search one layer (paper alg 2): returns up to `ef` closest
+      * (dist, id), ascending. */
+    def searchLayer(q: Array[Float], eps: Seq[Long], ef: Int, level: Int): mutable.ArrayBuffer[(Double, Long)] = {
+      val visited = mutable.LongMap.empty[Boolean]
+      // candidates: min-heap by dist; result W: max-heap by dist capped at ef
+      val cand = mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)](x => (-x._1, -x._2)))
+      val w = mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)](x => (x._1, x._2)))
+      eps.foreach { ep =>
+        if (!visited.contains(ep)) {
+          visited(ep) = true
+          val dd = d(q, ep)
+          cand.enqueue((dd, ep)); w.enqueue((dd, ep))
+        }
+      }
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (cd > w.head._1 && w.size >= ef) { cand.clear() }
+        else {
+          val ls = links.getOrElse(c, Array.empty)
+          if (level < ls.length) ls(level).foreach { e =>
+            if (!visited.contains(e)) {
+              visited(e) = true
+              val ed = d(q, e)
+              if (w.size < ef || ed < w.head._1) {
+                cand.enqueue((ed, e)); w.enqueue((ed, e))
+                if (w.size > ef) w.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Long)]
+      while (w.nonEmpty) out.prepend(w.dequeue())
+      out
+    }
+
+    /** Insert (paper alg 1; nearest-M selection). Call in ascending-id
+      * order for deterministic graphs. */
+    def insert(id: Long, v: Array[Float]): Unit = {
+      val l = levelOf(id)
+      vecs(id) = v
+      links(id) = Array.fill(l + 1)(mutable.ArrayBuffer.empty[Long])
+      if (entry < 0) { entry = id; entryLevel = l; return }
+      var eps: Seq[Long] = Seq(entry)
+      var lc = entryLevel
+      while (lc > l) { // greedy descent above the node's level
+        eps = Seq(searchLayer(v, eps, 1, lc).head._2)
+        lc -= 1
+      }
+      while (lc >= 0) {
+        val w = searchLayer(v, eps, EfC, lc)
+        val maxDeg = if (lc == 0) M0 else M
+        val nbrs = w.take(M).map(_._2)
+        links(id)(lc) ++= nbrs
+        nbrs.foreach { n =>
+          val nl = links(n)
+          if (lc < nl.length) {
+            nl(lc) += id
+            if (nl(lc).length > maxDeg) { // prune to the maxDeg closest
+              val nv = vecs(n)
+              val kept = nl(lc).map(x => (cosDist(nv, vecs(x)), x))
+                .sorted.take(maxDeg).map(_._2)
+              nl(lc) = mutable.ArrayBuffer(kept.toSeq: _*)
+            }
+          }
+        }
+        eps = w.map(_._2).toSeq
+        lc -= 1
+      }
+      if (l > entryLevel) { entry = id; entryLevel = l }
+    }
+
+    /** k-NN search (paper alg 5): greedy descent to level 1, ef-beam at
+      * level 0, top-k ascending by (dist, id). */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Nil
+      var eps: Seq[Long] = Seq(entry)
+      var lc = entryLevel
+      while (lc > 0) { eps = Seq(searchLayer(q, eps, 1, lc).head._2); lc -= 1 }
+      searchLayer(q, eps, math.max(ef, k), 0)
+        .sortBy(x => (x._1, x._2)).take(k).map { case (dd, id) => (id, dd) }.toSeq
+    }
+  }
+
+  /** Build a graph from (id, vector) rows — ascending id for determinism. */
+  def buildGraph(rows: Iterable[(Long, Array[Float])]): Graph = {
+    val g = new Graph
+    rows.toSeq.sortBy(_._1).foreach { case (id, v) => g.insert(id, v) }
+    g
+  }
+
+  private val indexes = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Force the persisted index build (bench attributes it to index_build). */
+  def warm(s: SparkSession, d: String): Unit = indexPath(s, d)
+
+  /** Build + persist the sharded HNSW adjacency: embeddings hash into
+    * `Shards` shards, each shard's graph builds inside ONE task
+    * (mapPartitions — genuine per-partition imperative construction), and
+    * the adjacency rows (id, vector, level, per-level neighbor lists)
+    * write PARTITIONED by shard. Build is once per corpus; each task's
+    * heap holds one bounded shard. */
+  private def indexPath(s: SparkSession, d: String): String =
+    indexes.getOrElseUpdate(d, {
+      val path = s"/tmp/graft_hnsw_${Integer.toHexString(d.hashCode)}"
+      import s.implicits._
+      val emb = Tables.embeddingsWide(s, d)
+        .select(col("vec_id"), col("embedding"),
+          pmod(xxhash64(col("vec_id")), lit(Shards)).cast("int").as("shard"))
+        .as[(Long, Array[Float], Int)]
+        .repartition(Shards, col("shard"))
+      emb.mapPartitions { it =>
+        // a partition holds whole shards (repartition key = shard)
+        val byShard = it.toSeq.groupBy(_._3)
+        byShard.iterator.flatMap { case (shard, rows) =>
+          val g = buildGraph(rows.map(r => (r._1, r._2)))
+          g.links.iterator.map { case (id, ls) =>
+            HnswNode(shard, id, g.vecs(id), ls.length - 1,
+              ls.map(_.sorted.toArray))
+          }
+        }
+      }
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      path
+    })
+
+  /** Executor-process graph cache: steady-state probes reuse the
+    * reconstructed shard graphs instead of re-deserializing adjacency —
+    * the role the reference's in-memory index registry plays. */
+  private val graphCache =
+    scala.collection.concurrent.TrieMap[(String, Int), Graph]()
+
+  /** ANN probe: search every shard's graph with beam width `ef`, merge the
+    * per-shard top-k, exact distances throughout (HNSW computes true
+    * distances on the candidates it visits — approximation is which
+    * candidates get visited). Returns (vec_id, dist) ascending. */
+  def probe(s: SparkSession, d: String, qvec: Seq[Double], k: Int, ef: Int): DataFrame = {
+    val path = indexPath(s, d)
+    import s.implicits._
+    val q = qvec.map(_.toFloat).toArray
+    val adj = s.read.parquet(path)
+      .select(col("shard"), col("vec_id"), col("embedding"), col("lvl"), col("nbrs"))
+      .as[HnswNode]
+      .repartition(Shards, col("shard"))
+    val cachePath = path
+    adj.mapPartitions { it =>
+      val byShard = it.toSeq.groupBy(_.shard)
+      byShard.iterator.flatMap { case (shard, rows) =>
+        val g = graphCache.getOrElseUpdate((cachePath, shard), {
+          val gg = new Graph
+          rows.foreach { n =>
+            gg.vecs(n.vec_id) = n.embedding
+            gg.links(n.vec_id) =
+              n.nbrs.map(l => mutable.ArrayBuffer(l.toSeq: _*))
+            if (n.lvl > gg.entryLevel ||
+                (n.lvl == gg.entryLevel && n.vec_id < gg.entry)) {
+              gg.entry = n.vec_id; gg.entryLevel = n.lvl
+            }
+          }
+          gg
+        })
+        g.search(q, k, ef)
+      }
+    }
+      .toDF("vec_id", "__knn_dist")
+      .orderBy(col("__knn_dist").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** `<|k,ef|>` over the sharded HNSW: top-10 cosine neighbors of vec 0,
+    * ef=80. Rows-only — approximate by design (like the LSH/IVF probes);
+    * SimilaritySpec pins recall ≥ 0.8 against the exact brute top-k. */
+  val knnAnnHnsw = Q.rowsOnly("knn_ann_hnsw") { (s, d) =>
+    val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    probe(s, d, qvec, 11, 80)
+      .filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"),
+        round(lit(1.0) - col("__knn_dist"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  val all: Seq[Q] = Seq(knnAnnHnsw)
+}

@@ -814,13 +814,26 @@ object SparkPlanner {
             .limit(k)
         case _ =>
           // `<|k|>` / `<|k,ef|>`: index-backed ANN (KnnScan,
-          // exec/operators/scan/knn.rs:37) over the persisted LSH index;
-          // the ef search-width param has no LSH analog and is ignored
+          // exec/operators/scan/knn.rs:37). The ef form is specifically the
+          // reference's HNSW search (idx/trees/hnsw — ef is the level-0 beam
+          // width), so an explicit ef routes to the sharded HNSW graph probe
+          // with that beam; the bare `<|k|>` probes the LSH signature index.
           if (table != "embeddings" || f != "embedding")
             throw SqlError(s"SparkPlanner: <|k|> requires a vector-indexed field; $table.$f is not")
-          val probe = graft.operators.Similarity.annProbe(spark, dir, qvec, k)
-            .select(col("vec_id"), (lit(1.0) - col("cos_sim")).as("__knn_dist"))
+          // over-fetch: the reference pulls index candidates until k pass
+          // the row condition (idx/trees/hnsw HnswConditionChecker), so
+          // candidates the WHERE filters away must not shrink the final k
+          val fetch = k + 16
+          val probe = metric.toIntOption match {
+            case Some(ef) if ef > 0 =>
+              graft.operators.Hnsw.probe(spark, dir, qvec, fetch, math.max(ef, fetch))
+            case _ =>
+              graft.operators.Similarity.annProbe(spark, dir, qvec, fetch)
+                .select(col("vec_id"), (lit(1.0) - col("cos_sim")).as("__knn_dist"))
+          }
           df = df.join(probe, Seq("vec_id"), "inner")
+            .orderBy(col("__knn_dist").asc, col(srcKey).asc)
+            .limit(k)
       }
     }
 
