@@ -179,8 +179,8 @@ object SurqlQueries {
   val fnMath = sq("fn_math",
     """SELECT c_custkey,
               abs(c_acctbal) AS ab,
-              CAST(ceil(c_acctbal) AS BIGINT) AS ce,
-              CAST(floor(c_acctbal) AS BIGINT) AS fl,
+              ceil(c_acctbal) AS ce,
+              floor(c_acctbal) AS fl,
               round(c_acctbal, 2) AS rnd,
               sqrt(abs(c_acctbal)) AS sq,
               CAST(CASE WHEN signbit(c_acctbal) THEN -1.0 ELSE 1.0 END AS DOUBLE) AS sg,
@@ -335,7 +335,7 @@ object SurqlQueries {
               <int>string::slice(c_name, 9, 9) AS parsed,
               <string>c_custkey AS as_str,
               <string>c_acctbal != NONE AS ok,
-              math::floor(c_acctbal) AS fl
+              <int>math::floor(c_acctbal) AS fl
        FROM customer ORDER BY c_custkey""")
 
   val fnAggStats = sq("fn_agg_stats",

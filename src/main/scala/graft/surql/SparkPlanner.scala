@@ -1810,12 +1810,44 @@ object SparkPlanner {
     case Lit(VInt(_))   => Some(LongType)
     case Lit(VFloat(_)) => Some(DoubleType)
     case Lit(VBool(_))  => Some(BooleanType)
-    case Binary(("+" | "-" | "*" | "/"), l, r) =>
+    case Binary(("+" | "-" | "*" | "/" | "%"), l, r) =>
       (typeOf(l, schema), typeOf(r, schema)) match {
         case (Some(StringType), _) | (_, Some(StringType)) => Some(StringType)
         case (Some(DoubleType), _) | (_, Some(DoubleType)) => Some(DoubleType)
         case (a, _) => a
       }
+    case Prefix(("-" | "+"), inner) => typeOf(inner, schema)
+    // int-preserving math (number.rs: abs/round/floor/ceil/clamp keep the
+    // operand's Int/Float kind) — losing this turns Int/Int division float
+    case FnCall("math::abs" | "math::round" | "math::floor" | "math::ceil",
+        Seq(a)) => typeOf(a, schema)
+    case FnCall("math::min" | "math::max", Seq(ArrLit(items))) =>
+      val ts = items.map(typeOf(_, schema))
+      if (ts.exists(_.contains(DoubleType))) Some(DoubleType)
+      else if (ts.nonEmpty && ts.forall(_.exists {
+        case LongType | IntegerType | ShortType => true; case _ => false
+      })) Some(LongType)
+      else scala.None
+    case FnCall("math::clamp", args) =>
+      val ts = args.map(typeOf(_, schema))
+      if (ts.exists(_.contains(DoubleType))) Some(DoubleType)
+      else if (ts.nonEmpty && ts.forall(_.exists {
+        case LongType | IntegerType | ShortType => true; case _ => false
+      })) Some(LongType)
+      else scala.None
+    case FnCall("math::sqrt" | "math::pow" | "math::ln" | "math::log" |
+        "math::log2" | "math::log10" | "math::lerp" | "math::deg2rad" |
+        "math::rad2deg" | "math::mean", _) => Some(DoubleType)
+    case FnCall("count" | "array::len" | "time::year" | "time::month" |
+        "time::day" | "time::hour" | "time::minute" | "time::second", _) =>
+      Some(LongType)
+    case Cast(k, _) => k match {
+      case graft.surql.ast.Kind.KInt    => Some(LongType)
+      case graft.surql.ast.Kind.KFloat  => Some(DoubleType)
+      case graft.surql.ast.Kind.KString => Some(StringType)
+      case graft.surql.ast.Kind.KBool   => Some(BooleanType)
+      case _                       => scala.None
+    }
     // string::* returns strings EXCEPT the numeric/boolean members — getting
     // this wrong flips `+` between concat and addition
     case FnCall("string::len" | "string::similarity" | "string::distance", _) =>
@@ -1846,6 +1878,113 @@ object SparkPlanner {
     case StringType  => "str"
     case BooleanType => "bool"
     case other       => other.typeName
+  }
+
+  /** Is this expression the bare `id` idiom — the RECORD ID field? */
+  private def isRidField(x: Expr): Boolean = x match {
+    case Idiom(Seq(PField("id"))) => true
+    case _ => false
+  }
+
+  /** Operations involving the bare `id` field, which is a RECORD ID value
+    * in the reference's model (expr/part.rs Field "id"), not a number —
+    * record ids sort ABOVE numbers/strings/durations/datetimes/arrays/
+    * objects in the total value order (val/value/value.rs ord; pinned by
+    * the `.sort()` golden), so `id > 5` is TRUE for every row and
+    * `id = 5` FALSE, while `id <op> table:key` compares keys. Arithmetic
+    * on a record id errors, as the reference's checked ops do. Returns
+    * None when neither side is the id field (generic lowering applies). */
+  private def ridLower(op: String, l: Expr, r: Expr, ctx: Ctx): Option[Column] = {
+    val lRid = isRidField(l); val rRid = isRidField(r)
+    if (!lRid && !rRid) return scala.None
+    val cmpOps = Set("=", "!=", "<", "<=", ">", ">=")
+    if (!cmpOps.contains(op) && op != "INSIDE" &&
+        !Set("+", "-", "*", "/", "%", "**").contains(op)) return scala.None
+    val key = recordKey.getOrElse(ctx.table, return scala.None)
+    if (Set("+", "-", "*", "/", "%", "**").contains(op))
+      throw SqlError(
+        s"Cannot perform arithmetic with a record id (`id` is `${ctx.table}:<key>`, not a number)")
+    if (lRid && rRid) // id <op> id: equal on every row
+      return Some(lit(Set("=", "<=", ">=").contains(op)))
+    // normalize the id field to the LEFT (flip the comparison direction)
+    val (other, opn) =
+      if (lRid) (r, op)
+      else (l, op match {
+        case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+        case x => x
+      })
+    def keyLit(k: V): Column = k match {
+      case VInt(i) => lit(i)
+      case VStr(s) => lit(s)
+      case other   => throw SqlError(s"SparkPlanner: unsupported record key ${other.render}")
+    }
+    def belowRecord(v: V): Boolean = v match {
+      // everything the fixture surface can produce sorts BELOW records
+      case VNone | VNull | _: VBool | _: VInt | _: VFloat | _: VDec |
+           _: VStr | _: VDur | _: VDt | _: VArr | _: VObj => true
+      case _ => false
+    }
+    // a record-id literal may arrive as Lit(VRid) or the RidLit AST node
+    val otherN = other match {
+      case RidLit(t, keyE) => Lit(VRid(t, Eval.evalConst(keyE)))
+      case x => x
+    }
+    otherN match {
+      case Lit(VRid(t, k)) if t == ctx.table =>
+        val kc = col(key)
+        Some(opn match {
+          case "="  => kc === keyLit(k)
+          case "!=" => kc =!= keyLit(k)
+          case "<"  => kc < keyLit(k)
+          case "<=" => kc <= keyLit(k)
+          case ">"  => kc > keyLit(k)
+          case ">=" => kc >= keyLit(k)
+          case _    => throw SqlError(s"SparkPlanner: unsupported id op $opn")
+        })
+      case Lit(VRid(t, _)) => // cross-table: records order by table name first
+        Some(opn match {
+          case "="  => lit(false)
+          case "!=" => lit(true)
+          case "<"  => lit(ctx.table < t)
+          case "<=" => lit(ctx.table < t)
+          case ">"  => lit(ctx.table > t)
+          case ">=" => lit(ctx.table > t)
+          case _    => throw SqlError(s"SparkPlanner: unsupported id op $opn")
+        })
+      case ArrLit(items) if opn == "INSIDE" =>
+        // membership: only same-table record elements can match
+        val keys = items.map(Eval.evalConst).collect {
+          case VRid(t, k) if t == ctx.table => k match {
+            case VInt(i) => i: Any
+            case VStr(s) => s: Any
+            case o => throw SqlError(s"SparkPlanner: unsupported record key ${o.render}")
+          }
+        }
+        Some(if (keys.isEmpty) lit(false) else col(key).isin(keys: _*))
+      case Lit(v) if belowRecord(v) && cmpOps.contains(opn) =>
+        // record vs lower-family constant: plan-time constant per type order
+        Some(opn match {
+          case "="          => lit(false)
+          case "!="         => lit(true)
+          case ">" | ">="   => lit(true)
+          case _            => lit(false)
+        })
+      case o if cmpOps.contains(opn) =>
+        // non-literal other side: if its STATIC type is a lower family
+        // (number/string/bool), the comparison is still constant
+        typeOf(o, ctx.schema) match {
+          case Some(LongType | IntegerType | ShortType | DoubleType |
+                    FloatType | StringType | BooleanType) =>
+            Some(opn match {
+              case "="        => lit(false)
+              case "!="       => lit(true)
+              case ">" | ">=" => lit(true)
+              case _          => lit(false)
+            })
+          case _ => throw SqlError(s"SparkPlanner: cannot compare `id` with $o")
+        }
+      case _ => scala.None
+    }
   }
 
   def toCol(e: Expr, ctx: Ctx): Column = {
@@ -1958,6 +2097,8 @@ object SparkPlanner {
       case ArrLit(items) => array(items.map(c): _*)
       case Prefix("-", inner) => -c(inner)
       case Prefix("!", inner) => !c(inner)
+      case Binary(op, l, r) if ridLower(op, l, r, ctx).isDefined =>
+        ridLower(op, l, r, ctx).get
       case Binary(op, l, r) => op match {
         // datetime ± duration literal → day-time interval arithmetic
         case "+" | "-" if (r match { case Lit(_: VDur) => true; case _ => false }) =>
@@ -2100,15 +2241,30 @@ object SparkPlanner {
     case "string::split"       => split(cs(0), raw(1) match { case Lit(VStr(s)) => java.util.regex.Pattern.quote(s); case _ => " " })
     case "string::distance::levenshtein" => levenshtein(cs(0), cs(1)).cast("bigint")
     case "math::abs"   => abs(cs(0))
-    case "math::ceil"  => ceil(cs(0)).cast("bigint")
-    case "math::floor" => floor(cs(0)).cast("bigint")
+    // ceil/floor/round preserve the operand's numeric KIND in the reference
+    // (number.rs: Int passes through; Float stays Float — math::ceil(2.5)
+    // is 3f, not 3): an Int operand is identity, a Float operand keeps
+    // double type so downstream Int/Int division rules see the right kinds
+    case "math::ceil" => typeOf(raw(0), ctx.schema) match {
+      case Some(LongType | IntegerType | ShortType) => cs(0)
+      case Some(DoubleType | FloatType) => ceil(cs(0)).cast("double")
+      case _ => ceil(cs(0)).cast("bigint")
+    }
+    case "math::floor" => typeOf(raw(0), ctx.schema) match {
+      case Some(LongType | IntegerType | ShortType) => cs(0)
+      case Some(DoubleType | FloatType) => floor(cs(0)).cast("double")
+      case _ => floor(cs(0)).cast("bigint")
+    }
     // Reference round is Rust f64::round (val/number.rs:578): half away from
     // zero AND sign-of-zero preserving — Spark's BigDecimal-backed round()
     // returns +0.0 for tiny negative inputs, a bit-level infidelity.
-    case "math::round" =>
-      graft.functions.VectorKernels.ensure(
-        org.apache.spark.sql.SparkSession.active)
-      call_function("graft_round", cs(0))
+    case "math::round" => typeOf(raw(0), ctx.schema) match {
+      case Some(LongType | IntegerType | ShortType) => cs(0)
+      case _ =>
+        graft.functions.VectorKernels.ensure(
+          org.apache.spark.sql.SparkSession.active)
+        call_function("graft_round", cs(0))
+    }
     case "math::fixed" => round(cs(0), raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 })
     case "math::sqrt"  => sqrt(cs(0))
     // Rust f64::signum (val/number.rs:596): ±1.0 for ±0.0, NaN passthrough,

@@ -1,0 +1,247 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.surql.{Interp, Parser, QErr, QOk, SparkPlanner, V, VArr, VBool, VFloat, VInt, VObj, VStr}
+
+/** Grammar-driven cross-engine fuzzing: a seeded generator composes
+  * SurrealQL SELECTs from a grammar over the shared fixture — arithmetic
+  * trees, predicate combinations, string/time/array function chains,
+  * grouped aggregates, LIMIT/START windows — and every generated query
+  * must produce value-identical results on the interpreter (golden-corpus
+  * anchored) and the Spark planner. The hand-picked differential suite
+  * pins known shapes; this suite searches the COMBINATION space those
+  * cases don't enumerate. Seeded, so a failure reproduces exactly. */
+class FuzzDifferentialSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  private val rows: Seq[(Long, String, Long, Double, String, String, Seq[String])] =
+    (1L to 30L).map { i =>
+      (i, ("abc" (i.toInt % 3)).toString, i % 7, i * 1.25, f"n$i%02d",
+        f"2024-${1 + i.toInt % 3}%02d-${1 + i.toInt % 27}%02dT12:00:00Z",
+        Seq(s"t${i % 2}", s"t${i % 5}"))
+    }
+
+  private val fixtureScript: String =
+    rows.map { case (id, grp, qty, price, name, ts, tags) =>
+      s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, " +
+        s"num = $id, name = '$name', ts = d'$ts', " +
+        s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
+    }.mkString("\n")
+
+  private lazy val interp: Interp = {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in
+  }
+
+  private lazy val df = {
+    import spark.implicits._
+    rows.map { case (id, grp, qty, price, name, ts, tags) =>
+      (id, grp, qty, price, id, name,
+        java.sql.Timestamp.from(java.time.Instant.parse(ts)), tags)
+    }.toDF("id", "grp", "qty", "price", "num", "name", "ts", "tags")
+  }
+
+  SparkPlanner.extraRecordKeys.put("item", "id")
+
+  private def toV(x: Any): V = x match {
+    case null            => graft.surql.VNull
+    case b: Boolean      => VBool(b)
+    case i: Int          => VInt(i)
+    case l: Long         => VInt(l)
+    case d: Double       => VFloat(d)
+    case s: String       => VStr(s)
+    case d: java.math.BigDecimal => VFloat(d.doubleValue)
+    case a: scala.collection.Seq[_] => VArr(a.map(toV).toVector)
+    case t: java.sql.Timestamp => graft.surql.VDt(t.toInstant)
+    case r: org.apache.spark.sql.Row =>
+      VObj(scala.collection.immutable.TreeMap(
+        r.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> toV(r.get(i)) }.toIndexedSeq: _*))
+    case other => VStr(other.toString)
+  }
+
+  private def checkSame(surql: String): Unit = {
+    val ires = interp.run(Parser.parse(surql)).last
+    val sdf = Tables.withOverlay(Map("item" -> df)) {
+      SparkPlanner.query(spark, "/nonexistent", surql)
+    }
+    val iv = ires match {
+      case QOk(VArr(items)) => items
+      case QOk(v)           => Vector(v)
+      case QErr(m)          => fail(s"interp error: $m\n$surql")
+    }
+    val srows = sdf.collect().map { r =>
+      VObj(scala.collection.immutable.TreeMap(
+        sdf.columns.zipWithIndex.map { case (c, i) => c -> toV(r.get(i)) }: _*))
+    }.toVector
+    val irows = iv.map {
+      case VObj(m) => VObj(m)
+      case v => VObj(scala.collection.immutable.TreeMap("value" -> v))
+    }
+    assert(srows.length == irows.length,
+      s"row count differs: spark=${srows.length} interp=${irows.length}\n$surql")
+    srows.zip(irows).zipWithIndex.foreach { case ((s0, i0), n) =>
+      val sm = s0.fields; val im = i0.fields
+      assert(sm.keySet == im.keySet,
+        s"row $n columns differ: ${sm.keySet} vs ${im.keySet}\n$surql")
+      sm.keySet.foreach { k =>
+        val ok = (sm(k), im(k)) match {
+          case (VFloat(a), VFloat(b)) =>
+            java.lang.Double.doubleToLongBits(a) ==
+              java.lang.Double.doubleToLongBits(b)
+          case (a: graft.surql.VNum, b: graft.surql.VNum) =>
+            a.toDouble == b.toDouble
+          case (a, b) => a == b
+        }
+        assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
+      }
+    }
+  }
+
+  // ---- generators ---------------------------------------------------------
+
+  /** Integer-valued expression (small magnitudes — ANSI overflow-safe). */
+  private def intExpr(r: scala.util.Random, depth: Int): String =
+    if (depth == 0) r.nextInt(5) match {
+      case 0 => "qty"
+      case 1 => "num"
+      case 2 => (r.nextInt(9) + 1).toString
+      case 3 => s"(0 - ${r.nextInt(5) + 1})"
+      case _ => "qty"
+    } else r.nextInt(8) match {
+      case 0 => s"(${intExpr(r, depth - 1)} + ${intExpr(r, depth - 1)})"
+      case 1 => s"(${intExpr(r, depth - 1)} - ${intExpr(r, depth - 1)})"
+      case 2 => s"(${intExpr(r, depth - 1)} * ${r.nextInt(4) + 1})"
+      case 3 => s"(${intExpr(r, depth - 1)} / ${r.nextInt(4) + 2})"  // literal divisor, never 0
+      case 4 => s"(${intExpr(r, depth - 1)} % ${r.nextInt(5) + 2})"  // literal modulus, never 0
+      case 5 => s"math::abs(${intExpr(r, depth - 1)})"
+      case 6 => s"math::max([${intExpr(r, depth - 1)}, ${intExpr(r, depth - 1)}])"
+      case _ => s"math::min([${intExpr(r, depth - 1)}, ${intExpr(r, depth - 1)}])"
+    }
+
+  /** Float-valued expression over price (positive), nonzero divisors. */
+  private def floatExpr(r: scala.util.Random, depth: Int): String =
+    if (depth == 0) r.nextInt(3) match {
+      case 0 => "price"
+      case 1 => f"${r.nextDouble() * 8 + 0.25}%.4f"
+      case _ => "price"
+    } else r.nextInt(8) match {
+      case 0 => s"(${floatExpr(r, depth - 1)} + ${floatExpr(r, depth - 1)})"
+      case 1 => s"(${floatExpr(r, depth - 1)} - ${floatExpr(r, depth - 1)})"
+      case 2 => s"(${floatExpr(r, depth - 1)} * ${f"${r.nextDouble() + 0.5}%.3f"})"
+      case 3 => s"(${floatExpr(r, depth - 1)} / ${f"${r.nextDouble() + 1.0}%.3f"})"
+      case 4 => s"math::floor(${floatExpr(r, depth - 1)})"
+      case 5 => s"math::ceil(${floatExpr(r, depth - 1)})"
+      case 6 => s"math::round(${floatExpr(r, depth - 1)})"
+      case _ => s"math::abs(${floatExpr(r, depth - 1)})"
+    }
+
+  /** String-valued expression over name/grp. */
+  private def strExpr(r: scala.util.Random, depth: Int): String =
+    if (depth == 0) (if (r.nextBoolean()) "name" else "grp")
+    else r.nextInt(6) match {
+      case 0 => s"string::uppercase(${strExpr(r, depth - 1)})"
+      case 1 => s"string::lowercase(${strExpr(r, depth - 1)})"
+      case 2 => s"string::reverse(${strExpr(r, depth - 1)})"
+      case 3 => s"string::concat(${strExpr(r, depth - 1)}, '_', ${strExpr(r, depth - 1)})"
+      case 4 => s"(${strExpr(r, depth - 1)} + '${('a' + r.nextInt(3)).toChar}')"
+      case _ => s"string::slice(${strExpr(r, depth - 1)}, ${r.nextInt(2)}, ${r.nextInt(3) + 1})"
+    }
+
+  /** Boolean predicate for WHERE. */
+  private def boolExpr(r: scala.util.Random, depth: Int): String =
+    if (depth == 0) r.nextInt(7) match {
+      case 0 => s"qty ${Seq("<", "<=", ">", ">=", "=", "!=")(r.nextInt(6))} ${r.nextInt(7)}"
+      case 1 => s"price ${Seq("<", ">")(r.nextInt(2))} ${f"${r.nextDouble() * 35}%.2f"}"
+      case 2 => s"grp = '${('a' + r.nextInt(3)).toChar}'"
+      case 3 => s"tags CONTAINS 't${r.nextInt(5)}'"
+      case 4 => s"qty INSIDE [${Seq.fill(r.nextInt(3) + 1)(r.nextInt(7)).distinct.mkString(", ")}]"
+      case 5 => s"string::starts_with(name, 'n${r.nextInt(3)}')"
+      case _ => s"num ${Seq("<", ">")(r.nextInt(2))} ${r.nextInt(30) + 1}"
+    } else r.nextInt(4) match {
+      case 0 => s"(${boolExpr(r, depth - 1)} AND ${boolExpr(r, depth - 1)})"
+      case 1 => s"(${boolExpr(r, depth - 1)} OR ${boolExpr(r, depth - 1)})"
+      case 2 => s"!(${boolExpr(r, depth - 1)})"
+      case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
+    }
+
+  private def genSelect(r: scala.util.Random): String = r.nextInt(11) match {
+    case 0 | 1 => // arithmetic projection tree
+      val e1 = intExpr(r, r.nextInt(3) + 1)
+      val e2 = floatExpr(r, r.nextInt(2) + 1)
+      s"SELECT name, $e1 AS a, $e2 AS b FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, r.nextInt(2))}" else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(20) + 3}"
+    case 2 | 3 => // predicate combination — projection fixed, WHERE fuzzed
+      s"SELECT name, qty, price FROM item WHERE ${boolExpr(r, r.nextInt(3))} ORDER BY name"
+    case 4 => // string chain
+      val e = strExpr(r, r.nextInt(3) + 1)
+      s"SELECT name, $e AS s FROM item ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+    case 5 => // grouped aggregates
+      val aggs = Seq(
+        "count() AS n",
+        s"math::sum(${intExpr(r, 1)}) AS s",
+        s"math::max(${intExpr(r, 1)}) AS mx",
+        s"math::min(qty) AS mn",
+        "math::mean(qty) AS avg_q",
+        "math::sum(price) AS sp")
+      val chosen = r.shuffle(aggs).take(r.nextInt(3) + 1).mkString(", ")
+      val key = if (r.nextBoolean()) "grp" else "qty"
+      s"SELECT $key, $chosen FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" GROUP BY $key ORDER BY $key"
+    case 6 => // LIMIT/START windows over a computed sort
+      val e = intExpr(r, 2)
+      s"SELECT name, $e AS k FROM item ORDER BY k, name" +
+        s" LIMIT ${r.nextInt(10) + 2} START ${r.nextInt(8)}"
+    case 7 => // time projections + predicate
+      s"SELECT name, time::year(ts) AS y, time::month(ts) AS mo, time::day(ts) AS dd FROM item" +
+        s" WHERE time::month(ts) ${Seq("=", "!=", ">", "<")(r.nextInt(4))} ${r.nextInt(3) + 1}" +
+        " ORDER BY name"
+    case 8 => // array ops over tags
+      val proj = r.nextInt(4) match {
+        case 0 => "array::len(tags) AS nt"
+        case 1 => "array::sort(array::distinct(tags)) AS st"
+        case 2 => s"array::at(tags, ${r.nextInt(2)}) AS t0"
+        case _ => "array::join(tags, '-') AS j"
+      }
+      s"SELECT name, $proj FROM item" +
+        (if (r.nextBoolean()) s" WHERE tags CONTAINS 't${r.nextInt(5)}'" else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(12) + 3}"
+    case 9 => // record-id comparison semantics (`id` is a RECORD, not a number)
+      val pred = r.nextInt(4) match {
+        case 0 => s"id ${Seq("=", "!=", "<", "<=", ">", ">=")(r.nextInt(6))} item:${r.nextInt(35) + 1}"
+        case 1 => s"id ${Seq("=", "!=", "<", ">")(r.nextInt(4))} ${r.nextInt(31)}"
+        case 2 => s"id INSIDE [${(1 to r.nextInt(4) + 1).map(_ => s"item:${r.nextInt(35) + 1}").mkString(", ")}]"
+        case _ => s"item:${r.nextInt(35) + 1} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} id"
+      }
+      val conj = if (r.nextBoolean()) s" AND ${boolExpr(r, 1)}" else ""
+      s"SELECT name, qty FROM item WHERE ($pred)$conj ORDER BY name"
+    case _ => // conditional + coalesce shapes
+      val thn = r.nextInt(5); val cmp = r.nextInt(6)
+      s"SELECT name, IF qty > $cmp THEN 'hi' ELSE 'lo' END AS c," +
+        s" (NONE ?? ${intExpr(r, 1)}) AS q FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" ORDER BY name LIMIT ${thn + 3}"
+  }
+
+  private val N = sys.env.getOrElse("FUZZ_N", "200").toInt
+  private val seed = 20260814L
+
+  test(s"fuzz: $N generated queries agree across both engines") {
+    val r = new scala.util.Random(seed)
+    var failures = List.empty[String]
+    (0 until N).foreach { i =>
+      val q = genSelect(r)
+      try checkSame(q)
+      catch {
+        case e: Throwable =>
+          failures ::= s"[$i] ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"${failures.length}/$N fuzz cases diverged:\n${failures.reverse.take(10).mkString("\n---\n")}")
+  }
+}
