@@ -875,12 +875,15 @@ object SparkPlanner {
       case Some(Nil) =>
         val (medF, declF) = s.fields.partition(f => containsMedian(f.expr))
         if (medF.nonEmpty && declF.nonEmpty) {
-          val dAgg = df.agg(aggCol(declF.head, ctx), declF.tail.map(aggCol(_, ctx)): _*)
-          val mAgg = df.agg(aggCol(medF.head, ctx), medF.tail.map(aggCol(_, ctx)): _*)
+          val dAgg = df.agg(aggCol(declF.head, ctx, groupAll = true),
+            declF.tail.map(aggCol(_, ctx, groupAll = true)): _*)
+          val mAgg = df.agg(aggCol(medF.head, ctx, groupAll = true),
+            medF.tail.map(aggCol(_, ctx, groupAll = true)): _*)
           dAgg.crossJoin(mAgg)
             .select(s.fields.map(f => col(fieldAlias(f))): _*)
         } else
-          df.agg(aggCol(s.fields.head, ctx), s.fields.tail.map(aggCol(_, ctx)): _*)
+          df.agg(aggCol(s.fields.head, ctx, groupAll = true),
+            s.fields.tail.map(aggCol(_, ctx, groupAll = true)): _*)
       case Some(keys) =>
         // a GROUP BY key may name an output alias (`GROUP BY h` where
         // `crypto::md5(text) AS h` is a projection) — resolve to the
@@ -1729,27 +1732,38 @@ object SparkPlanner {
 
   /** Aggregate output column (map-side partial + exact decimal routing for
     * float sums/means — see [[Exact]]). */
-  private def aggCol(f: Field, ctx: Ctx): Column = {
+  private def aggCol(f: Field, ctx: Ctx, groupAll: Boolean = false): Column = {
     val name = fieldAlias(f)
-    aggExpr(f.expr, ctx).as(name)
+    aggExpr(f.expr, ctx, groupAll).as(name)
   }
 
-  private def aggExpr(e: Expr, ctx: Ctx): Column = e match {
+  private def aggExpr(e: Expr, ctx: Ctx, groupAll: Boolean = false): Column = e match {
     case FnCall("count", Nil) => count(lit(1))
     case FnCall("count", Seq(inner)) =>
-      sum(when(toCol(inner, ctx), 1L).otherwise(0L)).cast("bigint")
+      coalesce(sum(when(toCol(inner, ctx), 1L).otherwise(0L)), lit(0L)).cast("bigint")
+    // A GROUP ALL aggregation over ZERO input rows still emits one row, and
+    // the reference fills it with the fold identities (fnc/math.rs: sum 0,
+    // mean NaN via 0/0, max -inf, min +inf — max/min lines 124-151, pinned
+    // by group_empty_table.surql for count/sum) where SQL gives NULL. A
+    // keyed GROUP BY is never empty per group, so the defaults only wrap
+    // the GROUP ALL plan — keyed aggregates keep their exact column types.
     case FnCall("math::sum", Seq(inner)) =>
       val ic = toCol(inner, ctx)
-      if (isDoubleTyped(inner, ctx.schema)) Exact.dsum(ic) else sum(ic)
+      val base = if (isDoubleTyped(inner, ctx.schema)) Exact.dsum(ic) else sum(ic)
+      if (groupAll) coalesce(base, lit(0L).cast(if (isDoubleTyped(inner, ctx.schema)) "double" else "bigint"))
+      else base
     case FnCall("math::mean", Seq(inner)) =>
       val ic = toCol(inner, ctx)
-      if (isDoubleTyped(inner, ctx.schema)) Exact.davg(ic) else avg(ic)
+      val base = if (isDoubleTyped(inner, ctx.schema)) Exact.davg(ic) else avg(ic)
+      if (groupAll) coalesce(base, lit(Double.NaN)) else base
     case FnCall("math::stddev", Seq(inner)) =>
       val ic = toCol(inner, ctx)
-      if (isDoubleTyped(inner, ctx.schema)) Exact.dstddev(ic) else stddev_samp(ic)
+      val base = if (isDoubleTyped(inner, ctx.schema)) Exact.dstddev(ic) else stddev_samp(ic)
+      if (groupAll) coalesce(base, lit(Double.NaN)) else base
     case FnCall("math::variance", Seq(inner)) =>
       val ic = toCol(inner, ctx)
-      if (isDoubleTyped(inner, ctx.schema)) Exact.dvarSamp(ic) else var_samp(ic)
+      val base = if (isDoubleTyped(inner, ctx.schema)) Exact.dvarSamp(ic) else var_samp(ic)
+      if (groupAll) coalesce(base, lit(Double.NaN)) else base
     case FnCall("math::median", Seq(inner)) => median(toCol(inner, ctx))
     // percentile family (fnc/math.rs: p in 0..100, linear interpolation —
     // Spark's percentile/DuckDB's quantile_cont share the definition)
@@ -1777,9 +1791,13 @@ object SparkPlanner {
         case VInt(i) => i.toInt
         case other => throw SqlError(s"SparkPlanner: fixed digits must be int, got ${other.render}")
       }
-      round(aggExpr(inner, ctx), n)
-    case FnCall("math::min", Seq(inner)) => min(toCol(inner, ctx))
-    case FnCall("math::max", Seq(inner)) => max(toCol(inner, ctx))
+      round(aggExpr(inner, ctx, groupAll), n)
+    case FnCall("math::min", Seq(inner)) =>
+      if (groupAll) coalesce(min(toCol(inner, ctx)), lit(Double.PositiveInfinity))
+      else min(toCol(inner, ctx))
+    case FnCall("math::max", Seq(inner)) =>
+      if (groupAll) coalesce(max(toCol(inner, ctx)), lit(Double.NegativeInfinity))
+      else max(toCol(inner, ctx))
     case FnCall("time::min", Seq(inner)) => min(toCol(inner, ctx)).cast("date")
     case FnCall("time::max", Seq(inner)) => max(toCol(inner, ctx)).cast("date")
     case FnCall("array::group", Seq(inner)) =>
@@ -1790,8 +1808,8 @@ object SparkPlanner {
       concat_ws(sep match { case Lit(VStr(x)) => x; case _ => "," },
         array_sort(collect_list(toCol(inner, ctx))))
     case Binary(op, l, r) if isAggregate(e) =>
-      val lc = if (isAggregate(l)) aggExpr(l, ctx) else toCol(l, ctx)
-      val rc = if (isAggregate(r)) aggExpr(r, ctx) else toCol(r, ctx)
+      val lc = if (isAggregate(l)) aggExpr(l, ctx, groupAll) else toCol(l, ctx)
+      val rc = if (isAggregate(r)) aggExpr(r, ctx, groupAll) else toCol(r, ctx)
       op match {
         case "+" => lc + rc
         case "-" => lc - rc

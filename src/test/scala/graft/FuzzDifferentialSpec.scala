@@ -167,7 +167,52 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(11) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(18) match {
+    case 11 => // casts over computed expressions
+      val ce = r.nextInt(4) match {
+        case 0 => s"<int> ${floatExpr(r, r.nextInt(2) + 1)} AS x"
+        case 1 => s"<float> ${intExpr(r, r.nextInt(2) + 1)} AS x"
+        case 2 => s"<string> ${intExpr(r, 1)} AS x"
+        case _ => s"<int> <float> ${intExpr(r, 1)} AS x"
+      }
+      s"SELECT name, $ce FROM item ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+    case 12 => // boolean projections
+      s"SELECT name, ${boolExpr(r, r.nextInt(2))} AS p, !(${boolExpr(r, 1)}) AS np FROM item" +
+        s" ORDER BY name LIMIT ${r.nextInt(15) + 3}"
+    case 13 => // DESC / multi-key sorts over computed values
+      val e = intExpr(r, 2)
+      val dir = if (r.nextBoolean()) "DESC" else "ASC"
+      s"SELECT name, qty, $e AS k FROM item ORDER BY k $dir, qty ${if (r.nextBoolean()) "DESC" else "ASC"}, name" +
+        s" LIMIT ${r.nextInt(12) + 3}"
+    case 14 => // GROUP ALL global aggregates
+      val aggs = r.shuffle(Seq(
+        "count() AS n",
+        s"math::sum(${intExpr(r, 1)}) AS s",
+        "math::max(num) AS mx",
+        "math::min(price) AS mn",
+        "math::mean(qty) AS m")).take(r.nextInt(3) + 1).mkString(", ")
+      s"SELECT $aggs FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") + " GROUP ALL"
+    case 15 => // datetime arithmetic + comparisons
+      val dur = Seq("1h", "30m", "2d", "90s", "1w")(r.nextInt(5))
+      val op = if (r.nextBoolean()) "+" else "-"
+      s"SELECT name, ts $op $dur AS t2 FROM item" +
+        (if (r.nextBoolean())
+          s" WHERE ts ${Seq("<", ">", "<=", ">=")(r.nextInt(4))} d'2024-0${r.nextInt(3) + 1}-15T00:00:00Z'"
+        else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+    case 16 => // array HOFs with closures over row fields
+      val proj = r.nextInt(4) match {
+        case 0 => s"array::map(tags, |$$t| string::uppercase($$t)) AS m"
+        case 1 => s"array::join(array::filter([1, 2, 3, 4, 5], |$$x| $$x > ${intExpr(r, 1)}), ',') AS f"
+        case 2 => s"array::fold([1, 2, 3], ${r.nextInt(4)}, |$$a, $$x| $$a + $$x) + qty AS s"
+        case _ => s"array::len(array::map(tags, |$$t| $$t + '_x')) AS n2"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+    case 17 => // subquery membership
+      val inner = s"SELECT VALUE ${if (r.nextBoolean()) "qty" else "num"} FROM item WHERE ${boolExpr(r, 1)}"
+      val neg = if (r.nextBoolean()) "" else "NOT "
+      s"SELECT name, qty FROM item WHERE ${if (r.nextBoolean()) "qty" else "num"} ${neg}INSIDE ($inner) ORDER BY name"
     case 0 | 1 => // arithmetic projection tree
       val e1 = intExpr(r, r.nextInt(3) + 1)
       val e2 = floatExpr(r, r.nextInt(2) + 1)
@@ -243,5 +288,71 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty,
       s"${failures.length}/$N fuzz cases diverged:\n${failures.reverse.take(10).mkString("\n---\n")}")
+  }
+
+  /** Mutation scripts re-run the fixture on a FRESH interpreter (writes
+    * would corrupt the shared one) against the Spark script executor. */
+  private def checkScript(script: String): Unit = {
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    val ires = in.run(Parser.parse(script)).last
+    val sdf = Tables.withOverlay(Map("item" -> df)) {
+      SparkPlanner.script(spark, "/nonexistent", script)
+    }
+    val iv = ires match {
+      case QOk(VArr(items)) => items
+      case QOk(v)           => Vector(v)
+      case QErr(m)          => fail(s"interp error: $m\n$script")
+    }
+    val srows = sdf.collect().map { r =>
+      VObj(scala.collection.immutable.TreeMap(
+        sdf.columns.zipWithIndex.map { case (c, i) => c -> toV(r.get(i)) }: _*))
+    }.toVector
+    val irows = iv.map {
+      case VObj(m) => VObj(m)
+      case v => VObj(scala.collection.immutable.TreeMap("value" -> v))
+    }
+    assert(srows.length == irows.length,
+      s"row count differs: spark=${srows.length} interp=${irows.length}\n$script")
+    srows.zip(irows).foreach { case (s0, i0) =>
+      assert(s0.fields.keySet == i0.fields.keySet, s"columns differ\n$script")
+      s0.fields.keySet.foreach { k =>
+        val ok = (s0.fields(k), i0.fields(k)) match {
+          case (VFloat(a), VFloat(b)) =>
+            java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+          case (a: graft.surql.VNum, b: graft.surql.VNum) => a.toDouble == b.toDouble
+          case (a, b) => a == b
+        }
+        assert(ok, s"field $k differs: ${s0.fields(k).render} vs ${i0.fields(k).render}\n$script")
+      }
+    }
+  }
+
+  private def genScript(r: scala.util.Random): String = {
+    val mut = r.nextInt(4) match {
+      case 0 => s"UPDATE item SET qty = ${intExpr(r, 1)} WHERE ${boolExpr(r, 1)};"
+      case 1 => s"UPDATE item SET price = ${floatExpr(r, 1)}, qty = qty + ${r.nextInt(5) + 1} WHERE ${boolExpr(r, 1)};"
+      case 2 => s"DELETE item WHERE ${boolExpr(r, 1)};"
+      case _ =>
+        val k = r.nextInt(40) + 31
+        s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
+          s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9'];"
+    }
+    s"""$mut
+        SELECT name, grp, qty, price FROM item ORDER BY name;"""
+  }
+
+  private val NS = sys.env.getOrElse("FUZZ_NS", "60").toInt
+
+  test(s"fuzz: $NS generated mutation scripts agree across both engines") {
+    val r = new scala.util.Random(seed + 1)
+    var failures = List.empty[String]
+    (0 until NS).foreach { i =>
+      val q = genScript(r)
+      try checkScript(q)
+      catch { case e: Throwable => failures ::= s"[$i] ${e.getMessage}" }
+    }
+    assert(failures.isEmpty,
+      s"${failures.length}/$NS script fuzz cases diverged:\n${failures.reverse.take(8).mkString("\n---\n")}")
   }
 }
