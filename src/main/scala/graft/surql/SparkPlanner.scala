@@ -36,7 +36,7 @@ object SparkPlanner {
   /** Record-link topology of the testdata catalog — the Spark rendering of
     * `DEFINE FIELD <col> ON <table> TYPE record<target>` (catalog/schema/
     * field.rs). (table, column) → (targetTable, targetKey). */
-  val links: Map[(String, String), (String, String)] = Map(
+  val linksBase: Map[(String, String), (String, String)] = Map(
     ("orders", "o_custkey")    -> ("customer", "c_custkey"),
     ("lineitem", "l_orderkey") -> ("orders", "o_orderkey"),
     ("lineitem", "l_partkey")  -> ("part", "p_partkey"),
@@ -44,6 +44,20 @@ object SparkPlanner {
     ("customer", "c_nationkey") -> ("nation", "n_nationkey"),
     ("supplier", "s_nationkey") -> ("nation", "n_nationkey"),
     ("nation", "n_regionkey")  -> ("region", "r_regionkey"))
+
+  /** Extra link edges registered at runtime (tests / user DEFINE FIELD
+    * record<> declarations) — consulted after [[linksBase]]. */
+  val extraLinks =
+    scala.collection.concurrent.TrieMap[(String, String), (String, String)]()
+
+  /** The effective link catalog (base + runtime registrations). */
+  object links {
+    def apply(k: (String, String)): (String, String) = get(k).getOrElse(
+      throw SqlError(s"SparkPlanner: no link ${k._1}.${k._2}"))
+    def get(k: (String, String)): Option[(String, String)] =
+      linksBase.get(k).orElse(extraLinks.get(k))
+    def contains(k: (String, String)): Boolean = get(k).isDefined
+  }
 
   /** Extra record keys registered at runtime (tests / user tables beyond
     * the built-in testdata catalog) — consulted after [[recordKeyBase]]. */

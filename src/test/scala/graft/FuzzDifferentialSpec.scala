@@ -26,6 +26,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     rows.map { case (id, grp, qty, price, name, ts, tags) =>
       s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, " +
         s"num = $id, name = '$name', ts = d'$ts', " +
+        s"buddy = item:${id % 30 + 1}, " +
         s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
     }.mkString("\n")
 
@@ -38,12 +39,13 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   private lazy val df = {
     import spark.implicits._
     rows.map { case (id, grp, qty, price, name, ts, tags) =>
-      (id, grp, qty, price, id, name,
+      (id, grp, qty, price, id, name, id % 30 + 1,
         java.sql.Timestamp.from(java.time.Instant.parse(ts)), tags)
-    }.toDF("id", "grp", "qty", "price", "num", "name", "ts", "tags")
+    }.toDF("id", "grp", "qty", "price", "num", "name", "buddy", "ts", "tags")
   }
 
   SparkPlanner.extraRecordKeys.put("item", "id")
+  SparkPlanner.extraLinks.put(("item", "buddy"), ("item", "id"))
 
   private def toV(x: Any): V = x match {
     case null            => graft.surql.VNull
@@ -167,7 +169,21 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(18) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(19) match {
+    case 18 => // record-link traversal (Fetch lowering: one equi-join/path)
+      val proj = r.nextInt(5) match {
+        case 0 => "buddy.name AS bn, buddy.qty AS bq"
+        case 1 => s"(buddy.qty + ${intExpr(r, 1)}) AS t"
+        case 2 => "buddy.{name, qty} AS b"
+        case 3 => "buddy.buddy.name AS bbn"
+        case _ => "string::uppercase(buddy.grp) AS bg"
+      }
+      val whereC = r.nextInt(3) match {
+        case 0 => s" WHERE buddy.grp = '${('a' + r.nextInt(3)).toChar}'"
+        case 1 => s" WHERE buddy.qty ${Seq("<", ">", "=")(r.nextInt(3))} ${r.nextInt(7)}"
+        case _ => if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else ""
+      }
+      s"SELECT name, $proj FROM item$whereC ORDER BY name LIMIT ${r.nextInt(15) + 3}"
     case 11 => // casts over computed expressions
       val ce = r.nextInt(4) match {
         case 0 => s"<int> ${floatExpr(r, r.nextInt(2) + 1)} AS x"
