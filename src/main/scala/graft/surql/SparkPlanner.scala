@@ -2188,21 +2188,35 @@ object SparkPlanner {
             (typeOf(l, schema), typeOf(r, schema)) match {
               case (Some(lt), Some(rt)) if typeFamily(lt) != typeFamily(rt) =>
                 throw SqlError(s"SparkPlanner: loose = between $lt and $rt needs coercion; use the Interp path")
-              case _ => c(l) === c(r)
+              // null-safe: NONE = NONE is true in the reference (NONE is a
+              // VALUE in the total order, not SQL null), so a NULL cell must
+              // compare, not propagate
+              case _ => c(l) <=> c(r)
             }
         }
-        case "==" => c(l) === c(r)
+        case "==" => c(l) <=> c(r)
         // any-eq / all-eq: an array operand matched element-wise
         case "?=" => exists(c(l), x => x === c(r))
         case "*=" => forall(c(l), x => x === c(r))
         case "!=" => r match {
           case Lit(VNone) | Lit(VNull) => c(l).isNotNull
-          case _ => c(l) =!= c(r)
+          case _ => !(c(l) <=> c(r))
         }
-        case "<"  => c(l) < c(r)
-        case "<=" => c(l) <= c(r)
-        case ">"  => c(l) > c(r)
-        case ">=" => c(l) >= c(r)
+        // Ordered comparisons under the reference's TOTAL value order, where
+        // NONE/NULL sort below every value (val/value/value.rs ord; pinned by
+        // the `.sort()` golden): a NULL cell is the MINIMUM, not a poison
+        // value — `v < 10` is TRUE for a row missing v, and `v > 0` FALSE.
+        // Spelled with boolean connectives (no CASE WHEN), so Catalyst still
+        // pushes Or(IsNull, Lt) to the parquet scan and strips the IsNull
+        // for non-nullable columns.
+        case "<" =>
+          val (lc, rc) = (c(l), c(r)); rc.isNotNull && (lc.isNull || lc < rc)
+        case "<=" =>
+          val (lc, rc) = (c(l), c(r)); lc.isNull || (rc.isNotNull && lc <= rc)
+        case ">" =>
+          val (lc, rc) = (c(l), c(r)); lc.isNotNull && (rc.isNull || lc > rc)
+        case ">=" =>
+          val (lc, rc) = (c(l), c(r)); rc.isNull || (lc.isNotNull && lc >= rc)
         case "&&" => c(l) && c(r)
         case "||" => c(l) || c(r)
         case "INSIDE" => r match {

@@ -27,6 +27,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$id SET grp = '$grp', qty = $qty, price = $price, " +
         s"num = $id, name = '$name', ts = d'$ts', " +
         s"buddy = item:${id % 30 + 1}, " +
+        (if (id % 5 != 0) s"opt = ${id % 9}, " else "") +
         s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
     }.mkString("\n")
 
@@ -40,8 +41,9 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     import spark.implicits._
     rows.map { case (id, grp, qty, price, name, ts, tags) =>
       (id, grp, qty, price, id, name, id % 30 + 1,
+        if (id % 5 != 0) Some(id % 9) else None,
         java.sql.Timestamp.from(java.time.Instant.parse(ts)), tags)
-    }.toDF("id", "grp", "qty", "price", "num", "name", "buddy", "ts", "tags")
+    }.toDF("id", "grp", "qty", "price", "num", "name", "buddy", "opt", "ts", "tags")
   }
 
   SparkPlanner.extraRecordKeys.put("item", "id")
@@ -95,6 +97,8 @@ class FuzzDifferentialSpec extends AnyFunSuite {
               java.lang.Double.doubleToLongBits(b)
           case (a: graft.surql.VNum, b: graft.surql.VNum) =>
             a.toDouble == b.toDouble
+          // the Spark column model renders an ABSENT field (NONE) as null
+          case (graft.surql.VNull, graft.surql.VNone) => true
           case (a, b) => a == b
         }
         assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
@@ -169,7 +173,22 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(19) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(20) match {
+    case 19 => // NONE semantics over a sparse field (total-order comparisons)
+      val pred = r.nextInt(6) match {
+        case 0 => s"opt ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${r.nextInt(9)}"
+        case 1 => "opt = NONE"
+        case 2 => "opt != NONE"
+        case 3 => s"opt ${if (r.nextBoolean()) "=" else "!="} ${r.nextInt(9)}"
+        case 4 => s"(opt ?? ${r.nextInt(5)}) > ${r.nextInt(8)}"
+        case _ => s"opt ${Seq("<", ">")(r.nextInt(2))} qty"
+      }
+      val proj = r.nextInt(3) match {
+        case 0 => "opt"
+        case 1 => s"(opt ?? ${intExpr(r, 1)}) AS o2"
+        case _ => s"IF opt != NONE THEN 'set' ELSE 'missing' END AS st"
+      }
+      s"SELECT name, $proj FROM item WHERE $pred ORDER BY name LIMIT ${r.nextInt(20) + 3}"
     case 18 => // record-link traversal (Fetch lowering: one equi-join/path)
       val proj = r.nextInt(5) match {
         case 0 => "buddy.name AS bn, buddy.qty AS bq"
