@@ -175,6 +175,51 @@ final case class RoundRs(child: Expression)
     copy(child = newChild)
 }
 
+/** `math::ceil`/`math::floor` with Rust `f64` semantics: the result keeps
+  * the DOUBLE kind for float input (never silently integer-cast) and the
+  * IEEE sign of zero (`(-0.4).ceil() == -0.0`) — Spark's `ceil()` returns a
+  * LONG, which cannot represent `-0.0`. Java's `Math.ceil`/`Math.floor`
+  * already implement the IEEE behavior, so the kernel is one static call.
+  * Integral children pass through unchanged (Number::Int(v) => v). */
+final case class CeilFloorRs(child: Expression, up: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def prettyName: String = if (up) "graft_ceil" else "graft_floor"
+  private def integral: Boolean = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  override def dataType: DataType =
+    if (integral) child.dataType else DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: NumericType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a numeric input, got ${dt.simpleString}")
+  }
+  private def toD(v: Any): Double = child.dataType match {
+    case FloatType => v.asInstanceOf[Float].toDouble
+    case DoubleType => v.asInstanceOf[Double]
+    case _: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case _ => v.asInstanceOf[Number].doubleValue
+  }
+  override def nullSafeEval(v: Any): Any =
+    if (integral) v
+    else if (up) java.lang.Math.ceil(toD(v)) else java.lang.Math.floor(toD(v))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (integral) s"${ev.value} = $c;"
+      else {
+        val cd = child.dataType match {
+          case _: DecimalType => s"$c.toDouble()"
+          case _ => s"(double) $c"
+        }
+        val m = if (up) "ceil" else "floor"
+        s"${ev.value} = java.lang.Math.$m($cd);"
+      })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RoundRs {
   /** Rust `f64::round`: half away from zero; NaN/Inf pass through; the
     * result inherits the argument's sign, so `round(-0.2) == -0.0`. */
@@ -252,6 +297,10 @@ object VectorKernels {
       es => L1F(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_round",
       es => RoundRs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ceil",
+      es => CeilFloorRs(es.head, up = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_floor",
+      es => CeilFloorRs(es.head, up = false), "built-in")
     reg.createOrReplaceTempFunction("graft_sign",
       es => SignRs(es.head), "built-in")
   }

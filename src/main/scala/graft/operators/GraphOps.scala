@@ -31,12 +31,28 @@ object GraphOps {
     * supplier→part shipment pair with aggregate props) — the Spark analog of
     * a RELATE-populated relation table (catalog/table.rs:151-156). The
     * SurrealQL planner lowers `->supplies->part` onto these. */
-  val edgeDefs: Map[String, (String, String)] = Map(
+  val edgeDefsBase: Map[String, (String, String)] = Map(
     "supplies" -> ("supplier", "part"),
     // each customer's orders by date form a linked list — the time-series
     // idiom of SURVEY §1.1; self-referencing, so `@{n..m}` recursion from
     // SurrealQL text has a real chain to walk (exec/operators/recursion.rs)
     "next_order" -> ("orders", "orders"))
+
+  /** Extra relation tables registered at runtime (tests / user RELATE
+    * targets beyond the built-in catalog); the edge rows themselves come
+    * from the table catalog (overlay or parquet), schema (id, in, out, …). */
+  val extraEdgeDefs =
+    scala.collection.concurrent.TrieMap[String, (String, String)]()
+
+  /** The effective relation catalog (base + runtime registrations). */
+  object edgeDefs {
+    def get(name: String): Option[(String, String)] =
+      edgeDefsBase.get(name).orElse(extraEdgeDefs.get(name))
+    def getOrElse(name: String, default: => (String, String)): (String, String) =
+      get(name).getOrElse(default)
+    def contains(name: String): Boolean = get(name).isDefined
+    def keys: Iterable[String] = edgeDefsBase.keys
+  }
 
   /** Session-cached edge tables per corpus dir, schema (id, in, out, props…).
     * Built ONCE and persisted — at 100 TB this is the stored relation table
@@ -50,7 +66,8 @@ object GraphOps {
     edgeDefs.keys.foreach(edgeTable(s, d, _))
 
   def edgeTable(s: SparkSession, dir: String, name: String): DataFrame =
-    edgeCache.getOrElseUpdate((dir, name), name match {
+    if (extraEdgeDefs.contains(name)) Tables(s, dir, name) // overlay-backed, never cached
+    else edgeCache.getOrElseUpdate((dir, name), name match {
       case "supplies" =>
         val e = Tables.lineitem(s, dir)
           .groupBy(col("l_suppkey").as("in"), col("l_partkey").as("out"))

@@ -1411,9 +1411,21 @@ object SparkPlanner {
       case "out"  => if (table != inT) unsupported(s"$table is not the in-side of $edgeName") else orient("in", "out")
       case "in"   => if (table != outT) unsupported(s"$table is not the out-side of $edgeName") else orient("out", "in")
       case "both" =>
+        // `<->` target expansion yields BOTH endpoints of every incident
+        // edge — INCLUDING the anchor itself (traversal_bidirectional.surql:
+        // person:alice<->knows<->person = [bob, alice, charlie, alice, …]) —
+        // while the bare `<->edge` form (parts.tail == Nil) collects each
+        // incident edge record once.
+        val expand = parts.tail.nonEmpty
         val sides = Seq(
-          if (table == inT) Some(orient("in", "out")) else scala.None,
-          if (table == outT) Some(orient("out", "in")) else scala.None).flatten
+          if (table == inT)
+            Some(if (expand) orient("in", "out").unionByName(orient("in", "in"))
+                 else orient("in", "out"))
+          else scala.None,
+          if (table == outT)
+            Some(if (expand) orient("out", "in").unionByName(orient("out", "out"))
+                 else orient("out", "in"))
+          else scala.None).flatten
         if (sides.isEmpty) unsupported(s"$table touches neither side of $edgeName")
         else sides.reduce(_ unionByName _)
       case other  => unsupported(s"direction $other")
@@ -2291,14 +2303,22 @@ object SparkPlanner {
     // (number.rs: Int passes through; Float stays Float — math::ceil(2.5)
     // is 3f, not 3): an Int operand is identity, a Float operand keeps
     // double type so downstream Int/Int division rules see the right kinds
+    // float ceil/floor go through the sign-preserving kernels: Spark's
+    // long-typed ceil() turns ceil(-0.4) = -0.0 (Rust f64::ceil) into +0
     case "math::ceil" => typeOf(raw(0), ctx.schema) match {
       case Some(LongType | IntegerType | ShortType) => cs(0)
-      case Some(DoubleType | FloatType) => ceil(cs(0)).cast("double")
+      case Some(DoubleType | FloatType) =>
+        graft.functions.VectorKernels.ensure(
+          org.apache.spark.sql.SparkSession.active)
+        call_function("graft_ceil", cs(0))
       case _ => ceil(cs(0)).cast("bigint")
     }
     case "math::floor" => typeOf(raw(0), ctx.schema) match {
       case Some(LongType | IntegerType | ShortType) => cs(0)
-      case Some(DoubleType | FloatType) => floor(cs(0)).cast("double")
+      case Some(DoubleType | FloatType) =>
+        graft.functions.VectorKernels.ensure(
+          org.apache.spark.sql.SparkSession.active)
+        call_function("graft_floor", cs(0))
       case _ => floor(cs(0)).cast("bigint")
     }
     // Reference round is Rust f64::round (val/number.rs:578): half away from

@@ -31,9 +31,19 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
     }.mkString("\n")
 
+  private val edges: Seq[(Long, Long, Long)] =
+    (1L to 30L).map(i => (i, i * 7 % 30 + 1, i)) ++
+      (2L to 30L by 2).map(i => (i, i * 3 % 30 + 1, i + 100))
+
+  private val edgeScript: String =
+    edges.map { case (a, b, w) =>
+      s"RELATE item:$a->likes:`e${a}x${b}x$w`->item:$b SET w = $w;"
+    }.mkString("\n")
+
   private lazy val interp: Interp = {
     val in = new Interp
     in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse(edgeScript))
     in
   }
 
@@ -46,8 +56,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }.toDF("id", "grp", "qty", "price", "num", "name", "buddy", "opt", "ts", "tags")
   }
 
+  private lazy val likesDf = {
+    import spark.implicits._
+    edges.map { case (a, b, w) => (s"e${a}x${b}x$w", a, b, w) }
+      .toDF("id", "in", "out", "w")
+  }
+
   SparkPlanner.extraRecordKeys.put("item", "id")
   SparkPlanner.extraLinks.put(("item", "buddy"), ("item", "id"))
+  graft.operators.GraphOps.extraEdgeDefs.put("likes", ("item", "item"))
 
   private def toV(x: Any): V = x match {
     case null            => graft.surql.VNull
@@ -68,7 +85,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
 
   private def checkSame(surql: String): Unit = {
     val ires = interp.run(Parser.parse(surql)).last
-    val sdf = Tables.withOverlay(Map("item" -> df)) {
+    val sdf = Tables.withOverlay(Map("item" -> df, "likes" -> likesDf)) {
       SparkPlanner.query(spark, "/nonexistent", surql)
     }
     val iv = ires match {
@@ -173,7 +190,18 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(20) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(21) match {
+    case 20 => // graph arrows over the RELATE-populated relation table
+      val proj = r.nextInt(5) match {
+        case 0 => "array::sort(->likes->item.name) AS ln"
+        case 1 => "array::len(->likes->item) AS n"
+        case 2 => "array::sort(<-likes<-item.qty) AS bq"
+        case 3 => "array::len(<->likes<->item) AS nb"
+        case _ => s"math::sum(->likes->item.qty) AS sq"
+      }
+      s"SELECT name, $proj FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(15) + 3}"
     case 19 => // NONE semantics over a sparse field (total-order comparisons)
       val pred = r.nextInt(6) match {
         case 0 => s"opt ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${r.nextInt(9)}"
