@@ -312,6 +312,7 @@ object Functions {
       else if (name0.startsWith("array::vector_")) "vector::" + name0.stripPrefix("array::vector_")
       else if (name0 == "array::sort_asc") "array::sort::asc"
       else if (name0 == "array::sort_desc") "array::sort::desc"
+      else if (name0 == "geo::is::valid") "geo::is_valid"
       else name0
     // capability gate: [env.capabilities] deny-functions
     // (iam: Capabilities::allows_function)

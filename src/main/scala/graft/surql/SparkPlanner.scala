@@ -244,11 +244,17 @@ object SparkPlanner {
     var txnBase = overlay // overlay snapshot at BEGIN
     var params = Map.empty[String, V]
     var eventDefs = Seq.empty[graft.surql.Defs.EventDef]
+    // script-scope schema: DEFINE FIELD pipelines and UNIQUE indexes apply
+    // to every subsequent mutation in the script (doc/field.rs, idx/index.rs)
+    var fldDefs = Map.empty[String, Vector[DefineFieldStmt]]
+    var uniqDefs = Map.empty[String, Vector[(String, Seq[String])]]
     // CANCEL must roll back EVERYTHING the transaction did — not just table
-    // states but also DEFINE EVENT registrations and LET bindings made
-    // inside it (the reference discards the whole transaction context)
+    // states but also DEFINE EVENT/FIELD/INDEX registrations and LET
+    // bindings made inside it (the reference discards the whole context)
     var txnParams = params
     var txnEvents = eventDefs
+    var txnFlds = fldDefs
+    var txnUniq = uniqDefs
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
     // a mutation commits its table's after-state to the overlay, then fires
@@ -261,14 +267,39 @@ object SparkPlanner {
       last = Some(ret)
     }
     def exec(st0: Statement): Unit = Subst.stmt(st0, params) match {
-      case BeginStmt  => txnBase = overlay; txnParams = params; txnEvents = eventDefs
+      case BeginStmt  =>
+        txnBase = overlay; txnParams = params; txnEvents = eventDefs
+        txnFlds = fldDefs; txnUniq = uniqDefs
       case CommitStmt => () // the composed plan is already all-or-nothing
       case CancelStmt =>
         overlay = txnBase; params = txnParams; eventDefs = txnEvents
+        fldDefs = txnFlds; uniqDefs = txnUniq
         last = scala.None
       case UseStmt(_, _) => () // single-catalog engine: ns/db switch is a no-op
       case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
       case s: DefineEventStmt => eventDefs :+= s.d
+      case s: DefineFieldStmt =>
+        if (s.field.contains(".") || s.field.contains("["))
+          throw SqlError(
+            s"SparkPlanner: nested-path DEFINE FIELD `${s.field}` is interpreter-only")
+        fldDefs += s.table -> (fldDefs.getOrElse(s.table, Vector.empty)
+          .filterNot(_.field == s.field) :+ s)
+      case s: DefineIndexStmt =>
+        if (s.unique) {
+          // index build scans existing rows — a pre-existing duplicate fails
+          // the DDL and leaves the index unregistered (idx building)
+          planWith {
+            val base = Tables(spark, dir, s.table)
+            if (!s.fields.forall(base.columns.contains))
+              throw SqlError(s"SparkPlanner: DEFINE INDEX on non-column path " +
+                s"${s.fields.mkString(",")} is interpreter-only")
+            checkUniqueIndexes(s.table, base, base,
+              Seq((s.name, s.fields)), recordKey(s.table))
+          }
+          uniqDefs += s.table -> (uniqDefs.getOrElse(s.table, Vector.empty)
+            .filterNot(_._1 == s.name) :+ ((s.name, s.fields)))
+        } // non-unique indexes are advisory on this path (Catalyst pushdown)
+      case _: DefineTableStmt => () // schema authority is the parquet catalog
       // RETURN — a one-row plan (SourceExpr/ExprPlan analog)
       case ReturnStmt(ObjLit(fields)) =>
         val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
@@ -318,9 +349,21 @@ object SparkPlanner {
           val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
             actionPermCond(spark, dir, t, "update", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
-          val sets = setMap(s.data, ctx, requireExisting = true)
-          (t, base, graft.operators.Mutations.update(base, cond, sets),
-            planUpdate(spark, dir, s))
+          val key = recordKey(t)
+          val sets = enforceSets(setMap(s.data, ctx, requireExisting = true),
+            fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
+          val after = graft.operators.Mutations.update(base, cond, sets)
+          val touchedIdx = uniqDefs.getOrElse(t, Vector.empty)
+            .filter(_._2.exists(sets.keySet.contains))
+          if (touchedIdx.nonEmpty)
+            checkUniqueIndexes(t, after,
+              after.join(base.filter(cond).select(key), Seq(key), "left_semi"),
+              touchedIdx, key)
+          val before = base.filter(cond)
+          val ret = shapeOutput(before,
+            graft.operators.Mutations.update(before, lit(true), sets),
+            s.output, ctx)
+          (t, base, after, ret)
         }
         applyMut(table, base, after, ret)
       case s: DeleteStmt =>
@@ -368,9 +411,14 @@ object SparkPlanner {
           val created0 = synthRows(spark, t, base.schema, targets.map(x => (x._2, sets)))
             .join(base.select(key), Seq(key), "left_anti")
           // a denied create is silently skipped (doc/allow.rs)
-          val created = actionPermCond(spark, dir, t, "create", base.schema)
+          val created1 = actionPermCond(spark, dir, t, "create", base.schema)
             .map(created0.filter).getOrElse(created0)
-          (t, base, base.unionByName(created), planCreate(spark, dir, s))
+          val created = applyFieldDefs(created1,
+            fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
+          val after = base.unionByName(created)
+          checkUniqueIndexes(t, after, created,
+            uniqDefs.getOrElse(t, Vector.empty), key)
+          (t, base, after, shapeOutput(created, created, s.output, ctx))
         }
         applyMut(table, base, after, ret)
       case s: InsertStmt =>
@@ -393,19 +441,29 @@ object SparkPlanner {
               .cast(sf.dataType).as(sf.name)
           }.toIndexedSeq: _*)
           val fresh0 = rows.join(base.select(key), Seq(key), "left_anti")
-          val fresh = actionPermCond(spark, dir, t, "create", base.schema)
+          val fresh1 = actionPermCond(spark, dir, t, "create", base.schema)
             .map(fresh0.filter).getOrElse(fresh0)
-          val after = s.onDuplicate match {
-            case scala.None => base.unionByName(fresh)
+          val fresh = applyFieldDefs(fresh1,
+            fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
+          val (after, changed, ret) = s.onDuplicate match {
+            case scala.None =>
+              (base.unionByName(fresh), fresh,
+                shapeOutput(fresh, fresh, s.output, ctx))
             case Some(sets) =>
               // MERGE arms over the whole table: untouched ∪ dup-updated ∪ fresh
-              val dupSets = setMap(Some(SetData(sets)), ctx, requireExisting = true)
+              val dupSets = enforceSets(
+                setMap(Some(SetData(sets)), ctx, requireExisting = true),
+                fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
               val untouched = base.join(rows.select(key), Seq(key), "left_anti")
               val updated = graft.operators.Mutations.update(
                 base.join(rows.select(key), Seq(key), "left_semi"), lit(true), dupSets)
-              untouched.unionByName(updated).unionByName(fresh)
+              val result = fresh.unionByName(updated)
+              (untouched.unionByName(updated).unionByName(fresh), result,
+                shapeOutput(result, result, s.output, ctx))
           }
-          (t, base, after, planInsert(spark, dir, s))
+          checkUniqueIndexes(t, after, changed,
+            uniqDefs.getOrElse(t, Vector.empty), key)
+          (t, base, after, ret)
         }
         applyMut(table, base, after, ret)
       case s: UpsertStmt =>
@@ -422,12 +480,19 @@ object SparkPlanner {
             .reduceOption(_ && _).getOrElse(lit(true))
           val sets = setMap(s.data, ctx, requireExisting = true)
           val key = recordKey(t)
-          val updated = graft.operators.Mutations.update(base, cond, sets)
+          val defs = fldDefs.getOrElse(t, Vector.empty)
+          val setsU = enforceSets(sets, defs, ctx, t, key)
+          val updated = graft.operators.Mutations.update(base, cond, setsU)
           val inserted0 = synthRows(spark, t, base.schema, Seq((keyV, sets)))
             .join(base.select(key), Seq(key), "left_anti")
-          val inserted = actionPermCond(spark, dir, t, "create", base.schema)
+          val inserted1 = actionPermCond(spark, dir, t, "create", base.schema)
             .map(inserted0.filter).getOrElse(inserted0)
-          (t, base, updated.unionByName(inserted), planUpsert(spark, dir, s))
+          val inserted = applyFieldDefs(inserted1, defs, ctx, t, key)
+          val after = updated.unionByName(inserted)
+          checkUniqueIndexes(t, after,
+            after.filter(col(key) === ridKeyLit(keyV)),
+            uniqDefs.getOrElse(t, Vector.empty), key)
+          (t, base, after, planUpsert(spark, dir, s))
         }
         applyMut(table, base, after, ret)
       case other => throw SqlError(s"SparkPlanner: unsupported script statement $other")
@@ -1600,6 +1665,144 @@ object SparkPlanner {
       spark.range(1).select(cols.toIndexedSeq: _*)
     }.reduce(_ unionByName _)
   }
+
+  // ---- DEFINE FIELD / DEFINE INDEX UNIQUE enforcement (script path) ------
+  //
+  // The reference applies field definitions per written document
+  // (doc/field.rs: READONLY → DEFAULT → VALUE → TYPE coerce → ASSERT) and
+  // unique indexes per index entry (idx/index.rs index_unique). On the
+  // Spark path the same pipeline becomes one column expression per defined
+  // field — DEFAULT is a null-coalesce, VALUE a recompute, TYPE an ANSI
+  // cast, ASSERT/READONLY a per-row `raise_error` guard — so enforcement
+  // runs DISTRIBUTED inside the mutation's projection, never as a
+  // driver-side row loop. Flat top-level fields only (nested-path defs are
+  // the interpreter's domain).
+
+  /** Spark column type for a scalar TYPE kind, where one exists; compound
+    * kinds (records, geometries, unions) skip the cast stage. */
+  private def kindSparkType(k: Kind): Option[DataType] = k match {
+    case Kind.KInt      => Some(LongType)
+    case Kind.KFloat    => Some(DoubleType)
+    case Kind.KString   => Some(StringType)
+    case Kind.KBool     => Some(BooleanType)
+    case Kind.KDatetime => Some(TimestampType)
+    case Kind.KDecimal  => Some(DecimalType(38, 10))
+    case Kind.KBytes    => Some(BinaryType)
+    case Kind.KOption(inner) => kindSparkType(inner)
+    case _ => scala.None
+  }
+
+  /** `option<...>` (and none/null-admitting unions): a NONE value skips the
+    * ASSERT clause entirely (doc/field.rs process_assert_clause). */
+  private def kindIsOptional(k: Kind): Boolean = k match {
+    case Kind.KOption(_) | Kind.KNone | Kind.KNull | Kind.KAny => true
+    case Kind.KEither(ks) => ks.exists(kindIsOptional)
+    case _ => false
+  }
+
+  /** One field's write pipeline as a single column expression. `v0` is the
+    * incoming value (the SET expression on update, the synthesized column on
+    * create); `$value`/`$input` in VALUE/ASSERT clauses bind to it via
+    * lambdaParams. The returned column only ever evaluates for rows the
+    * mutation actually writes, so the `raise_error` guards fire exactly when
+    * the reference would error.
+    *
+    * NOTE one deliberate divergence: the Spark column model cannot
+    * distinguish an absent field (NONE) from an explicit NULL, so DEFAULT
+    * fills both (the reference fills only NONE). */
+  private def fieldPipelineCol(d: DefineFieldStmt, v0: Column, ctx: Ctx,
+      t: String, key: String, isCreate: Boolean): Column = {
+    val f = d.field
+    if (d.readonly && !isCreate)
+      // READONLY short-circuits the rest of the pipeline (doc/field.rs:254):
+      // an unchanged value passes through, any modification errors
+      return when(v0 <=> col(f), col(f)).otherwise(raise_error(concat(
+        lit(s"Found changed value for field `$f`, with record `$t:"),
+        col(key).cast("string"), lit("`, but field is readonly"))))
+    var v = v0
+    if (isCreate || d.defaultAlways)
+      d.default.foreach(de => v = when(v.isNull, toCol(de, ctx)).otherwise(v))
+    d.value.foreach { ve =>
+      v = toCol(ve, ctx.copy(lambdaParams =
+        ctx.lambdaParams ++ Map("value" -> v, "input" -> v0)))
+    }
+    d.kind.flatMap(kindSparkType).foreach(dt => v = v.cast(dt))
+    d.assert.foreach { ae =>
+      val ok = toCol(ae, ctx.copy(lambdaParams =
+        ctx.lambdaParams ++ Map("value" -> v, "input" -> v0)))
+      val violated =
+        if (d.kind.exists(kindIsOptional)) v.isNotNull && !coalesce(ok, lit(false))
+        else !coalesce(ok, lit(false))
+      v = when(violated, raise_error(concat(
+        lit("Found "), coalesce(v.cast("string"), lit("NONE")),
+        lit(s" for field `$f`, with record `$t:"), col(key).cast("string"),
+        lit(s"`, but field must conform to: ${Defs.normRaw(d.assertRaw)}")))
+      ).otherwise(v)
+    }
+    v
+  }
+
+  /** Apply the table's field pipeline to freshly created rows (the CREATE /
+    * INSERT / UPSERT-insert arms): one projection, all fields at once. */
+  private def applyFieldDefs(rows: DataFrame, defs: Seq[DefineFieldStmt],
+      ctx0: Ctx, t: String, key: String): DataFrame = {
+    val applicable = defs.filter(d => rows.columns.contains(d.field))
+    if (applicable.isEmpty) return rows
+    val ctx = ctx0.copy(schema = rows.schema)
+    applicable.foldLeft(rows) { (df, d) =>
+      val dt = df.schema(d.field).dataType
+      df.withColumn(d.field,
+        fieldPipelineCol(d, col(d.field), ctx, t, key, isCreate = true).cast(dt))
+    }
+  }
+
+  /** Fold the field pipeline into an UPDATE's SET map: each assigned value
+    * is wrapped, and VALUE-clause fields recompute even when not SET (the
+    * reference recomputes them on every write). */
+  private def enforceSets(sets: Map[String, Column], defs: Seq[DefineFieldStmt],
+      ctx: Ctx, t: String, key: String): Map[String, Column] = {
+    val defsIn = defs.filter(d => ctx.schema.fieldNames.contains(d.field))
+    if (defsIn.isEmpty) return sets
+    val withValueFields = defsIn
+      .filter(d => d.value.isDefined || (d.defaultAlways && d.default.isDefined))
+      .foldLeft(sets)((m, d) =>
+        if (m.contains(d.field)) m else m + (d.field -> col(d.field)))
+    withValueFields.map { case (f, v0) =>
+      defsIn.find(_.field == f) match {
+        case Some(d) => f -> fieldPipelineCol(d, v0, ctx, t, key, isCreate = false)
+        case scala.None => f -> v0
+      }
+    }
+  }
+
+  /** Unique-index write check, index-lookup-shaped for scale: only the
+    * field-value tuples the mutation touched are probed against the
+    * after-state (idx/index.rs index_unique putc conflict). Tuples with any
+    * NULL component are exempt — the reference stores those under the
+    * non-unique key format, "NULL != NULL per SQL convention". */
+  private def checkUniqueIndexes(t: String, after: DataFrame,
+      changed: DataFrame, uniq: Seq[(String, Seq[String])], key: String): Unit =
+    uniq.foreach { case (name, fields) =>
+      if (fields.forall(changed.columns.contains)) {
+        val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
+        val touched = changed.filter(nonNull)
+          .select(fields.map(col).toIndexedSeq: _*).distinct()
+        val dup = after.filter(nonNull)
+          .join(touched, fields, "left_semi")
+          .groupBy(fields.map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("__n"), min(col(key)).as("__rid"))
+          .filter(col("__n") > 1).limit(1).collect()
+        dup.headOption.foreach { r =>
+          val vals = fields.indices.map(i => r.get(i) match {
+            case s: String => s"'$s'"
+            case other     => String.valueOf(other)
+          })
+          val shown = if (vals.length == 1) vals.head else vals.mkString("[", ", ", "]")
+          throw SqlError(s"Database index `$name` already contains $shown, " +
+            s"with record `$t:${r.get(fields.length + 1)}`")
+        }
+      }
+    }
 
   /** CREATE table:id … — synthesized rows behind the duplicate-id anti-join
     * guard (reference errors on existing ids; the guard excludes them the

@@ -336,7 +336,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   }
 
   private val N = sys.env.getOrElse("FUZZ_N", "200").toInt
-  private val seed = 20260814L
+  private val seed = sys.env.getOrElse("FUZZ_SEED", "20260814").toLong
 
   test(s"fuzz: $N generated queries agree across both engines") {
     val r = new scala.util.Random(seed)

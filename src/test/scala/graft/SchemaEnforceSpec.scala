@@ -1,0 +1,205 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.surql.{Interp, Parser, QErr, QOk, SparkPlanner, SqlError, V, VArr, VFloat, VInt, VNone, VNull, VObj, VStr}
+
+/** DEFINE FIELD / DEFINE INDEX UNIQUE enforcement on the Spark script path,
+  * differentially against the interpreter (which is golden-corpus anchored
+  * to doc/field.rs + idx/index.rs): DEFAULT fill, VALUE recompute, TYPE
+  * cast, ASSERT raise, READONLY change detection, unique-index conflicts
+  * (with the NULL exemption). The Spark side runs every clause as a
+  * distributed column expression — these tests pin that the lazily-composed
+  * plan errors (or doesn't) exactly where the reference would. */
+class SchemaEnforceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.session
+
+  private val fixture =
+    (1 to 6).map { i =>
+      s"CREATE doc:$i SET grp = '${("ab"((i - 1) % 2))}', qty = ${i * 10}, " +
+        s"score = $i.5, label = 'L$i';"
+    }.mkString("\n")
+
+  private def df = {
+    import spark.implicits._
+    (1 to 6).map { i =>
+      (i.toLong, ("ab"((i - 1) % 2)).toString, i.toLong * 10, i + 0.5, s"L$i")
+    }.toDF("id", "grp", "qty", "score", "label")
+  }
+
+  SparkPlanner.extraRecordKeys.put("doc", "id")
+
+  private def toV(x: Any): V = x match {
+    case null            => VNull
+    case b: Boolean      => graft.surql.VBool(b)
+    case i: Int          => VInt(i)
+    case l: Long         => VInt(l)
+    case d: Double       => VFloat(d)
+    case s: String       => VStr(s)
+    case a: Seq[_]       => VArr(a.map(toV).toVector)
+    case o               => VStr(o.toString)
+  }
+
+  /** Run `script` on both engines; both must succeed with identical rows. */
+  private def checkSame(script: String): Unit = {
+    val in = new Interp
+    in.run(Parser.parse(fixture))
+    val ires = in.run(Parser.parse(script)).last
+    val iv = ires match {
+      case QOk(VArr(items)) => items
+      case QOk(v)           => Vector(v)
+      case QErr(m)          => fail(s"interp error: $m\n$script")
+    }
+    val sdf = Tables.withOverlay(Map("doc" -> df)) {
+      SparkPlanner.script(spark, "/nonexistent", script)
+    }
+    val srows = sdf.collect().map { r =>
+      VObj(scala.collection.immutable.TreeMap(
+        sdf.columns.zipWithIndex.map { case (c, i) => c -> toV(r.get(i)) }: _*))
+    }.toVector
+    val irows = iv.map {
+      case VObj(m) => VObj(m)
+      case v => VObj(scala.collection.immutable.TreeMap("value" -> v))
+    }
+    assert(srows.length == irows.length,
+      s"rows: spark=${srows.length} interp=${irows.length}\n$script")
+    srows.zip(irows).foreach { case (s0, i0) =>
+      assert(s0.fields.keySet == i0.fields.keySet, s"columns differ\n$script")
+      s0.fields.keySet.foreach { k =>
+        val ok = (s0.fields(k), i0.fields(k)) match {
+          // the Spark column model carries the raw record KEY; the interp
+          // renders the full record id
+          case (sv, graft.surql.VRid(_, ik)) => sv == ik ||
+            ((sv, ik) match {
+              case (a: graft.surql.VNum, b: graft.surql.VNum) => a.toDouble == b.toDouble
+              case _ => false
+            })
+          case (a: graft.surql.VNum, b: graft.surql.VNum) => a.toDouble == b.toDouble
+          case (VNull, VNone) => true
+          case (a, b) => a == b
+        }
+        assert(ok, s"field $k: ${s0.fields(k).render} vs ${i0.fields(k).render}\n$script")
+      }
+    }
+  }
+
+  /** Run `script` on both engines; both must ERROR, with messages sharing
+    * `needle` (exact wording differs only in value rendering). */
+  private def checkBothError(script: String, needle: String): Unit = {
+    val in = new Interp
+    in.run(Parser.parse(fixture))
+    // outside an explicit transaction each interp statement errors
+    // independently and the script continues — the Spark path's lazy
+    // overlay instead surfaces the error when the final plan executes
+    val imsg = in.run(Parser.parse(script))
+      .collectFirst { case QErr(m) => m }
+      .getOrElse(fail(s"interp succeeded where error expected\n$script"))
+    assert(imsg.contains(needle), s"interp message `$imsg` lacks `$needle`")
+    val smsg = intercept[Throwable] {
+      Tables.withOverlay(Map("doc" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script).collect()
+      }
+    }.getMessage
+    assert(smsg != null && smsg.contains(needle),
+      s"spark message `$smsg` lacks `$needle`\n$script")
+  }
+
+  test("DEFAULT fills an absent field on CREATE") {
+    checkSame("""
+      DEFINE FIELD label ON doc DEFAULT 'unlabeled';
+      CREATE doc:7 SET grp = 'c', qty = 70, score = 7.5;
+      SELECT id, label FROM doc ORDER BY id;""")
+  }
+
+  test("VALUE recomputes from $value on UPDATE") {
+    checkSame("""
+      DEFINE FIELD qty ON doc VALUE $value * 2;
+      UPDATE doc SET qty = qty + 1 WHERE id < 3;
+      SELECT id, qty FROM doc ORDER BY id;""")
+  }
+
+  test("VALUE clause applies on CREATE too") {
+    checkSame("""
+      DEFINE FIELD label ON doc VALUE string::uppercase($value);
+      CREATE doc:8 SET grp = 'c', qty = 80, score = 8.5, label = 'mixed';
+      SELECT id, label FROM doc WHERE id = 8;""")
+  }
+
+  test("TYPE float coerces an int assignment") {
+    checkSame("""
+      DEFINE FIELD score ON doc TYPE float;
+      UPDATE doc SET score = 9 WHERE id = 1;
+      SELECT id, score FROM doc ORDER BY id;""")
+  }
+
+  test("ASSERT violation errors on UPDATE") {
+    checkBothError("""
+      DEFINE FIELD qty ON doc ASSERT $value >= 0;
+      UPDATE doc SET qty = 0 - 5 WHERE qty = 20;
+      SELECT id, qty FROM doc ORDER BY id;""",
+      "must conform to")
+  }
+
+  test("ASSERT pass leaves rows untouched") {
+    checkSame("""
+      DEFINE FIELD qty ON doc ASSERT $value >= 0;
+      UPDATE doc SET qty = qty + 5 WHERE id <= 3;
+      SELECT id, qty FROM doc ORDER BY id;""")
+  }
+
+  test("READONLY field rejects a change") {
+    checkBothError("""
+      DEFINE FIELD grp ON doc READONLY;
+      UPDATE doc SET grp = 'z' WHERE qty = 10;
+      SELECT id, grp FROM doc ORDER BY id;""",
+      "field is readonly")
+  }
+
+  test("READONLY field allows writing the same value") {
+    checkSame("""
+      DEFINE FIELD grp ON doc READONLY;
+      UPDATE doc SET grp = 'a' WHERE qty = 10;
+      SELECT id, grp FROM doc ORDER BY id;""")
+  }
+
+  test("UNIQUE index build fails on pre-existing duplicates") {
+    checkBothError("""
+      DEFINE INDEX grp_uniq ON doc FIELDS grp UNIQUE;
+      SELECT id FROM doc;""",
+      "already contains")
+  }
+
+  test("UNIQUE index rejects a conflicting CREATE") {
+    checkBothError("""
+      DEFINE INDEX label_uniq ON doc FIELDS label UNIQUE;
+      CREATE doc:9 SET grp = 'c', qty = 90, score = 9.5, label = 'L1';
+      SELECT id FROM doc;""",
+      "already contains")
+  }
+
+  test("UNIQUE index allows a distinct CREATE, and NULL is exempt") {
+    checkSame("""
+      DEFINE INDEX label_uniq ON doc FIELDS label UNIQUE;
+      CREATE doc:9 SET grp = 'c', qty = 90, score = 9.5, label = 'L9';
+      CREATE doc:10 SET grp = 'c', qty = 100, score = 10.5;
+      CREATE doc:11 SET grp = 'c', qty = 110, score = 11.5;
+      SELECT id, label FROM doc ORDER BY id;""")
+  }
+
+  test("UNIQUE index rejects an UPDATE that collides") {
+    checkBothError("""
+      DEFINE INDEX label_uniq ON doc FIELDS label UNIQUE;
+      UPDATE doc SET label = 'L1' WHERE qty = 20;
+      SELECT id FROM doc;""",
+      "already contains")
+  }
+
+  test("CANCEL rolls back DEFINE FIELD registrations") {
+    checkSame("""
+      BEGIN;
+      DEFINE FIELD qty ON doc VALUE $value * 100;
+      CANCEL;
+      UPDATE doc SET qty = qty + 1 WHERE id = 1;
+      SELECT id, qty FROM doc ORDER BY id;""")
+  }
+}
