@@ -1499,6 +1499,58 @@ object SurqlQueries {
          SELECT o_orderkey, o_orderpriority FROM orders:1..20 ORDER BY o_orderkey;""")
   }
 
+  /** DEFINE FIELD enforcement on the Spark path (doc/field.rs): the VALUE
+    * clause recomputes every written o_orderpriority (uppercased), TYPE
+    * float casts the CREATE's integer price, ASSERT guards (passing) run as
+    * per-row raise_error conditions inside the mutation projection, and
+    * DEFAULT fills the CREATE's omitted o_orderstatus — all enforced
+    * DISTRIBUTED in the composed script plan, no driver-side row loop. */
+  val scriptSchema = Q("script_schema",
+    """WITH upd AS (
+         SELECT o_orderkey, o_orderstatus,
+                CASE WHEN o_orderkey >= 1 AND o_orderkey < 31
+                     THEN 'LOW-KEY' ELSE o_orderpriority END AS o_orderpriority,
+                o_totalprice
+         FROM orders),
+       allr AS (SELECT * FROM upd
+                UNION ALL SELECT 910001, 'N', '1-URGENT', 10.0)
+       SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+       FROM allr WHERE o_orderkey < 31 OR o_orderkey = 910001
+       ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         DEFINE FIELD o_orderpriority ON orders VALUE string::uppercase($value);
+         DEFINE FIELD o_totalprice ON orders TYPE float ASSERT $value >= 0;
+         DEFINE FIELD o_orderstatus ON orders DEFAULT 'N';
+         UPDATE orders:1..31 SET o_orderpriority = 'low-key';
+         CREATE orders:910001 SET o_custkey = 7, o_totalprice = 10,
+           o_orderpriority = '1-urgent';
+         SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+           FROM orders WHERE o_orderkey < 31 OR o_orderkey = 910001
+           ORDER BY o_orderkey;
+         COMMIT;""")
+  }
+
+  /** DEFINE INDEX … UNIQUE on the Spark path (idx/index.rs index_unique):
+    * the DDL probes existing rows for duplicates (index build), and the
+    * CREATE's write check joins only the TOUCHED key values against the
+    * after-state — index-lookup-shaped, proportional to the write set, not
+    * the table. */
+  val scriptUnique = Q("script_unique",
+    """SELECT o_orderkey, o_custkey FROM (
+         SELECT o_orderkey, o_custkey FROM orders
+         UNION ALL SELECT 920001, 3)
+       WHERE o_orderkey > 919000 ORDER BY o_orderkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         DEFINE INDEX ord_key_uniq ON orders FIELDS o_orderkey UNIQUE;
+         CREATE orders:920001 SET o_custkey = 3, o_orderstatus = 'O',
+           o_totalprice = 55.5, o_orderpriority = '3-medium';
+         SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey > 919000
+           ORDER BY o_orderkey;
+         COMMIT;""")
+  }
+
   /** DEFINE EVENT triggers on the Spark path (doc/event.rs): the mutation's
     * change-feed diff binds `$event`/`$before`/`$after` per changed record,
     * WHEN gates distributively, and the THEN CREATE appends one projected
@@ -1624,6 +1676,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
+    scriptSchema, scriptUnique,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
