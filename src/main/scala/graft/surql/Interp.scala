@@ -1509,7 +1509,10 @@ final class Interp {
         val seen = mutable.HashMap[Vector[V], VRid]()
         tables.getOrElse(ix.table, mutable.LinkedHashMap.empty).foreach { case (k, doc) =>
           val vals = ix.fields.map(f => idxFieldValue(doc, f))
-          if (vals.exists(v => v != VNone && v != VNull)) {
+          // any-NONE/NULL tuples index under the non-unique key format with
+          // no uniqueness check (idx/index.rs index_unique) — same rule as
+          // the mutation-time check below
+          if (vals.forall(v => v != VNone && v != VNull)) {
             val rid = doc.fields.get("id") match {
               case Some(r: VRid) => r; case _ => VRid(ix.table, k)
             }
@@ -1535,7 +1538,7 @@ final class Interp {
         tables.getOrElse(ix.table, mutable.LinkedHashMap.empty).foreach { case (k, doc) =>
           if (err.isEmpty) {
             val vals = ix.fields.map(f => idxFieldValue(doc, f))
-            if (vals.exists(v => v != VNone && v != VNull)) {
+            if (vals.forall(v => v != VNone && v != VNull)) {
               val rid = doc.fields.get("id") match {
                 case Some(r: VRid) => r; case _ => VRid(ix.table, k)
               }

@@ -194,6 +194,25 @@ class SchemaEnforceSpec extends AnyFunSuite {
       "already contains")
   }
 
+  test("multi-field UNIQUE: any NULL component exempts the tuple") {
+    // two creates share (grp='c', label=NONE) — the reference stores
+    // any-NONE tuples under the non-unique key format with no check
+    // (idx/index.rs index_unique), so neither errors
+    checkSame("""
+      DEFINE INDEX gl_uniq ON doc FIELDS grp, label UNIQUE;
+      CREATE doc:9 SET grp = 'c', qty = 90, score = 9.5;
+      CREATE doc:10 SET grp = 'c', qty = 100, score = 10.5;
+      SELECT id, grp, label FROM doc ORDER BY id;""")
+  }
+
+  test("multi-field UNIQUE rejects a fully non-null duplicate tuple") {
+    checkBothError("""
+      DEFINE INDEX gl_uniq ON doc FIELDS grp, label UNIQUE;
+      CREATE doc:9 SET grp = 'a', qty = 90, score = 9.5, label = 'L1';
+      SELECT id FROM doc;""",
+      "already contains")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
