@@ -377,6 +377,44 @@ object Relational {
         .orderBy("hour_start", "event_type")
   }
 
+  /** Hopping-window aggregation (1-hour windows every 15 minutes) — the
+    * batch twin of [[graft.streaming.Streams.slidingAgg]], oracle-gated;
+    * StreamSpec asserts the streaming path emits the same rows. The oracle
+    * replays the 4-fold window assignment as an offset cross join. */
+  val eventsWindowSliding = Q("events_window_sliding",
+    s"""WITH e AS (SELECT time_bucket(INTERVAL '15 minutes', ts) AS b,
+                          event_type, value FROM events),
+             w AS (SELECT b - o.k * INTERVAL '15 minutes' AS ws, event_type, value
+                   FROM e CROSS JOIN (VALUES (0),(1),(2),(3)) o(k))
+        SELECT CAST(ws AS VARCHAR) AS win_start, event_type,
+               COUNT(*) AS cnt, ${Exact.sqlSum("value")} AS sum_value
+        FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""") { (s, d) =>
+    graft.streaming.Streams.slidingAgg(
+        Tables.events(s, d).select(col("ts").cast("timestamp").as("ts"),
+          col("event_type"), col("value")))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Interval-bounded event-correlation join (purchase ← same user's clicks
+    * within the preceding hour) — the batch twin of
+    * [[graft.streaming.Streams.purchaseClickJoin]], the stream-stream join
+    * whose watermarks bound both state buffers. */
+  val eventsStreamJoin = Q("events_stream_join",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+              p.user_id AS user_id, p.value AS value
+       FROM events p JOIN events c
+         ON p.event_type = 'purchase' AND c.event_type = 'click'
+        AND p.user_id = c.user_id
+        AND c.ts >= p.ts - INTERVAL '1 hour' AND c.ts <= p.ts
+       ORDER BY purchase_id, click_id""") { (s, d) =>
+    graft.streaming.Streams.purchaseClickJoin(
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("event_type"), col("value")))
+      .orderBy("purchase_id", "click_id")
+  }
+
   // ---- join-shaped (FETCH / graph / subquery) -------------------------
 
   /** `Fetch` (exec/operators/fetch.rs:27): dereference a record link into the
@@ -428,5 +466,6 @@ object Relational {
     filterWhere, projectExpr, projectValue, unionOrFilter, splitExplode,
     sortMulti, topK, limitStart, onlyOne,
     aggGroup, aggGlobal, distinctScan, aggArrayCollect, fnConditional,
-    fetchJoin, subqueryIn, subqueryNotIn, eventsSessionize, eventsWindow)
+    fetchJoin, subqueryIn, subqueryNotIn, eventsSessionize, eventsWindow,
+    eventsWindowSliding, eventsStreamJoin)
 }

@@ -38,6 +38,44 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Hopping-window aggregation: 1-hour windows sliding every 15 minutes —
+    * each event contributes to 4 overlapping windows. Same state story as
+    * [[windowedAgg]] (watermark evicts each window as it finalizes), with
+    * state ×(window/slide) — the overlap factor, a constant. Spark expands
+    * the window assignment map-side, so no extra shuffle vs tumbling. */
+  def slidingAgg(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Watermarked stream-stream interval join: each purchase pairs with the
+    * same user's clicks from the preceding hour. Both sides carry
+    * watermarks and the join condition time-bounds the click relative to
+    * the purchase, so Structured Streaming can size both join-state buffers
+    * and evict rows the watermark has passed — the unbounded-safe form of
+    * an event-correlation join (state is O(events inside the time bound),
+    * never the full stream). In batch the same plan is a plain range
+    * condition the optimizer handles as an equi-join + filter. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    purchases.join(clicks,
+      col("user_id") === col("c_uid") &&
+        col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("value"))
+  }
+
   /** One event on the streaming session path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** Per-user open-session state: the ONLY state held per key. */

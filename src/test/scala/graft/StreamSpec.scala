@@ -77,6 +77,86 @@ class StreamSpec extends AnyFunSuite {
       "streaming window transform diverged from the oracle-checked batch twin")
   }
 
+  test("hopping window assigns each event to 4 overlapping windows") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String, Double)]
+    val events = stream.toDF.toDF("secs", "event_type", "value")
+      .select(to_timestamp(col("secs").cast("long").cast("timestamp")).as("ts"),
+        col("event_type"), col("value"))
+
+    val q = Streams.slidingAgg(events).writeStream
+      .format("memory").queryName("slide_agg").outputMode("append").start()
+    try {
+      // one event at t=2000s (inside the hour windows starting at -15, 0,
+      // +15 and +30 minutes)
+      stream.addData((2000L, "click", 10.0))
+      q.processAllAvailable()
+      // advance far enough that all four windows finalize
+      stream.addData((4L * 3600, "view", 1.0))
+      q.processAllAvailable()
+      stream.addData((8L * 3600, "view", 1.0))
+      q.processAllAvailable()
+
+      val clicks = spark.table("slide_agg")
+        .filter(col("event_type") === "click")
+        .select(col("win_start").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(clicks == Set(-900L, 0L, 900L, 1800L),
+        s"expected the 4 overlapping hour windows, got $clicks")
+    } finally q.stop()
+  }
+
+  test("slidingAgg in batch reproduces the events_window_sliding oracle query") {
+    val spark = TestSpark.session
+    val sf = "/root/testdata/sf0.001"
+    val streamTwin = SparkEntry.queries("events_window_sliding")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(streamTwin.nonEmpty)
+    // 4-fold assignment: total cnt across windows = 4 × event count
+    val totalCnt = streamTwin.map(_(2).asInstanceOf[Long]).sum
+    val nEvents = Tables.events(spark, sf).count()
+    assert(totalCnt == 4 * nEvents,
+      s"hopping windows should count each event 4×: $totalCnt vs $nEvents events")
+  }
+
+  test("stream-stream interval join pairs purchases with preceding clicks") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Long, String, Long)]
+    val events = stream.toDF.toDF("event_id", "user_id", "event_type", "secs")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        to_timestamp(col("secs").cast("long").cast("timestamp")).as("ts"),
+        lit(1.0).as("value"))
+
+    val q = Streams.purchaseClickJoin(events).writeStream
+      .format("memory").queryName("pc_join").outputMode("append").start()
+    try {
+      // user 1 clicks at t=1000 and t=2000, purchases at t=3000 (both
+      // clicks within the preceding hour) — and a click at t=3100 AFTER
+      // the purchase plus user 2's unrelated click must not pair
+      stream.addData((1L, 1L, "click", 1000L), (2L, 1L, "click", 2000L),
+        (3L, 2L, "click", 1500L))
+      q.processAllAvailable()
+      stream.addData((4L, 1L, "purchase", 3000L), (5L, 1L, "click", 3100L))
+      q.processAllAvailable()
+      // a purchase hours later: the old clicks are outside the 1h bound
+      stream.addData((6L, 1L, "purchase", 6L * 3600))
+      q.processAllAvailable()
+      stream.addData((7L, 3L, "click", 12L * 3600)) // watermark flush
+      q.processAllAvailable()
+
+      val got = spark.table("pc_join")
+        .select("purchase_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((4L, 1L), (4L, 2L)),
+        s"expected purchase 4 paired with clicks 1 and 2 only, got $got")
+    } finally q.stop()
+  }
+
   test("custom-state sessionization closes sessions on gap and matches batch") {
     val spark = TestSpark.session
     import spark.implicits._
