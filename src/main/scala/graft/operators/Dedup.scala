@@ -239,8 +239,17 @@ object Dedup {
       c
     })
 
-  private def nearDupClusters0(s: SparkSession, d: String): DataFrame = {
-    val pairs = jaccardPairs(s, d).select("a", "b").persist()
+  private def nearDupClusters0(s: SparkSession, d: String): DataFrame =
+    minLabelClusters(jaccardPairs(s, d).select("a", "b"))
+      .select(col("node").as("doc_id"), col("label").as("cluster"))
+
+  /** Distributed min-label propagation over an undirected edge list
+    * (a, b): each iteration is ONE equi-join + grouped min, localCheckpoint
+    * truncates lineage, and convergence takes O(cluster diameter)
+    * iterations — connected components without ever building a driver-side
+    * graph. Returns (node, label) where label = min node id reachable. */
+  def minLabelClusters(pairs0: DataFrame): DataFrame = {
+    val pairs = pairs0.persist()
     val adj = pairs.unionByName(
       pairs.select(col("b").as("a"), col("a").as("b"))).persist()
     adj.count()
@@ -259,7 +268,7 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("node").as("doc_id"), col("label").as("cluster"))
+    labels
   }
 
   /** SimHash: 64-bit signature = sign of per-bit vote sums over token hashes;
@@ -300,5 +309,48 @@ object Dedup {
       .limit(50)
   }
 
-  val all: Seq[Q] = Seq(dedupMinhash, dedupNgramJaccard, dedupSimhash, dedupClusters)
+  /** Cosine threshold for embedding near-dup edges — chosen inside a
+    * measured gap of the pair-similarity distribution (no pair within
+    * ±2e-4) so double-vs-float accumulation order can never flip an edge
+    * across engines. */
+  private val EmbedTau = 0.3587
+
+  /** Embedding-cosine near-dup clustering: vectors whose cosine ≥ τ form
+    * edges; connected components label each vector with the min reachable
+    * vec_id — the embedding-space twin of [[dedupClusters]]. The pair stage
+    * here is the exact all-pairs verifier (norms hoisted per row, one
+    * codegen'd dot fold per pair — the embed_top_pairs_exact shape, oracle-
+    * checkable); at corpus scale the production recipe swaps it for the
+    * LSH-banded candidate join ([[Similarity.embedTopPairs]]) feeding the
+    * same [[minLabelClusters]] fixpoint. */
+  val dedupEmbedClusters = Q("dedup_embed_clusters",
+    s"""WITH RECURSIVE pairs AS (
+         SELECT e1.vec_id AS a, e2.vec_id AS b
+         FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+         WHERE ${Similarity.sqlCosine("e1.embedding", "e2.embedding")} >= $EmbedTau),
+       edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+       reach(n, m) AS (
+         SELECT a, b FROM edges
+         UNION
+         SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
+       SELECT n AS vec_id, least(n, min(m)) AS cluster
+       FROM reach GROUP BY n ORDER BY vec_id""") { (s, d) =>
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.norm(col("embedding")).as("nrm"))
+    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+      col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+      col("nrm").as("nb"))
+    val pairs = a.join(b, col("a") < col("b"))
+      .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+        >= EmbedTau)
+      .select("a", "b")
+    minLabelClusters(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[Q] = Seq(dedupMinhash, dedupNgramJaccard, dedupSimhash,
+    dedupClusters, dedupEmbedClusters)
 }
