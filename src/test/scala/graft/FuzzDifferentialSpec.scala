@@ -384,6 +384,8 @@ class FuzzDifferentialSpec extends AnyFunSuite {
           case (VFloat(a), VFloat(b)) =>
             java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
           case (a: graft.surql.VNum, b: graft.surql.VNum) => a.toDouble == b.toDouble
+          // the Spark column model renders an ABSENT field (NONE) as null
+          case (graft.surql.VNull, graft.surql.VNone) => true
           case (a, b) => a == b
         }
         assert(ok, s"field $k differs: ${s0.fields(k).render} vs ${i0.fields(k).render}\n$script")
@@ -392,17 +394,40 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   }
 
   private def genScript(r: scala.util.Random): String = {
-    val mut = r.nextInt(4) match {
+    def freshCreate(k: Int, extra: String = "") =
+      s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
+        s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
+    var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
+    val mut = r.nextInt(7) match {
       case 0 => s"UPDATE item SET qty = ${intExpr(r, 1)} WHERE ${boolExpr(r, 1)};"
       case 1 => s"UPDATE item SET price = ${floatExpr(r, 1)}, qty = qty + ${r.nextInt(5) + 1} WHERE ${boolExpr(r, 1)};"
       case 2 => s"DELETE item WHERE ${boolExpr(r, 1)};"
+      case 3 =>
+        // DEFINE FIELD VALUE: recomputes for every written row — including
+        // rows whose SET doesn't mention the field (doc/field.rs)
+        val m = r.nextInt(3) + 2
+        val touch = if (r.nextBoolean()) s"qty = qty + ${r.nextInt(3) + 1}"
+                    else s"price = ${floatExpr(r, 1)}"
+        s"""DEFINE FIELD qty ON item VALUE $$value * $m;
+            UPDATE item SET $touch WHERE ${boolExpr(r, 1)};"""
+      case 4 =>
+        // DEFAULT fills the sparse `opt` field on CREATE only
+        val k = r.nextInt(40) + 31
+        select = "SELECT name, qty, opt FROM item ORDER BY name;"
+        s"""DEFINE FIELD opt ON item DEFAULT ${r.nextInt(20)};
+            ${freshCreate(k)}"""
+      case 5 =>
+        // UNIQUE index over the (unique) name column: build scans pass,
+        // the fresh CREATE's write probe passes
+        val k = r.nextInt(40) + 31
+        s"""DEFINE INDEX name_u ON item FIELDS name UNIQUE;
+            ${freshCreate(k)}"""
       case _ =>
         val k = r.nextInt(40) + 31
-        s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
-          s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9'];"
+        freshCreate(k)
     }
     s"""$mut
-        SELECT name, grp, qty, price FROM item ORDER BY name;"""
+        $select"""
   }
 
   private val NS = sys.env.getOrElse("FUZZ_NS", "60").toInt
