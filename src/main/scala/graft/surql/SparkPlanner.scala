@@ -1636,6 +1636,51 @@ object SparkPlanner {
       // SET of each field (doc/alter.rs merge arm)
       case Some(MergeData(ObjLit(fs))) =>
         fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
+      // UNSET removes the field (doc/alter.rs unset arm) — the Spark column
+      // model renders an absent field as NULL
+      case Some(UnsetData(fields)) =>
+        fields.map {
+          case Idiom(Seq(PField(n))) => n -> lit(null)
+          case other => throw SqlError(s"SparkPlanner: unsupported UNSET path $other")
+        }.toMap
+      // REPLACE swaps the whole document body: named fields take their new
+      // values, every OTHER non-key column becomes absent (doc/alter.rs
+      // replace arm keeps only the record id)
+      case Some(ReplaceData(ObjLit(fs))) =>
+        val given = fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
+        val key = recordKey.getOrElse(ctx.table, "id")
+        ctx.schema.fieldNames.filterNot(_ == key)
+          .map(n => n -> given.getOrElse(n, lit(null): Column)).toMap
+      // PATCH applies a JSON-Patch op list (expr/operation.rs) — the op
+      // array is a plan-time constant; add/replace assign, remove unsets.
+      // Flat top-level paths only (nested paths are the interpreter's).
+      case Some(PatchData(arr)) =>
+        val ops = Eval.evalConst(arr) match {
+          case VArr(xs) => xs
+          case other => throw SqlError(
+            s"SparkPlanner: PATCH expects an op array, got ${other.render}")
+        }
+        ops.foldLeft(Map.empty[String, Column]) { (m, opV) =>
+          val o = opV match {
+            case obj: VObj => obj
+            case other => throw SqlError(
+              s"SparkPlanner: PATCH op must be an object, got ${other.render}")
+          }
+          val path = o.fields.get("path") match {
+            case Some(VStr(p)) => p.stripPrefix("/")
+            case _ => throw SqlError("SparkPlanner: PATCH op needs a string path")
+          }
+          if (path.contains("/"))
+            throw SqlError(s"SparkPlanner: nested PATCH path /$path is interpreter-only")
+          o.fields.get("op") match {
+            case Some(VStr("add" | "replace")) =>
+              m + (path -> toCol(Lit(o.fields.getOrElse("value", VNone)), ctx))
+            case Some(VStr("remove")) => m + (path -> lit(null))
+            case Some(VStr(op)) => throw SqlError(
+              s"SparkPlanner: unsupported PATCH op $op")
+            case _ => throw SqlError("SparkPlanner: PATCH op needs an `op` field")
+          }
+        }
       case scala.None => Map.empty
       case other => throw SqlError(s"SparkPlanner: unsupported data clause $other")
     }

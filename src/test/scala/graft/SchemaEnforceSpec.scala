@@ -213,6 +213,27 @@ class SchemaEnforceSpec extends AnyFunSuite {
       "already contains")
   }
 
+  test("UNSET removes a field (absent → NULL column)") {
+    checkSame("""
+      UPDATE doc UNSET label WHERE qty = 20;
+      SELECT id, grp, label FROM doc ORDER BY id;""")
+  }
+
+  test("REPLACE swaps the whole document body, keeping only the id") {
+    checkSame("""
+      UPDATE doc REPLACE { grp: 'r', qty: 1 } WHERE qty = 30;
+      SELECT id, grp, qty, score, label FROM doc ORDER BY id;""")
+  }
+
+  test("PATCH applies add/replace/remove ops") {
+    checkSame("""
+      UPDATE doc PATCH [
+        { op: 'replace', path: '/label', value: 'patched' },
+        { op: 'remove', path: '/grp' }
+      ] WHERE qty = 40;
+      SELECT id, grp, label FROM doc ORDER BY id;""")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
