@@ -431,15 +431,8 @@ object SparkPlanner {
           val base = Tables(spark, dir, t)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val key = recordKey(t)
-          val rows0 = s.values match {
-            case Subquery(sel: SelectStmt) => planSelect(spark, dir, sel, params)
-            case other => throw SqlError(
-              s"SparkPlanner: INSERT values must be a sub-select, got $other")
-          }
-          val rows = rows0.select(base.schema.fields.map { sf =>
-            (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
-              .cast(sf.dataType).as(sf.name)
-          }.toIndexedSeq: _*)
+          val rows = insertRows(spark, dir, s.values, t, base, params)
+          insertClashProbe(s, rows, base, t, key)
           val fresh0 = rows.join(base.select(key), Seq(key), "left_anti")
           val fresh1 = actionPermCond(spark, dir, t, "create", base.schema)
             .map(fresh0.filter).getOrElse(fresh0)
@@ -1849,6 +1842,58 @@ object SparkPlanner {
       }
     }
 
+  /** INSERT values → incoming rows conformed to the table schema: a
+    * sub-select plans directly; object-literal rows — single or array,
+    * the VALUES arm of expr/statements/insert.rs — synthesize constant
+    * rows. Unknown fields error like unknown SET columns. */
+  private def insertRows(spark: SparkSession, dir: String, values: Expr,
+      table: String, base: DataFrame, params: Map[String, V]): DataFrame =
+    values match {
+      case Subquery(sel: SelectStmt) =>
+        val rows0 = planSelect(spark, dir, sel, params)
+        val extra = rows0.columns.filterNot(base.columns.contains)
+        if (extra.nonEmpty)
+          throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
+        rows0.select(base.schema.fields.map { sf =>
+          (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
+            .cast(sf.dataType).as(sf.name)
+        }.toIndexedSeq: _*)
+      case v @ (_: ArrLit | _: ObjLit) =>
+        val objs = Eval.evalConst(Subst.expr(v, params)) match {
+          case VArr(items) => items.collect { case o: VObj => o }
+          case o: VObj => Vector(o)
+          case other => throw SqlError(s"Can not INSERT ${other.render}")
+        }
+        if (objs.isEmpty)
+          throw SqlError("SparkPlanner: INSERT needs at least one object row")
+        val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+        objs.map { o =>
+          val extra = o.fields.keys.filterNot(base.columns.contains)
+          if (extra.nonEmpty)
+            throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
+          val cols = base.schema.fields.map { sf =>
+            o.fields.get(sf.name).map(vv => toCol(Lit(vv), ctx))
+              .getOrElse(lit(null)).cast(sf.dataType).as(sf.name)
+          }
+          spark.range(1).select(cols.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+      case other => throw SqlError(
+        s"SparkPlanner: unsupported INSERT values $other")
+    }
+
+  /** Plain INSERT on an existing record id errors (Interp execInsert:
+    * "Database record … already exists"); IGNORE and ON DUPLICATE reroute
+    * instead, so only the bare form probes. */
+  private def insertClashProbe(s: InsertStmt, rows: DataFrame,
+      base: DataFrame, table: String, key: String): Unit =
+    if (!s.ignore && s.onDuplicate.isEmpty) {
+      val clash = rows.join(base, Seq(key), "left_semi")
+        .select(key).limit(1).collect()
+      clash.headOption.foreach { r =>
+        throw SqlError(s"Database record `$table:${r.get(0)}` already exists")
+      }
+    }
+
   /** CREATE table:id … — synthesized rows behind the duplicate-id anti-join
     * guard (reference errors on existing ids; the guard excludes them the
     * way a MERGE insert-arm would). */
@@ -1889,18 +1934,8 @@ object SparkPlanner {
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
     val key = recordKey.getOrElse(table,
       throw SqlError(s"SparkPlanner: no record key for table $table"))
-    val rows0 = s.values match {
-      case Subquery(sel: SelectStmt) => planSelect(spark, dir, sel)
-      case other => throw SqlError(s"SparkPlanner: INSERT values must be a sub-select, got $other")
-    }
-    val extra = rows0.columns.filterNot(base.columns.contains)
-    if (extra.nonEmpty)
-      throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
-    // conform to table schema: absent columns NULL
-    val rows = rows0.select(base.schema.fields.map { sf =>
-      (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
-        .cast(sf.dataType).as(sf.name)
-    }.toIndexedSeq: _*)
+    val rows = insertRows(spark, dir, s.values, table, base, Map.empty)
+    insertClashProbe(s, rows, base, table, key)
     val fresh = rows.join(base.select(key), Seq(key), "left_anti")
     val result = s.onDuplicate match {
       case scala.None => fresh

@@ -234,6 +234,27 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, grp, label FROM doc ORDER BY id;""")
   }
 
+  test("INSERT with object-literal rows") {
+    checkSame("""
+      INSERT INTO doc [{ id: 7, grp: 'c', qty: 70, score: 7.5, label: 'L7' },
+                       { id: 8, grp: 'd', qty: 80, score: 8.5, label: 'L8' }];
+      SELECT id, grp, qty, score, label FROM doc ORDER BY id;""")
+  }
+
+  test("plain INSERT on an existing id errors") {
+    checkBothError("""
+      INSERT INTO doc { id: 1, grp: 'x', qty: 1, score: 0.5, label: 'LX' };
+      SELECT id FROM doc;""",
+      "already exists")
+  }
+
+  test("INSERT IGNORE skips duplicates and inserts the fresh rows") {
+    checkSame("""
+      INSERT IGNORE INTO doc [{ id: 1, grp: 'x', qty: 999, score: 0.5, label: 'LX' },
+                              { id: 7, grp: 'c', qty: 70, score: 7.5, label: 'L7' }];
+      SELECT id, grp, qty FROM doc ORDER BY id;""")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
