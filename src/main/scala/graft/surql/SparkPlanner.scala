@@ -1684,6 +1684,7 @@ object SparkPlanner {
     case scala.None | Some(Output.OAfter) => after
     case Some(Output.OBefore) => before
     case Some(Output.ONone)   => after.limit(0)
+    case Some(Output.ONull)   => after.select(lit(null).as("value"))
     case Some(Output.OFields(fields)) =>
       after.select(fields.map(f => toCol(f.expr, ctx).as(fieldAlias(f))): _*)
     case Some(other) => throw SqlError(s"SparkPlanner: unsupported RETURN $other")
