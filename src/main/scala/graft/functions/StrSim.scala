@@ -93,6 +93,55 @@ object StrSim {
     if (qi == query.length) score else 0L
   }
 
+  /** Full (unrestricted) Damerau-Levenshtein — the strsim crate's
+    * `damerau_levenshtein` the reference links (fnc/string.rs), i.e. the
+    * alphabet-indexed DP with true transpositions, not the restricted
+    * OSA variant. Mirrors the interpreter's port exactly. */
+  def damerauLevenshtein(xs: UTF8String, ys: UTF8String): Long = {
+    val a = xs.toString; val b = ys.toString
+    val (la, lb) = (a.length, b.length)
+    val maxD = la + lb
+    val d = Array.ofDim[Int](la + 2, lb + 2)
+    d(0)(0) = maxD
+    var i = 0
+    while (i <= la) { d(i + 1)(0) = maxD; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j + 1) = maxD; d(1)(j + 1) = j; j += 1 }
+    val lastRow = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= la) {
+      var lastMatchCol = 0
+      j = 1
+      while (j <= lb) {
+        val k: Int = { val v = lastRow.get(b(j - 1)); if (v == null) 0 else v }
+        val l = lastMatchCol
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        if (cost == 0) lastMatchCol = j
+        d(i + 1)(j + 1) = Math.min(
+          Math.min(d(i)(j) + cost, d(i + 1)(j) + 1),
+          Math.min(d(i)(j + 1) + 1, d(k)(l) + (i - k - 1) + 1 + (j - l - 1)))
+        j += 1
+      }
+      lastRow.put(a(i - 1), i)
+      i += 1
+    }
+    d(la + 1)(lb + 1).toLong
+  }
+
+  /** Hamming distance; unequal lengths error like the reference
+    * (strsim hamming returns Err → "Strings must be of equal length"). */
+  def hamming(xs: UTF8String, ys: UTF8String): Long = {
+    val a = xs.toString; val b = ys.toString
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        "Incorrect arguments for function string::distance::hamming(). " +
+          "Strings must be of equal length")
+    var n = 0L
+    var i = 0
+    while (i < a.length) { if (a(i) != b(i)) n += 1; i += 1 }
+    n
+  }
+
   /** UTF8String bridge for [[graft.surql.Snowball.stem]]. */
   def stem(term: UTF8String, lang: UTF8String): UTF8String =
     UTF8String.fromString(
@@ -111,6 +160,40 @@ final case class FuzzyF(left: Expression, right: Expression)
     StrSim.fuzzy(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.fuzzy($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class DamerauF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_damerau"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.damerauLevenshtein(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class HammingF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_hamming"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.hamming(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.hamming($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -179,6 +262,10 @@ object StrSimKernels {
       es => JaroWinklerF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fuzzy",
       es => FuzzyF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_damerau",
+      es => DamerauF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_hamming",
+      es => HammingF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_stem",
       es => StemF(es.head, es(1)), "built-in")
   }

@@ -2582,6 +2582,27 @@ object SparkPlanner {
     case "string::ends_with"   => cs(0).endsWith(cs(1))
     case "string::split"       => split(cs(0), raw(1) match { case Lit(VStr(s)) => java.util.regex.Pattern.quote(s); case _ => " " })
     case "string::distance::levenshtein" => levenshtein(cs(0), cs(1)).cast("bigint")
+    case "string::distance::damerau_levenshtein" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_damerau", cs(0), cs(1))
+    case "string::distance::hamming" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_hamming", cs(0), cs(1))
+    // normalized distances: 1 - d/max(len) with the both-empty case = 1.0
+    // (strsim normalized_levenshtein / normalized_damerau_levenshtein)
+    case "string::distance::normalized_levenshtein" =>
+      val m = greatest(length(cs(0)), length(cs(1))).cast("double")
+      when(m === 0.0, lit(1.0))
+        .otherwise(lit(1.0) - levenshtein(cs(0), cs(1)).cast("double") / m)
+    case "string::distance::normalized_damerau_levenshtein" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      val m = greatest(length(cs(0)), length(cs(1))).cast("double")
+      when(m === 0.0, lit(1.0))
+        .otherwise(lit(1.0) -
+          call_function("graft_damerau", cs(0), cs(1)).cast("double") / m)
     case "math::abs"   => abs(cs(0))
     // ceil/floor/round preserve the operand's numeric KIND in the reference
     // (number.rs: Int passes through; Float stays Float — math::ceil(2.5)
@@ -3098,6 +3119,10 @@ object SparkPlanner {
     // is static from the schema, null-aware (NULL is no type) -------------
     case n if n.startsWith("type::is::") || n.startsWith("type::is_") =>
       val want = n.stripPrefix("type::is::").stripPrefix("type::is_")
+      // NONE and NULL both render as SQL NULL in the column model, so the
+      // two checks coincide here (the interpreter keeps them distinct)
+      if (want == "none" || want == "null") cs(0).isNull
+      else {
       val fam: Option[String] = raw.headOption.flatMap(e => typeOf(e, ctx.schema)).flatMap {
         case LongType | IntegerType   => Some("int")
         case DoubleType | FloatType   => Some("float")
@@ -3116,6 +3141,7 @@ object SparkPlanner {
           when(cs(0).isNull, lit(false)).otherwise(lit(hit))
         case scala.None =>
           throw SqlError(s"SparkPlanner: type::is::$want needs a statically-typed argument")
+      }
       }
     // ---- rand::* — distributed per-row randomness (fnc/rand.rs); no
     // oracle possible, registry entries are rows-only by design ------------

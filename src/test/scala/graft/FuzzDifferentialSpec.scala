@@ -97,13 +97,30 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       VObj(scala.collection.immutable.TreeMap(
         sdf.columns.zipWithIndex.map { case (c, i) => c -> toV(r.get(i)) }: _*))
     }.toVector
+    // FETCH embeds whole records: the interp's nested ids are VRids while
+    // the Spark column model carries raw keys, and a Spark struct carries
+    // NULL for fields the interp doc simply lacks — strip the table wrapper
+    // and drop null/none entries from NESTED objects before comparing
+    // (top-level columns stay, their keySet is asserted below)
+    def normRid(v: V): V = v match {
+      case graft.surql.VRid(_, k) => k
+      case VObj(m) => VObj(m.collect {
+        case (k2, v2) if v2 != graft.surql.VNull && v2 != graft.surql.VNone =>
+          k2 -> normRid(v2)
+      })
+      case VArr(xs) => VArr(xs.map(normRid))
+      case other => other
+    }
+    def normTop(o: VObj): VObj =
+      VObj(o.fields.map { case (k2, v2) => k2 -> normRid(v2) })
+    val srowsN = srows.map(normTop)
     val irows = iv.map {
       case VObj(m) => VObj(m)
       case v => VObj(scala.collection.immutable.TreeMap("value" -> v))
-    }
+    }.map(normTop)
     assert(srows.length == irows.length,
       s"row count differs: spark=${srows.length} interp=${irows.length}\n$surql")
-    srows.zip(irows).zipWithIndex.foreach { case ((s0, i0), n) =>
+    srowsN.zip(irows).zipWithIndex.foreach { case ((s0, i0), n) =>
       val sm = s0.fields; val im = i0.fields
       assert(sm.keySet == im.keySet,
         s"row $n columns differ: ${sm.keySet} vs ${im.keySet}\n$surql")
@@ -190,7 +207,49 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(21) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(27) match {
+    case 21 => // SPLIT explodes an array field into one row per element
+      s"SELECT name, tags FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" SPLIT tags ORDER BY name, tags LIMIT ${r.nextInt(25) + 5}"
+    case 22 => // idiom indexing/slicing over the tags array
+      val proj = r.nextInt(5) match {
+        case 0 => s"tags[${r.nextInt(2)}] AS t"
+        case 1 => "tags[$] AS last"
+        case 2 => s"array::slice(tags, 0, ${r.nextInt(2) + 1}) AS s"
+        case 3 => "tags[WHERE $this != 't0'] AS f"
+        case _ => "tags[*] AS all_t"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
+    case 23 => // string similarity/distance kernels against a literal
+      val lit = s"n${r.nextInt(30) + 1}"
+      val proj = r.nextInt(4) match {
+        case 0 => s"string::distance::levenshtein(name, '$lit') AS d"
+        case 1 => s"string::distance::hamming(name, 'n${10 + r.nextInt(20)}') AS d"
+        case 2 => s"string::similarity::jaro(name, '$lit') AS d"
+        case _ => s"string::distance::damerau_levenshtein(name, '$lit') AS d"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
+    case 24 => // spread/statistics aggregates per group
+      val agg = r.nextInt(4) match {
+        case 0 => "math::stddev(price) AS v"
+        case 1 => "math::variance(price) AS v"
+        case 2 => "math::median(qty) AS v"
+        case _ => "math::mean(price) AS v"
+      }
+      s"SELECT grp, count() AS n, $agg FROM item GROUP BY grp ORDER BY grp"
+    case 25 => // type:: constructors and checks
+      val proj = r.nextInt(4) match {
+        case 0 => "type::is_number(qty) AS p, type::is_string(name) AS q"
+        case 1 => s"type::string(${intExpr(r, 1)}) AS s"
+        case 2 => s"type::int('${r.nextInt(90) + 10}') AS i"
+        case _ => "type::is_array(tags) AS p, type::is_none(opt) AS q"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
+    case 26 => // FETCH embeds the linked record in place of the id
+      s"SELECT name, buddy FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(10) + 3} FETCH buddy"
     case 20 => // graph arrows over the RELATE-populated relation table
       val proj = r.nextInt(5) match {
         case 0 => "array::sort(->likes->item.name) AS ln"
