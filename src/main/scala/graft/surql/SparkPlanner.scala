@@ -300,6 +300,25 @@ object SparkPlanner {
             .filterNot(_._1 == s.name) :+ ((s.name, s.fields)))
         } // non-unique indexes are advisory on this path (Catalyst pushdown)
       case _: DefineTableStmt => () // schema authority is the parquet catalog
+      // REMOVE drops the script-scope registration (remove/field.rs etc.);
+      // unknown names error unless IF EXISTS
+      case s: RemoveStmt if s.what == "FIELD" =>
+        val t = s.onTable.getOrElse("")
+        val had = fldDefs.getOrElse(t, Vector.empty).exists(_.field == s.name)
+        if (!had && !s.ifExists)
+          throw SqlError(s"The field '${s.name}' does not exist")
+        fldDefs += t -> fldDefs.getOrElse(t, Vector.empty).filterNot(_.field == s.name)
+      case s: RemoveStmt if s.what == "INDEX" =>
+        val t = s.onTable.getOrElse("")
+        val had = uniqDefs.getOrElse(t, Vector.empty).exists(_._1 == s.name)
+        if (!had && !s.ifExists)
+          throw SqlError(s"The index '${s.name}' does not exist")
+        uniqDefs += t -> uniqDefs.getOrElse(t, Vector.empty).filterNot(_._1 == s.name)
+      case s: RemoveStmt if s.what == "EVENT" =>
+        val had = eventDefs.exists(_.name == s.name)
+        if (!had && !s.ifExists)
+          throw SqlError(s"The event '${s.name}' does not exist")
+        eventDefs = eventDefs.filterNot(_.name == s.name)
       // RETURN — a one-row plan (SourceExpr/ExprPlan analog)
       case ReturnStmt(ObjLit(fields)) =>
         val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)

@@ -255,6 +255,22 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, grp, qty FROM doc ORDER BY id;""")
   }
 
+  test("REMOVE FIELD drops the pipeline registration") {
+    checkSame("""
+      DEFINE FIELD qty ON doc VALUE $value * 100;
+      REMOVE FIELD qty ON doc;
+      UPDATE doc SET qty = qty + 1 WHERE qty = 10;
+      SELECT id, qty FROM doc ORDER BY id;""")
+  }
+
+  test("REMOVE INDEX drops the unique registration") {
+    checkSame("""
+      DEFINE INDEX label_uniq ON doc FIELDS label UNIQUE;
+      REMOVE INDEX label_uniq ON doc;
+      CREATE doc:9 SET grp = 'c', qty = 90, score = 9.5, label = 'L1';
+      SELECT id, label FROM doc ORDER BY id;""")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
