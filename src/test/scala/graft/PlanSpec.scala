@@ -101,6 +101,35 @@ class PlanSpec extends AnyFunSuite {
     // a 1×1 probe, the optimal shape)
   }
 
+  test("script_schema keeps scan pushdown despite the field-pipeline guards") {
+    // DEFAULT/VALUE/TYPE/ASSERT wrap the written columns in conditionals and
+    // raise_error guards — none of that may block the final SELECT's key
+    // filter from reaching the parquet scan
+    val p = planOf("script_schema")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      "field-pipeline enforcement blocked scan pushdown")
+    assert(!p.contains("CartesianProduct"),
+      "schema enforcement degenerated to a cross product")
+  }
+
+  test("events_window_sliding keeps map-side partial aggregation") {
+    // the 4-fold hopping-window expansion happens map-side (explode of the
+    // window assignment), then partial agg before the single shuffle
+    val p = planOf("events_window_sliding")
+    assert(p.contains("partial_"),
+      s"no partial aggregation before the window-group shuffle:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"hopping window should shuffle once for the agg (+1 for sort), got $exchanges")
+  }
+
+  test("events_stream_join is an equi-join on user with a range residual") {
+    val p = planOf("events_stream_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join lost its user_id equi-key:\n$p")
+  }
+
   test("bucket_join runs join AND aggregation with zero shuffle exchanges") {
     // at sf0.001 AQE would broadcast the small side, which hides the
     // co-location property this test pins; force the at-scale join shape
