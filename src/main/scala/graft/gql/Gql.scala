@@ -62,7 +62,8 @@ object Gql {
 
   final case class GField(alias: Option[String], name: String,
       args: Seq[(String, GVal)], sel: Seq[GField],
-      spread: Option[String] = scala.None) {
+      spread: Option[String] = scala.None,
+      directives: Seq[(String, Seq[(String, GVal)])] = Nil) {
     def out: String = alias.getOrElse(name)
     def arg(k: String): Option[GVal] = args.collectFirst { case (n, v) if n == k => v }
   }
@@ -193,7 +194,8 @@ object Gql {
             val tpe = name() // inline fragment's type condition
             return GField(scala.None, "...", Nil, selectionSet(), Some("on:" + tpe))
           }
-          return GField(scala.None, "...", Nil, Nil, Some(n))
+          val ds = directives()
+          return GField(scala.None, "...", Nil, Nil, Some(n), ds)
         }
         err("expected a fragment name or `on` after `...`")
       }
@@ -203,9 +205,26 @@ object Gql {
         if (peek == ':') { pos += 1; (Some(n1), name()) } else (None, n1)
       ws()
       val args = if (peek == '(') arguments() else Nil
+      val ds = directives()
       ws()
       val sel = if (peek == '{') selectionSet() else Nil
-      GField(alias, fname, args, sel)
+      GField(alias, fname, args, sel, scala.None, ds)
+    }
+
+    /** `@skip(if: …)` / `@include(if: …)` chains (spec §5.7; evaluated at
+      * resolve time against the bound variables). */
+    private def directives(): Seq[(String, Seq[(String, GVal)])] = {
+      val out = mutable.ArrayBuffer[(String, Seq[(String, GVal)])]()
+      ws()
+      while (peek == '@') {
+        pos += 1
+        val dn = name()
+        ws()
+        val dargs = if (peek == '(') arguments() else Nil
+        out += (dn -> dargs)
+        ws()
+      }
+      out.toSeq
     }
 
     private def arguments(): Seq[(String, GVal)] = {
@@ -334,8 +353,24 @@ object Gql {
       case GObj(fs) => GObj(fs.map { case (k, x) => (k, subV(x)) })
       case other => other
     }
+    // @skip/@include: a field (or spread) is dropped when skip's `if` is
+    // true or include's `if` is false — evaluated AFTER variable binding
+    // (graphql spec §5.7.1-2; unknown directives error like gql/schema.rs)
+    def kept(f: GField): Boolean = f.directives.forall { case (dn, dargs) =>
+      val flag = dargs.collectFirst { case ("if", v) => subV(v) } match {
+        case Some(GBool(b)) => b
+        case Some(other) => throw GqlError(
+          s"Directive @$dn expects a Boolean `if` argument, got $other")
+        case scala.None => throw GqlError(s"Directive @$dn requires `if`")
+      }
+      dn match {
+        case "skip"    => !flag
+        case "include" => flag
+        case other     => throw GqlError(s"Unknown directive @$other")
+      }
+    }
     def expand(sel: Seq[GField], seen: Set[String]): Seq[GField] =
-      sel.flatMap { f =>
+      sel.filter(kept).flatMap { f =>
         f.spread match {
           case Some(s) if s.startsWith("on:") => // inline fragment
             expand(f.sel, seen)

@@ -355,7 +355,11 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         "math::mean(qty) AS avg_q",
         "math::sum(price) AS sp")
       val chosen = r.shuffle(aggs).take(r.nextInt(3) + 1).mkString(", ")
-      val key = if (r.nextBoolean()) "grp" else "qty"
+      val key = r.nextInt(3) match {
+        case 0 => "grp"
+        case 1 => "qty"
+        case _ => "grp, qty" // multi-key grouping
+      }
       s"SELECT $key, $chosen FROM item" +
         (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
         s" GROUP BY $key ORDER BY $key"

@@ -168,4 +168,34 @@ class GqlSpec extends AnyFunSuite {
     assert(rows.length == 5)
     assert(rows.forall(_.getDouble(rows.head.fieldIndex("o_totalprice")) > 150000.0))
   }
+
+  test("@skip/@include directives gate fields via variables") {
+    val spark = TestSpark.session
+    val df = Gql.query(spark, "/root/testdata/sf0.001", """
+      query($noPrice: Boolean!, $withStatus: Boolean!) {
+        orders(limit: 3, order: {asc: o_orderkey}) {
+          o_orderkey
+          o_totalprice @skip(if: $noPrice)
+          o_orderstatus @include(if: $withStatus)
+        }
+      }""", Gql.parseVariables("{noPrice: true, withStatus: false}"))
+    assert(df.columns.toSeq == Seq("o_orderkey"),
+      s"directives did not prune fields: ${df.columns.toSeq}")
+    // and the opposite polarity keeps them
+    val df2 = Gql.query(spark, "/root/testdata/sf0.001", """
+      query($noPrice: Boolean!, $withStatus: Boolean!) {
+        orders(limit: 3) {
+          o_orderkey
+          o_totalprice @skip(if: $noPrice)
+          o_orderstatus @include(if: $withStatus)
+        }
+      }""", Gql.parseVariables("{noPrice: false, withStatus: true}"))
+    assert(df2.columns.toSet == Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    // unknown directive errors (schema.rs unknown-directive behavior)
+    intercept[Throwable] {
+      Gql.query(spark, "/root/testdata/sf0.001",
+        "query { orders(limit: 1) { o_orderkey @frobnicate(if: true) } }",
+        Map.empty)
+    }
+  }
 }
