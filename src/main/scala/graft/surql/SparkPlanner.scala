@@ -248,6 +248,10 @@ object SparkPlanner {
     // to every subsequent mutation in the script (doc/field.rs, idx/index.rs)
     var fldDefs = Map.empty[String, Vector[DefineFieldStmt]]
     var uniqDefs = Map.empty[String, Vector[(String, Seq[String])]]
+    // COMPUTED fields are read-time projections (Interp withComputed); the
+    // overlay re-applies them after every write so reads always see values
+    // consistent with the latest row state
+    var computedDefs = Map.empty[String, Vector[(String, Expr)]]
     // CANCEL must roll back EVERYTHING the transaction did — not just table
     // states but also DEFINE EVENT/FIELD/INDEX registrations and LET
     // bindings made inside it (the reference discards the whole context)
@@ -255,29 +259,56 @@ object SparkPlanner {
     var txnEvents = eventDefs
     var txnFlds = fldDefs
     var txnUniq = uniqDefs
+    var txnComputed = computedDefs
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
+    def applyComputed(t: String, df: DataFrame): DataFrame =
+      computedDefs.getOrElse(t, Vector.empty).foldLeft(df) { (d, fe) =>
+        val ctx = Ctx(spark, dir, t, d.schema, Map.empty)
+        d.withColumn(fe._1, toCol(fe._2, ctx))
+      }
     // a mutation commits its table's after-state to the overlay, then fires
     // any DEFINE EVENT triggers on that table (doc/event.rs: events run as
-    // part of the same transaction; cascades do not re-fire here)
+    // part of the same transaction; cascades do not re-fire here);
+    // COMPUTED projections re-apply so reads stay consistent with the
+    // freshly written dependency columns
     def applyMut(table: String, before: DataFrame, after: DataFrame,
         ret: DataFrame): Unit = {
-      overlay += (table -> after)
+      overlay += (table -> applyComputed(table, after))
       overlay = fireScriptEvents(spark, dir, table, before, after, overlay, eventDefs)
       last = Some(ret)
     }
     def exec(st0: Statement): Unit = Subst.stmt(st0, params) match {
       case BeginStmt  =>
         txnBase = overlay; txnParams = params; txnEvents = eventDefs
-        txnFlds = fldDefs; txnUniq = uniqDefs
+        txnFlds = fldDefs; txnUniq = uniqDefs; txnComputed = computedDefs
       case CommitStmt => () // the composed plan is already all-or-nothing
       case CancelStmt =>
         overlay = txnBase; params = txnParams; eventDefs = txnEvents
-        fldDefs = txnFlds; uniqDefs = txnUniq
+        fldDefs = txnFlds; uniqDefs = txnUniq; computedDefs = txnComputed
         last = scala.None
       case UseStmt(_, _) => () // single-catalog engine: ns/db switch is a no-op
       case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
       case s: DefineEventStmt => eventDefs :+= s.d
+      case s: DefineFieldStmt if s.computed.isDefined =>
+        // COMPUTED restriction set (catalog/schema/field.rs + define/field.rs)
+        if (s.field == "id")
+          throw SqlError("Cannot use the `COMPUTED` keyword on the `id` field.")
+        if (s.value.isDefined)
+          throw SqlError("Cannot use the `VALUE` keyword with `COMPUTED`.")
+        if (s.assert.isDefined)
+          throw SqlError("Cannot use the `ASSERT` keyword with `COMPUTED`.")
+        if (s.default.isDefined)
+          throw SqlError("Cannot use the `DEFAULT` keyword with `COMPUTED`.")
+        if (s.readonly)
+          throw SqlError("Cannot use the `READONLY` keyword with `COMPUTED`.")
+        if (s.field.contains(".") || s.field.contains("["))
+          throw SqlError(
+            s"Cannot define field `${s.field}` as `COMPUTED` fields must be top-level.")
+        computedDefs += s.table -> (computedDefs.getOrElse(s.table, Vector.empty)
+          .filterNot(_._1 == s.field) :+ ((s.field, s.computed.get)))
+        overlay += s.table -> applyComputed(s.table,
+          planWith(Tables(spark, dir, s.table)))
       case s: DefineFieldStmt =>
         if (s.field.contains(".") || s.field.contains("["))
           throw SqlError(

@@ -271,6 +271,26 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, label FROM doc ORDER BY id;""")
   }
 
+  test("COMPUTED field projects at read time") {
+    checkSame("""
+      DEFINE FIELD total ON doc COMPUTED qty * 2 + 1;
+      SELECT id, qty, total FROM doc ORDER BY id;""")
+  }
+
+  test("COMPUTED field recomputes after a dependency write") {
+    checkSame("""
+      DEFINE FIELD total ON doc COMPUTED qty * 2 + 1;
+      UPDATE doc SET qty = qty + 5 WHERE qty = 20;
+      SELECT id, qty, total FROM doc ORDER BY id;""")
+  }
+
+  test("COMPUTED rejects VALUE/DEFAULT/ASSERT/READONLY combinations") {
+    checkBothError("""
+      DEFINE FIELD total ON doc VALUE $value COMPUTED qty * 2;
+      SELECT id FROM doc;""",
+      "Cannot use the `VALUE` keyword with `COMPUTED`.")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
