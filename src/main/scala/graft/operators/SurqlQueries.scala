@@ -1531,6 +1531,29 @@ object SurqlQueries {
          COMMIT;""")
   }
 
+  /** DEFINE FIELD … COMPUTED on the Spark path: a read-time projection
+    * (Interp withComputed / doc compute stage) re-applied after dependency
+    * writes — the UPDATE bumps p_retailprice and the computed margin
+    * follows it. */
+  val scriptComputed = Q("script_computed",
+    """WITH upd AS (
+         SELECT p_partkey,
+                CASE WHEN p_partkey >= 1 AND p_partkey < 51
+                     THEN p_retailprice + 100.0 ELSE p_retailprice END
+                  AS p_retailprice
+         FROM part)
+       SELECT p_partkey, p_retailprice,
+              p_retailprice * 0.1 AS margin
+       FROM upd WHERE p_partkey < 80 ORDER BY p_partkey""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         DEFINE FIELD margin ON part COMPUTED p_retailprice * 0.1;
+         UPDATE part:1..51 SET p_retailprice = p_retailprice + 100.0;
+         SELECT p_partkey, p_retailprice, margin FROM part
+           WHERE p_partkey < 80 ORDER BY p_partkey;
+         COMMIT;""")
+  }
+
   /** DEFINE INDEX … UNIQUE on the Spark path (idx/index.rs index_unique):
     * the DDL probes existing rows for duplicates (index build), and the
     * CREATE's write check joins only the TOUCHED key values against the
@@ -1676,7 +1699,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
-    scriptSchema, scriptUnique,
+    scriptSchema, scriptUnique, scriptComputed,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
