@@ -345,6 +345,24 @@ object SparkPlanner {
         if (!had && !s.ifExists)
           throw SqlError(s"The index '${s.name}' does not exist")
         uniqDefs += t -> uniqDefs.getOrElse(t, Vector.empty).filterNot(_._1 == s.name)
+      // SHOW CHANGES FOR TABLE t — the script-scope change feed: the diff
+      // between the table's state at BEGIN and now (cf/reader.rs reads the
+      // versionstamped log; here the lazy overlay IS the uncommitted log,
+      // so the diff recovers exactly the entries it would hold). Flat
+      // (id, action) rows — the engine's analytic change-row shape, same
+      // as the mut_changefeed surface.
+      case s: ShowChangesStmt =>
+        val t = s.table.getOrElse(
+          throw SqlError("SparkPlanner: SHOW CHANGES needs FOR TABLE"))
+        val atBegin = Tables.withOverlay(txnBase)(Tables(spark, dir, t))
+        val cur = planWith(Tables(spark, dir, t))
+        val log = graft.operators.Mutations
+          .changeLog(atBegin, cur, recordKey(t)).orderBy("id")
+        last = Some(s.limit.map(e => Eval.evalConst(e) match {
+          case n: VNum => log.limit(n.toDouble.toInt)
+          case other => throw SqlError(
+            s"Expected an integer but found ${other.render}")
+        }).getOrElse(log))
       case s: RemoveStmt if s.what == "EVENT" =>
         val had = eventDefs.exists(_.name == s.name)
         if (!had && !s.ifExists)

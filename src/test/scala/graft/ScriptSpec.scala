@@ -25,6 +25,30 @@ class ScriptSpec extends AnyFunSuite {
     assert(out(1L) != "LOST", "cancelled write leaked into a later read")
   }
 
+  test("SHOW CHANGES reports the script-scope create/update/delete rows") {
+    val out = SparkPlanner.script(spark, sf,
+      """BEGIN;
+         UPDATE orders SET o_totalprice = o_totalprice + 1.0
+           WHERE o_orderkey >= 1 AND o_orderkey < 3;
+         CREATE orders:930001 SET o_custkey = 1, o_orderstatus = 'O',
+           o_totalprice = 5.0, o_orderpriority = '1-URGENT';
+         DELETE orders:5;
+         SHOW CHANGES FOR TABLE orders SINCE 0;
+         COMMIT;""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "update"), (2L, "update"),
+      (930001L, "create"), (5L, "delete")), s"got $out")
+  }
+
+  test("SHOW CHANGES respects LIMIT") {
+    val out = SparkPlanner.script(spark, sf,
+      """BEGIN;
+         UPDATE orders SET o_totalprice = o_totalprice + 1.0 WHERE o_orderkey < 10;
+         SHOW CHANGES FOR TABLE orders SINCE 0 LIMIT 4;
+         COMMIT;""").collect()
+    assert(out.length == 4)
+  }
+
   test("script overlay does not leak outside the script") {
     SparkPlanner.script(spark, sf,
       """UPDATE orders SET o_orderpriority = 'X' WHERE o_orderkey = 1;
