@@ -2415,6 +2415,16 @@ object SparkPlanner {
           case (acc, PField(f)) => acc.getField(f)
           case (acc, _) => acc
         }
+      // `({ … }).f` / general parenthesized-start field paths: an ObjLit
+      // start inlines the named entry's expression (CollapseProject shape —
+      // no struct ever materializes); any other start computes the struct
+      // and extracts
+      case Idiom(PStart(o: ObjLit) +: rest)
+          if rest.nonEmpty && rest.forall(_.isInstanceOf[PField]) =>
+        rest.foldLeft(toCol(o, ctx)) {
+          case (acc, PField(f)) => acc.getField(f)
+          case (acc, _) => acc
+        }
       case Idiom(parts) if ctx.graphCols.contains(parts) =>
         col(ctx.graphCols(parts))
       case Idiom(parts) if parts.exists(_.isInstanceOf[PGraph]) =>

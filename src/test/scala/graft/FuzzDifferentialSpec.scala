@@ -207,7 +207,50 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(27) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(33) match {
+    case 27 => // time bucketing/parts over the ts column
+      val proj = r.nextInt(5) match {
+        case 0 => s"time::floor(ts, ${Seq("1h", "1d", "1w")(r.nextInt(3))}) AS tf"
+        case 1 => s"time::round(ts, ${Seq("1h", "1d")(r.nextInt(2))}) AS tr"
+        case 2 => "time::yday(ts) AS yd"
+        case 3 => "time::wday(ts) AS wd"
+        case _ => "time::unix(ts) AS ux"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
+    case 28 => // object-literal projections (+ field re-extraction)
+      val o = s"{ g: grp, q: qty, x: ${intExpr(r, 1)} }"
+      if (r.nextBoolean())
+        s"SELECT name, $o AS o FROM item ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+      else
+        s"SELECT name, ($o).q AS oq FROM item ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+    case 29 => // containment operator family over tags
+      val lits = Seq.fill(r.nextInt(2) + 1)(s"'t${r.nextInt(5)}'").distinct.mkString(", ")
+      val pred = r.nextInt(5) match {
+        case 0 => s"tags CONTAINSALL [$lits]"
+        case 1 => s"tags CONTAINSANY [$lits]"
+        case 2 => s"tags CONTAINSNONE [$lits]"
+        case 3 => s"[$lits] ANYINSIDE tags"
+        case _ => s"[$lits] ALLINSIDE tags"
+      }
+      s"SELECT name, tags FROM item WHERE $pred ORDER BY name"
+    case 30 => // semver comparisons on literal versions
+      def v() = s"${r.nextInt(3)}.${r.nextInt(12)}.${r.nextInt(10)}"
+      val (a, b) = (v(), v())
+      s"SELECT name, string::semver::compare('$a', '$b') AS c," +
+        s" string::semver::major('$a') AS mj FROM item ORDER BY name LIMIT 3"
+    case 31 => // duration literals through duration:: accessors
+      val d = Seq("90m", "2h", "1d12h", "45s", "1w2d")(r.nextInt(5))
+      val f = Seq("secs", "mins", "hours", "days")(r.nextInt(4))
+      s"SELECT name, duration::$f($d) AS dv FROM item ORDER BY name LIMIT 3"
+    case 32 => // float math breadth (positive operands keep both engines real)
+      val proj = r.nextInt(5) match {
+        case 0 => "math::sqrt(price) AS v"
+        case 1 => "math::pow(price, 2) AS v"
+        case 2 => "math::ln(price) AS v"
+        case 3 => s"math::clamp(price, ${r.nextInt(5)}, ${r.nextInt(20) + 10}) AS v"
+        case _ => s"math::lerp(0, price, 0.${r.nextInt(9) + 1}) AS v"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
     case 21 => // SPLIT explodes an array field into one row per element
       s"SELECT name, tags FROM item" +
         (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
