@@ -331,6 +331,7 @@ object SparkPlanner {
             .filterNot(_._1 == s.name) :+ ((s.name, s.fields)))
         } // non-unique indexes are advisory on this path (Catalyst pushdown)
       case _: DefineTableStmt => () // schema authority is the parquet catalog
+      case _: RebuildIndexStmt => () // derived indexes rebuild lazily here
       // REMOVE drops the script-scope registration (remove/field.rs etc.);
       // unknown names error unless IF EXISTS
       case s: RemoveStmt if s.what == "FIELD" =>
@@ -499,7 +500,7 @@ object SparkPlanner {
           val base = Tables(spark, dir, t)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val key = recordKey(t)
-          val rows = insertRows(spark, dir, s.values, t, base, params)
+          val rows = insertRows(spark, dir, s.values, t, base, params, s.relation)
           insertClashProbe(s, rows, base, t, key)
           val fresh0 = rows.join(base.select(key), Seq(key), "left_anti")
           val fresh1 = actionPermCond(spark, dir, t, "create", base.schema)
@@ -1916,7 +1917,8 @@ object SparkPlanner {
     * the VALUES arm of expr/statements/insert.rs — synthesize constant
     * rows. Unknown fields error like unknown SET columns. */
   private def insertRows(spark: SparkSession, dir: String, values: Expr,
-      table: String, base: DataFrame, params: Map[String, V]): DataFrame =
+      table: String, base: DataFrame, params: Map[String, V],
+      relation: Boolean = false): DataFrame =
     values match {
       case Subquery(sel: SelectStmt) =>
         val rows0 = planSelect(spark, dir, sel, params)
@@ -1935,6 +1937,18 @@ object SparkPlanner {
         }
         if (objs.isEmpty)
           throw SqlError("SparkPlanner: INSERT needs at least one object row")
+        // INSERT RELATION rows are edges: in/out must be record links
+        // (Interp execInsert; insert/invalid_relation)
+        if (relation) objs.foreach { o =>
+          Seq("in", "out").foreach { side =>
+            o.fields.get(side) match {
+              case Some(_: VRid) => ()
+              case other => throw SqlError(
+                s"Cannot execute INSERT statement where property '$side' is: " +
+                  other.map(_.render).getOrElse("NONE"))
+            }
+          }
+        }
         val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
         objs.map { o =>
           val extra = o.fields.keys.filterNot(base.columns.contains)
@@ -2003,7 +2017,7 @@ object SparkPlanner {
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
     val key = recordKey.getOrElse(table,
       throw SqlError(s"SparkPlanner: no record key for table $table"))
-    val rows = insertRows(spark, dir, s.values, table, base, Map.empty)
+    val rows = insertRows(spark, dir, s.values, table, base, Map.empty, s.relation)
     insertClashProbe(s, rows, base, table, key)
     val fresh = rows.join(base.select(key), Seq(key), "left_anti")
     val result = s.onDuplicate match {
@@ -2393,6 +2407,9 @@ object SparkPlanner {
       case Lit(VBool(b))   => lit(b)
       case Lit(VDec(d))    => lit(d.toDouble)
       case Lit(VNone) | Lit(VNull) => lit(null)
+      // a record-id value carries its KEY in the column model (links are
+      // key-typed columns throughout this path)
+      case Lit(r: VRid) => ridKeyLit(r.key)
       case Lit(VDt(t))  => lit(java.sql.Timestamp.from(t))
       // durations are total-seconds longs on this path (see duration::*)
       case Lit(d: VDur) => lit(d.secs)

@@ -28,6 +28,14 @@ class SchemaEnforceSpec extends AnyFunSuite {
   }
 
   SparkPlanner.extraRecordKeys.put("doc", "id")
+  SparkPlanner.extraRecordKeys.put("linksto", "id")
+  graft.operators.GraphOps.extraEdgeDefs.put("linksto", ("doc", "doc"))
+
+  /** Empty relation table (id, in, out, w) — INSERT RELATION populates it. */
+  private def linksDf = {
+    import spark.implicits._
+    Seq.empty[(String, Long, Long, Long)].toDF("id", "in", "out", "w")
+  }
 
   private def toV(x: Any): V = x match {
     case null            => VNull
@@ -50,7 +58,7 @@ class SchemaEnforceSpec extends AnyFunSuite {
       case QOk(v)           => Vector(v)
       case QErr(m)          => fail(s"interp error: $m\n$script")
     }
-    val sdf = Tables.withOverlay(Map("doc" -> df)) {
+    val sdf = Tables.withOverlay(Map("doc" -> df, "linksto" -> linksDf)) {
       SparkPlanner.script(spark, "/nonexistent", script)
     }
     val srows = sdf.collect().map { r =>
@@ -96,7 +104,7 @@ class SchemaEnforceSpec extends AnyFunSuite {
       .getOrElse(fail(s"interp succeeded where error expected\n$script"))
     assert(imsg.contains(needle), s"interp message `$imsg` lacks `$needle`")
     val smsg = intercept[Throwable] {
-      Tables.withOverlay(Map("doc" -> df)) {
+      Tables.withOverlay(Map("doc" -> df, "linksto" -> linksDf)) {
         SparkPlanner.script(spark, "/nonexistent", script).collect()
       }
     }.getMessage
@@ -289,6 +297,23 @@ class SchemaEnforceSpec extends AnyFunSuite {
       DEFINE FIELD total ON doc VALUE $value COMPUTED qty * 2;
       SELECT id FROM doc;""",
       "Cannot use the `VALUE` keyword with `COMPUTED`.")
+  }
+
+  test("INSERT RELATION populates an edge table the graph arrows traverse") {
+    checkSame("""
+      INSERT RELATION INTO linksto [
+        { id: 'e1', in: doc:1, out: doc:2, w: 5 },
+        { id: 'e2', in: doc:1, out: doc:3, w: 7 },
+        { id: 'e3', in: doc:2, out: doc:3, w: 9 }];
+      SELECT id, label, math::sum(->linksto->doc.qty) AS sq
+      FROM doc WHERE qty < 30 ORDER BY id;""")
+  }
+
+  test("INSERT RELATION rejects a non-record `in`") {
+    checkBothError("""
+      INSERT RELATION INTO linksto { id: 'e1', in: 42, out: doc:2, w: 5 };
+      SELECT id FROM doc;""",
+      "Cannot execute INSERT statement where property 'in' is:")
   }
 
   test("CANCEL rolls back DEFINE FIELD registrations") {
