@@ -415,6 +415,29 @@ object Relational {
       .orderBy("purchase_id", "click_id")
   }
 
+  /** Watermarked stream dedup's batch twin: a doubled input dedupes back to
+    * the original id set — state bounded by the watermark horizon on the
+    * stream path ([[graft.streaming.Streams.dedupStream]]). */
+  val eventsStreamDedup = Q("events_stream_dedup",
+    """SELECT event_id, user_id, event_type FROM events ORDER BY event_id""") {
+    (s, d) =>
+      val e = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("ts").cast("timestamp").as("ts"))
+      graft.streaming.Streams.dedupStream(e.unionByName(e))
+        .select("event_id", "user_id", "event_type").orderBy("event_id")
+  }
+
+  /** Stream-static enrichment join's batch twin: events × broadcast user
+    * dimension ([[graft.streaming.Streams.enrich]]). */
+  val eventsEnrich = Q("events_enrich",
+    """SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_mktsegment
+       FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       ORDER BY e.event_id""") {
+    (s, d) =>
+      graft.streaming.Streams.enrich(Tables.events(s, d), Tables.customer(s, d))
+        .orderBy("event_id")
+  }
+
   // ---- join-shaped (FETCH / graph / subquery) -------------------------
 
   /** `Fetch` (exec/operators/fetch.rs:27): dereference a record link into the
@@ -467,5 +490,5 @@ object Relational {
     sortMulti, topK, limitStart, onlyOne,
     aggGroup, aggGlobal, distinctScan, aggArrayCollect, fnConditional,
     fetchJoin, subqueryIn, subqueryNotIn, eventsSessionize, eventsWindow,
-    eventsWindowSliding, eventsStreamJoin)
+    eventsWindowSliding, eventsStreamJoin, eventsStreamDedup, eventsEnrich)
 }

@@ -76,6 +76,30 @@ object Streams {
         col("value"))
   }
 
+  /** Watermarked exact deduplication by event id: the streaming form keeps
+    * one fingerprint per id only INSIDE the watermark window
+    * (`dropDuplicatesWithinWatermark`), so state is bounded by the late-
+    * arrival horizon, not the stream's lifetime — the unbounded-safe twin
+    * of `dedup_exact` for an ingest pipeline. In batch the same call
+    * degrades to a plain dropDuplicates. */
+  def dedupStream(events: DataFrame, lateness: String = "1 hour"): DataFrame = {
+    val w = events.withWatermark("ts", lateness)
+    // the within-watermark variant exists only for streams; the batch twin
+    // is plain distinct-by-id (same result when all rows are "on time")
+    if (events.isStreaming) w.dropDuplicatesWithinWatermark("event_id")
+    else w.dropDuplicates("event_id")
+  }
+
+  /** Stream-static enrichment: each event joins the (broadcastable) user
+    * dimension — the canonical streaming enrich. The static side re-scans
+    * per microbatch, so dimension updates are picked up without restarts;
+    * no state is kept because only the stream side grows. */
+  def enrich(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(users),
+      events("user_id") === users("c_custkey"))
+      .select(events("event_id"), events("user_id"), events("event_type"),
+        events("value"), users("c_mktsegment"))
+
   /** One event on the streaming session path. */
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   /** Per-user open-session state: the ONLY state held per key. */

@@ -157,6 +157,52 @@ class StreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked stream dedup drops re-delivered ids across microbatches") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val stream = MemoryStream[(Long, Long)]
+    val events = stream.toDF.toDF("event_id", "secs")
+      .select(col("event_id"),
+        to_timestamp(col("secs").cast("long").cast("timestamp")).as("ts"))
+
+    val q = Streams.dedupStream(events).writeStream
+      .format("memory").queryName("dedup_s").outputMode("append").start()
+    try {
+      stream.addData((1L, 1000L), (2L, 1010L), (1L, 1005L)) // in-batch dup
+      q.processAllAvailable()
+      stream.addData((2L, 1020L), (3L, 1030L)) // cross-batch re-delivery
+      q.processAllAvailable()
+      val got = spark.table("dedup_s").select("event_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.sorted == Seq(1L, 2L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment joins each event to the broadcast dimension") {
+    val spark = TestSpark.session
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val users = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val stream = MemoryStream[(Long, Long, String, Double)]
+    val events = stream.toDF.toDF("event_id", "user_id", "event_type", "value")
+
+    val q = Streams.enrich(events, users).writeStream
+      .format("memory").queryName("enrich_s").outputMode("append").start()
+    try {
+      stream.addData((10L, 1L, "click", 1.0), (11L, 2L, "view", 2.0),
+        (12L, 9L, "view", 3.0)) // user 9 has no dimension row → dropped
+      q.processAllAvailable()
+      val got = spark.table("enrich_s")
+        .select("event_id", "c_mktsegment").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((10L, "BUILDING"), (11L, "MACHINERY")), s"got $got")
+    } finally q.stop()
+  }
+
   test("custom-state sessionization closes sessions on gap and matches batch") {
     val spark = TestSpark.session
     import spark.implicits._
