@@ -504,7 +504,27 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(7) match {
+    val mut = r.nextInt(11) match {
+      case 7 =>
+        // UPSERT: point target, update arm for existing ids, insert arm for
+        // fresh ones (~half the draws each)
+        val k = r.nextInt(60) + 1
+        s"UPSERT item:$k SET qty = ${r.nextInt(9)}, grp = 'u', price = ${r.nextInt(30)}.25, name = 'n$k';"
+      case 8 =>
+        // UNSET / flat PATCH data clauses
+        select = "SELECT name, qty, opt FROM item ORDER BY name;"
+        if (r.nextBoolean())
+          s"UPDATE item UNSET opt WHERE ${boolExpr(r, 1)};"
+        else
+          s"UPDATE item PATCH [{ op: 'replace', path: '/qty', value: ${r.nextInt(50)} }," +
+            s" { op: 'remove', path: '/opt' }] WHERE ${boolExpr(r, 1)};"
+      case 9 =>
+        // MERGE partial-object writes
+        s"UPDATE item MERGE { qty: ${r.nextInt(40)}, grp: '${('a' + r.nextInt(3)).toChar}' } WHERE ${boolExpr(r, 1)};"
+      case 10 =>
+        // two chained mutations: the second reads THROUGH the first's overlay
+        s"""UPDATE item SET qty = qty + ${r.nextInt(3) + 1} WHERE ${boolExpr(r, 1)};
+            DELETE item WHERE qty > ${r.nextInt(20) + 30};"""
       case 0 => s"UPDATE item SET qty = ${intExpr(r, 1)} WHERE ${boolExpr(r, 1)};"
       case 1 => s"UPDATE item SET price = ${floatExpr(r, 1)}, qty = qty + ${r.nextInt(5) + 1} WHERE ${boolExpr(r, 1)};"
       case 2 => s"DELETE item WHERE ${boolExpr(r, 1)};"
