@@ -111,8 +111,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case VArr(xs) => VArr(xs.map(normRid))
       case other => other
     }
+    // top level drops null/none too: a table COLUMN that is NULL and an
+    // ABSENT document field are the same fact in the column model
+    // (symmetric on both sides, so a genuinely missing non-null column
+    // still fails the keySet assert)
     def normTop(o: VObj): VObj =
-      VObj(o.fields.map { case (k2, v2) => k2 -> normRid(v2) })
+      VObj(o.fields.collect {
+        case (k2, v2) if v2 != graft.surql.VNull && v2 != graft.surql.VNone =>
+          k2 -> normRid(v2)
+      })
     val srowsN = srows.map(normTop)
     val irows = iv.map {
       case VObj(m) => VObj(m)
@@ -207,7 +214,25 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(33) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(36) match {
+    case 33 => // full-row projection (id included — record-key rendering)
+      s"SELECT * FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(10) + 3}"
+    case 34 => // method-call idioms (field.method() sugar for fn dispatch)
+      val proj = r.nextInt(5) match {
+        case 0 => "name.uppercase() AS u"
+        case 1 => "tags.len() AS n"
+        case 2 => "name.slice(0, 2).uppercase() AS s2"
+        case 3 => "grp.repeat(3) AS g3"
+        case _ => "tags.join('-') AS j"
+      }
+      s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
+    case 35 => // grouped aggregates OVER graph-arrow projections
+      s"SELECT grp, math::sum(array::len(->likes->item)) AS deg," +
+        s" count() AS n FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        " GROUP BY grp ORDER BY grp"
     case 27 => // time bucketing/parts over the ts column
       val proj = r.nextInt(5) match {
         case 0 => s"time::floor(ts, ${Seq("1h", "1d", "1w")(r.nextInt(3))}) AS tf"
