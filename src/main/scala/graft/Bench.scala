@@ -31,6 +31,7 @@ object Bench {
     graft.operators.GraphOps.warmEdges(spark, sfDir)
     graft.operators.CountIndex.warm(spark, sfDir)
     graft.operators.Buckets.warm(spark, sfDir)
+    graft.sources.Sources.warm(spark, sfDir)
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,
       None: Option[String])
     // Single-run timings proved indistinguishable from sandbox noise (a

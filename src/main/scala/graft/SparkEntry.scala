@@ -20,7 +20,7 @@ object SparkEntry {
       VectorQueries.all ++ MiscQueries.all ++
       Mutations.all ++ graft.streaming.Live.all ++
       TextOps.all ++ Dedup.all ++ Similarity.all ++ Hnsw.all ++
-      FullText.all ++ Multimodal.all ++ Buckets.all
+      FullText.all ++ Multimodal.all ++ Buckets.all ++ graft.sources.Sources.all
 
   /** Every SurqlQueries entry (SurqlQueries.all.length of them) runs as REAL
     * SurrealQL text through the parser + SparkPlanner (graft.surql) — each
