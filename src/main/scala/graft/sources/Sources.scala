@@ -71,6 +71,7 @@ object Sources {
   def warm(s: SparkSession, dir: String): Unit = {
     documentsJsonlPath(s, dir)
     nationCsvPath(s, dir)
+    eventsPartitionedPath(s, dir)
   }
 
   /** JSONL round-trip: the format scan must reproduce the parquet-backed
@@ -98,5 +99,32 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
-  val all: Seq[Q] = Seq(sourceJsonl, sourceCsv)
+  /** events re-laid-out as parquet PARTITIONED BY event_type — the sink
+    * side: one layout job per corpus, directory-level pruning thereafter. */
+  private def eventsPartitionedPath(s: SparkSession, dir: String): String =
+    converted.getOrElseUpdate((dir, "events_part"), {
+      val p = cacheDir(dir, "events_part")
+      if (!new java.io.File(p).exists())
+        Tables.events(s, dir).write.mode("overwrite")
+          .partitionBy("event_type").parquet(p)
+      p
+    })
+
+  def eventsPartitioned(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(eventsPartitionedPath(s, dir))
+
+  /** Partitioned-sink round-trip: the event_type predicate prunes at the
+    * DIRECTORY level (PartitionFilters, zero data files of other types
+    * touched) — the layout a 100 TB event store would use. PlanSpec pins
+    * the pruning. */
+  val sinkPartitioned = Q("sink_partitioned",
+    """SELECT event_id, user_id, value FROM events
+       WHERE event_type = 'purchase' ORDER BY event_id""") { (s, d) =>
+    eventsPartitioned(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+  }
+
+  val all: Seq[Q] = Seq(sourceJsonl, sourceCsv, sinkPartitioned)
 }

@@ -130,6 +130,13 @@ class PlanSpec extends AnyFunSuite {
       s"interval join lost its user_id equi-key:\n$p")
   }
 
+  test("sink_partitioned prunes at the partition-directory level") {
+    val p = planOf("sink_partitioned")
+    assert(p.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[\\]".r.findFirstIn(p).isEmpty,
+      s"event_type filter did not become a partition filter:\n$p")
+  }
+
   test("bucket_join runs join AND aggregation with zero shuffle exchanges") {
     // at sf0.001 AQE would broadcast the small side, which hides the
     // co-location property this test pins; force the at-scale join shape
