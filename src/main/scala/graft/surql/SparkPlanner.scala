@@ -332,6 +332,14 @@ object SparkPlanner {
         } // non-unique indexes are advisory on this path (Catalyst pushdown)
       case _: DefineTableStmt => () // schema authority is the parquet catalog
       case _: RebuildIndexStmt => () // derived indexes rebuild lazily here
+      // DEFINE PARAM binds like LET for the rest of the script
+      // (expr/statements/define/param.rs: a catalog-stored binding)
+      case s: DefineParamStmt =>
+        s.value.foreach(e => params += (s.d.name -> Eval.evalConst(Subst.expr(e, params))))
+      case s: RemoveStmt if s.what == "PARAM" =>
+        if (!params.contains(s.name) && !s.ifExists)
+          throw SqlError(s"The param '$$${s.name}' does not exist")
+        params -= s.name
       // REMOVE drops the script-scope registration (remove/field.rs etc.);
       // unknown names error unless IF EXISTS
       case s: RemoveStmt if s.what == "FIELD" =>

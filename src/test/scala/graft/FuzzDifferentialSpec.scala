@@ -214,7 +214,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(36) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(37) match {
+    case 36 => // graph arrows in WHERE + edge-condition arrows
+      val pred = r.nextInt(4) match {
+        case 0 => s"array::len(->likes->item) > ${r.nextInt(2)}"
+        case 1 => s"math::sum(->(likes WHERE w > ${r.nextInt(80)})->item.qty) > ${r.nextInt(8)}"
+        case 2 => s"->likes->item.qty CONTAINS ${r.nextInt(7)}"
+        case _ => s"array::len(<-likes<-item) = ${r.nextInt(3)}"
+      }
+      s"SELECT name, qty FROM item WHERE $pred ORDER BY name"
     case 33 => // full-row projection (id included — record-key rendering)
       s"SELECT * FROM item" +
         (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +

@@ -316,6 +316,12 @@ class SchemaEnforceSpec extends AnyFunSuite {
       "Cannot execute INSERT statement where property 'in' is:")
   }
 
+  test("DEFINE PARAM binds for the rest of the script") {
+    checkSame("""
+      DEFINE PARAM $cut VALUE 25;
+      SELECT id, qty FROM doc WHERE qty > $cut ORDER BY id;""")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
