@@ -260,7 +260,13 @@ object Dedup {
     while (changed > 0 && iter < 20) {
       val pulled = adj.join(labels, col("b") === col("node"))
         .select(col("a").as("node"), col("label"))
-      val next = labels.unionByName(pulled)
+      // pointer jumping: also adopt the label OF the current label — the
+      // reach doubles per iteration, so convergence is O(log diameter)
+      // instead of O(diameter); at 100 TB a long chain costs ~log2 rounds
+      val jump = labels.as("x")
+        .join(labels.as("y"), col("x.label") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.label").as("label"))
+      val next = labels.unionByName(pulled).unionByName(jump)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "node")
