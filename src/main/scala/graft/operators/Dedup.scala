@@ -321,18 +321,29 @@ object Dedup {
     * across engines. */
   private val EmbedTau = 0.3587
 
+  /** Fixed verifier window for the exact pair stage (the
+    * embed_top_pairs_exact convention): exact threshold-join on cosine is
+    * inherently quadratic, so the ORACLE-CHECKED form runs on a bounded
+    * sample; the unbounded production path is the LSH-banded candidate
+    * join feeding the SAME fixpoint. */
+  private val EmbedClusterRows = 1000
+
   /** Embedding-cosine near-dup clustering: vectors whose cosine ≥ τ form
     * edges; connected components label each vector with the min reachable
     * vec_id — the embedding-space twin of [[dedupClusters]]. The pair stage
-    * here is the exact all-pairs verifier (norms hoisted per row, one
-    * codegen'd dot fold per pair — the embed_top_pairs_exact shape, oracle-
-    * checkable); at corpus scale the production recipe swaps it for the
-    * LSH-banded candidate join ([[Similarity.embedTopPairs]]) feeding the
-    * same [[minLabelClusters]] fixpoint. */
+    * here is the exact verifier over a FIXED [[EmbedClusterRows]]-row window
+    * (norms hoisted per row, one codegen'd dot fold per pair — the
+    * embed_top_pairs_exact shape, oracle-checkable); at corpus scale the
+    * production recipe swaps it for the LSH-banded candidate join
+    * ([[Similarity.embedTopPairs]]) feeding the same [[minLabelClusters]]
+    * fixpoint — never all-pairs. */
   val dedupEmbedClusters = Q("dedup_embed_clusters",
-    s"""WITH RECURSIVE pairs AS (
+    s"""WITH RECURSIVE emb AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE vec_id < $EmbedClusterRows),
+       pairs AS (
          SELECT e1.vec_id AS a, e2.vec_id AS b
-         FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+         FROM emb e1 JOIN emb e2 ON e1.vec_id < e2.vec_id
          WHERE ${Similarity.sqlCosine("e1.embedding", "e2.embedding")} >= $EmbedTau),
        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
        reach(n, m) AS (
@@ -342,6 +353,7 @@ object Dedup {
        SELECT n AS vec_id, least(n, min(m)) AS cluster
        FROM reach GROUP BY n ORDER BY vec_id""") { (s, d) =>
     val emb = graft.Tables.embeddings(s, d)
+      .filter(col("vec_id") < EmbedClusterRows)
       .select(col("vec_id"), col("embedding"),
         Similarity.norm(col("embedding")).as("nrm"))
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
