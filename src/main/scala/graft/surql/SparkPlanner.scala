@@ -225,6 +225,11 @@ object SparkPlanner {
     }
   }
 
+  /** Unique-index build probes over pristine base tables, cached per
+    * (corpus, table, fields) — the one-time index-build scan. */
+  private val uniqueBuildCache =
+    scala.collection.concurrent.TrieMap[(String, String, Seq[String]), Boolean]()
+
   /** Multi-statement SurrealQL script — the transaction surface
     * (`BEGIN; …; COMMIT`, expr/statements/begin.rs + the kvs transaction
     * in the reference). Statements run in order against an uncommitted-
@@ -318,8 +323,11 @@ object SparkPlanner {
       case s: DefineIndexStmt =>
         if (s.unique) {
           // index build scans existing rows — a pre-existing duplicate fails
-          // the DDL and leaves the index unregistered (idx building)
-          planWith {
+          // the DDL and leaves the index unregistered (idx building). The
+          // scan result is cached per corpus for pristine base tables (an
+          // index build is a one-time job); any overlay-modified table
+          // probes fresh, since its rows differ from the stored corpus.
+          def probe(): Unit = planWith {
             val base = Tables(spark, dir, s.table)
             if (!s.fields.forall(base.columns.contains))
               throw SqlError(s"SparkPlanner: DEFINE INDEX on non-column path " +
@@ -327,6 +335,9 @@ object SparkPlanner {
             checkUniqueIndexes(s.table, base, base,
               Seq((s.name, s.fields)), recordKey(s.table))
           }
+          if (overlay.contains(s.table)) probe()
+          else uniqueBuildCache.getOrElseUpdate((dir, s.table, s.fields),
+            { probe(); true })
           uniqDefs += s.table -> (uniqDefs.getOrElse(s.table, Vector.empty)
             .filterNot(_._1 == s.name) :+ ((s.name, s.fields)))
         } // non-unique indexes are advisory on this path (Catalyst pushdown)
