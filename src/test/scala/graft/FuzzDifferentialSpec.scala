@@ -537,7 +537,24 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(11) match {
+    val mut = r.nextInt(13) match {
+      case 11 =>
+        // object-literal INSERT (single or array), fresh ids
+        val k1 = r.nextInt(40) + 31
+        val k2 = k1 + 50
+        if (r.nextBoolean())
+          s"INSERT INTO item { id: $k1, grp: 'i', qty: ${r.nextInt(9)}, price: ${r.nextInt(30)}.5, name: 'n$k1' };"
+        else
+          s"""INSERT INTO item [
+                { id: $k1, grp: 'i', qty: ${r.nextInt(9)}, price: ${r.nextInt(30)}.5, name: 'n$k1' },
+                { id: $k2, grp: 'j', qty: ${r.nextInt(9)}, price: ${r.nextInt(30)}.5, name: 'n$k2' }];"""
+      case 12 =>
+        // INSERT IGNORE over a mix of existing and fresh ids
+        val dup = r.nextInt(30) + 1
+        val k = r.nextInt(40) + 31
+        s"""INSERT IGNORE INTO item [
+              { id: $dup, grp: 'x', qty: 99, price: 9.5, name: 'nDUP' },
+              { id: $k, grp: 'i', qty: ${r.nextInt(9)}, price: ${r.nextInt(30)}.5, name: 'n$k' }];"""
       case 7 =>
         // UPSERT: point target, update arm for existing ids, insert arm for
         // fresh ones (~half the draws each)
