@@ -1698,19 +1698,33 @@ object SparkPlanner {
     * (simultaneous assignment, doc/alter.rs process_set_data). */
   private def setMap(data: Option[Data], ctx: Ctx, requireExisting: Boolean): Map[String, Column] =
     data match {
-      case Some(SetData(sets)) => sets.map {
-        case (Idiom(Seq(PField(n))), op, e) =>
-          if (requireExisting && !ctx.schema.fieldNames.contains(n))
-            throw SqlError(s"SparkPlanner: SET on unknown column $n")
-          val v = toCol(e, ctx)
-          n -> (op match {
-            case "="  => v
-            case "+=" => col(n) + v
-            case "-=" => col(n) - v
-            case other => throw SqlError(s"SparkPlanner: unsupported SET op $other")
-          })
-        case (idiom, _, _) => throw SqlError(s"SparkPlanner: unsupported SET path $idiom")
-      }.toMap
+      case Some(SetData(sets)) =>
+        // each assignment is (field path, new value); nested paths
+        // (`SET meta.a = …`, doc/alter.rs path walk) write back through the
+        // parent struct with `withField`, and multiple assignments under
+        // one parent fold into a single rebuilt column
+        val assigns = sets.map {
+          case (Idiom(parts), op, e)
+              if parts.nonEmpty && parts.forall(_.isInstanceOf[PField]) =>
+            val path = parts.collect { case PField(n) => n }
+            if (requireExisting && !ctx.schema.fieldNames.contains(path.head))
+              throw SqlError(s"SparkPlanner: SET on unknown column ${path.head}")
+            val v = toCol(e, ctx)
+            val cur = col(path.mkString("."))
+            (path, op match {
+              case "="  => v
+              case "+=" => cur + v
+              case "-=" => cur - v
+              case other => throw SqlError(s"SparkPlanner: unsupported SET op $other")
+            })
+          case (idiom, _, _) => throw SqlError(s"SparkPlanner: unsupported SET path $idiom")
+        }
+        assigns.groupBy(_._1.head).map { case (root, as) =>
+          root -> as.foldLeft(col(root)) { case (acc, (path, v)) =>
+            if (path.length == 1) v
+            else acc.withField(path.tail.mkString("."), v)
+          }
+        }
       case Some(ContentData(ObjLit(fs))) =>
         fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
       // MERGE is a partial object merge — for flat objects, identical to a

@@ -18,7 +18,10 @@ class SchemaEnforceSpec extends AnyFunSuite {
     (1 to 6).map { i =>
       s"CREATE doc:$i SET grp = '${("ab"((i - 1) % 2))}', qty = ${i * 10}, " +
         s"score = $i.5, label = 'L$i';"
-    }.mkString("\n")
+    }.mkString("\n") + "\n" +
+      (1 to 4).map { i =>
+        s"CREATE prof:$i SET meta = { a: $i, b: 'x$i' }, score = ${i * 10};"
+      }.mkString("\n")
 
   private def df = {
     import spark.implicits._
@@ -29,6 +32,17 @@ class SchemaEnforceSpec extends AnyFunSuite {
 
   SparkPlanner.extraRecordKeys.put("doc", "id")
   SparkPlanner.extraRecordKeys.put("linksto", "id")
+  SparkPlanner.extraRecordKeys.put("prof", "id")
+
+  /** Struct-columned table: meta = { a: long, b: string }. */
+  private def profDf = {
+    import spark.implicits._
+    (1 to 4).map(i => (i.toLong, (i.toLong, s"x$i"), i.toLong * 10))
+      .toDF("id", "meta", "score")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("meta").cast("struct<a:bigint,b:string>"),
+        org.apache.spark.sql.functions.col("score"))
+  }
   graft.operators.GraphOps.extraEdgeDefs.put("linksto", ("doc", "doc"))
 
   /** Empty relation table (id, in, out, w) — INSERT RELATION populates it. */
@@ -45,6 +59,10 @@ class SchemaEnforceSpec extends AnyFunSuite {
     case d: Double       => VFloat(d)
     case s: String       => VStr(s)
     case a: Seq[_]       => VArr(a.map(toV).toVector)
+    case r: org.apache.spark.sql.Row =>
+      VObj(scala.collection.immutable.TreeMap(
+        r.schema.fieldNames.zipWithIndex
+          .map { case (n, i) => n -> toV(r.get(i)) }.toIndexedSeq: _*))
     case o               => VStr(o.toString)
   }
 
@@ -58,7 +76,7 @@ class SchemaEnforceSpec extends AnyFunSuite {
       case QOk(v)           => Vector(v)
       case QErr(m)          => fail(s"interp error: $m\n$script")
     }
-    val sdf = Tables.withOverlay(Map("doc" -> df, "linksto" -> linksDf)) {
+    val sdf = Tables.withOverlay(Map("doc" -> df, "linksto" -> linksDf, "prof" -> profDf)) {
       SparkPlanner.script(spark, "/nonexistent", script)
     }
     val srows = sdf.collect().map { r =>
@@ -104,7 +122,7 @@ class SchemaEnforceSpec extends AnyFunSuite {
       .getOrElse(fail(s"interp succeeded where error expected\n$script"))
     assert(imsg.contains(needle), s"interp message `$imsg` lacks `$needle`")
     val smsg = intercept[Throwable] {
-      Tables.withOverlay(Map("doc" -> df, "linksto" -> linksDf)) {
+      Tables.withOverlay(Map("doc" -> df, "linksto" -> linksDf, "prof" -> profDf)) {
         SparkPlanner.script(spark, "/nonexistent", script).collect()
       }
     }.getMessage
@@ -320,6 +338,25 @@ class SchemaEnforceSpec extends AnyFunSuite {
     checkSame("""
       DEFINE PARAM $cut VALUE 25;
       SELECT id, qty FROM doc WHERE qty > $cut ORDER BY id;""")
+  }
+
+  test("nested SET writes one struct field, preserving the rest") {
+    checkSame("""
+      UPDATE prof SET meta.a = meta.a + 100 WHERE score > 15;
+      SELECT id, meta, score FROM prof ORDER BY id;""")
+  }
+
+  test("nested SET on two fields of the same struct folds into one rebuild") {
+    checkSame("""
+      UPDATE prof SET meta.a = 0, meta.b = 'reset' WHERE score = 20;
+      SELECT id, meta FROM prof ORDER BY id;""")
+  }
+
+  test("nested SET mixes with a top-level assignment") {
+    checkSame("""
+      UPDATE prof SET score = score + 1, meta.b = string::uppercase(meta.b)
+        WHERE score < 25;
+      SELECT id, meta, score FROM prof ORDER BY id;""")
   }
 
   test("CANCEL rolls back DEFINE FIELD registrations") {
