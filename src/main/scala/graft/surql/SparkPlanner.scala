@@ -315,9 +315,11 @@ object SparkPlanner {
         overlay += s.table -> applyComputed(s.table,
           planWith(Tables(spark, dir, s.table)))
       case s: DefineFieldStmt =>
-        if (s.field.contains(".") || s.field.contains("["))
+        // dotted struct paths enforce through withField rebuilds; array
+        // element paths ([*]/[N]) stay interpreter-only
+        if (s.field.contains("["))
           throw SqlError(
-            s"SparkPlanner: nested-path DEFINE FIELD `${s.field}` is interpreter-only")
+            s"SparkPlanner: array-element DEFINE FIELD `${s.field}` is interpreter-only")
         fldDefs += s.table -> (fldDefs.getOrElse(s.table, Vector.empty)
           .filterNot(_.field == s.field) :+ s)
       case s: DefineIndexStmt =>
@@ -1883,17 +1885,42 @@ object SparkPlanner {
     v
   }
 
+  /** Root column of a (possibly nested) field path. */
+  private def fieldRoot(f: String): String = f.takeWhile(_ != '.')
+
+  /** The declared Spark type at a nested field path, if resolvable. */
+  private def nestedType(schema: StructType, path: Seq[String]): Option[DataType] =
+    path.foldLeft(Option(schema: DataType)) {
+      case (Some(st: StructType), seg) =>
+        st.fields.find(_.name == seg).map(_.dataType)
+      case _ => scala.None
+    }
+
   /** Apply the table's field pipeline to freshly created rows (the CREATE /
-    * INSERT / UPSERT-insert arms): one projection, all fields at once. */
+    * INSERT / UPSERT-insert arms): one projection, all fields at once.
+    * Nested-path defs (`DEFINE FIELD meta.a …`) rebuild through the parent
+    * struct with `withField`; each value casts back to its declared slot
+    * type so the written schema never drifts from the base table's. */
   private def applyFieldDefs(rows: DataFrame, defs: Seq[DefineFieldStmt],
       ctx0: Ctx, t: String, key: String): DataFrame = {
-    val applicable = defs.filter(d => rows.columns.contains(d.field))
+    val applicable = defs.filter(d => rows.columns.contains(fieldRoot(d.field)))
     if (applicable.isEmpty) return rows
     val ctx = ctx0.copy(schema = rows.schema)
     applicable.foldLeft(rows) { (df, d) =>
-      val dt = df.schema(d.field).dataType
-      df.withColumn(d.field,
-        fieldPipelineCol(d, col(d.field), ctx, t, key, isCreate = true).cast(dt))
+      val root = fieldRoot(d.field)
+      if (d.field == root) {
+        val dt = df.schema(root).dataType
+        df.withColumn(root,
+          fieldPipelineCol(d, col(root), ctx, t, key, isCreate = true).cast(dt))
+      } else {
+        val sub = d.field.drop(root.length + 1)
+        val path = d.field.split('.').toSeq
+        val cur = sub.split('.').foldLeft(col(root))(_.getField(_))
+        val piped = fieldPipelineCol(d, cur, ctx, t, key, isCreate = true)
+        val slot = nestedType(df.schema, path)
+          .map(piped.cast).getOrElse(piped)
+        df.withColumn(root, col(root).withField(sub, slot))
+      }
     }
   }
 
@@ -1902,16 +1929,27 @@ object SparkPlanner {
     * reference recomputes them on every write). */
   private def enforceSets(sets: Map[String, Column], defs: Seq[DefineFieldStmt],
       ctx: Ctx, t: String, key: String): Map[String, Column] = {
-    val defsIn = defs.filter(d => ctx.schema.fieldNames.contains(d.field))
+    val defsIn = defs.filter(d => ctx.schema.fieldNames.contains(fieldRoot(d.field)))
     if (defsIn.isEmpty) return sets
     val withValueFields = defsIn
       .filter(d => d.value.isDefined || (d.defaultAlways && d.default.isDefined))
       .foldLeft(sets)((m, d) =>
-        if (m.contains(d.field)) m else m + (d.field -> col(d.field)))
+        if (m.contains(fieldRoot(d.field))) m
+        else m + (fieldRoot(d.field) -> col(fieldRoot(d.field))))
     withValueFields.map { case (f, v0) =>
-      defsIn.find(_.field == f) match {
-        case Some(d) => f -> fieldPipelineCol(d, v0, ctx, t, key, isCreate = false)
-        case scala.None => f -> v0
+      val applicable = defsIn.filter(d => fieldRoot(d.field) == f)
+      f -> applicable.foldLeft(v0) { (acc, d) =>
+        if (d.field == f) fieldPipelineCol(d, acc, ctx, t, key, isCreate = false)
+        else {
+          // nested def: run the pipeline on the post-write slot value and
+          // fold it back into the (possibly already rebuilt) parent struct
+          val sub = d.field.drop(f.length + 1)
+          val cur = sub.split('.').foldLeft(acc)(_.getField(_))
+          val piped = fieldPipelineCol(d, cur, ctx, t, key, isCreate = false)
+          val slot = nestedType(ctx.schema, d.field.split('.').toSeq)
+            .map(piped.cast).getOrElse(piped)
+          acc.withField(sub, slot)
+        }
       }
     }
   }

@@ -359,6 +359,21 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, meta, score FROM prof ORDER BY id;""")
   }
 
+  test("nested DEFINE FIELD VALUE recomputes the struct slot on write") {
+    checkSame("""
+      DEFINE FIELD meta.a ON prof VALUE $value * 10;
+      UPDATE prof SET meta.a = meta.a + 1 WHERE score = 20;
+      SELECT id, meta FROM prof ORDER BY id;""")
+  }
+
+  test("nested DEFINE FIELD ASSERT rejects a bad slot write") {
+    checkBothError("""
+      DEFINE FIELD meta.a ON prof ASSERT $value < 100;
+      UPDATE prof SET meta.a = 500 WHERE score = 20;
+      SELECT id, meta FROM prof ORDER BY id;""",
+      "must conform to")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
