@@ -31,6 +31,11 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         s"tags = [${tags.map(t => s"'$t'").mkString(", ")}];"
     }.mkString("\n")
 
+  private val profScript: String =
+    (1L to 12L).map { i =>
+      s"CREATE prof:$i SET meta = { a: $i, b: 'x${i % 4}' }, score = ${i * 5};"
+    }.mkString("\n")
+
   private val edges: Seq[(Long, Long, Long)] =
     (1L to 30L).map(i => (i, i * 7 % 30 + 1, i)) ++
       (2L to 30L by 2).map(i => (i, i * 3 % 30 + 1, i + 100))
@@ -44,6 +49,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     val in = new Interp
     in.run(Parser.parse(fixtureScript))
     in.run(Parser.parse(edgeScript))
+    in.run(Parser.parse(profScript))
     in
   }
 
@@ -56,6 +62,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }.toDF("id", "grp", "qty", "price", "num", "name", "buddy", "opt", "ts", "tags")
   }
 
+  private lazy val profDf = {
+    import spark.implicits._
+    (1L to 12L).map(i => (i, (i, s"x${i % 4}"), i * 5))
+      .toDF("id", "meta", "score")
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("meta").cast("struct<a:bigint,b:string>"),
+        org.apache.spark.sql.functions.col("score"))
+  }
+
   private lazy val likesDf = {
     import spark.implicits._
     edges.map { case (a, b, w) => (s"e${a}x${b}x$w", a, b, w) }
@@ -63,6 +78,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   }
 
   SparkPlanner.extraRecordKeys.put("item", "id")
+  SparkPlanner.extraRecordKeys.put("prof", "id")
   SparkPlanner.extraLinks.put(("item", "buddy"), ("item", "id"))
   graft.operators.GraphOps.extraEdgeDefs.put("likes", ("item", "item"))
 
@@ -85,7 +101,7 @@ class FuzzDifferentialSpec extends AnyFunSuite {
 
   private def checkSame(surql: String): Unit = {
     val ires = interp.run(Parser.parse(surql)).last
-    val sdf = Tables.withOverlay(Map("item" -> df, "likes" -> likesDf)) {
+    val sdf = Tables.withOverlay(Map("item" -> df, "likes" -> likesDf, "prof" -> profDf)) {
       SparkPlanner.query(spark, "/nonexistent", surql)
     }
     val iv = ires match {
@@ -214,7 +230,20 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(37) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(38) match {
+    case 37 => // nested struct idioms over the prof table
+      val proj = r.nextInt(4) match {
+        case 0 => "meta.a AS ma, meta.b AS mb"
+        case 1 => s"(meta.a * ${r.nextInt(4) + 1}) AS m2"
+        case 2 => "string::uppercase(meta.b) AS ub"
+        case _ => "meta AS m"
+      }
+      val whereC = r.nextInt(3) match {
+        case 0 => s" WHERE meta.a ${Seq("<", ">", "<=", ">=")(r.nextInt(4))} ${r.nextInt(12) + 1}"
+        case 1 => s" WHERE meta.b = 'x${r.nextInt(4)}'"
+        case _ => ""
+      }
+      s"SELECT id, $proj FROM prof$whereC ORDER BY id LIMIT ${r.nextInt(10) + 3}"
     case 36 => // graph arrows in WHERE + edge-condition arrows
       val pred = r.nextInt(4) match {
         case 0 => s"array::len(->likes->item) > ${r.nextInt(2)}"
@@ -497,8 +526,9 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   private def checkScript(script: String): Unit = {
     val in = new Interp
     in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse(profScript))
     val ires = in.run(Parser.parse(script)).last
-    val sdf = Tables.withOverlay(Map("item" -> df)) {
+    val sdf = Tables.withOverlay(Map("item" -> df, "prof" -> profDf)) {
       SparkPlanner.script(spark, "/nonexistent", script)
     }
     val iv = ires match {
@@ -522,6 +552,12 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         val ok = (s0.fields(k), i0.fields(k)) match {
           case (VFloat(a), VFloat(b)) =>
             java.lang.Double.doubleToLongBits(a) == java.lang.Double.doubleToLongBits(b)
+          // the Spark column model carries the raw record KEY
+          case (sv, graft.surql.VRid(_, ik)) => sv == ik ||
+            ((sv, ik) match {
+              case (a: graft.surql.VNum, b: graft.surql.VNum) => a.toDouble == b.toDouble
+              case _ => false
+            })
           case (a: graft.surql.VNum, b: graft.surql.VNum) => a.toDouble == b.toDouble
           // the Spark column model renders an ABSENT field (NONE) as null
           case (graft.surql.VNull, graft.surql.VNone) => true
@@ -537,7 +573,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(13) match {
+    val mut = r.nextInt(14) match {
+      case 13 =>
+        // nested struct writes on the prof table
+        select = "SELECT id, meta, score FROM prof ORDER BY id;"
+        r.nextInt(3) match {
+          case 0 => s"UPDATE prof SET meta.a = meta.a + ${r.nextInt(9) + 1} WHERE score ${Seq("<", ">")(r.nextInt(2))} ${r.nextInt(60)};"
+          case 1 => s"UPDATE prof SET meta.b = string::uppercase(meta.b), score = score + 1 WHERE meta.a ${Seq("<", ">")(r.nextInt(2))} ${r.nextInt(12)};"
+          case _ => s"UPDATE prof SET meta.a = 0, meta.b = 'z${r.nextInt(5)}' WHERE meta.b = 'x${r.nextInt(4)}';"
+        }
       case 11 =>
         // object-literal INSERT (single or array), fresh ids
         val k1 = r.nextInt(40) + 31
