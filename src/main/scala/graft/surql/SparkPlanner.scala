@@ -1729,10 +1729,28 @@ object SparkPlanner {
         }
       case Some(ContentData(ObjLit(fs))) =>
         fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
-      // MERGE is a partial object merge — for flat objects, identical to a
-      // SET of each field (doc/alter.rs merge arm)
+      // MERGE is a DEEP partial merge (doc/alter.rs merge arm): a nested
+      // object value merges into the struct slot field-by-field — the
+      // untouched siblings survive — while scalar values assign directly
       case Some(MergeData(ObjLit(fs))) =>
-        fs.map { case (n, e) => n -> toCol(e, ctx) }.toMap
+        def mergeInto(cur: Column, path: Seq[String],
+            o: Seq[(String, Expr)]): Column =
+          o.foldLeft(cur) { case (acc, (k, v)) =>
+            val slotT = nestedType(ctx.schema, path :+ k)
+            v match {
+              case ObjLit(inner) if slotT.exists(_.isInstanceOf[StructType]) =>
+                acc.withField(k, mergeInto(acc.getField(k), path :+ k, inner))
+              case e =>
+                val c = toCol(e, ctx)
+                acc.withField(k, slotT.map(c.cast).getOrElse(c))
+            }
+          }
+        fs.map {
+          case (n, ObjLit(inner))
+              if nestedType(ctx.schema, Seq(n)).exists(_.isInstanceOf[StructType]) =>
+            n -> mergeInto(col(n), Seq(n), inner)
+          case (n, e) => n -> toCol(e, ctx)
+        }.toMap
       // UNSET removes the field (doc/alter.rs unset arm) — the Spark column
       // model renders an absent field as NULL
       case Some(UnsetData(fields)) =>

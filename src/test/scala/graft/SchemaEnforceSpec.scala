@@ -374,6 +374,12 @@ class SchemaEnforceSpec extends AnyFunSuite {
       "must conform to")
   }
 
+  test("MERGE deep-merges a nested object, preserving untouched siblings") {
+    checkSame("""
+      UPDATE prof MERGE { meta: { a: 99 } } WHERE score = 20;
+      SELECT id, meta FROM prof ORDER BY id;""")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
