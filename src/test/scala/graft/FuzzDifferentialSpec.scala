@@ -577,9 +577,10 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case 13 =>
         // nested struct writes on the prof table
         select = "SELECT id, meta, score FROM prof ORDER BY id;"
-        r.nextInt(3) match {
+        r.nextInt(4) match {
           case 0 => s"UPDATE prof SET meta.a = meta.a + ${r.nextInt(9) + 1} WHERE score ${Seq("<", ">")(r.nextInt(2))} ${r.nextInt(60)};"
           case 1 => s"UPDATE prof SET meta.b = string::uppercase(meta.b), score = score + 1 WHERE meta.a ${Seq("<", ">")(r.nextInt(2))} ${r.nextInt(12)};"
+          case 2 => s"UPDATE prof MERGE { meta: { a: ${r.nextInt(50)} } } WHERE meta.b = 'x${r.nextInt(4)}';"
           case _ => s"UPDATE prof SET meta.a = 0, meta.b = 'z${r.nextInt(5)}' WHERE meta.b = 'x${r.nextInt(4)}';"
         }
       case 11 =>
