@@ -380,6 +380,12 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, meta FROM prof ORDER BY id;""")
   }
 
+  test("CREATE with a struct literal conforms to the column type") {
+    checkSame("""
+      CREATE prof:13 SET meta = { a: 13, b: 'q' }, score = 65;
+      SELECT id, meta, score FROM prof ORDER BY id;""")
+  }
+
   test("CANCEL rolls back DEFINE FIELD registrations") {
     checkSame("""
       BEGIN;
