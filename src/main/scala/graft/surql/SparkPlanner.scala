@@ -2593,6 +2593,16 @@ object SparkPlanner {
         element_at(col(a), (Eval.evalConst(ie) match {
           case VInt(i) => i.toInt; case _ => 0
         }) + 1)
+      // `arr[i].field…` — index into an array of structs, then walk fields
+      case Idiom(PField(a) +: PIndex(ie) +: rest)
+          if rest.nonEmpty && rest.forall(_.isInstanceOf[PField]) =>
+        val el = element_at(col(a), (Eval.evalConst(ie) match {
+          case VInt(i) => i.toInt; case _ => 0
+        }) + 1)
+        rest.foldLeft(el) {
+          case (acc, PField(f)) => acc.getField(f)
+          case (acc, _) => acc
+        }
       // deeper field paths navigate struct columns (`doc.address.segment`);
       // a trailing [i] indexes the array at the path
       case Idiom(parts) if parts.nonEmpty && parts.forall(_.isInstanceOf[PField]) =>

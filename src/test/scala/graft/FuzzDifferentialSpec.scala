@@ -33,7 +33,8 @@ class FuzzDifferentialSpec extends AnyFunSuite {
 
   private val profScript: String =
     (1L to 12L).map { i =>
-      s"CREATE prof:$i SET meta = { a: $i, b: 'x${i % 4}' }, score = ${i * 5};"
+      s"CREATE prof:$i SET meta = { a: $i, b: 'x${i % 4}' }, score = ${i * 5}, " +
+        s"hist = [{ q: $i, p: ${i * 2} }, { q: ${i + 1}, p: 0 }];"
     }.mkString("\n")
 
   private val edges: Seq[(Long, Long, Long)] =
@@ -64,11 +65,13 @@ class FuzzDifferentialSpec extends AnyFunSuite {
 
   private lazy val profDf = {
     import spark.implicits._
-    (1L to 12L).map(i => (i, (i, s"x${i % 4}"), i * 5))
-      .toDF("id", "meta", "score")
+    (1L to 12L).map(i => (i, (i, s"x${i % 4}"), i * 5,
+        Seq((i, i * 2), (i + 1, 0L))))
+      .toDF("id", "meta", "score", "hist")
       .select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("meta").cast("struct<a:bigint,b:string>"),
-        org.apache.spark.sql.functions.col("score"))
+        org.apache.spark.sql.functions.col("score"),
+        org.apache.spark.sql.functions.col("hist").cast("array<struct<q:bigint,p:bigint>>"))
   }
 
   private lazy val likesDf = {
@@ -230,7 +233,16 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(38) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(39) match {
+    case 38 => // array-of-struct idioms over prof.hist
+      val proj = r.nextInt(5) match {
+        case 0 => s"hist[WHERE q > ${r.nextInt(10)}] AS h"
+        case 1 => "hist[*].q AS qs"
+        case 2 => "array::len(hist) AS n"
+        case 3 => "hist[0].p AS p0"
+        case _ => s"math::sum(hist[*].p) AS sp"
+      }
+      s"SELECT id, $proj FROM prof ORDER BY id LIMIT ${r.nextInt(10) + 3}"
     case 37 => // nested struct idioms over the prof table
       val proj = r.nextInt(4) match {
         case 0 => "meta.a AS ma, meta.b AS mb"
