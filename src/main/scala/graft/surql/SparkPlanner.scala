@@ -533,6 +533,8 @@ object SparkPlanner {
               (base.unionByName(fresh), fresh,
                 shapeOutput(fresh, fresh, s.output, ctx))
             case Some(sets) =>
+              if (s.output.contains(Output.ODiff))
+                throw SqlError("SparkPlanner: RETURN DIFF with ON DUPLICATE KEY UPDATE is unsupported")
               // MERGE arms over the whole table: untouched ∪ dup-updated ∪ fresh
               val dupSets = enforceSets(
                 setMap(Some(SetData(sets)), ctx, requireExisting = true),
@@ -1809,6 +1811,17 @@ object SparkPlanner {
     case Some(Output.ONull)   => after.select(lit(null).as("value"))
     case Some(Output.OFields(fields)) =>
       after.select(fields.map(f => toCol(f.expr, ctx).as(fieldAlias(f))): _*)
+    case Some(Output.ODiff) =>
+      // JSON-patch between the before/after documents (val/value/diff.rs);
+      // a same-frame pair is a pure creation → root replace, no join.
+      val key = recordKey.get(ctx.table).getOrElse(throw SqlError(
+        "SparkPlanner: RETURN DIFF needs a keyed table target"))
+      val linkMap = ctx.schema.fieldNames.toIndexedSeq
+        .flatMap(c => links.get((ctx.table, c)).map(t => c -> t._1)).toMap
+      if (before eq after)
+        graft.operators.Mutations.createDiff(after, ctx.table, key, linkMap)
+      else
+        graft.operators.Mutations.returnDiff(before, after, ctx.table, key, linkMap)
     case Some(other) => throw SqlError(s"SparkPlanner: unsupported RETURN $other")
   }
 
@@ -2117,6 +2130,11 @@ object SparkPlanner {
         val updated = graft.operators.Mutations.update(existing, lit(true), dupSets)
         fresh.unionByName(updated)
     }
+    // RETURN DIFF + ON DUPLICATE would mislabel updated rows as creations
+    // (the result frame can't tell the arms apart) — refuse rather than lie.
+    if (s.output.contains(Output.ODiff) && s.onDuplicate.nonEmpty)
+      throw SqlError(
+        "SparkPlanner: RETURN DIFF with ON DUPLICATE KEY UPDATE is unsupported")
     shapeOutput(result, result, s.output, ctx)
   }
 
@@ -2169,7 +2187,13 @@ object SparkPlanner {
       .reduceOption(_ && _).getOrElse(lit(true))
     val (_, deleted) = graft.operators.Mutations.delete(base, cond)
     // DELETE defaults to RETURN NONE; BEFORE/fields evaluate on deleted rows
-    shapeOutput(deleted, deleted, s.output.orElse(Some(Output.OBefore)), ctx)
+    if (s.output.contains(Output.ODiff)) {
+      // deletion diff = object→none, a constant root replace-with-null
+      // (Interp.valueDiff on (doc, NONE)); no render pass needed.
+      val key = recordKey(table)
+      deleted.select(col(key).cast("string").as(key),
+        lit("""[{"op":"replace","path":"","value":null}]""").as("diff"))
+    } else shapeOutput(deleted, deleted, s.output.orElse(Some(Output.OBefore)), ctx)
   }
 
   /** RELATE from->edge->to SET …: the cartesian pairing of the two id sets
