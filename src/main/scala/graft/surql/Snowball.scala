@@ -219,9 +219,11 @@ object Snowball {
     w = sb.toString
     val r1 = scandR1(w, deVowels) // same min-3 adjustment as the spec
     val r2 = {
+      // Same vowel set as the R1 scan: u/y marked as consonants (U/Y) by the
+      // prelude must stay consonants here too (no .toLower).
       var j = r1
-      while (j < w.length && !deVowels.contains(w(j).toLower)) j += 1
-      while (j < w.length && deVowels.contains(w(j).toLower)) j += 1
+      while (j < w.length && !deVowels.contains(w(j))) j += 1
+      while (j < w.length && deVowels.contains(w(j))) j += 1
       if (j < w.length) j + 1 else w.length
     }
     def inR1(n: Int) = w.length - n >= r1
@@ -334,9 +336,15 @@ object Snowball {
         stem.endsWith(b) && (stem.length - b.length) >= rvStart
       val accented = Seq("ándo", "iéndo", "ár", "ér", "ír")
       val plain = Seq("ando", "iendo", "ar", "er", "ir")
-      if (accented.exists(baseInRV)) w = stem.map(esDeaccent)
-      else if (plain.exists(baseInRV) ||
-        (stem.endsWith("uyendo") && (stem.length - 5) >= rvStart)) w = stem
+      // Only the accent IN the matched suffix is removed (spec: "in which case
+      // the accent is removed"); accents earlier in the word must survive so
+      // later steps can still match accented suffixes like -ación.
+      accented.find(baseInRV) match {
+        case Some(b) => w = stem.dropRight(b.length) + b.map(esDeaccent)
+        case None =>
+          if (plain.exists(baseInRV) ||
+              (stem.endsWith("uyendo") && (stem.length - 5) >= rvStart)) w = stem
+      }
     }
 
     val n0 = w.length
