@@ -4649,16 +4649,25 @@ final class Interp {
       val idDup = t.keys.find(V.looseEq(_, key))
       val existingKey =
         if (s.ignore || s.onDuplicate.isDefined) idDup.orElse(idxConflict) else idDup
-      val produced: Option[V] = existingKey match {
+      val produced: Option[(Option[VObj], V)] = existingKey match {
         case Some(k0) =>
           if (s.ignore) scala.None
           else s.onDuplicate match {
             case Some(sets) =>
               val doc = t(t.keys.find(V.looseEq(_, k0)).get)
-              val updated = applyData(doc, Some(SetData(sets)), env.copy(doc = Some(doc)))
+              val updated0 = applyData(doc, Some(SetData(sets)), env.copy(doc = Some(doc)))
+              // the update arm is a full document write — the field pipeline
+              // (VALUE/ASSERT/TYPE, doc/field.rs) runs like any UPDATE
+              val erid = doc.fields.get("id") match {
+                case Some(r: VRid) => r
+                case _ => VRid(tb, k0)
+              }
+              val updated = applyFieldPipeline(tb, erid, updated0, Some(doc), isCreate = false, env)
               t(t.keys.find(V.looseEq(_, k0)).get) = updated
               fireEvents(tb, Some(doc), Some(updated), env)
-              Some(updated)
+              // the update arm has a real initial document, so RETURN
+              // DIFF/BEFORE see it (doc/pluck.rs diffs initial→current)
+              Some((Some(doc), updated))
             case scala.None =>
               throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
           }
@@ -4668,10 +4677,10 @@ final class Interp {
           checkUniqueIndexes(tb, rid, doc)
           t(key) = doc
           fireEvents(tb, scala.None, Some(doc), env, Some(doc0))
-          Some(doc)
+          Some((scala.None, doc))
       }
-      produced.foreach { doc =>
-        shapeOutput(scala.None, Some(doc.asInstanceOf[VObj]), s.output, env)
+      produced.foreach { case (bef, doc) =>
+        shapeOutput(bef, Some(doc.asInstanceOf[VObj]), s.output, env)
           .foreach(results += _)
       }
     }

@@ -480,6 +480,14 @@ object SparkPlanner {
               s"SparkPlanner: CREATE target must be a record id, got $other")
           }
           val t = targets.head._1
+          // CREATE t:1, t:1 — the reference processes targets sequentially,
+          // so a repeated id is already a duplicate when its second target
+          // lands (same error as creating an existing id)
+          targets.map(_._2).zipWithIndex.foreach { case (k, i) =>
+            if (targets.take(i).exists(p => V.looseEq(p._2, k)))
+              throw SqlError(
+                s"Database record `${Render.sql(VRid(t, k))}` already exists")
+          }
           val base = Tables(spark, dir, t)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val sets = setMap(s.data, ctx, requireExisting = true)
@@ -521,34 +529,22 @@ object SparkPlanner {
           val base = Tables(spark, dir, t)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val key = recordKey(t)
-          val rows = insertRows(spark, dir, s.values, t, base, params, s.relation)
-          insertClashProbe(s, rows, base, t, key)
-          val fresh0 = rows.join(base.select(key), Seq(key), "left_anti")
-          val fresh1 = actionPermCond(spark, dir, t, "create", base.schema)
-            .map(fresh0.filter).getOrElse(fresh0)
-          val fresh = applyFieldDefs(fresh1,
-            fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
-          val (after, changed, ret) = s.onDuplicate match {
-            case scala.None =>
-              (base.unionByName(fresh), fresh,
-                shapeOutput(fresh, fresh, s.output, ctx))
-            case Some(sets) =>
-              if (s.output.contains(Output.ODiff))
-                throw SqlError("SparkPlanner: RETURN DIFF with ON DUPLICATE KEY UPDATE is unsupported")
-              // MERGE arms over the whole table: untouched ∪ dup-updated ∪ fresh
-              val dupSets = enforceSets(
-                setMap(Some(SetData(sets)), ctx, requireExisting = true),
-                fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
-              val untouched = base.join(rows.select(key), Seq(key), "left_anti")
-              val updated = graft.operators.Mutations.update(
-                base.join(rows.select(key), Seq(key), "left_semi"), lit(true), dupSets)
-              val result = fresh.unionByName(updated)
-              (untouched.unionByName(updated).unionByName(fresh), result,
-                shapeOutput(result, result, s.output, ctx))
+          val (rows, maxMult) = insertRows(spark, dir, s.values, t, base, params, s.relation)
+          val pipeline = (firsts: DataFrame) => {
+            // a denied create is silently skipped (doc/allow.rs)
+            val f1 = actionPermCond(spark, dir, t, "create", base.schema)
+              .map(firsts.filter).getOrElse(firsts)
+            applyFieldDefs(f1, fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
           }
+          val dupSetsOf = () => s.onDuplicate.map(sets => enforceSets(
+            setMap(Some(SetData(sets)), ctx, requireExisting = true),
+            fldDefs.getOrElse(t, Vector.empty), ctx, t, key)).getOrElse(Map.empty)
+          val (after, changed, diffOpt) =
+            insertArms(spark, s, base, ctx, t, key, rows, maxMult, pipeline, dupSetsOf)
           checkUniqueIndexes(t, after, changed,
             uniqDefs.getOrElse(t, Vector.empty), key)
-          (t, base, after, ret)
+          (t, base, after,
+            diffOpt.getOrElse(shapeOutput(changed, changed, s.output, ctx)))
         }
         applyMut(table, base, after, ret)
       case s: UpsertStmt =>
@@ -2017,20 +2013,28 @@ object SparkPlanner {
   /** INSERT values → incoming rows conformed to the table schema: a
     * sub-select plans directly; object-literal rows — single or array,
     * the VALUES arm of expr/statements/insert.rs — synthesize constant
-    * rows. Unknown fields error like unknown SET columns. */
+    * rows. Unknown fields error like unknown SET columns.
+    *
+    * Rows carry a [[SeqC]] ordinal (the batch row order — the reference
+    * processes INSERT rows sequentially, so duplicate handling is
+    * order-sensitive). Returns the max record-key multiplicity within the
+    * batch when it is driver-known (literal rows; matched with the same
+    * loose key equality Interp uses) — `Some(1)` lets the planner skip all
+    * duplicate machinery; `None` (sub-select source) means unknown. */
   private def insertRows(spark: SparkSession, dir: String, values: Expr,
       table: String, base: DataFrame, params: Map[String, V],
-      relation: Boolean = false): DataFrame =
+      relation: Boolean = false): (DataFrame, Option[Int]) =
     values match {
       case Subquery(sel: SelectStmt) =>
         val rows0 = planSelect(spark, dir, sel, params)
         val extra = rows0.columns.filterNot(base.columns.contains)
         if (extra.nonEmpty)
           throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
-        rows0.select(base.schema.fields.map { sf =>
+        (rows0.select(base.schema.fields.map { sf =>
           (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
             .cast(sf.dataType).as(sf.name)
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*).withColumn(SeqC, monotonically_increasing_id()),
+          scala.None)
       case v @ (_: ArrLit | _: ObjLit) =>
         val objs = Eval.evalConst(Subst.expr(v, params)) match {
           case VArr(items) => items.collect { case o: VObj => o }
@@ -2052,32 +2056,135 @@ object SparkPlanner {
           }
         }
         val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
-        objs.map { o =>
+        val rows = objs.zipWithIndex.map { case (o, i) =>
           val extra = o.fields.keys.filterNot(base.columns.contains)
           if (extra.nonEmpty)
             throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
           val cols = base.schema.fields.map { sf =>
             o.fields.get(sf.name).map(vv => toCol(Lit(vv), ctx))
               .getOrElse(lit(null)).cast(sf.dataType).as(sf.name)
-          }
+          } :+ lit(i.toLong).as(SeqC)
           spark.range(1).select(cols.toIndexedSeq: _*)
         }.reduce(_ unionByName _)
+        // literal batches expose their keys to the driver: max multiplicity
+        // under the same loose equality Interp matches record keys with
+        val keyName = recordKey.get(table)
+        val keys = objs.flatMap(o => keyName.flatMap(o.fields.get)).map {
+          case VRid(_, k) => k
+          case v => v
+        }
+        val classes = scala.collection.mutable.ArrayBuffer[(V, Int)]()
+        keys.foreach { k =>
+          classes.indexWhere(c => V.looseEq(c._1, k)) match {
+            case -1 => classes += ((k, 1))
+            case i  => classes(i) = (classes(i)._1, classes(i)._2 + 1)
+          }
+        }
+        (rows, Some(classes.map(_._2).maxOption.getOrElse(1)))
       case other => throw SqlError(
         s"SparkPlanner: unsupported INSERT values $other")
     }
 
-  /** Plain INSERT on an existing record id errors (Interp execInsert:
-    * "Database record … already exists"); IGNORE and ON DUPLICATE reroute
-    * instead, so only the bare form probes. */
-  private def insertClashProbe(s: InsertStmt, rows: DataFrame,
-      base: DataFrame, table: String, key: String): Unit =
+  /** Batch-row ordinal column threaded by [[insertRows]] through the INSERT
+    * arms — carries the reference's sequential row order. */
+  private val SeqC = "__seq"
+
+  /** The MERGE arms of an INSERT batch with the reference's sequential row
+    * semantics (expr/statements/insert.rs processes rows in order, mirrored
+    * by Interp execInsert): a record id repeated WITHIN one batch is already
+    * a duplicate when its second row lands, so the bare form errors on the
+    * first clashing row (against the base table OR an earlier batch row),
+    * IGNORE keeps only each key's first occurrence, and ON DUPLICATE routes
+    * every later occurrence through the update arm — its SETs apply once per
+    * extra occurrence, each application observing the previous one.
+    *
+    * Returns (after, result, diffOverride): the post-mutation table state,
+    * the per-input-row produced documents (one per occurrence, matching the
+    * reference's output multiset), and — when RETURN DIFF meets ON DUPLICATE
+    * — the per-occurrence JSON-patch frame (create arm: root replace; update
+    * arm: patch between consecutive applied states, doc/pluck.rs
+    * Output::Diff initial→current).
+    *
+    * Scale shape: one left join against the base keys (the same join the
+    * plain anti-join guard costs), a key-partitioned window ONLY when the
+    * batch can actually contain duplicates, and `maxMult` chained
+    * conditional-update selects — driver-known for literal batches, one tiny
+    * aggregate probe for sub-select sources. */
+  private def insertArms(spark: SparkSession, s: InsertStmt, base: DataFrame,
+      ctx: Ctx, t: String, key: String, rows: DataFrame, maxMultHint: Option[Int],
+      pipeline: DataFrame => DataFrame,
+      dupSetsOf: () => Map[String, Column]): (DataFrame, DataFrame, Option[DataFrame]) = {
+    import org.apache.spark.sql.expressions.Window
+    val marked0 = rows.join(
+      base.select(col(key), lit(true).as("__inb")), Seq(key), "left")
+    val marked =
+      if (maxMultHint.contains(1)) marked0.withColumn("__rn", lit(1))
+      else marked0.withColumn("__rn",
+        when(col(key).isNull, lit(1)) // keyless rows auto-generate ids — never clash
+          .otherwise(row_number().over(
+            Window.partitionBy(col(key)).orderBy(col(SeqC)))))
     if (!s.ignore && s.onDuplicate.isEmpty) {
-      val clash = rows.join(base, Seq(key), "left_semi")
-        .select(key).limit(1).collect()
+      val clash = marked.filter(col("__inb") === true || col("__rn") > 1)
+        .orderBy(SeqC).select(key).limit(1).collect()
       clash.headOption.foreach { r =>
-        throw SqlError(s"Database record `$table:${r.get(0)}` already exists")
+        throw SqlError(s"Database record `$t:${r.get(0)}` already exists")
       }
     }
+    val firsts = marked.filter(col("__rn") === 1 && col("__inb").isNull)
+      .drop("__inb", "__rn", SeqC)
+    val fresh = pipeline(firsts)
+    s.onDuplicate match {
+      case scala.None =>
+        // clashing base rows stay untouched (bare form errored above;
+        // IGNORE skips), so the new state is simply base ∪ fresh
+        (base.unionByName(fresh), fresh, scala.None)
+      case Some(_) =>
+        val untouched = base.join(rows.select(key), Seq(key), "left_anti")
+        val dupSets = dupSetsOf()
+        val maxMult = maxMultHint.getOrElse {
+          marked.filter(col(key).isNotNull).groupBy(col(key))
+            .agg(count(lit(1)).as("__m")).agg(max(col("__m")).as("__mm"))
+            .collect().headOption
+            .collect { case r if !r.isNullAt(0) => r.getLong(0).toInt }
+            .getOrElse(1)
+        }
+        val counts = marked.filter(col(key).isNotNull).groupBy(col(key))
+          .agg(count(lit(1)).as("__mult"), max(col("__inb")).as("__kinb"))
+        // existing keys take all `mult` occurrences through the update arm;
+        // fresh duplicated keys insert once then update `mult - 1` times
+        val updBase = base.join(
+          counts.filter(col("__kinb") === true)
+            .select(col(key), col("__mult").as("__apps")), Seq(key), "inner")
+        val freshDup = counts.filter(col("__kinb").isNull && col("__mult") > 1)
+          .select(col(key), (col("__mult") - 1).as("__apps"))
+        val freshSolo = fresh.join(freshDup.select(key), Seq(key), "left_anti")
+        var cur = updBase.unionByName(fresh.join(freshDup, Seq(key), "inner"))
+        val levels = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
+        val outs = scala.collection.mutable.ArrayBuffer[DataFrame]()
+        (1 to maxMult).foreach { i =>
+          cur = graft.operators.Mutations.update(cur, col("__apps") >= i, dupSets)
+          levels += cur
+          outs += cur.filter(col("__apps") >= i).drop("__apps")
+        }
+        val result = (fresh +: outs.toSeq).reduce(_ unionByName _)
+        val after = untouched.unionByName(freshSolo).unionByName(cur.drop("__apps"))
+        val diff =
+          if (!s.output.contains(Output.ODiff)) scala.None
+          else {
+            val linkMap = ctx.schema.fieldNames.toIndexedSeq
+              .flatMap(c => links.get((ctx.table, c)).map(x => c -> x._1)).toMap
+            val d0 = graft.operators.Mutations.createDiff(fresh, t, key, linkMap)
+            val ds = (1 to maxMult).map { i =>
+              graft.operators.Mutations.returnDiff(
+                levels(i - 1).filter(col("__apps") >= i).drop("__apps"),
+                levels(i).filter(col("__apps") >= i).drop("__apps"),
+                t, key, linkMap)
+            }
+            Some((d0 +: ds).reduce(_ unionByName _))
+          }
+        (after, result, diff)
+    }
+  }
 
   /** CREATE table:id … — synthesized rows behind the duplicate-id anti-join
     * guard (reference errors on existing ids; the guard excludes them the
@@ -2095,6 +2202,12 @@ object SparkPlanner {
     val table = targets.head._1
     if (!targets.forall(_._1 == table))
       throw SqlError("SparkPlanner: CREATE across tables is unsupported")
+    // repeated target ids duplicate sequentially (see the script-path guard)
+    targets.map(_._2).zipWithIndex.foreach { case (k, i) =>
+      if (targets.take(i).exists(p => V.looseEq(p._2, k)))
+        throw SqlError(
+          s"Database record `${Render.sql(VRid(table, k))}` already exists")
+    }
     val base = Tables(spark, dir, table)
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
     val sets = setMap(s.data, ctx, requireExisting = true)
@@ -2119,23 +2232,13 @@ object SparkPlanner {
     val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
     val key = recordKey.getOrElse(table,
       throw SqlError(s"SparkPlanner: no record key for table $table"))
-    val rows = insertRows(spark, dir, s.values, table, base, Map.empty, s.relation)
-    insertClashProbe(s, rows, base, table, key)
-    val fresh = rows.join(base.select(key), Seq(key), "left_anti")
-    val result = s.onDuplicate match {
-      case scala.None => fresh
-      case Some(sets) =>
-        val dupSets = setMap(Some(SetData(sets)), ctx, requireExisting = true)
-        val existing = base.join(rows.select(key), Seq(key), "left_semi")
-        val updated = graft.operators.Mutations.update(existing, lit(true), dupSets)
-        fresh.unionByName(updated)
-    }
-    // RETURN DIFF + ON DUPLICATE would mislabel updated rows as creations
-    // (the result frame can't tell the arms apart) — refuse rather than lie.
-    if (s.output.contains(Output.ODiff) && s.onDuplicate.nonEmpty)
-      throw SqlError(
-        "SparkPlanner: RETURN DIFF with ON DUPLICATE KEY UPDATE is unsupported")
-    shapeOutput(result, result, s.output, ctx)
+    val (rows, maxMult) = insertRows(spark, dir, s.values, table, base, Map.empty, s.relation)
+    val dupSetsOf = () => s.onDuplicate
+      .map(sets => setMap(Some(SetData(sets)), ctx, requireExisting = true))
+      .getOrElse(Map.empty)
+    val (_, result, diffOpt) =
+      insertArms(spark, s, base, ctx, table, key, rows, maxMult, identity, dupSetsOf)
+    diffOpt.getOrElse(shapeOutput(result, result, s.output, ctx))
   }
 
   private def planUpdate(spark: SparkSession, dir: String, s: UpdateStmt): DataFrame = {

@@ -585,7 +585,22 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(14) match {
+    val mut = r.nextInt(15) match {
+      case 14 =>
+        // intra-batch duplicate record ids: IGNORE keeps the first
+        // occurrence; ON DUPLICATE routes later occurrences through the
+        // update arm once each (sequential row semantics)
+        val k = r.nextInt(60) + 1 // ~half existing (1..30), half fresh
+        if (r.nextBoolean())
+          s"""INSERT IGNORE INTO item [
+                { id: $k, grp: 'x', qty: ${r.nextInt(9)}, price: 1.5, name: 'zA$k' },
+                { id: $k, grp: 'y', qty: 99, price: 2.5, name: 'zB$k' }];"""
+        else
+          s"""INSERT INTO item [
+                { id: $k, grp: 'x', qty: ${r.nextInt(5)}, price: 1.5, name: 'zA$k' },
+                { id: $k, grp: 'y', qty: ${r.nextInt(5)}, price: 2.5, name: 'zB$k' },
+                { id: ${r.nextInt(40) + 91}, grp: 'z', qty: 1, price: 3.5, name: 'zC$k' }]
+              ON DUPLICATE KEY UPDATE qty += ${r.nextInt(3) + 1};"""
       case 13 =>
         // nested struct writes on the prof table
         select = "SELECT id, meta, score FROM prof ORDER BY id;"

@@ -394,4 +394,81 @@ class SchemaEnforceSpec extends AnyFunSuite {
       UPDATE doc SET qty = qty + 1 WHERE id = 1;
       SELECT id, qty FROM doc ORDER BY id;""")
   }
+
+  // ---- intra-batch duplicate record ids (sequential row semantics) -------
+
+  test("plain INSERT with a duplicate id WITHIN one batch errors") {
+    checkBothError("""
+      INSERT INTO doc [{ id: 7, grp: 'x', qty: 70, score: 7.5, label: 'L7' },
+                       { id: 7, grp: 'y', qty: 71, score: 7.6, label: 'L7b' }];
+      SELECT id FROM doc;""",
+      "already exists")
+  }
+
+  test("INSERT IGNORE keeps the FIRST occurrence of an intra-batch duplicate") {
+    checkSame("""
+      INSERT IGNORE INTO doc [{ id: 7, grp: 'x', qty: 70, score: 7.5, label: 'L7' },
+                              { id: 7, grp: 'y', qty: 99, score: 9.9, label: 'NO' },
+                              { id: 8, grp: 'd', qty: 80, score: 8.5, label: 'L8' }];
+      SELECT id, grp, qty, label FROM doc ORDER BY id;""")
+  }
+
+  test("ON DUPLICATE applies once per extra occurrence of a fresh key") {
+    checkSame("""
+      INSERT INTO doc [{ id: 7, grp: 'x', qty: 70, score: 7.5, label: 'L7' },
+                       { id: 7, grp: 'y', qty: 1, score: 1.5, label: 'NO' },
+                       { id: 7, grp: 'z', qty: 2, score: 2.5, label: 'NO2' }]
+        ON DUPLICATE KEY UPDATE qty += 1, label = 'DUP';
+      SELECT id, grp, qty, label FROM doc ORDER BY id;""")
+  }
+
+  test("ON DUPLICATE applies once per occurrence when the key already exists") {
+    checkSame("""
+      INSERT INTO doc [{ id: 1, grp: 'x', qty: 1, score: 1.5, label: 'NO' },
+                       { id: 1, grp: 'y', qty: 2, score: 2.5, label: 'NO2' }]
+        ON DUPLICATE KEY UPDATE qty += 10;
+      SELECT id, grp, qty, label FROM doc ORDER BY id;""")
+  }
+
+  test("ON DUPLICATE mixes fresh, duplicated-fresh and existing keys") {
+    checkSame("""
+      INSERT INTO doc [{ id: 9, grp: 'f', qty: 90, score: 9.5, label: 'L9' },
+                       { id: 2, grp: 'x', qty: 1, score: 1.5, label: 'NO' },
+                       { id: 7, grp: 'x', qty: 70, score: 7.5, label: 'L7' },
+                       { id: 7, grp: 'y', qty: 1, score: 1.5, label: 'NO' }]
+        ON DUPLICATE KEY UPDATE qty += 3;
+      SELECT id, grp, qty, label FROM doc ORDER BY id;""")
+  }
+
+  test("CREATE with a repeated target id errors") {
+    checkBothError("""
+      CREATE doc:7, doc:7 SET grp = 'x', qty = 70, score = 7.5, label = 'L7';
+      SELECT id FROM doc;""",
+      "already exists")
+  }
+
+  test("RETURN DIFF with ON DUPLICATE: patch on the update arm, root replace on the create arm") {
+    val script =
+      """INSERT INTO doc [{ id: 1, grp: 'x', qty: 15, score: 1.5, label: 'L1' },
+                          { id: 7, grp: 'c', qty: 70, score: 7.5, label: 'L7' }]
+           ON DUPLICATE KEY UPDATE qty += 5 RETURN DIFF;"""
+    val in = new Interp
+    in.run(Parser.parse(fixture))
+    val iv = in.run(Parser.parse(script)).last match {
+      case QOk(VArr(items)) => items
+      case other => fail(s"interp: $other")
+    }
+    // interp emits ops arrays in input-row order: [update(id 1), create(id 7)]
+    assert(iv.length == 2)
+    val sdf = Tables.withOverlay(Map("doc" -> df)) {
+      SparkPlanner.script(spark, "/nonexistent", script)
+    }
+    val srows = sdf.collect().map(r => (String.valueOf(r.get(0)), r.getString(1))).toMap
+    assert(srows.keySet == Set("1", "7"))
+    // compare JSON-encoded (record ids stringify identically on both sides)
+    assert(srows("1") == graft.surql.Json.encode(iv(0)),
+      s"update-arm diff differs: ${srows("1")} vs ${iv(0).render}")
+    assert(srows("7") == graft.surql.Json.encode(iv(1)),
+      s"create-arm diff differs: ${srows("7")} vs ${iv(1).render}")
+  }
 }
