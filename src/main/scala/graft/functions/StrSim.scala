@@ -66,32 +66,10 @@ object StrSim {
     Math.min(1.0, j + prefix * 0.1 * (1 - j))
   }
 
-  /** Subsequence fuzzy score — DOCUMENTED ENGINE EXTENSION (like the
-    * grouped percentile aggregates). The reference (fnc/string.rs:550,587)
-    * scores via the fuzzy-matcher crate's SkimMatcherV2 — an fzf-style DP
-    * with boundary/camel bonuses and gap penalties whose exact constants
-    * live in that crate's source, which is not available offline, so a
-    * "port" from memory would be a third algorithm rather than a faithful
-    * one. This engine instead defines fuzzy as a streak-weighted
-    * case-insensitive subsequence match (0 when the query isn't a
-    * subsequence); both execution paths implement THIS definition exactly,
-    * so Interp and Spark agree to the bit, but rankings can differ from
-    * the reference's SkimMatcherV2 magnitudes. */
-  def fuzzy(xs: UTF8String, ys: UTF8String): Long = {
-    val s = xs.toString
-    val query = ys.toString
-    var score = 0L
-    var qi = 0
-    var streak = 0
-    var i = 0
-    while (i < s.length && qi < query.length) {
-      if (Character.toLowerCase(s(i)) == Character.toLowerCase(query(qi))) {
-        qi += 1; streak += 1; score += streak
-      } else streak = 0
-      i += 1
-    }
-    if (qi == query.length) score else 0L
-  }
+  /** SkimMatcherV2 fuzzy score (fnc/string.rs:550,587) — see [[SkimV2]],
+    * pinned to the reference's published test outputs. */
+  def fuzzy(xs: UTF8String, ys: UTF8String): Long =
+    SkimV2.fuzzyMatch(xs.toString, ys.toString)
 
   /** Full (unrestricted) Damerau-Levenshtein — the strsim crate's
     * `damerau_levenshtein` the reference links (fnc/string.rs), i.e. the

@@ -760,6 +760,30 @@ object SurqlQueries {
               math::fixed(string::similarity::jaro_winkler(p_name, p_type), 6) AS jw
        FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")
 
+  /** string::similarity::fuzzy / ::smithwaterman — SkimMatcherV2 scoring
+    * (fnc/string.rs:536-587, both names route through the same matcher).
+    * The oracle rows are the reference's OWN published outputs
+    * (surrealdb/core/tests/function.rs:1313-1377), pinning the shared
+    * SkimV2 kernel to reference ground truth on both engine paths. */
+  val fnFuzzy = sq("fn_fuzzy",
+    """SELECT c, p, CAST(fz AS BIGINT) AS fz, CAST(sw AS BIGINT) AS sw
+       FROM (VALUES
+         ('', '', 0, 0),
+         ('some', 'text', 0, 0),
+         ('text', 'TEXT', 83, 83),
+         ('TEXT', 'TEXT', 91, 91),
+         ('this could be a tricky test', 'this test', 174, 174))
+       AS t(c, p, fz, sw) ORDER BY c, p""")(
+    """SELECT c, p, string::similarity::fuzzy(c, p) AS fz,
+              string::similarity::smithwaterman(c, p) AS sw
+       FROM [
+         { c: '', p: '' },
+         { c: 'some', p: 'text' },
+         { c: 'text', p: 'TEXT' },
+         { c: 'TEXT', p: 'TEXT' },
+         { c: 'this could be a tricky test', p: 'this test' }
+       ] ORDER BY c, p""")
+
   /** object::values / object::entries (fnc/object.rs): exact on object
     * literals, JSON-rendered for struct columns; the destructure struct
     * `fk.{…}` feeds the struct arm. */
@@ -1701,7 +1725,7 @@ object SurqlQueries {
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
     scriptSchema, scriptUnique, scriptComputed,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
-    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnAggStats2, fnArray3, splitMulti, explainSpark,
+    mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)

@@ -2161,18 +2161,10 @@ object Functions {
     (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
   }
 
-  private def fuzzyScore(s: String, query: String): Long = {
-    // simple subsequence scoring (clamped analog of the reference's fuzzy)
-    var score = 0L
-    var qi = 0
-    var streak = 0
-    for (c <- s if qi < query.length) {
-      if (Character.toLowerCase(c) == Character.toLowerCase(query(qi))) {
-        qi += 1; streak += 1; score += streak
-      } else streak = 0
-    }
-    if (qi == query.length) score else 0L
-  }
+  /** SkimMatcherV2 scoring, shared with the Spark kernel so both engines
+    * agree to the bit (see [[graft.functions.SkimV2]]). */
+  private def fuzzyScore(s: String, query: String): Long =
+    graft.functions.SkimV2.fuzzyMatch(s, query)
 
   /** Incremental-view variance: (sum_of_squares - sum·mean) / (n-1) over
     * running sums — the rolling formula's float artifacts are observable

@@ -701,6 +701,25 @@ object SparkPlanner {
         case v => (df.filter(col(key) === ridKeyLit(v)), table)
       }
     case Subquery(sub: SelectStmt) => (planSelect(spark, dir, sub), "")
+    // SourceExpr: FROM [{…}, {…}] / FROM {…} — literal object rows (the
+    // reference's expression source). Constant one-row frames unioned;
+    // fields absent from a row become NULL columns.
+    case arr @ (_: ArrLit | _: ObjLit) =>
+      val objs = Eval.evalConst(arr) match {
+        case VArr(items) if items.nonEmpty && items.forall(_.isInstanceOf[VObj]) =>
+          items.map(_.asInstanceOf[VObj])
+        case o: VObj => Vector(o)
+        case other => throw SqlError(
+          s"SparkPlanner: unsupported literal FROM ${other.render}")
+      }
+      val colsU = objs.flatMap(_.fields.keys).distinct
+      val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
+      val df = objs.map { o =>
+        spark.range(1).select(colsU.map(c =>
+          o.fields.get(c).map(v => toCol(Lit(v), ctx))
+            .getOrElse(lit(null)).as(c)).toIndexedSeq: _*)
+      }.reduce(_ unionByName _)
+      (df, "")
     case other => throw SqlError(s"SparkPlanner: unsupported FROM $other")
   }
 
