@@ -22,16 +22,23 @@ object Bench {
     // dedicated "index_build" line so each query's number is steady-state
     // (the reference likewise separates index build from query latency).
     val tIdx = System.nanoTime()
-    graft.operators.FullText.index(spark, sfDir)
-    graft.operators.FullText.stemmedIndex(spark, sfDir)
-    graft.operators.Dedup.shingleTable(spark, sfDir)
-    graft.operators.Similarity.warmIndex(spark, sfDir)
-    graft.operators.Similarity.warmIvf(spark, sfDir)
-    graft.operators.Hnsw.warm(spark, sfDir)
-    graft.operators.GraphOps.warmEdges(spark, sfDir)
-    graft.operators.CountIndex.warm(spark, sfDir)
-    graft.operators.Buckets.warm(spark, sfDir)
-    graft.sources.Sources.warm(spark, sfDir)
+    val warms: Seq[(String, () => Any)] = Seq(
+      ("fts", () => graft.operators.FullText.index(spark, sfDir)),
+      ("fts_stem", () => graft.operators.FullText.stemmedIndex(spark, sfDir)),
+      ("shingles", () => graft.operators.Dedup.shingleTable(spark, sfDir)),
+      ("ann", () => graft.operators.Similarity.warmIndex(spark, sfDir)),
+      ("ivf", () => graft.operators.Similarity.warmIvf(spark, sfDir)),
+      ("hnsw", () => graft.operators.Hnsw.warm(spark, sfDir)),
+      ("edges", () => graft.operators.GraphOps.warmEdges(spark, sfDir)),
+      ("counts", () => graft.operators.CountIndex.warm(spark, sfDir)),
+      ("buckets", () => graft.operators.Buckets.warm(spark, sfDir)),
+      ("sources", () => graft.sources.Sources.warm(spark, sfDir)))
+    warms.foreach { case (name, f) =>
+      val t0 = System.nanoTime()
+      f()
+      // per-warm attribution to stderr (stdout stays the one JSON line)
+      System.err.println(f"[bench] warm $name%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,
       None: Option[String])
     // Single-run timings proved indistinguishable from sandbox noise (a

@@ -20,20 +20,41 @@ object Buckets {
   private val warmed = scala.collection.concurrent.TrieMap[String, (String, String)]()
 
   /** One-time bucketed layout of orders+lineitem for `dir`; returns the
-    * (ordersTable, lineitemTable) catalog names. */
+    * (ordersTable, lineitemTable) catalog names. The layout is completion-
+    * marked on disk: a later JVM re-attaches the existing bucketed files
+    * with external-table DDL instead of rewriting them. */
   def warm(s: SparkSession, dir: String): (String, String) =
     warmed.getOrElseUpdate(dir, {
-      val h = Integer.toHexString(dir.hashCode)
+      val base = graft.CacheDir.path("bkt-v1", dir)
+      val h = base.substring(base.lastIndexOf('_') + 1)
       val oT = s"orders_bkt_$h"
       val lT = s"lineitem_bkt_$h"
-      Tables.orders(s, dir).write
-        .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"/tmp/graft_bkt_$h/orders")
-        .mode("overwrite").saveAsTable(oT)
-      Tables.lineitem(s, dir).write
-        .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"/tmp/graft_bkt_$h/lineitem")
-        .mode("overwrite").saveAsTable(lT)
+      def attach(name: String, df: org.apache.spark.sql.DataFrame,
+          key: String, sub: String): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val cols = df.schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          s.sql(s"""CREATE TABLE $name ($cols) USING PARQUET
+                    CLUSTERED BY ($key) SORTED BY ($key) INTO $NBuckets BUCKETS
+                    LOCATION '$base/$sub'""")
+        }
+      if (graft.CacheDir.ready(base)) {
+        attach(oT, Tables.orders(s, dir), "o_orderkey", "orders")
+        attach(lT, Tables.lineitem(s, dir), "l_orderkey", "lineitem")
+      } else {
+        // the bucketed writer binds catalog metadata to its path, so it
+        // builds at the final location; the marker still lands last and
+        // gates every cross-JVM reader
+        Tables.orders(s, dir).write
+          .bucketBy(NBuckets, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders")
+          .mode("overwrite").saveAsTable(oT)
+        Tables.lineitem(s, dir).write
+          .bucketBy(NBuckets, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$base/lineitem")
+          .mode("overwrite").saveAsTable(lT)
+        graft.CacheDir.markReady(base)
+      }
       (oT, lT)
     })
 

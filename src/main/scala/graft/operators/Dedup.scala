@@ -54,8 +54,11 @@ object Dedup {
 
   def shingleTable(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(dir, {
-      val sh = shingles(Tables.documentsWide(s, dir)).persist()
-      sh.count() // materialize once
+      val base = graft.CacheDir.ensure(graft.CacheDir.path("shingle-v1", dir)) { p =>
+        shingles(Tables.documentsWide(s, dir)).write.parquet(p)
+      }
+      val sh = s.read.parquet(base).persist()
+      // lazily pinned: the first reader materializes the cached copy
       sh
     })
 

@@ -43,11 +43,20 @@ object FullText {
     indexCache.getOrElseUpdate(dir, {
       // ONE shuffle over the raw token stream (term,doc → tf); doc lengths
       // derive from the postings (dl = Σ tf per doc), so the second
-      // aggregate shuffles only |postings| rows, not every token
-      val post = tokenize(Tables.documentsWide(s, dir))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).persist()
-      val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl")).persist()
-      post.count(); dl.count() // build the index eagerly
+      // aggregate shuffles only |postings| rows, not every token. The two
+      // tables persist on disk with a completion marker — later JVMs read
+      // the index back instead of re-tokenizing the corpus.
+      val base = graft.CacheDir.ensure(graft.CacheDir.path("fts-v1", dir)) { p =>
+        tokenize(Tables.documentsWide(s, dir))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .write.parquet(s"$p/post")
+        s.read.parquet(s"$p/post")
+          .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          .write.parquet(s"$p/dl")
+      }
+      val post = s.read.parquet(s"$base/post").persist()
+      val dl = s.read.parquet(s"$base/dl").persist()
+      // lazily pinned: the first reader materializes the cached copy
       (post, dl)
     })
 
@@ -123,12 +132,19 @@ object FullText {
   def stemmedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     stemmedCache.getOrElseUpdate(dir, {
       graft.functions.StrSimKernels.ensure(s)
-      val post = tokenize(Tables.documentsWide(s, dir))
-        .select(col("doc_id"),
-          call_function("graft_stem", col("term"), lit("english")).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")).persist()
-      val dl = post.groupBy("doc_id").agg(sum(col("tf")).as("dl")).persist()
-      post.count(); dl.count()
+      val base = graft.CacheDir.ensure(graft.CacheDir.path("fts-stem-v1", dir)) { p =>
+        tokenize(Tables.documentsWide(s, dir))
+          .select(col("doc_id"),
+            call_function("graft_stem", col("term"), lit("english")).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+          .write.parquet(s"$p/post")
+        s.read.parquet(s"$p/post")
+          .groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+          .write.parquet(s"$p/dl")
+      }
+      val post = s.read.parquet(s"$base/post").persist()
+      val dl = s.read.parquet(s"$base/dl").persist()
+      // lazily pinned: the first reader materializes the cached copy
       (post, dl)
     })
 

@@ -67,9 +67,22 @@ object GraphOps {
 
   def edgeTable(s: SparkSession, dir: String, name: String): DataFrame =
     if (extraEdgeDefs.contains(name)) Tables(s, dir, name) // overlay-backed, never cached
-    else edgeCache.getOrElseUpdate((dir, name), name match {
+    else edgeCache.getOrElseUpdate((dir, name), {
+      // the stored relation persists on disk with a completion marker, so a
+      // later JVM re-reads the written edges instead of re-deriving them
+      val base = graft.CacheDir.ensure(
+        graft.CacheDir.path(s"edge-$name-v1", dir)) { p =>
+        buildEdge(s, dir, name).write.parquet(p)
+      }
+      val e = s.read.parquet(base).persist()
+      // lazily pinned: the first reader materializes the cached copy
+      e
+    })
+
+  private def buildEdge(s: SparkSession, dir: String, name: String): DataFrame =
+    name match {
       case "supplies" =>
-        val e = Tables.lineitem(s, dir)
+        Tables.lineitem(s, dir)
           .groupBy(col("l_suppkey").as("in"), col("l_partkey").as("out"))
           .agg(count(lit(1)).as("n_shipments"),
             graft.functions.Exact.dsum(col("l_quantity")).as("total_qty"))
@@ -77,13 +90,10 @@ object GraphOps {
             concat(lit("supplies:"), col("in").cast("string"), lit(":"),
               col("out").cast("string")).as("id"),
             col("in"), col("out"), col("n_shipments"), col("total_qty"))
-          .persist()
-        e.count() // build eagerly so queries are joins, not rebuilds
-        e
       case "next_order" =>
         // one window shuffle builds the whole chain; stored-relation shape
         val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-        val e = Tables.orders(s, dir)
+        Tables.orders(s, dir)
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
           .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
           .filter(col("nxt").isNotNull)
@@ -91,11 +101,8 @@ object GraphOps {
             concat(lit("next_order:"), col("o_orderkey").cast("string"), lit(":"),
               col("nxt").cast("string")).as("id"),
             col("o_orderkey").as("in"), col("nxt").as("out"))
-          .persist()
-        e.count() // build eagerly so queries are joins, not rebuilds
-        e
       case other => throw new IllegalArgumentException(s"unknown edge table $other")
-    })
+    }
 
   /** One `->edge->` hop: from a set of source ids through an edge table.
     * `outCols` picks what survives (TargetId vs FullEdge output modes). */

@@ -193,28 +193,27 @@ object Hnsw {
     * write PARTITIONED by shard. Build is once per corpus; each task's
     * heap holds one bounded shard. */
   private def indexPath(s: SparkSession, d: String): String =
-    indexes.getOrElseUpdate(d, {
-      val path = s"/tmp/graft_hnsw_${Integer.toHexString(d.hashCode)}"
-      import s.implicits._
-      val emb = Tables.embeddingsWide(s, d)
-        .select(col("vec_id"), col("embedding"),
-          pmod(xxhash64(col("vec_id")), lit(Shards)).cast("int").as("shard"))
-        .as[(Long, Array[Float], Int)]
-        .repartition(Shards, col("shard"))
-      emb.mapPartitions { it =>
-        // a partition holds whole shards (repartition key = shard)
-        val byShard = it.toSeq.groupBy(_._3)
-        byShard.iterator.flatMap { case (shard, rows) =>
-          val g = buildGraph(rows.map(r => (r._1, r._2)))
-          g.links.iterator.map { case (id, ls) =>
-            HnswNode(shard, id, g.vecs(id), ls.length - 1,
-              ls.map(_.sorted.toArray))
+    indexes.getOrElseUpdate(d,
+      graft.CacheDir.ensure(graft.CacheDir.path("hnsw-v1", d)) { path =>
+        import s.implicits._
+        val emb = Tables.embeddingsWide(s, d)
+          .select(col("vec_id"), col("embedding"),
+            pmod(xxhash64(col("vec_id")), lit(Shards)).cast("int").as("shard"))
+          .as[(Long, Array[Float], Int)]
+          .repartition(Shards, col("shard"))
+        emb.mapPartitions { it =>
+          // a partition holds whole shards (repartition key = shard)
+          val byShard = it.toSeq.groupBy(_._3)
+          byShard.iterator.flatMap { case (shard, rows) =>
+            val g = buildGraph(rows.map(r => (r._1, r._2)))
+            g.links.iterator.map { case (id, ls) =>
+              HnswNode(shard, id, g.vecs(id), ls.length - 1,
+                ls.map(_.sorted.toArray))
+            }
           }
         }
-      }
-        .write.mode("overwrite").partitionBy("shard").parquet(path)
-      path
-    })
+          .write.mode("overwrite").partitionBy("shard").parquet(path)
+      })
 
   /** Executor-process graph cache: steady-state probes reuse the
     * reconstructed shard graphs instead of re-deserializing adjacency —

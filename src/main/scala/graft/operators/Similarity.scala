@@ -225,16 +225,15 @@ object Similarity {
   /** Force the persisted ANN index build (bench attributes it separately). */
   def warmIndex(s: SparkSession, d: String): Unit = annIndexPath(s, d)
   private def annIndexPath(s: SparkSession, d: String): String =
-    annIndexes.getOrElseUpdate(d, {
-      val path = s"/tmp/graft_ann_${Integer.toHexString(d.hashCode)}"
-      Tables.embeddingsWide(s, d)
-        .withColumn("sig", lshSignature(col("embedding")))
-        .withColumn("bucket", shiftright(col("sig"), 10))
-        .select(col("vec_id"), col("embedding"), col("sig"), col("bucket"))
-        .repartition(col("bucket")) // one writer per bucket → 64 files, not tasks×64
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
-      path
-    })
+    annIndexes.getOrElseUpdate(d,
+      graft.CacheDir.ensure(graft.CacheDir.path("ann-v1", d)) { path =>
+        Tables.embeddingsWide(s, d)
+          .withColumn("sig", lshSignature(col("embedding")))
+          .withColumn("bucket", shiftright(col("sig"), 10))
+          .select(col("vec_id"), col("embedding"), col("sig"), col("bucket"))
+          .repartition(col("bucket")) // one writer per bucket → 64 files, not tasks×64
+          .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      })
 
   /** All values within Hamming distance `maxDist` of `sig` over `bits`
     * bits — the bucket probe set (C(6,≤3) = 42 of 64 buckets). */
@@ -330,28 +329,40 @@ object Similarity {
   def warmIvf(s: SparkSession, d: String): Unit = ivfIndex(s, d)
   private def ivfIndex(s: SparkSession, d: String): (String, Seq[(Int, Seq[Double])]) =
     ivfIndexes.getOrElseUpdate(d, {
-      val path = s"/tmp/graft_ivf_${Integer.toHexString(d.hashCode)}"
-      val emb = Tables.embeddingsWide(s, d).select(col("vec_id"), col("embedding"))
-      // deterministic seeds: the K rows with the lowest hashed ids
-      val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfK)
-        .orderBy("vec_id").collect()
-        .zipWithIndex.map { case (r, i) =>
-          (i, r.getSeq[Float](1).map(_.toDouble).toSeq)
-        }.toSeq
-      // one Lloyd iteration: per-cell elementwise mean via dim explode —
-      // K×dim rows of metadata come back, never the data itself
-      val refined = emb
-        .withColumn("cid", assignCid(col("embedding"), seeds))
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
-        .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      val path = graft.CacheDir.ensure(graft.CacheDir.path("ivf-v1", d)) { p =>
+        val emb = Tables.embeddingsWide(s, d).select(col("vec_id"), col("embedding"))
+        // deterministic seeds: the K rows with the lowest hashed ids
+        val seeds = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(IvfK)
+          .orderBy("vec_id").collect()
+          .zipWithIndex.map { case (r, i) =>
+            (i, r.getSeq[Float](1).map(_.toDouble).toSeq)
+          }.toSeq
+        // one Lloyd iteration: per-cell elementwise mean via dim explode —
+        // K×dim rows of metadata come back, never the data itself
+        val refined = emb
+          .withColumn("cid", assignCid(col("embedding"), seeds))
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+          }.toSeq.sortBy(_._1)
+        emb.withColumn("cid", assignCid(col("embedding"), refined))
+          .repartition(col("cid")) // one writer per cell → K files, not tasks×K
+          .write.mode("overwrite").partitionBy("cid").parquet(p)
+        // centroid matrix rides along as a sidecar so a later JVM reuses
+        // the index without recomputing the metadata
+        graft.CacheDir.writeSidecar(p, "centroids.tsv",
+          refined.map { case (cid, vs) =>
+            s"$cid\t${vs.mkString(",")}"
+          }.mkString("\n"))
+      }
+      val refined = graft.CacheDir.readSidecar(path, "centroids.tsv")
+        .linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(cid, vs) = line.split("\t", 2)
+          (cid.toInt, vs.split(",").map(_.toDouble).toSeq)
         }.toSeq.sortBy(_._1)
-      emb.withColumn("cid", assignCid(col("embedding"), refined))
-        .repartition(col("cid")) // one writer per cell → K files, not tasks×K
-        .write.mode("overwrite").partitionBy("cid").parquet(path)
       (path, refined)
     })
 

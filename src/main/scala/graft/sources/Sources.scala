@@ -22,27 +22,21 @@ object Sources {
   private val converted =
     scala.collection.concurrent.TrieMap[(String, String), String]()
 
-  private def cacheDir(dir: String, fmt: String): String =
-    s"/tmp/graft_sources/${java.lang.Integer.toHexString(dir.hashCode)}/$fmt"
-
-  /** documents as JSONL — written once per corpus (offline conversion). */
+  /** documents as JSONL — written once per corpus (offline conversion;
+    * completion-marked so a crashed partial write is never read back). */
   private def documentsJsonlPath(s: SparkSession, dir: String): String =
-    converted.getOrElseUpdate((dir, "documents_jsonl"), {
-      val p = cacheDir(dir, "documents_jsonl")
-      if (!new java.io.File(p).exists())
+    converted.getOrElseUpdate((dir, "documents_jsonl"),
+      graft.CacheDir.ensure(graft.CacheDir.path("src-jsonl-v1", dir)) { p =>
         Tables.documents(s, dir).write.mode("overwrite").json(p)
-      p
-    })
+      })
 
   /** nation as headered CSV — written once per corpus. */
   private def nationCsvPath(s: SparkSession, dir: String): String =
-    converted.getOrElseUpdate((dir, "nation_csv"), {
-      val p = cacheDir(dir, "nation_csv")
-      if (!new java.io.File(p).exists())
+    converted.getOrElseUpdate((dir, "nation_csv"),
+      graft.CacheDir.ensure(graft.CacheDir.path("src-csv-v1", dir)) { p =>
         Tables.nation(s, dir).write.mode("overwrite")
           .option("header", "true").csv(p)
-      p
-    })
+      })
 
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -102,13 +96,11 @@ object Sources {
   /** events re-laid-out as parquet PARTITIONED BY event_type — the sink
     * side: one layout job per corpus, directory-level pruning thereafter. */
   private def eventsPartitionedPath(s: SparkSession, dir: String): String =
-    converted.getOrElseUpdate((dir, "events_part"), {
-      val p = cacheDir(dir, "events_part")
-      if (!new java.io.File(p).exists())
+    converted.getOrElseUpdate((dir, "events_part"),
+      graft.CacheDir.ensure(graft.CacheDir.path("src-events-part-v1", dir)) { p =>
         Tables.events(s, dir).write.mode("overwrite")
           .partitionBy("event_type").parquet(p)
-      p
-    })
+      })
 
   def eventsPartitioned(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(eventsPartitionedPath(s, dir))

@@ -2142,23 +2142,33 @@ object SparkPlanner {
         when(col(key).isNull, lit(1)) // keyless rows auto-generate ids — never clash
           .otherwise(row_number().over(
             Window.partitionBy(col(key)).orderBy(col(SeqC)))))
-    if (!s.ignore && s.onDuplicate.isEmpty) {
+    val bare = !s.ignore && s.onDuplicate.isEmpty
+    if (bare) {
       val clash = marked.filter(col("__inb") === true || col("__rn") > 1)
         .orderBy(SeqC).select(key).limit(1).collect()
       clash.headOption.foreach { r =>
         throw SqlError(s"Database record `$t:${r.get(0)}` already exists")
       }
     }
-    val firsts = marked.filter(col("__rn") === 1 && col("__inb").isNull)
-      .drop("__inb", "__rn", SeqC)
+    // bare form: the probe just proved key uniqueness, so the final plan
+    // keeps the plain anti-join (no window); IGNORE/ON DUPLICATE keep the
+    // first occurrence per key
+    val firsts =
+      if (bare) rows.drop(SeqC).join(base.select(key), Seq(key), "left_anti")
+      else marked.filter(col("__rn") === 1 && col("__inb").isNull)
+        .drop("__inb", "__rn", SeqC)
     val fresh = pipeline(firsts)
+    def linkMap = ctx.schema.fieldNames.toIndexedSeq
+      .flatMap(c => links.get((ctx.table, c)).map(x => c -> x._1)).toMap
     s.onDuplicate match {
       case scala.None =>
         // clashing base rows stay untouched (bare form errored above;
         // IGNORE skips), so the new state is simply base ∪ fresh
         (base.unionByName(fresh), fresh, scala.None)
       case Some(_) =>
-        val untouched = base.join(rows.select(key), Seq(key), "left_anti")
+        // batch may repeat keys: cache it once (the multiplicity probe and
+        // the arms below would otherwise re-execute a sub-select source)
+        if (maxMultHint.isEmpty) rows.persist()
         val dupSets = dupSetsOf()
         val maxMult = maxMultHint.getOrElse {
           marked.filter(col(key).isNotNull).groupBy(col(key))
@@ -2166,6 +2176,19 @@ object SparkPlanner {
             .collect().headOption
             .collect { case r if !r.isNullAt(0) => r.getLong(0).toInt }
             .getOrElse(1)
+        }
+        val untouched = base.join(rows.select(key), Seq(key), "left_anti")
+        if (maxMult == 1) {
+          // duplicate-free batch — plain MERGE arms, one application
+          val semi = base.join(rows.select(key), Seq(key), "left_semi")
+          val updated = graft.operators.Mutations.update(semi, lit(true), dupSets)
+          val result = fresh.unionByName(updated)
+          val diff =
+            if (!s.output.contains(Output.ODiff)) scala.None
+            else Some(graft.operators.Mutations.createDiff(fresh, t, key, linkMap)
+              .unionByName(graft.operators.Mutations.returnDiff(
+                semi, updated, t, key, linkMap)))
+          return (untouched.unionByName(updated).unionByName(fresh), result, diff)
         }
         val counts = marked.filter(col(key).isNotNull).groupBy(col(key))
           .agg(count(lit(1)).as("__mult"), max(col("__inb")).as("__kinb"))
@@ -2190,14 +2213,13 @@ object SparkPlanner {
         val diff =
           if (!s.output.contains(Output.ODiff)) scala.None
           else {
-            val linkMap = ctx.schema.fieldNames.toIndexedSeq
-              .flatMap(c => links.get((ctx.table, c)).map(x => c -> x._1)).toMap
-            val d0 = graft.operators.Mutations.createDiff(fresh, t, key, linkMap)
+            val lm = linkMap
+            val d0 = graft.operators.Mutations.createDiff(fresh, t, key, lm)
             val ds = (1 to maxMult).map { i =>
               graft.operators.Mutations.returnDiff(
                 levels(i - 1).filter(col("__apps") >= i).drop("__apps"),
                 levels(i).filter(col("__apps") >= i).drop("__apps"),
-                t, key, linkMap)
+                t, key, lm)
             }
             Some((d0 +: ds).reduce(_ unionByName _))
           }
