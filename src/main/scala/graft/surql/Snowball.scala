@@ -9,24 +9,33 @@ package graft.surql
   * English is the full Porter2 algorithm; German and Spanish implement
   * their published region/suffix-step algorithms (umlaut / accent
   * postludes included); the Scandinavian family (Swedish/Norwegian/
-  * Danish) follows the published suffix-table algorithms. Languages
-  * without an implementation fall back to identity — documented, not
-  * silent: [[supported]] lists the real ones.
+  * Danish) follows the published suffix-table algorithms; the Romance
+  * family (Italian/Portuguese/French) implements the published RV/R1/R2
+  * suffix-step algorithms with their preludes and postludes; Dutch and
+  * Russian follow their published specs. Languages without an
+  * implementation fall back to identity — documented, not silent:
+  * [[supported]] lists the real ones.
   */
 object Snowball {
 
   val supported: Set[String] =
-    Set("english", "swedish", "norwegian", "danish", "german", "spanish")
+    Set("english", "swedish", "norwegian", "danish", "german", "spanish",
+      "italian", "portuguese", "french", "dutch", "russian")
 
   def stem(language: String, word: String): String =
     language.toLowerCase match {
-      case "english"   => english(word)
-      case "swedish"   => swedish(word)
-      case "norwegian" => norwegian(word)
-      case "danish"    => danish(word)
-      case "german"    => german(word)
-      case "spanish"   => spanish(word)
-      case _           => word
+      case "english"    => english(word)
+      case "swedish"    => swedish(word)
+      case "norwegian"  => norwegian(word)
+      case "danish"     => danish(word)
+      case "german"     => german(word)
+      case "spanish"    => spanish(word)
+      case "italian"    => italian(word)
+      case "portuguese" => portuguese(word)
+      case "french"     => french(word)
+      case "dutch"      => dutch(word)
+      case "russian"    => russian(word)
+      case _            => word
     }
 
   // ======================= English (Porter2) ==============================
@@ -365,34 +374,34 @@ object Snowball {
     else if (w.endsWith("amente") && inR1(6)) {
       drop(6)
       // preceded by iv (delete, then at), or by os/ic/ad
-      if (w.endsWith("iv") && inR2(2 + 6)) {
+      if (w.endsWith("iv") && inR2(2)) {
         drop(2)
-        if (w.endsWith("at") && inR2(2 + 2 + 6)) drop(2)
+        if (w.endsWith("at") && inR2(2)) drop(2)
       } else Seq("os", "ic", "ad")
-        .find(x => w.endsWith(x) && inR2(2 + 6)).foreach(_ => drop(2))
+        .find(x => w.endsWith(x) && inR2(2)).foreach(_ => drop(2))
     }
     else if (w.endsWith("mente") && inR2(5)) {
       drop(5)
       Seq("ante", "able", "ible")
-        .find(x => w.endsWith(x) && inR2(4 + 5)).foreach(_ => drop(4))
+        .find(x => w.endsWith(x) && inR2(4)).foreach(_ => drop(4))
     }
     else if (w.endsWith("idades") && inR2(6)) {
       drop(6)
       Seq("abil", "ic", "iv")
-        .find(x => w.endsWith(x) && inR2(x.length + 6)).foreach(x => drop(x.length))
+        .find(x => w.endsWith(x) && inR2(x.length)).foreach(x => drop(x.length))
     }
     else if (w.endsWith("idad") && inR2(4)) {
       drop(4)
       Seq("abil", "ic", "iv")
-        .find(x => w.endsWith(x) && inR2(x.length + 4)).foreach(x => drop(x.length))
+        .find(x => w.endsWith(x) && inR2(x.length)).foreach(x => drop(x.length))
     }
     else if (Seq("ivas", "ivos").exists(s => w.endsWith(s) && inR2(4))) {
       drop(4)
-      if (w.endsWith("at") && inR2(2 + 4)) drop(2)
+      if (w.endsWith("at") && inR2(2)) drop(2)
     }
     else if (Seq("iva", "ivo").exists(s => w.endsWith(s) && inR2(3))) {
       drop(3)
-      if (w.endsWith("at") && inR2(2 + 3)) drop(2)
+      if (w.endsWith("at") && inR2(2)) drop(2)
     }
     else {
       val grpIc = Seq("aciones", "adoras", "adores", "ancias", "adora",
@@ -403,7 +412,7 @@ object Snowball {
       grpIc.sortBy(-_.length).find(s => w.endsWith(s) && inR2(s.length)) match {
         case Some(s) =>
           drop(s.length)
-          if (w.endsWith("ic") && inR2(2 + s.length)) drop(2)
+          if (w.endsWith("ic") && inR2(2)) drop(2)
         case scala.None =>
           grpPlain.sortBy(-_.length).find(s => w.endsWith(s) && inR2(s.length)) match {
             case Some(s) => drop(s.length)
@@ -587,6 +596,656 @@ object Snowball {
     if (w.length >= 2 && w.length - 2 >= r1) {
       val c = w(w.length - 1)
       if (c == w(w.length - 2) && !daVowels.contains(c)) w = w.dropRight(1)
+    }
+    w
+  }
+
+  // ======================= Romance shared helpers =========================
+  // RV as defined for Spanish/Italian/Portuguese (snowballstem.org): second
+  // letter consonant → after the next vowel; two leading vowels → after the
+  // next consonant; otherwise (consonant-vowel) after the third letter.
+  private def romRV(w: String, vowels: Set[Char]): Int = {
+    val n = w.length
+    if (n < 3) return n
+    def v(i: Int) = vowels.contains(w(i))
+    if (!v(1)) {
+      var i = 2
+      while (i < n && !v(i)) i += 1
+      if (i < n) i + 1 else n
+    } else if (v(0) && v(1)) {
+      var i = 2
+      while (i < n && v(i)) i += 1
+      if (i < n) i + 1 else n
+    } else 3
+  }
+
+  private def romR1R2(w: String, vowels: Set[Char]): (Int, Int) = {
+    def after(from: Int): Int = {
+      var i = from
+      while (i < w.length && !vowels.contains(w(i))) i += 1
+      while (i < w.length && vowels.contains(w(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    val r1 = after(0)
+    (r1, after(r1))
+  }
+
+  /** Longest suffix that both matches and fits inside the region starting
+    * at `limit` — the semantics of a Snowball `setlimit … among` (shorter
+    * suffixes ARE tried when a longer one starts before the region). */
+  private def longestInRegion(w: String, limit: Int, sufs: Seq[String]): Option[String] =
+    sufs.sortBy(-_.length).find(s => w.endsWith(s) && w.length - s.length >= limit)
+
+  // ======================= Italian ========================================
+  // snowballstem.org/algorithms/italian/stemmer.html; the step-1 among is
+  // strict longest-match (a failed region condition does NOT fall back to a
+  // shorter suffix), while steps 0/2 are region-limited (setlimit to RV).
+
+  private val itVowels = "aeiouàèìòù".toSet
+
+  private val itVerbSuffixes = Seq(
+    "erebbero", "irebbero", "assero", "assimo", "eranno", "erebbe", "eremmo",
+    "ereste", "eresti", "essero", "iranno", "irebbe", "iremmo", "ireste",
+    "iresti", "iscano", "iscono", "issero", "arono", "avamo", "avano",
+    "avate", "eremo", "erete", "erono", "evamo", "evano", "evate", "iremo",
+    "irete", "irono", "ivamo", "ivano", "ivate", "ammo", "ando", "asse",
+    "assi", "emmo", "enda", "ende", "endi", "endo", "erai", "erei", "iamo",
+    "immo", "irai", "irei", "isca", "isce", "isci", "isco", "ano", "are",
+    "ata", "ate", "ati", "ato", "ava", "avi", "avo", "erà", "ere", "erò",
+    "ete", "eva", "evi", "evo", "irà", "ire", "irò", "ita", "ite", "iti",
+    "ito", "iva", "ivi", "ivo", "ono", "uta", "ute", "uti", "uto", "ar",
+    "ir")
+
+  def italian(word0: String): String = {
+    var w = word0.toLowerCase.map {
+      case 'á' => 'à'; case 'é' => 'è'; case 'í' => 'ì'
+      case 'ó' => 'ò'; case 'ú' => 'ù'; case c => c
+    }
+    if (w.length < 3) return w
+    // prelude: u after q, and u/i between vowels, marked as consonants
+    val sb = new StringBuilder(w)
+    var i = 1
+    while (i < sb.length) {
+      val c = sb(i)
+      if (c == 'u' && sb(i - 1) == 'q') sb(i) = 'U'
+      else if ((c == 'u' || c == 'i') && i + 1 < sb.length &&
+               itVowels.contains(sb(i - 1)) && itVowels.contains(sb(i + 1)))
+        sb(i) = (c - 32).toChar
+      i += 1
+    }
+    w = sb.toString
+    val rv = romRV(w, itVowels)
+    val (r1, r2) = romR1R2(w, itVowels)
+    def inRV(n: Int) = w.length - n >= rv
+    def inR1(n: Int) = w.length - n >= r1
+    def inR2(n: Int) = w.length - n >= r2
+
+    // ---- step 0: attached pronoun after a gerund/infinitive base in RV
+    val pronouns = Seq("gliela", "gliele", "glieli", "glielo", "gliene",
+      "sene", "mela", "mele", "meli", "melo", "mene", "tela", "tele", "teli",
+      "telo", "tene", "cela", "cele", "celi", "celo", "cene", "vela", "vele",
+      "veli", "velo", "vene", "gli", "ci", "la", "le", "li", "lo", "mi",
+      "ne", "si", "ti", "vi").sortBy(-_.length)
+    pronouns.find(w.endsWith).foreach { p =>
+      val stem = w.dropRight(p.length)
+      def baseRV(b: String) = stem.endsWith(b) && stem.length - b.length >= rv
+      if (Seq("ando", "endo").exists(baseRV)) w = stem
+      else if (Seq("ar", "er", "ir").exists(baseRV)) w = stem + "e"
+    }
+
+    // ---- step 1: standard suffixes, strict longest match
+    var did1 = false
+    def drop(k: Int): Unit = { w = w.dropRight(k); did1 = true }
+    val step1All = Seq(
+      "amente", "atrice", "atrici", "azione", "azioni", "uzione", "uzioni",
+      "usione", "usioni", "amento", "amenti", "imento", "imenti",
+      "abile", "abili", "ibile", "ibili", "mente", "atore", "atori",
+      "logia", "logie",
+      "anza", "anze", "iche", "ichi", "ismo", "ismi", "ista", "iste",
+      "isti", "istà", "istè", "istì", "ante", "anti", "enza", "enze",
+      "ico", "ici", "ica", "ice", "oso", "osi", "osa", "ose", "ità",
+      "ivo", "ivi", "iva", "ive").sortBy(-_.length)
+    step1All.find(w.endsWith).foreach {
+      case s @ "amente" =>
+        if (inR1(6)) {
+          drop(6)
+          if (w.endsWith("iv") && inR2(2)) {
+            drop(2)
+            if (w.endsWith("at") && inR2(2)) drop(2)
+          } else Seq("abil", "os", "ic")
+            .find(x => w.endsWith(x) && inR2(x.length)).foreach(x => drop(x.length))
+        }
+      case s @ ("azione" | "azioni" | "atore" | "atori") =>
+        if (inR2(s.length)) {
+          drop(s.length)
+          if (w.endsWith("ic") && inR2(2)) drop(2)
+        }
+      case s @ ("logia" | "logie") =>
+        if (inR2(s.length)) { w = w.dropRight(s.length) + "log"; did1 = true }
+      case s @ ("uzione" | "uzioni" | "usione" | "usioni") =>
+        if (inR2(s.length)) { w = w.dropRight(s.length) + "u"; did1 = true }
+      case s @ ("enza" | "enze") =>
+        if (inR2(s.length)) { w = w.dropRight(s.length) + "ente"; did1 = true }
+      case s @ ("amento" | "amenti" | "imento" | "imenti") =>
+        if (inRV(s.length)) drop(s.length)
+      case s @ "ità" =>
+        if (inR2(3)) {
+          drop(3)
+          Seq("abil", "ic", "iv")
+            .find(x => w.endsWith(x) && inR2(x.length)).foreach(x => drop(x.length))
+        }
+      case s @ ("ivo" | "ivi" | "iva" | "ive") =>
+        if (inR2(3)) {
+          drop(3)
+          if (w.endsWith("at") && inR2(2)) {
+            drop(2)
+            if (w.endsWith("ic") && inR2(2)) drop(2)
+          }
+        }
+      case s => // plain delete-if-R2 group
+        if (inR2(s.length)) drop(s.length)
+    }
+
+    // ---- step 2 (only when step 1 removed nothing): verb suffixes in RV
+    if (!did1)
+      longestInRegion(w, rv, itVerbSuffixes)
+        .foreach(s => w = w.dropRight(s.length))
+
+    // ---- step 3a: final vowel (and a preceding i) in RV
+    if (w.nonEmpty && "aeioàèìò".contains(w.last) && inRV(1)) {
+      w = w.dropRight(1)
+      if (w.nonEmpty && w.last == 'i' && inRV(1)) w = w.dropRight(1)
+    }
+    // ---- step 3b: ch/gh → c/g in RV
+    if ((w.endsWith("ch") || w.endsWith("gh")) && inRV(2)) w = w.dropRight(1)
+    w.toLowerCase
+  }
+
+  // ======================= Portuguese =====================================
+  // snowballstem.org/algorithms/portuguese/stemmer.html; nasal vowels travel
+  // as two-char markers (ã → a~) through the steps, restored at the end.
+
+  private val ptVowels = "aeiouáéíóúâêô".toSet
+
+  private val ptVerbSuffixes = Seq(
+    "aríamos", "eríamos", "iríamos", "ássemos", "êssemos", "íssemos",
+    "aríeis", "eríeis", "iríeis", "ásseis", "ésseis", "ísseis", "áramos",
+    "éramos", "íramos", "ávamos", "aremos", "eremos", "iremos", "ariam",
+    "eriam", "iriam", "assem", "essem", "issem", "ara~o", "era~o", "ira~o",
+    "arias", "erias", "irias", "ardes", "erdes", "irdes", "asses", "esses",
+    "isses", "astes", "estes", "istes", "áreis", "areis", "éreis", "ereis",
+    "íreis", "ireis", "áveis", "íamos", "armos", "ermos", "irmos",
+    "aria", "eria", "iria", "asse", "esse", "isse", "aste", "este", "iste",
+    "arei", "erei", "irei", "aram", "eram", "iram", "avam", "arem", "erem",
+    "irem", "ando", "endo", "indo", "adas", "idas", "arás", "aras", "erás",
+    "eras", "irás", "avas", "ares", "eres", "ires", "íeis", "ados", "idos",
+    "ámos", "amos", "emos", "imos", "iras",
+    "ada", "ida", "ará", "ara", "erá", "era", "irá", "ava", "iam", "ado",
+    "ido", "ias", "ais", "eis", "ira", "ia", "ei", "am", "em", "ar", "er",
+    "ir", "as", "es", "is", "eu", "iu", "ou")
+
+  def portuguese(word0: String): String = {
+    var w = word0.toLowerCase
+      .replace("ã", "a~").replace("õ", "o~")
+    if (w.length < 3) return w.replace("a~", "ã").replace("o~", "õ")
+    val rv = romRV(w, ptVowels)
+    val (r1, r2) = romR1R2(w, ptVowels)
+    def inRV(n: Int) = w.length - n >= rv
+    def inR1(n: Int) = w.length - n >= r1
+    def inR2(n: Int) = w.length - n >= r2
+
+    val n0 = w
+    // ---- step 1: standard suffixes, strict longest match
+    var did1 = false
+    def drop(k: Int): Unit = { w = w.dropRight(k); did1 = true }
+    val step1All = Seq(
+      "amentos", "imentos", "uço~es", "amento", "imento", "adoras",
+      "adores", "aço~es", "logias", "ências", "amente", "idades", "âncias",
+      "ismos", "istas", "adora", "aça~o", "antes", "ância", "logia",
+      "uça~o", "ência", "mente", "idade", "ezas", "icos", "icas", "ismo",
+      "ável", "ível", "ista", "osos", "osas", "ador", "ante", "ivas",
+      "ivos", "iras", "eza", "ico", "ica", "oso", "osa", "iva", "ivo",
+      "ira").sortBy(-_.length)
+    step1All.find(w.endsWith).foreach {
+      case s @ ("logia" | "logias") =>
+        if (inR2(s.length)) { w = w.dropRight(s.length) + "log"; did1 = true }
+      case s @ ("uça~o" | "uço~es") =>
+        if (inR2(s.length)) { w = w.dropRight(s.length) + "u"; did1 = true }
+      case s @ ("ência" | "ências") =>
+        if (inR2(s.length)) { w = w.dropRight(s.length) + "ente"; did1 = true }
+      case s @ "amente" =>
+        if (inR1(6)) {
+          drop(6)
+          if (w.endsWith("iv") && inR2(2)) {
+            drop(2)
+            if (w.endsWith("at") && inR2(2)) drop(2)
+          } else Seq("os", "ic", "ad")
+            .find(x => w.endsWith(x) && inR2(2)).foreach(_ => drop(2))
+        }
+      case s @ "mente" =>
+        if (inR2(5)) {
+          drop(5)
+          Seq("ante", "avel", "ível")
+            .find(x => w.endsWith(x) && inR2(4)).foreach(_ => drop(4))
+        }
+      case s @ ("idade" | "idades") =>
+        if (inR2(s.length)) {
+          drop(s.length)
+          Seq("abil", "ic", "iv")
+            .find(x => w.endsWith(x) && inR2(x.length))
+            .foreach(x => drop(x.length))
+        }
+      case s @ ("iva" | "ivo" | "ivas" | "ivos") =>
+        if (inR2(s.length)) {
+          drop(s.length)
+          if (w.endsWith("at") && inR2(2)) drop(2)
+        }
+      case s @ ("ira" | "iras") =>
+        if (inRV(s.length) && w.length > s.length &&
+            w(w.length - s.length - 1) == 'e') {
+          w = w.dropRight(s.length) + "ir"; did1 = true
+        }
+      case s => // plain delete-if-R2 group
+        if (inR2(s.length)) drop(s.length)
+    }
+
+    // ---- step 2 (only when step 1 removed nothing): verb suffixes in RV
+    var did2 = false
+    if (!did1)
+      longestInRegion(w, rv, ptVerbSuffixes).foreach { s =>
+        w = w.dropRight(s.length); did2 = true
+      }
+
+    if (did1 || did2) {
+      // ---- step 3: ci → c (final i in RV preceded by c)
+      if (w.endsWith("ci") && inRV(1)) w = w.dropRight(1)
+    } else {
+      // ---- step 4: residual suffix in RV
+      longestInRegion(w, rv, Seq("os", "a", "i", "o", "á", "í", "ó"))
+        .foreach(s => w = w.dropRight(s.length))
+    }
+    // ---- step 5: final e/é/ê in RV, with gu/ci contraction; ç → c
+    if (w.nonEmpty && "eéê".contains(w.last) && inRV(1)) {
+      w = w.dropRight(1)
+      if ((w.endsWith("gu") || w.endsWith("ci")) && inRV(1)) w = w.dropRight(1)
+    } else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    w.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  // ======================= French =========================================
+  // snowballstem.org/algorithms/french/stemmer.html (classic revision — the
+  // one rust_stemmers embeds). Marked U/I/Y travel as consonants.
+
+  private val frVowels = "aeiouyâàëéêèïîôûù".toSet
+
+  def french(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.length < 3) return w
+    // prelude: u/i between vowels → U/I; y next to a vowel → Y; qu → qU
+    val sb = new StringBuilder(w)
+    var i = 0
+    while (i < sb.length) {
+      val c = sb(i)
+      def v(j: Int) = j >= 0 && j < sb.length && frVowels.contains(sb(j))
+      if ((c == 'u' || c == 'i') && v(i - 1) && v(i + 1)) sb(i) = (c - 32).toChar
+      else if (c == 'u' && i > 0 && sb(i - 1) == 'q') sb(i) = 'U'
+      else if (c == 'y' && (v(i - 1) || v(i + 1))) sb(i) = 'Y'
+      i += 1
+    }
+    w = sb.toString
+    // RV: two leading vowels → after 3rd letter; par/col/tap → after 3rd;
+    // else after the first vowel not at the start
+    val rv = {
+      def v(j: Int) = frVowels.contains(w(j))
+      if (w.length >= 3 && ((v(0) && v(1)) ||
+          Seq("par", "col", "tap").exists(w.startsWith))) 3
+      else {
+        var j = 1
+        while (j < w.length && !v(j)) j += 1
+        if (j < w.length) j + 1 else w.length
+      }
+    }
+    val (r1, r2) = romR1R2(w, frVowels)
+    def inRV(n: Int) = w.length - n >= rv
+    def inR1(n: Int) = w.length - n >= r1
+    def inR2(n: Int) = w.length - n >= r2
+
+    // ---- step 1: standard suffixes, strict longest match
+    var did1 = false
+    var mentFound = false
+    def drop(k: Int): Unit = { w = w.dropRight(k); did1 = true }
+    def repl(k: Int, r: String): Unit = { w = w.dropRight(k) + r; did1 = true }
+    val step1All = Seq(
+      "issements", "issement", "atrices", "amment", "emment",
+      "atrice", "ateurs", "ations", "logies", "usions", "utions", "ements",
+      "ances", "iqUes", "ismes", "ables", "istes", "ateur", "ation", "logie",
+      "usion", "ution", "ences", "ement", "euses", "ments", "ance", "iqUe",
+      "isme", "able", "iste", "ence", "ités", "ives", "eaux", "euse",
+      "ment", "eux", "ité", "ive", "ifs", "aux", "if").sortBy(-_.length)
+    step1All.find(w.endsWith).foreach {
+      case s @ ("ance" | "iqUe" | "isme" | "able" | "iste" | "eux" |
+                "ances" | "iqUes" | "ismes" | "ables" | "istes") =>
+        if (inR2(s.length)) drop(s.length)
+      case s @ ("atrice" | "ateur" | "ation" | "atrices" | "ateurs" | "ations") =>
+        if (inR2(s.length)) {
+          drop(s.length)
+          if (w.endsWith("ic")) {
+            if (inR2(2)) drop(2) else { w = w.dropRight(2) + "iqU"; did1 = true }
+          }
+        }
+      case s @ ("logie" | "logies") =>
+        if (inR2(s.length)) repl(s.length, "log")
+      case s @ ("usion" | "ution" | "usions" | "utions") =>
+        if (inR2(s.length)) repl(s.length, "u")
+      case s @ ("ence" | "ences") =>
+        if (inR2(s.length)) repl(s.length, "ent")
+      case s @ ("ement" | "ements") =>
+        if (inRV(s.length)) {
+          drop(s.length)
+          if (w.endsWith("iv") && inR2(2)) {
+            drop(2)
+            if (w.endsWith("at") && inR2(2)) drop(2)
+          } else if (w.endsWith("eus")) {
+            if (inR2(3)) drop(3)
+            else if (inR1(3)) { w = w.dropRight(3) + "eux"; did1 = true }
+          } else if ((w.endsWith("abl") || w.endsWith("iqU")) && inR2(3)) drop(3)
+          else if ((w.endsWith("ièr") || w.endsWith("Ièr")) && inRV(3))
+            repl(3, "i")
+        }
+      case s @ ("ité" | "ités") =>
+        if (inR2(s.length)) {
+          drop(s.length)
+          if (w.endsWith("abil")) {
+            if (inR2(4)) drop(4) else { w = w.dropRight(4) + "abl"; did1 = true }
+          } else if (w.endsWith("ic")) {
+            if (inR2(2)) drop(2) else { w = w.dropRight(2) + "iqU"; did1 = true }
+          } else if (w.endsWith("iv") && inR2(2)) drop(2)
+        }
+      case s @ ("if" | "ive" | "ifs" | "ives") =>
+        if (inR2(s.length)) {
+          drop(s.length)
+          if (w.endsWith("at") && inR2(2)) {
+            drop(2)
+            if (w.endsWith("ic")) {
+              if (inR2(2)) drop(2) else { w = w.dropRight(2) + "iqU"; did1 = true }
+            }
+          }
+        }
+      case "eaux" => repl(4, "eau")
+      case "aux" => if (inR1(3)) repl(3, "al")
+      case s @ ("euse" | "euses") =>
+        if (inR2(s.length)) drop(s.length)
+        else if (inR1(s.length)) repl(s.length, "eux")
+      case s @ ("issement" | "issements") =>
+        if (inR1(s.length) && w.length > s.length &&
+            !frVowels.contains(w(w.length - s.length - 1))) drop(s.length)
+      case "amment" => if (inRV(6)) { w = w.dropRight(6) + "ant"; mentFound = true }
+      case "emment" => if (inRV(6)) { w = w.dropRight(6) + "ent"; mentFound = true }
+      case s @ ("ment" | "ments") =>
+        if (w.length > s.length && inRV(s.length + 1) &&
+            frVowels.contains(w(w.length - s.length - 1))) {
+          w = w.dropRight(s.length); mentFound = true
+        }
+      case _ => ()
+    }
+
+    // ---- steps 2a/2b: verb suffixes (only if step 1 left the word alone,
+    // or removed one of the ment endings), confined to RV
+    var did2 = false
+    if (!did1 || mentFound) {
+      val suf2a = Seq("issaIent", "issantes", "issantes", "issants", "issante",
+        "issions", "iraIent", "issons", "issiez", "issent", "issant", "issais",
+        "issait", "irions", "isses", "isses", "irons", "iront", "irent",
+        "irais", "irait", "iriez", "îtes", "îmes", "isse", "issez", "iras",
+        "irai", "irez", "ira", "ies", "ît", "ie", "ir", "is", "it", "i")
+      longestInRegion(w, rv, suf2a)
+        .filter { s =>
+          val p = w.length - s.length - 1
+          p >= rv - 1 && p >= 0 && !frVowels.contains(w(p)) && w(p) != 'H'
+        }
+        .foreach { s => w = w.dropRight(s.length); did2 = true }
+      if (!did2) {
+        // step 2b
+        val g1 = Seq("ions")
+        val g2 = Seq("eraIent", "erions", "èrent", "erais", "erait", "eriez",
+          "erons", "eront", "erai", "eras", "erez", "ées", "era", "iez",
+          "ée", "és", "er", "ez", "é")
+        val g3 = Seq("assions", "assiez", "assent", "aIent", "antes", "asses",
+          "âtes", "asse", "ants", "ante", "âmes", "ais", "ait", "ant",
+          "ât", "ai", "as", "a")
+        longestInRegion(w, rv, g1 ++ g2 ++ g3) match {
+          case Some(s) if g1.contains(s) =>
+            if (inR2(s.length)) { w = w.dropRight(s.length); did2 = true }
+          case Some(s) if g2.contains(s) =>
+            w = w.dropRight(s.length); did2 = true
+          case Some(s) =>
+            w = w.dropRight(s.length); did2 = true
+            if (w.endsWith("e") && inRV(1)) w = w.dropRight(1)
+          case scala.None => ()
+        }
+      }
+    }
+
+    if (did1 || did2) {
+      // ---- step 3
+      if (w.endsWith("Y")) w = w.dropRight(1) + "i"
+      else if (w.endsWith("ç")) w = w.dropRight(1) + "c"
+    } else {
+      // ---- step 4
+      if (w.endsWith("s") && w.length >= 2 &&
+          !"aiouès".contains(w(w.length - 2)) && w(w.length - 2) != 's')
+        w = w.dropRight(1)
+      val s4 = Seq("Ière", "ière", "Ier", "ier", "ion", "e", "ë")
+      longestInRegion(w, rv, s4) match {
+        case Some("ion") =>
+          if (inR2(3) && w.length > 3 &&
+              (w(w.length - 4) == 's' || w(w.length - 4) == 't'))
+            w = w.dropRight(3)
+        case Some(s @ ("ier" | "ière" | "Ier" | "Ière")) =>
+          w = w.dropRight(s.length) + "i"
+        case Some("e") => w = w.dropRight(1)
+        case Some("ë") => if (w.endsWith("guë")) w = w.dropRight(1)
+        case _ => ()
+      }
+    }
+    // ---- step 5: undouble enn/onn/ett/ell/eill
+    if (Seq("enn", "onn", "ett", "ell", "eill").exists(w.endsWith))
+      w = w.dropRight(1)
+    // ---- step 6: un-accent é/è before a final non-vowel run
+    val lastV = w.lastIndexWhere(frVowels.contains)
+    if (lastV >= 0 && lastV < w.length - 1 &&
+        (w(lastV) == 'é' || w(lastV) == 'è'))
+      w = w.substring(0, lastV) + 'e' + w.substring(lastV + 1)
+    w.map {
+      case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c
+    }
+  }
+
+  // ======================= Dutch ==========================================
+  // snowballstem.org/algorithms/dutch/stemmer.html (classic revision).
+
+  private val nlVowels = "aeiouyè".toSet
+
+  private def nlUndouble(w: String): String =
+    if (Seq("kk", "dd", "tt").exists(w.endsWith)) w.dropRight(1) else w
+
+  def dutch(word0: String): String = {
+    var w = word0.toLowerCase.map {
+      case 'ä' => 'a'; case 'ë' => 'e'; case 'ï' => 'i'; case 'ö' => 'o'
+      case 'ü' => 'u'; case 'á' => 'a'; case 'é' => 'e'; case 'í' => 'i'
+      case 'ó' => 'o'; case 'ú' => 'u'; case c => c
+    }
+    if (w.length < 3) return w
+    // prelude: initial y and y after a vowel → Y; i between vowels → I
+    val sb = new StringBuilder(w)
+    if (sb(0) == 'y') sb(0) = 'Y'
+    var i = 1
+    while (i < sb.length) {
+      val c = sb(i)
+      if (c == 'y' && nlVowels.contains(sb(i - 1))) sb(i) = 'Y'
+      else if (c == 'i' && i + 1 < sb.length &&
+               nlVowels.contains(sb(i - 1)) && nlVowels.contains(sb(i + 1)))
+        sb(i) = 'I'
+      i += 1
+    }
+    w = sb.toString
+    val (r1raw, r2) = romR1R2(w, nlVowels)
+    val r1 = Math.max(r1raw, Math.min(3, w.length)) // min-3 adjustment
+    def inR1(n: Int) = w.length - n >= r1
+    def inR2(n: Int) = w.length - n >= r2
+
+    // ---- step 1
+    if (w.endsWith("heden") && inR1(5)) w = w.dropRight(5) + "heid"
+    else {
+      val enSuf = Seq("ene", "en").find(s => w.endsWith(s) && inR1(s.length))
+      enSuf match {
+        case Some(s)
+            if w.length > s.length &&
+              !nlVowels.contains(w(w.length - s.length - 1)) &&
+              !w.endsWith("gem" + s) =>
+          w = nlUndouble(w.dropRight(s.length))
+        case _ =>
+          val sSuf = Seq("se", "s").find(s => w.endsWith(s) && inR1(s.length))
+          sSuf.foreach { s =>
+            val p = w.length - s.length - 1
+            if (p >= 0 && !nlVowels.contains(w(p)) && w(p) != 'j')
+              w = w.dropRight(s.length)
+          }
+      }
+    }
+    // ---- step 2: suffix e after a non-vowel, in R1
+    var eRemoved = false
+    if (w.endsWith("e") && inR1(1) && w.length >= 2 &&
+        !nlVowels.contains(w(w.length - 2))) {
+      w = nlUndouble(w.dropRight(1)); eRemoved = true
+    }
+    // ---- step 3a: heid (not after c), then a step-1b-style en
+    if (w.endsWith("heid") && inR2(4) && w.length > 4 &&
+        w(w.length - 5) != 'c') {
+      w = w.dropRight(4)
+      if (w.endsWith("en") && inR1(2) && w.length > 2 &&
+          !nlVowels.contains(w(w.length - 3)) && !w.endsWith("gemen"))
+        w = nlUndouble(w.dropRight(2))
+    }
+    // ---- step 3b: d-suffixes
+    if ((w.endsWith("end") || w.endsWith("ing")) && inR2(3)) {
+      w = w.dropRight(3)
+      if (w.endsWith("ig") && inR2(2) && w.length > 2 && w(w.length - 3) != 'e')
+        w = w.dropRight(2)
+      else w = nlUndouble(w)
+    } else if (w.endsWith("ig") && inR2(2) && w.length > 2 &&
+               w(w.length - 3) != 'e') w = w.dropRight(2)
+    else if (w.endsWith("lijk") && inR2(4)) {
+      w = w.dropRight(4)
+      // repeat step 2
+      if (w.endsWith("e") && inR1(1) && w.length >= 2 &&
+          !nlVowels.contains(w(w.length - 2)))
+        w = nlUndouble(w.dropRight(1))
+    } else if (w.endsWith("baar") && inR2(4)) w = w.dropRight(4)
+    else if (w.endsWith("bar") && inR2(3) && eRemoved) w = w.dropRight(3)
+    // ---- step 4: undouble vowel (CVVC with the last consonant not I)
+    if (w.length >= 4) {
+      val n = w.length
+      val (c1, v1, v2, c2) = (w(n - 4), w(n - 3), w(n - 2), w(n - 1))
+      if (!nlVowels.contains(c1) && !nlVowels.contains(c2) && c2 != 'I' &&
+          v1 == v2 && "aeou".contains(v1))
+        w = w.substring(0, n - 2) + c2
+    }
+    w.map { case 'Y' => 'y'; case 'I' => 'i'; case c => c }
+  }
+
+  // ======================= Russian ========================================
+  // snowballstem.org/algorithms/russian/stemmer.html. All steps confined to
+  // RV (the region after the first vowel); R2 standard.
+
+  private val ruVowels = "аеиоуыэюя".toSet
+
+  def russian(word0: String): String = {
+    var w = word0.toLowerCase.replace('ё', 'е')
+    if (w.length < 2) return w
+    val rv = {
+      var i = 0
+      while (i < w.length && !ruVowels.contains(w(i))) i += 1
+      if (i < w.length) i + 1 else w.length
+    }
+    val (_, r2) = romR1R2(w, ruVowels)
+    def inRV(n: Int) = w.length - n >= rv
+    def inR2(n: Int) = w.length - n >= r2
+    def precededByAYa(sufLen: Int): Boolean = {
+      val p = w.length - sufLen - 1
+      p >= rv - 1 && p >= 0 && (w(p) == 'а' || w(p) == 'я')
+    }
+
+    // ---- step 1
+    val gerund1 = Seq("вшись", "вши", "в")
+    val gerund2 = Seq("ившись", "ывшись", "ивши", "ывши", "ив", "ыв")
+    val gerund = (gerund1.map(s => (s, true)) ++ gerund2.map(s => (s, false)))
+      .sortBy(-_._1.length)
+      .find { case (s, aya) =>
+        w.endsWith(s) && inRV(s.length) && (!aya || precededByAYa(s.length))
+      }
+    gerund match {
+      case Some((s, _)) => w = w.dropRight(s.length)
+      case scala.None =>
+        Seq("ся", "сь").find(s => w.endsWith(s) && inRV(s.length))
+          .foreach(s => w = w.dropRight(s.length))
+        val adjective = Seq("ими", "ыми", "его", "ого", "ему", "ому",
+          "ее", "ие", "ые", "ое", "ей", "ий", "ый", "ой", "ем", "им",
+          "ым", "ом", "их", "ых", "ую", "юю", "ая", "яя", "ою", "ею")
+        val adjFound = longestInRegion(w, rv, adjective)
+        adjFound match {
+          case Some(a) =>
+            w = w.dropRight(a.length)
+            // optional participle before the adjective ending
+            val part1 = Seq("ем", "нн", "вш", "ющ", "щ")
+            val part2 = Seq("ивш", "ывш", "ующ")
+            (part1.map(s => (s, true)) ++ part2.map(s => (s, false)))
+              .sortBy(-_._1.length)
+              .find { case (s, aya) =>
+                w.endsWith(s) && inRV(s.length) && (!aya || precededByAYa(s.length))
+              }
+              .foreach { case (s, _) => w = w.dropRight(s.length) }
+          case scala.None =>
+            val verb1 = Seq("ешь", "нно", "ете", "йте", "ла", "на", "ли",
+              "ем", "ло", "но", "ет", "ют", "ны", "ть", "й", "л", "н")
+            val verb2 = Seq("ейте", "уйте", "ила", "ыла", "ена", "ите",
+              "или", "ыли", "ило", "ыло", "ено", "ует", "уют", "ены",
+              "ить", "ыть", "ишь", "ей", "уй", "ил", "ыл", "им", "ым",
+              "ен", "ят", "ит", "ыт", "ую", "ю")
+            val verb = (verb1.map(s => (s, true)) ++ verb2.map(s => (s, false)))
+              .sortBy(-_._1.length)
+              .find { case (s, aya) =>
+                w.endsWith(s) && inRV(s.length) && (!aya || precededByAYa(s.length))
+              }
+            verb match {
+              case Some((s, _)) => w = w.dropRight(s.length)
+              case scala.None =>
+                val noun = Seq("иями", "ями", "ами", "ией", "иям", "ием",
+                  "иях", "ев", "ов", "ие", "ье", "еи", "ии",
+                  "ей", "ой", "ий", "ям", "ем", "ам", "ом", "ах", "ях",
+                  "ию", "ью", "ия", "ья", "а", "е", "и", "й", "о", "у",
+                  "ы", "ь", "ю", "я")
+                longestInRegion(w, rv, noun)
+                  .foreach(s => w = w.dropRight(s.length))
+            }
+        }
+    }
+    // ---- step 2: terminal и
+    if (w.endsWith("и") && inRV(1)) w = w.dropRight(1)
+    // ---- step 3: derivational ост/ость in R2
+    Seq("ость", "ост").find(s => w.endsWith(s) && inR2(s.length))
+      .foreach(s => w = w.dropRight(s.length))
+    // ---- step 4
+    if (w.endsWith("нн") && inRV(2)) w = w.dropRight(1)
+    else {
+      val sup = Seq("ейше", "ейш").find(s => w.endsWith(s) && inRV(s.length))
+      sup match {
+        case Some(s) =>
+          w = w.dropRight(s.length)
+          if (w.endsWith("нн") && inRV(2)) w = w.dropRight(1)
+        case scala.None =>
+          if (w.endsWith("ь") && inRV(1)) w = w.dropRight(1)
+      }
     }
     w
   }

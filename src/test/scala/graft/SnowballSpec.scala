@@ -88,7 +88,10 @@ class SnowballSpec extends AnyFunSuite {
       "aufgabe" -> "aufgab",
       "bezeichnungen" -> "bezeichn",  // step 1 `en` + step 3 `ung`
       "möglichkeit" -> "moglich",     // step 3 `keit` (lich survives: not in R2)
-      "schönheit" -> "schonheit")     // `heit` outside R2 — only the umlaut goes
+      "schönheit" -> "schonheit",     // `heit` outside R2 — only the umlaut goes
+      // R2 computed over the SAME vowel set as the R1 scan: prelude-marked
+      // intervocalic u/y stay consonants (the r12 fix this pins)
+      "betreuung" -> "betreu")
     pairs.foreach { case (in, want) =>
       assertResult(want, s"german($in)")(Snowball.german(in))
     }
@@ -101,9 +104,82 @@ class SnowballSpec extends AnyFunSuite {
       "canciones" -> "cancion",   // verb-suffix `es`
       "importancia" -> "import",  // step 1 `ancia`
       "guerra" -> "guerr",        // residual `a`
-      "lógica" -> "logic")        // residual + deaccent
+      "lógica" -> "logic",        // residual + deaccent
+      // step 0 deaccents only the matched gerund/infinitive suffix, not the
+      // whole stem (the r12 fix this pins): attached-pronoun forms
+      "haciéndola" -> "hac", "enviándolo" -> "envi",
+      // nested-suffix R2 checks run against the CURRENT word after the
+      // outer drop (amente → iv chain) — the stale-offset fix this pins
+      "efectivamente" -> "efect")
     pairs.foreach { case (in, want) =>
       assertResult(want, s"spanish($in)")(Snowball.spanish(in))
+    }
+  }
+
+  test("italian stemmer: suffix steps, verb suffixes, final-vowel removal") {
+    val pairs = Seq(
+      "abbandonata" -> "abbandon",  // verb suffix `ata` in RV
+      "pericolosa" -> "pericol",    // step 1 `osa` in R2
+      "nazione" -> "nazion",        // `azione` fails R2 → step 3a final e
+      "comunicazione" -> "comun",   // `azione` + preceding `ic` in R2
+      "felicità" -> "felic",        // `ità` in R2 (ic fails R2)
+      "caratteristiche" -> "caratterist", // step 1 `iche`
+      "mangiandolo" -> "mang",      // step 0 pronoun -lo after `ando`, then 3a
+      "lettere" -> "lett")          // verb suffix `ere` in RV
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"italian($in)")(Snowball.italian(in))
+    }
+  }
+
+  test("portuguese stemmer: suffix steps, verb suffixes, residuals") {
+    val pairs = Seq(
+      "grandeza" -> "grandez",    // `eza` fails R2 → residual `a` in RV
+      "falando" -> "fal",         // verb `ando`
+      "bonita" -> "bonit",        // residual `a`
+      "comemorava" -> "comemor",  // verb `ava`
+      "felicidade" -> "felic",    // `idade` in R2 (ic fails R2)
+      "lealdade" -> "lealdad",    // step 5 final `e`
+      "importante" -> "import")   // `ante` in R2
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"portuguese($in)")(Snowball.portuguese(in))
+    }
+  }
+
+  test("french stemmer: standard suffixes, verb suffixes, residuals, un-accent") {
+    val pairs = Seq(
+      "grandement" -> "grand",     // `ement` in RV
+      "justement" -> "just",
+      "nationale" -> "national",   // step 4 residual `e`
+      "montaient" -> "mont",       // 2b `aIent` (prelude-marked I)
+      "propositions" -> "proposit", // 2b `ions` in R2
+      "complète" -> "complet")     // residual `e` + step 6 un-accent
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"french($in)")(Snowball.french(in))
+    }
+  }
+
+  test("dutch stemmer: en/e removal, d-suffixes, vowel undoubling") {
+    val pairs = Seq(
+      "gekken" -> "gek",          // `en` + consonant undouble
+      "appels" -> "appel",        // `s` after valid s-ending
+      "huizen" -> "huiz",
+      "lichamelijk" -> "licham",  // `lijk` in R2
+      "maan" -> "man",            // step 4 vowel undouble (spec example)
+      "dringende" -> "dringend")  // step 2 `e` (end fails R2)
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"dutch($in)")(Snowball.dutch(in))
+    }
+  }
+
+  test("russian stemmer: noun/adjective/verb endings, derivational ость") {
+    val pairs = Seq(
+      "книгами" -> "книг",        // noun `ами`
+      "красивый" -> "красив",     // adjective `ый`
+      "читала" -> "чита",         // verb `ла` after `а` (the `а` stays)
+      "быстрее" -> "быстр",       // adjective `ее`
+      "должность" -> "должност")  // noun `ь`; `ост` outside R2 survives
+    pairs.foreach { case (in, want) =>
+      assertResult(want, s"russian($in)")(Snowball.russian(in))
     }
   }
 
