@@ -1947,6 +1947,36 @@ object SparkPlanner {
     * Nested-path defs (`DEFINE FIELD meta.a …`) rebuild through the parent
     * struct with `withField`; each value casts back to its declared slot
     * type so the written schema never drifts from the base table's. */
+  /** Field pipeline at a (possibly nested) path: plain segments walk the
+    * struct, a `*` segment fans over every array element via `transform`
+    * (Catalyst higher-order function — stays in codegen, no per-row UDF)
+    * or over every value of a struct (`obj.*`, define_field_dot_star).
+    * Unresolvable segments leave the column untouched, matching the
+    * interpreter's path walk (an absent slot skips the pipeline). */
+  private def pipeAtPath(d: DefineFieldStmt, cur: Column, segs: List[String],
+      curType: Option[DataType], ctx: Ctx, t: String, key: String,
+      isCreate: Boolean): Column = segs match {
+    case Nil =>
+      val piped = fieldPipelineCol(d, cur, ctx, t, key, isCreate)
+      curType.map(piped.cast).getOrElse(piped)
+    case "*" :: rest => curType match {
+      case Some(ArrayType(et, _)) =>
+        transform(cur, x =>
+          pipeAtPath(d, x, rest, Some(et), ctx, t, key, isCreate))
+      case Some(st: StructType) =>
+        st.fields.foldLeft(cur)((acc, f) => acc.withField(f.name,
+          pipeAtPath(d, acc.getField(f.name), rest, Some(f.dataType),
+            ctx, t, key, isCreate)))
+      case _ => cur
+    }
+    case seg :: rest => curType match {
+      case Some(st: StructType) if st.fieldNames.contains(seg) =>
+        cur.withField(seg, pipeAtPath(d, cur.getField(seg), rest,
+          st.fields.find(_.name == seg).map(_.dataType), ctx, t, key, isCreate))
+      case _ => cur
+    }
+  }
+
   private def applyFieldDefs(rows: DataFrame, defs: Seq[DefineFieldStmt],
       ctx0: Ctx, t: String, key: String): DataFrame = {
     val applicable = defs.filter(d => rows.columns.contains(fieldRoot(d.field)))
@@ -1954,19 +1984,9 @@ object SparkPlanner {
     val ctx = ctx0.copy(schema = rows.schema)
     applicable.foldLeft(rows) { (df, d) =>
       val root = fieldRoot(d.field)
-      if (d.field == root) {
-        val dt = df.schema(root).dataType
-        df.withColumn(root,
-          fieldPipelineCol(d, col(root), ctx, t, key, isCreate = true).cast(dt))
-      } else {
-        val sub = d.field.drop(root.length + 1)
-        val path = d.field.split('.').toSeq
-        val cur = sub.split('.').foldLeft(col(root))(_.getField(_))
-        val piped = fieldPipelineCol(d, cur, ctx, t, key, isCreate = true)
-        val slot = nestedType(df.schema, path)
-          .map(piped.cast).getOrElse(piped)
-        df.withColumn(root, col(root).withField(sub, slot))
-      }
+      val segs = d.field.split('.').toList.tail
+      df.withColumn(root, pipeAtPath(d, col(root), segs,
+        Some(df.schema(root).dataType), ctx, t, key, isCreate = true))
     }
   }
 
@@ -1985,17 +2005,11 @@ object SparkPlanner {
     withValueFields.map { case (f, v0) =>
       val applicable = defsIn.filter(d => fieldRoot(d.field) == f)
       f -> applicable.foldLeft(v0) { (acc, d) =>
-        if (d.field == f) fieldPipelineCol(d, acc, ctx, t, key, isCreate = false)
-        else {
-          // nested def: run the pipeline on the post-write slot value and
-          // fold it back into the (possibly already rebuilt) parent struct
-          val sub = d.field.drop(f.length + 1)
-          val cur = sub.split('.').foldLeft(acc)(_.getField(_))
-          val piped = fieldPipelineCol(d, cur, ctx, t, key, isCreate = false)
-          val slot = nestedType(ctx.schema, d.field.split('.').toSeq)
-            .map(piped.cast).getOrElse(piped)
-          acc.withField(sub, slot)
-        }
+        // run the pipeline on the post-write slot value (walking structs and
+        // fanning `*` over array elements) and fold it back into the
+        // (possibly already rebuilt) parent column
+        pipeAtPath(d, acc, d.field.split('.').toList.tail,
+          nestedType(ctx.schema, Seq(f)), ctx, t, key, isCreate = false)
       }
     }
   }

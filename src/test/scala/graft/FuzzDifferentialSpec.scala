@@ -585,7 +585,37 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(15) match {
+    val mut = r.nextInt(17) match {
+      case 15 =>
+        // field pipeline over NESTED and array-wildcard paths on prof —
+        // VALUE recompute / passing ASSERT fan over struct slots and every
+        // array element (SELECT keeps the piped columns observable: the
+        // Spark overlay surfaces pipeline effects lazily)
+        select = "SELECT id, meta, score, hist FROM prof ORDER BY id;"
+        r.nextInt(3) match {
+          case 0 =>
+            s"""DEFINE FIELD meta.a ON prof VALUE $$value + ${r.nextInt(5) + 1};
+                UPDATE prof SET score = score + 1 WHERE score ${Seq("<", ">")(r.nextInt(2))} ${r.nextInt(60)};"""
+          case 1 =>
+            s"""DEFINE FIELD hist.*.p ON prof VALUE $$value * ${r.nextInt(3) + 2};
+                UPDATE prof SET score = score + ${r.nextInt(4)} WHERE meta.a > ${r.nextInt(8)};"""
+          case _ =>
+            s"""DEFINE FIELD hist.*.q ON prof ASSERT $$value < 1000;
+                UPDATE prof SET hist = [{ q: ${r.nextInt(900)}, p: ${r.nextInt(50)} }] WHERE score = ${(r.nextInt(12) + 1) * 5};"""
+        }
+      case 16 =>
+        // TYPE coercion / passing ASSERT / unchanged READONLY on item
+        r.nextInt(3) match {
+          case 0 =>
+            s"""DEFINE FIELD qty ON item TYPE number ASSERT $$value >= 0;
+                UPDATE item SET qty = qty + ${r.nextInt(5)} WHERE ${boolExpr(r, 1)};"""
+          case 1 =>
+            s"""DEFINE FIELD grp ON item READONLY;
+                UPDATE item SET qty = ${r.nextInt(30)} WHERE ${boolExpr(r, 1)};"""
+          case _ =>
+            s"""DEFINE FIELD price ON item TYPE float;
+                UPDATE item SET price = ${r.nextInt(40)} WHERE ${boolExpr(r, 1)};"""
+        }
       case 14 =>
         // intra-batch duplicate record ids: IGNORE keeps the first
         // occurrence; ON DUPLICATE routes later occurrences through the

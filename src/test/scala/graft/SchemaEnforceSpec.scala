@@ -20,7 +20,8 @@ class SchemaEnforceSpec extends AnyFunSuite {
         s"score = $i.5, label = 'L$i';"
     }.mkString("\n") + "\n" +
       (1 to 4).map { i =>
-        s"CREATE prof:$i SET meta = { a: $i, b: 'x$i' }, score = ${i * 10};"
+        s"CREATE prof:$i SET meta = { a: $i, b: 'x$i' }, score = ${i * 10}, " +
+          s"hist = [{ q: $i, p: ${i * 2} }, { q: ${i + 1}, p: 0 }];"
       }.mkString("\n")
 
   private def df = {
@@ -37,11 +38,13 @@ class SchemaEnforceSpec extends AnyFunSuite {
   /** Struct-columned table: meta = { a: long, b: string }. */
   private def profDf = {
     import spark.implicits._
-    (1 to 4).map(i => (i.toLong, (i.toLong, s"x$i"), i.toLong * 10))
-      .toDF("id", "meta", "score")
+    (1 to 4).map(i => (i.toLong, (i.toLong, s"x$i"), i.toLong * 10,
+        Seq((i.toLong, i.toLong * 2), (i.toLong + 1, 0L))))
+      .toDF("id", "meta", "score", "hist")
       .select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("meta").cast("struct<a:bigint,b:string>"),
-        org.apache.spark.sql.functions.col("score"))
+        org.apache.spark.sql.functions.col("score"),
+        org.apache.spark.sql.functions.col("hist").cast("array<struct<q:bigint,p:bigint>>"))
   }
   graft.operators.GraphOps.extraEdgeDefs.put("linksto", ("doc", "doc"))
 
@@ -58,7 +61,7 @@ class SchemaEnforceSpec extends AnyFunSuite {
     case l: Long         => VInt(l)
     case d: Double       => VFloat(d)
     case s: String       => VStr(s)
-    case a: Seq[_]       => VArr(a.map(toV).toVector)
+    case a: scala.collection.Seq[_] => VArr(a.map(toV).toVector)
     case r: org.apache.spark.sql.Row =>
       VObj(scala.collection.immutable.TreeMap(
         r.schema.fieldNames.zipWithIndex
@@ -391,8 +394,40 @@ class SchemaEnforceSpec extends AnyFunSuite {
       BEGIN;
       DEFINE FIELD qty ON doc VALUE $value * 100;
       CANCEL;
-      UPDATE doc SET qty = qty + 1 WHERE id = 1;
+      UPDATE doc SET qty = qty + 1 WHERE qty = 10;
       SELECT id, qty FROM doc ORDER BY id;""")
+  }
+
+  // ---- array-wildcard DEFINE FIELD paths (addresses.*.city shape) --------
+
+  test("array-wildcard DEFINE FIELD VALUE rewrites every element slot on UPDATE") {
+    checkSame("""
+      DEFINE FIELD hist.*.p ON prof VALUE $value * 10;
+      UPDATE prof SET score = score + 1 WHERE id = 2;
+      SELECT id, hist, score FROM prof ORDER BY id;""")
+  }
+
+  test("array-wildcard DEFINE FIELD VALUE applies on CREATE") {
+    checkSame("""
+      DEFINE FIELD hist.*.p ON prof VALUE $value + 1;
+      CREATE prof:9 SET meta = { a: 9, b: 'q' }, score = 90,
+        hist = [{ q: 1, p: 1 }, { q: 2, p: 2 }];
+      SELECT id, hist FROM prof ORDER BY id;""")
+  }
+
+  test("array-wildcard DEFINE FIELD ASSERT rejects a bad element") {
+    checkBothError("""
+      DEFINE FIELD hist.*.q ON prof ASSERT $value < 100;
+      UPDATE prof SET hist = [{ q: 500, p: 1 }] WHERE score = 10;
+      SELECT id, hist FROM prof ORDER BY id;""",
+      "must conform to")
+  }
+
+  test("struct-wildcard DEFINE FIELD constrains every value of the object") {
+    checkSame("""
+      DEFINE FIELD meta.* ON prof ASSERT $value != NONE;
+      UPDATE prof SET meta.a = meta.a + 1 WHERE id = 3;
+      SELECT id, meta FROM prof ORDER BY id;""")
   }
 
   // ---- intra-batch duplicate record ids (sequential row semantics) -------
