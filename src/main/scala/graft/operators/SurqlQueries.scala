@@ -450,6 +450,22 @@ object SurqlQueries {
           ORDER BY cos_sim DESC, vec_id""")
   }
 
+  /** `<|k,ef|>` under a selective row predicate: the reference's
+    * HnswConditionChecker pulls index candidates until k rows PASS the
+    * WHERE condition — the Spark lowering doubles the index fetch until k
+    * survive (or the fetch covers the whole index), so a predicate that
+    * filters away more than the fixed slack still fills the top-k.
+    * Rows-only (ANN by design); SimilaritySpec pins the exact-k property. */
+  val knnAnnFiltered = Q.rowsOnly("knn_ann_filtered") { (s, d) =>
+    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    SparkPlanner.query(s, d,
+      s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
+          FROM embeddings WHERE vec_id >= 400 AND embedding <|10,80|> $vec
+          ORDER BY cos_sim DESC, vec_id""")
+  }
+
   /** WITH NOINDEX honored on the KNN path (exec/planner/util.rs index
     * hints): the `<|k|>` probe skips the persisted ANN index and runs the
     * exact brute cosine top-k — which makes the hinted query ORACLE-exact
@@ -1718,7 +1734,7 @@ object SurqlQueries {
     gqlQuery, gqlVars,
     graphArrow, graphArrowRev, graphArrowCond, graphArrowField,
     graphChain, graphChainField,
-    fulltextBm25, knnBruteText, knnAnnText, knnNoindex, sortCollate, sortNumeric,
+    fulltextBm25, knnBruteText, knnAnnText, knnAnnFiltered, knnNoindex, sortCollate, sortNumeric,
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,

@@ -1000,17 +1000,33 @@ object SparkPlanner {
           if (table != "embeddings" || f != "embedding")
             throw SqlError(s"SparkPlanner: <|k|> requires a vector-indexed field; $table.$f is not")
           // over-fetch: the reference pulls index candidates until k pass
-          // the row condition (idx/trees/hnsw HnswConditionChecker), so
-          // candidates the WHERE filters away must not shrink the final k
-          val fetch = k + 16
-          val probe = metric.toIntOption match {
+          // the row condition (idx/trees/hnsw HnswConditionChecker). A
+          // predicate-free query needs no slack beyond a small constant;
+          // under row predicates the fetch DOUBLES until k candidates
+          // survive or the fetch covers the whole index — the set-at-a-time
+          // analog of the checker's pull-until-k loop (each round is one
+          // bounded probe + count, only paid when a WHERE is present).
+          def probeAt(fetch: Int): DataFrame = metric.toIntOption match {
             case Some(ef) if ef > 0 =>
               graft.operators.Hnsw.probe(spark, dir, qvec, fetch, math.max(ef, fetch))
             case _ =>
               graft.operators.Similarity.annProbe(spark, dir, qvec, fetch)
                 .select(col("vec_id"), (lit(1.0) - col("cos_sim")).as("__knn_dist"))
           }
-          df = df.join(probe, Seq("vec_id"), "inner")
+          var fetch = k + 16
+          var joined = df.join(probeAt(fetch), Seq("vec_id"), "inner")
+          if (plainConjs.nonEmpty) {
+            val n = graft.operators.CountIndex.of(spark, dir, table)
+            var got = joined.limit(k).count()
+            while (got < k && fetch < n) {
+              fetch =
+                if (fetch.toLong * 2 >= n) math.min(n, Int.MaxValue.toLong).toInt
+                else fetch * 2
+              joined = df.join(probeAt(fetch), Seq("vec_id"), "inner")
+              got = joined.limit(k).count()
+            }
+          }
+          df = joined
             .orderBy(col("__knn_dist").asc, col(srcKey).asc)
             .limit(k)
       }

@@ -69,4 +69,15 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     ivf.foreach(r => assert(math.abs(exact(r.getLong(0)) - r.getDouble(1)) < 1e-9))
   }
+
+  test("knn_ann_filtered fills the full k under a selective predicate " +
+    "(adaptive over-fetch: the fixed slack alone cannot)") {
+    val rows = SparkEntry.queries("knn_ann_filtered")(spark, sf).collect()
+    assert(rows.length == 10, s"expected exactly k=10 rows, got ${rows.length}")
+    // every survivor honors the predicate
+    assert(rows.forall(_.getLong(0) >= 400L))
+    // ordered by similarity descending
+    val sims = rows.map(_.getDouble(1))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
 }
