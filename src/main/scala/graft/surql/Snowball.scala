@@ -11,19 +11,46 @@ package graft.surql
   * postludes included); the Scandinavian family (Swedish/Norwegian/
   * Danish) follows the published suffix-table algorithms; the Romance
   * family (Italian/Portuguese/French) implements the published RV/R1/R2
-  * suffix-step algorithms with their preludes and postludes; Dutch and
-  * Russian follow their published specs. Languages without an
-  * implementation fall back to identity — documented, not silent:
-  * [[supported]] lists the real ones.
+  * suffix-step algorithms with their preludes and postludes; Dutch,
+  * Russian, Romanian and Hungarian follow their published specs. Every
+  * implemented language reproduces the reference's own published analyzer
+  * vectors token for token (SnowballConformanceSpec). Languages without an
+  * implementation (finnish, turkish, greek, arabic, tamil) fall back to
+  * identity — documented, not silent: [[supported]] lists the real ones.
   */
 object Snowball {
 
   val supported: Set[String] =
     Set("english", "swedish", "norwegian", "danish", "german", "spanish",
-      "italian", "portuguese", "french", "dutch", "russian")
+      "italian", "portuguese", "french", "dutch", "russian", "romanian",
+      "hungarian")
 
-  def stem(language: String, word: String): String =
-    language.toLowerCase match {
+  /** ISO 639-1/639-3 aliases the reference's `snowball(<lang>)` filter
+    * accepts alongside full names (idx/ft/analyzer/filter.rs tests:
+    * en/eng, fr/fra, …). */
+  private val aliases: Map[String, String] = Map(
+    "en" -> "english", "eng" -> "english",
+    "fr" -> "french", "fra" -> "french",
+    "de" -> "german", "deu" -> "german",
+    "es" -> "spanish", "spa" -> "spanish",
+    "it" -> "italian", "ita" -> "italian",
+    "pt" -> "portuguese", "por" -> "portuguese",
+    "nl" -> "dutch", "nld" -> "dutch",
+    "ru" -> "russian", "rus" -> "russian",
+    "sv" -> "swedish", "swe" -> "swedish",
+    "da" -> "danish", "dan" -> "danish",
+    "no" -> "norwegian", "nor" -> "norwegian",
+    "ar" -> "arabic", "ara" -> "arabic",
+    "fi" -> "finnish", "fin" -> "finnish",
+    "el" -> "greek", "ell" -> "greek",
+    "hu" -> "hungarian", "hun" -> "hungarian",
+    "ro" -> "romanian", "ron" -> "romanian",
+    "ta" -> "tamil", "tam" -> "tamil",
+    "tr" -> "turkish", "tur" -> "turkish")
+
+  def stem(language: String, word: String): String = {
+    val l0 = language.toLowerCase
+    aliases.getOrElse(l0, l0) match {
       case "english"    => english(word)
       case "swedish"    => swedish(word)
       case "norwegian"  => norwegian(word)
@@ -35,8 +62,11 @@ object Snowball {
       case "french"     => french(word)
       case "dutch"      => dutch(word)
       case "russian"    => russian(word)
+      case "romanian"   => romanian(word)
+      case "hungarian"  => hungarian(word)
       case _            => word
     }
+  }
 
   // ======================= English (Porter2) ==============================
 
@@ -592,8 +622,9 @@ object Snowball {
       case Some(s) => w = w.dropRight(s.length); undoubleT()
       case scala.None => if (w.endsWith("løst")) w = w.dropRight(1)
     }
-    // step 4 (undouble): a double non-vowel at the end in R1 drops one letter
-    if (w.length >= 2 && w.length - 2 >= r1) {
+    // step 4 (undouble): a trailing double non-vowel drops one letter when
+    // the REMOVED letter is in R1 (danish.sbl setlimit: lille → lil)
+    if (w.length >= 2 && w.length - 1 >= r1) {
       val c = w(w.length - 1)
       if (c == w(w.length - 2) && !daVowels.contains(c)) w = w.dropRight(1)
     }
@@ -1001,7 +1032,7 @@ object Snowball {
       longestInRegion(w, rv, suf2a)
         .filter { s =>
           val p = w.length - s.length - 1
-          p >= rv - 1 && p >= 0 && !frVowels.contains(w(p)) && w(p) != 'H'
+          p >= rv && !frVowels.contains(w(p)) && w(p) != 'H'
         }
         .foreach { s => w = w.dropRight(s.length); did2 = true }
       if (!did2) {
@@ -1154,6 +1185,233 @@ object Snowball {
     w.map { case 'Y' => 'y'; case 'I' => 'i'; case c => c }
   }
 
+  // ======================= Romanian =======================================
+  // snowballstem.org/algorithms/romanian/stemmer.html. Comma-below ş/ţ
+  // (U+0219/U+021B) normalize to the cedilla forms the suffix tables use
+  // and are restored on output when the input used them.
+
+  private val roVowels = "aăâeiîou".toSet
+
+  def romanian(word0: String): String = {
+    val hadComma = word0.exists(c => c == 'ș' || c == 'ț')
+    var w = word0.toLowerCase.map {
+      case 'ș' => 'ş'; case 'ț' => 'ţ'; case c => c
+    }
+    def restore(out: String): String =
+      if (hadComma) out.map { case 'ş' => 'ș'; case 'ţ' => 'ț'; case c => c }
+      else out
+    if (w.length < 3) return restore(w)
+    // prelude: i/u between vowels marked as consonants
+    val sb = new StringBuilder(w)
+    var i = 1
+    while (i < sb.length - 1) {
+      val c = sb(i)
+      if ((c == 'i' || c == 'u') &&
+          roVowels.contains(sb(i - 1)) && roVowels.contains(sb(i + 1)))
+        sb(i) = (c - 32).toChar
+      i += 1
+    }
+    w = sb.toString
+    val rv = romRV(w, roVowels)
+    val (r1, r2) = romR1R2(w, roVowels)
+    def inRV(n: Int) = w.length - n >= rv
+    def inR1(n: Int) = w.length - n >= r1
+    def inR2(n: Int) = w.length - n >= r2
+
+    // ---- step 0: plurals and simplifications (in R1, longest match)
+    val step0 = Seq("iilor", "ului", "elor", "iile", "atei", "aţie", "aţia",
+      "ilor", "aua", "ele", "iua", "iei", "ile", "ul", "ea", "ii")
+    step0.sortBy(-_.length).find(s => w.endsWith(s) && inR1(s.length)).foreach {
+      case s @ ("ul" | "ului") => w = w.dropRight(s.length)
+      case "aua" => w = w.dropRight(3) + "a"
+      case s @ ("ea" | "ele" | "elor") => w = w.dropRight(s.length) + "e"
+      case s @ ("ii" | "iua" | "iei" | "iile" | "iilor" | "ilor") =>
+        w = w.dropRight(s.length) + "i"
+      case "ile" =>
+        if (!w.dropRight(3).endsWith("ab")) w = w.dropRight(3) + "i"
+      case "atei" => w = w.dropRight(4) + "at"
+      case s @ ("aţie" | "aţia") => w = w.dropRight(s.length) + "aţi"
+      case _ => ()
+    }
+
+    // ---- step 1: combining suffixes (in R1), repeated until stable
+    var removed12 = false
+    var changed = true
+    while (changed) {
+      changed = false
+      val comb: Seq[(Seq[String], String)] = Seq(
+        (Seq("abilitate", "abilitati", "abilităi", "abilităţi"), "abil"),
+        (Seq("ibilitate"), "ibil"),
+        (Seq("ivitate", "ivitati", "ivităi", "ivităţi"), "iv"),
+        (Seq("icitate", "icitati", "icităi", "icităţi", "icator", "icatori",
+          "iciv", "iciva", "icive", "icivi", "ical", "icala", "icale",
+          "icali"), "ic"),
+        (Seq("aţiune", "atoare", "ătoare", "ativ", "ativa", "ative", "ativi",
+          "ator", "atori", "ător", "ători"), "at"),
+        (Seq("iţiune", "itoare", "itiv", "itiva", "itive", "itivi",
+          "itor", "itori"), "it"))
+      val all = comb.flatMap { case (ss, r) => ss.map(_ -> r) }
+      all.sortBy(-_._1.length).find { case (s, _) =>
+        w.endsWith(s) && inR1(s.length)
+      }.foreach { case (s, r) =>
+        w = w.dropRight(s.length) + r
+        changed = true; removed12 = true
+      }
+    }
+
+    // ---- step 2: standard suffixes (in R2, longest match)
+    val s2plain = Seq("abila", "abile", "abili", "abilă", "ibila", "ibile",
+      "ibili", "ibilă", "itate", "itati", "ităţi", "abil", "ibil", "oasa",
+      "oasă", "oase", "anta", "ante", "anti", "antă", "ator", "atori",
+      "ităi", "ata", "ată", "ati", "ate", "uta", "ută", "uti", "ute",
+      "ita", "ită", "iti", "ite", "ica", "ice", "ici", "ică", "iva",
+      "ive", "ivi", "ivă", "osi", "oşi", "ant", "at", "ut", "it", "ic",
+      "iv", "os")
+    val s2ist = Seq("isme", "ista", "iste", "isti", "istă", "işti", "ism", "ist")
+    val s2iune = Seq("iune", "iuni")
+    val all2 = s2plain.map(_ -> 0) ++ s2ist.map(_ -> 1) ++ s2iune.map(_ -> 2)
+    all2.sortBy(-_._1.length).find { case (s, _) =>
+      w.endsWith(s) && inR2(s.length)
+    }.foreach {
+      case (s, 0) => w = w.dropRight(s.length); removed12 = true
+      case (s, 1) => w = w.dropRight(s.length) + "ist"; removed12 = true
+      case (s, _) =>
+        if (w.dropRight(s.length).endsWith("ţ")) {
+          w = w.dropRight(s.length + 1) + "t"; removed12 = true
+        }
+    }
+
+    // ---- step 3: verb suffixes (in RV), only when steps 1-2 removed nothing
+    if (!removed12) {
+      // group A deletes only after a consonant or u (itself in RV)
+      val ga = Seq("aserăm", "aserăţi", "iserăm", "iserăţi", "âserăm",
+        "âserăţi", "userăm", "userăţi", "seserăm", "seserăţi",
+        "aseşi", "aseră", "iseşi", "iseră", "âseşi", "âseră", "useşi",
+        "useră", "seseşi", "seseră", "ească", "arăm", "arăţi",
+        "erăm", "erăţi", "irăm", "irăţi", "ârăm", "ârăţi", "asem", "isem",
+        "âsem", "usem", "sesem", "indu", "ându", "eşte", "eşti", "ăşte",
+        "ăşti", "ează", "ăsc", "eam", "eai", "eau", "iam", "iai", "iau",
+        "esc", "are", "ere", "ire", "âre", "ind", "ând", "eze", "ase",
+        "ise", "âse", "use", "sese", "ez", "ezi", "am", "ai", "au", "ui",
+        "âi", "aşi").filter(_.nonEmpty)
+      val gb = Seq("serăm", "serăţi", "sesem", "seră", "sei", "se",
+        "ăm", "aţi", "em", "eţi", "im", "iţi", "âm", "âţi")
+      val cand = (ga.map(_ -> true) ++ gb.map(_ -> false))
+        .sortBy(-_._1.length)
+        .find { case (s, condA) =>
+          w.endsWith(s) && inRV(s.length) && (!condA || {
+            val p = w.length - s.length - 1
+            p >= rv && (!roVowels.contains(w(p)) || w(p) == 'u')
+          })
+        }
+      cand.foreach { case (s, _) => w = w.dropRight(s.length) }
+    }
+
+    // ---- step 4: final vowel (in RV)
+    Seq("ie", "a", "e", "i", "ă").sortBy(-_.length)
+      .find(s => w.endsWith(s) && inRV(s.length))
+      .foreach(s => w = w.dropRight(s.length))
+    restore(w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c })
+  }
+
+  // ======================= Hungarian ======================================
+  // snowballstem.org/algorithms/hungarian/stemmer.html: nine suffix steps
+  // in R1 (instrumental, frequent cases, special/other cases, factive,
+  // owned, singular/plural owner, plural), with digraph-aware R1 and
+  // double-consonant undoubling. Validated against the reference's
+  // published analyzer vectors.
+
+  private val huVowels = "aáeéiíoóöőuúüű".toSet
+  private val huDigraphs = Seq("dzs", "cs", "dz", "gy", "ly", "ny", "sz", "ty", "zs")
+  private val huDoubles = Seq("ccs", "ddz", "ggy", "lly", "nny", "ssz", "tty",
+    "zzs", "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp",
+    "rr", "ss", "tt", "vv", "zz")
+
+  private def huR1(w: String): Int =
+    if (huVowels.contains(w(0))) {
+      var i = 1
+      while (i < w.length && huVowels.contains(w(i))) i += 1
+      if (i >= w.length) w.length
+      else i + huDigraphs.find(w.substring(i).startsWith).map(_.length).getOrElse(1)
+    } else {
+      var i = 0
+      while (i < w.length && !huVowels.contains(w(i))) i += 1
+      if (i >= w.length) w.length else i + 1
+    }
+
+  /** Remove one letter of a trailing double consonant (ssz → sz, tt → t). */
+  private def huUndouble(w: String): String =
+    huDoubles.sortBy(-_.length).find(w.endsWith) match {
+      case Some(d) =>
+        val at = w.length - d.length
+        w.substring(0, at) + w.substring(at + 1)
+      case scala.None => w
+    }
+
+  def hungarian(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.length < 3) return w
+    val r1 = huR1(w)
+    def inR1(n: Int) = w.length - n >= r1
+    def endsDouble(stem: String) = huDoubles.exists(stem.endsWith)
+    // one longest-match among per step; `repl` maps matched → replacement
+    def step(rules: Seq[(String, String)]): Unit =
+      rules.sortBy(-_._1.length).find { case (s, _) =>
+        w.endsWith(s) && inR1(s.length)
+      }.foreach { case (s, r) => w = w.dropRight(s.length) + r }
+
+    // 1. instrumental: al/el after a double consonant, then undouble
+    Seq("al", "el").find(s => w.endsWith(s) && inR1(s.length) &&
+        endsDouble(w.dropRight(s.length))).foreach { s =>
+      w = huUndouble(w.dropRight(s.length))
+    }
+    // 2. frequent cases, then trailing á/é normalize
+    step(Seq("képpen", "onként", "enként", "anként", "képp", "ként", "ban",
+      "ben", "nak", "nek", "val", "vel", "tól", "től", "ról", "ről", "ból",
+      "ből", "hoz", "hez", "höz", "nál", "nél", "ért", "kor", "ba", "be",
+      "ra", "re", "ig", "at", "et", "ot", "öt", "ul", "ül", "vá", "vé",
+      "en", "on", "an", "ön", "n", "t").map(_ -> ""))
+    if (w.endsWith("á")) w = w.dropRight(1) + "a"
+    else if (w.endsWith("é")) w = w.dropRight(1) + "e"
+    // 3. special cases
+    step(Seq("ánként" -> "a", "án" -> "a", "én" -> "e"))
+    // 4. other cases
+    step(Seq("astul" -> "", "estül" -> "", "ástul" -> "a", "éstül" -> "e",
+      "stul" -> "", "stül" -> ""))
+    // 5. factive: á/é after a double consonant, then undouble
+    Seq("á", "é").find(s => w.endsWith(s) && inR1(1) &&
+        endsDouble(w.dropRight(1))).foreach { _ =>
+      w = huUndouble(w.dropRight(1))
+    }
+    // 6. owned
+    step(Seq("áké" -> "a", "áéi" -> "a", "éké" -> "e", "ééi" -> "e",
+      "éé" -> "e", "oké" -> "", "öké" -> "", "aké" -> "", "eké" -> "",
+      "ké" -> "", "éi" -> "", "é" -> ""))
+    // 7. singular owner
+    step(Seq("ájuk" -> "a", "éjük" -> "e", "ánk" -> "a", "énk" -> "e",
+      "ám" -> "a", "ád" -> "a", "ém" -> "e", "éd" -> "e", "ünk" -> "",
+      "unk" -> "", "juk" -> "", "jük" -> "", "nk" -> "", "uk" -> "",
+      "ük" -> "", "em" -> "", "om" -> "", "am" -> "", "od" -> "",
+      "ed" -> "", "ad" -> "", "öd" -> "", "ja" -> "", "je" -> "",
+      "á" -> "a", "é" -> "e", "m" -> "", "d" -> "", "a" -> "", "e" -> "",
+      "o" -> ""))
+    // 8. plural owner
+    step(Seq("jaitok" -> "", "jeitek" -> "", "áitok" -> "a", "éitek" -> "e",
+      "aitok" -> "", "eitek" -> "", "jaink" -> "", "jeink" -> "",
+      "áink" -> "a", "éink" -> "e", "aink" -> "", "eink" -> "",
+      "jaim" -> "", "jeim" -> "", "jaid" -> "", "jeid" -> "",
+      "jaik" -> "", "jeik" -> "", "áim" -> "a", "áid" -> "a", "áik" -> "a",
+      "éim" -> "e", "éid" -> "e", "éik" -> "e", "aim" -> "", "eim" -> "",
+      "aid" -> "", "eid" -> "", "aik" -> "", "eik" -> "", "itek" -> "",
+      "ink" -> "", "jai" -> "", "jei" -> "", "ái" -> "a", "éi" -> "e",
+      "im" -> "", "id" -> "", "ik" -> "", "ai" -> "", "ei" -> "",
+      "i" -> ""))
+    // 9. plural
+    step(Seq("ák" -> "a", "ék" -> "e", "ök" -> "", "ok" -> "", "ek" -> "",
+      "ak" -> "", "k" -> ""))
+    w
+  }
+
   // ======================= Russian ========================================
   // snowballstem.org/algorithms/russian/stemmer.html. All steps confined to
   // RV (the region after the first vowel); R2 standard.
@@ -1173,7 +1431,7 @@ object Snowball {
     def inR2(n: Int) = w.length - n >= r2
     def precededByAYa(sufLen: Int): Boolean = {
       val p = w.length - sufLen - 1
-      p >= rv - 1 && p >= 0 && (w(p) == 'а' || w(p) == 'я')
+      p >= rv && (w(p) == 'а' || w(p) == 'я')
     }
 
     // ---- step 1
