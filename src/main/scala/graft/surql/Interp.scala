@@ -4644,18 +4644,30 @@ final class Interp {
           else findUniqueConflict(tb, rid, idxFields, vals).map(r => r.key)
       }.headOption
       // an id duplicate is "record already exists"; a unique-index collision
-      // on a NEW id only reroutes IGNORE/ON DUPLICATE — plain INSERT reports
-      // it as the index violation below (unique_constraint_index)
+      // reroutes IGNORE always (insert_ignore_no_duplicate_key golden) but
+      // ON DUPLICATE only for GENERATED ids — a row naming a specific fresh
+      // id is a plain create whose index collision errors below
+      // (core/tests/insert.rs insert_with_savepoint: "this will fail,
+      // because we are specifying a specific id even though we also have
+      // an ON DUPLICATE KEY UPDATE clause")
+      val explicitId = row.fields.contains("id")
       val idDup = t.keys.find(V.looseEq(_, key))
       val existingKey =
-        if (s.ignore || s.onDuplicate.isDefined) idDup.orElse(idxConflict) else idDup
+        if (s.ignore) idDup.orElse(idxConflict)
+        else if (s.onDuplicate.isDefined)
+          idDup.orElse(if (explicitId) scala.None else idxConflict)
+        else idDup
       val produced: Option[(Option[VObj], V)] = existingKey match {
         case Some(k0) =>
           if (s.ignore) scala.None
           else s.onDuplicate match {
             case Some(sets) =>
               val doc = t(t.keys.find(V.looseEq(_, k0)).get)
-              val updated0 = applyData(doc, Some(SetData(sets)), env.copy(doc = Some(doc)))
+              // the update arm binds $input to the incoming row
+              // (core/tests/insert.rs insert_statement_duplicate_key_update)
+              val updated0 = applyData(doc, Some(SetData(sets)),
+                env.copy(doc = Some(doc))
+                  .bind("input", VObj(row.fields.updated("id", rid))))
               // the update arm is a full document write — the field pipeline
               // (VALUE/ASSERT/TYPE, doc/field.rs) runs like any UPDATE
               val erid = doc.fields.get("id") match {

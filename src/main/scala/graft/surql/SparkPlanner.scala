@@ -534,11 +534,24 @@ object SparkPlanner {
             // a denied create is silently skipped (doc/allow.rs)
             val f1 = actionPermCond(spark, dir, t, "create", base.schema)
               .map(firsts.filter).getOrElse(firsts)
-            applyFieldDefs(f1, fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
+            val f2 = applyFieldDefs(f1, fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
+            // INSERT IGNORE also skips rows whose unique-index tuple
+            // already exists (insert_ignore_no_duplicate_key golden);
+            // NULL-component tuples are exempt like the write check
+            if (!s.ignore) f2
+            else uniqDefs.getOrElse(t, Vector.empty).foldLeft(f2) {
+              case (df, (_, fields)) if fields.forall(df.columns.contains) =>
+                val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
+                val taken = base.filter(nonNull)
+                  .select(fields.map(col).toIndexedSeq: _*).distinct()
+                df.filter(!nonNull).unionByName(
+                  df.filter(nonNull).join(taken, fields.toSeq, "left_anti"))
+              case (df, _) => df
+            }
           }
-          val dupSetsOf = () => s.onDuplicate.map(sets => enforceSets(
-            setMap(Some(SetData(sets)), ctx, requireExisting = true),
-            fldDefs.getOrElse(t, Vector.empty), ctx, t, key)).getOrElse(Map.empty)
+          val dupSetsOf = (dctx: Ctx) => s.onDuplicate.map(sets => enforceSets(
+            setMap(Some(SetData(sets)), dctx, requireExisting = true),
+            fldDefs.getOrElse(t, Vector.empty), dctx, t, key)).getOrElse(Map.empty)
           val (after, changed, diffOpt) =
             insertArms(spark, s, base, ctx, t, key, rows, maxMult, pipeline, dupSetsOf)
           checkUniqueIndexes(t, after, changed,
@@ -2162,7 +2175,7 @@ object SparkPlanner {
   private def insertArms(spark: SparkSession, s: InsertStmt, base: DataFrame,
       ctx: Ctx, t: String, key: String, rows: DataFrame, maxMultHint: Option[Int],
       pipeline: DataFrame => DataFrame,
-      dupSetsOf: () => Map[String, Column]): (DataFrame, DataFrame, Option[DataFrame]) = {
+      dupSetsOf: Ctx => Map[String, Column]): (DataFrame, DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val marked0 = rows.join(
       base.select(col(key), lit(true).as("__inb")), Seq(key), "left")
@@ -2199,7 +2212,13 @@ object SparkPlanner {
         // batch may repeat keys: cache it once (the multiplicity probe and
         // the arms below would otherwise re-execute a sub-select source)
         if (maxMultHint.isEmpty) rows.persist()
-        val dupSets = dupSetsOf()
+        // the update arm binds $input to the incoming row — the SETs
+        // evaluate against the EXISTING document joined with a struct of
+        // the incoming values (core/tests/insert.rs
+        // insert_statement_duplicate_key_update)
+        val dupSets = dupSetsOf(ctx.copy(lambdaParams =
+          ctx.lambdaParams + ("input" -> col("__input"))))
+        val inputStruct = struct(base.columns.map(col).toIndexedSeq: _*)
         val maxMult = maxMultHint.getOrElse {
           marked.filter(col(key).isNotNull).groupBy(col(key))
             .agg(count(lit(1)).as("__m")).agg(max(col("__m")).as("__mm"))
@@ -2210,8 +2229,11 @@ object SparkPlanner {
         val untouched = base.join(rows.select(key), Seq(key), "left_anti")
         if (maxMult == 1) {
           // duplicate-free batch — plain MERGE arms, one application
-          val semi = base.join(rows.select(key), Seq(key), "left_semi")
-          val updated = graft.operators.Mutations.update(semi, lit(true), dupSets)
+          val inputF = rows.select(col(key), inputStruct.as("__input"))
+          val updTarget = base.join(inputF, Seq(key), "inner")
+          val semi = updTarget.drop("__input")
+          val updated = graft.operators.Mutations
+            .update(updTarget, lit(true), dupSets).drop("__input")
           val result = fresh.unionByName(updated)
           val diff =
             if (!s.output.contains(Output.ODiff)) scala.None
@@ -2231,10 +2253,21 @@ object SparkPlanner {
           .select(col(key), (col("__mult") - 1).as("__apps"))
         val freshSolo = fresh.join(freshDup.select(key), Seq(key), "left_anti")
         var cur = updBase.unionByName(fresh.join(freshDup, Seq(key), "inner"))
+        // occurrence table for per-application $input: application i of an
+        // existing key consumes its i-th batch row; a fresh duplicated key
+        // inserted its 1st row, so application i consumes row i+1
+        val occ = marked.filter(col(key).isNotNull)
+          .select(col(key), col("__rn"), inputStruct.as("__input"))
+          .join(counts.select(col(key), col("__kinb")), Seq(key))
         val levels = scala.collection.mutable.ArrayBuffer[DataFrame](cur)
         val outs = scala.collection.mutable.ArrayBuffer[DataFrame]()
         (1 to maxMult).foreach { i =>
-          cur = graft.operators.Mutations.update(cur, col("__apps") >= i, dupSets)
+          val inpI = occ.filter(col("__rn") ===
+              when(col("__kinb") === true, lit(i)).otherwise(lit(i + 1)))
+            .select(col(key), col("__input"))
+          cur = graft.operators.Mutations.update(
+            cur.join(inpI, Seq(key), "left"), col("__apps") >= i, dupSets)
+            .drop("__input")
           levels += cur
           outs += cur.filter(col("__apps") >= i).drop("__apps")
         }
@@ -2304,9 +2337,9 @@ object SparkPlanner {
     val key = recordKey.getOrElse(table,
       throw SqlError(s"SparkPlanner: no record key for table $table"))
     val (rows, maxMult) = insertRows(spark, dir, s.values, table, base, Map.empty, s.relation)
-    val dupSetsOf = () => s.onDuplicate
-      .map(sets => setMap(Some(SetData(sets)), ctx, requireExisting = true))
-      .getOrElse(Map.empty)
+    val dupSetsOf = (dctx: Ctx) => s.onDuplicate
+      .map(sets => setMap(Some(SetData(sets)), dctx, requireExisting = true))
+      .getOrElse(Map.empty[String, Column])
     val (_, result, diffOpt) =
       insertArms(spark, s, base, ctx, table, key, rows, maxMult, identity, dupSetsOf)
     diffOpt.getOrElse(shapeOutput(result, result, s.output, ctx))

@@ -475,6 +475,41 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, grp, qty, label FROM doc ORDER BY id;""")
   }
 
+  test("ON DUPLICATE binds $input to the incoming row") {
+    checkSame("""
+      INSERT INTO doc [{ id: 1, grp: 'x', qty: 77, score: 1.5, label: 'LX' }]
+        ON DUPLICATE KEY UPDATE qty = $input.qty, label = 'UPD';
+      SELECT id, grp, qty, label FROM doc ORDER BY id;""")
+  }
+
+  test("per-occurrence $input in an intra-batch duplicate chain") {
+    checkSame("""
+      INSERT INTO doc [{ id: 7, grp: 'a', qty: 1, score: 1.5, label: 'L7' },
+                       { id: 7, grp: 'b', qty: 9, score: 2.5, label: 'NO' }]
+        ON DUPLICATE KEY UPDATE qty = $input.qty + 100;
+      SELECT id, grp, qty, label FROM doc ORDER BY id;""")
+  }
+
+  test("explicit-id INSERT with a unique-index conflict errors despite ON DUPLICATE") {
+    // reference core/tests/insert.rs insert_with_savepoint: a row naming a
+    // specific fresh id is a plain create — only GENERATED ids reroute a
+    // unique-index collision through the update arm
+    checkBothError("""
+      DEFINE INDEX label_u ON doc FIELDS label UNIQUE;
+      INSERT INTO doc [{ id: 7, grp: 'x', qty: 70, score: 7.5, label: 'L1' }]
+        ON DUPLICATE KEY UPDATE qty = 0;
+      SELECT id, label FROM doc ORDER BY id;""",
+      "already contains")
+  }
+
+  test("INSERT IGNORE skips a unique-index conflict instead of erroring") {
+    checkSame("""
+      DEFINE INDEX label_u ON doc FIELDS label UNIQUE;
+      INSERT IGNORE INTO doc [{ id: 7, grp: 'x', qty: 70, score: 7.5, label: 'L1' },
+                              { id: 8, grp: 'y', qty: 80, score: 8.5, label: 'L8' }];
+      SELECT id, label FROM doc ORDER BY id;""")
+  }
+
   test("CREATE with a repeated target id errors") {
     checkBothError("""
       CREATE doc:7, doc:7 SET grp = 'x', qty = 70, score = 7.5, label = 'L7';
