@@ -585,7 +585,22 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(17) match {
+    val mut = r.nextInt(19) match {
+      case 17 =>
+        // ON DUPLICATE with $input: the update arm reads the INCOMING row
+        val k = r.nextInt(60) + 1 // ~half existing, half fresh
+        s"""INSERT INTO item [
+              { id: $k, grp: 'q', qty: ${r.nextInt(9)}, price: ${r.nextInt(20)}.5, name: 'zQ$k' }]
+            ON DUPLICATE KEY UPDATE qty = $$input.qty + ${r.nextInt(5) + 1}, grp = 'D';"""
+      case 18 =>
+        // INSERT IGNORE vs a unique index: conflicting rows SKIP (never
+        // error); fresh non-conflicting rows land
+        val dup = r.nextInt(30) + 1
+        val k = r.nextInt(40) + 31
+        s"""DEFINE INDEX name_u ON item FIELDS name UNIQUE;
+            INSERT IGNORE INTO item [
+              { id: ${k + 60}, grp: 'x', qty: 1, price: 1.5, name: 'n${f"$dup%02d"}' },
+              { id: $k, grp: 'y', qty: 2, price: 2.5, name: 'zN$k' }];"""
       case 15 =>
         // field pipeline over NESTED and array-wildcard paths on prof —
         // VALUE recompute / passing ASSERT fan over struct slots and every
