@@ -552,12 +552,12 @@ object SparkPlanner {
           val dupSetsOf = (dctx: Ctx) => s.onDuplicate.map(sets => enforceSets(
             setMap(Some(SetData(sets)), dctx, requireExisting = true),
             fldDefs.getOrElse(t, Vector.empty), dctx, t, key)).getOrElse(Map.empty)
-          val (after, changed, diffOpt) =
+          val (bef, after, changed, diffOpt) =
             insertArms(spark, s, base, ctx, t, key, rows, maxMult, pipeline, dupSetsOf)
           checkUniqueIndexes(t, after, changed,
             uniqDefs.getOrElse(t, Vector.empty), key)
           (t, base, after,
-            diffOpt.getOrElse(shapeOutput(changed, changed, s.output, ctx)))
+            diffOpt.getOrElse(shapeOutput(bef, changed, s.output, ctx)))
         }
         applyMut(table, base, after, ret)
       case s: UpsertStmt =>
@@ -2175,7 +2175,7 @@ object SparkPlanner {
   private def insertArms(spark: SparkSession, s: InsertStmt, base: DataFrame,
       ctx: Ctx, t: String, key: String, rows: DataFrame, maxMultHint: Option[Int],
       pipeline: DataFrame => DataFrame,
-      dupSetsOf: Ctx => Map[String, Column]): (DataFrame, DataFrame, Option[DataFrame]) = {
+      dupSetsOf: Ctx => Map[String, Column]): (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val marked0 = rows.join(
       base.select(col(key), lit(true).as("__inb")), Seq(key), "left")
@@ -2203,11 +2203,16 @@ object SparkPlanner {
     val fresh = pipeline(firsts)
     def linkMap = ctx.schema.fieldNames.toIndexedSeq
       .flatMap(c => links.get((ctx.table, c)).map(x => c -> x._1)).toMap
+    // RETURN BEFORE sees NONE for creations (doc/pluck.rs initial = NONE)
+    // — rendered in the column model as all-NULL rows, count-aligned
+    def noneRows(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c =>
+        lit(null).cast(df.schema(c).dataType).as(c)).toIndexedSeq: _*)
     s.onDuplicate match {
       case scala.None =>
         // clashing base rows stay untouched (bare form errored above;
         // IGNORE skips), so the new state is simply base ∪ fresh
-        (base.unionByName(fresh), fresh, scala.None)
+        (noneRows(fresh), base.unionByName(fresh), fresh, scala.None)
       case Some(_) =>
         // batch may repeat keys: cache it once (the multiplicity probe and
         // the arms below would otherwise re-execute a sub-select source)
@@ -2240,7 +2245,8 @@ object SparkPlanner {
             else Some(graft.operators.Mutations.createDiff(fresh, t, key, linkMap)
               .unionByName(graft.operators.Mutations.returnDiff(
                 semi, updated, t, key, linkMap)))
-          return (untouched.unionByName(updated).unionByName(fresh), result, diff)
+          return (noneRows(fresh).unionByName(semi),
+            untouched.unionByName(updated).unionByName(fresh), result, diff)
         }
         val counts = marked.filter(col(key).isNotNull).groupBy(col(key))
           .agg(count(lit(1)).as("__mult"), max(col("__inb")).as("__kinb"))
@@ -2273,6 +2279,8 @@ object SparkPlanner {
         }
         val result = (fresh +: outs.toSeq).reduce(_ unionByName _)
         val after = untouched.unionByName(freshSolo).unionByName(cur.drop("__apps"))
+        val bef = (noneRows(fresh) +: (1 to maxMult).map(i =>
+          levels(i - 1).filter(col("__apps") >= i).drop("__apps"))).reduce(_ unionByName _)
         val diff =
           if (!s.output.contains(Output.ODiff)) scala.None
           else {
@@ -2286,7 +2294,7 @@ object SparkPlanner {
             }
             Some((d0 +: ds).reduce(_ unionByName _))
           }
-        (after, result, diff)
+        (bef, after, result, diff)
     }
   }
 
@@ -2340,9 +2348,9 @@ object SparkPlanner {
     val dupSetsOf = (dctx: Ctx) => s.onDuplicate
       .map(sets => setMap(Some(SetData(sets)), dctx, requireExisting = true))
       .getOrElse(Map.empty[String, Column])
-    val (_, result, diffOpt) =
+    val (bef, _, result, diffOpt) =
       insertArms(spark, s, base, ctx, table, key, rows, maxMult, identity, dupSetsOf)
-    diffOpt.getOrElse(shapeOutput(result, result, s.output, ctx))
+    diffOpt.getOrElse(shapeOutput(bef, result, s.output, ctx))
   }
 
   private def planUpdate(spark: SparkSession, dir: String, s: UpdateStmt): DataFrame = {

@@ -510,6 +510,23 @@ class SchemaEnforceSpec extends AnyFunSuite {
       SELECT id, label FROM doc ORDER BY id;""")
   }
 
+  test("INSERT RETURN BEFORE: NONE (all-null) for creations, prior doc for the update arm") {
+    // reference doc/pluck.rs Output::Before = the initial document — NONE
+    // for a fresh insert, the pre-update doc on the ON DUPLICATE arm
+    val sdf = Tables.withOverlay(Map("doc" -> df)) {
+      SparkPlanner.script(spark, "/nonexistent",
+        """INSERT INTO doc [{ id: 1, grp: 'x', qty: 99, score: 1.5, label: 'LX' },
+                            { id: 7, grp: 'c', qty: 70, score: 7.5, label: 'L7' }]
+             ON DUPLICATE KEY UPDATE qty = 0 RETURN BEFORE;""")
+    }
+    val rows = sdf.collect()
+    assert(rows.length == 2)
+    val (nulls, befs) = rows.partition(_.isNullAt(0))
+    assert(nulls.length == 1)                   // fresh doc:7 → NONE row
+    assert(befs.length == 1 && befs.head.getLong(0) == 1L &&
+      befs.head.getLong(2) == 10L)              // doc:1 pre-update qty
+  }
+
   test("CREATE with a repeated target id errors") {
     checkBothError("""
       CREATE doc:7, doc:7 SET grp = 'x', qty = 70, score = 7.5, label = 'L7';
