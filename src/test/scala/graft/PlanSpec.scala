@@ -163,4 +163,22 @@ class PlanSpec extends AnyFunSuite {
       "GraphQL-translated filter did not reach the scan")
     assert(p.contains("TakeOrderedAndProject"), "GraphQL order+limit did not fuse")
   }
+
+  test("bare INSERT keeps the plain anti-join: no window in the final plan") {
+    // the intra-batch duplicate probe proves key uniqueness up front, so
+    // the shipped plan must not pay a key-partitioned window for it
+    val df = graft.surql.SparkPlanner.script(spark, sf,
+      """BEGIN;
+         INSERT INTO orders (SELECT o_orderkey + 900000 AS o_orderkey, o_custkey,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+           FROM orders WHERE o_orderkey < 10);
+         SELECT o_orderkey FROM orders WHERE o_orderkey >= 900000 ORDER BY o_orderkey;
+         COMMIT;""")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("window"),
+      s"bare INSERT final plan contains a window:\n${p.take(800)}")
+    val srcN = Tables.orders(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") < 10).count()
+    assert(df.count() == srcN && srcN > 0)
+  }
 }
