@@ -2160,12 +2160,14 @@ object SparkPlanner {
     * every later occurrence through the update arm — its SETs apply once per
     * extra occurrence, each application observing the previous one.
     *
-    * Returns (after, result, diffOverride): the post-mutation table state,
-    * the per-input-row produced documents (one per occurrence, matching the
-    * reference's output multiset), and — when RETURN DIFF meets ON DUPLICATE
-    * — the per-occurrence JSON-patch frame (create arm: root replace; update
-    * arm: patch between consecutive applied states, doc/pluck.rs
-    * Output::Diff initial→current).
+    * Returns (before, after, result, diffOverride): the initial documents
+    * for RETURN BEFORE (all-NULL rows for creations, the pre-application
+    * state per update occurrence), the post-mutation table state, the
+    * per-input-row produced documents (one per occurrence, matching the
+    * reference's output multiset), and — when RETURN DIFF meets ON
+    * DUPLICATE — the per-occurrence JSON-patch frame (create arm: root
+    * replace; update arm: patch between consecutive applied states,
+    * doc/pluck.rs Output::Diff initial→current).
     *
     * Scale shape: one left join against the base keys (the same join the
     * plain anti-join guard costs), a key-partitioned window ONLY when the
