@@ -516,7 +516,7 @@ object SparkPlanner {
           val after = base.unionByName(created)
           checkUniqueIndexes(t, after, created,
             uniqDefs.getOrElse(t, Vector.empty), key)
-          (t, base, after, shapeOutput(created, created, s.output, ctx))
+          (t, base, after, shapeOutput(noneRows(created), created, s.output, ctx))
         }
         applyMut(table, base, after, ret)
       case s: InsertStmt =>
@@ -2147,6 +2147,12 @@ object SparkPlanner {
         s"SparkPlanner: unsupported INSERT values $other")
     }
 
+  /** RETURN BEFORE sees NONE for creations (doc/pluck.rs initial = NONE)
+    * — rendered in the column model as all-NULL rows, count-aligned. */
+  private def noneRows(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c =>
+      lit(null).cast(df.schema(c).dataType).as(c)).toIndexedSeq: _*)
+
   /** Batch-row ordinal column threaded by [[insertRows]] through the INSERT
     * arms — carries the reference's sequential row order. */
   private val SeqC = "__seq"
@@ -2205,11 +2211,6 @@ object SparkPlanner {
     val fresh = pipeline(firsts)
     def linkMap = ctx.schema.fieldNames.toIndexedSeq
       .flatMap(c => links.get((ctx.table, c)).map(x => c -> x._1)).toMap
-    // RETURN BEFORE sees NONE for creations (doc/pluck.rs initial = NONE)
-    // — rendered in the column model as all-NULL rows, count-aligned
-    def noneRows(df: DataFrame): DataFrame =
-      df.select(df.columns.map(c =>
-        lit(null).cast(df.schema(c).dataType).as(c)).toIndexedSeq: _*)
     s.onDuplicate match {
       case scala.None =>
         // clashing base rows stay untouched (bare form errored above;
@@ -2330,7 +2331,7 @@ object SparkPlanner {
     val created0 = rows.join(base.select(key), Seq(key), "left_anti")
     val created = actionPermCond(spark, dir, table, "create", base.schema)
       .map(created0.filter).getOrElse(created0)
-    shapeOutput(created, created, s.output, ctx)
+    shapeOutput(noneRows(created), created, s.output, ctx)
   }
 
   /** INSERT INTO t (SELECT …) [ON DUPLICATE KEY UPDATE …]: bulk insert from
@@ -2431,7 +2432,7 @@ object SparkPlanner {
     val edges = graft.operators.Mutations.relate(pairs, col("__in"), col("__out"),
       props.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) })
     val ctx = Ctx(spark, dir, "", edges.schema, Map.empty)
-    shapeOutput(edges, edges, s.output, ctx)
+    shapeOutput(noneRows(edges), edges, s.output, ctx)
   }
 
   private def fieldAlias(f: Field): String =
