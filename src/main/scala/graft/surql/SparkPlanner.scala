@@ -2393,7 +2393,9 @@ object SparkPlanner {
     val inserted = actionPermCond(spark, dir, table, "create", base.schema)
       .map(inserted0.filter).getOrElse(inserted0)
     val after = updated.unionByName(inserted)
-    shapeOutput(base.filter(cond), after, s.output, ctx)
+    // before = the existing doc on the update arm, NONE on the create arm
+    shapeOutput(base.filter(cond).unionByName(noneRows(inserted)),
+      after, s.output, ctx)
   }
 
   private def planDelete(spark: SparkSession, dir: String, s: DeleteStmt): DataFrame = {
