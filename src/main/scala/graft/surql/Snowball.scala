@@ -15,7 +15,7 @@ package graft.surql
   * Russian, Romanian and Hungarian follow their published specs. Every
   * implemented language reproduces the reference's own published analyzer
   * vectors token for token (SnowballConformanceSpec). Languages without an
-  * implementation (finnish, turkish, greek, arabic, tamil) fall back to
+  * implementation (turkish, greek, arabic, tamil) fall back to
   * identity — documented, not silent: [[supported]] lists the real ones.
   */
 object Snowball {
@@ -23,7 +23,7 @@ object Snowball {
   val supported: Set[String] =
     Set("english", "swedish", "norwegian", "danish", "german", "spanish",
       "italian", "portuguese", "french", "dutch", "russian", "romanian",
-      "hungarian")
+      "hungarian", "finnish")
 
   /** ISO 639-1/639-3 aliases the reference's `snowball(<lang>)` filter
     * accepts alongside full names (idx/ft/analyzer/filter.rs tests:
@@ -64,6 +64,7 @@ object Snowball {
       case "russian"    => russian(word)
       case "romanian"   => romanian(word)
       case "hungarian"  => hungarian(word)
+      case "finnish"    => finnish(word)
       case _            => word
     }
   }
@@ -1409,6 +1410,123 @@ object Snowball {
     // 9. plural
     step(Seq("ák" -> "a", "ék" -> "e", "ök" -> "", "ok" -> "", "ek" -> "",
       "ak" -> "", "k" -> ""))
+    w
+  }
+
+  // ======================= Finnish ========================================
+  // snowballstem.org/algorithms/finnish/stemmer.html: particles,
+  // possessives, cases (with vowel-harmony hXn and long-vowel conditions),
+  // comparative endings, plurals, and the tidy-up pass (long-vowel and
+  // final-vowel trims, double-consonant undoubling). Validated against the
+  // reference's published analyzer vectors.
+
+  private val fiVowels = "aeiouyäö".toSet
+  private val fiLongV = Seq("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  def finnish(word0: String): String = {
+    var w = word0.toLowerCase
+    if (w.length < 3) return w
+    val (r1, r2) = romR1R2(w, fiVowels)
+    def inR1(n: Int) = w.length - n >= r1
+    def inR2(n: Int) = w.length - n >= r2
+    def at(i: Int): Char = if (i >= 0 && i < w.length) w(i) else ' '
+
+    // ---- step 1: particles etc
+    val particles = Seq("kaan", "kään", "kin", "han", "hän", "ko", "kö",
+      "pa", "pä").sortBy(-_.length)
+    particles.find(s => w.endsWith(s) && inR1(s.length)) match {
+      case Some(s) =>
+        val p = at(w.length - s.length - 1)
+        if (p == 'n' || p == 't' || fiVowels.contains(p)) w = w.dropRight(s.length)
+      case scala.None =>
+        if (w.endsWith("sti") && inR2(3)) w = w.dropRight(3)
+    }
+
+    // ---- step 2: possessives
+    val n2 = w.length
+    if (w.endsWith("nsa") && inR1(3)) w = w.dropRight(3)
+    else if (w.endsWith("nsä") && inR1(3)) w = w.dropRight(3)
+    else if (w.endsWith("mme") && inR1(3)) w = w.dropRight(3)
+    else if (w.endsWith("nne") && inR1(3)) w = w.dropRight(3)
+    else if (w.endsWith("si") && inR1(2)) {
+      if (at(w.length - 3) != 'k') w = w.dropRight(2)
+    } else if (w.endsWith("ni") && inR1(2)) {
+      w = w.dropRight(2)
+      if (w.endsWith("kse")) w = w.dropRight(1) + "i"
+    } else if (w.endsWith("an") && inR1(2) &&
+        Seq("ta", "ssa", "sta", "lla", "lta", "na")
+          .exists(p => w.dropRight(2).endsWith(p))) w = w.dropRight(2)
+    else if (w.endsWith("än") && inR1(2) &&
+        Seq("tä", "ssä", "stä", "llä", "ltä", "nä")
+          .exists(p => w.dropRight(2).endsWith(p))) w = w.dropRight(2)
+    else if (w.endsWith("en") && inR1(2) &&
+        Seq("lle", "ine").exists(p => w.dropRight(2).endsWith(p)))
+      w = w.dropRight(2)
+    val _ = n2
+
+    // ---- step 3: cases
+    var caseRemoved = false
+    def dropCase(k: Int): Unit = { w = w.dropRight(k); caseRemoved = true }
+    val hXn = Seq("han", "hen", "hin", "hon", "hun", "hyn", "hän", "hön")
+    val plainCases = Seq("ssa", "ssä", "sta", "stä", "lla", "llä", "lta",
+      "ltä", "lle", "ksi", "ine", "na", "nä", "ta", "tä")
+    val allCases: Seq[(String, Int)] =
+      Seq("seen" -> 3, "siin" -> 2, "tten" -> 2, "den" -> 2) ++
+        hXn.map(_ -> 1) ++ Seq("tta" -> 4, "ttä" -> 4) ++
+        plainCases.map(_ -> 0) ++ Seq("a" -> 5, "ä" -> 5, "n" -> 6)
+    allCases.sortBy(-_._1.length).find { case (s, _) =>
+      w.endsWith(s) && inR1(s.length)
+    }.foreach {
+      case (s, 0) => dropCase(s.length)
+      case (s, 1) => // hXn: preceded by the suffix's own vowel
+        if (at(w.length - 4) == s(1)) dropCase(3)
+      case (s, 2) => // siin/tten/den: preceded by Vi
+        if (at(w.length - s.length - 1) == 'i' &&
+            fiVowels.contains(at(w.length - s.length - 2))) dropCase(s.length)
+      case (s, 3) => // seen: preceded by a long vowel
+        if (fiLongV.exists(w.dropRight(4).endsWith)) dropCase(4)
+      case (s, 4) => // tta/ttä: preceded by e
+        if (at(w.length - 4) == 'e') dropCase(3)
+      case (s, 5) => // a/ä: preceded by consonant + vowel
+        val (c, v) = (at(w.length - 3), at(w.length - 2))
+        if (!fiVowels.contains(c) && c != ' ' && fiVowels.contains(v))
+          dropCase(1)
+      case (_, _) => // n: delete; a preceding long vowel or ie loses a letter
+        dropCase(1)
+        if (fiLongV.exists(w.endsWith) || w.endsWith("ie")) w = w.dropRight(1)
+    }
+
+    // ---- step 4: other endings (comparatives), in R2
+    val others = Seq("impi", "impa", "impä", "immi", "imma", "immä",
+      "mpi", "mpa", "mpä", "mmi", "mma", "mmä", "eja", "ejä")
+    others.sortBy(-_.length).find(s => w.endsWith(s) && inR2(s.length)).foreach {
+      case s @ ("mpi" | "mpa" | "mpä" | "mmi" | "mma" | "mmä") =>
+        if (!w.dropRight(3).endsWith("po")) w = w.dropRight(3)
+      case s => w = w.dropRight(s.length)
+    }
+
+    // ---- step 5: plurals
+    if (caseRemoved) {
+      if ((w.endsWith("i") || w.endsWith("j")) && inR1(1)) w = w.dropRight(1)
+    } else if (w.endsWith("t") && inR1(1) &&
+        fiVowels.contains(at(w.length - 2))) {
+      w = w.dropRight(1)
+      if (w.endsWith("imma") && inR2(4)) w = w.dropRight(4)
+      else if (w.endsWith("mma") && inR2(3) && !w.dropRight(3).endsWith("po"))
+        w = w.dropRight(3)
+    }
+
+    // ---- step 6: tidying up (in R1)
+    if (fiLongV.exists(w.endsWith) && inR1(1)) w = w.dropRight(1)
+    if (w.length >= 2 && inR1(1) && "aäei".contains(w.last) &&
+        !fiVowels.contains(w(w.length - 2))) w = w.dropRight(1)
+    if ((w.endsWith("oj") || w.endsWith("uj")) && inR1(1)) w = w.dropRight(1)
+    if (w.endsWith("jo") && inR1(1)) w = w.dropRight(1)
+    // undouble a final double consonant (also before trailing vowels)
+    val tail = w.reverse.takeWhile(fiVowels.contains).length
+    val ci = w.length - tail - 1
+    if (ci >= 1 && !fiVowels.contains(w(ci)) && w(ci) == w(ci - 1))
+      w = w.substring(0, ci) + w.substring(ci + 1)
     w
   }
 

@@ -55,6 +55,12 @@ class SnowballConformanceSpec extends AnyFunSuite {
         "than", "teach", "."))
   }
 
+  test("finnish matches the reference's published analyzer output") {
+    check("finnish", "fi",
+      "työ tekijäänsä kiittää",
+      Seq("työ", "tekij", "kiit"))
+  }
+
   test("french matches the reference's published analyzer output") {
     check("french", "fr",
       "Les chiens adorent courir dans le parc, mais mon petit chien aime plutôt se blottir sur le canapé que de courir",
