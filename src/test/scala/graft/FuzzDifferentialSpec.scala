@@ -233,7 +233,17 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(39) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(41) match {
+    case 40 => // literal object-array FROM source (SourceExpr rows)
+      val rows = (1 to r.nextInt(3) + 2).map { i =>
+        s"{ a: ${r.nextInt(20)}, b: 'v${r.nextInt(5)}', c: $i }"
+      }.mkString(", ")
+      s"SELECT a, b, c FROM [$rows] ORDER BY c"
+    case 39 => // SkimMatcherV2 fuzzy scoring over names (shared kernel)
+      val pat = Seq("n1", "n2", "N03", "xyz", "n")(r.nextInt(5))
+      s"""SELECT name, string::similarity::fuzzy(name, '$pat') AS fz,
+            string::similarity::smithwaterman(name, '$pat') AS sw
+          FROM item ORDER BY name LIMIT ${r.nextInt(12) + 4}"""
     case 38 => // array-of-struct idioms over prof.hist
       val proj = r.nextInt(5) match {
         case 0 => s"hist[WHERE q > ${r.nextInt(10)}] AS h"
