@@ -722,6 +722,12 @@ object SparkPlanner {
         case VArr(items) if items.nonEmpty && items.forall(_.isInstanceOf[VObj]) =>
           items.map(_.asInstanceOf[VObj])
         case o: VObj => Vector(o)
+        // scalar rows surface as the single `value` column — the column
+        // model's rendering of the reference's bare-value rows. EXTENSION:
+        // the name is referenceable (ORDER BY value sorts) where the
+        // reference's bare rows resolve `value` to NONE
+        case VArr(items) if items.nonEmpty =>
+          items.map(v => VObj(scala.collection.immutable.TreeMap("value" -> v)))
         case other => throw SqlError(
           s"SparkPlanner: unsupported literal FROM ${other.render}")
       }

@@ -234,11 +234,19 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }
 
   private def genSelect(r: scala.util.Random): String = r.nextInt(41) match {
-    case 40 => // literal object-array FROM source (SourceExpr rows)
-      val rows = (1 to r.nextInt(3) + 2).map { i =>
-        s"{ a: ${r.nextInt(20)}, b: 'v${r.nextInt(5)}', c: $i }"
-      }.mkString(", ")
-      s"SELECT a, b, c FROM [$rows] ORDER BY c"
+    case 40 => // literal FROM source (SourceExpr rows): objects or scalars
+      if (r.nextBoolean()) {
+        val rows = (1 to r.nextInt(3) + 2).map { i =>
+          s"{ a: ${r.nextInt(20)}, b: 'v${r.nextInt(5)}', c: $i }"
+        }.mkString(", ")
+        s"SELECT a, b, c FROM [$rows] ORDER BY c"
+      } else {
+        // no ORDER BY: the reference's bare rows resolve `value` to NONE
+        // (order-preserving) while the Spark column is sortable — compare
+        // the preserved literal order instead
+        val vals = (1 to r.nextInt(4) + 2).map(_ => r.nextInt(50)).mkString(", ")
+        s"SELECT * FROM [$vals]"
+      }
     case 39 => // SkimMatcherV2 fuzzy scoring over names (shared kernel)
       val pat = Seq("n1", "n2", "N03", "xyz", "n")(r.nextInt(5))
       s"""SELECT name, string::similarity::fuzzy(name, '$pat') AS fz,
