@@ -1872,6 +1872,25 @@ object SparkPlanner {
         graft.operators.Mutations.createDiff(after, ctx.table, key, linkMap)
       else
         graft.operators.Mutations.returnDiff(before, after, ctx.table, key, linkMap)
+    case Some(Output.OValue(e)) =>
+      // RETURN VALUE evaluates against the post-write doc with
+      // $before/$after bound (expr/output.rs); the before doc arrives by a
+      // key-aligned join — a creation arm's all-NULL before row matches
+      // nothing, so its $before is NULL (the column-model NONE)
+      val key = recordKey.get(ctx.table).getOrElse(throw SqlError(
+        "SparkPlanner: RETURN VALUE needs a keyed table target"))
+      val aCols = after.columns
+      val joined =
+        if (before eq after) after.withColumn("__before",
+          struct(aCols.map(col).toIndexedSeq: _*))
+        else after.join(
+          before.select(col(key).as("__bk"),
+            struct(before.columns.map(col).toIndexedSeq: _*).as("__before")),
+          col(key) === col("__bk"), "left")
+      val ctx2 = ctx.copy(lambdaParams = ctx.lambdaParams ++ Map(
+        "before" -> col("__before"),
+        "after" -> struct(aCols.map(col).toIndexedSeq: _*)))
+      joined.select(toCol(e, ctx2).as("value"))
     case Some(other) => throw SqlError(s"SparkPlanner: unsupported RETURN $other")
   }
 

@@ -527,6 +527,14 @@ class SchemaEnforceSpec extends AnyFunSuite {
       befs.head.getLong(2) == 10L)              // doc:1 pre-update qty
   }
 
+  test("UPDATE RETURN VALUE evaluates with $before/$after bound") {
+    checkSame("""
+      UPDATE doc SET qty = qty + 5 WHERE qty = 20 RETURN VALUE qty;""")
+    checkSame("""
+      UPDATE doc SET qty = qty * 2 WHERE qty = 30
+        RETURN VALUE $after.qty - $before.qty;""")
+  }
+
   test("CREATE with a repeated target id errors") {
     checkBothError("""
       CREATE doc:7, doc:7 SET grp = 'x', qty = 70, score = 7.5, label = 'L7';
