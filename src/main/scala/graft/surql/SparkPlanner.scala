@@ -2438,7 +2438,17 @@ object SparkPlanner {
       val key = recordKey(table)
       deleted.select(col(key).cast("string").as(key),
         lit("""[{"op":"replace","path":"","value":null}]""").as("diff"))
-    } else shapeOutput(deleted, deleted, s.output.orElse(Some(Output.OBefore)), ctx)
+    } else s.output match {
+      case Some(Output.OValue(e)) =>
+        // a deletion's $after is NONE (the doc no longer exists); the
+        // expression otherwise evaluates against the deleted row
+        val ctx2 = ctx.copy(lambdaParams = ctx.lambdaParams ++ Map(
+          "before" -> struct(deleted.columns.map(col).toIndexedSeq: _*),
+          "after" -> lit(null)))
+        deleted.select(toCol(e, ctx2).as("value"))
+      case other =>
+        shapeOutput(deleted, deleted, other.orElse(Some(Output.OBefore)), ctx)
+    }
   }
 
   /** RELATE from->edge->to SET …: the cartesian pairing of the two id sets

@@ -527,6 +527,11 @@ class SchemaEnforceSpec extends AnyFunSuite {
       befs.head.getLong(2) == 10L)              // doc:1 pre-update qty
   }
 
+  test("DELETE RETURN VALUE sees the deleted doc as $before") {
+    checkSame("""
+      DELETE doc WHERE qty = 20 RETURN VALUE $before.qty;""")
+  }
+
   test("UPDATE RETURN VALUE evaluates with $before/$after bound") {
     checkSame("""
       UPDATE doc SET qty = qty + 5 WHERE qty = 20 RETURN VALUE qty;""")
