@@ -469,15 +469,28 @@ object SparkPlanner {
         applyMut(table, base, after, ret)
       case s: CreateStmt =>
         val (table, base, after, ret) = planWith {
-          val targets = s.what.map {
-            case RidLit(t, keyE) => (t, Eval.evalConst(keyE))
+          val rawTargets: Seq[(String, Option[V])] = s.what.map {
+            case RidLit(t, keyE) => (t, Some(Eval.evalConst(keyE)))
+            // bare-table target: the reference generates a record id
+            // (dbs/iterator.rs GenerateRecordId; Interp nextId())
+            case TableRef(t) => (t, scala.None)
+            case Idiom(Seq(PField(t))) => (t, scala.None)
             case fc @ FnCall("type::record" | "type::thing", _) => Eval.evalConst(fc) match {
-              case VRid(t, k) => (t, k)
+              case VRid(t, k) => (t, Some(k))
               case other => throw SqlError(
                 s"SparkPlanner: type::record resolved to ${other.render}, not a record id")
             }
             case other => throw SqlError(
               s"SparkPlanner: CREATE target must be a record id, got $other")
+          }
+          val tRaw = rawTargets.head._1
+          val keyDtRaw = Tables(spark, dir, tRaw)
+            .schema(recordKey(tRaw)).dataType
+          // a constant data-clause id overrides the generated key
+          // (execCreate: withData.fields.get("id") before keyOpt/nextId)
+          val dataId = createDataId(s.data, params)
+          val targets = rawTargets.map { case (tb, kOpt) =>
+            (tb, kOpt.orElse(dataId).getOrElse(genKeyV(keyDtRaw)))
           }
           val t = targets.head._1
           // CREATE t:1, t:1 — the reference processes targets sequentially,
@@ -2108,6 +2121,56 @@ object SparkPlanner {
     * batch when it is driver-known (literal rows; matched with the same
     * loose key equality Interp uses) — `Some(1)` lets the planner skip all
     * duplicate machinery; `None` (sub-select source) means unknown. */
+  /** Driver-side generated record key for a keyless CREATE/INSERT row — the
+    * reference generates a random record id when none is supplied
+    * (dbs/iterator.rs:34-64 GenerateRecordId; types/src/value/record_id),
+    * mirrored by Interp's nextId(). String key columns take the same
+    * 20-char [0-9a-z] shape; a numeric key column (a fixed parquet schema
+    * cannot hold a string id the way the reference's dynamic rows can)
+    * takes a random 63-bit value — the observable invariants (non-NULL,
+    * unique, clash-free w.h.p.) match either way. */
+  private def genKeyV(dt: DataType): V = dt match {
+    case StringType => VStr(Interp.randomId())
+    case _: NumericType =>
+      VInt(java.util.concurrent.ThreadLocalRandom.current().nextLong() >>> 1)
+    case other =>
+      throw SqlError(s"SparkPlanner: cannot generate a record id of type $other")
+  }
+
+  /** Distributed generated key for sub-select INSERT sources whose rows
+    * arrive without one: a salted hash of the batch ordinal — unique within
+    * the batch, salted per statement, and DETERMINISTIC for a fixed plan so
+    * re-executions of the lazy script overlay observe the SAME ids (a
+    * uuid()/rand() here would mint different ids on every action over the
+    * composed plan — the stored id would disagree with the returned one). */
+  private def genKeyCol(dt: DataType, salt: Long): Column = dt match {
+    case StringType => lower(hex(xxhash64(lit(salt), col(SeqC))))
+    case _: NumericType => shiftrightunsigned(xxhash64(lit(salt), col(SeqC)), 1)
+    case other =>
+      throw SqlError(s"SparkPlanner: cannot generate a record id of type $other")
+  }
+
+  /** Constant `id` supplied through the data clause of a keyless CREATE
+    * (`CREATE person SET id = 'x'`, `CONTENT { id: person:x }`) — the
+    * reference lets it override the generated key (Interp execCreate:
+    * the withData id is consulted before keyOpt/nextId). Non-constant ids
+    * fall back to generation. */
+  private def createDataId(data: Option[Data], params: Map[String, V]): Option[V] =
+    data.flatMap {
+      case SetData(sets) => sets.collectFirst {
+        case (Idiom(Seq(PField("id"))), "=", e) => e
+      }.flatMap(e =>
+        scala.util.Try(Eval.evalConst(Subst.expr(e, params))).toOption)
+      case ContentData(e) =>
+        scala.util.Try(Eval.evalConst(Subst.expr(e, params))).toOption
+          .collect { case VObj(fs) => fs.get("id") }.flatten
+      case _ => scala.None
+    }.flatMap {
+      case VRid(_, k) => Some(k)
+      case VNone => scala.None
+      case v => Some(v)
+    }
+
   private def insertRows(spark: SparkSession, dir: String, values: Expr,
       table: String, base: DataFrame, params: Map[String, V],
       relation: Boolean = false): (DataFrame, Option[Int]) =
@@ -2117,10 +2180,15 @@ object SparkPlanner {
         val extra = rows0.columns.filterNot(base.columns.contains)
         if (extra.nonEmpty)
           throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
+        val keyName = recordKey(table)
+        val keyDt = base.schema(keyName).dataType
+        val salt = java.util.concurrent.ThreadLocalRandom.current().nextLong()
         (rows0.select(base.schema.fields.map { sf =>
           (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
             .cast(sf.dataType).as(sf.name)
-        }.toIndexedSeq: _*).withColumn(SeqC, monotonically_increasing_id()),
+        }.toIndexedSeq: _*).withColumn(SeqC, monotonically_increasing_id())
+          .withColumn(keyName,
+            coalesce(col(keyName), genKeyCol(keyDt, salt).cast(keyDt))),
           scala.None)
       case v @ (_: ArrLit | _: ObjLit) =>
         val objs = Eval.evalConst(Subst.expr(v, params)) match {
@@ -2143,19 +2211,25 @@ object SparkPlanner {
           }
         }
         val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+        val keyName = recordKey.get(table)
         val rows = objs.zipWithIndex.map { case (o, i) =>
           val extra = o.fields.keys.filterNot(base.columns.contains)
           if (extra.nonEmpty)
             throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
           val cols = base.schema.fields.map { sf =>
             o.fields.get(sf.name).map(vv => toCol(Lit(vv), ctx))
+              // keyless row: generate a record id driver-side (a literal, so
+              // every re-execution of the lazy overlay sees the same id),
+              // like the reference's GenerateRecordId / Interp's nextId()
+              .orElse(if (keyName.contains(sf.name))
+                  Some(toCol(Lit(genKeyV(sf.dataType)), ctx))
+                else scala.None)
               .getOrElse(lit(null)).cast(sf.dataType).as(sf.name)
           } :+ lit(i.toLong).as(SeqC)
           spark.range(1).select(cols.toIndexedSeq: _*)
         }.reduce(_ unionByName _)
         // literal batches expose their keys to the driver: max multiplicity
         // under the same loose equality Interp matches record keys with
-        val keyName = recordKey.get(table)
         val keys = objs.flatMap(o => keyName.flatMap(o.fields.get)).map {
           case VRid(_, k) => k
           case v => v
@@ -2215,7 +2289,7 @@ object SparkPlanner {
     val marked =
       if (maxMultHint.contains(1)) marked0.withColumn("__rn", lit(1))
       else marked0.withColumn("__rn",
-        when(col(key).isNull, lit(1)) // keyless rows auto-generate ids — never clash
+        when(col(key).isNull, lit(1)) // defensive: insertRows generates ids for keyless rows
           .otherwise(row_number().over(
             Window.partitionBy(col(key)).orderBy(col(SeqC)))))
     val bare = !s.ignore && s.onDuplicate.isEmpty
@@ -2330,14 +2404,25 @@ object SparkPlanner {
     * guard (reference errors on existing ids; the guard excludes them the
     * way a MERGE insert-arm would). */
   private def planCreate(spark: SparkSession, dir: String, s: CreateStmt): DataFrame = {
-    val targets = s.what.map {
-      case RidLit(table, keyE) => (table, Eval.evalConst(keyE))
+    val rawTargets: Seq[(String, Option[V])] = s.what.map {
+      case RidLit(table, keyE) => (table, Some(Eval.evalConst(keyE)))
+      // bare-table target: generate a record id (dbs/iterator.rs
+      // GenerateRecordId; Interp nextId()), unless the data clause
+      // supplies a constant one
+      case TableRef(t) => (t, scala.None)
+      case Idiom(Seq(PField(t))) => (t, scala.None)
       case fc @ FnCall("type::record" | "type::thing", _) => Eval.evalConst(fc) match {
-        case VRid(t, k) => (t, k)
+        case VRid(t, k) => (t, Some(k))
         case other => throw SqlError(
           s"SparkPlanner: type::record resolved to ${other.render}, not a record id")
       }
       case other => throw SqlError(s"SparkPlanner: CREATE target must be a record id, got $other")
+    }
+    val tRaw = rawTargets.head._1
+    val keyDtRaw = Tables(spark, dir, tRaw).schema(recordKey(tRaw)).dataType
+    val dataId = createDataId(s.data, Map.empty)
+    val targets = rawTargets.map { case (tb, kOpt) =>
+      (tb, kOpt.orElse(dataId).getOrElse(genKeyV(keyDtRaw)))
     }
     val table = targets.head._1
     if (!targets.forall(_._1 == table))

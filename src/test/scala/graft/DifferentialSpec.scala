@@ -245,7 +245,24 @@ class DifferentialSpec extends AnyFunSuite {
        SELECT grp, count() AS n FROM item GROUP BY grp ORDER BY grp;""",
     """CREATE item:77 SET grp = 'q', qty = 1, price = 2.0, name = 'n77';
        SELECT name FROM item:70..80 ORDER BY name;""",
-    """UPDATE item:3 SET qty = 50 RETURN name, qty;""")
+    """UPDATE item:3 SET qty = 50 RETURN name, qty;""",
+    // keyless INSERT: both engines must GENERATE record ids (reference
+    // dbs/iterator.rs GenerateRecordId) — the generated values are random,
+    // so assertions observe the invariant (id != NONE), never the value
+    """INSERT INTO item [{ grp: 'k', qty: 301, price: 1.0, name: 'k1' },
+                         { grp: 'k', qty: 302, price: 2.0, name: 'k2' }];
+       SELECT count() AS n FROM item WHERE id != NONE GROUP ALL;""",
+    """INSERT INTO item { grp: 'k', qty: 303, price: 3.0, name: 'k3' };
+       SELECT name, qty FROM item WHERE qty > 300 AND id != NONE ORDER BY name;""",
+    // keyless CREATE (bare-table target) generates too
+    """CREATE item SET grp = 'w', qty = 305, price = 3.0, name = 'w1';
+       SELECT count() AS n FROM item WHERE name = 'w1' AND id != NONE GROUP ALL;""",
+    // ... unless the data clause supplies a constant id
+    """CREATE item SET id = 88, grp = 'v', qty = 306, price = 4.0, name = 'v88';
+       SELECT name, qty FROM item:88;""",
+    // keyless rows arriving through a sub-select source generate as well
+    """INSERT INTO item (SELECT grp, qty + 400 AS qty, price, name FROM item WHERE qty = 1);
+       SELECT count() AS n FROM item WHERE qty > 400 AND id != NONE GROUP ALL;""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {

@@ -603,7 +603,22 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(19) match {
+    val mut = r.nextInt(20) match {
+      case 19 =>
+        // keyless INSERT/CREATE: both engines GENERATE record ids — the
+        // observable contract is the row landing with a non-NONE id,
+        // never the id value (random on both sides)
+        val q1 = r.nextInt(9) + 300
+        select =
+          "SELECT name, qty FROM item WHERE id != NONE AND qty >= 300 ORDER BY name, qty;"
+        r.nextInt(3) match {
+          case 0 => s"INSERT INTO item { grp: 'g', qty: $q1, price: 1.5, name: 'zk${r.nextInt(5)}' };"
+          case 1 =>
+            s"""INSERT INTO item [
+                  { grp: 'g', qty: $q1, price: 1.5, name: 'zk1' },
+                  { grp: 'h', qty: ${q1 + 1}, price: 2.5, name: 'zk2' }];"""
+          case _ => s"CREATE item SET grp = 'g', qty = $q1, price = 3.5, name = 'zc${r.nextInt(5)}';"
+        }
       case 17 =>
         // ON DUPLICATE with $input: the update arm reads the INCOMING row
         val k = r.nextInt(60) + 1 // ~half existing, half fresh
