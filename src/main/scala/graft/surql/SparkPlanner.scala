@@ -1201,9 +1201,13 @@ object SparkPlanner {
 
     if (s.only) {
       // UnwrapExactlyOne (exec/operators/unwrap_exactly_one.rs:30): guard on
-      // an already-pruned point lookup. Persist so the guard's single job and
-      // the downstream consumer share the computed rows.
-      df = df.persist()
+      // an already-pruned point lookup. Materialize ONCE (eager local
+      // checkpoint) so the guard's job and the downstream consumer share the
+      // computed rows — checkpoint blocks are reclaimed by the
+      // ContextCleaner when unreferenced, unlike a CacheManager persist,
+      // which pins the plan until an explicit unpersist (a leak in
+      // long-lived sessions).
+      df = df.localCheckpoint(true)
       val n = df.take(2).length
       require(n == 1, s"FROM ONLY expects exactly 1 row, got $n")
     }
@@ -2280,10 +2284,18 @@ object SparkPlanner {
     * conditional-update selects — driver-known for literal batches, one tiny
     * aggregate probe for sub-select sources. */
   private def insertArms(spark: SparkSession, s: InsertStmt, base: DataFrame,
-      ctx: Ctx, t: String, key: String, rows: DataFrame, maxMultHint: Option[Int],
+      ctx: Ctx, t: String, key: String, rows0: DataFrame, maxMultHint: Option[Int],
       pipeline: DataFrame => DataFrame,
       dupSetsOf: Ctx => Map[String, Column]): (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    // a sub-select ON DUPLICATE source is read by the multiplicity probe
+    // and every arm below: materialize it ONCE (eager local checkpoint —
+    // the ContextCleaner reclaims the blocks when the statement's plans are
+    // dropped; a CacheManager persist would pin the batch until an explicit
+    // unpersist no caller is positioned to issue)
+    val rows =
+      if (maxMultHint.isEmpty && s.onDuplicate.nonEmpty) rows0.localCheckpoint(true)
+      else rows0
     val marked0 = rows.join(
       base.select(col(key), lit(true).as("__inb")), Seq(key), "left")
     val marked =
@@ -2316,9 +2328,6 @@ object SparkPlanner {
         // IGNORE skips), so the new state is simply base ∪ fresh
         (noneRows(fresh), base.unionByName(fresh), fresh, scala.None)
       case Some(_) =>
-        // batch may repeat keys: cache it once (the multiplicity probe and
-        // the arms below would otherwise re-execute a sub-select source)
-        if (maxMultHint.isEmpty) rows.persist()
         // the update arm binds $input to the incoming row — the SETs
         // evaluate against the EXISTING document joined with a struct of
         // the incoming values (core/tests/insert.rs
@@ -2376,6 +2385,15 @@ object SparkPlanner {
           cur = graft.operators.Mutations.update(
             cur.join(inpI, Seq(key), "left"), col("__apps") >= i, dupSets)
             .drop("__input")
+          // reference semantics is genuinely sequential per occurrence, so
+          // the chain depth equals the batch's max key multiplicity. Small
+          // multiplicities (the literal-batch norm) stay fully lazy; past
+          // the threshold every level materializes through an eager local
+          // checkpoint — the analyzer never sees a deep plan, and the
+          // per-level output branches read blocks instead of re-executing
+          // the chain prefix (quadratic otherwise). `cur` is batch-sized
+          // (only the batch's keys), so each checkpoint is tiny.
+          if (maxMult > 8 && i < maxMult) cur = cur.localCheckpoint(true)
           levels += cur
           outs += cur.filter(col("__apps") >= i).drop("__apps")
         }

@@ -97,4 +97,27 @@ class ScriptSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(thenOut == "b")
   }
+
+  test("ON DUPLICATE sub-select source with multiplicity 100 stays bounded and leaves no cache") {
+    // reference semantics is sequential per occurrence: a key repeated 100
+    // times applies its update arm 100 times. The chain localCheckpoints
+    // every 32 levels, so the analyzer never sees a 100-deep plan, and the
+    // batch materializes through a checkpoint (ContextCleaner-reclaimed),
+    // never the CacheManager.
+    val before = Tables.orders(spark, sf)
+      .filter(col("o_orderkey") === 1L)
+      .select("o_totalprice").head.getDouble(0)
+    val t0 = System.nanoTime()
+    val out = SparkPlanner.script(spark, sf,
+      """INSERT INTO orders (SELECT 1 AS o_orderkey, 7 AS o_custkey FROM orders LIMIT 100)
+           ON DUPLICATE KEY UPDATE o_totalprice += 1;
+         SELECT o_totalprice FROM orders:1;""")
+      .collect().head.getDouble(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(math.round(out - before) == 100,
+      s"expected +100 sequential applications, got $before -> $out")
+    assert(secs < 120, s"multiplicity-100 chain took ${secs}s — analyzer blowup")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "INSERT arm left an entry pinned in the CacheManager")
+  }
 }
