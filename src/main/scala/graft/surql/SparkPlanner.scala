@@ -731,29 +731,41 @@ object SparkPlanner {
     // reference's expression source). Constant one-row frames unioned;
     // fields absent from a row become NULL columns.
     case arr @ (_: ArrLit | _: ObjLit) =>
+      var scalarRows = false
       val objs = Eval.evalConst(arr) match {
         case VArr(items) if items.nonEmpty && items.forall(_.isInstanceOf[VObj]) =>
           items.map(_.asInstanceOf[VObj])
         case o: VObj => Vector(o)
         // scalar rows surface as the single `value` column — the column
-        // model's rendering of the reference's bare-value rows. EXTENSION:
-        // the name is referenceable (ORDER BY value sorts) where the
-        // reference's bare rows resolve `value` to NONE
+        // model's RENDERING of the reference's bare-value rows. The name is
+        // NOT referenceable: a user-written `value` idiom over these rows
+        // resolves to NONE like the reference (bare values have no fields —
+        // Interp rowEnv scalar branch), enforced via column metadata in toCol
         case VArr(items) if items.nonEmpty =>
+          scalarRows = true
           items.map(v => VObj(scala.collection.immutable.TreeMap("value" -> v)))
         case other => throw SqlError(
           s"SparkPlanner: unsupported literal FROM ${other.render}")
       }
       val colsU = objs.flatMap(_.fields.keys).distinct
       val ctx = Ctx(spark, dir, "", new StructType(), Map.empty)
-      val df = objs.map { o =>
+      val df0 = objs.map { o =>
         spark.range(1).select(colsU.map(c =>
           o.fields.get(c).map(v => toCol(Lit(v), ctx))
             .getOrElse(lit(null)).as(c)).toIndexedSeq: _*)
       }.reduce(_ unionByName _)
+      val df =
+        if (!scalarRows) df0
+        else df0.select(col("value").as("value",
+          new MetadataBuilder().putBoolean(ScalarSourceMeta, true).build()))
       (df, "")
     case other => throw SqlError(s"SparkPlanner: unsupported FROM $other")
   }
+
+  /** Column-metadata key marking the `value` column of a scalar-row literal
+    * source (`FROM [1, 2, 3]`) — the NAME is only the column model's
+    * rendering of bare-value rows; user idioms must not resolve it. */
+  private val ScalarSourceMeta = "graft.scalarSource"
 
   private def ridKeyLit(v: V): Column = v match {
     case VInt(i)   => lit(i)
@@ -1174,6 +1186,18 @@ object SparkPlanner {
     // ---- order / start / limit ------------------------------------------
     if (s.order.nonEmpty) {
       val keys = s.order.flatMap { k =>
+        // the rendering-only `value` column of a scalar-row source resolves
+        // to NONE in the reference — a constant key orders nothing, so it
+        // contributes NO sort key (a Spark sort on a constant would shuffle
+        // and lose the preserved literal order)
+        val scalarValue = k.expr match {
+          case Idiom(Seq(PField("value"))) =>
+            ctx.schema.fieldNames.contains("value") &&
+              ctx.schema("value").metadata.contains(ScalarSourceMeta)
+          case _ => false
+        }
+        if (scalarValue) Nil
+        else {
         val kc = k.expr match {
           // order keys may reference output aliases
           case Idiom(Seq(PField(n))) if df.columns.contains(n) => col(n)
@@ -1190,8 +1214,9 @@ object SparkPlanner {
           else if (k.numeric) Seq(naturalKey(kc))
           else Seq(kc)
         cols.map(c => if (k.desc) c.desc else c.asc)
+        }
       }
-      df = df.orderBy(keys: _*)
+      if (keys.nonEmpty) df = df.orderBy(keys: _*)
     }
     // ORDER BY RAND(): a distributed shuffle-sort on a per-row random key
     // (exec/operators/sort/shuffle.rs:32) — no driver-side materialization
@@ -2925,6 +2950,14 @@ object SparkPlanner {
       // expr/part.rs Where part)
       case Idiom(Seq(PField(n))) if ctx.lambdaParams.contains("__elem") =>
         ctx.lambdaParams("__elem").getField(n)
+      // a bare `value` over a scalar-row literal source resolves to NONE —
+      // the reference resolves idioms against the bare value itself, which
+      // has no fields; the `value` column NAME is only the column model's
+      // rendering of such rows
+      case Idiom(Seq(PField("value")))
+          if schema.fieldNames.contains("value") &&
+            schema("value").metadata.contains(ScalarSourceMeta) =>
+        lit(null)
       // method-call idioms: `field.lowercase()`, `arr.len()` — the
       // reference resolves the method against the receiver's runtime type
       // (expr/part.rs Method); here the schema gives the type statically,

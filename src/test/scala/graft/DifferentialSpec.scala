@@ -115,6 +115,9 @@ class DifferentialSpec extends AnyFunSuite {
               java.lang.Double.doubleToLongBits(b)
           case (a: graft.surql.VNum, b: graft.surql.VNum) =>
             a.toDouble == b.toDouble
+          // the column model renders NONE as NULL — indistinguishable on
+          // the Spark side (same normalization as FuzzDifferentialSpec)
+          case (graft.surql.VNull, graft.surql.VNone) => true
           case (a, b) => a == b
         }
         assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
@@ -206,7 +209,14 @@ class DifferentialSpec extends AnyFunSuite {
     "RETURN { j: string::similarity::jaro_winkler('prefixes12', 'prefixes34'), k: string::similarity::jaro_winkler('martha', 'marhta'), l: string::similarity::jaro_winkler('abcdefgh', 'abcdefgh') }",
     // array::range: end-exclusive, EMPTY when end <= start (Spark sequence
     // would count down without the guard)
-    "RETURN { a: array::range(5, 5), b: array::range(2, 5), c: array::range(5, 2) }")
+    "RETURN { a: array::range(5, 5), b: array::range(2, 5), c: array::range(5, 2) }",
+    // bare `value` over a scalar-row source resolves to NONE on both
+    // engines (the Spark `value` column name is rendering-only), and an
+    // ORDER BY over it is a no-op that preserves the literal order
+    "SELECT * FROM [4, 1, 3]",
+    "SELECT * FROM [4, 1, 3] ORDER BY value",
+    "SELECT 9 AS k, value AS v FROM [1, 2, 3]",
+    "SELECT * FROM [1, 2, 3] WHERE value = 2")
 
   queries.zipWithIndex.foreach { case (q, i) =>
     test(f"differential[$i%02d]: ${q.take(72)}") { checkSame(q) }

@@ -241,11 +241,12 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         }.mkString(", ")
         s"SELECT a, b, c FROM [$rows] ORDER BY c"
       } else {
-        // no ORDER BY: the reference's bare rows resolve `value` to NONE
-        // (order-preserving) while the Spark column is sortable — compare
-        // the preserved literal order instead
+        // bare rows resolve `value` to NONE on BOTH engines (the Spark
+        // column name is rendering-only), so ORDER BY value is a no-op
+        // sort and the literal order is preserved either way
         val vals = (1 to r.nextInt(4) + 2).map(_ => r.nextInt(50)).mkString(", ")
-        s"SELECT * FROM [$vals]"
+        if (r.nextBoolean()) s"SELECT * FROM [$vals]"
+        else s"SELECT * FROM [$vals] ORDER BY value"
       }
     case 39 => // SkimMatcherV2 fuzzy scoring over names (shared kernel)
       val pat = Seq("n1", "n2", "N03", "xyz", "n")(r.nextInt(5))
