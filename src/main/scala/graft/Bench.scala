@@ -40,12 +40,14 @@ object Bench {
       System.err.println(f"[bench] warm $name%-8s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     val idxBuild = ("index_build", (System.nanoTime() - tIdx) / 1e9,
-      None: Option[String])
+      None: Option[String], Seq((System.nanoTime() - tIdx) / 1e9))
     // Single-run timings proved indistinguishable from sandbox noise (a
     // 4× swing on untouched code between rounds): run each query REPS times
     // and report the per-query MEDIAN, which survives one bad GC pause or
-    // page-cache miss.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // page-cache miss. The full per-rep series is ALSO emitted ("reps"), so
+    // a recorded median inflated by co-tenant contention is visible as
+    // spread in the artifact rather than reading as a regression.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
     val results = idxBuild +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Consume EVERY output column via a hash-reduce — a bare count() would
       // let Catalyst dead-code the projection work and time only the scan.
@@ -63,23 +65,27 @@ object Bench {
         }
       val runs = (1 to reps).map(_ => once())
       val failure = runs.collectFirst { case Left(n) => n }
-      val times = runs.collect { case Right(t) => t }.sorted
+      val raw = runs.collect { case Right(t) => t }
+      val times = raw.sorted
       val median = if (times.isEmpty) 0.0 else times(times.size / 2)
-      (name, median, failure)
+      (name, median, failure, raw)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val repJson = results.map { case (k, _, _, raw) =>
+      s"\"" + k + "\":" + raw.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failures = results.flatMap(_._3)
     val failuresJson = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     // a query that died mid-run must not post a plausible wall-time and keep
     // the bench green — failures are first-class in the emitted record
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failuresJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failed":$failuresJson,"sf":"$sfDir"}""")
     // The driver's artifact capture keeps only the TAIL of stdout; emitting
     // a compact top-20 summary AFTER the full record means the headline
     // numbers survive any truncation of the (long) per-query JSON line.
     val top = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(s"""{"summary":true,"total":${f"$total%.3f"},"n_queries":${results.size},"n_failed":${failures.size},"slowest":$top}""")
     if (failures.nonEmpty) {

@@ -780,7 +780,16 @@ object SurqlQueries {
     * (fnc/string.rs:536-587, both names route through the same matcher).
     * The oracle rows are the reference's OWN published outputs
     * (surrealdb/core/tests/function.rs:1313-1377), pinning the shared
-    * SkimV2 kernel to reference ground truth on both engine paths. */
+    * SkimV2 kernel to reference ground truth on both engine paths.
+    *
+    * Fidelity note: the kernel carries a −1 first-matched-char calibration
+    * (SkimV2.scala) whose provenance is a conjecture — the DP's natural
+    * score sits one above all five published outputs, and no further
+    * vectors exist offline. All available ground truth passes and
+    * SkimV2Spec pins the scoring model's structural invariants
+    * (contiguity dominance, gap monotonicity, case-penalty ordering,
+    * boundary bonuses) over randomized inputs; inputs far from the five
+    * pinned shapes could still drift from the fuzzy_matcher crate. */
   val fnFuzzy = sq("fn_fuzzy",
     """SELECT c, p, CAST(fz AS BIGINT) AS fz, CAST(sw AS BIGINT) AS sw
        FROM (VALUES

@@ -57,6 +57,35 @@ class SkimV2Spec extends AnyFunSuite {
     assert(tight > one && one > two)
   }
 
+  test("randomized scoring-model invariants hold across seeds") {
+    // the documented fzf-v2 invariants, exercised over generated inputs:
+    // a contiguous embedding always outranks a gap-split one, every extra
+    // gap char strictly lowers the score, lowercase-exact outranks
+    // case-mismatched, and any true subsequence scores positive
+    val r = new scala.util.Random(0x5eed)
+    val alpha = "abcdefghijklmnop"
+    (1 to 200).foreach { _ =>
+      val pat = Seq.fill(r.nextInt(4) + 2)(alpha(r.nextInt(alpha.length))).mkString
+      val noise = Seq.fill(3)("qrstuvw"(r.nextInt(7))).mkString
+      val contiguous = noise + pat + noise
+      val split = noise + pat.map(c => s"$c${"qrstuvw"(r.nextInt(7))}").mkString + noise
+      assert(SkimV2.fuzzyMatch(contiguous, pat) > SkimV2.fuzzyMatch(split, pat),
+        s"contiguous dominance failed: '$contiguous' vs '$split' on '$pat'")
+      assert(SkimV2.fuzzyMatch(split, pat) > 0L,
+        s"true subsequence scored 0: '$split' on '$pat'")
+      assert(SkimV2.fuzzyMatch(contiguous, pat) >=
+        SkimV2.fuzzyMatch(contiguous, pat.init.toUpperCase + pat.last) ||
+        pat.init == pat.init.toUpperCase,
+        s"case penalty ordering failed on '$pat'")
+      val g1 = noise + pat.head + "q" + pat.tail
+      val g2 = noise + pat.head + "qq" + pat.tail
+      assert(SkimV2.fuzzyMatch(g1, pat) > SkimV2.fuzzyMatch(g2, pat),
+        s"gap monotonicity failed on '$pat'")
+    }
+    // the verdict's canonical boundary example
+    assert(SkimV2.fuzzyMatch("axbycz", "abc") < SkimV2.fuzzyMatch("abcxyz", "abc"))
+  }
+
   test("both engine paths share the kernel") {
     val pairs = Seq(("text", "TEXT"), ("this could be a tricky test", "this test"),
       ("fooBar baz", "fbb"), ("hello_world", "hw"))
