@@ -576,30 +576,76 @@ object SparkPlanner {
       case s: UpsertStmt =>
         val (table, base, after, ret) = planWith {
           val Seq(what) = s.what
-          val (t, base, keyPred) = mutTarget(spark, dir, what)
-          val keyV = what match {
-            case RidLit(_, keyE) => Eval.evalConst(keyE)
-            case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
+          val bare = what match {
+            case TableRef(_) | Idiom(Seq(PField(_))) => true
+            case _ => false
           }
+          val (t, base, keyPred) = mutTarget(spark, dir, what)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
-          val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
-            actionPermCond(spark, dir, t, "update", base.schema).toSeq)
-            .reduceOption(_ && _).getOrElse(lit(true))
-          val sets = setMap(s.data, ctx, requireExisting = true)
           val key = recordKey(t)
           val defs = fldDefs.getOrElse(t, Vector.empty)
+          val sets = setMap(s.data, ctx, requireExisting = true)
           val setsU = enforceSets(sets, defs, ctx, t, key)
-          val updated = graft.operators.Mutations.update(base, cond, setsU)
-          val inserted0 = synthRows(spark, t, base.schema, Seq((keyV, sets)))
-            .join(base.select(key), Seq(key), "left_anti")
-          val inserted1 = actionPermCond(spark, dir, t, "create", base.schema)
-            .map(inserted0.filter).getOrElse(inserted0)
-          val inserted = applyFieldDefs(inserted1, defs, ctx, t, key)
-          val after = updated.unionByName(inserted)
-          checkUniqueIndexes(t, after,
-            after.filter(col(key) === ridKeyLit(keyV)),
-            uniqDefs.getOrElse(t, Vector.empty), key)
-          (t, base, after, planUpsert(spark, dir, s))
+          if (bare) {
+            // UPSERT over a whole table: update the WHERE-matching rows;
+            // when NONE match, create one generated-id record (Interp
+            // execUpsert's touched==0 arm; dbs/iterator.rs
+            // GenerateRecordId). The match probe is one limit(1) job —
+            // UPSERT's arm choice is inherently data-dependent. A WHERE
+            // match counts as touched even when the update permission
+            // denies the write (doc/allow.rs: a denied row must not flip
+            // the statement into its create arm).
+            val whereOnly = s.where.map(toCol(_, ctx)).getOrElse(lit(true))
+            val touched = base.filter(whereOnly).limit(1).collect().nonEmpty
+            if (touched) {
+              val cond = (Seq(whereOnly) ++
+                actionPermCond(spark, dir, t, "update", base.schema).toSeq)
+                .reduce(_ && _)
+              val after = graft.operators.Mutations.update(base, cond, setsU)
+              val touchedIdx = uniqDefs.getOrElse(t, Vector.empty)
+                .filter(_._2.exists(setsU.keySet.contains))
+              if (touchedIdx.nonEmpty)
+                checkUniqueIndexes(t, after,
+                  after.join(base.filter(cond).select(key), Seq(key), "left_semi"),
+                  touchedIdx, key)
+              val before = base.filter(cond)
+              val ret = shapeOutput(before,
+                graft.operators.Mutations.update(before, lit(true), setsU),
+                s.output, ctx)
+              (t, base, after, ret)
+            } else {
+              val keyV = createDataId(s.data, params)
+                .getOrElse(genKeyV(base.schema(key).dataType))
+              val inserted0 = synthRows(spark, t, base.schema, Seq((keyV, sets)))
+              val inserted1 = actionPermCond(spark, dir, t, "create", base.schema)
+                .map(inserted0.filter).getOrElse(inserted0)
+              val inserted = applyFieldDefs(inserted1, defs, ctx, t, key)
+              val after = base.unionByName(inserted)
+              checkUniqueIndexes(t, after, inserted,
+                uniqDefs.getOrElse(t, Vector.empty), key)
+              (t, base, after,
+                shapeOutput(noneRows(inserted), inserted, s.output, ctx))
+            }
+          } else {
+            val keyV = what match {
+              case RidLit(_, keyE) => Eval.evalConst(keyE)
+              case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
+            }
+            val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
+              actionPermCond(spark, dir, t, "update", base.schema).toSeq)
+              .reduceOption(_ && _).getOrElse(lit(true))
+            val updated = graft.operators.Mutations.update(base, cond, setsU)
+            val inserted0 = synthRows(spark, t, base.schema, Seq((keyV, sets)))
+              .join(base.select(key), Seq(key), "left_anti")
+            val inserted1 = actionPermCond(spark, dir, t, "create", base.schema)
+              .map(inserted0.filter).getOrElse(inserted0)
+            val inserted = applyFieldDefs(inserted1, defs, ctx, t, key)
+            val after = updated.unionByName(inserted)
+            checkUniqueIndexes(t, after,
+              after.filter(col(key) === ridKeyLit(keyV)),
+              uniqDefs.getOrElse(t, Vector.empty), key)
+            (t, base, after, planUpsert(spark, dir, s))
+          }
         }
         applyMut(table, base, after, ret)
       case other => throw SqlError(s"SparkPlanner: unsupported script statement $other")
@@ -2527,19 +2573,36 @@ object SparkPlanner {
   private def planUpsert(spark: SparkSession, dir: String, s: UpsertStmt): DataFrame = {
     val Seq(what) = s.what
     val (table, base, keyPred) = mutTarget(spark, dir, what)
+    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
+    val sets = setMap(s.data, ctx, requireExisting = true)
+    val key = recordKey(table)
     val keyV = what match {
       case RidLit(_, keyE) => Eval.evalConst(keyE) match {
         case r: VRng => throw SqlError("SparkPlanner: UPSERT needs a point record id")
         case v => v
       }
+      // bare-table UPSERT: update the WHERE matches; create one
+      // generated-id record when none match (Interp execUpsert touched==0;
+      // dbs/iterator.rs GenerateRecordId)
+      case TableRef(_) | Idiom(Seq(PField(_))) =>
+        val whereOnly = s.where.map(toCol(_, ctx)).getOrElse(lit(true))
+        val touched = base.filter(whereOnly).limit(1).collect().nonEmpty
+        if (touched) {
+          val cond = (Seq(whereOnly) ++
+            actionPermCond(spark, dir, table, "update", base.schema).toSeq)
+            .reduce(_ && _)
+          val before = base.filter(cond)
+          return shapeOutput(before,
+            graft.operators.Mutations.update(before, lit(true), sets),
+            s.output, ctx)
+        }
+        createDataId(s.data, Map.empty)
+          .getOrElse(genKeyV(base.schema(key).dataType))
       case _ => throw SqlError("SparkPlanner: UPSERT needs a record-id target")
     }
-    val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
     val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
       actionPermCond(spark, dir, table, "update", base.schema).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val sets = setMap(s.data, ctx, requireExisting = true)
-    val key = recordKey(table)
     val updated = graft.operators.Mutations.update(base.filter(cond), lit(true), sets)
     val inserted0 = synthRows(spark, table, base.schema, Seq((keyV, sets)))
       .join(base.select(key), Seq(key), "left_anti")

@@ -272,7 +272,13 @@ class DifferentialSpec extends AnyFunSuite {
        SELECT name, qty FROM item:88;""",
     // keyless rows arriving through a sub-select source generate as well
     """INSERT INTO item (SELECT grp, qty + 400 AS qty, price, name FROM item WHERE qty = 1);
-       SELECT count() AS n FROM item WHERE qty > 400 AND id != NONE GROUP ALL;""")
+       SELECT count() AS n FROM item WHERE qty > 400 AND id != NONE GROUP ALL;""",
+    // bare-table UPSERT: update the WHERE matches ...
+    """UPSERT item SET qty = 500 WHERE qty = 2;
+       SELECT name, qty FROM item WHERE qty = 500 ORDER BY name;""",
+    // ... or create ONE generated-id record when none match
+    """UPSERT item SET grp = 'nu', qty = 501, price = 1.0, name = 'nu1' WHERE qty = 9999;
+       SELECT count() AS n FROM item WHERE qty = 501 AND id != NONE GROUP ALL;""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {

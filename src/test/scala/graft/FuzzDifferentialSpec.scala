@@ -604,7 +604,19 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(20) match {
+    val mut = r.nextInt(21) match {
+      case 20 =>
+        // bare-table UPSERT: updates WHERE matches, or creates ONE
+        // generated-id record when none match — both engines must pick the
+        // same arm and (create case) generate a non-NONE id
+        val q = r.nextInt(7)
+        if (r.nextBoolean())
+          s"UPSERT item SET qty = ${q + 600} WHERE qty = $q;" // usually touches
+        else {
+          select =
+            "SELECT count() AS n FROM item WHERE qty >= 600 AND id != NONE GROUP ALL;"
+          s"UPSERT item SET grp = 'nu', qty = ${q + 650}, price = 1.5, name = 'nu$q' WHERE qty = ${q + 9000};"
+        }
       case 19 =>
         // keyless INSERT/CREATE: both engines GENERATE record ids — the
         // observable contract is the row landing with a non-NONE id,
