@@ -52,6 +52,7 @@ object GraphOps {
       get(name).getOrElse(default)
     def contains(name: String): Boolean = get(name).isDefined
     def keys: Iterable[String] = edgeDefsBase.keys
+    def all: Map[String, (String, String)] = edgeDefsBase ++ extraEdgeDefs
   }
 
   /** Session-cached edge tables per corpus dir, schema (id, in, out, props…).

@@ -457,6 +457,7 @@ object SparkPlanner {
         }
         applyMut(table, base, after, ret)
       case s: DeleteStmt =>
+        var deletedKeys: Option[DataFrame] = scala.None
         val (table, base, after, ret) = planWith {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
@@ -464,7 +465,107 @@ object SparkPlanner {
           val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
             actionPermCond(spark, dir, t, "delete", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
+          recordKey.get(t).foreach(k =>
+            deletedKeys = Some(base.filter(cond).select(col(k))))
           (t, base, base.filter(!cond), planDelete(spark, dir, s))
+        }
+        applyMut(table, base, after, ret)
+        // deleting a record purges the graph edges pointing in or out of it
+        // (doc/purge.rs; Interp cascadeEdgeDeletes) — one anti-join per
+        // relation table whose endpoints include the deleted table, with
+        // the edge table's own DELETE events firing on the purged rows
+        deletedKeys.foreach { gone =>
+          val goneKey = gone.columns.head
+          graft.operators.GraphOps.edgeDefs.all.foreach {
+            case (et, (fromT, toT)) if (fromT == table || toT == table) &&
+                et != table =>
+              // purge only STORED relation tables (overlay entries or real
+              // parquet); derived built-ins (supplies/next_order) and
+              // registrations leaked from other fixtures have no storage
+              // to purge
+              val ebaseOpt = overlay.get(et).orElse(
+                scala.util.Try(Tables(spark, dir, et)).toOption)
+              ebaseOpt.foreach { ebase =>
+              var kept = ebase
+              if (fromT == table && ebase.columns.contains("in"))
+                kept = kept.join(
+                  gone.withColumnRenamed(goneKey, "in"), Seq("in"), "left_anti")
+              if (toT == table && ebase.columns.contains("out"))
+                kept = kept.join(
+                  gone.withColumnRenamed(goneKey, "out"), Seq("out"), "left_anti")
+              overlay += (et -> kept)
+              overlay = fireScriptEvents(spark, dir, et, ebase, kept,
+                overlay, eventDefs)
+              }
+            case _ => ()
+          }
+        }
+      case s: RelateStmt =>
+        val (table, base, after, ret) = planWith {
+          def ids(e: Expr, side: String): (DataFrame, String) = {
+            val (df, tbl) = planSource(spark, dir, e, params)
+            val k = recordKey.getOrElse(tbl,
+              throw SqlError(s"SparkPlanner: no record key for table $tbl"))
+            (df.select(col(k).as(side)), tbl)
+          }
+          val (from, fromT) = ids(s.from, "__in")
+          val (to, toT) = ids(s.to, "__out")
+          var edgeKeyLit: Option[V] = scala.None
+          val t = s.edge match {
+            case Idiom(Seq(PField(n))) => n
+            case TableRef(n) => n
+            case RidLit(tb, keyE) =>
+              edgeKeyLit = Some(Eval.evalConst(Subst.expr(keyE, params))); tb
+            case other =>
+              throw SqlError(s"SparkPlanner: unsupported RELATE edge $other")
+          }
+          val base = Tables(spark, dir, t)
+          val key = recordKey.getOrElse(t,
+            if (base.columns.contains("id")) "id"
+            else throw SqlError(s"SparkPlanner: no record key for table $t"))
+          // register the relation so traversal and DELETE purges see it
+          if (recordKey.get(t).isEmpty) extraRecordKeys.put(t, key)
+          if (!graft.operators.GraphOps.edgeDefs.contains(t))
+            graft.operators.GraphOps.extraEdgeDefs.put(t, (fromT, toT))
+          val constCtx = Ctx(spark, dir, "", new StructType(), Map.empty)
+          val props = setMap(s.data, constCtx, requireExisting = false)
+          val pairs = from.crossJoin(to)
+          val keyDt = base.schema(key).dataType
+          // explicit edge id, else a constant data-clause id, else a
+          // generated one — salted per statement, deterministic per (in,
+          // out) pair so overlay re-executions see the same ids
+          val keyCol: Column = edgeKeyLit
+            .orElse(createDataId(s.data, params))
+            .map(v => ridKeyLit(v).cast(keyDt))
+            .getOrElse {
+              val salt = java.util.concurrent.ThreadLocalRandom.current().nextLong()
+              (keyDt match {
+                case StringType =>
+                  lower(hex(xxhash64(lit(salt), col("__in"), col("__out"))))
+                case _: NumericType =>
+                  shiftrightunsigned(xxhash64(lit(salt), col("__in"), col("__out")), 1)
+                case other => throw SqlError(
+                  s"SparkPlanner: cannot generate a record id of type $other")
+              }).cast(keyDt)
+            }
+          val cols = base.schema.fields.map { sf =>
+            (sf.name match {
+              case n if n == key => keyCol
+              case "in"          => col("__in")
+              case "out"         => col("__out")
+              case n             => props.getOrElse(n, lit(null))
+            }).cast(sf.dataType).as(sf.name)
+          }
+          var edges = pairs.select(cols.toIndexedSeq: _*)
+          // an explicit edge id across several pairs keeps ONE edge (the
+          // interpreter's map assignment — last wins; single-pair in use)
+          if (edgeKeyLit.isDefined || createDataId(s.data, params).isDefined)
+            edges = edges.dropDuplicates(key)
+          // RELATE replaces an existing edge id (Interp: t(key) = doc)
+          val after = base.join(edges.select(key), Seq(key), "left_anti")
+            .unionByName(edges)
+          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
+          (t, base, after, shapeOutput(noneRows(edges), edges, s.output, ctx))
         }
         applyMut(table, base, after, ret)
       case s: CreateStmt =>

@@ -558,8 +558,10 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     val in = new Interp
     in.run(Parser.parse(fixtureScript))
     in.run(Parser.parse(profScript))
+    in.run(Parser.parse(edgeScript))
     val ires = in.run(Parser.parse(script)).last
-    val sdf = Tables.withOverlay(Map("item" -> df, "prof" -> profDf)) {
+    val sdf = Tables.withOverlay(Map(
+      "item" -> df, "prof" -> profDf, "likes" -> likesDf)) {
       SparkPlanner.script(spark, "/nonexistent", script)
     }
     val iv = ires match {
@@ -604,7 +606,22 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(21) match {
+    val mut = r.nextInt(22) match {
+      case 21 =>
+        // RELATE (explicit and generated edge ids) and the DELETE edge
+        // purge — graph writes inside a transaction
+        val a = r.nextInt(30) + 1; val b = r.nextInt(30) + 1
+        r.nextInt(3) match {
+          case 0 =>
+            select = "SELECT w FROM likes WHERE w >= 900 ORDER BY w;"
+            s"RELATE item:$a->likes:`zf${a}x$b`->item:$b SET w = ${900 + r.nextInt(50)};"
+          case 1 =>
+            select = "SELECT count() AS n FROM likes WHERE id != NONE GROUP ALL;"
+            s"RELATE item:$a->likes->item:$b SET w = ${950 + r.nextInt(50)};"
+          case _ =>
+            select = "SELECT count() AS n FROM likes GROUP ALL;"
+            s"DELETE item:$a;"
+        }
       case 20 =>
         // bare-table UPSERT: updates WHERE matches, or creates ONE
         // generated-id record when none match — both engines must pick the
@@ -770,6 +787,28 @@ class FuzzDifferentialSpec extends AnyFunSuite {
   }
 
   private val NS = sys.env.getOrElse("FUZZ_NS", "60").toInt
+
+  // RELATE in transactions and the DELETE edge purge (doc/purge.rs) —
+  // deterministic pins; the generated-id RELATE asserts the invariant
+  // (edge lands, id non-NONE), never the random id value
+  private val graphScripts = Seq(
+    """RELATE item:3->likes:`znew1`->item:9 SET w = 900;
+       SELECT w FROM likes WHERE w >= 900 ORDER BY w;""",
+    """RELATE item:4->likes->item:8 SET w = 901;
+       SELECT count() AS n FROM likes WHERE w = 901 AND id != NONE GROUP ALL;""",
+    """DELETE item:5;
+       SELECT count() AS n FROM likes GROUP ALL;""",
+    """RELATE item:2->likes:`zgone`->item:6 SET w = 902;
+       DELETE item:6;
+       SELECT count() AS n FROM likes WHERE w = 902 GROUP ALL;""",
+    """DELETE item WHERE qty = 3;
+       SELECT count() AS n FROM likes GROUP ALL;""")
+
+  graphScripts.zipWithIndex.foreach { case (q, i) =>
+    test(s"graph-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
+      checkScript(q)
+    }
+  }
 
   test(s"fuzz: $NS generated mutation scripts agree across both engines") {
     val r = new scala.util.Random(seed + 1)
