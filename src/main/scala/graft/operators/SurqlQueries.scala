@@ -1348,6 +1348,30 @@ object SurqlQueries {
          COMMIT;""")
   }
 
+  /** Bare-table UPSERT, both arms (expr/statements/upsert.rs; Interp
+    * execUpsert): a matching WHERE updates the rows, an empty match
+    * creates ONE generated-id record — the generated key is random, so
+    * the oracle observes the non-id columns only. */
+  val upsertBare = Q("upsert_bare",
+    """WITH s1 AS (
+         SELECT CASE WHEN o_totalprice > 400000.0 THEN 'BULKP'
+                     ELSE o_orderpriority END AS o_orderpriority
+         FROM orders),
+       s2 AS (SELECT o_orderpriority FROM s1 UNION ALL SELECT 'FRESH')
+       SELECT o_orderpriority, count(*) AS n FROM s2
+       WHERE o_orderpriority IN ('BULKP', 'FRESH')
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         UPSERT orders SET o_orderpriority = 'BULKP' WHERE o_totalprice > 400000.0;
+         UPSERT orders SET o_custkey = 7, o_orderstatus = 'N',
+           o_totalprice = 77.5, o_orderpriority = 'FRESH' WHERE o_orderkey = -1;
+         SELECT o_orderpriority, count() AS n FROM orders
+           WHERE o_orderpriority = 'BULKP' OR o_orderpriority = 'FRESH'
+           GROUP BY o_orderpriority ORDER BY o_orderpriority;
+         COMMIT;""")
+  }
+
   /** Bulk INSERT (+ ON DUPLICATE KEY UPDATE) inside a script: the second
     * insert's sub-select reads THROUGH the overlay (its filter excludes the
     * first insert's rows), its duplicate arm updates the rows the first
@@ -1747,7 +1771,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
-    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert,
+    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert, upsertBare,
     scriptSchema, scriptUnique, scriptComputed,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
