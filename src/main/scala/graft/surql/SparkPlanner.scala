@@ -283,6 +283,112 @@ object SparkPlanner {
       overlay = fireScriptEvents(spark, dir, table, before, after, overlay, eventDefs)
       last = Some(ret)
     }
+    // ON DELETE referential actions (expr/reference.rs; Interp
+    // applyReferentialActions): for every DEFINE FIELD ... REFERENCE whose
+    // rows can point at the deleted table's records — REJECT guards with a
+    // join probe, CASCADE deletes the referencing rows (one anti-join,
+    // recursing for chained references), UNSET null-outs the link column
+    // (left join) or removes the deleted keys from a link ARRAY (one
+    // broadcast key-set + array_except — no per-row shuffle). Custom THEN
+    // actions stay interpreter-scope.
+    def applyRefActions(t: String, gone: DataFrame, depth: Int): Unit = {
+      if (depth <= 0) return
+      def asV(x: Any): V = x match {
+        case null => VNull
+        case l: Long => VInt(l)
+        case i: Int => VInt(i.toLong)
+        case d: Double => VFloat(d)
+        case s: String => VStr(s)
+        case d: java.math.BigDecimal => VInt(d.longValue)
+        case other => VStr(other.toString)
+      }
+      val goneKey = gone.columns.head
+      fldDefs.toSeq.foreach { case (tbl, defs) =>
+        defs.filter(_.meta.exists(_.referenceRaw.isDefined)).foreach { fd =>
+          val raw = fd.meta.flatMap(_.referenceRaw).getOrElse("").toUpperCase
+          val action =
+            if (raw.contains("REJECT")) "REJECT"
+            else if (raw.contains("CASCADE")) "CASCADE"
+            else if (raw.contains("UNSET")) "UNSET"
+            else "IGNORE"
+          val path = fd.field.replace(".*", "")
+          if (action != "IGNORE") {
+            val rbaseOpt = overlay.get(tbl).orElse(
+              scala.util.Try(Tables(spark, dir, tbl)).toOption)
+            rbaseOpt.filter(_.columns.contains(path)).foreach { rbase =>
+              val rkey = recordKey.getOrElse(tbl, "id")
+              def reject(refK: Any, tgtK: Any): Nothing = throw SqlError(
+                s"Cannot delete `${Render.sql(VRid(t, asV(tgtK)))}` as it is " +
+                  s"referenced by `${Render.sql(VRid(tbl, asV(refK)))}` " +
+                  "with an ON DELETE REJECT clause")
+              rbase.schema(path).dataType match {
+                case ArrayType(_, _) =>
+                  val goneSet = broadcast(
+                    gone.agg(collect_set(col(goneKey)).as("__gone")))
+                  val hitC = arrays_overlap(col(path), col("__gone"))
+                  action match {
+                    case "REJECT" =>
+                      rbase.crossJoin(goneSet).filter(hitC)
+                        .select(col(rkey), element_at(
+                          array_intersect(col(path), col("__gone")), 1))
+                        .limit(1).collect().headOption
+                        .foreach(r => reject(r.get(0), r.get(1)))
+                    case "CASCADE" =>
+                      val marked = rbase.crossJoin(goneSet)
+                      val victims = marked.filter(hitC).select(col(rkey))
+                      // one limit(1) probe per chain level: an empty victim
+                      // set ends the recursion without growing the overlay
+                      if (victims.limit(1).collect().nonEmpty) {
+                        val kept = marked.filter(!coalesce(hitC, lit(false)))
+                          .drop("__gone")
+                        overlay += (tbl -> kept)
+                        overlay = fireScriptEvents(spark, dir, tbl, rbase,
+                          kept, overlay, eventDefs)
+                        applyRefActions(tbl, victims, depth - 1)
+                      }
+                    case _ => // UNSET: drop the deleted keys from the array
+                      val updated = rbase.crossJoin(goneSet)
+                        .withColumn(path, when(col(path).isNull, col(path))
+                          .otherwise(array_except(col(path), col("__gone"))))
+                        .drop("__gone")
+                      overlay += (tbl -> updated)
+                      overlay = fireScriptEvents(spark, dir, tbl, rbase,
+                        updated, overlay, eventDefs)
+                  }
+                case _ =>
+                  val goneAs = gone.select(col(goneKey).as(path)).distinct()
+                  action match {
+                    case "REJECT" =>
+                      rbase.join(goneAs, Seq(path), "inner")
+                        .select(col(rkey), col(path)).limit(1).collect()
+                        .headOption.foreach(r => reject(r.get(0), r.get(1)))
+                    case "CASCADE" =>
+                      val victims = rbase
+                        .join(goneAs, Seq(path), "left_semi").select(col(rkey))
+                      if (victims.limit(1).collect().nonEmpty) {
+                        val kept = rbase.join(goneAs, Seq(path), "left_anti")
+                        overlay += (tbl -> kept)
+                        overlay = fireScriptEvents(spark, dir, tbl, rbase,
+                          kept, overlay, eventDefs)
+                        applyRefActions(tbl, victims, depth - 1)
+                      }
+                    case _ => // UNSET: null-out the link column
+                      val updated = rbase.join(
+                        goneAs.withColumn("__hit", lit(true)), Seq(path), "left")
+                        .withColumn(path,
+                          when(col("__hit") === true, lit(null).cast(
+                            rbase.schema(path).dataType)).otherwise(col(path)))
+                        .drop("__hit")
+                      overlay += (tbl -> updated)
+                      overlay = fireScriptEvents(spark, dir, tbl, rbase,
+                        updated, overlay, eventDefs)
+                  }
+              }
+            }
+          }
+        }
+      }
+    }
     def exec(st0: Statement): Unit = Subst.stmt(st0, params) match {
       case BeginStmt  =>
         txnBase = overlay; txnParams = params; txnEvents = eventDefs
@@ -458,16 +564,29 @@ object SparkPlanner {
         applyMut(table, base, after, ret)
       case s: DeleteStmt =>
         var deletedKeys: Option[DataFrame] = scala.None
-        val (table, base, after, ret) = planWith {
+        var delCond: Option[Column] = scala.None
+        val t1 = planWith {
           val Seq(what) = s.what
           val (t, base, keyPred) = mutTarget(spark, dir, what)
           val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
           val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
             actionPermCond(spark, dir, t, "delete", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
+          delCond = Some(cond)
           recordKey.get(t).foreach(k =>
             deletedKeys = Some(base.filter(cond).select(col(k))))
-          (t, base, base.filter(!cond), planDelete(spark, dir, s))
+          t
+        }
+        // referential ON DELETE actions run BEFORE the delete commits
+        // (Interp applyReferentialActions precedes the remove): a REJECT
+        // hit aborts the statement with the table state untouched, and a
+        // same-table CASCADE/UNSET must not be clobbered by the delete's
+        // own overlay write — the delete filter re-applies to the
+        // ref-action-updated state
+        deletedKeys.foreach(gone => applyRefActions(t1, gone, 8))
+        val (table, base, after, ret) = planWith {
+          val base = Tables(spark, dir, t1)
+          (t1, base, base.filter(!delCond.get), planDelete(spark, dir, s))
         }
         applyMut(table, base, after, ret)
         // deleting a record purges the graph edges pointing in or out of it
@@ -3070,6 +3189,7 @@ object SparkPlanner {
       // a record-id value carries its KEY in the column model (links are
       // key-typed columns throughout this path)
       case Lit(r: VRid) => ridKeyLit(r.key)
+      case RidLit(_, keyE) => ridKeyLit(Eval.evalConst(keyE))
       case Lit(VDt(t))  => lit(java.sql.Timestamp.from(t))
       // durations are total-seconds longs on this path (see duration::*)
       case Lit(d: VDur) => lit(d.secs)

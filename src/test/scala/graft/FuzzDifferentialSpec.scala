@@ -810,6 +810,49 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ON DELETE referential actions over the buddy link (expr/reference.rs).
+  // The fixture's buddy graph is one big cycle, so CASCADE cases first
+  // break it (a cyclic CASCADE never terminates on either engine).
+  private val refScripts = Seq(
+    """DEFINE FIELD buddy ON item REFERENCE ON DELETE UNSET;
+       DELETE item:12;
+       SELECT name, buddy FROM item WHERE qty = 4 ORDER BY name;""",
+    """DEFINE FIELD buddy ON item REFERENCE ON DELETE CASCADE;
+       UPDATE item SET buddy = NONE;
+       UPDATE item:17 SET buddy = item:18;
+       UPDATE item:18 SET buddy = item:19;
+       DELETE item:19;
+       SELECT count() AS n FROM item GROUP ALL;""",
+    """DEFINE FIELD buddy ON item REFERENCE ON DELETE IGNORE;
+       DELETE item:12;
+       SELECT count() AS n FROM item WHERE buddy = item:12 GROUP ALL;""")
+
+  refScripts.zipWithIndex.foreach { case (q, i) =>
+    test(s"reference-script[$i]: ${q.linesIterator.next().trim.take(64)}") {
+      checkScript(q)
+    }
+  }
+
+  test("reference-script: ON DELETE REJECT errors identically on both engines") {
+    val script =
+      """DEFINE FIELD buddy ON item REFERENCE ON DELETE REJECT;
+         DELETE item:3;"""
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    val imsg = in.run(Parser.parse(script)).last match {
+      case QErr(m) => m
+      case other => fail(s"interp did not reject: $other")
+    }
+    val smsg = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script).collect()
+      }
+    }.getMessage
+    assert(smsg.contains("ON DELETE REJECT") && imsg.contains("ON DELETE REJECT"))
+    assert(smsg.contains("item:3") && imsg.contains("item:3"), s"$smsg vs $imsg")
+    assert(smsg.contains("item:2") && imsg.contains("item:2"), s"$smsg vs $imsg")
+  }
+
   test(s"fuzz: $NS generated mutation scripts agree across both engines") {
     val r = new scala.util.Random(seed + 1)
     var failures = List.empty[String]
