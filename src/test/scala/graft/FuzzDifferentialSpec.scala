@@ -606,7 +606,29 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(22) match {
+    val mut = r.nextInt(23) match {
+      case 22 =>
+        // ON DELETE referential actions over the buddy link; CASCADE
+        // first breaks the fixture's buddy cycle (cyclic CASCADE never
+        // terminates on either engine)
+        val k = r.nextInt(30) + 1
+        r.nextInt(3) match {
+          case 0 =>
+            select = "SELECT name, buddy FROM item ORDER BY name;"
+            s"""DEFINE FIELD buddy ON item REFERENCE ON DELETE UNSET;
+                DELETE item:$k;"""
+          case 1 =>
+            select = "SELECT count() AS n FROM item GROUP ALL;"
+            val a = (k % 30) + 1
+            s"""DEFINE FIELD buddy ON item REFERENCE ON DELETE CASCADE;
+                UPDATE item SET buddy = NONE;
+                UPDATE item:$k SET buddy = item:$a;
+                DELETE item:$a;"""
+          case _ =>
+            select = s"SELECT name FROM item WHERE buddy = item:$k ORDER BY name;"
+            s"""DEFINE FIELD buddy ON item REFERENCE ON DELETE IGNORE;
+                DELETE item:$k;"""
+        }
       case 21 =>
         // RELATE (explicit and generated edge ids) and the DELETE edge
         // purge — graph writes inside a transaction

@@ -181,4 +181,42 @@ class PlanSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("o_orderkey") < 10).count()
     assert(df.count() == srcN && srcN > 0)
   }
+
+  test("keyless INSERT generates LITERAL ids: no window, no nondeterministic expr") {
+    // generated ids must be plan-stable (a rand()/uuid() id would mint a
+    // different id on every action over the lazy overlay) and the
+    // generated-key batch must stay window-free like the bare form
+    val df = graft.surql.SparkPlanner.script(spark, sf,
+      """BEGIN;
+         INSERT INTO orders [{ o_custkey: 1, o_orderstatus: 'O', o_totalprice: 1.5 },
+                             { o_custkey: 2, o_orderstatus: 'O', o_totalprice: 2.5 }];
+         SELECT o_custkey, o_totalprice FROM orders
+           WHERE o_totalprice < 3.0 AND o_orderkey != NONE ORDER BY o_custkey;
+         COMMIT;""")
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(!p.toLowerCase.contains("window"),
+      s"keyless INSERT plan contains a window:\n${p.take(800)}")
+    assert(!p.contains("uuid()") && !p.toLowerCase.contains("rand("),
+      s"keyless INSERT id is nondeterministic in-plan:\n${p.take(800)}")
+    assert(df.count() == 2)
+  }
+
+  test("DELETE edge purge is an anti-join, never a cartesian product") {
+    graft.operators.GraphOps.extraEdgeDefs.put("plikes", ("orders", "orders"))
+    graft.surql.SparkPlanner.extraRecordKeys.put("plikes", "id")
+    import spark.implicits._
+    val edges = Seq(("e1", 1L, 2L), ("e2", 2L, 3L), ("e3", 7L, 8L))
+      .toDF("id", "in", "out")
+    val df = Tables.withOverlay(Map("plikes" -> edges)) {
+      graft.surql.SparkPlanner.script(spark, sf,
+        """DELETE orders:2;
+           SELECT id FROM plikes ORDER BY id;""")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"edge purge fell off the equi-join path:\n${p.take(800)}")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("e3"),
+      "purge kept an edge touching the deleted record")
+  }
 }
