@@ -1372,6 +1372,37 @@ object SurqlQueries {
          COMMIT;""")
   }
 
+  /** ON DELETE UNSET referential action (expr/reference.rs
+    * ReferenceDeleteStrategy::Unset): deleting customers null-outs the
+    * orders that referenced them — one left join against the deleted key
+    * set, no per-row work. */
+  val refOnDelete = Q("ref_on_delete",
+    """SELECT count(*) AS n FROM orders
+       WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer WHERE c_nationkey = 7)""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         DEFINE FIELD o_custkey ON orders REFERENCE ON DELETE UNSET;
+         DELETE customer WHERE c_nationkey = 7;
+         SELECT count() AS n FROM orders WHERE o_custkey != NONE GROUP ALL;
+         COMMIT;""")
+  }
+
+  /** ON DELETE CASCADE referential action (expr/reference.rs
+    * ReferenceDeleteStrategy::Cascade): deleting customers deletes their
+    * orders — one anti-join per cascade level. */
+  val refCascade = Q("ref_cascade",
+    """SELECT count(*) AS n FROM orders
+       WHERE o_custkey NOT IN
+         (SELECT c_custkey FROM customer WHERE c_nationkey = 3)""") { (s, d) =>
+    SparkPlanner.script(s, d,
+      """BEGIN;
+         DEFINE FIELD o_custkey ON orders REFERENCE ON DELETE CASCADE;
+         DELETE customer WHERE c_nationkey = 3;
+         SELECT count() AS n FROM orders GROUP ALL;
+         COMMIT;""")
+  }
+
   /** Bulk INSERT (+ ON DUPLICATE KEY UPDATE) inside a script: the second
     * insert's sub-select reads THROUGH the overlay (its filter excludes the
     * first insert's rows), its duplicate arm updates the rows the first
@@ -1771,7 +1802,7 @@ object SurqlQueries {
     mutUpdateSet, mutDeleteBefore, mutCreate, mutCreateOne, mutUpsert,
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
-    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert, upsertBare,
+    subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert, upsertBare, refOnDelete, refCascade,
     scriptSchema, scriptUnique, scriptComputed,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,

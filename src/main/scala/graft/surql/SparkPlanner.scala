@@ -312,7 +312,24 @@ object SparkPlanner {
             else if (raw.contains("UNSET")) "UNSET"
             else "IGNORE"
           val path = fd.field.replace(".*", "")
-          if (action != "IGNORE") {
+          // the reference only fires when the field points AT the deleted
+          // table — a rid carries its table (Interp looseEq on VRid), but
+          // the column model stores bare keys, so the target table must
+          // come from the declared record<T> kind or the link catalog;
+          // a reference known to target another table never joins
+          def kindTables(k: Kind): Seq[String] = k match {
+            case Kind.KRecord(ts) => ts
+            case Kind.KOption(i) => kindTables(i)
+            case Kind.KArray(Some(i), _) => kindTables(i)
+            case Kind.KSet(Some(i), _) => kindTables(i)
+            case Kind.KEither(ks) => ks.flatMap(kindTables)
+            case _ => Nil
+          }
+          val refTargets: Seq[String] = fd.kind.map(kindTables).getOrElse(Nil) match {
+            case Nil => links.get((tbl, path)).map(_._1).toSeq
+            case ts => ts
+          }
+          if (action != "IGNORE" && (refTargets.isEmpty || refTargets.contains(t))) {
             val rbaseOpt = overlay.get(tbl).orElse(
               scala.util.Try(Tables(spark, dir, tbl)).toOption)
             rbaseOpt.filter(_.columns.contains(path)).foreach { rbase =>
