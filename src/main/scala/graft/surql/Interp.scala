@@ -4617,10 +4617,16 @@ final class Interp {
     rows.foreach { row =>
       val (tb, key) = row.fields.get("id") match {
         case Some(VRid(t, k)) => (intoTable.getOrElse(t), k)
+        // id: NONE means "no id" — generate (insert.rs
+        // extract_table_and_rid_key: Value::None => None)
+        case Some(VNone) | scala.None => (intoTable.getOrElse(throw SqlError(
+          "Cannot execute INSERT statement where property 'id' is: NONE")), nextId())
+        // a float id rounds toward zero (insert.rs: id.as_int())
+        case Some(VFloat(f)) => (intoTable.getOrElse(throw SqlError(
+          s"Cannot execute INSERT statement where property 'id' is: ${VFloat(f).render}")),
+          VInt(f.toLong))
         case Some(k) => (intoTable.getOrElse(throw SqlError(
           s"Cannot execute INSERT statement where property 'id' is: ${k.render}")), k)
-        case scala.None => (intoTable.getOrElse(throw SqlError(
-          "Cannot execute INSERT statement where property 'id' is: NONE")), nextId())
       }
       // INSERT RELATION rows are edges: in/out must be record links
       // (insert/invalid_relation)

@@ -2529,7 +2529,11 @@ object SparkPlanner {
           if (extra.nonEmpty)
             throw SqlError(s"SparkPlanner: INSERT columns ${extra.mkString(",")} not in $table")
           val cols = base.schema.fields.map { sf =>
-            o.fields.get(sf.name).map(vv => toCol(Lit(vv), ctx))
+            o.fields.get(sf.name)
+              // id: NONE means "no id" (insert.rs extract_table_and_rid_key:
+              // Value::None => None) — fall through to generation
+              .filterNot(v => keyName.contains(sf.name) && v == VNone)
+              .map(vv => toCol(Lit(vv), ctx))
               // keyless row: generate a record id driver-side (a literal, so
               // every re-execution of the lazy overlay sees the same id),
               // like the reference's GenerateRecordId / Interp's nextId()
@@ -2542,7 +2546,9 @@ object SparkPlanner {
         }.reduce(_ unionByName _)
         // literal batches expose their keys to the driver: max multiplicity
         // under the same loose equality Interp matches record keys with
-        val keys = objs.flatMap(o => keyName.flatMap(o.fields.get)).map {
+        // (NONE keys generate — never part of a duplicate class)
+        val keys = objs.flatMap(o => keyName.flatMap(o.fields.get))
+          .filterNot(_ == VNone).map {
           case VRid(_, k) => k
           case v => v
         }

@@ -273,6 +273,10 @@ class DifferentialSpec extends AnyFunSuite {
     // keyless rows arriving through a sub-select source generate as well
     """INSERT INTO item (SELECT grp, qty + 400 AS qty, price, name FROM item WHERE qty = 1);
        SELECT count() AS n FROM item WHERE qty > 400 AND id != NONE GROUP ALL;""",
+    // id: NONE means "no id" — both engines generate
+    // (insert.rs extract_table_and_rid_key: Value::None => None)
+    """INSERT INTO item { id: NONE, grp: 'k', qty: 520, price: 1.0, name: 'kn' };
+       SELECT count() AS n FROM item WHERE qty = 520 AND id != NONE GROUP ALL;""",
     // bare-table UPSERT: update the WHERE matches ...
     """UPSERT item SET qty = 500 WHERE qty = 2;
        SELECT name, qty FROM item WHERE qty = 500 ORDER BY name;""",
