@@ -4625,6 +4625,15 @@ final class Interp {
         case Some(VFloat(f)) => (intoTable.getOrElse(throw SqlError(
           s"Cannot execute INSERT statement where property 'id' is: ${VFloat(f).render}")),
           VInt(f.toLong))
+        // kinds the reference cannot convert to a record-id key bail with
+        // InsertStatementId (insert.rs extract_table_and_rid_key catch-all;
+        // note NONE generates but NULL errors, and '' is not a valid key)
+        case Some(VNull) => throw SqlError(
+          "Cannot execute INSERT statement where property 'id' is: NULL")
+        case Some(VStr("")) => throw SqlError(
+          "Cannot execute INSERT statement where property 'id' is: ''")
+        case Some(k @ (_: VBool | _: VDt | _: VDur)) => throw SqlError(
+          s"Cannot execute INSERT statement where property 'id' is: ${k.render}")
         case Some(k) => (intoTable.getOrElse(throw SqlError(
           s"Cannot execute INSERT statement where property 'id' is: ${k.render}")), k)
       }

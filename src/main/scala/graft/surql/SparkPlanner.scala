@@ -2524,6 +2524,18 @@ object SparkPlanner {
         }
         val ctx = Ctx(spark, dir, table, base.schema, Map.empty)
         val keyName = recordKey.get(table)
+        // kinds the reference cannot convert to a record-id key
+        // (insert.rs extract_table_and_rid_key catch-all: NULL, the empty
+        // string, bool/datetime/duration — while NONE generates)
+        objs.flatMap(o => keyName.flatMap(o.fields.get)).foreach {
+          case VNull => throw SqlError(
+            "Cannot execute INSERT statement where property 'id' is: NULL")
+          case VStr("") => throw SqlError(
+            "Cannot execute INSERT statement where property 'id' is: ''")
+          case k @ (_: VBool | _: VDt | _: VDur) => throw SqlError(
+            s"Cannot execute INSERT statement where property 'id' is: ${k.render}")
+          case _ => ()
+        }
         val rows = objs.zipWithIndex.map { case (o, i) =>
           val extra = o.fields.keys.filterNot(base.columns.contains)
           if (extra.nonEmpty)

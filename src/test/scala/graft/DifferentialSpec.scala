@@ -295,6 +295,28 @@ class DifferentialSpec extends AnyFunSuite {
   // table's SELECT permission per read (Interp.scala readPermission); the
   // Spark path resolves it at plan time and pushes it as a scan filter
   // (SparkPlanner.permFilter). Row sets must agree exactly.
+  test("differential-errors: invalid INSERT id kinds error identically") {
+    // insert.rs extract_table_and_rid_key: NULL / '' / bool are not valid
+    // record-id keys (while NONE generates — covered by the script cases)
+    Seq("{ id: NULL, qty: 1 }", "{ id: '', qty: 1 }", "{ id: true, qty: 1 }")
+      .foreach { row =>
+        val script = s"INSERT INTO item $row;"
+        val in = new Interp
+        in.run(Parser.parse(fixtureScript))
+        val imsg = in.run(Parser.parse(script)).last match {
+          case QErr(m) => m
+          case other => fail(s"interp accepted $row: $other")
+        }
+        val smsg = intercept[Exception] {
+          Tables.withOverlay(Map("item" -> df)) {
+            SparkPlanner.script(spark, "/nonexistent", script).collect()
+          }
+        }.getMessage
+        assert(imsg.contains("property 'id' is:") &&
+          smsg.contains(imsg.trim), s"'$imsg' vs '$smsg' for $row")
+      }
+  }
+
   test("differential-permissions: SELECT permission filters rows on both paths") {
     val in = new Interp
     in.run(Parser.parse(fixtureScript))
