@@ -3467,6 +3467,7 @@ object SparkPlanner {
         case "??" => coalesce(c(l), c(r))
         case other => throw SqlError(s"SparkPlanner: unsupported operator $other")
       }
+      case FnCall("count", Seq(inner)) => perRowCount(inner, ctx)
       case FnCall(name, args) => fnCol(name, args, ctx)
       case Cast(k, inner) => k match {
         case Kind.KInt     => c(inner).cast("bigint")
@@ -3490,6 +3491,59 @@ object SparkPlanner {
 
   /** Scalar function name → Column mapping — builtins only, codegen-friendly
     * (SURVEY §2.4: functions, not UDFs). */
+  /** Per-row `count(x)` (fnc/count.rs; Interp "count"): an ARRAY value
+    * counts its truthy elements — graph hops and recursion results are
+    * record-key arrays (never falsy, so a plain size()); a scalar counts 1
+    * when truthy. The AGGREGATE count()/count(cond) forms never reach here
+    * (aggExpr owns them) — without this split a projection count would
+    * lower onto Spark's aggregate `count` and collapse the frame to one
+    * row. */
+  private def perRowCount(inner: Expr, ctx: Ctx): Column = {
+    def truthyElems(ic: Column, et: DataType): Column = et match {
+      case BooleanType => size(filter(ic, x => coalesce(x, lit(false))))
+      case t: NumericType =>
+        size(filter(ic, x => x.isNotNull && x =!= lit(0).cast(t)))
+      case StringType => size(filter(ic, x => x.isNotNull && length(x) > 0))
+      case _ => size(filter(ic, _.isNotNull))
+    }
+    inner match {
+      // graph/recursion hop results: arrays of record keys
+      case Idiom(parts) if ctx.graphCols.contains(parts) =>
+        size(toCol(inner, ctx)).cast("bigint")
+      case Idiom(Seq(PField(n))) if ctx.schema.fieldNames.contains(n) &&
+          ctx.schema(n).dataType.isInstanceOf[ArrayType] =>
+        truthyElems(col(n),
+          ctx.schema(n).dataType.asInstanceOf[ArrayType].elementType)
+          .cast("bigint")
+      case arr: ArrLit =>
+        scala.util.Try(Eval.evalConst(arr)).toOption match {
+          case Some(VArr(items)) => lit(items.count(_.truthy).toLong)
+          case _ => size(toCol(inner, ctx)).cast("bigint")
+        }
+      case _ =>
+        // comparison / logical expressions lower to BOOLEAN columns —
+        // syntactic check, since typeOf doesn't model predicates
+        def boolShaped(e: Expr): Boolean = e match {
+          case Binary(op, _, _) => Set("=", "==", "!=", "<", "<=", ">", ">=",
+            "&&", "||", "AND", "OR", "INSIDE", "NOTINSIDE", "CONTAINS",
+            "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY", "CONTAINSNONE",
+            "IS", "ISNOT", "IN", "NOT IN")(op)
+          case Prefix("!", _) => true
+          case Lit(_: VBool) => true
+          case _ => false
+        }
+        val ic = toCol(inner, ctx)
+        val truthy: Column = typeOf(inner, ctx.schema) match {
+          case Some(BooleanType) => ic
+          case Some(t: NumericType) => ic =!= lit(0).cast(t)
+          case Some(StringType) => length(ic) > 0
+          case _ if boolShaped(inner) => ic
+          case _ => ic.isNotNull
+        }
+        when(coalesce(truthy, lit(false)), 1L).otherwise(0L)
+    }
+  }
+
   private def fnCol(name: String, raw: Seq[Expr], ctx: Ctx): Column = {
     lazy val cs: IndexedSeq[Column] = raw.map(toCol(_, ctx)).toIndexedSeq
     name match {
@@ -4087,7 +4141,10 @@ object SparkPlanner {
     case "type::string" => cs(0).cast("string")
     case "type::int"    => cs(0).cast("bigint")
     case "type::float"  => cs(0).cast("double")
-    case "count" => count(lit(1))
+    case "count" => raw match {
+      case Seq(inner) => perRowCount(inner, ctx) // method form: x.count()
+      case _ => count(lit(1))
+    }
     case other => throw SqlError(s"SparkPlanner: unsupported function $other")
     }
   }

@@ -213,6 +213,10 @@ class DifferentialSpec extends AnyFunSuite {
     // bare `value` over a scalar-row source resolves to NONE on both
     // engines (the Spark `value` column name is rendering-only), and an
     // ORDER BY over it is a no-op that preserves the literal order
+    // per-row count(x): arrays count truthy elements, scalars count 1 when
+    // truthy (0 / NONE / '' are falsy) — NOT the aggregate count
+    "SELECT name, count(tags) AS c FROM item ORDER BY name LIMIT 5",
+    "SELECT name, count(qty) AS c, count(qty > 3) AS cb FROM item ORDER BY name LIMIT 9",
     "SELECT * FROM [4, 1, 3]",
     "SELECT * FROM [4, 1, 3] ORDER BY value",
     "SELECT 9 AS k, value AS v FROM [1, 2, 3]",

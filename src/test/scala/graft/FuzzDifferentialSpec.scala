@@ -824,7 +824,13 @@ class FuzzDifferentialSpec extends AnyFunSuite {
        DELETE item:6;
        SELECT count() AS n FROM likes WHERE w = 902 GROUP ALL;""",
     """DELETE item WHERE qty = 3;
-       SELECT count() AS n FROM likes GROUP ALL;""")
+       SELECT count() AS n FROM likes GROUP ALL;""",
+    // keyless INSERT RELATION generates an edge id
+    """INSERT RELATION INTO likes { in: item:7, out: item:9, w: 903 };
+       SELECT count() AS n FROM likes WHERE w = 903 AND id != NONE GROUP ALL;""",
+    // graph traversal reads THROUGH the transaction's RELATE overlay
+    """RELATE item:1->likes:`znew2`->item:3 SET w = 905;
+       SELECT count(->likes->item) AS n FROM item:1;""")
 
   graphScripts.zipWithIndex.foreach { case (q, i) =>
     test(s"graph-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
