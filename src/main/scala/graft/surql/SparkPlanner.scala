@@ -3491,6 +3491,17 @@ object SparkPlanner {
 
   /** Scalar function name → Column mapping — builtins only, codegen-friendly
     * (SURVEY §2.4: functions, not UDFs). */
+  /** True when the expression statically resolves to an ARRAY column —
+    * a graph/recursion hop result, a schema-typed array field, or an
+    * array literal. */
+  private def exprIsArray(e: Expr, ctx: Ctx): Boolean = e match {
+    case Idiom(parts) if ctx.graphCols.contains(parts) => true
+    case Idiom(Seq(PField(n))) => ctx.schema.fieldNames.contains(n) &&
+      ctx.schema(n).dataType.isInstanceOf[ArrayType]
+    case _: ArrLit => true
+    case _ => false
+  }
+
   /** Per-row `count(x)` (fnc/count.rs; Interp "count"): an ARRAY value
     * counts its truthy elements — graph hops and recursion results are
     * record-key arrays (never falsy, so a plain size()); a scalar counts 1
@@ -3630,6 +3641,46 @@ object SparkPlanner {
     // math::sum over an in-row array value (fnc/math.rs Sum) — a codegen'd
     // fold; result is double (SurrealQL numeric promotion on mixed arrays)
     case "math::sum" => aggregate(cs(0), lit(0.0), (a, x) => a + x.cast("double"))
+    // ---- per-row statistical folds over in-row ARRAY values ---------------
+    // (fnc/math.rs — projections without GROUP BY treat these as scalar
+    // functions of an array; the GROUPed forms lower through aggExpr)
+    case "math::product" =>
+      aggregate(cs(0), lit(1.0), (a, x) => a * x.cast("double"))
+    case "math::spread" =>
+      val xs = transform(cs(0), x => x.cast("double"))
+      when(size(xs) === 0, lit(Double.NaN))
+        .otherwise(array_max(xs) - array_min(xs))
+    case "math::median" =>
+      val s = array_sort(transform(cs(0), x => x.cast("double")))
+      val n = size(s)
+      val half = (n.cast("double") / 2).cast("int")
+      when(n === 0, lit(null).cast("double"))
+        .when(pmod(n, lit(2)) === 1, element_at(s, half + 1))
+        .otherwise((element_at(s, half) + element_at(s, half + 1)) / 2.0)
+    case "math::stddev" | "math::variance" =>
+      // the two-pass (x − mean)² fold in array order, like the reference's
+      // non-rolling form; the captured mean re-evaluates per element —
+      // fine for in-row arrays (GROUPed columns never take this path)
+      val xs = transform(cs(0), x => x.cast("double"))
+      val n = size(xs)
+      val m = aggregate(xs, lit(0.0), (a, x) => a + x) / n.cast("double")
+      val ss = aggregate(xs, lit(0.0), (a, x) => a + (x - m) * (x - m))
+      val v = when(n === 0, lit(Double.NaN)).when(n === 1, lit(0.0))
+        .otherwise(ss / (n - 1).cast("double"))
+      if (name == "math::stddev") when(v === 0.0, lit(0.0)).otherwise(sqrt(v))
+      else v
+    case "math::percentile" =>
+      // linear interpolation between closest ranks (fnc/util/math)
+      val s = array_sort(transform(cs(0), x => x.cast("double")))
+      val n = size(s)
+      val p = cs(1).cast("double")
+      val rank = p / 100.0 * (n - 1).cast("double")
+      val lo = floor(rank).cast("int")
+      val hi = ceil(rank).cast("int")
+      when(n === 0 || p < 0.0 || p > 100.0, lit(Double.NaN))
+        .when(lo === hi, element_at(s, lo + 1))
+        .otherwise(element_at(s, lo + 1) + (rank - lo.cast("double")) *
+          (element_at(s, hi + 1) - element_at(s, lo + 1)))
     case "math::clamp"   => least(greatest(cs(0), cs(1)), cs(2))
     case "math::ln"      => log(cs(0))
     case "math::log"     => log(cs(0)) / log(cs(1)) // log base raw(1)
@@ -3640,12 +3691,19 @@ object SparkPlanner {
     case "math::rad2deg" => degrees(cs(0))
     case "math::max"   => raw(0) match {
       case ArrLit(items) => greatest(items.map(toCol(_, ctx)): _*)
+      // an in-row ARRAY value folds to its max (fnc/math.rs Max)
+      case e if exprIsArray(e, ctx) => array_max(cs(0))
       case _ => cs(0)
     }
     case "math::min"   => raw(0) match {
       case ArrLit(items) => least(items.map(toCol(_, ctx)): _*)
+      case e if exprIsArray(e, ctx) => array_min(cs(0))
       case _ => cs(0)
     }
+    // math::mean over an in-row array value (fnc/math.rs Mean)
+    case "math::mean" =>
+      aggregate(cs(0), lit(0.0), (a, x) => a + x.cast("double")) /
+        size(cs(0)).cast("double")
     case "time::year"   => year(cs(0)).cast("bigint")
     case "time::month"  => month(cs(0)).cast("bigint")
     case "time::day"    => dayofmonth(cs(0)).cast("bigint")

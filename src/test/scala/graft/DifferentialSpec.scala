@@ -216,6 +216,12 @@ class DifferentialSpec extends AnyFunSuite {
     // per-row count(x): arrays count truthy elements, scalars count 1 when
     // truthy (0 / NONE / '' are falsy) — NOT the aggregate count
     "SELECT name, count(tags) AS c FROM item ORDER BY name LIMIT 5",
+    "SELECT name, math::max(tags) AS mt, math::min(tags) AS nt FROM item ORDER BY name LIMIT 5",
+    "SELECT name, math::mean([qty, 4]) AS mq FROM item ORDER BY name LIMIT 6",
+    "SELECT name, math::median([qty, 1, 5]) AS md, math::median([qty, 1, 5, 2]) AS md2 FROM item ORDER BY name LIMIT 7",
+    "SELECT name, math::stddev([qty, 1, 5]) AS sd, math::variance([qty, 1, 5]) AS vr FROM item ORDER BY name LIMIT 7",
+    "SELECT name, math::spread([qty, 1, 5]) AS sp, math::product([qty, 2]) AS pr FROM item ORDER BY name LIMIT 7",
+    "SELECT name, math::percentile([qty, 1, 5, 9], 25) AS p25, math::percentile([qty, 1, 5, 9], 90) AS p90 FROM item ORDER BY name LIMIT 7",
     "SELECT name, count(qty) AS c, count(qty > 3) AS cb FROM item ORDER BY name LIMIT 9",
     "SELECT * FROM [4, 1, 3]",
     "SELECT * FROM [4, 1, 3] ORDER BY value",
