@@ -3491,6 +3491,18 @@ object SparkPlanner {
 
   /** Scalar function name → Column mapping — builtins only, codegen-friendly
     * (SURVEY §2.4: functions, not UDFs). */
+  /** Linear-interpolated percentile over a PRE-SORTED double array column
+    * (fnc/util/math percentile: rank between closest ranks). NaN on empty. */
+  private def pctCol(s: Column, n: Column, p: Column): Column = {
+    val rank = p / 100.0 * (n - 1).cast("double")
+    val lo = floor(rank).cast("int")
+    val hi = ceil(rank).cast("int")
+    when(n === 0, lit(Double.NaN))
+      .when(lo === hi, element_at(s, lo + 1))
+      .otherwise(element_at(s, lo + 1) + (rank - lo.cast("double")) *
+        (element_at(s, hi + 1) - element_at(s, lo + 1)))
+  }
+
   /** True when the expression statically resolves to an ARRAY column —
     * a graph/recursion hop result, a schema-typed array field, or an
     * array literal. */
@@ -3670,17 +3682,41 @@ object SparkPlanner {
       if (name == "math::stddev") when(v === 0.0, lit(0.0)).otherwise(sqrt(v))
       else v
     case "math::percentile" =>
-      // linear interpolation between closest ranks (fnc/util/math)
       val s = array_sort(transform(cs(0), x => x.cast("double")))
       val n = size(s)
       val p = cs(1).cast("double")
-      val rank = p / 100.0 * (n - 1).cast("double")
-      val lo = floor(rank).cast("int")
-      val hi = ceil(rank).cast("int")
-      when(n === 0 || p < 0.0 || p > 100.0, lit(Double.NaN))
-        .when(lo === hi, element_at(s, lo + 1))
-        .otherwise(element_at(s, lo + 1) + (rank - lo.cast("double")) *
-          (element_at(s, hi + 1) - element_at(s, lo + 1)))
+      when(p < 0.0 || p > 100.0, lit(Double.NaN)).otherwise(pctCol(s, n, p))
+    case "math::interquartile" =>
+      val s = array_sort(transform(cs(0), x => x.cast("double")))
+      val n = size(s)
+      pctCol(s, n, lit(75.0)) - pctCol(s, n, lit(25.0))
+    case "math::midhinge" =>
+      val s = array_sort(transform(cs(0), x => x.cast("double")))
+      val n = size(s)
+      (pctCol(s, n, lit(25.0)) + pctCol(s, n, lit(75.0))) / 2.0
+    case "math::trimean" =>
+      val s = array_sort(transform(cs(0), x => x.cast("double")))
+      val n = size(s)
+      (pctCol(s, n, lit(25.0)) + lit(2.0) * pctCol(s, n, lit(50.0)) +
+        pctCol(s, n, lit(75.0))) / 4.0
+    case "math::nearestrank" =>
+      // index = clamp(ceil(p/100 * n), 1, n), 1-based (fnc/util/math)
+      val s = array_sort(transform(cs(0), x => x.cast("double")))
+      val n = size(s)
+      when(n === 0, lit(Double.NaN)).otherwise(element_at(s,
+        greatest(lit(1), least(n, ceil(cs(1).cast("double") / 100.0 *
+          n.cast("double")).cast("int")))))
+    case "math::mode" =>
+      // highest frequency, value breaking ties upward (Interp maxBy
+      // (freq, value)) — struct max orders field-wise
+      val xs = transform(cs(0), x => x.cast("double"))
+      when(size(xs) === 0, lit(Double.NaN)).otherwise(
+        array_max(transform(array_distinct(xs), v =>
+          struct(size(filter(xs, x => x === v)).as("f"), v.as("v"))))
+          .getField("v"))
+    // per-row datetime folds over in-row arrays (fnc/time.rs Min/Max)
+    case "time::min" => array_min(cs(0))
+    case "time::max" => array_max(cs(0))
     case "math::clamp"   => least(greatest(cs(0), cs(1)), cs(2))
     case "math::ln"      => log(cs(0))
     case "math::log"     => log(cs(0)) / log(cs(1)) // log base raw(1)

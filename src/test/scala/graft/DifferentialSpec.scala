@@ -222,6 +222,10 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, math::stddev([qty, 1, 5]) AS sd, math::variance([qty, 1, 5]) AS vr FROM item ORDER BY name LIMIT 7",
     "SELECT name, math::spread([qty, 1, 5]) AS sp, math::product([qty, 2]) AS pr FROM item ORDER BY name LIMIT 7",
     "SELECT name, math::percentile([qty, 1, 5, 9], 25) AS p25, math::percentile([qty, 1, 5, 9], 90) AS p90 FROM item ORDER BY name LIMIT 7",
+    "SELECT name, math::interquartile([qty, 1, 5, 9]) AS iq, math::midhinge([qty, 1, 5, 9]) AS mh FROM item ORDER BY name LIMIT 7",
+    "SELECT name, math::trimean([qty, 1, 5, 9]) AS tm, math::nearestrank([qty, 1, 5, 9], 60) AS nr FROM item ORDER BY name LIMIT 7",
+    "SELECT name, math::mode([qty, 1, qty, 5]) AS mo FROM item ORDER BY name LIMIT 9",
+    "SELECT name, time::min([ts, d'2024-02-01T00:00:00Z']) AS tn, time::max([ts, d'2024-02-01T00:00:00Z']) AS tx FROM item ORDER BY name LIMIT 6",
     "SELECT name, count(qty) AS c, count(qty > 3) AS cb FROM item ORDER BY name LIMIT 9",
     "SELECT * FROM [4, 1, 3]",
     "SELECT * FROM [4, 1, 3] ORDER BY value",
