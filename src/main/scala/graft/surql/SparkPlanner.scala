@@ -3957,6 +3957,10 @@ object SparkPlanner {
       val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
       slice(cs(0), from + 1, len)
     case "array::flatten"  => flatten(cs(0))
+    // per-row array::group over a nested array value: flatten + first-
+    // occurrence dedup (fnc/array.rs Group); the GROUPed form lowers
+    // through aggExpr
+    case "array::group"    => array_distinct(flatten(cs(0)))
     case "array::reverse"  => reverse(cs(0))
     case "array::max"      => array_max(cs(0))
     case "array::min"      => array_min(cs(0))
