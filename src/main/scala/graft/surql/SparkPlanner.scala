@@ -3538,33 +3538,39 @@ object SparkPlanner {
         truthyElems(col(n),
           ctx.schema(n).dataType.asInstanceOf[ArrayType].elementType)
           .cast("bigint")
-      case arr: ArrLit =>
-        scala.util.Try(Eval.evalConst(arr)).toOption match {
-          case Some(VArr(items)) => lit(items.count(_.truthy).toLong)
-          case _ => size(toCol(inner, ctx)).cast("bigint")
-        }
-      case _ =>
-        // comparison / logical expressions lower to BOOLEAN columns —
-        // syntactic check, since typeOf doesn't model predicates
-        def boolShaped(e: Expr): Boolean = e match {
-          case Binary(op, _, _) => Set("=", "==", "!=", "<", "<=", ">", ">=",
-            "&&", "||", "AND", "OR", "INSIDE", "NOTINSIDE", "CONTAINS",
-            "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY", "CONTAINSNONE",
-            "IS", "ISNOT", "IN", "NOT IN")(op)
-          case Prefix("!", _) => true
-          case Lit(_: VBool) => true
-          case _ => false
-        }
-        val ic = toCol(inner, ctx)
-        val truthy: Column = typeOf(inner, ctx.schema) match {
-          case Some(BooleanType) => ic
-          case Some(t: NumericType) => ic =!= lit(0).cast(t)
-          case Some(StringType) => length(ic) > 0
-          case _ if boolShaped(inner) => ic
-          case _ => ic.isNotNull
-        }
-        when(coalesce(truthy, lit(false)), 1L).otherwise(0L)
+      // an array LITERAL counts each element expression's truthiness —
+      // the per-element scalar counts sum (elements may reference fields,
+      // so a plan-time size() would miscount falsy values)
+      case ArrLit(items) =>
+        items.map(scalarCount(_, ctx)).reduceOption(_ + _)
+          .getOrElse(lit(0L): Column)
+      case _ => scalarCount(inner, ctx)
     }
+  }
+
+  /** Scalar truthiness count: 1 when truthy, 0 otherwise (0 / NONE / '' /
+    * false are falsy). */
+  private def scalarCount(inner: Expr, ctx: Ctx): Column = {
+    // comparison / logical expressions lower to BOOLEAN columns —
+    // syntactic check, since typeOf doesn't model predicates
+    def boolShaped(e: Expr): Boolean = e match {
+      case Binary(op, _, _) => Set("=", "==", "!=", "<", "<=", ">", ">=",
+        "&&", "||", "AND", "OR", "INSIDE", "NOTINSIDE", "CONTAINS",
+        "CONTAINSNOT", "CONTAINSALL", "CONTAINSANY", "CONTAINSNONE",
+        "IS", "ISNOT", "IN", "NOT IN")(op)
+      case Prefix("!", _) => true
+      case Lit(_: VBool) => true
+      case _ => false
+    }
+    val ic = toCol(inner, ctx)
+    val truthy: Column = typeOf(inner, ctx.schema) match {
+      case Some(BooleanType) => ic
+      case Some(t: NumericType) => ic =!= lit(0).cast(t)
+      case Some(StringType) => length(ic) > 0
+      case _ if boolShaped(inner) => ic
+      case _ => ic.isNotNull
+    }
+    when(coalesce(truthy, lit(false)), 1L).otherwise(0L)
   }
 
   private def fnCol(name: String, raw: Seq[Expr], ctx: Ctx): Column = {

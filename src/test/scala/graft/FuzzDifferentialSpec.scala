@@ -233,7 +233,25 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(41) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(42) match {
+    case 41 => // per-row folds over in-row arrays (projection context —
+      // these share names with aggregates and must NOT collapse the frame)
+      val arr = s"[qty, ${r.nextInt(9)}, ${r.nextInt(9)}, ${r.nextInt(9)}]"
+      val f = r.nextInt(12) match {
+        case 0 => s"math::median($arr)"
+        case 1 => s"math::stddev($arr)"
+        case 2 => s"math::variance($arr)"
+        case 3 => s"math::spread($arr)"
+        case 4 => s"math::product($arr)"
+        case 5 => s"math::mean($arr)"
+        case 6 => s"math::mode($arr)"
+        case 7 => s"math::interquartile($arr)"
+        case 8 => s"math::midhinge($arr)"
+        case 9 => s"math::trimean($arr)"
+        case 10 => s"math::percentile($arr, ${r.nextInt(101)})"
+        case _ => s"count($arr)"
+      }
+      s"SELECT name, $f AS f FROM item ORDER BY name LIMIT ${r.nextInt(10) + 3}"
     case 40 => // literal FROM source (SourceExpr rows): objects or scalars
       if (r.nextBoolean()) {
         val rows = (1 to r.nextInt(3) + 2).map { i =>
