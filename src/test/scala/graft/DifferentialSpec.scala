@@ -227,6 +227,8 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, math::mode([qty, 1, qty, 5]) AS mo FROM item ORDER BY name LIMIT 9",
     "SELECT name, time::min([ts, d'2024-02-01T00:00:00Z']) AS tn, time::max([ts, d'2024-02-01T00:00:00Z']) AS tx FROM item ORDER BY name LIMIT 6",
     "SELECT name, array::group([[qty, 1], [1, 2]]) AS g FROM item ORDER BY name LIMIT 5",
+    "SELECT name, array::max([qty, 3]) AS am, array::min([qty, 3]) AS an FROM item ORDER BY name LIMIT 8",
+    "SELECT name, array::len(tags) AS al, array::reverse(tags) AS ar FROM item ORDER BY name LIMIT 4",
     "SELECT name, count(qty) AS c, count(qty > 3) AS cb FROM item ORDER BY name LIMIT 9",
     "SELECT * FROM [4, 1, 3]",
     "SELECT * FROM [4, 1, 3] ORDER BY value",
