@@ -331,7 +331,7 @@ object SparkPlanner {
           }
           if (action != "IGNORE" && (refTargets.isEmpty || refTargets.contains(t))) {
             val rbaseOpt = overlay.get(tbl).orElse(
-              scala.util.Try(Tables(spark, dir, tbl)).toOption)
+              Tables.withOverlay(overlay)(storedTable(spark, dir, tbl)))
             rbaseOpt.filter(_.columns.contains(path)).foreach { rbase =>
               val rkey = recordKey.getOrElse(tbl, "id")
               def reject(refK: Any, tgtK: Any): Nothing = throw SqlError(
@@ -620,7 +620,7 @@ object SparkPlanner {
               // registrations leaked from other fixtures have no storage
               // to purge
               val ebaseOpt = overlay.get(et).orElse(
-                scala.util.Try(Tables(spark, dir, et)).toOption)
+                Tables.withOverlay(overlay)(storedTable(spark, dir, et)))
               ebaseOpt.foreach { ebase =>
               var kept = ebase
               if (fromT == table && ebase.columns.contains("in"))
@@ -638,70 +638,18 @@ object SparkPlanner {
         }
       case s: RelateStmt =>
         val (table, base, after, ret) = planWith {
-          def ids(e: Expr, side: String): (DataFrame, String) = {
-            val (df, tbl) = planSource(spark, dir, e, params)
-            val k = recordKey.getOrElse(tbl,
-              throw SqlError(s"SparkPlanner: no record key for table $tbl"))
-            (df.select(col(k).as(side)), tbl)
-          }
-          val (from, fromT) = ids(s.from, "__in")
-          val (to, toT) = ids(s.to, "__out")
-          var edgeKeyLit: Option[V] = scala.None
-          val t = s.edge match {
-            case Idiom(Seq(PField(n))) => n
-            case TableRef(n) => n
-            case RidLit(tb, keyE) =>
-              edgeKeyLit = Some(Eval.evalConst(Subst.expr(keyE, params))); tb
-            case other =>
-              throw SqlError(s"SparkPlanner: unsupported RELATE edge $other")
-          }
-          val base = Tables(spark, dir, t)
-          val key = recordKey.getOrElse(t,
-            if (base.columns.contains("id")) "id"
-            else throw SqlError(s"SparkPlanner: no record key for table $t"))
+          val rb = relateEdges(spark, dir, s, params)
           // register the relation so traversal and DELETE purges see it
-          if (recordKey.get(t).isEmpty) extraRecordKeys.put(t, key)
-          if (!graft.operators.GraphOps.edgeDefs.contains(t))
-            graft.operators.GraphOps.extraEdgeDefs.put(t, (fromT, toT))
-          val constCtx = Ctx(spark, dir, "", new StructType(), Map.empty)
-          val props = setMap(s.data, constCtx, requireExisting = false)
-          val pairs = from.crossJoin(to)
-          val keyDt = base.schema(key).dataType
-          // explicit edge id, else a constant data-clause id, else a
-          // generated one — salted per statement, deterministic per (in,
-          // out) pair so overlay re-executions see the same ids
-          val keyCol: Column = edgeKeyLit
-            .orElse(createDataId(s.data, params))
-            .map(v => ridKeyLit(v).cast(keyDt))
-            .getOrElse {
-              val salt = java.util.concurrent.ThreadLocalRandom.current().nextLong()
-              (keyDt match {
-                case StringType =>
-                  lower(hex(xxhash64(lit(salt), col("__in"), col("__out"))))
-                case _: NumericType =>
-                  shiftrightunsigned(xxhash64(lit(salt), col("__in"), col("__out")), 1)
-                case other => throw SqlError(
-                  s"SparkPlanner: cannot generate a record id of type $other")
-              }).cast(keyDt)
-            }
-          val cols = base.schema.fields.map { sf =>
-            (sf.name match {
-              case n if n == key => keyCol
-              case "in"          => col("__in")
-              case "out"         => col("__out")
-              case n             => props.getOrElse(n, lit(null))
-            }).cast(sf.dataType).as(sf.name)
-          }
-          var edges = pairs.select(cols.toIndexedSeq: _*)
-          // an explicit edge id across several pairs keeps ONE edge (the
-          // interpreter's map assignment — last wins; single-pair in use)
-          if (edgeKeyLit.isDefined || createDataId(s.data, params).isDefined)
-            edges = edges.dropDuplicates(key)
+          if (recordKey.get(rb.table).isEmpty) extraRecordKeys.put(rb.table, rb.key)
+          if (!graft.operators.GraphOps.edgeDefs.contains(rb.table))
+            graft.operators.GraphOps.extraEdgeDefs.put(rb.table, (rb.fromT, rb.toT))
+          // a brand-new relation table starts from zero stored rows
+          val base = rb.base.getOrElse(rb.edges.limit(0))
           // RELATE replaces an existing edge id (Interp: t(key) = doc)
-          val after = base.join(edges.select(key), Seq(key), "left_anti")
-            .unionByName(edges)
-          val ctx = Ctx(spark, dir, t, base.schema, Map.empty)
-          (t, base, after, shapeOutput(noneRows(edges), edges, s.output, ctx))
+          val after = base.join(rb.edges.select(rb.key), Seq(rb.key), "left_anti")
+            .unionByName(rb.edges)
+          val ctx = Ctx(spark, dir, rb.table, base.schema, Map.empty)
+          (rb.table, base, after, shapeOutput(noneRows(rb.edges), rb.edges, s.output, ctx))
         }
         applyMut(table, base, after, ret)
       case s: CreateStmt =>
@@ -2897,25 +2845,121 @@ object SparkPlanner {
     }
   }
 
-  /** RELATE from->edge->to SET …: the cartesian pairing of the two id sets
-    * (from/to are explicit record sets — small by construction; reference
-    * RELATE iterates the product) through Mutations.relate. */
-  private def planRelate(spark: SparkSession, dir: String, s: RelateStmt): DataFrame = {
-    def ids(e: Expr, side: String): DataFrame = {
-      val (df, tbl) = planSource(spark, dir, e)
-      val key = recordKey.getOrElse(tbl,
-        throw SqlError(s"SparkPlanner: no record key for table $tbl"))
-      df.select(col(key).as(side))
+  /** The table's current stored state — overlay entry or parquet — or None
+    * when no storage exists (e.g. a brand-new relation table). Probes the
+    * path up front: `spark.read.parquet` resolves lazily, so a missing path
+    * otherwise surfaces only when the caller first touches the schema, past
+    * any Try (and Spark logs the analyzer failure loudly first). */
+  private def storedTable(spark: SparkSession, dir: String,
+      t: String): Option[DataFrame] =
+    Tables.currentOverlay.get(t).orElse {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        scala.util.Try { val df = Tables(spark, dir, t); df.schema; df }.toOption
+      else scala.None
     }
-    val from = ids(s.from, "__in")
-    val to   = ids(s.to, "__out")
+
+  /** One RELATE statement's edge build, shared by the standalone statement
+    * and the script path so the two can never diverge on schema (the r14
+    * divergence: standalone emitted (in, out, props) with no id while the
+    * script path generated one). */
+  private final case class RelateBuild(table: String, base: Option[DataFrame],
+      key: String, edges: DataFrame, fromT: String, toT: String)
+
+  /** RELATE from->edge->to SET … (expr/statements/relate.rs:17-31 +
+    * doc/edges.rs): the cartesian pairing of the two id sets (from/to are
+    * explicit record sets — small by construction; the reference iterates
+    * the product), with EVERY edge document carrying a record id — explicit
+    * `edge:key` > constant data-clause id > generated (salted per statement,
+    * deterministic per (in, out) pair so lazy-overlay re-executions observe
+    * the same ids). When the edge table already exists (overlay or parquet)
+    * the rows take its schema; a brand-new relation table gets
+    * (id, in, out, props…) with a string id, the reference's generated-id
+    * shape. */
+  private def relateEdges(spark: SparkSession, dir: String, s: RelateStmt,
+      params: Map[String, V]): RelateBuild = {
+    def ids(e: Expr, side: String): (DataFrame, String) = {
+      val (df, tbl) = planSource(spark, dir, e, params)
+      val k = recordKey.getOrElse(tbl,
+        throw SqlError(s"SparkPlanner: no record key for table $tbl"))
+      (df.select(col(k).as(side)), tbl)
+    }
+    val (from, fromT) = ids(s.from, "__in")
+    val (to, toT) = ids(s.to, "__out")
+    var edgeKeyLit: Option[V] = scala.None
+    val t = s.edge match {
+      case Idiom(Seq(PField(n))) => n
+      case TableRef(n) => n
+      case RidLit(tb, keyE) =>
+        edgeKeyLit = Some(Eval.evalConst(Subst.expr(keyE, params))); tb
+      case other =>
+        throw SqlError(s"SparkPlanner: unsupported RELATE edge $other")
+    }
+    val baseOpt = storedTable(spark, dir, t)
+    val key = recordKey.getOrElse(t,
+      if (baseOpt.forall(_.columns.contains("id"))) "id"
+      else throw SqlError(s"SparkPlanner: no record key for table $t"))
     val constCtx = Ctx(spark, dir, "", new StructType(), Map.empty)
     val props = setMap(s.data, constCtx, requireExisting = false)
     val pairs = from.crossJoin(to)
-    val edges = graft.operators.Mutations.relate(pairs, col("__in"), col("__out"),
-      props.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) })
-    val ctx = Ctx(spark, dir, "", edges.schema, Map.empty)
-    shapeOutput(noneRows(edges), edges, s.output, ctx)
+    val constId = edgeKeyLit.orElse(createDataId(s.data, params))
+    val keyDt: DataType = baseOpt.map(_.schema(key).dataType).getOrElse(
+      constId match {
+        case Some(_: VInt) => LongType
+        case _             => StringType // reference generates string ids
+      })
+    // explicit edge id, else a constant data-clause id, else a generated
+    // one — salted per statement, deterministic per (in, out) pair so
+    // overlay re-executions see the same ids
+    val keyCol: Column = constId
+      .map(v => ridKeyLit(v).cast(keyDt))
+      .getOrElse {
+        val salt = java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        (keyDt match {
+          case StringType =>
+            lower(hex(xxhash64(lit(salt), col("__in"), col("__out"))))
+          case _: NumericType =>
+            shiftrightunsigned(xxhash64(lit(salt), col("__in"), col("__out")), 1)
+          case other => throw SqlError(
+            s"SparkPlanner: cannot generate a record id of type $other")
+        }).cast(keyDt)
+      }
+    var edges = baseOpt match {
+      case Some(base) =>
+        val cols = base.schema.fields.map { sf =>
+          (sf.name match {
+            case n if n == key => keyCol
+            case "in"          => col("__in")
+            case "out"         => col("__out")
+            case n             => props.getOrElse(n, lit(null))
+          }).cast(sf.dataType).as(sf.name)
+        }
+        pairs.select(cols.toIndexedSeq: _*)
+      case scala.None =>
+        val propCols = props.toSeq.sortBy(_._1)
+          .filterNot { case (n, _) => n == key || n == "in" || n == "out" }
+          .map { case (n, c) => c.as(n) }
+        pairs.select((keyCol.as(key) +: col("__in").as("in") +:
+          col("__out").as("out") +: propCols).toIndexedSeq: _*)
+    }
+    // an explicit edge id across several pairs keeps ONE edge (the
+    // interpreter's map assignment — last wins; single-pair in use)
+    if (constId.isDefined) edges = edges.dropDuplicates(key)
+    RelateBuild(t, baseOpt, key, edges, fromT, toT)
+  }
+
+  /** Standalone RELATE statement — same edge build (and same schema,
+    * id column included) as the script path, and the relation registers
+    * for traversal / DELETE purge the same way. */
+  private def planRelate(spark: SparkSession, dir: String, s: RelateStmt): DataFrame = {
+    val rb = relateEdges(spark, dir, s, Map.empty)
+    // register the relation so traversal and DELETE purges see it
+    if (recordKey.get(rb.table).isEmpty) extraRecordKeys.put(rb.table, rb.key)
+    if (!graft.operators.GraphOps.edgeDefs.contains(rb.table))
+      graft.operators.GraphOps.extraEdgeDefs.put(rb.table, (rb.fromT, rb.toT))
+    val ctx = Ctx(spark, dir, rb.table, rb.edges.schema, Map.empty)
+    shapeOutput(noneRows(rb.edges), rb.edges, s.output, ctx)
   }
 
   private def fieldAlias(f: Field): String =

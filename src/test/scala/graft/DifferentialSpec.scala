@@ -469,4 +469,41 @@ class DifferentialSpec extends AnyFunSuite {
       s"a$i: math::abs(${plain(v)}), s$i: math::sign(${plain(v)})"
     }.mkString(", ") + " }")
   }
+
+  // ---- RELATE cross-path pins ---------------------------------------------
+  // The r14 divergence: standalone RELATE emitted (in, out, props) with no
+  // edge id while the in-transaction path generated one. The reference gives
+  // EVERY edge document an id (expr/statements/relate.rs:17-31, doc/edges.rs)
+  // — the two Spark paths must agree on schema AND values for the same input.
+  test("relate cross-path: explicit edge id — schema and values agree") {
+    val stmt =
+      "RELATE item:1->dspec_rel:`e1`->item:2 SET w = 7.5 RETURN id, in, out, w"
+    val alone = Tables.withOverlay(Map("item" -> df))(
+      SparkPlanner.query(spark, "/nonexistent", stmt))
+    val inTxn = Tables.withOverlay(Map("item" -> df))(
+      SparkPlanner.script(spark, "/nonexistent", s"BEGIN; $stmt; COMMIT;"))
+    assert(alone.columns.toSeq === inTxn.columns.toSeq)
+    assert(alone.collect().map(_.toSeq).toSeq ===
+      inTxn.collect().map(_.toSeq).toSeq)
+    assert(alone.collect().head.toSeq === Seq("e1", 1L, 2L, 7.5))
+  }
+
+  test("relate cross-path: generated edge id present on both paths") {
+    val stmt = "RELATE item:1->dspec_rel2->item:3 SET w = 1.0 RETURN id, in, out, w"
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      Tables.withOverlay(Map("item" -> df))(f).collect()
+    val a = run(SparkPlanner.query(spark, "/nonexistent", stmt))
+    val b = run(SparkPlanner.script(spark, "/nonexistent", s"BEGIN; $stmt; COMMIT;"))
+    for (rows <- Seq(a, b)) {
+      assert(rows.length === 1)
+      val id = rows.head.getAs[String]("id")
+      assert(id != null && id.matches("[0-9a-f]+"))
+      assert(rows.head.getAs[Long]("in") === 1L)
+      assert(rows.head.getAs[Long]("out") === 3L)
+    }
+    // standalone RELATE registers the relation for traversal/purge,
+    // exactly like the script path
+    assert(SparkPlanner.recordKey.get("dspec_rel2").contains("id"))
+    assert(graft.operators.GraphOps.edgeDefs.contains("dspec_rel2"))
+  }
 }
