@@ -604,6 +604,22 @@ object SurqlQueries {
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
   }
 
+  /** math::top/bottom under GROUP BY (fnc/util/math/top.rs, bottom.rs):
+    * the k greatest/smallest per group. The reference returns them in
+    * arbitrary (heap) order, so the query pins an order with array::sort
+    * and serializes with array::join for the row-hash compare. */
+  val fnTopBottom = sq("fn_top_bottom",
+    """SELECT o_custkey,
+              array_to_string(list_sort(list_slice(list_sort(list(o_orderkey), 'DESC'), 1, 3)), '|') AS top3,
+              array_to_string(list_slice(list_sort(list(o_orderkey)), 1, 2), '|') AS bot2,
+              COUNT(*) AS cnt
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey""")(
+    """SELECT o_custkey,
+              array::join(array::sort(math::top(o_orderkey, 3)), '|') AS top3,
+              array::join(array::sort(math::bottom(o_orderkey, 2)), '|') AS bot2,
+              count() AS cnt
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey""")
+
   /** Closures (`|$x| …`, expr/closure.rs) from text: array::map / filter /
     * any / all / fold lower to Catalyst lambda expressions (transform,
     * filter, exists, forall, aggregate) — fully codegen'd, no UDFs. */
@@ -1807,6 +1823,6 @@ object SurqlQueries {
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
-    aggArrayCollect, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
+    aggArrayCollect, fnTopBottom, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)
 }

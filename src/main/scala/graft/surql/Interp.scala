@@ -3869,6 +3869,17 @@ final class Interp {
       case FnCall("array::len", Seq(inner @ FnCall(n, _)))
           if n == "array::group" || aggFns.contains(n) =>
         Functions.apply("array::len", Seq(evalAggregate(inner, group, keyVals, env)), env)
+      // array::sort / array::join post-process an aggregate's result the
+      // same way (exec/planner/aggregate.rs:301) — the idiom for pinning a
+      // deterministic order onto the arbitrary-order family (math::top/
+      // bottom) and serializing grouped arrays
+      case FnCall("array::sort", Seq(inner @ FnCall(n, _)))
+          if n == "array::group" || aggFns.contains(n) =>
+        Functions.apply("array::sort", Seq(evalAggregate(inner, group, keyVals, env)), env)
+      case FnCall("array::join", Seq(inner @ FnCall(n, _), sep))
+          if n == "array::group" || aggFns.contains(n) =>
+        Functions.apply("array::join",
+          Seq(evalAggregate(inner, group, keyVals, env), Eval.eval(sep, env)), env)
       case FnCall("math::sum", Seq(inner)) if top =>
         // a DIRECT math::sum projection uses the planner's Sum aggregation,
         // whose accumulator starts from FLOAT zero (catalog/

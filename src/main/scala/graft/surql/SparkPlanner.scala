@@ -1332,7 +1332,8 @@ object SparkPlanner {
     // declarative side keeps whole-stage codegen, the join is one row per
     // group (tiny), and both sides still do map-side partials.
     val imperativeAggs = Set("math::median", "math::percentile", "math::mode",
-      "math::interquartile", "math::midhinge", "math::trimean")
+      "math::interquartile", "math::midhinge", "math::trimean",
+      "math::top", "math::bottom")
     def containsMedian(e: Expr): Boolean = e match {
       case FnCall(n, _) if imperativeAggs.contains(n) => true
       case FnCall(_, args)  => args.exists(containsMedian)
@@ -2962,6 +2963,18 @@ object SparkPlanner {
     shapeOutput(noneRows(rb.edges), rb.edges, s.output, ctx)
   }
 
+  /** math::top/bottom second argument — a plan-time-constant positive int
+    * (fnc/math.rs top/bottom: ensure!(c > 0) with the reference's error
+    * text). Non-constant k stays unsupported on this path. */
+  private def topBottomK(name: String, e: Expr): Int =
+    scala.util.Try(Eval.evalConst(e)).toOption match {
+      case Some(VInt(i)) if i > 0 => i.toInt
+      case Some(_) => throw SqlError(s"Incorrect arguments for function $name(). " +
+        "The second argument must be an integer greater than 0.")
+      case scala.None => throw SqlError(
+        s"SparkPlanner: $name k must be a plan-time constant")
+    }
+
   private def fieldAlias(f: Field): String =
     f.alias.getOrElse(Eval.fieldName(f.expr))
 
@@ -2975,7 +2988,7 @@ object SparkPlanner {
   private val aggFns = Set("math::sum", "math::mean", "math::min", "math::max",
     "math::stddev", "math::variance", "math::median", "time::min", "time::max", "count",
     "math::percentile", "math::mode", "math::spread", "math::interquartile",
-    "math::midhinge", "math::trimean",
+    "math::midhinge", "math::trimean", "math::top", "math::bottom",
     // implicit array-collapse family: a non-grouped field under GROUP BY
     // becomes an array, and these consume it (aggregates/array.rs)
     "array::group", "array::distinct", "array::join")
@@ -3035,6 +3048,17 @@ object SparkPlanner {
       val c = toCol(inner, ctx)
       (percentile(c, lit(0.25)) + percentile(c, lit(0.5)) * 2.0 +
         percentile(c, lit(0.75))) / 4.0
+    // math::top/bottom under GROUP (fnc/util/math/top.rs, bottom.rs): the
+    // k greatest/smallest of the group. The reference returns them in
+    // ARBITRARY (heap) order — this path emits sorted order (desc for top,
+    // asc for bottom), an allowed ordering of the same multiset; compare
+    // through array::sort.
+    case FnCall("math::top", Seq(inner, kE)) =>
+      slice(reverse(array_sort(collect_list(toCol(inner, ctx)))), 1,
+        topBottomK("math::top", kE))
+    case FnCall("math::bottom", Seq(inner, kE)) =>
+      slice(array_sort(collect_list(toCol(inner, ctx))), 1,
+        topBottomK("math::bottom", kE))
     // rounding over an aggregate: fixed(agg, n) → round(agg, n)
     case FnCall("math::fixed", Seq(inner, d)) if isAggregate(inner) =>
       val n = Eval.evalConst(d) match {
@@ -3054,6 +3078,14 @@ object SparkPlanner {
       array_sort(array_distinct(flatten(collect_list(toCol(inner, ctx)))))
     case FnCall("array::distinct", Seq(inner)) =>
       array_sort(array_distinct(collect_list(toCol(inner, ctx))))
+    // array::sort / array::join COMPOSING over an aggregate arg — lets a
+    // query pin a deterministic order onto the arbitrary-order family
+    // (math::top/bottom) and serialize grouped arrays for comparison
+    case FnCall("array::sort", Seq(inner)) if isAggregate(inner) =>
+      array_sort(aggExpr(inner, ctx, groupAll))
+    case FnCall("array::join", Seq(inner, sep)) if isAggregate(inner) =>
+      concat_ws(sep match { case Lit(VStr(x)) => x; case _ => "," },
+        aggExpr(inner, ctx, groupAll))
     case FnCall("array::join", Seq(inner, sep)) =>
       concat_ws(sep match { case Lit(VStr(x)) => x; case _ => "," },
         array_sort(collect_list(toCol(inner, ctx))))
@@ -3764,6 +3796,12 @@ object SparkPlanner {
         array_max(transform(array_distinct(xs), v =>
           struct(size(filter(xs, x => x === v)).as("f"), v.as("v"))))
           .getField("v"))
+    // math::top/bottom over an in-row array (fnc/util/math/top.rs,
+    // bottom.rs): k greatest/smallest elements in sorted-slice order (the
+    // reference's heap order is documented "arbitrary"); element type
+    // passes through untouched so int arrays stay int
+    case "math::top"    => slice(reverse(array_sort(cs(0))), 1, topBottomK(name, raw(1)))
+    case "math::bottom" => slice(array_sort(cs(0)), 1, topBottomK(name, raw(1)))
     // per-row datetime folds over in-row arrays (fnc/time.rs Min/Max)
     case "time::min" => array_min(cs(0))
     case "time::max" => array_max(cs(0))

@@ -470,6 +470,37 @@ class DifferentialSpec extends AnyFunSuite {
     }.mkString(", ") + " }")
   }
 
+  // ---- math::top/bottom cross-context pins --------------------------------
+  // The reference returns top/bottom in arbitrary (heap) order, so every pin
+  // wraps the call in array::sort — both engines then agree value-for-value.
+  // The r14 bug class (projection-context functions sharing names with
+  // aggregates) demands BOTH contexts pinned.
+  test("math::top/bottom: projection context per-row folds, order-pinned") {
+    checkSame("SELECT name, array::sort(math::top([price, price * 2.0, 1.5], 2)) AS t2, " +
+      "array::sort(math::bottom([qty, qty + 3, 100], 2)) AS b2 " +
+      "FROM item ORDER BY name")
+  }
+
+  test("math::top/bottom: GROUP BY context, order-pinned") {
+    checkSame("SELECT grp, array::sort(math::top(qty, 3)) AS t3, " +
+      "array::sort(math::bottom(price, 2)) AS b2 FROM item GROUP BY grp ORDER BY grp")
+  }
+
+  test("math::top/bottom: GROUP ALL context and k > group size") {
+    checkSame("SELECT array::sort(math::top(qty, 5)) AS t5, " +
+      "array::sort(math::bottom(qty, 100)) AS ball FROM item GROUP ALL")
+  }
+
+  test("math::top/bottom: k <= 0 rejected with the reference's error") {
+    val err = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent",
+          "SELECT grp, math::top(qty, 0) AS t FROM item GROUP BY grp").collect()
+      }
+    }
+    assert(err.getMessage.contains("The second argument must be an integer greater than 0."))
+  }
+
   // ---- RELATE cross-path pins ---------------------------------------------
   // The r14 divergence: standalone RELATE emitted (in, out, props) with no
   // edge id while the in-transaction path generated one. The reference gives
