@@ -2444,12 +2444,23 @@ object SparkPlanner {
         val keyName = recordKey(table)
         val keyDt = base.schema(keyName).dataType
         val salt = java.util.concurrent.ThreadLocalRandom.current().nextLong()
+        // The generated-key ordinal is monotonically_increasing_id — a
+        // PARTITION-LAYOUT function (ordinal order ≠ SELECT order for
+        // unsorted sources), and Spark-nondeterministic across plan
+        // re-executions: AQE can re-split the source and hand a row a
+        // different ordinal, so the id stored by one action could disagree
+        // with the id another action returns. Materialize the keyed batch
+        // ONCE (eager local checkpoint, ContextCleaner-reclaimed) so every
+        // read of the lazy overlay sees the SAME generated ids — an INSERT
+        // batch is bounded by the inserted data, which the reference also
+        // materializes (it writes the rows).
         (rows0.select(base.schema.fields.map { sf =>
           (if (rows0.columns.contains(sf.name)) col(sf.name) else lit(null))
             .cast(sf.dataType).as(sf.name)
         }.toIndexedSeq: _*).withColumn(SeqC, monotonically_increasing_id())
           .withColumn(keyName,
-            coalesce(col(keyName), genKeyCol(keyDt, salt).cast(keyDt))),
+            coalesce(col(keyName), genKeyCol(keyDt, salt).cast(keyDt)))
+          .localCheckpoint(true),
           scala.None)
       case v @ (_: ArrLit | _: ObjLit) =>
         val objs = Eval.evalConst(Subst.expr(v, params)) match {
@@ -2563,14 +2574,10 @@ object SparkPlanner {
       pipeline: DataFrame => DataFrame,
       dupSetsOf: Ctx => Map[String, Column]): (DataFrame, DataFrame, DataFrame, Option[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
-    // a sub-select ON DUPLICATE source is read by the multiplicity probe
-    // and every arm below: materialize it ONCE (eager local checkpoint —
-    // the ContextCleaner reclaims the blocks when the statement's plans are
-    // dropped; a CacheManager persist would pin the batch until an explicit
-    // unpersist no caller is positioned to issue)
-    val rows =
-      if (maxMultHint.isEmpty && s.onDuplicate.nonEmpty) rows0.localCheckpoint(true)
-      else rows0
+    // sub-select sources arrive ALREADY materialized (insertRows local-
+    // checkpoints the keyed batch so generated ids are stable across
+    // overlay re-executions); literal batches are driver-side constants
+    val rows = rows0
     val marked0 = rows.join(
       base.select(col(key), lit(true).as("__inb")), Seq(key), "left")
     val marked =

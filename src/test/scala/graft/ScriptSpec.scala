@@ -124,4 +124,22 @@ class ScriptSpec extends AnyFunSuite {
       assert(spark.sharedState.cacheManager.isEmpty,
         "INSERT arm left an entry pinned in the CacheManager")
   }
+
+  test("sub-select INSERT generated ids are identical across re-executions") {
+    // insertRows localCheckpoints the keyed batch: the generated ids come
+    // from a partition-layout ordinal (monotonically_increasing_id), so an
+    // unmaterialized plan could mint DIFFERENT ids on each action over the
+    // lazy overlay — the stored id would disagree with the returned one.
+    val out = SparkPlanner.script(spark, sf,
+      """BEGIN;
+         INSERT INTO orders (SELECT 77 AS o_custkey, 1.25 AS o_totalprice
+           FROM orders WHERE o_orderkey <= 40);
+         SELECT o_orderkey FROM orders WHERE o_custkey = 77 AND o_totalprice = 1.25;
+         COMMIT;""")
+    val first = out.collect().map(_.getLong(0)).sorted.toSeq
+    val second = out.collect().map(_.getLong(0)).sorted.toSeq
+    assert(first.length == 41 && first.distinct.length == first.length)
+    assert(first == second,
+      "generated ids changed between two actions on the same composed plan")
+  }
 }
