@@ -265,6 +265,12 @@ object SparkPlanner {
     var txnFlds = fldDefs
     var txnUniq = uniqDefs
     var txnComputed = computedDefs
+    // RELATE catalog registrations made since BEGIN — CANCEL must
+    // unregister them (the reference discards the whole transaction
+    // context; a leaked registration would let a later DELETE's edge purge
+    // match a table the cancelled transaction never created)
+    var txnAddedKeys = Set.empty[String]
+    var txnAddedEdges = Set.empty[String]
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
     def applyComputed(t: String, df: DataFrame): DataFrame =
@@ -283,16 +289,54 @@ object SparkPlanner {
       overlay = fireScriptEvents(spark, dir, table, before, after, overlay, eventDefs)
       last = Some(ret)
     }
+    // deleting a record purges the graph edges pointing in or out of it
+    // (doc/purge.rs; Interp cascadeEdgeDeletes) — one anti-join per
+    // relation table whose endpoints include the deleted table, with the
+    // edge table's own DELETE events firing on the purged rows. Runs for
+    // the top-level DELETE's keys AND for every CASCADE victim level (the
+    // reference purges per deleted record, so cascaded deletions must not
+    // leave dangling edges).
+    def purgeEdges(table: String, gone: DataFrame): Unit = {
+      val goneKey = gone.columns.head
+      graft.operators.GraphOps.edgeDefs.all.foreach {
+        case (et, (fromT, toT)) if (fromT == table || toT == table) &&
+            et != table =>
+          // purge only STORED relation tables (overlay entries or real
+          // parquet); derived built-ins (supplies/next_order) and
+          // registrations leaked from other fixtures have no storage
+          // to purge
+          val ebaseOpt = overlay.get(et).orElse(
+            Tables.withOverlay(overlay)(storedTable(spark, dir, et)))
+          ebaseOpt.foreach { ebase =>
+            var kept = ebase
+            if (fromT == table && ebase.columns.contains("in"))
+              kept = kept.join(
+                gone.withColumnRenamed(goneKey, "in"), Seq("in"), "left_anti")
+            if (toT == table && ebase.columns.contains("out"))
+              kept = kept.join(
+                gone.withColumnRenamed(goneKey, "out"), Seq("out"), "left_anti")
+            overlay += (et -> kept)
+            overlay = fireScriptEvents(spark, dir, et, ebase, kept,
+              overlay, eventDefs)
+          }
+        case _ => ()
+      }
+    }
     // ON DELETE referential actions (expr/reference.rs; Interp
     // applyReferentialActions): for every DEFINE FIELD ... REFERENCE whose
     // rows can point at the deleted table's records — REJECT guards with a
     // join probe, CASCADE deletes the referencing rows (one anti-join,
-    // recursing for chained references), UNSET null-outs the link column
-    // (left join) or removes the deleted keys from a link ARRAY (one
-    // broadcast key-set + array_except — no per-row shuffle). Custom THEN
-    // actions stay interpreter-scope.
+    // recursing for chained references, each victim level routed through
+    // the edge purge), UNSET null-outs the link column (left join) or
+    // removes the deleted keys from a link ARRAY (one broadcast key-set +
+    // array_except — no per-row shuffle). Custom THEN actions stay
+    // interpreter-scope. A chain deeper than the cap ERRORS (a silent stop
+    // would leave referencing rows in place); the reference recurses until
+    // the victim set drains, so only a pathological/cyclic catalog hits it.
     def applyRefActions(t: String, gone: DataFrame, depth: Int): Unit = {
-      if (depth <= 0) return
+      if (depth <= 0) throw SqlError(
+        "SparkPlanner: ON DELETE CASCADE chain exceeded depth 32 — " +
+          "reference cycle or pathologically deep chain")
       def asV(x: Any): V = x match {
         case null => VNull
         case l: Long => VInt(l)
@@ -361,6 +405,7 @@ object SparkPlanner {
                         overlay += (tbl -> kept)
                         overlay = fireScriptEvents(spark, dir, tbl, rbase,
                           kept, overlay, eventDefs)
+                        purgeEdges(tbl, victims)
                         applyRefActions(tbl, victims, depth - 1)
                       }
                     case _ => // UNSET: drop the deleted keys from the array
@@ -387,6 +432,7 @@ object SparkPlanner {
                         overlay += (tbl -> kept)
                         overlay = fireScriptEvents(spark, dir, tbl, rbase,
                           kept, overlay, eventDefs)
+                        purgeEdges(tbl, victims)
                         applyRefActions(tbl, victims, depth - 1)
                       }
                     case _ => // UNSET: null-out the link column
@@ -410,10 +456,15 @@ object SparkPlanner {
       case BeginStmt  =>
         txnBase = overlay; txnParams = params; txnEvents = eventDefs
         txnFlds = fldDefs; txnUniq = uniqDefs; txnComputed = computedDefs
-      case CommitStmt => () // the composed plan is already all-or-nothing
+        txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
+      case CommitStmt => // registrations become permanent catalog entries
+        txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
       case CancelStmt =>
         overlay = txnBase; params = txnParams; eventDefs = txnEvents
         fldDefs = txnFlds; uniqDefs = txnUniq; computedDefs = txnComputed
+        txnAddedKeys.foreach(extraRecordKeys.remove)
+        txnAddedEdges.foreach(graft.operators.GraphOps.extraEdgeDefs.remove)
+        txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
         last = scala.None
       case UseStmt(_, _) => () // single-catalog engine: ns/db switch is a no-op
       case LetStmt(name, _, what) => params += (name -> Eval.evalConst(what))
@@ -600,49 +651,26 @@ object SparkPlanner {
         // same-table CASCADE/UNSET must not be clobbered by the delete's
         // own overlay write — the delete filter re-applies to the
         // ref-action-updated state
-        deletedKeys.foreach(gone => applyRefActions(t1, gone, 8))
+        deletedKeys.foreach(gone => applyRefActions(t1, gone, 32))
         val (table, base, after, ret) = planWith {
           val base = Tables(spark, dir, t1)
           (t1, base, base.filter(!delCond.get), planDelete(spark, dir, s))
         }
         applyMut(table, base, after, ret)
-        // deleting a record purges the graph edges pointing in or out of it
-        // (doc/purge.rs; Interp cascadeEdgeDeletes) — one anti-join per
-        // relation table whose endpoints include the deleted table, with
-        // the edge table's own DELETE events firing on the purged rows
-        deletedKeys.foreach { gone =>
-          val goneKey = gone.columns.head
-          graft.operators.GraphOps.edgeDefs.all.foreach {
-            case (et, (fromT, toT)) if (fromT == table || toT == table) &&
-                et != table =>
-              // purge only STORED relation tables (overlay entries or real
-              // parquet); derived built-ins (supplies/next_order) and
-              // registrations leaked from other fixtures have no storage
-              // to purge
-              val ebaseOpt = overlay.get(et).orElse(
-                Tables.withOverlay(overlay)(storedTable(spark, dir, et)))
-              ebaseOpt.foreach { ebase =>
-              var kept = ebase
-              if (fromT == table && ebase.columns.contains("in"))
-                kept = kept.join(
-                  gone.withColumnRenamed(goneKey, "in"), Seq("in"), "left_anti")
-              if (toT == table && ebase.columns.contains("out"))
-                kept = kept.join(
-                  gone.withColumnRenamed(goneKey, "out"), Seq("out"), "left_anti")
-              overlay += (et -> kept)
-              overlay = fireScriptEvents(spark, dir, et, ebase, kept,
-                overlay, eventDefs)
-              }
-            case _ => ()
-          }
-        }
+        deletedKeys.foreach(gone => purgeEdges(table, gone))
       case s: RelateStmt =>
         val (table, base, after, ret) = planWith {
           val rb = relateEdges(spark, dir, s, params)
-          // register the relation so traversal and DELETE purges see it
-          if (recordKey.get(rb.table).isEmpty) extraRecordKeys.put(rb.table, rb.key)
-          if (!graft.operators.GraphOps.edgeDefs.contains(rb.table))
+          // register the relation so traversal and DELETE purges see it —
+          // tracked per transaction so CANCEL unregisters
+          if (recordKey.get(rb.table).isEmpty) {
+            extraRecordKeys.put(rb.table, rb.key)
+            txnAddedKeys += rb.table
+          }
+          if (!graft.operators.GraphOps.edgeDefs.contains(rb.table)) {
             graft.operators.GraphOps.extraEdgeDefs.put(rb.table, (rb.fromT, rb.toT))
+            txnAddedEdges += rb.table
+          }
           // a brand-new relation table starts from zero stored rows
           val base = rb.base.getOrElse(rb.edges.limit(0))
           // RELATE replaces an existing edge id (Interp: t(key) = doc)

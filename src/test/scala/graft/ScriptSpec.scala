@@ -125,6 +125,36 @@ class ScriptSpec extends AnyFunSuite {
         "INSERT arm left an entry pinned in the CacheManager")
   }
 
+  test("CANCEL unregisters a RELATE's relation catalog entries") {
+    // the reference discards the whole transaction context on CANCEL; a
+    // leaked registration would let a later DELETE's edge purge match a
+    // table this cancelled transaction never created
+    SparkPlanner.script(spark, sf,
+      """BEGIN;
+         RELATE orders:1->cxlink->orders:2 SET w = 1;
+         CANCEL;
+         RETURN 1;""")
+    assert(SparkPlanner.recordKey.get("cxlink").isEmpty)
+    assert(!graft.operators.GraphOps.edgeDefs.contains("cxlink"))
+  }
+
+  test("ON DELETE CASCADE victims purge their graph edges too") {
+    // doc/purge.rs purges per deleted record: a row removed by a CASCADE
+    // level must shed its edges exactly like a row the DELETE named.
+    // orders:17 cascades (its customer is in nation 3); orders:1 survives.
+    val out = SparkPlanner.script(spark, sf,
+      """BEGIN;
+         RELATE orders:17->olink->orders:1 SET w = 1;
+         RELATE orders:1->olink->orders:2 SET w = 2;
+         DEFINE FIELD o_custkey ON orders REFERENCE ON DELETE CASCADE;
+         DELETE customer WHERE c_nationkey = 3;
+         SELECT w FROM olink ORDER BY w;
+         COMMIT;""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L),
+      s"cascaded orders:17 should purge its olink edge, got weights $out")
+  }
+
   test("sub-select INSERT generated ids are identical across re-executions") {
     // insertRows localCheckpoints the keyed batch: the generated ids come
     // from a partition-layout ordinal (monotonically_increasing_id), so an
