@@ -63,6 +63,13 @@ object SparkPlanner {
     * the built-in testdata catalog) — consulted after [[recordKeyBase]]. */
   val extraRecordKeys = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Deleted-key-count threshold for referential actions over array-link
+    * fields: at or below it, the key set broadcasts as ONE array row
+    * (shuffle-free arrays_overlap/array_except per referencing row); above
+    * it, the link arrays explode into an equi-join so no driver-sized array
+    * ever materializes. */
+  val ArrayLinkBroadcastMax = 10000
+
   /** Record-id key column per table (`table:key` scans). */
   val recordKeyBase: Map[String, String] = Map(
     "customer" -> "c_custkey", "orders" -> "o_orderkey", "part" -> "p_partkey",
@@ -383,25 +390,45 @@ object SparkPlanner {
                   s"referenced by `${Render.sql(VRid(tbl, asV(refK)))}` " +
                   "with an ON DELETE REJECT clause")
               rbase.schema(path).dataType match {
-                case ArrayType(_, _) =>
+                case adt @ ArrayType(_, _) =>
+                  // Small delete sets broadcast ONE row holding the key set
+                  // — shuffle-free, O(|gone|) work per referencing row.
+                  // Past the threshold that single array would be a
+                  // driver-sized broadcast with a linear scan per row, so
+                  // the link arrays EXPLODE into an equi-join against the
+                  // deleted keys instead (shuffle on the key, no driver
+                  // materialization) — the shape that survives a
+                  // millions-row DELETE at 100 TB.
+                  val big = gone.limit(ArrayLinkBroadcastMax + 1).count() >
+                    ArrayLinkBroadcastMax
+                  lazy val goneE = gone.select(col(goneKey).as("__e")).distinct()
+                  lazy val exploded =
+                    rbase.select(col(rkey), explode(col(path)).as("__e"))
                   val goneSet = broadcast(
                     gone.agg(collect_set(col(goneKey)).as("__gone")))
                   val hitC = arrays_overlap(col(path), col("__gone"))
                   action match {
                     case "REJECT" =>
-                      rbase.crossJoin(goneSet).filter(hitC)
-                        .select(col(rkey), element_at(
-                          array_intersect(col(path), col("__gone")), 1))
-                        .limit(1).collect().headOption
+                      val probe =
+                        if (big) exploded.join(goneE, Seq("__e"), "inner")
+                          .select(col(rkey), col("__e"))
+                        else rbase.crossJoin(goneSet).filter(hitC)
+                          .select(col(rkey), element_at(
+                            array_intersect(col(path), col("__gone")), 1))
+                      probe.limit(1).collect().headOption
                         .foreach(r => reject(r.get(0), r.get(1)))
                     case "CASCADE" =>
-                      val marked = rbase.crossJoin(goneSet)
-                      val victims = marked.filter(hitC).select(col(rkey))
+                      val victims =
+                        if (big) exploded.join(goneE, Seq("__e"), "left_semi")
+                          .select(col(rkey)).distinct()
+                        else rbase.crossJoin(goneSet).filter(hitC).select(col(rkey))
                       // one limit(1) probe per chain level: an empty victim
                       // set ends the recursion without growing the overlay
                       if (victims.limit(1).collect().nonEmpty) {
-                        val kept = marked.filter(!coalesce(hitC, lit(false)))
-                          .drop("__gone")
+                        val kept =
+                          if (big) rbase.join(victims, Seq(rkey), "left_anti")
+                          else rbase.crossJoin(goneSet)
+                            .filter(!coalesce(hitC, lit(false))).drop("__gone")
                         overlay += (tbl -> kept)
                         overlay = fireScriptEvents(spark, dir, tbl, rbase,
                           kept, overlay, eventDefs)
@@ -409,7 +436,31 @@ object SparkPlanner {
                         applyRefActions(tbl, victims, depth - 1)
                       }
                     case _ => // UNSET: drop the deleted keys from the array
-                      val updated = rbase.crossJoin(goneSet)
+                      val updated = if (big) {
+                        // rebuild hit rows' arrays from the non-deleted
+                        // elements, original order restored through the
+                        // explode ordinal
+                        val ex = rbase.select(col(rkey).as("__rk"),
+                          posexplode(col(path)).as(Seq("__p", "__e")))
+                        val hit = ex.join(goneE, Seq("__e"), "left_semi")
+                          .select(col("__rk")).distinct()
+                          .withColumn("__hit", lit(true))
+                        val rebuilt = ex.join(goneE, Seq("__e"), "left_anti")
+                          .groupBy(col("__rk"))
+                          .agg(transform(
+                            array_sort(collect_list(struct(col("__p"), col("__e")))),
+                            s => s.getField("__e")).as("__new"))
+                        rbase
+                          .join(hit, col(rkey) === hit("__rk"), "left")
+                          .drop("__rk")
+                          .join(rebuilt, col(rkey) === rebuilt("__rk"), "left")
+                          .drop("__rk")
+                          .withColumn(path,
+                            when(col("__hit").isNull || col(path).isNull, col(path))
+                              .otherwise(coalesce(col("__new"),
+                                array().cast(adt))))
+                          .drop("__hit", "__new")
+                      } else rbase.crossJoin(goneSet)
                         .withColumn(path, when(col(path).isNull, col(path))
                           .otherwise(array_except(col(path), col("__gone"))))
                         .drop("__gone")

@@ -155,6 +155,59 @@ class ScriptSpec extends AnyFunSuite {
       s"cascaded orders:17 should purge its olink edge, got weights $out")
   }
 
+  test("array-link referential UNSET past the threshold explodes into an equi-join") {
+    // a 100k-key delete set must NOT materialize as one driver-sized
+    // broadcast array (the small-set path); the scale path explodes the
+    // link arrays and equi-joins the deleted keys
+    import org.apache.spark.sql.types._
+    val big = spark.range(1, 100001).select(col("id"))
+    val refrSchema = StructType(Seq(StructField("id", LongType),
+      StructField("links", ArrayType(LongType))))
+    val refr = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, Seq(5L, 200000L)),
+        org.apache.spark.sql.Row(2L, Seq(200001L)),
+        org.apache.spark.sql.Row(3L, null),
+        org.apache.spark.sql.Row(4L, Seq(7L, 8L))), refrSchema)
+    SparkPlanner.extraRecordKeys.put("big", "id")
+    SparkPlanner.extraRecordKeys.put("refr", "id")
+    val out = Tables.withOverlay(Map("big" -> big, "refr" -> refr)) {
+      SparkPlanner.script(spark, sf,
+        """BEGIN;
+           DEFINE FIELD links ON refr TYPE array<record<big>> REFERENCE ON DELETE UNSET;
+           DELETE big WHERE id >= 1;
+           SELECT id, links FROM refr ORDER BY id;
+           COMMIT;""")
+    }
+    assert(!out.queryExecution.optimizedPlan.toString.contains("collect_set"),
+      "large-delete UNSET plan still builds the single-row collect_set broadcast")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      Option(r.getSeq[Long](1)).map(_.toSeq)).toMap
+    assert(rows(1L) == Some(Seq(200000L)), s"got ${rows(1L)}")
+    assert(rows(2L) == Some(Seq(200001L)))
+    assert(rows(3L) == None, "null link array must stay null")
+    assert(rows(4L) == Some(Seq.empty), "fully-purged array must be empty, not null")
+  }
+
+  test("array-link referential CASCADE past the threshold uses victim equi-joins") {
+    val big = spark.range(1, 50001).select(col("id"))
+    import spark.implicits._
+    val refr = Seq((1L, Seq(5L)), (2L, Seq(60000L)), (4L, Seq(7L, 60001L)))
+      .toDF("id", "links")
+    SparkPlanner.extraRecordKeys.put("big", "id")
+    SparkPlanner.extraRecordKeys.put("refr2", "id")
+    val out = Tables.withOverlay(Map("big" -> big, "refr2" -> refr)) {
+      SparkPlanner.script(spark, sf,
+        """BEGIN;
+           DEFINE FIELD links ON refr2 TYPE array<record<big>> REFERENCE ON DELETE CASCADE;
+           DELETE big WHERE id >= 1;
+           SELECT id FROM refr2 ORDER BY id;
+           COMMIT;""")
+    }
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "rows linking any deleted key must cascade-delete; others survive")
+  }
+
   test("sub-select INSERT generated ids are identical across re-executions") {
     // insertRows localCheckpoints the keyed batch: the generated ids come
     // from a partition-layout ordinal (monotonically_increasing_id), so an
