@@ -570,6 +570,53 @@ object SparkPlanner {
         } // non-unique indexes are advisory on this path (Catalyst pushdown)
       case _: DefineTableStmt => () // schema authority is the parquet catalog
       case _: RebuildIndexStmt => () // derived indexes rebuild lazily here
+      // ALTER FIELD (expr/statements/alter.rs; Interp execAlterField):
+      // apply the SET/DROP deltas to the script-scope definition so every
+      // LATER mutation in the script enforces the altered pipeline —
+      // None = clause untouched, Some(None) = DROP, Some(Some(v)) = SET
+      case s: AlterFieldStmt =>
+        val defs = fldDefs.getOrElse(s.table, Vector.empty)
+        val ix = defs.indexWhere(_.field == s.field)
+        if (ix < 0) {
+          if (!s.ifExists)
+            throw SqlError(s"The field '${s.field}' does not exist")
+        } else {
+          var d = defs(ix)
+          s.kind.foreach(k => d = d.copy(kind = k.map(_._1)))
+          s.flexible.foreach(f => d = d.copy(flexible = f))
+          s.value.foreach(v => d = d.copy(value = v.map(_._1)))
+          s.default.foreach {
+            case Some((e, _, always)) =>
+              d = d.copy(default = Some(e), defaultAlways = always)
+            case scala.None =>
+              d = d.copy(default = scala.None, defaultAlways = false)
+          }
+          s.assertC.foreach {
+            case Some((e, raw)) => d = d.copy(assert = Some(e), assertRaw = raw)
+            case scala.None     => d = d.copy(assert = scala.None, assertRaw = "")
+          }
+          s.readonly.foreach(r => d = d.copy(readonly = r))
+          s.reference.foreach(r => d = d.copy(meta = d.meta.map(_.copy(
+            referenceRaw = r.map(raw =>
+              if (raw.isEmpty) "ON DELETE IGNORE" else raw)))))
+          fldDefs += s.table -> defs.updated(ix, d)
+        }
+      // ALTER TABLE: DROP/SCHEMAFULL/PERMISSIONS/CHANGEFEED govern catalog
+      // metadata the Spark path derives from parquet — accepted, no plan
+      // consequence (the interpreter path owns the metadata surface)
+      case _: AlterTableStmt => ()
+      // ALTER EVENT rewrites the script-scope trigger in place
+      case s: AlterEventStmt =>
+        val ix = eventDefs.indexWhere(e => e.name == s.name && e.table == s.table)
+        if (ix < 0) {
+          if (!s.ifExists)
+            throw SqlError(s"The event '${s.name}' does not exist")
+        } else {
+          var d = eventDefs(ix)
+          s.when.foreach { case (e, raw) => d = d.copy(whenE = Some(e), whenRaw = raw) }
+          s.thenE.foreach { case (es, raw) => d = d.copy(thenE = es, thenRaw = raw) }
+          eventDefs = eventDefs.updated(ix, d)
+        }
       // DEFINE PARAM binds like LET for the rest of the script
       // (expr/statements/define/param.rs: a catalog-stored binding)
       case s: DefineParamStmt =>

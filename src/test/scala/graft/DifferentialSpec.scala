@@ -299,7 +299,24 @@ class DifferentialSpec extends AnyFunSuite {
        SELECT name, qty FROM item WHERE qty = 500 ORDER BY name;""",
     // ... or create ONE generated-id record when none match
     """UPSERT item SET grp = 'nu', qty = 501, price = 1.0, name = 'nu1' WHERE qty = 9999;
-       SELECT count() AS n FROM item WHERE qty = 501 AND id != NONE GROUP ALL;""")
+       SELECT count() AS n FROM item WHERE qty = 501 AND id != NONE GROUP ALL;""",
+    // ALTER FIELD applies to LATER mutations in the same script
+    // (expr/statements/alter.rs): a dropped ASSERT lets a formerly-failing
+    // UPDATE pass
+    """DEFINE FIELD qty ON item TYPE int ASSERT $value < 100;
+       ALTER FIELD qty ON item DROP ASSERT;
+       UPDATE item SET qty = 500 WHERE name = 'n01';
+       SELECT name, qty FROM item WHERE qty = 500 ORDER BY name;""",
+    // ALTER FIELD TYPE re-points the coercion pipeline for later writes
+    """DEFINE FIELD price ON item TYPE float;
+       ALTER FIELD price ON item TYPE int;
+       UPDATE item SET price = 7.0 WHERE qty = 1;
+       SELECT name, price FROM item WHERE qty = 1 ORDER BY name;""",
+    // ALTER FIELD VALUE replaces the write-time VALUE pipeline
+    """DEFINE FIELD qty ON item TYPE int VALUE $value * 2;
+       ALTER FIELD qty ON item VALUE $value + 1000;
+       UPDATE item SET qty = 5 WHERE name = 'n02';
+       SELECT name, qty FROM item WHERE name = 'n02';""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
