@@ -84,27 +84,18 @@ object Search {
   private final val ClPunct = 5
   private final val ClOther = 6
 
-  /** Combining marks carrying the Unicode `Other_Alphabetic` property are
-    * Alphabetic to the reference's tokenizer (Rust `char::is_alphabetic`,
-    * tokenizer.rs CharacterClass::from) — Tamil/Devanagari vowel signs,
-    * Arabic harakat — while `java.lang.Character.isLetter` excludes every
-    * mark. Approximate the property: Mn/Mc marks count as word-alphabetic
-    * EXCEPT viramas/killers and the bare combining-diacritical block, which
-    * Other_Alphabetic excludes — the reference's own Tamil vectors pin the
-    * split-at-virama behavior (filter.rs test_tamil_stemmer). */
-  private val nonAlphaMarks: Set[Char] = Set(
-    '्', '্', '੍', '્', '୍', '்', '్',
-    '್', '഻', '഼', '്', '්', 'ฺ', '྄',
-    '္', '្', '᭄', '꣄', '꥓', '꧀', '꯭')
-
-  private def isWordMark(c: Char): Boolean = {
-    val t = Character.getType(c)
-    (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK) &&
-      !nonAlphaMarks.contains(c) && !(c >= '̀' && c <= 'ͯ')
-  }
-
+  /** The reference's tokenizer classifies on Rust `char::is_alphabetic`
+    * (tokenizer.rs CharacterClass::from) — the Unicode `Alphabetic`
+    * property: Lu/Ll/Lt/Lm/Lo, Nl, plus `Other_Alphabetic` marks
+    * (Tamil/Devanagari vowel signs, Arabic harakat). Java's
+    * `Character.isAlphabetic` implements the SAME UCD-derived property, so
+    * it is the exact predicate: viramas/killers, Thai tone marks, Hebrew
+    * cantillation, and bare combining diacriticals all fall out as
+    * non-alphabetic from real property data — no hand-kept mark lists. The
+    * reference's Tamil vectors pin the split-at-virama behavior this
+    * produces (filter.rs test_tamil_stemmer). */
   private def classOf(c: Char): Int =
-    if (c.isLetter || isWordMark(c)) { if (c.isUpper) ClAlphaUpper else ClAlphaLower }
+    if (Character.isAlphabetic(c.toInt)) { if (c.isUpper) ClAlphaUpper else ClAlphaLower }
     else if (Character.isDigit(c) || c.isDigit) ClNumeric
     else if (c.isWhitespace) ClWhitespace
     else if (c < 128 && !c.isLetterOrDigit && !c.isWhitespace && c > ' ') ClPunct

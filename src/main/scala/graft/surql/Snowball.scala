@@ -12,15 +12,22 @@ package graft.surql
   * Danish) follows the published suffix-table algorithms; the Romance
   * family (Italian/Portuguese/French) implements the published RV/R1/R2
   * suffix-step algorithms with their preludes and postludes; Dutch,
-  * Russian, Romanian and Hungarian follow their published specs; Turkish
-  * ports the published vowel-harmony / optional-buffer-letter suffix
-  * chains; Greek follows the Ntais/Saroukos step structure; Arabic the
-  * normalization + article/suffix strip with its length guards; Tamil the
-  * Damodharan suffix tables (through the reference's class tokenizer,
-  * Tamil reaches the stemmer as virama-split fragments — see [[tamil]]).
-  * Every implemented language reproduces the reference's own published
-  * analyzer vectors token for token (SnowballConformanceSpec) — all 18
-  * languages the reference stems; there are no identity fallbacks left.
+  * Russian, Romanian, Hungarian and Finnish follow their published specs.
+  *
+  * Coverage caveats, stated exactly: Turkish ports the published
+  * vowel-harmony / optional-buffer-letter suffix chains but omits the
+  * append_U and ad/soyad postludes (not exercised by any reference
+  * vector); Greek follows the Ntais/Saroukos step structure; Arabic
+  * implements normalization plus a SINGLE suffix strip and a SINGLE
+  * article-prefix strip with length guards — a deliberate subset of the
+  * published algorithm's verb/noun suffix chains; Tamil carries the
+  * Damodharan suffix tables the reference's class tokenizer can actually
+  * reach (it virama-splits Tamil words into fragments first — see
+  * [[tamil]]). All 18 languages reproduce the reference's own published
+  * analyzer vectors token for token (SnowballConformanceSpec) and none
+  * falls back to identity, but for Arabic and Tamil inputs beyond the
+  * vector-exercised shapes the subset may diverge from rust_stemmers'
+  * full algorithms.
   */
 object Snowball {
 
