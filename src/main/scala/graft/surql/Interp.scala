@@ -3861,23 +3861,22 @@ final class Interp {
       // ArrayGroupAccumulator), unlike the scalar flatten+uniq function
       case FnCall("array::group", Seq(inner)) =>
         VArr(group.map(r => Eval.eval(inner, rowEnv(env, r))).filter(v => v != VNone && v != VNull))
-      // array::distinct WRAPPING an aggregate call post-processes the
-      // aggregate's result (exec/planner/aggregate.rs:301)
+      // array::distinct/len/sort/join WRAPPING an aggregate call
+      // post-process the aggregate's result (exec/planner/aggregate.rs:301)
+      // and COMPOSE — array::join(array::sort(math::top(x, k))) is the
+      // idiom for pinning a deterministic order onto the arbitrary-order
+      // family and serializing grouped arrays
       case FnCall("array::distinct", Seq(inner @ FnCall(n, _)))
-          if n == "array::group" || aggFns.contains(n) =>
+          if n == "array::group" || aggFns.contains(n) || aggWrapFns.contains(n) =>
         Functions.apply("array::distinct", Seq(evalAggregate(inner, group, keyVals, env)), env)
       case FnCall("array::len", Seq(inner @ FnCall(n, _)))
-          if n == "array::group" || aggFns.contains(n) =>
+          if n == "array::group" || aggFns.contains(n) || aggWrapFns.contains(n) =>
         Functions.apply("array::len", Seq(evalAggregate(inner, group, keyVals, env)), env)
-      // array::sort / array::join post-process an aggregate's result the
-      // same way (exec/planner/aggregate.rs:301) — the idiom for pinning a
-      // deterministic order onto the arbitrary-order family (math::top/
-      // bottom) and serializing grouped arrays
       case FnCall("array::sort", Seq(inner @ FnCall(n, _)))
-          if n == "array::group" || aggFns.contains(n) =>
+          if n == "array::group" || aggFns.contains(n) || aggWrapFns.contains(n) =>
         Functions.apply("array::sort", Seq(evalAggregate(inner, group, keyVals, env)), env)
       case FnCall("array::join", Seq(inner @ FnCall(n, _), sep))
-          if n == "array::group" || aggFns.contains(n) =>
+          if n == "array::group" || aggFns.contains(n) || aggWrapFns.contains(n) =>
         Functions.apply("array::join",
           Seq(evalAggregate(inner, group, keyVals, env), Eval.eval(sep, env)), env)
       case FnCall("math::sum", Seq(inner)) if top =>
@@ -3918,6 +3917,9 @@ final class Interp {
     "math::median", "math::product", "math::spread", "math::top", "math::bottom",
     "time::min", "time::max", "array::group", "array::distinct", "array::flatten",
     "array::join", "array::len", "array::concat")
+
+  /** Post-processors that compose over aggregate results under GROUP. */
+  private val aggWrapFns = Set("array::distinct", "array::len", "array::sort", "array::join")
 
   // ---- mutations -------------------------------------------------------
 

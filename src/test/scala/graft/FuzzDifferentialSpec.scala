@@ -384,11 +384,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         case _ => s"string::distance::damerau_levenshtein(name, '$lit') AS d"
       }
       s"SELECT name, $proj FROM item ORDER BY name LIMIT ${r.nextInt(12) + 3}"
-    case 24 => // spread/statistics aggregates per group
-      val agg = r.nextInt(4) match {
+    case 24 => // spread/statistics aggregates per group (top/bottom through
+      // the order-pinning array::sort/join wrappers — heap order is
+      // arbitrary in the reference, sorted output is comparable)
+      val agg = r.nextInt(6) match {
         case 0 => "math::stddev(price) AS v"
         case 1 => "math::variance(price) AS v"
         case 2 => "math::median(qty) AS v"
+        case 3 => s"array::join(array::sort(math::top(qty, ${r.nextInt(4) + 1})), '|') AS v"
+        case 4 => s"array::join(array::sort(math::bottom(num, ${r.nextInt(3) + 1})), '|') AS v"
         case _ => "math::mean(price) AS v"
       }
       s"SELECT grp, count() AS n, $agg FROM item GROUP BY grp ORDER BY grp"
@@ -624,7 +628,25 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(23) match {
+    val mut = r.nextInt(24) match {
+      case 23 =>
+        // ALTER FIELD mid-script re-points the enforcement pipeline for
+        // every LATER mutation (expr/statements/alter.rs)
+        r.nextInt(3) match {
+          case 0 =>
+            s"""DEFINE FIELD qty ON item TYPE int ASSERT $$value < ${r.nextInt(5) + 3};
+                ALTER FIELD qty ON item DROP ASSERT;
+                UPDATE item SET qty = ${r.nextInt(300) + 100} WHERE name = 'n0${r.nextInt(9) + 1}';"""
+          case 1 =>
+            s"""DEFINE FIELD qty ON item VALUE $$value * 2;
+                ALTER FIELD qty ON item VALUE $$value + ${r.nextInt(900) + 100};
+                UPDATE item SET qty = ${r.nextInt(9)} WHERE qty = ${r.nextInt(7)};"""
+          case _ =>
+            select = "SELECT name, qty, opt FROM item ORDER BY name;"
+            s"""DEFINE FIELD opt ON item DEFAULT ${r.nextInt(10)};
+                ALTER FIELD opt ON item DEFAULT ${r.nextInt(50) + 20};
+                ${freshCreate(r.nextInt(40) + 31)}"""
+        }
       case 22 =>
         // ON DELETE referential actions over the buddy link; CASCADE
         // first breaks the fixture's buddy cycle (cyclic CASCADE never
