@@ -278,6 +278,9 @@ object SparkPlanner {
     // match a table the cancelled transaction never created)
     var txnAddedKeys = Set.empty[String]
     var txnAddedEdges = Set.empty[String]
+    // DEFINE PARAM catalog membership — ALTER PARAM requires it (a LET
+    // binding is not alterable, matching Interp's paramDefs keying)
+    var paramDefd = Set.empty[String]
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
     def applyComputed(t: String, df: DataFrame): DataFrame =
@@ -605,6 +608,18 @@ object SparkPlanner {
       // metadata the Spark path derives from parquet — accepted, no plan
       // consequence (the interpreter path owns the metadata surface)
       case _: AlterTableStmt => ()
+      // ALTER PARAM rebinds a DEFINE PARAM binding (not a LET — the
+      // interpreter keys existence off the param catalog the same way)
+      case s: AlterParamStmt =>
+        if (!paramDefd.contains(s.name) && !s.ifExists)
+          throw SqlError(s"The param '$$${s.name}' does not exist")
+        s.value.foreach { case (e, _) =>
+          if (paramDefd.contains(s.name))
+            params += (s.name -> Eval.evalConst(Subst.expr(e, params)))
+        }
+      // ALTER INDEX carries only COMMENT / PREPARE REMOVE — no plan
+      // consequence on this path (non-unique indexes are advisory)
+      case _: AlterIndexStmt => ()
       // ALTER EVENT rewrites the script-scope trigger in place
       case s: AlterEventStmt =>
         val ix = eventDefs.indexWhere(e => e.name == s.name && e.table == s.table)
@@ -620,11 +635,13 @@ object SparkPlanner {
       // DEFINE PARAM binds like LET for the rest of the script
       // (expr/statements/define/param.rs: a catalog-stored binding)
       case s: DefineParamStmt =>
+        paramDefd += s.d.name
         s.value.foreach(e => params += (s.d.name -> Eval.evalConst(Subst.expr(e, params))))
       case s: RemoveStmt if s.what == "PARAM" =>
         if (!params.contains(s.name) && !s.ifExists)
           throw SqlError(s"The param '$$${s.name}' does not exist")
         params -= s.name
+        paramDefd -= s.name
       // REMOVE drops the script-scope registration (remove/field.rs etc.);
       // unknown names error unless IF EXISTS
       case s: RemoveStmt if s.what == "FIELD" =>

@@ -316,7 +316,11 @@ class DifferentialSpec extends AnyFunSuite {
     """DEFINE FIELD qty ON item TYPE int VALUE $value * 2;
        ALTER FIELD qty ON item VALUE $value + 1000;
        UPDATE item SET qty = 5 WHERE name = 'n02';
-       SELECT name, qty FROM item WHERE name = 'n02';""")
+       SELECT name, qty FROM item WHERE name = 'n02';""",
+    // ALTER PARAM rebinds a DEFINE PARAM catalog value
+    """DEFINE PARAM $m VALUE 3;
+       ALTER PARAM $m VALUE 10;
+       SELECT name, qty * $m AS q FROM item WHERE qty = 2 ORDER BY name;""")
 
   scripts.zipWithIndex.foreach { case (q, i) =>
     test(f"differential-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
