@@ -219,4 +219,17 @@ class PlanSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("e3"),
       "purge kept an edge touching the deleted record")
   }
+
+  test("grouped math::top/bottom split off so count() keeps codegen") {
+    // collect_list is a TypedImperativeAggregate: ONE in an agg list forces
+    // ObjectHashAggregate for every column. The median-split planner puts
+    // the top/bottom columns in their OWN aggregation and joins back, so
+    // the declarative count() side stays whole-stage-codegen'd.
+    val p = planOf("fn_top_bottom")
+    assert(p.contains("ObjectHashAggregate"),
+      "top/bottom collect side missing (no ObjectHashAggregate)")
+    assert("(?s)HashAggregate.*count".r.findFirstIn(p).isDefined &&
+      p.contains("HashAggregate"),
+      "declarative count() side lost its codegen'd HashAggregate")
+  }
 }
