@@ -2237,12 +2237,26 @@ object SparkPlanner {
           .map(n => n -> given.getOrElse(n, lit(null): Column)).toMap
       // PATCH applies a JSON-Patch op list (expr/operation.rs) — the op
       // array is a plan-time constant; add/replace assign, remove unsets.
-      // Flat top-level paths only (nested paths are the interpreter's).
+      // Nested paths rebuild the struct column through withField/dropFields
+      // (null structs pass through null — the fixed column model has no
+      // row-local object creation).
       case Some(PatchData(arr)) =>
         val ops = Eval.evalConst(arr) match {
           case VArr(xs) => xs
           case other => throw SqlError(
             s"SparkPlanner: PATCH expects an op array, got ${other.render}")
+        }
+        // sequential ops over the same column compose: later ops see the
+        // column the earlier ops built
+        def rebuild(base: Column, segs: List[String],
+            valueC: Option[Column]): Column = segs match {
+          case last :: Nil => valueC match {
+            case Some(v) => base.withField(last, v)
+            case scala.None => base.dropFields(last)
+          }
+          case head :: rest =>
+            base.withField(head, rebuild(base.getField(head), rest, valueC))
+          case Nil => throw SqlError("SparkPlanner: empty PATCH path")
         }
         ops.foldLeft(Map.empty[String, Column]) { (m, opV) =>
           val o = opV match {
@@ -2254,15 +2268,21 @@ object SparkPlanner {
             case Some(VStr(p)) => p.stripPrefix("/")
             case _ => throw SqlError("SparkPlanner: PATCH op needs a string path")
           }
-          if (path.contains("/"))
-            throw SqlError(s"SparkPlanner: nested PATCH path /$path is interpreter-only")
-          o.fields.get("op") match {
+          val segs = path.split("/").toList
+          val valueC: Option[Column] = o.fields.get("op") match {
             case Some(VStr("add" | "replace")) =>
-              m + (path -> toCol(Lit(o.fields.getOrElse("value", VNone)), ctx))
-            case Some(VStr("remove")) => m + (path -> lit(null))
+              Some(toCol(Lit(o.fields.getOrElse("value", VNone)), ctx))
+            case Some(VStr("remove")) => scala.None
             case Some(VStr(op)) => throw SqlError(
               s"SparkPlanner: unsupported PATCH op $op")
             case _ => throw SqlError("SparkPlanner: PATCH op needs an `op` field")
+          }
+          segs match {
+            case top :: Nil =>
+              m + (top -> valueC.getOrElse(lit(null)))
+            case top :: rest =>
+              m + (top -> rebuild(m.getOrElse(top, col(top)), rest, valueC))
+            case Nil => throw SqlError("SparkPlanner: empty PATCH path")
           }
         }
       case scala.None => Map.empty

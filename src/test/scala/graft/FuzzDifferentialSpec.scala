@@ -878,6 +878,23 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // PATCH (expr/operation.rs) incl. NESTED paths — the Spark path rebuilds
+  // struct columns through withField/dropFields
+  private val patchScripts = Seq(
+    """UPDATE prof:1 PATCH [{ op: 'replace', path: '/score', value: 77 }];
+       SELECT score FROM prof:1;""",
+    """UPDATE prof:2 PATCH [{ op: 'replace', path: '/meta/a', value: 99 }];
+       SELECT meta.a AS a, meta.b AS b FROM prof:2;""",
+    """UPDATE prof:3 PATCH [{ op: 'add', path: '/meta/a', value: 41 },
+                            { op: 'replace', path: '/meta/b', value: 'zz' }];
+       SELECT meta.a AS a, meta.b AS b FROM prof:3;""")
+
+  patchScripts.zipWithIndex.foreach { case (q, i) =>
+    test(s"patch-script[$i]: ${q.linesIterator.next().trim.take(60)}") {
+      checkScript(q)
+    }
+  }
+
   // ON DELETE referential actions over the buddy link (expr/reference.rs).
   // The fixture's buddy graph is one big cycle, so CASCADE cases first
   // break it (a cyclic CASCADE never terminates on either engine).
