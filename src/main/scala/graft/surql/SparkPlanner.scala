@@ -228,7 +228,11 @@ object SparkPlanner {
       case Seq(s: UpsertStmt) => planUpsert(spark, dir, s)
       case Seq(s: DeleteStmt) => planDelete(spark, dir, s)
       case Seq(s: RelateStmt) => planRelate(spark, dir, s)
-      case other => throw SqlError(s"SparkPlanner: unsupported statement shape $other")
+      // anything else — multi-statement text without BEGIN, DDL-led
+      // sequences — runs through the script executor, which owns statement
+      // sequencing and the uncommitted-write overlay; query() is total over
+      // whatever script() accepts
+      case _ => script(spark, dir, surql)
     }
   }
 

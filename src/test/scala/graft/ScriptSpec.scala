@@ -125,6 +125,14 @@ class ScriptSpec extends AnyFunSuite {
         "INSERT arm left an entry pinned in the CacheManager")
   }
 
+  test("query() delegates multi-statement text to the script executor") {
+    val out = SparkPlanner.query(spark, sf,
+      """UPDATE orders SET o_orderpriority = 'QX' WHERE o_orderkey = 3;
+         SELECT o_orderkey, o_orderpriority FROM orders:3;""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out == Seq((3L, "QX")))
+  }
+
   test("CANCEL unregisters a RELATE's relation catalog entries") {
     // the reference discards the whole transaction context on CANCEL; a
     // leaked registration would let a later DELETE's edge purge match a
