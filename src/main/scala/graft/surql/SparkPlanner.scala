@@ -468,8 +468,13 @@ object SparkPlanner {
                                 array().cast(adt))))
                           .drop("__hit", "__new")
                       } else rbase.crossJoin(goneSet)
+                        // filter, not array_except: the reference REMOVES
+                        // the deleted keys but keeps duplicates and order
+                        // of the surviving elements (Interp filterNot;
+                        // array_except would dedup survivors)
                         .withColumn(path, when(col(path).isNull, col(path))
-                          .otherwise(array_except(col(path), col("__gone"))))
+                          .otherwise(filter(col(path),
+                            x => !array_contains(col("__gone"), x))))
                         .drop("__gone")
                       overlay += (tbl -> updated)
                       overlay = fireScriptEvents(spark, dir, tbl, rbase,

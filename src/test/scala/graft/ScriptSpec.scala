@@ -197,6 +197,29 @@ class ScriptSpec extends AnyFunSuite {
     assert(rows(4L) == Some(Seq.empty), "fully-purged array must be empty, not null")
   }
 
+  test("array-link UNSET keeps duplicate surviving elements (small path)") {
+    // Interp filterNot semantics: UNSET removes the deleted keys but must
+    // NOT dedup survivors — array_except would collapse [7,7] to [7]
+    import spark.implicits._
+    val big = spark.range(1, 10).select(col("id"))
+    val refr = Seq((1L, Seq(5L, 5L, 7L)), (2L, Seq(7L, 7L)))
+      .toDF("id", "links")
+    SparkPlanner.extraRecordKeys.put("big", "id")
+    SparkPlanner.extraRecordKeys.put("refr3", "id")
+    val out = Tables.withOverlay(Map("big" -> big, "refr3" -> refr)) {
+      SparkPlanner.script(spark, sf,
+        """BEGIN;
+           DEFINE FIELD links ON refr3 TYPE array<record<big>> REFERENCE ON DELETE UNSET;
+           DELETE big:5;
+           SELECT id, links FROM refr3 ORDER BY id;
+           COMMIT;""")
+    }
+    val rows = out.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(rows(1L) == Seq(7L), s"got ${rows(1L)}")
+    assert(rows(2L) == Seq(7L, 7L),
+      s"survivor duplicates were deduped: ${rows(2L)}")
+  }
+
   test("array-link referential CASCADE past the threshold uses victim equi-joins") {
     val big = spark.range(1, 50001).select(col("id"))
     import spark.implicits._
