@@ -839,8 +839,18 @@ object Functions {
         if (size < 1) throw SqlError("Incorrect arguments for function array::clump(). The second argument must be an integer greater than 0")
         VArr(arr(0).grouped(size).map(g => VArr(g)).toVector)
       case "array::difference" =>
-        val (x, y) = (arr(0), arr(1))
-        VArr(x.filterNot(e => y.exists(V.looseEq(_, e))) ++ y.filterNot(e => x.exists(V.looseEq(_, e))))
+        // per-OCCURRENCE symmetric difference (val/array.rs Difference):
+        // each match consumes one occurrence of the other side, so
+        // duplicates survive up to the unmatched count — [1,1] vs [1] is
+        // [1], not []. Coerce argument 1 BEFORE argument 2: the reference
+        // reports the first wrong-typed argument.
+        val self0 = arr(0)
+        val other = scala.collection.mutable.ArrayBuffer.from(arr(1))
+        val selfOut = self0.flatMap { v =>
+          val i = other.indexWhere(V.looseEq(_, v))
+          if (i >= 0) { other.remove(i); scala.None } else Some(v)
+        }
+        VArr(selfOut ++ other.toVector)
       case "array::distinct" => VArr(Coerce.dedup(arr(0)))
       case "array::fill" =>
         val items = arr(0)
@@ -866,7 +876,16 @@ object Functions {
           else VArr(items.take(i.toInt) ++ Vector(v) ++ items.drop(i.toInt))
         }
       case "array::intersect" =>
-        VArr(Coerce.dedup(arr(0).filter(e => arr(1).exists(V.looseEq(_, e)))))
+        // per-OCCURRENCE intersection (val/array.rs Intersect): each match
+        // consumes one occurrence of the other side and duplicates are
+        // KEPT up to the matched count — [1,1] ∩ [1,1] is [1,1]. Coerce
+        // argument 1 first (error-order fidelity).
+        val self0 = arr(0)
+        val other = scala.collection.mutable.ArrayBuffer.from(arr(1))
+        VArr(self0.flatMap { v =>
+          val i = other.indexWhere(V.looseEq(_, v))
+          if (i >= 0) { other.remove(i); Some(v) } else scala.None
+        })
       case "array::is_empty" => VBool(arr(0).isEmpty)
       case "array::join" => VStr(arr(0).map(_.renderRaw).mkString(str(1)))
       case "array::last" => arr(0).lastOption.getOrElse(VNone)

@@ -4236,11 +4236,29 @@ object SparkPlanner {
     case "array::concat"   => concat(cs(0), cs(1))
     case "array::last"     => element_at(cs(0), -1)
     case "array::union"    => array_union(cs(0), cs(1))
-    case "array::intersect" => array_intersect(cs(0), cs(1))
-    case "array::complement" => array_except(cs(0), cs(1))
-    // symmetric difference (fnc/array.rs:196)
+    // per-OCCURRENCE intersection (val/array.rs Intersect): keep the k-th
+    // occurrence of v in a only while k ≤ count(v in b) — array_intersect
+    // would dedup ([1,1] ∩ [1,1] is [1,1]). Running counts via an indexed
+    // filter; O(n²) per row over in-row arrays, still codegen'd.
+    case "array::intersect" =>
+      val (a, b) = (cs(0), cs(1))
+      filter(a, (x, i) =>
+        size(filter(slice(a, lit(1), i + 1), y => y === x)) <=
+          size(filter(b, y => y === x)))
+    // keep self's elements not present in other — duplicates SURVIVE
+    // (val/array.rs Complement builds a set of `other` only)
+    case "array::complement" =>
+      filter(cs(0), x => !array_contains(cs(1), x))
+    // per-OCCURRENCE symmetric difference (val/array.rs Difference): each
+    // match consumes one occurrence of the other side; survivors keep
+    // their multiplicity and order, other's leftovers append
     case "array::difference" =>
-      concat(array_except(cs(0), cs(1)), array_except(cs(1), cs(0)))
+      val (a, b) = (cs(0), cs(1))
+      def leftover(u: Column, v: Column): Column =
+        filter(u, (x, i) =>
+          size(filter(slice(u, lit(1), i + 1), y => y === x)) >
+            size(filter(v, y => y === x)))
+      concat(leftover(a, b), leftover(b, a))
     // all ordered pairings [x, y] (fnc/array.rs:178)
     case "array::combine" =>
       flatten(transform(cs(0), x => transform(cs(1), y => array(x, y))))

@@ -491,6 +491,23 @@ class DifferentialSpec extends AnyFunSuite {
     }.mkString(", ") + " }")
   }
 
+  // array set-algebra over inputs WITH duplicates — Spark's array_union/
+  // intersect/except dedup, the reference's fnc/array.rs may not; pin the
+  // agreement explicitly (the r15 UNSET fix was exactly this class)
+  test("array set ops: duplicate-element inputs agree") {
+    checkSame("RETURN { u: array::union([1, 1, 2], [2, 3, 3]), " +
+      "i: array::intersect([1, 1, 2, 3], [1, 3, 3]), " +
+      "c: array::complement([1, 1, 2, 3], [3]), " +
+      "d: array::difference([1, 1, 2], [2, 3]) }")
+    // the per-occurrence consumption cases (val/array.rs Intersect /
+    // Difference): [1,1] ∩ [1,1] keeps both; [1,1] \ [1] leaves one
+    checkSame("RETURN { i2: array::intersect([1, 1], [1, 1]), " +
+      "i3: array::intersect([1, 1], [1]), " +
+      "d2: array::difference([1, 1], [1]), " +
+      "d3: array::difference([2, 1, 2], [2, 2, 2]), " +
+      "c2: array::complement([1, 1], [2]) }")
+  }
+
   // ---- math::top/bottom cross-context pins --------------------------------
   // The reference returns top/bottom in arbitrary (heap) order, so every pin
   // wraps the call in array::sort — both engines then agree value-for-value.
