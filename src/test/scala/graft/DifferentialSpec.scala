@@ -508,6 +508,34 @@ class DifferentialSpec extends AnyFunSuite {
       "c2: array::complement([1, 1], [2]) }")
   }
 
+  test("per-row stat folds over signed-zero / denormal doubles agree") {
+    // the float-edge class (round 10) applied to the per-row fold family:
+    // -0.0 and tiny magnitudes through median/stddev/spread/top/bottom
+    checkSame("RETURN { " +
+      "m1: math::median([(0.0 - 0.0), 0.0, 1.5]), " +
+      "m2: math::median([(0.0 - 0.25), 0.25]), " +
+      "sp: math::spread([(0.0 - 0.5), 0.5, 0.125]), " +
+      "sd: math::stddev([2.5, 2.5, 2.5]), " +
+      "t: array::sort(math::top([(0.0 - 0.5), 0.0078125, 2.5, 1.25], 2)), " +
+      "b: array::sort(math::bottom([(0.0 - 0.5), 0.0078125, 2.5], 2)) }")
+  }
+
+  test("string functions over non-BMP / combining-mark text agree") {
+    // Rust str ops are char (scalar-value) based; JVM String is UTF-16 —
+    // surrogate pairs are where len/slice/reverse implementations diverge
+    checkSame("RETURN { l1: string::len('héllo'), " +
+      "l2: string::len('a\\u0301bc'), " +
+      "s1: string::slice('héllo wörld', 2, 5), " +
+      "r1: string::reverse('abc'), " +
+      "u1: string::uppercase('straße'), " +
+      "w1: string::words('  a  b\tc ') }")
+    // astral-plane codepoints are TWO UTF-16 units on the JVM but one Rust
+    // char — len/slice/reverse must count scalar values, not code units
+    checkSame("RETURN { l: string::len('😀ab'), " +
+      "s: string::slice('😀abc', 1, 2), " +
+      "r: string::reverse('😀ab') }")
+  }
+
   // ---- math::top/bottom cross-context pins --------------------------------
   // The reference returns top/bottom in arbitrary (heap) order, so every pin
   // wraps the call in array::sort — both engines then agree value-for-value.
