@@ -4348,6 +4348,14 @@ object SparkPlanner {
     case "set::difference" => // symmetric difference A △ B (fnc/set.rs:69)
       array_sort(array_union(array_except(cs(0), cs(1)), array_except(cs(1), cs(0))))
     case "set::complement" => array_sort(array_except(cs(0), cs(1)))
+    // add/remove accept one value OR an array of values (fnc/set.rs:15-55);
+    // the array-ness is a static property of the argument expression here
+    case "set::add" =>
+      val more = if (exprIsArray(raw(1), ctx)) cs(1) else array(cs(1))
+      array_sort(array_union(cs(0), more))
+    case "set::remove" =>
+      val gone = if (exprIsArray(raw(1), ctx)) cs(1) else array(cs(1))
+      array_sort(array_except(cs(0), gone))
     case "set::contains"   => array_contains(cs(0), cs(1))
     case "set::len"        => size(array_distinct(cs(0))).cast("bigint")
     case "set::is_empty"   => size(array_distinct(cs(0))) === 0

@@ -118,6 +118,9 @@ class DifferentialSpec extends AnyFunSuite {
           // the column model renders NONE as NULL — indistinguishable on
           // the Spark side (same normalization as FuzzDifferentialSpec)
           case (graft.surql.VNull, graft.surql.VNone) => true
+          // the column model renders a SET as its ordered array (one
+          // ArrayType column — no distinct set type on the Spark side)
+          case (VArr(xs), s: graft.surql.VSet) => VArr(xs) == VArr(s.items)
           case (a, b) => a == b
         }
         assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
@@ -534,6 +537,16 @@ class DifferentialSpec extends AnyFunSuite {
     checkSame("RETURN { l: string::len('😀ab'), " +
       "s: string::slice('😀abc', 1, 2), " +
       "r: string::reverse('😀ab') }")
+  }
+
+  test("set:: algebra over duplicated/unsorted inputs agrees") {
+    // Set is a BTreeSet in the reference — construction dedups and orders
+    // by the value total order regardless of input arrangement
+    checkSame("RETURN { u: set::union([3, 1, 1, 2], [2, 4]), " +
+      "i: set::intersect([3, 1, 1], [1, 3, 5]), " +
+      "d: set::difference([1, 2, 2, 3], [3, 4]), " +
+      "c: set::complement([1, 2, 2, 3], [3]), " +
+      "a: set::add([2, 1, 1], 3), r: set::remove([2, 1, 1], 1) }")
   }
 
   // ---- math::top/bottom cross-context pins --------------------------------
