@@ -75,6 +75,33 @@ object StrSim {
     * `damerau_levenshtein` the reference links (fnc/string.rs), i.e. the
     * alphabet-indexed DP with true transpositions, not the restricted
     * OSA variant. Mirrors the interpreter's port exactly. */
+  /** Optimal string alignment (strsim osa_distance): Damerau restricted to
+    * non-overlapping adjacent transpositions, over Unicode scalar values. */
+  def osa(xs: UTF8String, ys: UTF8String): Long = {
+    val a = xs.toString.codePoints.toArray
+    val b = ys.toString.codePoints.toArray
+    val (la, lb) = (a.length, b.length)
+    val d = Array.ofDim[Int](la + 1, lb + 1)
+    var i = 0
+    while (i <= la) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      j = 1
+      while (j <= lb) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        d(i)(j) = Math.min(Math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          d(i)(j) = Math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+        j += 1
+      }
+      i += 1
+    }
+    d(la)(lb).toLong
+  }
+
   def damerauLevenshtein(xs: UTF8String, ys: UTF8String): Long = {
     val a = xs.toString; val b = ys.toString
     val (la, lb) = (a.length, b.length)
@@ -155,6 +182,23 @@ final case class DamerauF(left: Expression, right: Expression)
     StrSim.damerauLevenshtein(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.damerauLevenshtein($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class OsaF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_osa"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.osa(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.osa($a, $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -244,6 +288,8 @@ object StrSimKernels {
       es => DamerauF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_hamming",
       es => HammingF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_osa",
+      es => OsaF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_stem",
       es => StemF(es.head, es(1)), "built-in")
   }

@@ -313,6 +313,8 @@ object Functions {
       else if (name0 == "array::sort_asc") "array::sort::asc"
       else if (name0 == "array::sort_desc") "array::sort::desc"
       else if (name0 == "geo::is::valid") "geo::is_valid"
+      // flat time::from_* aliases (syn/parser/builtin.rs:395-401)
+      else if (name0.startsWith("time::from_")) "time::from::" + name0.stripPrefix("time::from_")
       else name0
     // capability gate: [env.capabilities] deny-functions
     // (iam: Capabilities::allows_function)
@@ -661,6 +663,10 @@ object Functions {
       case "string::slug" =>
         VStr(str(0).toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", ""))
       case "string::distance::levenshtein" => VInt(levenshtein(str(0), str(1)))
+      // optimal string alignment — Damerau RESTRICTED to non-overlapping
+      // adjacent transpositions (strsim::osa_distance; fnc/string.rs:372)
+      case "string::distance::osa" | "string::distance::osa_distance" =>
+        VInt(osaDistance(str(0), str(1)))
       case "string::distance::damerau_levenshtein" =>
         VInt(damerauLevenshtein(str(0), str(1)))
       case "string::distance::normalized_levenshtein" =>
@@ -2124,6 +2130,33 @@ object Functions {
 
   /** True Damerau-Levenshtein (transpositions over arbitrary distance —
     * the strsim algorithm the reference links against, fnc/string.rs). */
+  /** Optimal string alignment over Unicode scalar values (strsim's
+    * osa_distance iterates chars) — adjacent transpositions count 1 but a
+    * transposed pair cannot be edited again. */
+  private def osaDistance(as: String, bs: String): Long = {
+    val a = as.codePoints.toArray; val b = bs.codePoints.toArray
+    val (la, lb) = (a.length, b.length)
+    val d = Array.ofDim[Int](la + 1, lb + 1)
+    var i = 0
+    while (i <= la) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= lb) { d(0)(j) = j; j += 1 }
+    i = 1
+    while (i <= la) {
+      j = 1
+      while (j <= lb) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        d(i)(j) = Math.min(Math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          d(i)(j) = Math.min(d(i)(j), d(i - 2)(j - 2) + 1)
+        j += 1
+      }
+      i += 1
+    }
+    d(la)(lb).toLong
+  }
+
   private def damerauLevenshtein(a: String, b: String): Long = {
     val (la, lb) = (a.length, b.length)
     val maxD = la + lb

@@ -3483,6 +3483,14 @@ object SparkPlanner {
       case Lit(VDt(t))  => lit(java.sql.Timestamp.from(t))
       // durations are total-seconds longs on this path (see duration::*)
       case Lit(d: VDur) => lit(d.secs)
+      // composite literal VALUES (constant-fold results): arrays lower
+      // element-wise, sets as their ordered arrays, objects as structs,
+      // uuids as their canonical string rendering
+      case Lit(VArr(items)) => array(items.map(v => c(Lit(v))).toIndexedSeq: _*)
+      case Lit(VSet(items)) => array(items.map(v => c(Lit(v))).toIndexedSeq: _*)
+      case Lit(VObj(fs)) =>
+        struct(fs.toSeq.map { case (n, v) => c(Lit(v)).as(n) }: _*)
+      case Lit(VUuid(u)) => lit(u.toString)
       // $parent-correlated subquery → its pre-joined (decorrelated) array
       case sq: Subquery if ctx.subqCols.contains(sq) =>
         col(ctx.subqCols(sq))
@@ -3740,6 +3748,9 @@ object SparkPlanner {
         }
       // `{ expr }` block value (IF/ELSE bodies) — single pure expression only
       case BlockExpr(Seq(ExprStmt(inner))) => c(inner)
+      // named constants (expr/constant.rs: math::PI, time::EPOCH, …) —
+      // plan-time literals through the interpreter's constant table
+      case k: Constant => c(Lit(Eval.evalConst(k)))
       case other => throw SqlError(s"SparkPlanner: unsupported expression $other")
     }
   }
@@ -3828,6 +3839,33 @@ object SparkPlanner {
     when(coalesce(truthy, lit(false)), 1L).otherwise(0L)
   }
 
+  /** Namespaces that must NOT constant-fold: per-row randomness would
+    * freeze to one value, and session/http/file/api/sequence are stateful
+    * or capability-gated surfaces. */
+  private def unfoldableFn(name: String): Boolean =
+    name.startsWith("rand::") || name.startsWith("http::") ||
+      name.startsWith("file::") || name.startsWith("api::") ||
+      name.startsWith("session::") || name.startsWith("sequence::") ||
+      name == "sleep" || name.endsWith("::generate") ||
+      name == "array::shuffle" || name == "set::shuffle" // per-evaluation randomness
+
+  /** Structurally-constant expression — safe to evaluate at plan time.
+    * Closures are excluded: a field reference inside a closure body would
+    * silently evaluate to NONE under an empty environment. */
+  private def isConstExpr(e: Expr): Boolean = e match {
+    case _: Lit | _: Constant => true
+    case ArrLit(items)  => items.forall(isConstExpr)
+    case ObjLit(fs)     => fs.forall(f => isConstExpr(f._2))
+    case RidLit(_, k)   => isConstExpr(k)
+    case RangeLit(lo, hi) =>
+      lo.forall(x => isConstExpr(x._1)) && hi.forall(x => isConstExpr(x._1))
+    case Binary(_, l, r) => isConstExpr(l) && isConstExpr(r)
+    case Prefix(_, i)    => isConstExpr(i)
+    case Cast(_, i)      => isConstExpr(i)
+    case FnCall(n, args) => !unfoldableFn(n) && args.forall(isConstExpr)
+    case _ => false
+  }
+
   private def fnCol(name: String, raw: Seq[Expr], ctx: Ctx): Column = {
     lazy val cs: IndexedSeq[Column] = raw.map(toCol(_, ctx)).toIndexedSeq
     name match {
@@ -3852,6 +3890,10 @@ object SparkPlanner {
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_damerau", cs(0), cs(1))
+    case "string::distance::osa" | "string::distance::osa_distance" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_osa", cs(0), cs(1))
     case "string::distance::hamming" =>
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
@@ -4194,6 +4236,18 @@ object SparkPlanner {
             ctx.lambdaParams + (pa -> acc) + (px -> x))))
       case _ => throw SqlError("SparkPlanner: array::fold expects (array, init, |$acc, $x| …)")
     }
+    // fold with the FIRST element as the accumulator; NONE on empty
+    // (fnc/array.rs reduce; Interp array::reduce)
+    case "array::reduce" => raw match {
+      case Seq(arr, Closure(Seq((pa, _), (px, _)), body, _)) =>
+        val a = toCol(arr, ctx)
+        when(size(a) === 0, lit(null)).otherwise(
+          aggregate(slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+            element_at(a, 1), (acc, x) =>
+              toCol(body, ctx.copy(lambdaParams =
+                ctx.lambdaParams + (pa -> acc) + (px -> x)))))
+      case _ => throw SqlError("SparkPlanner: array::reduce expects (array, |$acc, $x| …)")
+    }
     // ---- array::* over in-row arrays (codegen'd array expressions) -------
     case "array::len"      => size(cs(0)).cast("bigint")
     case "array::sort" => raw.lift(1) match {
@@ -4204,6 +4258,9 @@ object SparkPlanner {
     case "array::sort::asc"  => sort_array(cs(0))
     case "array::sort::desc" => sort_array(cs(0), asc = false)
     case "array::distinct" => array_distinct(cs(0))
+    // per-evaluation random permutation (fnc/array.rs shuffle) — Spark's
+    // nondeterministic shuffle(); rows-only comparable by design
+    case "array::shuffle" => shuffle(cs(0))
     case "array::includes" => array_contains(cs(0), cs(1))
     case "array::at"       =>
       // 0-based; negative counts from the end (element_at's native form)
@@ -4359,6 +4416,22 @@ object SparkPlanner {
     case "set::contains"   => array_contains(cs(0), cs(1))
     case "set::len"        => size(array_distinct(cs(0))).cast("bigint")
     case "set::is_empty"   => size(array_distinct(cs(0))) === 0
+    // every other set:: op delegates to the array:: lowering over the
+    // set's ordered distinct items (fnc/set.rs: Set coerces from array;
+    // Interp setHigherOrder + the generic delegation arm); map/filter
+    // results re-normalize to set form
+    case n if n.startsWith("set::") =>
+      // NOT cs(0): forcing the lazy cs would lower every argument,
+      // including closures (which only lower inside their HOF case)
+      val items = array_sort(array_distinct(toCol(raw.head, ctx)))
+      val ctx2 = ctx.copy(lambdaParams = ctx.lambdaParams + ("__setself" -> items))
+      val op = n.stripPrefix("set::")
+      val res = fnCol("array::" + op, Param("__setself") +: raw.drop(1), ctx2)
+      op match {
+        case "map" | "filter" | "filter_index" | "sort_by" =>
+          array_sort(array_distinct(res))
+        case _ => res
+      }
     // ---- object::* — keys via the JSON render (codegen'd; struct field
     // order is the object's insertion order, matching fnc/object.rs) -------
     case "object::keys"     => json_object_keys(to_json(cs(0)))
@@ -4536,7 +4609,22 @@ object SparkPlanner {
       case Seq(inner) => perRowCount(inner, ctx) // method form: x.count()
       case _ => count(lit(1))
     }
-    case other => throw SqlError(s"SparkPlanner: unsupported function $other")
+    case other =>
+      // Constant-argument fallback: any remaining function whose arguments
+      // are plan-time constants folds driver-side through the
+      // interpreter's exact function library and lowers as a literal —
+      // the same constant folding Catalyst performs on foldable
+      // expressions, but over the full SurrealQL surface (semver, osa,
+      // object algebra, value::diff, …). Column arguments never fold (the
+      // const check is structural, so a field reference can't silently
+      // evaluate to NONE), and nondeterministic / effectful namespaces
+      // are excluded.
+      if (raw.nonEmpty && raw.forall(isConstExpr) && !unfoldableFn(other))
+        scala.util.Try(Eval.evalConst(FnCall(other, raw))) match {
+          case scala.util.Success(v) => return toCol(Lit(v), ctx)
+          case _ => ()
+        }
+      throw SqlError(s"SparkPlanner: unsupported function $other")
     }
   }
 }
