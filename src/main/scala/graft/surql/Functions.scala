@@ -599,15 +599,10 @@ object Functions {
       case "string::lowercase" => VStr(str(0).toLowerCase)
       case "string::uppercase" => VStr(str(0).toUpperCase)
       case "string::capitalize" =>
-        // title-case: uppercase any lowercase char after whitespace (string.rs capitalize)
-        val s = str(0)
-        val sb = new StringBuilder
-        var prevWs = true
-        s.foreach { c =>
-          sb.append(if (prevWs && c.isLower) c.toUpper else c)
-          prevWs = c.isWhitespace
-        }
-        VStr(sb.toString)
+        // title-case (string.rs capitalize) — shared kernel, so the Spark
+        // column lowering is definitionally identical
+        VStr(graft.functions.StrCheck.capitalize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str(0))).toString)
       case "string::repeat" => VStr(str(0) * int(1).toInt)
       case "string::replace" =>
         val limit = 1048576
@@ -707,55 +702,27 @@ object Functions {
         VFloat(Math.min(1.0, j + prefix * 0.1 * (1 - j)))
       case "string::similarity::fuzzy" | "string::similarity::smithwaterman" =>
         VInt(fuzzyScore(str(0), str(1)))
-      case "string::is::alphanum" => VBool(str(0).nonEmpty && str(0).forall(_.isLetterOrDigit))
       case "type::type_of" => VStr(arg(0).typeName)
-      case "string::is::alpha" => VBool(str(0).nonEmpty && str(0).forall(_.isLetter))
-      case "string::is::ascii" => VBool(str(0).nonEmpty && str(0).forall(_ < 128))
-      case "string::is::ulid" =>
-        // 26 Crockford-base32 chars, first char ≤ 7 (128-bit bound)
-        VBool(str(0).matches("^[0-7][0-9A-HJKMNP-TV-Za-hjkmnp-tv-z]{25}$"))
-      case "string::is::hexadecimal" =>
-        VBool(str(0).nonEmpty && str(0).forall(c => c.isDigit || ('a' to 'f').contains(c.toLower)))
-      case "string::is::ipv4" =>
-        VBool(str(0).matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") &&
-          str(0).split('.').forall(p => p.toInt <= 255))
-      case "string::is::ipv6" => VBool(isIpv6(str(0)))
-      case "string::is::domain" => VBool(isDomain(str(0)))
-      case "string::is::latitude" =>
-        VBool(try { val d = str(0).toDouble; d >= -90.0 && d <= 90.0 && str(0).matches("^[-+]?\\d{1,2}(\\.\\d+)?$") } catch { case _: Exception => false })
-      case "string::is::longitude" =>
-        VBool(try { val d = str(0).toDouble; d >= -180.0 && d <= 180.0 && str(0).matches("^[-+]?\\d{1,3}(\\.\\d+)?$") } catch { case _: Exception => false })
-      case "string::is::numeric" => VBool(str(0).nonEmpty && str(0).forall(_.isDigit))
-      case "string::is::email" =>
-        val e = str(0)
-        val at = e.lastIndexOf('@')
-        val ok = at > 0 && at < e.length - 1 && {
-          val (local, host) = (e.substring(0, at), e.substring(at + 1))
-          val localOk = !local.contains("..") && !local.startsWith(".") && !local.endsWith(".") &&
-            local.forall(c => c.isLetterOrDigit || "!#$%&'*+-/=?^_`{|}~.".contains(c))
-          val hostOk =
-            if (host.startsWith("[") && host.endsWith("]")) {
-              val inner = host.substring(1, host.length - 1)
-              isIpv6(inner.stripPrefix("IPv6:")) || inner.matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")
-            } else host.matches("^[\\w-]+(\\.[\\w-]+)*$")
-          localOk && hostOk
+      // validator family — shared kernel (graft.functions.StrCheck), the
+      // same static the Spark column lowering codegens into. The parse-
+      // shaped kinds (uuid/int/decimal/latitude/longitude) answer FALSE for
+      // non-string receivers instead of a type error — u'…'.is_uuid() must
+      // not abort (method_syntax.surql pins the whole block non-erroring).
+      case n if n.startsWith("string::is::") &&
+          graft.functions.StrCheck.kinds.contains(n.stripPrefix("string::is::")) =>
+        val kind = n.stripPrefix("string::is::")
+        arg(0) match {
+          case VStr(s) => VBool(graft.functions.StrCheck.check(kind,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          case _ if Set("uuid", "int", "decimal", "number",
+            "latitude", "longitude").contains(kind) => VBool(false)
+          case other => typeErr(0, "string", other)
         }
-        VBool(ok)
-      case "string::is::url" => VBool(str(0).matches("^(https?|ftp)://\\S+$"))
-      case "string::is::uuid" =>
-        VBool(try { java.util.UUID.fromString(str(0)); true } catch { case _: Exception => false })
       case "string::is::datetime" =>
         arg(1) match {
           case VStr(_) => VBool(true) // format-based check: lenient
           case _ => VBool(try { new Parser("").parseDatetime(str(0)); true } catch { case _: Exception => false })
         }
-      case "string::is::ip" =>
-        VBool((str(0).matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") &&
-          str(0).split('.').forall(p => p.toInt <= 255)) || isIpv6(str(0)))
-      case "string::is::int" => VBool(try { str(0).toLong; true } catch { case _: Exception => false })
-      case "string::is::decimal" | "string::is::number" =>
-        VBool(try { BigDecimal(str(0)); true } catch { case _: Exception => false })
-      case "string::is::semver" => VBool(str(0).matches("^\\d+\\.\\d+\\.\\d+(-[\\w.]+)?(\\+[\\w.]+)?$"))
       case "string::is::record" =>
         VBool(try { Parser.parseValue(str(0)).isInstanceOf[VRid] } catch { case _: Exception => false })
       case "string::html::encode" =>
@@ -2015,36 +1982,6 @@ object Functions {
   }
 
   /** RFC-ish IPv6 textual check (supports ::-compression). */
-  private def isIpv6(s: String): Boolean = {
-    if (s.isEmpty || s.count(_ == ':') < 2) return false
-    val dbl = s.indexOf("::")
-    if (dbl >= 0 && s.indexOf("::", dbl + 1) >= 0) return false
-    def groupsOf(part: String): Option[Int] = {
-      if (part.isEmpty) return Some(0)
-      val gs = part.split(":", -1)
-      if (gs.exists(g => g.isEmpty || g.length > 4 || !g.forall(c => c.isDigit || ('a' to 'f').contains(c.toLower))))
-        scala.None
-      else Some(gs.length)
-    }
-    if (dbl >= 0) {
-      (groupsOf(s.substring(0, dbl)), groupsOf(s.substring(dbl + 2))) match {
-        case (Some(a), Some(b)) => a + b <= 7
-        case _ => false
-      }
-    } else groupsOf(s).contains(8)
-  }
-
-  /** Unicode-friendly domain check: dot-separated labels, each nonempty,
-    * not starting/ending with '-' (addr::parse_domain_name semantics). */
-  private def isDomain(s: String): Boolean = {
-    if (s.isEmpty || s.length > 253) return false
-    val labels = s.split('.')
-    labels.nonEmpty && labels.forall { l =>
-      l.nonEmpty && l.length <= 63 && !l.startsWith("-") && !l.endsWith("-") &&
-        l.forall(c => c.isLetterOrDigit || c == '-' || c > 127)
-    }
-  }
-
   /** Numbers-only array for math::top/bottom. */
   private def nums2(items: Vector[V], name: String): Vector[VNum] = items.map {
     case n: VNum => n

@@ -3894,6 +3894,20 @@ object SparkPlanner {
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_osa", cs(0), cs(1))
+    // validator family over COLUMN arguments: the codegen'd StrCheck
+    // kernel — the SAME static the interpreter calls, so the engines are
+    // definitionally identical (fnc/string.rs is::*)
+    case n if (n.startsWith("string::is_") || n.startsWith("string::is::")) &&
+        graft.functions.StrCheck.kinds.contains(
+          n.stripPrefix("string::").stripPrefix("is::").stripPrefix("is_")) =>
+      graft.functions.StrCheckKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_is_" +
+        n.stripPrefix("string::").stripPrefix("is::").stripPrefix("is_"), cs(0))
+    case "string::capitalize" =>
+      graft.functions.StrCheckKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_capitalize", cs(0))
     case "string::distance::hamming" =>
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)

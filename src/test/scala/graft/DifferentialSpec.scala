@@ -539,6 +539,15 @@ class DifferentialSpec extends AnyFunSuite {
       "r: string::reverse('😀ab') }")
   }
 
+  test("string validators / capitalize over COLUMN arguments agree") {
+    // both engines run the SAME StrCheck static — this pins the Spark
+    // column lowering (kernel wiring, null handling) end to end
+    checkSame("SELECT name, string::capitalize(name + ' ' + grp) AS cap, " +
+      "string::is_alphanum(name) AS an, string::is_numeric(name) AS nu, " +
+      "string::is_email(name + '@x.co') AS em, " +
+      "string::is_ascii(name) AS asc FROM item ORDER BY name LIMIT 8")
+  }
+
   test("set:: algebra over duplicated/unsorted inputs agrees") {
     // Set is a BTreeSet in the reference — construction dedups and orders
     // by the value total order regardless of input arrangement
