@@ -4636,6 +4636,10 @@ object SparkPlanner {
       if (raw.nonEmpty && raw.forall(isConstExpr) && !unfoldableFn(other))
         scala.util.Try(Eval.evalConst(FnCall(other, raw))) match {
           case scala.util.Success(v) => return toCol(Lit(v), ctx)
+          // the args were structurally constant, so a failure is a real
+          // semantic error (arity / wrong type / unknown function) — the
+          // interpreter's message is the faithful one
+          case scala.util.Failure(e: SqlError) => throw e
           case _ => ()
         }
       throw SqlError(s"SparkPlanner: unsupported function $other")
