@@ -4108,9 +4108,32 @@ object SparkPlanner {
       (y % 4 === 0 && y % 100 =!= 0) || y % 400 === 0
     case "time::micros" => unix_micros(cs(0).cast("timestamp"))
     case "time::millis" => unix_millis(cs(0).cast("timestamp"))
-    case "time::from_secs" | "time::from_unix" => timestamp_seconds(cs(0))
-    case "time::from_millis" => timestamp_millis(cs(0))
-    case "time::from_micros" => timestamp_micros(cs(0))
+    // timestamps are microsecond-precision on this path
+    case "time::nano" | "time::nanos" => unix_micros(cs(0).cast("timestamp")) * 1000L
+    case "time::from_secs" | "time::from_unix" |
+         "time::from::secs" | "time::from::unix" => timestamp_seconds(cs(0))
+    case "time::from_millis" | "time::from::millis" => timestamp_millis(cs(0))
+    case "time::from_micros" | "time::from::micros" => timestamp_micros(cs(0))
+    case "time::from_nanos" | "time::from::nanos" =>
+      timestamp_micros((cs(0) / 1000L).cast("bigint"))
+    // time::set_* replace ONE datetime component (fnc/time.rs set_*):
+    // rebuild through make_timestamp over the extracted parts
+    case n if n.startsWith("time::set_") =>
+      val t = cs(0).cast("timestamp")
+      val v = cs(1)
+      val part = n.stripPrefix("time::set_")
+      def pick(unit: String, cur: Column): Column =
+        if (part == unit) v else cur
+      val secs = pick("second", second(t).cast("double")) +
+        (if (part == "nanosecond") v.cast("double") / 1e9
+         else (unix_micros(t) % 1000000L).cast("double") / 1e6)
+      make_timestamp(
+        pick("year", year(t)).cast("int"),
+        pick("month", month(t)).cast("int"),
+        pick("day", dayofmonth(t)).cast("int"),
+        pick("hour", hour(t)).cast("int"),
+        pick("minute", minute(t)).cast("int"),
+        secs.cast("decimal(16,6)"))
     // durations are total-seconds longs on this path (see duration::* below)
     case "duration::weeks" => floor(cs(0) / 604800).cast("bigint")
     case "duration::years" => floor(cs(0) / 31536000).cast("bigint")
@@ -4616,9 +4639,27 @@ object SparkPlanner {
     }
     case "rand::bool" => rand() > 0.5
     case "rand::uuid" => expr("uuid()")
-    case "type::string" => cs(0).cast("string")
+    case "type::string" | "type::string_lossy" => cs(0).cast("string")
     case "type::int"    => cs(0).cast("bigint")
     case "type::float"  => cs(0).cast("double")
+    // type:: conversions over COLUMN arguments (Coerce.cast analogs; the
+    // constant-arg forms fold through the interpreter). The column model
+    // has one type per column, so type::number lands on double — the
+    // reference's per-row int/float split has no columnar form. ANSI casts
+    // throw on unparseable input like the reference's coercion errors.
+    case "type::number"   => typeOf(raw(0), ctx.schema) match {
+      case Some(LongType | IntegerType | ShortType) => cs(0)
+      case _ => cs(0).cast("double")
+    }
+    case "type::decimal"  => cs(0).cast("decimal(38,10)")
+    case "type::bool"     => cs(0).cast("boolean")
+    case "type::datetime" => cs(0).cast("timestamp")
+    case "type::array"    => raw(0) match {
+      case e if exprIsArray(e, ctx) => cs(0)
+      case _ => throw SqlError(
+        "SparkPlanner: type::array over a non-array column is unsupported")
+    }
+    case "type::set"      => array_sort(array_distinct(cs(0)))
     case "count" => raw match {
       case Seq(inner) => perRowCount(inner, ctx) // method form: x.count()
       case _ => count(lit(1))

@@ -548,6 +548,14 @@ class DifferentialSpec extends AnyFunSuite {
       "string::is_ascii(name) AS asc FROM item ORDER BY name LIMIT 8")
   }
 
+  test("time::set_* / nano / type:: conversions over COLUMN arguments agree") {
+    checkSame("SELECT name, time::set_year(ts, 2020) AS y2020, " +
+      "time::set_month(ts, 12) AS m12, time::set_hour(ts, 5) AS h5, " +
+      "time::nano(ts) AS ns, type::string(qty) AS qs, " +
+      "type::bool(IF qty > 3 THEN 'true' ELSE 'false' END) AS qb " +
+      "FROM item ORDER BY name LIMIT 8")
+  }
+
   test("set:: algebra over duplicated/unsorted inputs agrees") {
     // Set is a BTreeSet in the reference — construction dedups and orders
     // by the value total order regardless of input arrangement
