@@ -4588,6 +4588,19 @@ object SparkPlanner {
     case "vector::distance::chebyshev" =>
       array_max(zip_with(cs(0), cs(1), (x, y) => abs(x.cast("double") - y.cast("double"))))
     case "vector::similarity::cosine" => graft.operators.Similarity.cosine(cs(0), cs(1))
+    // Pearson correlation per row (fnc/vector.rs similarity::pearson;
+    // Interp formula mirrored term for term) — HOF folds, no UDF
+    case "vector::similarity::pearson" =>
+      val x = transform(cs(0), v => v.cast("double"))
+      val y = transform(cs(1), v => v.cast("double"))
+      val n = size(x).cast("double")
+      val mx = aggregate(x, lit(0.0), (a, v) => a + v) / n
+      val my = aggregate(y, lit(0.0), (a, v) => a + v) / n
+      val cov = aggregate(zip_with(x, y, (a, b) => (a - mx) * (b - my)),
+        lit(0.0), (a, v) => a + v)
+      val sx = sqrt(aggregate(x, lit(0.0), (a, v) => a + (v - mx) * (v - mx)))
+      val sy = sqrt(aggregate(y, lit(0.0), (a, v) => a + (v - my) * (v - my)))
+      cov / (sx * sy)
     case "vector::distance::knn" => col(ctx.knnDistCol.getOrElse(
       throw SqlError("SparkPlanner: vector::distance::knn outside a KNN query")))
     // type::of — the declared kind name; static from the schema on a typed

@@ -556,6 +556,12 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 8")
   }
 
+  test("vector::similarity::pearson over column-built vectors agrees bit-exact") {
+    checkSame("SELECT name, vector::similarity::pearson(" +
+      "[price, price * 2.0, qty + 0.5], [qty + 1.0, price, 3.25]) AS p " +
+      "FROM item ORDER BY name LIMIT 10")
+  }
+
   test("set:: algebra over duplicated/unsorted inputs agrees") {
     // Set is a BTreeSet in the reference — construction dedups and orders
     // by the value total order regardless of input arrangement
