@@ -102,6 +102,26 @@ object StrCheck {
     "hexadecimal", "ipv4", "ipv6", "ip", "domain", "latitude", "longitude",
     "numeric", "email", "url", "uuid", "int", "decimal", "number", "semver")
 
+  /** Bob Jenkins one-at-a-time hash over UTF-8 bytes, 32-bit
+    * (fnc/crypto.rs joaat) — shared by both engines. */
+  def joaat(us: UTF8String): Long = {
+    var h = 0L
+    us.getBytes.foreach { b =>
+      h = (h + (b & 0xff)) & 0xffffffffL
+      h = (h + (h << 10)) & 0xffffffffL
+      h = (h ^ (h >> 6)) & 0xffffffffL
+    }
+    h = (h + (h << 3)) & 0xffffffffL
+    h = (h ^ (h >> 11)) & 0xffffffffL
+    h = (h + (h << 15)) & 0xffffffffL
+    h
+  }
+
+  /** BLAKE3 hex digest (fnc/crypto.rs blake3) — delegates to the pure-Scala
+    * implementation both engines share. */
+  def blake3Hex(us: UTF8String): UTF8String =
+    UTF8String.fromString(graft.surql.Blake3.hex(us.getBytes))
+
   /** Title-case: uppercase any lowercase char following whitespace, leave
     * everything else untouched (fnc/string.rs capitalize — NOT initcap,
     * which also lowercases the rest of each word). */
@@ -147,12 +167,44 @@ final case class CapitalizeF(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+final case class JoaatF(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_joaat"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string")
+  override def nullSafeEval(v: Any): Any =
+    StrCheck.joaat(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.StrCheck.joaat($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+final case class Blake3F(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_blake3"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string")
+  override def nullSafeEval(v: Any): Any =
+    StrCheck.blake3Hex(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.StrCheck.blake3Hex($s)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StrCheckKernels {
   @volatile private var done = false
   def ensure(spark: SparkSession): Unit = if (!done) synchronized {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_capitalize",
       es => CapitalizeF(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_joaat",
+      es => JoaatF(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_blake3",
+      es => Blake3F(es.head), "built-in")
     StrCheck.kinds.foreach { k =>
       reg.createOrReplaceTempFunction(s"graft_is_$k",
         es => StrCheckF(k, es.head), "built-in")

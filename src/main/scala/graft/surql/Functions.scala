@@ -1415,7 +1415,8 @@ object Functions {
       case "crypto::sha1" => VStr(digest("SHA-1", str(0)))
       case "crypto::sha256" => VStr(digest("SHA-256", str(0)))
       case "crypto::sha512" => VStr(digest("SHA-512", str(0)))
-      case "crypto::joaat" => VInt(joaat(str(0)))
+      case "crypto::joaat" => VInt(graft.functions.StrCheck.joaat(
+        org.apache.spark.unsafe.types.UTF8String.fromString(str(0))))
       case "crypto::blake3" => VStr(Blake3.hex(str(0).getBytes("UTF-8")))
       // password-hash families (fnc/crypto.rs): salted one-way hashes whose
       // only contract is generate/compare round-tripping — the hash text is
@@ -2195,18 +2196,6 @@ object Functions {
       case _ => false
     }
 
-  private def joaat(s: String): Long = {
-    var h = 0L
-    s.getBytes("UTF-8").foreach { b =>
-      h = (h + (b & 0xff)) & 0xffffffffL
-      h = (h + (h << 10)) & 0xffffffffL
-      h = (h ^ (h >> 6)) & 0xffffffffL
-    }
-    h = (h + (h << 3)) & 0xffffffffL
-    h = (h ^ (h >> 11)) & 0xffffffffL
-    h = (h + (h << 15)) & 0xffffffffL
-    h
-  }
 
   private def uriPart(s: String, f: java.net.URI => String): V =
     try {

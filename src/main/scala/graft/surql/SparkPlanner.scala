@@ -4522,6 +4522,16 @@ object SparkPlanner {
     case "crypto::sha1"   => sha1(cs(0))
     case "crypto::sha256" => sha2(cs(0), 256)
     case "crypto::sha512" => sha2(cs(0), 512)
+    // blake3 / joaat over columns: codegen'd kernels sharing the
+    // interpreter's statics (fnc/crypto.rs)
+    case "crypto::blake3" =>
+      graft.functions.StrCheckKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_blake3", cs(0))
+    case "crypto::joaat" =>
+      graft.functions.StrCheckKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_joaat", cs(0))
     // ---- parse::* --------------------------------------------------------
     case "parse::url::host" | "parse::url::domain" => parse_url(cs(0), lit("HOST"))
     case "parse::url::fragment" => parse_url(cs(0), lit("REF"))

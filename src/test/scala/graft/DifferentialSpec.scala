@@ -562,6 +562,11 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 10")
   }
 
+  test("crypto::blake3 / joaat over COLUMN arguments agree") {
+    checkSame("SELECT name, crypto::blake3(name) AS b3, crypto::joaat(name) AS j " +
+      "FROM item ORDER BY name LIMIT 6")
+  }
+
   test("set:: algebra over duplicated/unsorted inputs agrees") {
     // Set is a BTreeSet in the reference — construction dedups and orders
     // by the value total order regardless of input arrangement
