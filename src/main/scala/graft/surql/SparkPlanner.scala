@@ -4217,6 +4217,23 @@ object SparkPlanner {
       element_at(split(cs(0), "[.+-]"), 2).cast("bigint")
     case "string::semver::patch" =>
       element_at(split(cs(0), "[.+-]"), 3).cast("bigint")
+    // inc bumps a component and RESETS the lower ones; set replaces one —
+    // both drop pre-release/build metadata (semver crate increment_*)
+    case n if n.startsWith("string::semver::inc::") ||
+        n.startsWith("string::semver::set::") =>
+      val parts = split(cs(0), "[.+-]")
+      def comp(i: Int) = element_at(parts, i + 1).cast("bigint")
+      val which = n.split("::").last
+      val inc = n.contains("::inc::")
+      val out = (which, inc) match {
+        case ("major", true)  => Seq(comp(0) + 1L, lit(0L), lit(0L))
+        case ("minor", true)  => Seq(comp(0), comp(1) + 1L, lit(0L))
+        case ("patch", true)  => Seq(comp(0), comp(1), comp(2) + 1L)
+        case ("major", false) => Seq(cs(1).cast("bigint"), comp(1), comp(2))
+        case ("minor", false) => Seq(comp(0), cs(1).cast("bigint"), comp(2))
+        case _                => Seq(comp(0), comp(1), cs(1).cast("bigint"))
+      }
+      concat_ws(".", out.map(_.cast("string")): _*)
     case "string::slug" =>
       regexp_replace(regexp_replace(lower(cs(0)), "[^a-z0-9]+", "-"),
         "(^-+)|(-+$)", "")

@@ -562,6 +562,12 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 10")
   }
 
+  test("string::semver inc/set over COLUMN arguments agree") {
+    checkSame("SELECT name, string::semver::inc::minor('1.' + <string> qty + '.3') AS im, " +
+      "string::semver::set::patch('2.0.' + <string> qty, 9) AS sp " +
+      "FROM item ORDER BY name LIMIT 6")
+  }
+
   test("crypto::blake3 / joaat over COLUMN arguments agree") {
     checkSame("SELECT name, crypto::blake3(name) AS b3, crypto::joaat(name) AS j " +
       "FROM item ORDER BY name LIMIT 6")
