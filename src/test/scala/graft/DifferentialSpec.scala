@@ -105,25 +105,32 @@ class DifferentialSpec extends AnyFunSuite {
       val sm = s0.fields; val im = i0.fields
       assert(sm.keySet == im.keySet,
         s"row $n columns differ: ${sm.keySet} vs ${im.keySet}\n$surql")
+      def same(a: V, b: V): Boolean = (a, b) match {
+        // float vs float: BIT comparison — Python-style == is blind to
+        // signed zero (round 10's idiom_array_filter escape); NaN is
+        // payload-normalized by doubleToLongBits
+        case (VFloat(x), VFloat(y)) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y)
+        // the column model promotes mixed int/float ARRAYS to double —
+        // numerics compare loosely across kinds
+        case (x: graft.surql.VNum, y: graft.surql.VNum) =>
+          x.toDouble == y.toDouble
+        // the column model renders NONE as NULL — indistinguishable on
+        // the Spark side (same normalization as FuzzDifferentialSpec)
+        case (graft.surql.VNull, graft.surql.VNone) => true
+        // the column model renders a SET as its ordered array (one
+        // ArrayType column — no distinct set type on the Spark side)
+        case (VArr(xs), s: graft.surql.VSet) =>
+          xs.length == s.items.length &&
+            xs.zip(s.items).forall { case (p, q) => same(p, q) }
+        case (VArr(xs), VArr(ys)) =>
+          xs.length == ys.length && xs.zip(ys).forall { case (p, q) => same(p, q) }
+        case (x, y) => x == y
+      }
       sm.keySet.foreach { k =>
-        val ok = (sm(k), im(k)) match {
-          // float vs float: BIT comparison — Python-style == is blind to
-          // signed zero (round 10's idiom_array_filter escape); NaN is
-          // payload-normalized by doubleToLongBits
-          case (VFloat(a), VFloat(b)) =>
-            java.lang.Double.doubleToLongBits(a) ==
-              java.lang.Double.doubleToLongBits(b)
-          case (a: graft.surql.VNum, b: graft.surql.VNum) =>
-            a.toDouble == b.toDouble
-          // the column model renders NONE as NULL — indistinguishable on
-          // the Spark side (same normalization as FuzzDifferentialSpec)
-          case (graft.surql.VNull, graft.surql.VNone) => true
-          // the column model renders a SET as its ordered array (one
-          // ArrayType column — no distinct set type on the Spark side)
-          case (VArr(xs), s: graft.surql.VSet) => VArr(xs) == VArr(s.items)
-          case (a, b) => a == b
-        }
-        assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
+        assert(same(sm(k), im(k)),
+          s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
       }
     }
   }

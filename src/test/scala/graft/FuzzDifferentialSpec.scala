@@ -150,18 +150,23 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       val sm = s0.fields; val im = i0.fields
       assert(sm.keySet == im.keySet,
         s"row $n columns differ: ${sm.keySet} vs ${im.keySet}\n$surql")
+      def same(a: V, b: V): Boolean = (a, b) match {
+        case (VFloat(x), VFloat(y)) =>
+          java.lang.Double.doubleToLongBits(x) ==
+            java.lang.Double.doubleToLongBits(y)
+        // the column model promotes mixed int/float ARRAYS to double —
+        // compare numerics loosely across kinds (float-float stays bit-exact)
+        case (x: graft.surql.VNum, y: graft.surql.VNum) =>
+          x.toDouble == y.toDouble
+        // the Spark column model renders an ABSENT field (NONE) as null
+        case (graft.surql.VNull, graft.surql.VNone) => true
+        case (VArr(xs), VArr(ys)) =>
+          xs.length == ys.length && xs.zip(ys).forall { case (p, q) => same(p, q) }
+        case (x, y) => x == y
+      }
       sm.keySet.foreach { k =>
-        val ok = (sm(k), im(k)) match {
-          case (VFloat(a), VFloat(b)) =>
-            java.lang.Double.doubleToLongBits(a) ==
-              java.lang.Double.doubleToLongBits(b)
-          case (a: graft.surql.VNum, b: graft.surql.VNum) =>
-            a.toDouble == b.toDouble
-          // the Spark column model renders an ABSENT field (NONE) as null
-          case (graft.surql.VNull, graft.surql.VNone) => true
-          case (a, b) => a == b
-        }
-        assert(ok, s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
+        assert(same(sm(k), im(k)),
+          s"row $n field $k differs: ${sm(k).render} vs ${im(k).render}\n$surql")
       }
     }
   }
@@ -233,7 +238,22 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       case _ => s"(${intExpr(r, 1)} ${Seq("<", "<=", ">", ">=")(r.nextInt(4))} ${intExpr(r, 1)})"
     }
 
-  private def genSelect(r: scala.util.Random): String = r.nextInt(42) match {
+  private def genSelect(r: scala.util.Random): String = r.nextInt(43) match {
+    case 42 => // r15 column-kernel families: validators / capitalize /
+      // crypto / semver / per-row top-bottom over column-built values
+      val f = r.nextInt(8) match {
+        case 0 => "string::capitalize(name + ' ' + grp) AS v"
+        case 1 => s"string::is_${Seq("alphanum", "alpha", "ascii", "numeric", "email")(r.nextInt(5))}(name) AS v"
+        case 2 => "crypto::joaat(name) AS v"
+        case 3 => "crypto::blake3(grp) AS v"
+        case 4 => s"string::semver::inc::${Seq("major", "minor", "patch")(r.nextInt(3))}('1.' + <string> qty + '.2') AS v"
+        case 5 => s"array::sort(math::top([qty, price, ${r.nextInt(9)}], ${r.nextInt(3) + 1})) AS v"
+        case 6 => s"array::sort(math::bottom([num, qty, ${r.nextInt(9)}], 2)) AS v"
+        case _ => "vector::similarity::pearson([price, qty + 0.5, 3.0], [1.0, price, qty + 1.5]) AS v"
+      }
+      s"SELECT name, $f FROM item" +
+        (if (r.nextBoolean()) s" WHERE ${boolExpr(r, 1)}" else "") +
+        s" ORDER BY name LIMIT ${r.nextInt(15) + 3}"
     case 41 => // per-row folds over in-row arrays (projection context —
       // these share names with aggregates and must NOT collapse the frame)
       val arr = s"[qty, ${r.nextInt(9)}, ${r.nextInt(9)}, ${r.nextInt(9)}]"
