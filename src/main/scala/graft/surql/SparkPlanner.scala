@@ -4505,6 +4505,25 @@ object SparkPlanner {
     }
     case "object::len"      => size(json_object_keys(to_json(cs(0)))).cast("bigint")
     case "object::is_empty" => size(json_object_keys(to_json(cs(0)))) === 0
+    // extend/remove over STRUCT columns: withField/dropFields rebuilds with
+    // plan-time-constant keys (fnc/object.rs extend merges other INTO self,
+    // other's values win; remove accepts one key or an array of keys)
+    case "object::extend" => raw(1) match {
+      case ObjLit(fs) =>
+        fs.foldLeft(cs(0)) { case (acc, (k, e)) => acc.withField(k, toCol(e, ctx)) }
+      case other => throw SqlError(
+        s"SparkPlanner: object::extend needs an object literal, got $other")
+    }
+    case "object::remove" =>
+      val keys = Eval.evalConst(Subst.expr(raw(1), Map.empty)) match {
+        case VStr(k)   => Seq(k)
+        case VArr(ks)  => ks.collect { case VStr(k) => k }
+        case other => throw SqlError(
+          s"SparkPlanner: object::remove needs constant key(s), got ${other.render}")
+      }
+      keys.foldLeft(cs(0))((acc, k) => acc.dropFields(k))
+    // JSON text of a struct/array column (fnc/encoding.rs json::encode)
+    case "encoding::json::encode" => to_json(cs(0))
     // ---- string::html::encode — the ammonia clean_text escape set -------
     case "string::html::encode" =>
       Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;",

@@ -898,6 +898,13 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("object::extend/remove + json::encode over struct columns agree") {
+    checkSame("SELECT score, object::remove(meta, 'b') AS m1, " +
+      "object::extend(meta, { c: score }) AS m2, " +
+      "encoding::json::encode(meta) AS j " +
+      "FROM prof ORDER BY score LIMIT 6")
+  }
+
   // PATCH (expr/operation.rs) incl. NESTED paths — the Spark path rebuilds
   // struct columns through withField/dropFields
   private val patchScripts = Seq(
