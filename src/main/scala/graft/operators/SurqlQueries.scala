@@ -604,6 +604,23 @@ object SurqlQueries {
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
   }
 
+  /** r15 column-kernel surface: string validators (codegen'd StrCheck
+    * kernels shared with the interpreter), semver inc over constructed
+    * versions, capitalize-independent checks — all DuckDB-expressible. */
+  val fnValidators = sq("fn_validators",
+    """SELECT c_custkey,
+              regexp_matches(c_name, '^[0-9]+$') AS isn,
+              regexp_matches(c_name, '^[[:ascii:]]+$') AS isa,
+              regexp_matches(replace(c_name, '#', ''), '^[0-9A-Za-z]+$') AS aln,
+              concat('1.', CAST((c_custkey % 5) + 1 AS VARCHAR), '.0') AS semv
+       FROM customer ORDER BY c_custkey""")(
+    """SELECT c_custkey,
+              string::is_numeric(c_name) AS isn,
+              string::is_ascii(c_name) AS isa,
+              string::is_alphanum(string::replace(c_name, '#', '')) AS aln,
+              string::semver::inc::minor('1.' + <string> (c_custkey % 5) + '.7') AS semv
+       FROM customer ORDER BY c_custkey""")
+
   /** math::top/bottom under GROUP BY (fnc/util/math/top.rs, bottom.rs):
     * the k greatest/smallest per group. The reference returns them in
     * arbitrary (heap) order, so the query pins an order with array::sort
@@ -1823,6 +1840,6 @@ object SurqlQueries {
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
-    aggArrayCollect, fnTopBottom, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
+    aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)
 }
