@@ -196,8 +196,10 @@ final case class Blake3F(child: Expression) extends UnaryExpression {
 }
 
 object StrCheckKernels {
-  @volatile private var done = false
-  def ensure(spark: SparkSession): Unit = if (!done) synchronized {
+  // re-register on every call (createOrReplaceTempFunction is idempotent):
+  // the registry is PER SparkSession — a JVM-global guard would leave a
+  // second/cloned session without the graft_* functions
+  def ensure(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_capitalize",
       es => CapitalizeF(es.head), "built-in")
@@ -209,6 +211,5 @@ object StrCheckKernels {
       reg.createOrReplaceTempFunction(s"graft_is_$k",
         es => StrCheckF(k, es.head), "built-in")
     }
-    done = true
   }
 }

@@ -296,26 +296,30 @@ object Functions {
       }
     }
 
+  /** Flat-alias canonicalization: string::is_alphanum → string::is::alphanum,
+    * string::semver_inc_major → string::semver::inc::major, … (fnc/mod.rs
+    * flat-name table). Shared by the interpreter's dispatch AND the Spark
+    * path's fnCol so both engines accept the same surface. */
+  def normalize(name0: String): String =
+    if (name0.startsWith("string::is_")) "string::is::" + name0.stripPrefix("string::is_")
+    else if (name0.startsWith("string::distance_")) "string::distance::" + name0.stripPrefix("string::distance_")
+    else if (name0.startsWith("string::similarity_")) "string::similarity::" + name0.stripPrefix("string::similarity_")
+    else if (name0.startsWith("string::html_")) "string::html::" + name0.stripPrefix("string::html_")
+    else if (name0.startsWith("string::semver_inc_")) "string::semver::inc::" + name0.stripPrefix("string::semver_inc_")
+    else if (name0.startsWith("string::semver_set_")) "string::semver::set::" + name0.stripPrefix("string::semver_set_")
+    else if (name0.startsWith("string::semver_")) "string::semver::" + name0.stripPrefix("string::semver_")
+    else if (name0.startsWith("array::vector_distance_")) "vector::distance::" + name0.stripPrefix("array::vector_distance_")
+    else if (name0.startsWith("array::vector_similarity_")) "vector::similarity::" + name0.stripPrefix("array::vector_similarity_")
+    else if (name0.startsWith("array::vector_")) "vector::" + name0.stripPrefix("array::vector_")
+    else if (name0 == "array::sort_asc") "array::sort::asc"
+    else if (name0 == "array::sort_desc") "array::sort::desc"
+    else if (name0 == "geo::is::valid") "geo::is_valid"
+    // flat time::from_* aliases (syn/parser/builtin.rs:395-401)
+    else if (name0.startsWith("time::from_")) "time::from::" + name0.stripPrefix("time::from_")
+    else name0
+
   def apply(name0: String, a: Seq[V], env: Env): V = {
-    // flat aliases: string::is_alphanum → string::is::alphanum, type::type_of
-    // (fnc/mod.rs flat-name table)
-    val name =
-      if (name0.startsWith("string::is_")) "string::is::" + name0.stripPrefix("string::is_")
-      else if (name0.startsWith("string::distance_")) "string::distance::" + name0.stripPrefix("string::distance_")
-      else if (name0.startsWith("string::similarity_")) "string::similarity::" + name0.stripPrefix("string::similarity_")
-      else if (name0.startsWith("string::html_")) "string::html::" + name0.stripPrefix("string::html_")
-      else if (name0.startsWith("string::semver_inc_")) "string::semver::inc::" + name0.stripPrefix("string::semver_inc_")
-      else if (name0.startsWith("string::semver_set_")) "string::semver::set::" + name0.stripPrefix("string::semver_set_")
-      else if (name0.startsWith("string::semver_")) "string::semver::" + name0.stripPrefix("string::semver_")
-      else if (name0.startsWith("array::vector_distance_")) "vector::distance::" + name0.stripPrefix("array::vector_distance_")
-      else if (name0.startsWith("array::vector_similarity_")) "vector::similarity::" + name0.stripPrefix("array::vector_similarity_")
-      else if (name0.startsWith("array::vector_")) "vector::" + name0.stripPrefix("array::vector_")
-      else if (name0 == "array::sort_asc") "array::sort::asc"
-      else if (name0 == "array::sort_desc") "array::sort::desc"
-      else if (name0 == "geo::is::valid") "geo::is_valid"
-      // flat time::from_* aliases (syn/parser/builtin.rs:395-401)
-      else if (name0.startsWith("time::from_")) "time::from::" + name0.stripPrefix("time::from_")
-      else name0
+    val name = normalize(name0)
     // capability gate: [env.capabilities] deny-functions
     // (iam: Capabilities::allows_function)
     env.interp.foreach { in =>

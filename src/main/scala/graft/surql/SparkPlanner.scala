@@ -3563,6 +3563,9 @@ object SparkPlanner {
         val cand = Seq(s"$ns::$m", s"type::$m")
         val resolved = cand.find(KnownFns.names.contains).getOrElse(cand.head)
         fnCol(resolved, recvExpr +: margs, ctx)
+      // parenthesized-expression start with no trailing parts — e.g. the
+      // receiver `('1.' + x)` a method-call idiom peels off above
+      case Idiom(Seq(PStart(e))) => toCol(e, ctx)
       case Idiom(Seq(PField(n))) => col(n)
       // `fk.{a, b}` — the pre-joined destructure struct
       case Idiom(Seq(PField(fk), PDestructure(fs)))
@@ -3772,11 +3775,30 @@ object SparkPlanner {
   /** True when the expression statically resolves to an ARRAY column —
     * a graph/recursion hop result, a schema-typed array field, or an
     * array literal. */
+  /** Function names that ALWAYS return an array — used to recognize
+    * computed-array arguments (set::add/remove accept value-or-array;
+    * fnc/set.rs:15-55). Conservative: names absent here are treated as
+    * scalar, which only risks single-element wrapping, never a type error
+    * on a genuine scalar. */
+  private val arrayReturningFns: Set[String] = Set(
+    "add", "append", "prepend", "push", "combine", "complement", "concat",
+    "difference", "distinct", "fill", "filter", "filter_index", "flatten",
+    "group", "insert", "intersect", "map", "matches", "range", "remove",
+    "repeat", "reverse", "slice", "sort", "sort::asc", "sort::desc",
+    "sort_by", "swap", "transpose", "union", "windows", "clump",
+    "boolean_and", "boolean_or", "boolean_xor", "boolean_not",
+    "logical_and", "logical_or", "logical_xor", "shuffle"
+  ).flatMap(op => Seq(s"array::$op", s"set::$op")) ++ Set(
+    "string::split", "string::words", "string::chars", "object::keys",
+    "object::values", "object::entries", "search::highlight_all",
+    "array::union", "set::union")
+
   private def exprIsArray(e: Expr, ctx: Ctx): Boolean = e match {
     case Idiom(parts) if ctx.graphCols.contains(parts) => true
     case Idiom(Seq(PField(n))) => ctx.schema.fieldNames.contains(n) &&
       ctx.schema(n).dataType.isInstanceOf[ArrayType]
     case _: ArrLit => true
+    case FnCall(n, _) => arrayReturningFns.contains(Functions.normalize(n))
     case _ => false
   }
 
@@ -3866,7 +3888,12 @@ object SparkPlanner {
     case _ => false
   }
 
-  private def fnCol(name: String, raw: Seq[Expr], ctx: Ctx): Column = {
+  private def fnCol(name0: String, raw: Seq[Expr], ctx: Ctx): Column = {
+    // flat-alias canonicalization shared with the interpreter (fnc/mod.rs
+    // flat-name table) — string::semver_inc_major etc. route to the same
+    // column lowering as their canonical names instead of falling through
+    // to the const-fold fallback
+    val name = Functions.normalize(name0)
     lazy val cs: IndexedSeq[Column] = raw.map(toCol(_, ctx)).toIndexedSeq
     name match {
     case "string::lowercase" => lower(cs(0))
@@ -4117,16 +4144,23 @@ object SparkPlanner {
     case "time::from_nanos" | "time::from::nanos" =>
       timestamp_micros((cs(0) / 1000L).cast("bigint"))
     // time::set_* replace ONE datetime component (fnc/time.rs set_*):
-    // rebuild through make_timestamp over the extracted parts
-    case n if n.startsWith("time::set_") =>
+    // rebuild through make_timestamp over the extracted parts. Whitelisted
+    // — an unknown component (time::set_millis) must raise the interpreter's
+    // unknown-function error, not silently return the input unchanged.
+    case n if n.startsWith("time::set_") && Set("year", "month", "day",
+        "hour", "minute", "second", "nanosecond")(n.stripPrefix("time::set_")) =>
       val t = cs(0).cast("timestamp")
       val v = cs(1)
       val part = n.stripPrefix("time::set_")
       def pick(unit: String, cur: Column): Column =
         if (part == unit) v else cur
+      // sub-second fraction via floor-mod: Java % keeps the dividend's sign,
+      // so pre-epoch timestamps would otherwise lose/negate their fraction
+      // (interpreter ZonedDateTime.withX preserves nanos exactly)
+      val frac = ((unix_micros(t) % 1000000L + 1000000L) % 1000000L)
       val secs = pick("second", second(t).cast("double")) +
         (if (part == "nanosecond") v.cast("double") / 1e9
-         else (unix_micros(t) % 1000000L).cast("double") / 1e6)
+         else frac.cast("double") / 1e6)
       make_timestamp(
         pick("year", year(t)).cast("int"),
         pick("month", month(t)).cast("int"),

@@ -657,4 +657,47 @@ class DifferentialSpec extends AnyFunSuite {
     assert(SparkPlanner.recordKey.get("dspec_rel2").contains("id"))
     assert(graft.operators.GraphOps.edgeDefs.contains("dspec_rel2"))
   }
+
+  test("time::set_* on PRE-EPOCH fractional timestamps agrees (floor-mod fraction)") {
+    // qty - 1750000 micros ≈ 1969-12-31T23:59:58.25Z: Java % keeps the
+    // dividend's sign, so a %-based fraction would shift the seconds by -1s
+    // relative to the interpreter's ZonedDateTime.withX (which keeps nanos)
+    checkSame("SELECT name, time::set_hour(time::from_micros(qty - 1750000), 3) AS h, " +
+      "time::set_second(time::from_micros(qty - 1750000), 5) AS s, " +
+      "time::set_minute(time::from_micros(qty - 1750000), 7) AS m " +
+      "FROM item ORDER BY name LIMIT 7")
+  }
+
+  test("unknown time::set_ component errors on BOTH paths (no silent identity)") {
+    val q = "SELECT time::set_millis(ts, 1) AS x FROM item LIMIT 1"
+    val iv = try { interp.run(Parser.parse(q)).last } catch {
+      case e: Exception => QErr(e.getMessage)
+    }
+    assert(iv.isInstanceOf[QErr], s"interp accepted time::set_millis: $iv")
+    val sErr = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", q)
+      }.collect()
+    }
+    assert(sErr != null)
+  }
+
+  test("set::add/remove accept COMPUTED array arguments (not just literals/fields)") {
+    // array::distinct/slice results are arrays the static exprIsArray check
+    // must recognize — wrapping them as single elements would produce
+    // array<array<string>> and an AnalysisException
+    checkSame("SELECT name, set::add(tags, array::distinct([grp, grp])) AS a, " +
+      "set::remove(tags, array::slice(tags, 0, 1)) AS r " +
+      "FROM item ORDER BY name LIMIT 8")
+  }
+
+  test("flat semver aliases (method syntax) lower on the Spark COLUMN path") {
+    // `.semver_inc_minor()` method syntax produces the FLAT function name
+    // string::semver_inc_minor — fnCol must normalize it to the canonical
+    // string::semver::inc::minor lowering instead of throwing unsupported
+    checkSame("SELECT name, ('1.' + <string> qty + '.3').semver_inc_minor() AS im, " +
+      "('2.0.' + <string> qty).semver_set_patch(9) AS sp, " +
+      "('4.' + <string> qty + '.1').semver_major() AS mj " +
+      "FROM item ORDER BY name LIMIT 6")
+  }
 }

@@ -47,4 +47,19 @@ class KernelSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 2.0)
     assert(r.getDouble(3) == 2.0)
   }
+
+  test("StrCheck kernels register in a FRESH cloned session (per-session registry)") {
+    // functionRegistry is per-SparkSession: a JVM-global ensure guard would
+    // leave a second session without graft_is_* and fail analysis
+    val s2 = spark.newSession()
+    graft.functions.StrCheckKernels.ensure(s2)
+    val r = s2.sql("SELECT 1 AS one").select(
+      org.apache.spark.sql.functions.call_function(
+        "graft_is_email", org.apache.spark.sql.functions.lit("a@b.co")).as("ok"),
+      org.apache.spark.sql.functions.call_function(
+        "graft_capitalize", org.apache.spark.sql.functions.lit("hi there")).as("cap")
+    ).head
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "Hi There")
+  }
 }
