@@ -193,9 +193,22 @@ object SparkPlanner {
       // the source resolves at PLAN time (the param value is a plan-time
       // constant), then dispatches to the ordinary table scan, so Catalyst
       // still sees a static parquet relation with full pushdown.
-      case Seq(LetStmt(name, _, what), s: SelectStmt) =>
-        val bound = Eval.evalConst(what)
-        planSelect(spark, dir, s, Map(name -> bound))
+      case stmts if stmts.length >= 2 && stmts.init.forall(_.isInstanceOf[LetStmt]) &&
+          stmts.last.isInstanceOf[SelectStmt] =>
+        // bind sequentially (a later LET may reference an earlier one),
+        // then SUBSTITUTE into the select body — LET-bound k/p/args reach
+        // every constant-wanting lowering as plan-time literals, exactly
+        // like the script path's Subst.stmt at exec()
+        var bound = Map.empty[String, V]
+        stmts.init.foreach { case LetStmt(name, _, what) =>
+          bound += (name -> Eval.evalConst(Subst.expr(what, bound)))
+        }
+        val s0 = stmts.last.asInstanceOf[SelectStmt]
+        // FROM stays UNsubstituted: `FROM $t` is the DynamicScan shape
+        // planSource resolves against the param map (a bare string literal
+        // in FROM is not a source in the reference)
+        val s = Subst.stmt(s0, bound).asInstanceOf[SelectStmt].copy(what = s0.what)
+        planSelect(spark, dir, s, bound)
       case Seq(ReturnStmt(ObjLit(fields))) =>
         // RETURN { … }: one-row plan (SourceExpr/ExprPlan analog)
         val dummy = spark.range(1)
@@ -3142,17 +3155,21 @@ object SparkPlanner {
     shapeOutput(noneRows(rb.edges), rb.edges, s.output, ctx)
   }
 
-  /** math::top/bottom second argument — a plan-time-constant positive int
-    * (fnc/math.rs top/bottom: ensure!(c > 0) with the reference's error
-    * text). Non-constant k stays unsupported on this path. */
-  private def topBottomK(name: String, e: Expr): Int =
+  /** math::top/bottom second argument (fnc/math.rs top/bottom: any
+    * expression, ensure!(c > 0) with the reference's error text). A
+    * plan-time constant validates eagerly; a runtime k lowers to a column
+    * with the same k>0 guard enforced per evaluation via raise_error. */
+  private def topBottomKCol(name: String, e: Expr, ctx: Ctx): Column = {
+    val errMsg = s"Incorrect arguments for function $name(). " +
+      "The second argument must be an integer greater than 0."
     scala.util.Try(Eval.evalConst(e)).toOption match {
-      case Some(VInt(i)) if i > 0 => i.toInt
-      case Some(_) => throw SqlError(s"Incorrect arguments for function $name(). " +
-        "The second argument must be an integer greater than 0.")
-      case scala.None => throw SqlError(
-        s"SparkPlanner: $name k must be a plan-time constant")
+      case Some(VInt(i)) if i > 0 => lit(i.toInt)
+      case Some(_) => throw SqlError(errMsg)
+      case scala.None =>
+        val kc = toCol(e, ctx).cast("int")
+        when(kc > 0, kc).otherwise(raise_error(lit(errMsg)).cast("int"))
     }
+  }
 
   private def fieldAlias(f: Field): String =
     f.alias.getOrElse(Eval.fieldName(f.expr))
@@ -3210,10 +3227,17 @@ object SparkPlanner {
     // percentile family (fnc/math.rs: p in 0..100, linear interpolation —
     // Spark's percentile/DuckDB's quantile_cont share the definition)
     case FnCall("math::percentile", Seq(inner, p)) =>
-      percentile(toCol(inner, ctx), lit(Eval.evalConst(p) match {
-        case n: VNum => n.toDouble / 100.0
-        case other => throw SqlError(s"SparkPlanner: percentile p must be numeric, got ${other.render}")
-      }))
+      // p is any expression in the reference; a non-constant p lowers to a
+      // column (Spark's percentile accepts any FOLDABLE percentage, so
+      // LET-bound / computed-constant p works; a genuinely per-row p is
+      // rejected by Spark's analyzer, matching the "foldable" contract)
+      val pc = scala.util.Try(Eval.evalConst(p)).toOption match {
+        case Some(n: VNum) => lit(n.toDouble / 100.0)
+        case Some(other) => throw SqlError(
+          s"SparkPlanner: percentile p must be numeric, got ${other.render}")
+        case scala.None => toCol(p, ctx).cast("double") / 100.0
+      }
+      percentile(toCol(inner, ctx), pc)
     case FnCall("math::mode", Seq(inner)) => mode(toCol(inner, ctx))
     case FnCall("math::spread", Seq(inner)) =>
       max(toCol(inner, ctx)) - min(toCol(inner, ctx))
@@ -3233,11 +3257,11 @@ object SparkPlanner {
     // asc for bottom), an allowed ordering of the same multiset; compare
     // through array::sort.
     case FnCall("math::top", Seq(inner, kE)) =>
-      slice(reverse(array_sort(collect_list(toCol(inner, ctx)))), 1,
-        topBottomK("math::top", kE))
+      slice(reverse(array_sort(collect_list(toCol(inner, ctx)))), lit(1),
+        topBottomKCol("math::top", kE, ctx))
     case FnCall("math::bottom", Seq(inner, kE)) =>
-      slice(array_sort(collect_list(toCol(inner, ctx))), 1,
-        topBottomK("math::bottom", kE))
+      slice(array_sort(collect_list(toCol(inner, ctx))), lit(1),
+        topBottomKCol("math::bottom", kE, ctx))
     // rounding over an aggregate: fixed(agg, n) → round(agg, n)
     case FnCall("math::fixed", Seq(inner, d)) if isAggregate(inner) =>
       val n = Eval.evalConst(d) match {
@@ -4062,8 +4086,10 @@ object SparkPlanner {
     // bottom.rs): k greatest/smallest elements in sorted-slice order (the
     // reference's heap order is documented "arbitrary"); element type
     // passes through untouched so int arrays stay int
-    case "math::top"    => slice(reverse(array_sort(cs(0))), 1, topBottomK(name, raw(1)))
-    case "math::bottom" => slice(array_sort(cs(0)), 1, topBottomK(name, raw(1)))
+    case "math::top"    =>
+      slice(reverse(array_sort(cs(0))), lit(1), topBottomKCol(name, raw(1), ctx))
+    case "math::bottom" =>
+      slice(array_sort(cs(0)), lit(1), topBottomKCol(name, raw(1), ctx))
     // per-row datetime folds over in-row arrays (fnc/time.rs Min/Max)
     case "time::min" => array_min(cs(0))
     case "time::max" => array_max(cs(0))

@@ -691,6 +691,53 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 8")
   }
 
+  test("LET-bound k/p reach math::top/bottom/percentile on the query path") {
+    // the query path now substitutes LET bindings into the select body,
+    // so constant-wanting lowerings see plan-time literals (VERDICT r15 #3)
+    checkSame("LET $k = 2; " +
+      "SELECT grp, array::sort(math::top(price, $k)) AS t, " +
+      "array::sort(math::bottom(qty, $k)) AS b " +
+      "FROM item GROUP BY grp ORDER BY grp")
+    // percentile p: the interp has no grouped percentile (matches the
+    // reference's aggregate catalog), so pin the Spark lowering against
+    // itself — LET-bound p must equal the literal-p plan's result
+    val lp = Tables.withOverlay(Map("item" -> df)) {
+      SparkPlanner.query(spark, "/nonexistent",
+        "LET $p = 75; SELECT grp, math::percentile(price, $p) AS p75 " +
+          "FROM item GROUP BY grp ORDER BY grp")
+    }.collect().map(_.toSeq).toSeq
+    val ll = Tables.withOverlay(Map("item" -> df)) {
+      SparkPlanner.query(spark, "/nonexistent",
+        "SELECT grp, math::percentile(price, 75) AS p75 " +
+          "FROM item GROUP BY grp ORDER BY grp")
+    }.collect().map(_.toSeq).toSeq
+    assert(lp == ll && lp.nonEmpty)
+  }
+
+  test("RUNTIME k for per-row math::top/bottom (column-derived, non-constant)") {
+    // reference order is arbitrary (heap) — compare through array::sort
+    checkSame("SELECT name, array::sort(math::top([price, price * 2.0, price / 2.0, 1.0], " +
+      "<int> (qty % 2) + 1)) AS t, " +
+      "array::sort(math::bottom([price, 0.5, 9.75], <int> (qty % 3) + 1)) AS b " +
+      "FROM item ORDER BY name LIMIT 9")
+  }
+
+  test("runtime k <= 0 raises the reference's error on BOTH paths") {
+    val q = "SELECT math::top([1.0, 2.0], <int> (qty - qty)) AS t FROM item LIMIT 1"
+    val iv = try { interp.run(Parser.parse(q)).last } catch {
+      case e: Exception => QErr(e.getMessage)
+    }
+    assert(iv.isInstanceOf[QErr], s"interp accepted k=0: $iv")
+    val sErr = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", q)
+      }.collect()
+    }
+    assert(sErr.getMessage.contains("greater than 0") ||
+      Option(sErr.getCause).exists(_.getMessage.contains("greater than 0")),
+      s"unexpected error: ${sErr.getMessage}")
+  }
+
   test("flat semver aliases (method syntax) lower on the Spark COLUMN path") {
     // `.semver_inc_minor()` method syntax produces the FLAT function name
     // string::semver_inc_minor — fnCol must normalize it to the canonical

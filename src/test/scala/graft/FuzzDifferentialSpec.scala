@@ -407,15 +407,19 @@ class FuzzDifferentialSpec extends AnyFunSuite {
     case 24 => // spread/statistics aggregates per group (top/bottom through
       // the order-pinning array::sort/join wrappers — heap order is
       // arbitrary in the reference, sorted output is comparable)
+      // k is sometimes LET-bound (runtime-k lowering, VERDICT r15 #3)
+      val kLet = r.nextBoolean()
+      val k1 = r.nextInt(4) + 1; val k2 = r.nextInt(3) + 1
       val agg = r.nextInt(6) match {
         case 0 => "math::stddev(price) AS v"
         case 1 => "math::variance(price) AS v"
         case 2 => "math::median(qty) AS v"
-        case 3 => s"array::join(array::sort(math::top(qty, ${r.nextInt(4) + 1})), '|') AS v"
-        case 4 => s"array::join(array::sort(math::bottom(num, ${r.nextInt(3) + 1})), '|') AS v"
+        case 3 => s"array::join(array::sort(math::top(qty, ${if (kLet) "$fk" else k1.toString})), '|') AS v"
+        case 4 => s"array::join(array::sort(math::bottom(num, ${if (kLet) "$fk" else k2.toString})), '|') AS v"
         case _ => "math::mean(price) AS v"
       }
-      s"SELECT grp, count() AS n, $agg FROM item GROUP BY grp ORDER BY grp"
+      val let = if (kLet && agg.contains("$fk")) s"LET $$fk = $k1; " else ""
+      s"${let}SELECT grp, count() AS n, $agg FROM item GROUP BY grp ORDER BY grp"
     case 25 => // type:: constructors and checks
       val proj = r.nextInt(4) match {
         case 0 => "type::is_number(qty) AS p, type::is_string(name) AS q"
