@@ -35,15 +35,51 @@ object StrCheck {
     } else groupsOf(s).contains(8)
   }
 
-  /** Unicode-friendly domain check: dot-separated labels, each nonempty,
-    * not starting/ending with '-' (addr::parse_domain_name semantics). */
-  def isDomain(s: String): Boolean = {
-    if (s.isEmpty || s.length > 253) return false
-    val labels = s.split('.')
+  /** IDN-aware domain check (addr::parse_domain_name semantics,
+    * fnc/string.rs:449): dot-separated labels, each 1..63 octets in ASCII
+    * form, alphanumeric/hyphen with no leading/trailing hyphen. `xn--`
+    * labels must punycode-DECODE (RFC 3492, overflow-checked) to a
+    * non-empty string containing at least one non-ASCII code point (an
+    * A-label encoding pure ASCII is not a valid IDN). Unicode labels must
+    * hold only letters/marks/digits/hyphens and must punycode-ENCODE
+    * within the 63-octet label budget; the 253-octet total applies to the
+    * ASCII (encoded) form. One trailing dot (FQDN root) is allowed. */
+  def isDomain(s0: String): Boolean = {
+    if (s0.isEmpty) return false
+    val s = if (s0.endsWith(".")) s0.dropRight(1) else s0
+    if (s.isEmpty) return false
+    val labels = s.split("\\.", -1)
+    var totalAscii = labels.length - 1 // dots
     labels.nonEmpty && labels.forall { l =>
-      l.nonEmpty && l.length <= 63 && !l.startsWith("-") && !l.endsWith("-") &&
-        l.forall(c => c.isLetterOrDigit || c == '-' || c > 127)
-    }
+      if (l.isEmpty) false
+      else if (l.forall(_ < 128)) {
+        totalAscii += l.length
+        l.length <= 63 && !l.startsWith("-") && !l.endsWith("-") &&
+          l.forall(c => c.isLetterOrDigit || c == '-') && {
+            val lower = l.toLowerCase
+            !lower.startsWith("xn--") || (Punycode.decode(l.substring(4)) match {
+              // must decode, contain a non-ASCII point (no hyper-ASCII
+              // A-labels), and hold only IDN-permitted character classes
+              case Some(d) => d.nonEmpty && d.exists(_ >= 128) &&
+                d.forall(c => c == '-' || Character.isLetter(c) ||
+                  Character.isDigit(c) || Character.getType(c) == Character.NON_SPACING_MARK ||
+                  Character.getType(c) == Character.COMBINING_SPACING_MARK ||
+                  Character.getType(c) == Character.ENCLOSING_MARK)
+              case scala.None => false
+            })
+          }
+      } else {
+        !l.startsWith("-") && !l.endsWith("-") &&
+          l.forall(c => c == '-' || Character.isLetter(c) ||
+            Character.isDigit(c) || Character.getType(c) == Character.NON_SPACING_MARK ||
+            Character.getType(c) == Character.COMBINING_SPACING_MARK ||
+            Character.getType(c) == Character.ENCLOSING_MARK) &&
+          (Punycode.encode(l.toLowerCase) match {
+            case Some(enc) => totalAscii += 4 + enc.length; 4 + enc.length <= 63
+            case scala.None => false
+          })
+      }
+    } && totalAscii <= 253
   }
 
   def isIpv4(s: String): Boolean =
@@ -59,7 +95,7 @@ object StrCheck {
         if (host.startsWith("[") && host.endsWith("]")) {
           val inner = host.substring(1, host.length - 1)
           isIpv6(inner.stripPrefix("IPv6:")) || isIpv4(inner)
-        } else host.matches("^[\\w-]+(\\.[\\w-]+)*$")
+        } else isDomain(host) // parse_email_address requires a valid domain
       localOk && hostOk
     }
   }

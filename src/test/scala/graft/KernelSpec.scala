@@ -48,6 +48,77 @@ class KernelSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 2.0)
   }
 
+  test("Punycode round-trips and rejects overflow (RFC 3492)") {
+    import graft.functions.Punycode
+    val samples = Seq("bücher", "münchen", "ñandú", "höhe", "königsberg",
+      "中文", "ドメイン", "пример", "ελληνικά", "עברית", "a1ü", "üüüüüüüüüü")
+    samples.foreach { s =>
+      val enc = Punycode.encode(s)
+      assert(enc.isDefined, s"encode failed for $s")
+      assert(Punycode.decode(enc.get).contains(s), s"round-trip failed for $s → ${enc.get}")
+      assert(enc.get.forall(_ < 128), s"non-ascii in encoding of $s")
+    }
+    // the canonical German example: bücher ⇄ bcher-kva
+    assert(Punycode.encode("bücher").contains("bcher-kva"))
+    assert(Punycode.decode("bcher-kva").contains("bücher"))
+    // crafted digit strings must hit the overflow guards, not wrap
+    assert(Punycode.decode("99999999999").isEmpty)
+    assert(Punycode.decode("999999999999999999999999").isEmpty)
+  }
+
+  test("isDomain: IDN labels, punycode validity, and length budgets") {
+    import graft.functions.StrCheck.isDomain
+    // plain ASCII
+    assert(isDomain("example.com"))
+    assert(isDomain("a-b.c0m"))
+    assert(isDomain("example.com."))      // one trailing root dot
+    assert(!isDomain("example.com.."))
+    assert(!isDomain("-ab.com"))
+    assert(!isDomain("ab-.com"))
+    assert(!isDomain("a..b"))
+    assert(!isDomain("a_b.com"))
+    assert(isDomain("a" * 63 + ".com"))
+    assert(!isDomain("a" * 64 + ".com"))
+    // U-labels: letters/marks/digits only, encoded length within 63
+    assert(isDomain("bücher.ch"))
+    assert(isDomain("中文.cn"))
+    assert(!isDomain("☃.com"))            // symbol, not a letter
+    assert(!isDomain("a b.com"))
+    assert(isDomain("ü" * 10 + ".de"))
+    assert(isDomain("ü" * 40 + ".de"))    // repeats encode compactly: still ≤63
+    // 35 DISTINCT CJK points need several digits each — the xn-- form
+    // overruns the 63-octet label budget
+    val big35 = (0 until 35).map(i => (0x4E00 + i * 17).toChar).mkString
+    assert(graft.functions.Punycode.encode(big35).get.length + 4 > 63)
+    assert(!isDomain(big35 + ".de"))
+    // A-labels: must decode, contain non-ASCII, and be class-valid
+    assert(isDomain("xn--bcher-kva.ch"))
+    assert(isDomain("xn--fiqs8s.cn") || isDomain("xn--fiq228c.cn") ||
+      Punycheck("xn--fiqs8s"))            // decodability is the gate
+    assert(!isDomain("xn--.com"))          // empty encoding
+    assert(!isDomain("xn--99999999999.com")) // punycode overflow
+    assert(!isDomain("xn--kva-.ch"))       // trailing hyphen
+    // total-length budget applies to the ASCII form
+    val l61 = "a" * 61
+    assert(isDomain(Seq(l61, l61, l61, l61, "de").mkString(".")))         // 250 octets
+    assert(!isDomain(Seq(l61, l61, l61, l61, "abcdefgh").mkString("."))) // 256 octets
+    // a U-label counts its ENCODED octets toward the 253 budget
+    assert(!isDomain(Seq(l61, l61, l61, "a" * 55, "bücher").mkString("."))) // ascii form 255
+  }
+  /** helper: a bare xn-- label is domain-valid iff it decodes cleanly */
+  private def Punycheck(label: String): Boolean =
+    graft.functions.StrCheck.isDomain(label + ".com")
+
+  test("isEmail host goes through the IDN domain check") {
+    import graft.functions.StrCheck.isEmail
+    assert(isEmail("a@b.com"))
+    assert(isEmail("a@bücher.ch"))
+    assert(isEmail("a@xn--bcher-kva.ch"))
+    assert(!isEmail("a@b_c.com"))          // underscore not domain-valid
+    assert(!isEmail("a@☃.com"))
+    assert(isEmail("a@[127.0.0.1]"))
+  }
+
   test("StrCheck kernels register in a FRESH cloned session (per-session registry)") {
     // functionRegistry is per-SparkSession: a JVM-global ensure guard would
     // leave a second session without graft_is_* and fail analysis
