@@ -612,13 +612,26 @@ object SurqlQueries {
               regexp_matches(c_name, '^[0-9]+$') AS isn,
               regexp_matches(c_name, '^[[:ascii:]]+$') AS isa,
               regexp_matches(replace(c_name, '#', ''), '^[0-9A-Za-z]+$') AS aln,
-              concat('1.', CAST((c_custkey % 5) + 1 AS VARCHAR), '.0') AS semv
+              concat('1.', CAST((c_custkey % 5) + 1 AS VARCHAR), '.0') AS semv,
+              CASE (c_custkey % 8) WHEN 0 THEN true WHEN 1 THEN true
+                   WHEN 2 THEN true WHEN 6 THEN true ELSE false END AS dom,
+              CASE (c_custkey % 8) WHEN 0 THEN true WHEN 1 THEN true
+                   WHEN 2 THEN true WHEN 4 THEN true WHEN 7 THEN true
+                   ELSE false END AS eml
        FROM customer ORDER BY c_custkey""")(
     """SELECT c_custkey,
               string::is_numeric(c_name) AS isn,
               string::is_ascii(c_name) AS isa,
               string::is_alphanum(string::replace(c_name, '#', '')) AS aln,
-              string::semver::inc::minor('1.' + <string> (c_custkey % 5) + '.7') AS semv
+              string::semver::inc::minor('1.' + <string> (c_custkey % 5) + '.7') AS semv,
+              string::is_domain(array::at([
+                'example.com', 'bücher.ch', 'xn--bcher-kva.ch',
+                'xn--99999999999.com', 'a_b.com', 'ab-.com', '中文.cn.',
+                'a@b'], c_custkey % 8)) AS dom,
+              string::is_email(array::at([
+                'a@b.co', 'a@bücher.ch', 'x@xn--bcher-kva.ch', 'u@b_c.com',
+                'a@[127.0.0.1]', 'no-at-sign', 'a@xn--.com',
+                'a.b@c.d.e'], c_custkey % 8)) AS eml
        FROM customer ORDER BY c_custkey""")
 
   /** math::top/bottom under GROUP BY (fnc/util/math/top.rs, bottom.rs):

@@ -4378,12 +4378,15 @@ object SparkPlanner {
     case "array::includes" => array_contains(cs(0), cs(1))
     case "array::at"       =>
       // 0-based; negative counts from the end (element_at's native form)
-      val atIdx = raw(1) match {
-        case Lit(VInt(i)) => i.toInt
-        case Prefix("-", Lit(VInt(i))) => -i.toInt
-        case _ => 0
+      raw(1) match {
+        case Lit(VInt(i)) =>
+          element_at(cs(0), if (i >= 0) i.toInt + 1 else i.toInt)
+        case Prefix("-", Lit(VInt(i))) => element_at(cs(0), -i.toInt)
+        case _ =>
+          // runtime index: sign-adjust per row (previously fell back to 0)
+          val idx = cs(1).cast("int")
+          element_at(cs(0), when(idx >= 0, idx + 1).otherwise(idx))
       }
-      element_at(cs(0), if (atIdx >= 0) atIdx + 1 else atIdx)
     case "array::first"    => element_at(cs(0), 1)
     case "array::join"     =>
       // elements render raw (array.rs ArrayJoin) — cast non-strings so
