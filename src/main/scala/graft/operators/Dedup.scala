@@ -97,10 +97,10 @@ object Dedup {
       .select("a", "b").distinct()
   }
 
-  /** MinHash near-dup pipeline: estimated Jaccard = fraction of agreeing
-    * signature components. Rows-only (LSH output has no SQL equivalent);
-    * the exact verifier below is the oracle-checked twin. */
-  val dedupMinhash = Q.rowsOnly("dedup_minhash") { (s, d) =>
+  /** LSH candidate pairs with their MinHash-estimated Jaccard (fraction of
+    * agreeing signature components) — the unthresholded estimate table the
+    * [[dedupMinhash]] quality gate measures against exact Jaccard. */
+  def minhashEstimates(s: SparkSession, d: String): DataFrame = {
     // persisted: the signature table fans out 3 ways below (banding + both
     // sides of the verify join) — without it the 64-agg groupBy runs 3×
     val sigs = minhashSignatures(shingleTable(s, d)).persist()
@@ -113,8 +113,36 @@ object Dedup {
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
           .cast("double") / NumHashes).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.35)
-      .orderBy(col("est_jaccard").desc, col("a"), col("b"))
+  }
+
+  private val MinhashRecallGate =
+    "minhash pair recall: exact j>=0.5 found at est>=0.35"
+  private val MinhashPrecisionGate =
+    "minhash pair precision: est>=0.5 truly j>=0.35"
+
+  /** MinHash near-dup pipeline: estimated Jaccard = fraction of agreeing
+    * signature components. The LSH output has no exact SQL equivalent, so
+    * the oracle pins pair-level quality vs the EXACT capped-shingle Jaccard
+    * (measured 1.000/1.000 at sf0.001/0.01/0.1 — see QualityGates): every
+    * true near-dup pair (j ≥ 0.5) must surface among the est ≥ 0.35
+    * candidates, and est ≥ 0.5 claims must be truly j ≥ 0.35. */
+  val dedupMinhash = Q("dedup_minhash", QualityGates.oracle(Seq(
+    MinhashRecallGate -> 0.95, MinhashPrecisionGate -> 0.95))) { (s, d) =>
+    val est = minhashEstimates(s, d).persist()
+    val gt = jaccardPairs(s, d).select("a", "b")
+    val scores = jaccardScores(s, d)
+    val nGt = gt.agg(count(lit(1)).as("n_gt"))
+    val rec = gt.join(est.filter(col("est_jaccard") >= 0.35).select("a", "b"),
+      Seq("a", "b")).agg(count(lit(1)).as("rec_hits"))
+    val est50 = est.filter(col("est_jaccard") >= 0.5).select("a", "b")
+    val n50 = est50.agg(count(lit(1)).as("n_est50"))
+    val prec = est50.join(scores.filter(col("jaccard") >= 0.35)
+      .select("a", "b"), Seq("a", "b")).agg(count(lit(1)).as("prec_hits"))
+    QualityGates.rows(nGt.crossJoin(rec).crossJoin(n50).crossJoin(prec), Seq(
+      QualityGates.Gate(MinhashRecallGate, 0.95,
+        col("rec_hits").cast("double") / col("n_gt")),
+      QualityGates.Gate(MinhashPrecisionGate, 0.95,
+        col("prec_hits").cast("double") / col("n_est50"))))
   }
 
   /** Document-frequency cap for exact-Jaccard shingles: a shingle present in
@@ -165,12 +193,23 @@ object Dedup {
   private val pairCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
   def jaccardPairs(s: SparkSession, d: String): DataFrame =
     pairCache.getOrElseUpdate(d, {
-      val p = jaccardPairs0(s, d).persist()
+      val p = jaccardScores(s, d).filter(col("jaccard") >= 0.5).persist()
       p.count()
       p
     })
 
-  private def jaccardPairs0(s: SparkSession, d: String): DataFrame = {
+  /** UNTHRESHOLDED exact capped-shingle Jaccard for every pair sharing ≥1
+    * discriminative shingle — the ground-truth score table the MinHash /
+    * SimHash quality gates join against. Cached per corpus. */
+  private val scoreCache = scala.collection.concurrent.TrieMap[String, DataFrame]()
+  def jaccardScores(s: SparkSession, d: String): DataFrame =
+    scoreCache.getOrElseUpdate(d, {
+      val p = jaccardScores0(s, d).persist()
+      p.count()
+      p
+    })
+
+  private def jaccardScores0(s: SparkSession, d: String): DataFrame = {
     val sh = shingleTable(s, d)
     // df-cap via one count-window over the shingle key — a single extra
     // shuffle, no second evaluation of the shingle pipeline
@@ -183,12 +222,11 @@ object Dedup {
     val g2 = capped.select(col("sh").as("sh_r"), col("doc_id").as("b"))
     val inter = g1.join(g2, col("sh") === col("sh_r") && col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
-    val jac = inter
+    inter
       .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), "a")
       .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), "b")
       .select(col("a"), col("b"),
         (col("i").cast("double") / (col("na") + col("nb") - col("i"))).as("jaccard"))
-    jac.filter(col("jaccard") >= 0.5)
   }
 
   /** Near-dup CLUSTERING: connected components over the verified pair set —
@@ -280,11 +318,9 @@ object Dedup {
     labels
   }
 
-  /** SimHash: 64-bit signature = sign of per-bit vote sums over token hashes;
-    * near-dups have small Hamming distance. Candidates via 4×16-bit band
-    * equality (a doc pair within Hamming 3 shares ≥1 exact band). Top pairs
-    * by Hamming distance; rows-only. */
-  val dedupSimhash = Q.rowsOnly("dedup_simhash") { (s, d) =>
+  /** Banded SimHash candidate pairs with their Hamming distance, unlimited —
+    * the pair table behind [[dedupSimhash]] and its quality gate. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documentsWide(s, d)
     val toks = docs.select(col("doc_id"),
       explode(split(trim(col("text")), " ")).as("tok"))
@@ -314,8 +350,37 @@ object Dedup {
       .select(col("a"), col("b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("bigint").as("hamming"))
       .distinct()
-      .orderBy(col("hamming").asc, col("a"), col("b"))
-      .limit(50)
+  }
+
+  private val SimhashRecallGate =
+    "simhash pair recall: exact j>=0.5 within banded hamming<=6"
+  private val SimhashPrecisionGate =
+    "simhash pair precision: banded hamming<=3 truly j>=0.35"
+
+  /** SimHash: 64-bit signature = sign of per-bit vote sums over token hashes;
+    * near-dups have small Hamming distance. Candidates via 4×16-bit band
+    * equality (a doc pair within Hamming 3 shares ≥1 exact band — the
+    * pigeonhole guarantee). The oracle pins pair-level quality vs exact
+    * capped-shingle Jaccard (measured recall .93/.92/.88 and precision
+    * .78/.88/.36 at sf0.001/0.01/0.1 — SimHash is a coarser signal than
+    * MinHash by design, hence the looser precision gate). */
+  val dedupSimhash = Q("dedup_simhash", QualityGates.oracle(Seq(
+    SimhashRecallGate -> 0.85, SimhashPrecisionGate -> 0.30))) { (s, d) =>
+    val sh = simhashPairs(s, d).persist()
+    val gt = jaccardPairs(s, d).select("a", "b")
+    val scores = jaccardScores(s, d)
+    val nGt = gt.agg(count(lit(1)).as("n_gt"))
+    val rec = gt.join(sh.filter(col("hamming") <= 6).select("a", "b"),
+      Seq("a", "b")).agg(count(lit(1)).as("rec_hits"))
+    val h3 = sh.filter(col("hamming") <= 3).select("a", "b")
+    val nH3 = h3.agg(count(lit(1)).as("n_h3"))
+    val prec = h3.join(scores.filter(col("jaccard") >= 0.35)
+      .select("a", "b"), Seq("a", "b")).agg(count(lit(1)).as("prec_hits"))
+    QualityGates.rows(nGt.crossJoin(rec).crossJoin(nH3).crossJoin(prec), Seq(
+      QualityGates.Gate(SimhashRecallGate, 0.85,
+        col("rec_hits").cast("double") / col("n_gt")),
+      QualityGates.Gate(SimhashPrecisionGate, 0.30,
+        col("prec_hits").cast("double") / col("n_h3"))))
   }
 
   /** Cosine threshold for embedding near-dup edges — chosen inside a

@@ -259,9 +259,8 @@ object Hnsw {
   }
 
   /** `<|k,ef|>` over the sharded HNSW: top-10 cosine neighbors of vec 0,
-    * ef=80. Rows-only — approximate by design (like the LSH/IVF probes);
-    * SimilaritySpec pins recall ≥ 0.8 against the exact brute top-k. */
-  val knnAnnHnsw = Q.rowsOnly("knn_ann_hnsw") { (s, d) =>
+    * ef=80. Approximate by design (like the LSH/IVF probes). */
+  def annHnswTop10(s: SparkSession, d: String): DataFrame = {
     val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
     probe(s, d, qvec, 11, 80)
@@ -270,6 +269,16 @@ object Hnsw {
         round(lit(1.0) - col("__knn_dist"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** HNSW probe quality gate: recall@10 + mean-cosine ratio vs exact brute,
+    * oracle-pinned (measured 1.0/1.0 at every SF — ef=80 beam explores the
+    * whole neighborhood at these corpus sizes; gate leaves margin for
+    * build-order nondeterminism across shards). */
+  val knnAnnHnsw = Q("knn_ann_hnsw",
+    QualityGates.annOracle(10, 0.90, 0.99)) { (s, d) =>
+    QualityGates.annGates(annHnswTop10(s, d),
+      Similarity.knnBrute.fn(s, d), 10, 0.90, 0.99)
   }
 
   val all: Seq[Q] = Seq(knnAnnHnsw)

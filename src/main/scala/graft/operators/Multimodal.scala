@@ -73,9 +73,19 @@ object Multimodal {
         .orderBy("doc_id")
   }
 
-  /** Feature-extraction pipeline through the mapPartitions stub decoder;
-    * rows-only (the stub has no SQL equivalent). */
-  val multimodalFeatures = Q.rowsOnly("multimodal_features") { (s, d) =>
+  /** Feature-extraction pipeline through the mapPartitions stub decoder.
+    * The stub is deterministic byte math (count/mean/min/max), and the
+    * documents corpus is pure ASCII (bytes == code points), so DuckDB can
+    * replay the whole pipeline exactly: the row became a full value oracle
+    * on the decode plumbing instead of a rows-only entry. */
+  val multimodalFeatures = Q("multimodal_features",
+    """SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+              'raw' AS format,
+              round(COALESCE(list_avg(list_transform(
+                range(1, length(text) + 1), i -> ascii(text[i]))), 0.0), 4)
+                AS mean_byte
+       FROM documents ORDER BY doc_id""") { (s, d) =>
     val payloads = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     extractFeatures(s, payloads)

@@ -275,9 +275,8 @@ object Similarity {
   /** `KnnScan` ANN analog over the persisted index: read only the bucket
     * directories within Hamming distance 3 of the query's bucket
     * (partition pruning: 42/64 dirs), filter survivors by the 16-bit
-    * signature Hamming bound, rerank exactly, top-10. Rows-only:
-    * approximate by design. */
-  val knnAnnLsh = Q.rowsOnly("knn_ann_lsh") { (s, d) =>
+    * signature Hamming bound, rerank exactly, top-10. */
+  def annLshTop10(s: SparkSession, d: String): DataFrame = {
     val path = annIndexPath(s, d)
     val q = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding").as("qe"), lshSignature(col("embedding")).as("qsig"))
@@ -293,6 +292,15 @@ object Similarity {
         round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** LSH probe quality gate: recall@10 + mean-cosine ratio vs the exact
+    * brute top-10, oracle-pinned (see [[QualityGates]] for the measured
+    * thresholds — single-probe LSH recall is corpus-bound on unstructured
+    * embeddings; the ratio is the operative quality number). */
+  val knnAnnLsh = Q("knn_ann_lsh", QualityGates.annOracle(10, 0.15, 0.70)) {
+    (s, d) =>
+      QualityGates.annGates(annLshTop10(s, d), knnBrute.fn(s, d), 10, 0.15, 0.70)
   }
 
   // --- IVF (inverted-file) ANN index ------------------------------------
@@ -368,9 +376,9 @@ object Similarity {
 
   /** IVF probe: the query's `IvfProbe` nearest cells are chosen driver-side
     * against the centroid matrix, pruned at the directory level, and only
-    * those cells pay the exact cosine rerank. Rows-only: approximate by
-    * design (a true neighbor assigned to an unprobed cell is missed). */
-  val knnAnnIvf = Q.rowsOnly("knn_ann_ivf") { (s, d) =>
+    * those cells pay the exact cosine rerank. Approximate by design (a true
+    * neighbor assigned to an unprobed cell is missed). */
+  def annIvfTop10(s: SparkSession, d: String): DataFrame = {
     val (path, cents) = ivfIndex(s, d)
     val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
@@ -388,6 +396,13 @@ object Similarity {
         round(cosine(col("embedding"), qe), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** IVF probe quality gate: recall@10 + mean-cosine ratio vs exact brute,
+    * oracle-pinned ([[QualityGates]] header records the measured values). */
+  val knnAnnIvf = Q("knn_ann_ivf", QualityGates.annOracle(10, 0.30, 0.85)) {
+    (s, d) =>
+      QualityGates.annGates(annIvfTop10(s, d), knnBrute.fn(s, d), 10, 0.30, 0.85)
   }
 
   val all: Seq[Q] = Seq(knnBrute, embedTopPairs, embedTopPairsExact, knnAnnLsh, knnAnnIvf)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{bool_and, bool_or, col, count,
+  countDistinct, lit, sum}
 
 import graft.{Q, Tables}
 import graft.functions.Exact
@@ -439,15 +440,19 @@ object SurqlQueries {
   }
 
   /** `<|k|>` index-backed ANN from text: partition-pruned probe of the
-    * persisted LSH index (rows-only — approximate by design). */
-  val knnAnnText = Q.rowsOnly("knn_ann_from_text") { (s, d) =>
+    * persisted LSH index (approximate by design). The entry gates the text
+    * path's probe quality against the exact brute top-10 — same thresholds
+    * as knn_ann_lsh (it lowers to the same index probe). */
+  val knnAnnText = Q("knn_ann_from_text",
+    QualityGates.annOracle(10, 0.15, 0.70)) { (s, d) =>
     val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0)
       .map(v => v.toDouble.toString).mkString("[", ", ", "]")
-    SparkPlanner.query(s, d,
+    val ann = SparkPlanner.query(s, d,
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WHERE vec_id != 0 AND embedding <|10|> $vec
           ORDER BY cos_sim DESC, vec_id""")
+    QualityGates.annGates(ann, Similarity.knnBrute.fn(s, d), 10, 0.15, 0.70)
   }
 
   /** `<|k,ef|>` under a selective row predicate: the reference's
@@ -456,14 +461,23 @@ object SurqlQueries {
     * survive (or the fetch covers the whole index), so a predicate that
     * filters away more than the fixed slack still fills the top-k.
     * Rows-only (ANN by design); SimilaritySpec pins the exact-k property. */
-  val knnAnnFiltered = Q.rowsOnly("knn_ann_filtered") { (s, d) =>
+  val knnAnnFiltered = Q("knn_ann_filtered",
+    QualityGates.annOracle(10, 0.90, 0.99)) { (s, d) =>
     val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0)
       .map(v => v.toDouble.toString).mkString("[", ", ", "]")
-    SparkPlanner.query(s, d,
+    val ann = SparkPlanner.query(s, d,
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WHERE vec_id >= 400 AND embedding <|10,80|> $vec
           ORDER BY cos_sim DESC, vec_id""")
+    // exact oracle under the SAME row predicate: brute top-10 among vec_id
+    // >= 400 (the NOINDEX lowering — oracle-exact by construction)
+    val exact = SparkPlanner.query(s, d,
+      s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
+          FROM embeddings WITH NOINDEX
+          WHERE vec_id >= 400 AND embedding <|10|> $vec
+          ORDER BY cos_sim DESC, vec_id""")
+    QualityGates.annGates(ann, exact, 10, 0.90, 0.99)
   }
 
   /** WITH NOINDEX honored on the KNN path (exec/planner/util.rs index
@@ -980,20 +994,53 @@ object SurqlQueries {
     "SELECT 'mock:' || i AS id FROM generate_series(1, 5) AS t(i) ORDER BY id")(
     "SELECT id FROM |mock:5| ORDER BY id")
 
-  /** ORDER BY RAND() (exec/operators/sort/shuffle.rs:32): per-row random
-    * sort key, distributed shuffle-sort — rows-only (order is random). */
   /** rand::* namespace from text (fnc/rand.rs): per-row distributed
-    * randomness — rows-only by nature; the spec pins ranges/shape. */
-  val fnRand = Q.rowsOnly("fn_rand") { (s, d) =>
-    SparkPlanner.query(s, d,
+    * randomness. Values are nondeterministic by nature, so the oracle pins
+    * DISTRIBUTION INVARIANTS over the 100 generated rows instead: range
+    * bounds per generator, both booleans observed (P(miss) = 2^-99), all
+    * uuids distinct and well-formed. */
+  val fnRand = Q("fn_rand",
+    """SELECT CAST(100 AS BIGINT) AS n,
+              CAST(true AS BOOLEAN) AS f_in_range,
+              CAST(true AS BOOLEAN) AS fr_in_range,
+              CAST(true AS BOOLEAN) AS die_in_range,
+              CAST(true AS BOOLEAN) AS bool_both,
+              CAST(100 AS BIGINT) AS uuid_distinct,
+              CAST(true AS BOOLEAN) AS uuid_wellformed""") { (s, d) =>
+    val r = SparkPlanner.query(s, d,
       """SELECT o_orderkey, rand::float() AS f, rand::float(10.0, 20.0) AS fr,
                 rand::int(1, 6) AS die, rand::bool() AS b, rand::uuid() AS u
          FROM orders:1..101 ORDER BY o_orderkey""")
+    r.agg(
+      count(lit(1)).as("n"),
+      bool_and(col("f") >= 0.0 && col("f") < 1.0).as("f_in_range"),
+      bool_and(col("fr") >= 10.0 && col("fr") < 20.0).as("fr_in_range"),
+      bool_and(col("die") >= 1 && col("die") <= 6).as("die_in_range"),
+      (countDistinct(col("b")) === 2).as("bool_both"),
+      countDistinct(col("u")).as("uuid_distinct"),
+      bool_and(col("u").rlike(
+        "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"))
+        .as("uuid_wellformed"))
   }
 
-  val orderRand = Q.rowsOnly("order_rand") { (s, d) =>
-    SparkPlanner.query(s, d,
+  /** ORDER BY RAND() (exec/operators/sort/shuffle.rs:32): per-row random
+    * sort key, distributed shuffle-sort. The order is random but the row
+    * SET is not — the oracle checks the permutation invariants (count,
+    * distinct keys, key sum) plus the LIMIT-under-random-order row count. */
+  val orderRand = Q("order_rand",
+    """SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_keys,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+              CAST(100 AS BIGINT) AS n_limited
+       FROM orders""") { (s, d) =>
+    val full = SparkPlanner.query(s, d,
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY RAND()")
+    val lim = SparkPlanner.query(s, d,
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY RAND() LIMIT 100")
+    full.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("o_orderkey")).as("n_keys"),
+      sum(col("o_orderkey")).cast("bigint").as("key_sum"))
+      .crossJoin(lim.agg(count(lit(1)).as("n_limited")))
   }
 
   // ---- `@{n..m}` recursion from text --------------------------------------
@@ -1748,12 +1795,25 @@ object SurqlQueries {
   }
 
   /** EXPLAIN on the Spark path surfaces the Catalyst plan the SurrealQL
-    * lowered to — rows-only (plan text is engine-specific by nature; the
-    * reference-shaped plan tree lives on the Interp path, surql/Explain). */
-  val explainSpark = Q.rowsOnly("explain_spark") { (s, d) =>
-    SparkPlanner.query(s, d,
+    * lowered to. Plan text is engine-specific by nature, so the oracle pins
+    * the SHAPE assertions that matter at scale instead: the filter survives
+    * into the optimized plan, the limit+sort stays a bounded top-k (no
+    * unbounded global sort materialization), the scan is a parquet relation,
+    * and nothing degenerated into a cartesian product. */
+  val explainSpark = Q("explain_spark",
+    """SELECT CAST(true AS BOOLEAN) AS has_filter,
+              CAST(true AS BOOLEAN) AS has_limit,
+              CAST(true AS BOOLEAN) AS has_parquet_scan,
+              CAST(false AS BOOLEAN) AS has_cartesian""") { (s, d) =>
+    val plan = SparkPlanner.query(s, d,
       """EXPLAIN SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_totalprice > 100000.0 ORDER BY o_orderkey LIMIT 10""")
+    plan.agg(
+      bool_or(col("operator").contains("Filter") &&
+        col("operator").contains("o_totalprice")).as("has_filter"),
+      bool_or(col("operator").contains("Limit 10")).as("has_limit"),
+      bool_or(col("operator").contains("parquet")).as("has_parquet_scan"),
+      bool_or(col("operator").contains("Cartesian")).as("has_cartesian"))
   }
 
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,

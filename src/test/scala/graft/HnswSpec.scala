@@ -73,7 +73,7 @@ class HnswSpec extends AnyFunSuite {
   }
 
   test("knn_ann_hnsw probe: 10 ordered real neighbors, exact scores, recall vs brute") {
-    val rows = SparkEntry.queries("knn_ann_hnsw")(spark, sf).collect()
+    val rows = graft.operators.Hnsw.annHnswTop10(spark, sf).collect()
     assert(rows.length == 10)
     val sims = rows.map(_.getDouble(1))
     assert(sims.sameElements(sims.sorted.reverse))

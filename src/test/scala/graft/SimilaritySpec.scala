@@ -21,7 +21,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("ann_lsh recall against brute-force top-10") {
     val brute = SparkEntry.queries("knn_brute")(spark, sf).collect()
       .map(_.getLong(0)).toSet
-    val ann = SparkEntry.queries("knn_ann_lsh")(spark, sf).collect()
+    val ann = graft.operators.Similarity.annLshTop10(spark, sf).collect()
       .map(_.getLong(0)).toSet
     val universe = Tables.embeddings(spark, sf).collect().map(_.getLong(0)).toSet
     assert(ann.subsetOf(universe - 0L), "ANN ids must be real vec_ids, never the query")
@@ -49,7 +49,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("ann_ivf: probe returns 10 ordered real neighbors whose scores match " +
     "the brute-force score for the same ids") {
-    val ivf = SparkEntry.queries("knn_ann_ivf")(spark, sf).collect()
+    val ivf = graft.operators.Similarity.annIvfTop10(spark, sf).collect()
     assert(ivf.length == 10)
     val sims = ivf.map(_.getDouble(1))
     assert(sims.sameElements(sims.sorted.reverse))
@@ -72,12 +72,29 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("knn_ann_filtered fills the full k under a selective predicate " +
     "(adaptive over-fetch: the fixed slack alone cannot)") {
-    val rows = SparkEntry.queries("knn_ann_filtered")(spark, sf).collect()
+    val vec = Tables.embeddings(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val rows = graft.surql.SparkPlanner.query(spark, sf,
+      s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
+          FROM embeddings WHERE vec_id >= 400 AND embedding <|10,80|> $vec
+          ORDER BY cos_sim DESC, vec_id""").collect()
     assert(rows.length == 10, s"expected exactly k=10 rows, got ${rows.length}")
     // every survivor honors the predicate
     assert(rows.forall(_.getLong(0) >= 400L))
     // ordered by similarity descending
     val sims = rows.map(_.getDouble(1))
     assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("gated ANN rows: every quality gate passes at sf0.001") {
+    for (name <- Seq("knn_ann_lsh", "knn_ann_ivf", "knn_ann_filtered",
+        "knn_ann_from_text")) {
+      val rows = SparkEntry.queries(name)(spark, sf).collect()
+      assert(rows.length == 2, s"$name should emit 2 gate rows")
+      rows.foreach(r => assert(r.getBoolean(2),
+        s"$name gate failed: ${r.getString(0)} thr=${r.getDouble(1)}"))
+    }
   }
 }
