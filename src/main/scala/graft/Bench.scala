@@ -48,7 +48,11 @@ object Bench {
     // a recorded median inflated by co-tenant contention is visible as
     // spread in the artifact rather than reading as a regression.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
-    val results = idxBuild +: SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter (mirrors Verify's SPARK_GRAFT_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = idxBuild +: SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       // Consume EVERY output column via a hash-reduce — a bare count() would
       // let Catalyst dead-code the projection work and time only the scan.
       // bit_xor, not sum: a Long sum of hashes overflows under ANSI mode.

@@ -232,4 +232,27 @@ class PlanSpec extends AnyFunSuite {
       p.contains("HashAggregate"),
       "declarative count() side lost its codegen'd HashAggregate")
   }
+
+  test("fn_agg_stats: median split keeps the decimal-exact aggs codegen'd " +
+    "(measured: the split is NOT the cost — plan compile is)") {
+    // r16 measured writeup (TimePhases harness, sf0.1, local[32]):
+    //   recollect of the SAME plan:        0.05 s  (pure data path)
+    //   hand-built single-pass control:    0.03 s  (median only)
+    //   fresh-build per rep (bench shape): 0.6-0.7 s exec
+    //   whole-stage codegen OFF:           0.9 s   (slower, not faster)
+    //   agg_group (untouched since r1) in the same session: 0.73-0.9 s
+    // The bench number is per-fresh-plan codegen/compile overhead — paid
+    // once per plan, amortized to zero against 100 TB — NOT multi-pass data
+    // cost. Collapsing to a single ObjectHashAggregate pass would trade the
+    // codegen'd decimal side (the at-scale per-row path) for nothing the
+    // data path needs. This pin asserts the shape stays: percentile on its
+    // own ObjectHashAggregate, decimal sums/min/max on a codegen'd
+    // HashAggregate.
+    val p = planOf("fn_agg_stats")
+    assert(p.contains("ObjectHashAggregate"),
+      "percentile side missing (no ObjectHashAggregate)")
+    assert(p.contains("HashAggregate"),
+      "decimal-exact side lost its codegen'd HashAggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
