@@ -120,6 +120,88 @@ object FullText {
 
   private val queryTerms = Seq("spark", "merge", "window")
 
+  // ---- analyzer-chain indexes (DEFINE/ALTER ANALYZER on the Spark path) ---
+
+  /** Persisted postings for an arbitrary analyzer CHAIN over one
+    * (table, field): tokens come from the graft_analyze kernel — the same
+    * tokenizer/filter pipeline the interpreter runs — so both engines build
+    * identical postings for any supported chain. Keyed by the chain RENDER:
+    * ALTER ANALYZER produces a new render, hence a new key, hence a fresh
+    * index on the next `@@` (exactly the interpreter's cache-key behavior).
+    * An overlay-modified table builds its postings on the fly from the
+    * overlay plan instead of persisting (uncommitted rows must not seed a
+    * corpus-wide cache). */
+  private val chainCache =
+    scala.collection.concurrent.TrieMap[(String, String, String, String), (DataFrame, DataFrame)]()
+
+  private def chainCacheKind(table: String, field: String, chain: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"$table/$field/$chain".getBytes("UTF-8"))
+    "fts-chain-" + md.take(8).map("%02x".format(_)).mkString + "-v1"
+  }
+
+  private def chainPostingsPlan(s: SparkSession, src: DataFrame, keyCol: String,
+      field: String, chain: String): (DataFrame, DataFrame) = {
+    graft.functions.AnalyzeKernels.ensure(s)
+    val post = src.select(col(keyCol),
+      explode(call_function("graft_analyze", col(field), lit(chain))).as("term"))
+      .groupBy("term", keyCol).agg(count(lit(1)).as("tf"))
+    (post, post.groupBy(keyCol).agg(sum(col("tf")).as("dl")))
+  }
+
+  def chainIndex(s: SparkSession, dir: String, table: String, keyCol: String,
+      field: String, chain: String, overlaySrc: Option[DataFrame]): (DataFrame, DataFrame) =
+    overlaySrc match {
+      case Some(src) => chainPostingsPlan(s, src, keyCol, field, chain)
+      case scala.None =>
+        chainCache.getOrElseUpdate((dir, table, field, chain), {
+          val base = graft.CacheDir.ensure(
+            graft.CacheDir.path(chainCacheKind(table, field, chain), dir)) { p =>
+            val (post, dl) =
+              chainPostingsPlan(s, Tables(s, dir, table), keyCol, field, chain)
+            post.write.parquet(s"$p/post")
+            dl.write.parquet(s"$p/dl")
+          }
+          (s.read.parquet(s"$base/post").persist(),
+            s.read.parquet(s"$base/dl").persist())
+        })
+    }
+
+  /** REBUILD INDEX: drop the persisted chain index and build it again NOW
+    * (rebuild.rs runs the build eagerly, not lazily). */
+  def rebuildChainIndex(s: SparkSession, dir: String, table: String,
+      keyCol: String, field: String, chain: String): Unit = {
+    chainCache.remove((dir, table, field, chain)).foreach { case (p, d) =>
+      p.unpersist(); d.unpersist(); ()
+    }
+    graft.CacheDir.invalidate(
+      graft.CacheDir.path(chainCacheKind(table, field, chain), dir))
+    chainIndex(s, dir, table, keyCol, field, chain, scala.None)
+    ()
+  }
+
+  /** BM25 scores over a chain index — [[scores]] generalized to any
+    * postings pair, key column, and k1/b (DEFINE INDEX … SEARCH … BM25(k1,b)). */
+  def chainScores(spark: SparkSession, idx: (DataFrame, DataFrame),
+      keyCol: String, terms: Seq[String], k1: Double, b: Double): DataFrame = {
+    val (allPost, dl) = idx
+    val post = allPost.filter(col("term").isin(terms: _*))
+    val glob = dl.agg(count(lit(1)).cast("double").as("n"),
+      Exact.davg(col("dl")).as("avgdl"))
+    val df_  = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = post
+      .join(dl, keyCol)
+      .join(broadcast(df_), "term")
+      .crossJoin(broadcast(glob))
+      .select(col(keyCol), (
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+        .as("term_score"))
+    scored.groupBy(keyCol).agg(round(sum(col("term_score")), 4).as("score"))
+  }
+
   /** Stemmed-analyzer index: the blank+lowercase+snowball(english) chain
     * (DEFINE ANALYZER … FILTERS lowercase,snowball(english)). The stemmer is
     * [[graft.functions.StemF]] — a codegen'd static call into the same

@@ -1816,6 +1816,24 @@ object SurqlQueries {
       bool_or(col("operator").contains("Cartesian")).as("has_cartesian"))
   }
 
+  /** ALTER ANALYZER + REBUILD INDEX on the Spark script path
+    * (expr/statements/alter/analyzer.rs, rebuild.rs): the script defines a
+    * SEARCH index, alters the analyzer chain to add edgengram(3,3), forces
+    * the postings rebuild, and a `@@` prefix query reflects the NEW chain.
+    * The oracle replays the final chain in SQL: a doc matches iff any
+    * blank-token's lowercase 3-char prefix equals the query term. */
+  val scriptAlterAnalyzer = sq("script_alter_analyzer",
+    """SELECT doc_id FROM (
+         SELECT doc_id, unnest(string_split(trim(lower(text)), ' ')) AS term
+         FROM documents)
+       WHERE substring(term, 1, 3) = 'mer'
+       GROUP BY doc_id ORDER BY doc_id""")(
+    """DEFINE ANALYZER ed16 TOKENIZERS blank FILTERS lowercase;
+       DEFINE INDEX ft16 ON documents FIELDS text SEARCH ANALYZER ed16 BM25;
+       ALTER ANALYZER ed16 TOKENIZERS blank FILTERS lowercase, edgengram(3, 3);
+       REBUILD INDEX ft16 ON documents;
+       SELECT doc_id FROM documents WHERE text @@ 'mer' ORDER BY doc_id;""")
+
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,
     * fnc/session.rs): record ids travel as `table:key` strings, so the
     * accessors are codegen'd string splits; session ns/db are catalog-bound
@@ -1909,7 +1927,7 @@ object SurqlQueries {
     mutUpsertPoint, mutRelateStmt,
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert, upsertBare, refOnDelete, refCascade,
-    scriptSchema, scriptUnique, scriptComputed,
+    scriptSchema, scriptUnique, scriptComputed, scriptAlterAnalyzer,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,

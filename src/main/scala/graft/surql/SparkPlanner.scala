@@ -185,6 +185,19 @@ object SparkPlanner {
       destrCols: Map[(String, Seq[String]), String] = Map.empty,
       subqCols: Map[Expr, String] = Map.empty)
 
+  /** Script-scope FTS catalog threaded to the `@@` lowering: analyzers from
+    * DEFINE/ALTER ANALYZER plus search-index field coverage from DEFINE
+    * INDEX … SEARCH ANALYZER (expr/statements/define/analyzer.rs,
+    * alter/analyzer.rs). Ambient like the write overlay — planSelect runs
+    * deep inside statement handling, so the script executor publishes the
+    * catalog here around every plan build. */
+  final case class FtsScope(
+      analyzers: Map[String, graft.surql.Defs.AnalyzerDef],
+      // (table, field) -> (analyzer name, k1, b)
+      fields: Map[(String, String), (String, Double, Double)])
+  private val ftsScope =
+    new scala.util.DynamicVariable[FtsScope](FtsScope(Map.empty, Map.empty))
+
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
     ast.stmts match {
@@ -298,8 +311,19 @@ object SparkPlanner {
     // DEFINE PARAM catalog membership — ALTER PARAM requires it (a LET
     // binding is not alterable, matching Interp's paramDefs keying)
     var paramDefd = Set.empty[String]
+    // script-scope analyzer + search-index catalog (DEFINE/ALTER ANALYZER,
+    // DEFINE INDEX … SEARCH) — published to the `@@` lowering via ftsScope
+    var anaDefs = Map.empty[String, graft.surql.Defs.AnalyzerDef]
+    var ftsFields = Map.empty[(String, String), (String, Double, Double)]
+    var ftsByName = Map.empty[(String, String), Seq[String]] // (table, idx) -> fields
+    var txnAna = anaDefs
+    var txnFtsFields = ftsFields
+    var txnFtsByName = ftsByName
     var last: Option[DataFrame] = scala.None
-    def planWith[T](f: => T): T = Tables.withOverlay(overlay)(f)
+    def planWith[T](f: => T): T =
+      ftsScope.withValue(FtsScope(anaDefs, ftsFields)) {
+        Tables.withOverlay(overlay)(f)
+      }
     def applyComputed(t: String, df: DataFrame): DataFrame =
       computedDefs.getOrElse(t, Vector.empty).foldLeft(df) { (d, fe) =>
         val ctx = Ctx(spark, dir, t, d.schema, Map.empty)
@@ -532,12 +556,14 @@ object SparkPlanner {
       case BeginStmt  =>
         txnBase = overlay; txnParams = params; txnEvents = eventDefs
         txnFlds = fldDefs; txnUniq = uniqDefs; txnComputed = computedDefs
+        txnAna = anaDefs; txnFtsFields = ftsFields; txnFtsByName = ftsByName
         txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
       case CommitStmt => // registrations become permanent catalog entries
         txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
       case CancelStmt =>
         overlay = txnBase; params = txnParams; eventDefs = txnEvents
         fldDefs = txnFlds; uniqDefs = txnUniq; computedDefs = txnComputed
+        anaDefs = txnAna; ftsFields = txnFtsFields; ftsByName = txnFtsByName
         txnAddedKeys.foreach(extraRecordKeys.remove)
         txnAddedEdges.foreach(graft.operators.GraphOps.extraEdgeDefs.remove)
         txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
@@ -592,9 +618,53 @@ object SparkPlanner {
             { probe(); true })
           uniqDefs += s.table -> (uniqDefs.getOrElse(s.table, Vector.empty)
             .filterNot(_._1 == s.name) :+ ((s.name, s.fields)))
-        } // non-unique indexes are advisory on this path (Catalyst pushdown)
+        } else {
+          // DEFINE INDEX … SEARCH/FULLTEXT ANALYZER <a> [BM25(k1,b)]:
+          // register the field coverage so `@@` against it resolves the
+          // chain; the postings build stays lazy (first `@@` pays it —
+          // REBUILD INDEX below forces it eagerly). Other non-unique
+          // indexes are advisory on this path (Catalyst pushdown).
+          val tail = s.meta.map(_.tail).getOrElse("")
+          val up = tail.toUpperCase
+          if (up.startsWith("SEARCH") || up.startsWith("FULLTEXT")) {
+            val ana = "(?i)ANALYZER\\s+(\\S+)".r.findFirstMatchIn(tail)
+              .map(_.group(1))
+              .getOrElse(throw SqlError(
+                s"SparkPlanner: SEARCH index '${s.name}' needs an ANALYZER"))
+            val (k1, b) = "(?i)BM25\\s*\\(\\s*([0-9.]+)\\s*,\\s*([0-9.]+)\\s*\\)".r
+              .findFirstMatchIn(tail)
+              .map(m => (m.group(1).toDouble, m.group(2).toDouble))
+              .getOrElse((1.2, 0.75))
+            s.fields.foreach(f => ftsFields += (s.table, f) -> (ana, k1, b))
+            ftsByName += (s.table, s.name) -> s.fields
+          }
+        }
       case _: DefineTableStmt => () // schema authority is the parquet catalog
-      case _: RebuildIndexStmt => () // derived indexes rebuild lazily here
+      // REBUILD INDEX (expr/statements/rebuild.rs): for a script-defined
+      // SEARCH index, drop the persisted chain postings and build them NOW;
+      // other index kinds rebuild lazily here
+      case s: RebuildIndexStmt =>
+        ftsByName.get((s.table, s.name)) match {
+          case Some(fields) =>
+            fields.foreach { f =>
+              ftsFields.get((s.table, f)).foreach { case (ana, _, _) =>
+                val chain = anaDefs.get(ana).map(_.render).getOrElse(
+                  throw SqlError(s"The analyzer '$ana' does not exist"))
+                if (overlay.contains(s.table)) () // on-the-fly plan, nothing persisted
+                else planWith {
+                  graft.operators.FullText.rebuildChainIndex(
+                    spark, dir, s.table, recordKey(s.table), f, chain)
+                }
+              }
+            }
+          case scala.None =>
+            // matches Interp: rebuilding an index the script never defined
+            // errors unless IF EXISTS (unique indexes have nothing derived
+            // to rebuild — accepted as a no-op)
+            if (!s.ifExists &&
+                !uniqDefs.getOrElse(s.table, Vector.empty).exists(_._1 == s.name))
+              throw SqlError(s"The index '${s.name}' does not exist")
+        }
       // ALTER FIELD (expr/statements/alter.rs; Interp execAlterField):
       // apply the SET/DROP deltas to the script-scope definition so every
       // LATER mutation in the script enforces the altered pipeline —
@@ -642,6 +712,35 @@ object SparkPlanner {
       // ALTER INDEX carries only COMMENT / PREPARE REMOVE — no plan
       // consequence on this path (non-unique indexes are advisory)
       case _: AlterIndexStmt => ()
+      // DEFINE ANALYZER (define/analyzer.rs): script-scope chain catalog;
+      // FUNCTION analyzers are interpreter-only (they call fn:: bodies)
+      case s: DefineAnalyzerStmt =>
+        val exists = anaDefs.contains(s.d.name)
+        val proceed = s.mode match {
+          case "ifnotexists" => !exists
+          case "overwrite"   => true
+          case _ =>
+            if (exists)
+              throw SqlError(s"The analyzer '${s.d.name}' already exists")
+            true
+        }
+        if (proceed) anaDefs += s.d.name -> s.d
+      // ALTER ANALYZER (alter/analyzer.rs): rewrite the chain in place. The
+      // chain index cache keys on the RENDER, so the next `@@` (or REBUILD
+      // INDEX) builds fresh postings under the new chain — the same
+      // config-keyed invalidation the Interp search cache applies.
+      case s: AlterAnalyzerStmt =>
+        anaDefs.get(s.name) match {
+          case scala.None =>
+            if (!s.ifExists)
+              throw SqlError(s"The analyzer '${s.name}' does not exist")
+          case Some(d0) =>
+            var d = d0
+            s.tokenizers.foreach(t => d = d.copy(tokenizers = t))
+            s.filters.foreach(f => d = d.copy(filters = f))
+            s.comment.foreach(c => d = d.copy(comment = c))
+            anaDefs += s.name -> d
+        }
       // ALTER EVENT rewrites the script-scope trigger in place
       case s: AlterEventStmt =>
         val ix = eventDefs.indexWhere(e => e.name == s.name && e.table == s.table)
@@ -1349,25 +1448,63 @@ object SparkPlanner {
     var scoreCol: Option[String] = scala.None
     matchConjs.foreach {
       case Binary(_, Idiom(Seq(PField(f))), rhs) =>
-        // FullTextScan lowering against the persisted postings index. Only
-        // documents.text is indexed in this catalog (DEFINE INDEX … SEARCH).
-        if (table != "documents" || f != "text")
+        // FullTextScan lowering against the persisted postings index: a
+        // script-defined SEARCH index (DEFINE INDEX … SEARCH ANALYZER a)
+        // resolves its analyzer chain from the ambient FtsScope; the
+        // built-in documents.text index keeps the default blank+lowercase
+        // chain. ALTER ANALYZER changes the chain render, which changes the
+        // chain-index cache key — the next `@@` builds fresh postings, the
+        // same config-keyed invalidation the Interp search cache applies.
+        val scope = ftsScope.value
+        val scoped = scope.fields.get((table, f))
+        if (scoped.isEmpty && (table != "documents" || f != "text"))
           throw SqlError(s"SparkPlanner: @@ requires a search-indexed field; $table.$f is not")
-        val terms = Eval.evalConst(rhs) match {
-          case VStr(q) => q.trim.toLowerCase.split("\\s+").toSeq
+        val qtext = Eval.evalConst(rhs) match {
+          case VStr(q) => q
           case other => throw SqlError(s"SparkPlanner: @@ rhs must be a string, got ${other.render}")
         }
-        if (pathExprs.exists(containsScoreFn)) {
-          // score requested → inner-join per-doc BM25 (match filter + score)
-          val sc = graft.operators.FullText.scores(spark, dir, terms)
-            .withColumnRenamed("score", "__fts_score")
-          df = df.join(sc, Seq("doc_id"), "inner")
-          scoreCol = Some("__fts_score")
-        } else {
-          // pure match predicate → postings semi-join
-          val hits = graft.operators.FullText.index(spark, dir)._1
-            .filter(col("term").isin(terms: _*)).select("doc_id").distinct()
-          df = df.join(hits, Seq("doc_id"), "left_semi")
+        val wantScore = pathExprs.exists(containsScoreFn)
+        scoped match {
+          case Some((anaName, k1, b)) =>
+            val anaDef = scope.analyzers.getOrElse(anaName,
+              throw SqlError(s"The analyzer '$anaName' does not exist"))
+            val parsed = graft.functions.Analyze.chain(anaDef.render)
+            if (parsed.function.isDefined)
+              throw SqlError(
+                "SparkPlanner: FUNCTION analyzers are interpreter-only")
+            val key = recordKey(table)
+            // querying-stage analysis of the rhs through the SAME chain
+            val terms = graft.functions.Analyze
+              .analyzeQuery(anaDef.render, qtext).distinct
+            val idx = graft.operators.FullText.chainIndex(spark, dir, table,
+              key, f, anaDef.render,
+              if (Tables.overridden(table)) Some(Tables(spark, dir, table))
+              else scala.None)
+            if (wantScore) {
+              val sc = graft.operators.FullText
+                .chainScores(spark, idx, key, terms, k1, b)
+                .withColumnRenamed("score", "__fts_score")
+              df = df.join(sc, Seq(key), "inner")
+              scoreCol = Some("__fts_score")
+            } else {
+              val hits = idx._1.filter(col("term").isin(terms: _*))
+                .select(key).distinct()
+              df = df.join(hits, Seq(key), "left_semi")
+            }
+          case scala.None =>
+            val terms = qtext.trim.toLowerCase.split("\\s+").toSeq
+            if (wantScore) {
+              // score requested → inner-join per-doc BM25 (match + score)
+              val sc = graft.operators.FullText.scores(spark, dir, terms)
+                .withColumnRenamed("score", "__fts_score")
+              df = df.join(sc, Seq("doc_id"), "inner")
+              scoreCol = Some("__fts_score")
+            } else {
+              // pure match predicate → postings semi-join
+              val hits = graft.operators.FullText.index(spark, dir)._1
+                .filter(col("term").isin(terms: _*)).select("doc_id").distinct()
+              df = df.join(hits, Seq("doc_id"), "left_semi")
+            }
         }
       case other => throw SqlError(s"SparkPlanner: unsupported MATCHES shape $other")
     }

@@ -747,4 +747,66 @@ class DifferentialSpec extends AnyFunSuite {
       "('4.' + <string> qty + '.1').semver_major() AS mj " +
       "FROM item ORDER BY name LIMIT 6")
   }
+
+  test("script-defined SEARCH index: @@ resolves the analyzer chain on both paths") {
+    checkScript(
+      """DEFINE ANALYZER a16 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn ON item FIELDS name SEARCH ANALYZER a16 BM25;
+         SELECT name FROM item WHERE name @@ 'N07' ORDER BY name;""")
+  }
+
+  test("ALTER ANALYZER + REBUILD INDEX change @@ results identically on both paths") {
+    // before the ALTER a 2-char prefix query matches nothing; after the
+    // chain gains edgengram(2,3) the postings carry prefixes and 'n0'
+    // matches every n0X row — on BOTH engines
+    checkScript(
+      """DEFINE ANALYZER a16 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn ON item FIELDS name SEARCH ANALYZER a16 BM25;
+         ALTER ANALYZER a16 TOKENIZERS blank FILTERS lowercase, edgengram(2, 3);
+         REBUILD INDEX ftn ON item;
+         SELECT name FROM item WHERE name @@ 'n0' ORDER BY name;""")
+    // control: WITHOUT the alter, the same prefix query matches nothing
+    checkScript(
+      """DEFINE ANALYZER a16 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn ON item FIELDS name SEARCH ANALYZER a16 BM25;
+         SELECT name FROM item WHERE name @@ 'n0' ORDER BY name;""")
+  }
+
+  test("snowball chain via script-defined SEARCH index agrees across paths") {
+    // grp values are single letters; use tags (t0..t4) with a stemming
+    // chain — snowball leaves short tokens alone, so exercise lowercase
+    // normalization through the chain with an uppercase query instead
+    checkScript(
+      """DEFINE ANALYZER a17 TOKENIZERS blank FILTERS lowercase, snowball(english);
+         DEFINE INDEX ftg ON item FIELDS grp SEARCH ANALYZER a17 BM25;
+         SELECT name, grp FROM item WHERE grp @@ 'A' ORDER BY name;""")
+  }
+
+  test("ALTER ANALYZER on a missing analyzer and REBUILD of a missing index error on both paths") {
+    for (script <- Seq(
+      "ALTER ANALYZER nosuch TOKENIZERS blank; SELECT id FROM item LIMIT 1;",
+      "REBUILD INDEX nosuch ON item; SELECT id FROM item LIMIT 1;")) {
+      val in = new Interp
+      in.run(Parser.parse(fixtureScript))
+      val iv = in.run(Parser.parse(script))
+      assert(iv.exists(_.isInstanceOf[QErr]), s"interp accepted: $script")
+      val sErr = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.script(spark, "/nonexistent", script)
+        }.collect()
+      }
+      assert(sErr.getMessage.contains("does not exist"),
+        s"unexpected spark error for $script: ${sErr.getMessage}")
+    }
+  }
+
+  test("CANCEL rolls back ALTER ANALYZER (chain reverts on both paths)") {
+    checkScript(
+      """DEFINE ANALYZER a18 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftc ON item FIELDS name SEARCH ANALYZER a18 BM25;
+         BEGIN;
+         ALTER ANALYZER a18 TOKENIZERS blank FILTERS lowercase, edgengram(2, 3);
+         CANCEL;
+         SELECT name FROM item WHERE name @@ 'n0' ORDER BY name;""")
+  }
 }

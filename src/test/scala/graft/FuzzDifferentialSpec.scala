@@ -652,7 +652,26 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(24) match {
+    val mut = r.nextInt(25) match {
+      case 24 =>
+        // r16: DEFINE/ALTER ANALYZER + SEARCH index (+ REBUILD) + `@@` —
+        // the chain must resolve identically on both paths, and an ALTER
+        // mid-script must re-key the postings (alter/analyzer.rs,
+        // rebuild.rs). Chains draw from the supported static filter set.
+        val chains = Seq("lowercase", "lowercase, edgengram(2, 3)",
+          "lowercase, snowball(english)", "uppercase", "lowercase, ngram(2, 2)")
+        val c0 = chains(r.nextInt(chains.length))
+        val c1 = chains(r.nextInt(chains.length))
+        val q = Seq(s"N0${r.nextInt(9) + 1}", "n0", "Z", "n1", "n23")(r.nextInt(5))
+        select = s"SELECT name FROM item WHERE name @@ '$q' ORDER BY name;"
+        val alter =
+          if (r.nextBoolean())
+            s"""ALTER ANALYZER az TOKENIZERS blank FILTERS $c1;
+                REBUILD INDEX fz ON item;"""
+          else ""
+        s"""DEFINE ANALYZER az TOKENIZERS blank FILTERS $c0;
+            DEFINE INDEX fz ON item FIELDS name SEARCH ANALYZER az BM25;
+            $alter"""
       case 23 =>
         // ALTER FIELD mid-script re-points the enforcement pipeline for
         // every LATER mutation (expr/statements/alter.rs)
