@@ -15,19 +15,23 @@ package graft.surql
   * Russian, Romanian, Hungarian and Finnish follow their published specs.
   *
   * Coverage caveats, stated exactly: Turkish ports the published
-  * vowel-harmony / optional-buffer-letter suffix chains but omits the
-  * append_U and ad/soyad postludes (not exercised by any reference
-  * vector); Greek follows the Ntais/Saroukos step structure; Arabic
-  * implements normalization plus a SINGLE suffix strip and a SINGLE
-  * article-prefix strip with length guards — a deliberate subset of the
-  * published algorithm's verb/noun suffix chains; Tamil carries the
-  * Damodharan suffix tables the reference's class tokenizer can actually
-  * reach (it virama-splits Tamil words into fragments first — see
+  * vowel-harmony / optional-buffer-letter suffix chains WITH the append_U
+  * and ad/soyad reserved-word postludes; Greek follows the Ntais/Saroukos
+  * step structure; Arabic implements the published step structure in full
+  * (Checks1 flags, verb/noun suffix chains, the prefix family, pre/post
+  * normalization) reconstructed from the specification — the Unicode
+  * presentation-form prelude table and the rare doubled-hamza prefix rows
+  * beyond the two common ones are the only omissions; Tamil carries the
+  * sandhi-aware plural rows, clitics, case set and common tense forms —
+  * the full Damodharan tense tables and fix_endings passes are not
+  * carried (the reference's class tokenizer virama-splits Tamil into
+  * fragments first, so analyzer input rarely reaches them — see
   * [[tamil]]). All 18 languages reproduce the reference's own published
-  * analyzer vectors token for token (SnowballConformanceSpec) and none
-  * falls back to identity, but for Arabic and Tamil inputs beyond the
-  * vector-exercised shapes the subset may diverge from rust_stemmers'
-  * full algorithms.
+  * analyzer vectors token for token (SnowballConformanceSpec), and
+  * Arabic/Tamil/Turkish carry 50+-word step-coverage vectors each
+  * (SnowballWordVectorsSpec) — hand-traced through the published step
+  * structure, with alternation-order-ambiguous shapes excluded rather
+  * than guessed.
   */
 object Snowball {
 
@@ -1856,10 +1860,25 @@ object Snowball {
     if (w0.count(trVowels.contains) < 2) return w0
     val t = new Tr(w0)
     if (t.nominalVerb()) t.nounSuffixes()
-    val w = t.w
+    var w = t.w
+    if (w.isEmpty) return w
+    // postlude (published flow): the reserved words 'ad' (name) and
+    // 'soyad' (surname) skip it entirely — without the guard the final-
+    // consonant step would turn 'ad' into 'at' (horse)
+    if (w == "ad" || w == "soyad") return w
+    // append_U_to_stems_ending_with_d_or_g: a stem left ending in d/g
+    // takes a harmony-matched high vowel (kanadı → kanad → kanadı)
+    if (w.last == 'd' || w.last == 'g') {
+      val lastVowel = w.reverseIterator.find(trVowels.contains)
+      lastVowel.foreach { v =>
+        if ("aı".contains(v)) w += 'ı'
+        else if ("ei".contains(v)) w += 'i'
+        else if ("ou".contains(v)) w += 'u'
+        else if ("öü".contains(v)) w += 'ü'
+      }
+    }
     // post_process_last_consonants: reverse final devoicing
-    if (w.isEmpty) w
-    else w.last match {
+    w.last match {
       case 'b' => w.substring(0, w.length - 1) + 'p'
       case 'c' => w.substring(0, w.length - 1) + 'ç'
       case 'd' => w.substring(0, w.length - 1) + 't'
@@ -2074,66 +2093,250 @@ object Snowball {
 
   // ======================= Arabic ==========================================
   // snowballstem.org/algorithms/arabic/stemmer.html (Assem Chelli's
-  // algorithm via rust_stemmers): tashkeel/tatweel normalization and
-  // hamza-on-alif folding, then the pronoun/feminine/number suffix set and
-  // the definite-article / particle prefixes, guarded by minimum lengths —
-  // suffixes strip only 4+-letter words, and a prefix strip must leave a
-  // 3+-letter stem. The suffix-first order and the guards are pinned by
-  // the reference's own vectors (filter.rs test_arabic_stemmer: الجري
-  // keeps its article because stripping it would leave two letters, while
-  // النوم loses it).
+  // algorithm via rust_stemmers). The published step structure,
+  // reconstructed from the specification: Checks1 sets the verb/defined
+  // flags off the article prefix, Normalize_pre strips tashkeel/tatweel,
+  // suffixes run backwards (verb object-pronoun + person-ending chains
+  // while the verb flag is live, else the noun possessive/number/feminine
+  // chains, else the alef-maqsura fold), prefixes run forwards
+  // (conjunction \u0648/\u0641, the article family, the \u0633-future
+  // marker and \u064A\u0633\u062A/\u0646\u0633\u062A/\u062A\u0633\u062A
+  // \u2192 \u0627\u0633\u062A), and Normalize_post folds hamza carriers.
+  // Length guards are the spec's: 2-letter stems never result. All 15
+  // words of the reference's own vector (filter.rs test_arabic_stemmer)
+  // trace through this structure, as do the step-coverage vectors in
+  // SnowballConformanceSpec. Residual reconstruction gaps, stated exactly:
+  // the Unicode presentation-form (U+FExx) prelude table is omitted (no
+  // plain-text corpus reaches it), and doubled-hamza prefix rows beyond
+  // the two common ones are not carried.
 
-  private val arSuffixes: Seq[String] = Seq(
-    "كما", "هما", "تان", "تين", "ها", "ان", "ات", "ون", "ين", "كم", "كن",
-    "هم", "هن", "نا", "وا", "ما", "ة", "ه", "ي", "ك", "ا")
-
-  private val arPrefixes: Seq[String] = Seq(
-    "وال", "فال", "بال", "كال", "لل", "ال")
+  private def arStripFirst(w: String, minLen: Int,
+      ss: String*): Option[String] =
+    ss.sortBy(-_.length).collectFirst {
+      case s if w.endsWith(s) && w.length >= minLen => w.dropRight(s.length)
+    }
 
   def arabic(word0: String): String = {
-    // Normalize_pre: strip harakat/tanween/shadda/sukun, tatweel and the
-    // quranic superscript alef; fold hamza-carrying alefs to bare alef
+    // ---- Normalize_pre: tashkeel/tanween/shadda/sukun, tatweel, quranic
+    // superscript alef; wasla folds to alef; Arabic-Indic digits to ASCII
     var w = word0.filterNot(c => (c >= '\u064B' && c <= '\u0652') ||
       c == '\u0640' || c == '\u0670')
-    w = w.map { case 'أ' | 'إ' | 'آ' | 'ٱ' => 'ا'; case c => c }
-    if (w.length < 4) return w
-    arSuffixes.sortBy(-_.length)
-      .find(s => w.endsWith(s) && w.length - s.length >= 3)
-      .foreach(s => w = w.dropRight(s.length))
-    arPrefixes.find(p => w.startsWith(p) && w.length - p.length >= 3)
-      .foreach(p => w = w.drop(p.length))
-    w
+    w = w.map {
+      case '\u0671' => '\u0627'
+      case c if c >= '\u0660' && c <= '\u0669' => ('0' + (c - '\u0660')).toChar
+      case c => c
+    }
+    // ---- Checks1: definite-article detection sets the flags (no strip)
+    var isVerb = true
+    var isDefined = false
+    if ((w.startsWith("\u0628\u0627\u0644") || w.startsWith("\u0643\u0627\u0644") ||
+        w.startsWith("\u0648\u0627\u0644") || w.startsWith("\u0641\u0627\u0644")) && w.length > 4) {
+      isVerb = false; isDefined = true
+    } else if ((w.startsWith("\u0627\u0644") || w.startsWith("\u0644\u0644")) && w.length > 3) {
+      isVerb = false; isDefined = true
+    }
+
+    // ---- Suffixes (backwards): verb chains first while the verb flag is
+    // live, the noun chains otherwise, the alef-maqsura fold last.
+    def verbSuffixes(): Boolean = {
+      // Suffix_Verb_Step1: attached object pronouns
+      val s1 = arStripFirst(w, 6, "\u0647\u0645\u0627", "\u0643\u0645\u0627", "\u0643\u0645\u0648")
+        .orElse(arStripFirst(w, 5, "\u0646\u064A", "\u0646\u0627", "\u0647\u0627", "\u0647\u0645",
+          "\u0647\u0646", "\u0643\u0645", "\u0643\u0646"))
+        .orElse(arStripFirst(w, 4, "\u0647", "\u0643"))
+      s1 match {
+        case Some(w1) =>
+          w = w1
+          // a person ending may precede the pronoun: Step2a/2c, optional
+          arStripFirst(w, 6, "\u062A\u0645\u0627", "\u062A\u0645\u0648")
+            .orElse(arStripFirst(w, 5, "\u0646\u0627", "\u062A\u0627", "\u062A\u0646",
+              "\u0627\u0646", "\u0648\u0646", "\u064A\u0646"))
+            .orElse(arStripFirst(w, 4, "\u062A", "\u0627", "\u0646", "\u064A", "\u0648"))
+            .foreach(w = _)
+          true
+        case scala.None =>
+          // Suffix_Verb_Step2b: plural/second-person endings
+          arStripFirst(w, 5, "\u0648\u0627", "\u062A\u0645") match {
+            case Some(w1) => w = w1; true
+            case scala.None =>
+              // Suffix_Verb_Step2a: bare person endings
+              arStripFirst(w, 6, "\u062A\u0645\u0627")
+                .orElse(arStripFirst(w, 5, "\u0646\u0627", "\u062A\u0627", "\u062A\u0646",
+                  "\u0627\u0646", "\u0648\u0646", "\u064A\u0646"))
+                .orElse(arStripFirst(w, 4, "\u062A", "\u0627", "\u0646", "\u064A")) match {
+                case Some(w1) => w = w1; true
+                case scala.None => false
+              }
+          }
+      }
+    }
+    def nounSuffixes(): Boolean = {
+      val fired =
+        // Suffix_Noun_Step2c2: the feminine \u0629
+        arStripFirst(w, 4, "\u0629").map(v => { w = v; v }).isDefined || {
+          // Step1a possessives (indefinite words only) + optional number
+          (!isDefined && {
+            arStripFirst(w, 6, "\u0643\u0645\u0627", "\u0647\u0645\u0627")
+              .orElse(arStripFirst(w, 5, "\u0646\u0627", "\u0643\u0645", "\u0647\u0627",
+                "\u0647\u0646", "\u0647\u0645"))
+              .orElse(arStripFirst(w, 4, "\u064A", "\u0643", "\u0647")) match {
+              case Some(w1) =>
+                w = w1
+                arStripFirst(w, 5, "\u0627\u062A")
+                  .orElse(arStripFirst(w, 4, "\u0627", "\u064A", "\u0648", "\u062A"))
+                  .foreach(w = _)
+                true
+              case scala.None => false
+            }
+          })
+        } || {
+          // Suffix_Noun_Step1b: sound-plural \u0646 chained to a number
+          (w.endsWith("\u0646") && w.length > 5) && {
+            val w1 = w.dropRight(1)
+            arStripFirst(w1, 5, "\u0627\u062A")
+              .orElse(arStripFirst(w1, 4, "\u0627", "\u064A", "\u0648", "\u062A")) match {
+              case Some(w2) => w = w2; true
+              case scala.None => false
+            }
+          }
+        } ||
+        (!isDefined &&
+          arStripFirst(w, 4, "\u0627", "\u064A", "\u0648").map(v => { w = v; v }).isDefined) ||
+        arStripFirst(w, 5, "\u0627\u062A").map(v => { w = v; v }).isDefined
+      // Suffix_Noun_Step3: the nisba \u064A
+      arStripFirst(w, 4, "\u064A").foreach(w = _)
+      fired
+    }
+    if (!(isVerb && verbSuffixes())) {
+      if (!nounSuffixes()) {
+        // Suffix_All_alef_maqsura: \u0649 \u2192 \u064A
+        if (w.endsWith("\u0649")) w = w.dropRight(1) + "\u064A"
+      }
+    }
+
+    // ---- Prefixes (forwards)
+    // Prefix_Step1: doubled initial hamza collapses
+    if (w.length > 3) {
+      if (w.startsWith("\u0623\u0623")) w = "\u0623" + w.substring(2)
+      else if (w.startsWith("\u0623\u0622")) w = "\u0622" + w.substring(2)
+    }
+    // Prefix_Step2: conjunction \u0648 / \u0641 (not off a \u0648\u0627/\u0641\u0627
+    // opening, which belongs to the following alef)
+    if (w.length > 3 && (w.startsWith("\u0648") || w.startsWith("\u0641")) &&
+        w.charAt(1) != '\u0627')
+      w = w.substring(1)
+    // Prefix_Step3: article family / the \u0628 preposition / verb preformatives
+    if ((w.startsWith("\u0628\u0627\u0644") || w.startsWith("\u0643\u0627\u0644") ||
+        w.startsWith("\u0648\u0627\u0644") || w.startsWith("\u0641\u0627\u0644")) && w.length > 5)
+      w = w.substring(3)
+    else if ((w.startsWith("\u0627\u0644") || w.startsWith("\u0644\u0644")) && w.length > 4)
+      w = w.substring(2)
+    else if (!isVerb && w.length > 3 && w.startsWith("\u0628\u0628"))
+      w = "\u0628" + w.substring(2)
+    else if (!isVerb && w.length > 3 && w.startsWith("\u0643\u0643"))
+      w = "\u0643" + w.substring(2)
+    else if (isVerb && w.length > 4 &&
+        (w.startsWith("\u0633\u064A") || w.startsWith("\u0633\u062A") ||
+          w.startsWith("\u0633\u0646") || w.startsWith("\u0633\u0623")))
+      w = w.substring(1) // the \u0633 future marker; the preformative stays
+    else if (isVerb && w.length > 4 &&
+        (w.startsWith("\u064A\u0633\u062A") || w.startsWith("\u0646\u0633\u062A") ||
+          w.startsWith("\u062A\u0633\u062A")))
+      w = "\u0627" + w.substring(1) // form-X preformative folds to \u0627\u0633\u062A
+
+    // ---- Normalize_post: hamza carriers
+    if (w.nonEmpty && "\u0622\u0623\u0625\u0624\u0626".contains(w.last))
+      w = w.substring(0, w.length - 1) + "\u0621"
+    w.map {
+      case '\u0622' | '\u0623' | '\u0625' => '\u0627'
+      case '\u0624' => '\u0648'
+      case '\u0626' => '\u064A'
+      case c => c
+    }
   }
 
   // ======================= Tamil ===========================================
   // snowballstem.org/algorithms/tamil/stemmer.html (Damodharan's algorithm
-  // via rust_stemmers): question clitics, plural கள், the உம் clitic, case
-  // endings and tense suffixes, gated on words longer than 4 letters.
-  // Through the reference's blank,class analyzer chain Tamil words reach
-  // the stemmer as virama-split fragments (the class tokenizer drops the
-  // pulli ் and starts a new token — filter.rs test_tamil_stemmer pins
-  // this), so the virama-bearing suffix tables rarely fire on analyzer
-  // input; this implementation carries the plural/question/உம் tables for
-  // intact words plus the fragment-visible tense endings (final ன / ய)
-  // the reference's own vectors exercise.
+  // via rust_stemmers): question clitics, the plural with its sandhi
+  // compounds, the \u0bc1\u0bae\u0bcd clitic, the vetrumai-urupukal case
+  // set, and the common third-person tense forms, gated on words longer
+  // than 4 letters. Through the reference's blank,class analyzer chain
+  // Tamil words reach the stemmer as virama-split fragments (the class
+  // tokenizer drops the pulli and starts a new token \u2014 filter.rs
+  // test_tamil_stemmer pins this), so the virama-bearing tables fire only
+  // under a blank-only tokenizer; the fragment-visible endings the
+  // reference's own vectors exercise are carried too. Coverage stated
+  // exactly: the full tense-suffix tables and the fix_endings
+  // normalization passes of the published algorithm are not carried.
+
+  /** Sandhi-aware plural rows (\u0b95\u0bb3\u0bcd after stem-final
+    * \u0bae\u0bcd/\u0bb2\u0bcd/\u0bb3\u0bcd assimilates): each row is
+    * (suffix, replacement). */
+  private val taPlural: Seq[(String, String)] = Seq(
+    ("\u0b99\u0bcd\u0b95\u0bb3\u0bcd", "\u0bae\u0bcd"), // ngkaL -> m
+    ("\u0bb1\u0bcd\u0b95\u0bb3\u0bcd", "\u0bb2\u0bcd"), // RkaL -> l
+    ("\u0b9f\u0bcd\u0b95\u0bb3\u0bcd", "\u0bb3\u0bcd"), // TkaL -> L
+    ("\u0b95\u0bcd\u0b95\u0bb3\u0bcd", ""),                // kkaL ->
+    ("\u0bb0\u0bcd\u0b95\u0bb3\u0bcd", "\u0bb0\u0bcd"), // rkaL -> r
+    ("\u0b95\u0bb3\u0bcd", ""))                              // kaL ->
+
+  /** Common third-person tense forms (present/past + gender/number),
+    * stripped whole on intact verbs. */
+  private val taTense: Seq[String] = Seq(
+    "\u0b95\u0bbf\u0bb1\u0bbe\u0bb0\u0bcd\u0b95\u0bb3\u0bcd", // kiRArkaL
+    "\u0b95\u0bbf\u0bb1\u0bbe\u0ba9\u0bcd",  // kiRAn
+    "\u0b95\u0bbf\u0bb1\u0bbe\u0bb3\u0bcd",  // kiRAL
+    "\u0b95\u0bbf\u0bb1\u0bbe\u0bb0\u0bcd",  // kiRAr
+    "\u0b95\u0bbf\u0bb1\u0ba4\u0bc1",          // kiRathu
+    "\u0ba8\u0bcd\u0ba4\u0bbe\u0ba9\u0bcd",  // nthAn
+    "\u0ba8\u0bcd\u0ba4\u0bbe\u0bb3\u0bcd",  // nthAL
+    "\u0ba8\u0bcd\u0ba4\u0bbe\u0bb0\u0bcd",  // nthAr
+    "\u0ba8\u0bcd\u0ba4\u0ba4\u0bc1")          // nthathu
+
+  /** Case endings (vetrumai urupukal), longest match first. */
+  private val taCase: Seq[String] = Seq(
+    "\u0bbf\u0bb2\u0bbf\u0bb0\u0bc1\u0ba8\u0bcd\u0ba4\u0bc1", // ilirunthu
+    "\u0bc1\u0b95\u0bcd\u0b95\u0bbe\u0b95",  // ukkAka
+    "\u0bbf\u0ba9\u0bbe\u0bb2\u0bcd",          // inAl
+    "\u0bc1\u0b95\u0bcd\u0b95\u0bc1",          // ukku
+    "\u0bc1\u0b9f\u0ba9\u0bcd",                  // udan
+    "\u0bbf\u0b9f\u0bae\u0bcd",                  // idam
+    "\u0bbe\u0bb2\u0bcd",                          // Al
+    "\u0bcb\u0b9f\u0bc1",                          // Odu
+    "\u0bca\u0b9f\u0bc1",                          // odu
+    "\u0bbf\u0bb2\u0bcd",                          // il
+    "\u0bbf\u0ba9\u0bcd")                          // in
 
   def tamil(word0: String): String = {
     var w = word0
     if (w.length <= 4) return w // has_min_length: len > 4
-    // question clitics: final lengthened ஆ/ஓ/ஏ (sign or independent form)
-    if ("ாோேஆஓஏ".exists(c => w.last == c) && w.length > 5) w = w.dropRight(1)
-    // plural கள் (with its compound forms) on intact (virama-bearing) words
-    if (w.endsWith("க்கள்") && w.length - 5 >= 3) w = w.dropRight(5)
-    else if (w.endsWith("ர்கள்") && w.length - 5 >= 3) w = w.dropRight(5) + "ர்"
-    else if (w.endsWith("கள்") && w.length - 3 >= 3) w = w.dropRight(3)
-    // the உம் clitic
-    if (w.endsWith("ும்") && w.length - 3 >= 3) w = w.dropRight(3)
-    // intact case endings (vetrumai urupukal)
-    Seq("ுடன்", "ிடம்", "ினால்", "ோடு", "ில்", "ின்").sortBy(-_.length)
+    // question clitics: final lengthened \u0b86/\u0b93/\u0b8f
+    if ("\u0bbe\u0bcb\u0bc7\u0b86\u0b93\u0b8f".exists(c => w.last == c) && w.length > 5)
+      w = w.dropRight(1)
+    // the plural with its sandhi compounds, on intact (virama) words
+    taPlural.collectFirst {
+      case (s, r) if w.endsWith(s) && w.length - s.length + r.length >= 3 =>
+        w.dropRight(s.length) + r
+    }.foreach(w = _)
+    // the \u0bc1\u0bae\u0bcd clitic
+    if (w.endsWith("\u0bc1\u0bae\u0bcd") && w.length - 3 >= 3) w = w.dropRight(3)
+    // common third-person tense forms, whole
+    taTense.sortBy(-_.length)
       .find(s => w.endsWith(s) && w.length - s.length >= 3)
       .foreach(s => w = w.dropRight(s.length))
+    // intact case endings (vetrumai urupukal)
+    taCase.sortBy(-_.length)
+      .find(s => w.endsWith(s) && w.length - s.length >= 3)
+      .foreach(s => w = w.dropRight(s.length))
+    // the accusative \u0bc8 strips only off a doubled-consonant oblique
+    // (e.g. \u0ba4\u0bcd\u0ba4\u0bc8) \u2014 a bare \u0bc8 fragment
+    // stays, as the reference's own vector pins
+    if (w.length >= 4 && w.last == '\u0bc8' &&
+        w.charAt(w.length - 3) == '\u0bcd' &&
+        w.charAt(w.length - 2) == w.charAt(w.length - 4))
+      w = w.dropRight(1)
     // fragment-visible tense/participle endings
-    if (w.length > 4 && (w.endsWith("ன") || w.endsWith("ய")))
+    if (w.length > 4 && (w.endsWith("\u0ba9") || w.endsWith("\u0baf")))
       w = w.dropRight(1)
     w
   }
