@@ -1834,6 +1834,17 @@ object SurqlQueries {
        REBUILD INDEX ft16 ON documents;
        SELECT doc_id FROM documents WHERE text @@ 'mer' ORDER BY doc_id;""")
 
+  /** DEFINE FUNCTION on the Spark script path (define/function.rs): a user
+    * fn:: with an expression body macro-inlines at plan time — the call
+    * costs nothing at runtime (it IS the substituted expression inside
+    * whole-stage codegen). The oracle replays the arithmetic directly. */
+  val scriptDefineFunction = sq("script_define_function",
+    """SELECT o_orderkey, round(o_totalprice * 1.08 + 5.0, 4) AS taxed
+       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")(
+    """DEFINE FUNCTION fn::taxed($p: number) { RETURN math::fixed($p * 1.08 + 5.0, 4) };
+       SELECT o_orderkey, fn::taxed(o_totalprice) AS taxed FROM orders
+       WHERE o_orderkey < 100 ORDER BY o_orderkey;""")
+
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,
     * fnc/session.rs): record ids travel as `table:key` strings, so the
     * accessors are codegen'd string splits; session ns/db are catalog-bound
@@ -1928,6 +1939,7 @@ object SurqlQueries {
     dynamicScan, mockSource, orderRand, fnRand, versionScope, timeoutScope,
     subqueryParent, fnRecordMeta, scriptTxn, scriptCancel, scriptInsert, upsertBare, refOnDelete, refCascade,
     scriptSchema, scriptUnique, scriptComputed, scriptAlterAnalyzer,
+    scriptDefineFunction,
     defineEvent, omitFields, infoDb, infoTable, fnBreadth, fnBreadth2, scriptFor,
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,

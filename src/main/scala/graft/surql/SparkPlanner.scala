@@ -198,6 +198,33 @@ object SparkPlanner {
   private val ftsScope =
     new scala.util.DynamicVariable[FtsScope](FtsScope(Map.empty, Map.empty))
 
+  /** Script-scope DEFINE FUNCTION catalog (define/function.rs). A user
+    * fn:: with an EXPRESSION body (single RETURN) inlines at plan time —
+    * parameters substitute for the argument expressions and the body
+    * lowers like any other expression, so the call is a zero-cost macro
+    * inside whole-stage codegen. Multi-statement bodies (LET/FOR/
+    * subquery sequencing) stay interpreter-only. */
+  private val fnScope =
+    new scala.util.DynamicVariable[Map[String, DefineFunctionStmt]](Map.empty)
+  /** fn:: inline depth — the reference errors at the 16th nested frame
+    * (err/mod.rs ComputationDepthExceeded). */
+  private val fnDepth = new scala.util.DynamicVariable[Int](0)
+
+  private def inlineUserFn(n: String, args: Seq[Expr]): Expr = {
+    val d = fnScope.value(n)
+    if (args.length != d.params.length)
+      throw SqlError(s"Expected ${d.params.length} arguments for function '$n'")
+    if (fnDepth.value >= 16)
+      throw SqlError("Reached excessive computation depth due to functions, subqueries, or computed values")
+    val body = d.body match {
+      case BlockExpr(Seq(ReturnStmt(e))) => e
+      case BlockExpr(_) => throw SqlError(
+        s"SparkPlanner: multi-statement body of '$n' is interpreter-only")
+      case e => e
+    }
+    Subst.exprE(body, d.params.map(_._1).zip(args).toMap)
+  }
+
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
     ast.stmts match {
@@ -319,10 +346,16 @@ object SparkPlanner {
     var txnAna = anaDefs
     var txnFtsFields = ftsFields
     var txnFtsByName = ftsByName
+    // script-scope DEFINE FUNCTION catalog (expression bodies inline at
+    // plan time — see fnScope/inlineUserFn)
+    var userFns = Map.empty[String, DefineFunctionStmt]
+    var txnUserFns = userFns
     var last: Option[DataFrame] = scala.None
     def planWith[T](f: => T): T =
       ftsScope.withValue(FtsScope(anaDefs, ftsFields)) {
-        Tables.withOverlay(overlay)(f)
+        fnScope.withValue(userFns) {
+          Tables.withOverlay(overlay)(f)
+        }
       }
     def applyComputed(t: String, df: DataFrame): DataFrame =
       computedDefs.getOrElse(t, Vector.empty).foldLeft(df) { (d, fe) =>
@@ -557,6 +590,7 @@ object SparkPlanner {
         txnBase = overlay; txnParams = params; txnEvents = eventDefs
         txnFlds = fldDefs; txnUniq = uniqDefs; txnComputed = computedDefs
         txnAna = anaDefs; txnFtsFields = ftsFields; txnFtsByName = ftsByName
+        txnUserFns = userFns
         txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
       case CommitStmt => // registrations become permanent catalog entries
         txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
@@ -564,6 +598,7 @@ object SparkPlanner {
         overlay = txnBase; params = txnParams; eventDefs = txnEvents
         fldDefs = txnFlds; uniqDefs = txnUniq; computedDefs = txnComputed
         anaDefs = txnAna; ftsFields = txnFtsFields; ftsByName = txnFtsByName
+        userFns = txnUserFns
         txnAddedKeys.foreach(extraRecordKeys.remove)
         txnAddedEdges.foreach(graft.operators.GraphOps.extraEdgeDefs.remove)
         txnAddedKeys = Set.empty; txnAddedEdges = Set.empty
@@ -712,6 +747,39 @@ object SparkPlanner {
       // ALTER INDEX carries only COMMENT / PREPARE REMOVE — no plan
       // consequence on this path (non-unique indexes are advisory)
       case _: AlterIndexStmt => ()
+      // DEFINE FUNCTION (define/function.rs): script-scope catalog;
+      // expression bodies inline at plan time (fnScope)
+      case s: DefineFunctionStmt =>
+        val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
+        val exists = userFns.contains(full)
+        val proceed = s.mode match {
+          case "ifnotexists" => !exists
+          case "overwrite"   => true
+          case _ =>
+            if (exists)
+              throw SqlError(s"The function '$full' already exists")
+            true
+        }
+        if (proceed) userFns += full -> s
+      // ALTER FUNCTION (alter/function.rs): rebind the body in place
+      case s: AlterFunctionStmt =>
+        val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
+        userFns.get(full) match {
+          case scala.None =>
+            if (!s.ifExists)
+              throw SqlError(s"The function '$full' does not exist")
+          case Some(_) =>
+            s.redefine.foreach(r => userFns += full -> r)
+        }
+      case s: RemoveStmt if s.what == "FUNCTION" =>
+        val full = if (s.name.startsWith("fn::")) s.name else "fn::" + s.name
+        if (!userFns.contains(full) && !s.ifExists)
+          throw SqlError(s"The function '$full' does not exist")
+        userFns -= full
+      case s: RemoveStmt if s.what == "ANALYZER" =>
+        if (!anaDefs.contains(s.name) && !s.ifExists)
+          throw SqlError(s"The analyzer '${s.name}' does not exist")
+        anaDefs -= s.name
       // DEFINE ANALYZER (define/analyzer.rs): script-scope chain catalog;
       // FUNCTION analyzers are interpreter-only (they call fn:: bodies)
       case s: DefineAnalyzerStmt =>
@@ -3631,6 +3699,9 @@ object SparkPlanner {
     def c(x: Expr): Column = toCol(x, ctx)
     val schema = ctx.schema
     e match {
+      // user fn:: from the script catalog: macro-inline (see fnScope)
+      case FnCall(n, args) if n.startsWith("fn::") && fnScope.value.contains(n) =>
+        fnDepth.withValue(fnDepth.value + 1) { c(inlineUserFn(n, args)) }
       case Lit(VInt(i))    => lit(i)
       case Lit(VFloat(d))  => lit(d)
       case Lit(VStr(s))    => lit(s)

@@ -809,4 +809,81 @@ class DifferentialSpec extends AnyFunSuite {
          CANCEL;
          SELECT name FROM item WHERE name @@ 'n0' ORDER BY name;""")
   }
+
+  test("DEFINE FUNCTION: expression body inlines on the Spark path") {
+    checkScript(
+      """DEFINE FUNCTION fn::taxed($p: number) { RETURN $p * 1.5 + 2 };
+         SELECT name, fn::taxed(price) AS t FROM item ORDER BY name LIMIT 8;""")
+    // nested user functions
+    checkScript(
+      """DEFINE FUNCTION fn::double($x: number) { RETURN $x * 2 };
+         DEFINE FUNCTION fn::quad($x: number) { RETURN fn::double(fn::double($x)) };
+         SELECT name, fn::quad(qty) AS q FROM item ORDER BY name LIMIT 8;""")
+    // string body + builtin composition
+    checkScript(
+      """DEFINE FUNCTION fn::shout($s: string) { RETURN string::uppercase($s) + '!' };
+         SELECT fn::shout(name) AS sh FROM item ORDER BY sh LIMIT 5;""")
+  }
+
+  test("ALTER FUNCTION rebinds the body identically on both paths") {
+    checkScript(
+      """DEFINE FUNCTION fn::f($x: number) { RETURN $x + 1 };
+         ALTER FUNCTION fn::f ($x: number) { RETURN $x * 10 };
+         SELECT name, fn::f(qty) AS v FROM item ORDER BY name LIMIT 6;""")
+  }
+
+  test("REMOVE FUNCTION / undefined fn:: error on both paths") {
+    for (script <- Seq(
+      """DEFINE FUNCTION fn::g($x: number) { RETURN $x };
+         REMOVE FUNCTION fn::g;
+         SELECT fn::g(qty) AS v FROM item LIMIT 1;""",
+      "ALTER FUNCTION fn::nosuch ($x: number) { RETURN $x }; SELECT name FROM item LIMIT 1;",
+      "REMOVE ANALYZER nosuch; SELECT name FROM item LIMIT 1;")) {
+      val in = new Interp
+      in.run(Parser.parse(fixtureScript))
+      val iv = in.run(Parser.parse(script))
+      assert(iv.exists(_.isInstanceOf[QErr]), s"interp accepted: $script")
+      val sErr = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.script(spark, "/nonexistent", script)
+        }.collect()
+      }
+      assert(sErr.getMessage != null, s"no spark error for $script")
+    }
+  }
+
+  test("self-recursive fn:: hits the computation-depth error on both paths") {
+    val script =
+      """DEFINE FUNCTION fn::r($x: number) { RETURN fn::r($x + 1) };
+         SELECT fn::r(qty) AS v FROM item LIMIT 1;"""
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    val iv = in.run(Parser.parse(script))
+    assert(iv.exists {
+      case QErr(m) => m.contains("computation depth"); case _ => false
+    }, s"interp: $iv")
+    val sErr = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script)
+      }.collect()
+    }
+    assert(sErr.getMessage.contains("computation depth"), sErr.getMessage)
+  }
+
+  test("CANCEL rolls back DEFINE FUNCTION made inside the transaction") {
+    val script =
+      """BEGIN;
+         DEFINE FUNCTION fn::tmp($x: number) { RETURN $x };
+         CANCEL;
+         SELECT fn::tmp(qty) AS v FROM item LIMIT 1;"""
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    val iv = in.run(Parser.parse(script))
+    assert(iv.exists(_.isInstanceOf[QErr]), s"interp accepted: $iv")
+    intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script)
+      }.collect()
+    }
+  }
 }

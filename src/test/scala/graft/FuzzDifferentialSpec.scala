@@ -652,7 +652,28 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"CREATE item:$k SET grp = 'z', qty = ${r.nextInt(7)}, price = ${r.nextInt(50)}.5, " +
         s"num = $k, name = 'n$k', ts = d'2024-01-01T00:00:00Z', tags = ['t9']$extra;"
     var select = "SELECT name, grp, qty, price FROM item ORDER BY name;"
-    val mut = r.nextInt(25) match {
+    val mut = r.nextInt(26) match {
+      case 25 =>
+        // r16: DEFINE/ALTER/REMOVE FUNCTION — expression bodies inline at
+        // plan time on the Spark path (define/function.rs); the same
+        // script must agree value-for-value with the interpreter
+        val bodies = Seq(
+          "$x * 2 + 1", "$x + $x", "math::floor($x / 2)",
+          s"$$x * ${r.nextInt(9) + 1}", "math::abs($x - 10)")
+        val b0 = bodies(r.nextInt(bodies.length))
+        val b1 = bodies(r.nextInt(bodies.length))
+        select = "SELECT name, fn::fz(qty) AS v FROM item ORDER BY name;"
+        r.nextInt(3) match {
+          case 0 =>
+            s"DEFINE FUNCTION fn::fz($$x: number) { RETURN $b0 };"
+          case 1 =>
+            s"""DEFINE FUNCTION fn::fz($$x: number) { RETURN $b0 };
+                ALTER FUNCTION fn::fz ($$x: number) { RETURN $b1 };"""
+          case _ =>
+            // nested user functions
+            s"""DEFINE FUNCTION fn::inner($$x: number) { RETURN $b0 };
+                DEFINE FUNCTION fn::fz($$x: number) { RETURN fn::inner($$x) + 1 };"""
+        }
       case 24 =>
         // r16: DEFINE/ALTER ANALYZER + SEARCH index (+ REBUILD) + `@@` —
         // the chain must resolve identically on both paths, and an ALTER
