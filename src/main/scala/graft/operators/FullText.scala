@@ -17,8 +17,11 @@ import graft.functions.Exact
   * per-document score aggregation. At 100 TB the postings table would be
   * written out bucketed by term so query joins are shuffle-free.
   *
-  * BM25: k1=1.2, b=0.75, idf = ln(1 + (N-df+0.5)/(df+0.5)) — the exact
-  * formula of the reference's scorer (idx/ft/fulltext.rs). */
+  * BM25: k1=1.2, b=0.75 with the reference scorer's exact shape
+  * (idx/ft/fulltext.rs:919-953): idf = ln((N-df+0.5)/(df+0.5)) clamped to
+  * >= 0, and a LOG-DAMPED term frequency tf' = 1 + ln(tf) — not the
+  * classic raw-tf BM25 (caught by an interp-vs-Spark score differential
+  * in r16; the DuckDB oracle twins replay the same shape). */
 object FullText {
 
   private val K1 = 1.2
@@ -75,13 +78,21 @@ object FullText {
       .join(dl, "doc_id")
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(glob))
-      .select(col("doc_id"), (
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf").cast("double") * lit(K1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
-        .as("term_score"))
+      .select(col("doc_id"),
+        bm25TermScore(col("tf"), col("df"), col("n"), col("dl"),
+          col("avgdl"), K1, B).as("term_score"))
     scored.groupBy("doc_id").agg(round(sum(col("term_score")), 4).as("score"))
+  }
+
+  /** One term's BM25 contribution, the reference scorer's exact shape
+    * (fulltext.rs:919-953): clamped idf, log-damped tf'. */
+  private def bm25TermScore(tf: Column, df: Column, n: Column, dl: Column,
+      avgdl: Column, k1: Double, b: Double): Column = {
+    val idf = greatest(lit(0.0),
+      log((n - df + lit(0.5)) / (df + lit(0.5))))
+    val tfPrime = lit(1.0) + log(tf.cast("double"))
+    idf * lit(k1 + 1.0) * tfPrime /
+      (tfPrime + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
   }
 
   /** BM25 top-k (FullTextScan + SortTopK → TakeOrderedAndProject). */
@@ -105,10 +116,12 @@ object FullText {
         dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
         scored AS (
           SELECT post.doc_id,
-                 ln(CAST(1.0 AS DOUBLE) + (stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
-                      / (dfreq.df + CAST(0.5 AS DOUBLE)))
-                 * (CAST(post.tf AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
-                 / (CAST(post.tf AS DOUBLE)
+                 greatest(CAST(0.0 AS DOUBLE),
+                          ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                             / (dfreq.df + CAST(0.5 AS DOUBLE))))
+                 * CAST(${K1 + 1.0} AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) + ln(CAST(post.tf AS DOUBLE)))
+                 / ((CAST(1.0 AS DOUBLE) + ln(CAST(post.tf AS DOUBLE)))
                     + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
                         + CAST($B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
                    AS term_score
@@ -193,12 +206,9 @@ object FullText {
       .join(dl, keyCol)
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(glob))
-      .select(col(keyCol), (
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
-        .as("term_score"))
+      .select(col(keyCol),
+        bm25TermScore(col("tf"), col("df"), col("n"), col("dl"),
+          col("avgdl"), k1, b).as("term_score"))
     scored.groupBy(keyCol).agg(round(sum(col("term_score")), 4).as("score"))
   }
 
@@ -244,12 +254,9 @@ object FullText {
       .join(dl, "doc_id")
       .join(broadcast(df_), "term")
       .crossJoin(broadcast(glob))
-      .select(col("doc_id"), (
-        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-          (col("tf").cast("double") * lit(K1 + 1.0)) /
-          (col("tf").cast("double") +
-            lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / col("avgdl"))))
-        .as("term_score"))
+      .select(col("doc_id"),
+        bm25TermScore(col("tf"), col("df"), col("n"), col("dl"),
+          col("avgdl"), K1, B).as("term_score"))
       .groupBy("doc_id").agg(round(sum(col("term_score")), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
@@ -278,10 +285,12 @@ object FullText {
         dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY 1),
         scored AS (
           SELECT post.doc_id,
-                 ln(CAST(1.0 AS DOUBLE) + (stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
-                      / (dfreq.df + CAST(0.5 AS DOUBLE)))
-                 * (CAST(post.tf AS DOUBLE) * CAST(${K1 + 1.0} AS DOUBLE))
-                 / (CAST(post.tf AS DOUBLE)
+                 greatest(CAST(0.0 AS DOUBLE),
+                          ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                             / (dfreq.df + CAST(0.5 AS DOUBLE))))
+                 * CAST(${K1 + 1.0} AS DOUBLE)
+                 * (CAST(1.0 AS DOUBLE) + ln(CAST(post.tf AS DOUBLE)))
+                 / ((CAST(1.0 AS DOUBLE) + ln(CAST(post.tf AS DOUBLE)))
                     + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
                         + CAST($B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
                    AS term_score

@@ -886,4 +886,15 @@ class DifferentialSpec extends AnyFunSuite {
       }.collect()
     }
   }
+
+  test("search::score over a script-defined SEARCH index agrees across paths") {
+    // BM25 over a custom chain: both engines build postings through the
+    // same analyzer and score with the same k1/b — rounded to 4 to absorb
+    // summation-order ulps (the fulltext rows' convention)
+    checkScript(
+      """DEFINE ANALYZER a19 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX fts ON item FIELDS grp SEARCH ANALYZER a19 BM25;
+         SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
+         WHERE grp @0@ 'a' ORDER BY name;""")
+  }
 }
