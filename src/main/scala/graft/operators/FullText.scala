@@ -95,9 +95,20 @@ object FullText {
       (tfPrime + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
   }
 
-  /** BM25 top-k (FullTextScan + SortTopK → TakeOrderedAndProject). */
+  /** Keys of docs carrying ALL the query terms — the reference's DEFAULT
+    * boolean operator for `@@` is AND (sql/operator.rs
+    * From<MatchesOperator>: unwrap_or(BooleanOperator::And)). */
+  def allTermsHits(post: DataFrame, key: String, terms: Seq[String]): DataFrame =
+    post.filter(col("term").isin(terms: _*))
+      .groupBy(key).agg(countDistinct(col("term")).as("__fts_nt"))
+      .filter(col("__fts_nt") === terms.distinct.size).select(key)
+
+  /** BM25 top-k (FullTextScan + SortTopK → TakeOrderedAndProject), AND
+    * matching semantics (the bare-`@@` default). */
   def bm25(spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame =
     scores(spark, dir, terms)
+      .join(allTermsHits(index(spark, dir)._1, "doc_id", terms),
+        Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
@@ -125,9 +136,11 @@ object FullText {
                     + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
                         + CAST($B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
                    AS term_score
-          FROM post JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+          FROM post JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+        hits AS (SELECT doc_id FROM post GROUP BY doc_id
+                 HAVING COUNT(DISTINCT term) = ${terms.distinct.size})
         SELECT doc_id, round(SUM(term_score), 4) AS score
-        FROM scored GROUP BY doc_id
+        FROM scored JOIN hits USING (doc_id) GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT $k"""
   }
 
@@ -258,6 +271,7 @@ object FullText {
         bm25TermScore(col("tf"), col("df"), col("n"), col("dl"),
           col("avgdl"), K1, B).as("term_score"))
       .groupBy("doc_id").agg(round(sum(col("term_score")), 4).as("score"))
+      .join(allTermsHits(allPost, "doc_id", stems), Seq("doc_id"), "left_semi")
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -294,9 +308,11 @@ object FullText {
                     + CAST($K1 AS DOUBLE) * (CAST(${1.0 - B} AS DOUBLE)
                         + CAST($B AS DOUBLE) * CAST(dl.dl AS DOUBLE) / stats.avgdl))
                    AS term_score
-          FROM post JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats)
+          FROM post JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats),
+        hits AS (SELECT doc_id FROM post GROUP BY doc_id
+                 HAVING COUNT(DISTINCT term) = ${stems.distinct.size})
         SELECT doc_id, round(SUM(term_score), 4) AS score
-        FROM scored GROUP BY doc_id
+        FROM scored JOIN hits USING (doc_id) GROUP BY doc_id
         ORDER BY score DESC, doc_id LIMIT $k"""
   }
 

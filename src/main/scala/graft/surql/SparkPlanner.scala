@@ -1515,7 +1515,7 @@ object SparkPlanner {
 
     var scoreCol: Option[String] = scala.None
     matchConjs.foreach {
-      case Binary(_, Idiom(Seq(PField(f))), rhs) =>
+      case Binary(mop, Idiom(Seq(PField(f))), rhs) =>
         // FullTextScan lowering against the persisted postings index: a
         // script-defined SEARCH index (DEFINE INDEX … SEARCH ANALYZER a)
         // resolves its analyzer chain from the ambient FtsScope; the
@@ -1532,6 +1532,15 @@ object SparkPlanner {
           case other => throw SqlError(s"SparkPlanner: @@ rhs must be a string, got ${other.render}")
         }
         val wantScore = pathExprs.exists(containsScoreFn)
+        // boolean operator: the reference DEFAULTS to AND — every analyzed
+        // query term must match (sql/operator.rs From<MatchesOperator>:
+        // unwrap_or(BooleanOperator::And)); @OR@ / @N,OR@ opt into OR
+        val orMode = mop.split(":", -1).lift(2).exists(_ == "OR")
+        // AND-gate: the key set of docs carrying ALL the query terms
+        def andHits(post: DataFrame, key: String, terms: Seq[String]): DataFrame =
+          post.filter(col("term").isin(terms: _*))
+            .groupBy(key).agg(countDistinct(col("term")).as("__fts_nt"))
+            .filter(col("__fts_nt") === terms.distinct.size).select(key)
         scoped match {
           case Some((anaName, k1, b)) =>
             val anaDef = scope.analyzers.getOrElse(anaName,
@@ -1549,28 +1558,37 @@ object SparkPlanner {
               if (Tables.overridden(table)) Some(Tables(spark, dir, table))
               else scala.None)
             if (wantScore) {
-              val sc = graft.operators.FullText
+              val sc0 = graft.operators.FullText
                 .chainScores(spark, idx, key, terms, k1, b)
                 .withColumnRenamed("score", "__fts_score")
+              val sc = if (orMode) sc0
+                else sc0.join(andHits(idx._1, key, terms), Seq(key), "left_semi")
               df = df.join(sc, Seq(key), "inner")
               scoreCol = Some("__fts_score")
             } else {
-              val hits = idx._1.filter(col("term").isin(terms: _*))
-                .select(key).distinct()
+              val hits =
+                if (orMode) idx._1.filter(col("term").isin(terms: _*))
+                  .select(key).distinct()
+                else andHits(idx._1, key, terms)
               df = df.join(hits, Seq(key), "left_semi")
             }
           case scala.None =>
             val terms = qtext.trim.toLowerCase.split("\\s+").toSeq
+            val post = graft.operators.FullText.index(spark, dir)._1
             if (wantScore) {
               // score requested → inner-join per-doc BM25 (match + score)
-              val sc = graft.operators.FullText.scores(spark, dir, terms)
+              val sc0 = graft.operators.FullText.scores(spark, dir, terms)
                 .withColumnRenamed("score", "__fts_score")
+              val sc = if (orMode) sc0
+                else sc0.join(andHits(post, "doc_id", terms), Seq("doc_id"), "left_semi")
               df = df.join(sc, Seq("doc_id"), "inner")
               scoreCol = Some("__fts_score")
             } else {
               // pure match predicate → postings semi-join
-              val hits = graft.operators.FullText.index(spark, dir)._1
-                .filter(col("term").isin(terms: _*)).select("doc_id").distinct()
+              val hits =
+                if (orMode) post.filter(col("term").isin(terms: _*))
+                  .select("doc_id").distinct()
+                else andHits(post, "doc_id", terms)
               df = df.join(hits, Seq("doc_id"), "left_semi")
             }
         }

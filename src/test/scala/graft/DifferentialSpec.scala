@@ -897,4 +897,25 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
          WHERE grp @0@ 'a' ORDER BY name;""")
   }
+
+  test("multi-term @@ defaults to AND; @OR@ opts into OR — on both paths") {
+    // the reference's bare-@@ boolean operator DEFAULTS to AND
+    // (sql/operator.rs: unwrap_or(BooleanOperator::And)): no single-token
+    // name carries both terms, so the AND query matches NOTHING while the
+    // explicit OR form matches both docs
+    checkScript(
+      """DEFINE ANALYZER a20 TOKENIZERS blank FILTERS lowercase, snowball(english);
+         DEFINE INDEX ftn2 ON item FIELDS name SEARCH ANALYZER a20 BM25;
+         SELECT count() AS n FROM item WHERE name @@ 'n01 n22' GROUP ALL;""")
+    checkScript(
+      """DEFINE ANALYZER a21 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn3 ON item FIELDS name SEARCH ANALYZER a21 BM25;
+         SELECT name FROM item WHERE name @OR@ 'n01 n22' ORDER BY name;""")
+    // scored OR form with a match ref
+    checkScript(
+      """DEFINE ANALYZER a22 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn4 ON item FIELDS name SEARCH ANALYZER a22 BM25;
+         SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
+         WHERE name @0,OR@ 'n01 n22' ORDER BY name;""")
+  }
 }
