@@ -183,7 +183,10 @@ object SparkPlanner {
       knnDistCol: Option[String] = scala.None,
       lambdaParams: Map[String, Column] = Map.empty,
       destrCols: Map[(String, Seq[String]), String] = Map.empty,
-      subqCols: Map[Expr, String] = Map.empty)
+      subqCols: Map[Expr, String] = Map.empty,
+      // match-ref registry for search::highlight: ref -> (field, chain
+      // render, analyzed query terms)
+      matchRefs: Map[Int, (String, String, Seq[String])] = Map.empty)
 
   /** Script-scope FTS catalog threaded to the `@@` lowering: analyzers from
     * DEFINE/ALTER ANALYZER plus search-index field coverage from DEFINE
@@ -1514,6 +1517,7 @@ object SparkPlanner {
     }
 
     var scoreCol: Option[String] = scala.None
+    var matchRefs = Map.empty[Int, (String, String, Seq[String])]
     matchConjs.foreach {
       case Binary(mop, Idiom(Seq(PField(f))), rhs) =>
         // FullTextScan lowering against the persisted postings index: a
@@ -1553,6 +1557,8 @@ object SparkPlanner {
             // querying-stage analysis of the rhs through the SAME chain
             val terms = graft.functions.Analyze
               .analyzeQuery(anaDef.render, qtext).distinct
+            mop.split(":", -1).lift(1).filter(_.nonEmpty)
+              .foreach(r => matchRefs += r.toInt -> (f, anaDef.render, terms))
             val idx = graft.operators.FullText.chainIndex(spark, dir, table,
               key, f, anaDef.render,
               if (Tables.overridden(table)) Some(Tables(spark, dir, table))
@@ -1574,6 +1580,10 @@ object SparkPlanner {
             }
           case scala.None =>
             val terms = qtext.trim.toLowerCase.split("\\s+").toSeq
+            mop.split(":", -1).lift(1).filter(_.nonEmpty)
+              .foreach(r => matchRefs += r.toInt ->
+                (f, "DEFINE ANALYZER d TOKENIZERS blank FILTERS lowercase",
+                  terms))
             val post = graft.operators.FullText.index(spark, dir)._1
             if (wantScore) {
               // score requested → inner-join per-doc BM25 (match + score)
@@ -1597,7 +1607,7 @@ object SparkPlanner {
 
     val ctx = Ctx(spark, dir, table, schema, linkCols, graphCols, scoreCol,
       knnDistCol = if (knnConjs.nonEmpty) Some("__knn_dist") else scala.None,
-      destrCols = destrCols, subqCols = subqCols)
+      destrCols = destrCols, subqCols = subqCols, matchRefs = matchRefs)
     def c(e: Expr): Column = toCol(e, ctx)
 
     // ---- filter: plain conjuncts, decorrelate INSIDE-subqueries ----------
@@ -4879,6 +4889,34 @@ object SparkPlanner {
     // ---- MATCHES / KNN companions (resolve to the sub-plan's column) ------
     case "search::score" => col(ctx.scoreCol.getOrElse(
       throw SqlError("SparkPlanner: search::score outside a MATCHES query")))
+    // search::highlight(pre, post, ref[, partial]) — the SAME span logic
+    // the interpreter runs (Search.highlight), as a codegen'd kernel over
+    // the matched field; the chain render + analyzed query terms are the
+    // plan-time constants the @N@ lowering recorded (fnc/search.rs
+    // highlight; idx/ft/highlighter.rs)
+    case "search::highlight" =>
+      val pre = Eval.evalConst(raw(0)) match {
+        case VStr(x) => x
+        case o => throw SqlError(s"search::highlight pre must be a string, got ${o.render}")
+      }
+      val post = Eval.evalConst(raw(1)) match {
+        case VStr(x) => x
+        case o => throw SqlError(s"search::highlight post must be a string, got ${o.render}")
+      }
+      val ref = Eval.evalConst(raw(2)) match {
+        case n: VNum => n.toDouble.toInt
+        case o => throw SqlError(s"search::highlight ref must be a number, got ${o.render}")
+      }
+      val partial = raw.lift(3).map(Eval.evalConst).exists {
+        case VBool(b) => b; case _ => false
+      }
+      ctx.matchRefs.get(ref) match {
+        case Some((field, chain, terms)) =>
+          graft.functions.AnalyzeKernels.ensure(ctx.spark)
+          call_function("graft_highlight", col(field),
+            lit(graft.functions.Analyze.packHighlight(chain, terms, pre, post, partial)))
+        case scala.None => lit(null).cast("string") // unknown ref → NONE
+      }
     // ---- vector::* — in-order double folds (codegen'd HOFs, no UDFs) -----
     case "vector::dot" => graft.operators.Similarity.dot(cs(0), cs(1))
     // element-wise vector algebra (fnc/vector.rs) — codegen'd lambdas

@@ -918,4 +918,19 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
          WHERE name @0,OR@ 'n01 n22' ORDER BY name;""")
   }
+
+  test("search::highlight agrees across paths (shared span kernel)") {
+    checkScript(
+      """DEFINE ANALYZER a23 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn5 ON item FIELDS name SEARCH ANALYZER a23 BM25 HIGHLIGHTS;
+         SELECT name, search::highlight('<b>', '</b>', 0) AS hl FROM item
+         WHERE name @0@ 'N07' ORDER BY name;""")
+    // stemmed chain: the highlight wraps the ORIGINAL inflected token
+    // whose stem matched, not the literal query string
+    checkScript(
+      """DEFINE ANALYZER a24 TOKENIZERS blank FILTERS lowercase, snowball(english);
+         DEFINE INDEX ftn6 ON item FIELDS grp SEARCH ANALYZER a24 BM25 HIGHLIGHTS;
+         SELECT name, grp, search::highlight('[', ']', 0) AS hl FROM item
+         WHERE grp @0@ 'A' ORDER BY name LIMIT 5;""")
+  }
 }
