@@ -4917,6 +4917,25 @@ object SparkPlanner {
             lit(graft.functions.Analyze.packHighlight(chain, terms, pre, post, partial)))
         case scala.None => lit(null).cast("string") // unknown ref → NONE
       }
+    // search::offsets(ref[, partial]) — the matched token spans as
+    // {"0": [{e, s}…]} (single-value fields; fnc/search.rs offsets)
+    case "search::offsets" =>
+      val ref = Eval.evalConst(raw(0)) match {
+        case n: VNum => n.toDouble.toInt
+        case o => throw SqlError(s"search::offsets ref must be a number, got ${o.render}")
+      }
+      val partial = raw.lift(1).map(Eval.evalConst).exists {
+        case VBool(b) => b; case _ => false
+      }
+      ctx.matchRefs.get(ref) match {
+        case Some((field, chain, terms)) =>
+          graft.functions.AnalyzeKernels.ensure(ctx.spark)
+          val arr = call_function("graft_offsets", col(field),
+            lit(graft.functions.Analyze.packHighlight(chain, terms, "", "", partial)))
+          // no matched spans → NONE, like the interpreter
+          when(size(arr) > 0, struct(arr.as("0"))).otherwise(lit(null))
+        case scala.None => lit(null).cast("string") // unknown ref → NONE
+      }
     // ---- vector::* — in-order double folds (codegen'd HOFs, no UDFs) -----
     case "vector::dot" => graft.operators.Similarity.dot(cs(0), cs(1))
     // element-wise vector algebra (fnc/vector.rs) — codegen'd lambdas

@@ -933,4 +933,12 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name, grp, search::highlight('[', ']', 0) AS hl FROM item
          WHERE grp @0@ 'A' ORDER BY name LIMIT 5;""")
   }
+
+  test("search::offsets agrees across paths") {
+    checkScript(
+      """DEFINE ANALYZER a25 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftn7 ON item FIELDS name SEARCH ANALYZER a25 BM25 HIGHLIGHTS;
+         SELECT name, search::offsets(0) AS off FROM item
+         WHERE name @0@ 'N07' ORDER BY name;""")
+  }
 }
