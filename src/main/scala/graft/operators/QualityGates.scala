@@ -14,15 +14,16 @@ import org.apache.spark.sql.functions._
   * constants. Thresholds are set from measured values at sf0.001/0.01/0.1
   * with margin (see GateProbe in test sources for the measurement harness):
   *
-  *   - recall@10, vec 0:  lsh .20/.20/.70   ivf .60/.40/.60   hnsw 1/1/1
-  *   - sim-ratio@10:      lsh .75/.81/.95   ivf .93/.89/.91   hnsw 1/1/1
+  *   - recall@10, vec 0:  lsh .60/.70/.90   ivf .60/.40/.60   hnsw 1/1/1
+  *   - sim-ratio@10:      lsh .92/.98/1.0   ivf .93/.89/.91   hnsw 1/1/1
   *   - minhash pair recall/precision vs exact Jaccard: 1.0 at every SF
   *   - simhash recall(h≤6) .93/.92/.88; precision(h≤3→j≥.35) .78/.88/.36
   *
-  * The testdata embeddings are unstructured (vec 0's exact top-10 cosines
-  * are noise-level ~0.3), so single-probe LSH recall is inherently modest —
-  * the sim-RATIO (mean ANN top-k cosine / mean exact top-k cosine) is the
-  * operative ANN quality number on such a corpus and is gated tighter. */
+  * The LSH numbers are the r17 query-directed multi-probe (flip-cost budget,
+  * ProbeFlips=11 — see Similarity.scala); the testdata embeddings are
+  * unstructured (vec 0's exact top-10 cosines are noise-level ~0.3), the
+  * worst case for LSH, so the measured recall floor costs a ~30-50% scanned
+  * fraction here where a structured corpus would pay far less. */
 object QualityGates {
 
   /** One (metric, threshold, pass) gate. `value` must be a column over the

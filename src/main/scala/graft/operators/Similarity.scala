@@ -204,10 +204,6 @@ object Similarity {
         .limit(20)
   }
 
-  /** Buckets within this Hamming distance of the query signature are probed
-    * by the ANN scan below (wider probe = higher recall, more scanned). */
-  private val MaxHammingProbe = 5
-
   /** 16-bit random-hyperplane probe signature (planes 0..15). */
   def lshSignature(emb: Column): Column =
     (0 until 16).map { j =>
@@ -235,72 +231,103 @@ object Similarity {
           .write.mode("overwrite").partitionBy("bucket").parquet(path)
       })
 
-  /** All values within Hamming distance `maxDist` of `sig` over `bits`
-    * bits — the bucket probe set (C(6,≤3) = 42 of 64 buckets). */
-  private def hammingBall(sig: Int, bits: Int, maxDist: Int): Seq[Int] = {
-    val out = scala.collection.mutable.ArrayBuffer[Int]()
-    def go(pos: Int, flipsLeft: Int, cur: Int): Unit = {
-      if (pos == bits) { out += cur; return }
-      go(pos + 1, flipsLeft, cur)
-      if (flipsLeft > 0) go(pos + 1, flipsLeft - 1, cur ^ (1 << pos))
-    }
-    go(0, maxDist, sig)
-    out.distinct.toSeq
+  // --- query-directed multi-probe (Lv et al., VLDB 2007) ----------------
+
+  /** Normalized per-plane margins of a query vector: |q·p_j| / (‖q‖·‖p_j‖)
+    * for the 16 probe planes — how confidently the query sits on its side
+    * of plane j. A true neighbor's signature flips LOW-margin bits first
+    * (the geometric fact behind query-directed multi-probe LSH): a point at
+    * angle θ from q flips bit j with probability θ-ish only when q's own
+    * projection onto p_j is small. Flat Hamming bounds ignore this and pay
+    * recall for it on noise-level corpora. */
+  private def probeMargins(qvec: Seq[Double]): Array[Double] = {
+    val qn = math.sqrt(qvec.map(v => v * v).sum)
+    val pn = math.sqrt(64.0) // ±1 planes, dim 64
+    (0 until 16).map { j =>
+      math.abs(planes(j).zip(qvec).map { case (p, v) => p * v }.sum) / (qn * pn)
+    }.toArray
   }
 
-  /** `<|k|>` index-backed ANN probe for a LITERAL query vector (the
-    * SparkPlanner KnnScan lowering, exec/operators/scan/knn.rs:37): the
-    * 16-bit probe signature computes driver-side from the constant vector
-    * (no data touched), bucket dirs within Hamming distance 3 are partition-
-    * pruned, survivors pass the full-signature residual filter and an exact
-    * cosine rerank, top-k. Returns (vec_id, cos_sim). */
-  def annProbe(s: SparkSession, d: String, qvec: Seq[Double], k: Int): DataFrame = {
-    val path = annIndexPath(s, d)
-    val qsig = (0 until 16).map { j =>
+  /** Admission budget = summed cost of the query's `ProbeFlips` least-
+    * confident bits: a candidate is admitted iff the margins of its flipped
+    * signature bits fit the budget. Flipping many cheap bits is allowed
+    * (likely for true neighbors); flipping one expensive bit can blow the
+    * whole budget (only far-away points flip confident bits). Query-
+    * adaptive by construction — a query near many planes probes wider.
+    *
+    * Budget choice (measured, GateProbe sweep at sf0.001/0.01/0.1): flips=11
+    * gives recall@10 = .60/.70/.90 and sim-ratio .92/.98/1.00 at scan
+    * fraction .45/.29/.52 on the testdata embeddings — which are NOISE-level
+    * (vec 0's true top-10 cosines ≈ 0.3, i.e. near-random angles), the
+    * worst case for any LSH: high recall inherently costs a large scanned
+    * fraction because neighbors flip ~6.4/16 signature bits. On a corpus
+    * with real structure (top-k cosines ≥ .7) the same budget admits a far
+    * smaller fraction, since true neighbors flip only low-margin bits. */
+  private val ProbeFlips = 11
+  private[operators] def probeBudget(m: Array[Double], flips: Int = ProbeFlips): Double =
+    m.sorted.take(flips).sum
+
+  private def probeSig(qvec: Seq[Double]): Int =
+    (0 until 16).map { j =>
       // same in-order fold as the Column-side dot — sign decisions agree
       val dp = planes(j).zip(qvec).map { case (p, v) => p * v }.sum
       if (dp > 0.0) 1 << j else 0
     }.sum
-    val buckets = hammingBall(qsig >> 10, 6, 3)
+
+  /** `<|k|>` index-backed multi-probe ANN for a LITERAL query vector (the
+    * SparkPlanner KnnScan lowering, exec/operators/scan/knn.rs:37). All
+    * probe math (signature, margins, budget, bucket set) computes driver-
+    * side from the constant vector — no data touched; bucket directories
+    * whose flip cost over sig bits 10..15 fits the budget are partition-
+    * pruned in, survivors pass the codegen'd weighted-flip-cost residual
+    * filter and an exact cosine rerank, top-k. Returns (vec_id, cos_sim).
+    *
+    * Scale shape: the scan fraction is the budget-admitted bucket share —
+    * query-adaptive but bounded by ProbeFlips; the residual filter and the
+    * rerank are per-row codegen'd expressions, no shuffle before top-k. */
+  def annProbe(s: SparkSession, d: String, qvec: Seq[Double], k: Int,
+      notId: Option[Long] = None, flips: Int = ProbeFlips): DataFrame = {
+    val path = annIndexPath(s, d)
+    val qsig = probeSig(qvec)
+    val m = probeMargins(qvec)
+    val budget = probeBudget(m, flips)
+    // directory pruning: bucket admitted iff its bits-10..15 flips fit
+    val buckets = (0 until 64).filter { b =>
+      val x = b ^ (qsig >> 10)
+      (0 until 6).map(r => if (((x >> r) & 1) == 1) m(10 + r) else 0.0).sum <= budget
+    }
+    // weighted flip cost over all 16 signature bits, margins as literals
+    val flipCost = (0 until 16).map { j =>
+      when((col("sig").bitwiseXOR(lit(qsig)).bitwiseAND(lit(1 << j))) =!= 0,
+        lit(m(j))).otherwise(lit(0.0))
+    }.reduce(_ + _)
     val qe = array(qvec.map(lit): _*)
-    s.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
-      .filter(bit_count(col("sig").bitwiseXOR(lit(qsig))) <= MaxHammingProbe)
+    val base = s.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*)) // directory-level pruning
+      .filter(flipCost <= lit(budget))
+    notId.fold(base)(id => base.filter(col("vec_id") =!= id))
       .select(col("vec_id"),
         round(cosine(col("embedding"), qe), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
 
-  /** `KnnScan` ANN analog over the persisted index: read only the bucket
-    * directories within Hamming distance 3 of the query's bucket
-    * (partition pruning: 42/64 dirs), filter survivors by the 16-bit
-    * signature Hamming bound, rerank exactly, top-10. */
+  /** `KnnScan` ANN analog over the persisted index: multi-probe around
+    * vec 0's own signature (its embedding is a 64-float point read — index
+    * metadata scale traffic, not a data scan). */
   def annLshTop10(s: SparkSession, d: String): DataFrame = {
-    val path = annIndexPath(s, d)
-    val q = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qe"), lshSignature(col("embedding")).as("qsig"))
-    // 1-row driver-side probe: the signature picks the bucket set
-    val qsig = q.select(col("qsig")).head().getInt(0)
-    val buckets = hammingBall(qsig >> 10, 6, 3)
-    s.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*)) // directory-level pruning
-      .filter(bit_count(col("sig").bitwiseXOR(lit(qsig))) <= MaxHammingProbe)
-      .filter(col("vec_id") =!= 0L)
-      .crossJoin(broadcast(q.select(col("qe"))))
-      .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(10)
+    val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+    annProbe(s, d, qvec, 10, notId = Some(0L))
   }
 
   /** LSH probe quality gate: recall@10 + mean-cosine ratio vs the exact
     * brute top-10, oracle-pinned (see [[QualityGates]] for the measured
-    * thresholds — single-probe LSH recall is corpus-bound on unstructured
-    * embeddings; the ratio is the operative quality number). */
-  val knnAnnLsh = Q("knn_ann_lsh", QualityGates.annOracle(10, 0.15, 0.70)) {
+    * thresholds — multi-probe lifted the measured floor to .60 recall /
+    * .92 ratio across SFs; gated at .50/.85 with margin). */
+  val knnAnnLsh = Q("knn_ann_lsh", QualityGates.annOracle(10, 0.50, 0.85)) {
     (s, d) =>
-      QualityGates.annGates(annLshTop10(s, d), knnBrute.fn(s, d), 10, 0.15, 0.70)
+      QualityGates.annGates(annLshTop10(s, d), knnBrute.fn(s, d), 10, 0.50, 0.85)
   }
 
   // --- IVF (inverted-file) ANN index ------------------------------------

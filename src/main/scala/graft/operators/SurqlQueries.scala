@@ -444,7 +444,7 @@ object SurqlQueries {
     * path's probe quality against the exact brute top-10 — same thresholds
     * as knn_ann_lsh (it lowers to the same index probe). */
   val knnAnnText = Q("knn_ann_from_text",
-    QualityGates.annOracle(10, 0.15, 0.70)) { (s, d) =>
+    QualityGates.annOracle(10, 0.50, 0.85)) { (s, d) =>
     val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0)
       .map(v => v.toDouble.toString).mkString("[", ", ", "]")
@@ -452,7 +452,7 @@ object SurqlQueries {
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WHERE vec_id != 0 AND embedding <|10|> $vec
           ORDER BY cos_sim DESC, vec_id""")
-    QualityGates.annGates(ann, Similarity.knnBrute.fn(s, d), 10, 0.15, 0.70)
+    QualityGates.annGates(ann, Similarity.knnBrute.fn(s, d), 10, 0.50, 0.85)
   }
 
   /** `<|k,ef|>` under a selective row predicate: the reference's

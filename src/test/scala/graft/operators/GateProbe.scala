@@ -30,6 +30,20 @@ object GateProbe {
       println(f"$name%-22s recall@10 = ${hits / 10.0}%.2f  ratio = ${annMean / exactMean}%.4f")
     }
     recall10("knn_ann_lsh", Similarity.annLshTop10(s, d))
+    // multi-probe budget sweep: recall/ratio/scan-fraction per flip budget
+    locally {
+      val qvec = graft.Tables.embeddings(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      val n = graft.Tables.embeddings(s, d).count()
+      for (f <- Seq(9, 10, 11, 12, 13, 14, 15, 16)) {
+        val a = Similarity.annProbe(s, d, qvec, 10, notId = Some(0L), flips = f).persist()
+        val hits = a.select("vec_id").join(exact, "vec_id").count()
+        val annMean = Option(a.agg(avg("cos_sim")).head().get(0))
+          .map(_.asInstanceOf[Double]).getOrElse(0.0)
+        val scanned = Similarity.annProbe(s, d, qvec, Int.MaxValue, notId = Some(0L), flips = f).count()
+        println(f"  lsh flips=$f%-3d recall@10 = ${hits / 10.0}%.2f  ratio = ${annMean / exactMean}%.4f  scan = ${scanned.toDouble / n}%.3f")
+      }
+    }
     recall10("knn_ann_ivf", Similarity.annIvfTop10(s, d))
     recall10("knn_ann_hnsw", Hnsw.annHnswTop10(s, d))
     locally {
