@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,49 +15,128 @@ import graft.{Q, Tables}
   * column (or a `file::` pointer — reference: types/src/value/file.rs), the
   * pipeline extracts metadata/features per batch, and decode runs inside
   * `mapPartitions` so one task amortizes codec setup over its whole
-  * partition. The decode itself is STUBBED here (no image/audio libs in this
-  * container — see [[decodeStub]]); everything around it — schema, encoder,
-  * partition shape, deterministic feature output — is real and tested.
+  * partition.
   *
-  * The testdata has no binary tables, so document text bytes stand in as the
-  * opaque payload. */
+  * The IMAGE path is a real codec end-to-end: payloads are genuine PNG
+  * containers written by the in-JDK encoder (javax.imageio — public,
+  * zero-dependency), and decode/feature-extract/resize run through the real
+  * PNG reader. The pixels are a deterministic closed-form function of
+  * (doc_id, x, y), and PNG is lossless 8-bit RGB, so the DuckDB oracle pins
+  * the DECODED dimensions and per-channel means exactly from the same
+  * closed form — a decoder that misread a single pixel would hash-mismatch.
+  * The VIDEO frame sampler keeps a deterministic byte-slice demuxer
+  * stand-in (no video codecs ship in the JDK); its batch shape — one input
+  * row fanning out to ≤ NumFrames rows from one per-partition demuxer — is
+  * the real plumbing and is oracle-checked. */
 object Multimodal {
 
-  /** Typed record for the feature-extraction output. */
-  final case class MediaFeature(
-      doc_id: Long, n_bytes: Long, format: String, feature: Array[Double])
+  // --- deterministic test images (closed-form pixels) --------------------
 
-  /** STUB decoder — stands in for an image/audio codec. Deterministic fake:
-    * "format" from a magic-byte sniff, "feature" from byte statistics. A real
-    * deployment replaces only this function (same signature: bytes in,
-    * features out); the Spark plumbing around it is unchanged. */
-  def decodeStub(bytes: Array[Byte]): (String, Array[Double]) = {
-    val format =
-      if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
-      else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
-      else "raw"
-    // fake 4-dim feature: byte count, mean byte, min, max — deterministic
-    val n = bytes.length.toDouble
-    val mean = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xFF).toDouble).sum / n
-    val mn = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xFF).toDouble).min
-    val mx = if (bytes.isEmpty) 0.0 else bytes.map(b => (b & 0xFF).toDouble).max
-    (format, Array(n, mean, mn, mx))
+  /** Image dimensions for doc `d`: w ∈ 8..16, h ∈ 8..14 — small, varied,
+    * and cheap for the oracle's unnest replay. */
+  private[graft] def genWidth(d: Long): Int = 8 + (d % 9).toInt
+  private[graft] def genHeight(d: Long): Int = 8 + ((d / 9) % 7).toInt
+
+  /** Closed-form sRGB pixel of doc `d` at (x, y) — plain integer math the
+    * oracle replays verbatim (BIGINT-safe; doc_id ≤ ~5k). */
+  private[graft] def pixel(d: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((d * 31 + x * 7 + y * 13) % 256).toInt,
+    ((d * 17 + x * 5 + y * 3) % 256).toInt,
+    ((d * 11 + x * 3 + y * 29) % 256).toInt)
+
+  private def renderImage(d: Long): BufferedImage = {
+    val w = genWidth(d); val h = genHeight(d)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixel(d, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    img
   }
 
-  /** Batch feature extraction over a binary column: mapPartitions so a real
-    * decoder initializes once per partition, not once per row. */
-  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
+  /** Encode a BufferedImage as a real PNG container (in-JDK encoder). */
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Container sniff from magic bytes — the only part of decode that runs
+    * before the codec (a real pipeline routes on it). */
+  private[graft] def sniffFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && bytes(0) == 0x89.toByte && bytes(1) == 'P') "png"
+    else if (bytes.length >= 2 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) "jpeg"
+    else "raw"
+
+  /** PNG-payload table: one real PNG per document row, rendered + encoded
+    * inside mapPartitions (codec work amortized per partition, payloads
+    * never leave the executors). This is the stand-in for a 100 TB binary
+    * column scan — everything downstream treats `payload` as opaque. */
+  def pngPayloads(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // one encoder context per partition, reused across its rows
+        it.map(id => (id, encodePng(renderImage(id))))
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed record for the image feature-extraction output. */
+  final case class ImageFeature(doc_id: Long, format: String,
+      width: Int, height: Int, mean_r: Double, mean_g: Double, mean_b: Double)
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Channel means of a decoded image — the feature vector the oracle pins. */
+  private def channelMeans(img: BufferedImage): (Double, Double, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    (round4(sr / n), round4(sg / n), round4(sb / n))
+  }
+
+  /** REAL decode + feature extraction over a binary column: mapPartitions
+    * so the codec initializes once per partition; per row, the actual PNG
+    * reader parses the container and the features come from the decoded
+    * raster — not from byte statistics. */
+  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[ImageFeature] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // (real impl: initialize codec here, once per partition)
+        // decoder context per partition (ImageIO registry lookup amortized)
         it.map { case (id, bytes) =>
-          val (fmt, feat) = decodeStub(bytes)
-          MediaFeature(id, bytes.length.toLong, fmt, feat)
+          val fmt = sniffFormat(bytes)
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val (mr, mg, mb) = channelMeans(img)
+          ImageFeature(id, fmt, img.getWidth, img.getHeight, mr, mg, mb)
         }
       }
   }
+
+  /** SQL replay of the closed-form pixel channel `expr` averaged over the
+    * doc's w×h raster — what a CORRECT decode must reproduce. */
+  private def sqlDims =
+    """SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h
+       FROM documents"""
 
   /** Metadata pass over the binary payload — pure column expressions (byte
     * length, content digest, base64 head), oracle-checked. */
@@ -73,26 +156,27 @@ object Multimodal {
         .orderBy("doc_id")
   }
 
-  /** Feature-extraction pipeline through the mapPartitions stub decoder.
-    * The stub is deterministic byte math (count/mean/min/max), and the
-    * documents corpus is pure ASCII (bytes == code points), so DuckDB can
-    * replay the whole pipeline exactly: the row became a full value oracle
-    * on the decode plumbing instead of a rows-only entry. */
+  /** Image decode + feature extraction, REAL codec: render → PNG-encode →
+    * PNG-decode → per-channel means. The oracle computes the identical
+    * stats from the closed-form pixels (PNG is lossless), so this row is a
+    * full value oracle over the actual javax.imageio roundtrip. */
   val multimodalFeatures = Q("multimodal_features",
-    """SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-              'raw' AS format,
-              round(COALESCE(list_avg(list_transform(
-                range(1, length(text) + 1), i -> ascii(text[i]))), 0.0), 4)
-                AS mean_byte
-       FROM documents ORDER BY doc_id""") { (s, d) =>
-    val payloads = Tables.documents(s, d)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    extractFeatures(s, payloads)
-      .toDF()
-      .select(col("doc_id"), col("n_bytes"), col("format"),
-        round(element_at(col("feature"), 2), 4).as("mean_byte"))
-      .orderBy("doc_id")
+    s"""WITH dims AS ($sqlDims),
+        px AS (
+          SELECT doc_id, w, h, unnest(range(0, w * h)) AS i FROM dims),
+        ch AS (
+          SELECT doc_id, w, h,
+                 (doc_id * 31 + (i % w) * 7 + (i // w) * 13) % 256 AS r,
+                 (doc_id * 17 + (i % w) * 5 + (i // w) * 3) % 256 AS g,
+                 (doc_id * 11 + (i % w) * 3 + (i // w) * 29) % 256 AS b
+          FROM px)
+        SELECT doc_id, 'png' AS format,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               round(avg(r), 4) AS mean_r,
+               round(avg(g), 4) AS mean_g,
+               round(avg(b), 4) AS mean_b
+        FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""") { (s, d) =>
+    extractFeatures(s, pngPayloads(s, d)).toDF().orderBy("doc_id")
   }
 
   private def md5hex(bytes: Array[Byte]): String =
@@ -109,8 +193,8 @@ object Multimodal {
   /** Frame sampling over a video-like payload: ONE input row fans out to ≤
     * [[NumFrames]] output rows (the demuxer batch shape), evenly strided
     * through the payload. mapPartitions so a real demuxer initializes once
-    * per partition; the stand-in "frame" is a byte slice, deterministic so
-    * the oracle can replay it. */
+    * per partition; the stand-in "frame" is a byte slice (no video codecs
+    * in the JDK), deterministic so the oracle can replay it. */
   def sampleFrames(spark: SparkSession, payloads: DataFrame): Dataset[Frame] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
@@ -129,15 +213,6 @@ object Multimodal {
         }
       }
   }
-
-  private val ResizeTarget = 64
-
-  /** Resize-to-fixed-size stub: cycle the payload to exactly
-    * [[ResizeTarget]] bytes — stands in for an image resample with the same
-    * plumbing (binary in, binary out, per-partition codec init). */
-  def resizeStub(bytes: Array[Byte]): Array[Byte] =
-    if (bytes.isEmpty) Array.fill(ResizeTarget)(0.toByte)
-    else Array.tabulate(ResizeTarget)(i => bytes(i % bytes.length))
 
   /** Frame-sampling entry — oracle-checked: the deterministic slicing
     * replays in SQL (ASCII corpus: byte offsets == char offsets). */
@@ -158,26 +233,67 @@ object Multimodal {
       sampleFrames(s, payloads).toDF().orderBy("doc_id", "frame_no")
   }
 
-  /** Resize entry — oracle-checked via the cycled-byte replay. */
+  private val ResizeW = 8
+  private val ResizeH = 8
+
+  /** Nearest-neighbor resample to [[ResizeW]]×[[ResizeH]] — explicit integer
+    * source mapping (sx = (x*w)/W) rather than AWT Graphics2D scaling, so the
+    * result is pixel-deterministic across JVMs and the oracle replays it. */
+  private[graft] def resizeNearest(img: BufferedImage): BufferedImage = {
+    val out = new BufferedImage(ResizeW, ResizeH, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < ResizeH) {
+      var x = 0
+      while (x < ResizeW) {
+        out.setRGB(x, y,
+          img.getRGB(x * img.getWidth / ResizeW, y * img.getHeight / ResizeH))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Image resize, REAL codec roundtrip ×2: PNG-decode → nearest-neighbor
+    * resample → PNG-RE-encode → decode AGAIN → channel means of the final
+    * raster. The emitted stats come from the second decode, so the row
+    * value-checks encoder AND decoder; the oracle replays the resample's
+    * integer source mapping on the closed-form pixels. */
   val multimodalResize = Q("multimodal_resize",
-    s"""SELECT doc_id,
-               CAST($ResizeTarget AS BIGINT) AS n_out,
-               md5(substring(repeat(text, CAST(ceil($ResizeTarget.0 / length(text)) AS INT)),
-                             1, $ResizeTarget)) AS out_digest
-        FROM documents ORDER BY doc_id""") {
+    s"""WITH dims AS ($sqlDims),
+        px AS (
+          SELECT doc_id, w, h, unnest(range(0, $ResizeW * $ResizeH)) AS i FROM dims),
+        src AS (
+          SELECT doc_id,
+                 ((i % $ResizeW) * w) // $ResizeW AS sx,
+                 ((i // $ResizeW) * h) // $ResizeH AS sy
+          FROM px),
+        ch AS (
+          SELECT doc_id,
+                 (doc_id * 31 + sx * 7 + sy * 13) % 256 AS r,
+                 (doc_id * 17 + sx * 5 + sy * 3) % 256 AS g,
+                 (doc_id * 11 + sx * 3 + sy * 29) % 256 AS b
+          FROM src)
+        SELECT doc_id, CAST($ResizeW AS INT) AS out_w, CAST($ResizeH AS INT) AS out_h,
+               round(avg(r), 4) AS mean_r,
+               round(avg(g), 4) AS mean_g,
+               round(avg(b), 4) AS mean_b
+        FROM ch GROUP BY doc_id ORDER BY doc_id""") {
     (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      pngPayloads(s, d)
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
-          // (real impl: image codec init once per partition)
+          // codec context per partition: decode → resample → encode → decode
           it.map { case (id, bytes) =>
-            val out = resizeStub(bytes)
-            (id, out.length.toLong, md5hex(out))
+            val img = ImageIO.read(new ByteArrayInputStream(bytes))
+            val resized = encodePng(resizeNearest(img))
+            val back = ImageIO.read(new ByteArrayInputStream(resized))
+            val (mr, mg, mb) = channelMeans(back)
+            (id, back.getWidth, back.getHeight, mr, mg, mb)
           }
         }
-        .toDF("doc_id", "n_out", "out_digest")
+        .toDF("doc_id", "out_w", "out_h", "mean_r", "mean_g", "mean_b")
         .orderBy("doc_id")
   }
 

@@ -1,0 +1,78 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Pins the REAL image-codec properties of the multimodal path (r17): the
+  * payloads are genuine PNG containers, the decoded raster matches the
+  * closed-form generator pixel-for-pixel, and the resample's source mapping
+  * is the deterministic integer one the oracle replays. */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.session
+  val sf = "/root/testdata/sf0.001"
+
+  test("payloads are real PNG containers the JDK decoder accepts") {
+    val rows = Multimodal.pngPayloads(spark, sf)
+      .filter("doc_id < 20").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      // PNG 8-byte signature, per the PNG spec
+      assert(bytes.take(8).sameElements(
+        Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)))
+      assert(Multimodal.sniffFormat(bytes) == "png")
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      assert(img != null, "JDK PNG reader rejected the payload")
+    }
+  }
+
+  test("decode roundtrip is pixel-exact vs the closed-form generator") {
+    val rows = Multimodal.pngPayloads(spark, sf)
+      .filter("doc_id IN (0, 7, 123, 499)").collect()
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val img = ImageIO.read(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+      assert(img.getWidth == Multimodal.genWidth(d))
+      assert(img.getHeight == Multimodal.genHeight(d))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        val (er, eg, eb) = Multimodal.pixel(d, x, y)
+        assert(((rgb >> 16) & 0xFF) == er && ((rgb >> 8) & 0xFF) == eg &&
+          (rgb & 0xFF) == eb, s"pixel mismatch doc=$d ($x,$y)")
+      }
+    }
+  }
+
+  test("extractFeatures decodes through the real reader (dims + format)") {
+    val feats = Multimodal.extractFeatures(spark,
+      Multimodal.pngPayloads(spark, sf).filter("doc_id < 50")).collect()
+    assert(feats.length == 50)
+    feats.foreach { f =>
+      assert(f.format == "png")
+      assert(f.width == Multimodal.genWidth(f.doc_id))
+      assert(f.height == Multimodal.genHeight(f.doc_id))
+      assert(f.mean_r >= 0.0 && f.mean_r <= 255.0)
+    }
+  }
+
+  test("nearest resample uses the integer source mapping (sx = x*w/W)") {
+    val d = 42L
+    val img = ImageIO.read(new ByteArrayInputStream(
+      Multimodal.pngPayloads(spark, sf).filter(s"doc_id = $d")
+        .head().getAs[Array[Byte]](1)))
+    val out = Multimodal.resizeNearest(img)
+    assert(out.getWidth == 8 && out.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val (er, eg, eb) =
+        Multimodal.pixel(d, x * img.getWidth / 8, y * img.getHeight / 8)
+      val rgb = out.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF) == er && ((rgb >> 8) & 0xFF) == eg &&
+        (rgb & 0xFF) == eb)
+    }
+  }
+}
