@@ -169,9 +169,20 @@ object FullText {
   private def chainPostingsPlan(s: SparkSession, src: DataFrame, keyCol: String,
       field: String, chain: String): (DataFrame, DataFrame) = {
     graft.functions.AnalyzeKernels.ensure(s)
-    val post = src.select(col(keyCol),
-      explode(call_function("graft_analyze", col(field), lit(chain))).as("term"))
-      .groupBy("term", keyCol).agg(count(lit(1)).as("tf"))
+    // an ARRAY-valued field indexes every value (the reference analyzes
+    // each string value of the field; idx/ft/analyzer walks the value
+    // tree): explode values first, then tokenize — tf and dl aggregate
+    // across the doc's values, matching the interpreter's corpus build
+    val tokens = src.schema(field).dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        src.select(col(keyCol), explode(col(field)).as("__fts_val"))
+          .select(col(keyCol),
+            explode(call_function("graft_analyze", col("__fts_val"), lit(chain))).as("term"))
+      case _ =>
+        src.select(col(keyCol),
+          explode(call_function("graft_analyze", col(field), lit(chain))).as("term"))
+    }
+    val post = tokens.groupBy("term", keyCol).agg(count(lit(1)).as("tf"))
     (post, post.groupBy(keyCol).agg(sum(col("tf")).as("dl")))
   }
 
@@ -380,6 +391,54 @@ object FullText {
         .orderBy("doc_id")
   }
 
+  /** ARRAY-valued search fields on the Spark script path (r17): the script
+    * adds `vals = [text, 'merge window']`, indexes the array field, and
+    * `@@`/highlight/offsets walk EVERY value — highlight wraps matched
+    * values in place, offsets key spans by VALUE INDEX (reference
+    * idx/ft/highlighter.rs:83-84,169-175; interp Search.scala strValues
+    * walk). The oracle replays the blank+lowercase chain over the single-
+    * spaced corpus: value 1 always matches ('merge window'), value 0 iff
+    * the doc text carries a 'merge' token — off_keys, the value-0 hit
+    * count, and the first value-0 span offset are all exact SQL. */
+  val fulltextHighlightArr = Q("fulltext_highlight_arr",
+    """WITH t AS (
+         SELECT doc_id, text, string_split(text, ' ') AS ts
+         FROM documents WHERE doc_id < 50),
+       m AS (
+         SELECT doc_id, text, ts,
+                list_position(list_transform(ts, x -> lower(x)), 'merge') AS k,
+                len(list_filter(ts, x -> lower(x) = 'merge')) AS nm
+         FROM t)
+       SELECT doc_id,
+              [array_to_string(list_transform(ts,
+                 x -> CASE WHEN lower(x) = 'merge' THEN '<' || x || '>' ELSE x END), ' '),
+               '<merge> window'] AS hl,
+              CASE WHEN nm = 0 THEN ['1'] ELSE ['0', '1'] END AS off_keys,
+              CASE WHEN nm = 0 THEN NULL ELSE CAST(nm AS BIGINT) END AS n0,
+              CASE WHEN nm = 0 THEN NULL
+                   WHEN k = 1 THEN CAST(0 AS BIGINT)
+                   ELSE CAST(length(array_to_string(ts[1:k-1], ' ')) + 1 AS BIGINT)
+              END AS s0
+       FROM m ORDER BY doc_id""") {
+    (s, d) =>
+      val out = graft.surql.SparkPlanner.script(s, d,
+        """UPDATE documents SET vals = [text, 'merge window'] WHERE doc_id < 50;
+           DEFINE ANALYZER ahl17 TOKENIZERS blank FILTERS lowercase;
+           DEFINE INDEX ftarr17 ON documents FIELDS vals SEARCH ANALYZER ahl17 BM25 HIGHLIGHTS;
+           SELECT doc_id, search::highlight('<', '>', 0) AS hl,
+                  search::offsets(0) AS off
+           FROM documents WHERE doc_id < 50 AND vals @0@ 'merge'
+           ORDER BY doc_id;""")
+      // project the offsets map into deterministic columns for the compare:
+      // matched value indices, value-0 hit count, first value-0 span start
+      out.select(col("doc_id"), col("hl"),
+        map_keys(col("off")).as("off_keys"),
+        size(element_at(col("off"), "0")).cast("bigint").as("n0"),
+        element_at(element_at(col("off"), "0"), 1).getField("s").as("s0"))
+        .withColumn("n0", when(col("n0") >= 0, col("n0"))) // -1 (absent) → null
+        .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(fulltextBm25, fulltextAll, fulltextHighlight,
-    fulltextStemmed)
+    fulltextHighlightArr, fulltextStemmed)
 }

@@ -32,12 +32,17 @@ object Mutations {
     * select (simultaneous-assignment semantics — a SET expression never
     * observes another SET's result). Keys must name existing columns. */
   def update(table: DataFrame, cond: Column, sets: Map[String, Column]): DataFrame = {
+    val existing = table.columns.toSet
     val cols = table.columns.map { c =>
       sets.get(c) match {
         case Some(v) => when(cond, v).otherwise(col(c)).as(c)
         case scala.None => col(c)
       }
-    }
+    } ++
+      // a SET on a missing field CREATES it (schemaless default,
+      // doc/alter.rs): new column, NULL (absent) outside the condition
+      sets.keys.filterNot(existing).toSeq.sorted.map(c =>
+        when(cond, sets(c)).as(c))
     table.select(cols.toIndexedSeq: _*)
   }
 

@@ -921,7 +921,8 @@ object SparkPlanner {
             actionPermCond(spark, dir, t, "update", base.schema).toSeq)
             .reduceOption(_ && _).getOrElse(lit(true))
           val key = recordKey(t)
-          val sets = enforceSets(setMap(s.data, ctx, requireExisting = true),
+          val sets = enforceSets(
+            setMap(s.data, ctx, requireExisting = true, allowNew = true),
             fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
           val after = graft.operators.Mutations.update(base, cond, sets)
           val touchedIdx = uniqDefs.getOrElse(t, Vector.empty)
@@ -2421,8 +2422,13 @@ object SparkPlanner {
   }
 
   /** SET clause → column assignments evaluated against the pre-image row
-    * (simultaneous assignment, doc/alter.rs process_set_data). */
-  private def setMap(data: Option[Data], ctx: Ctx, requireExisting: Boolean): Map[String, Column] =
+    * (simultaneous assignment, doc/alter.rs process_set_data).
+    * `allowNew`: UPDATE/UPSERT on a schemaless table CREATES a missing
+    * top-level field (doc/alter.rs set path walk — the reference's default
+    * table is schemaless); only plain `=` on a single-segment path
+    * qualifies — nested paths and +=/-= still require the column. */
+  private def setMap(data: Option[Data], ctx: Ctx, requireExisting: Boolean,
+      allowNew: Boolean = false): Map[String, Column] =
     data match {
       case Some(SetData(sets)) =>
         // each assignment is (field path, new value); nested paths
@@ -2433,7 +2439,8 @@ object SparkPlanner {
           case (Idiom(parts), op, e)
               if parts.nonEmpty && parts.forall(_.isInstanceOf[PField]) =>
             val path = parts.collect { case PField(n) => n }
-            if (requireExisting && !ctx.schema.fieldNames.contains(path.head))
+            if (requireExisting && !ctx.schema.fieldNames.contains(path.head)
+                && !(allowNew && path.length == 1 && op == "="))
               throw SqlError(s"SparkPlanner: SET on unknown column ${path.head}")
             val v = toCol(e, ctx)
             val cur = col(path.mkString("."))
@@ -3191,7 +3198,7 @@ object SparkPlanner {
     val cond = (keyPred.toSeq ++ s.where.map(toCol(_, ctx)).toSeq ++
       actionPermCond(spark, dir, table, "update", base.schema).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val sets = setMap(s.data, ctx, requireExisting = true)
+    val sets = setMap(s.data, ctx, requireExisting = true, allowNew = true)
     val before = base.filter(cond)
     val after = graft.operators.Mutations.update(before, lit(true), sets)
     shapeOutput(before, after, s.output, ctx)
@@ -4930,10 +4937,13 @@ object SparkPlanner {
       ctx.matchRefs.get(ref) match {
         case Some((field, chain, terms)) =>
           graft.functions.AnalyzeKernels.ensure(ctx.spark)
-          val arr = call_function("graft_offsets", col(field),
+          // map keyed by VALUE INDEX — {"0": [{e,s}…], "1": …} — matching
+          // the interpreter's object shape for single- AND array-valued
+          // fields (idx/ft/highlighter.rs:169-175)
+          val m = call_function("graft_offsets", col(field),
             lit(graft.functions.Analyze.packHighlight(chain, terms, "", "", partial)))
-          // no matched spans → NONE, like the interpreter
-          when(size(arr) > 0, struct(arr.as("0"))).otherwise(lit(null))
+          // no matched spans at any value index → NONE, like the interpreter
+          when(size(m) > 0, m).otherwise(lit(null))
         case scala.None => lit(null).cast("string") // unknown ref → NONE
       }
     // ---- vector::* — in-order double folds (codegen'd HOFs, no UDFs) -----

@@ -54,6 +54,9 @@ class DifferentialSpec extends AnyFunSuite {
     case s: String       => VStr(s)
     case d: java.math.BigDecimal => VFloat(d.doubleValue)
     case a: scala.collection.Seq[_] => VArr(a.map(toV).toVector)
+    case m: scala.collection.Map[_, _] =>
+      VObj(scala.collection.immutable.TreeMap(
+        m.map { case (k, v) => k.toString -> toV(v) }.toSeq: _*))
     case t: java.sql.Timestamp => graft.surql.VDt(t.toInstant)
     case r: org.apache.spark.sql.Row =>
       VObj(scala.collection.immutable.TreeMap(
@@ -940,5 +943,41 @@ class DifferentialSpec extends AnyFunSuite {
          DEFINE INDEX ftn7 ON item FIELDS name SEARCH ANALYZER a25 BM25 HIGHLIGHTS;
          SELECT name, search::offsets(0) AS off FROM item
          WHERE name @0@ 'N07' ORDER BY name;""")
+  }
+
+  test("UPDATE SET on a missing field CREATES it (schemaless default)") {
+    // doc/alter.rs set-path walk: the reference's default table is
+    // schemaless, so SET newfield = … creates the field; rows outside the
+    // WHERE keep it absent (NONE)
+    checkScript(
+      """UPDATE item SET flag = qty * 2 WHERE qty > 4;
+         SELECT name, qty, flag FROM item WHERE qty >= 4 ORDER BY name;""")
+    // a new ARRAY field built from an existing field + a literal
+    checkScript(
+      """UPDATE item SET pair = [name, 'fixed'] WHERE qty = 1;
+         SELECT name, pair FROM item WHERE qty <= 1 ORDER BY name;""")
+  }
+
+  test("array-valued fields: @@ match, highlight, offsets agree across paths") {
+    // tags is array<string> (["t{i%2}", "t{i%5}"]): the index analyzes
+    // every value; highlight wraps matched values in place; offsets keys
+    // spans by VALUE INDEX (highlighter.rs:83-84,169-175) — 't1' can hit
+    // value 0 (odd i), value 1 (i%5==1), or both (i%10==1)
+    checkScript(
+      """DEFINE ANALYZER a26 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftt1 ON item FIELDS tags SEARCH ANALYZER a26 BM25 HIGHLIGHTS;
+         SELECT name, tags, search::highlight('<', '>', 0) AS hl FROM item
+         WHERE tags @0@ 't1' ORDER BY name;""")
+    checkScript(
+      """DEFINE ANALYZER a27 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftt2 ON item FIELDS tags SEARCH ANALYZER a27 BM25 HIGHLIGHTS;
+         SELECT name, search::offsets(0) AS off FROM item
+         WHERE tags @0@ 't1' ORDER BY name;""")
+    // scored array-field match: BM25 over per-value-aggregated tf/dl
+    checkScript(
+      """DEFINE ANALYZER a28 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftt3 ON item FIELDS tags SEARCH ANALYZER a28 BM25;
+         SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
+         WHERE tags @0@ 't3' ORDER BY name;""")
   }
 }
