@@ -1839,10 +1839,17 @@ object SurqlQueries {
     * costs nothing at runtime (it IS the substituted expression inside
     * whole-stage codegen). The oracle replays the arithmetic directly. */
   val scriptDefineFunction = sq("script_define_function",
-    """SELECT o_orderkey, round(o_totalprice * 1.08 + 5.0, 4) AS taxed
+    """SELECT o_orderkey, round(o_totalprice * 1.08 + 5.0, 4) AS taxed,
+              round(o_totalprice * 0.08 + (o_totalprice * 0.08 + 2.0), 4) AS fees
        FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")(
     """DEFINE FUNCTION fn::taxed($p: number) { RETURN math::fixed($p * 1.08 + 5.0, 4) };
-       SELECT o_orderkey, fn::taxed(o_totalprice) AS taxed FROM orders
+       DEFINE FUNCTION fn::fees($p: number) {
+         LET $tax = $p * 0.08;
+         LET $tot = $tax + 2.0;
+         RETURN math::fixed($tax + $tot, 4)
+       };
+       SELECT o_orderkey, fn::taxed(o_totalprice) AS taxed,
+              fn::fees(o_totalprice) AS fees FROM orders
        WHERE o_orderkey < 100 ORDER BY o_orderkey;""")
 
   /** record::* / meta::* / session::* on the Spark path (fnc/record.rs,

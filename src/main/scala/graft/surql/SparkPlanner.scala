@@ -213,6 +213,15 @@ object SparkPlanner {
     * (err/mod.rs ComputationDepthExceeded). */
   private val fnDepth = new scala.util.DynamicVariable[Int](0)
 
+  /** Generic AST walk: does any FnCall under `e` satisfy `pred`? */
+  private def exprHasFn(e: Any, pred: String => Boolean): Boolean = e match {
+    case FnCall(name, as) => pred(name) || as.exists(exprHasFn(_, pred))
+    case s: Seq[_]        => s.exists(exprHasFn(_, pred))
+    case o: Option[_]     => o.exists(exprHasFn(_, pred))
+    case p: Product       => p.productIterator.exists(exprHasFn(_, pred))
+    case _                => false
+  }
+
   private def inlineUserFn(n: String, args: Seq[Expr]): Expr = {
     val d = fnScope.value(n)
     if (args.length != d.params.length)
@@ -221,6 +230,27 @@ object SparkPlanner {
       throw SqlError("Reached excessive computation depth due to functions, subqueries, or computed values")
     val body = d.body match {
       case BlockExpr(Seq(ReturnStmt(e))) => e
+      // pure LET-sequence body (LET… then RETURN): lower by SYMBOLIC
+      // sequential substitution — each LET value (with earlier bindings
+      // already substituted) replaces its references in later bindings and
+      // the RETURN, exactly the query path's LET handling but per-row
+      // (expr/statements/define/function.rs runs any block; this covers
+      // the LET-then-RETURN shape). A NON-DETERMINISTIC binding (rand::*)
+      // must evaluate once per row, not once per reference — substitution
+      // would re-roll it, so those stay interpreter-only by name.
+      case BlockExpr(stmts) if stmts.length >= 2 &&
+          stmts.init.forall(_.isInstanceOf[LetStmt]) &&
+          stmts.last.isInstanceOf[ReturnStmt] =>
+        val env = stmts.init.foldLeft(Map.empty[String, Expr]) {
+          case (env, LetStmt(name, _, what)) =>
+            val v = Subst.exprE(what, env)
+            if (exprHasFn(v, f => f == "rand" || f.startsWith("rand::")))
+              throw SqlError(
+                s"SparkPlanner: non-deterministic LET in body of '$n' is interpreter-only")
+            env + (name -> v)
+          case (env, _) => env
+        }
+        Subst.exprE(stmts.last.asInstanceOf[ReturnStmt].e, env)
       case BlockExpr(_) => throw SqlError(
         s"SparkPlanner: multi-statement body of '$n' is interpreter-only")
       case e => e

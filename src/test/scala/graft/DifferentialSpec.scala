@@ -828,6 +828,36 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT fn::shout(name) AS sh FROM item ORDER BY sh LIMIT 5;""")
   }
 
+  test("LET-sequence fn:: bodies lower on the Spark path (r17)") {
+    // pure LET-then-RETURN bodies: symbolic sequential substitution — a
+    // later LET sees earlier bindings, the RETURN sees all of them, and
+    // params shadowed by a LET resolve to the LET (define/function.rs runs
+    // the block; the lowering must agree with the interpreter per row)
+    checkScript(
+      """DEFINE FUNCTION fn::net($p: number) {
+           LET $tax = $p * 0.08;
+           LET $fee = $tax + 2;
+           RETURN $p + $tax + $fee
+         };
+         SELECT name, math::fixed(fn::net(price), 4) AS v FROM item
+         ORDER BY name LIMIT 8;""")
+    // LET shadows the param name
+    checkScript(
+      """DEFINE FUNCTION fn::sh($x: number) {
+           LET $x = $x * 3;
+           RETURN $x + 1
+         };
+         SELECT name, fn::sh(qty) AS v FROM item ORDER BY name LIMIT 6;""")
+    // LET body calling another user fn
+    checkScript(
+      """DEFINE FUNCTION fn::d($x: number) { RETURN $x * 2 };
+         DEFINE FUNCTION fn::c($x: number) {
+           LET $a = fn::d($x);
+           RETURN $a + fn::d($a)
+         };
+         SELECT name, fn::c(qty) AS v FROM item ORDER BY name LIMIT 6;""")
+  }
+
   test("ALTER FUNCTION rebinds the body identically on both paths") {
     checkScript(
       """DEFINE FUNCTION fn::f($x: number) { RETURN $x + 1 };

@@ -663,16 +663,24 @@ class FuzzDifferentialSpec extends AnyFunSuite {
         val b0 = bodies(r.nextInt(bodies.length))
         val b1 = bodies(r.nextInt(bodies.length))
         select = "SELECT name, fn::fz(qty) AS v FROM item ORDER BY name;"
-        r.nextInt(3) match {
+        r.nextInt(4) match {
           case 0 =>
             s"DEFINE FUNCTION fn::fz($$x: number) { RETURN $b0 };"
           case 1 =>
             s"""DEFINE FUNCTION fn::fz($$x: number) { RETURN $b0 };
                 ALTER FUNCTION fn::fz ($$x: number) { RETURN $b1 };"""
-          case _ =>
+          case 2 =>
             // nested user functions
             s"""DEFINE FUNCTION fn::inner($$x: number) { RETURN $b0 };
                 DEFINE FUNCTION fn::fz($$x: number) { RETURN fn::inner($$x) + 1 };"""
+          case _ =>
+            // r17: pure LET-sequence body — LET bindings then RETURN lower
+            // by symbolic sequential substitution on the Spark path
+            s"""DEFINE FUNCTION fn::fz($$x: number) {
+                  LET $$a = $b0;
+                  LET $$b = $$a + ${r.nextInt(5)};
+                  RETURN $$a + $$b
+                };"""
         }
       case 24 =>
         // r16: DEFINE/ALTER ANALYZER + SEARCH index (+ REBUILD) + `@@` —
