@@ -186,16 +186,22 @@ object FullText {
     (post, post.groupBy(keyCol).agg(sum(col("tf")).as("dl")))
   }
 
+  /** `xform` (FUNCTION analyzers): a pre-tokenize source transform plus its
+    * cache-key fragment — the planner passes the INLINED fn:: body, so an
+    * ALTER FUNCTION re-keys the persisted postings (no stale index). */
   def chainIndex(s: SparkSession, dir: String, table: String, keyCol: String,
-      field: String, chain: String, overlaySrc: Option[DataFrame]): (DataFrame, DataFrame) =
+      field: String, chain: String, overlaySrc: Option[DataFrame],
+      xform: Option[(String, DataFrame => DataFrame)] = scala.None): (DataFrame, DataFrame) = {
+    def apply(src: DataFrame): DataFrame = xform.fold(src)(_._2(src))
+    val ck = chain + xform.fold("")("#fn#" + _._1)
     overlaySrc match {
-      case Some(src) => chainPostingsPlan(s, src, keyCol, field, chain)
+      case Some(src) => chainPostingsPlan(s, apply(src), keyCol, field, chain)
       case scala.None =>
-        chainCache.getOrElseUpdate((dir, table, field, chain), {
+        chainCache.getOrElseUpdate((dir, table, field, ck), {
           val base = graft.CacheDir.ensure(
-            graft.CacheDir.path(chainCacheKind(table, field, chain), dir)) { p =>
+            graft.CacheDir.path(chainCacheKind(table, field, ck), dir)) { p =>
             val (post, dl) =
-              chainPostingsPlan(s, Tables(s, dir, table), keyCol, field, chain)
+              chainPostingsPlan(s, apply(Tables(s, dir, table)), keyCol, field, chain)
             post.write.parquet(s"$p/post")
             dl.write.parquet(s"$p/dl")
           }
@@ -203,17 +209,20 @@ object FullText {
             s.read.parquet(s"$base/dl").persist())
         })
     }
+  }
 
   /** REBUILD INDEX: drop the persisted chain index and build it again NOW
     * (rebuild.rs runs the build eagerly, not lazily). */
   def rebuildChainIndex(s: SparkSession, dir: String, table: String,
-      keyCol: String, field: String, chain: String): Unit = {
-    chainCache.remove((dir, table, field, chain)).foreach { case (p, d) =>
+      keyCol: String, field: String, chain: String,
+      xform: Option[(String, DataFrame => DataFrame)] = scala.None): Unit = {
+    val ck = chain + xform.fold("")("#fn#" + _._1)
+    chainCache.remove((dir, table, field, ck)).foreach { case (p, d) =>
       p.unpersist(); d.unpersist(); ()
     }
     graft.CacheDir.invalidate(
-      graft.CacheDir.path(chainCacheKind(table, field, chain), dir))
-    chainIndex(s, dir, table, keyCol, field, chain, scala.None)
+      graft.CacheDir.path(chainCacheKind(table, field, ck), dir))
+    chainIndex(s, dir, table, keyCol, field, chain, scala.None, xform)
     ()
   }
 

@@ -258,6 +258,48 @@ object SparkPlanner {
     Subst.exprE(body, d.params.map(_._1).zip(args).toMap)
   }
 
+  /** FUNCTION analyzer pre-transform (idx/ft/analyzer/mod.rs:97-104): the
+    * whole input string runs through a user fn:: BEFORE tokenization. With
+    * fn:: plan-time inlining, the transform composes into the Spark-side
+    * postings build as a per-row column expression over the indexed field —
+    * and because the returned cache-key fragment is the INLINED body, an
+    * ALTER FUNCTION re-keys the persisted postings exactly like ALTER
+    * ANALYZER does (no stale index). Effectful fn bodies keep
+    * inlineUserFn's interpreter-only error. */
+  private def fnXform(spark: SparkSession, dir: String, table: String,
+      field: String, parsed: graft.surql.Search.AnalyzerDef)
+      : Option[(String, DataFrame => DataFrame)] =
+    parsed.function.map { fnName =>
+      val fq = if (fnName.startsWith("fn::")) fnName else "fn::" + fnName
+      if (!fnScope.value.contains(fq))
+        throw SqlError(s"The function '$fq' does not exist")
+      val inlined = inlineUserFn(fq, Seq(Idiom(Seq(PField(field)))))
+      (inlined.toString, (src: DataFrame) => {
+        val c = toCol(inlined, Ctx(spark, dir, table, src.schema, Map.empty))
+        // the reference requires a STRING return (analyzer/mod.rs:104)
+        if (src.select(c).schema.head.dataType !=
+            org.apache.spark.sql.types.StringType)
+          throw SqlError(s"There was a problem running the ${fq.stripPrefix("fn::")}() function. The function should return a string.")
+        src.withColumn(field, c)
+      })
+    }
+
+  /** Query-stage input for a FUNCTION analyzer: the rhs text runs through
+    * the same fn:: driver-side (it is a plan-time constant). */
+  private def fnQueryInput(parsed: graft.surql.Search.AnalyzerDef,
+      qtext: String): String =
+    parsed.function match {
+      case Some(fnName) =>
+        val fq = if (fnName.startsWith("fn::")) fnName else "fn::" + fnName
+        if (!fnScope.value.contains(fq))
+          throw SqlError(s"The function '$fq' does not exist")
+        Eval.evalConst(inlineUserFn(fq, Seq(Lit(VStr(qtext))))) match {
+          case VStr(x) => x
+          case _ => throw SqlError(s"There was a problem running the ${fq.stripPrefix("fn::")}() function. The function should return a string.")
+        }
+      case scala.None => qtext
+    }
+
   def query(spark: SparkSession, dir: String, surql: String): DataFrame = {
     val ast = Parser.parse(surql)
     ast.stmts match {
@@ -720,8 +762,10 @@ object SparkPlanner {
                   throw SqlError(s"The analyzer '$ana' does not exist"))
                 if (overlay.contains(s.table)) () // on-the-fly plan, nothing persisted
                 else planWith {
+                  val parsed = graft.functions.Analyze.chain(chain)
                   graft.operators.FullText.rebuildChainIndex(
-                    spark, dir, s.table, recordKey(s.table), f, chain)
+                    spark, dir, s.table, recordKey(s.table), f, chain,
+                    fnXform(spark, dir, s.table, f, parsed))
                 }
               }
             }
@@ -1581,19 +1625,19 @@ object SparkPlanner {
             val anaDef = scope.analyzers.getOrElse(anaName,
               throw SqlError(s"The analyzer '$anaName' does not exist"))
             val parsed = graft.functions.Analyze.chain(anaDef.render)
-            if (parsed.function.isDefined)
-              throw SqlError(
-                "SparkPlanner: FUNCTION analyzers are interpreter-only")
+            // FUNCTION analyzer: the fn:: pre-transform inlines into the
+            // postings build and the (driver-side) rhs analysis
+            val xform = fnXform(spark, dir, table, f, parsed)
             val key = recordKey(table)
             // querying-stage analysis of the rhs through the SAME chain
             val terms = graft.functions.Analyze
-              .analyzeQuery(anaDef.render, qtext).distinct
+              .analyzeQuery(anaDef.render, fnQueryInput(parsed, qtext)).distinct
             mop.split(":", -1).lift(1).filter(_.nonEmpty)
               .foreach(r => matchRefs += r.toInt -> (f, anaDef.render, terms))
             val idx = graft.operators.FullText.chainIndex(spark, dir, table,
               key, f, anaDef.render,
               if (Tables.overridden(table)) Some(Tables(spark, dir, table))
-              else scala.None)
+              else scala.None, xform)
             if (wantScore) {
               val sc0 = graft.operators.FullText
                 .chainScores(spark, idx, key, terms, k1, b)
@@ -4949,6 +4993,11 @@ object SparkPlanner {
       }
       ctx.matchRefs.get(ref) match {
         case Some((field, chain, terms)) =>
+          // the span kernel would need the fn:: per executor row — the
+          // match/score surface composes with FUNCTION analyzers,
+          // highlight does not (named subset)
+          if (graft.functions.Analyze.chain(chain).function.isDefined)
+            throw SqlError("SparkPlanner: search::highlight over a FUNCTION analyzer is interpreter-only")
           graft.functions.AnalyzeKernels.ensure(ctx.spark)
           call_function("graft_highlight", col(field),
             lit(graft.functions.Analyze.packHighlight(chain, terms, pre, post, partial)))
@@ -4966,6 +5015,8 @@ object SparkPlanner {
       }
       ctx.matchRefs.get(ref) match {
         case Some((field, chain, terms)) =>
+          if (graft.functions.Analyze.chain(chain).function.isDefined)
+            throw SqlError("SparkPlanner: search::offsets over a FUNCTION analyzer is interpreter-only")
           graft.functions.AnalyzeKernels.ensure(ctx.spark)
           // map keyed by VALUE INDEX — {"0": [{e,s}…], "1": …} — matching
           // the interpreter's object shape for single- AND array-valued

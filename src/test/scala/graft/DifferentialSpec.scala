@@ -988,6 +988,35 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name, pair FROM item WHERE qty <= 1 ORDER BY name;""")
   }
 
+  test("FUNCTION analyzers build Spark-side postings (r17)") {
+    // idx/ft/analyzer/mod.rs:97-104: the whole input runs through a user
+    // fn:: BEFORE tokenization, on BOTH the indexing side (per-row inlined
+    // column expression) and the query side (driver-side constant fold).
+    // fn::pre maps '0'→'x', so 'N07' indexes as 'nx7' and only the
+    // transformed query text matches.
+    checkScript(
+      """DEFINE FUNCTION fn::pre($t: string) { RETURN string::replace($t, '0', 'x') };
+         DEFINE ANALYZER afn FUNCTION fn::pre TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftf1 ON item FIELDS name SEARCH ANALYZER afn BM25;
+         SELECT name FROM item WHERE name @@ 'N07' ORDER BY name;""")
+    // scored: BM25 over fn-transformed postings agrees
+    checkScript(
+      """DEFINE FUNCTION fn::pre2($t: string) { RETURN $t + ' extra' };
+         DEFINE ANALYZER afn2 FUNCTION fn::pre2 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftf2 ON item FIELDS grp SEARCH ANALYZER afn2 BM25;
+         SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
+         WHERE grp @0,OR@ 'extra a' ORDER BY name LIMIT 6;""")
+    // ALTER FUNCTION re-keys the postings: after the ALTER the transform
+    // maps '0'→'z', so the old query term no longer matches
+    checkScript(
+      """DEFINE FUNCTION fn::pre3($t: string) { RETURN string::replace($t, '0', 'x') };
+         DEFINE ANALYZER afn3 FUNCTION fn::pre3 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftf3 ON item FIELDS name SEARCH ANALYZER afn3 BM25;
+         ALTER FUNCTION fn::pre3 ($t: string) { RETURN string::replace($t, '0', 'z') };
+         REBUILD INDEX ftf3 ON item;
+         SELECT name FROM item WHERE name @@ 'N07' ORDER BY name;""")
+  }
+
   test("array-valued fields: @@ match, highlight, offsets agree across paths") {
     // tags is array<string> (["t{i%2}", "t{i%5}"]): the index analyzes
     // every value; highlight wraps matched values in place; offsets keys

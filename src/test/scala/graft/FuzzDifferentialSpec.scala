@@ -698,7 +698,15 @@ class FuzzDifferentialSpec extends AnyFunSuite {
             s"""ALTER ANALYZER az TOKENIZERS blank FILTERS $c1;
                 REBUILD INDEX fz ON item;"""
           else ""
-        s"""DEFINE ANALYZER az TOKENIZERS blank FILTERS $c0;
+        // r17: FUNCTION analyzers compose on the Spark path — the fn::
+        // pre-transform inlines into the postings build and rhs analysis
+        val fnClause =
+          if (r.nextInt(3) == 0) " FUNCTION fn::fpre" else ""
+        val fnDef =
+          if (fnClause.nonEmpty)
+            s"DEFINE FUNCTION fn::fpre($$t: string) { RETURN string::replace($$t, '${r.nextInt(10)}', 'q') };\n"
+          else ""
+        s"""${fnDef}DEFINE ANALYZER az$fnClause TOKENIZERS blank FILTERS $c0;
             DEFINE INDEX fz ON item FIELDS name SEARCH ANALYZER az BM25;
             $alter"""
       case 23 =>
