@@ -53,6 +53,37 @@ object StrSim {
     (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
   }
 
+  /** Sørensen-Dice as strsim::sorensen_dice exactly (fnc/string.rs:597):
+    * whitespace removed from the STRINGS first, then char-bigram multiset
+    * intersection with denominator len(a)+len(b)-2 over the stripped
+    * lengths; the ==, single-char, and <2 shortcuts mirror the crate.
+    * Shared by BOTH engines (the interpreter calls this static too) so the
+    * paths agree to the ulp. */
+  def sorensenDice(xs: UTF8String, ys: UTF8String): Double = {
+    val a = xs.toString.filterNot(_.isWhitespace)
+    val b = ys.toString.filterNot(_.isWhitespace)
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    if (a == b) return 1.0
+    if (a.length < 2 || b.length < 2) return 0.0
+    val counts = new java.util.HashMap[Int, Int]()
+    var i = 0
+    while (i < a.length - 1) {
+      val key = a.charAt(i) << 16 | a.charAt(i + 1)
+      counts.merge(key, 1, (x, y) => x + y)
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i < b.length - 1) {
+      val key = b.charAt(i) << 16 | b.charAt(i + 1)
+      val c = counts.getOrDefault(key, 0)
+      if (c > 0) { inter += 1; counts.put(key, c - 1) }
+      i += 1
+    }
+    (2.0 * inter) / (a.length + b.length - 2)
+  }
+
   /** Jaro-Winkler as strsim 0.11's generic_jaro_winkler (the crate the
     * reference links): the common-prefix boost is UNBOUNDED (no classic
     * 4-char cap) and the result is clamped to 1.0. */
@@ -231,6 +262,8 @@ abstract class StrSimF extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any =
     method match {
       case "jaro" => StrSim.jaro(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+      case "sorensenDice" =>
+        StrSim.sorensenDice(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
       case _      => StrSim.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
     }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -248,6 +281,14 @@ final case class JaroF(left: Expression, right: Expression) extends StrSimF {
 final case class JaroWinklerF(left: Expression, right: Expression) extends StrSimF {
   override def prettyName: String = "graft_jaro_winkler"
   protected def method: String = "jaroWinkler"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class SorensenDiceF(left: Expression, right: Expression) extends StrSimF {
+  override def prettyName: String = "graft_sorensen_dice"
+  protected def method: String = "sorensenDice"
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -282,6 +323,8 @@ object StrSimKernels {
       es => JaroF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_jaro_winkler",
       es => JaroWinklerF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sorensen_dice",
+      es => SorensenDiceF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fuzzy",
       es => FuzzyF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_damerau",

@@ -677,22 +677,14 @@ object Functions {
         val m = Math.max(x.length, y.length)
         VFloat(if (m == 0) 1.0 else 1.0 - damerauLevenshtein(x, y).toDouble / m)
       case "string::similarity::sorensen_dice" =>
-        // char-bigram Dice coefficient over non-whitespace bigrams (strsim)
-        def bigrams(s: String): Seq[(Char, Char)] =
-          s.sliding(2).filterNot(_.exists(_.isWhitespace))
-            .collect { case w if w.length == 2 => (w(0), w(1)) }.toSeq
-        val (ba, bb) = (bigrams(str(0)), bigrams(str(1)))
-        if (ba.isEmpty && bb.isEmpty) VFloat(1.0)
-        else {
-          val counts = scala.collection.mutable.HashMap.empty[(Char, Char), Int]
-          ba.foreach(b => counts(b) = counts.getOrElse(b, 0) + 1)
-          var inter = 0
-          bb.foreach { b =>
-            val c = counts.getOrElse(b, 0)
-            if (c > 0) { inter += 1; counts(b) = c - 1 }
-          }
-          VFloat(2.0 * inter / (ba.length + bb.length))
-        }
+        // strsim::sorensen_dice EXACTLY (fnc/string.rs:597): whitespace is
+        // removed from the STRINGS first (not filtered per-bigram — the r17
+        // sweep caught the old per-bigram filter diverging: 'ab cd' vs
+        // 'abcd' must be 1.0), bigram multiset intersection, denominator
+        // len(a)+len(b)-2 over the whitespace-stripped lengths
+        VFloat(graft.functions.StrSim.sorensenDice(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str(0)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(str(1))))
       case "string::distance::hamming" =>
         val (x, y) = (str(0), str(1))
         if (x.length != y.length) throw SqlError("Incorrect arguments for function string::distance::hamming(). Strings must be of equal length")
@@ -2243,14 +2235,19 @@ object Functions {
     ((latLo + latHi) / 2, (lonLo + lonHi) / 2)
   }
 
+  /** Haversine distance, the georust `Haversine.distance` shape the
+    * reference calls (fnc/geo.rs): a = sin²(Δθ/2) + cosθ1·cosθ2·sin²(Δλ/2),
+    * d = R · (2 · asin(√a)) — the asin form with this exact association,
+    * NOT the atan2(√a, √(1−a)) variant (same math, different ulps: an r17
+    * geo sweep found the two engines disagreeing bit-level; the Spark
+    * lowering mirrors this shape and DifferentialSpec pins bit-equality). */
   private def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val R = 6371008.8
-    val dLat = Math.toRadians(lat2 - lat1)
-    val dLon = Math.toRadians(lon2 - lon1)
-    val aa = Math.sin(dLat / 2) * Math.sin(dLat / 2) +
-      Math.cos(Math.toRadians(lat1)) * Math.cos(Math.toRadians(lat2)) *
-        Math.sin(dLon / 2) * Math.sin(dLon / 2)
-    R * 2 * Math.atan2(Math.sqrt(aa), Math.sqrt(1 - aa))
+    val t1 = Math.toRadians(lat1); val t2 = Math.toRadians(lat2)
+    val sT = Math.sin(Math.toRadians(lat2 - lat1) / 2)
+    val sL = Math.sin(Math.toRadians(lon2 - lon1) / 2)
+    val aa = sT * sT + Math.cos(t1) * Math.cos(t2) * (sL * sL)
+    R * (2 * Math.asin(Math.sqrt(aa)))
   }
 
   /** Natural sort: digit runs compare numerically ("2" < "11"). */

@@ -3680,13 +3680,20 @@ object SparkPlanner {
     typeOf(e, schema).contains(DoubleType)
 
   /** Natural-sort key (reference natural_cmp, lexicmp crate): split into
-    * digit / non-digit runs, left-pad digit runs to fixed width, re-join —
-    * binary order of the key equals numeric-aware order of the value. All
-    * codegen'd builtins (split/transform/lpad), no UDF. */
+    * digit / non-digit runs; each digit run encodes as a fixed-width RUN
+    * LENGTH (of the zero-stripped digits) followed by the digits — binary
+    * order of the key equals numeric order of the run for ARBITRARY run
+    * length. (The previous lpad-to-20 key TRUNCATED runs past 20 digits,
+    * misordering them vs the interpreter's BigInt compare — caught by the
+    * r17 collate sweep: 'x234y' must sort before 'x…0001234y'.) All
+    * codegen'd builtins (split/transform/regexp/lpad), no UDF. */
   private def naturalKey(c: Column): Column =
     array_join(
       transform(split(c, "(?<=\\d)(?=\\D)|(?<=\\D)(?=\\d)"),
-        x => when(x.rlike("^[0-9]+$"), lpad(x, 20, "0")).otherwise(x)),
+        x => when(x.rlike("^[0-9]+$"), {
+          val stripped = regexp_replace(x, "^0+", "")
+          concat(lpad(length(stripped).cast("string"), 4, "0"), stripped)
+        }).otherwise(x)),
       "")
 
   /** Coarse type family for the loose-`=` guard. */
@@ -3963,12 +3970,22 @@ object SparkPlanner {
       case Binary(op, l, r) if ridLower(op, l, r, ctx).isDefined =>
         ridLower(op, l, r, ctx).get
       case Binary(op, l, r) => op match {
-        // datetime ± duration literal → day-time interval arithmetic
+        // datetime ± duration literal → day-time interval arithmetic;
+        // duration ± duration between CONSTANTS const-folds through the
+        // interpreter's CHECKED ops instead (val/duration.rs TryAdd/TrySub
+        // via fnc/operate.rs:20-24) so overflow/below-zero carry the
+        // reference's exact errors — the r17 duration sweep caught
+        // `duration::max + 1ns` mistyping as bigint+interval here
         case "+" | "-" if (r match { case Lit(_: VDur) => true; case _ => false }) =>
-          val d = r.asInstanceOf[Lit].v.asInstanceOf[VDur]
-          val iv = make_dt_interval(lit(0), lit(0), lit(0),
-            lit(d.secs.toDouble + d.nanos / 1e9))
-          if (op == "+") c(l) + iv else c(l) - iv
+          val lConst = try Some(Eval.evalConst(l)) catch { case _: Exception => scala.None }
+          lConst match {
+            case Some(_: VDur) => c(Lit(Eval.evalConst(e))) // errors propagate
+            case _ =>
+              val d = r.asInstanceOf[Lit].v.asInstanceOf[VDur]
+              val iv = make_dt_interval(lit(0), lit(0), lit(0),
+                lit(d.secs.toDouble + d.nanos / 1e9))
+              if (op == "+") c(l) + iv else c(l) - iv
+          }
         case "+" =>
           if (typeOf(l, schema).contains(StringType) || typeOf(r, schema).contains(StringType))
             concat(c(l), c(r))
@@ -4570,6 +4587,10 @@ object SparkPlanner {
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_fuzzy", cs(0), cs(1))
+    case "string::similarity::sorensen_dice" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_sorensen_dice", cs(0), cs(1))
     // semver ordering: major, then minor, then patch (fnc/string.rs)
     case "string::semver::compare" =>
       def part(c: Column, i: Int) =
@@ -4959,14 +4980,45 @@ object SparkPlanner {
     case "parse::url::scheme" => parse_url(cs(0), lit("PROTOCOL"))
     case "parse::email::user" => substring_index(cs(0), "@", 1)
     case "parse::email::host" => substring_index(cs(0), "@", -1)
-    // ---- geo::distance — haversine over (lon, lat) doubles ---------------
-    case "geo::distance" =>
-      val R = lit(6371008.8)
-      val lon1 = radians(cs(0)); val lat1 = radians(cs(1))
-      val lon2 = radians(cs(2)); val lat2 = radians(cs(3))
-      val a = pow(sin((lat2 - lat1) / 2), 2) +
-        cos(lat1) * cos(lat2) * pow(sin((lon2 - lon1) / 2), 2)
-      R * lit(2.0) * asin(sqrt(a))
+    // ---- geo::distance / geo::bearing over COLUMN points -----------------
+    // (fnc/geo.rs → georust Haversine). Points arrive as the parser's
+    // `__point__` node ((lon, lat) literals with column coords) or as any
+    // expr yielding a GeoJSON struct{type, coordinates}; a legacy flattened
+    // (lon1, lat1, lon2, lat2) scalar form is kept. The arithmetic SHAPE
+    // (association, asin vs atan2) mirrors the interpreter exactly so the
+    // two paths agree BIT-exact (DifferentialSpec pins with no rounding).
+    case "geo::distance" | "geo::bearing" =>
+      def pt(e: Expr): (Column, Column) = e match {
+        case FnCall("__point__", Seq(x, y)) =>
+          (toCol(x, ctx).cast("double"), toCol(y, ctx).cast("double"))
+        case other =>
+          val c = toCol(other, ctx)
+          (element_at(c.getField("coordinates"), 1).cast("double"),
+            element_at(c.getField("coordinates"), 2).cast("double"))
+      }
+      val (lon1, lat1, lon2, lat2) =
+        if (raw.length == 4) (cs(0), cs(1), cs(2), cs(3))
+        else {
+          val (a, b) = pt(raw(0)); val (c2, d2) = pt(raw(1))
+          (a, b, c2, d2)
+        }
+      if (name == "geo::distance") {
+        // Haversine.distance (georust): a = sin²(Δθ/2) + cosθ1·cosθ2·sin²(Δλ/2),
+        // d = R · (2 · asin(√a)), R = MEAN_EARTH_RADIUS
+        val t1 = radians(lat1); val t2 = radians(lat2)
+        val sT = sin(radians(lat2 - lat1) / 2)
+        val sL = sin(radians(lon2 - lon1) / 2)
+        val a = sT * sT + cos(t1) * cos(t2) * (sL * sL)
+        lit(6371008.8) * (lit(2.0) * asin(sqrt(a)))
+      } else {
+        // Haversine.bearing + fnc/geo.rs normalize to [-180, 180]
+        val pA = radians(lat1); val pB = radians(lat2)
+        val dL = radians(lon2) - radians(lon1)
+        val s = sin(dL) * cos(pB)
+        val c = cos(pA) * sin(pB) - sin(pA) * cos(pB) * cos(dL)
+        val brg = (degrees(atan2(s, c)) + lit(360.0)) % lit(360.0)
+        when(brg > 180.0, brg - lit(360.0)).otherwise(brg)
+      }
     // ---- MATCHES / KNN companions (resolve to the sub-plan's column) ------
     case "search::score" => col(ctx.scoreCol.getOrElse(
       throw SqlError("SparkPlanner: search::score outside a MATCHES query")))

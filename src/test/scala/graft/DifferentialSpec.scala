@@ -975,6 +975,93 @@ class DifferentialSpec extends AnyFunSuite {
          WHERE name @0@ 'N07' ORDER BY name;""")
   }
 
+  test("duration arithmetic overflow carries the reference error on both paths (r17 sweep)") {
+    // val/duration.rs TryAdd/TrySub (the query-path `+`/`-` are the checked
+    // ops, fnc/operate.rs:20-24): overflow → "…arithmetic overflow.",
+    // below-zero → "…negative value." — same text on BOTH paths.
+    for ((q, needle) <- Seq(
+      "RETURN duration::max + 1ns;" -> "arithmetic overflow",
+      "RETURN 1s - 2s;" -> "negative value")) {
+      val iv = try { interp.run(Parser.parse(q)).last } catch {
+        case e: Exception => QErr(e.getMessage)
+      }
+      val iMsg = iv match {
+        case QErr(m) => m
+        case other => fail(s"interp accepted: $q -> $other")
+      }
+      assert(iMsg.contains(needle), s"interp error text: $iMsg")
+      val sErr = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.query(spark, "/nonexistent", q)
+        }.collect()
+      }
+      assert(sErr.getMessage.contains(needle),
+        s"spark error text: ${sErr.getMessage}")
+    }
+  }
+
+  test("COLLATE/NUMERIC edge ordering agrees (r17 sweep)") {
+    // natural_cmp / lexical_cmp / natural_lexical_cmp (val/value/
+    // compare.rs:15-19, lexicmp crate) on the adversarial edges: leading
+    // zeros, digit runs LONGER than any fixed pad width (the old Spark key
+    // lpad-truncated at 20 digits and misordered 'x234y' vs
+    // 'x…0001234y'), case ties, empty strings.
+    val edges = Seq("a007", "a7", "a07b", "a7b", "File1", "FILE10", "file2",
+      "x123456789012345678901234567890", "x123456789012345678901234567891",
+      "x000000000000000000001234y", "x234y", "B", "a", "")
+    val fixture = edges.zipWithIndex.map { case (v, i) =>
+      s"CREATE s:${i + 1} SET v = '$v';"
+    }.mkString("\n")
+    import spark.implicits._
+    val sdf = edges.zipWithIndex.map { case (v, i) => ((i + 1).toLong, v) }
+      .toDF("id", "v")
+    SparkPlanner.extraRecordKeys.put("s", "id")
+    for (mode <- Seq("NUMERIC", "COLLATE", "COLLATE NUMERIC")) {
+      val q = s"SELECT v FROM s ORDER BY v $mode;"
+      val in = new Interp
+      in.run(Parser.parse(fixture))
+      compare(q, in.run(Parser.parse(q)).last,
+        Tables.withOverlay(Map("s" -> sdf)) {
+          SparkPlanner.query(spark, "/nonexistent", q)
+        })
+    }
+  }
+
+  test("string::similarity::sorensen_dice is strsim-exact on both paths") {
+    // r17 sweep catch: strsim::sorensen_dice strips whitespace from the
+    // STRINGS before building bigrams (so 'ab cd' ≡ 'abcd' → 1.0) and
+    // divides by the stripped lengths — the old per-bigram filter lost the
+    // cross-space bigram and divided by bigram counts. Hand-traced crate
+    // vectors: ('ferris','feris') = 8/9.
+    checkSame(
+      """RETURN { a: string::similarity::sorensen_dice('ferris', 'feris'),
+                  b: string::similarity::sorensen_dice('ab cd', 'abcd'),
+                  c: string::similarity::sorensen_dice('night', 'nacht'),
+                  d: string::similarity::sorensen_dice('', ''),
+                  e: string::similarity::sorensen_dice('a', 'b') };""")
+    checkSame(
+      """SELECT name, string::similarity::sorensen_dice(name, 'n0 1') AS sd
+         FROM item ORDER BY name LIMIT 8;""")
+  }
+
+  test("geo::distance / geo::bearing over COLUMN points agree BIT-exact") {
+    // r17 geo sweep: both engines implement haversine independently and the
+    // DuckDB twin can't arbitrate ulps — pin raw doubles, no rounding. The
+    // shared shape is georust Haversine (fnc/geo.rs): asin form, exact
+    // association. (price, qty) stays inside valid (lon, lat) ranges.
+    checkSame(
+      """SELECT name,
+              geo::distance((price, qty), (2.35, 48.85)) AS d,
+              geo::bearing((price, qty), (2.35, 48.85)) AS b
+         FROM item ORDER BY name LIMIT 10;""")
+    // GeoJSON-shaped object points coerce in geo:: argument positions
+    checkSame(
+      """SELECT name,
+              geo::distance({ type: 'Point', coordinates: [price, qty] },
+                            { type: 'Point', coordinates: [2.35, 48.85] }) AS d
+         FROM item ORDER BY name LIMIT 10;""")
+  }
+
   test("UPDATE SET on a missing field CREATES it (schemaless default)") {
     // doc/alter.rs set-path walk: the reference's default table is
     // schemaless, so SET newfield = … creates the field; rows outside the

@@ -133,4 +133,21 @@ class KernelSpec extends AnyFunSuite {
     assert(r.getBoolean(0))
     assert(r.getString(1) == "Hi There")
   }
+
+  test("sorensenDice matches hand-traced strsim::sorensen_dice vectors") {
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def sd(a: String, b: String): Double =
+      graft.functions.StrSim.sorensenDice(u(a), u(b))
+    // crate doc vector: ferris/feris = 2*4/(6+5-2)
+    assert(sd("ferris", "feris") == 8.0 / 9.0)
+    // whitespace strips from the STRING (not per-bigram): 'ab cd' == 'abcd'
+    assert(sd("ab cd", "abcd") == 1.0)
+    // night/nacht: bigrams {ni,ig,gh,ht} vs {na,ac,ch,ht} -> 2*1/8
+    assert(sd("night", "nacht") == 0.25)
+    assert(sd("", "") == 1.0)
+    assert(sd("a", "") == 0.0)
+    assert(sd("a", "b") == 0.0)
+    // repeated bigrams are a MULTISET intersection: aaa has {aa,aa}
+    assert(sd("aaa", "aa") == 2.0 * 1 / (3 + 2 - 2))
+  }
 }
