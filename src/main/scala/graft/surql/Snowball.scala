@@ -19,9 +19,13 @@ package graft.surql
   * and ad/soyad reserved-word postludes; Greek follows the Ntais/Saroukos
   * step structure; Arabic implements the published step structure in full
   * (Checks1 flags, verb/noun suffix chains, the prefix family, pre/post
-  * normalization) reconstructed from the specification — the Unicode
-  * presentation-form prelude table and the rare doubled-hamza prefix rows
-  * beyond the two common ones are the only omissions; Tamil carries the
+  * normalization, and — since r17 — the presentation-form prelude over
+  * Forms-B U+FE70–FEFC, which equals the Unicode compatibility
+  * decompositions of the block) reconstructed from the specification —
+  * the remaining omissions are the Forms-A ligature block (U+FB50–FDC7,
+  * outside the published table) and the rare doubled-hamza prefix rows
+  * beyond the two common ones (their exact outputs are not
+  * reconstructible offline with confidence); Tamil carries the
   * sandhi-aware plural rows, clitics, case set and common tense forms —
   * the full Damodharan tense tables and fix_endings passes are not
   * carried (the reference's class tokenizer virama-splits Tamil into
@@ -2117,9 +2121,24 @@ object Snowball {
     }
 
   def arabic(word0: String): String = {
-    // ---- Normalize_pre: tashkeel/tanween/shadda/sukun, tatweel, quranic
-    // superscript alef; wasla folds to alef; Arabic-Indic digits to ASCII
-    var w = word0.filterNot(c => (c >= '\u064B' && c <= '\u0652') ||
+    // ---- Normalize_pre: presentation forms FIRST (arabic.sbl's
+    // shaped-forms table over Forms-B U+FE70\u2013FEFC): shaped tashkeel
+    // (U+FE70\u2013FE7F) erase with the other diacritics, and each positional
+    // letter form / lam-alef ligature folds to its base letter(s) \u2014 the
+    // published table IS the Unicode compatibility decomposition of the
+    // block, applied per character (NFKC of a lone positional form yields
+    // its base letter; FEF5\u2013FEFC yield the lam + seated-alef pairs).
+    // Forms-A (U+FB50\u2013FDC7: Arabic-script-language letters, multi-letter
+    // ornate ligatures) are outside the published table and stay as-is.
+    var w: String = word0.flatMap {
+      case c if c >= '\uFE70' && c <= '\uFE7F' => ""
+      case c if c >= '\uFE80' && c <= '\uFEFC' =>
+        java.text.Normalizer.normalize(c.toString, java.text.Normalizer.Form.NFKC)
+      case c => c.toString
+    }
+    // ---- tashkeel/tanween/shadda/sukun, tatweel, quranic superscript
+    // alef; wasla folds to alef; Arabic-Indic digits to ASCII
+    w = w.filterNot(c => (c >= '\u064B' && c <= '\u0652') ||
       c == '\u0640' || c == '\u0670')
     w = w.map {
       case '\u0671' => '\u0627'

@@ -200,4 +200,26 @@ class SnowballWordVectorsSpec extends AnyFunSuite {
       ("பார்க்கிறது", "பார்க்"),
       ("நூலகத்தில்", "நூலகத்த")))
   }
+
+  test("arabic: presentation-form prelude (Forms-B) folds to base letters " +
+    "before the steps (r17)") {
+    // the published shaped-forms table equals the Unicode compatibility
+    // decomposition of U+FE80–FEFC: any positional variant of a word must
+    // stem IDENTICALLY to its plain spelling, and the lam-alef ligatures
+    // expand to their letter pairs
+    // الكلاب shaped as isolated/initial/medial/final variants
+    assertResult(Snowball.arabic("الكلاب"))(
+      Snowball.arabic("ﺍﻟﻜﻠﺎﺐ"))
+    // كتاب (initial kaf, medial teh, final alef, isolated beh)
+    assertResult(Snowball.arabic("كتاب"))(
+      Snowball.arabic("ﻛﺘﺎﺏ"))
+    // lam-alef ligature U+FEFB = لا; with article: الولاء
+    assertResult(Snowball.arabic("لا"))(Snowball.arabic("ﻻ"))
+    // shaped tashkeel (U+FE70–FE7F) erase like their plain forms
+    assertResult(Snowball.arabic("كتاب"))(
+      Snowball.arabic("ﻛﺘﺎﺏﹰ"))
+    // madda/hamza-seated lam-alef ligatures expand to their pairs
+    assertResult(Snowball.arabic("لآ"))(Snowball.arabic("ﻵ"))
+    assertResult(Snowball.arabic("لأ"))(Snowball.arabic("ﻷ"))
+  }
 }
