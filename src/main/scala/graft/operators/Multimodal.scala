@@ -30,6 +30,12 @@ import graft.{Q, Tables}
   * the real plumbing and is oracle-checked. */
 object Multimodal {
 
+  // ImageIO defaults to a FILE-backed stream cache — every encode/decode
+  // would hit disk for a temp cache file. In-memory payloads this small
+  // want the memory cache (one-time JVM-wide switch, executor-side too
+  // since this object initializes wherever the codec runs).
+  ImageIO.setUseCache(false)
+
   // --- deterministic test images (closed-form pixels) --------------------
 
   /** Image dimensions for doc `d`: w ∈ 8..16, h ∈ 8..14 — small, varied,

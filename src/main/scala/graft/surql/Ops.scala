@@ -125,11 +125,30 @@ object Ops {
     case _ => err("subtraction", a, b)
   }
 
-  private def plusDur(t: java.time.Instant, d: VDur, neg: Boolean, a: V, b: V): java.time.Instant =
-    try {
-      if (neg) t.minusSeconds(d.secs).minusNanos(d.nanos.toLong)
-      else t.plusSeconds(d.secs).plusNanos(d.nanos.toLong)
-    } catch { case _: Exception => err(if (neg) "subtraction" else "addition", a, b) }
+  /** chrono `DateTime<Utc>` bounds (reference val/datetime.rs
+    * MIN_UTC/MAX_UTC): results outside them overflow. */
+  private val DtMaxUtc = java.time.Instant.parse("+262142-12-31T23:59:59.999999999Z")
+  private val DtMinUtc = java.time.Instant.parse("-262143-01-01T00:00:00Z")
+
+  private def plusDur(t: java.time.Instant, d: VDur, neg: Boolean, a: V, b: V): java.time.Instant = {
+    // the reference routes dt±dur through Duration's TryAdd/TrySub
+    // (val/mod.rs:610,643), so the overflow error renders the DURATION
+    // first; chrono::Duration::from_std rejects durations past i64 range
+    // and checked_add_signed rejects results past the DateTime bounds —
+    // both raise ArithmeticOverflow (r17 sweep: the interp used to accept
+    // any java.time.Instant, i.e. ±1e9 years)
+    val (dv, tv) = if (a.isInstanceOf[VDur]) (a, b) else (b, a)
+    def overflow(): Nothing =
+      throw SqlError(s"""Failed to compute: "${dv.renderRaw} ${if (neg) "-" else "+"} ${tv.renderRaw}", as the operation results in an arithmetic overflow.""")
+    if (d.secs < 0) overflow() // u64 seconds beyond Long range
+    val r =
+      try {
+        if (neg) t.minusSeconds(d.secs).minusNanos(d.nanos.toLong)
+        else t.plusSeconds(d.secs).plusNanos(d.nanos.toLong)
+      } catch { case _: Exception => overflow() }
+    if (r.isAfter(DtMaxUtc) || r.isBefore(DtMinUtc)) overflow()
+    r
+  }
 
   private val MaxDurNanos = (BigInt(2).pow(64) - 1) * 1000000000L + 999999999L
 

@@ -3976,12 +3976,17 @@ object SparkPlanner {
         // via fnc/operate.rs:20-24) so overflow/below-zero carry the
         // reference's exact errors — the r17 duration sweep caught
         // `duration::max + 1ns` mistyping as bigint+interval here
-        case "+" | "-" if (r match { case Lit(_: VDur) => true; case _ => false }) =>
+        case "+" | "-" if (try Eval.evalConst(r).isInstanceOf[VDur]
+            catch { case _: Exception => false }) =>
+          val d = Eval.evalConst(r).asInstanceOf[VDur]
           val lConst = try Some(Eval.evalConst(l)) catch { case _: Exception => scala.None }
           lConst match {
-            case Some(_: VDur) => c(Lit(Eval.evalConst(e))) // errors propagate
+            // constant duration/datetime ± duration: the interpreter's
+            // checked ops (errors propagate with the reference text; also
+            // nanosecond-exact where the interval path's double secs drift)
+            case Some(_: VDur) | Some(_: VDt) => c(Lit(Eval.evalConst(e)))
             case _ =>
-              val d = r.asInstanceOf[Lit].v.asInstanceOf[VDur]
+              // datetime COLUMN ± duration → day-time interval arithmetic
               val iv = make_dt_interval(lit(0), lit(0), lit(0),
                 lit(d.secs.toDouble + d.nanos / 1e9))
               if (op == "+") c(l) + iv else c(l) - iv

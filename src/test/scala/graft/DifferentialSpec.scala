@@ -979,9 +979,18 @@ class DifferentialSpec extends AnyFunSuite {
     // val/duration.rs TryAdd/TrySub (the query-path `+`/`-` are the checked
     // ops, fnc/operate.rs:20-24): overflow → "…arithmetic overflow.",
     // below-zero → "…negative value." — same text on BOTH paths.
+    // constant datetime ± duration also folds through the checked ops —
+    // value agreement down to Spark's TimestampType precision (MICROS; a
+    // 1ns delta is interp-only precision, inherent to the column model)
+    checkSame("RETURN d'2024-03-05T12:31:00Z' + 90m;")
+    checkSame("RETURN d'2024-03-05T12:31:00Z' - 1µs;")
     for ((q, needle) <- Seq(
       "RETURN duration::max + 1ns;" -> "arithmetic overflow",
-      "RETURN 1s - 2s;" -> "negative value")) {
+      "RETURN 1s - 2s;" -> "negative value",
+      // past chrono's DateTime<Utc>::MAX_UTC (+262142): the reference's
+      // Duration TryAdd<Datetime> errors (val/duration.rs:325-338)
+      "RETURN d'9999-12-31T23:59:59Z' + 9999999y;" -> "arithmetic overflow",
+      "RETURN d'2024-01-01T00:00:00Z' + duration::max;" -> "arithmetic overflow")) {
       val iv = try { interp.run(Parser.parse(q)).last } catch {
         case e: Exception => QErr(e.getMessage)
       }
