@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -82,6 +83,27 @@ object StrSim {
       i += 1
     }
     (2.0 * inter) / (a.length + b.length - 2)
+  }
+
+  /** array::sort_natural / sort_lexical / sort_natural_lexical over a
+    * COLUMN string array — the SAME comparators the interpreter runs
+    * (Functions.naturalCmp / ROOT Collator / naturalLexicalCmp; reference
+    * lexicmp via fnc/array.rs), so the two paths order identically. Null
+    * elements key as the interpreter's NONE render. */
+  def sortArr(values: org.apache.spark.sql.catalyst.util.ArrayData,
+      method: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = values.numElements()
+    val items = (0 until n).map(i => Option(values.getUTF8String(i)).map(_.toString))
+    def key(o: Option[String]): String = o.getOrElse("NONE")
+    val cmp: (String, String) => Int = method.toString match {
+      case "natural" => graft.surql.Functions.naturalCmp
+      case "lexical" =>
+        val coll = java.text.Collator.getInstance(java.util.Locale.ROOT)
+        (a, b) => coll.compare(a, b)
+      case _ => graft.surql.Functions.naturalLexicalCmp
+    }
+    val sorted = items.sortWith((a, b) => cmp(key(a), key(b)) < 0)
+    new GenericArrayData(sorted.map(_.map(UTF8String.fromString).orNull).toArray[Any])
   }
 
   /** Jaro-Winkler as strsim 0.11's generic_jaro_winkler (the crate the
@@ -294,6 +316,30 @@ final case class SorensenDiceF(left: Expression, right: Expression) extends StrS
     copy(left = newLeft, right = newRight)
 }
 
+/** lexicmp-family array sort kernel: (array<string>, method) → sorted
+  * array<string>, `method` ∈ natural|lexical|natural_lexical. */
+final case class SortArrF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_sort_arr"
+  override def dataType: DataType = left.dataType
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _)
+        if right.dataType == StringType =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, string)")
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.sortArr(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.sortArr($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Snowball stemmer as a native expression: a static call into
   * [[graft.surql.Snowball]] per row, inside whole-stage codegen — the same
   * stemmer the Interp analyzer chain runs, so the Spark FTS postings and
@@ -325,6 +371,8 @@ object StrSimKernels {
       es => JaroWinklerF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_sorensen_dice",
       es => SorensenDiceF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_sort_arr",
+      es => SortArrF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_fuzzy",
       es => FuzzyF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_damerau",

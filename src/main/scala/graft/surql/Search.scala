@@ -605,6 +605,12 @@ object Search {
                 }
               }
               merged.foreach { case (st, e) =>
+                // a FUNCTION analyzer can LENGTHEN the text: spans past the
+                // original value error, as the reference's highlighter does
+                // (highlighter.rs:92-95, err "A value can't be highlighted")
+                if (e > s.length)
+                  throw SqlError(
+                    s"A value can't be highlighted: position overflow: $e - len: ${s.length}")
                 sb.append(s.substring(p, st)).append(pre)
                   .append(s.substring(st, e)).append(post)
                 p = e

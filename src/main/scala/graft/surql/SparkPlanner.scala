@@ -284,6 +284,24 @@ object SparkPlanner {
       })
     }
 
+  /** For a FUNCTION analyzer chain: the fn-transformed FIELD as a column
+    * (for the span kernels — spans must come from the same text the
+    * indexing side analyzed). None when the chain has no fn. Array-valued
+    * fields under a FUNCTION analyzer stay interpreter-only (the fn would
+    * need a per-element map of an inlined expression). */
+  private def fnAnalyzerCol(field: String, chain: String, who: String,
+      ctx: Ctx): Option[Column] =
+    graft.functions.Analyze.chain(chain).function.map { fnName =>
+      val fq = if (fnName.startsWith("fn::")) fnName else "fn::" + fnName
+      if (!fnScope.value.contains(fq))
+        throw SqlError(s"The function '$fq' does not exist")
+      if (ctx.schema.fields.find(_.name == field)
+          .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
+        throw SqlError(
+          s"SparkPlanner: $who over a FUNCTION analyzer on an array field is interpreter-only")
+      toCol(inlineUserFn(fq, Seq(Idiom(Seq(PField(field))))), ctx).cast("string")
+    }
+
   /** Query-stage input for a FUNCTION analyzer: the rhs text runs through
     * the same fn:: driver-side (it is a plan-time constant). */
   private def fnQueryInput(parsed: graft.surql.Search.AnalyzerDef,
@@ -4596,6 +4614,21 @@ object SparkPlanner {
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_sorensen_dice", cs(0), cs(1))
+    // lexicmp-family array sorts over COLUMN string arrays — the kernel
+    // shares the interpreter's comparators (fnc/array.rs sort_natural &c.)
+    case "array::sort_natural" | "array::sort_lexical"
+        | "array::sort_natural_lexical" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      val sorted = call_function("graft_sort_arr", cs(0),
+        lit(name.stripPrefix("array::sort_")))
+      val desc = raw.lift(1).exists(a =>
+        try Eval.evalConst(a) match {
+          case VStr(s)  => s.equalsIgnoreCase("desc")
+          case VBool(b) => !b
+          case _        => false
+        } catch { case _: Exception => false })
+      if (desc) reverse(sorted) else sorted
     // semver ordering: major, then minor, then patch (fnc/string.rs)
     case "string::semver::compare" =>
       def part(c: Column, i: Int) =
@@ -5050,14 +5083,18 @@ object SparkPlanner {
       }
       ctx.matchRefs.get(ref) match {
         case Some((field, chain, terms)) =>
-          // the span kernel would need the fn:: per executor row — the
-          // match/score surface composes with FUNCTION analyzers,
-          // highlight does not (named subset)
-          if (graft.functions.Analyze.chain(chain).function.isDefined)
-            throw SqlError("SparkPlanner: search::highlight over a FUNCTION analyzer is interpreter-only")
           graft.functions.AnalyzeKernels.ensure(ctx.spark)
-          call_function("graft_highlight", col(field),
-            lit(graft.functions.Analyze.packHighlight(chain, terms, pre, post, partial)))
+          val packed =
+            lit(graft.functions.Analyze.packHighlight(chain, terms, pre, post, partial))
+          fnAnalyzerCol(field, chain, "search::highlight", ctx) match {
+            case Some(xcol) =>
+              // FUNCTION analyzer: spans from the fn-TRANSFORMED text wrap
+              // the ORIGINAL value (highlighter.rs runs the analyzer — fn
+              // included — over the value, then splices the original)
+              call_function("graft_highlight_fx", col(field), xcol, packed)
+            case scala.None =>
+              call_function("graft_highlight", col(field), packed)
+          }
         case scala.None => lit(null).cast("string") // unknown ref → NONE
       }
     // search::offsets(ref[, partial]) — the matched token spans as
@@ -5072,14 +5109,17 @@ object SparkPlanner {
       }
       ctx.matchRefs.get(ref) match {
         case Some((field, chain, terms)) =>
-          if (graft.functions.Analyze.chain(chain).function.isDefined)
-            throw SqlError("SparkPlanner: search::offsets over a FUNCTION analyzer is interpreter-only")
           graft.functions.AnalyzeKernels.ensure(ctx.spark)
+          val packed =
+            lit(graft.functions.Analyze.packHighlight(chain, terms, "", "", partial))
           // map keyed by VALUE INDEX — {"0": [{e,s}…], "1": …} — matching
           // the interpreter's object shape for single- AND array-valued
-          // fields (idx/ft/highlighter.rs:169-175)
-          val m = call_function("graft_offsets", col(field),
-            lit(graft.functions.Analyze.packHighlight(chain, terms, "", "", partial)))
+          // fields (idx/ft/highlighter.rs:169-175); under a FUNCTION
+          // analyzer the spans come from the fn-TRANSFORMED text, exactly
+          // like the indexing side
+          val src = fnAnalyzerCol(field, chain, "search::offsets", ctx)
+            .getOrElse(col(field))
+          val m = call_function("graft_offsets", src, packed)
           // no matched spans at any value index → NONE, like the interpreter
           when(size(m) > 0, m).otherwise(lit(null))
         case scala.None => lit(null).cast("string") // unknown ref → NONE

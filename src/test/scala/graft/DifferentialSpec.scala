@@ -975,6 +975,18 @@ class DifferentialSpec extends AnyFunSuite {
          WHERE name @0@ 'N07' ORDER BY name;""")
   }
 
+  test("array::sort_natural / sort_lexical over COLUMN arrays agree (r17 sweep)") {
+    // the lexicmp-family comparators over column-built arrays with digit
+    // runs, leading zeros, and case ties — same comparator family the
+    // ORDER BY sweep exercised, on the array:: surface
+    checkSame("SELECT name, array::sort_natural([name, 'n007', 'n7', 'N2']) AS sn " +
+      "FROM item ORDER BY name LIMIT 6")
+    checkSame("SELECT name, array::sort_lexical([name, 'B', 'a2', 'A10']) AS sl " +
+      "FROM item ORDER BY name LIMIT 6")
+    checkSame("SELECT name, array::sort_natural_lexical([name, 'File1', 'FILE10', 'file2']) AS snl " +
+      "FROM item ORDER BY name LIMIT 6")
+  }
+
   test("duration arithmetic overflow carries the reference error on both paths (r17 sweep)") {
     // val/duration.rs TryAdd/TrySub (the query-path `+`/`-` are the checked
     // ops, fnc/operate.rs:20-24): overflow → "…arithmetic overflow.",
@@ -1111,6 +1123,44 @@ class DifferentialSpec extends AnyFunSuite {
          ALTER FUNCTION fn::pre3 ($t: string) { RETURN string::replace($t, '0', 'z') };
          REBUILD INDEX ftf3 ON item;
          SELECT name FROM item WHERE name @@ 'N07' ORDER BY name;""")
+  }
+
+  test("search::highlight/offsets over FUNCTION analyzers agree (r17)") {
+    // spans come from the fn-TRANSFORMED text and wrap the ORIGINAL value
+    // (the fn here is length-preserving, so offsets stay in range); both
+    // the highlight splice and the offsets map must agree across paths
+    checkScript(
+      """DEFINE FUNCTION fn::pre4($t: string) { RETURN string::replace($t, '0', 'x') };
+         DEFINE ANALYZER afn4 FUNCTION fn::pre4 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftf4 ON item FIELDS name SEARCH ANALYZER afn4 BM25 HIGHLIGHTS;
+         SELECT name, search::highlight('<', '>', 0) AS hl, search::offsets(0) AS off
+         FROM item WHERE name @0@ 'N07' ORDER BY name;""")
+    // a LENGTHENING fn pushes spans past the original: the reference's
+    // highlighter errors ("A value can't be highlighted: …",
+    // highlighter.rs:92-95) — both paths must error
+    val script =
+      """DEFINE FUNCTION fn::pre5($t: string) { RETURN 'xxxxxxxx' + $t };
+         DEFINE ANALYZER afn5 FUNCTION fn::pre5 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftf5 ON item FIELDS name SEARCH ANALYZER afn5 BM25 HIGHLIGHTS;
+         SELECT name, search::highlight('<', '>', 0) AS hl FROM item
+         WHERE name @0@ 'N07' ORDER BY name;"""
+    val in2 = new Interp
+    in2.run(Parser.parse(fixtureScript))
+    val iv = try { in2.run(Parser.parse(script)).last } catch {
+      case e: Exception => QErr(e.getMessage)
+    }
+    val iMsg = iv match {
+      case QErr(m) => m
+      case other => fail(s"interp accepted lengthening-fn highlight: $other")
+    }
+    assert(iMsg.contains("can't be highlighted"), s"interp error: $iMsg")
+    val sErr = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script)
+      }.collect()
+    }
+    assert(sErr.getMessage.contains("can't be highlighted"),
+      s"spark error: ${sErr.getMessage}")
   }
 
   test("array-valued fields: @@ match, highlight, offsets agree across paths") {
