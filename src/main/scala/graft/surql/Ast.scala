@@ -268,6 +268,11 @@ final case class DefineApiConfigStmt(middleware: Seq[(String, Seq[Expr], String)
 /** Interpreter-native expression — carries a Scala function evaluated with
   * the caller's environment (API middleware `$next` plumbing; never parsed). */
 final case class NativeExpr(f: graft.surql.Env => V) extends Expr
+/** Planner-internal: an already-lowered Spark Column as an Expr leaf —
+  * lets an inlined fn:: body bind its parameter to a higher-order-function
+  * lambda variable (e.g. per-element FUNCTION-analyzer application).
+  * Never produced by the parser; Subst passes it through untouched. */
+final case class ColExpr(c: org.apache.spark.sql.Column) extends Expr
 
 // SELECT (expr/statements/select.rs; planner exec/planner/select.rs:1213)
 final case class Field(expr: Expr, alias: Option[String], isAll: Boolean = false)

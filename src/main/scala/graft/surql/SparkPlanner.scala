@@ -275,10 +275,25 @@ object SparkPlanner {
         throw SqlError(s"The function '$fq' does not exist")
       val inlined = inlineUserFn(fq, Seq(Idiom(Seq(PField(field)))))
       (inlined.toString, (src: DataFrame) => {
-        val c = toCol(inlined, Ctx(spark, dir, table, src.schema, Map.empty))
+        val ctx = Ctx(spark, dir, table, src.schema, Map.empty)
+        // array-valued fields apply the fn PER VALUE (the reference's
+        // analyze_value walks the value tree and runs the analyzer — fn
+        // included — per string; mod.rs:75-80): bind the fn's param to the
+        // HOF lambda variable via the ColExpr leaf
+        val c = src.schema(field).dataType match {
+          case org.apache.spark.sql.types.ArrayType(_, _) =>
+            transform(col(field),
+              x => toCol(inlineUserFn(fq, Seq(ColExpr(x))), ctx))
+          case _ => toCol(inlined, ctx)
+        }
         // the reference requires a STRING return (analyzer/mod.rs:104)
-        if (src.select(c).schema.head.dataType !=
-            org.apache.spark.sql.types.StringType)
+        val ok = src.select(c).schema.head.dataType match {
+          case org.apache.spark.sql.types.StringType => true
+          case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, _) => true
+          case _ => false
+        }
+        if (!ok)
           throw SqlError(s"There was a problem running the ${fq.stripPrefix("fn::")}() function. The function should return a string.")
         src.withColumn(field, c)
       })
@@ -287,8 +302,8 @@ object SparkPlanner {
   /** For a FUNCTION analyzer chain: the fn-transformed FIELD as a column
     * (for the span kernels — spans must come from the same text the
     * indexing side analyzed). None when the chain has no fn. Array-valued
-    * fields under a FUNCTION analyzer stay interpreter-only (the fn would
-    * need a per-element map of an inlined expression). */
+    * fields apply the fn per value (ColExpr-bound HOF lambda), mirroring
+    * the indexing side. */
   private def fnAnalyzerCol(field: String, chain: String, who: String,
       ctx: Ctx): Option[Column] =
     graft.functions.Analyze.chain(chain).function.map { fnName =>
@@ -297,9 +312,10 @@ object SparkPlanner {
         throw SqlError(s"The function '$fq' does not exist")
       if (ctx.schema.fields.find(_.name == field)
           .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]))
-        throw SqlError(
-          s"SparkPlanner: $who over a FUNCTION analyzer on an array field is interpreter-only")
-      toCol(inlineUserFn(fq, Seq(Idiom(Seq(PField(field))))), ctx).cast("string")
+        transform(col(field),
+          x => toCol(inlineUserFn(fq, Seq(ColExpr(x))), ctx).cast("string"))
+      else
+        toCol(inlineUserFn(fq, Seq(Idiom(Seq(PField(field))))), ctx).cast("string")
     }
 
   /** Query-stage input for a FUNCTION analyzer: the rhs text runs through
@@ -3836,6 +3852,8 @@ object SparkPlanner {
       // user fn:: from the script catalog: macro-inline (see fnScope)
       case FnCall(n, args) if n.startsWith("fn::") && fnScope.value.contains(n) =>
         fnDepth.withValue(fnDepth.value + 1) { c(inlineUserFn(n, args)) }
+      // already-lowered Column leaf (HOF lambda binding — see Ast.ColExpr)
+      case ColExpr(cc) => cc
       case Lit(VInt(i))    => lit(i)
       case Lit(VFloat(d))  => lit(d)
       case Lit(VStr(s))    => lit(s)

@@ -1125,6 +1125,26 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name FROM item WHERE name @@ 'N07' ORDER BY name;""")
   }
 
+  test("FUNCTION analyzers over ARRAY fields: per-value fn on both paths (r17)") {
+    // the reference's analyze_value walks arrays and runs the fn per string
+    // value (mod.rs:75-80); tags = ['t{i%2}', 't{i%5}'] and fn maps 't'→'z',
+    // so only the transformed query term matches — with spans keyed by
+    // value index and highlight wrapping the original values
+    checkScript(
+      """DEFINE FUNCTION fn::zz($t: string) { RETURN string::replace($t, 't', 'z') };
+         DEFINE ANALYZER afz FUNCTION fn::zz TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftz ON item FIELDS tags SEARCH ANALYZER afz BM25 HIGHLIGHTS;
+         SELECT name, tags, search::highlight('<', '>', 0) AS hl,
+                search::offsets(0) AS off
+         FROM item WHERE tags @0@ 't3' ORDER BY name;""")
+    checkScript(
+      """DEFINE FUNCTION fn::zz2($t: string) { RETURN string::replace($t, 't', 'z') };
+         DEFINE ANALYZER afz2 FUNCTION fn::zz2 TOKENIZERS blank FILTERS lowercase;
+         DEFINE INDEX ftz2 ON item FIELDS tags SEARCH ANALYZER afz2 BM25;
+         SELECT name, math::fixed(search::score(0), 4) AS sc FROM item
+         WHERE tags @0,OR@ 't1 t4' ORDER BY name;""")
+  }
+
   test("search::highlight/offsets over FUNCTION analyzers agree (r17)") {
     // spans come from the fn-TRANSFORMED text and wrap the ORIGINAL value
     // (the fn here is length-preserving, so offsets stay in range); both
