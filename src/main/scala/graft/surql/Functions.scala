@@ -1118,18 +1118,25 @@ object Functions {
       case "time::micros" => VInt(inst(arg(0)).getEpochSecond * 1000000L + inst(arg(0)).getNano / 1000)
       case "time::nano" => VInt(inst(arg(0)).getEpochSecond * 1000000000L + inst(arg(0)).getNano)
       case "time::floor" | "time::round" | "time::ceil" =>
+        // chrono duration_trunc/duration_round EXACTLY, via the shared
+        // TimeRound core (fnc/time.rs): floor toward -inf (pre-epoch
+        // stamps floor DOWN — the r17 sweep caught the old toward-zero
+        // BigInt division), ties round UP, zero duration = identity, and
+        // chrono's i64-nanos range errors for out-of-range stamps/spans
         val t = inst(arg(0))
         val d = arg(1) match { case dd: VDur => dd; case other => throw SqlError(s"Incorrect arguments for function $name(). Argument 2 was the wrong type. Expected a duration but found ${other.render}") }
-        val dn = d.totalNanos
-        if (dn <= 0) throw SqlError(s"Incorrect arguments for function $name(). The second argument must be a duration greater than 0")
-        val tn = BigInt(t.getEpochSecond) * 1000000000L + t.getNano
-        val floorN = (tn / dn) * dn
-        val resN = name match {
-          case "time::floor" => floorN
-          case "time::ceil" => if (floorN == tn) tn else floorN + dn
-          case _ => if (tn - floorN >= dn / 2) floorN + dn else floorN
-        }
-        VDt(java.time.Instant.ofEpochSecond((resN / 1000000000L).toLong, (resN % 1000000000L).toLong))
+        val mode = name.stripPrefix("time::")
+        val dnB = d.totalNanos
+        if (dnB > Long.MaxValue) graft.functions.TimeRound.refError(mode)
+        val tnB = BigInt(t.getEpochSecond) * 1000000000L + t.getNano
+        if (tnB > Long.MaxValue || tnB < Long.MinValue)
+          graft.functions.TimeRound.refError(mode)
+        val resN =
+          try graft.functions.TimeRound.nanos(tnB.toLong, dnB.toLong, mode)
+          catch { case _: ArithmeticException =>
+            graft.functions.TimeRound.refError(mode) }
+        VDt(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(resN, 1000000000L), Math.floorMod(resN, 1000000000L)))
       case "time::group" =>
         val t = utc(arg(0))
         val unit = str(1)

@@ -4591,24 +4591,27 @@ object SparkPlanner {
     case "duration::hours" => floor(cs(0) / 3600).cast("bigint")
     case "duration::mins"  => floor(cs(0) / 60).cast("bigint")
     case "duration::secs"  => cs(0).cast("bigint")
-    // time::floor/ceil/round to a duration multiple since epoch
-    // (fnc/time.rs; second-granularity durations — the table data has no
-    // sub-second timestamps)
+    // time::floor/ceil/round to a duration multiple since epoch, with
+    // chrono's exact semantics (fnc/time.rs → duration_trunc/round: floor
+    // toward -inf, ties round UP, zero duration = identity, i64-nanos
+    // range errors) via the shared TimeRound kernel — the r17 time sweep
+    // replaced the old seconds-only floor(e/secs) arithmetic
     case "time::floor" | "time::ceil" | "time::round" =>
-      val secs = raw(1) match {
-        case Lit(d: VDur) => d.secs
-        case Lit(VInt(i)) => i
-        case other => throw SqlError(s"SparkPlanner: $name needs a duration, got $other")
+      val mode = name.stripPrefix("time::")
+      val durNanos = (try Eval.evalConst(raw(1)) catch {
+        case _: Exception =>
+          throw SqlError(s"SparkPlanner: $name needs a constant duration, got ${raw(1)}")
+      }) match {
+        case d: VDur =>
+          val tn = d.totalNanos
+          if (tn > Long.MaxValue) graft.functions.TimeRound.refError(mode)
+          tn.toLong
+        case VInt(i) => Math.multiplyExact(i, 1000000000L) // bare secs
+        case other => throw SqlError(s"SparkPlanner: $name needs a duration, got ${other.render}")
       }
-      // cs is a whole-arg map; the duration literal has no Column form, so
-      // lower only the timestamp argument
-      val e = unix_timestamp(toCol(raw(0), ctx).cast("timestamp"))
-      val bucket = name match {
-        case "time::floor" => floor(e / secs)
-        case "time::ceil"  => ceil(e / secs)
-        case _             => floor((e + lit(secs / 2)) / secs)
-      }
-      timestamp_seconds((bucket * secs).cast("bigint"))
+      graft.functions.TimeKernels.ensure(ctx.spark)
+      call_function("graft_time_round",
+        toCol(raw(0), ctx).cast("timestamp"), lit(durNanos), lit(mode))
     case "string::words" => split(trim(cs(0)), "\\s+")
     case "string::repeat" => raw(1) match {
       case Lit(VInt(n)) => repeat(cs(0), n.toInt)

@@ -987,6 +987,39 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("time::floor/ceil/round chrono edge semantics agree (r17 sweep)") {
+    // chrono duration_trunc/duration_round (fnc/time.rs): pre-epoch stamps
+    // floor toward -INFINITY (not toward zero), half-way ties round UP,
+    // zero duration is the identity, sub-second spans work
+    checkSame("RETURN { a: time::floor(d'1969-12-31T23:59:59Z', 1m)," +
+      " b: time::ceil(d'1969-12-31T23:59:59Z', 1m)," +
+      " c: time::round(d'1969-12-31T23:59:30Z', 1m)," +  // pre-epoch tie → UP
+      " d: time::round(d'2024-03-05T12:30:30Z', 1m)," +  // tie → UP
+      " e: time::floor(d'2024-03-05T12:31:17Z', 0ns)," + // zero → identity
+      " f: time::round(d'2024-03-05T12:31:17.123456Z', 500µs) };")
+    // COLUMN timestamps through the Spark kernel (pre-epoch rows included)
+    checkSame("SELECT name, time::floor(ts, 7m) AS f, time::ceil(ts, 7m) AS c, " +
+      "time::round(ts, 7m) AS r FROM item ORDER BY name LIMIT 8;")
+    // chrono's i64-nanos limits: a duration past i64 nanos errors with the
+    // reference's InvalidFunctionArguments text on BOTH paths
+    val q = "RETURN time::floor(d'2024-03-05T12:31:00Z', duration::max);"
+    val iv = try { interp.run(Parser.parse(q)).last } catch {
+      case e: Exception => QErr(e.getMessage)
+    }
+    val iMsg = iv match {
+      case QErr(m) => m
+      case other => fail(s"interp accepted duration::max floor: $other")
+    }
+    assert(iMsg.contains("represented as nanoseconds"), s"interp: $iMsg")
+    val sErr = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", q)
+      }.collect()
+    }
+    assert(sErr.getMessage.contains("represented as nanoseconds"),
+      s"spark: ${sErr.getMessage}")
+  }
+
   test("duration arithmetic overflow carries the reference error on both paths (r17 sweep)") {
     // val/duration.rs TryAdd/TrySub (the query-path `+`/`-` are the checked
     // ops, fnc/operate.rs:20-24): overflow → "…arithmetic overflow.",
