@@ -213,6 +213,18 @@ object SparkPlanner {
     * (err/mod.rs ComputationDepthExceeded). */
   private val fnDepth = new scala.util.DynamicVariable[Int](0)
 
+  /** Generic AST walk: no row-dependent leaf anywhere under `e` — i.e. the
+    * expression is a genuine plan-time constant (Eval.evalConst would
+    * otherwise silently treat unknown fields as NONE). */
+  private def rowFree(e: Any): Boolean = e match {
+    case _: Idiom | _: Param | _: ColExpr | _: Subquery | _: TableRef
+        | _: NativeExpr => false
+    case s: Seq[_]    => s.forall(rowFree)
+    case o: Option[_] => o.forall(rowFree)
+    case p: Product   => p.productIterator.forall(rowFree)
+    case _            => true
+  }
+
   /** Generic AST walk: does any FnCall under `e` satisfy `pred`? */
   private def exprHasFn(e: Any, pred: String => Boolean): Boolean = e match {
     case FnCall(name, as) => pred(name) || as.exists(exprHasFn(_, pred))
@@ -4134,16 +4146,31 @@ object SparkPlanner {
       }
       case FnCall("count", Seq(inner)) => perRowCount(inner, ctx)
       case FnCall(name, args) => fnCol(name, args, ctx)
-      case Cast(k, inner) => k match {
-        case Kind.KInt     => c(inner).cast("bigint")
-        case Kind.KFloat   => c(inner).cast("double")
-        case Kind.KString  => c(inner).cast("string")
-        case Kind.KBool    => c(inner).cast("boolean")
-        case Kind.KDecimal => c(inner).cast("decimal(38,10)")
-        case Kind.KDatetime => c(inner).cast("timestamp")
-        case Kind.KBytes   => c(inner).cast("binary")
-        case other => throw SqlError(s"SparkPlanner: unsupported cast $other")
-      }
+      case cst @ Cast(k, inner) =>
+        // a fully-CONSTANT cast folds through the interpreter's cast table
+        // (expr/cast.rs): reference semantics AND reference error text
+        // ("Could not cast into …"), and kinds with no column form
+        // (duration, record, geometry, …) work when constant. Non-constant
+        // inner values fall to the Catalyst cast below. A cast that the
+        // interpreter REJECTS must not silently succeed via Catalyst, so
+        // SqlErrors from the fold propagate.
+        val folded =
+          if (!rowFree(inner)) scala.None
+          else try Some(Lit(Eval.evalConst(cst)))
+          catch {
+            case e: SqlError if e.getMessage.startsWith("Could not cast") => throw e
+            case _: Exception => scala.None
+          }
+        folded.map(c).getOrElse(k match {
+          case Kind.KInt     => c(inner).cast("bigint")
+          case Kind.KFloat   => c(inner).cast("double")
+          case Kind.KString  => c(inner).cast("string")
+          case Kind.KBool    => c(inner).cast("boolean")
+          case Kind.KDecimal => c(inner).cast("decimal(38,10)")
+          case Kind.KDatetime => c(inner).cast("timestamp")
+          case Kind.KBytes   => c(inner).cast("binary")
+          case other => throw SqlError(s"SparkPlanner: unsupported cast $other")
+        })
       case IfExpr(branches, Some(elseE)) if branches.nonEmpty =>
         branches.foldRight(c(elseE)) { case ((cond, v), acc) =>
           when(c(cond), c(v)).otherwise(acc)

@@ -987,6 +987,32 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("cast edges agree; constant casts fold with reference errors (r17 sweep)") {
+    // numeric truncation/rounding edges and the kinds with no column form
+    // (durations are seconds-longs in the Spark column model, so the
+    // <duration> cast compares through duration::secs)
+    checkSame("RETURN { a: <int> 3.9, b: <int> (0 - 3.9), c: <int> '42'," +
+      " d: <int> true, e: <float> '1e3', f: <bool> 'true', g: <string> 1.5," +
+      " h: duration::secs(<duration> '90m') };")
+    // an invalid constant cast carries the reference error text on BOTH
+    // paths (expr/cast.rs "Could not cast into `int` using input …")
+    val q = "RETURN <int> 'x';"
+    val iv = try { interp.run(Parser.parse(q)).last } catch {
+      case e: Exception => QErr(e.getMessage)
+    }
+    val iMsg = iv match {
+      case QErr(m) => m; case other => fail(s"interp accepted: $other")
+    }
+    assert(iMsg.contains("Could not cast into"))
+    val sErr = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", q)
+      }.collect()
+    }
+    assert(sErr.getMessage.contains("Could not cast into"),
+      s"spark: ${sErr.getMessage}")
+  }
+
   test("time::floor/ceil/round chrono edge semantics agree (r17 sweep)") {
     // chrono duration_trunc/duration_round (fnc/time.rs): pre-epoch stamps
     // floor toward -INFINITY (not toward zero), half-way ties round UP,
