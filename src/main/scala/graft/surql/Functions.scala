@@ -739,31 +739,39 @@ object Functions {
           case c => c.toString
         })
       case "string::html::sanitize" => VStr(str(0).replaceAll("<[^>]*>", ""))
-      case "string::semver::major" => VInt(str(0).split("[.+-]")(0).toLong)
-      case "string::semver::minor" => VInt(str(0).split("[.+-]")(1).toLong)
-      case "string::semver::patch" => VInt(str(0).split("[.+-]")(2).toLong)
+      // semver family via the shared graft.functions.Semver engine
+      // (fnc/string.rs semver::* → the semver crate: STRICT parse with the
+      // reference error texts; §11 precedence incl. pre-release ordering —
+      // the r17 sweep caught both engines comparing only the numeric
+      // triple; inc/set keep the pre-release/build tail)
+      case "string::semver::major" | "string::semver::minor" | "string::semver::patch" =>
+        val p = graft.functions.Semver.parseOr(str(0), name, "Invalid semantic version")
+        VInt(name.split("::").last match {
+          case "major" => p.major; case "minor" => p.minor; case _ => p.patch
+        })
       case "string::semver::compare" =>
-        val x = str(0).split("[.+-]").take(3).map(_.toLong)
-        val y = str(1).split("[.+-]").take(3).map(_.toLong)
-        VInt(x.zip(y).collectFirst { case (m, n) if m != n => java.lang.Long.compare(m, n).toLong }.getOrElse(0L))
+        VInt(graft.functions.Semver.cmp(
+          graft.functions.Semver.parseOr(str(0), name,
+            "Invalid semantic version string for left argument"),
+          graft.functions.Semver.parseOr(str(1), name,
+            "Invalid semantic version string for right argument")).sign.toLong)
       case "string::semver::inc::major" | "string::semver::inc::minor" |
            "string::semver::inc::patch" =>
-        // inc resets the lower components (semver crate increment_*)
-        val p = str(0).split("[.+-]").take(3).map(_.toLong)
-        VStr(name.split("::").last match {
-          case "major" => s"${p(0) + 1}.0.0"
-          case "minor" => s"${p(0)}.${p(1) + 1}.0"
-          case _       => s"${p(0)}.${p(1)}.${p(2) + 1}"
-        })
+        val p = graft.functions.Semver.parseOr(str(0), name, "Invalid semantic version")
+        VStr((name.split("::").last match {
+          case "major" => p.copy(major = p.major + 1, minor = 0, patch = 0)
+          case "minor" => p.copy(minor = p.minor + 1, patch = 0)
+          case _       => p.copy(patch = p.patch + 1)
+        }).render)
       case "string::semver::set::major" | "string::semver::set::minor" |
            "string::semver::set::patch" =>
-        val p = str(0).split("[.+-]").take(3).map(_.toLong)
+        val p = graft.functions.Semver.parseOr(str(0), name, "Invalid semantic version")
         val v = int(1)
-        VStr(name.split("::").last match {
-          case "major" => s"$v.${p(1)}.${p(2)}"
-          case "minor" => s"${p(0)}.$v.${p(2)}"
-          case _       => s"${p(0)}.${p(1)}.$v"
-        })
+        VStr((name.split("::").last match {
+          case "major" => p.copy(major = v)
+          case "minor" => p.copy(minor = v)
+          case _       => p.copy(patch = v)
+        }).render)
 
       // ---- array -------------------------------------------------------
       case "array::add" =>

@@ -4677,12 +4677,14 @@ object SparkPlanner {
           case _        => false
         } catch { case _: Exception => false })
       if (desc) reverse(sorted) else sorted
-    // semver ordering: major, then minor, then patch (fnc/string.rs)
+    // semver via the shared Semver engine (fnc/string.rs semver::* → the
+    // semver crate): strict parse with reference errors, §11 precedence
+    // incl. pre-release ordering — the r17 sweep caught the old 3-part
+    // numeric compare ignoring pre-releases on BOTH engines
     case "string::semver::compare" =>
-      def part(c: Column, i: Int) =
-        element_at(split(c, "[.+-]"), i).cast("bigint")
-      val diffs = (1 to 3).map(i => signum(part(cs(0), i) - part(cs(1), i)))
-      coalesce(diffs.map(d => when(d =!= 0, d)) :+ lit(0d): _*).cast("bigint")
+      graft.functions.SemverKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_semver_cmp", cs(0), cs(1))
     // join(sep, parts…) — parts render raw (fnc/string.rs Join)
     case "string::join" => raw(0) match {
       case Lit(VStr(sep)) => concat_ws(sep, cs.tail.map(_.cast("string")): _*)
@@ -4694,30 +4696,22 @@ object SparkPlanner {
     case "string::is_numeric"     => regexp_like(cs(0), lit("^\\p{N}+$"))
     case "string::is_ascii"       => regexp_like(cs(0), lit("^[\\x00-\\x7F]*$"))
     case "string::is_hexadecimal" => regexp_like(cs(0), lit("^[0-9a-fA-F]+$"))
-    // semver components split on [.+-] (fnc/string.rs semver)
-    case "string::semver::major" =>
-      element_at(split(cs(0), "[.+-]"), 1).cast("bigint")
-    case "string::semver::minor" =>
-      element_at(split(cs(0), "[.+-]"), 2).cast("bigint")
-    case "string::semver::patch" =>
-      element_at(split(cs(0), "[.+-]"), 3).cast("bigint")
-    // inc bumps a component and RESETS the lower ones; set replaces one —
-    // both drop pre-release/build metadata (semver crate increment_*)
+    // semver components — strict shared parse (reference error texts)
+    case "string::semver::major" | "string::semver::minor"
+        | "string::semver::patch" =>
+      graft.functions.SemverKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_semver_get", cs(0), lit(name.split("::").last))
+    // inc bumps a component and zeroes the lower ones; set replaces one —
+    // BOTH keep the pre-release/build tail (the crate mutates the field
+    // and renders the whole Version back)
     case n if n.startsWith("string::semver::inc::") ||
         n.startsWith("string::semver::set::") =>
-      val parts = split(cs(0), "[.+-]")
-      def comp(i: Int) = element_at(parts, i + 1).cast("bigint")
-      val which = n.split("::").last
-      val inc = n.contains("::inc::")
-      val out = (which, inc) match {
-        case ("major", true)  => Seq(comp(0) + 1L, lit(0L), lit(0L))
-        case ("minor", true)  => Seq(comp(0), comp(1) + 1L, lit(0L))
-        case ("patch", true)  => Seq(comp(0), comp(1), comp(2) + 1L)
-        case ("major", false) => Seq(cs(1).cast("bigint"), comp(1), comp(2))
-        case ("minor", false) => Seq(comp(0), cs(1).cast("bigint"), comp(2))
-        case _                => Seq(comp(0), comp(1), cs(1).cast("bigint"))
-      }
-      concat_ws(".", out.map(_.cast("string")): _*)
+      graft.functions.SemverKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      val op = (if (n.contains("::inc::")) "inc_" else "set_") + n.split("::").last
+      val value = if (n.contains("::set::")) cs(1).cast("bigint") else lit(0L)
+      call_function("graft_semver_upd", cs(0), lit(op), value)
     case "string::slug" =>
       regexp_replace(regexp_replace(lower(cs(0)), "[^a-z0-9]+", "-"),
         "(^-+)|(-+$)", "")

@@ -987,6 +987,34 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("semver pre-release precedence is SemVer-spec exact (r17 sweep)") {
+    // fnc/string.rs semver::compare → the semver crate → spec §11: a
+    // pre-release sorts BELOW its plain version, identifiers compare
+    // field-wise (numeric < alphanumeric, prefix → fewer is lower), build
+    // metadata is IGNORED. Both engines used to compare only the numeric
+    // triple — a SHARED bug cross-path agreement was blind to, caught by
+    // arbitrating against the crate's spec. Values asserted ABSOLUTELY
+    // (interp), then cross-path.
+    val in3 = new Interp
+    def c(a: String, b: String): Long =
+      in3.run(Parser.parse(s"RETURN string::semver::compare('$a', '$b');")).last match {
+        case QOk(VInt(v)) => v
+        case other => fail(s"compare($a,$b) -> $other")
+      }
+    assert(c("1.0.0-alpha", "1.0.0") == -1)        // §11.3
+    assert(c("1.0.0-alpha", "1.0.0-alpha.1") == -1) // prefix, fewer lower
+    assert(c("1.0.0-alpha.1", "1.0.0-alpha.beta") == -1) // numeric < alpha
+    assert(c("1.0.0-alpha.beta", "1.0.0-beta") == -1)
+    assert(c("1.0.0-rc.1", "1.0.0") == -1)
+    assert(c("1.0.0+build1", "1.0.0+build2") == 0) // build ignored
+    assert(c("1.0.0-rc.2", "1.0.0-rc.11") == -1)   // numeric ids numeric
+    // cross-path over columns; inc/set keep the pre-release/build tail
+    checkSame("RETURN { a: string::semver::compare('1.0.0-alpha', '1.0.0')," +
+      " b: string::semver::compare('1.0.0-alpha.1', '1.0.0-alpha.beta')," +
+      " c: string::semver::inc::minor('1.2.3-rc.1+b7')," +
+      " d: string::semver::set::patch('1.2.3-rc.1', 9) };")
+  }
+
   test("cast edges agree; constant casts fold with reference errors (r17 sweep)") {
     // numeric truncation/rounding edges and the kinds with no column form
     // (durations are seconds-longs in the Spark column model, so the
