@@ -1393,9 +1393,12 @@ object Functions {
       case "parse::url::path" =>
         parseUrlPath(str(0)).map(VStr(_): V).getOrElse(VNone)
       case "parse::url::port" =>
-        // manual authority scan: the url crate rejects ports > 65535
+        // manual authority scan: the url crate rejects ports > 65535; a
+        // bracketed IPv6 host carries ':' INSIDE the brackets (r17 url
+        // sweep — the old host pattern stopped at the first ':')
         val u = str(0)
-        val m = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:(\\d+)".r.findFirstMatchIn(u)
+        val m = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?(?:\\[[^\\]]*\\]|[^/:?#]*):(\\d+)".r
+          .findFirstMatchIn(u)
         m.map(_.group(1).toLong) match {
           case Some(p) if p <= 65535 => VInt(p)
           case _ => VNone

@@ -5053,9 +5053,20 @@ object SparkPlanner {
     case "parse::url::host" | "parse::url::domain" => parse_url(cs(0), lit("HOST"))
     case "parse::url::fragment" => parse_url(cs(0), lit("REF"))
     case "parse::url::port" =>
-      regexp_extract(cs(0), "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?[^/:?#]*:(\\d+)", 1)
-        .cast("bigint")
-    case "parse::url::path"   => parse_url(cs(0), lit("PATH"))
+      {
+        // bracketed IPv6 hosts carry ':' inside the brackets, and a URL
+        // without a port must yield NONE — not an ANSI cast error on ''
+        // (r17 url sweep; reference url crate port())
+        val p = regexp_extract(cs(0),
+          "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?(?:\\[[^\\]]*\\]|[^/:?#]*):(\\d+)", 1)
+        // the url crate rejects ports > 65535 → NONE
+        val n = when(p === "", lit(null)).otherwise(p).cast("bigint")
+        when(n > 65535, lit(null)).otherwise(n)
+      }
+    case "parse::url::path"   =>
+      // the url crate normalizes a special-scheme URL's empty path to "/"
+      val p = parse_url(cs(0), lit("PATH"))
+      when(p === "", lit("/")).otherwise(p)
     case "parse::url::query"  => parse_url(cs(0), lit("QUERY"))
     case "parse::url::scheme" => parse_url(cs(0), lit("PROTOCOL"))
     case "parse::email::user" => substring_index(cs(0), "@", 1)

@@ -987,6 +987,36 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("parse::url edges agree over columns (r17 sweep)") {
+    // url-crate edges: bracketed IPv6 hosts (':' inside the brackets — the
+    // old port patterns on BOTH paths stopped at the first ':'), missing
+    // ports → NONE (not an ANSI cast error on ''), the empty special-
+    // scheme path normalizing to '/', ports > 65535 rejected
+    val urls = Seq(
+      "https://user:pw@example.com:8080/p/q?x=1&y=2#frag",
+      "http://[2001:db8::1]:9000/a",
+      "https://example.com",
+      "https://example.com/",
+      "https://example.com:99999/x",
+      "https://example.com/p%20q?a=b%26c")
+    val udf0 = {
+      import spark.implicits._
+      urls.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "u")
+    }
+    val fixture = urls.zipWithIndex.map { case (u, i) =>
+      s"CREATE uu:$i SET u = '$u';" }.mkString("\n")
+    SparkPlanner.extraRecordKeys.put("uu", "id")
+    for (f <- Seq("domain", "host", "port", "path", "query", "fragment", "scheme")) {
+      val q = s"SELECT u, parse::url::$f(u) AS v FROM uu ORDER BY u;"
+      val in4 = new Interp
+      in4.run(Parser.parse(fixture))
+      compare(q, in4.run(Parser.parse(q)).last,
+        Tables.withOverlay(Map("uu" -> udf0)) {
+          SparkPlanner.query(spark, "/nonexistent", q)
+        })
+    }
+  }
+
   test("semver pre-release precedence is SemVer-spec exact (r17 sweep)") {
     // fnc/string.rs semver::compare → the semver crate → spec §11: a
     // pre-release sorts BELOW its plain version, identifiers compare
