@@ -871,12 +871,14 @@ object SurqlQueries {
 
   /** object::values / object::entries (fnc/object.rs): exact on object
     * literals, JSON-rendered for struct columns; the destructure struct
-    * `fk.{…}` feeds the struct arm. */
+    * `fk.{…}` feeds the struct arm. Objects are BTreeMaps (val/object.rs),
+    * so iteration is KEY-SORTED: values of {s, p} come out (p, s), and the
+    * destructured {c_name, c_mktsegment} as (c_mktsegment, c_name). */
   val fnObject2 = sq("fn_object2",
     """SELECT o_orderkey,
-              o_orderstatus || ',' || o_orderpriority AS vals,
+              o_orderpriority || ',' || o_orderstatus AS vals,
               'a,1,b,' || o_orderstatus AS ents,
-              c.c_name || ',' || c.c_mktsegment AS dvals
+              c.c_mktsegment || ',' || c.c_name AS dvals
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        WHERE o_orderkey >= 1 AND o_orderkey < 20 ORDER BY o_orderkey""")(
     """SELECT o_orderkey,

@@ -4184,6 +4184,14 @@ object SparkPlanner {
     }
   }
 
+  /** Bounds-checked element_at (ANSI mode errors out-of-range; the
+    * reference's array accessors yield NONE): `adj` is the 1-based (or
+    * negative-from-end) index. */
+  private def safeElementAt(arr: Column, adj: Column): Column =
+    when(adj >= 1 && adj <= size(arr), element_at(arr, adj))
+      .when(adj <= -1 && -adj <= size(arr), element_at(arr, adj))
+      .otherwise(lit(null))
+
   /** Scalar function name → Column mapping — builtins only, codegen-friendly
     * (SURVEY §2.4: functions, not UDFs). */
   /** Linear-interpolated percentile over a PRE-SORTED double array column
@@ -4795,17 +4803,18 @@ object SparkPlanner {
     case "array::shuffle" => shuffle(cs(0))
     case "array::includes" => array_contains(cs(0), cs(1))
     case "array::at"       =>
-      // 0-based; negative counts from the end (element_at's native form)
-      raw(1) match {
-        case Lit(VInt(i)) =>
-          element_at(cs(0), if (i >= 0) i.toInt + 1 else i.toInt)
-        case Prefix("-", Lit(VInt(i))) => element_at(cs(0), -i.toInt)
+      // 0-based; negative counts from the end; OUT-OF-RANGE is NONE
+      // (fnc/array.rs `get` — ANSI element_at would error; r17 sweep)
+      val adj: Column = raw(1) match {
+        case Lit(VInt(i)) => lit(if (i >= 0) i.toInt + 1 else i.toInt)
+        case Prefix("-", Lit(VInt(i))) => lit(-i.toInt)
         case _ =>
           // runtime index: sign-adjust per row (previously fell back to 0)
           val idx = cs(1).cast("int")
-          element_at(cs(0), when(idx >= 0, idx + 1).otherwise(idx))
+          when(idx >= 0, idx + 1).otherwise(idx)
       }
-    case "array::first"    => element_at(cs(0), 1)
+      safeElementAt(cs(0), adj)
+    case "array::first"    => safeElementAt(cs(0), lit(1))
     case "array::join"     =>
       // elements render raw (array.rs ArrayJoin) — cast non-strings so
       // concat_ws accepts numeric/id arrays (e.g. graph-hop results)
@@ -4826,7 +4835,7 @@ object SparkPlanner {
     case "array::append" | "array::push" => concat(cs(0), array(cs(1)))
     case "array::prepend"  => concat(array(cs(1)), cs(0))
     case "array::concat"   => concat(cs(0), cs(1))
-    case "array::last"     => element_at(cs(0), -1)
+    case "array::last"     => safeElementAt(cs(0), lit(-1))
     case "array::union"    => array_union(cs(0), cs(1))
     // per-OCCURRENCE intersection (val/array.rs Intersect): keep the k-th
     // occurrence of v in a only while k ≤ count(v in b) — array_intersect
@@ -4967,21 +4976,26 @@ object SparkPlanner {
           array_sort(array_distinct(res))
         case _ => res
       }
-    // ---- object::* — keys via the JSON render (codegen'd; struct field
-    // order is the object's insertion order, matching fnc/object.rs) -------
-    case "object::keys"     => json_object_keys(to_json(cs(0)))
+    // ---- object::* — the reference's Object is a BTreeMap, so keys/
+    // values/entries iterate KEY-SORTED (val/object.rs; the r17 sweep
+    // caught the old insertion-order outputs) ------------------------------
+    case "object::keys"     => array_sort(json_object_keys(to_json(cs(0))))
     // values/entries: exact on object literals; struct columns go through
     // the JSON render (string-valued — the canonical render of each field)
     case "object::values" => raw(0) match {
-      case ObjLit(fs) => array(fs.map { case (_, e) => toCol(e, ctx) }: _*)
-      case _ => map_values(from_json(to_json(cs(0)),
-        MapType(StringType, StringType)))
+      case ObjLit(fs) =>
+        array(fs.sortBy(_._1).map { case (_, e) => toCol(e, ctx) }: _*)
+      case _ => transform(
+        array_sort(map_entries(from_json(to_json(cs(0)),
+          MapType(StringType, StringType)))),
+        e => e.getField("value"))
     }
     case "object::entries" => raw(0) match {
       case ObjLit(fs) =>
-        array(fs.map { case (k, e) => array(lit(k), toCol(e, ctx).cast("string")) }: _*)
+        array(fs.sortBy(_._1).map { case (k, e) =>
+          array(lit(k), toCol(e, ctx).cast("string")) }: _*)
       case _ => transform(
-        map_entries(from_json(to_json(cs(0)), MapType(StringType, StringType))),
+        array_sort(map_entries(from_json(to_json(cs(0)), MapType(StringType, StringType)))),
         e => array(e.getField("key"), e.getField("value")))
     }
     case "object::len"      => size(json_object_keys(to_json(cs(0)))).cast("bigint")

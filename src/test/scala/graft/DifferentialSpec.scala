@@ -987,6 +987,21 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("object iteration is key-sorted; array accessors yield NONE out of range (r17 sweep)") {
+    // the reference's Object is a BTreeMap (val/object.rs) — keys/values/
+    // entries iterate KEY-SORTED regardless of literal insertion order
+    // (entries values are canonical string renders on the Spark path —
+    // array elements share one type — so the pin uses string values)
+    checkSame("RETURN { e: object::entries({b: '2', a: '1', c: '3'})," +
+      " k: object::keys({z: 1, a: 2}), v: object::values({b: 'x', a: 'y'}) };")
+    // out-of-range array accessors are NONE, not ANSI element_at errors
+    // (fnc/array.rs get)
+    checkSame("RETURN { a: array::at([1,2,3], -4), b: array::at([1,2,3], 3)," +
+      " c: array::first([]), d: array::last([]), e: array::at([1,2,3], -1) };")
+    checkSame("SELECT name, array::at(tags, qty) AS a, array::first(tags) AS f " +
+      "FROM item ORDER BY name LIMIT 8;")
+  }
+
   test("parse::url edges agree over columns (r17 sweep)") {
     // url-crate edges: bracketed IPv6 hosts (':' inside the brackets — the
     // old port patterns on BOTH paths stopped at the first ':'), missing
