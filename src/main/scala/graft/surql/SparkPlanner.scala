@@ -4652,7 +4652,10 @@ object SparkPlanner {
       case Lit(VInt(n)) => repeat(cs(0), n.toInt)
       case _ => throw SqlError("SparkPlanner: string::repeat needs a constant count")
     }
-    case "string::matches" => regexp_like(cs(0), cs(1))
+    case "string::matches" =>
+      // (?U) = UNICODE_CHARACTER_CLASS: the Rust regex crate's \d \w \s
+      // are Unicode by default (fnc/string.rs matches → Regex::is_match)
+      regexp_like(cs(0), concat(lit("(?U)"), cs(1)))
     case "string::reverse" => reverse(cs(0))
     case "string::similarity::jaro" =>
       graft.functions.StrSimKernels.ensure(

@@ -146,7 +146,12 @@ final case class VFile(bucket: String, key: String) extends V
 /** Range with optional bounds; `inclusive` applies to the bound value. */
 final case class VRng(lo: Option[(V, Boolean)], hi: Option[(V, Boolean)]) extends V
 final case class VRegex(pattern: String) extends V {
-  lazy val compiled: java.util.regex.Pattern = java.util.regex.Pattern.compile(pattern)
+  // the reference's regexes are the Rust regex crate, whose \d \w \s
+  // character classes are UNICODE by default (Java's are ASCII without
+  // this flag — the r17 regex sweep caught '\d' missing Arabic-Indic
+  // digits on both engines)
+  lazy val compiled: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    pattern, java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 }
 /** Closure `|$x| expr` — carries its defining environment. */
 final case class VClosure(params: Seq[(String, Option[ast.Kind])], body: ast.Expr,

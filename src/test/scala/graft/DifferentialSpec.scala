@@ -987,6 +987,24 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("regex character classes are Unicode, as the Rust regex crate (r17 sweep)") {
+    // fnc/string.rs matches → Regex::is_match: \d \w \s are UNICODE by
+    // default in the crate — '١٢٣' (Arabic-Indic digits) must match \d+
+    // (Java's default ASCII classes missed it on BOTH engines). Values
+    // asserted absolutely, then cross-path incl. the column lowering.
+    val in5 = new Interp
+    in5.run(Parser.parse("RETURN string::matches('١٢٣', '\\\\d+');")).last match {
+      case QOk(VBool(b)) => assert(b, "unicode digits must match \\d+")
+      case other => fail(s"interp: $other")
+    }
+    checkSame("RETURN { a: string::matches('١٢٣', '\\\\d+')," +
+      " b: string::matches('abc', '^\\\\w+$')," +
+      " c: string::matches('Ärger', '^\\\\w+$')," +
+      " d: string::matches('12 34', '^\\\\d+$') };")
+    checkSame("SELECT name, string::matches(name, '\\\\d\\\\d$') AS m " +
+      "FROM item ORDER BY name LIMIT 8;")
+  }
+
   test("object iteration is key-sorted; array accessors yield NONE out of range (r17 sweep)") {
     // the reference's Object is a BTreeMap (val/object.rs) — keys/values/
     // entries iterate KEY-SORTED regardless of literal insertion order
