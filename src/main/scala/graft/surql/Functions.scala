@@ -620,7 +620,9 @@ object Functions {
             val m = r.compiled.matcher(v)
             var last = 0
             while (m.find()) {
-              sb.append(v, last, m.start()).append(rep)
+              // (substring, not append(v, i, j) — Scala auto-tuples the
+              // 3-arg call into appending a tuple render; r17 sweep catch)
+              sb.append(v.substring(last, m.start())).append(rep)
               sizeCheck(sb.length)
               last = m.end()
               if (m.end() == m.start()) { // zero-width: advance to avoid stalls
@@ -629,7 +631,7 @@ object Functions {
                 if (last > v.length) last = v.length
               }
             }
-            sb.append(v, last, v.length)
+            sb.append(v.substring(last, v.length))
             sizeCheck(sb.length)
             VStr(sb.toString)
           case _ =>

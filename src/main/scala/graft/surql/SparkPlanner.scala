@@ -4334,8 +4334,23 @@ object SparkPlanner {
     case "string::uppercase" => upper(cs(0))
     case "string::len"       => length(cs(0)).cast("bigint")
     case "string::concat"    => concat(cs: _*)
-    case "string::replace"   => regexp_replace(cs(0), raw(1) match { case Lit(VStr(s)) => java.util.regex.Pattern.quote(s); case _ => " " },
-      raw(2) match { case Lit(VStr(s)) => java.util.regex.Matcher.quoteReplacement(s); case _ => "" })
+    case "string::replace" => raw(1) match {
+      // regex search (fnc/string.rs replace Regex arm): all matches
+      // splice the replacement LITERALLY (no capture expansion), with
+      // the crate's Unicode classes
+      case Lit(r: VRegex) =>
+        val repl = raw(2) match {
+          case Lit(VStr(s)) => java.util.regex.Matcher.quoteReplacement(s)
+          case _ => throw SqlError(
+            "SparkPlanner: string::replace with a regex needs a constant replacement")
+        }
+        // lower ONLY arg 0 — the strict cs map would lower the regex too
+        regexp_replace(toCol(raw(0), ctx), "(?U)" + r.pattern, repl)
+      // plain-string search — LITERAL replace for constant AND runtime
+      // arguments (the old lowering silently replaced spaces for any
+      // non-constant search; r17 sweep catch)
+      case _ => org.apache.spark.sql.functions.replace(cs(0), cs(1), cs(2))
+    }
     case "string::trim"      => trim(cs(0))
     case "string::reverse"   => reverse(cs(0))
     case "string::slice"     =>

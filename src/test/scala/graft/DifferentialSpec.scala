@@ -987,6 +987,24 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("string::replace: literal, runtime, and regex forms agree (r17 sweep)") {
+    // fnc/string.rs replace: the plain-string arm is a LITERAL replace for
+    // constant AND runtime search strings ('.' does not regex-match; the
+    // old Spark lowering silently replaced spaces for non-constant
+    // search); the Regex arm splices the replacement literally across all
+    // matches — the old interp arm auto-tupled append(v, i, j) into a
+    // tuple render (absolute pin below)
+    val in6 = new Interp
+    in6.run(Parser.parse("RETURN string::replace('a1b2c3', /\\d/, '.');")).last match {
+      case QOk(VStr(s)) => assert(s == "a.b.c.", s"regex replace: $s")
+      case other => fail(s"interp: $other")
+    }
+    checkSame("SELECT name, string::replace(name, name, 'X') AS a, " +
+      "string::replace(name, '.', '!') AS b, " +
+      "string::replace(name, /\\d+/, '#') AS c " +
+      "FROM item ORDER BY name LIMIT 8;")
+  }
+
   test("regex character classes are Unicode, as the Rust regex crate (r17 sweep)") {
     // fnc/string.rs matches → Regex::is_match: \d \w \s are UNICODE by
     // default in the crate — '١٢٣' (Arabic-Indic digits) must match \d+
