@@ -333,7 +333,7 @@ object SurqlQueries {
               CAST(floor(c_acctbal) AS BIGINT) AS fl
        FROM customer ORDER BY c_custkey""")(
     """SELECT c_custkey,
-              <int>string::slice(c_name, 9, 9) AS parsed,
+              <int>string::slice(c_name, 9, 18) AS parsed,
               <string>c_custkey AS as_str,
               <string>c_acctbal != NONE AS ok,
               <int>math::floor(c_acctbal) AS fl

@@ -644,15 +644,23 @@ object Functions {
         }
       case "string::reverse" => VStr(str(0).reverse)
       case "string::slice" =>
+        // fnc/string.rs:171: [start, END) INDEX semantics — the same
+        // TypedRange resolve as array::slice — negatives wrap on both
+        // bounds (the r17 sweep caught the old 2.x-era LENGTH third arg)
         val s = str(0)
-        val len = s.codePointCount(0, s.length)
-        var from = if (a.length > 1) int(1) else 0L
-        if (from < 0) from = Math.max(0, len + from)
-        var take = if (a.length > 2) int(2) else len - from
-        if (take < 0) take = Math.max(0, len - from + take)
         val cps = s.codePoints().toArray
-        VStr(new String(cps.slice(from.toInt, (from + take).toInt), 0,
-          Math.max(0, Math.min(cps.length, (from + take).toInt) - Math.min(from.toInt, cps.length))))
+        val len = cps.length.toLong
+        var from = if (a.length > 1) int(1) else 0L
+        if (from < 0) from += len
+        var until = if (a.length > 2) int(2) else len
+        if (until < 0) until += len
+        from = Math.max(0, Math.min(len, from))
+        until = Math.max(0, Math.min(len, until))
+        if (from >= until) VStr("")
+        else {
+          val out = cps.slice(from.toInt, until.toInt)
+          VStr(new String(out, 0, out.length))
+        }
       case "string::split" =>
         VArr(str(0).split(java.util.regex.Pattern.quote(str(1)), -1).toVector.map(VStr(_)))
       case "string::trim" => VStr(str(0).trim)

@@ -4354,9 +4354,19 @@ object SparkPlanner {
     case "string::trim"      => trim(cs(0))
     case "string::reverse"   => reverse(cs(0))
     case "string::slice"     =>
-      val from = raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }
-      val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
-      substring(cs(0), from + 1, len) // SurrealQL slice is 0-based
+      // [start, END) index semantics with negative wrap on both bounds
+      // (fnc/string.rs:171 TypedRange — the r17 sweep replaced the old
+      // constant-only LENGTH form), runtime-capable
+      val s = cs(0)
+      val len = length(s).cast("bigint")
+      val fromRaw = (if (raw.length > 1) cs(1) else lit(0L)).cast("bigint")
+      val untilRaw = (if (raw.length > 2) cs(2) else len).cast("bigint")
+      val from = greatest(lit(0L), least(len,
+        when(fromRaw < 0, fromRaw + len).otherwise(fromRaw)))
+      val until = greatest(lit(0L), least(len,
+        when(untilRaw < 0, untilRaw + len).otherwise(untilRaw)))
+      s.substr((from + 1).cast("int"),
+        greatest(lit(0L), until - from).cast("int"))
     case "string::starts_with" => cs(0).startsWith(cs(1))
     case "string::contains"    => cs(0).contains(cs(1))
     case "string::ends_with"   => cs(0).endsWith(cs(1))
@@ -4839,9 +4849,19 @@ object SparkPlanner {
       concat_ws(raw(1) match { case Lit(VStr(s)) => s; case _ => "," },
         transform(cs(0), x => x.cast("string")))
     case "array::slice"    =>
-      val from = raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 }
-      val len = raw(2) match { case Lit(VInt(i)) => i.toInt; case _ => Int.MaxValue }
-      slice(cs(0), from + 1, len)
+      // [start, END) index semantics, negative wrap, runtime-capable —
+      // matching the interpreter's fnc/array.rs:742 lowering (the old
+      // constant-only form treated the third argument as a LENGTH)
+      val arr = cs(0)
+      val len = size(arr).cast("bigint")
+      val fromRaw = (if (raw.length > 1) cs(1) else lit(0L)).cast("bigint")
+      val untilRaw = (if (raw.length > 2) cs(2) else len).cast("bigint")
+      val from = greatest(lit(0L), least(len,
+        when(fromRaw < 0, fromRaw + len).otherwise(fromRaw)))
+      val until = greatest(lit(0L), least(len,
+        when(untilRaw < 0, untilRaw + len).otherwise(untilRaw)))
+      slice(arr, (from + 1).cast("int"),
+        greatest(lit(0L), until - from).cast("int"))
     case "array::flatten"  => flatten(cs(0))
     // per-row array::group over a nested array value: flatten + first-
     // occurrence dedup (fnc/array.rs Group); the GROUPed form lowers

@@ -987,6 +987,21 @@ class DifferentialSpec extends AnyFunSuite {
       "FROM item ORDER BY name LIMIT 6")
   }
 
+  test("string::slice / array::slice use [start, end) index semantics (r17 sweep)") {
+    // fnc/string.rs:171 / fnc/array.rs:742 TypedRange: the third argument
+    // is an EXCLUSIVE END INDEX (negatives wrap on both bounds), not the
+    // 2.x-era length — and both lowerings are runtime-capable now
+    checkSame("RETURN { a: string::slice('hello world', 2, 5)," +
+      " b: string::slice('hello world', -5, 11)," +
+      " c: string::slice('hello world', 2, -1)," +
+      " d: string::slice('hello world', 7, 3)," +
+      " e: array::slice([1,2,3,4,5], 1, 4)," +
+      " f: array::slice([1,2,3,4,5], -3, -1)," +
+      " g: array::slice([1,2,3,4,5], 0, 99) };")
+    checkSame("SELECT name, string::slice(name, qty, 3) AS s, " +
+      "array::slice(tags, 0, qty) AS t FROM item ORDER BY name LIMIT 8;")
+  }
+
   test("string::replace: literal, runtime, and regex forms agree (r17 sweep)") {
     // fnc/string.rs replace: the plain-string arm is a LITERAL replace for
     // constant AND runtime search strings ('.' does not regex-match; the
