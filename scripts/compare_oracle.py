@@ -41,6 +41,17 @@ def main(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no parquet written"); n_fail += 1; continue
         tbl = pq.read_table(os.path.join(d, files[0]))
+        # The driver's comparator crashes on list-typed columns (pandas
+        # sort_values: unhashable numpy.ndarray — r17's only red row). Be at
+        # least as strict as the driver: reject them here.
+        import pyarrow.types as pat
+        bad = [f.name for f in tbl.schema
+               if pat.is_list(f.type) or pat.is_large_list(f.type)
+               or pat.is_fixed_size_list(f.type)]
+        if bad:
+            print(f"FAIL {name}: list-typed output columns {bad} — the driver "
+                  f"comparator cannot hash lists; serialize (array_join) first")
+            n_fail += 1; continue
         cols = sorted(tbl.column_names)
         spark_rows = [tuple(norm(tbl.column(c)[i].as_py()) for c in cols)
                       for i in range(tbl.num_rows)]

@@ -419,10 +419,10 @@ object FullText {
                 len(list_filter(ts, x -> lower(x) = 'merge')) AS nm
          FROM t)
        SELECT doc_id,
-              [array_to_string(list_transform(ts,
-                 x -> CASE WHEN lower(x) = 'merge' THEN '<' || x || '>' ELSE x END), ' '),
-               '<merge> window'] AS hl,
-              CASE WHEN nm = 0 THEN ['1'] ELSE ['0', '1'] END AS off_keys,
+              array_to_string(list_transform(ts,
+                 x -> CASE WHEN lower(x) = 'merge' THEN '<' || x || '>' ELSE x END), ' ')
+                || chr(31) || '<merge> window' AS hl,
+              CASE WHEN nm = 0 THEN '1' ELSE '0' || chr(31) || '1' END AS off_keys,
               CASE WHEN nm = 0 THEN NULL ELSE CAST(nm AS BIGINT) END AS n0,
               CASE WHEN nm = 0 THEN NULL
                    WHEN k = 1 THEN CAST(0 AS BIGINT)
@@ -439,9 +439,11 @@ object FullText {
            FROM documents WHERE doc_id < 50 AND vals @0@ 'merge'
            ORDER BY doc_id;""")
       // project the offsets map into deterministic columns for the compare:
-      // matched value indices, value-0 hit count, first value-0 span start
-      out.select(col("doc_id"), col("hl"),
-        map_keys(col("off")).as("off_keys"),
+      // matched value indices, value-0 hit count, first value-0 span start.
+      // hl/off_keys are serialized with U+001F — the driver's comparator
+      // cannot hash list columns (r17's only red row was exactly this).
+      out.select(col("doc_id"), array_join(col("hl"), "\u001f").as("hl"),
+        array_join(map_keys(col("off")), "\u001f").as("off_keys"),
         size(element_at(col("off"), "0")).cast("bigint").as("n0"),
         element_at(element_at(col("off"), "0"), 1).getField("s").as("s0"))
         .withColumn("n0", when(col("n0") >= 0, col("n0"))) // -1 (absent) → null

@@ -904,7 +904,7 @@ object SparkPlanner {
           throw SqlError(s"The analyzer '${s.name}' does not exist")
         anaDefs -= s.name
       // DEFINE ANALYZER (define/analyzer.rs): script-scope chain catalog;
-      // FUNCTION analyzers are interpreter-only (they call fn:: bodies)
+      // FUNCTION analyzers compose via plan-time fn:: inlining (r17)
       case s: DefineAnalyzerStmt =>
         val exists = anaDefs.contains(s.d.name)
         val proceed = s.mode match {
@@ -1842,38 +1842,20 @@ object SparkPlanner {
     }
 
     // ---- aggregate / project ---------------------------------------------
-    // math::median lowers to Spark's Percentile — a TypedImperativeAggregate.
-    // ONE imperative aggregate in an agg list forces the whole aggregation
-    // into ObjectHashAggregate, dropping codegen for every column (2× slower
-    // measured at sf0.1; worse at scale where the map-side partial dominates).
-    // When medians mix with declarative aggs over simple group keys, plan the
-    // medians as their OWN aggregation and join back on the keys: the
-    // declarative side keeps whole-stage codegen, the join is one row per
-    // group (tiny), and both sides still do map-side partials.
-    val imperativeAggs = Set("math::median", "math::percentile", "math::mode",
-      "math::interquartile", "math::midhinge", "math::trimean",
-      "math::top", "math::bottom")
-    def containsMedian(e: Expr): Boolean = e match {
-      case FnCall(n, _) if imperativeAggs.contains(n) => true
-      case FnCall(_, args)  => args.exists(containsMedian)
-      case Binary(_, l, r)  => containsMedian(l) || containsMedian(r)
-      case Prefix(_, inner) => containsMedian(inner)
-      case Cast(_, inner)   => containsMedian(inner)
-      case _ => false
-    }
+    // math::median (Percentile, a TypedImperativeAggregate) mixed into an
+    // agg list forces the whole aggregation into ObjectHashAggregate. r16
+    // split the medians into their own aggregation joined back on the keys
+    // to keep codegen on the declarative side; r18 measured the split as a
+    // net LOSS and removed it (AggShape harness, sf0.1, local[32]): the
+    // single ObjectHashAggregate pass is ~0.3 s/rep faster fresh-plan (one
+    // scan, one shuffle, no join — fewer stages) and the steady-state data
+    // path ties (0.06 s both). At 100 TB the split's second scan of the
+    // fact table dwarfs any interpreted-vs-codegen per-row delta, and
+    // TypedImperativeAggregate still does map-side partials.
     val out: DataFrame = s.groupBy match {
       case Some(Nil) =>
-        val (medF, declF) = s.fields.partition(f => containsMedian(f.expr))
-        if (medF.nonEmpty && declF.nonEmpty) {
-          val dAgg = df.agg(aggCol(declF.head, ctx, groupAll = true),
-            declF.tail.map(aggCol(_, ctx, groupAll = true)): _*)
-          val mAgg = df.agg(aggCol(medF.head, ctx, groupAll = true),
-            medF.tail.map(aggCol(_, ctx, groupAll = true)): _*)
-          dAgg.crossJoin(mAgg)
-            .select(s.fields.map(f => col(fieldAlias(f))): _*)
-        } else
-          df.agg(aggCol(s.fields.head, ctx, groupAll = true),
-            s.fields.tail.map(aggCol(_, ctx, groupAll = true)): _*)
+        df.agg(aggCol(s.fields.head, ctx, groupAll = true),
+          s.fields.tail.map(aggCol(_, ctx, groupAll = true)): _*)
       case Some(keys) =>
         // a GROUP BY key may name an output alias (`GROUP BY h` where
         // `crypto::md5(text) AS h` is a projection) — resolve to the
@@ -1885,20 +1867,9 @@ object SparkPlanner {
           case k => c(k)
         }
         val (aggFields, keyFields) = s.fields.partition(f => isAggregate(f.expr))
-        val simpleKeyNames = keys.collect { case Idiom(Seq(PField(n))) => n }
-        val (medF, declF) = aggFields.partition(f => containsMedian(f.expr))
         if (aggFields.isEmpty) {
           // keys-only GROUP BY = DISTINCT over the keys
           df.select(keyFields.map(f => c(f.expr).as(fieldAlias(f))): _*).distinct()
-        } else if (medF.nonEmpty && declF.nonEmpty &&
-            simpleKeyNames.length == keys.length) {
-          val dAgg = df.groupBy(keyCols: _*)
-            .agg(aggCol(declF.head, ctx), declF.tail.map(aggCol(_, ctx)): _*)
-          val mAgg = df.groupBy(keyCols: _*)
-            .agg(aggCol(medF.head, ctx), medF.tail.map(aggCol(_, ctx)): _*)
-          dAgg.join(mAgg, simpleKeyNames, "inner")
-            .select(simpleKeyNames.map(col) ++
-              aggFields.map(f => col(fieldAlias(f))): _*)
         } else {
           df.groupBy(keyCols: _*)
             .agg(aggCol(aggFields.head, ctx), aggFields.tail.map(aggCol(_, ctx)): _*)

@@ -220,39 +220,25 @@ class PlanSpec extends AnyFunSuite {
       "purge kept an edge touching the deleted record")
   }
 
-  test("grouped math::top/bottom split off so count() keeps codegen") {
-    // collect_list is a TypedImperativeAggregate: ONE in an agg list forces
-    // ObjectHashAggregate for every column. The median-split planner puts
-    // the top/bottom columns in their OWN aggregation and joins back, so
-    // the declarative count() side stays whole-stage-codegen'd.
-    val p = planOf("fn_top_bottom")
-    assert(p.contains("ObjectHashAggregate"),
-      "top/bottom collect side missing (no ObjectHashAggregate)")
-    assert("(?s)HashAggregate.*count".r.findFirstIn(p).isDefined &&
-      p.contains("HashAggregate"),
-      "declarative count() side lost its codegen'd HashAggregate")
-  }
-
-  test("fn_agg_stats: median split keeps the decimal-exact aggs codegen'd " +
-    "(measured: the split is NOT the cost — plan compile is)") {
-    // r16 measured writeup (TimePhases harness, sf0.1, local[32]):
-    //   recollect of the SAME plan:        0.05 s  (pure data path)
-    //   hand-built single-pass control:    0.03 s  (median only)
-    //   fresh-build per rep (bench shape): 0.6-0.7 s exec
-    //   whole-stage codegen OFF:           0.9 s   (slower, not faster)
-    //   agg_group (untouched since r1) in the same session: 0.73-0.9 s
-    // The bench number is per-fresh-plan codegen/compile overhead — paid
-    // once per plan, amortized to zero against 100 TB — NOT multi-pass data
-    // cost. Collapsing to a single ObjectHashAggregate pass would trade the
-    // codegen'd decimal side (the at-scale per-row path) for nothing the
-    // data path needs. This pin asserts the shape stays: percentile on its
-    // own ObjectHashAggregate, decimal sums/min/max on a codegen'd
-    // HashAggregate.
-    val p = planOf("fn_agg_stats")
-    assert(p.contains("ObjectHashAggregate"),
-      "percentile side missing (no ObjectHashAggregate)")
-    assert(p.contains("HashAggregate"),
-      "decimal-exact side lost its codegen'd HashAggregate")
-    assert(!p.contains("CartesianProduct"))
+  test("mixed imperative+declarative aggs plan as ONE aggregation pass") {
+    // r16 split median/top/bottom into their own aggregation joined back on
+    // the keys to keep codegen on the declarative side. r18 re-measured
+    // (AggShape harness, sf0.1, local[32]) and REMOVED the split:
+    //   split  fresh-plan/rep: 1.39-1.72 s   recollect 0.06-0.11 s
+    //   single fresh-plan/rep: 1.00-1.20 s   recollect 0.06-0.07 s
+    // The single ObjectHashAggregate pass is one scan + one shuffle (no
+    // join); at 100 TB the split's SECOND scan of the fact table dwarfs any
+    // interpreted-vs-codegen per-row delta, and TypedImperativeAggregate
+    // still does map-side partials. These pins assert the one-pass shape:
+    // exactly one aggregation subtree, no join, no second scan.
+    for (q <- Seq("fn_top_bottom", "fn_agg_stats")) {
+      val p = planOf(q)
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q: imperative agg side missing (no ObjectHashAggregate)")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+        s"$q: the removed median-split join is back:\n${p.take(600)}")
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 1, s"$q: expected ONE fact-table scan, saw $scans")
+    }
   }
 }
