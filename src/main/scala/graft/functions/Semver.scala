@@ -47,8 +47,13 @@ object Semver {
       val preOk = preIds.forall(id => id.nonEmpty &&
         !(id.forall(_.isDigit) && id.length > 1 && id.head == '0'))
       val buildOk = buildIds.forall(_.nonEmpty)
-      if (preOk && buildOk) Some(V(ma.toLong, mi.toLong, pa.toLong, preIds, Option(build)))
-      else scala.None
+      // u64 overflow of a version component is a PARSE error in the crate
+      // (not a crash): a >Long.MaxValue triple rejects like any bad input
+      try {
+        if (preOk && buildOk)
+          Some(V(ma.toLong, mi.toLong, pa.toLong, preIds, Option(build)))
+        else scala.None
+      } catch { case _: NumberFormatException => scala.None }
     case _ => scala.None
   }
 
@@ -56,10 +61,16 @@ object Semver {
     parse(s).getOrElse(throw graft.surql.SqlError(
       s"Incorrect arguments for function $fn(). $msg"))
 
-  /** One pre-release identifier compare (spec §11.4.1-3). */
+  /** One pre-release identifier compare (spec §11.4.1-3). Numeric ids
+    * compare at ARBITRARY precision, as the crate does (length first —
+    * no leading zeros survive parse — then lexically): String.toLong
+    * would crash on a >19-digit identifier the spec allows. */
   private def idCmp(a: String, b: String): Int = {
     val an = a.forall(_.isDigit); val bn = b.forall(_.isDigit)
-    if (an && bn) java.lang.Long.compare(a.toLong, b.toLong)
+    if (an && bn) {
+      if (a.length != b.length) Integer.compare(a.length, b.length)
+      else a.compareTo(b)
+    }
     else if (an) -1      // numeric < alphanumeric
     else if (bn) 1
     else a.compareTo(b)  // ASCII lexical

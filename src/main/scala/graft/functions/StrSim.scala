@@ -14,11 +14,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen by generating a static call into [[StrSim]] — one virtual-free
   * JVM call per row, no lambda interpretation. */
 object StrSim {
-  /** Jaro similarity (strsim jaro; standard match-window definition). */
-  def jaro(xs: UTF8String, ys: UTF8String): Double = {
-    val x = xs.toString
-    val y = ys.toString
-    if (x == y) return 1.0
+
+  /** The reference's DoS guard for the O(n·m) similarity/distance family
+    * (fnc/string.rs:28 check_similarity_input_length, cnf
+    * STRING_SIMILARITY_LIMIT default 16384): both inputs' UTF-8 BYTE
+    * lengths within the limit or the InvalidFunctionArguments error with
+    * the reference's exact text. Every kernel in the family calls this
+    * (fuzzy under smithwaterman's name, as the reference delegates). */
+  private val SimLimit = 16384
+  def checkSimLen(name: String, a: UTF8String, b: UTF8String): Unit = {
+    val la = a.numBytes; val lb = b.numBytes
+    if (la > SimLimit || lb > SimLimit)
+      throw graft.surql.SqlError(s"Incorrect arguments for function $name(). " +
+        s"Input strings must not exceed $SimLimit bytes (got $la and $lb).")
+  }
+  def checkSimLen(name: String, a: String, b: String): Unit =
+    checkSimLen(name, UTF8String.fromString(a), UTF8String.fromString(b))
+
+  /** Rust's char::is_whitespace — the Unicode White_Space property. NOT
+    * Java's Character.isWhitespace, which adds the U+001C-001F separators
+    * and drops the non-breaking spaces U+00A0/U+2007/U+202F. */
+  private[functions] def isRustWhitespace(cp: Int): Boolean = cp match {
+    case 0x09 | 0x0A | 0x0B | 0x0C | 0x0D | 0x20 | 0x85 | 0xA0 | 0x1680 |
+         0x2028 | 0x2029 | 0x202F | 0x205F | 0x3000 => true
+    case c => c >= 0x2000 && c <= 0x200A
+  }
+
+  private def cps(s: String): Array[Int] = s.codePoints.toArray
+
+  /** Jaro core over Unicode scalar values (strsim iterates Rust chars —
+    * UTF-16 code units diverge on non-BMP input). */
+  private def jaroCp(x: Array[Int], y: Array[Int]): Double = {
+    if (java.util.Arrays.equals(x, y)) return 1.0
     if (x.isEmpty || y.isEmpty) return 0.0
     val window = Math.max(x.length, y.length) / 2 - 1
     val xm = new Array[Boolean](x.length)
@@ -54,30 +81,38 @@ object StrSim {
     (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
   }
 
+  /** Jaro similarity (strsim jaro; standard match-window definition). */
+  def jaro(xs: UTF8String, ys: UTF8String): Double = {
+    checkSimLen("string::similarity::jaro", xs, ys)
+    jaroCp(cps(xs.toString), cps(ys.toString))
+  }
+
   /** Sørensen-Dice as strsim::sorensen_dice exactly (fnc/string.rs:597):
-    * whitespace removed from the STRINGS first, then char-bigram multiset
+    * Unicode White_Space scalars removed from the STRINGS first (Rust
+    * char::is_whitespace, not Java's), then CODE-POINT-bigram multiset
     * intersection with denominator len(a)+len(b)-2 over the stripped
-    * lengths; the ==, single-char, and <2 shortcuts mirror the crate.
-    * Shared by BOTH engines (the interpreter calls this static too) so the
-    * paths agree to the ulp. */
+    * code-point lengths; the ==, single-char, and <2 shortcuts mirror the
+    * crate. Shared by BOTH engines (the interpreter calls this static
+    * too) so the paths agree to the ulp. */
   def sorensenDice(xs: UTF8String, ys: UTF8String): Double = {
-    val a = xs.toString.filterNot(_.isWhitespace)
-    val b = ys.toString.filterNot(_.isWhitespace)
+    checkSimLen("string::similarity::sorensen_dice", xs, ys)
+    val a = cps(xs.toString).filterNot(isRustWhitespace)
+    val b = cps(ys.toString).filterNot(isRustWhitespace)
     if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
-    if (a == b) return 1.0
+    if (java.util.Arrays.equals(a, b)) return 1.0
     if (a.length < 2 || b.length < 2) return 0.0
-    val counts = new java.util.HashMap[Int, Int]()
+    val counts = new java.util.HashMap[Long, Int]()
     var i = 0
     while (i < a.length - 1) {
-      val key = a.charAt(i) << 16 | a.charAt(i + 1)
+      val key = a(i).toLong << 32 | (a(i + 1).toLong & 0xFFFFFFFFL)
       counts.merge(key, 1, (x, y) => x + y)
       i += 1
     }
     var inter = 0
     i = 0
     while (i < b.length - 1) {
-      val key = b.charAt(i) << 16 | b.charAt(i + 1)
+      val key = b(i).toLong << 32 | (b(i + 1).toLong & 0xFFFFFFFFL)
       val c = counts.getOrDefault(key, 0)
       if (c > 0) { inter += 1; counts.put(key, c - 1) }
       i += 1
@@ -110,9 +145,10 @@ object StrSim {
     * reference links): the common-prefix boost is UNBOUNDED (no classic
     * 4-char cap) and the result is clamped to 1.0. */
   def jaroWinkler(xs: UTF8String, ys: UTF8String): Double = {
-    val j = jaro(xs, ys)
-    val x = xs.toString
-    val y = ys.toString
+    checkSimLen("string::similarity::jaro_winkler", xs, ys)
+    val x = cps(xs.toString)
+    val y = cps(ys.toString)
+    val j = jaroCp(x, y)
     val n = Math.min(x.length, y.length)
     var prefix = 0
     while (prefix < n && x(prefix) == y(prefix)) prefix += 1
@@ -120,19 +156,64 @@ object StrSim {
   }
 
   /** SkimMatcherV2 fuzzy score (fnc/string.rs:550,587) — see [[SkimV2]],
-    * pinned to the reference's published test outputs. */
-  def fuzzy(xs: UTF8String, ys: UTF8String): Long =
+    * pinned to the reference's published test outputs. The limit check
+    * carries smithwaterman's name because the reference's fuzzy DELEGATES
+    * to smithwaterman (fnc/string.rs:550-552), check included. */
+  def fuzzy(xs: UTF8String, ys: UTF8String): Long = {
+    checkSimLen("string::similarity::smithwaterman", xs, ys)
     SkimV2.fuzzyMatch(xs.toString, ys.toString)
+  }
 
-  /** Full (unrestricted) Damerau-Levenshtein — the strsim crate's
-    * `damerau_levenshtein` the reference links (fnc/string.rs), i.e. the
-    * alphabet-indexed DP with true transpositions, not the restricted
-    * OSA variant. Mirrors the interpreter's port exactly. */
+  /** Levenshtein over Unicode scalar values (strsim levenshtein), with the
+    * reference's limit check — Spark's builtin carries neither. */
+  def levenshtein(xs: UTF8String, ys: UTF8String): Long = {
+    checkSimLen("string::distance::levenshtein", xs, ys)
+    levenshteinCp(cps(xs.toString), cps(ys.toString))
+  }
+
+  private def levenshteinCp(x: Array[Int], y: Array[Int]): Long = {
+    if (x.isEmpty) return y.length.toLong
+    if (y.isEmpty) return x.length.toLong
+    val dp = Array.tabulate(y.length + 1)(identity)
+    var i = 1
+    while (i <= x.length) {
+      var prev = dp(0)
+      dp(0) = i
+      var j = 1
+      while (j <= y.length) {
+        val tmp = dp(j)
+        dp(j) = Math.min(Math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        prev = tmp
+        j += 1
+      }
+      i += 1
+    }
+    dp(y.length).toLong
+  }
+
+  /** strsim normalized_levenshtein: 1 - d/max(chars), both-empty = 1.0. */
+  def normalizedLevenshtein(xs: UTF8String, ys: UTF8String): Double = {
+    checkSimLen("string::distance::normalized_levenshtein", xs, ys)
+    val x = cps(xs.toString); val y = cps(ys.toString)
+    val m = Math.max(x.length, y.length)
+    if (m == 0) 1.0 else 1.0 - levenshteinCp(x, y).toDouble / m
+  }
+
+  /** strsim normalized_damerau_levenshtein, same shape. */
+  def normalizedDamerau(xs: UTF8String, ys: UTF8String): Double = {
+    checkSimLen("string::distance::normalized_damerau_levenshtein", xs, ys)
+    val x = cps(xs.toString); val y = cps(ys.toString)
+    val m = Math.max(x.length, y.length)
+    if (m == 0) 1.0 else 1.0 - damerauCp(x, y).toDouble / m
+  }
+
   /** Optimal string alignment (strsim osa_distance): Damerau restricted to
     * non-overlapping adjacent transpositions, over Unicode scalar values. */
   def osa(xs: UTF8String, ys: UTF8String): Long = {
-    val a = xs.toString.codePoints.toArray
-    val b = ys.toString.codePoints.toArray
+    checkSimLen("string::distance::osa_distance", xs, ys)
+    val a = cps(xs.toString)
+    val b = cps(ys.toString)
     val (la, lb) = (a.length, b.length)
     val d = Array.ofDim[Int](la + 1, lb + 1)
     var i = 0
@@ -155,8 +236,16 @@ object StrSim {
     d(la)(lb).toLong
   }
 
+  /** Full (unrestricted) Damerau-Levenshtein — the strsim crate's
+    * `damerau_levenshtein` the reference links (fnc/string.rs), i.e. the
+    * alphabet-indexed DP with true transpositions over Unicode scalar
+    * values, not the restricted OSA variant. */
   def damerauLevenshtein(xs: UTF8String, ys: UTF8String): Long = {
-    val a = xs.toString; val b = ys.toString
+    checkSimLen("string::distance::damerau_levenshtein", xs, ys)
+    damerauCp(cps(xs.toString), cps(ys.toString))
+  }
+
+  private def damerauCp(a: Array[Int], b: Array[Int]): Long = {
     val (la, lb) = (a.length, b.length)
     val maxD = la + lb
     val d = Array.ofDim[Int](la + 2, lb + 2)
@@ -165,7 +254,7 @@ object StrSim {
     while (i <= la) { d(i + 1)(0) = maxD; d(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { d(0)(j + 1) = maxD; d(1)(j + 1) = j; j += 1 }
-    val lastRow = new java.util.HashMap[Character, Integer]()
+    val lastRow = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var lastMatchCol = 0
@@ -186,12 +275,14 @@ object StrSim {
     d(la + 1)(lb + 1).toLong
   }
 
-  /** Hamming distance; unequal lengths error like the reference
-    * (strsim hamming returns Err → "Strings must be of equal length"). */
+  /** Hamming distance over Unicode scalar values; unequal code-point
+    * counts error like the reference (strsim hamming returns Err →
+    * "Strings must be of equal length"). */
   def hamming(xs: UTF8String, ys: UTF8String): Long = {
-    val a = xs.toString; val b = ys.toString
+    checkSimLen("string::distance::hamming", xs, ys)
+    val a = cps(xs.toString); val b = cps(ys.toString)
     if (a.length != b.length)
-      throw new IllegalArgumentException(
+      throw graft.surql.SqlError(
         "Incorrect arguments for function string::distance::hamming(). " +
           "Strings must be of equal length")
     var n = 0L
@@ -240,6 +331,23 @@ final case class DamerauF(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+final case class LevenshteinF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_levenshtein"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
+  override def nullSafeEval(l: Any, r: Any): Any =
+    StrSim.levenshtein(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.levenshtein($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 final case class OsaF(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "graft_osa"
@@ -281,15 +389,34 @@ abstract class StrSimF extends BinaryExpression {
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName expects two strings")
   protected def method: String
-  override def nullSafeEval(l: Any, r: Any): Any =
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[UTF8String]; val b = r.asInstanceOf[UTF8String]
     method match {
-      case "jaro" => StrSim.jaro(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
-      case "sorensenDice" =>
-        StrSim.sorensenDice(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
-      case _      => StrSim.jaroWinkler(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+      case "jaro"                   => StrSim.jaro(a, b)
+      case "sorensenDice"           => StrSim.sorensenDice(a, b)
+      case "normalizedLevenshtein"  => StrSim.normalizedLevenshtein(a, b)
+      case "normalizedDamerau"      => StrSim.normalizedDamerau(a, b)
+      case _                        => StrSim.jaroWinkler(a, b)
     }
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.StrSim.$method($a, $b)")
+}
+
+final case class NormLevenshteinF(left: Expression, right: Expression) extends StrSimF {
+  override def prettyName: String = "graft_norm_levenshtein"
+  protected def method: String = "normalizedLevenshtein"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+final case class NormDamerauF(left: Expression, right: Expression) extends StrSimF {
+  override def prettyName: String = "graft_norm_damerau"
+  protected def method: String = "normalizedDamerau"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 final case class JaroF(left: Expression, right: Expression) extends StrSimF {
@@ -381,6 +508,12 @@ object StrSimKernels {
       es => HammingF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_osa",
       es => OsaF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_levenshtein",
+      es => LevenshteinF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm_levenshtein",
+      es => NormLevenshteinF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_norm_damerau",
+      es => NormDamerauF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_stem",
       es => StemF(es.head, es(1)), "built-in")
   }

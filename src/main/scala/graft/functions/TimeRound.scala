@@ -34,8 +34,11 @@ object TimeRound {
       case "floor" => f
       case "ceil"  => if (rem == 0) f else Math.addExact(f, durNanos)
       case _ =>
-        // duration_round: nearest, ties (delta_up == delta_down) go UP
-        if (rem * 2 >= durNanos) Math.addExact(f, durNanos) else f
+        // duration_round: nearest, ties (delta_up == delta_down) go UP.
+        // Overflow-free tie test: `rem * 2` silently wraps for durations
+        // past 2^62 ns (within the i64 range check), rounding DOWN where
+        // chrono (delta_up = span - rem <= rem) rounds up.
+        if (durNanos - rem <= rem) Math.addExact(f, durNanos) else f
     }
   }
 

@@ -17,13 +17,15 @@ import graft.{Q, Tables}
   * `mapPartitions` so one task amortizes codec setup over its whole
   * partition.
   *
-  * The IMAGE path is a real codec end-to-end: payloads are genuine PNG
-  * containers written by the in-JDK encoder (javax.imageio — public,
+  * The IMAGE path is a real codec end-to-end: payloads are genuine PNG and
+  * JPEG containers written by the in-JDK encoders (javax.imageio — public,
   * zero-dependency), and decode/feature-extract/resize run through the real
-  * PNG reader. The pixels are a deterministic closed-form function of
-  * (doc_id, x, y), and PNG is lossless 8-bit RGB, so the DuckDB oracle pins
+  * readers. The pixels are a deterministic closed-form function of
+  * (doc_id, x, y); PNG is lossless 8-bit RGB, so the DuckDB oracle pins
   * the DECODED dimensions and per-channel means exactly from the same
   * closed form — a decoder that misread a single pixel would hash-mismatch.
+  * JPEG is lossy: the oracle pins format + decoded dimensions exactly and
+  * gates channel means within a measured tolerance of the closed form.
   * The VIDEO frame sampler keeps a deterministic byte-slice demuxer
   * stand-in (no video codecs ship in the JDK); its batch shape — one input
   * row fanning out to ≤ NumFrames rows from one per-partition demuxer — is
@@ -185,6 +187,70 @@ object Multimodal {
     extractFeatures(s, pngPayloads(s, d)).toDF().orderBy("doc_id")
   }
 
+  /** JPEG-payload table: the same closed-form rasters through the in-JDK
+    * JPEG writer (lossy, default quality) — the format a real image corpus
+    * is mostly made of. */
+  def jpegPayloads(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(renderImage(id), "jpg", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Lossy decode can't be replayed closed-form, so the JPEG gate splits:
+    * format sniff + decoded DIMENSIONS are exact (JPEG preserves geometry
+    * losslessly — a truncated or byte-shifted read fails them), and each
+    * channel MEAN must sit within [[JpegMeanTol]] of the closed-form truth.
+    * Tolerance from measurement, not guesswork: worst mean drift over all
+    * 5000 docs of this noise-like corpus (JPEG's worst case) is 6.58; a
+    * wholesale misread drifts by ~64 on average. */
+  private val JpegMeanTol = 8.0
+
+  val multimodalJpeg = Q("multimodal_jpeg",
+    s"""SELECT doc_id, 'jpeg' AS format,
+               CAST(8 + doc_id % 9 AS INT) AS width,
+               CAST(8 + (doc_id // 9) % 7 AS INT) AS height,
+               true AS ok_r, true AS ok_g, true AS ok_b
+        FROM documents ORDER BY doc_id""") { (s, d) =>
+    import s.implicits._
+    jpegPayloads(s, d)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // decoder context per partition; per row the REAL JPEG reader
+        // parses the container and the gate compares its raster's channel
+        // means against the closed-form truth of the same doc
+        it.map { case (id, bytes) =>
+          val fmt = sniffFormat(bytes)
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          val (mr, mg, mb) = channelMeans(img)
+          val w = genWidth(id); val h = genHeight(id)
+          var (tr, tg, tb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = pixel(id, x, y); tr += r; tg += g; tb += b
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toDouble
+          (id, fmt, img.getWidth, img.getHeight,
+            math.abs(mr - tr / n) <= JpegMeanTol,
+            math.abs(mg - tg / n) <= JpegMeanTol,
+            math.abs(mb - tb / n) <= JpegMeanTol)
+        }
+      }
+      .toDF("doc_id", "format", "width", "height", "ok_r", "ok_g", "ok_b")
+      .orderBy("doc_id")
+  }
+
   private def md5hex(bytes: Array[Byte]): String =
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
@@ -304,5 +370,5 @@ object Multimodal {
   }
 
   val all: Seq[Q] = Seq(multimodalMeta, multimodalFeatures, multimodalFrames,
-    multimodalResize)
+    multimodalResize, multimodalJpeg)
 }

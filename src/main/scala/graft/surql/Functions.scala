@@ -10,6 +10,10 @@ import scala.collection.immutable.TreeMap
   * dispatches per receiver type like fnc/mod.rs:666+. */
 object Functions {
 
+  /** Bridge into the shared UTF8String-based kernels ([[graft.functions]]). */
+  private def u8(s: String): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
   def call(name: String, argEs: Seq[Expr], env: Env): V = {
     // closure-taking functions evaluate args themselves
     name match {
@@ -671,43 +675,40 @@ object Functions {
       }
       case "string::slug" =>
         VStr(str(0).toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", ""))
-      case "string::distance::levenshtein" => VInt(levenshtein(str(0), str(1)))
+      // the whole distance/similarity family delegates to the SHARED
+      // StrSim statics — the exact code the Spark kernels codegen into —
+      // so both engines agree definitionally: Unicode-scalar iteration,
+      // strsim-crate semantics, and the reference's STRING_SIMILARITY_LIMIT
+      // DoS guard (fnc/string.rs:28, r18)
+      case "string::distance::levenshtein" =>
+        VInt(graft.functions.StrSim.levenshtein(u8(str(0)), u8(str(1))))
       // optimal string alignment — Damerau RESTRICTED to non-overlapping
       // adjacent transpositions (strsim::osa_distance; fnc/string.rs:372)
       case "string::distance::osa" | "string::distance::osa_distance" =>
-        VInt(osaDistance(str(0), str(1)))
+        VInt(graft.functions.StrSim.osa(u8(str(0)), u8(str(1))))
       case "string::distance::damerau_levenshtein" =>
-        VInt(damerauLevenshtein(str(0), str(1)))
+        VInt(graft.functions.StrSim.damerauLevenshtein(u8(str(0)), u8(str(1))))
       case "string::distance::normalized_levenshtein" =>
-        val (x, y) = (str(0), str(1))
-        val m = Math.max(x.length, y.length)
-        VFloat(if (m == 0) 1.0 else 1.0 - levenshtein(x, y).toDouble / m)
+        VFloat(graft.functions.StrSim.normalizedLevenshtein(u8(str(0)), u8(str(1))))
       case "string::distance::normalized_damerau_levenshtein" =>
-        val (x, y) = (str(0), str(1))
-        val m = Math.max(x.length, y.length)
-        VFloat(if (m == 0) 1.0 else 1.0 - damerauLevenshtein(x, y).toDouble / m)
+        VFloat(graft.functions.StrSim.normalizedDamerau(u8(str(0)), u8(str(1))))
       case "string::similarity::sorensen_dice" =>
         // strsim::sorensen_dice EXACTLY (fnc/string.rs:597): whitespace is
         // removed from the STRINGS first (not filtered per-bigram — the r17
         // sweep caught the old per-bigram filter diverging: 'ab cd' vs
         // 'abcd' must be 1.0), bigram multiset intersection, denominator
         // len(a)+len(b)-2 over the whitespace-stripped lengths
-        VFloat(graft.functions.StrSim.sorensenDice(
-          org.apache.spark.unsafe.types.UTF8String.fromString(str(0)),
-          org.apache.spark.unsafe.types.UTF8String.fromString(str(1))))
+        VFloat(graft.functions.StrSim.sorensenDice(u8(str(0)), u8(str(1))))
       case "string::distance::hamming" =>
-        val (x, y) = (str(0), str(1))
-        if (x.length != y.length) throw SqlError("Incorrect arguments for function string::distance::hamming(). Strings must be of equal length")
-        VInt(x.zip(y).count { case (c1, c2) => c1 != c2 })
-      case "string::similarity::jaro" => VFloat(jaro(str(0), str(1)))
+        VInt(graft.functions.StrSim.hamming(u8(str(0)), u8(str(1))))
+      case "string::similarity::jaro" =>
+        VFloat(graft.functions.StrSim.jaro(u8(str(0)), u8(str(1))))
       case "string::similarity::jaro_winkler" =>
         // strsim 0.11 generic_jaro_winkler: UNBOUNDED common-prefix boost
         // (no classic 4-char cap), clamped to 1.0
-        val j = jaro(str(0), str(1))
-        val prefix = str(0).zip(str(1)).takeWhile { case (x, y) => x == y }.length
-        VFloat(Math.min(1.0, j + prefix * 0.1 * (1 - j)))
+        VFloat(graft.functions.StrSim.jaroWinkler(u8(str(0)), u8(str(1))))
       case "string::similarity::fuzzy" | "string::similarity::smithwaterman" =>
-        VInt(fuzzyScore(str(0), str(1)))
+        VInt(graft.functions.StrSim.fuzzy(u8(str(0)), u8(str(1))))
       case "type::type_of" => VStr(arg(0).typeName)
       // validator family — shared kernel (graft.functions.StrCheck), the
       // same static the Spark column lowering codegens into. The parse-
@@ -2074,111 +2075,6 @@ object Functions {
     if (lo == hi) sorted(lo)
     else sorted(lo) + (rank - lo) * (sorted(hi) - sorted(lo))
   }
-
-  private def levenshtein(x: String, y: String): Long = {
-    val dp = Array.tabulate(y.length + 1)(identity)
-    for (i <- 1 to x.length) {
-      var prev = dp(0)
-      dp(0) = i
-      for (j <- 1 to y.length) {
-        val tmp = dp(j)
-        dp(j) = Math.min(Math.min(dp(j) + 1, dp(j - 1) + 1),
-          prev + (if (x(i - 1) == y(j - 1)) 0 else 1))
-        prev = tmp
-      }
-    }
-    dp(y.length).toLong
-  }
-
-  /** True Damerau-Levenshtein (transpositions over arbitrary distance —
-    * the strsim algorithm the reference links against, fnc/string.rs). */
-  /** Optimal string alignment over Unicode scalar values (strsim's
-    * osa_distance iterates chars) — adjacent transpositions count 1 but a
-    * transposed pair cannot be edited again. */
-  private def osaDistance(as: String, bs: String): Long = {
-    val a = as.codePoints.toArray; val b = bs.codePoints.toArray
-    val (la, lb) = (a.length, b.length)
-    val d = Array.ofDim[Int](la + 1, lb + 1)
-    var i = 0
-    while (i <= la) { d(i)(0) = i; i += 1 }
-    var j = 0
-    while (j <= lb) { d(0)(j) = j; j += 1 }
-    i = 1
-    while (i <= la) {
-      j = 1
-      while (j <= lb) {
-        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
-        d(i)(j) = Math.min(Math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-          d(i - 1)(j - 1) + cost)
-        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
-          d(i)(j) = Math.min(d(i)(j), d(i - 2)(j - 2) + 1)
-        j += 1
-      }
-      i += 1
-    }
-    d(la)(lb).toLong
-  }
-
-  private def damerauLevenshtein(a: String, b: String): Long = {
-    val (la, lb) = (a.length, b.length)
-    val maxD = la + lb
-    val d = Array.ofDim[Int](la + 2, lb + 2)
-    d(0)(0) = maxD
-    for (i <- 0 to la) { d(i + 1)(0) = maxD; d(i + 1)(1) = i }
-    for (j <- 0 to lb) { d(0)(j + 1) = maxD; d(1)(j + 1) = j }
-    val lastRow = scala.collection.mutable.HashMap.empty[Char, Int]
-    for (i <- 1 to la) {
-      var lastMatchCol = 0
-      for (j <- 1 to lb) {
-        val k = lastRow.getOrElse(b(j - 1), 0)
-        val l = lastMatchCol
-        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
-        if (cost == 0) lastMatchCol = j
-        d(i + 1)(j + 1) = Seq(
-          d(i)(j) + cost,                          // substitute
-          d(i + 1)(j) + 1,                         // insert
-          d(i)(j + 1) + 1,                         // delete
-          d(k)(l) + (i - k - 1) + 1 + (j - l - 1)  // transpose
-        ).min
-      }
-      lastRow(a(i - 1)) = i
-    }
-    d(la + 1)(lb + 1).toLong
-  }
-
-  private def jaro(x: String, y: String): Double = {
-    if (x == y) return 1.0
-    if (x.isEmpty || y.isEmpty) return 0.0
-    val window = Math.max(x.length, y.length) / 2 - 1
-    val xm = new Array[Boolean](x.length)
-    val ym = new Array[Boolean](y.length)
-    var matches = 0
-    for (i <- x.indices) {
-      val lo = Math.max(0, i - window)
-      val hi = Math.min(y.length - 1, i + window)
-      var j = lo
-      var found = false
-      while (j <= hi && !found) {
-        if (!ym(j) && x(i) == y(j)) { xm(i) = true; ym(j) = true; matches += 1; found = true }
-        j += 1
-      }
-    }
-    if (matches == 0) return 0.0
-    var t = 0
-    var k = 0
-    for (i <- x.indices if xm(i)) {
-      while (!ym(k)) k += 1
-      if (x(i) != y(k)) t += 1
-      k += 1
-    }
-    val m = matches.toDouble
-    (m / x.length + m / y.length + (m - t / 2.0) / m) / 3.0
-  }
-
-  /** SkimMatcherV2 scoring, shared with the Spark kernel so both engines
-    * agree to the bit (see [[graft.functions.SkimV2]]). */
-  private def fuzzyScore(s: String, query: String): Long =
-    graft.functions.SkimV2.fuzzyMatch(s, query)
 
   /** Incremental-view variance: (sum_of_squares - sum·mean) / (n-1) over
     * running sums — the rolling formula's float artifacts are observable

@@ -234,6 +234,23 @@ object SparkPlanner {
     case _                => false
   }
 
+  /** AST node count — the size guard for symbolic substitution. */
+  private def nodeCount(e: Any): Int = e match {
+    case s: Seq[_]    => s.iterator.map(nodeCount).sum
+    case o: Option[_] => o.iterator.map(nodeCount).sum
+    case p: Product   => 1 + p.productIterator.map(nodeCount).sum
+    case _            => 0
+  }
+
+  /** Symbolic LET substitution doubles the tree whenever a binding
+    * references an earlier one more than once (LET $b = $a + $a; LET $c =
+    * $b + $b; …): 2^n growth in n bindings, which the depth-16 recursion
+    * cap cannot see (it is all ONE call frame). Bound the substituted tree
+    * size and decline to inline past it — the interpreter evaluates LETs
+    * by VALUE (once per binding, like the reference's block executor), so
+    * these bodies stay correct there instead of compiling for minutes. */
+  private val MaxInlineNodes = 10000
+
   private def inlineUserFn(n: String, args: Seq[Expr]): Expr = {
     val d = fnScope.value(n)
     if (args.length != d.params.length)
@@ -259,10 +276,17 @@ object SparkPlanner {
             if (exprHasFn(v, f => f == "rand" || f.startsWith("rand::")))
               throw SqlError(
                 s"SparkPlanner: non-deterministic LET in body of '$n' is interpreter-only")
+            if (nodeCount(v) > MaxInlineNodes)
+              throw SqlError(s"SparkPlanner: LET substitution in body of '$n' " +
+                s"exceeds $MaxInlineNodes nodes — interpreter-only")
             env + (name -> v)
           case (env, _) => env
         }
-        Subst.exprE(stmts.last.asInstanceOf[ReturnStmt].e, env)
+        val ret = Subst.exprE(stmts.last.asInstanceOf[ReturnStmt].e, env)
+        if (nodeCount(ret) > MaxInlineNodes)
+          throw SqlError(s"SparkPlanner: LET substitution in body of '$n' " +
+            s"exceeds $MaxInlineNodes nodes — interpreter-only")
+        ret
       case BlockExpr(_) => throw SqlError(
         s"SparkPlanner: multi-statement body of '$n' is interpreter-only")
       case e => e
@@ -4342,7 +4366,13 @@ object SparkPlanner {
     case "string::contains"    => cs(0).contains(cs(1))
     case "string::ends_with"   => cs(0).endsWith(cs(1))
     case "string::split"       => split(cs(0), raw(1) match { case Lit(VStr(s)) => java.util.regex.Pattern.quote(s); case _ => " " })
-    case "string::distance::levenshtein" => levenshtein(cs(0), cs(1)).cast("bigint")
+    // our kernel, not Spark's builtin levenshtein: the reference applies
+    // the STRING_SIMILARITY_LIMIT DoS guard (fnc/string.rs:28) that the
+    // builtin lacks, and counts Unicode scalar values
+    case "string::distance::levenshtein" =>
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_levenshtein", cs(0), cs(1))
     case "string::distance::damerau_levenshtein" =>
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
@@ -4369,19 +4399,17 @@ object SparkPlanner {
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_hamming", cs(0), cs(1))
-    // normalized distances: 1 - d/max(len) with the both-empty case = 1.0
-    // (strsim normalized_levenshtein / normalized_damerau_levenshtein)
+    // normalized distances: whole-kernel lowerings (1 - d/max(chars),
+    // both-empty = 1.0, plus the reference's limit check under the
+    // normalized function's OWN name — fnc/string.rs:314,361)
     case "string::distance::normalized_levenshtein" =>
-      val m = greatest(length(cs(0)), length(cs(1))).cast("double")
-      when(m === 0.0, lit(1.0))
-        .otherwise(lit(1.0) - levenshtein(cs(0), cs(1)).cast("double") / m)
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_norm_levenshtein", cs(0), cs(1))
     case "string::distance::normalized_damerau_levenshtein" =>
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
-      val m = greatest(length(cs(0)), length(cs(1))).cast("double")
-      when(m === 0.0, lit(1.0))
-        .otherwise(lit(1.0) -
-          call_function("graft_damerau", cs(0), cs(1)).cast("double") / m)
+      call_function("graft_norm_damerau", cs(0), cs(1))
     case "math::abs"   => abs(cs(0))
     // ceil/floor/round preserve the operand's numeric KIND in the reference
     // (number.rs: Int passes through; Float stays Float — math::ceil(2.5)

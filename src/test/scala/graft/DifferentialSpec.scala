@@ -858,6 +858,43 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name, fn::c(qty) AS v FROM item ORDER BY name LIMIT 6;""")
   }
 
+  test("LET-substitution blowup guard: doubling bindings decline fast") {
+    // LET $v1 = $v0 + $v0; LET $v2 = $v1 + $v1; … doubles the substituted
+    // tree per binding — 2^n growth in ONE call frame, invisible to the
+    // depth-16 recursion cap. The planner must decline past MaxInlineNodes
+    // with a named error in well under a second, not compile for minutes;
+    // the interpreter evaluates LETs by VALUE (once per binding, the
+    // reference block executor's semantics) and returns the exact result.
+    val lets = (1 to 24)
+      .map(i => s"LET $$v$i = $$v${i - 1} + $$v${i - 1};").mkString(" ")
+    val script =
+      s"""DEFINE FUNCTION fn::dbl($$x: number) {
+            LET $$v0 = $$x; $lets RETURN $$v24
+          };
+          SELECT id, fn::dbl(1) AS v FROM item ORDER BY id LIMIT 3;"""
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    in.run(Parser.parse(script)).last match {
+      case QOk(VArr(items)) =>
+        items.foreach {
+          case VObj(m) => assert(m("v") == VInt(1 << 24),
+            s"interp by-value LET result wrong: ${m("v")}")
+          case other => fail(s"unexpected interp row: $other")
+        }
+      case other => fail(s"interp should evaluate by value, got: $other")
+    }
+    val t0 = System.nanoTime()
+    val e = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", script).collect()
+      }
+    }
+    assert(e.getMessage.contains("interpreter-only"),
+      s"expected the named decline, got: ${e.getMessage}")
+    assert((System.nanoTime() - t0) / 1e9 < 10.0,
+      "the guard must trip before the tree blows up, not after")
+  }
+
   test("ALTER FUNCTION rebinds the body identically on both paths") {
     checkScript(
       """DEFINE FUNCTION fn::f($x: number) { RETURN $x + 1 };
@@ -1246,6 +1283,45 @@ class DifferentialSpec extends AnyFunSuite {
     checkSame(
       """SELECT name, string::similarity::sorensen_dice(name, 'n0 1') AS sd
          FROM item ORDER BY name LIMIT 8;""")
+  }
+
+  test("string-sim family: Unicode scalars, Rust White_Space, DoS guard (r18)") {
+    // Rust-char (code-point) iteration and char::is_whitespace, NOT Java
+    // UTF-16 units / Character.isWhitespace:
+    //  - U+00A0 NBSP is Unicode White_Space (Java says no) → sorensen
+    //    strips it: 'ab cd' ≡ 'abcd' → 1.0
+    //  - U+001C file separator is NOT Unicode White_Space (Java says yes)
+    //    → it stays and breaks equality
+    //  - a non-BMP scalar (𝄞 U+1D11E) is ONE unit everywhere: hamming and
+    //    levenshtein count it once, sorensen bigrams don't split the
+    //    surrogate pair
+    checkSame(
+      """RETURN { a: string::similarity::sorensen_dice('ab cd', 'abcd'),
+                  b: string::distance::hamming('a𝄞c', 'axc'),
+                  c: string::distance::levenshtein('𝄞𝄞', '𝄞'),
+                  d: string::similarity::jaro('a𝄞', 'a𝄞'),
+                  e: string::distance::normalized_levenshtein('𝄞x', '𝄞y') };""")
+    // the reference's STRING_SIMILARITY_LIMIT guard (fnc/string.rs:28,
+    // 16384 BYTES): both engines raise the same InvalidFunctionArguments
+    // text. string::repeat builds the oversized input inside the query.
+    val q = """SELECT string::distance::levenshtein(string::repeat('a', 20000), 'b') AS v
+               FROM item LIMIT 1;"""
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    val ires = in.run(Parser.parse(q)).last
+    val imsg = ires match {
+      case QErr(m) => m
+      case other   => fail(s"interp accepted oversized input: $other")
+    }
+    val smsg = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", q).collect()
+      }
+    }.getMessage
+    val want = "Incorrect arguments for function string::distance::levenshtein(). " +
+      "Input strings must not exceed 16384 bytes (got 20000 and 1)."
+    assert(imsg.contains(want), s"interp error text: $imsg")
+    assert(smsg.contains(want), s"spark error text: $smsg")
   }
 
   test("geo::distance / geo::bearing over COLUMN points agree BIT-exact") {

@@ -149,5 +149,51 @@ class KernelSpec extends AnyFunSuite {
     assert(sd("a", "b") == 0.0)
     // repeated bigrams are a MULTISET intersection: aaa has {aa,aa}
     assert(sd("aaa", "aa") == 2.0 * 1 / (3 + 2 - 2))
+    // Rust char::is_whitespace: NBSP (U+00A0) IS Unicode White_Space —
+    // Java's isWhitespace says no; file separator U+001C is NOT — Java
+    // says yes. Both must follow Rust.
+    assert(sd("ab cd", "abcd") == 1.0)
+    assert(sd("ab\u001ccd", "abcd") != 1.0)
+    // non-BMP scalars are ONE bigram unit (crate iterates chars):
+    // "a𝄞b" bigrams {a𝄞, 𝄞b} — UTF-16 units would split the surrogate
+    assert(sd("a𝄞b", "a𝄞b") == 1.0)
+    assert(sd("a𝄞", "a𝄞") == 1.0)
+  }
+
+  test("semver: arbitrary-precision numeric pre-release ids; u64-ish overflow parses as error") {
+    import graft.functions.Semver
+    // a 20+-digit numeric pre-release id is spec-legal (§9 puts no bound):
+    // the crate compares numerically at arbitrary precision — toLong would
+    // crash the task with NumberFormatException
+    val a = Semver.parse("1.0.0-11111111111111111111").get
+    val b = Semver.parse("1.0.0-2").get
+    assert(Semver.cmp(a, b) > 0, "20-digit numeric id must compare GREATER than 2")
+    assert(Semver.cmp(b, a) < 0)
+    // equal-length digit ids fall to lexical (== numeric with no leading zeros)
+    val c = Semver.parse("1.0.0-123456789012345678901").get
+    val d = Semver.parse("1.0.0-123456789012345678902").get
+    assert(Semver.cmp(c, d) < 0)
+    // a version COMPONENT past u64/i64 is a PARSE error (reference
+    // InvalidFunctionArguments), never an uncaught exception
+    assert(Semver.parse("99999999999999999999.0.0").isEmpty)
+    val e = intercept[Exception] {
+      Semver.cmpStr(
+        org.apache.spark.unsafe.types.UTF8String.fromString("99999999999999999999.0.0"),
+        org.apache.spark.unsafe.types.UTF8String.fromString("1.0.0"))
+    }
+    assert(e.getMessage.contains("Incorrect arguments for function string::semver::compare()"))
+  }
+
+  test("time::round tie test is overflow-free past 2^62-ns durations") {
+    import graft.functions.TimeRound
+    // dur = 200y-in-nanos (6.3072e18, inside i64); stamp = 5e18 ns → rem =
+    // 5e18, rem*2 overflows Long. chrono duration_round: delta_up =
+    // dur - rem = 1.3072e18 <= delta_down = rem → round UP.
+    val dur = 6307200000000000000L
+    val stamp = 5000000000000000000L
+    assert(TimeRound.nanos(stamp, dur, "round") == dur,
+      "tie/nearest test must not wrap: chrono rounds UP here")
+    // below the midpoint still rounds down
+    assert(TimeRound.nanos(1000000000000000000L, dur, "round") == 0L)
   }
 }

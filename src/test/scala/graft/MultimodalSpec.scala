@@ -60,6 +60,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg arm: real lossy roundtrip — dims/format exact, means gated") {
+    val rows = Multimodal.multimodalJpeg.fn(spark, sf)
+      .filter("doc_id < 100").collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      assert(r.getString(1) == "jpeg", s"doc $d: sniff said ${r.getString(1)}")
+      assert(r.getInt(2) == Multimodal.genWidth(d) &&
+        r.getInt(3) == Multimodal.genHeight(d), s"doc $d: dims drifted")
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"doc $d: a channel mean drifted past the measured JPEG tolerance")
+    }
+  }
+
   test("nearest resample uses the integer source mapping (sx = x*w/W)") {
     val d = 42L
     val img = ImageIO.read(new ByteArrayInputStream(
