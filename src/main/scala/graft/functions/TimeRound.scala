@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -61,6 +61,40 @@ object TimeRound {
   }
 }
 
+object StrftimeBridge {
+  /** timestamp micros → chrono-formatted string via the SHARED
+    * [[graft.surql.Strftime]] table (session TZ pinned UTC). */
+  def format(stampMicros: Long, fmt: UTF8String): UTF8String = {
+    val t = java.time.Instant.EPOCH.plus(stampMicros,
+      java.time.temporal.ChronoUnit.MICROS)
+      .atZone(java.time.ZoneOffset.UTC)
+    UTF8String.fromString(graft.surql.Strftime.format(t, fmt.toString))
+  }
+}
+
+/** Codegen'd kernel: (timestamp, format) → string — time::format with
+  * chrono's FULL specifier table on the Spark path (the same Strftime
+  * engine the interpreter runs; the old java.time-pattern translation
+  * covered 14 specs and named-errored on the rest). */
+final case class StrftimeF(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_strftime"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == TimestampType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (timestamp, string)")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StrftimeBridge.format(a.asInstanceOf[Long], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.StrftimeBridge.format($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen'd kernel: (timestamp, durNanos, mode) → timestamp. */
 final case class TimeRoundF(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
@@ -84,7 +118,10 @@ final case class TimeRoundF(first: Expression, second: Expression,
 }
 
 object TimeKernels {
-  def ensure(spark: SparkSession): Unit =
+  def ensure(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_time_round", es => TimeRoundF(es.head, es(1), es(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_strftime", es => StrftimeF(es.head, es(1)), "built-in")
+  }
 }

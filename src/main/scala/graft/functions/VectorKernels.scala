@@ -234,6 +234,55 @@ object RoundRs {
     * `Math.signum`, which returns ±0.0 for zeros. */
   def signum(x: Double): Double =
     if (java.lang.Double.isNaN(x)) x else java.lang.Math.copySign(1.0, x)
+
+  /** math::fixed on a float, the reference's cursed shape exactly
+    * (val/number.rs:583-588: format "{v:.p}" then parse back): rounding
+    * happens on the EXACT binary value (java.math.BigDecimal(double), not
+    * the canonical-string constructor) with Rust float formatting's
+    * ties-to-even; NaN/±inf round-trip through "NaN"/"inf" unchanged. */
+  def fixed(x: Double, places: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else new java.math.BigDecimal(x)
+      .setScale(places, java.math.RoundingMode.HALF_EVEN).doubleValue()
+}
+
+/** math::fixed(x, p) over a double column — see [[RoundRs.fixed]]. The
+  * precision is the right child (a plan-time int literal). */
+final case class FixedRs(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def prettyName: String = "graft_fixed"
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: NumericType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (numeric, int)")
+    }
+  private def asDouble(c: String): String = left.dataType match {
+    case _: DecimalType => s"$c.toDouble()"
+    case _ => s"(double) $c"
+  }
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val x = left.dataType match {
+      case FloatType => l.asInstanceOf[Float].toDouble
+      case DoubleType => l.asInstanceOf[Double]
+      case _: DecimalType => l.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+      case ByteType => l.asInstanceOf[Byte].toDouble
+      case ShortType => l.asInstanceOf[Short].toDouble
+      case IntegerType => l.asInstanceOf[Int].toDouble
+      case LongType => l.asInstanceOf[Long].toDouble
+    }
+    val p = r match { case i: Int => i; case lg: Long => lg.toInt }
+    RoundRs.fixed(x, p)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.RoundRs.fixed(${asDouble(a)}, (int) $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `math::sign` with the reference's semantics: Int input → Int signum
@@ -297,6 +346,8 @@ object VectorKernels {
       es => L1F(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_round",
       es => RoundRs(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_fixed",
+      es => FixedRs(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_ceil",
       es => CeilFloorRs(es.head, up = true), "built-in")
     reg.createOrReplaceTempFunction("graft_floor",

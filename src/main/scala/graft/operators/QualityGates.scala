@@ -70,4 +70,35 @@ object QualityGates {
     oracle(Seq(
       s"recall@$k vs exact brute top-$k" -> recallThr,
       s"sim_ratio@$k vs exact brute top-$k" -> ratioThr))
+
+  /** ANN gates + the SCAN-FRACTION cost axis (r18): LSH recall is only
+    * honest next to what it scanned. Emitted as headroom = 1 − fraction so
+    * the shared (value ≥ threshold) gate direction holds; headroomThr 0.40
+    * means "the probe admitted at most 60% of the index" — measured
+    * admit fractions are .29/.45/.52 across SFs on the noise-level
+    * testdata (the worst case; structured corpora admit far less). */
+  def annGatesWithScan(ann: DataFrame, exact: DataFrame, scanFrac: DataFrame,
+      k: Int, recallThr: Double, ratioThr: Double,
+      headroomThr: Double): DataFrame = {
+    val hits = ann.select("vec_id")
+      .join(exact.select("vec_id"), "vec_id")
+      .agg(count(lit(1)).as("hits"))
+    val am = ann.agg(avg("cos_sim").as("ann_mean"))
+    val em = exact.agg(avg("cos_sim").as("ex_mean"))
+    val one = hits.crossJoin(am).crossJoin(em).crossJoin(scanFrac)
+    rows(one, Seq(
+      Gate(s"recall@$k vs exact brute top-$k", recallThr,
+        col("hits").cast("double") / k),
+      Gate(s"sim_ratio@$k vs exact brute top-$k", ratioThr,
+        col("ann_mean") / col("ex_mean")),
+      Gate(s"scan_headroom (1 - admitted fraction)", headroomThr,
+        lit(1.0) - col("scan_frac"))))
+  }
+
+  def annOracleWithScan(k: Int, recallThr: Double, ratioThr: Double,
+      headroomThr: Double): String =
+    oracle(Seq(
+      s"recall@$k vs exact brute top-$k" -> recallThr,
+      s"sim_ratio@$k vs exact brute top-$k" -> ratioThr,
+      s"scan_headroom (1 - admitted fraction)" -> headroomThr))
 }

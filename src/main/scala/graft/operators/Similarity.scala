@@ -312,6 +312,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Fraction of the index the probe ADMITS (bucket pruning + flip-cost
+    * filter) — the honest cost axis of multi-probe LSH, emitted as a gate
+    * row beside recall/ratio (r18). One aggregate over the index. */
+  def annScanFraction(s: SparkSession, d: String, qvec: Seq[Double],
+      flips: Int = ProbeFlips): DataFrame = {
+    val path = annIndexPath(s, d)
+    val qsig = probeSig(qvec)
+    val m = probeMargins(qvec)
+    val budget = probeBudget(m, flips)
+    val buckets = (0 until 64).filter { b =>
+      val x = b ^ (qsig >> 10)
+      (0 until 6).map(r => if (((x >> r) & 1) == 1) m(10 + r) else 0.0).sum <= budget
+    }
+    val flipCost = (0 until 16).map { j =>
+      when((col("sig").bitwiseXOR(lit(qsig)).bitwiseAND(lit(1 << j))) =!= 0,
+        lit(m(j))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    s.read.parquet(path).agg(
+      (count(when(col("bucket").isin(buckets: _*) && flipCost <= lit(budget),
+        lit(1))).cast("double") / count(lit(1))).as("scan_frac"))
+  }
+
   /** `KnnScan` ANN analog over the persisted index: multi-probe around
     * vec 0's own signature (its embedding is a 64-float point read — index
     * metadata scale traffic, not a data scan). */
@@ -322,12 +344,18 @@ object Similarity {
   }
 
   /** LSH probe quality gate: recall@10 + mean-cosine ratio vs the exact
-    * brute top-10, oracle-pinned (see [[QualityGates]] for the measured
-    * thresholds — multi-probe lifted the measured floor to .60 recall /
-    * .92 ratio across SFs; gated at .50/.85 with margin). */
-  val knnAnnLsh = Q("knn_ann_lsh", QualityGates.annOracle(10, 0.50, 0.85)) {
+    * brute top-10, PLUS the scanned-fraction cost axis, oracle-pinned.
+    * r18 ratchet (one stable round after multi-probe landed): measured
+    * floors .60 recall / .92 ratio / ≤.52 admitted across SFs → gates
+    * .55 / .90 / headroom .40. */
+  val knnAnnLsh = Q("knn_ann_lsh",
+    QualityGates.annOracleWithScan(10, 0.55, 0.90, 0.40)) {
     (s, d) =>
-      QualityGates.annGates(annLshTop10(s, d), knnBrute.fn(s, d), 10, 0.50, 0.85)
+      val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0).map(_.toDouble).toSeq
+      QualityGates.annGatesWithScan(
+        annProbe(s, d, qvec, 10, notId = Some(0L)), knnBrute.fn(s, d),
+        annScanFraction(s, d, qvec), 10, 0.55, 0.90, 0.40)
   }
 
   // --- IVF (inverted-file) ANN index ------------------------------------

@@ -887,13 +887,19 @@ object SurqlQueries {
               array::join(object::values(o_custkey.{c_name, c_mktsegment}), ',') AS dvals
        FROM orders:1..20 ORDER BY o_orderkey""")
 
-  /** time::format (strftime subset → java.time translation) + schema-
-    * derived type::of. */
+  /** time::format (chrono's full strftime table via the shared Strftime
+    * kernel — r18) + schema-derived type::of. The second row of columns
+    * exercises the r18-added specifiers (%F %T %j %C %e %I %p %u %w %V %G)
+    * against DuckDB's C-style strftime, which shares their definitions. */
   val fnFormat = sq("fn_format",
     """SELECT o_orderkey,
               strftime(o_orderdate, '%Y-%m-%d') AS d,
               strftime(o_orderdate, '%d/%m/%Y %H:%M') AS dm,
               strftime(o_orderdate, '%B %Y') AS mon,
+              strftime(o_orderdate, '%Y-%m-%d %T') AS iso,
+              strftime(o_orderdate, '%j|%I %p|%U %W') AS parts,
+              strftime(o_orderdate, '%u%w') AS dows,
+              strftime(o_orderdate, '%G-%V') AS isow,
               'float' AS t1, 'string' AS t2
        FROM orders WHERE o_orderkey >= 1 AND o_orderkey < 20
        ORDER BY o_orderkey""")(
@@ -901,6 +907,10 @@ object SurqlQueries {
               time::format(o_orderdate, '%Y-%m-%d') AS d,
               time::format(o_orderdate, '%d/%m/%Y %H:%M') AS dm,
               time::format(o_orderdate, '%B %Y') AS mon,
+              time::format(o_orderdate, '%F %T') AS iso,
+              time::format(o_orderdate, '%j|%I %p|%U %W') AS parts,
+              time::format(o_orderdate, '%u%w') AS dows,
+              time::format(o_orderdate, '%G-%V') AS isow,
               type::of(o_totalprice) AS t1, type::of(o_orderstatus) AS t2
        FROM orders:1..20 ORDER BY o_orderkey""")
 

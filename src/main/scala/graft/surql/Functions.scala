@@ -471,7 +471,9 @@ object Functions {
         // Math.round is half toward +inf: round(-2.5) = -2, Rust = -3) and
         // sign-of-zero preserving (round(-0.2) = -0.0).
         case VFloat(d) => VFloat(graft.functions.RoundRs.round(d))
-        case VDec(d) => VDec(d.setScale(0, BigDecimal.RoundingMode.HALF_UP))
+        // rust_decimal round() = round_dp(0) = BANKER'S rounding
+        // (MidpointNearestEven), NOT half-up: 2.5dec → 2dec (r18 sweep)
+        case VDec(d) => VDec(d.setScale(0, BigDecimal.RoundingMode.HALF_EVEN))
       }
       case "math::clamp" =>
         val v = num(0); val lo = num(1); val hi = num(2)
@@ -482,10 +484,23 @@ object Functions {
         if (int(1) <= 0)
           throw SqlError("Incorrect arguments for function math::fixed(). The second argument must be an integer greater than 0.")
         val places = int(1).toInt
+        // val/number.rs:583-588 ("this is so cursed"): Int/Float format
+        // through "{v:.p}" and PARSE BACK — so an Int becomes a FLOAT
+        // ("5.00" fails i64, parses f64), rounding is on the EXACT binary
+        // value with Rust float formatting's ties-to-even (2.675 at p=2 is
+        // exactly 2.67499…, so "2.67" — canonical-string BigDecimal would
+        // say 2.68), and NaN/inf round-trip through "NaN"/"inf". Decimals
+        // use rust_decimal round_dp: banker's rounding, and a scale
+        // SHORTER than p stays unchanged (no zero-padding).
         num(0) match {
-          case i: VInt => i
-          case VFloat(d) => VFloat(BigDecimal(d).setScale(places, BigDecimal.RoundingMode.HALF_UP).toDouble)
-          case VDec(d) => VDec(d.setScale(places, BigDecimal.RoundingMode.HALF_UP))
+          case i: VInt => VFloat(i.i.toDouble)
+          case VFloat(d) =>
+            if (d.isNaN || d.isInfinite) VFloat(d)
+            else VFloat(BigDecimal(new java.math.BigDecimal(d))
+              .setScale(places, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+          case VDec(d) =>
+            VDec(if (d.scale > places)
+              d.setScale(places, BigDecimal.RoundingMode.HALF_EVEN) else d)
         }
       case "math::lerp" => VFloat(dbl(0) + (dbl(1) - dbl(0)) * dbl(2))
       case "math::lerpangle" =>
@@ -1170,26 +1185,11 @@ object Functions {
         }
         VDt(truncated.toInstant)
       case "time::format" =>
-        val fmt = str(1)
-        // chrono strftime validation: reject unknown specifiers
-        val valid = "YCyqmbBhdejaAwuUWGgVDxFvHkIlPpMSfrRTXzZstc%n".toSet
-        var i2 = 0
-        while (i2 < fmt.length) {
-          if (fmt.charAt(i2) == '%') {
-            var j2 = i2 + 1
-            while (j2 < fmt.length && (fmt.charAt(j2) == '.' || fmt.charAt(j2) == '-' ||
-              fmt.charAt(j2) == '_' || fmt.charAt(j2) == '0' || fmt.charAt(j2).isDigit)) j2 += 1
-            if (j2 >= fmt.length || !valid(fmt.charAt(j2)))
-              throw SqlError(s"Incorrect arguments for method time::format(). `$fmt` is not a valid time formatting string")
-            // numeric padding is only valid before fractional seconds
-            if (j2 > i2 + 1 && fmt.charAt(j2) != 'f' &&
-                !(fmt.substring(i2 + 1, j2).forall(_.isDigit) && fmt.charAt(j2) == 'f'))
-              throw SqlError(s"Incorrect arguments for method time::format(). `$fmt` is not a valid time formatting string")
-            i2 = j2
-          }
-          i2 += 1
-        }
-        VStr(strftime(utc(arg(0)), fmt))
+        // chrono's FULL strftime table (the reference derefs to
+        // DateTime<Utc>::format) — parse + render + invalid-spec errors
+        // all live in Strftime (r18: the old subset validated %F/%D/%T &c.
+        // and then printed them literally)
+        VStr(Strftime.format(utc(arg(0)), str(1)))
       case "time::max" =>
         val items = arr(0)
         if (items.isEmpty) VNone else items.max(V.ordering)
@@ -1740,7 +1740,12 @@ object Functions {
         }
         g0 match {
           case VGeom("Point", VArr(Vector(x: VNum, y: VNum))) =>
+            // length 1..=12, default 12; out of range → the reference's
+            // error — named "geo::encode" in fnc/geo.rs:74, not hash::
             val len = if (a.length > 1) int(1).toInt else 12
+            if (len < 1 || len > 12)
+              throw SqlError("Incorrect arguments for function geo::encode(). " +
+                "The second argument must be an integer greater than 0 and less than or equal to 12.")
             VStr(geohashEncode(y.toDouble, x.toDouble, len))
           case _: VGeom | _: VObj => VNone // non-point geometries hash to NONE (fnc/geo.rs)
           case other => typeErr(0, "geometry", other)
@@ -1783,7 +1788,15 @@ object Functions {
             throw SqlError("Incorrect arguments for function encoding::json::decode(). Invalid JSON")
         }
       case "encoding::base64::decode" =>
-        VBytes(java.util.Base64.getDecoder.decode(str(0)).toVector)
+        // padding-INDIFFERENT like the reference decoder (fnc/encoding.rs
+        // DecodePaddingMode::Indifferent — Java's basic decoder accepts
+        // canonical-or-absent padding and rejects malformed input), with
+        // the reference's error text instead of a raw crash (r18)
+        try VBytes(java.util.Base64.getDecoder.decode(str(0)).toVector)
+        catch {
+          case _: IllegalArgumentException => throw SqlError(
+            "Incorrect arguments for function encoding::base64::decode(). invalid base64")
+        }
       case "encoding::cbor::encode" =>
         VBytes(Cbor.encode(arg(0)).toVector)
       case "encoding::cbor::decode" =>
@@ -2090,23 +2103,68 @@ object Functions {
     java.security.MessageDigest.getInstance(algo).digest(s.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
 
-  /** Salted PBKDF2-HMAC-SHA256 password hash in a scheme-tagged modular
-    * format: `$<scheme>$<b64 salt>$<b64 dk>`. */
+  /** Password hashing/verification. crypto::pbkdf2 is REAL and
+    * reference-compatible (r18): generate emits the pbkdf2 crate 0.12's
+    * PHC string (`$pbkdf2-sha256$i=600000,l=32$<salt>$<dk>`, unpadded
+    * standard B64, crate-default 600k rounds), and compare verifies ANY
+    * PHC pbkdf2 hash — sha256/sha512/sha1 idents — with the reference's
+    * cost allowance (rounds ≤ 4×600000, length ≤ 4×32; fnc/crypto.rs:49,
+    * 157-187). argon2/bcrypt/scrypt have no in-JDK implementations and
+    * keep a scheme-tagged PBKDF2 STAND-IN: generate/compare round-trip,
+    * and — like every reference cmp — malformed hashes compare false,
+    * never error. */
   private def pwHash(scheme: String, pass: String): String = {
     val salt = new Array[Byte](16)
     new java.security.SecureRandom().nextBytes(salt)
     val b64 = java.util.Base64.getEncoder.withoutPadding
-    s"$$$scheme$$${b64.encodeToString(salt)}$$${b64.encodeToString(pwDk(pass, salt))}"
+    if (scheme == "pbkdf2-sha256") {
+      val dk = pbkdf2Dk("PBKDF2WithHmacSHA256", pass, salt, 600000, 32)
+      s"$$pbkdf2-sha256$$i=600000,l=32$$${b64.encodeToString(salt)}$$${b64.encodeToString(dk)}"
+    } else
+      s"$$$scheme$$${b64.encodeToString(salt)}$$${b64.encodeToString(pwDk(pass, salt))}"
   }
 
-  private def pwDk(pass: String, salt: Array[Byte]): Array[Byte] = {
-    val spec = new javax.crypto.spec.PBEKeySpec(pass.toCharArray, salt, 4096, 256)
-    javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+  private def pwDk(pass: String, salt: Array[Byte]): Array[Byte] =
+    pbkdf2Dk("PBKDF2WithHmacSHA256", pass, salt, 4096, 32)
+
+  private def pbkdf2Dk(mac: String, pass: String, salt: Array[Byte],
+      rounds: Int, lenBytes: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(
+      pass.toCharArray, salt, rounds, lenBytes * 8)
+    javax.crypto.SecretKeyFactory.getInstance(mac)
       .generateSecret(spec).getEncoded
   }
 
+  /** PHC-format pbkdf2 verification (pbkdf2 crate cmp, fnc/crypto.rs:167):
+    * parse `$<ident>$i=N,l=M$<salt>$<dk>`, bound the cost, constant-time
+    * compare. Anything malformed or over-cost → false. */
+  private def verifyPbkdf2Phc(alg: String, params: String, saltB64: String,
+      dkB64: String, pass: String): Boolean = try {
+    val mac = alg match {
+      case "pbkdf2-sha256" => "PBKDF2WithHmacSHA256"
+      case "pbkdf2-sha512" => "PBKDF2WithHmacSHA512"
+      case "pbkdf2"        => "PBKDF2WithHmacSHA1"
+      case _ => return false
+    }
+    val kv = params.split(',').flatMap(_.split('=') match {
+      case Array(k, v) => Some(k -> v); case _ => scala.None
+    }).toMap
+    val dec = java.util.Base64.getDecoder
+    val salt = dec.decode(saltB64)
+    val expected = dec.decode(dkB64)
+    val rounds = kv.get("i").map(_.toInt).getOrElse(600000)
+    val l = kv.get("l").map(_.toInt).getOrElse(expected.length)
+    // reference cost allowance: rounds ≤ default×4, output ≤ default×4
+    if (rounds <= 0 || rounds > 600000 * 4 || l > 32 * 4 ||
+        l != expected.length) return false
+    java.security.MessageDigest.isEqual(
+      pbkdf2Dk(mac, pass, salt, rounds, l), expected)
+  } catch { case _: Exception => false }
+
   private def pwCompare(hash: String, pass: String): Boolean =
     hash.split('$') match {
+      case Array("", alg, params, saltB64, dkB64) if alg.startsWith("pbkdf2") =>
+        verifyPbkdf2Phc(alg, params, saltB64, dkB64, pass)
       case Array("", _, saltB64, dkB64) =>
         try {
           val dec = java.util.Base64.getDecoder
@@ -2125,6 +2183,11 @@ object Functions {
 
   private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 
+  /** Geohash encode, the reference's own bit loop EXACTLY
+    * (fnc/util/geo/mod.rs:10-48): the boundary test is STRICT `>` — a
+    * coordinate exactly on a grid midpoint takes the 0 bit, so encode of
+    * (0, 0) is "7zzzzzzzzzzz", NOT the "s000…" every >=-based geohash
+    * library produces (r18 sweep catch). */
   private def geohashEncode(lat: Double, lon: Double, len: Int): String = {
     var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
     val sb = new StringBuilder
@@ -2132,10 +2195,10 @@ object Functions {
     while (sb.length < len) {
       if (even) {
         val mid = (lonLo + lonHi) / 2
-        if (lon >= mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
+        if (lon > mid) { ch = (ch << 1) | 1; lonLo = mid } else { ch = ch << 1; lonHi = mid }
       } else {
         val mid = (latLo + latHi) / 2
-        if (lat >= mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
+        if (lat > mid) { ch = (ch << 1) | 1; latLo = mid } else { ch = ch << 1; latHi = mid }
       }
       even = !even
       bit += 1
@@ -2144,11 +2207,22 @@ object Functions {
     sb.toString
   }
 
+  /** Geohash decode with the reference's exact char mapping
+    * (fnc/util/geo/mod.rs:59-74): NO case folding, and a character
+    * outside the base32 alphabet falls through as its RAW code point
+    * (low 5 bits used) rather than erroring — quirky, but observable. */
   private def geohashDecode(hash: String): (Double, Double) = {
     var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
     var even = true
     hash.foreach { c =>
-      val cd = GeohashBase32.indexOf(c.toLower)
+      val ord = c.toInt
+      val cd =
+        if (ord >= 48 && ord <= 57) ord - 48        // 0-9
+        else if (ord >= 98 && ord <= 104) ord - 88  // b-h
+        else if (ord >= 106 && ord <= 107) ord - 89 // j-k
+        else if (ord >= 109 && ord <= 110) ord - 90 // m-n
+        else if (ord >= 112 && ord <= 122) ord - 91 // p-z
+        else ord                                    // raw fallthrough
       (4 to 0 by -1).foreach { i =>
         val bit = (cd >> i) & 1
         if (even) { val mid = (lonLo + lonHi) / 2; if (bit == 1) lonLo = mid else lonHi = mid }
@@ -2220,38 +2294,6 @@ object Functions {
       }
     }
     (a.length - i).compareTo(b.length - j)
-  }
-
-  private def strftime(t: java.time.ZonedDateTime, fmt: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < fmt.length) {
-      val c = fmt.charAt(i)
-      if (c == '%' && i + 1 < fmt.length) {
-        i += 1
-        fmt.charAt(i) match {
-          case 'Y' => sb.append(f"${t.getYear}%04d")
-          case 'y' => sb.append(f"${t.getYear % 100}%02d")
-          case 'm' => sb.append(f"${t.getMonthValue}%02d")
-          case 'd' => sb.append(f"${t.getDayOfMonth}%02d")
-          case 'H' => sb.append(f"${t.getHour}%02d")
-          case 'M' => sb.append(f"${t.getMinute}%02d")
-          case 'S' => sb.append(f"${t.getSecond}%02d")
-          case 'j' => sb.append(f"${t.getDayOfYear}%03d")
-          case 'a' => sb.append(t.getDayOfWeek.getDisplayName(java.time.format.TextStyle.SHORT, java.util.Locale.US))
-          case 'A' => sb.append(t.getDayOfWeek.getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.US))
-          case 'b' => sb.append(t.getMonth.getDisplayName(java.time.format.TextStyle.SHORT, java.util.Locale.US))
-          case 'B' => sb.append(t.getMonth.getDisplayName(java.time.format.TextStyle.FULL, java.util.Locale.US))
-          case 'T' => sb.append(f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d")
-          case 'Z' => sb.append("UTC")
-          case 's' => sb.append(t.toInstant.getEpochSecond)
-          case '%' => sb.append('%')
-          case other => sb.append('%').append(other)
-        }
-      } else sb.append(c)
-      i += 1
-    }
-    sb.toString
   }
 
   // ---- file:: object-store namespace ------------------------------------

@@ -1452,7 +1452,7 @@ object Snowball {
     val (r1, r2) = romR1R2(w, fiVowels)
     def inR1(n: Int) = w.length - n >= r1
     def inR2(n: Int) = w.length - n >= r2
-    def at(i: Int): Char = if (i >= 0 && i < w.length) w(i) else ' '
+    def at(i: Int): Char = if (i >= 0 && i < w.length) w(i) else '\u0000'
 
     // ---- step 1: particles etc
     val particles = Seq("kaan", "kään", "kin", "han", "hän", "ko", "kö",
@@ -1512,7 +1512,7 @@ object Snowball {
         if (at(w.length - 4) == 'e') dropCase(3)
       case (s, 5) => // a/ä: preceded by consonant + vowel
         val (c, v) = (at(w.length - 3), at(w.length - 2))
-        if (!fiVowels.contains(c) && c != ' ' && fiVowels.contains(v))
+        if (!fiVowels.contains(c) && c != '\u0000' && fiVowels.contains(v))
           dropCase(1)
       case (_, _) => // n: delete; a preceding long vowel or ie loses a letter
         dropCase(1)

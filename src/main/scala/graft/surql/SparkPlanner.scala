@@ -234,6 +234,20 @@ object SparkPlanner {
     case _                => false
   }
 
+  /** Plan-time constant chunk/window size, with the reference's >= 1 guard
+    * (val/array.rs clump/windows). */
+  private def constSize(fn: String, e: Expr): Int = {
+    val k = (if (rowFree(e)) try Some(Eval.evalConst(e)) catch {
+      case _: Exception => scala.None
+    } else scala.None) match {
+      case Some(VInt(i)) => i
+      case _ => throw SqlError(s"SparkPlanner: $fn needs a constant size")
+    }
+    if (k < 1) throw SqlError(s"Incorrect arguments for function $fn(). " +
+      "The second argument must be an integer greater than 0")
+    k.toInt
+  }
+
   /** AST node count — the size guard for symbolic substitution. */
   private def nodeCount(e: Any): Int = e match {
     case s: Seq[_]    => s.iterator.map(nodeCount).sum
@@ -3623,7 +3637,12 @@ object SparkPlanner {
         case VInt(i) => i.toInt
         case other => throw SqlError(s"SparkPlanner: fixed digits must be int, got ${other.render}")
       }
-      round(aggExpr(inner, ctx, groupAll), n)
+      if (n <= 0)
+        throw SqlError("Incorrect arguments for function math::fixed(). " +
+          "The second argument must be an integer greater than 0.")
+      graft.functions.VectorKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_fixed", aggExpr(inner, ctx, groupAll), lit(n))
     case FnCall("math::min", Seq(inner)) =>
       if (groupAll) coalesce(min(toCol(inner, ctx)), lit(Double.PositiveInfinity))
       else min(toCol(inner, ctx))
@@ -3874,6 +3893,7 @@ object SparkPlanner {
       case Lit(VDt(t))  => lit(java.sql.Timestamp.from(t))
       // durations are total-seconds longs on this path (see duration::*)
       case Lit(d: VDur) => lit(d.secs)
+      case Lit(VBytes(bs)) => lit(bs.toArray)
       // composite literal VALUES (constant-fold results): arrays lower
       // element-wise, sets as their ordered arrays, objects as structs,
       // uuids as their canonical string rendering
@@ -4438,12 +4458,45 @@ object SparkPlanner {
     // returns +0.0 for tiny negative inputs, a bit-level infidelity.
     case "math::round" => typeOf(raw(0), ctx.schema) match {
       case Some(LongType | IntegerType | ShortType) => cs(0)
+      // DECIMAL rounds with rust_decimal semantics: banker's (round_dp),
+      // not the float half-away kernel — 2.5dec → 2 (r18 sweep). Constant
+      // decimals fold through the interpreter; decimal columns → bround.
+      case _ if rowFree(raw(0)) &&
+          (try Eval.evalConst(raw(0)).isInstanceOf[VDec]
+           catch { case _: Exception => false }) =>
+        toCol(Lit(Eval.evalConst(FnCall("math::round", Seq(raw(0))))), ctx)
+      case Some(_: org.apache.spark.sql.types.DecimalType) => bround(cs(0), 0)
       case _ =>
         graft.functions.VectorKernels.ensure(
           org.apache.spark.sql.SparkSession.active)
         call_function("graft_round", cs(0))
     }
-    case "math::fixed" => round(cs(0), raw(1) match { case Lit(VInt(i)) => i.toInt; case _ => 0 })
+    // math::fixed: the reference's format-then-parse shape (val/number.rs
+    // :583 — exact-binary-value rounding, ties-to-even, result is FLOAT
+    // even for int input; p must be > 0). Spark's round() is HALF_UP over
+    // the canonical-string BigDecimal — both wrong vs Rust (2.675 at p=2).
+    case "math::fixed" =>
+      val p = raw(1) match {
+        case Lit(VInt(i)) => i.toInt
+        case other => throw SqlError(
+          s"SparkPlanner: math::fixed precision must be a constant int, got $other")
+      }
+      if (p <= 0)
+        throw SqlError("Incorrect arguments for function math::fixed(). " +
+          "The second argument must be an integer greater than 0.")
+      typeOf(raw(0), ctx.schema) match {
+        // decimal stays decimal: rust_decimal round_dp = banker's; constant
+        // decimals fold through the interpreter (scale semantics included)
+        case _ if rowFree(raw(0)) &&
+            (try Eval.evalConst(raw(0)).isInstanceOf[VDec]
+             catch { case _: Exception => false }) =>
+          toCol(Lit(Eval.evalConst(FnCall("math::fixed", Seq(raw(0), raw(1))))), ctx)
+        case Some(_: org.apache.spark.sql.types.DecimalType) => bround(cs(0), p)
+        case _ =>
+          graft.functions.VectorKernels.ensure(
+            org.apache.spark.sql.SparkSession.active)
+          call_function("graft_fixed", cs(0), lit(p))
+      }
     case "math::sqrt"  => sqrt(cs(0))
     // Rust f64::signum (val/number.rs:596): ±1.0 for ±0.0, NaN passthrough,
     // and Int input keeps Int type — Spark's signum() is Java semantics
@@ -4561,32 +4614,22 @@ object SparkPlanner {
     case "time::week"   => weekofyear(cs(0)).cast("bigint")
     case "time::yday"   => dayofyear(cs(0)).cast("bigint")
     case "time::now"    => current_timestamp()
-    // strftime-style formatting (fnc/time.rs format → chrono specifiers),
-    // translated to Spark's java.time patterns for the common subset
+    // strftime formatting with chrono's FULL specifier table (fnc/time.rs
+    // format derefs to DateTime<Utc>::format) — the codegen'd kernel calls
+    // the SAME Strftime engine the interpreter runs, so every specifier,
+    // pad flag, and fractional form agrees definitionally. An invalid
+    // format errors at PLAN time with the reference's text (constant
+    // formats are the only supported shape; chrono would raise the same
+    // error per row).
     case "time::format" => raw(1) match {
       case Lit(VStr(fmt)) =>
-        val java = new StringBuilder
-        var i = 0
-        while (i < fmt.length) {
-          if (fmt(i) == '%' && i + 1 < fmt.length) {
-            java.append(fmt(i + 1) match {
-              case 'Y' => "yyyy"; case 'y' => "yy";  case 'm' => "MM"
-              case 'd' => "dd";   case 'e' => "d";   case 'H' => "HH"
-              case 'M' => "mm";   case 'S' => "ss";  case 'j' => "DDD"
-              case 'b' => "MMM";  case 'B' => "MMMM"
-              case 'a' => "EEE";  case 'A' => "EEEE"
-              case '%' => "%"
-              case other => throw SqlError(s"SparkPlanner: time::format %$other unsupported")
-            })
-            i += 2
-          } else {
-            // literal chars that collide with pattern letters get quoted
-            if (fmt(i).isLetter) java.append("'").append(fmt(i)).append("'")
-            else java.append(fmt(i))
-            i += 1
-          }
-        }
-        date_format(cs(0).cast("timestamp"), java.toString)
+        // validate once at plan time: render an arbitrary probe instant —
+        // bad specifiers throw the reference's InvalidMethodArguments here
+        graft.surql.Strftime.format(
+          java.time.Instant.EPOCH.atZone(java.time.ZoneOffset.UTC), fmt)
+        graft.functions.TimeKernels.ensure(
+          org.apache.spark.sql.SparkSession.active)
+        call_function("graft_strftime", cs(0).cast("timestamp"), lit(fmt))
       case _ => throw SqlError("SparkPlanner: time::format needs a constant format")
     }
     case "time::timezone" => lit("UTC") // session TZ is pinned UTC
@@ -4923,23 +4966,24 @@ object SparkPlanner {
     // sliding windows of k; fewer than k elements → no windows
     // (fnc/array.rs:938; sequence() descends when stop<start, hence the
     // greatest+filter guard)
-    case "array::windows" => raw(1) match {
-      case Lit(VInt(k)) =>
-        val last = size(cs(0)) - lit(k.toInt) + 1
-        transform(
-          filter(sequence(lit(1), greatest(last, lit(1))), i => i <= last),
-          i => slice(cs(0), i, lit(k.toInt)))
-      case _ => throw SqlError("SparkPlanner: array::windows needs a constant size")
-    }
+    case "array::windows" =>
+      // size is a plan-time constant (const-folded, not just a literal);
+      // < 1 errors like the reference (val/array.rs:423-430) — without the
+      // guard, slice(_, _, 0) would silently yield empty windows
+      val k = constSize("array::windows", raw(1))
+      val last = size(cs(0)) - lit(k) + 1
+      transform(
+        filter(sequence(lit(1), greatest(last, lit(1))), i => i <= last),
+        i => slice(cs(0), i, lit(k)))
     // chunks of k, trailing partial kept (fnc/array.rs:173)
-    case "array::clump" => raw(1) match {
-      case Lit(VInt(k)) =>
-        val n = ceil(size(cs(0)).cast("double") / k.toInt).cast("int")
-        transform(
-          filter(sequence(lit(0), greatest(n - 1, lit(0))), i => i < n),
-          i => slice(cs(0), i * k.toInt + 1, lit(k.toInt)))
-      case _ => throw SqlError("SparkPlanner: array::clump needs a constant size")
-    }
+    case "array::clump" =>
+      // size < 1 errors like the reference (val/array.rs:245-252) — the
+      // k=0 division would otherwise raise Spark's ANSI divide-by-zero
+      val k = constSize("array::clump", raw(1))
+      val n = ceil(size(cs(0)).cast("double") / k).cast("int")
+      transform(
+        filter(sequence(lit(0), greatest(n - 1, lit(0))), i => i < n),
+        i => slice(cs(0), i * k + 1, lit(k)))
     case "array::is_empty" => size(cs(0)) === 0
     case "array::pop" => element_at(cs(0), -1)
     case "array::matches" => transform(cs(0), x => x === cs(1))
@@ -5064,11 +5108,19 @@ object SparkPlanner {
         .foldLeft(cs(0)) { case (c, (from, to)) =>
           regexp_replace(c, java.util.regex.Pattern.quote(from), to)
         }
-    // ---- encoding::base64 — reference default: UNPADDED encode, padding-
-    // indifferent decode (fnc/encoding.rs STANDARD_NO_PAD) -----------------
+    // ---- encoding::base64 — reference default: UNPADDED encode (a truthy
+    // second arg pads), padding-indifferent STRICT decode (fnc/encoding.rs
+    // STANDARD_NO_PAD / STANDARD_GENERIC_DECODER). Spark's unbase64 skips
+    // invalid chars silently — the kernel errors like the reference (r18).
     case "encoding::base64::encode" =>
-      regexp_replace(base64(cs(0).cast("binary")), "=+$", "")
-    case "encoding::base64::decode" => unbase64(cs(0))
+      val padded = raw.lift(1).exists(e => rowFree(e) &&
+        (try Eval.evalConst(e).truthy catch { case _: Exception => false }))
+      if (padded) base64(cs(0).cast("binary"))
+      else regexp_replace(base64(cs(0).cast("binary")), "=+$", "")
+    case "encoding::base64::decode" =>
+      graft.functions.CodecKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_b64_decode", cs(0))
     // ---- record::* / meta::* over `table:key` record ids ----------------
     // this path's canonical record-id form is the `table:key` string (see
     // the mock/graph lowerings); table names cannot contain ':' so the

@@ -1285,6 +1285,212 @@ class DifferentialSpec extends AnyFunSuite {
          FROM item ORDER BY name LIMIT 8;""")
   }
 
+  test("encoding::base64 / geo::hash / crypto::pbkdf2 reference edges (r18)") {
+    // base64: unpadded encode by default, truthy 2nd arg pads; decode is
+    // padding-INDIFFERENT (fnc/encoding.rs) — both paths agree
+    checkSame(
+      """RETURN { a: encoding::base64::encode(<bytes>'hello'),
+                  b: encoding::base64::encode(<bytes>'hello', true),
+                  c: <string>encoding::base64::decode('aGVsbG8'),
+                  d: <string>encoding::base64::decode('aGVsbG8=') };""")
+    // malformed input errors with the reference text on both paths —
+    // Spark's builtin unbase64 would have silently skipped the bad chars
+    val q = "SELECT <string>encoding::base64::decode('a===') AS v FROM item LIMIT 1;"
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    assert(in.run(Parser.parse(q)).last match {
+      case QErr(m) => m.contains(
+        "Incorrect arguments for function encoding::base64::decode(). invalid base64")
+      case _ => false
+    }, "interp accepted malformed base64")
+    val smsg = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.query(spark, "/nonexistent", q).collect()
+      }
+    }.getMessage
+    assert(smsg.contains("invalid base64"), s"spark: $smsg")
+
+    // geo::hash::encode uses the reference's STRICT `>` midpoint test
+    // (fnc/util/geo/mod.rs:24): (0,0) encodes as 7zzz…, not the s000… of
+    // >=-based geohash libraries; grid-aligned (90,45) likewise; decode
+    // round-trips; length 0/13 raise the reference's geo::encode error
+    val in2 = new Interp
+    val gres = in2.run(Parser.parse(
+      """RETURN [geo::hash::encode((0.0, 0.0)),
+                 geo::hash::encode((90.0, 45.0), 6),
+                 geo::hash::encode((-5.6, 42.6), 4)];""")).last
+    gres match {
+      case QOk(VArr(vs)) =>
+        assert(vs(0) == VStr("7zzzzzzzzzzz"), s"(0,0): ${vs(0)}")
+        assert(vs(1) == VStr("tzzzzz"), s"(90,45): ${vs(1)}")
+        assert(vs(2) == VStr("ezs4"), s"(-5.6,42.6): ${vs(2)}") // classic vector
+      case other => fail(s"unexpected: $other")
+    }
+    assert(in2.run(Parser.parse(
+      "RETURN geo::hash::encode((1.0, 2.0), 13);")).last match {
+      case QErr(m) => m.contains("Incorrect arguments for function geo::encode(). " +
+        "The second argument must be an integer greater than 0 and less than or equal to 12.")
+      case _ => false
+    }, "length 13 must raise the reference's geo::encode error")
+
+    // crypto::pbkdf2: REAL PHC verification of externally-generated
+    // hashes (pbkdf2 crate format), cost-bounded; round-trip; malformed
+    // and over-cost hashes compare false (cmp never errors)
+    val phc = "$pbkdf2-sha256$i=4096,l=32$c2FsdA$xeR41ZKIyEGqUw22hFxMjZYok6ABzk4RpJY4c6qYE0o"
+    val phc512 = "$pbkdf2-sha512$i=1000,l=64$MDEyMzQ1Njc4OWFiY2RlZg$Xp/4UtI3VYuUskUJvg/ElBho/1QUob2t4wOqDH2dRs5/P6kzj5+E8oi97sPcw7P4ZvydZ2rKx3aQeetuxYWOOg"
+    val overCost = "$pbkdf2-sha256$i=9999999,l=32$c2FsdA$xeR41ZKIyEGqUw22hFxMjZYok6ABzk4RpJY4c6qYE0o"
+    val cres = in2.run(Parser.parse(
+      s"""RETURN [crypto::pbkdf2::compare('$phc', 'password'),
+                  crypto::pbkdf2::compare('$phc', 'wrong'),
+                  crypto::pbkdf2::compare('$phc512', 'hunter2'),
+                  crypto::pbkdf2::compare('$overCost', 'password'),
+                  crypto::pbkdf2::compare('not a hash', 'x'),
+                  crypto::pbkdf2::compare(crypto::pbkdf2::generate('s3cret'), 's3cret'),
+                  crypto::argon2::compare(crypto::argon2::generate('s3cret'), 's3cret'),
+                  crypto::bcrypt::compare(crypto::bcrypt::generate('s3cret'), 'wrong')];""")).last
+    cres match {
+      case QOk(VArr(vs)) =>
+        assert(vs == Vector(VBool(true), VBool(false), VBool(true),
+          VBool(false), VBool(false), VBool(true), VBool(true), VBool(false)),
+          s"pbkdf2/compare vector: $vs")
+      case other => fail(s"unexpected: $other")
+    }
+  }
+
+  test("time::format carries chrono's FULL specifier table (r18)") {
+    // r18 sweep catch: the old interp formatter VALIDATED %F/%D/%T/%C/%e/
+    // %I/%U/%W/%G/%V/%r/%R/%z &c. and then rendered them LITERALLY; the
+    // old Spark translation named-errored on them. Both paths now run the
+    // shared Strftime engine — this pin first locks cross-path agreement,
+    // then locks the ABSOLUTE values to hand-derived chrono vectors for
+    // 2021-03-07T04:05:06.007008009Z (a Sunday, yday 66, ISO week 09).
+    // cross-path probe at MICROSECOND precision: Spark timestamps are µs,
+    // so sub-µs digits exist only on the interp path (asserted below
+    // against chrono vectors at full nano precision)
+    val ts = "d'2021-03-07T04:05:06.007008Z'"
+    checkSame(
+      s"""RETURN { a: time::format($ts, '%F %T'),
+                   b: time::format($ts, '%D|%x|%R|%r'),
+                   c: time::format($ts, '%a %A %w %u %j'),
+                   d: time::format($ts, '%U %W %G %g %V'),
+                   e: time::format($ts, '%C %y %e %I %l %P %p %k'),
+                   f: time::format($ts, '%f|%.f|%.3f|%3f|%6f'),
+                   g: time::format($ts, '%z %:z %Z %s'),
+                   h: time::format($ts, '%c'),
+                   i: time::format($ts, '%v'),
+                   j: time::format($ts, '%+'),
+                   k: time::format($ts, '%-d %0e %_m %-j') };""")
+    val tn = "d'2021-03-07T04:05:06.007008009Z'"
+    val in = new Interp
+    val res = in.run(Parser.parse(
+      s"""RETURN [time::format($tn, '%F %T'), time::format($tn, '%D'),
+                  time::format($tn, '%a %A %w %u %j'),
+                  time::format($tn, '%U %W %G %g %V'),
+                  time::format($tn, '%C %y %e %I %l %P %p'),
+                  time::format($tn, '%f|%.f|%.3f|%3f|%6f'),
+                  time::format($tn, '%z %:z %Z'),
+                  time::format($tn, '%c'), time::format($tn, '%v'),
+                  time::format($tn, '%+'),
+                  time::format($tn, '%-d %0e %_m')];""")).last
+    res match {
+      case QOk(VArr(vs)) =>
+        val got = vs.map { case VStr(s) => s; case o => o.toString }
+        val want = Vector(
+          "2021-03-07 04:05:06",
+          "03/07/21",
+          "Sun Sunday 0 7 066",
+          "10 09 2021 21 09",
+          "20 21  7 04  4 am AM",
+          "007008009|.007008009|.007|007|007008",
+          "+0000 +00:00 UTC",
+          "Sun Mar  7 04:05:06 2021",
+          " 7-Mar-2021",
+          "2021-03-07T04:05:06.007008009+00:00",
+          "7 07  3")
+        got.zip(want).zipWithIndex.foreach { case ((g, w), n) =>
+          assert(g == w, s"chrono vector $n: got '$g', want '$w'")
+        }
+      case other => fail(s"unexpected: $other")
+    }
+    // invalid specifiers error with the reference's text on both paths
+    // (%q does not exist in chrono; a trailing % is incomplete)
+    for (bad <- Seq("'%q'", "'abc%'")) {
+      val q = s"SELECT time::format(d'2021-03-07T04:05:06Z', $bad) AS v FROM item LIMIT 1;"
+      val in2 = new Interp
+      in2.run(Parser.parse(fixtureScript))
+      val ires = in2.run(Parser.parse(q)).last
+      assert(ires match {
+        case QErr(m) => m.contains("is not a valid time formatting string")
+        case _ => false
+      }, s"interp accepted $bad")
+      val smsg = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.query(spark, "/nonexistent", q).collect()
+        }
+      }.getMessage
+      assert(smsg.contains("is not a valid time formatting string"),
+        s"spark text for $bad: $smsg")
+    }
+  }
+
+  test("math::fixed is the reference's format-then-parse shape (r18)") {
+    // val/number.rs:583-588: Int/Float format through "{v:.p}" and parse
+    // BACK — so fixed(5, 2) is FLOAT 5.0 (not int 5), rounding happens on
+    // the exact binary value with ties-to-even (2.675f64 is exactly
+    // 2.67499… → 2.67, where canonical-string HALF_UP says 2.68; 0.125 at
+    // p=2 is an exact tie → 0.12), and NaN/±inf pass through the
+    // "NaN"/"inf" round-trip. Decimals use rust_decimal round_dp:
+    // banker's rounding, shorter scales NOT zero-padded.
+    checkSame(
+      """RETURN { a: math::fixed(5, 2),
+                  b: math::fixed(2.675, 2),
+                  c: math::fixed(0.125, 2),
+                  d: math::fixed(0.375, 2),
+                  e: math::fixed(2.5, 1),
+                  f: math::fixed(0.0 - 0.125, 2) };""")
+    checkSame(
+      """SELECT name, math::fixed(price / 7, 3) AS v FROM item
+         ORDER BY name LIMIT 8;""")
+    // math::round on a DECIMAL is rust_decimal round(): banker's —
+    // 2.5dec → 2, 3.5dec → 4 (float round stays half-away-from-zero)
+    checkSame(
+      """RETURN { a: math::round(2.5dec), b: math::round(3.5dec),
+                  c: math::round(0.0 - 2.5dec), d: math::round(2.5),
+                  e: math::fixed(2.125dec, 2), f: math::fixed(5dec, 3) };""")
+  }
+
+  test("array::clump/windows edge sizes error like the reference (r18)") {
+    // val/array.rs:245,423: size max(0)'d then required >= 1 — 0 and
+    // negatives raise InvalidFunctionArguments on BOTH paths; oversize
+    // windows yield EMPTY, oversize clump yields one short chunk
+    checkSame(
+      """RETURN { a: array::clump([1, 2, 3, 4, 5], 2),
+                  b: array::clump([1, 2], 5),
+                  c: array::windows([1, 2, 3], 2),
+                  d: array::windows([1, 2], 5),
+                  e: array::clump([], 3), f: array::windows([], 3) };""")
+    for (bad <- Seq("array::clump([1, 2], 0)", "array::windows([1, 2], 0)",
+        "array::clump([1], 0 - 3)", "array::windows([1], 0 - 3)")) {
+      val fn = bad.takeWhile(_ != '(')
+      val q = s"SELECT $bad AS v FROM item LIMIT 1;"
+      val in = new Interp
+      in.run(Parser.parse(fixtureScript))
+      val ires = in.run(Parser.parse(q)).last
+      val want = s"Incorrect arguments for function $fn(). " +
+        "The second argument must be an integer greater than 0"
+      ires match {
+        case QErr(m) => assert(m.contains(want), s"interp text for $bad: $m")
+        case other   => fail(s"interp accepted $bad: $other")
+      }
+      val smsg = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.query(spark, "/nonexistent", q).collect()
+        }
+      }.getMessage
+      assert(smsg.contains(want), s"spark text for $bad: $smsg")
+    }
+  }
+
   test("string-sim family: Unicode scalars, Rust White_Space, DoS guard (r18)") {
     // Rust-char (code-point) iteration and char::is_whitespace, NOT Java
     // UTF-16 units / Character.isWhitespace:

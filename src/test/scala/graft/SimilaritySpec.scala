@@ -92,7 +92,9 @@ class SimilaritySpec extends AnyFunSuite {
     for (name <- Seq("knn_ann_lsh", "knn_ann_ivf", "knn_ann_filtered",
         "knn_ann_from_text")) {
       val rows = SparkEntry.queries(name)(spark, sf).collect()
-      assert(rows.length == 2, s"$name should emit 2 gate rows")
+      // knn_ann_lsh gained the scan-fraction cost gate in r18
+      val want = if (name == "knn_ann_lsh") 3 else 2
+      assert(rows.length == want, s"$name should emit $want gate rows")
       rows.foreach(r => assert(r.getBoolean(2),
         s"$name gate failed: ${r.getString(0)} thr=${r.getDouble(1)}"))
     }
