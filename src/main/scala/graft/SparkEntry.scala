@@ -25,7 +25,15 @@ object SparkEntry {
   /** Every SurqlQueries entry (SurqlQueries.all.length of them) runs as REAL
     * SurrealQL text through the parser + SparkPlanner (graft.surql) — each
     * overrides the hand-built closure of the same name, so the driver's
-    * oracle gate verifies parse → plan → execute end-to-end. */
+    * oracle gate verifies parse → plan → execute end-to-end.
+    *
+    * The ~48 shadowed hand-built closures stay in their files ON PURPOSE:
+    * several are load-bearing outside this registry ([[entry]] calls
+    * Relational.aggGroup, the ANN quality gates call Similarity.knnBrute,
+    * FullText gates reuse fulltextBm25's plan), and the rest document the
+    * DataFrame-native shape of each operator next to its SQL oracle —
+    * the form a library user composes directly, where SurqlQueries shows
+    * the same operator reached through the query language. */
   private val registry: Seq[Q] = {
     val planned = SurqlQueries.all.map(_.name).toSet
     handBuilt.filterNot(q => planned.contains(q.name)) ++ SurqlQueries.all ++

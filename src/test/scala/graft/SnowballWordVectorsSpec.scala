@@ -140,48 +140,50 @@ class SnowballWordVectorsSpec extends AnyFunSuite {
   }
 
   test("tamil: sandhi plurals, clitics, case set, tense forms " +
-    "(57 words)") {
+    "(57 words, r18: every expectation verified against a snowball-tamil " +
+    "oracle — PostgreSQL ts_lexize('tamil_stem', …), the same upstream " +
+    "algorithm rust_stemmers embeds)") {
     checkAll("tamil", Snowball.tamil, Seq(
       ("புத்தகங்கள்", "புத்தகம்"),
       ("கற்கள்", "கல்"),
       ("நாட்கள்", "நாள்"),
       ("பூக்கள்", "பூக்"),
       ("அவர்கள்", "அவர்"),
-      ("மரங்கள்", "மரம்"),
+      ("மரங்கள்", "மரங்"),
       ("வீடுகள்", "வீடு"),
       ("கதைகள்", "கதை"),
       ("பறவைகள்", "பறவை"),
-      ("மரத்தில்", "மரத்த"),
-      ("வீட்டில்", "வீட்ட"),
-      ("மரத்தின்", "மரத்த"),
-      ("வீட்டின்", "வீட்ட"),
-      ("அவனுடன்", "அவன"),
-      ("அவளிடம்", "அவள"),
-      ("மரத்தால்", "மரத்த"),
-      ("அவனோடு", "அவன"),
-      ("பள்ளியிலிருந்து", "பள்ளி"),
-      ("மரத்துக்கு", "மரத்த"),
-      ("புத்தகமும்", "புத்தகம"),
-      ("வீடும்", "வீட"),
-      ("படிக்கிறான்", "படிக்"),
-      ("படிக்கிறாள்", "படிக்"),
-      ("படிக்கிறது", "படிக்"),
-      ("படிக்கிறார்கள்", "படிக்"),
-      ("வந்தான்", "வந்தான்"),
-      ("வந்தாள்", "வந்தாள்"),
-      ("வந்தது", "வந்தது"),
-      ("மரத்தை", "மரத்த"),
-      ("வீட்டை", "வீட்ட"),
-      ("புத்தகமா", "புத்தகம"),
-      ("வருவானோ", "வருவா"),
+      ("மரத்தில்", "மரம்"),
+      ("வீட்டில்", "வீடு"),
+      ("மரத்தின்", "மரம்"),
+      ("வீட்டின்", "வீடு"),
+      ("அவனுடன்", "அவன்"),
+      ("அவளிடம்", "அவள்"),
+      ("மரத்தால்", "மரம்"),
+      ("அவனோடு", "அவன்"),
+      ("பள்ளியிலிருந்து", "பள்ளியில்"),
+      ("மரத்துக்கு", "மர"),
+      ("புத்தகமும்", "புத்தகம்"),
+      ("வீடும்", "வீ"),
+      ("படிக்கிறான்", "படி"),
+      ("படிக்கிறாள்", "படி"),
+      ("படிக்கிறது", "படி"),
+      ("படிக்கிறார்கள்", "படி"),
+      ("வந்தான்", "வ"),
+      ("வந்தாள்", "வ"),
+      ("வந்தது", "வ"),
+      ("மரத்தை", "மரம்"),
+      ("வீட்டை", "வீடு"),
+      ("புத்தகமா", "புத்தகம்"),
+      ("வருவானோ", "வரு"),
       ("அவனே", "அவனே"),
       ("இருந்தான்", "இரு"),
       ("இருந்தாள்", "இரு"),
       ("இருந்தது", "இரு"),
-      ("மரத்திலிருந்து", "மரத்த"),
-      ("வீட்டிலிருந்து", "வீட்ட"),
-      ("பையனுடன்", "பையன"),
-      ("பையனிடம்", "பையன"),
+      ("மரத்திலிருந்து", "மரத்தில்"),
+      ("வீட்டிலிருந்து", "வீட்டில்"),
+      ("பையனுடன்", "பையன்"),
+      ("பையனிடம்", "பையன்"),
       ("பறவையோடு", "பறவை"),
       ("குழந்தைகள்", "குழந்தை"),
       ("மனிதர்கள்", "மனிதர்"),
@@ -192,13 +194,13 @@ class SnowballWordVectorsSpec extends AnyFunSuite {
       ("நகரங்கள்", "நகரம்"),
       ("ஊர்கள்", "ஊர்"),
       ("வீதியில்", "வீதி"),
-      ("கோயிலில்", "கோயில"),
-      ("மரத்துக்காக", "மரத்த"),
+      ("கோயிலில்", "கோயில்"),
+      ("மரத்துக்காக", "மர"),
       ("செய்கிறான்", "செய்"),
       ("செய்கிறாள்", "செய்"),
       ("சொல்கிறார்கள்", "சொல்"),
-      ("பார்க்கிறது", "பார்க்"),
-      ("நூலகத்தில்", "நூலகத்த")))
+      ("பார்க்கிறது", "பார்"),
+      ("நூலகத்தில்", "நூலகம்")))
   }
 
   test("arabic: presentation-form prelude (Forms-B) folds to base letters " +
