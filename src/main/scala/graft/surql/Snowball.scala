@@ -39,8 +39,12 @@ package graft.surql
   * concatenations agree at ~73% — invalid forms whose mechanical
   * treatment the oracle tables encode row-by-row). All 18 languages
   * reproduce the reference's own published analyzer vectors token for
-  * token (SnowballConformanceSpec), and Arabic/Tamil/Turkish carry
-  * 50+-word step-coverage vectors each (SnowballWordVectorsSpec).
+  * token (SnowballConformanceSpec); Arabic/Tamil/Turkish carry 50+-word
+  * step-coverage vectors (SnowballWordVectorsSpec); and r18 adds a
+  * 1165-word oracle net across 17 languages (SnowballOracleSpec),
+  * generated from PostgreSQL's snowball dictionaries — the same upstream
+  * algorithms rust_stemmers embeds — which caught and fixed eight real
+  * divergences (see docs/SWEEPS_r18.md).
   */
 object Snowball {
 
@@ -428,8 +432,11 @@ object Snowball {
     else if (w.endsWith("log\u00eda") && inR2(5)) w = w.dropRight(5) + "log"
     else if (w.endsWith("uciones") && inR2(7)) w = w.dropRight(7) + "u"
     else if (w.endsWith("uci\u00f3n") && inR2(5)) w = w.dropRight(5) + "u"
-    else if (w.endsWith("encias") && inR2(6)) drop(6)
-    else if (w.endsWith("encia") && inR2(5)) drop(5)
+    // encia(s) REPLACES with ente (spanish.sbl standard_suffix — r18
+    // oracle sweep: resistencia → resistente → step3 → resistent, not
+    // the bare delete's resist)
+    else if (w.endsWith("encias") && inR2(6)) w = w.dropRight(6) + "ente"
+    else if (w.endsWith("encia") && inR2(5)) w = w.dropRight(5) + "ente"
     else if (w.endsWith("amente") && inR1(6)) {
       drop(6)
       // preceded by iv (delete, then at), or by os/ic/ad
@@ -860,7 +867,9 @@ object Snowball {
     def drop(k: Int): Unit = { w = w.dropRight(k); did1 = true }
     val step1All = Seq(
       "amentos", "imentos", "uço~es", "amento", "imento", "adoras",
-      "adores", "aço~es", "logias", "ências", "amente", "idades", "âncias",
+      // NO 'âncias': the published among lists only the singular ância —
+      // importâncias falls through to the verb step's 'ias' (r18 oracle)
+      "adores", "aço~es", "logias", "ências", "amente", "idades",
       "ismos", "istas", "adora", "aça~o", "antes", "ância", "logia",
       "uça~o", "ência", "mente", "idade", "ezas", "icos", "icas", "ismo",
       "ável", "ível", "ista", "osos", "osas", "ador", "ante", "ivas",
@@ -1222,13 +1231,14 @@ object Snowball {
   private val roVowels = "aăâeiîou".toSet
 
   def romanian(word0: String): String = {
-    val hadComma = word0.exists(c => c == 'ș' || c == 'ț')
-    var w = word0.toLowerCase.map {
-      case 'ș' => 'ş'; case 'ț' => 'ţ'; case c => c
-    }
-    def restore(out: String): String =
-      if (hadComma) out.map { case 'ş' => 'ș'; case 'ţ' => 'ț'; case c => c }
-      else out
+    // NO comma-below normalization: rust-stemmers 1.2.0 embeds a romanian
+    // algorithm older than snowball 2.2's ș/ț handling, so modern-
+    // orthography ț/ș are UNKNOWN letters there — suffix rows spelled
+    // with cedilla ţ/ş simply do not match them (r18 oracle sweep:
+    // semnificație → semnificaț via the final-vowel step only, NOT
+    // semnific; the old normalize-and-restore stemmed like snowball 2.2)
+    var w = word0.toLowerCase
+    def restore(out: String): String = out
     if (w.length < 3) return restore(w)
     // prelude: i/u between vowels marked as consonants
     val sb = new StringBuilder(w)
@@ -1298,16 +1308,21 @@ object Snowball {
       "iv", "os")
     val s2ist = Seq("isme", "ista", "iste", "isti", "istă", "işti", "ism", "ist")
     val s2iune = Seq("iune", "iuni")
+    // snowball among: the LONGEST matching suffix commits — if its R2
+    // condition fails, the whole step fails with NO fallback to a shorter
+    // row (realitate ends itate, which is not in its R2, so even the ate
+    // inside R2 stays: → realitat via the final-vowel step; r18 oracle)
     val all2 = s2plain.map(_ -> 0) ++ s2ist.map(_ -> 1) ++ s2iune.map(_ -> 2)
-    all2.sortBy(-_._1.length).find { case (s, _) =>
-      w.endsWith(s) && inR2(s.length)
-    }.foreach {
-      case (s, 0) => w = w.dropRight(s.length); removed12 = true
-      case (s, 1) => w = w.dropRight(s.length) + "ist"; removed12 = true
-      case (s, _) =>
-        if (w.dropRight(s.length).endsWith("ţ")) {
-          w = w.dropRight(s.length + 1) + "t"; removed12 = true
-        }
+    all2.sortBy(-_._1.length).find { case (s, _) => w.endsWith(s) }.foreach {
+      case (s, k) if inR2(s.length) => k match {
+        case 0 => w = w.dropRight(s.length); removed12 = true
+        case 1 => w = w.dropRight(s.length) + "ist"; removed12 = true
+        case _ =>
+          if (w.dropRight(s.length).endsWith("ţ")) {
+            w = w.dropRight(s.length + 1) + "t"; removed12 = true
+          }
+      }
+      case _ => ()
     }
 
     // ---- step 3: verb suffixes (in RV), only when steps 1-2 removed nothing
@@ -1502,27 +1517,39 @@ object Snowball {
       Seq("seen" -> 3, "siin" -> 2, "tten" -> 2, "den" -> 2) ++
         hXn.map(_ -> 1) ++ Seq("tta" -> 4, "ttä" -> 4) ++
         plainCases.map(_ -> 0) ++ Seq("a" -> 5, "ä" -> 5, "n" -> 6)
-    allCases.sortBy(-_._1.length).find { case (s, _) =>
-      w.endsWith(s) && inR1(s.length)
-    }.foreach {
-      case (s, 0) => dropCase(s.length)
-      case (s, 1) => // hXn: preceded by the suffix's own vowel
-        if (at(w.length - 4) == s(1)) dropCase(3)
-      case (s, 2) => // siin/tten/den: preceded by Vi
-        if (at(w.length - s.length - 1) == 'i' &&
-            fiVowels.contains(at(w.length - s.length - 2))) dropCase(s.length)
-      case (s, 3) => // seen: preceded by a long vowel
-        if (fiLongV.exists(w.dropRight(4).endsWith)) dropCase(4)
-      case (s, 4) => // tta/ttä: preceded by e
-        if (at(w.length - 4) == 'e') dropCase(3)
-      case (s, 5) => // a/ä: preceded by consonant + vowel
-        val (c, v) = (at(w.length - 3), at(w.length - 2))
-        if (!fiVowels.contains(c) && c != '\u0000' && fiVowels.contains(v))
+    // FALLBACK semantics (r18 oracle sweep): a conditioned row that fails
+    // falls through to the next shorter row — kauneutta loses its plain
+    // ta when the e-gated tta fails, kauneuden its n when the Vi-gated
+    // den fails.
+    var caseDone = false
+    allCases.sortBy(-_._1.length).foreach { case (s, kind) =>
+      if (!caseDone && w.endsWith(s) && inR1(s.length)) kind match {
+        case 0 => dropCase(s.length); caseDone = true
+        case 1 => // hXn: preceded by the suffix's own vowel
+          if (at(w.length - 4) == s(1)) { dropCase(3); caseDone = true }
+        case 2 => // siin/tten/den: preceded by Vi
+          if (at(w.length - s.length - 1) == 'i' &&
+              fiVowels.contains(at(w.length - s.length - 2))) {
+            dropCase(s.length); caseDone = true
+          }
+        case 3 => // seen: preceded by a long vowel
+          if (fiLongV.exists(w.dropRight(4).endsWith)) {
+            dropCase(4); caseDone = true
+          }
+        case 4 => // tta/ttä: preceded by e
+          if (at(w.length - 4) == 'e') { dropCase(3); caseDone = true }
+        case 5 => // a/ä: preceded by consonant + vowel
+          val (c, v) = (at(w.length - 3), at(w.length - 2))
+          if (!fiVowels.contains(c) && c != '\u0000' && fiVowels.contains(v)) {
+            dropCase(1); caseDone = true
+          }
+        case _ => // n: delete; a preceding long vowel or ie loses a letter
           dropCase(1)
-      case (_, _) => // n: delete; a preceding long vowel or ie loses a letter
-        dropCase(1)
-        if (fiLongV.exists(w.endsWith) || w.endsWith("ie")) w = w.dropRight(1)
+          if (fiLongV.exists(w.endsWith) || w.endsWith("ie")) w = w.dropRight(1)
+          caseDone = true
+      }
     }
+
 
     // ---- step 4: other endings (comparatives), in R2
     val others = Seq("impi", "impa", "impä", "immi", "imma", "immä",
@@ -1546,7 +1573,10 @@ object Snowball {
 
     // ---- step 6: tidying up (in R1)
     if (fiLongV.exists(w.endsWith) && inR1(1)) w = w.dropRight(1)
-    if (w.length >= 2 && inR1(1) && "aäei".contains(w.last) &&
+    // setlimit tomark p1: the PRECEDING consonant the rule tests must
+    // also lie inside R1 (r18 oracle sweep: kauneude → kauneud but vuode
+    // keeps its e — its d sits before p1, so the test cannot reach it)
+    if (w.length >= 2 && inR1(2) && "aäei".contains(w.last) &&
         !fiVowels.contains(w(w.length - 2))) w = w.dropRight(1)
     if ((w.endsWith("oj") || w.endsWith("uj")) && inR1(1)) w = w.dropRight(1)
     if (w.endsWith("jo") && inR1(1)) w = w.dropRight(1)
@@ -1976,8 +2006,23 @@ object Snowball {
       if (Seq("θ", "δ", "ελ", "γαλ", "ν", "π", "ιδ", "παρ").contains(w))
         w += "ε"
     }
+    // -ολογια/-ολογιων → ολο; -ιδια/-ιδιων and diminutive -ακια/-ακιων
+    // strip whole (r18 oracle sweep: παιδιά → πα, ρολογια → ρολο,
+    // γατακια → γατ; παιχνιδ- stems take the generic -ια instead, and
+    // the genitive -ιου forms stay with the generic step too)
+    var iaFamily = false
+    ends("ολογια", "ολογιων").foreach { s =>
+      w = w.dropRight(s.length) + "ολο"; test1 = false; iaFamily = true
+    }
+    if (!iaFamily) ends("ιδια", "ιδιων").foreach { s =>
+      val stem = w.dropRight(s.length)
+      if (stem != "παιχν") { w = stem; test1 = false; iaFamily = true }
+    }
+    if (!iaFamily) ends("ακια", "ακιων").foreach { s =>
+      w = w.dropRight(s.length); test1 = false; iaFamily = true
+    }
     // step 3: -ια/-ιου/-ιων
-    ends("ια", "ιου", "ιων").foreach { s =>
+    if (!iaFamily) ends("ια", "ιου", "ιων").foreach { s =>
       w = w.dropRight(s.length); test1 = false
       if (w.nonEmpty && elVowels(w.last)) w += "ι"
     }
@@ -2249,9 +2294,14 @@ object Snowball {
     if (w.length > 3 && (w.startsWith("\u0648") || w.startsWith("\u0641")) &&
         w.charAt(1) != '\u0627')
       w = w.substring(1)
-    // Prefix_Step3: article family / the \u0628 preposition / verb preformatives
-    if ((w.startsWith("\u0628\u0627\u0644") || w.startsWith("\u0643\u0627\u0644") ||
-        w.startsWith("\u0648\u0627\u0644") || w.startsWith("\u0641\u0627\u0644")) && w.length > 5)
+    // Prefix_Step3: article family / the \u0628 preposition / verb
+    // preformatives. NO \u0648\u0627\u0644/\u0641\u0627\u0644 rows: the
+    // conjunction never strips off a \u0648\u0627/\u0641\u0627 opening
+    // (Step2's guard), and the article rows are only \u0628\u0627\u0644 /
+    // \u0643\u0627\u0644 \u2014 so \u0648\u0627\u0644\u0643\u062a\u0627\u0628
+    // stays WHOLE, as the reference does (r18 oracle sweep)
+    if ((w.startsWith("\u0628\u0627\u0644") ||
+        w.startsWith("\u0643\u0627\u0644")) && w.length > 5)
       w = w.substring(3)
     else if ((w.startsWith("\u0627\u0644") || w.startsWith("\u0644\u0644")) && w.length > 4)
       w = w.substring(2)

@@ -36,8 +36,9 @@ class SnowballWordVectorsSpec extends AnyFunSuite {
       ("للمدرسة", "مدرس"),
       ("بالمدرسة", "مدرس"),
       ("كالقمر", "قمر"),
-      ("والكتاب", "كتاب"),
-      ("فالحديقة", "حديق"),
+      ("والكتاب", "والكتاب"), // وا blocks the conjunction strip; no وال article row (r18 oracle)
+      ("وبالكتاب", "كتاب"), ("فالكتاب", "فالكتاب"),
+      ("فالحديقة", "فالحديق"),
       ("وكتب", "كتب"),
       ("فذهب", "ذهب"),
       ("كتابه", "كتاب"),
@@ -72,7 +73,7 @@ class SnowballWordVectorsSpec extends AnyFunSuite {
       ("رئيس", "رييس"),
       ("الجامعة", "جامع"),
       ("العربية", "عرب"),
-      ("والمدينة", "مدين"),
+      ("والمدينة", "والمدين"),
       ("قلم", "قلم"),
       ("باب", "باب"),
       ("كتاب", "كتاب"),
