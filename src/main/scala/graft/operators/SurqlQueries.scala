@@ -59,6 +59,37 @@ object SurqlQueries {
               CAST(2.0 AS DOUBLE) * CAST(3.5 AS DOUBLE) AS d, TRUE AS b""")(
     "RETURN { a: 3, s: 'sur' + 'real', d: 2.0 * 3.5, b: true }")
 
+  /** r18 sweep semantics as a DRIVER-GATED row: constant expressions whose
+    * exact values the DuckDB oracle pins as literals — PHC pbkdf2
+    * verification (RFC-derived vector), unpadded/padded/indifferent
+    * base64, the strict-> geohash with the (0,0) quirk, arbitrary-
+    * precision semver ids, exact-binary ties-to-even math::fixed (int
+    * input comes back float), chrono strftime specs, and non-BMP
+    * levenshtein + Rust-whitespace sorensen_dice. */
+  val fnR18Edges = sq("fn_r18_edges",
+    """SELECT TRUE AS pb_ok, FALSE AS pb_no, FALSE AS pb_cost,
+              'aGk' AS b64, 'aGk=' AS b64p, 'hello' AS b64d,
+              '7zzzzzzzzzzz' AS gh0, 'ezs4' AS gh1,
+              CAST(1 AS BIGINT) AS sv,
+              CAST(2.67 AS DOUBLE) AS fx, CAST(5.0 AS DOUBLE) AS fxi,
+              '2021-03-07 04:05:06 066 09' AS tf,
+              CAST(1 AS BIGINT) AS lev, CAST(1.0 AS DOUBLE) AS sd""")(
+    """RETURN {
+         pb_ok: crypto::pbkdf2::compare('$pbkdf2-sha256$i=4096,l=32$c2FsdA$xeR41ZKIyEGqUw22hFxMjZYok6ABzk4RpJY4c6qYE0o', 'password'),
+         pb_no: crypto::pbkdf2::compare('$pbkdf2-sha256$i=4096,l=32$c2FsdA$xeR41ZKIyEGqUw22hFxMjZYok6ABzk4RpJY4c6qYE0o', 'wrong'),
+         pb_cost: crypto::pbkdf2::compare('$pbkdf2-sha256$i=9999999,l=32$c2FsdA$xeR41ZKIyEGqUw22hFxMjZYok6ABzk4RpJY4c6qYE0o', 'password'),
+         b64: encoding::base64::encode(<bytes>'hi'),
+         b64p: encoding::base64::encode(<bytes>'hi', true),
+         b64d: <string>encoding::base64::decode('aGVsbG8'),
+         gh0: geo::hash::encode((0.0, 0.0)),
+         gh1: geo::hash::encode((-5.6, 42.6), 4),
+         sv: string::semver::compare('1.0.0-11111111111111111111', '1.0.0-2'),
+         fx: math::fixed(2.675, 2), fxi: math::fixed(5, 2),
+         tf: time::format(d'2021-03-07T04:05:06Z', '%F %T %j %V'),
+         lev: string::distance::levenshtein('𝄞𝄞', '𝄞'),
+         sd: string::similarity::sorensen_dice('ab cd', 'abcd')
+       }""")
+
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -1963,5 +1994,6 @@ object SurqlQueries {
     mutMergeThing, idiomMethods, fnArray2, fnString2, linkGroup, fnTime2, vectorOps2, fnParse2, fnFormat, fnObject2, fnSimilarity, fnFuzzy, fnAggStats2, fnArray3, splitMulti, explainSpark,
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
-    textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps)
+    textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
+    fnR18Edges)
 }
