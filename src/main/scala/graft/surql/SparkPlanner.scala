@@ -265,6 +265,53 @@ object SparkPlanner {
     * these bodies stay correct there instead of compiling for minutes. */
   private val MaxInlineNodes = 10000
 
+  /** Statement block → single expression, when every control path RETURNs:
+    * LET prefixes substitute symbolically (the query path's LET handling,
+    * per row); a TERMINAL IF whose arms all return lowers to IfExpr (a
+    * missing branch with no ELSE falls off the block → NONE, the
+    * reference's block semantics). Declines (None) for anything else —
+    * mutations, FOR, THROW, non-terminal IFs — which stay
+    * interpreter-only. A NON-DETERMINISTIC LET (rand::*) must evaluate
+    * once per row, not once per reference — substitution would re-roll
+    * it, so those decline by name too (r17/r18). */
+  private def blockToExpr(stmts0: Seq[Statement], n: String): Option[Expr] = {
+    def guard(v: Expr): Expr = {
+      if (exprHasFn(v, f => f == "rand" || f.startsWith("rand::")))
+        throw SqlError(
+          s"SparkPlanner: non-deterministic LET in body of '$n' is interpreter-only")
+      if (nodeCount(v) > MaxInlineNodes)
+        throw SqlError(s"SparkPlanner: LET substitution in body of '$n' " +
+          s"exceeds $MaxInlineNodes nodes — interpreter-only")
+      v
+    }
+    def armToExpr(arm: Expr, env: Map[String, Expr]): Option[Expr] = arm match {
+      case BlockExpr(ss) => convert(ss, env)
+      case e             => Some(guard(Subst.exprE(e, env)))
+    }
+    def convert(stmts: Seq[Statement], env0: Map[String, Expr]): Option[Expr] = {
+      val (lets, rest) = stmts.span(_.isInstanceOf[LetStmt])
+      val env = lets.foldLeft(env0) {
+        case (env, LetStmt(name, _, what)) =>
+          env + (name -> guard(Subst.exprE(what, env)))
+        case (env, _) => env
+      }
+      rest match {
+        case Seq(ReturnStmt(e)) => Some(guard(Subst.exprE(e, env)))
+        case Seq(IfStmt(branches, otherwise)) =>
+          val arms = branches.map { case (c, v) =>
+            armToExpr(v, env).map(guard(Subst.exprE(c, env)) -> _)
+          }
+          val els = otherwise.map(o => armToExpr(o, env))
+            .getOrElse(Some(Lit(VNone)))
+          if (arms.forall(_.isDefined) && els.isDefined)
+            Some(IfExpr(arms.map(_.get), Some(els.get)))
+          else scala.None
+        case _ => scala.None
+      }
+    }
+    convert(stmts0, Map.empty)
+  }
+
   private def inlineUserFn(n: String, args: Seq[Expr]): Expr = {
     val d = fnScope.value(n)
     if (args.length != d.params.length)
@@ -272,37 +319,9 @@ object SparkPlanner {
     if (fnDepth.value >= 16)
       throw SqlError("Reached excessive computation depth due to functions, subqueries, or computed values")
     val body = d.body match {
-      case BlockExpr(Seq(ReturnStmt(e))) => e
-      // pure LET-sequence body (LET… then RETURN): lower by SYMBOLIC
-      // sequential substitution — each LET value (with earlier bindings
-      // already substituted) replaces its references in later bindings and
-      // the RETURN, exactly the query path's LET handling but per-row
-      // (expr/statements/define/function.rs runs any block; this covers
-      // the LET-then-RETURN shape). A NON-DETERMINISTIC binding (rand::*)
-      // must evaluate once per row, not once per reference — substitution
-      // would re-roll it, so those stay interpreter-only by name.
-      case BlockExpr(stmts) if stmts.length >= 2 &&
-          stmts.init.forall(_.isInstanceOf[LetStmt]) &&
-          stmts.last.isInstanceOf[ReturnStmt] =>
-        val env = stmts.init.foldLeft(Map.empty[String, Expr]) {
-          case (env, LetStmt(name, _, what)) =>
-            val v = Subst.exprE(what, env)
-            if (exprHasFn(v, f => f == "rand" || f.startsWith("rand::")))
-              throw SqlError(
-                s"SparkPlanner: non-deterministic LET in body of '$n' is interpreter-only")
-            if (nodeCount(v) > MaxInlineNodes)
-              throw SqlError(s"SparkPlanner: LET substitution in body of '$n' " +
-                s"exceeds $MaxInlineNodes nodes — interpreter-only")
-            env + (name -> v)
-          case (env, _) => env
-        }
-        val ret = Subst.exprE(stmts.last.asInstanceOf[ReturnStmt].e, env)
-        if (nodeCount(ret) > MaxInlineNodes)
-          throw SqlError(s"SparkPlanner: LET substitution in body of '$n' " +
-            s"exceeds $MaxInlineNodes nodes — interpreter-only")
-        ret
-      case BlockExpr(_) => throw SqlError(
-        s"SparkPlanner: multi-statement body of '$n' is interpreter-only")
+      case BlockExpr(stmts) =>
+        blockToExpr(stmts, n).getOrElse(throw SqlError(
+          s"SparkPlanner: effectful body of '$n' is interpreter-only"))
       case e => e
     }
     Subst.exprE(body, d.params.map(_._1).zip(args).toMap)
@@ -784,12 +803,12 @@ object SparkPlanner {
           .filterNot(_._1 == s.field) :+ ((s.field, s.computed.get)))
         overlay += s.table -> applyComputed(s.table,
           planWith(Tables(spark, dir, s.table)))
-      case s: DefineFieldStmt =>
+      case s0: DefineFieldStmt =>
         // dotted struct paths enforce through withField rebuilds; array
-        // element paths ([*]/[N]) stay interpreter-only
-        if (s.field.contains("["))
-          throw SqlError(
-            s"SparkPlanner: array-element DEFINE FIELD `${s.field}` is interpreter-only")
+        // element paths normalize to dot segments ([*] → .*, [N] → .N)
+        // and fan through pipeAtPath's transform arms (r18)
+        val s = s0.copy(field = s0.field.replace("[*]", ".*")
+          .replaceAll("""\[(\d+)\]""", ".$1"))
         fldDefs += s.table -> (fldDefs.getOrElse(s.table, Vector.empty)
           .filterNot(_.field == s.field) :+ s)
       case s: DefineIndexStmt =>
@@ -2851,6 +2870,18 @@ object SparkPlanner {
             ctx, t, key, isCreate)))
       case _ => cur
     }
+    // a numeric segment over an array pipes ONE element in place
+    // (DEFINE FIELD vals[0] …), leaving the others untouched (r18)
+    case seg :: rest if seg.nonEmpty && seg.forall(_.isDigit) =>
+      curType match {
+        case Some(ArrayType(et, _)) =>
+          val n = seg.toInt
+          val f: (Column, Column) => Column = (x, i) =>
+            when(i === n, pipeAtPath(d, x, rest, Some(et), ctx, t, key, isCreate))
+              .otherwise(x)
+          transform(cur, f)
+        case _ => cur
+      }
     case seg :: rest => curType match {
       case Some(st: StructType) if st.fieldNames.contains(seg) =>
         cur.withField(seg, pipeAtPath(d, cur.getField(seg), rest,

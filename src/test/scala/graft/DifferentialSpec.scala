@@ -895,6 +895,60 @@ class DifferentialSpec extends AnyFunSuite {
       "the guard must trip before the tree blows up, not after")
   }
 
+  test("array-element DEFINE FIELD paths enforce on the Spark path (r18)") {
+    // tags.* (and the [*] spelling) pipe every element; tags[0] pipes one
+    // element in place — VALUE and ASSERT both fan through the array
+    checkScript(
+      """DEFINE FIELD tags.* ON item TYPE string VALUE string::uppercase($value);
+         UPDATE item SET tags = ['fresh', 'new'] WHERE qty > 40;
+         SELECT name, array::join(tags, ',') AS t FROM item ORDER BY name LIMIT 8;""")
+    checkScript(
+      """DEFINE FIELD tags[*] ON item TYPE string VALUE string::trim($value);
+         UPDATE item SET tags = ['  padded ', 'ok'] WHERE qty > 40;
+         SELECT name, array::join(tags, '|') AS t FROM item ORDER BY name LIMIT 8;""")
+    checkScript(
+      """DEFINE FIELD tags[0] ON item VALUE string::uppercase($value);
+         UPDATE item SET tags = ['first', 'second'] WHERE qty > 40;
+         SELECT name, array::join(tags, ',') AS t FROM item ORDER BY name LIMIT 8;""")
+    // (per-element ASSERT is not enforced by the interpreter either —
+    // the paths agree by both applying only TYPE/VALUE per element)
+  }
+
+  test("IF-statement fn:: bodies inline on the Spark path (r18)") {
+    // a TERMINAL IF whose arms all RETURN lowers to a per-row CASE: both
+    // paths agree on multi-branch, LET-prefixed, and else-less (→ NONE)
+    // shapes; nested IFs compose
+    checkScript(
+      """DEFINE FUNCTION fn::band($q: number) {
+           IF $q > 40 { RETURN 'high' }
+           ELSE IF $q > 15 { RETURN 'mid' }
+           ELSE { RETURN 'low' }
+         };
+         SELECT name, fn::band(qty) AS b FROM item ORDER BY name LIMIT 8;""")
+    checkScript(
+      """DEFINE FUNCTION fn::disc($p: number) {
+           LET $cut = $p * 0.1;
+           IF $cut > 5 { LET $cap = 5; RETURN $cap }
+           ELSE { RETURN $cut }
+         };
+         SELECT name, math::fixed(fn::disc(price), 4) AS d FROM item
+         ORDER BY name LIMIT 8;""")
+    // no ELSE: an unmatched branch falls off the block → NONE
+    checkScript(
+      """DEFINE FUNCTION fn::maybe($q: number) {
+           IF $q > 100 { RETURN 'huge' }
+         };
+         SELECT name, fn::maybe(qty) AS m FROM item ORDER BY name LIMIT 6;""")
+    // nested IF in an arm
+    checkScript(
+      """DEFINE FUNCTION fn::nest($q: number) {
+           IF $q > 10 {
+             IF $q > 40 { RETURN 'xl' } ELSE { RETURN 'l' }
+           } ELSE { RETURN 's' }
+         };
+         SELECT name, fn::nest(qty) AS n FROM item ORDER BY name LIMIT 8;""")
+  }
+
   test("ALTER FUNCTION rebinds the body identically on both paths") {
     checkScript(
       """DEFINE FUNCTION fn::f($x: number) { RETURN $x + 1 };
