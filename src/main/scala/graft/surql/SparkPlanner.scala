@@ -820,7 +820,11 @@ object SparkPlanner {
           // probes fresh, since its rows differ from the stored corpus.
           def probe(): Unit = planWith {
             val base = Tables(spark, dir, s.table)
-            if (!s.fields.forall(base.columns.contains))
+            // nested struct paths resolve too (DEFINE INDEX … FIELDS
+            // address.city — r18); only a path that resolves to nothing
+            // in the schema declines
+            if (!s.fields.forall(f =>
+                nestedType(base.schema, f.split('.').toIndexedSeq).isDefined))
               throw SqlError(s"SparkPlanner: DEFINE INDEX on non-column path " +
                 s"${s.fields.mkString(",")} is interpreter-only")
             checkUniqueIndexes(s.table, base, base,
@@ -1103,7 +1107,7 @@ object SparkPlanner {
             fldDefs.getOrElse(t, Vector.empty), ctx, t, key)
           val after = graft.operators.Mutations.update(base, cond, sets)
           val touchedIdx = uniqDefs.getOrElse(t, Vector.empty)
-            .filter(_._2.exists(sets.keySet.contains))
+            .filter(_._2.exists(f => sets.keySet.contains(fieldRoot(f))))
           if (touchedIdx.nonEmpty)
             checkUniqueIndexes(t, after,
               after.join(base.filter(cond).select(key), Seq(key), "left_semi"),
@@ -2935,14 +2939,21 @@ object SparkPlanner {
   private def checkUniqueIndexes(t: String, after: DataFrame,
       changed: DataFrame, uniq: Seq[(String, Seq[String])], key: String): Unit =
     uniq.foreach { case (name, fields) =>
-      if (fields.forall(changed.columns.contains)) {
-        val nonNull = fields.map(col(_).isNotNull).reduce(_ && _)
-        val touched = changed.filter(nonNull)
-          .select(fields.map(col).toIndexedSeq: _*).distinct()
-        val dup = after.filter(nonNull)
-          .join(touched, fields, "left_semi")
-          .groupBy(fields.map(col).toIndexedSeq: _*)
-          .agg(count(lit(1)).as("__n"), min(col(key)).as("__rid"))
+      // NESTED paths index too (r18): each field projects through its
+      // dotted path to a flat alias, so the semi-join and groupBy work
+      // the same for `address.city` as for a top-level column
+      if (fields.forall(f => changed.columns.contains(fieldRoot(f)))) {
+        val aliases = fields.indices.map(i => s"__ix$i")
+        def proj(df: DataFrame, extra: Seq[Column]): DataFrame =
+          df.select(fields.zip(aliases).map { case (f, a) =>
+            col(f).as(a)
+          } ++ extra: _*)
+        val nonNull = aliases.map(col(_).isNotNull).reduce(_ && _)
+        val touched = proj(changed, Nil).filter(nonNull).distinct()
+        val dup = proj(after, Seq(col(key).as("__ridk"))).filter(nonNull)
+          .join(touched, aliases, "left_semi")
+          .groupBy(aliases.map(col).toIndexedSeq: _*)
+          .agg(count(lit(1)).as("__n"), min(col("__ridk")).as("__rid"))
           .filter(col("__n") > 1).limit(1).collect()
         dup.headOption.foreach { r =>
           val vals = fields.indices.map(i => r.get(i) match {

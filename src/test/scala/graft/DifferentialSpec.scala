@@ -914,6 +914,34 @@ class DifferentialSpec extends AnyFunSuite {
     // the paths agree by both applying only TYPE/VALUE per element)
   }
 
+  test("nested-path unique indexes enforce on the Spark path (r18)") {
+    // DEFINE INDEX … FIELDS meta.city UNIQUE resolves the struct path on
+    // the scan probe and on write-time checks; a duplicating write errors
+    // with the reference text on BOTH paths
+    val base =
+      """UPDATE item SET meta = { city: name };
+         DEFINE INDEX city_ix ON item FIELDS meta.city UNIQUE;"""
+    val ok = base +
+      """SELECT name, meta.city AS c FROM item ORDER BY name LIMIT 6;"""
+    checkScript(ok)
+    val bad = base +
+      """UPDATE item SET meta = { city: 'shared' } WHERE qty = 3;
+         SELECT name FROM item LIMIT 1;"""
+    val in = new Interp
+    in.run(Parser.parse(fixtureScript))
+    val ires = in.run(Parser.parse(bad))
+    assert(ires.exists {
+      case QErr(m) => m.contains("already contains")
+      case _ => false
+    }, s"interp accepted the duplicating write: $ires")
+    val smsg = intercept[Exception] {
+      Tables.withOverlay(Map("item" -> df)) {
+        SparkPlanner.script(spark, "/nonexistent", bad).collect()
+      }
+    }.getMessage
+    assert(smsg.contains("already contains"), s"spark text: $smsg")
+  }
+
   test("IF-statement fn:: bodies inline on the Spark path (r18)") {
     // a TERMINAL IF whose arms all RETURN lowers to a per-row CASE: both
     // paths agree on multi-branch, LET-prefixed, and else-less (→ NONE)
