@@ -26,10 +26,13 @@ import graft.{Q, Tables}
   * closed form — a decoder that misread a single pixel would hash-mismatch.
   * JPEG is lossy: the oracle pins format + decoded dimensions exactly and
   * gates channel means within a measured tolerance of the closed form.
-  * The VIDEO frame sampler keeps a deterministic byte-slice demuxer
-  * stand-in (no video codecs ship in the JDK); its batch shape — one input
-  * row fanning out to ≤ NumFrames rows from one per-partition demuxer — is
-  * the real plumbing and is oracle-checked. */
+  * The FRAME sampler parses a real multi-frame container too (r19):
+  * animated GIF — the one multi-image format the JDK both writes
+  * (`ImageWriter.writeToSequence`) and demuxes (`getNumImages`/`read(i)`)
+  * — with palette-indexed lossless frames the oracle replays exactly.
+  * True video codecs (H.264 etc.) don't ship in the JDK and stay out of
+  * scope; the GIF path exercises the same batch shape a video demuxer
+  * needs: one row → container parse → ≤ SampleK frame rows. */
 object Multimodal {
 
   // ImageIO defaults to a FILE-backed stream cache — every encode/decode
@@ -208,9 +211,12 @@ object Multimodal {
     * losslessly — a truncated or byte-shifted read fails them), and each
     * channel MEAN must sit within [[JpegMeanTol]] of the closed-form truth.
     * Tolerance from measurement, not guesswork: worst mean drift over all
-    * 5000 docs of this noise-like corpus (JPEG's worst case) is 6.58; a
-    * wholesale misread drifts by ~64 on average. */
-  private val JpegMeanTol = 8.0
+    * 5000 docs of this noise-like corpus (JPEG's worst case) is 6.58 on
+    * THIS JDK's com.sun.imageio JPEG codec (Temurin 17); a different
+    * imageio plugin could quantize differently, so the gate carries 2x
+    * headroom over the measured worst — still ~4x below the ~64 drift of
+    * a wholesale misread, so it separates codec noise from real bugs. */
+  private val JpegMeanTol = 13.0
 
   val multimodalJpeg = Q("multimodal_jpeg",
     s"""SELECT doc_id, 'jpeg' AS format,
@@ -251,57 +257,122 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  private def md5hex(bytes: Array[Byte]): String =
-    java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      .map("%02x".format(_)).mkString
+  /** One sampled frame of a multi-frame media payload. */
+  final case class Frame(doc_id: Long, n_frames: Int, frame_no: Int,
+      width: Int, height: Int, pix_sum: Long)
 
-  /** One sampled frame of a media payload. */
-  final case class Frame(doc_id: Long, frame_no: Int, frame_digest: String,
-      frame_bytes: Long)
+  /** Frames sampled per payload (even stride over the container). */
+  private val SampleK = 4
 
-  private val NumFrames = 8
-  private val FrameBytes = 16
+  /** Frame count for doc `d`: 3..12 — more frames than [[SampleK]] for
+    * most docs, so the even-stride sampler actually skips. */
+  private[graft] def genFrames(d: Long): Int = 3 + (d % 10).toInt
 
-  /** Frame sampling over a video-like payload: ONE input row fans out to ≤
-    * [[NumFrames]] output rows (the demuxer batch shape), evenly strided
-    * through the payload. mapPartitions so a real demuxer initializes once
-    * per partition; the stand-in "frame" is a byte slice (no video codecs
-    * in the JDK), deterministic so the oracle can replay it. */
+  /** Closed-form grayscale value of doc `d`, frame `f`, pixel (x, y). */
+  private[graft] def framePixel(d: Long, f: Int, x: Int, y: Int): Int =
+    ((d * 31 + f * 41 + x * 7 + y * 13) % 256).toInt
+
+  private val GrayRamp: Array[Byte] = Array.tabulate(256)(_.toByte)
+
+  /** Animated GIF for doc `d`: [[genFrames]] full-size grayscale frames
+    * through the in-JDK GIF sequence writer. GIF is palette-indexed and
+    * lossless — a 256-entry gray ramp palette carries every value
+    * exactly, so decode replays the closed form bit-for-bit. */
+  private[graft] def genGif(d: Long): Array[Byte] = {
+    val w = genWidth(d); val h = genHeight(d); val nf = genFrames(d)
+    val cm = new java.awt.image.IndexColorModel(8, 256, GrayRamp, GrayRamp, GrayRamp)
+    val out = new ByteArrayOutputStream
+    val ios = ImageIO.createImageOutputStream(out)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, framePixel(d, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** Frame sampling over a REAL multi-frame container: the payload is an
+    * animated GIF, demuxed with the in-JDK reader — `getNumImages(true)`
+    * walks the stream's image descriptors, `read(i)` decodes one frame —
+    * and ONE input row fans out to ≤ [[SampleK]] frame rows at even
+    * stride ⌊i·n/k⌋. mapPartitions: the reader SPI is resolved once per
+    * partition and the reader object reused across payloads (demuxer
+    * init amortized over the partition, the 100-TB shape). */
   def sampleFrames(spark: SparkSession, payloads: DataFrame): Dataset[Frame] = {
     import spark.implicits._
     payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // (real impl: initialize the demuxer here, once per partition)
+        val reader = ImageIO.getImageReadersByFormatName("gif").next()
         it.flatMap { case (id, bytes) =>
-          val stride = math.max(1, bytes.length / NumFrames)
-          (0 until NumFrames).iterator
-            .takeWhile(i => i * stride < bytes.length)
-            .map { i =>
-              val slice = bytes.slice(i * stride,
-                math.min(i * stride + FrameBytes, bytes.length))
-              Frame(id, i, md5hex(slice), slice.length.toLong)
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val nf = reader.getNumImages(true)
+          val k = math.min(SampleK, nf)
+          val frames = (0 until k).map { i =>
+            val fno = i * nf / k
+            val img = reader.read(fno)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                sum += img.getRGB(x, y) & 0xff // gray: b == g == r == index
+                x += 1
+              }
+              y += 1
             }
+            Frame(id, nf, fno, img.getWidth, img.getHeight, sum)
+          }
+          iis.close()
+          frames
         }
       }
   }
 
-  /** Frame-sampling entry — oracle-checked: the deterministic slicing
-    * replays in SQL (ASCII corpus: byte offsets == char offsets). */
+  /** Frame-sampling entry — REAL container parsing: each doc's payload is
+    * an animated GIF (in-JDK encoder), demuxed back with the in-JDK
+    * reader; the oracle replays frame count, sampled indices, decoded
+    * dimensions, and exact per-frame pixel sums from the closed form. A
+    * demuxer that miscounted frames, sampled the wrong index, or misread
+    * one pixel mismatches. */
   val multimodalFrames = Q("multimodal_frames",
-    s"""WITH f AS (
-          SELECT doc_id, text, unnest(range(0, $NumFrames)) AS frame_no,
-                 greatest(1, length(text) // $NumFrames) AS stride
-          FROM documents)
-        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
-               md5(substring(text, frame_no * stride + 1, $FrameBytes)) AS frame_digest,
-               CAST(least($FrameBytes, length(text) - frame_no * stride) AS BIGINT)
-                 AS frame_bytes
-        FROM f WHERE frame_no * stride < length(text)
+    s"""WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id // 9) % 7 AS h,
+                          3 + doc_id % 10 AS nf FROM documents),
+        s AS (SELECT doc_id, w, h, nf,
+                     unnest(range(0, least($SampleK, nf))) AS i FROM d),
+        fr AS (SELECT doc_id, w, h, nf, i * nf // least($SampleK, nf) AS frame_no FROM s),
+        px AS (SELECT doc_id, frame_no, w, h, nf, unnest(range(0, w)) AS x FROM fr),
+        pxy AS (SELECT doc_id, frame_no, w, h, nf, x, unnest(range(0, h)) AS y FROM px)
+        SELECT doc_id, CAST(nf AS INT) AS n_frames, CAST(frame_no AS INT) AS frame_no,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(sum((doc_id * 31 + frame_no * 41 + x * 7 + y * 13) % 256) AS BIGINT)
+                 AS pix_sum
+        FROM pxy GROUP BY doc_id, nf, frame_no, w, h
         ORDER BY doc_id, frame_no""") {
     (s, d) =>
+      import s.implicits._
       val payloads = Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, genGif(id))))
+        .toDF("doc_id", "payload")
       sampleFrames(s, payloads).toDF().orderBy("doc_id", "frame_no")
   }
 

@@ -90,6 +90,33 @@ object SurqlQueries {
          sd: string::similarity::sorensen_dice('ab cd', 'abcd')
        }""")
 
+  /** r19: the real password-hash algorithms under the driver gate, pinned
+    * by FIXED externally-generated hashes — the common migration case the
+    * old stand-ins failed. bcrypt: a published jBCrypt/OpenBSD MCF vector
+    * (accept / wrong-pass / cost-17 > 12+4 reject). scrypt: the PHC
+    * encoding of RFC 7914 §12 vector 3 (ln=14 within bounds; the ln=20
+    * relabel breaches log_n ≤ 17+2). argon2id: the phc-winner-argon2
+    * test.c vector (t=9 relabel breaches t ≤ 2×4). Both *_rt keys
+    * round-trip a fresh generate at the reference's default params
+    * ($2b$12, $argon2id$v=19$m=19456,t=2,p=1). */
+  val fnR19Crypto = sq("fn_r19_crypto",
+    """SELECT TRUE AS bc_ok, FALSE AS bc_no, FALSE AS bc_cost, TRUE AS bc_rt,
+              TRUE AS sc_ok, FALSE AS sc_no, FALSE AS sc_cost,
+              TRUE AS ar_ok, FALSE AS ar_no, FALSE AS ar_cost, TRUE AS ar_rt""")(
+    """RETURN {
+         bc_ok: crypto::bcrypt::compare('$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe', 'a'),
+         bc_no: crypto::bcrypt::compare('$2a$06$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe', 'b'),
+         bc_cost: crypto::bcrypt::compare('$2a$17$m0CrhHm10qJ3lXRY.5zDGO3rS2KdeeWLuGmsfGlMfOxih58VYVfxe', 'a'),
+         bc_rt: crypto::bcrypt::compare(crypto::bcrypt::generate('hunter2'), 'hunter2'),
+         sc_ok: crypto::scrypt::compare('$scrypt$ln=14,r=8,p=1$U29kaXVtQ2hsb3JpZGU$cCO9yzr9c0hGHAbNgf046/2o+7qQT44+qbVD9lRdofLVQylVYT8Pz2LUlwUkKpr55h6F3A1lHkDfzwF7RVdYhw', 'pleaseletmein'),
+         sc_no: crypto::scrypt::compare('$scrypt$ln=14,r=8,p=1$U29kaXVtQ2hsb3JpZGU$cCO9yzr9c0hGHAbNgf046/2o+7qQT44+qbVD9lRdofLVQylVYT8Pz2LUlwUkKpr55h6F3A1lHkDfzwF7RVdYhw', 'pleaseletmeout'),
+         sc_cost: crypto::scrypt::compare('$scrypt$ln=20,r=8,p=1$U29kaXVtQ2hsb3JpZGU$cCO9yzr9c0hGHAbNgf046/2o+7qQT44+qbVD9lRdofLVQylVYT8Pz2LUlwUkKpr55h6F3A1lHkDfzwF7RVdYhw', 'pleaseletmein'),
+         ar_ok: crypto::argon2::compare('$argon2id$v=19$m=65536,t=2,p=1$c29tZXNhbHQ$CTFhFdXPJO1aFaMaO6Mm5c8y7cJHAph8ArZWb2GRPPc', 'password'),
+         ar_no: crypto::argon2::compare('$argon2id$v=19$m=65536,t=2,p=1$c29tZXNhbHQ$CTFhFdXPJO1aFaMaO6Mm5c8y7cJHAph8ArZWb2GRPPc', 'Password'),
+         ar_cost: crypto::argon2::compare('$argon2id$v=19$m=65536,t=9,p=1$c29tZXNhbHQ$CTFhFdXPJO1aFaMaO6Mm5c8y7cJHAph8ArZWb2GRPPc', 'password'),
+         ar_rt: crypto::argon2::compare(crypto::argon2::generate('hunter2'), 'hunter2')
+       }""")
+
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -1995,5 +2022,5 @@ object SurqlQueries {
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
-    fnR18Edges)
+    fnR18Edges, fnR19Crypto)
 }

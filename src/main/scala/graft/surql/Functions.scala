@@ -1443,18 +1443,19 @@ object Functions {
       case "crypto::joaat" => VInt(graft.functions.StrCheck.joaat(
         org.apache.spark.unsafe.types.UTF8String.fromString(str(0))))
       case "crypto::blake3" => VStr(Blake3.hex(str(0).getBytes("UTF-8")))
-      // password-hash families (fnc/crypto.rs): salted one-way hashes whose
-      // only contract is generate/compare round-tripping — the hash text is
-      // random-salted so no golden can assert its value. PBKDF2-HMAC-SHA256
-      // under every scheme's own format prefix.
-      case "crypto::argon2::generate"  => VStr(pwHash("argon2id", str(0)))
-      case "crypto::argon2::compare"   => VBool(pwCompare(str(0), str(1)))
-      case "crypto::bcrypt::generate"  => VStr(pwHash("bcrypt", str(0)))
-      case "crypto::bcrypt::compare"   => VBool(pwCompare(str(0), str(1)))
+      // password-hash families (fnc/crypto.rs): all four are REAL as of
+      // r19 — each speaks its algorithm's PHC/MCF format, verifies
+      // externally-generated hashes, and applies the reference's cost
+      // allowances (argon2/pbkdf2 4x multiplicative, bcrypt +4 and
+      // scrypt log_n +2 — exponential params get additive headroom).
+      case "crypto::argon2::generate"  => VStr(Argon2.generate(str(0)))
+      case "crypto::argon2::compare"   => VBool(Argon2.verify(str(0), str(1)))
+      case "crypto::bcrypt::generate"  => VStr(Bcrypt.generate(str(0)))
+      case "crypto::bcrypt::compare"   => VBool(Bcrypt.verify(str(0), str(1)))
       case "crypto::pbkdf2::generate"  => VStr(pwHash("pbkdf2-sha256", str(0)))
       case "crypto::pbkdf2::compare"   => VBool(pwCompare(str(0), str(1)))
-      case "crypto::scrypt::generate"  => VStr(pwHash("scrypt", str(0)))
-      case "crypto::scrypt::compare"   => VBool(pwCompare(str(0), str(1)))
+      case "crypto::scrypt::generate"  => VStr(Scrypt.generate(str(0)))
+      case "crypto::scrypt::compare"   => VBool(Scrypt.verify(str(0), str(1)))
 
       // ---- rand --------------------------------------------------------
       case n if n.startsWith("type::is_") && n != "type::is_set" =>
@@ -2103,29 +2104,26 @@ object Functions {
     java.security.MessageDigest.getInstance(algo).digest(s.getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
 
-  /** Password hashing/verification. crypto::pbkdf2 is REAL and
-    * reference-compatible (r18): generate emits the pbkdf2 crate 0.12's
-    * PHC string (`$pbkdf2-sha256$i=600000,l=32$<salt>$<dk>`, unpadded
-    * standard B64, crate-default 600k rounds), and compare verifies ANY
-    * PHC pbkdf2 hash — sha256/sha512/sha1 idents — with the reference's
-    * cost allowance (rounds ≤ 4×600000, length ≤ 4×32; fnc/crypto.rs:49,
-    * 157-187). argon2/bcrypt/scrypt have no in-JDK implementations and
-    * keep a scheme-tagged PBKDF2 STAND-IN: generate/compare round-trip,
-    * and — like every reference cmp — malformed hashes compare false,
-    * never error. */
+  /** crypto::pbkdf2 (REAL since r18, reference-compatible): generate
+    * emits the pbkdf2 crate 0.12's PHC string
+    * (`$pbkdf2-sha256$i=600000,l=32$<salt>$<dk>`, unpadded standard B64,
+    * crate-default 600k rounds), and compare verifies ANY PHC pbkdf2
+    * hash — sha256/sha512/sha1 idents — with the reference's cost
+    * allowance (rounds ≤ 4×600000, length ≤ 4×32; fnc/crypto.rs:49,
+    * 157-187). argon2/bcrypt/scrypt live in [[Argon2]]/[[Bcrypt]]/
+    * [[Scrypt]] (real since r19). Like every reference cmp, malformed
+    * hashes compare false, never error. */
+  /** Public faces for the Spark-path kernels ([[graft.functions.Pw]]). */
+  def pbkdf2Generate(pass: String): String = pwHash("pbkdf2-sha256", pass)
+  def pbkdf2Compare(hash: String, pass: String): Boolean = pwCompare(hash, pass)
+
   private def pwHash(scheme: String, pass: String): String = {
     val salt = new Array[Byte](16)
     new java.security.SecureRandom().nextBytes(salt)
     val b64 = java.util.Base64.getEncoder.withoutPadding
-    if (scheme == "pbkdf2-sha256") {
-      val dk = pbkdf2Dk("PBKDF2WithHmacSHA256", pass, salt, 600000, 32)
-      s"$$pbkdf2-sha256$$i=600000,l=32$$${b64.encodeToString(salt)}$$${b64.encodeToString(dk)}"
-    } else
-      s"$$$scheme$$${b64.encodeToString(salt)}$$${b64.encodeToString(pwDk(pass, salt))}"
+    val dk = pbkdf2Dk("PBKDF2WithHmacSHA256", pass, salt, 600000, 32)
+    s"$$pbkdf2-sha256$$i=600000,l=32$$${b64.encodeToString(salt)}$$${b64.encodeToString(dk)}"
   }
-
-  private def pwDk(pass: String, salt: Array[Byte]): Array[Byte] =
-    pbkdf2Dk("PBKDF2WithHmacSHA256", pass, salt, 4096, 32)
 
   private def pbkdf2Dk(mac: String, pass: String, salt: Array[Byte],
       rounds: Int, lenBytes: Int): Array[Byte] = {
@@ -2165,12 +2163,6 @@ object Functions {
     hash.split('$') match {
       case Array("", alg, params, saltB64, dkB64) if alg.startsWith("pbkdf2") =>
         verifyPbkdf2Phc(alg, params, saltB64, dkB64, pass)
-      case Array("", _, saltB64, dkB64) =>
-        try {
-          val dec = java.util.Base64.getDecoder
-          java.security.MessageDigest.isEqual(
-            pwDk(pass, dec.decode(saltB64)), dec.decode(dkB64))
-        } catch { case _: Exception => false }
       case _ => false
     }
 

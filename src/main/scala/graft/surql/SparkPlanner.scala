@@ -245,7 +245,11 @@ object SparkPlanner {
     }
     if (k < 1) throw SqlError(s"Incorrect arguments for function $fn(). " +
       "The second argument must be an integer greater than 0")
-    k.toInt
+    // sizes past Int.MaxValue clamp rather than truncate (r19): the
+    // reference takes a usize, and any size >= the array length yields one
+    // (short) chunk / no window — which the clamped Int preserves, while
+    // k.toInt would wrap 4294967298 to 2 and chunk wrong.
+    if (k > Int.MaxValue) Int.MaxValue else k.toInt
   }
 
   /** AST node count — the size guard for symbolic substitution. */
@@ -5155,8 +5159,16 @@ object SparkPlanner {
     // STANDARD_NO_PAD / STANDARD_GENERIC_DECODER). Spark's unbase64 skips
     // invalid chars silently — the kernel errors like the reference (r18).
     case "encoding::base64::encode" =>
-      val padded = raw.lift(1).exists(e => rowFree(e) &&
-        (try Eval.evalConst(e).truthy catch { case _: Exception => false }))
+      // the pad flag must be const-evaluable: a row-dependent flag would
+      // silently encode unpadded, so it declines to the interpreter (r19)
+      val padded = raw.lift(1).map { e =>
+        if (!rowFree(e)) throw SqlError(
+          "SparkPlanner: encoding::base64::encode with a row-dependent pad flag is interpreter-only")
+        try Eval.evalConst(e).truthy catch {
+          case _: Exception => throw SqlError(
+            "SparkPlanner: encoding::base64::encode with a non-constant pad flag is interpreter-only")
+        }
+      }.getOrElse(false)
       if (padded) base64(cs(0).cast("binary"))
       else regexp_replace(base64(cs(0).cast("binary")), "=+$", "")
     case "encoding::base64::decode" =>
@@ -5194,6 +5206,22 @@ object SparkPlanner {
       graft.functions.StrCheckKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
       call_function("graft_joaat", cs(0))
+    // password-hash families (fnc/crypto.rs, REAL algorithms since r19):
+    // per-row kernels sharing the interpreter's Argon2/Bcrypt/Scrypt/
+    // pbkdf2 implementations — generate is nondeterministic (fresh salt),
+    // compare enforces each scheme's cost allowance inside the kernel
+    case "crypto::argon2::generate" | "crypto::bcrypt::generate" |
+         "crypto::scrypt::generate" | "crypto::pbkdf2::generate" =>
+      graft.functions.PwKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      val scheme = name.stripPrefix("crypto::").stripSuffix("::generate")
+      call_function(s"graft_pw_${scheme}_generate", cs(0))
+    case "crypto::argon2::compare" | "crypto::bcrypt::compare" |
+         "crypto::scrypt::compare" | "crypto::pbkdf2::compare" =>
+      graft.functions.PwKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      val scheme = name.stripPrefix("crypto::").stripSuffix("::compare")
+      call_function(s"graft_pw_${scheme}_compare", cs(0), cs(1))
     // ---- parse::* --------------------------------------------------------
     case "parse::url::host" | "parse::url::domain" => parse_url(cs(0), lit("HOST"))
     case "parse::url::fragment" => parse_url(cs(0), lit("REF"))

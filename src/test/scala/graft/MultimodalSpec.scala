@@ -89,4 +89,46 @@ class MultimodalSpec extends AnyFunSuite {
         (rgb & 0xFF) == eb)
     }
   }
+
+  test("gif frames: real animated container, demux is pixel-exact (r19)") {
+    for (d <- Seq(0L, 7L, 23L, 101L)) {
+      val bytes = Multimodal.genGif(d)
+      // GIF signature per the spec
+      assert(new String(bytes.take(3), "US-ASCII") == "GIF")
+      val reader = ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      reader.setInput(iis)
+      assert(reader.getNumImages(true) == Multimodal.genFrames(d))
+      // decode a middle frame and compare every pixel to the closed form
+      val f = Multimodal.genFrames(d) / 2
+      val img = reader.read(f)
+      assert(img.getWidth == Multimodal.genWidth(d) &&
+        img.getHeight == Multimodal.genHeight(d))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        assert((img.getRGB(x, y) & 0xff) == Multimodal.framePixel(d, f, x, y),
+          s"doc $d frame $f pixel ($x,$y)")
+      iis.close()
+    }
+  }
+
+  test("sampleFrames demuxes at even stride with exact pixel sums") {
+    import spark.implicits._
+    val payloads = Seq(5L, 42L).toDF("doc_id")
+      .as[Long].map(id => (id, Multimodal.genGif(id))).toDF("doc_id", "payload")
+    val rows = Multimodal.sampleFrames(spark, payloads).collect()
+      .groupBy(_.doc_id)
+    for ((d, frames) <- rows) {
+      val nf = Multimodal.genFrames(d)
+      val k = math.min(4, nf)
+      assert(frames.length == k)
+      assert(frames.map(_.frame_no).sorted.sameElements(
+        (0 until k).map(i => i * nf / k)))
+      for (fr <- frames) {
+        var sum = 0L
+        for (y <- 0 until fr.height; x <- 0 until fr.width)
+          sum += Multimodal.framePixel(d, fr.frame_no, x, y)
+        assert(fr.pix_sum == sum && fr.n_frames == nf)
+      }
+    }
+  }
 }
