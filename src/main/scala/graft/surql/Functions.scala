@@ -1435,6 +1435,12 @@ object Functions {
         }
       case "parse::url::fragment" => uriPart(str(0), _.getFragment)
 
+      // internal: the lowered form of a THROW statement inside an inlined
+      // fn:: body (SparkPlanner.blockToExpr) — the reference's Thrown
+      // error text (expr/statements/throw.rs)
+      case "graft::throw" =>
+        throw SqlError(s"An error occurred: ${arg(0).renderRaw}")
+
       // ---- crypto ------------------------------------------------------
       case "crypto::md5" => VStr(digest("MD5", str(0)))
       case "crypto::sha1" => VStr(digest("SHA-1", str(0)))

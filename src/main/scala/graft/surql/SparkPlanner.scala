@@ -205,8 +205,10 @@ object SparkPlanner {
     * fn:: with an EXPRESSION body (single RETURN) inlines at plan time —
     * parameters substitute for the argument expressions and the body
     * lowers like any other expression, so the call is a zero-cost macro
-    * inside whole-stage codegen. Multi-statement bodies (LET/FOR/
-    * subquery sequencing) stay interpreter-only. */
+    * inside whole-stage codegen. blockToExpr extends this to LET
+    * prefixes, all-RETURN IFs, THROW (terminal or guarded), and
+    * constant-iterable FOR validation loops; genuinely effectful bodies
+    * (mutations, row-dependent FOR sources) stay interpreter-only. */
   private val fnScope =
     new scala.util.DynamicVariable[Map[String, DefineFunctionStmt]](Map.empty)
   /** fn:: inline depth — the reference errors at the 16th nested frame
@@ -269,15 +271,27 @@ object SparkPlanner {
     * these bodies stay correct there instead of compiling for minutes. */
   private val MaxInlineNodes = 10000
 
-  /** Statement block → single expression, when every control path RETURNs:
-    * LET prefixes substitute symbolically (the query path's LET handling,
-    * per row); a TERMINAL IF whose arms all return lowers to IfExpr (a
-    * missing branch with no ELSE falls off the block → NONE, the
-    * reference's block semantics). Declines (None) for anything else —
-    * mutations, FOR, THROW, non-terminal IFs — which stay
-    * interpreter-only. A NON-DETERMINISTIC LET (rand::*) must evaluate
-    * once per row, not once per reference — substitution would re-roll
-    * it, so those decline by name too (r17/r18). */
+  /** Statement block → single expression, when every control path RETURNs,
+    * THROWs, or falls off the end:
+    *  - LET prefixes substitute symbolically (the query path's LET
+    *    handling, per row);
+    *  - a TERMINAL IF whose arms all return lowers to IfExpr (a missing
+    *    branch with no ELSE falls off the block → NONE);
+    *  - a terminal THROW lowers to the internal `graft::throw` call —
+    *    `raise_error` on the Spark path, SqlError in Eval — with the
+    *    reference's "An error occurred: …" text (statements/throw.rs);
+    *  - a NON-terminal IF whose arms only THROW or fall off (no RETURN —
+    *    RETURN is whole-function control flow) chains: the continuation
+    *    substitutes into every falling-off leaf (r19);
+    *  - FOR over a plan-time-constant array/range unrolls the same way,
+    *    each iteration's guard nesting the next (validation-loop shape:
+    *    `FOR $x IN […] { IF … { THROW … } }; RETURN …`). Bodies with
+    *    RETURN/BREAK/CONTINUE or non-literal falling-off values decline.
+    * Declines (None → interpreter) for anything else — mutations,
+    * row-dependent FOR sources. A NON-DETERMINISTIC LET (rand::*) must
+    * evaluate once per row, not once per reference — substitution would
+    * re-roll it, so those decline by name too (r17/r18). The node-count
+    * guard bounds every substitution product, unrolled FORs included. */
   private def blockToExpr(stmts0: Seq[Statement], n: String): Option[Expr] = {
     def guard(v: Expr): Expr = {
       if (exprHasFn(v, f => f == "rand" || f.startsWith("rand::")))
@@ -292,6 +306,32 @@ object SparkPlanner {
       case BlockExpr(ss) => convert(ss, env)
       case e             => Some(guard(Subst.exprE(e, env)))
     }
+    // whole-function control flow hiding inside a statement subtree —
+    // chaining a continuation past it would change what the fn returns
+    def containsReturn(x: Any): Boolean = x match {
+      case _: ReturnStmt          => true
+      case BreakStmt | ContinueStmt => true
+      case s: Seq[_]              => s.exists(containsReturn)
+      case o: Option[_]           => o.exists(containsReturn)
+      case p: Product             => p.productIterator.exists(containsReturn)
+      case _                      => false
+    }
+    // substitute `cont` into every falling-off leaf of a converted block
+    // expression; THROW leaves keep throwing, literal leaves (the value a
+    // fell-off block or armless IF yields) are discardable — anything
+    // else could error when evaluated, so declining keeps the
+    // interpreter's eager-evaluation semantics
+    def chain(e: Expr, cont: Expr): Option[Expr] = e match {
+      case IfExpr(arms, els) =>
+        val newArms = arms.map { case (c2, v) => chain(v, cont).map(c2 -> _) }
+        val newEls = els.fold(Option(cont))(chain(_, cont))
+        if (newArms.forall(_.isDefined) && newEls.isDefined)
+          Some(IfExpr(newArms.map(_.get), newEls))
+        else scala.None
+      case t @ FnCall("graft::throw", _) => Some(t)
+      case Lit(_)                        => Some(cont)
+      case _                             => scala.None
+    }
     def convert(stmts: Seq[Statement], env0: Map[String, Expr]): Option[Expr] = {
       val (lets, rest) = stmts.span(_.isInstanceOf[LetStmt])
       val env = lets.foldLeft(env0) {
@@ -300,7 +340,10 @@ object SparkPlanner {
         case (env, _) => env
       }
       rest match {
+        case Seq() => Some(Lit(VNone)) // fell off the block
         case Seq(ReturnStmt(e)) => Some(guard(Subst.exprE(e, env)))
+        case Seq(ThrowStmt(e)) =>
+          Some(FnCall("graft::throw", Seq(guard(Subst.exprE(e, env)))))
         case Seq(IfStmt(branches, otherwise)) =>
           val arms = branches.map { case (c, v) =>
             armToExpr(v, env).map(guard(Subst.exprE(c, env)) -> _)
@@ -310,6 +353,35 @@ object SparkPlanner {
           if (arms.forall(_.isDefined) && els.isDefined)
             Some(IfExpr(arms.map(_.get), Some(els.get)))
           else scala.None
+        case (i: IfStmt) +: more if !containsReturn(i) =>
+          for {
+            head <- convert(Seq(i), env)
+            cont <- convert(more, env)
+            out  <- chain(head, cont)
+          } yield guard(out)
+        case (f: ForStmt) +: more if !containsReturn(f.block) =>
+          val src = Subst.exprE(f.iterable, env)
+          val items: Option[Vector[V]] =
+            if (!rowFree(src)) scala.None
+            else (try Some(Eval.evalConst(src)) catch {
+              case _: Exception => scala.None
+            }) match {
+              case Some(VArr(its)) => Some(its)
+              case Some(r: VRng) =>
+                Coerce.rangeToArray(r).map(_.items)
+              case _ => scala.None
+            }
+          for {
+            its  <- items
+            cont <- convert(more, env)
+            out <- its.foldRight(Option(cont)) { (item, accO) =>
+              for {
+                acc  <- accO
+                body <- convert(f.block.stmts, env + (f.param -> Lit(item)))
+                next <- chain(body, acc)
+              } yield next
+            }
+          } yield guard(out)
         case _ => scala.None
       }
     }
@@ -4373,6 +4445,7 @@ object SparkPlanner {
       name.startsWith("file::") || name.startsWith("api::") ||
       name.startsWith("session::") || name.startsWith("sequence::") ||
       name == "sleep" || name.endsWith("::generate") ||
+      name == "graft::throw" || // only throws when its branch executes
       name == "array::shuffle" || name == "set::shuffle" // per-evaluation randomness
 
   /** Structurally-constant expression — safe to evaluate at plan time.
@@ -5200,6 +5273,24 @@ object SparkPlanner {
     case "session::db" | "session::ns" => lit("test")
     case "session::id" | "session::origin" | "session::ip" | "session::ac" |
          "session::rd" | "session::token" => lit(null)
+    // internal: THROW lowered from an inlined fn:: body — raise_error
+    // fires only when its CASE branch is taken (RaiseError is
+    // non-foldable, so guarded throws survive constant folding). The
+    // message renders at plan time when constant (renderRaw-exact), else
+    // per row via cast (identical for the string messages THROW takes).
+    case "graft::throw" =>
+      val constMsg =
+        if (raw.nonEmpty && rowFree(raw.head))
+          // a message expression that itself errors must error lazily,
+          // with the branch — fall through to the per-row form
+          try Some(Eval.evalConst(raw.head).renderRaw)
+          catch { case _: Exception => scala.None }
+        else scala.None
+      constMsg match {
+        case Some(m) => raise_error(lit("An error occurred: " + m))
+        case scala.None =>
+          raise_error(concat(lit("An error occurred: "), cs(0).cast("string")))
+      }
     // ---- crypto::* (builtins; hex output matches DuckDB) -----------------
     case "crypto::md5"    => md5(cs(0))
     case "crypto::sha1"   => sha1(cs(0))

@@ -858,6 +858,76 @@ class DifferentialSpec extends AnyFunSuite {
          SELECT name, fn::c(qty) AS v FROM item ORDER BY name LIMIT 6;""")
   }
 
+  test("THROW-terminal and FOR-unrolled fn:: bodies lower on the Spark path (r19)") {
+    // guarded THROW never taken: the chained IF lowers and both paths
+    // agree on the values
+    checkScript(
+      """DEFINE FUNCTION fn::pos($x: number) {
+           IF $x < 0 { THROW 'negative input' };
+           RETURN $x * 2
+         };
+         SELECT name, fn::pos(qty) AS v FROM item ORDER BY name LIMIT 8;""")
+    // FOR over a constant list, validation shape, not triggered
+    checkScript(
+      """DEFINE FUNCTION fn::clean($s: string) {
+           FOR $bad IN ['<script>', 'DROP TABLE'] {
+             IF string::contains($s, $bad) { THROW 'injection: ' + $bad }
+           };
+           RETURN string::lowercase($s)
+         };
+         SELECT fn::clean(name) AS v FROM item ORDER BY v LIMIT 8;""")
+    // FOR over a constant range
+    checkScript(
+      """DEFINE FUNCTION fn::ckr($n: number) {
+           FOR $i IN 1..4 { IF $n = $i * 100 { THROW 'century' } };
+           RETURN $n + 1
+         };
+         SELECT name, fn::ckr(qty) AS v FROM item ORDER BY name LIMIT 8;""")
+  }
+
+  test("THROW in an inlined fn:: body errors identically on both paths (r19)") {
+    def bothError(script: String, msgPart: String): Unit = {
+      val in = new Interp
+      in.run(Parser.parse(fixtureScript))
+      in.run(Parser.parse(script)).last match {
+        case QErr(m) => assert(m.contains(msgPart), s"interp: $m")
+        case QOk(v)  => fail(s"interp did not error: $v\n$script")
+      }
+      val sErr = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.script(spark, "/nonexistent", script).collect()
+        }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(sErr).exists(_.contains(msgPart)),
+        s"spark error lacks '$msgPart': ${msgs(sErr).mkString(" | ")}")
+    }
+    // THROW-terminal body: always errors, reference text
+    bothError(
+      """DEFINE FUNCTION fn::die($s: string) { THROW 'fatal: ' + $s };
+         SELECT fn::die(name) AS v FROM item LIMIT 2;""",
+      "An error occurred: fatal: n0")
+    // guarded THROW, triggered by a matching row
+    bothError(
+      """DEFINE FUNCTION fn::pos($x: number) {
+           IF $x >= 0 { THROW 'non-negative' };
+           RETURN $x
+         };
+         SELECT fn::pos(qty) AS v FROM item LIMIT 2;""",
+      "An error occurred: non-negative")
+    // FOR-unrolled guard, triggered
+    bothError(
+      """DEFINE FUNCTION fn::ck($s: string) {
+           FOR $bad IN ['n01', 'n02'] {
+             IF $s = $bad { THROW 'blocked ' + $bad }
+           };
+           RETURN $s
+         };
+         SELECT fn::ck(name) AS v FROM item ORDER BY v LIMIT 4;""",
+      "An error occurred: blocked n01")
+  }
+
   test("LET-substitution blowup guard: doubling bindings decline fast") {
     // LET $v1 = $v0 + $v0; LET $v2 = $v1 + $v1; … doubles the substituted
     // tree per binding — 2^n growth in ONE call frame, invisible to the
