@@ -1030,9 +1030,22 @@ object Functions {
       case "object::entries" =>
         VArr(obj(0).map { case (k, v) => VArr(Vector(VStr(k), v)) }.toVector)
       case "object::from_entries" =>
-        VObj(TreeMap(arr(0).collect {
-          case VArr(Vector(VStr(k), v)) => k -> v
-          case VArr(Vector(k, v)) => k.renderRaw -> v
+        // fnc/object.rs:22-62: a non-[k, v] pair errors by KIND, a string
+        // key stays raw, any other key renders via to_sql (so a datetime
+        // key becomes "d'…'" — quirky but observable); r19 sweep
+        VObj(TreeMap(arr(0).map {
+          case VArr(entry) if entry.length == 2 =>
+            val k = entry(0) match {
+              case VStr(s) => s
+              case other   => Render.sql(other)
+            }
+            k -> entry(1)
+          // (wrong-LENGTH arrays take this arm too — "found array" — the
+          // reference's "invalid entry" branch is unreachable behind its
+          // len==2 guard)
+          case other => throw SqlError(
+            "Incorrect arguments for function object::from_entries(). " +
+              s"Expected entries, found ${other.typeName}")
         }: _*))
       case "object::keys" => VArr(obj(0).keys.map(VStr(_)).toVector)
       case "object::values" => VArr(obj(0).values.toVector)
@@ -1043,7 +1056,7 @@ object Functions {
         def keyOf(v: V): String = v match {
           case VStr(s) => s
           case other => throw SqlError(
-            s"Incorrect arguments for function object::remove(). '${other.renderRaw}' cannot be used as a key. Please use a string instead.")
+            s"Incorrect arguments for function object::remove(). '${Render.sql(other)}' cannot be used as a key. Please use a string instead.")
         }
         val keys = arg(1) match {
           case VArr(ks) => ks.map(keyOf)
@@ -1305,10 +1318,9 @@ object Functions {
         // JSON-patch operations turning arg0 into arg1 (val/value/diff.rs)
         VArr(Interp.valueDiff(arg(0), arg(1)))
       case "value::patch" =>
-        (arg(0), arg(1)) match {
-          case (o: VObj, VArr(ops)) => env.interp.getOrElse(new Interp()).applyJsonPatch(o, ops)
-          case (o, _) => o
-        }
+        // patches ANY value (val/value/patch.rs operates on Value);
+        // malformed op lists error with the reference's InvalidPatch text
+        JsonPatch.patch(arg(0), arg(1))
       case "type::field" =>
         // the path evaluates as a real idiom — record links traverse exactly
         // like `friend.name.first` would (reproductions/6980)
@@ -1472,30 +1484,49 @@ object Functions {
       case "type::diff"  => apply("value::diff", a, env)
       case "type::patch" => apply("value::patch", a, env)
       case "rand::duration" =>
+        // EXACTLY two duration bounds, low/high in either order
+        // (fnc/rand.rs duration takes (Duration, Duration); r19 sweep —
+        // the old 0-arg arm was an invention, the reference has none)
         def durNs(v: V): BigInt = v match {
           case VDur(s2, n2) => BigInt(s2) * 1000000000L + n2
           case other => typeErr(0, "duration", other)
         }
-        if (a.isEmpty) VDur(scala.util.Random.nextInt(60).toLong, 0)
-        else if (a.length == 2) {
-          val (lo, hi) = (durNs(arg(0)), durNs(arg(1)))
-          val (mn, mx) = if (lo <= hi) (lo, hi) else (hi, lo)
-          val span = mx - mn
-          val pick = mn + (if (span == 0) BigInt(0)
-            else BigInt(64, scala.util.Random).mod(span + 1))
-          VDur((pick / 1000000000L).toLong, (pick % 1000000000L).toInt)
-        } else throw SqlError("Incorrect arguments for function rand::duration(). Expected 0 or 2 arguments")
+        if (a.length != 2)
+          throw SqlError("Incorrect arguments for function rand::duration(). Expected 2 arguments")
+        val (lo, hi) = (durNs(arg(0)), durNs(arg(1)))
+        val (mn, mx) = if (lo <= hi) (lo, hi) else (hi, lo)
+        val span = mx - mn
+        val pick = mn + (if (span == 0) BigInt(0)
+          else BigInt(64, scala.util.Random).mod(span + 1))
+        VDur((pick / 1000000000L).toLong, (pick % 1000000000L).toInt)
       case "rand" => VFloat(scala.util.Random.nextDouble())
-      case "rand::id" =>
-        val cs = "abcdefghijklmnopqrstuvwxyz0123456789"
-        val len = a.length match {
-          case 0 => 20
-          case 1 => int(0).toInt
-          case _ =>
-            val lo = int(0).toInt; val hi = int(1).toInt
-            lo + scala.util.Random.nextInt(math.max(1, hi - lo + 1))
+      case "rand::id" | "rand::string" =>
+        // fnc/rand.rs id/string: default lengths 20/32, a [lower, upper]
+        // pair picks an inclusive random length, lower > upper and
+        // over-LIMIT lengths error with the reference's texts (r19 sweep)
+        val (limit, default, cs) =
+          if (name == "rand::id")
+            (64L, 20L, "0123456789abcdefghijklmnopqrstuvwxyz")
+          else (65536L, 32L,
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789")
+        def overLimit() = throw SqlError(
+          s"Incorrect arguments for function $name(). To generate a string of X " +
+            s"characters in length, the argument must be a positive number and no higher than $limit.")
+        val lower = if (a.nonEmpty) int(0) else default
+        val len = if (a.length >= 2) {
+          val upper = int(1)
+          if (lower > upper) throw SqlError(
+            s"Incorrect arguments for function $name(). Lowerbound of number of " +
+              "characters must be less then the upperbound.")
+          if (upper > limit) overLimit()
+          if (lower < 0) overLimit() // the reference would die on the usize wrap
+          lower + Math.floorMod(scala.util.Random.nextLong(), upper - lower + 1)
+        } else {
+          if (lower > limit) overLimit()
+          if (lower < 0) overLimit()
+          lower
         }
-        VStr(Vector.fill(len)(cs(scala.util.Random.nextInt(cs.length))).mkString)
+        VStr(Vector.fill(len.toInt)(cs(scala.util.Random.nextInt(cs.length))).mkString)
       case "sequence::nextval" =>
         val in = env.interp.getOrElse(throw SqlError("The sequence does not exist"))
         val nm = str(0)
@@ -1514,17 +1545,27 @@ object Functions {
         in.sequenceState(nm) = cur + 1
         VInt(cur)
       case "rand::bool" => VBool(scala.util.Random.nextBoolean())
+      // float/int/time take 0 or 2 bounds (NoneOrRange); bounds given
+      // high-to-low swap (fnc/rand.rs — documented-inconsistent but
+      // observable), and the ranges are INCLUSIVE
+      case "rand::float" if a.length == 1 =>
+        throw SqlError("Incorrect arguments for function rand::float(). Expected 0 or 2 arguments")
       case "rand::float" =>
-        if (a.length >= 2) VFloat(dbl(0) + scala.util.Random.nextDouble() * (dbl(1) - dbl(0)))
-        else VFloat(scala.util.Random.nextDouble())
+        if (a.length >= 2) {
+          val (x, y) = (dbl(0), dbl(1))
+          val (mn, mx) = if (y < x) (y, x) else (x, y)
+          VFloat(mn + scala.util.Random.nextDouble() * (mx - mn))
+        } else VFloat(scala.util.Random.nextDouble())
       case "rand::int" if a.length == 1 =>
         throw SqlError("Incorrect arguments for function rand::int(). Expected 0 or 2 arguments")
       case "rand::int" =>
-        if (a.length >= 2) VInt(int(0) + Math.abs(scala.util.Random.nextLong()) % Math.max(1, int(1) - int(0) + 1))
-        else VInt(scala.util.Random.nextLong())
-      case "rand::string" =>
-        val len = if (a.nonEmpty) int(0).toInt else 32
-        VStr(scala.util.Random.alphanumeric.take(len).mkString)
+        if (a.length >= 2) {
+          val (x, y) = (int(0), int(1))
+          val (mn, mx) = if (y < x) (y, x) else (x, y)
+          val span = mx - mn + 1 // inclusive; overflows only on full-range bounds
+          VInt(if (span <= 0) scala.util.Random.nextLong()
+            else mn + Math.floorMod(scala.util.Random.nextLong(), span))
+        } else VInt(scala.util.Random.nextLong())
       case "rand::enum" =>
         // a single array argument picks from ITS elements (fnc/rand.rs)
         val pool = a match {
@@ -1556,21 +1597,35 @@ object Functions {
         val rnd = (0 until 16).map(_ => alphabet(scala.util.Random.nextInt(32))).mkString
         VStr(time + rnd)
       case "rand::time" =>
-        // bounds accept ints (epoch seconds) or datetimes, either order;
-        // equal bounds return the bound itself (fnc/rand.rs time)
+        // fnc/rand.rs time (r19 sweep): bounds are INT seconds or
+        // datetimes ONLY (floats error); both bounds validated against
+        // chrono's representable seconds; no bounds → a datetime between
+        // years 0000 and 9999
         def secOf(v: V): Long = v match {
-          case VDt(t)    => t.getEpochSecond
-          case n: VNum   => n.toDouble.toLong
-          case other     => throw SqlError(s"Incorrect arguments for function rand::time(). Expected a datetime or number but found ${other.render}")
+          case VDt(t)  => t.getEpochSecond
+          case VInt(i) => i
+          case _ => throw SqlError(
+            "Incorrect arguments for function rand::time(). Expected two arguments of type datetime or int")
         }
-        if (a.length >= 2) {
-          val (x, y) = (secOf(a(0)), secOf(a(1)))
-          val (lo, hi) = if (x <= y) (x, y) else (y, x)
-          val span = hi - lo
-          val pick = if (span == 0) lo else lo + Math.floorMod(scala.util.Random.nextLong(), span + 1)
-          VDt(java.time.Instant.ofEpochSecond(pick))
-        } else
-          VDt(java.time.Instant.ofEpochSecond(Math.abs(scala.util.Random.nextLong()) % 4102444800L))
+        if (a.length == 1)
+          throw SqlError("Incorrect arguments for function rand::time(). Expected 0 or 2 arguments")
+        val (minS, limS) = (-8334601228800L, 8210266876799L)
+        def boundsErr() = throw SqlError(
+          "Incorrect arguments for function rand::time(). To generate a random time, " +
+            s"the 2 arguments must be numbers between $minS and $limS seconds from the " +
+            "UNIX epoch or a 'datetime' within the range d'-262143-01-01T00:00:00Z' " +
+            "and +262142-12-31T23:59:59Z'.")
+        val (lo, hi) =
+          if (a.length >= 2) {
+            val (mn0, mx0) = (secOf(arg(0)), secOf(arg(1)))
+            if (mn0 < minS || mn0 > limS) boundsErr()
+            if (mx0 >= mn0 && mx0 <= limS) (mn0, mx0)
+            else if (mx0 >= minS && mx0 <= mn0) (mx0, mn0)
+            else boundsErr()
+          } else (-62167219200L, 253402300799L)
+        val span = hi - lo
+        val pick = if (span == 0) lo else lo + Math.floorMod(scala.util.Random.nextLong(), span + 1)
+        VDt(java.time.Instant.ofEpochSecond(pick))
 
       // ---- vector ------------------------------------------------------
       case "vector::add" => vecZip(nums(0), nums(1), name)(_ + _)
@@ -1812,7 +1867,7 @@ object Functions {
             try Cbor.decode(bs.toArray)
             catch {
               case _: Exception =>
-                throw SqlError("Incorrect arguments for function encoding::cbor::decode(). Invalid CBOR")
+                throw SqlError("Incorrect arguments for function encoding::cbor::decode(). invalid cbor")
             }
           case other => typeErr(0, "bytes", other)
         }
@@ -1966,8 +2021,10 @@ object Functions {
   private def durMul(v: V, unitSecs: Long, name: String): VDur = {
     val n = durUnsignedArg(v, name)
     val secs = n * unitSecs
+    // the reference's overflow text always prints the Rust fn path
+    // (duration::from_days), whichever alias was called (fnc/duration.rs)
     if (secs > U64Max)
-      throw SqlError(s"""Failed to compute: "$name($n)", as the operation results in an arithmetic overflow.""")
+      throw SqlError(s"""Failed to compute: "${name.replace("from::", "from_")}($n)", as the operation results in an arithmetic overflow.""")
     VDur(secs.toLong, 0)
   }
 

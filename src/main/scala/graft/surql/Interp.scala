@@ -232,13 +232,22 @@ object Interp {
     val out = new StringBuilder
     var pos = 0
     var src = 0
+    var sawHunk = false
     patch.split("\n", -1).foreach {
       case hunkRe(a, b, _, _) =>
+        sawHunk = true
         val len1 = Option(b).map(_.toInt).getOrElse(1)
         val start = if (len1 == 0) a.toInt else a.toInt - 1
         out.append(orig.substring(pos, math.min(start, orig.length)))
         src = start
       case line if line.nonEmpty =>
+        // dmp patch_from_text rejects anything that is not a hunk header
+        // followed by ' '/'-'/'+' body lines (patch.rs:106 wraps the
+        // crate's error; the crate's exact Debug text is not
+        // reproducible offline — the ERROR itself is the pinned behavior)
+        if (!sawHunk || !" -+".contains(line.charAt(0)))
+          throw SqlError("The JSON Patch contains invalid operations. " +
+            s"Failed to parse JSON patch structure: invalid patch string: $line")
         val body = dec(line.substring(1))
         line.charAt(0) match {
           case ' ' => out.append(body); src += body.length; pos = src
@@ -4056,83 +4065,13 @@ final class Interp {
   /** JSON-patch apply (val/value/patch.rs:11): numeric/`-` terminal
     * segments address array elements (insert/append), add on an existing
     * array appends, change applies a DMP string patch. */
-  def applyJsonPatch(doc: VObj, patches: Vector[V]): VObj = {
-          var fields = doc.fields
-          def pick(path: List[String]): V =
-            path.foldLeft(VObj(fields): V) {
-              case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
-              case (VArr(items), seg) if seg.forall(_.isDigit) && seg.nonEmpty =>
-                items.lift(seg.toInt).getOrElse(VNone)
-              case _ => VNone
-            }
-          def put(path: List[String], v: V): Unit =
-            fields = setPath(TreeMap(fields.toSeq: _*), path, v)
-          patches.foreach {
-            case VObj(p) =>
-              val op = p.get("op").collect { case VStr(s) => s }.getOrElse("")
-              def pathOf(key: String) = p.get(key).collect { case VStr(s) => s }.getOrElse("")
-                .stripPrefix("/").split('/').filter(_.nonEmpty).toList
-              val path = pathOf("path")
-              val value = p.getOrElse("value", VNone)
-              op match {
-                case "add" =>
-                  path.lastOption match {
-                    case Some(last) if last.nonEmpty && last.forall(_.isDigit) =>
-                      pick(path.init) match {
-                        case VArr(items) =>
-                          val x = last.toInt
-                          val nv = if (items.length > x)
-                            (items.take(x) :+ value) ++ items.drop(x) else items :+ value
-                          put(path.init, VArr(nv))
-                        case _ => put(path.init, value)
-                      }
-                    case Some("-") =>
-                      pick(path.init) match {
-                        case VArr(items) => put(path.init, VArr(items :+ value))
-                        case _ => put(path.init, value)
-                      }
-                    case _ =>
-                      pick(path) match {
-                        case VArr(items) => put(path, VArr(items :+ value))
-                        case _ => put(path, value)
-                      }
-                  }
-                case "replace" => put(path, value)
-                case "remove" =>
-                  path.lastOption match {
-                    case Some(last) if last.nonEmpty && last.forall(_.isDigit) =>
-                      pick(path.init) match {
-                        case VArr(items) =>
-                          val x = last.toInt
-                          if (x < items.length)
-                            put(path.init, VArr(items.take(x) ++ items.drop(x + 1)))
-                        case _ =>
-                          fields = removeDocPath(VObj(fields), path).fields
-                      }
-                    case Some(_) => fields = removeDocPath(VObj(fields), path).fields
-                    case scala.None => ()
-                  }
-                case "change" =>
-                  (value, pick(path)) match {
-                    case (VStr(pt), VStr(orig)) =>
-                      put(path, VStr(Interp.dmpPatchApply(pt, orig)))
-                    case _ => ()
-                  }
-                case "copy" => put(path, pick(pathOf("from")))
-                case "move" =>
-                  val from = pathOf("from")
-                  put(path, pick(from))
-                  fields = removeDocPath(VObj(fields), from).fields
-                case "test" =>
-                  val got = pick(path)
-                  if (got != value) throw SqlError(
-                    s"Given test operation failed for JSON Patch. Expected `${Render.sql(value)}`, but got `${Render.sql(got)}` instead.")
-                case _ => ()
-              }
-            case _ => ()
-          }
-          VObj(fields)
-  }
+  def applyJsonPatch(doc: VObj, patches: Vector[V]): VObj =
+    JsonPatch.patch(doc, VArr(patches)) match {
+      // paths from value_to_jsonpath are never empty, so a root replace is
+      // unreachable and an object stays an object — defensive fallback only
+      case o: VObj => o
+      case _ => doc
+    }
 
   private def getPath(fields: TreeMap[String, V], path: List[String]): V = path match {
     case Nil => VNone

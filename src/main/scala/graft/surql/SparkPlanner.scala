@@ -5547,13 +5547,17 @@ object SparkPlanner {
       }
     // ---- rand::* — distributed per-row randomness (fnc/rand.rs); no
     // oracle possible, registry entries are rows-only by design ------------
+    // bounds given high-to-low swap, like the reference (r19)
     case "rand::float" => raw match {
-      case Seq(lo, hi) => toCol(lo, ctx) + rand() * (toCol(hi, ctx) - toCol(lo, ctx))
-      case _           => rand()
+      case Seq(lo, hi) =>
+        val (l, h) = (toCol(lo, ctx), toCol(hi, ctx))
+        least(l, h) + rand() * (greatest(l, h) - least(l, h))
+      case _ => rand()
     }
     case "rand::int" => raw match {
       case Seq(lo, hi) =>
-        floor(toCol(lo, ctx) + rand() * (toCol(hi, ctx) - toCol(lo, ctx) + 1)).cast("bigint")
+        val (l, h) = (toCol(lo, ctx), toCol(hi, ctx))
+        floor(least(l, h) + rand() * (greatest(l, h) - least(l, h) + 1)).cast("bigint")
       case _ => (rand() * Long.MaxValue).cast("bigint")
     }
     case "rand::bool" => rand() > 0.5
