@@ -117,6 +117,27 @@ object SurqlQueries {
          ar_rt: crypto::argon2::compare(crypto::argon2::generate('hunter2'), 'hunter2')
        }""")
 
+  /** r19 sweep semantics under the driver gate: JSON-Patch dot-paths,
+    * inc-style array adds, the field-parts-on-arrays quirk, CBOR compact
+    * durations + tagged sets (byte-exact via base64), to_sql-rendered
+    * from_entries keys, and the i64→u64 duration wrap. */
+  val fnR19Edges = sq("fn_r19_edges",
+    """SELECT CAST(2 AS BIGINT) AS p_dot, CAST(3 AS BIGINT) AS p_concat,
+              CAST(9 AS BIGINT) AS p_fld0,
+              'zoEYWg' AS cb_dur, '1m30s' AS cb_rt, 'set' AS cb_set,
+              'd''2021-03-07T04:05:06Z''' AS fe_key,
+              '584942417y18w3d14h25m51s615ms' AS du_wrap""")(
+    """RETURN {
+         p_dot: value::patch({a:{b:1}}, [{op:'replace', path:'a.b', value:2}]).a.b,
+         p_concat: array::len(value::patch({l:[1]}, [{op:'add', path:'/l', value:[2,3]}]).l),
+         p_fld0: value::patch({l:[{x:1}]}, [{op:'replace', path:'/l/0', value: 9}]).l[0]['0'],
+         cb_dur: <string>encoding::base64::encode(encoding::cbor::encode(1m30s)),
+         cb_rt: <string>encoding::cbor::decode(encoding::base64::decode('zoEYWg')),
+         cb_set: type::of(encoding::cbor::decode(encoding::cbor::encode(type::set([1,2,2])))),
+         fe_key: object::keys(object::from_entries([[d'2021-03-07T04:05:06Z', 1]]))[0],
+         du_wrap: <string>duration::from_millis(-1)
+       }""")
+
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -2022,5 +2043,5 @@ object SurqlQueries {
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
-    fnR18Edges, fnR19Crypto)
+    fnR18Edges, fnR19Crypto, fnR19Edges)
 }

@@ -4322,7 +4322,19 @@ object SparkPlanner {
       // named constants (expr/constant.rs: math::PI, time::EPOCH, …) —
       // plan-time literals through the interpreter's constant table
       case k: Constant => c(Lit(Eval.evalConst(k)))
-      case other => throw SqlError(s"SparkPlanner: unsupported expression $other")
+      case other =>
+        // a path over a CONSTANT start (`value::patch({…}, […]).a.b`)
+        // folds whole through the interpreter — the accessors are static
+        // and the start is plan-time (r19)
+        val constPath = other match {
+          case Idiom(PStart(e0) +: rest) => isConstExpr(e0) && rowFree(rest)
+          case _ => false
+        }
+        if (constPath)
+          (try Some(Eval.evalConst(other)) catch { case _: Exception => scala.None })
+            .map(v => c(Lit(v)))
+            .getOrElse(throw SqlError(s"SparkPlanner: unsupported expression $other"))
+        else throw SqlError(s"SparkPlanner: unsupported expression $other")
     }
   }
 
@@ -5515,6 +5527,10 @@ object SparkPlanner {
       case Idiom(Seq(PField(n))) if ctx.schema.fieldNames.contains(n) =>
         lit(surqlKind(ctx.schema(n).dataType))
       case Lit(v) => lit(v.typeName)
+      // constant argument: the VALUE's kind, folded through Eval (r19 —
+      // a decoded CBOR set is `set` even though no column carries it)
+      case e if isConstExpr(e) =>
+        lit(Eval.evalConst(e).typeName)
       case other => throw SqlError(s"SparkPlanner: type::of needs a typed column, got $other")
     }
     // ---- type::is::* — runtime type checks; on a typed column the answer
