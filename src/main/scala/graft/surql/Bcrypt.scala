@@ -40,8 +40,10 @@ object Bcrypt {
       ((s(x >>> 24) + s(256 + ((x >>> 16) & 0xff))) ^
         s(512 + ((x >>> 8) & 0xff))) + s(768 + (x & 0xff))
 
-    /** One 64-bit block through the 16-round Feistel; returns (l, r). */
-    def encrypt(l0: Int, r0: Int): (Int, Int) = {
+    /** One 64-bit block through the 16-round Feistel; returns l‖r packed
+      * in a Long — no per-block allocation on the ~4M-encryption EksBlowfish
+      * path (a specialized Tuple2 still allocates). */
+    def encrypt(l0: Int, r0: Int): Long = {
       var l = l0; var r = r0
       var i = 0
       while (i < 16) {
@@ -51,7 +53,7 @@ object Bcrypt {
         i += 1
       }
       val t = l; l = r; r = t
-      (l ^ p(17), r ^ p(16))
+      ((l ^ p(17)).toLong << 32) | ((r ^ p(16)).toLong & 0xffffffffL)
     }
 
     /** ExpandKey(state, salt, key) from the bcrypt paper: XOR the cyclic
@@ -79,8 +81,8 @@ object Bcrypt {
         if (salt.nonEmpty) {
           l ^= salt((2 * k) % 4); r ^= salt((2 * k + 1) % 4)
         }
-        val (nl, nr) = encrypt(l, r)
-        l = nl; r = nr; k += 1
+        val lr = encrypt(l, r)
+        l = (lr >>> 32).toInt; r = lr.toInt; k += 1
         p(i) = l; p(i + 1) = r
         i += 2
       }
@@ -89,8 +91,8 @@ object Bcrypt {
         if (salt.nonEmpty) {
           l ^= salt((2 * k) % 4); r ^= salt((2 * k + 1) % 4)
         }
-        val (nl, nr) = encrypt(l, r)
-        l = nl; r = nr; k += 1
+        val lr = encrypt(l, r)
+        l = (lr >>> 32).toInt; r = lr.toInt; k += 1
         s(i) = l; s(i + 1) = r
         i += 2
       }
@@ -128,8 +130,8 @@ object Bcrypt {
     while (rep < 64) {
       var b = 0
       while (b < 6) {
-        val (l, r) = st.encrypt(ctext(b), ctext(b + 1))
-        ctext(b) = l; ctext(b + 1) = r
+        val lr = st.encrypt(ctext(b), ctext(b + 1))
+        ctext(b) = (lr >>> 32).toInt; ctext(b + 1) = lr.toInt
         b += 2
       }
       rep += 1
