@@ -373,6 +373,14 @@ object Functions {
       case n: VNum => n.toDouble
       case other => typeErr(i, "number", other) // element-level mismatch (fnc args Vec<Number>)
     }
+    // typed variant, same suffix-free error text: the aggregate/view
+    // evaluation path pins "Expected `number` but found `x`" WITHOUT the
+    // ElementOf suffix (golden view/all_rolling), since the reference's
+    // aggregators coerce per value rather than through Vec<Number>
+    def numsV(i: Int): Vector[VNum] = arr(i).map {
+      case n: VNum => n
+      case other => typeErr(i, "number", other)
+    }
 
     // ---- file:: object-store namespace (fnc/file.rs over buc/) ----------
     if (name.startsWith("file::")) return fileFn(name, a, env)
@@ -448,7 +456,9 @@ object Functions {
       case "math::acos" => VFloat(Math.acos(dbl(0)))
       case "math::asin" => VFloat(Math.asin(dbl(0)))
       case "math::atan" => VFloat(Math.atan(dbl(0)))
-      case "math::acot" => VFloat(Math.atan(1.0 / dbl(0)))
+      // acot = PI/2 - atan(x) (val/number.rs:464) — NOT atan(1/x), which
+      // lands in the wrong quadrant for negative inputs (r19 sweep)
+      case "math::acot" => VFloat(Math.PI / 2.0 - Math.atan(dbl(0)))
       case "math::cos" => VFloat(Math.cos(dbl(0)))
       case "math::sin" => VFloat(Math.sin(dbl(0)))
       case "math::tan" => VFloat(Math.tan(dbl(0)))
@@ -479,7 +489,16 @@ object Functions {
         val v = num(0); val lo = num(1); val hi = num(2)
         if (V.cmpNum(lo, hi) > 0)
           throw SqlError("Incorrect arguments for function math::clamp(). Lowerbound for clamp must be smaller than the upperbound")
-        if (V.cmpNum(v, lo) < 0) lo else if (V.cmpNum(v, hi) > 0) hi else v
+        // typed per val/number.rs:475-482: all-int stays int, a decimal
+        // SELF computes in decimal, everything else (incl. an int self
+        // with float bounds, even in range) promotes to FLOAT (r19 sweep)
+        (v, lo, hi) match {
+          case (VInt(n), VInt(l), VInt(h)) => VInt(Math.min(Math.max(n, l), h))
+          case (VDec(n), _, _) =>
+            VDec(n.max(lo.toBig).min(hi.toBig))
+          case _ =>
+            VFloat(Math.min(Math.max(v.toDouble, lo.toDouble), hi.toDouble))
+        }
       case "math::fixed" =>
         if (int(1) <= 0)
           throw SqlError("Incorrect arguments for function math::fixed(). The second argument must be an integer greater than 0.")
@@ -502,12 +521,29 @@ object Functions {
             VDec(if (d.scale > places)
               d.setScale(places, BigDecimal.RoundingMode.HALF_EVEN) else d)
         }
-      case "math::lerp" => VFloat(dbl(0) + (dbl(1) - dbl(0)) * dbl(2))
+      case "math::lerp" => num(2) match {
+        // a DECIMAL factor computes in decimal (val/number.rs:512-521)
+        case VDec(f) =>
+          val (fr, to) = (num(0).toBig, num(1).toBig)
+          VDec(fr + f * (to - fr))
+        case f => VFloat(dbl(0) + (dbl(1) - dbl(0)) * f.toDouble)
+      }
       case "math::lerpangle" =>
+        // val/number.rs:531-553: dt = repeat(to-from, 360) in [0,360]; if
+        // dt > 180 it becomes 360-dt but keeps its POSITIVE sign — so the
+        // interpolation always walks counterclockwise from `from`, even
+        // when the short way is down (reference quirk, kept; r19 sweep)
         val (from, to, t) = (dbl(0), dbl(1), dbl(2))
-        var diff = (to - from) % 360.0
-        if (diff < -180) diff += 360 else if (diff > 180) diff -= 360
-        VFloat(from + diff * t)
+        def repeat(x: Double, m: Double) =
+          Math.min(Math.max(x - Math.floor(x / m) * m, 0.0), m)
+        var dt = repeat(to - from, 360.0)
+        if (dt > 180.0) dt = 360.0 - dt
+        num(2) match {
+          case VDec(f) =>
+            val frD = num(0).toBig
+            VDec(frD + f * (VFloat(from + dt).toBig - frD))
+          case _ => VFloat(from + dt * t)
+        }
       case "math::ln" => VFloat(Math.log(dbl(0)))
       case "math::log" => VFloat(Math.log(dbl(0)) / Math.log(dbl(1)))
       case "math::log10" => VFloat(Math.log10(dbl(0)))
@@ -521,7 +557,10 @@ object Functions {
         case VDec(d) => VDec(BigDecimal(d.signum))
       }
       case "math::sqrt" => num(0) match {
-        case VDec(d) if d.signum >= 0 => VFloat(Math.sqrt(d.toDouble))
+        // a decimal sqrt STAYS decimal (val/number.rs:608-613 rust_decimal
+        // sqrt; negative decimals hit fnc/math.rs's NaN arm first)
+        case VDec(d) if d.signum >= 0 =>
+          VDec(BigDecimal(d.underlying.sqrt(new java.math.MathContext(28))))
         case n => VFloat(Math.sqrt(n.toDouble))
       }
       case "math::pow" => Ops.numPow(num(0), num(1))
@@ -534,27 +573,45 @@ object Functions {
         // empty input yields +inf (fnc/math.rs:147-151)
         if (items.isEmpty) VFloat(Double.PositiveInfinity) else items.min(V.ordering)
       case "math::sum" =>
-        arr(0).foldLeft[V](VInt(0)) { (acc, v) => v match {
-          case n: VNum => Ops.add(acc, n)
-          case _ => acc
-        }}
+        // Vec<Number> coercion: a non-number element ERRORS (it never
+        // silently skips — r19 sweep)
+        numsV(0).foldLeft[V](VInt(0))(Ops.add)
       case "math::product" =>
-        arr(0).foldLeft[V](VInt(1)) { (acc, v) => v match {
-          case n: VNum => Ops.mul(acc, n)
-          case _ => acc
-        }}
+        numsV(0).foldLeft[V](VInt(1))(Ops.mul)
       case "math::mean" =>
-        val ns = nums(0)
-        if (ns.isEmpty) VFloat(Double.NaN) else VFloat(ns.sum / ns.length)
+        // util/math/mod.rs:53-67: the sum starts as FLOAT 0.0 and promotes
+        // through Number addition — any decimal in the array promotes the
+        // whole mean to decimal (r19 sweep)
+        val items = numsV(0)
+        if (items.isEmpty) VFloat(Double.NaN)
+        else if (items.exists(_.isInstanceOf[VDec]))
+          VDec(items.map(_.toBig).reduce(_ + _) / BigDecimal(items.length))
+        else {
+          val ns = items.map(_.toDouble)
+          VFloat(ns.sum / ns.length)
+        }
       case "math::median" =>
         val ns = nums(0).sorted
         if (ns.isEmpty) VNone
         else if (ns.length % 2 == 1) VFloat(ns(ns.length / 2))
         else VFloat((ns(ns.length / 2 - 1) + ns(ns.length / 2)) / 2.0)
       case "math::mode" =>
-        val items = nums(0)
+        // util/math/mode.rs: BTreeMap frequencies + max_by_key — the
+        // result keeps the NUMBER TYPE of the first-seen key form, and a
+        // frequency tie picks the LARGEST value (last max in key order)
+        val items = numsV(0)
         if (items.isEmpty) VFloat(Double.NaN)
-        else VFloat(items.groupBy(identity).toSeq.maxBy(g => (g._2.length, g._1))._1)
+        else {
+          val buf = scala.collection.mutable.ArrayBuffer[(VNum, Int)]()
+          items.foreach { n =>
+            val i = buf.indexWhere(p => V.cmpNum(p._1, n) == 0)
+            if (i < 0) buf += ((n, 1)) else buf(i) = (buf(i)._1, buf(i)._2 + 1)
+          }
+          val sorted = buf.sortWith((x, y) => V.cmpNum(x._1, y._1) < 0)
+          var best = sorted.head
+          sorted.foreach { p => if (p._2 >= best._2) best = p }
+          best._1
+        }
       case "math::stddev" =>
         // len 0 → NaN, len 1 → 0 (fnc/util/math/mod.rs variance). View
         // maintenance uses the ROLLING sum/sum-of-squares formula, whose
@@ -577,8 +634,10 @@ object Functions {
         else if (env.interp.exists(_.viewAggMode)) VFloat(rollingVariance(ns))
         else { val m = ns.sum / ns.length; VFloat(ns.map(x => (x - m) * (x - m)).sum / (ns.length - 1)) }
       case "math::spread" =>
-        val ns = nums(0)
-        if (ns.isEmpty) VFloat(Double.NaN) else VFloat(ns.max - ns.min)
+        // util/math/spread.rs: TYPED max - min (ints stay int)
+        val items = numsV(0)
+        if (items.isEmpty) VFloat(Double.NaN)
+        else Ops.sub(items.max(V.ordering), items.min(V.ordering))
       case "math::midhinge" =>
         val ns = nums(0)
         if (ns.isEmpty) VFloat(Double.NaN)
@@ -593,9 +652,12 @@ object Functions {
         if (ns.isEmpty || p0 < 0.0 || p0 > 100.0) VFloat(Double.NaN)
         else VFloat(percentile(ns, p0))
       case "math::nearestrank" =>
-        val ns = nums(0).sorted
-        if (ns.isEmpty) VFloat(Double.NaN)
-        else VFloat(ns(Math.min(ns.length - 1, Math.ceil(dbl(1) / 100.0 * ns.length).toInt - 1).max(0)))
+        // util/math/nearestrank.rs: idx = trunc(len * p/100) clamped to
+        // len-1, returning the TYPED element; p outside 0..=100 is NaN
+        val items = numsV(0).sorted(V.ordering)
+        val p0 = dbl(1)
+        if (items.isEmpty || p0 < 0.0 || p0 > 100.0) VFloat(Double.NaN)
+        else items(Math.min((items.length * (p0 / 100.0)).toInt, items.length - 1))
       case "math::top" =>
         if (int(1) <= 0) throw SqlError("Incorrect arguments for function math::top(). The second argument must be an integer greater than 0.")
         heapSelect(nums2(arr(0), name), int(1).toInt, smallestOut = true)

@@ -4695,12 +4695,14 @@ object SparkPlanner {
       (pctCol(s, n, lit(25.0)) + lit(2.0) * pctCol(s, n, lit(50.0)) +
         pctCol(s, n, lit(75.0))) / 4.0
     case "math::nearestrank" =>
-      // index = clamp(ceil(p/100 * n), 1, n), 1-based (fnc/util/math)
+      // util/math/nearestrank.rs (r19): idx = TRUNC(n · p/100) clamped to
+      // n-1, 0-based (+1 for element_at); p outside 0..=100 → NaN
       val s = array_sort(transform(cs(0), x => x.cast("double")))
       val n = size(s)
-      when(n === 0, lit(Double.NaN)).otherwise(element_at(s,
-        greatest(lit(1), least(n, ceil(cs(1).cast("double") / 100.0 *
-          n.cast("double")).cast("int")))))
+      val p = cs(1).cast("double")
+      when(n === 0 || p < 0.0 || p > 100.0, lit(Double.NaN))
+        .otherwise(element_at(s,
+          least(n, (p / 100.0 * n.cast("double")).cast("int") + 1)))
     case "math::mode" =>
       // highest frequency, value breaking ties upward (Interp maxBy
       // (freq, value)) — struct max orders field-wise
@@ -4720,7 +4722,21 @@ object SparkPlanner {
     // per-row datetime folds over in-row arrays (fnc/time.rs Min/Max)
     case "time::min" => array_min(cs(0))
     case "time::max" => array_max(cs(0))
-    case "math::clamp"   => least(greatest(cs(0), cs(1)), cs(2))
+    case "math::clamp"   =>
+      // constant bounds check at plan time (fnc/math.rs clamp ensure);
+      // row-dependent bounds keep the columnar least/greatest form
+      (raw.lift(1), raw.lift(2)) match {
+        case (Some(l), Some(h)) if rowFree(l) && rowFree(h) =>
+          val (lv, hv) = (Eval.evalConst(l), Eval.evalConst(h))
+          (lv, hv) match {
+            case (ln: VNum, hn: VNum) if V.cmpNum(ln, hn) > 0 =>
+              throw SqlError("Incorrect arguments for function math::clamp(). " +
+                "Lowerbound for clamp must be smaller than the upperbound")
+            case _ => ()
+          }
+        case _ => ()
+      }
+      least(greatest(cs(0), cs(1)), cs(2))
     case "math::ln"      => log(cs(0))
     case "math::log"     => log(cs(0)) / log(cs(1)) // log base raw(1)
     case "math::log2"    => log2(cs(0))
