@@ -898,6 +898,9 @@ object Functions {
       case "array::complement" =>
         VArr(arr(0).filterNot(x => arr(1).exists(V.looseEq(_, x))))
       case "array::concat" =>
+        val total = a.indices.map(i => arr(i).length.toLong).sum
+        if (total > 16384) // same allocation guard (fnc/array.rs:186-190)
+          throw SqlError("Incorrect arguments for function array::concat(). Output must not exceed 1048576 bytes.")
         VArr(a.indices.flatMap(i => arr(i)).toVector)
       case "array::clump" =>
         val size = int(1).toInt
@@ -918,12 +921,56 @@ object Functions {
         VArr(selfOut ++ other.toVector)
       case "array::distinct" => VArr(Coerce.dedup(arr(0)))
       case "array::fill" =>
+        // fnc/array.rs:204-296 (r19): bounds come as (start, end-excl)
+        // ints, a single start (to the end), or a RANGE value with its
+        // own inclusivity flags; negative indices count from the back
+        // with the reference's exact saturate/abort rules
         val items = arr(0)
         val v = arg(1)
-        def norm(x: Long): Long = if (x < 0) items.length + x else x
-        val start = Math.max(0L, if (a.length > 2) norm(int(2)) else 0L)
-        val end = Math.min(items.length.toLong, if (a.length > 3) norm(int(3)) else items.length.toLong)
-        VArr(items.zipWithIndex.map { case (el, i) => if (i >= start && i < end) v else el })
+        val len = items.length.toLong
+        if (a.length <= 2) VArr(items.map(_ => v))
+        else {
+          // (loBound, hiBound): value + inclusive flag; None = unbounded
+          val (lo, hi): (Option[(Long, Boolean)], Option[(Long, Boolean)]) =
+            if (a.length > 3) (Some((int(2), true)), Some((int(3), false)))
+            else arg(2) match {
+              case VRng(l, h) =>
+                def b(x: Option[(V, Boolean)]) = x.map {
+                  case (VInt(n), incl) => (n, incl)
+                  case (other, _) => typeErr(2, "int", other)
+                }
+                (b(l), b(h))
+              case _ => (Some((int(2), true)), scala.None)
+            }
+          val start = lo match {
+            case scala.None => 0L
+            case Some((x, true))  => if (x < 0) Math.max(0L, len + x) else x
+            case Some((x, false)) => if (x < 0) Math.max(0L, len + x + 1) else x + 1
+          }
+          // inclusive end; None aborts (array unchanged)
+          val endOpt: Option[Long] =
+            if (start >= len) scala.None
+            else hi match {
+              case scala.None => Some(len - 1)
+              case Some((x, true)) =>
+                // (the reference indexes start..=min(x,len), which can
+                // point one past the end and panic — clamp instead)
+                Some(if (x < 0) Math.min(Math.max(len + x, 0L), len - 1)
+                  else Math.min(x, len - 1))
+              case Some((x, false)) =>
+                if (x < 0) {
+                  val e = Math.min(len + x, len) - 1
+                  if (e < start) scala.None else Some(e)
+                } else if (x <= start) scala.None
+                else Some(Math.min(x, len) - 1)
+            }
+          endOpt match {
+            case Some(end) if end >= start =>
+              VArr(items.zipWithIndex.map { case (el, i) =>
+                if (i >= start && i <= end) v else el })
+            case _ => VArr(items)
+          }
+        }
       case "array::first" => arr(0).headOption.getOrElse(VNone)
       case "array::flatten" =>
         VArr(arr(0).flatMap { case VArr(inner) => inner; case v => Vector(v) })
@@ -960,7 +1007,14 @@ object Functions {
       case "array::matches" => VArr(arr(0).map(e => VBool(V.looseEq(e, arg(1)))))
       case "array::pop" => arr(0).lastOption.getOrElse(VNone)
       case "array::range" =>
-        // fnc/array.rs:617: (start, end-exclusive) or a single range value
+        // fnc/array.rs:617: (start, end-exclusive) or a single range
+        // value. The allocation guard is GENERATION_ALLOCATION_LIMIT
+        // (1 MiB) over 64-byte Values → 16384 elements (r19: Value's
+        // size is pinned by the reference's own check_size test at 64);
+        // an UNBOUNDED bound has effectively-infinite len and hits the
+        // same limit error, it does NOT yield an empty array.
+        def rangeLimit(): Nothing = throw SqlError(
+          "Incorrect arguments for function array::range(). Output must not exceed 1048576 bytes.")
         val (start, endEx) =
           if (a.length >= 2) (int(0), int(1))
           else arg(0) match {
@@ -968,55 +1022,86 @@ object Functions {
               val s = lo.map { case (v, _) => v match {
                 case VInt(n) => n
                 case other => typeErr(0, "int", other)
-              }}.getOrElse(0L)
+              }}.getOrElse(rangeLimit())
               val e = hi.map { case (v, incl) => (v match {
                 case VInt(n) => n
                 case other => typeErr(0, "int", other)
-              }) + (if (incl) 1L else 0L) }.getOrElse(s)
+              }) + (if (incl) 1L else 0L) }.getOrElse(rangeLimit())
               (s, e)
             case other => typeErr(0, "range", other)
           }
         val count = endEx - start
         if (count <= 0) VArr(Vector.empty)
-        else if (count > 65536)
-          throw SqlError("Incorrect arguments for function array::range(). Output must not exceed 1048576 bytes.")
+        else if (count > 16384) rangeLimit()
         else VArr((start until endEx).map(VInt(_)).toVector)
       case "array::sequence" =>
         val (start, count) = if (a.length >= 2) (int(0), int(1)) else (0L, int(0))
         if (count <= 0) VArr(Vector.empty)
-        else if (count > 131072)
+        else if (count > 16384) // 1 MiB over 64-byte Values (r19)
           throw SqlError("Incorrect arguments for function array::sequence(). Output must not exceed 1048576 bytes.")
-        else VArr((start until start + count).map(VInt(_)).toVector)
+        else {
+          val endIncl = // saturating end (fnc/array.rs:664)
+            if (start > Long.MaxValue - (count - 1)) Long.MaxValue
+            else start + count - 1
+          VArr((start to endIncl).map(VInt(_)).toVector)
+        }
+      // the value-keeping logical trio is ASYMMETRIC about which side is
+      // longer (fnc/array.rs:484-590, r19 sweep): the shorter side is
+      // consumed into the longer one, and each op treats the longer
+      // side's tail differently — the branch structure below mirrors the
+      // reference's two arms exactly (equal lengths take the lh arm)
       case "array::logical_and" =>
-        val (x, y) = (arr(0), arr(1))
-        VArr((0 until Math.max(x.length, y.length)).map { i =>
-          (x.lift(i), y.lift(i)) match {
-            case (Some(m), Some(n)) => if (!m.truthy) m else n
-            case (Some(m), scala.None) => if (!m.truthy) m else VNull
-            case (scala.None, Some(n)) => if (!n.truthy) n else VNull
-            case _ => VNull
-          }
-        }.toVector)
+        val (lh, rh) = (arr(0), arr(1))
+        if (lh.length < rh.length)
+          // overlap: a falsy lh VALUE wins; rh's tail is all Null
+          VArr(rh.zipWithIndex.map { case (rv, i) =>
+            if (i < lh.length) { if (!lh(i).truthy) lh(i) else rv }
+            else VNull
+          })
+        else
+          // overlap: truthy lh takes the rh value; lh's tail keeps its
+          // falsy values and nulls only the truthy ones
+          VArr(lh.zipWithIndex.map { case (lv, i) =>
+            if (i < rh.length) { if (lv.truthy) rh(i) else lv }
+            else if (lv.truthy) VNull else lv
+          })
       case "array::logical_or" =>
-        val (x, y) = (arr(0), arr(1))
-        VArr((0 until Math.max(x.length, y.length)).map { i =>
-          (x.lift(i), y.lift(i)) match {
-            case (Some(m), Some(n)) => if (m.truthy) m else n
-            case (Some(m), scala.None) => if (m.truthy) m else VNull
-            case (scala.None, Some(n)) => if (n.truthy) n else VNull
-            case _ => VNull
-          }
-        }.toVector)
+        val (lh, rh) = (arr(0), arr(1))
+        if (lh.length < rh.length)
+          // overlap: truthy lh wins; rh's tail is kept VERBATIM
+          VArr(rh.zipWithIndex.map { case (rv, i) =>
+            if (i < lh.length && lh(i).truthy) lh(i) else rv
+          })
+        else
+          // overlap: falsy lh takes the rh value; lh's tail nulls only
+          // the falsy entries
+          VArr(lh.zipWithIndex.map { case (lv, i) =>
+            if (i < rh.length) { if (!lv.truthy) rh(i) else lv }
+            else if (!lv.truthy) VNull else lv
+          })
       case "array::logical_xor" =>
-        val (x, y) = (arr(0), arr(1))
-        VArr((0 until Math.max(x.length, y.length)).map { i =>
-          (x.lift(i).getOrElse(VNull), y.lift(i).getOrElse(VNull)) match {
-            case (m, n) if m.truthy && n.truthy => VBool(false)
-            case (m, _) if m.truthy => m
-            case (_, n) if n.truthy => n
-            case (m, _) => m
-          }
-        }.toVector)
+        val (lh, rh) = (arr(0), arr(1))
+        if (lh.length < rh.length)
+          // overlap: prefer whichever VALUE carries the xor truthiness,
+          // else a plain bool; rh's tail nulls falsy entries
+          VArr(rh.zipWithIndex.map { case (rv, i) =>
+            if (i < lh.length) {
+              val b = lh(i); val v = b.truthy ^ rv.truthy
+              if (b.truthy == v) b
+              else if (rv.truthy != v) VBool(v)
+              else rv
+            } else if (!rv.truthy) VNull else rv
+          })
+        else
+          // lh's tail is kept verbatim (no null pass — reference quirk)
+          VArr(lh.zipWithIndex.map { case (lv, i) =>
+            if (i < rh.length) {
+              val b = rh(i); val v = b.truthy ^ lv.truthy
+              if (lv.truthy == v) lv
+              else if (b.truthy == v) b
+              else VBool(v)
+            } else lv
+          })
       case "array::remove" =>
         val items = arr(0)
         var i = int(1)
@@ -1026,7 +1111,7 @@ object Functions {
         val count = int(1)
         if (count < 0)
           throw SqlError("Incorrect arguments for function array::repeat(). Expected argument 2 to be a positive number")
-        if (count > 65536)
+        if (count > 16384) // 1 MiB over 64-byte Values (r19)
           throw SqlError("Incorrect arguments for function array::repeat(). Output must not exceed 1048576 bytes.")
         VArr(Vector.fill(count.toInt)(arg(0)))
       case "array::reverse" => VArr(arr(0).reverse)
