@@ -1341,7 +1341,8 @@ object Functions {
           case "hour" => t.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
           case "minute" => t.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
           case "second" => t.truncatedTo(java.time.temporal.ChronoUnit.SECONDS)
-          case other => throw SqlError(s"Incorrect arguments for function time::group(). Argument 2 was the wrong type. Expected a string but found '$other'")
+          case _ => throw SqlError("Incorrect arguments for function time::group(). " +
+            "The second argument must be a string, and can be one of 'year', 'month', 'day', 'hour', 'minute', or 'second'.")
         }
         VDt(truncated.toInstant)
       case "time::format" =>
@@ -1350,18 +1351,85 @@ object Functions {
         // all live in Strftime (r18: the old subset validated %F/%D/%T &c.
         // and then printed them literally)
         VStr(Strftime.format(utc(arg(0)), str(1)))
-      case "time::max" =>
-        val items = arr(0)
-        if (items.isEmpty) VNone else items.max(V.ordering)
-      case "time::min" =>
-        val items = arr(0)
-        if (items.isEmpty) VNone else items.min(V.ordering)
+      case "time::max" | "time::min" =>
+        // Vec<Datetime> coercion: non-datetime elements error (fnc/time.rs)
+        val items = arr(0).map {
+          case d: VDt => d
+          case other  => typeErr(0, "datetime", other)
+        }
+        if (items.isEmpty) VNone
+        else if (name == "time::max") items.maxBy(_.t)
+        else items.minBy(_.t)
       case "time::timezone" => VStr("UTC")
-      case "time::from::unix" => VDt(java.time.Instant.ofEpochSecond(int(0)))
-      case "time::from::secs" => VDt(java.time.Instant.ofEpochSecond(int(0)))
-      case "time::from::millis" => VDt(java.time.Instant.ofEpochMilli(int(0)))
-      case "time::from::micros" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000L, (int(0) % 1000000L) * 1000))
-      case "time::from::nanos" => VDt(java.time.Instant.ofEpochSecond(int(0) / 1000000000L, int(0) % 1000000000L))
+      // time::from_* validate against chrono's representable datetimes
+      // ([-262143-01-01, +262142-12-31]; fnc/time.rs from.rs arms) with
+      // the reference's exact error text; nanos can never overflow (i64
+      // nanoseconds span only ±292 years) and uses euclidean division
+      case "time::from::unix" | "time::from::secs" |
+           "time::from::millis" | "time::from::micros" =>
+        val (minS, maxS) = (-8334601228800L, 8210266876799L)
+        val unit = name.stripPrefix("time::from::")
+        def rangeErr() = throw SqlError(
+          s"Incorrect arguments for function time::from_$unit(). The argument must be a number of " +
+            (unit match {
+              case "millis" => "milliseconds"
+              case "micros" => "microseconds"
+              case _        => "seconds"
+            }) +
+            " relative to January 1, 1970 0:00:00 UTC that produces a datetime between -262143-01-01T00:00:00Z and +262142-12-31T23:59:59Z.")
+        val v = int(0)
+        unit match {
+          case "millis" =>
+            if (v < minS * 1000L || v > maxS * 1000L + 999L) rangeErr()
+            VDt(java.time.Instant.ofEpochMilli(v))
+          case "micros" =>
+            if (v < minS * 1000000L || v > maxS * 1000000L + 999999L) rangeErr()
+            VDt(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(v, 1000000L), Math.floorMod(v, 1000000L) * 1000L))
+          case _ =>
+            if (v < minS || v > maxS) rangeErr()
+            VDt(java.time.Instant.ofEpochSecond(v))
+        }
+      case "time::from::nanos" =>
+        val v = int(0)
+        VDt(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(v, 1000000000L), Math.floorMod(v, 1000000000L)))
+      case "time::from::ulid" =>
+        // Crockford base32: chars 0-9 carry the 48-bit ms timestamp
+        val s = str(0)
+        val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+        def ulidErr() = throw SqlError(
+          "Incorrect arguments for function time::from_ulid(). The first argument must be a string, containing a valid ULID.")
+        if (s.length != 26 || !s.forall(c => alphabet.indexOf(c.toUpper) >= 0))
+          ulidErr()
+        if (alphabet.indexOf(s(0).toUpper) > 7) ulidErr() // > 2^48-1 ms
+        val ms = s.take(10).foldLeft(0L)((acc, c) =>
+          (acc << 5) | alphabet.indexOf(c.toUpper))
+        VDt(java.time.Instant.ofEpochMilli(ms))
+      case "time::from::uuid" =>
+        // v1/v6: 60-bit count of 100ns ticks since 1582-10-15; v7: 48-bit
+        // unix ms in the top bits (uuid crate get_timestamp)
+        val u = arg(0) match {
+          case VUuid(x) => x
+          case other => typeErr(0, "uuid", other)
+        }
+        val gregorianOffsetSecs = -12219292800L // 1582-10-15 in unix secs
+        u.version match {
+          case 1 | 6 =>
+            val ticks =
+              if (u.version == 1) u.timestamp()
+              else { // v6 packs the timestamp big-endian across the fields
+                val hi = u.getMostSignificantBits
+                ((hi >>> 32) << 28) | (((hi >>> 16) & 0xffffL) << 12) | (hi & 0x0fffL)
+              }
+            val secs = ticks / 10000000L + gregorianOffsetSecs
+            val nanos = (ticks % 10000000L) * 100L
+            VDt(java.time.Instant.ofEpochSecond(secs, nanos))
+          case 7 =>
+            VDt(java.time.Instant.ofEpochMilli(u.getMostSignificantBits >>> 16))
+          case _ => throw SqlError(
+            "Incorrect arguments for function time::from_uuid(). The first argument must be a v1, v6 or v7 UUID.")
+        }
       case "time::set_year" =>
         // chrono date range: [-262143, 262142] (val/datetime.rs)
         val y = int(1)
