@@ -138,6 +138,32 @@ object SurqlQueries {
          du_wrap: <string>duration::from_millis(-1)
        }""")
 
+  /** r19 sweeps, second instalment: math quadrant/typing/percentile
+    * semantics, the asymmetric logical tails, decimal mean promotion,
+    * and ULID/UUID timestamp extraction — all pinned as DuckDB
+    * literals. */
+  val fnR19Edges2 = sq("fn_r19_edges2",
+    """SELECT CAST(2.356194490192345 AS DOUBLE) AS acot_neg,
+              CAST(30.0 AS DOUBLE) AS lerpang,
+              CAST(30 AS BIGINT) AS nrank, CAST(8 AS BIGINT) AS spread_i,
+              CAST(5.0 AS DOUBLE) AS clamp_f,
+              '2016-07-30T23:54:10.259Z' AS ulid_ts,
+              '2022-02-22T19:22:22Z' AS uuid_ts,
+              'false,7' AS lor_tail, 'NULL,NULL' AS land_tail,
+              '1.25' AS mean_dec""")(
+    """RETURN {
+         acot_neg: math::acot(-1),
+         lerpang: math::lerpangle(10, 350, 1.0),
+         nrank: math::nearestrank([10, 20, 30, 40], 50),
+         spread_i: math::spread([1, 9]),
+         clamp_f: math::clamp(5, 1.0, 10.0),
+         ulid_ts: <string>time::from_ulid('01ARZ3NDEKTSV4RRFFQ69G5FAV'),
+         uuid_ts: <string>time::from_uuid(<uuid>'017f22e2-79b0-7cc3-98c4-dc0c0c07398f'),
+         lor_tail: array::join(array::logical_or([], [false, 7]), ','),
+         land_tail: array::join(array::logical_and([], [false, 7]), ','),
+         mean_dec: <string>math::mean([1, 1.5dec])
+       }""")
+
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -2043,5 +2069,5 @@ object SurqlQueries {
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
-    fnR18Edges, fnR19Crypto, fnR19Edges)
+    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2)
 }

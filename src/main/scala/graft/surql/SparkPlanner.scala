@@ -4485,6 +4485,25 @@ object SparkPlanner {
     val name = Functions.normalize(name0)
     lazy val cs: IndexedSeq[Column] = raw.map(toCol(_, ctx)).toIndexedSeq
     name match {
+    // the value-keeping logical trio (and a join over its output) can
+    // yield HETEROGENEOUS arrays — no Spark element type exists — and the
+    // typed math folds (mode/spread/nearestrank/clamp/lerp) carry their
+    // element's NUMBER TYPE, which the columnar double-projected
+    // lowerings below can't: constant arguments fold whole through the
+    // interpreter first (r19); column arguments keep the columnar forms
+    case "array::logical_and" | "array::logical_or" | "array::logical_xor" |
+         "math::mode" | "math::spread" |
+         "math::nearestrank" | "math::clamp" | "math::lerp"
+        if raw.nonEmpty && raw.forall(isConstExpr) =>
+      toCol(Lit(Eval.evalConst(FnCall(name, raw))), ctx)
+    // a join whose input is one of the logical trio folds with it (the
+    // trio's mixed-type output has no Spark element type); other constant
+    // joins keep the columnar lowering
+    case "array::join" if raw.forall(isConstExpr) && (raw.headOption match {
+        case Some(FnCall(n2, _)) => n2.startsWith("array::logical_")
+        case _ => false
+      }) =>
+      toCol(Lit(Eval.evalConst(FnCall(name, raw))), ctx)
     case "string::lowercase" => lower(cs(0))
     case "string::uppercase" => upper(cs(0))
     case "string::len"       => length(cs(0)).cast("bigint")
