@@ -177,40 +177,14 @@ object Interp {
     }
 
   /** diff-match-patch patch text for a string change (dmp patch_make1 +
-    * patch_to_text, val/value/diff.rs:70): single hunk via common prefix/
-    * suffix trimming with DMP's 4-char context margin and URI encoding. */
+    * patch_to_text, val/value/diff.rs:70) — the full canonical pipeline
+    * (Myers bisect, half-match, semantic + efficiency cleanup, MULTI-hunk
+    * patch splitting at ≥ 2×margin equalities) lives in [[Dmp]]; the r13
+    * single-hunk prefix/suffix approximation diverged on any string with
+    * two distant edits. */
   def dmpPatchText(a: String, b: String): String = {
     if (a == b) return ""
-    val maxP = math.min(a.length, b.length)
-    var p = 0
-    while (p < maxP && a.charAt(p) == b.charAt(p)) p += 1
-    var s = 0
-    while (s < maxP - p && a.charAt(a.length - 1 - s) == b.charAt(b.length - 1 - s)) s += 1
-    val del = a.substring(p, a.length - s)
-    val ins = b.substring(p, b.length - s)
-    val margin = 4
-    val ctxPre = a.substring(math.max(0, p - margin), p)
-    val ctxPost = a.substring(a.length - s, math.min(a.length, a.length - s + margin))
-    val len1 = ctxPre.length + del.length + ctxPost.length
-    val len2 = ctxPre.length + ins.length + ctxPost.length
-    val start = p - ctxPre.length
-    def coord(ln: Int) = if (ln == 0) s"$start,0" else s"${start + 1},$ln"
-    def enc(t: String): String = {
-      val keep = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789;,/?:@&=+$-_.!~*'()#"
-      val sb = new StringBuilder
-      t.getBytes("UTF-8").foreach { byte =>
-        val c = (byte & 0xff).toChar
-        if (c < 128 && keep.indexOf(c) >= 0) sb.append(c)
-        else sb.append(f"%%${byte & 0xff}%02X")
-      }
-      sb.toString
-    }
-    val sb = new StringBuilder(s"@@ -${coord(len1)} +${coord(len2)} @@\n")
-    if (ctxPre.nonEmpty) sb.append(' ').append(enc(ctxPre)).append('\n')
-    if (del.nonEmpty) sb.append('-').append(enc(del)).append('\n')
-    if (ins.nonEmpty) sb.append('+').append(enc(ins)).append('\n')
-    if (ctxPost.nonEmpty) sb.append(' ').append(enc(ctxPost)).append('\n')
-    sb.toString
+    Dmp.patchText(a, b)
   }
 
   /** Apply a diff-match-patch patch text (dmp patch_apply; exact-position
@@ -229,36 +203,49 @@ object Interp {
       new String(bytes.toByteArray, "UTF-8")
     }
     val hunkRe = """@@ -(\d+)(?:,(\d+))? \+(\d+)(?:,(\d+))? @@""".r
-    val out = new StringBuilder
-    var pos = 0
-    var src = 0
-    var sawHunk = false
+    // Parse all hunks first (patch_from_text rejects bad lines up front),
+    // then apply SEQUENTIALLY to the evolving text: canonical patch_make
+    // resets char_count1 = char_count2 when it closes a patch, so every
+    // hunk after the first is addressed in the coordinates of the text
+    // with all PREVIOUS hunks already applied — not the original.
+    final case class Hunk(start: Int, len1: Int, repl: String)
+    val hunks = mutable.Buffer[Hunk]()
+    var cur: Hunk = null
+    val repl = new StringBuilder
+    def flush(): Unit = if (cur != null) {
+      hunks += cur.copy(repl = repl.toString); repl.clear(); cur = null
+    }
     patch.split("\n", -1).foreach {
       case hunkRe(a, b, _, _) =>
-        sawHunk = true
+        flush()
         val len1 = Option(b).map(_.toInt).getOrElse(1)
+        // patch_to_text prints start1 (0-based) when len1 == 0, else
+        // start1 + 1
         val start = if (len1 == 0) a.toInt else a.toInt - 1
-        out.append(orig.substring(pos, math.min(start, orig.length)))
-        src = start
+        cur = Hunk(start, len1, "")
       case line if line.nonEmpty =>
         // dmp patch_from_text rejects anything that is not a hunk header
         // followed by ' '/'-'/'+' body lines (patch.rs:106 wraps the
         // crate's error; the crate's exact Debug text is not
         // reproducible offline — the ERROR itself is the pinned behavior)
-        if (!sawHunk || !" -+".contains(line.charAt(0)))
+        if (cur == null || !" -+".contains(line.charAt(0)))
           throw SqlError("The JSON Patch contains invalid operations. " +
             s"Failed to parse JSON patch structure: invalid patch string: $line")
         val body = dec(line.substring(1))
         line.charAt(0) match {
-          case ' ' => out.append(body); src += body.length; pos = src
-          case '-' => src += body.length; pos = src
-          case '+' => out.append(body); pos = src
-          case _ => ()
+          case ' ' | '+' => repl.append(body)
+          case _         => () // '-': consumed via len1
         }
       case _ => ()
     }
-    out.append(orig.substring(math.min(pos, orig.length)))
-    out.toString
+    flush()
+    var text = orig
+    hunks.foreach { h =>
+      val at = math.min(h.start, text.length)
+      val end = math.min(h.start + h.len1, text.length)
+      text = text.substring(0, at) + h.repl + text.substring(end)
+    }
+    text
   }
 
   private val idRng = new java.util.concurrent.atomic.AtomicLong(0x5eed5eedL)
