@@ -98,7 +98,13 @@ object SurqlQueries {
     * relabel breaches log_n ≤ 17+2). argon2id: the phc-winner-argon2
     * test.c vector (t=9 relabel breaches t ≤ 2×4). Both *_rt keys
     * round-trip a fresh generate at the reference's default params
-    * ($2b$12, $argon2id$v=19$m=19456,t=2,p=1). */
+    * ($2b$12, $argon2id$v=19$m=19456,t=2,p=1).
+    *
+    * EXPECTED BENCH FLOOR ~2.5 s solo, flat across reps: this row computes
+    * ~11 real KDFs (bcrypt cost-12 EksBlowfish, scrypt ln=14 ROMix,
+    * argon2id 19 MiB × 2 incl. a fresh generate) — intentional memory/CPU-
+    * hard work, not a plan bug. If it grows past ~3.5 s, split per scheme
+    * so a single-KDF regression is visible. */
   val fnR19Crypto = sq("fn_r19_crypto",
     """SELECT TRUE AS bc_ok, FALSE AS bc_no, FALSE AS bc_cost, TRUE AS bc_rt,
               TRUE AS sc_ok, FALSE AS sc_no, FALSE AS sc_cost,
@@ -163,6 +169,40 @@ object SurqlQueries {
          land_tail: array::join(array::logical_and([], [false, 7]), ','),
          mean_dec: <string>math::mean([1, 1.5dec])
        }""")
+
+  /** r20: finite floats render with the reference's `f` suffix wherever a
+    * value becomes a raw string — `<string>` casts, array::join,
+    * string::concat/join, type::string (val/mod.rs:225 to_raw_string →
+    * val/number.rs ToSql "{v}f"; convert/cast.rs:361) — while decimals are
+    * PLAIN in casts (cast.rs:360) but `dec`-suffixed in raw renders
+    * (types/src/sql.rs:238). The c_* columns fold through the interpreter;
+    * the r_* columns stay row-dependent, so they pin the Spark-path
+    * codegen kernel (graft.functions.RawStr). */
+  val fnR20FloatFmt = sq("fn_r20_floatfmt",
+    """SELECT o_orderkey,
+              '2f' AS c_int, '2.5f' AS c_frac, '-0.5f' AS c_neg,
+              '1000000000000000000000f' AS c_big, '0.0000001f' AS c_small,
+              '1.5' AS c_dec, '2f,3f' AS c_join, '1.5dec|1' AS c_jdec,
+              'v=0.1f' AS c_cat, '2.5f-x' AS c_sj,
+              '2.5f' AS r_cast, '2f,3f' AS r_join, 'p1.5f' AS r_cat,
+              '0.5f' AS r_ts
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 3
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              <string>2.0 AS c_int, <string>2.5 AS c_frac,
+              <string>(-0.5) AS c_neg,
+              <string>1000000000000000000000.0 AS c_big,
+              <string>0.0000001 AS c_small,
+              <string>1.5dec AS c_dec,
+              array::join([2.0, 3.0], ',') AS c_join,
+              array::join([1.5dec, 1], '|') AS c_jdec,
+              string::concat('v=', 0.1) AS c_cat,
+              string::join('-', 2.5, 'x') AS c_sj,
+              <string>(o_totalprice * 0 + 2.5) AS r_cast,
+              array::join([o_totalprice * 0 + 2.0, 3.0], ',') AS r_join,
+              string::concat('p', o_totalprice * 0 + 1.5) AS r_cat,
+              type::string(o_totalprice * 0 + 0.5) AS r_ts
+       FROM orders:1..4 ORDER BY o_orderkey""")
 
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
@@ -1689,7 +1729,7 @@ object SurqlQueries {
   val vectorOps2 = sq("vector_ops2",
     """SELECT o_orderkey,
               '5,7,9' AS ad, '-3,-3,-3' AS sb, '4,10,18' AS ml,
-              array_to_string([2.0, 3.0], ',') AS dv,
+              '2f,3f' AS dv,
               3.0 / 5.0 AS nz, round(acos(0.0), 6) AS an,
               '0,0,1' AS cx, 1 AS hm,
               CAST(7.0 AS DOUBLE) AS mk, CAST(0.5 AS DOUBLE) AS jc
@@ -2069,5 +2109,5 @@ object SurqlQueries {
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
-    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2)
+    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2, fnR20FloatFmt)
 }

@@ -106,6 +106,11 @@ object Coerce {
       case VBytes(bs) => VStr(new String(bs.toArray, "UTF-8"))
       case VNone => VStr("NONE")
       case VNull => VStr("NULL")
+      // the String cast special-cases Decimal as PLAIN (convert/cast.rs:360
+      // `Number::Decimal(x) => x.to_string()`) — unlike to_raw_string,
+      // which suffixes it `dec`; finite floats keep the to_sql `f` suffix
+      // on BOTH (cast.rs:361 falls to to_sql)
+      case VDec(d) => VStr(Render.decStr(d))
       case other => VStr(other.renderRaw)
     }
     case KLiteralArr(kinds) => v match {

@@ -1134,15 +1134,27 @@ object Functions {
         VArr(if (asc) sorted else sorted.reverse)
       case "array::sort::asc" => VArr(arr(0).sorted(V.ordering))
       case "array::sort::desc" => VArr(arr(0).sorted(V.ordering).reverse)
+      // the string-ish comparators apply to STRING PAIRS only; any other
+      // pairing falls to the standard Value order (val/mod.rs:500-522
+      // natural_cmp/lexical_cmp/natural_lexical_cmp `_ => partial_cmp`)
       case "array::sort_natural" =>
-        val sorted = arr(0).sortWith((x, y) => naturalCmp(x.renderRaw, y.renderRaw) < 0)
+        val sorted = arr(0).sortWith {
+          case (VStr(x), VStr(y)) => naturalCmp(x, y) < 0
+          case (x, y)             => V.cmp(x, y) < 0
+        }
         VArr(if (descArg(arg(1))) sorted.reverse else sorted)
       case "array::sort_lexical" =>
-        val sorted = arr(0).sortWith((x, y) =>
-          java.text.Collator.getInstance(java.util.Locale.ROOT).compare(x.renderRaw, y.renderRaw) < 0)
+        val coll = java.text.Collator.getInstance(java.util.Locale.ROOT)
+        val sorted = arr(0).sortWith {
+          case (VStr(x), VStr(y)) => coll.compare(x, y) < 0
+          case (x, y)             => V.cmp(x, y) < 0
+        }
         VArr(if (descArg(arg(1))) sorted.reverse else sorted)
       case "array::sort_natural_lexical" =>
-        val sorted = arr(0).sortWith((x, y) => naturalLexicalCmp(x.renderRaw, y.renderRaw) < 0)
+        val sorted = arr(0).sortWith {
+          case (VStr(x), VStr(y)) => naturalLexicalCmp(x, y) < 0
+          case (x, y)             => V.cmp(x, y) < 0
+        }
         VArr(if (descArg(arg(1))) sorted.reverse else sorted)
       case "array::swap" =>
         val items = arr(0)
@@ -1519,16 +1531,15 @@ object Functions {
           case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
           // a full record id keeps its own key (type/field/record)
           case VRid(_, k) => VRid(arg(0).renderRaw, k)
-          case key => VRid(arg(0).renderRaw, key)
+          case key => VRid(arg(0).renderRaw, ridKeyOf(key))
         }
       case "type::thing" =>
         arg(1) match {
           case VNone => Coerce.cast(Kind.KRecord(Nil), arg(0))
           case VRid(_, k) => VRid(arg(0).renderRaw, k)
-          case key => VRid(arg(0).renderRaw, key)
+          case key => VRid(arg(0).renderRaw, ridKeyOf(key))
         }
       case "type::range" => Coerce.cast(Kind.KRange, arg(0))
-      case "type::record" => Coerce.cast(Kind.KRecord(Nil), arg(0))
       case "value::diff" =>
         // JSON-patch operations turning arg0 into arg1 (val/value/diff.rs)
         VArr(Interp.valueDiff(arg(0), arg(1)))
@@ -1537,20 +1548,17 @@ object Functions {
         // malformed op lists error with the reference's InvalidPatch text
         JsonPatch.patch(arg(0), arg(1))
       case "type::field" =>
-        // the path evaluates as a real idiom — record links traverse exactly
-        // like `friend.name.first` would (reproductions/6980)
-        try Eval.eval(Parser.parseExpr(str(0)), env)
-        catch { case _: ParseError => VNone }
+        // the path parses as a REAL idiom (builtin/type.rs:131 syn::idiom)
+        // — record links traverse exactly like `friend.name.first` would
+        // (reproductions/6980), `a[0]`/`a.*` index and splat; an
+        // unparseable path errors with the reference's text (type.rs:132)
+        Eval.eval(Functions.parseFieldPath(str(0)), env)
       case "type::fields" =>
-        def pathValue2(d: V, path: String): V =
-          path.split('.').foldLeft(d) {
-            case (VObj(fs), seg) => fs.getOrElse(seg, VNone)
-            case (VArr(items), "*") => VArr(items)
-            case _ => VNone
-          }
-        VArr(arr(0).map {
-          case VStr(f) => env.doc.map(d => pathValue2(d, f)).getOrElse(VNone)
-          case _ => VNone
+        // each element parses as an idiom too (type.rs:177-179) — the old
+        // dot-split lowering missed `a[0]`-style paths and record links
+        VArr(arr(0).zipWithIndex.map {
+          case (VStr(p), _) => Eval.eval(Functions.parseFieldPath(p), env)
+          case (other, i)   => typeErr(i, "string", other)
         })
       case "type::is::array" => VBool(arg(0).isInstanceOf[VArr])
       case "type::is::bool" => VBool(arg(0).isInstanceOf[VBool])
@@ -1744,7 +1752,15 @@ object Functions {
         VStr(Vector.fill(len.toInt)(cs(scala.util.Random.nextInt(cs.length))).mkString)
       case "sequence::nextval" =>
         val in = env.interp.getOrElse(throw SqlError("The sequence does not exist"))
-        val nm = str(0)
+        // a non-string name has its OWN message (fnc/sequence.rs:18-21), not
+        // the generic wrong-type form — and the reference passes the name
+        // WITH parens into a template that appends "()", so the doubled
+        // "()()"  is reproduced verbatim (err/mod.rs:154)
+        val nm = arg(0) match {
+          case VStr(s) => s
+          case _ => throw SqlError(
+            "Incorrect arguments for function sequence::nextval()(). Expect a sequence name")
+        }
         val d = in.sequences.getOrElse(nm, throw SqlError(s"The sequence '$nm' does not exist"))
         // a TIMEOUT 0 sequence can never allocate a batch in time — the
         // reference's allocator wait deadline fires immediately (seq.rs)
@@ -1843,34 +1859,47 @@ object Functions {
         VDt(java.time.Instant.ofEpochSecond(pick))
 
       // ---- vector ------------------------------------------------------
-      case "vector::add" => vecZip(nums(0), nums(1), name)(_ + _)
-      case "vector::subtract" => vecZip(nums(0), nums(1), name)(_ - _)
-      case "vector::multiply" => vecZip(nums(0), nums(1), name)(_ * _)
-      case "vector::divide" => vecZip(nums(0), nums(1), name)(_ / _)
-      case "vector::scale" => VArr(nums(0).map(x => VFloat(x * dbl(1))))
+      // elementwise ops are NUMBER-typed (util/math/vector.rs works on
+      // Vec<Number> with Number arithmetic): int∘int stays int (wrapping
+      // add/sub/mul like Rust release, TRUNCATING division), int∘float
+      // promotes to float, any decimal promotes to decimal; divide and
+      // normalize NaN-guard zero/NaN divisors (vector_div). The r20 float-
+      // render sweep surfaced this: join(add([1,2,3],[4,5,6])) must be
+      // "5,7,9", not "5f,7f,9f".
+      case "vector::add" => vecZipN(numsV(0), numsV(1), name)(numAdd)
+      case "vector::subtract" => vecZipN(numsV(0), numsV(1), name)(numSub)
+      case "vector::multiply" => vecZipN(numsV(0), numsV(1), name)(numMul)
+      case "vector::divide" => vecZipN(numsV(0), numsV(1), name)(vectorDiv)
+      case "vector::scale" =>
+        val s = num(1)
+        VArr(numsV(0).map(x => numMul(x, s)))
       case "vector::dot" =>
-        val (x, y) = (nums(0), nums(1))
-        checkDims(x, y, name)
-        VFloat(x.zip(y).map { case (m, n) => m * n }.sum)
+        val (x, y) = (numsV(0), numsV(1))
+        checkDimsN(x, y, name)
+        numDot(x, y)
       case "vector::magnitude" => VFloat(Math.sqrt(nums(0).map(x => x * x).sum))
       case "vector::normalize" =>
-        val v = nums(0)
-        val mag = Math.sqrt(v.map(x => x * x).sum)
-        VArr(v.map(x => VFloat(if (mag == 0) 0 else x / mag)))
+        val v = numsV(0)
+        val mag = VFloat(Math.sqrt(v.map(x => { val d = x.toDouble; d * d }).sum))
+        VArr(v.map(x => vectorDiv(x, mag)))
       case "vector::angle" =>
         val (x, y) = (nums(0), nums(1))
         checkDims(x, y, name)
         val dot = x.zip(y).map { case (m, n) => m * n }.sum
         VFloat(Math.acos(dot / (Math.sqrt(x.map(t => t * t).sum) * Math.sqrt(y.map(t => t * t).sum))))
       case "vector::cross" =>
-        val (x, y) = (nums(0), nums(1))
-        if (x.length != 3 || y.length != 3) throw SqlError(s"Incorrect arguments for function vector::cross(). Both vectors must have a dimension of 3")
-        VArr(Vector(VFloat(x(1) * y(2) - x(2) * y(1)), VFloat(x(2) * y(0) - x(0) * y(2)), VFloat(x(0) * y(1) - x(1) * y(0))))
+        val (x, y) = (numsV(0), numsV(1))
+        if (x.length != 3 || y.length != 3) throw SqlError(s"Incorrect arguments for function vector::cross(). Both vectors must have a dimension of 3.")
+        VArr(Vector(numSub(numMul(x(1), y(2)), numMul(x(2), y(1))),
+                    numSub(numMul(x(2), y(0)), numMul(x(0), y(2))),
+                    numSub(numMul(x(0), y(1)), numMul(x(1), y(0)))))
       case "vector::project" =>
-        val (x, y) = (nums(0), nums(1))
-        checkDims(x, y, name)
-        val scale = x.zip(y).map { case (m, n) => m * n }.sum / y.map(t => t * t).sum
-        VArr(y.map(t => VFloat(t * scale)))
+        val (x, y) = (numsV(0), numsV(1))
+        checkDimsN(x, y, name)
+        val d = numDot(x, y)
+        val m = VFloat(y.map(t => { val td = t.toDouble; td * td }).sum)
+        val s = vectorDiv(d, m)
+        VArr(y.map(t => numMul(s, t)))
       case "vector::distance::knn" => Search.knnDistance(env)
       case "search::score" => Search.score(env, int(0).toInt)
       case "search::highlight" =>
@@ -1881,9 +1910,12 @@ object Functions {
       case "search::offsets" => Search.offsets(env, int(0).toInt,
         arg(1) match { case VBool(b) => b; case _ => false })
       case "search::analyze" =>
-        val nm = arg(0) match { case VStr(s) => s; case o => o.renderRaw }
-        val tx = arg(1) match { case VStr(s) => s; case o => o.renderRaw }
-        Search.analyzeFn(env, nm, tx)
+        // NON-string analyzer or input yields NONE, not a coercion
+        // (fnc/search.rs:22 `if let (… String(az), String(val))` else None)
+        (arg(0), arg(1)) match {
+          case (VStr(nm), VStr(tx)) => Search.analyzeFn(env, nm, tx)
+          case _ => VNone
+        }
       case "search::rrf" =>
         Search.rrf(arg(0), int(1), if (a.length > 2) Some(int(2)) else scala.None)
       case "search::linear" =>
@@ -2354,6 +2386,69 @@ object Functions {
     checkDims(x, y, name)
     VArr(x.zip(y).map { case (m, n) => VFloat(f(m, n)) })
   }
+
+  // ---- unchecked Number arithmetic (val/number.rs ops::Add/Sub/Mul/Div:
+  // int∘int wraps like Rust release and TRUNCATES on division, int∘float
+  // promotes float, anything-with-decimal promotes decimal) — the vector
+  // namespace uses these, NOT the checked try_* operators the `+` family
+  // lowers to
+  private val VecDecCtx = new java.math.MathContext(28)
+  private def numAdd(a: VNum, b: VNum): VNum = (a, b) match {
+    case (VInt(x), VInt(y))     => VInt(x + y)
+    case (VFloat(x), VFloat(y)) => VFloat(x + y)
+    case (VDec(x), VDec(y))     => VDec(x + y)
+    case (VInt(x), VFloat(y))   => VFloat(x + y)
+    case (VFloat(x), VInt(y))   => VFloat(x + y)
+    case (x, y)                 => VDec(x.toBig + y.toBig)
+  }
+  private def numSub(a: VNum, b: VNum): VNum = (a, b) match {
+    case (VInt(x), VInt(y))     => VInt(x - y)
+    case (VFloat(x), VFloat(y)) => VFloat(x - y)
+    case (VDec(x), VDec(y))     => VDec(x - y)
+    case (VInt(x), VFloat(y))   => VFloat(x - y)
+    case (VFloat(x), VInt(y))   => VFloat(x - y)
+    case (x, y)                 => VDec(x.toBig - y.toBig)
+  }
+  private def numMul(a: VNum, b: VNum): VNum = (a, b) match {
+    case (VInt(x), VInt(y))     => VInt(x * y)
+    case (VFloat(x), VFloat(y)) => VFloat(x * y)
+    case (VDec(x), VDec(y))     => VDec(x * y)
+    case (VInt(x), VFloat(y))   => VFloat(x * y)
+    case (VFloat(x), VInt(y))   => VFloat(x * y)
+    case (x, y)                 => VDec(x.toBig * y.toBig)
+  }
+  private def numDiv(a: VNum, b: VNum): VNum = (a, b) match {
+    case (VInt(x), VInt(y))     => VInt(x / y) // zero guarded by vectorDiv
+    case (VFloat(x), VFloat(y)) => VFloat(x / y)
+    case (VDec(x), VDec(y))     => VDec(x(VecDecCtx) / y)
+    case (VInt(x), VFloat(y))   => VFloat(x / y)
+    case (VFloat(x), VInt(y))   => VFloat(x / y)
+    case (x, y)                 => VDec(x.toBig(VecDecCtx) / y.toBig)
+  }
+  private def numIsNaN(a: VNum): Boolean = a match {
+    case VFloat(d) => d.isNaN; case _ => false
+  }
+  private def numIsZero(a: VNum): Boolean = a match {
+    case VInt(i) => i == 0; case VFloat(d) => d == 0.0; case VDec(d) => d.signum == 0
+  }
+  /** vector_div (util/math/vector.rs:90): NaN when either side is NaN or
+    * the divisor is zero; plain Number division otherwise. */
+  private def vectorDiv(a: VNum, b: VNum): VNum =
+    if (numIsNaN(a) || numIsNaN(b) || numIsZero(b)) VFloat(Double.NaN)
+    else numDiv(a, b)
+  /** Number-typed dot: Σ aᵢ·bᵢ with Number `sum()` — starts at Int(0), so
+    * an int dot of int vectors stays int. */
+  private def numDot(x: Vector[VNum], y: Vector[VNum]): VNum =
+    x.zip(y).map { case (m, n) => numMul(m, n) }
+      .foldLeft(VInt(0): VNum)(numAdd)
+  private def vecZipN(x: Vector[VNum], y: Vector[VNum], name: String)(
+      f: (VNum, VNum) => VNum): VArr = {
+    checkDimsN(x, y, name)
+    VArr(x.zip(y).map { case (m, n) => f(m, n) })
+  }
+  private def checkDimsN(x: Vector[VNum], y: Vector[VNum], name: String): Unit =
+    if (x.length != y.length)
+      throw SqlError(s"Incorrect arguments for function $name(). The two vectors must be of the same dimension.")
   private def checkDims(x: Vector[Double], y: Vector[Double], name: String): Unit =
     if (x.length != y.length)
       throw SqlError(s"Incorrect arguments for function $name(). The two vectors must be of the same dimension.")
@@ -2484,8 +2579,10 @@ object Functions {
   private def geohashDecode(hash: String): (Double, Double) = {
     var (latLo, latHi, lonLo, lonHi) = (-90.0, 90.0, -180.0, 180.0)
     var even = true
-    hash.foreach { c =>
-      val ord = c.toInt
+    // iterate CODE POINTS like Rust `chars()` (util/geo/mod.rs:59) — the
+    // invalid-char fall-through uses the raw scalar value, so a non-BMP
+    // char must contribute ONE iteration, not two surrogate halves
+    hash.codePoints.forEach { ord =>
       val cd =
         if (ord >= 48 && ord <= 57) ord - 48        // 0-9
         else if (ord >= 98 && ord <= 104) ord - 88  // b-h
@@ -2520,6 +2617,28 @@ object Functions {
 
   /** Natural sort: digit runs compare numerically ("2" < "11"). */
   /** Optional sort-direction argument: "desc"/false → descending. */
+  /** Parse a type::field/type::fields path string as an idiom, with the
+    * reference's error text on failure (builtin/type.rs:132
+    * "Invalid field path '{path}': {e}"). */
+  private[surql] def parseFieldPath(path: String): ast.Expr =
+    try Parser.parseExpr(path)
+    catch { case e: Exception =>
+      throw SqlError(s"Invalid field path '$path': ${e.getMessage}") }
+
+  /** Record-id key from a type::thing/type::record second argument
+    * (fnc/type.rs record: Number::Int stays an int key; Float/Decimal
+    * convert to their PLAIN Rust `to_string` as STRING keys — "2", not
+    * "2f"; other values keep their own key form). */
+  private def ridKeyOf(key: V): V = key match {
+    case VFloat(d) =>
+      VStr(if (d.isNaN) "NaN"
+           else if (d == Double.PositiveInfinity) "inf"
+           else if (d == Double.NegativeInfinity) "-inf"
+           else Render.floatDigits(d))
+    case VDec(d) => VStr(Render.decStr(d))
+    case other   => other
+  }
+
   private def descArg(v: V): Boolean = v match {
     case VStr(s)  => s.equalsIgnoreCase("desc")
     case VBool(b) => !b

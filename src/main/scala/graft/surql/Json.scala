@@ -2,9 +2,12 @@ package graft.surql
 
 import scala.collection.immutable.TreeMap
 
-/** JSON encode/decode for `encoding::json::*` (surrealdb: fnc/encoding.rs,
-  * serde_json semantics): compact output, object keys in map order, floats
-  * shortest-digits, NONE/NULL → null. */
+/** JSON encode/decode for `encoding::json::*` (surrealdb: fnc/encoding.rs
+  * json module → rpc/format/json.rs encode_str → types/src/value/
+  * into_json.rs + serde_json): compact output, object keys in BTreeMap
+  * (sorted) order, floats in serde_json's ryu "pretty" form (`2.0`,
+  * `1e16`), DECIMALS AS QUOTED STRINGS, geometries as GeoJSON objects,
+  * bytes as number arrays, NaN/±inf and NONE/NULL → null. */
 object Json {
 
   def encode(v: V): String = {
@@ -13,14 +16,60 @@ object Json {
     sb.toString
   }
 
+  /** serde_json's float rendering (the ryu crate's pretty format):
+    * shortest digits, positional iff the scientific exponent k is in
+    * [-6, 15] — `0.000001` but `1e-7`, `1000000000000000.0` but `1e16` —
+    * positional integral floats keep `.0`, scientific mantissas drop it. */
+  def ryuFloat(d: Double): String = {
+    if (d == 0.0)
+      return if (1.0 / d < 0) "-0.0" else "0.0"
+    val neg = d < 0
+    val s = java.lang.Double.toString(Math.abs(d))
+    val (mant, exp) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case i  => (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val rawDigits = mant.substring(0, dot) + mant.substring(dot + 1)
+    var lead = 0
+    while (lead < rawDigits.length - 1 && rawDigits.charAt(lead) == '0') lead += 1
+    var digits = rawDigits.substring(lead)
+    var k = dot - 1 - lead + exp // value = digits[0].digits[1..] × 10^k
+    val trimmed = digits.reverse.dropWhile(_ == '0').reverse
+    digits = if (trimmed.isEmpty) "0" else trimmed
+    val sb = new StringBuilder(if (neg) "-" else "")
+    if (k >= -6 && k <= 15) {
+      val kk = k + 1 // digits before the decimal point
+      if (kk <= 0) {
+        sb.append("0.")
+        (0 until -kk).foreach(_ => sb.append('0'))
+        sb.append(digits)
+      } else if (kk >= digits.length) {
+        sb.append(digits)
+        (digits.length until kk).foreach(_ => sb.append('0'))
+        sb.append(".0")
+      } else {
+        sb.append(digits.substring(0, kk)).append('.').append(digits.substring(kk))
+      }
+    } else {
+      sb.append(digits.charAt(0))
+      if (digits.length > 1) sb.append('.').append(digits.substring(1))
+      sb.append('e').append(k)
+    }
+    sb.toString
+  }
+
   private def write(sb: StringBuilder, v: V): Unit = v match {
     case VNone | VNull => sb.append("null")
     case VBool(b)      => sb.append(if (b) "true" else "false")
     case VInt(i)       => sb.append(i)
     case VFloat(d)     =>
+      // JsonNumber::from_f64 is None for NaN/±inf → null (into_json.rs:29)
       if (d.isNaN || d.isInfinity) sb.append("null")
-      else sb.append(Render.floatDigits(d))
-    case VDec(d)       => sb.append(Render.decStr(d))
+      else sb.append(ryuFloat(d))
+    // Decimal serializes as a STRING (into_json.rs:35 decimal.to_string →
+    // JsonValue::String), keeping arbitrary precision JSON-safe
+    case VDec(d)       => writeString(sb, Render.decStr(d))
     case VStr(s)       => writeString(sb, s)
     case VArr(items)   =>
       sb.append('[')
@@ -36,7 +85,33 @@ object Json {
         writeString(sb, k); sb.append(':'); write(sb, fv)
       }
       sb.append('}')
+    // geometries are GeoJSON OBJECTS (into_json.rs geometry_into_json_value;
+    // key order is serde_json's default BTreeMap = alphabetical, which the
+    // sorted-TreeMap object writer reproduces); coordinates are f64s
+    case VGeom(kind, coords) =>
+      val key = if (kind == "GeometryCollection") "geometries" else "coordinates"
+      write(sb, V.obj(key -> floatify(coords), "type" -> VStr(kind)))
+    // bytes serialize as an ARRAY of numbers (into_json.rs:63)
+    case VBytes(bs)    =>
+      sb.append('[')
+      var first = true
+      bs.foreach { b => if (!first) sb.append(','); first = false; sb.append(b & 0xff) }
+      sb.append(']')
+    // table name is the RAW string (Table::to_string), not the escaped ident
+    case VTable(name)  => writeString(sb, name)
     case other => writeString(sb, other.renderRaw)
+  }
+
+  /** Geometry coordinates are f64 in GeoJSON — ints inside stored
+    * coordinate arrays render as floats (`1.0`). */
+  private def floatify(v: V): V = v match {
+    case VInt(i)     => VFloat(i.toDouble)
+    case VDec(d)     => VFloat(d.toDouble)
+    case VArr(items) => VArr(items.map(floatify))
+    case g: VGeom    =>
+      // GeometryCollection members are full GeoJSON objects themselves
+      g
+    case other       => other
   }
 
   private def writeString(sb: StringBuilder, s: String): Unit = {
@@ -162,7 +237,14 @@ object Json {
       }
       val text = s.substring(start, pos)
       if (isFloat) VFloat(text.toDouble)
-      else try VInt(text.toLong) catch { case _: NumberFormatException => VFloat(text.toDouble) }
+      else try VInt(text.toLong) catch {
+        case _: NumberFormatException =>
+          // beyond i64 but within u64 → DECIMAL (json_to_value:41-42
+          // `n.as_u64` → PublicNumber::Decimal); beyond u64 → f64
+          val big = BigInt(text)
+          if (big >= 0 && big <= BigInt("18446744073709551615")) VDec(BigDecimal(big))
+          else VFloat(text.toDouble)
+      }
     }
   }
 }

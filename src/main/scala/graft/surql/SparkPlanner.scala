@@ -1291,8 +1291,12 @@ object SparkPlanner {
             .filter(col(key).isin(keyLits: _*)).limit(1).collect()
           if (clash.nonEmpty) {
             val hit = targets.find(x =>
+              // mirror ridKeyLit's literal forms (Row.get.toString of a
+              // double is Java's "2.0", NOT the `2f` raw rendering)
               clash.head.get(0).toString == (x._2 match {
-                case VStr(sv) => sv; case other => other.renderRaw
+                case VStr(sv)   => sv
+                case VFloat(dv) => java.lang.Double.toString(dv)
+                case other      => other.renderRaw
               })).getOrElse(targets.head)
             throw SqlError(
               s"Database record `${Render.sql(VRid(t, hit._2))}` already exists")
@@ -3789,10 +3793,11 @@ object SparkPlanner {
       array_sort(aggExpr(inner, ctx, groupAll))
     case FnCall("array::join", Seq(inner, sep)) if isAggregate(inner) =>
       concat_ws(sep match { case Lit(VStr(x)) => x; case _ => "," },
-        aggExpr(inner, ctx, groupAll))
+        transform(aggExpr(inner, ctx, groupAll), x => rawStrCol(x)))
     case FnCall("array::join", Seq(inner, sep)) =>
       concat_ws(sep match { case Lit(VStr(x)) => x; case _ => "," },
-        array_sort(collect_list(toCol(inner, ctx))))
+        transform(array_sort(collect_list(toCol(inner, ctx))),
+          x => rawStrCol(x)))
     case Binary(op, l, r) if isAggregate(e) =>
       val lc = if (isAggregate(l)) aggExpr(l, ctx, groupAll) else toCol(l, ctx)
       val rc = if (isAggregate(r)) aggExpr(r, ctx, groupAll) else toCol(r, ctx)
@@ -4306,7 +4311,7 @@ object SparkPlanner {
         folded.map(c).getOrElse(k match {
           case Kind.KInt     => c(inner).cast("bigint")
           case Kind.KFloat   => c(inner).cast("double")
-          case Kind.KString  => c(inner).cast("string")
+          case Kind.KString  => castStrCol(c(inner))
           case Kind.KBool    => c(inner).cast("boolean")
           case Kind.KDecimal => c(inner).cast("decimal(38,10)")
           case Kind.KDatetime => c(inner).cast("timestamp")
@@ -4336,6 +4341,25 @@ object SparkPlanner {
             .getOrElse(throw SqlError(s"SparkPlanner: unsupported expression $other"))
         else throw SqlError(s"SparkPlanner: unsupported expression $other")
     }
+  }
+
+  /** `to_raw_string` rendering of a column — finite floats `2f`, decimals
+    * `1.5dec` (val/mod.rs:225 falls to to_sql; val/number.rs ToSql). Used by
+    * array::join / string::concat / string::join / THROW, which the
+    * reference renders raw. Non-float types collapse back to the built-in
+    * cast (graft.functions.RawStr is RuntimeReplaceable). */
+  private def rawStrCol(c: Column): Column = {
+    graft.functions.RawStrKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_rawstr", c)
+  }
+
+  /** `<string>`-cast rendering — like [[rawStrCol]] but decimals render
+    * PLAIN (convert/cast.rs:360 special-cases Decimal; floats keep `f`). */
+  private def castStrCol(c: Column): Column = {
+    graft.functions.RawStrKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_caststr", c)
   }
 
   /** Bounds-checked element_at (ANSI mode errors out-of-range; the
@@ -4496,18 +4520,16 @@ object SparkPlanner {
          "math::nearestrank" | "math::clamp" | "math::lerp"
         if raw.nonEmpty && raw.forall(isConstExpr) =>
       toCol(Lit(Eval.evalConst(FnCall(name, raw))), ctx)
-    // a join whose input is one of the logical trio folds with it (the
-    // trio's mixed-type output has no Spark element type); other constant
-    // joins keep the columnar lowering
-    case "array::join" if raw.forall(isConstExpr) && (raw.headOption match {
-        case Some(FnCall(n2, _)) => n2.startsWith("array::logical_")
-        case _ => false
-      }) =>
+    // a fully-constant join folds through the interpreter: mixed-type
+    // arrays (the logical trio's output, [1.5dec, 1], …) have no Spark
+    // element type — Catalyst would unify them to double and lose the
+    // per-type raw rendering (decimal `dec` suffix, val/mod.rs:225)
+    case "array::join" if raw.forall(isConstExpr) =>
       toCol(Lit(Eval.evalConst(FnCall(name, raw))), ctx)
     case "string::lowercase" => lower(cs(0))
     case "string::uppercase" => upper(cs(0))
     case "string::len"       => length(cs(0)).cast("bigint")
-    case "string::concat"    => concat(cs: _*)
+    case "string::concat"    => concat(cs.map(rawStrCol): _*)
     case "string::replace" => raw(1) match {
       // regex search (fnc/string.rs replace Regex arm): all matches
       // splice the replacement LITERALLY (no capture expansion), with
@@ -4898,7 +4920,6 @@ object SparkPlanner {
       // (?U) = UNICODE_CHARACTER_CLASS: the Rust regex crate's \d \w \s
       // are Unicode by default (fnc/string.rs matches → Regex::is_match)
       regexp_like(cs(0), concat(lit("(?U)"), cs(1)))
-    case "string::reverse" => reverse(cs(0))
     case "string::similarity::jaro" =>
       graft.functions.StrSimKernels.ensure(
         org.apache.spark.sql.SparkSession.active)
@@ -4940,7 +4961,7 @@ object SparkPlanner {
       call_function("graft_semver_cmp", cs(0), cs(1))
     // join(sep, parts…) — parts render raw (fnc/string.rs Join)
     case "string::join" => raw(0) match {
-      case Lit(VStr(sep)) => concat_ws(sep, cs.tail.map(_.cast("string")): _*)
+      case Lit(VStr(sep)) => concat_ws(sep, cs.tail.map(rawStrCol): _*)
       case _ => throw SqlError("SparkPlanner: string::join needs a constant separator")
     }
     // unicode character-class predicates (fnc/string.rs is::*)
@@ -5061,10 +5082,10 @@ object SparkPlanner {
       safeElementAt(cs(0), adj)
     case "array::first"    => safeElementAt(cs(0), lit(1))
     case "array::join"     =>
-      // elements render raw (array.rs ArrayJoin) — cast non-strings so
-      // concat_ws accepts numeric/id arrays (e.g. graph-hop results)
+      // elements render raw (array.rs ArrayJoin → into_raw_string): floats
+      // carry the `f` suffix, decimals `dec`; other types cast
       concat_ws(raw(1) match { case Lit(VStr(s)) => s; case _ => "," },
-        transform(cs(0), x => x.cast("string")))
+        transform(cs(0), x => rawStrCol(x)))
     case "array::slice"    =>
       // [start, END) index semantics, negative wrap, runtime-capable —
       // matching the interpreter's fnc/array.rs:742 lowering (the old
@@ -5336,7 +5357,7 @@ object SparkPlanner {
       constMsg match {
         case Some(m) => raise_error(lit("An error occurred: " + m))
         case scala.None =>
-          raise_error(concat(lit("An error occurred: "), cs(0).cast("string")))
+          raise_error(concat(lit("An error occurred: "), rawStrCol(cs(0))))
       }
     // ---- crypto::* (builtins; hex output matches DuckDB) -----------------
     case "crypto::md5"    => md5(cs(0))
@@ -5503,11 +5524,18 @@ object SparkPlanner {
     case "vector::add"      => zip_with(cs(0), cs(1), (x, y) => x + y)
     case "vector::subtract" => zip_with(cs(0), cs(1), (x, y) => x - y)
     case "vector::multiply" => zip_with(cs(0), cs(1), (x, y) => x * y)
-    case "vector::divide"   => zip_with(cs(0), cs(1), (x, y) => x / y)
+    // vector_div (util/math/vector.rs:90): NaN when either side is NaN or
+    // the divisor is ZERO — never Infinity, never an ANSI error
+    case "vector::divide"   => zip_with(cs(0), cs(1), (x, y) =>
+      when(isnan(x.cast("double")) || isnan(y.cast("double")) || y === 0,
+        lit(Double.NaN)).otherwise(x.cast("double") / y))
     case "vector::scale"    => transform(cs(0), x => x * cs(1))
     case "vector::normalize" =>
       val mag = graft.operators.Similarity.norm(cs(0))
-      transform(cs(0), x => x.cast("double") / mag)
+      // zero magnitude → NaN elements (normalize → vector_div)
+      transform(cs(0), x =>
+        when(isnan(x.cast("double")) || mag === 0, lit(Double.NaN))
+          .otherwise(x.cast("double") / mag))
     case "vector::angle" =>
       acos(graft.operators.Similarity.cosine(cs(0), cs(1)))
     case "vector::cross" =>
@@ -5613,7 +5641,8 @@ object SparkPlanner {
     }
     case "rand::bool" => rand() > 0.5
     case "rand::uuid" => expr("uuid()")
-    case "type::string" | "type::string_lossy" => cs(0).cast("string")
+    // cast semantics (fnc/type.rs string → cast_to::<String>)
+    case "type::string" | "type::string_lossy" => castStrCol(cs(0))
     case "type::int"    => cs(0).cast("bigint")
     case "type::float"  => cs(0).cast("double")
     // type:: conversions over COLUMN arguments (Coerce.cast analogs; the

@@ -87,16 +87,16 @@ sealed abstract class V {
   }
 
   def render: String = Render.sql(this)
-  /** Raw rendering (to_raw_string): strings unquoted, numbers without
-    * suffixes, datetimes/uuids without their literal prefixes. */
+  /** Raw rendering — the reference's `Value::to_raw_string`
+    * (core/src/val/mod.rs:225-232): strings unquoted, datetimes/uuids
+    * without their literal prefixes, and EVERYTHING ELSE falls through to
+    * `to_sql` — so finite floats carry the `f` suffix (`2f`, val/number.rs
+    * ToSql) and decimals the `dec` suffix (`1.5dec`, types/src/sql.rs:238).
+    * NaN/±Infinity stay bare (fmt_non_finite_f64). The `<string>` cast is
+    * DIFFERENT: it special-cases Decimal as plain (convert/cast.rs:360) —
+    * see Coerce. */
   def renderRaw: String = this match {
     case VStr(s)   => s
-    case VFloat(d) =>
-      if (d.isNaN) "NaN"
-      else if (d == Double.PositiveInfinity) "Infinity"
-      else if (d == Double.NegativeInfinity) "-Infinity"
-      else Render.floatDigits(d)
-    case VDec(d)   => Render.decStr(d)
     case VDt(t)    => Render.rfc3339(t)
     case VUuid(u)  => u.toString
     case other     => Render.sql(other)

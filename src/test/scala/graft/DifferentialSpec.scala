@@ -504,6 +504,24 @@ class DifferentialSpec extends AnyFunSuite {
     }.mkString(", ") + " }")
   }
 
+  // the r19→r20 float-render fix: finite floats carry the `f` suffix in
+  // every raw-string surface (to_raw_string → to_sql, val/number.rs ToSql),
+  // decimals render `dec`-suffixed raw but PLAIN in `<string>` casts
+  // (convert/cast.rs:360) — no golden covers finite float→string, so this
+  // differential case is the standing guard on both paths
+  test("differential-float-render: f suffix in casts/joins/concat agrees") {
+    // constant path (folds through the interpreter on the Spark side)
+    checkSame("""RETURN { a: <string>2.0, b: <string>2.5, c: <string>(-0.5),
+      d: <string>1.5dec, e: <string>math::inf, f: <string>(0.0/0.0),
+      j: array::join([2.0, 3.0], ','), jd: array::join([1.5dec, 1], '|'),
+      cc: string::concat('v=', 0.1), sj: string::join('-', 2.5, 'x'),
+      ts: type::string(0.5) }""")
+    // row-dependent path (pins the RawStr codegen kernel)
+    checkSame("""SELECT name, <string>(price * 2) AS s, type::string(price) AS t,
+      string::concat('p', price) AS c, array::join([price, 2.0], ',') AS j
+      FROM item WHERE qty = 1 ORDER BY name LIMIT 3;""")
+  }
+
   // array set-algebra over inputs WITH duplicates — Spark's array_union/
   // intersect/except dedup, the reference's fnc/array.rs may not; pin the
   // agreement explicitly (the r15 UNSET fix was exactly this class)
@@ -963,6 +981,92 @@ class DifferentialSpec extends AnyFunSuite {
       s"expected the named decline, got: ${e.getMessage}")
     assert((System.nanoTime() - t0) / 1e9 < 10.0,
       "the guard must trip before the tree blows up, not after")
+  }
+
+  test("fn::-body decline boundary is enumerated policy (r20)") {
+    // SparkPlanner.blockToExpr declines four body shapes to the
+    // interpreter; each decline reason is pinned here as POLICY — the
+    // Spark path must raise its NAMED error (never a silent wrong answer),
+    // and the interpreter must run the same body correctly. A mutation
+    // inside a per-row projection has no sane distributed semantics;
+    // row-dependent FOR sources / RETURN-BREAK-CONTINUE in subtrees would
+    // need per-row control flow; a non-deterministic LET must evaluate
+    // once per row, which symbolic substitution would re-roll.
+    def declines(script: String, msgPart: String): Unit = {
+      val e = intercept[Exception] {
+        Tables.withOverlay(Map("item" -> df)) {
+          SparkPlanner.script(spark, "/nonexistent", script).collect()
+        }
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(msgPart)),
+        s"expected the named decline '$msgPart': ${msgs(e).mkString(" | ")}")
+    }
+    def interpOk(script: String, col: String, expect: V): Unit = {
+      val in = new Interp
+      in.run(Parser.parse(fixtureScript))
+      in.run(Parser.parse(script)).last match {
+        case QOk(VArr(items)) =>
+          assert(items.nonEmpty, "interp returned no rows")
+          items.head match {
+            case VObj(m) => assert(m(col) == expect,
+              s"interp value wrong: ${m(col)} != $expect")
+            case other => fail(s"unexpected interp row: $other")
+          }
+        case other => fail(s"interpreter path failed: $other")
+      }
+    }
+
+    // 1. mutating body — the canonical effectful shape
+    val mut =
+      """DEFINE FUNCTION fn::bump() {
+           UPDATE item SET qty = qty + 100 WHERE id = 1; RETURN 7
+         };
+         SELECT fn::bump() AS v FROM item LIMIT 1;"""
+    declines(mut, "interpreter-only")
+    interpOk(mut, "v", VInt(7))
+
+    // 2. row-dependent FOR source (only plan-time-constant arrays unroll)
+    val rowFor =
+      """DEFINE FUNCTION fn::ck2($t: array) {
+           FOR $x IN $t { IF $x = 'zzz' { THROW 'no' } };
+           RETURN array::len($t)
+         };
+         SELECT fn::ck2(tags) AS v FROM item LIMIT 1;"""
+    declines(rowFor, "interpreter-only")
+    interpOk(rowFor, "v", VInt(2))
+
+    // 3a. BREAK inside a FOR subtree (whole-function control flow)
+    val brk =
+      """DEFINE FUNCTION fn::brk() {
+           FOR $x IN [1, 2, 3] { BREAK };
+           RETURN 9
+         };
+         SELECT fn::brk() AS v FROM item LIMIT 1;"""
+    declines(brk, "interpreter-only")
+    interpOk(brk, "v", VInt(9))
+
+    // 3b. RETURN inside a NON-terminal IF (early return past a
+    // continuation would change what the fn returns)
+    val early =
+      """DEFINE FUNCTION fn::early($x: number) {
+           IF $x > 100 { RETURN 0 };
+           RETURN $x
+         };
+         SELECT fn::early(qty) AS v FROM item WHERE qty = 3 LIMIT 1;"""
+    declines(early, "interpreter-only")
+    interpOk(early, "v", VInt(3))
+
+    // 4. non-deterministic LET — declines BY NAME; by-value evaluation
+    // makes $r - $r exactly zero on the interpreter
+    val roll =
+      """DEFINE FUNCTION fn::roll() {
+           LET $r = rand::float(); RETURN $r - $r
+         };
+         SELECT fn::roll() AS v FROM item LIMIT 1;"""
+    declines(roll, "non-deterministic LET")
+    interpOk(roll, "v", VFloat(0.0))
   }
 
   test("array-element DEFINE FIELD paths enforce on the Spark path (r18)") {
