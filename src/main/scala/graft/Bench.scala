@@ -84,7 +84,16 @@ object Bench {
     val total = results.map(_._2).sum
     // a query that died mid-run must not post a plausible wall-time and keep
     // the bench green — failures are first-class in the emitted record
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failed":$failuresJson,"sf":"$sfDir"}""")
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repJson,"failed":$failuresJson,"sf":"$sfDir"}"""
+    println(record)
+    // The driver's stdout capture truncates the tail of long lines
+    // ("parsed": null in BENCH_r1x artifacts) — persist the full record to
+    // a file in the repo so the per-query rep series survive verbatim.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LOCAL_FULL.json"),
+      (record + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL_FULL.json: $e") }
     // The driver's artifact capture keeps only the TAIL of stdout; emitting
     // a compact top-20 summary AFTER the full record means the headline
     // numbers survive any truncation of the (long) per-query JSON line.
