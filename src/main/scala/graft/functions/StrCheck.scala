@@ -82,8 +82,11 @@ object StrCheck {
     } && totalAscii <= 253
   }
 
+  /** Rust std `Ipv4Addr::from_str` (fnc/string.rs is::ipv4): exactly four
+    * decimal octets, NO leading zeros ("01.2.3.4" is false), each <= 255. */
   def isIpv4(s: String): Boolean =
-    s.matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") && s.split('.').forall(_.toInt <= 255)
+    s.matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$") &&
+      s.split('.').forall(p => (p == "0" || !p.startsWith("0")) && p.toInt <= 255)
 
   def isEmail(e: String): Boolean = {
     val at = e.lastIndexOf('@')
@@ -93,8 +96,11 @@ object StrCheck {
         local.forall(c => c.isLetterOrDigit || "!#$%&'*+-/=?^_`{|}~.".contains(c))
       val hostOk =
         if (host.startsWith("[") && host.endsWith("]")) {
+          // addr feeds the bracket content to std IpAddr::from_str: bare
+          // `[::1]` parses, the RFC 5321 `[IPv6:...]` tag does NOT (golden
+          // parse/email/host.surql pins NONE for the tagged form)
           val inner = host.substring(1, host.length - 1)
-          isIpv6(inner.stripPrefix("IPv6:")) || isIpv4(inner)
+          isIpv6(inner) || isIpv4(inner)
         } else isDomain(host) // parse_email_address requires a valid domain
       localOk && hostOk
     }

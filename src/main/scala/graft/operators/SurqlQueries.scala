@@ -204,6 +204,46 @@ object SurqlQueries {
               type::string(o_totalprice * 0 + 0.5) AS r_ts
        FROM orders:1..4 ORDER BY o_orderkey""")
 
+  /** r20: parse::url/email through the WHATWG + addr kernels
+    * (graft.functions.UrlParse; reference fnc/parse.rs → url crate 2.5 /
+    * addr 0.15). Constant columns fold through the interpreter; the h_row/
+    * p_row columns are row-dependent and pin the graft_url_part codegen
+    * path. Pinned forms: case/IDNA lowering, IPv4 normalization with
+    * domain() None, default-port restore, >65535 failing the whole parse,
+    * dot-segment paths, empty-query Some(""), fragment %20-encoding,
+    * IDN email hosts as written, RFC 5321 IPv6 literals in Rust Display
+    * form, invalid emails NONE. */
+  val fnR20Parse = sq("fn_r20_parse",
+    """SELECT o_orderkey,
+              'example.com' AS h_case, 'xn--bcher-kva.de' AS h_idna,
+              '127.0.0.1' AS h_ip, CAST(NULL AS VARCHAR) AS d_ip,
+              80 AS p_dflt, 8080 AS p_expl, CAST(NULL AS BIGINT) AS p_bad,
+              '/c/d' AS pth, '' AS q_empty, 'a%20b' AS frag,
+              'john.doe' AS e_user, 'bücher.de' AS e_idn, '::1' AS e_ip,
+              CAST(NULL AS VARCHAR) AS e_bad,
+              'h' || CAST(o_orderkey AS VARCHAR) || '.com' AS h_row,
+              CAST(8080 + o_orderkey AS BIGINT) AS p_row
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 3
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              parse::url::host('HTTP://EXAMPLE.com/x') AS h_case,
+              parse::url::host('http://bücher.de/') AS h_idna,
+              parse::url::host('http://0x7f.1/') AS h_ip,
+              parse::url::domain('http://0x7f.1/') AS d_ip,
+              parse::url::port('http://a.com/') AS p_dflt,
+              parse::url::port('http://a.com:8080/') AS p_expl,
+              parse::url::port('http://a.com:99999/') AS p_bad,
+              parse::url::path('http://a/b/../c/./d') AS pth,
+              parse::url::query('http://a/?') AS q_empty,
+              parse::url::fragment('http://a/p#a b') AS frag,
+              parse::email::user('john.doe@example.com') AS e_user,
+              parse::email::host('u@bücher.de') AS e_idn,
+              parse::email::host('u@[0:0:0:0:0:0:0:1]') AS e_ip,
+              parse::email::host('not an email') AS e_bad,
+              parse::url::host(string::concat('HTTP://H', o_orderkey, '.com/x')) AS h_row,
+              parse::url::port(string::concat('ws://h:808', o_orderkey, '/p')) AS p_row
+       FROM orders:1..4 ORDER BY o_orderkey""")
+
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -2109,5 +2149,5 @@ object SurqlQueries {
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
-    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2, fnR20FloatFmt)
+    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2, fnR20FloatFmt, fnR20Parse)
 }

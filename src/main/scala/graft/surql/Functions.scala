@@ -809,24 +809,14 @@ object Functions {
         }
       case "string::is::record" =>
         VBool(try { Parser.parseValue(str(0)).isInstanceOf[VRid] } catch { case _: Exception => false })
+      // ammonia 4.1 (fnc/string.rs:378-390) — shared kernel with the Spark
+      // lowering: clean_text escape set for encode, the allowlist HTML
+      // sanitizer for sanitize (r20 sweep: the old strip-all-tags regex
+      // diverged on the reference's own `<div>` vector)
       case "string::html::encode" =>
-        // ammonia::clean_text escape set
-        VStr(str(0).flatMap {
-          case '&' => "&amp;"
-          case '<' => "&lt;"
-          case '>' => "&gt;"
-          case '"' => "&quot;"
-          case '\'' => "&#39;"
-          case '`' => "&#96;"
-          case '/' => "&#47;"
-          case '=' => "&#61;"
-          case ' ' => "&#32;"
-          case '\t' => "&#9;"
-          case '\n' => "&#10;"
-          case '\r' => "&#13;"
-          case c => c.toString
-        })
-      case "string::html::sanitize" => VStr(str(0).replaceAll("<[^>]*>", ""))
+        VStr(graft.functions.Ammonia.cleanText(str(0)))
+      case "string::html::sanitize" =>
+        VStr(graft.functions.Ammonia.clean(str(0)))
       // semver family via the shared graft.functions.Semver engine
       // (fnc/string.rs semver::* → the semver crate: STRICT parse with the
       // reference error texts; §11 precedence incl. pre-release ordering —
@@ -1632,43 +1622,27 @@ object Functions {
 
       // ---- parse -------------------------------------------------------
       case "parse::email::host" =>
-        parseEmailAddr(str(0)).map(p => VStr(p._2): V).getOrElse(VNone)
+        graft.functions.UrlParse.parseEmail(str(0))
+          .map(p => VStr(p._2): V).getOrElse(VNone)
       case "parse::email::user" =>
-        parseEmailAddr(str(0)).map(p => VStr(p._1): V).getOrElse(VNone)
-      case "parse::url::domain" | "parse::url::host" => uriPart(str(0), _.getHost)
-      case "parse::url::path" =>
-        parseUrlPath(str(0)).map(VStr(_): V).getOrElse(VNone)
+        graft.functions.UrlParse.parseEmail(str(0))
+          .map(p => VStr(p._1): V).getOrElse(VNone)
+      // WHATWG parsing per the reference's url crate (r20 sweep) — the
+      // same graft.functions.UrlParse statics the Spark lowering codegens:
+      // IDNA'd lowercase domains, IPv4/IPv6 normalization, dot-segment
+      // paths, per-component encode sets, domain() None on IP hosts,
+      // port_or_known_default, >65535 ports failing the WHOLE parse
+      case "parse::url::domain" | "parse::url::host" | "parse::url::path" |
+           "parse::url::query" | "parse::url::scheme" | "parse::url::fragment" =>
+        val r = graft.functions.UrlParse.part(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str(0)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(
+            name.stripPrefix("parse::url::")))
+        if (r == null) VNone else VStr(r.toString)
       case "parse::url::port" =>
-        // manual authority scan: the url crate rejects ports > 65535; a
-        // bracketed IPv6 host carries ':' INSIDE the brackets (r17 url
-        // sweep — the old host pattern stopped at the first ':')
-        val u = str(0)
-        val m = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?(?:\\[[^\\]]*\\]|[^/:?#]*):(\\d+)".r
-          .findFirstMatchIn(u)
-        m.map(_.group(1).toLong) match {
-          case Some(p) if p <= 65535 => VInt(p)
-          case _ => VNone
-        }
-      case "parse::url::scheme" => uriPart(str(0), _.getScheme)
-      case "parse::url::query" =>
-        // raw query with url-crate percent-encoding of unsafe chars
-        val u = str(0)
-        val q0 = u.indexOf('?')
-        if (q0 < 0 || !u.matches("^[A-Za-z][A-Za-z0-9+.-]*:.*")) VNone
-        else {
-          val tail = u.substring(q0 + 1).takeWhile(_ != '#')
-          if (tail.isEmpty) VNone
-          else VStr(tail.flatMap {
-            case ' '  => "%20"
-            case '\'' => "%27"
-            case '"'  => "%22"
-            case '<'  => "%3C"
-            case '>'  => "%3E"
-            case '`'  => "%60"
-            case c    => c.toString
-          })
-        }
-      case "parse::url::fragment" => uriPart(str(0), _.getFragment)
+        val p = graft.functions.UrlParse.port(
+          org.apache.spark.unsafe.types.UTF8String.fromString(str(0)))
+        if (p < 0) VNone else VInt(p)
 
       // internal: the lowered form of a THROW statement inside an inlined
       // fn:: body (SparkPlanner.blockToExpr) — the reference's Thrown
@@ -2285,52 +2259,6 @@ object Functions {
 
   /** RFC2822-ish email split: Some((local, host)) or None when invalid
     * (fnc/parse.rs email via addr crate; IPv6 literals are rejected). */
-  private def parseEmailAddr(s: String): Option[(String, String)] = {
-    val at = s.lastIndexOf('@')
-    if (at <= 0 || at == s.length - 1) return scala.None
-    val local = s.substring(0, at)
-    val host = s.substring(at + 1)
-    val localOk =
-      if (local.length >= 2 && local.startsWith("\"") && local.endsWith("\"")) true
-      else local.nonEmpty && !local.contains("..") && !local.startsWith(".") && !local.endsWith(".") &&
-        local.forall(c => c.isLetterOrDigit || "!#$%&'*+-/=?^_`{|}~.".contains(c))
-    if (!localOk) return scala.None
-    val hostClean =
-      if (host.startsWith("[") && host.endsWith("]")) {
-        val inner = host.substring(1, host.length - 1)
-        if (inner.matches("^([0-9]{1,3}\\.){3}[0-9]{1,3}$")) Some(inner) else scala.None
-      } else if (host.matches("^[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*$")) Some(host)
-      else scala.None
-    hostClean.map(h => (local, h))
-  }
-
-  /** URL path per the rust `url` crate: special schemes normalize ./..
-    * segments and default to "/"; other schemes keep the raw remainder;
-    * scheme-less input fails (fnc/parse.rs url::path). */
-  private def parseUrlPath(u: String): Option[String] = {
-    val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*):(.*)$".r
-    u match {
-      case SchemeRe(scheme, rest) =>
-        val special = Set("http", "https", "ws", "wss", "ftp", "file")(scheme.toLowerCase)
-        if (special) {
-          val afterScheme = if (rest.startsWith("//")) rest.drop(2) else rest
-          val slash = afterScheme.indexOf('/')
-          val raw0 = if (slash < 0) "/" else afterScheme.substring(slash)
-          val raw = raw0.takeWhile(c => c != '?' && c != '#')
-          val trailing = raw.endsWith("/")
-          val out = scala.collection.mutable.ArrayBuffer[String]()
-          raw.split('/').filter(_.nonEmpty).foreach {
-            case "."  => ()
-            case ".." => if (out.nonEmpty) out.remove(out.length - 1)
-            case seg  => out += seg
-          }
-          val base = "/" + out.mkString("/")
-          Some(if (out.isEmpty) "/" else if (trailing) base + "/" else base)
-        } else Some(rest.takeWhile(c => c != '?' && c != '#'))
-      case _ => scala.None
-    }
-  }
-
   /** RFC-ish IPv6 textual check (supports ::-compression). */
   /** Numbers-only array for math::top/bottom. */
   private def nums2(items: Vector[V], name: String): Vector[VNum] = items.map {
@@ -2539,12 +2467,6 @@ object Functions {
       case _ => false
     }
 
-
-  private def uriPart(s: String, f: java.net.URI => String): V =
-    try {
-      val r = f(new java.net.URI(s))
-      if (r == null || r.isEmpty) VNone else VStr(r)
-    } catch { case _: Exception => VNone }
 
   private val GeohashBase32 = "0123456789bcdefghjkmnpqrstuvwxyz"
 

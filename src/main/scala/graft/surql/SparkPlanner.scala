@@ -5296,14 +5296,15 @@ object SparkPlanner {
       keys.foldLeft(cs(0))((acc, k) => acc.dropFields(k))
     // JSON text of a struct/array column (fnc/encoding.rs json::encode)
     case "encoding::json::encode" => to_json(cs(0))
-    // ---- string::html::encode — the ammonia clean_text escape set -------
-    case "string::html::encode" =>
-      Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;", "\"" -> "&quot;",
-        "'" -> "&#39;", "`" -> "&#96;", "/" -> "&#47;", "=" -> "&#61;",
-        " " -> "&#32;", "\t" -> "&#9;", "\n" -> "&#10;", "\r" -> "&#13;")
-        .foldLeft(cs(0)) { case (c, (from, to)) =>
-          regexp_replace(c, java.util.regex.Pattern.quote(from), to)
-        }
+    // ---- string::html::* — ammonia 4.1 via the shared kernel (r20: one
+    // codegen'd pass instead of the old 12-regex replace chain; sanitize
+    // is the real allowlist sanitizer, not a tag-strip) ------------------
+    case "string::html::encode" | "string::html::sanitize" =>
+      graft.functions.HtmlKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function(
+        if (name.endsWith("encode")) "graft_html_encode" else "graft_html_sanitize",
+        cs(0))
     // ---- encoding::base64 — reference default: UNPADDED encode (a truthy
     // second arg pads), padding-indifferent STRICT decode (fnc/encoding.rs
     // STANDARD_NO_PAD / STANDARD_GENERIC_DECODER). Spark's unbase64 skips
@@ -5391,27 +5392,26 @@ object SparkPlanner {
       val scheme = name.stripPrefix("crypto::").stripSuffix("::compare")
       call_function(s"graft_pw_${scheme}_compare", cs(0), cs(1))
     // ---- parse::* --------------------------------------------------------
-    case "parse::url::host" | "parse::url::domain" => parse_url(cs(0), lit("HOST"))
-    case "parse::url::fragment" => parse_url(cs(0), lit("REF"))
+    // WHATWG parsing per the reference's url crate (r20 sweep): IDNA/
+    // lowercase/IPv4-IPv6 normalization, default-port restore, whole-parse
+    // failure on bad ports — Spark's parse_url does none of these, so the
+    // lowering codegens the SAME UrlParse statics the interpreter calls
+    case "parse::url::host" | "parse::url::domain" | "parse::url::path" |
+         "parse::url::query" | "parse::url::scheme" | "parse::url::fragment" =>
+      graft.functions.UrlKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_url_part", cs(0), lit(name.stripPrefix("parse::url::")))
     case "parse::url::port" =>
-      {
-        // bracketed IPv6 hosts carry ':' inside the brackets, and a URL
-        // without a port must yield NONE — not an ANSI cast error on ''
-        // (r17 url sweep; reference url crate port())
-        val p = regexp_extract(cs(0),
-          "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?(?:\\[[^\\]]*\\]|[^/:?#]*):(\\d+)", 1)
-        // the url crate rejects ports > 65535 → NONE
-        val n = when(p === "", lit(null)).otherwise(p).cast("bigint")
-        when(n > 65535, lit(null)).otherwise(n)
-      }
-    case "parse::url::path"   =>
-      // the url crate normalizes a special-scheme URL's empty path to "/"
-      val p = parse_url(cs(0), lit("PATH"))
-      when(p === "", lit("/")).otherwise(p)
-    case "parse::url::query"  => parse_url(cs(0), lit("QUERY"))
-    case "parse::url::scheme" => parse_url(cs(0), lit("PROTOCOL"))
-    case "parse::email::user" => substring_index(cs(0), "@", 1)
-    case "parse::email::host" => substring_index(cs(0), "@", -1)
+      graft.functions.UrlKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_url_port", cs(0))
+    // addr-crate parse: an invalid email is NONE, not a best-effort split;
+    // IDN hosts stay as written, RFC 5321 address literals normalize
+    case "parse::email::user" | "parse::email::host" =>
+      graft.functions.UrlKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_email_part", cs(0),
+        lit(name.stripPrefix("parse::email::")))
     // ---- geo::distance / geo::bearing over COLUMN points -----------------
     // (fnc/geo.rs → georust Haversine). Points arrive as the parser's
     // `__point__` node ((lon, lat) literals with column coords) or as any

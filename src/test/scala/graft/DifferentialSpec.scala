@@ -522,6 +522,44 @@ class DifferentialSpec extends AnyFunSuite {
       FROM item WHERE qty = 1 ORDER BY name LIMIT 3;""")
   }
 
+  // the r20 html sweep: sanitize is the real ammonia allowlist (div kept,
+  // script dropped WITH content, attrs filtered, rel injected) — same
+  // kernel on both paths
+  test("differential-html: ammonia encode/sanitize agree across paths") {
+    checkSame("""SELECT name,
+      string::html::encode(string::concat('<b a="', name, '"/>')) AS enc,
+      string::html::sanitize(string::concat('<div onclick="x()">', name,
+        '</div><script>bad</script><form>', name, '</form>')) AS san
+      FROM item WHERE qty = 2 ORDER BY name LIMIT 3;""")
+    checkSame("""RETURN { a: string::html::sanitize('<a href="javascript:x">l</a>'),
+      b: string::html::sanitize('<ul><li>1<li>2</ul>'),
+      c: string::html::sanitize('a<!-- h -->b & c'),
+      d: string::html::encode('1 < 2 & 3') }""")
+  }
+
+  // the r20 URL sweep: parse::* routes through the WHATWG kernel on BOTH
+  // paths (UrlParse statics ↔ graft_url_part codegen) — IDNA, default
+  // ports, dot segments, IP normalization, invalid-email NONE
+  test("differential-parse: WHATWG url + addr email agree across paths") {
+    checkSame("""SELECT name,
+      parse::url::host(string::concat('HTTP://EXAMPLE.com:80/u/', name)) AS h,
+      parse::url::port(string::concat('https://h.io/', name)) AS p,
+      parse::url::path(string::concat('http://a/b/../', name)) AS pa,
+      parse::url::domain(string::concat('http://127.0.0.', qty, '/x')) AS d,
+      parse::url::scheme(string::concat('FtP://h/', name)) AS sc,
+      parse::email::user(string::concat(name, '@ex.com')) AS eu,
+      parse::email::host(string::concat(name, '@bücher.de')) AS eh,
+      parse::email::host(string::concat(name, 'no-at-sign')) AS bad
+      FROM item WHERE qty = 1 ORDER BY name LIMIT 3;""")
+    checkSame("""RETURN { a: parse::url::host('http://bücher.de/'),
+      b: parse::url::port('http://a:99999/x'),
+      c: parse::url::query('http://a/?'),
+      d: parse::url::fragment('http://a/p#f g'),
+      e: parse::url::path('foo://h/..'),
+      f: parse::email::host('u@[0:0:0:0:0:0:0:1]'),
+      g: parse::email::host('u@[IPv6:0:0:0:0:0:0:0:1]') }""")
+  }
+
   // array set-algebra over inputs WITH duplicates — Spark's array_union/
   // intersect/except dedup, the reference's fnc/array.rs may not; pin the
   // agreement explicitly (the r15 UNSET fix was exactly this class)
