@@ -91,10 +91,91 @@ object RawStrKernels {
       es => RawStr(es.head, castMode = false), "built-in")
     reg.createOrReplaceTempFunction("graft_caststr",
       es => RawStr(es.head, castMode = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_cast_int",
+      es => StrictNumCast(es.head, toInt = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_cast_float",
+      es => StrictNumCast(es.head, toInt = false), "built-in")
   }
 }
 
+/** Strict `<int>` / `<float>` casts for ROW-DEPENDENT columns — constant
+  * casts fold through the interpreter's Coerce table, but a column cast
+  * must apply the same `Cast for i64/f64` rules (convert/cast.rs): a
+  * fractional/NaN/infinite float does NOT truncate to int (Catalyst's ANSI
+  * cast silently truncates), integral floats saturate like Rust `as`, and
+  * string inputs parse with the RUST grammars (no whitespace trim, no
+  * trailing d/f, "inf"/"nan" accepted for floats) with the reference's
+  * "Could not cast into …" error. Integer-family inputs collapse to the
+  * built-in cast; other types keep Catalyst's ANSI behavior (bool and
+  * datetime inputs are interpreter-folded in practice). */
+final case class StrictNumCast(child: Expression, toInt: Boolean)
+    extends RuntimeReplaceable with UnaryLike[Expression] {
+  override def prettyName: String = if (toInt) "graft_cast_int" else "graft_cast_float"
+  override lazy val replacement: Expression = (child.dataType, toInt) match {
+    case (DoubleType | FloatType, true)  => StrictCastF(child, RawStr.IntFromFloat)
+    case (_: DecimalType, true)          => StrictCastF(Cast(child, DoubleType), RawStr.IntFromFloat)
+    case (StringType, true)              => StrictCastF(child, RawStr.IntFromString)
+    case (StringType, false)             => StrictCastF(child, RawStr.FloatFromString)
+    case (_, true)                       => Cast(child, LongType)
+    case (_, false)                      => Cast(child, DoubleType)
+  }
+  override protected def withNewChildInternal(newChild: Expression): StrictNumCast =
+    copy(child = newChild)
+}
+
+/** mode-dispatched strict scalar cast; output type depends on the mode. */
+final case class StrictCastF(child: Expression, mode: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_strict_cast"
+  override def dataType: DataType =
+    if (mode == RawStr.FloatFromString) DoubleType else LongType
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  override def nullSafeEval(v: Any): Any = mode match {
+    case RawStr.IntFromFloat    => RawStr.intFromFloat(v match {
+      case f: java.lang.Float => f.toDouble
+      case d => d.asInstanceOf[Double]
+    })
+    case RawStr.IntFromString   => RawStr.intFromString(v.asInstanceOf[UTF8String])
+    case _                      => RawStr.floatFromString(v.asInstanceOf[UTF8String])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    mode match {
+      case RawStr.IntFromFloat =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.RawStr.intFromFloat((double) $c);")
+      case RawStr.IntFromString =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.RawStr.intFromString($c);")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, c =>
+          s"${ev.value} = graft.functions.RawStr.floatFromString($c);")
+    }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object RawStr {
+  final val IntFromFloat = 0
+  final val IntFromString = 1
+  final val FloatFromString = 2
+
+  def intFromFloat(d: Double): Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d) ||
+        d != Math.rint(d))
+      throw graft.surql.SqlError(
+        s"Could not cast into `int` using input `${floatSql(d)}`")
+    d.toLong // saturates like Rust `as i64`
+  }
+
+  def intFromString(s: UTF8String): Long =
+    graft.surql.Coerce.rustParseI64(s.toString).getOrElse(
+      throw graft.surql.SqlError(
+        s"Could not cast into `int` using input `'$s'`"))
+
+  def floatFromString(s: UTF8String): Double =
+    graft.surql.Coerce.rustParseF64(s.toString).getOrElse(
+      throw graft.surql.SqlError(
+        s"Could not cast into `float` using input `'$s'`"))
+
   /** Rust `f64::to_string()` + `f`: shortest round-trip digits, ALWAYS
     * positional (never scientific), integral floats without `.0`. Shared
     * with the interpreter through the same digit algorithm

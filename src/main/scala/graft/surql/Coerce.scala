@@ -50,7 +50,13 @@ object Coerce {
     case KAny => v
     case KOption(inner) => if (v == VNone || v == VNull) v else cast(inner, v)
     case KEither(ks) =>
-      ks.view.flatMap(ki => try Some(cast(ki, v)) catch { case _: SqlError => scala.None })
+      // Either dispatches on can_cast (cast.rs:930), which for String
+      // EXCLUDES None/Null — even though the direct string cast maps them
+      // to "NONE"/"NULL". So `<string | int> NONE` errors while
+      // `<string> NONE` succeeds.
+      def arms = ks.view.filterNot(ki =>
+        ki == KString && (v == VNone || v == VNull))
+      arms.flatMap(ki => try Some(cast(ki, v)) catch { case _: SqlError => scala.None })
         .headOption.getOrElse(err(k, v))
     case KBool => v match {
       case b: VBool => b
@@ -58,47 +64,44 @@ object Coerce {
       case VStr("false") => VBool(false)
       case _ => err(k, v)
     }
+    // the numeric casts follow `Cast for i64/f64/Decimal/Number`
+    // (convert/cast.rs:186-334) — r20 sweep: there is NO bool arm and NO
+    // datetime arm (`<int>true` errors); a fractional float/decimal does
+    // NOT truncate; strings parse with the RUST grammars, which neither
+    // trim whitespace nor accept Java's trailing d/f suffixes, and f64
+    // accepts "inf"/"infinity"/"nan" case-insensitively
     case KInt => v match {
       case i: VInt => i
       case VFloat(d) =>
-        if (d.isNaN || d.isInfinity || d < Long.MinValue.toDouble || d > Long.MaxValue.toDouble) err(k, v)
-        else if (d == Math.rint(d)) VInt(d.toLong)
-        else VInt(d.toLong)
-      case VDec(d) => try VInt(d.toLongExact) catch { case _: ArithmeticException =>
-        if (d.isWhole) err(k, v) else VInt(d.toLong) }
-      case VStr(s) => try VInt(java.lang.Long.parseLong(s.trim)) catch {
-        case _: NumberFormatException =>
-          try {
-            val d = BigDecimal(s.trim)
-            if (d.isWhole) VInt(d.toLongExact) else err(k, v)
-          } catch { case _: Exception => err(k, v) }
-      }
-      case VBool(b) => VInt(if (b) 1 else 0)
-      case VDt(t) => VInt(t.getEpochSecond)
+        // `v as i64` (Rust) saturates, but only INTEGRAL floats get there
+        if (d.isNaN || d.isInfinity || d != Math.rint(d)) err(k, v)
+        else VInt(d.toLong) // toLong saturates like Rust `as`
+      case VDec(d) =>
+        if (!d.isWhole) err(k, v)
+        else try VInt(d.toLongExact) catch { case _: ArithmeticException => err(k, v) }
+      case VStr(s) => rustParseI64(s).map(VInt(_)).getOrElse(err(k, v))
       case _ => err(k, v)
     }
     case KFloat => v match {
       case f: VFloat => f
       case VInt(i) => VFloat(i.toDouble)
       case VDec(d) => VFloat(d.toDouble)
-      case VStr(s) => try VFloat(s.trim.toDouble) catch { case _: NumberFormatException => err(k, v) }
-      case VBool(b) => VFloat(if (b) 1.0 else 0.0)
+      case VStr(s) => rustParseF64(s).map(VFloat(_)).getOrElse(err(k, v))
       case _ => err(k, v)
     }
     case KDecimal => v match {
       case d: VDec => d
       case VInt(i) => VDec(BigDecimal(i))
       case VFloat(d) =>
+        // Decimal::try_from(f64): NaN/±inf and out-of-96-bit-range error
         if (d.isNaN || d.isInfinity) err(k, v)
-        else VDec(BigDecimal(Render.floatDigits(d)))
-      case VStr(s) => try VDec(BigDecimal(s.trim)) catch { case _: NumberFormatException => err(k, v) }
-      case VBool(b) => VDec(BigDecimal(if (b) 1 else 0))
+        else decimalFit(BigDecimal(Render.floatDigits(d))).map(VDec(_)).getOrElse(err(k, v))
+      case VStr(s) => rustParseDecimal(s).getOrElse(err(k, v))
       case _ => err(k, v)
     }
     case KNumber => v match {
       case n: VNum => n
       case VStr(s) => parseNumberString(s).getOrElse(err(k, v))
-      case VBool(b) => VInt(if (b) 1 else 0)
       case _ => err(k, v)
     }
     case KString => v match {
@@ -129,12 +132,17 @@ object Coerce {
     case KDuration => v match {
       case d: VDur => d
       case VStr(s) =>
+        // Duration::from_str parses a LITERAL only — "1h30m" yes,
+        // "1h + 30m" no (the old lowering evaluated a whole expression)
+        if (s != s.trim) err(k, v) // from_str does not skip whitespace
         val p = new Parser(s)
         try {
-          p.ws()
-          val e = p.expr(); p.ws()
+          val e = p.expr()
           if (!p.eof) err(k, v)
-          Eval.evalConst(e) match { case d: VDur => d; case _ => err(k, v) }
+          e match {
+            case ast.Lit(d: VDur) => d
+            case _ => err(k, v)
+          }
         } catch { case _: Exception => err(k, v) }
       case _ => err(k, v)
     }
@@ -147,16 +155,22 @@ object Coerce {
     }
     case KUuid => v match {
       case u: VUuid => u
-      case VStr(s) => try VUuid(java.util.UUID.fromString(s)) catch { case _: Exception => err(k, v) }
+      // the uuid crate's parse_str accepts hyphenated, SIMPLE (32 hex),
+      // braced, and urn:uuid: forms — java.util.UUID only the first
+      case VStr(s) => parseUuidFlexible(s).map(VUuid(_)).getOrElse(err(k, v))
       case _ => err(k, v)
     }
     case KBytes => v match {
       case b: VBytes => b
       case VStr(s) => VBytes(s.getBytes("UTF-8").toVector)
-      case VArr(items) if items.forall {
-        case VInt(n) => n >= 0 && n <= 255
-        case _       => false
-      } => VBytes(items.map { case VInt(n) => n.toByte; case _ => 0.toByte })
+      // any array whose elements CAST to i64 (so "65", 2.0, 3dec all
+      // qualify), then `x as u8` TRUNCATES — 300 → 44, -1 → 255
+      // (cast.rs:443-478, truncation marked TODO in the reference but
+      // shipping, so reproduced)
+      case VArr(items) =>
+        val longs = items.map(castableI64)
+        if (longs.exists(_.isEmpty)) err(k, v)
+        else VBytes(longs.map(l => l.get.toByte))
       case _ => err(k, v)
     }
     case KObject => v match {
@@ -166,29 +180,36 @@ object Coerce {
     }
     case KRegex => v match {
       case r: VRegex => r
-      case VStr(s) => VRegex(s)
+      // Regex::from_str VALIDATES at cast time (cast.rs:546) — an invalid
+      // pattern is a cast error, not a deferred compile crash
+      case VStr(s) =>
+        val r = VRegex(s)
+        try { r.compiled; r } catch { case _: Exception => err(k, v) }
       case _ => err(k, v)
     }
     case KRange => v match {
       case r: VRng => r
+      // a two-element array casts to `beg..end` — start included, end
+      // excluded, ANY value types (cast.rs:573-610)
+      case VArr(Vector(beg, end)) =>
+        VRng(Some((beg, true)), Some((end, false)))
       case _ => err(k, v)
     }
-    case KArray(inner, max) => v match {
-      case VArr(items) =>
+    case KArray(inner, max) =>
+      def elems(items: Vector[V]): VArr = {
         max.filter(_ != items.length).foreach { m =>
           throw SqlError(s"Expected `array<${inner.map(kindName).getOrElse("any")},$m>`" +
             s" but found a collection of length `${items.length}`") }
-        VArr(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
-      case VSet(items) =>
-        max.filter(_ != items.length).foreach { m =>
-          throw SqlError(s"Expected `array<${inner.map(kindName).getOrElse("any")},$m>`" +
-            s" but found a collection of length `${items.length}`") }
-        VArr(inner.map(ik => items.map(cast(ik, _))).getOrElse(items))
-      case r: VRng => rangeToArray(r).getOrElse(err(k, v))
-      // bytes → array of byte values (primitive/bytes: <array> b"…")
-      case VBytes(bs) => VArr(bs.map(b => VInt((b & 0xff).toLong): V))
-      case _ => err(k, v)
-    }
+        VArr(inner.map(ik => items.map(castElem(ik, _, "array"))).getOrElse(items))
+      }
+      v match {
+        case VArr(items) => elems(items)
+        case VSet(items) => elems(items)
+        case r: VRng => elems(castRangeToArray(r).items)
+        // bytes → array of byte values (primitive/bytes: <array> b"…")
+        case VBytes(bs) => elems(bs.map(b => VInt((b & 0xff).toLong): V))
+        case _ => err(k, v)
+      }
     case KSet(inner, max) =>
       // length bound applies AFTER dedup (type/set: <set<int,5>>[1,2,1])
       def bounded(s: V): V = s match {
@@ -199,10 +220,13 @@ object Coerce {
           s
         case other => other
       }
+      def build(items: Vector[V]): V =
+        bounded(V.set(inner.map(ik => items.map(castElem(ik, _, "set"))).getOrElse(items)))
       v match {
-        case VSet(items) => bounded(V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items)))
-        case VArr(items) => bounded(V.set(inner.map(ik => items.map(cast(ik, _))).getOrElse(items)))
-        case r: VRng => rangeToArray(r).map(a => bounded(V.set(a.items))).getOrElse(err(k, v))
+        case VSet(items) => build(items)
+        case VArr(items) => build(items)
+        case r: VRng => build(castRangeToArray(r).items)
+        case VBytes(bs) => build(bs.map(b => VInt((b & 0xff).toLong): V))
         case _ => err(k, v)
       }
     case KRecord(tables) => v match {
@@ -237,22 +261,130 @@ object Coerce {
     case KNone => if (v == VNone) v else err(k, v)
     case KNull => if (v == VNull) v else err(k, v)
     case KFunction => v match { case c: VClosure => c; case _ => err(k, v) }
-    case KFile => err(k, v)
+    case KFile => v match { case f: VFile => f; case _ => err(k, v) }
     case KTable(names) => v match {
       case t: VTable if names.isEmpty || names.contains(t.name) => t
       case VStr(s) if names.isEmpty || names.contains(s) => VTable(s)
+      // bare `<table>` routes through the STRING cast (cast_to_kind:
+      // Kind::Table empty → cast_to::<String>), so `<table>123` is the
+      // table `123` and even NONE becomes the table `NONE` (quirky, but
+      // it is the shipped dispatch)
+      case other if names.isEmpty =>
+        (try Some(cast(KString, other)) catch { case _: SqlError => scala.None }) match {
+          case Some(VStr(s)) => VTable(s)
+          case _ => err(k, v)
+        }
       case _ => err(k, v)
     }
   }
 
-  def parseNumberString(s: String): Option[VNum] = {
-    val t = s.trim
-    try Some(VInt(java.lang.Long.parseLong(t)))
-    catch { case _: NumberFormatException =>
-      if (t.endsWith("dec")) try Some(VDec(BigDecimal(t.dropRight(3)))) catch { case _: Exception => scala.None }
-      else if (t.endsWith("f")) try Some(VFloat(t.dropRight(1).toDouble)) catch { case _: Exception => scala.None }
-      else try Some(VFloat(t.toDouble)) catch { case _: Exception => scala.None }
+  /** Number::from_str (val/number.rs:117-133): try i64, then f64 — the
+    * RUST grammars. No whitespace trim, no `f`/`dec` suffixes (those are
+    * SurrealQL literal syntax, not Number parsing), but "inf"/"nan" parse
+    * as floats. */
+  def parseNumberString(s: String): Option[VNum] =
+    rustParseI64(s).map(VInt(_): VNum)
+      .orElse(rustParseF64(s).map(VFloat(_): VNum))
+
+  /** Rust `i64::from_str`: optional sign then decimal digits, nothing
+    * else; overflow errors. */
+  def rustParseI64(s: String): Option[Long] =
+    if (!s.matches("[+-]?[0-9]+")) scala.None
+    else try Some(java.lang.Long.parseLong(s))
+    catch { case _: NumberFormatException => scala.None }
+
+  /** Rust `f64::from_str`: optional sign; "inf" | "infinity" | "nan"
+    * case-insensitive; else decimal mantissa with optional exponent. NO
+    * whitespace, NO trailing d/f suffix, NO hex floats (all of which
+    * Java's parseDouble accepts). */
+  def rustParseF64(s: String): Option[Double] = {
+    if (s.isEmpty) return scala.None
+    val neg = s.charAt(0) == '-'
+    val body = if (s.charAt(0) == '+' || neg) s.substring(1) else s
+    val bl = body.toLowerCase(java.util.Locale.ROOT)
+    if (bl == "inf" || bl == "infinity")
+      return Some(if (neg) Double.NegativeInfinity else Double.PositiveInfinity)
+    if (bl == "nan") return Some(Double.NaN)
+    if (!body.matches("([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?")) return scala.None
+    try Some(s.toDouble) catch { case _: NumberFormatException => scala.None }
+  }
+
+  /** rust_decimal 96-bit bounds: |unscaled| ≤ 2^96−1 at scale ≤ 28. */
+  private val DecimalMax = BigDecimal(BigInt(2).pow(96) - 1)
+
+  /** Fit into rust_decimal's range: excess fractional digits round
+    * half-away-from-zero (the crate's from_str behavior), out-of-range
+    * magnitudes fail. */
+  def decimalFit(d0: BigDecimal): Option[BigDecimal] = {
+    val d = if (d0.scale > 28)
+      d0.setScale(28, scala.math.BigDecimal.RoundingMode.HALF_UP)
+    else d0
+    if (d.abs > DecimalMax) scala.None else Some(d)
+  }
+
+  /** Decimal::from_str_normalized (rust_decimal from_str + normalize):
+    * sign, digits with optional underscores, one optional point — NO
+    * exponent, NO whitespace, NO suffix. */
+  def rustParseDecimal(s: String): Option[VDec] = {
+    if (!s.matches("[+-]?[0-9_]*\\.?[0-9_]*") || !s.exists(_.isDigit)) return scala.None
+    val clean = s.filterNot(_ == '_')
+    try decimalFit(BigDecimal(clean)).map(VDec(_))
+    catch { case _: NumberFormatException => scala.None }
+  }
+
+  /** uuid::Uuid::parse_str: hyphenated, simple (32 hex), braced, or
+    * urn:uuid: forms, case-insensitive. */
+  def parseUuidFlexible(s0: String): Option[java.util.UUID] = {
+    var s = s0
+    if (s.length >= 9 && s.substring(0, 9).equalsIgnoreCase("urn:uuid:"))
+      s = s.substring(9)
+    if (s.length >= 2 && s.charAt(0) == '{' && s.charAt(s.length - 1) == '}')
+      s = s.substring(1, s.length - 1)
+    val hyphenated =
+      if (s.length == 32 && s.forall(c => Character.digit(c, 16) >= 0))
+        s.substring(0, 8) + "-" + s.substring(8, 12) + "-" + s.substring(12, 16) +
+          "-" + s.substring(16, 20) + "-" + s.substring(20)
+      else s
+    if (!hyphenated.matches("[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"))
+      scala.None
+    else try Some(java.util.UUID.fromString(hyphenated))
+    catch { case _: Exception => scala.None }
+  }
+
+  /** `can_cast_to::<i64>` + `cast_to::<i64>` for bytes-from-array
+    * elements: ints, integral floats/decimals, strict-i64 strings. */
+  private def castableI64(v: V): Option[Long] = v match {
+    case VInt(i) => Some(i)
+    case VFloat(d) if !d.isNaN && !d.isInfinity && d == Math.rint(d) => Some(d.toLong)
+    case VDec(d) if d.isWhole =>
+      try Some(d.toLongExact) catch { case _: ArithmeticException => scala.None }
+    case VStr(s) => rustParseI64(s)
+    case _ => scala.None
+  }
+
+  /** Element cast inside `array<T>` / `set<T>` tags failures with the
+    * enclosing kind (CastError::with_element_of). */
+  private def castElem(ik: Kind, el: V, outer: String): V =
+    try cast(ik, el)
+    catch {
+      case e: SqlError if !e.msg.contains("when coercing an element") =>
+        throw SqlError(s"${e.msg} when coercing an element of `$outer<${kindName(ik)}>`")
     }
+
+  /** `Cast for Array` on a Range: both bounds must be ints; a result
+    * larger than GENERATION_ALLOCATION_LIMIT (2^20) raises the dedicated
+    * RangeSizeLimit error (cast.rs:497-513, "then" typo preserved). */
+  def castRangeToArray(r: VRng): VArr = (r.lo, r.hi) match {
+    case (Some((VInt(lo), loIncl)), Some((VInt(hi), hiIncl))) =>
+      val start = if (loIncl) lo else lo + 1
+      val end = if (hiIncl) hi else hi - 1
+      val len = math.max(0L, end - start + 1)
+      if (len > 1048576L)
+        throw SqlError(s"Casting range `${r.render}` to an array would create " +
+          "an array larger then the max allocation limit.")
+      VArr((start to end).map(VInt(_)).toVector)
+    case _ =>
+      throw SqlError(s"Could not cast into `array` using input `${r.render}`")
   }
 
   def rangeToArray(r: VRng): Option[VArr] = (r.lo, r.hi) match {
@@ -288,7 +420,11 @@ object Coerce {
     case KInt => v match {
       case i: VInt => i
       case VFloat(d) if d == Math.rint(d) && !d.isInfinity => VInt(d.toLong)
-      case VDec(d) if d.isWhole => VInt(d.toLong)
+      // out-of-i64-range whole decimals ERROR (coerce.rs:163 try_into),
+      // they do not truncate
+      case VDec(d) if d.isWhole =>
+        try VInt(d.toLongExact)
+        catch { case _: ArithmeticException => coerceErr(k, v) }
       case _ => coerceErr(k, v)
     }
     case KFloat => v match {
@@ -300,7 +436,10 @@ object Coerce {
     case KDecimal => v match {
       case d: VDec => d
       case VInt(i) => VDec(BigDecimal(i))
-      case VFloat(d) if !d.isNaN && !d.isInfinity => VDec(BigDecimal(Render.floatDigits(d)))
+      // Decimal::try_from(f64) bounds apply on coercion too (coerce.rs:238)
+      case VFloat(d) if !d.isNaN && !d.isInfinity =>
+        decimalFit(BigDecimal(Render.floatDigits(d))).map(VDec(_))
+          .getOrElse(coerceErr(k, v))
       case _ => coerceErr(k, v)
     }
     case KNumber => v match { case n: VNum => n; case _ => coerceErr(k, v) }

@@ -4309,8 +4309,18 @@ object SparkPlanner {
             case _: Exception => scala.None
           }
         folded.map(c).getOrElse(k match {
-          case Kind.KInt     => c(inner).cast("bigint")
-          case Kind.KFloat   => c(inner).cast("double")
+          // strict Cast-for-i64/f64 semantics (r20): fractional floats
+          // ERROR instead of truncating, strings parse with the Rust
+          // grammars — RuntimeReplaceable, integer inputs collapse to the
+          // built-in cast
+          case Kind.KInt =>
+            graft.functions.RawStrKernels.ensure(
+              org.apache.spark.sql.SparkSession.active)
+            call_function("graft_cast_int", c(inner))
+          case Kind.KFloat =>
+            graft.functions.RawStrKernels.ensure(
+              org.apache.spark.sql.SparkSession.active)
+            call_function("graft_cast_float", c(inner))
           case Kind.KString  => castStrCol(c(inner))
           case Kind.KBool    => c(inner).cast("boolean")
           case Kind.KDecimal => c(inner).cast("decimal(38,10)")

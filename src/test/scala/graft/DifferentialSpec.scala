@@ -165,7 +165,7 @@ class DifferentialSpec extends AnyFunSuite {
     "SELECT name, (NONE ?? qty) AS q FROM item ORDER BY name LIMIT 4",
     "SELECT name FROM item WHERE [1, 2, 3] CONTAINS qty ORDER BY name LIMIT 6",
     "SELECT name, name + '!' AS bang FROM item ORDER BY name LIMIT 4",
-    "SELECT name, <int> price AS ip FROM item ORDER BY name LIMIT 5",
+    "SELECT name, <int> (price * 4) AS ip FROM item ORDER BY name LIMIT 5",
     "SELECT name, -qty AS neg, !(qty > 3) AS nb FROM item ORDER BY name LIMIT 5",
     "SELECT name FROM item WHERE grp = 'a' OR (qty > 4 AND grp = 'b') ORDER BY name",
     "SELECT name, math::abs(0 - qty) AS aq, qty % 3 AS m FROM item ORDER BY name LIMIT 6",
@@ -520,6 +520,41 @@ class DifferentialSpec extends AnyFunSuite {
     checkSame("""SELECT name, <string>(price * 2) AS s, type::string(price) AS t,
       string::concat('p', price) AS c, array::join([price, 2.0], ',') AS j
       FROM item WHERE qty = 1 ORDER BY name LIMIT 3;""")
+  }
+
+  // the r20 cast sweep: Cast-for-i64/f64/Decimal strictness on BOTH paths
+  test("differential-cast: numeric cast strictness agrees across paths") {
+    // successes: integral floats, strict strings, saturating forms
+    checkSame("""SELECT name, <int>(qty * 1.0) AS i, <float>(qty) AS f,
+      <int>string::concat('', qty) AS si,
+      <float>string::concat('', qty) AS sf
+      FROM item WHERE qty = 2 ORDER BY name LIMIT 3;""")
+    checkSame("""RETURN { a: <int>2.0, b: <decimal>'1_000.5', c: <float>'inf',
+      d: <float>'-Infinity', f: <array>(<bytes>'AB'),
+      g: <string><uuid>'936DA01F9ABD4d9d80C702AF85C822A8',
+      i: <array<int,3>>(1..4) }""")
+    // errors: fractional floats must NOT truncate; Java-isms must not parse
+    Seq("<int>price", "<int>type::string(price)",
+        "<float>string::concat(price, 'f')")
+      .foreach { exprTxt =>
+        val q = s"SELECT $exprTxt AS v FROM item WHERE qty = 2 LIMIT 1;"
+        val in = new Interp
+        in.run(Parser.parse(fixtureScript))
+        val imsg = in.run(Parser.parse(q)).last match {
+          case QErr(m) => m
+          case other => fail(s"interp accepted $exprTxt: $other")
+        }
+        val smsg = intercept[Exception] {
+          Tables.withOverlay(Map("item" -> df)) {
+            SparkPlanner.query(spark, "/nonexistent", q).collect()
+          }
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert(imsg.contains("Could not cast into"), s"interp: $imsg")
+        assert(msgs(smsg).exists(_.contains("Could not cast into")),
+          s"spark: ${msgs(smsg).mkString(" | ")}")
+      }
   }
 
   // the r20 html sweep: sanitize is the real ammonia allowlist (div kept,
@@ -1443,12 +1478,22 @@ class DifferentialSpec extends AnyFunSuite {
   }
 
   test("cast edges agree; constant casts fold with reference errors (r17 sweep)") {
-    // numeric truncation/rounding edges and the kinds with no column form
-    // (durations are seconds-longs in the Spark column model, so the
-    // <duration> cast compares through duration::secs)
-    checkSame("RETURN { a: <int> 3.9, b: <int> (0 - 3.9), c: <int> '42'," +
-      " d: <int> true, e: <float> '1e3', f: <bool> 'true', g: <string> 1.5," +
+    // numeric edges and the kinds with no column form (durations are
+    // seconds-longs in the Spark column model, so the <duration> cast
+    // compares through duration::secs). r20 re-audit vs cast.rs: a
+    // FRACTIONAL float does NOT truncate to int and bool has NO int arm —
+    // the r17 pins of `<int>3.9` → 3 and `<int>true` → 1 were wrong
+    checkSame("RETURN { a: <int> 3.0, b: <int> (0 - 4.0), c: <int> '42'," +
+      " e: <float> '1e3', f: <bool> 'true', g: <string> 1.5," +
       " h: duration::secs(<duration> '90m') };")
+    Seq("RETURN <int> 3.9;", "RETURN <int> true;").foreach { bad =>
+      val in = new Interp
+      in.run(Parser.parse(fixtureScript))
+      in.run(Parser.parse(bad)).last match {
+        case QOk(got) => fail(s"interp accepted $bad: $got")
+        case QErr(m) => assert(m.contains("Could not cast into `int`"), m)
+      }
+    }
     // an invalid constant cast carries the reference error text on BOTH
     // paths (expr/cast.rs "Could not cast into `int` using input …")
     val q = "RETURN <int> 'x';"

@@ -474,7 +474,9 @@ class FuzzDifferentialSpec extends AnyFunSuite {
       s"SELECT name, $proj FROM item$whereC ORDER BY name LIMIT ${r.nextInt(15) + 3}"
     case 11 => // casts over computed expressions
       val ce = r.nextInt(4) match {
-        case 0 => s"<int> ${floatExpr(r, r.nextInt(2) + 1)} AS x"
+        // <int> of a fractional float ERRORS (r20 cast sweep, Cast for
+        // i64) — floor the operand so the generated query stays valid
+        case 0 => s"<int> math::floor(${floatExpr(r, r.nextInt(2) + 1)}) AS x"
         case 1 => s"<float> ${intExpr(r, r.nextInt(2) + 1)} AS x"
         case 2 => s"<string> ${intExpr(r, 1)} AS x"
         case _ => s"<int> <float> ${intExpr(r, 1)} AS x"
