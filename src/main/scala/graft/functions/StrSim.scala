@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** String-similarity kernels (fnc/string.rs similarity::*, strsim crate
@@ -295,6 +295,102 @@ object StrSim {
   def stem(term: UTF8String, lang: UTF8String): UTF8String =
     UTF8String.fromString(
       graft.surql.Snowball.stem(lang.toString, term.toString))
+
+  // ---- string::words / string::slug (r20 sweep) ------------------------
+
+  /** Rust `split_whitespace` (fnc/string.rs:283): splits on the Unicode
+    * White_Space property (`char::is_whitespace`) and never yields empty
+    * parts — Java's regex `\s` is ASCII-only and split("") yields [""]. */
+  def wordsList(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var start = -1
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val w = isRustWhitespace(cp)
+      if (w && start >= 0) { out += s.substring(start, i); start = -1 }
+      else if (!w && start < 0) start = i
+      i += Character.charCount(cp)
+    }
+    if (start >= 0) out += s.substring(start)
+    out.result()
+  }
+
+  def words(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      wordsList(s.toString).map(UTF8String.fromString(_): Any).toArray)
+
+  /** deunicode-crate specials the NFKD fallback can't produce: ligature
+    * and letter transliterations for the Latin-adjacent set. */
+  private val DeuniSpecials: Map[Char, String] = Map(
+    'ß' -> "ss", 'æ' -> "ae", 'Æ' -> "AE", 'œ' -> "oe", 'Œ' -> "OE",
+    'ø' -> "o", 'Ø' -> "O", 'đ' -> "d", 'Đ' -> "D", 'þ' -> "th",
+    'Þ' -> "Th", 'ð' -> "d", 'Ð' -> "D", 'ł' -> "l", 'Ł' -> "L",
+    'ħ' -> "h", 'Ħ' -> "H", 'ı' -> "i", 'ŋ' -> "ng", 'Ŋ' -> "NG",
+    'ẞ' -> "SS", 'ĸ' -> "k", 'Ə' -> "E", 'ə' -> "e")
+
+  /** The reference's slug (fnc/util/string/slug.rs): deunicode → ASCII
+    * lowercase → every char outside [a-z0-9-_] becomes '-' (UNDERSCORE IS
+    * KEPT) → hyphen runs collapse → surrounding hyphens trim. The
+    * deunicode step here is the NFKD-strip-marks approximation plus the
+    * specials table — exact for Latin-script input (café → cafe,
+    * Über → uber, ß → ss); CJK/Greek/Cyrillic transliteration tables are
+    * out of scope and those characters fold to '-'. */
+  def slugStr(s0: String): String = {
+    val de = new StringBuilder(s0.length + 8)
+    s0.foreach { ch =>
+      if (ch < 128) de.append(ch)
+      else DeuniSpecials.get(ch) match {
+        case Some(m) => de.append(m)
+        case None =>
+          val ascii = java.text.Normalizer.normalize(
+            ch.toString, java.text.Normalizer.Form.NFKD).filter(_ < 128)
+          if (ascii.nonEmpty) de.append(ascii) else de.append(ch)
+      }
+    }
+    val sb = new StringBuilder(de.length)
+    var lastHyphen = false
+    de.foreach { ch0 =>
+      // make_ascii_lowercase
+      val ch = if (ch0 >= 'A' && ch0 <= 'Z') (ch0 + 32).toChar else ch0
+      val ok = (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9') ||
+        ch == '-' || ch == '_'
+      if (ok && ch != '-') { sb.append(ch); lastHyphen = false }
+      else if (!lastHyphen) { sb.append('-'); lastHyphen = true }
+    }
+    val out = sb.toString
+    val a = out.indexWhere(_ != '-')
+    if (a < 0) "" else out.substring(a, out.lastIndexWhere(_ != '-') + 1)
+  }
+
+  def slug(s: UTF8String): UTF8String = UTF8String.fromString(slugStr(s.toString))
+}
+
+final case class WordsF(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_words"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string")
+  override def nullSafeEval(v: Any): Any = StrSim.words(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StrSim.words($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+final case class SlugF(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_slug"
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName expects a string")
+  override def nullSafeEval(v: Any): Any = StrSim.slug(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StrSim.slug($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 final case class FuzzyF(left: Expression, right: Expression)
@@ -516,5 +612,9 @@ object StrSimKernels {
       es => NormDamerauF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_stem",
       es => StemF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_words",
+      es => WordsF(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_slug",
+      es => SlugF(es.head), "built-in")
   }
 }

@@ -745,13 +745,18 @@ object Functions {
       case "string::split" =>
         VArr(str(0).split(java.util.regex.Pattern.quote(str(1)), -1).toVector.map(VStr(_)))
       case "string::trim" => VStr(str(0).trim)
-      case "string::words" => VArr(str(0).split("\\s+").filter(_.nonEmpty).toVector.map(VStr(_)))
+      // split_whitespace splits on the UNICODE White_Space set (r20 sweep:
+      // Java's \s is ASCII-only — NBSP/ideographic spaces didn't split)
+      case "string::words" =>
+        VArr(graft.functions.StrSim.wordsList(str(0)).map(VStr(_): V))
       case "string::matches" => arg(1) match {
         case r: VRegex => VBool(r.compiled.matcher(str(0)).find())
         case _         => VBool(VRegex(str(1)).compiled.matcher(str(0)).find())
       }
-      case "string::slug" =>
-        VStr(str(0).toLowerCase.replaceAll("[^a-z0-9]+", "-").replaceAll("^-|-$", ""))
+      // the reference's slug deunicodes FIRST and keeps underscores
+      // (fnc/util/string/slug.rs; r20 sweep — "café" must slug to "cafe",
+      // not "caf", and "a_b" stays "a_b"); shared kernel with Spark
+      case "string::slug" => VStr(graft.functions.StrSim.slugStr(str(0)))
       // the whole distance/similarity family delegates to the SHARED
       // StrSim statics — the exact code the Spark kernels codegen into —
       // so both engines agree definitionally: Unicode-scalar iteration,

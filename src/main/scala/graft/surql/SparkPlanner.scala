@@ -4921,7 +4921,11 @@ object SparkPlanner {
       graft.functions.TimeKernels.ensure(ctx.spark)
       call_function("graft_time_round",
         toCol(raw(0), ctx).cast("timestamp"), lit(durNanos), lit(mode))
-    case "string::words" => split(trim(cs(0)), "\\s+")
+    case "string::words" =>
+      // Unicode split_whitespace, no empty parts (r20 sweep)
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_words", cs(0))
     case "string::repeat" => raw(1) match {
       case Lit(VInt(n)) => repeat(cs(0), n.toInt)
       case _ => throw SqlError("SparkPlanner: string::repeat needs a constant count")
@@ -4997,8 +5001,10 @@ object SparkPlanner {
       val value = if (n.contains("::set::")) cs(1).cast("bigint") else lit(0L)
       call_function("graft_semver_upd", cs(0), lit(op), value)
     case "string::slug" =>
-      regexp_replace(regexp_replace(lower(cs(0)), "[^a-z0-9]+", "-"),
-        "(^-+)|(-+$)", "")
+      // deunicode + underscore-keeping (r20 sweep) — shared kernel
+      graft.functions.StrSimKernels.ensure(
+        org.apache.spark.sql.SparkSession.active)
+      call_function("graft_slug", cs(0))
     case "time::group"  =>
       val unit = raw(1) match { case Lit(VStr(s)) => s; case _ => "day" }
       date_trunc(unit, cs(0)).cast("date")

@@ -522,6 +522,18 @@ class DifferentialSpec extends AnyFunSuite {
       FROM item WHERE qty = 1 ORDER BY name LIMIT 3;""")
   }
 
+  // the r20 slug/words sweep: deunicode-first slug keeps underscores;
+  // words splits on UNICODE whitespace with no empty parts
+  test("differential-slugwords: slug/words agree across paths") {
+    checkSame("""SELECT name,
+      string::slug(string::concat('Héllo_Wörld ', name, ' & Co')) AS sl,
+      array::join(string::words(string::concat('a', name, ' b  c')), '|') AS ws
+      FROM item WHERE qty = 4 ORDER BY name LIMIT 3;""")
+    checkSame("""RETURN { a: string::slug('Crème Brûlée!'), b: string::slug('a_b-C'),
+      c: string::slug('ÆØß straße'), d: string::words(''),
+      e: string::words(' x　y '), f: string::slug('--x--') }""")
+  }
+
   // the r20 cast sweep: Cast-for-i64/f64/Decimal strictness on BOTH paths
   test("differential-cast: numeric cast strictness agrees across paths") {
     // successes: integral floats, strict strings, saturating forms
