@@ -77,6 +77,28 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), "no map-side partial aggregation")
   }
 
+  test("r20 kernels stay inside whole-stage codegen") {
+    // the r20 sweep kernels (WHATWG url, ammonia sanitize, strict numeric
+    // casts, slug) are codegen'd static calls, never UDFs — the hot path
+    // must keep them inside a `*(n)` codegen stage
+    val df = graft.surql.SparkPlanner.query(spark, sf,
+      """SELECT o_orderkey,
+           parse::url::host(string::concat('http://H', o_orderkey, '.com/x')) AS h,
+           string::html::sanitize(string::concat('<div>', o_orderkey, '</div>')) AS s,
+           <int>(o_totalprice * 0 + 2.0) AS i,
+           string::slug(string::concat('A_', o_orderkey)) AS sl
+         FROM orders ORDER BY o_orderkey LIMIT 3;""")
+    val rows = df.collect()
+    assert(rows.length == 3 && rows(1).getString(1) == "h1.com" &&
+      rows(1).getString(2) == "<div>1</div>" && rows(1).getLong(3) == 2L &&
+      rows(1).getString(4) == "a_1")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      "r20 kernels fell out of codegen")
+    Seq("graft_url_part", "graft_html_sanitize", "graft_strict_cast", "graft_slug")
+      .foreach(k => assert(p.contains(k), s"$k missing from the plan"))
+  }
+
   test("subquery_parent decorrelates to aggregate equi-joins, not per-row loops") {
     val p = planOf("subquery_parent")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
