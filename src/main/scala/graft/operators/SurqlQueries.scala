@@ -244,6 +244,33 @@ object SurqlQueries {
               parse::url::port(string::concat('ws://h:808', o_orderkey, '/p')) AS p_row
        FROM orders:1..4 ORDER BY o_orderkey""")
 
+  /** r20: the cast-table re-audit + slug/words under the driver gate
+    * (convert/cast.rs arm-by-arm — see docs/SWEEPS_r20.md; error arms are
+    * pinned by CastSweepSpec/differential-cast since a failing cast fails
+    * the whole row). k_row pins the strict graft_cast_int kernel on the
+    * row-dependent path. */
+  val fnR20Cast = sq("fn_r20_cast",
+    """SELECT o_orderkey,
+              2 AS i_intf, 9223372036854775807 AS i_sat, 42 AS i_str,
+              CAST('Infinity' AS DOUBLE) AS f_inf, '1000.5' AS d_us,
+              '936da01f-9abd-4d9d-80c7-02af85c822a8' AS u_simple,
+              'A' AS b_trunc, '1,2,3' AS r_arr, '1h30m' AS dur,
+              'creme_brulee' AS slug, 'x|y' AS words,
+              CAST(2 AS BIGINT) AS k_row
+       FROM orders WHERE o_orderkey >= 1 AND o_orderkey <= 3
+       ORDER BY o_orderkey""")(
+    """SELECT o_orderkey,
+              <int>2.0 AS i_intf, <int>1e300 AS i_sat, <int>'42' AS i_str,
+              <float>'inf' AS f_inf, <string><decimal>'1_000.5' AS d_us,
+              <string><uuid>'936DA01F9ABD4d9d80C702AF85C822A8' AS u_simple,
+              <string><bytes>[321] AS b_trunc,
+              array::join(<array>(<range>[1, 4]), ',') AS r_arr,
+              <string><duration>'1h30m' AS dur,
+              string::slug('Crème_Brûlée') AS slug,
+              array::join(string::words(' x　y '), '|') AS words,
+              <int>(o_totalprice * 0 + 2.0) AS k_row
+       FROM orders:1..4 ORDER BY o_orderkey""")
+
   val filterWhere = sq("filter_where",
     """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
        WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_discount <= 0.07
@@ -2149,5 +2176,5 @@ object SurqlQueries {
     recursionSurql, recursionShortest, recursionCollect, recursionPath, indexCount,
     aggArrayCollect, fnTopBottom, fnValidators, fnClosures, fnDuration, idiomPaths, idiomArrayFilter, fnParse,
     textTokens, textQuality, textLangId, dedupExact, textFingerprint, vectorOps,
-    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2, fnR20FloatFmt, fnR20Parse)
+    fnR18Edges, fnR19Crypto, fnR19Edges, fnR19Edges2, fnR20FloatFmt, fnR20Parse, fnR20Cast)
 }
