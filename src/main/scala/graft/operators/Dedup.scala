@@ -82,9 +82,12 @@ object Dedup {
         xxhash64((0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r)): _*)
           .as("band_hash"))
     }
+    // no distinct: sigs holds exactly one row per doc_id (it is a groupBy
+    // output), so the 16 exploded (doc_id, band_id) rows are unique by
+    // construction — the old distinct() was a full extra Exchange for a
+    // no-op (candidate pairs are deduped downstream in [[candidates]])
     sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band_id"), col("bd.band_hash"))
-      .distinct()
   }
 
   /** Candidate pairs (a < b) from band collisions. */

@@ -125,13 +125,20 @@ object GraphOps {
     val e = edges.persist().alias("e")
     var frontier = start
     var acc: DataFrame = null
-    for (depth <- 1 to maxDepth) {
+    var depth = 1
+    var live = true
+    while (depth <= maxDepth && live) {
       val f = frontier.alias("f")
       frontier = f.join(e, col("f.node") === col("e.src"))
         .select(col("f.start").as("start"), col("e.dst").as("node"))
         .localCheckpoint()
       val labeled = frontier.withColumn("depth", lit(depth.toLong))
       acc = if (acc == null) labeled else acc.unionByName(labeled)
+      // empty frontier ⇒ every deeper frontier is empty too; stop instead of
+      // joining emptiness maxDepth times (the probe reads checkpointed
+      // blocks — no lineage replay)
+      if (depth < maxDepth && frontier.isEmpty) live = false
+      depth += 1
     }
     acc
   }

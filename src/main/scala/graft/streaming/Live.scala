@@ -158,13 +158,21 @@ object Live {
     * exact sums make retraction arithmetic associative — maintained state
     * equals recompute bit-for-bit at any scale. */
   def viewDeltas(feed: DataFrame, groupField: String, valueField: String): DataFrame = {
-    val retract = feed.filter(col("action").isin("UPDATE", "DELETE"))
-      .select(col(s"rec_before.$groupField").as("g"),
-        lit(-1L).as("dn"), (-col(s"rec_before.$valueField")).as("dv"))
-    val insert = feed.filter(col("action").isin("CREATE", "UPDATE"))
-      .select(col(s"rec_after.$groupField").as("g"),
-        lit(1L).as("dn"), col(s"rec_after.$valueField").as("dv"))
-    retract.unionByName(insert)
+    // ONE pass over the feed: each change row fans out to its retraction
+    // and/or insertion delta via explode, instead of the old
+    // filter-retract UNION filter-insert shape, which evaluated the entire
+    // upstream feed pipeline (a full-outer diff join) TWICE — once per
+    // union branch. Same rows out (union order is irrelevant: the consumer
+    // is a grouped sum); half the upstream compute and shuffle.
+    val retractD = when(col("action").isin("UPDATE", "DELETE"),
+      struct(col(s"rec_before.$groupField").as("g"),
+        lit(-1L).as("dn"), (-col(s"rec_before.$valueField")).as("dv")))
+    val insertD = when(col("action").isin("CREATE", "UPDATE"),
+      struct(col(s"rec_after.$groupField").as("g"),
+        lit(1L).as("dn"), col(s"rec_after.$valueField").as("dv")))
+    feed.select(explode(array(retractD, insertD)).as("d"))
+      .filter(col("d").isNotNull)
+      .select(col("d.g").as("g"), col("d.dn").as("dn"), col("d.dv").as("dv"))
   }
 
   /** Fold view deltas into the maintained view state (batch or streaming;

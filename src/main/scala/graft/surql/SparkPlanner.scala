@@ -2315,7 +2315,9 @@ object SparkPlanner {
         var completed: DataFrame = null
         def addCompleted(d: DataFrame): Unit =
           completed = if (completed == null) d else completed.unionByName(d)
-        for (depth <- 0 until maxD) {
+        var depth = 0
+        var live = true
+        while (depth < maxD && live) {
           val a = active.alias("a")
           val joined = a.join(e.alias("e"), col("a.node") === col("e.src"), "left")
             .localCheckpoint()
@@ -2326,6 +2328,11 @@ object SparkPlanner {
           active = joined.filter(col("e.dst").isNotNull)
             .select(col("a.start").as("start"), col("e.dst").as("node"),
               concat(col("a.path"), array(col("e.dst"))).as("path"))
+          // every path hit a dead end ⇒ later depths do nothing; stop the
+          // loop instead of running maxD joins over an empty frontier (the
+          // emptiness probe reads the checkpointed blocks, no replay)
+          if (depth < maxD - 1 && active.isEmpty) live = false
+          depth += 1
         }
         if (maxD >= minD)
           addCompleted(active.filter(size(col("path")) > 0).select("start", "path"))
@@ -2342,7 +2349,9 @@ object SparkPlanner {
         var frontier = starts.withColumn("path",
           if (inclusive) array(col("node")) else array().cast("array<long>"))
         var found: DataFrame = null
-        for (depth <- 1 to maxD) {
+        var depth = 1
+        var done = false
+        while (depth <= maxD && !done) {
           val f = frontier.alias("f")
           frontier = f.join(e.alias("e"), col("f.node") === col("e.src"))
             .select(col("f.start").as("start"), col("e.dst").as("node"),
@@ -2353,7 +2362,19 @@ object SparkPlanner {
             val hit = frontier.filter(col("node") === targetId)
               .withColumn("__d", lit(depth))
             found = if (found == null) hit else found.unionByName(hit)
+            // BFS early-stop (shortest semantics): a start that reached the
+            // target at this depth has its minimum — every deeper expansion
+            // of it would be discarded by the min-depth filter below, so
+            // prune those starts from the frontier instead of carrying them
+            // to maxD. The frontier is checkpointed, so the anti-join and
+            // the emptiness probe below are cheap block reads, not lineage
+            // replays.
+            frontier = frontier
+              .join(hit.select("start"), Seq("start"), "left_anti")
           }
+          // dead frontier ⇒ every later depth is empty; stop looping
+          if (depth < maxD && frontier.isEmpty) done = true
+          depth += 1
         }
         if (found == null) unsupported(s"max depth $maxD below min $minD")
         val best = found.groupBy("start").agg(min(col("__d")).as("__d"))
