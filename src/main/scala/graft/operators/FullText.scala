@@ -200,10 +200,17 @@ object FullText {
         chainCache.getOrElseUpdate((dir, table, field, ck), {
           val base = graft.CacheDir.ensure(
             graft.CacheDir.path(chainCacheKind(table, field, ck), dir)) { p =>
-            val (post, dl) =
+            val (post, _) =
               chainPostingsPlan(s, apply(Tables(s, dir, table)), keyCol, field, chain)
             post.write.parquet(s"$p/post")
-            dl.write.parquet(s"$p/dl")
+            // doc lengths derive from the postings JUST WRITTEN (dl = Σ tf
+            // per key) — re-using the materialized postings instead of the
+            // lazy dl plan, which would replay the whole analyze+groupBy
+            // pipeline a second time (the analyzer chain is the expensive
+            // part; same shape as [[index]]/[[stemmedIndex]])
+            s.read.parquet(s"$p/post")
+              .groupBy(keyCol).agg(sum(col("tf")).as("dl"))
+              .write.parquet(s"$p/dl")
           }
           (s.read.parquet(s"$base/post").persist(),
             s.read.parquet(s"$base/dl").persist())

@@ -91,7 +91,12 @@ object Multimodal {
     * column scan — everything downstream treats `payload` as opaque. */
   def pngPayloads(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+    // documentsWide, not documents: the testdata table is ONE parquet row
+    // group = one scan task, which serialized every encode/decode below
+    // onto a single core; the trivial repartition fans the per-row codec
+    // work across the cluster (see Tables.documentsWide — a no-op decision
+    // on a real many-file corpus)
+    Tables.documentsWide(spark, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         // one encoder context per partition, reused across its rows
         it.map(id => (id, encodePng(renderImage(id))))
@@ -195,7 +200,9 @@ object Multimodal {
     * is mostly made of. */
   def jpegPayloads(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d).select(col("doc_id")).as[Long]
+    // documentsWide: fan the per-row JPEG encode across cores (see
+    // pngPayloads note)
+    Tables.documentsWide(spark, d).select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val bos = new ByteArrayOutputStream()
@@ -369,7 +376,9 @@ object Multimodal {
         ORDER BY doc_id, frame_no""") {
     (s, d) =>
       import s.implicits._
-      val payloads = Tables.documents(s, d)
+      // documentsWide: the GIF encode+demux is the heaviest per-row codec
+      // path — fan it across cores (see pngPayloads note)
+      val payloads = Tables.documentsWide(s, d)
         .select(col("doc_id")).as[Long]
         .mapPartitions(_.map(id => (id, genGif(id))))
         .toDF("doc_id", "payload")

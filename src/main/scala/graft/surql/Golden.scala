@@ -426,8 +426,11 @@ object Golden {
       .toSeq.sortBy(_.toString)
     // each file runs on a fresh Interp — embarrassingly parallel; a worker
     // pool keeps the full 1,480-file corpus to seconds instead of minutes
+    // full-width pool: each file is an independent CPU-bound interpreter
+    // run, so the corpus scales with cores; the serial load-free retry pass
+    // below still absorbs TIMEOUT-clause flakes from the extra contention
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      Math.max(2, Runtime.getRuntime.availableProcessors() / 2))
+      Math.max(2, Runtime.getRuntime.availableProcessors()))
     try {
       val futures = files.map { p =>
         pool.submit(new java.util.concurrent.Callable[Option[Outcome]] {
