@@ -261,8 +261,7 @@ object Hnsw {
   /** `<|k,ef|>` over the sharded HNSW: top-10 cosine neighbors of vec 0,
     * ef=80. Approximate by design (like the LSH/IVF probes). */
   def annHnswTop10(s: SparkSession, d: String): DataFrame = {
-    val qvec = Tables.embeddingsWide(s, d).filter(col("vec_id") === 0L)
-      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toSeq
+    val qvec = Similarity.queryVec(s, d, 0L)
     probe(s, d, qvec, 11, 80)
       .filter(col("vec_id") =!= 0L)
       .select(col("vec_id"),

@@ -642,9 +642,8 @@ object SurqlQueries {
     * 1-row driver probe and rendered into the statement (Double.toString
     * round-trips exactly through the parser). */
   val knnBruteText = Q("knn_brute", Similarity.knnBrute.oracle.get) { (s, d) =>
-    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select("embedding").head().getSeq[Float](0)
-      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val vec = Similarity.queryVec(s, d, 0L)
+      .map(_.toString).mkString("[", ", ", "]")
     SparkPlanner.query(s, d,
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WHERE vec_id != 0 AND embedding <|10,COSINE|> $vec
@@ -657,9 +656,8 @@ object SurqlQueries {
     * as knn_ann_lsh (it lowers to the same index probe). */
   val knnAnnText = Q("knn_ann_from_text",
     QualityGates.annOracle(10, 0.50, 0.85)) { (s, d) =>
-    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select("embedding").head().getSeq[Float](0)
-      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val vec = Similarity.queryVec(s, d, 0L)
+      .map(_.toString).mkString("[", ", ", "]")
     val ann = SparkPlanner.query(s, d,
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WHERE vec_id != 0 AND embedding <|10|> $vec
@@ -675,9 +673,8 @@ object SurqlQueries {
     * Rows-only (ANN by design); SimilaritySpec pins the exact-k property. */
   val knnAnnFiltered = Q("knn_ann_filtered",
     QualityGates.annOracle(10, 0.90, 0.99)) { (s, d) =>
-    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select("embedding").head().getSeq[Float](0)
-      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val vec = Similarity.queryVec(s, d, 0L)
+      .map(_.toString).mkString("[", ", ", "]")
     val ann = SparkPlanner.query(s, d,
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WHERE vec_id >= 400 AND embedding <|10,80|> $vec
@@ -697,9 +694,8 @@ object SurqlQueries {
     * exact brute cosine top-k — which makes the hinted query ORACLE-exact
     * where the index probe is approximate by design. */
   val knnNoindex = Q("knn_noindex", Similarity.knnBrute.oracle.get) { (s, d) =>
-    val vec = Tables.embeddings(s, d).filter(col("vec_id") === 0L)
-      .select("embedding").head().getSeq[Float](0)
-      .map(v => v.toDouble.toString).mkString("[", ", ", "]")
+    val vec = Similarity.queryVec(s, d, 0L)
+      .map(_.toString).mkString("[", ", ", "]")
     SparkPlanner.query(s, d,
       s"""SELECT vec_id, math::fixed(1.0 - vector::distance::knn(), 6) AS cos_sim
           FROM embeddings WITH NOINDEX WHERE vec_id != 0 AND embedding <|10|> $vec
@@ -1186,10 +1182,9 @@ object SurqlQueries {
     * round-trips exactly). */
   val vectorOps = Q("vector_ops",
     graft.functions.VectorQueries.vectorOps.oracle.get) { (s, d) =>
-    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 1L)
-      .select("embedding").head().getSeq[Float](0)
-    val vec = qv.map(v => v.toDouble.toString).mkString("[", ", ", "]")
-    val q0 = qv.head.toDouble.toString
+    val qv = Similarity.queryVec(s, d, 1L)
+    val vec = qv.map(_.toString).mkString("[", ", ", "]")
+    val q0 = qv.head.toString
     SparkPlanner.query(s, d,
       s"""SELECT vec_id,
              math::fixed(vector::dot(embedding, $vec), 6) AS dot,
