@@ -135,9 +135,11 @@ object GraphOps {
       val labeled = frontier.withColumn("depth", lit(depth.toLong))
       acc = if (acc == null) labeled else acc.unionByName(labeled)
       // empty frontier ⇒ every deeper frontier is empty too; stop instead of
-      // joining emptiness maxDepth times (the probe reads checkpointed
-      // blocks — no lineage replay)
-      if (depth < maxDepth && frontier.isEmpty) live = false
+      // joining emptiness maxDepth times. The probe reads checkpointed
+      // blocks (no lineage replay) but is still one job launch, so only
+      // probe when a break would save ≥2 joins — at one remaining depth the
+      // probe costs what it could save.
+      if (maxDepth - depth >= 2 && frontier.isEmpty) live = false
       depth += 1
     }
     acc

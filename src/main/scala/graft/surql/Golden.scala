@@ -428,9 +428,14 @@ object Golden {
     // pool keeps the full 1,480-file corpus to seconds instead of minutes
     // full-width pool: each file is an independent CPU-bound interpreter
     // run, so the corpus scales with cores; the serial load-free retry pass
-    // below still absorbs TIMEOUT-clause flakes from the extra contention
+    // below still absorbs TIMEOUT-clause flakes from the extra contention.
+    // SPARK_GRAFT_CPUS (the driver's core-count contract) bounds the pool
+    // when set, so the corpus row scales with the measured core budget
+    // instead of silently using the whole machine.
+    val poolWidth = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      Math.max(2, Runtime.getRuntime.availableProcessors()))
+      Math.max(2, poolWidth))
     try {
       val futures = files.map { p =>
         pool.submit(new java.util.concurrent.Callable[Option[Outcome]] {

@@ -2329,9 +2329,10 @@ object SparkPlanner {
             .select(col("a.start").as("start"), col("e.dst").as("node"),
               concat(col("a.path"), array(col("e.dst"))).as("path"))
           // every path hit a dead end ⇒ later depths do nothing; stop the
-          // loop instead of running maxD joins over an empty frontier (the
-          // emptiness probe reads the checkpointed blocks, no replay)
-          if (depth < maxD - 1 && active.isEmpty) live = false
+          // loop instead of running maxD joins over an empty frontier. The
+          // probe reads the checkpointed blocks (no replay) but is one job
+          // launch, so only probe when a break saves ≥2 joins.
+          if (maxD - depth >= 3 && active.isEmpty) live = false
           depth += 1
         }
         if (maxD >= minD)
