@@ -38,11 +38,13 @@ object Bench {
     // each job's straggler tail back-fills with the next build's tasks
     // (optimization guide §2.6: overlap independent jobs; Spark schedules
     // concurrent jobs FIFO, which is exactly the back-fill behavior wanted).
-    // Cold-cache wall measured on this box: 41.4 s sequential → see
-    // OPTIMIZATION_r20.md for the parallel number. Pool size 6: enough
-    // overlap to hide per-job driver-side planning, not so many that the
-    // builds fight for the same cores.
-    val warmPool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    // Cold-cache wall measured on this box (OPTIMIZATION_r20.md §1):
+    // 41.4 s sequential → 12.5 s at pool 6 → 9.5 s at pool 10. Pool size =
+    // warm count: every build starts at once and the wall collapses to the
+    // slowest single build (the per-build cost is mostly driver-side
+    // planning + small jobs, so they don't fight for executor cores; also
+    // measured safe at SPARK_GRAFT_CPUS=8: 8.2 s).
+    val warmPool = java.util.concurrent.Executors.newFixedThreadPool(10)
     implicit val warmEc: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(warmPool)
     val warmFutures = warms.map { case (name, f) =>
