@@ -129,6 +129,76 @@ final case class L1F(left: Expression, right: Expression) extends VectorFoldF {
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−bᵢ)² — SQUARED Euclidean distance (no final sqrt): the IVF
+  * cell-assignment kernel, where only the argmin over centroids matters and
+  * a sqrt would be wasted work per (row × centroid). Bit-identical to the
+  * `aggregate(zip_with(…))` HOF fold it replaced (same ascending in-order
+  * double fold), but codegen'd — the HOF pair evaluated an interpreted
+  * lambda per element and allocated the zipped array per row. */
+final case class L2SqF(left: Expression, right: Expression) extends VectorFoldF {
+  override def prettyName: String = "graft_l2sq"
+  protected def combine(x: Double, y: Double): Double = { val d = x - y; d * d }
+  protected def combineJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of positions where two long arrays agree — the MinHash
+  * signature-agreement kernel (estimated Jaccard = eqcount / NumHashes).
+  * LONG-exact on purpose: xxhash64 signature components exceed 2^53, so a
+  * double-based fold could alias distinct hashes; this compares longs. */
+final case class EqCountF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types._
+  override def prettyName: String = "graft_eqcount"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) s += 1L
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `math::round` with the reference's exact float semantics (val/number.rs:578
   * = Rust `f64::round`): half-away-from-zero, and the SIGN OF ZERO is
   * preserved (`(-0.2).round() == -0.0`). Spark's built-in `round()` goes
@@ -344,6 +414,10 @@ object VectorKernels {
       es => L2F(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_l1",
       es => L1F(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_l2sq",
+      es => L2SqF(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_eqcount",
+      es => EqCountF(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_round",
       es => RoundRs(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_fixed",

@@ -111,10 +111,13 @@ object Dedup {
     val cand = candidates(bands(sigs))
     val sa = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
     val sb = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+    // signature agreement via the codegen'd long-exact kernel (EqCountF):
+    // same count as the zip_with/when fold it replaced, without the
+    // interpreted per-element lambda or the zipped int-array allocation
+    graft.functions.VectorKernels.ensure(s)
     cand.join(sa, "a").join(sb, "b")
       .select(col("a"), col("b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v)
+        (call_function("graft_eqcount", col("sig_a"), col("sig_b"))
           .cast("double") / NumHashes).as("est_jaccard"))
   }
 

@@ -373,24 +373,37 @@ object Similarity {
 
   // --- IVF (inverted-file) ANN index ------------------------------------
 
-  /** Squared L2, same in-order double fold as [[dot]]. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+  /** Squared L2, same in-order double fold as [[dot]] — the codegen'd
+    * kernel (graft.functions.L2SqF), bit-identical to the HOF fold it
+    * replaced; the IVF cell assignment evaluates it once per (row ×
+    * centroid), so the per-element interpreted lambda was the build's
+    * hottest inner loop. */
+  private def l2sq(a: Column, b: Column): Column = {
+    graft.functions.VectorKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_l2sq", a, b)
+  }
 
   private val IvfK = 32      // centroid count (cells)
   private val IvfProbe = 8   // cells scanned per query
 
-  /** Nearest-centroid id for a row: fold the (tiny, literal) centroid set
-    * into struct(dist, cid) and take the array min — struct ordering makes
-    * the argmin deterministic (distance, then cid). Codegen'd, no UDF. */
-  private def assignCid(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(cents.map { case (cid, cv) =>
-      struct(l2sq(emb, array(cv.map(lit): _*)).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+  /** Nearest-centroid id for a row: distances to the K centroids via ONE
+    * 2-D literal (a single Literal node instead of the old K×dim=2048-leaf
+    * expression tree, which dominated the build's driver-side
+    * analysis/codegen time), argmin = first position of the min distance.
+    * Deterministic ties: `array_position` returns the FIRST minimal index
+    * = the lowest cid, exactly the old struct-ordering tie-break; both
+    * call sites construct cents with consecutive cids 0..K-1 (zipWithIndex
+    * / sortBy), so position-1 IS the cid. */
+  private def assignCid(emb: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    graft.functions.VectorKernels.ensure(
+      org.apache.spark.sql.SparkSession.active)
+    require(cents.map(_._1) == cents.indices.map(identity),
+      "assignCid expects consecutive cids 0..K-1")
+    val mat = typedlit(cents.map(_._2))
+    val dists = transform(mat, c => call_function("graft_l2sq", emb, c))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
 
   /** Persisted IVF index: embeddings PARTITIONED by nearest-centroid cell
     * (the scale path SURVEY §"Similarity search" names alongside LSH).
