@@ -398,11 +398,16 @@ object Similarity {
   private def assignCid(emb: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     graft.functions.VectorKernels.ensure(
       org.apache.spark.sql.SparkSession.active)
-    require(cents.map(_._1) == cents.indices.map(identity),
-      "assignCid expects consecutive cids 0..K-1")
+    // ascending cids make "first minimal position" equal the old
+    // struct-ordering tie-break (min distance, then min cid); a cid GAP is
+    // legal (a Lloyd cell can end up empty), so positions map to cids
+    // through a second literal rather than assuming consecutiveness
+    require(cents.map(_._1) == cents.map(_._1).sorted,
+      "assignCid expects cids in ascending order")
     val mat = typedlit(cents.map(_._2))
+    val cids = typedlit(cents.map(_._1))
     val dists = transform(mat, c => call_function("graft_l2sq", emb, c))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    element_at(cids, array_position(dists, array_min(dists)).cast("int"))
   }
 
   /** Persisted IVF index: embeddings PARTITIONED by nearest-centroid cell
