@@ -2373,8 +2373,11 @@ object SparkPlanner {
             frontier = frontier
               .join(hit.select("start"), Seq("start"), "left_anti")
           }
-          // dead frontier ⇒ every later depth is empty; stop looping
-          if (depth < maxD && frontier.isEmpty) done = true
+          // dead frontier ⇒ every later depth is empty; stop looping — but
+          // only once minD has been reached, so `found` is initialized and
+          // a chain that dies before minD still yields the empty result
+          // (not the below-min error) exactly as the full loop did
+          if (depth >= minD && depth < maxD && frontier.isEmpty) done = true
           depth += 1
         }
         if (found == null) unsupported(s"max depth $maxD below min $minD")
