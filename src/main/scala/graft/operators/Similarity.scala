@@ -73,11 +73,16 @@ object Similarity {
         ORDER BY cos_sim DESC, e.vec_id LIMIT 10""") {
     (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+      // the query vector's norm is hoisted into the one-row broadcast —
+      // same fold over the same values (bit-identical cosine), evaluated
+      // once instead of once per scanned row
+      val q = emb.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qe"), norm(col("embedding")).as("qn"))
       emb.filter(col("vec_id") =!= 0L)
         .crossJoin(broadcast(q))
         .select(col("vec_id"),
-          round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+          round(dot(col("embedding"), col("qe")) /
+            (norm(col("embedding")) * col("qn")), 6).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
   }
