@@ -192,6 +192,17 @@ object Dedup {
         .orderBy(col("jaccard").desc, col("a"), col("b"))
   }
 
+  /** Force the once-per-session exact-Jaccard ground-truth tables
+    * ([[jaccardScores]] + [[jaccardPairs]]) so the bench can bill their
+    * build to a dedicated `dedup_groundtruth` line instead of hiding it in
+    * the first dedup rep (r20 verdict item #4). The gate queries are
+    * unchanged — they still verify against these same session tables. */
+  def warmGroundTruth(s: SparkSession, d: String): Unit = {
+    jaccardScores(s, d)
+    jaccardPairs(s, d)
+    ()
+  }
+
   /** Exact-Jaccard near-dup pairs (a < b, jaccard ≥ 0.5) — the shared
     * verified edge set behind the jaccard and clustering entries. Cached
     * per corpus like [[shingleTable]]: at scale this is the persisted

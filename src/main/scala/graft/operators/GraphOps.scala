@@ -129,17 +129,22 @@ object GraphOps {
     var live = true
     while (depth <= maxDepth && live) {
       val f = frontier.alias("f")
+      // LAZY checkpoint + internal-RDD count: an EAGER localCheckpoint
+      // already runs an internal rdd.count() to materialize the blocks and
+      // throws the number away — marking lazily and counting the internal
+      // RDD ourselves runs the SAME single job but KEEPS the count, so the
+      // empty-frontier break is free at every depth (the old shape paid a
+      // gated second isEmpty job per probed depth). A plain RDD count, not
+      // Dataset.count(): no per-iteration aggregate planning or codegen.
       frontier = f.join(e, col("f.node") === col("e.src"))
         .select(col("f.start").as("start"), col("e.dst").as("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      val n = frontier.queryExecution.toRdd.count() // materializes, one job
       val labeled = frontier.withColumn("depth", lit(depth.toLong))
       acc = if (acc == null) labeled else acc.unionByName(labeled)
       // empty frontier ⇒ every deeper frontier is empty too; stop instead of
-      // joining emptiness maxDepth times. The probe reads checkpointed
-      // blocks (no lineage replay) but is still one job launch, so only
-      // probe when a break would save ≥2 joins — at one remaining depth the
-      // probe costs what it could save.
-      if (maxDepth - depth >= 2 && frontier.isEmpty) live = false
+      // joining emptiness maxDepth times
+      if (n == 0L) live = false
       depth += 1
     }
     acc

@@ -348,6 +348,11 @@ object Similarity {
     * repartitioning). */
   private val qvecCache =
     scala.collection.concurrent.TrieMap[(String, Long), Seq[Double]]()
+  /** Bench rep-boundary honesty hook (r20 verdict item #6): clearing the
+    * memo makes every bench rep re-pay the fixture point-read, so the
+    * recorded medians measure per-invocation cost rather than a warm
+    * fixture. Repeated verifies within a session still share the memo. */
+  def resetQvecCache(): Unit = qvecCache.clear()
   def queryVec(s: SparkSession, d: String, vecId: Long): Seq[Double] =
     qvecCache.getOrElseUpdate((d, vecId),
       Tables.embeddings(s, d).filter(col("vec_id") === vecId)

@@ -432,8 +432,11 @@ object Golden {
     // SPARK_GRAFT_CPUS (the driver's core-count contract) bounds the pool
     // when set, so the corpus row scales with the measured core budget
     // instead of silently using the whole machine.
+    // unset-env default keeps one core of headroom: a fully-saturated pool
+    // raises contention-induced TIMEOUT flakes that the serial retry pass
+    // must then absorb (slower than just leaving the headroom)
     val poolWidth = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
-      .getOrElse(Runtime.getRuntime.availableProcessors())
+      .getOrElse(Math.max(2, Runtime.getRuntime.availableProcessors() - 1))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       Math.max(2, poolWidth))
     try {

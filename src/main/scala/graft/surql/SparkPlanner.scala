@@ -2319,8 +2319,16 @@ object SparkPlanner {
         var live = true
         while (depth < maxD && live) {
           val a = active.alias("a")
+          // lazy checkpoint + internal-RDD count: the eager form already ran
+          // an internal rdd.count() and discarded it — counting it ourselves
+          // is the same single job with the row count kept, so the break
+          // costs zero extra actions (the old shape paid a gated second
+          // isEmpty probe job). An empty `active` shows up as a zero-row
+          // `joined` one depth later — one cheap join over an empty
+          // checkpointed frontier, cheaper than any per-depth probe was.
           val joined = a.join(e.alias("e"), col("a.node") === col("e.src"), "left")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
+          val nJoined = joined.queryExecution.toRdd.count()
           if (depth >= minD)
             addCompleted(joined
               .filter(col("e.dst").isNull && size(col("a.path")) > 0)
@@ -2329,10 +2337,8 @@ object SparkPlanner {
             .select(col("a.start").as("start"), col("e.dst").as("node"),
               concat(col("a.path"), array(col("e.dst"))).as("path"))
           // every path hit a dead end ⇒ later depths do nothing; stop the
-          // loop instead of running maxD joins over an empty frontier. The
-          // probe reads the checkpointed blocks (no replay) but is one job
-          // launch, so only probe when a break saves ≥2 joins.
-          if (maxD - depth >= 3 && active.isEmpty) live = false
+          // loop instead of running maxD joins over an empty frontier
+          if (nJoined == 0L) live = false
           depth += 1
         }
         if (maxD >= minD)
@@ -2354,11 +2360,19 @@ object SparkPlanner {
         var done = false
         while (depth <= maxD && !done) {
           val f = frontier.alias("f")
+          // lazy checkpoint + internal-RDD count: the eager form already ran
+          // an internal rdd.count() and discarded it — counting it ourselves
+          // is the same single job with the row count kept, so a frontier
+          // the hop itself killed breaks the loop for free. A frontier
+          // emptied by the found-start PRUNE below is the one case the raw
+          // count cannot see; a gated isEmpty probe (cheap block read)
+          // still covers it when a break would save ≥2 joins.
           frontier = f.join(e.alias("e"), col("f.node") === col("e.src"))
             .select(col("f.start").as("start"), col("e.dst").as("node"),
               concat(col("f.path"), array(col("e.dst"))).as("path"))
             .dropDuplicates("start", "node")
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
+          val n = frontier.queryExecution.toRdd.count()
           if (depth >= minD) {
             val hit = frontier.filter(col("node") === targetId)
               .withColumn("__d", lit(depth))
@@ -2367,17 +2381,21 @@ object SparkPlanner {
             // target at this depth has its minimum — every deeper expansion
             // of it would be discarded by the min-depth filter below, so
             // prune those starts from the frontier instead of carrying them
-            // to maxD. The frontier is checkpointed, so the anti-join and
-            // the emptiness probe below are cheap block reads, not lineage
-            // replays.
+            // to maxD. The frontier is checkpointed, so the anti-join reads
+            // cheap materialized blocks, not lineage replays.
             frontier = frontier
               .join(hit.select("start"), Seq("start"), "left_anti")
           }
           // dead frontier ⇒ every later depth is empty; stop looping — but
           // only once minD has been reached, so `found` is initialized and
           // a chain that dies before minD still yields the empty result
-          // (not the below-min error) exactly as the full loop did
-          if (depth >= minD && depth < maxD && frontier.isEmpty) done = true
+          // (not the below-min error) exactly as the full loop did. The raw
+          // count covers hop-killed frontiers with zero extra jobs; the
+          // probe only fires for the prune-emptied case, and only when a
+          // break saves ≥2 remaining joins.
+          if (depth >= minD && depth < maxD &&
+              (n == 0L || (maxD - depth >= 2 && frontier.isEmpty)))
+            done = true
           depth += 1
         }
         if (found == null) unsupported(s"max depth $maxD below min $minD")
