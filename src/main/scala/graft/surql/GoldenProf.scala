@@ -21,7 +21,7 @@ object GoldenProf {
       nFiles += 1
       tf.filter(f => f.run && !f.wip)
     }
-    tfs.foreach { tf =>
+    val perFile = tfs.map { tf =>
       if (!tf.expectParseError) {
         val t1 = System.nanoTime()
         try Parser.parse(tf.sql) catch { case _: Exception => () }
@@ -30,12 +30,20 @@ object GoldenProf {
       }
       val t2 = System.nanoTime()
       try Golden.runFileWithTimeout(tf, root) catch { case _: Exception => () }
-      tRun += System.nanoTime() - t2
+      val dt = System.nanoTime() - t2
+      tRun += dt
       nRun += 1
+      (tf.path.toString, dt / 1e9)
     }
     println(f"files walked+toml-parsed: $nFiles, runnable: $nRun")
     println(f"toml/config parse total: ${tToml / 1e9}%.2f s")
     println(f"surql parse total:       ${tParse / 1e9}%.2f s  (${parseChars} chars)")
     println(f"run (parse+interp+cmp):  ${tRun / 1e9}%.2f s")
+    val sorted = perFile.sortBy(-_._2)
+    println("slowest 25 files:")
+    sorted.take(25).foreach { case (p, t) => println(f"  $t%7.3f s  $p") }
+    val cum = sorted.map(_._2)
+    println(f"top-10 share: ${cum.take(10).sum / cum.sum * 100}%.1f%%, " +
+      f"top-50 share: ${cum.take(50).sum / cum.sum * 100}%.1f%%")
   }
 }

@@ -36,6 +36,39 @@ object Interp {
     walk(o).asInstanceOf[VObj]
   }
 
+  /** True when `v`'s loose-equivalence class equals its structural class:
+    * no numbers (which [[V.looseEq]] matches across int/float/decimal
+    * representations) and no regexes (which loose-match strings), anywhere.
+    * Such a value loose-equals a regex-free stored key iff it equals it
+    * structurally — the condition for [[Interp!.findKeyLoose]]'s O(1) path. */
+  def looseIsolated(v: V): Boolean = v match {
+    case _: VNum | _: VRegex | _: VRng => false
+    case VArr(items) => items.forall(looseIsolated)
+    case VSet(items) => items.forall(looseIsolated)
+    case VObj(fs)    => fs.valuesIterator.forall(looseIsolated)
+    case _ => true
+  }
+
+  private def keyHasRegex(v: V): Boolean = v match {
+    case _: VRegex   => true
+    case VArr(items) => items.exists(keyHasRegex)
+    case VSet(items) => items.exists(keyHasRegex)
+    case VObj(fs)    => fs.valuesIterator.exists(keyHasRegex)
+    case _ => false
+  }
+
+  /** Reject regexes as (or inside) record keys, as the reference does —
+    * RecordIdKey has no regex variant and id conversion raises
+    * "Found {value} for the Record ID but this is not a valid id"
+    * (err/mod.rs:571). Beyond fidelity, this guarantees stored keys are
+    * regex-free, which [[Interp!.findKeyLoose]]'s hash fast path relies on
+    * (a stored regex key is the one value that could loose-match a string
+    * probe without structural equality). */
+  def checkIdKey(tb: String, key: V): Unit =
+    if (keyHasRegex(key))
+      throw SqlError(
+        s"Found ${Render.sql(VRid(tb, key))} for the Record ID but this is not a valid id")
+
   /** Per-codepoint ASCII transliterations (lexicmp's any_ascii behavior,
     * core/src/val/mod.rs:500-502): CJK → pinyin, hangul → revised
     * romanization, kana → romaji, Greek/Cyrillic/Arabic/Thai → latin.
@@ -2596,6 +2629,25 @@ final class Interp {
     tables.getOrElseUpdate(name, mutable.LinkedHashMap.empty)
   }
 
+  /** Loose record-key lookup with a typed fast path. Record keys compare
+    * with [[V.looseEq]] (numbers match across int/float/decimal
+    * representations), which used to cost an O(n) scan of the table per
+    * CREATE/UPDATE/INSERT/fetch — bulk loads (`FOR … { CREATE … }`) were
+    * O(n²). For a probe whose loose-equivalence class IS its structural
+    * class — anything free of numbers (cross-representation equality) and
+    * regexes (string~regex matching), recursively — a stored key matches
+    * loosely iff it equals structurally, so the LinkedHashMap hash lookup
+    * answers in O(1). Regex keys cannot exist ([[Interp.checkIdKey]]
+    * rejects them at every insert boundary, as the reference does — its
+    * RecordIdKey has no regex variant), so a string probe can never
+    * loose-match a stored key it does not structurally equal. Numeric and
+    * number-bearing compound probes keep the exact loose scan. */
+  private[surql] def findKeyLoose(
+      t: scala.collection.Map[V, VObj], key: V): Option[V] =
+    if (Interp.looseIsolated(key)) {
+      if (t.contains(key)) Some(key) else scala.None
+    } else t.keysIterator.find(V.looseEq(_, key))
+
   /** Records created by RELATE carry edge metadata (catalog RecordType::Edge,
     * doc/alter.rs:93); only THOSE records pin in/out across updates. A normal
     * table storing record links in fields named in/out keeps user edits. */
@@ -2610,9 +2662,10 @@ final class Interp {
   def fetchRecord(rid: VRid): Option[VObj] = {
     val raw = versionAsOf match {
       case Some(ts) =>
-        versionedTable(rid.table, ts).find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2)
+        val vt = versionedTable(rid.table, ts)
+        findKeyLoose(vt, rid.key).map(vt(_))
       case scala.None =>
-        tables.get(rid.table).flatMap(_.find { case (k, _) => V.looseEq(k, rid.key) }.map(_._2))
+        tables.get(rid.table).flatMap(t => findKeyLoose(t, rid.key).map(t(_)))
     }
     if (computedOrder(rid.table).isEmpty) raw
     else raw.map(withComputed(rid.table, _, readEnv))
@@ -4288,7 +4341,8 @@ final class Interp {
           s"Found ${Render.sql(VRid(tb, r))} for the Record ID but this is not a valid id")
         case _ => ()
       }
-      if (t.keys.exists(V.looseEq(_, key)))
+      Interp.checkIdKey(tb, key)
+      if (findKeyLoose(t, key).isDefined)
         throw SqlError(s"Database record `${Render.sql(VRid(tb, key))}` already exists")
       val rid = VRid(tb, key)
       // a RELATION table only stores edges (in/out record links)
@@ -4341,7 +4395,8 @@ final class Interp {
       }
       keyOpt match {
         case Some(key) =>
-          val existing = t.find { case (k, _) => V.looseEq(k, key) }.map(_._2)
+          if (upsert) Interp.checkIdKey(tb, key)
+          val existing = findKeyLoose(t, key).map(t(_))
           existing match {
             case Some(doc) =>
               val de = env.copy(doc = Some(doc))
@@ -4359,7 +4414,7 @@ final class Interp {
                   Interp.keepEdgeIdentity(applied, doc, rid) else applied
                 val updated = applyFieldPipeline(tb, rid, updated0, Some(doc), isCreate = false, env)
                 checkUniqueIndexes(tb, rid, updated)
-                t(t.keys.find(V.looseEq(_, key)).getOrElse(key)) = updated
+                t(findKeyLoose(t, key).getOrElse(key)) = updated
                 fireEvents(tb, Some(doc), Some(updated), env, Some(updated0))
                 shapeOutput(Some(doc), Some(updated), output, env, tb).foreach(results += _)
               }
@@ -4420,7 +4475,9 @@ final class Interp {
     mutationTargets(s.what, env).foreach { case (tb, keyOpt) =>
       val t = table(tb)
       val keys = keyOpt match {
-        case Some(key) => t.keys.filter(V.looseEq(_, key)).toSeq
+        // ≤1 loose match can exist (keys are pairwise loose-distinct at
+        // insert), so find ≡ the old filter
+        case Some(key) => findKeyLoose(t, key).toSeq
         case scala.None => t.keys.toSeq
       }
       keys.foreach { key =>
@@ -4605,7 +4662,8 @@ final class Interp {
       // because we are specifying a specific id even though we also have
       // an ON DUPLICATE KEY UPDATE clause")
       val explicitId = row.fields.contains("id")
-      val idDup = t.keys.find(V.looseEq(_, key))
+      Interp.checkIdKey(tb, key)
+      val idDup = findKeyLoose(t, key)
       val existingKey =
         if (s.ignore) idDup.orElse(idxConflict)
         else if (s.onDuplicate.isDefined)
@@ -4616,7 +4674,7 @@ final class Interp {
           if (s.ignore) scala.None
           else s.onDuplicate match {
             case Some(sets) =>
-              val doc = t(t.keys.find(V.looseEq(_, k0)).get)
+              val doc = t(findKeyLoose(t, k0).get)
               // the update arm binds $input to the incoming row
               // (core/tests/insert.rs insert_statement_duplicate_key_update)
               val updated0 = applyData(doc, Some(SetData(sets)),
@@ -4629,7 +4687,7 @@ final class Interp {
                 case _ => VRid(tb, k0)
               }
               val updated = applyFieldPipeline(tb, erid, updated0, Some(doc), isCreate = false, env)
-              t(t.keys.find(V.looseEq(_, k0)).get) = updated
+              t(findKeyLoose(t, k0).get) = updated
               fireEvents(tb, Some(doc), Some(updated), env)
               // the update arm has a real initial document, so RETURN
               // DIFF/BEFORE see it (doc/pluck.rs diffs initial→current)
@@ -4703,6 +4761,7 @@ final class Interp {
         case RidLit(_, keyE) => Eval.eval(keyE, env)
         case _ => edgeKeyFromValue.orElse(dataId).getOrElse(nextId())
       }
+      Interp.checkIdKey(edgeTable, key)
       val rid = VRid(edgeTable, key)
       // RELATE may only target relation-capable tables (TYPE ANY or
       // RELATION); the error names the RECORD being written (doc/relate.rs
